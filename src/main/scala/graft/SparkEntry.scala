@@ -1,13 +1,149 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.search.{Semantic, Lexical, Hybrid}
+import graft.Tables._
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Each `queries` entry exercises one operator from SURVEY.md §2 (or a
+  * pipeline-extension operator) on the driver's testdata; `oracleSql` holds
+  * the equivalent DuckDB SQL over the same parquet tables. Column names,
+  * types, and row order are aligned on both sides; floating scores are
+  * rounded (6-9 digits) to absorb summation-order ulps.
+  */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
+
+  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
+    * hybrid RRF search (the reference's richest path, vector_api.py:518-566).
+    */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q_hybrid_rrf")(spark, "/root/testdata/sf0.001")
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // ---- §2.3 semantic_search: exact cosine top-k, multi-query ----
+    "q_semantic_topk" -> ((s, dir) => {
+      val docs = vectors(s, dir)
+      val qs = queryVectors(s, dir, Seq(0, 1, 2))
+      Semantic.search(docs, qs, 10)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_idx"), col("score").desc, col("id"))
+    }),
+    // ---- §2.3 semantic_search with distance_threshold (keep iff 1-sim <= t) ----
+    "q_semantic_threshold" -> ((s, dir) => {
+      val docs = vectors(s, dir)
+      val qs = queryVectors(s, dir, Seq(0, 1, 2))
+      Semantic.search(docs, qs, 10, distanceThreshold = 0.55)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_idx"), col("score").desc, col("id"))
+    }),
+    // ---- §2.3 lexical_search: TF-sum scoring (epistemic_graph fallback) ----
+    "q_lexical_tf" -> ((s, dir) => {
+      val docs = corpus(s, dir)
+      Lexical.search(docs, Seq((0, "spark join"), (1, "vector stream")), 10)
+        .orderBy(col("query_idx"), col("score").desc, col("id"))
+    }),
+    // ---- §2.3 lexical_search v1: BM25 (retriever/retriever.py:90-101 intent) ----
+    "q_lexical_bm25" -> ((s, dir) => {
+      val docs = corpus(s, dir)
+      Lexical.searchBm25(docs, 0, "spark join table", 10)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("score").desc, col("id"))
+    }),
+    // ---- §2.3 hybrid search: weighted RRF fusion (vector_api.py:556-565) ----
+    "q_hybrid_rrf" -> ((s, dir) => {
+      val docs = corpus(s, dir)
+      val qv = queryVectors(s, dir, Seq(0))
+      val sem = Semantic.search(docs, qv, 10)
+      val lex = Lexical.search(docs, Seq((0, "spark join")), 10)
+      Hybrid.rrf(sem, lex, 0.5, 0.5, 60, 10)
+        .withColumn("score", round(col("score"), 9))
+        .orderBy(col("score").desc, col("id"))
+    })
+  )
+
+  // DuckDB fragments shared by several oracles.
+  private val toksD = "regexp_extract_all(lower(text), '[a-z0-9_]{2,}')"
+  private def tfD(t: String) = s"len(list_filter(toks, x -> x = '$t'))"
+
+  def oracleSql: Map[String, String] = Map(
+    "q_semantic_topk" ->
+      s"""WITH q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id IN (0,1,2)),
+         |s AS (SELECT q.qid AS query_idx, e.vec_id AS id,
+         |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sc
+         |      FROM q CROSS JOIN embeddings e),
+         |t AS (SELECT query_idx, id, sc,
+         |             row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+         |      FROM s)
+         |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 10
+         |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin,
+    "q_semantic_threshold" ->
+      s"""WITH q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id IN (0,1,2)),
+         |s AS (SELECT q.qid AS query_idx, e.vec_id AS id,
+         |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sc
+         |      FROM q CROSS JOIN embeddings e),
+         |t AS (SELECT query_idx, id, sc,
+         |             row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+         |      FROM s WHERE 1.0 - sc <= 0.55)
+         |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 10
+         |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin,
+    "q_lexical_tf" ->
+      s"""WITH d AS (SELECT doc_id AS id, $toksD AS toks FROM documents),
+         |s AS (SELECT CAST(0 AS INTEGER) AS query_idx, id,
+         |             CAST(${tfD("spark")} + ${tfD("join")} AS DOUBLE) AS score FROM d
+         |      UNION ALL
+         |      SELECT CAST(1 AS INTEGER), id,
+         |             CAST(${tfD("vector")} + ${tfD("stream")} AS DOUBLE) FROM d),
+         |t AS (SELECT query_idx, id, score,
+         |             row_number() OVER (PARTITION BY query_idx ORDER BY score DESC, id) AS rn
+         |      FROM s WHERE score > 0)
+         |SELECT query_idx, id, score FROM t WHERE rn <= 10
+         |ORDER BY query_idx, score DESC, id""".stripMargin,
+    "q_lexical_bm25" ->
+      s"""WITH d AS (SELECT doc_id AS id, $toksD AS toks FROM documents),
+         |f AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl,
+         |             CAST(${tfD("spark")} AS DOUBLE) AS f0,
+         |             CAST(${tfD("join")} AS DOUBLE) AS f1,
+         |             CAST(${tfD("table")} AS DOUBLE) AS f2 FROM d),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         |              CAST(sum(CASE WHEN f0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |              CAST(sum(CASE WHEN f1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1,
+         |              CAST(sum(CASE WHEN f2 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df2
+         |       FROM f),
+         |s AS (SELECT id,
+         |             ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5)) * (f0*2.2)/(f0 + 1.2*(0.25 + 0.75*dl/avgdl))
+         |           + ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * (f1*2.2)/(f1 + 1.2*(0.25 + 0.75*dl/avgdl))
+         |           + ln(1.0 + (n - df2 + 0.5)/(df2 + 0.5)) * (f2*2.2)/(f2 + 1.2*(0.25 + 0.75*dl/avgdl)) AS sc
+         |      FROM f CROSS JOIN st),
+         |t AS (SELECT id, sc, row_number() OVER (ORDER BY sc DESC, id) AS rn
+         |      FROM s WHERE sc > 0)
+         |SELECT CAST(0 AS INTEGER) AS query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 10
+         |ORDER BY round(sc, 6) DESC, id""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH c AS (SELECT d.doc_id AS id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+         |           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |semall AS (SELECT id, list_cosine_similarity(v, qv) AS sc FROM c CROSS JOIN q),
+         |sem AS (SELECT id, rnk FROM (
+         |          SELECT id, row_number() OVER (ORDER BY sc DESC, id) AS rnk FROM semall)
+         |        WHERE rnk <= 10),
+         |lexs AS (SELECT id, CAST(${tfD("spark")} + ${tfD("join")} AS DOUBLE) AS score
+         |         FROM (SELECT id, $toksD AS toks FROM c)),
+         |lex AS (SELECT id, rnk FROM (
+         |          SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk
+         |          FROM lexs WHERE score > 0)
+         |        WHERE rnk <= 10),
+         |u AS (SELECT id, 0.5/(60.0 + rnk) AS contrib FROM sem
+         |      UNION ALL
+         |      SELECT id, 0.5/(60.0 + rnk) FROM lex),
+         |fz AS (SELECT CAST(0 AS INTEGER) AS query_idx, id, sum(contrib) AS score
+         |       FROM u GROUP BY id),
+         |t AS (SELECT query_idx, id, score, row_number() OVER (ORDER BY score DESC, id) AS rn
+         |      FROM fz)
+         |SELECT query_idx, id, round(score, 9) AS score FROM t WHERE rn <= 10
+         |ORDER BY round(score, 9) DESC, id""".stripMargin
+  )
 }

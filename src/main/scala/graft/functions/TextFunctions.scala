@@ -1,0 +1,140 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text primitives shared by lexical search, dedup, and text analysis.
+  *
+  * Tokenizer semantics mirror the reference's keyword extraction:
+  * `[A-Za-z0-9_]{2,}` casefolded with order-preserving dedup
+  * (reference: vector_mcp/vectordb/epistemic_graph.py:55, :324-326).
+  *
+  * Everything here is a built-in-function composition (regexp_extract_all,
+  * transform, aggregate, ...) so it stays codegen'd and — critically for the
+  * oracle — is expressible 1:1 in ANSI/DuckDB SQL.
+  */
+object TextFunctions {
+
+  /** Token pattern — identical byte-for-byte in Spark (Java regex) and
+    * DuckDB (RE2): no lookaround, no classes that differ between dialects.
+    * Input is lowercased first so the pattern itself needs no case classes.
+    */
+  val TokenPattern = "[a-z0-9_]{2,}"
+
+  /** All tokens of `text`, casefolded, in order (with repeats — TF source). */
+  def tokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(TokenPattern), lit(0))
+
+  /** Distinct query terms, order-preserving (epistemic_graph.py:324-326). */
+  def distinctTokens(text: Column): Column =
+    array_distinct(tokens(text))
+
+  /** Term frequency of `term` within the token array. */
+  def tf(toks: Column, term: Column): Column =
+    size(filter(toks, t => t === term))
+
+  /** Word n-gram shingles over the token array (for MinHash / Jaccard).
+    * n consecutive tokens joined by a single space; documents shorter than
+    * n tokens yield an empty array.
+    */
+  def shingles(toks: Column, n: Int): Column = {
+    val count = greatest(size(toks) - lit(n - 1), lit(0))
+    array_distinct(
+      transform(sequence(lit(0), count - lit(1)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*))
+    )
+  }
+
+  /** Stable 32-bit string hash with a DuckDB-expressible definition:
+    * first 8 hex chars of md5, parsed as an unsigned 32-bit integer.
+    * (DuckDB: `('0x' || substr(md5(s),1,8))::BIGINT`.)
+    * Used wherever the oracle must reproduce hash values exactly —
+    * engine-internal-only hashing (e.g. MinHash permutation inputs when no
+    * oracle replays them) may use the faster xxhash64 instead.
+    */
+  def stableHash32(s: Column): Column =
+    conv(substring(md5(s), 1, 8), 16, 10).cast("long")
+
+  /** MinHash signature entry j for a shingle set: min over shingles of
+    * (a_j * h + b_j) mod p with h = stableHash32(shingle).
+    * p = 1e9+7 keeps a*h < 2^63 (a,b < p, h < 2^32).
+    */
+  val MinHashP = 1000000007L
+
+  def minHashSig(shingleArr: Column, a: Long, b: Long): Column =
+    array_min(transform(shingleArr, s =>
+      (lit(a) * stableHash32(s) + lit(b)) % lit(MinHashP)))
+
+  /** 32-bit SimHash over the (repeating) token array: bit i of the
+    * fingerprint is 1 iff sum over tokens of (bit i of stableHash32(token)
+    * ? +1 : -1) > 0. Oracle-expressible (same md5-derived hash).
+    */
+  def simHash32(toks: Column): Column = {
+    val hashes = transform(toks, t => stableHash32(t))
+    val bitSums = transform(sequence(lit(0), lit(31)), i =>
+      aggregate(hashes, lit(0L), (acc, h) =>
+        acc + when(call_function("shiftright", h, i) % 2 === 1, 1L).otherwise(-1L)))
+    aggregate(
+      zip_with(bitSums, sequence(lit(0), lit(31)), (s, i) =>
+        when(s > 0, call_function("shiftleft", lit(1L), i)).otherwise(lit(0L))),
+      lit(0L), (acc, x) => acc + x)
+  }
+
+  /** Hamming distance between two simhash fingerprints. */
+  def hamming(a: Column, b: Column): Column =
+    bit_count(a.bitwiseXOR(b))
+
+  /** Rolling polynomial fingerprint over the token stream:
+    * h = fold(0, tokens)((acc, t) => (acc * 31 + stableHash32(t)) mod p).
+    * Order-sensitive — two docs with the same bag of words but different
+    * order fingerprint differently (unlike MinHash).
+    */
+  def fingerprint(toks: Column): Column =
+    aggregate(toks, lit(0L), (acc, t) =>
+      (acc * 31 + stableHash32(t)) % lit(MinHashP))
+
+  /** English stopword list used by the language-ID heuristic and quality
+    * score. Deliberately tiny and fixed: the heuristic is
+    * "stopword-density", the classic cheap lang-ID signal.
+    */
+  val EnglishStopwords: Seq[String] = Seq(
+    "the", "a", "an", "of", "to", "in", "and", "is", "it", "that",
+    "for", "on", "as", "with", "be", "by", "at", "or", "this")
+
+  /** Fraction of tokens that are English stopwords (0 when no tokens). */
+  def stopwordRatio(toks: Column): Column = {
+    val stops = array(EnglishStopwords.map(lit): _*)
+    when(size(toks) === 0, lit(0.0))
+      .otherwise(size(array_intersect_count(toks, stops)).cast("double") / size(toks))
+  }
+
+  // array of tokens that are stopwords, repeats preserved (filter, not intersect)
+  private def array_intersect_count(toks: Column, stops: Column): Column =
+    filter(toks, t => array_contains(stops, t))
+
+  /** Heuristic language ID: English if stopword density clears a threshold.
+    * (The reference has no lang-ID; this is the pipeline-extension operator —
+    * n-gram/stopword density heuristic per the classic approach.)
+    */
+  def langIdEn(toks: Column, threshold: Double = 0.05): Column =
+    when(stopwordRatio(toks) >= threshold, lit("en")).otherwise(lit("unknown"))
+
+  /** Document quality score in [0,1]: blend of length band, alphabetic
+    * ratio, mean word length band and stopword presence — the standard
+    * cheap pretraining-quality signals (C4/Gopher-style rules).
+    */
+  def qualityScore(text: Column): Column = {
+    val toks = tokens(text)
+    val nTok = size(toks).cast("double")
+    val nChar = length(text).cast("double")
+    val alphaChars = length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")
+    val alphaRatio = when(nChar === 0, lit(0.0)).otherwise(alphaChars / nChar)
+    val meanWordLen = when(nTok === 0, lit(0.0))
+      .otherwise(aggregate(toks, lit(0.0), (acc, t) => acc + length(t)) / nTok)
+    val lenScore = least(nTok / lit(50.0), lit(1.0))
+    val wordLenScore = when(meanWordLen >= 3 && meanWordLen <= 10, lit(1.0)).otherwise(lit(0.5))
+    val stopScore = least(stopwordRatio(toks) * lit(10.0), lit(1.0))
+    (lenScore * lit(0.4) + alphaRatio * lit(0.3) +
+      wordLenScore * lit(0.2) + stopScore * lit(0.1))
+  }
+}

@@ -1,0 +1,118 @@
+package graft.model
+
+import org.apache.spark.sql.types._
+
+/** Core record types of the engine.
+  *
+  * Mirrors the reference's `Document` TypedDict
+  * (reference: vector_mcp/vectordb/base.py:12-24) and `QueryResults`
+  * (base.py:27-31), re-expressed as Spark-friendly case classes with
+  * stable Encoders.
+  */
+final case class Document(
+    id: String,
+    content: String,
+    metadata: Map[String, String],
+    embedding: Option[Seq[Float]]
+)
+
+/** One (document, score) hit for one input query.
+  * Reference shape: list[list[tuple[Document, float]]] — flattened here to a
+  * DataFrame-friendly row keyed by `query_idx`.
+  */
+final case class SearchHit(
+    query_idx: Int,
+    id: String,
+    content: String,
+    metadata: Map[String, String],
+    score: Double
+)
+
+/** Collection catalog row (mirrors vector_mcp_collections,
+  * reference: vector_mcp/vectordb/postgres.py:106-115).
+  */
+final case class CollectionEntry(
+    collection_name: String,
+    table_name: String,
+    dimension: Int
+)
+
+object Schemas {
+  /** Physical documents-table schema for a collection.
+    * id STRING, content STRING, metadata MAP<STRING,STRING>,
+    * embedding ARRAY<FLOAT>, norm DOUBLE (engine-added, precomputed L2 norm
+    * so cosine scoring never recomputes it per query).
+    */
+  val documents: StructType = StructType(Seq(
+    StructField("id", StringType, nullable = false),
+    StructField("content", StringType, nullable = false),
+    StructField("metadata", MapType(StringType, StringType), nullable = true),
+    StructField("embedding", ArrayType(FloatType), nullable = true),
+    StructField("norm", DoubleType, nullable = true)
+  ))
+
+  val catalog: StructType = StructType(Seq(
+    StructField("collection_name", StringType, nullable = false),
+    StructField("table_name", StringType, nullable = false),
+    StructField("dimension", IntegerType, nullable = false)
+  ))
+}
+
+/** Stable error taxonomy — byte-exact with the reference
+  * (vector_mcp/vector_api.py, asserted in tests/test_vector_api.py:115-126).
+  * Codes must match ^[a-z][a-z0-9_]{0,63}$; anything non-conforming is
+  * collapsed by the firewall (vector_api.py:268-282).
+  */
+object ErrorCodes {
+  val CollectionNameInvalid = "collection_name_invalid"
+  val CollectionExists = "collection_exists"
+  val CollectionNotFound = "collection_not_found"
+  val CollectionVectorSchemaMismatch = "collection_vector_schema_mismatch"
+  val SearchQuestionInvalid = "search_question_invalid"
+  val ResultCountInvalid = "result_count_invalid"
+  val SearchParametersInvalid = "search_parameters_invalid"
+  val SemanticWeightInvalid = "semantic_weight_invalid"
+  val LexicalWeightInvalid = "lexical_weight_invalid"
+  val SearchWeightsInvalid = "search_weights_invalid"
+  val RrfKInvalid = "rrf_k_invalid"
+  val DeleteConfirmationRequired = "delete_confirmation_required"
+  val DocumentContentInvalid = "document_content_invalid"
+  val DocumentCountExceeded = "document_count_exceeded"
+  val DocumentTotalSizeExceeded = "document_total_size_exceeded"
+  val DocumentInputRequired = "document_input_required"
+  val DocumentIdsRequired = "document_ids_required"
+  val DocumentIdsDuplicate = "document_ids_duplicate"
+  val DocumentExists = "document_exists"
+  val EmbeddingBatchInvalid = "embedding_batch_invalid"
+  val EmbeddingInvalid = "embedding_invalid"
+  val VectorBackendOperationFailed = "vector_backend_operation_failed"
+
+  private val Stable = "^[a-z][a-z0-9_]{0,63}$".r
+
+  /** Error firewall (vector_api.py:268-282): stable lowercase codes pass
+    * through; anything else collapses to vector_backend_operation_failed so
+    * backend internals never leak.
+    */
+  def firewall(message: String): String =
+    if (message != null && Stable.matches(message)) message
+    else VectorBackendOperationFailed
+}
+
+/** Engine exception carrying a stable error code. */
+final class GraftException(val code: String)
+    extends RuntimeException(code)
+
+object Limits {
+  // vector_api.py:47-49
+  val MaxDocumentBytes: Long = 16L * 1024 * 1024
+  val MaxDocuments: Int = 1000
+  val MaxDocumentTotalBytes: Long = 512L * 1024 * 1024
+  // document_inputs.py:13-16
+  val MaxFileBytes: Long = 64L * 1024 * 1024
+  val MaxFiles: Int = 1000
+  val MaxFileTotalBytes: Long = 512L * 1024 * 1024
+  // vector_api.py:230,241,546
+  val MaxQuestionBytes: Int = 1048576
+  val MaxResults: Int = 1000
+  val MaxRrfK: Int = 10000
+}

@@ -1,0 +1,101 @@
+package graft.search
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Lexical (full-text) top-k — the lexical_search operator.
+  *
+  * The reference's backends disagree on the score scale (pg ts_rank_cd,
+  * qdrant 1/rank, mongo textScore, chroma constant 1.0); per SURVEY §2.3 the
+  * canonical engine semantics here are the deterministic ones:
+  *
+  *   v0 score  = TF-sum: sum over distinct query terms of the term's
+  *               frequency in the document (the native-backend fallback,
+  *               reference: vector_mcp/vectordb/epistemic_graph.py:352-375);
+  *               docs with score 0 are excluded (a GIN/text-index match
+  *               requires at least one term present).
+  *   v1 score  = BM25 (k1=1.2, b=0.75, Lucene-style idf) — the intent named
+  *               by RAGRetriever.bm25_query (retriever/retriever.py:90-101).
+  *
+  * Query tokenization mirrors epistemic_graph.py:55,:324-326 —
+  * `[A-Za-z0-9_]{2,}`, casefold, order-preserving dedup.
+  *
+  * Scale design: scoring is a single corpus scan per query batch (terms are
+  * broadcast literals), then bounded-heap top-k (TakeOrderedAndProject).
+  * BM25 needs corpus stats (N, avgdl, per-term df): N/avgdl is one tiny
+  * aggregate; df per term is computed in the same scan via conditional
+  * aggregation — no posting-list shuffle in the serving path. A derived
+  * posting table (`Ingest.postings`) exists for index-style reuse at scale.
+  */
+object Lexical {
+
+  /** TF-sum top-k for multiple queries. Result: (query_idx, id, <payload...>, score). */
+  def search(
+      docs: DataFrame,
+      queries: Seq[(Int, String)],
+      k: Int,
+      payload: Seq[String] = Nil
+  ): DataFrame = {
+    val results = queries.map { case (qIdx, q) =>
+      val terms = tokenizeQuery(q)
+      val toks = tokens(col("content"))
+      val score = terms
+        .map(t => tf(toks, lit(t)).cast("double"))
+        .reduceOption(_ + _)
+        .getOrElse(lit(0.0))
+      docs
+        .withColumn("score", score)
+        .filter(col("score") > 0)
+        .withColumn("query_idx", lit(qIdx))
+        .select((Seq("query_idx", "id") ++ payload ++ Seq("score")).map(col): _*)
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(k)
+    }
+    results.reduce(_ unionAll _)
+  }
+
+  /** BM25 top-k for one query. Two-phase: (1) one aggregate over the corpus
+    * computing N, avgdl and df per query term; (2) scan + score + top-k.
+    * The stats row is collected (it is a single row) and folded into plan
+    * literals — equivalent to broadcasting, with zero join.
+    */
+  def searchBm25(
+      docs: DataFrame,
+      queryIdx: Int,
+      query: String,
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      payload: Seq[String] = Nil
+  ): DataFrame = {
+    val terms = tokenizeQuery(query)
+    val toksC = tokens(col("content"))
+    val statsAggs =
+      Seq(count(lit(1)).as("n"), avg(size(toksC)).as("avgdl")) ++
+        terms.zipWithIndex.map { case (t, i) =>
+          sum(when(tf(toksC, lit(t)) > 0, 1L).otherwise(0L)).as(s"df_$i")
+        }
+    val stats = docs.agg(statsAggs.head, statsAggs.tail: _*).collect()(0)
+    val n = stats.getAs[Long]("n").toDouble
+    val avgdl = stats.getAs[Double]("avgdl")
+    val score = terms.zipWithIndex.map { case (t, i) =>
+      val df = stats.getAs[Long](s"df_$i").toDouble
+      val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+      val f = tf(toksC, lit(t)).cast("double")
+      lit(idf) * (f * (k1 + 1)) /
+        (f + lit(k1) * (lit(1 - b) + lit(b) * size(toksC).cast("double") / lit(avgdl)))
+    }.reduceOption(_ + _).getOrElse(lit(0.0))
+    docs
+      .withColumn("score", score)
+      .filter(col("score") > 0)
+      .withColumn("query_idx", lit(queryIdx))
+      .select((Seq("query_idx", "id") ++ payload ++ Seq("score")).map(col): _*)
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
+  /** Driver-side mirror of the column tokenizer, for query strings. */
+  def tokenizeQuery(q: String): Seq[String] =
+    TokenPattern.r.findAllIn(q.toLowerCase).toSeq.distinct
+}
