@@ -1,0 +1,192 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.ingest.{Embed, Embedder, Ingest, Sanitize}
+import graft.model.{ErrorCodes, GraftException, Limits}
+import graft.search.{Hybrid, Lexical, Semantic}
+
+/** Response shapes mirroring the reference's public returns
+  * (vector_api.py:411, :435-439, :453, :474-476, :496, :516, :566).
+  */
+final case class OpStatus(status: String, collection: String, documents_added: Long)
+final case class HitRow(id: String, content: String,
+    metadata: Map[String, String], score: Double)
+final case class SearchResponse(results: Seq[HitRow])
+
+/** The governed API facade — validation, tenancy, error firewall, and
+  * result sanitization around the engine operators. Port of the observable
+  * semantics of `vector_mcp.vector_api.Api` (all checks byte-exact where
+  * tests assert them — tests/test_vector_api.py).
+  */
+final class Api(
+    spark: SparkSession,
+    warehouseDir: String,
+    embedder: Embedder,
+    tenant: String = "default") {
+
+  val catalog = new Catalog(spark, warehouseDir)
+
+  // ---- validation (vector_api.py §2.4) ----
+
+  private val CollectionRe = "^[A-Za-z][A-Za-z0-9_]{0,39}$".r
+
+  def validCollection(name: String): String = {
+    if (name == null || CollectionRe.findFirstIn(name).isEmpty)
+      throw new GraftException(ErrorCodes.CollectionNameInvalid)
+    name
+  }
+
+  def validQuestion(q: String): String = {
+    if (q == null || q.isEmpty || q.getBytes("UTF-8").length > Limits.MaxQuestionBytes)
+      throw new GraftException(ErrorCodes.SearchQuestionInvalid)
+    q
+  }
+
+  def validLimit(n: Int): Int = {
+    if (n < 1 || n > Limits.MaxResults)
+      throw new GraftException(ErrorCodes.ResultCountInvalid)
+    n
+  }
+
+  def validWeightsAndK(semanticWeight: Double, lexicalWeight: Double, rrfK: Int): Unit = {
+    if (semanticWeight.isNaN || semanticWeight.isInfinite ||
+        semanticWeight < 0.0 || semanticWeight > 1.0)
+      throw new GraftException(ErrorCodes.SemanticWeightInvalid)
+    if (lexicalWeight.isNaN || lexicalWeight.isInfinite ||
+        lexicalWeight < 0.0 || lexicalWeight > 1.0)
+      throw new GraftException(ErrorCodes.LexicalWeightInvalid)
+    if (semanticWeight + lexicalWeight <= 0)
+      throw new GraftException(ErrorCodes.SearchWeightsInvalid)
+    if (rrfK < 1 || rrfK > Limits.MaxRrfK)
+      throw new GraftException(ErrorCodes.RrfKInvalid)
+  }
+
+  /** Error firewall (vector_api.py:268-282). */
+  def invoke[T](body: => T): T =
+    try body
+    catch {
+      case e: GraftException => throw e
+      case e: Throwable =>
+        throw new GraftException(ErrorCodes.firewall(e.getMessage))
+    }
+
+  private def physical(logical: String): String =
+    catalog.physicalName(tenant, validCollection(logical))
+
+  // ---- DDL ----
+
+  def createCollection(
+      name: String,
+      overwrite: Boolean = false,
+      documents: Option[DataFrame] = None): OpStatus = {
+    val phys = physical(name)
+    catalog.createCollection(phys, embedder.dimension, overwrite)
+    val added = documents match {
+      case Some(df) => addDocuments(name, df)
+      case None => 0L
+    }
+    OpStatus("ready", name, added)
+  }
+
+  def listCollections(): Seq[String] = catalog.listCollections(tenant)
+
+  def deleteCollection(name: String, confirm: Boolean): OpStatus = {
+    if (!confirm) throw new GraftException(ErrorCodes.DeleteConfirmationRequired)
+    catalog.deleteCollection(physical(name))
+    OpStatus("deleted", name, 0)
+  }
+
+  // ---- ingest ----
+
+  /** Sanitize -> id -> dedup -> bounds -> embed -> norm -> MERGE. */
+  def addDocuments(name: String, batch: DataFrame): Long = {
+    val entry = catalog.getCollection(physical(name))
+    val prepared = Ingest.prepare(batch)
+    Ingest.checkBounds(prepared)
+    val embedded = Ingest.withNorm(Embed.withEmbeddings(prepared, embedder))
+    val existing = catalog.readDocuments(entry)
+    val merged = Ingest.upsertPlan(existing, embedded)
+    val out = merged.cache()
+    val added = out.count()
+    Ingest.rewrite(spark, catalog, entry, out)
+    out.unpersist()
+    added
+  }
+
+  def deleteDocuments(name: String, ids: Seq[String]): Unit = {
+    val entry = catalog.getCollection(physical(name))
+    val existing = catalog.readDocuments(entry)
+    Ingest.rewrite(spark, catalog, entry, Ingest.deletePlan(existing, ids).cache())
+  }
+
+  def getDocumentsByIds(name: String, ids: Seq[String]): DataFrame = {
+    val entry = catalog.getCollection(physical(name))
+    Ingest.getByIds(catalog.readDocuments(entry), ids)
+  }
+
+  // ---- search ----
+
+  private def docs(name: String): DataFrame =
+    catalog.readDocuments(catalog.getCollection(physical(name)))
+
+  def semanticSearch(
+      name: String, questions: Seq[String], nResults: Int = 10,
+      distanceThreshold: Double = -1.0): SearchResponse = {
+    val k = validLimit(nResults)
+    val qs = questions.map(validQuestion).map(Sanitize.sanitizeString)
+      .zipWithIndex.map { case (q, i) => i -> embedder.embedQuery(q).toSeq }
+    val res = Semantic.search(docs(name), qs, k, distanceThreshold,
+      payload = Seq("content", "metadata"))
+    serialize(res)
+  }
+
+  def lexicalSearch(
+      name: String, questions: Seq[String], nResults: Int = 10): SearchResponse = {
+    val k = validLimit(nResults)
+    val qs = questions.map(validQuestion).map(Sanitize.sanitizeString).zipWithIndex.map(_.swap)
+    serialize(Lexical.search(docs(name), qs, k, payload = Seq("content", "metadata")))
+  }
+
+  /** Hybrid RRF search (vector_api.py:518-566). */
+  def search(
+      name: String, question: String, numberResults: Int = 10,
+      semanticWeight: Double = 0.5, lexicalWeight: Double = 0.5,
+      rrfK: Int = 60): SearchResponse = {
+    val limit = validLimit(numberResults)
+    validQuestion(question)
+    validWeightsAndK(semanticWeight, lexicalWeight, rrfK)
+    val safeQ = Sanitize.sanitizeString(question)
+    val d = docs(name).cache()
+    try {
+      val sem = invoke(Semantic.search(d, Seq(0 -> embedder.embedQuery(safeQ).toSeq), limit))
+      val lex = invoke(Lexical.search(d, Seq((0, safeQ)), limit))
+      val fused = Hybrid.rrf(sem, lex, semanticWeight, lexicalWeight, rrfK, limit)
+      val payload = fused.alias("f")
+        .join(d.alias("d"), col("f.id") === col("d.id"), "left")
+        .select(col("f.query_idx"), col("f.id"), col("d.content"),
+          col("d.metadata"), col("f.score"))
+        .orderBy(col("f.score").desc, col("f.id").asc)
+      serialize(payload)
+    } finally d.unpersist()
+  }
+
+  /** Result serialization (vector_api.py:368-386): drop non-finite scores,
+    * sanitize content/metadata on the way out.
+    */
+  private def serialize(df: DataFrame): SearchResponse = {
+    val clean = df
+      .filter(!isnan(col("score")) && abs(col("score")) < lit(Double.MaxValue))
+      .withColumn("content", Sanitize.sanitizeText(col("content")))
+      .withColumn("metadata", Sanitize.sanitizeMetadata(col("metadata")))
+    val rows = clean.collect().map { r =>
+      HitRow(
+        String.valueOf(r.get(r.fieldIndex("id"))),
+        r.getAs[String]("content"),
+        Option(r.getAs[Map[String, String]]("metadata")).getOrElse(Map.empty),
+        r.getAs[Double]("score"))
+    }
+    SearchResponse(rows.toSeq)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column.
+  *
+  * - [[bruteTopK]]: the exact baseline — per-query scan + bounded-heap
+  *   top-k (`TakeOrderedAndProject`), identical plan shape to
+  *   graft.search.Semantic.
+  * - [[ivfTopK]]: the scale path — IVF-style partition pruning. Vectors are
+  *   assigned once (at ingest) to their nearest centroid; a query probes
+  *   only the `nprobe` nearest centroid partitions, so the scan prunes to
+  *   nprobe/K of the corpus. With `cluster_id` as a Parquet partition
+  *   column, Catalyst turns the probe filter into physical partition
+  *   pruning — no custom strategy required (SURVEY §7.3).
+  *
+  * Centroid determinism: [[representativeCentroids]] picks the embedding of
+  * the minimum-id member per cluster label rather than a floating-point
+  * mean, so assignment and probing are bit-reproducible in any oracle
+  * (KMeans means are order-of-summation dependent).
+  */
+object Ann {
+
+  /** Exact top-k per query vector. queries: (query_idx, vector). */
+  def bruteTopK(
+      vectors: DataFrame, // (id, embedding, norm)
+      queries: Seq[(Int, Seq[Float])],
+      k: Int): DataFrame =
+    graft.search.Semantic.search(vectors, queries, k)
+
+  /** One deterministic representative vector per label group. */
+  def representativeCentroids(vectors: DataFrame, labelCol: String): DataFrame = {
+    val w = Window.partitionBy(col(labelCol)).orderBy(col("id").asc)
+    vectors
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col(labelCol).as("centroid_id"), col("embedding").as("centroid"),
+        col("norm").as("centroid_norm"))
+  }
+
+  /** Assign every vector to its nearest centroid (done once, at ingest).
+    * Ties break on centroid_id ascending — deterministic.
+    */
+  def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+    val joined = vectors.crossJoin(broadcast(centroids))
+      .withColumn("dist",
+        lit(1.0) - VectorFunctions.dot(col("embedding"), col("centroid")) /
+          (col("norm") * col("centroid_norm")))
+    val w = Window.partitionBy(col("id")).orderBy(col("dist").asc, col("centroid_id").asc)
+    joined
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("embedding"), col("norm"), col("centroid_id").as("cluster_id"))
+  }
+
+  /** IVF search: probe the nprobe nearest centroids, exact top-k within the
+    * probed partitions. `assigned` is the output of [[assign]] (at scale:
+    * read back from Parquet partitioned by cluster_id, giving partition
+    * pruning for free).
+    */
+  def ivfTopK(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: Seq[(Int, Seq[Float])],
+      k: Int,
+      nprobe: Int): DataFrame = {
+    val centroidRows = centroids
+      .select("centroid_id", "centroid", "centroid_norm").collect()
+    val results = queries.map { case (qIdx, qVec) =>
+      val qNorm = math.sqrt(qVec.map(v => v.toDouble * v.toDouble).sum)
+      // driver-side probe selection over the (tiny) centroid table
+      val probeIds = centroidRows.map { r =>
+        val c = r.getSeq[Float](1)
+        val dot = c.zip(qVec).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        val d = 1.0 - dot / (r.getDouble(2) * qNorm)
+        (d, r.get(0))
+      }.sortBy { case (d, id) => (d, id.toString) }.take(nprobe).map(_._2)
+      assigned
+        .filter(col("cluster_id").isin(probeIds: _*))
+        .withColumn("score",
+          graft.search.Semantic.scoreAgainst(col("embedding"), col("norm"), qVec))
+        .withColumn("query_idx", lit(qIdx))
+        .select("query_idx", "id", "score")
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(k)
+    }
+    results.reduce(_ unionAll _)
+  }
+}

@@ -22,18 +22,15 @@ object VectorFunctions {
 
   /** Element-wise dot product of two ARRAY<numeric> columns, in double.
     * Left-to-right sequential fold => deterministic summation order.
+    * Backed by the native codegen expression (VectorExpressions.DotProduct);
+    * the HOF formulation it replaces was interpreted (~1000x slower/row).
     */
   def dot(a: Column, b: Column): Column =
-    aggregate(
-      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
-      lit(0.0),
-      (acc, x) => acc + x
-    )
+    VectorExpressions.dotNative(a, b)
 
   /** L2 norm of an ARRAY<numeric> column, in double. */
   def l2Norm(a: Column): Column =
-    sqrt(aggregate(a, lit(0.0), (acc, x) =>
-      acc + x.cast("double") * x.cast("double")))
+    VectorExpressions.l2NormNative(a)
 
   /** Cosine similarity of two vector columns (recomputes both norms). */
   def cosine(a: Column, b: Column): Column =
@@ -58,12 +55,5 @@ object VectorFunctions {
 
   /** Euclidean (L2) distance in double. */
   def l2Distance(a: Column, b: Column): Column =
-    sqrt(aggregate(
-      zip_with(a, b, (x, y) => {
-        val d = x.cast("double") - y.cast("double")
-        d * d
-      }),
-      lit(0.0),
-      (acc, x) => acc + x
-    ))
+    sqrt(VectorExpressions.l2DistanceSqNative(a, b))
 }

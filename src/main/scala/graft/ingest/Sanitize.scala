@@ -1,0 +1,60 @@
+package graft.ingest
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** PII / path sanitization column functions.
+  *
+  * Reproduces the locally-defined behaviors of the reference's sanitizer
+  * (the external PiiSanitizer dependency is out of reproducible scope —
+  * SURVEY §7.4):
+  *
+  *  - local-path redaction: `_LOCAL_PATH` regex -> "[REDACTED_PATH]"
+  *    (reference: vector_mcp/vector_api.py:44-46, applied at :284-285);
+  *  - private metadata keys dropped when matching
+  *    `(?:^|_)(file|filename|filepath|path|directory|dirname|uri|url|source)(?:$|_)`
+  *    case-insensitively (vector_api.py:40-43, applied :287-293);
+  *  - applied to content, metadata keys/values, queries, and results on the
+  *    way out (vector_api.py:368-386, :496, :516, :548, :566).
+  *
+  * All are codegen'd column expressions (regexp_replace / map_filter) — a
+  * sanitize pass over 100 TB is one scan, no UDF.
+  */
+object Sanitize {
+
+  /** Byte-identical port of _LOCAL_PATH (vector_api.py:44-46): windows
+    * drive paths, unix multi-segment paths, UNC shares; preceded by
+    * neither word-char nor ':'. Java regex supports the lookbehind as-is.
+    */
+  val LocalPathRegex: String =
+    """(?<![\w:])(?:[A-Za-z]:[\\/][^\s<>"']+|/(?:[^/\s]+/)+[^\s<>"']*|\\\\[^\s\\]+\\[^\s]+)"""
+
+  val Redacted = "[REDACTED_PATH]"
+
+  /** Private-origin metadata key pattern (vector_api.py:40-43). */
+  val PrivateMetadataRegex: String =
+    "(?i)(?:^|_)(?:file|filename|filepath|path|directory|dirname|uri|url|source)(?:$|_)"
+
+  /** Redact local filesystem paths in a string column. */
+  def redactPaths(c: Column): Column =
+    regexp_replace(c, LocalPathRegex, Redacted)
+
+  /** Sanitize a text column (path redaction; PiiSanitizer scope gap
+    * documented above).
+    */
+  def sanitizeText(c: Column): Column = redactPaths(c)
+
+  /** Sanitize a MAP<STRING,STRING> metadata column: drop private keys,
+    * sanitize surviving keys and values (vector_api.py:287-298).
+    */
+  def sanitizeMetadata(m: Column): Column =
+    transform_values(
+      transform_keys(
+        map_filter(m, (k, _) => !k.rlike(PrivateMetadataRegex)),
+        (k, _) => sanitizeText(k)),
+      (_, v) => sanitizeText(v))
+
+  /** Driver-side mirror for query strings (vector_api.py:548). */
+  def sanitizeString(s: String): String =
+    s.replaceAll(LocalPathRegex, Redacted)
+}

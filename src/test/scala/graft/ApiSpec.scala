@@ -1,0 +1,184 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.ingest.{DeterministicHashEmbedder, Ingest, Sanitize}
+import graft.model.{ErrorCodes, GraftException}
+
+/** End-to-end contract tests — ports of the observable semantics asserted
+  * in the reference's tests/test_vector_api.py and
+  * tests/test_all_backends.py (5-doc corpus, FIXTURES.md §2).
+  */
+class ApiSpec extends SparkSpec {
+
+  private def newApi(tenant: String = "default"): Api = {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    new Api(spark, dir, new DeterministicHashEmbedder(64), tenant)
+  }
+
+  /** The canonical 5-doc corpus (reference: tests/test_all_backends.py:68-99). */
+  private def corpus(): DataFrame = {
+    import scala.jdk.CollectionConverters._
+    val rows = Seq(
+      ("Python is a high-level programming language known for its simplicity.",
+        Map("category" -> "programming", "language" -> "python")),
+      ("Machine learning is a subset of artificial intelligence.",
+        Map("category" -> "ai", "topic" -> "ml")),
+      ("Vector databases are optimized for similarity search and embeddings.",
+        Map("category" -> "database", "type" -> "vector")),
+      ("PostgreSQL is a powerful relational database with extensions.",
+        Map("category" -> "database", "type" -> "relational")),
+      ("ChromaDB is an open-source vector database built for AI applications.",
+        Map("category" -> "database", "type" -> "vector")))
+    import spark.implicits._
+    rows.toDF("content", "metadata")
+  }
+
+  test("create + ingest + hybrid search end-to-end") {
+    val api = newApi()
+    val st = api.createCollection("memory", documents = Some(corpus()))
+    assert(st.status == "ready")
+    assert(st.documents_added == 5)
+    val res = api.search("memory", "vector database", numberResults = 3)
+    assert(res.results.size == 3)
+    // RRF scores positive and non-increasing
+    val scores = res.results.map(_.score)
+    assert(scores.forall(_ > 0))
+    assert(scores == scores.sorted.reverse)
+    // top hit should be a database doc (hash embedder is content-random, so
+    // the lexical signal dominates; 'simple'-config semantics don't stem,
+    // matching pg's to_tsvector('simple'...) — postgres.py:189-196)
+    assert(res.results.head.content.toLowerCase.contains("database"))
+  }
+
+  test("semantic search returns similarity in [0,1] and respects threshold") {
+    val api = newApi()
+    api.createCollection("mem2", documents = Some(corpus()))
+    val res = api.semanticSearch("mem2", Seq("machine learning"), 3)
+    assert(res.results.size == 3)
+    assert(res.results.forall(h => h.score >= -1.0 && h.score <= 1.0))
+    val none = api.semanticSearch("mem2", Seq("machine learning"), 3,
+      distanceThreshold = 0.0)
+    assert(none.results.forall(h => 1.0 - h.score <= 0.0))
+  }
+
+  test("lexical search ranks by term frequency") {
+    val api = newApi()
+    api.createCollection("mem3", documents = Some(corpus()))
+    val res = api.lexicalSearch("mem3", Seq("database"), 5)
+    assert(res.results.nonEmpty)
+    assert(res.results.forall(_.content.toLowerCase.contains("database")))
+  }
+
+  test("duplicate inline contents dedupe to one document") {
+    val api = newApi()
+    import spark.implicits._
+    val dup = Seq("same text", "same text", "same text").toDF("content")
+    val st = api.createCollection("dedup", documents = Some(dup))
+    assert(st.documents_added == 1)
+  }
+
+  test("upsert keeps ids unique across batches") {
+    val api = newApi()
+    import spark.implicits._
+    api.createCollection("ups", documents = Some(Seq("a doc", "b doc").toDF("content")))
+    val added = api.addDocuments("ups", Seq("b doc", "c doc").toDF("content"))
+    assert(added == 3) // total rows after merge
+    assert(api.getDocumentsByIds("ups",
+      Seq(Ingest.contentIdScala("b doc"))).count() == 1)
+  }
+
+  test("delete requires confirm=true exactly") {
+    val api = newApi()
+    api.createCollection("del1")
+    val e = intercept[GraftException](api.deleteCollection("del1", confirm = false))
+    assert(e.code == ErrorCodes.DeleteConfirmationRequired)
+    assert(api.deleteCollection("del1", confirm = true).status == "deleted")
+  }
+
+  test("collection name validation") {
+    val api = newApi()
+    for (bad <- Seq("", "1abc", "has space", "x" * 41, "semi;colon"))
+      assert(intercept[GraftException](api.createCollection(bad)).code
+        == ErrorCodes.CollectionNameInvalid)
+    api.createCollection("Valid_Name_9")
+  }
+
+  test("search parameter validation error codes") {
+    val api = newApi()
+    api.createCollection("v", documents = Some(corpus()))
+    assert(intercept[GraftException](
+      api.search("v", "q", semanticWeight = 1.5)).code == ErrorCodes.SemanticWeightInvalid)
+    assert(intercept[GraftException](
+      api.search("v", "q", lexicalWeight = -0.1)).code == ErrorCodes.LexicalWeightInvalid)
+    assert(intercept[GraftException](
+      api.search("v", "q", semanticWeight = 0.0, lexicalWeight = 0.0)).code
+      == ErrorCodes.SearchWeightsInvalid)
+    assert(intercept[GraftException](
+      api.search("v", "q", rrfK = 0)).code == ErrorCodes.RrfKInvalid)
+    assert(intercept[GraftException](
+      api.search("v", "q", rrfK = 10001)).code == ErrorCodes.RrfKInvalid)
+    assert(intercept[GraftException](
+      api.search("v", "q", numberResults = 0)).code == ErrorCodes.ResultCountInvalid)
+    assert(intercept[GraftException](
+      api.search("v", "", numberResults = 1)).code == ErrorCodes.SearchQuestionInvalid)
+  }
+
+  test("tenant-scoped listing filters and strips prefix") {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val e = new DeterministicHashEmbedder(64)
+    val a = new Api(spark, dir, e, tenant = "tenantA")
+    val b = new Api(spark, dir, e, tenant = "tenantB")
+    a.createCollection("alpha"); a.createCollection("beta")
+    b.createCollection("gamma")
+    assert(a.listCollections() == Seq("alpha", "beta"))
+    assert(b.listCollections() == Seq("gamma"))
+  }
+
+  test("metadata private keys dropped and paths redacted") {
+    val api = newApi()
+    import spark.implicits._
+    val df = Seq(
+      ("see /home/user/secret/file.txt for details",
+        Map("category" -> "x", "filepath" -> "/a/b", "source_url" -> "http://x",
+          "note" -> "path /var/log/app/x.log here"))
+    ).toDF("content", "metadata")
+    api.createCollection("san", documents = Some(df))
+    val res = api.lexicalSearch("san", Seq("details"), 5)
+    val hit = res.results.head
+    assert(hit.content.contains("[REDACTED_PATH]"))
+    assert(!hit.content.contains("/home/user"))
+    assert(!hit.metadata.contains("filepath"))
+    assert(!hit.metadata.contains("source_url"))
+    assert(hit.metadata("note").contains("[REDACTED_PATH]"))
+    assert(hit.metadata.contains("category"))
+  }
+
+  test("get/delete documents; missing ids silently absent; empty ids error") {
+    val api = newApi()
+    import spark.implicits._
+    api.createCollection("docs", documents = Some(Seq("one doc", "two doc").toDF("content")))
+    val id1 = Ingest.contentIdScala("one doc")
+    assert(api.getDocumentsByIds("docs", Seq(id1, "nonexistent")).count() == 1)
+    assert(intercept[GraftException](api.getDocumentsByIds("docs", Seq.empty)).code
+      == ErrorCodes.DocumentIdsRequired)
+    api.deleteDocuments("docs", Seq(id1))
+    assert(api.getDocumentsByIds("docs", Seq(id1)).count() == 0)
+  }
+
+  test("collection_not_found and collection_exists and dimension mismatch") {
+    val api = newApi()
+    assert(intercept[GraftException](api.addDocuments("missing_coll",
+      { import spark.implicits._; Seq("x doc").toDF("content") })).code
+      == ErrorCodes.CollectionNotFound)
+    api.createCollection("once")
+    // overwrite=false + getOrCreate=false via catalog directly
+    val phys = api.catalog.physicalName("default", "once")
+    assert(intercept[GraftException](
+      api.catalog.createCollection(phys, 64, overwrite = false, getOrCreate = false)).code
+      == ErrorCodes.CollectionExists)
+    assert(intercept[GraftException](
+      api.catalog.createCollection(phys, 128)).code
+      == ErrorCodes.CollectionVectorSchemaMismatch)
+  }
+}

@@ -1,0 +1,102 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.ingest.{DeterministicHashEmbedder, Ingest}
+import graft.search.Lexical
+
+class FunctionsSpec extends SparkSpec {
+
+  test("uuid5 NAMESPACE_OID byte parity with Python uuid.uuid5") {
+    // expected values generated with CPython's uuid module
+    assert(Ingest.uuid5Oid("test") == "b428b5d9-df19-5bb9-a1dc-115e071b836c")
+    assert(Ingest.uuid5Oid(
+      "b94d27b9934d3e08a52e52d7da7dabfac484efe37a5380ee9088f7ace2efcde9")
+      == "6b7dfd25-6e32-5c87-849c-8b658ed84470")
+  }
+
+  test("native dot/l2Norm match interpreted HOF formulation bit-exactly") {
+    import spark.implicits._
+    val df = Seq(
+      (Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.5f, 2.25f)),
+      (Array(0.1f, 0.2f, 0.3f), Array(0.9f, 0.8f, 0.7f))
+    ).toDF("a", "b")
+    val hofDot = aggregate(zip_with($"a", $"b", (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+    val hofNorm = sqrt(aggregate($"a", lit(0.0),
+      (acc, x) => acc + x.cast("double") * x.cast("double")))
+    val rows = df.select(
+      VectorFunctions.dot($"a", $"b").as("nd"), hofDot.as("hd"),
+      VectorFunctions.l2Norm($"a").as("nn"), hofNorm.as("hn")).collect()
+    rows.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1))
+      assert(r.getDouble(2) == r.getDouble(3))
+    }
+  }
+
+  test("cosine of identical vectors is ~1, orthogonal is 0") {
+    import spark.implicits._
+    val df = Seq((Array(1.0f, 0.0f), Array(1.0f, 0.0f), Array(0.0f, 2.0f)))
+      .toDF("a", "b", "c")
+    val r = df.select(
+      VectorFunctions.cosine($"a", $"b"), VectorFunctions.cosine($"a", $"c")).collect()(0)
+    assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
+    assert(math.abs(r.getDouble(1)) < 1e-12)
+  }
+
+  test("tokenizer: [a-z0-9_]{2,} casefolded; query dedup order-preserving") {
+    assert(Lexical.tokenizeQuery("Spark JOIN spark x y2_z!") == Seq("spark", "join", "y2_z"))
+    import spark.implicits._
+    val toks = Seq("Hello, World_9 a bb").toDF("content")
+      .select(TextFunctions.tokens(col("content"))).collect()(0).getSeq[String](0)
+    assert(toks == Seq("hello", "world_9", "bb"))
+  }
+
+  test("deterministic embedder: stable across calls, bounded values, query==text") {
+    val e = new DeterministicHashEmbedder(16)
+    val a = e.embedBatch(Seq("hello")).head
+    val b = e.embedQuery("hello")
+    assert(a.toSeq == b.toSeq)
+    assert(a.length == 16)
+    assert(a.forall(v => v >= 0.0f && v < 1.0f))
+    assert(e.embedBatch(Seq("hello")).head.toSeq == a.toSeq)
+    assert(e.embedBatch(Seq("other")).head.toSeq != a.toSeq)
+  }
+
+  test("stableHash32 equals DuckDB's ('0x'||substr(md5(s),1,8))::bigint definition") {
+    import spark.implicits._
+    // expected: int('0cc175b9', 16) for 'a' (md5('a')=0cc175b9c0f1b6a831c399e269772661)
+    val got = Seq("a").toDF("s")
+      .select(TextFunctions.stableHash32(col("s"))).collect()(0).getLong(0)
+    assert(got == java.lang.Long.parseLong("0cc175b9", 16))
+  }
+
+  test("shingles produce n-grams of consecutive tokens") {
+    import spark.implicits._
+    val sh = Seq("one two three four").toDF("content")
+      .select(TextFunctions.shingles(TextFunctions.tokens(col("content")), 3))
+      .collect()(0).getSeq[String](0)
+    assert(sh == Seq("one two three", "two three four"))
+  }
+
+  test("RRF fusion math matches reference formula on a hand-computed case") {
+    // reference: tests/test_vector_api.py:148-167 semantics —
+    // doc in both lists at ranks r1, r2 scores w1/(k+r1)+w2/(k+r2)
+    import spark.implicits._
+    val sem = Seq((0, "d1", 0.9), (0, "d2", 0.8)).toDF("query_idx", "id", "score")
+    val lex = Seq((0, "d2", 5.0), (0, "d3", 2.0)).toDF("query_idx", "id", "score")
+    val fused = graft.search.Hybrid.rrf(sem, lex, 0.5, 0.5, 60, 10)
+      .collect().map(r => r.getString(1) -> r.getDouble(2)).toMap
+    assert(fused("d1") == 0.5 / 61)
+    assert(fused("d2") == 0.5 / 62 + 0.5 / 61)
+    assert(fused("d3") == 0.5 / 62)
+  }
+
+  test("error firewall collapses unstable messages") {
+    import graft.model.ErrorCodes
+    assert(ErrorCodes.firewall("collection_not_found") == "collection_not_found")
+    assert(ErrorCodes.firewall("Some Backend Error!") == ErrorCodes.VectorBackendOperationFailed)
+    assert(ErrorCodes.firewall(null) == ErrorCodes.VectorBackendOperationFailed)
+    assert(ErrorCodes.firewall("x" * 100) == ErrorCodes.VectorBackendOperationFailed)
+  }
+}
