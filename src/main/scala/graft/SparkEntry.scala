@@ -21,7 +21,21 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     queries("q_hybrid_rrf")(spark, "/root/testdata/sf0.001")
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    searchQueries ++
+      graft.entry.CoreQueries.queries ++
+      graft.entry.DedupQueries.queries ++
+      graft.entry.TextQueries.queries ++
+      graft.entry.OlapQueries.queries
+
+  def oracleSql: Map[String, String] =
+    searchOracles ++
+      graft.entry.CoreQueries.oracles ++
+      graft.entry.DedupQueries.oracles ++
+      graft.entry.TextQueries.oracles ++
+      graft.entry.OlapQueries.oracles
+
+  private def searchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.3 semantic_search: exact cosine top-k, multi-query ----
     "q_semantic_topk" -> ((s, dir) => {
       val docs = vectors(s, dir)
@@ -67,7 +81,7 @@ object SparkEntry {
   private val toksD = "regexp_extract_all(lower(text), '[a-z0-9_]{2,}')"
   private def tfD(t: String) = s"len(list_filter(toks, x -> x = '$t'))"
 
-  def oracleSql: Map[String, String] = Map(
+  private def searchOracles: Map[String, String] = Map(
     "q_semantic_topk" ->
       s"""WITH q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id IN (0,1,2)),

@@ -1,0 +1,254 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.ingest.{DeterministicHashEmbedder, Embed, Ingest, Sanitize}
+
+/** Oracle-checked queries for the reference-surface operators of SURVEY §2
+  * (DDL listing, validation, sanitization, id derivation, dedup, MERGE,
+  * delete, point lookup, batch embedding).
+  *
+  * Each query runs the REAL engine code path on testdata-derived inputs and
+  * is paired (in SparkEntry.oracleSql) with DuckDB SQL computing the same
+  * math. Floats are rounded identically on both sides; every output has a
+  * total ORDER BY for row-order-stable hashing.
+  */
+object CoreQueries {
+
+  /** vector_api.py:455-476 — tenant listing: prefix filter, strip, dedupe,
+    * sort. Collection names synthesized from documents.source for two
+    * tenants; listing runs for tenantA.
+    */
+  def collectionList(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents").select(col("source")).distinct()
+    def phys(tenant: String, d: DataFrame) =
+      d.select(concat(lit("t_"), substring(sha2(lit(tenant), 256), 1, 16),
+        lit("_"), col("source")).as("name"))
+    val all = phys("tenantA", src)
+      .unionAll(phys("tenantB", src.filter(col("source").isin("src0", "src1"))))
+    val prefix = concat(lit("t_"), substring(sha2(lit("tenantA"), 256), 1, 16), lit("_"))
+    all
+      .filter(col("name").startsWith(prefix))
+      .select(substring(col("name"), 20, 1000).as("collection_name"))
+      .distinct()
+      .orderBy("collection_name")
+  }
+
+  val collectionListSql: String =
+    """WITH src AS (SELECT DISTINCT source FROM documents),
+      |all_names AS (
+      |  SELECT 't_' || substr(sha256('tenantA'), 1, 16) || '_' || source AS name FROM src
+      |  UNION ALL
+      |  SELECT 't_' || substr(sha256('tenantB'), 1, 16) || '_' || source FROM src
+      |  WHERE source IN ('src0', 'src1'))
+      |SELECT DISTINCT substr(name, 20) AS collection_name FROM all_names
+      |WHERE starts_with(name, 't_' || substr(sha256('tenantA'), 1, 16) || '_')
+      |ORDER BY collection_name""".stripMargin
+
+  /** vector_api.py:39 — collection-name regex classification. */
+  def nameValidation(s: SparkSession, dir: String): DataFrame = {
+    val src = t(s, dir, "documents").select(col("source")).distinct()
+    val cands = src.select(col("source").as("name"))
+      .unionAll(src.select(concat(col("source"), lit(" bad")).as("name")))
+      .unionAll(src.select(concat(lit("9"), col("source")).as("name")))
+      .unionAll(src.select(concat(lit("_"), col("source")).as("name")))
+    cands
+      .withColumn("valid", col("name").rlike("^[A-Za-z][A-Za-z0-9_]{0,39}$"))
+      .orderBy("name", "valid")
+  }
+
+  val nameValidationSql: String =
+    """WITH src AS (SELECT DISTINCT source FROM documents),
+      |c AS (SELECT source AS name FROM src
+      |      UNION ALL SELECT source || ' bad' FROM src
+      |      UNION ALL SELECT '9' || source FROM src
+      |      UNION ALL SELECT '_' || source FROM src)
+      |SELECT name, regexp_matches(name, '^[A-Za-z][A-Za-z0-9_]{0,39}$') AS valid
+      |FROM c ORDER BY name, valid""".stripMargin
+
+  /** vector_api.py:44-46, :284-285 — local-path redaction. Inputs are
+    * constructed so the Java-only lookbehind is irrelevant (paths preceded
+    * by whitespace), keeping the oracle regex RE2-safe.
+    */
+  def sanitizePaths(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("see /home/"), col("source"), lit("/data/f.txt and C:\\tmp\\x.bin then "),
+          substring(col("text"), 1, 40)).as("content"))
+    d.select(col("doc_id"), Sanitize.sanitizeText(col("content")).as("content"))
+      .orderBy("doc_id")
+  }
+
+  val sanitizePathsSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(
+      |    'see /home/' || source || '/data/f.txt and C:\tmp\x.bin then ' || substr(text, 1, 40),
+      |    '(?:[A-Za-z]:[\\/][^\s<>"'']+|/(?:[^/\s]+/)+[^\s<>"'']*|\\\\[^\s\\]+\\[^\s]+)',
+      |    '[REDACTED_PATH]', 'g') AS content
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** vector_api.py:312-314 — content-addressed id derivation (engine's
+    * stable sha256 surrogate, SURVEY §1.4).
+    */
+  def idDerivation(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"), Ingest.contentId(col("text")).as("id"))
+      .orderBy("doc_id")
+
+  val idDerivationSql: String =
+    """SELECT doc_id,
+      |  substr(sha256(text), 1, 8) || '-' || substr(sha256(text), 9, 4) || '-' ||
+      |  substr(sha256(text), 13, 4) || '-' || substr(sha256(text), 17, 4) || '-' ||
+      |  substr(sha256(text), 21, 12) AS id
+      |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** vector_api.py:363-366 — dedup by content id, LAST wins. Duplicates
+    * constructed by keying on `source` (20 groups over 500 docs); input
+    * order = doc_id.
+    */
+  def ingestDedup(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("source").as("content"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("doc_id").desc)
+    d.withColumn("id", Ingest.contentId(col("content")))
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("id"), col("doc_id").as("kept_doc_id"), col("content"))
+      .orderBy("content")
+  }
+
+  val ingestDedupSql: String =
+    """WITH d AS (SELECT doc_id, source AS content,
+      |  substr(sha256(source),1,8) || '-' || substr(sha256(source),9,4) || '-' ||
+      |  substr(sha256(source),13,4) || '-' || substr(sha256(source),17,4) || '-' ||
+      |  substr(sha256(source),21,12) AS id FROM documents),
+      |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY doc_id DESC) AS rn FROM d)
+      |SELECT id, doc_id AS kept_doc_id, content FROM r WHERE rn = 1 ORDER BY content""".stripMargin
+
+  /** postgres.py:262-276 — MERGE upsert: existing 0..399, update batch
+    * 300..499 with new payloads; result = anti-join + batch.
+    */
+  def upsertMerge(s: SparkSession, dir: String): DataFrame = {
+    val all = t(s, dir, "documents")
+    val existing = all.filter(col("doc_id") < 400)
+      .select(col("doc_id").as("id"), lit("v1").as("version"), col("text").as("content"))
+    val batch = all.filter(col("doc_id") >= 300)
+      .select(col("doc_id").as("id"), lit("v2").as("version"),
+        concat(col("text"), lit(" [updated]")).as("content"))
+    existing.join(batch.select("id"), Seq("id"), "left_anti")
+      .unionByName(batch)
+      .select(col("id"), col("version"), length(col("content")).as("content_len"))
+      .orderBy("id")
+  }
+
+  val upsertMergeSql: String =
+    """WITH existing AS (SELECT doc_id AS id, 'v1' AS version, text AS content
+      |                  FROM documents WHERE doc_id < 400),
+      |batch AS (SELECT doc_id AS id, 'v2' AS version, text || ' [updated]' AS content
+      |          FROM documents WHERE doc_id >= 300)
+      |SELECT id, version, CAST(length(content) AS INTEGER) AS content_len FROM (
+      |  SELECT * FROM existing WHERE id NOT IN (SELECT id FROM batch)
+      |  UNION ALL SELECT * FROM batch)
+      |ORDER BY id""".stripMargin
+
+  /** postgres.py:283-294 — delete-by-ids as an anti filter; survivors
+    * summarized per source.
+    */
+  def deleteDocs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(!col("doc_id").isin(0L to 99L: _*))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n"), min("doc_id").as("min_id"))
+      .orderBy("source")
+
+  val deleteDocsSql: String =
+    """SELECT source, count(*) AS n, min(doc_id) AS min_id
+      |FROM documents WHERE doc_id NOT IN (SELECT unnest(range(100)))
+      |GROUP BY source ORDER BY source""".stripMargin
+
+  /** base.py:233-253 — point lookup; missing ids silently absent. */
+  def getByIds(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .filter(col("doc_id").isin(3L, 141L, 297L, 499L, 100000L))
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .orderBy("doc_id")
+
+  val getByIdsSql: String =
+    """SELECT doc_id, lang, n_chars FROM documents
+      |WHERE doc_id IN (3, 141, 297, 499, 100000) ORDER BY doc_id""".stripMargin
+
+  /** base.py:64-75 — embedding validation (dimension + finiteness), and a
+    * constructed invalid row to prove the filter bites.
+    */
+  def embedValidate(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "embeddings")
+      .select(col("vec_id"), col("embedding"))
+      .unionAll(t(s, dir, "embeddings").limit(1)
+        .select(lit(-1L).as("vec_id"),
+          array(lit(Float.NaN), lit(1.0f)).as("embedding")))
+    e.withColumn("dim_ok", size(col("embedding")) === 64)
+      .withColumn("finite_ok", graft.functions.VectorFunctions.allFinite(col("embedding")))
+      .groupBy("dim_ok", "finite_ok")
+      .agg(count(lit(1)).as("n"))
+      .orderBy("dim_ok", "finite_ok")
+  }
+
+  val embedValidateSql: String =
+    """WITH e AS (SELECT vec_id, embedding FROM embeddings
+      |           UNION ALL SELECT -1, ['NaN'::FLOAT, 1.0::FLOAT]),
+      |f AS (SELECT len(embedding) = 64 AS dim_ok,
+      |             len(list_filter(embedding, x -> isnan(x) OR NOT abs(CAST(x AS DOUBLE)) <= 1.7976931348623157e308)) = 0 AS finite_ok
+      |      FROM e)
+      |SELECT dim_ok, finite_ok, count(*) AS n FROM f GROUP BY 1, 2 ORDER BY dim_ok, finite_ok""".stripMargin
+
+  /** base.py:34-75 + tests/test_all_backends.py:44-64 — the mapPartitions
+    * batch embedder, end-to-end vs the oracle's SQL replay of the
+    * deterministic hash formula (dim=8 for compactness).
+    */
+  def embedDeterministic(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("content"),
+        lit(null).cast("array<float>").as("embedding"))
+    val embedded = Embed.withEmbeddings(d, new DeterministicHashEmbedder(8))
+    embedded
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "value")))
+      .select(col("doc_id"), col("dim"),
+        round(col("value").cast("double"), 2).as("value"))
+      .orderBy("doc_id", "dim")
+  }
+
+  val embedDeterministicSql: String =
+    """WITH i AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS dim),
+      |v AS (SELECT doc_id, dim,
+      |        (('0x' || substr(sha256(text || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100) / 100.0 AS value
+      |      FROM documents CROSS JOIN i)
+      |SELECT doc_id, dim, round(value, 2) AS value FROM v ORDER BY doc_id, dim""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_collection_list" -> (collectionList _),
+    "q_name_validation" -> (nameValidation _),
+    "q_sanitize_paths" -> (sanitizePaths _),
+    "q_id_derivation" -> (idDerivation _),
+    "q_ingest_dedup" -> (ingestDedup _),
+    "q_upsert_merge" -> (upsertMerge _),
+    "q_delete_docs" -> (deleteDocs _),
+    "q_get_by_ids" -> (getByIds _),
+    "q_embed_validate" -> (embedValidate _),
+    "q_embed_deterministic" -> (embedDeterministic _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_collection_list" -> collectionListSql,
+    "q_name_validation" -> nameValidationSql,
+    "q_sanitize_paths" -> sanitizePathsSql,
+    "q_id_derivation" -> idDerivationSql,
+    "q_ingest_dedup" -> ingestDedupSql,
+    "q_upsert_merge" -> upsertMergeSql,
+    "q_delete_docs" -> deleteDocsSql,
+    "q_get_by_ids" -> getByIdsSql,
+    "q_embed_validate" -> embedValidateSql,
+    "q_embed_deterministic" -> embedDeterministicSql
+  )
+}

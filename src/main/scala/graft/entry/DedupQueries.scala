@@ -1,0 +1,194 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.Tables.t
+import graft.ann.Ann
+import graft.dedup.Dedup
+
+/** Oracle-checked queries for the dedup + similarity-search pipeline
+  * operators. LSH-based operators (MinHash, SimHash blocking) verify every
+  * candidate with the exact measure, so the oracle can be the exact
+  * all-pairs computation — at sf scale the band parameters make recall
+  * lossless (see Dedup scaladocs).
+  */
+object DedupQueries {
+
+  private def docs(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents").select(col("doc_id").as("id"), col("text").as("content"))
+
+  /** DuckDB shingle-set fragment shared by the jaccard oracles. */
+  private val shingleCte =
+    """sh AS (
+      |  SELECT id, list_distinct(list_transform(range(len(w) - 2),
+      |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      |  FROM (SELECT doc_id AS id,
+      |          regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3)""".stripMargin
+
+  // ---- exact dedup ----
+  def dedupExact(s: SparkSession, dir: String): DataFrame =
+    Dedup.exact(
+      t(s, dir, "documents").select(col("doc_id").as("id"), col("source").as("content")))
+      .orderBy("digest")
+
+  val dedupExactSql: String =
+    """SELECT sha256(source) AS digest, min(doc_id) AS keep_id, count(*) AS n_dups
+      |FROM documents GROUP BY 1 ORDER BY digest""".stripMargin
+
+  // ---- MinHash LSH near-dups (threshold 0.6; planted pairs sit >= 0.8) ----
+  def dedupMinhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.minHashNearDups(docs(s, dir), threshold = 0.6)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("a", "b")
+
+  val dedupMinhashSql: String =
+    s"""WITH $shingleCte
+       |SELECT a.id AS a, b.id AS b,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.id < b.id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.6
+       |ORDER BY a, b""".stripMargin
+
+  // ---- exact n-gram Jaccard via inverted index (same oracle shape) ----
+  def dedupNgram(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccard(docs(s, dir), threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("a", "b")
+
+  val dedupNgramSql: String =
+    s"""WITH $shingleCte
+       |SELECT a.id AS a, b.id AS b,
+       |  round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |        (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))), 6) AS jaccard
+       |FROM sh a JOIN sh b ON a.id < b.id
+       |WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE) /
+       |      (len(a.sh) + len(b.sh) - len(list_intersect(a.sh, b.sh))) >= 0.5
+       |ORDER BY a, b""".stripMargin
+
+  // ---- SimHash near-dups (full fingerprint replay in the oracle) ----
+  def dedupSimhash(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHashNearDups(docs(s, dir), maxHamming = 3, blocks = 4)
+      .orderBy("a", "b")
+
+  val dedupSimhashSql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]{2,}')) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id, ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hv FROM toks),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |         sum(CASE WHEN (hv >> i) & 1 = 1 THEN 1 ELSE -1 END) AS s
+      |  FROM h CROSS JOIN (SELECT CAST(unnest(range(32)) AS INTEGER) AS i)
+      |  GROUP BY doc_id, i),
+      |fp AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN s > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS fp
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      |       CAST(bit_count(xor(a.fp, b.fp)) AS INTEGER) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp, b.fp)) <= 3
+      |ORDER BY a, b""".stripMargin
+
+  // ---- embedding cosine near-dups ----
+  def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
+    Dedup.embeddingNearDups(Tables.vectors(s, dir), threshold = 0.4)
+      .withColumn("cosine", round(col("cosine"), 6))
+      .orderBy("a", "b")
+
+  val dedupEmbeddingSql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+      |SELECT a.id AS a, b.id AS b,
+      |       round(list_cosine_similarity(a.v, b.v), 6) AS cosine
+      |FROM e a JOIN e b ON a.id < b.id
+      |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
+      |ORDER BY a, b""".stripMargin
+
+  // ---- ANN: exact brute-force top-k ----
+  def annBrute(s: SparkSession, dir: String): DataFrame = {
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2, 3, 4))
+    Ann.bruteTopK(Tables.vectors(s, dir), qs, 5)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("query_idx"), col("score").desc, col("id"))
+  }
+
+  val annBruteSql: String =
+    """WITH q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id IN (0,1,2,3,4)),
+      |s AS (SELECT q.qid AS query_idx, e.vec_id AS id,
+      |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sc
+      |      FROM q CROSS JOIN embeddings e),
+      |t AS (SELECT query_idx, id, sc,
+      |             row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn FROM s)
+      |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 5
+      |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
+
+  // ---- ANN: IVF partition pruning (deterministic representative centroids) ----
+  def annIvf(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val centroids = Ann.representativeCentroids(vecs, "label").cache()
+    val assigned = Ann.assign(vecs, centroids)
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    Ann.ivfTopK(assigned, centroids, qs, k = 5, nprobe = 3)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("query_idx"), col("score").desc, col("id"))
+  }
+
+  val annIvfSql: String =
+    """WITH e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (
+      |  SELECT label AS centroid_id, v AS c FROM (
+      |    SELECT label, v, row_number() OVER (PARTITION BY label ORDER BY id) AS rn FROM e)
+      |  WHERE rn = 1),
+      |assign AS (
+      |  SELECT id, v, centroid_id AS cluster_id FROM (
+      |    SELECT e.id, e.v, cent.centroid_id,
+      |           row_number() OVER (PARTITION BY e.id
+      |             ORDER BY 1.0 - list_cosine_similarity(e.v, cent.c), cent.centroid_id) AS rn
+      |    FROM e CROSS JOIN cent)
+      |  WHERE rn = 1),
+      |q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id IN (0,1,2)),
+      |probes AS (
+      |  SELECT qid, centroid_id FROM (
+      |    SELECT q.qid, cent.centroid_id,
+      |           row_number() OVER (PARTITION BY q.qid
+      |             ORDER BY 1.0 - list_cosine_similarity(q.qv, cent.c), cent.centroid_id) AS rn
+      |    FROM q CROSS JOIN cent)
+      |  WHERE rn <= 3),
+      |scored AS (
+      |  SELECT q.qid AS query_idx, a.id,
+      |         list_cosine_similarity(a.v, q.qv) AS sc
+      |  FROM q JOIN probes p ON p.qid = q.qid
+      |  JOIN assign a ON a.cluster_id = p.centroid_id),
+      |t AS (SELECT query_idx, id, sc,
+      |             row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+      |      FROM scored)
+      |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 5
+      |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_exact" -> (dedupExact _),
+    "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_ngram" -> (dedupNgram _),
+    "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_ann_brute" -> (annBrute _),
+    "q_ann_ivf" -> (annIvf _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_dedup_exact" -> dedupExactSql,
+    "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_ngram" -> dedupNgramSql,
+    "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_ann_brute" -> annBruteSql,
+    "q_ann_ivf" -> annIvfSql
+  )
+}

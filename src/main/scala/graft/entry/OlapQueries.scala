@@ -1,0 +1,218 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables.t
+
+/** Events + TPC-H-style headline queries. These are the bench workhorses —
+  * at sf0.1 lineitem has ~600k rows — and double as oracle-checked
+  * correctness entries.
+  *
+  * Float-sum determinism: every large SUM over doubles goes through
+  * DECIMAL(18,2/4) so partial-aggregation order (Spark) and parallel
+  * reduction order (DuckDB) cannot perturb the result; the exact decimal is
+  * cast back to double at the end. Sums of 64-bit integers are exact
+  * already. Timestamps compare as unix millis (integers).
+  */
+object OlapQueries {
+
+  private def dec(c: org.apache.spark.sql.Column, scale: Int) =
+    c.cast(s"decimal(18,$scale)")
+
+  /** Tumbling 1-hour window aggregation over the events stream table —
+    * the batch shape of the Structured Streaming windowed count.
+    * events.ts is Parquet TIMESTAMP(NANOS) which Spark only reads as a
+    * nanos LONG (legacy conf); converted explicitly to a timestamp so the
+    * real window() operator is exercised.
+    */
+  def eventsWindow(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    t(s, dir, "events")
+      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
+      .groupBy(window(col("ts2"), "1 hour").as("w"), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(dec(col("value"), 4)).as("sum_dec"))
+      .select(unix_millis(col("w.start")).as("window_start"),
+        col("event_type"), col("n"),
+        col("sum_dec").cast("double").as("sum_value"))
+      .orderBy("window_start", "event_type")
+  }
+
+  val eventsWindowSql: String =
+    """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type,
+      |       count(*) AS n,
+      |       CAST(sum(CAST(value AS DECIMAL(18,4))) AS DOUBLE) AS sum_value
+      |FROM events GROUP BY 1, 2 ORDER BY window_start, event_type""".stripMargin
+
+  /** Gap-based sessionization (30-min inactivity) per user — lag + running
+    * sum of session starts; the batch analog of
+    * streaming session_window aggregation.
+    */
+  def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    ev.groupBy("user_id", "session_idx")
+      .agg(count(lit(1)).as("n_events"),
+        min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"))
+      .orderBy("user_id", "session_idx")
+  }
+
+  val eventsSessionizeSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |s AS (SELECT user_id, event_id, ts_ms,
+      |        CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |      FROM ev),
+      |x AS (SELECT user_id, ts_ms,
+      |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |      FROM s)
+      |SELECT user_id, session_idx, count(*) AS n_events,
+      |       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+      |FROM x GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
+
+  /** TPC-H Q1-style pricing summary over lineitem (the classic bench agg). */
+  def q1Pricing(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit("1998-09-02").cast("timestamp"))
+      .groupBy("l_returnflag", "l_linestatus")
+      .agg(
+        sum(dec(col("l_quantity"), 2)).as("sq"),
+        sum(dec(col("l_extendedprice"), 2)).as("sep"),
+        sum(dec(col("l_extendedprice"), 2) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2))).as("sdp"),
+        sum(dec(col("l_extendedprice"), 2) * (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2)) *
+          (lit(1).cast("decimal(18,2)") + dec(col("l_tax"), 2))).as("sc"),
+        count(lit(1)).as("count_order"))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        col("sq").cast("double").as("sum_qty"),
+        col("sep").cast("double").as("sum_base_price"),
+        col("sdp").cast("double").as("sum_disc_price"),
+        col("sc").cast("double").as("sum_charge"),
+        col("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+
+  val q1PricingSql: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS sum_base_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_disc_price,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2))) * (CAST(1 AS DECIMAL(18,2)) + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
+  /** Q3-style: top-10 unshipped-revenue orders for a market segment —
+    * broadcast dimension joins + decimal-exact revenue + bounded top-k.
+    */
+  def q3Revenue(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val ord = t(s, dir, "orders").filter(col("o_orderdate") < lit("1995-03-15").cast("timestamp"))
+    val li = t(s, dir, "lineitem").filter(col("l_shipdate") > lit("1995-03-15").cast("timestamp"))
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(sum(dec(col("l_extendedprice"), 2) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2))).as("rev"))
+      .select(col("l_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_str"),
+        col("o_orderpriority"), col("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey").asc)
+      .limit(10)
+
+  }
+
+  val q3RevenueSql: String =
+    """SELECT l_orderkey, strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str, o_orderpriority,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM customer, orders, lineitem
+      |WHERE c_mktsegment = 'BUILDING' AND c_custkey = o_custkey
+      |  AND l_orderkey = o_orderkey
+      |  AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      |  AND l_shipdate > TIMESTAMP '1995-03-15 00:00:00'
+      |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+      |ORDER BY revenue DESC, l_orderkey LIMIT 10""".stripMargin
+
+  /** Q5-style: revenue by nation through the full star join (region ->
+    * nation -> customer/supplier -> orders -> lineitem), all dimensions
+    * broadcast.
+    */
+  def q5Nation(s: SparkSession, dir: String): DataFrame = {
+    val region = t(s, dir, "region").filter(col("r_name") === "ASIA")
+    val nation = t(s, dir, "nation")
+    val cust = t(s, dir, "customer")
+    val supp = t(s, dir, "supplier")
+    val ord = t(s, dir, "orders")
+    val li = t(s, dir, "lineitem")
+    li.join(ord, li("l_orderkey") === ord("o_orderkey"))
+      .join(broadcast(cust), ord("o_custkey") === cust("c_custkey"))
+      .join(broadcast(supp), li("l_suppkey") === supp("s_suppkey") &&
+        cust("c_nationkey") === supp("s_nationkey"))
+      .join(broadcast(nation), supp("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(sum(dec(col("l_extendedprice"), 2) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2))).as("rev"))
+      .select(col("n_name"), col("rev").cast("double").as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  val q5NationSql: String =
+    """SELECT n_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM region, nation, customer, supplier, orders, lineitem
+      |WHERE r_name = 'ASIA' AND n_regionkey = r_regionkey
+      |  AND s_nationkey = n_nationkey AND c_nationkey = s_nationkey
+      |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
+      |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
+
+  /** Window-function headliner: each customer's top-2 orders by value. */
+  def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy("o_custkey")
+      .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+    t(s, dir, "orders")
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 2)
+      .select(col("o_custkey"), col("rn"), col("o_orderkey"),
+        round(col("o_totalprice"), 2).as("price"))
+      .orderBy("o_custkey", "rn")
+  }
+
+  val topOrdersPerCustomerSql: String =
+    """SELECT o_custkey, CAST(rn AS INTEGER) AS rn, o_orderkey, round(o_totalprice, 2) AS price FROM (
+      |  SELECT o_custkey, o_orderkey, o_totalprice,
+      |         row_number() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_totalprice DESC, o_orderkey) AS rn
+      |  FROM orders)
+      |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_window" -> (eventsWindow _),
+    "q_events_sessionize" -> (eventsSessionize _),
+    "q1_pricing" -> (q1Pricing _),
+    "q3_revenue" -> (q3Revenue _),
+    "q5_nation" -> (q5Nation _),
+    "q_top_orders_per_customer" -> (topOrdersPerCustomer _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_events_window" -> eventsWindowSql,
+    "q_events_sessionize" -> eventsSessionizeSql,
+    "q1_pricing" -> q1PricingSql,
+    "q3_revenue" -> q3RevenueSql,
+    "q5_nation" -> q5NationSql,
+    "q_top_orders_per_customer" -> topOrdersPerCustomerSql
+  )
+}

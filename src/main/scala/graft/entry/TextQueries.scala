@@ -1,0 +1,153 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables.t
+import graft.functions.TextFunctions
+import graft.multimodal.Multimodal
+
+/** Oracle-checked queries for the text-analysis + multimodal pipeline
+  * operators (language ID heuristic, quality scoring, token counting,
+  * document fingerprinting, binary-payload decode plumbing).
+  */
+object TextQueries {
+
+  private val toksD = "regexp_extract_all(lower(text), '[a-z0-9_]{2,}')"
+
+  /** Language-ID heuristic: English-stopword density. */
+  def textLangid(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(TextFunctions.stopwordRatio(toks), 6).as("stopword_ratio"),
+        TextFunctions.langIdEn(toks).as("predicted"))
+      .orderBy("doc_id")
+  }
+
+  val textLangidSql: String = {
+    val stops = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |r AS (SELECT doc_id,
+       |        CASE WHEN len(toks) = 0 THEN 0.0
+       |             ELSE CAST(len(list_filter(toks, x -> list_contains([$stops], x))) AS DOUBLE)
+       |                  / len(toks) END AS ratio
+       |      FROM d)
+       |SELECT doc_id, round(ratio, 6) AS stopword_ratio,
+       |       CASE WHEN ratio >= 0.05 THEN 'en' ELSE 'unknown' END AS predicted
+       |FROM r ORDER BY doc_id""".stripMargin
+  }
+
+  /** Quality score: blend of length band, alphabetic ratio, mean word
+    * length band, stopword presence (C4/Gopher-style cheap signals).
+    */
+  def textQuality(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+      .orderBy("doc_id")
+
+  val textQualitySql: String = {
+    val stops = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, text, $toksD AS toks FROM documents),
+       |m AS (SELECT doc_id,
+       |        CAST(len(toks) AS DOUBLE) AS ntok,
+       |        CAST(length(text) AS DOUBLE) AS nchar,
+       |        CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+       |        CASE WHEN len(toks) = 0 THEN 0.0
+       |             ELSE list_reduce(list_prepend(0.0,
+       |                    list_transform(toks, t -> CAST(length(t) AS DOUBLE))),
+       |                  (a, b) -> a + b) / len(toks) END AS meanlen,
+       |        CASE WHEN len(toks) = 0 THEN 0.0
+       |             ELSE CAST(len(list_filter(toks, x -> list_contains([$stops], x))) AS DOUBLE)
+       |                  / len(toks) END AS stopratio
+       |      FROM d)
+       |SELECT doc_id, round(
+       |    least(ntok / 50.0, 1.0) * 0.4 +
+       |    (CASE WHEN nchar = 0 THEN 0.0 ELSE alpha / nchar END) * 0.3 +
+       |    (CASE WHEN meanlen >= 3 AND meanlen <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+       |    least(stopratio * 10.0, 1.0) * 0.1, 6) AS quality
+       |FROM m ORDER BY doc_id""".stripMargin
+  }
+
+  /** Token counting: regex tokens, distinct tokens, whitespace-split words,
+    * plus a corpus-level rollup per lang.
+    */
+  def textTokens(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    t(s, dir, "documents")
+      .select(col("lang"),
+        size(toks).cast("long").as("n_tok"),
+        size(array_distinct(toks)).cast("long").as("n_distinct"),
+        size(split(col("text"), " ")).cast("long").as("n_ws"))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tok"),
+        sum("n_distinct").as("total_distinct"), sum("n_ws").as("total_ws"))
+      .orderBy("lang")
+  }
+
+  val textTokensSql: String =
+    s"""WITH d AS (SELECT lang,
+       |        CAST(len($toksD) AS BIGINT) AS n_tok,
+       |        CAST(len(list_distinct($toksD)) AS BIGINT) AS n_distinct,
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+       |      FROM documents)
+       |SELECT lang, count(*) AS n_docs, sum(n_tok) AS total_tok,
+       |       sum(n_distinct) AS total_distinct, sum(n_ws) AS total_ws
+       |FROM d GROUP BY lang ORDER BY lang""".stripMargin
+
+  /** Rolling polynomial fingerprint over the token stream (order-sensitive,
+    * unlike MinHash).
+    */
+  def textFingerprint(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        TextFunctions.fingerprint(TextFunctions.tokens(col("text"))).as("fingerprint"))
+      .orderBy("doc_id")
+
+  val textFingerprintSql: String =
+    s"""SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(CAST(0 AS BIGINT),
+       |      list_transform($toksD, t -> ('0x' || substr(md5(t), 1, 8))::BIGINT)),
+       |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
+       |FROM documents ORDER BY doc_id""".stripMargin
+
+  /** Multimodal decode plumbing: binary payloads through the batched
+    * mapPartitions "decoder" (deterministic stub — see Multimodal docs).
+    */
+  def mmDecode(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        lit("image").as("modality"),
+        col("text").cast("binary").as("data"))
+    Multimodal.decodeStub(media)
+      .select(col("id"), col("byte_len"), col("width"), col("height"),
+        col("n_frames"), col("fingerprint"))
+      .orderBy("id")
+  }
+
+  val mmDecodeSql: String =
+    """SELECT doc_id AS id,
+      |  CAST(octet_length(CAST(text AS BLOB)) AS BIGINT) AS byte_len,
+      |  CAST(32 + octet_length(CAST(text AS BLOB)) % 608 AS INTEGER) AS width,
+      |  CAST(32 + (octet_length(CAST(text AS BLOB)) * 7) % 448 AS INTEGER) AS height,
+      |  CAST(1 + octet_length(CAST(text AS BLOB)) % 16 AS INTEGER) AS n_frames,
+      |  sha256(text) AS fingerprint
+      |FROM documents ORDER BY id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_langid" -> (textLangid _),
+    "q_text_quality" -> (textQuality _),
+    "q_text_tokens" -> (textTokens _),
+    "q_text_fingerprint" -> (textFingerprint _),
+    "q_mm_decode" -> (mmDecode _)
+  )
+
+  def oracles: Map[String, String] = Map(
+    "q_text_langid" -> textLangidSql,
+    "q_text_quality" -> textQualitySql,
+    "q_text_tokens" -> textTokensSql,
+    "q_text_fingerprint" -> textFingerprintSql,
+    "q_mm_decode" -> mmDecodeSql
+  )
+}

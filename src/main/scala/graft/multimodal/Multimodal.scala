@@ -1,0 +1,79 @@
+package graft.multimodal
+
+import java.security.MessageDigest
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Multimodal column plumbing: image/audio/video as opaque BINARY payloads
+  * with typed metadata, and a batched per-partition decode/feature step.
+  *
+  * The decode itself is a STUB — this container has no image/audio codecs —
+  * but everything Spark-side is real and tested: the schema, the binary
+  * column handling, the batched mapPartitions shape (decode libraries are
+  * initialized once per partition, rows processed in batches — the same
+  * template a JNI/FFmpeg decoder drops into), and the deterministic output
+  * contract (so the driver's oracle can replay it).
+  */
+object Multimodal {
+
+  /** One decoded media record. `features` stands in for an
+    * embedding/feature vector a real decoder would emit.
+    */
+  final case class Decoded(
+      id: Long,
+      modality: String,
+      byte_len: Long,
+      width: Int,
+      height: Int,
+      n_frames: Int,
+      fingerprint: String,
+      features: Array[Float])
+
+  /** STUB decoder: deterministic pseudo-metadata derived from the payload
+    * bytes. A real implementation replaces ONLY the body of `decodeOne`
+    * (e.g. javax.imageio / FFmpeg via JNI); the Spark plumbing around it —
+    * per-partition init, batching, schema — is the real, tested part.
+    */
+  private def decodeOne(id: Long, modality: String, data: Array[Byte],
+      md: MessageDigest): Decoded = {
+    val len = data.length.toLong
+    val fp = md.digest(data).map("%02x".format(_)).mkString
+    md.reset()
+    Decoded(
+      id = id,
+      modality = modality,
+      byte_len = len,
+      width = (32 + len % 608).toInt,
+      height = (32 + (len * 7) % 448).toInt,
+      n_frames = (1 + len % 16).toInt,
+      fingerprint = fp,
+      features = Array.tabulate(8)(i =>
+        (data(((i * 7) % math.max(1, data.length)).toInt) & 0xff) / 255.0f))
+  }
+
+  /** Batched decode over (id: long, modality: string, data: binary).
+    * One "decoder" (digest) instance per partition — the once-per-partition
+    * init pattern for heavyweight native decoders.
+    */
+  def decodeStub(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, String, Array[Byte])] =
+      media.select(col("id").cast("long"), col("modality"), col("data"))
+        .as[(Long, String, Array[Byte])]
+    ds.mapPartitions { it =>
+      val md = MessageDigest.getInstance("SHA-256") // per-partition init
+      it.map { case (id, modality, data) => decodeOne(id, modality, data, md) }
+    }.toDF()
+  }
+
+  /** Frame sampling shape: explode n_frames into (id, frame_idx) rows with
+    * a deterministic per-frame pseudo-feature — the layout a video pipeline
+    * feeds into per-frame embedding.
+    */
+  def sampleFrames(decoded: DataFrame, everyNth: Int = 1): DataFrame =
+    decoded
+      .select(col("id"), col("n_frames"),
+        explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .filter(col("frame_idx") % everyNth === 0)
+}
