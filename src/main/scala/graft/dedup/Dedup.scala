@@ -2,6 +2,7 @@ package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 
@@ -9,20 +10,13 @@ import graft.functions.VectorFunctions
   * (BASELINE.json north_star; beyond the reference's content-hash dedup at
   * vector_api.py:363-366).
   *
-  * Every operator is expressed so the heavy step is a shuffle-bounded join
-  * or aggregation (no all-pairs cross join in the scale path):
-  *
-  *  - exact:        hash -> groupBy  (one shuffle on the digest)
-  *  - MinHash LSH:  shingle -> signature -> band buckets -> within-bucket
-  *                  candidate pairs -> exact-Jaccard verify
-  *  - SimHash:      fingerprint -> pigeonhole band blocking -> hamming verify
-  *  - n-gram Jaccard: shingle inverted index -> co-occurrence counts
-  *  - embedding near-dup: exact pairwise cosine over a blocked self-join
-  *
-  * Hashing uses the md5-derived stableHash32 so the DuckDB oracle can
-  * replay signatures bit-for-bit where needed; the LSH *candidate* sets
-  * never need oracle replay because every candidate is verified with the
-  * exact measure before emission.
+  * Dataflow design: everything is EXPLODE + JOIN + AGGREGATE — no nested
+  * higher-order functions. Interpreted HOF lambdas re-evaluate free
+  * subtrees per element (a shingles-inside-minhash formulation re-ran the
+  * tokenizer regex ~6000x per document before this rewrite); the relational
+  * shape computes each regex/md5 exactly once per token row and keeps every
+  * hot loop inside WholeStageCodegen. It is also the shape that scales:
+  * shuffles are keyed (by id / shingle / band bucket), never all-pairs.
   */
 object Dedup {
 
@@ -35,9 +29,26 @@ object Dedup {
       .groupBy("digest")
       .agg(min("id").as("keep_id"), count(lit(1)).as("n_dups"))
 
+  /** Distinct word n-gram shingle ROWS per document: (id, sh).
+    * Tokenizer regex runs once per document (generator input), shingle
+    * assembly is a window of lead()s — fully codegen'd, no HOFs.
+    */
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
+    val toks = docs.select(col("id"),
+      posexplode(tokens(col("content"))).as(Seq("pos", "tok")))
+    val w = Window.partitionBy("id").orderBy("pos")
+    val leads = (1 until n).foldLeft(toks) { (df, i) =>
+      df.withColumn(s"t$i", lead(col("tok"), i).over(w))
+    }
+    val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
+    leads
+      .filter(parts.last.isNotNull)
+      .select(col("id"), concat_ws(" ", parts: _*).as("sh"))
+      .distinct()
+  }
+
   /** Deterministic MinHash permutation constants (fixed, engine-versioned). */
   val MinHashSeeds: Seq[(Long, Long)] = {
-    // simple LCG-expanded fixed constants; all < MinHashP
     val p = MinHashP
     (1 to 32).map { i =>
       val a = (2654435761L * i + 1013904223L) % p
@@ -46,15 +57,16 @@ object Dedup {
     }
   }
 
-  /** MinHash signatures over n-token shingles. Output: (id, sig ARRAY<LONG>). */
-  def minHashSignatures(docs: DataFrame, shingleN: Int = 3): DataFrame = {
-    val toks = tokens(col("content"))
-    val sh = shingles(toks, shingleN)
-    val sig = array(MinHashSeeds.map { case (a, b) => minHashSig(col("__sh"), a, b) }: _*)
-    docs
-      .select(col("id"), sh.as("__sh"))
-      .filter(size(col("__sh")) > 0)
-      .select(col("id"), sig.as("sig"), col("__sh").as("shingles"))
+  /** MinHash signatures from shingle rows: md5 once per (id, shingle) row,
+    * then 32 codegen'd MIN aggregates. Output: (id, n_sh, m0..m31).
+    */
+  def minHashSignatures(sh: DataFrame): DataFrame = {
+    val hashed = sh.withColumn("h", stableHash32(col("sh")))
+    val aggs = count(lit(1)).as("n_sh") +:
+      MinHashSeeds.zipWithIndex.map { case ((a, b), i) =>
+        min((lit(a) * col("h") + lit(b)) % lit(MinHashP)).as(s"m$i")
+      }
+    hashed.groupBy("id").agg(aggs.head, aggs.tail: _*)
   }
 
   /** LSH candidate pairs + exact-Jaccard verification.
@@ -63,11 +75,10 @@ object Dedup {
     * ~1 at J>=0.8 (miss probability < 1e-11 at J=0.9), so for corpora whose
     * near-dups sit well above the threshold the verified output equals the
     * exact all-pairs answer. Every candidate is verified with exact Jaccard
-    * computed from the true shingle sets before emission.
+    * (shared-shingle count via the inverted index) before emission.
     *
-    * Scale shape: the only shuffles are (a) groupBy band bucket and (b) the
-    * verify join — both keyed, no cross join. Bucket skew (a degenerate
-    * shingle shared by everything) is bounded by `maxBucketSize`.
+    * Shuffles: signature groupBy, band-bucket groupBy, verify join — all
+    * keyed. Bucket skew is bounded by `maxBucketSize`.
     */
   def minHashNearDups(
       docs: DataFrame,
@@ -75,40 +86,47 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sigs = minHashSignatures(docs, shingleN).cache()
+    val sh = shingleRows(docs, shingleN).cache()
+    val sigs = minHashSignatures(sh)
     val rowsPerBand = MinHashSeeds.size / bands
-    // band key = (band index, the band's slice of the signature)
-    val banded = sigs.select(
-      col("id"), col("sig"),
-      posexplode(array((0 until bands).map { b =>
-        concat_ws("_", (0 until rowsPerBand).map(r =>
-          element_at(col("sig"), b * rowsPerBand + r + 1)): _*)
-      }: _*)).as(Seq("band", "bucket")))
+    val bandKeys = (0 until bands).map { b =>
+      concat_ws("_", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+    }
+    val banded = sigs.select(col("id"),
+      posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
     val buckets = banded
       .groupBy("band", "bucket")
       .agg(collect_list(col("id")).as("ids"))
       .filter(size(col("ids")).between(2, maxBucketSize))
-    // candidate pairs within each bucket (a < b), deduped across bands
     val cands = buckets
       .select(explode(expr(
         "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
         .as("p"))
       .select(col("p.a").as("a"), col("p.b").as("b"))
       .distinct()
-    // exact verify against true shingle sets
-    val shA = sigs.select(col("id").as("a"), col("shingles").as("sh_a"))
-    val shB = sigs.select(col("id").as("b"), col("shingles").as("sh_b"))
-    cands.join(shA, "a").join(shB, "b")
-      .withColumn("inter", size(array_intersect(col("sh_a"), col("sh_b"))).cast("double"))
-      .withColumn("uni",
-        (size(col("sh_a")) + size(col("sh_b"))).cast("double") - col("inter"))
-      .withColumn("jaccard", col("inter") / col("uni"))
+    verifyJaccard(cands, sh, threshold)
+  }
+
+  /** Exact Jaccard for candidate pairs via the shingle inverted index. */
+  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("len"))
+    val inter = cands
+      .join(sh.select(col("id").as("a"), col("sh")), "a")
+      .join(sh.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
+      .groupBy("a", "b")
+      .agg(count(lit(1)).as("inter"))
+    inter
+      .join(sizes.select(col("id").as("a"), col("len").as("la")), "a")
+      .join(sizes.select(col("id").as("b"), col("len").as("lb")), "b")
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("la") + col("lb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
   }
 
-  /** SimHash near-dups: 32-bit fingerprints, pigeonhole band blocking
-    * (`blocks` byte-slices: hamming <= blocks-1 implies >= 1 identical
+  /** SimHash near-dups: 32-bit fingerprints from exploded token rows
+    * (md5 once per token, 32 codegen'd conditional sums), pigeonhole band
+    * blocking (`blocks` slices: hamming <= blocks-1 implies >= 1 identical
     * slice), hamming verify. Exact w.r.t. the simhash fingerprints.
     */
   def simHashNearDups(
@@ -116,10 +134,8 @@ object Dedup {
       maxHamming: Int = 3,
       blocks: Int = 4): DataFrame = {
     require(maxHamming < blocks, "pigeonhole guarantee needs maxHamming < blocks")
+    val fp = simHashFingerprints(docs).cache()
     val bitsPerBlock = 32 / blocks
-    val fp = docs
-      .select(col("id"), simHash32(tokens(col("content"))).as("fp"))
-      .cache()
     val banded = fp.select(
       col("id"), col("fp"),
       posexplode(array((0 until blocks).map { b =>
@@ -137,7 +153,25 @@ object Dedup {
       .select("a", "b", "hamming")
   }
 
-  /** Exact n-gram Jaccard over an inverted shingle index: pairs sharing at
+  /** 32-bit SimHash per document: bit i set iff the tf-weighted sum of
+    * (+1/-1 by bit i of each token hash) is positive. (id, fp).
+    */
+  def simHashFingerprints(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("id"), explode(tokens(col("content"))).as("tok"))
+      .withColumn("h", stableHash32(col("tok")))
+    val bitAggs = (0 until 32).map { i =>
+      sum(when(call_function("shiftright", col("h"), lit(i)) % 2 === 1, 1L)
+        .otherwise(-1L)).as(s"b$i")
+    }
+    toks.groupBy("id").agg(bitAggs.head, bitAggs.tail: _*)
+      .select(col("id"),
+        (0 until 32).map(i =>
+          when(col(s"b$i") > 0, lit(1L << i)).otherwise(lit(0L)))
+          .reduce(_ + _).as("fp"))
+  }
+
+  /** Exact n-gram Jaccard over the shingle inverted index: pairs sharing at
     * least one shingle get their intersection counted by a groupBy — the
     * all-pairs cross join never materializes.
     */
@@ -145,17 +179,15 @@ object Dedup {
       docs: DataFrame,
       threshold: Double,
       shingleN: Int = 3): DataFrame = {
-    val sh = docs
-      .select(col("id"), shingles(tokens(col("content")), shingleN).as("sh"))
-      .filter(size(col("sh")) > 0)
-      .cache()
-    val inv = sh.select(col("id"), size(col("sh")).as("len"), explode(col("sh")).as("g"))
-    val co = inv.as("x").join(inv.as("y"),
-        col("x.g") === col("y.g") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.len").as("la"), col("y.len").as("lb"))
+    val sh = shingleRows(docs, shingleN).cache()
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("len"))
+    val co = sh.as("x").join(sh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
     co
+      .join(sizes.select(col("id").as("a"), col("len").as("la")), "a")
+      .join(sizes.select(col("id").as("b"), col("len").as("lb")), "b")
       .withColumn("jaccard",
         col("inter").cast("double") /
           (col("la") + col("lb") - col("inter")).cast("double"))

@@ -36,6 +36,12 @@ object TextFunctions {
   /** Word n-gram shingles over the token array (for MinHash / Jaccard).
     * n consecutive tokens joined by a single space; documents shorter than
     * n tokens yield an empty array.
+    *
+    * PERFORMANCE CAVEAT: `toks` is a free subtree inside the lambda, so
+    * interpreted HOF evaluation re-evaluates it for every element_at — if
+    * `toks` is the regex tokenizer this multiplies the regex by 3*|shingles|
+    * per row. Use ONLY with a materialized token column; for pipelines use
+    * the explode-based [[graft.dedup.Dedup.shingleRows]] instead.
     */
   def shingles(toks: Column, n: Int): Column = {
     val count = greatest(size(toks) - lit(n - 1), lit(0))

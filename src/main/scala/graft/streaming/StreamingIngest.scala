@@ -1,0 +1,117 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
+import graft.ingest.{Ingest, Sanitize}
+
+/** Structured Streaming extension: continuous document ingest and
+  * event-stream analytics.
+  *
+  * The reference is strictly batch (ingestion is bounded request/response —
+  * SURVEY §1.3), so this module is the 100 TB-pipeline extension: the same
+  * sanitize -> content-address -> dedup semantics applied to an unbounded
+  * source, plus the streaming analogs of the events queries
+  * (windowed aggregation with watermark, session windows via
+  * flatMapGroupsWithState).
+  *
+  * All transforms reuse the BATCH column functions (Sanitize/Ingest) —
+  * one code path, two execution modes, which is exactly what Structured
+  * Streaming's incremental-query model is for.
+  */
+object StreamingIngest {
+
+  /** Continuous ingest pipeline over a streaming (content[, metadata])
+    * source: sanitize, derive content-addressed ids, drop duplicate ids
+    * within the watermark horizon (streaming analog of the batch last-wins
+    * dedup — streaming keeps FIRST-wins, the only semantics expressible
+    * without unbounded state), stamp ingest time.
+    */
+  def ingestPipeline(source: DataFrame, watermark: String = "10 minutes"): DataFrame =
+    source
+      .withColumn("content", Sanitize.sanitizeText(col("content")))
+      .withColumn("id", Ingest.contentId(col("content")))
+      .withColumn("ingest_ts", current_timestamp())
+      .withWatermark("ingest_ts", watermark)
+      .dropDuplicates("id")
+
+  /** Write the ingest stream to a Parquet collection dir (append-only
+    * staging; compaction into the main table is a periodic batch MERGE).
+    */
+  def startIngest(
+      pipeline: DataFrame,
+      path: String,
+      checkpoint: String,
+      trigger: Trigger = Trigger.AvailableNow()): StreamingQuery =
+    pipeline.writeStream
+      .format("parquet")
+      .option("path", path)
+      .option("checkpointLocation", checkpoint)
+      .trigger(trigger)
+      .outputMode(OutputMode.Append())
+      .start()
+
+  /** Windowed event counts with a watermark — the streaming analog of
+    * OlapQueries.eventsWindow. Input needs (ts: timestamp, event_type,
+    * value).
+    */
+  def windowedCounts(events: DataFrame,
+      window_ : String = "1 hour", watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), window_), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("value")).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n"), col("sum_value"))
+
+  final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
+  final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,
+      n_events: Int, sum_value: Double)
+
+  /** Gap-based sessionization with custom state — the
+    * flatMapGroupsWithState shape (KeyValueGroupedDataset) for semantics
+    * the built-in session_window can't express (e.g. emitting enriched
+    * session records on timeout). Batch analog: OlapQueries.eventsSessionize.
+    */
+  def sessionize(
+      spark: SparkSession,
+      events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000): DataFrame = {
+    import spark.implicits._
+    val typed = events.select(col("user_id").cast("long"),
+      col("ts").cast("timestamp"), col("value").cast("double")).as[Event]
+    typed
+      .withWatermark("ts", "2 hours")
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[SessionState, SessionOut](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        (user: Long, rows: Iterator[Event], state: GroupState[SessionState]) =>
+          if (state.hasTimedOut) {
+            val s = state.get
+            state.remove()
+            Iterator.single(SessionOut(user, s.start, s.last, s.n, s.sum))
+          } else {
+            var closed = List.empty[SessionOut]
+            var cur = state.getOption
+            rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+              val t = e.ts.getTime
+              cur match {
+                case Some(s) if t - s.last <= gapMs =>
+                  cur = Some(SessionState(s.start, t, s.n + 1, s.sum + e.value))
+                case Some(s) =>
+                  closed ::= SessionOut(user, s.start, s.last, s.n, s.sum)
+                  cur = Some(SessionState(t, t, 1, e.value))
+                case None =>
+                  cur = Some(SessionState(t, t, 1, e.value))
+              }
+            }
+            cur.foreach { s =>
+              state.update(s)
+              state.setTimeoutTimestamp(s.last + gapMs)
+            }
+            closed.reverseIterator
+          }
+      }.toDF()
+  }
+}

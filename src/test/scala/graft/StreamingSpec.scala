@@ -1,0 +1,74 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.streaming.Trigger
+import graft.streaming.StreamingIngest
+
+class StreamingSpec extends SparkSpec {
+
+  test("streaming ingest: sanitize + content-address + dedup within watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[String]
+    val source = input.toDF().select($"value".as("content"))
+    val outDir = Files.createTempDirectory("graft-stream-out").toString
+    val ckpt = Files.createTempDirectory("graft-stream-ckpt").toString
+    input.addData("first doc", "second doc see /home/u/f.txt", "first doc")
+    val q = StreamingIngest.startIngest(
+      StreamingIngest.ingestPipeline(source), outDir, ckpt,
+      trigger = Trigger.AvailableNow())
+    q.processAllAvailable()
+    q.stop()
+    val out = spark.read.parquet(outDir)
+    assert(out.count() == 2) // duplicate content deduped by id
+    val contents = out.select("content").as[String].collect().toSet
+    assert(contents.exists(_.contains("[REDACTED_PATH]")))
+    assert(out.columns.contains("id") && out.columns.contains("ingest_ts"))
+  }
+
+  test("streaming windowed counts with watermark emit correct aggregates") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(java.sql.Timestamp, String, Double)]
+    val source = input.toDF().toDF("ts", "event_type", "value")
+    val agg = StreamingIngest.windowedCounts(source, "1 hour", "2 hours")
+    def ts(h: Int, m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 $h%02d:$m%02d:00")
+    input.addData(
+      (ts(10, 5), "click", 1.0), (ts(10, 40), "click", 2.0),
+      (ts(11, 10), "click", 4.0), (ts(10, 20), "view", 8.0))
+    val q = agg.writeStream.format("memory").queryName("wincounts")
+      .outputMode("complete").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql(
+      "SELECT event_type, n, sum_value FROM wincounts ORDER BY window_start, event_type")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+    assert(rows.toSeq == Seq(("click", 2L, 3.0), ("view", 1L, 8.0), ("click", 1L, 4.0)))
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions on gap") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val input = MemoryStream[(Long, java.sql.Timestamp, Double)]
+    val source = input.toDF().toDF("user_id", "ts", "value")
+    val sessions = StreamingIngest.sessionize(spark, source)
+    val q = sessions.writeStream.format("memory").queryName("sess")
+      .outputMode("append").start()
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // user 1: two bursts 2h apart -> first session closes when the second
+    // burst's watermark passes the timeout
+    input.addData((1L, ts("2024-01-01 10:00:00"), 1.0),
+      (1L, ts("2024-01-01 10:10:00"), 2.0))
+    q.processAllAvailable()
+    input.addData((1L, ts("2024-01-01 14:00:00"), 4.0))
+    q.processAllAvailable()
+    input.addData((1L, ts("2024-01-01 18:00:00"), 8.0))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT user_id, n_events, sum_value FROM sess ORDER BY start_ms")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    assert(rows.contains((1L, 2, 3.0))) // first burst closed as one session
+    assert(rows.contains((1L, 1, 4.0))) // second burst closed after third arrives
+  }
+}
