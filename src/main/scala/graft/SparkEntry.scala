@@ -58,6 +58,13 @@ object SparkEntry {
       Lexical.search(docs, Seq((0, "spark join"), (1, "vector stream")), 10)
         .orderBy(col("query_idx"), col("score").desc, col("id"))
     }),
+    // ---- §2.2/§2.3 index-backed lexical search over the ingest-time
+    //      posting table (the GIN-index analog, postgres.py:189-196) ----
+    "q_lexical_indexed" -> ((s, dir) => {
+      val postings = graft.ingest.Ingest.postings(corpus(s, dir))
+      Lexical.searchIndexed(postings, Seq((0, "spark join"), (1, "vector stream")), 10)
+        .orderBy(col("query_idx"), col("score").desc, col("id"))
+    }),
     // ---- §2.3 lexical_search v1: BM25 (retriever/retriever.py:90-101 intent) ----
     "q_lexical_bm25" -> ((s, dir) => {
       val docs = corpus(s, dir)
@@ -105,6 +112,18 @@ object SparkEntry {
          |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 10
          |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin,
     "q_lexical_tf" ->
+      s"""WITH d AS (SELECT doc_id AS id, $toksD AS toks FROM documents),
+         |s AS (SELECT CAST(0 AS INTEGER) AS query_idx, id,
+         |             CAST(${tfD("spark")} + ${tfD("join")} AS DOUBLE) AS score FROM d
+         |      UNION ALL
+         |      SELECT CAST(1 AS INTEGER), id,
+         |             CAST(${tfD("vector")} + ${tfD("stream")} AS DOUBLE) FROM d),
+         |t AS (SELECT query_idx, id, score,
+         |             row_number() OVER (PARTITION BY query_idx ORDER BY score DESC, id) AS rn
+         |      FROM s WHERE score > 0)
+         |SELECT query_idx, id, score FROM t WHERE rn <= 10
+         |ORDER BY query_idx, score DESC, id""".stripMargin,
+    "q_lexical_indexed" ->
       s"""WITH d AS (SELECT doc_id AS id, $toksD AS toks FROM documents),
          |s AS (SELECT CAST(0 AS INTEGER) AS query_idx, id,
          |             CAST(${tfD("spark")} + ${tfD("join")} AS DOUBLE) AS score FROM d

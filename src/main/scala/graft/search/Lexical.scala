@@ -98,4 +98,29 @@ object Lexical {
   /** Driver-side mirror of the column tokenizer, for query strings. */
   def tokenizeQuery(q: String): Seq[String] =
     TokenPattern.r.findAllIn(q.toLowerCase).toSeq.distinct
+
+  /** Index-backed TF search over a postings table (id, dl, term, tf) built
+    * once at ingest (Ingest.postings) — the engine's analog of the
+    * reference's GIN inverted index (postgres.py:189-196). The query never
+    * touches document content: it filters the postings by the (broadcast)
+    * term list, sums tf per doc, and takes the bounded top-k. At 100 TB the
+    * postings table is bucketed by term so this becomes a pruned scan.
+    */
+  def searchIndexed(
+      postings: DataFrame,
+      queries: Seq[(Int, String)],
+      k: Int): DataFrame = {
+    val results = queries.map { case (qIdx, q) =>
+      val terms = tokenizeQuery(q)
+      postings
+        .filter(col("term").isin(terms: _*))
+        .groupBy("id")
+        .agg(sum(col("tf")).cast("double").as("score"))
+        .withColumn("query_idx", lit(qIdx))
+        .select("query_idx", "id", "score")
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(k)
+    }
+    results.reduce(_ unionAll _)
+  }
 }

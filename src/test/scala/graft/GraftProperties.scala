@@ -1,0 +1,64 @@
+package graft
+
+import org.scalacheck.{Gen, Prop, Properties}
+import org.scalacheck.Prop.forAll
+import graft.ingest.{DeterministicHashEmbedder, Ingest, Sanitize}
+import graft.search.Lexical
+
+/** ScalaCheck properties for the driver-side scalar logic (SURVEY §5:
+  * sanitizer idempotence, id determinism, RRF monotonicity, tokenizer
+  * contract).
+  */
+object GraftProperties extends Properties("graft") {
+
+  private val text: Gen[String] = Gen.asciiPrintableStr
+
+  property("sanitizer is idempotent") = forAll(text) { s =>
+    val once = Sanitize.sanitizeString(s)
+    Sanitize.sanitizeString(once) == once
+  }
+
+  property("sanitized text contains no multi-segment unix path") =
+    forAll(Gen.listOfN(3, Gen.identifier)) { segs =>
+      val s = s"prefix /${segs.mkString("/")}/leaf.txt suffix"
+      !Sanitize.sanitizeString(s).matches(""".*(?<![\w:])/(?:[^/\s]+/)+[^\s<>"']*.*""")
+    }
+
+  property("content id is deterministic and uuid-shaped") = forAll(text) { s =>
+    val a = Ingest.contentIdScala(s)
+    a == Ingest.contentIdScala(s) &&
+      a.matches("[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}")
+  }
+
+  property("uuid5 has version 5 and RFC variant bits") = forAll(text) { s =>
+    val u = Ingest.uuid5Oid(s)
+    u.charAt(14) == '5' && "89ab".contains(u.charAt(19))
+  }
+
+  property("RRF contribution is strictly decreasing in rank") =
+    forAll(Gen.chooseNum(1, 10000), Gen.chooseNum(1, 999)) { (k, r) =>
+      val c1 = 0.5 / (k + r)
+      val c2 = 0.5 / (k + r + 1)
+      c1 > c2 && c1 > 0
+    }
+
+  property("query tokenizer emits distinct lowercase tokens matching the pattern") =
+    forAll(text) { s =>
+      val toks = Lexical.tokenizeQuery(s)
+      toks.distinct == toks && toks.forall(_.matches("[a-z0-9_]{2,}"))
+    }
+
+  property("deterministic embedder: fixed dim, values in [0,1), stable") =
+    forAll(text, Gen.chooseNum(1, 32)) { (s, dim) =>
+      val e = new DeterministicHashEmbedder(dim)
+      val v = e.embedQuery(s)
+      v.length == dim && v.forall(x => x >= 0.0f && x < 1.0f) &&
+        v.toSeq == e.embedQuery(s).toSeq
+    }
+
+  property("error firewall only passes stable codes") =
+    forAll(text) { s =>
+      val out = graft.model.ErrorCodes.firewall(s)
+      out.matches("^[a-z][a-z0-9_]{0,63}$")
+    }
+}
