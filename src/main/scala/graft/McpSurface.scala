@@ -1,0 +1,79 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import graft.model.{ErrorCodes, GraftException}
+
+/** The outermost action-routed operator surface — the engine analog of the
+  * two condensed MCP tools (reference: vector_mcp/mcp_server.py:83-199 and
+  * :202-289; README.md:60-66). No server here — this is the library entry a
+  * thin transport would wrap; the observable contract (action routing,
+  * response shapes, error codes) is what the reference's
+  * tests/test_mcp_server.py asserts.
+  */
+final class McpSurface(api: Api) {
+
+  /** vector_collection_management(action in {create_collection,
+    * add_documents, delete_collection, list_collections}).
+    */
+  def vectorCollectionManagement(
+      action: String,
+      collectionName: String = null,
+      overwrite: Boolean = false,
+      documents: Option[DataFrame] = None,
+      confirm: Boolean = false): Map[String, Any] =
+    resolveAction(action, Set("create_collection", "add_documents",
+      "delete_collection", "list_collections"),
+      ErrorCodes.CollectionActionInvalid) match {
+      case "create_collection" =>
+        val st = api.createCollection(collectionName, overwrite, documents)
+        Map("status" -> st.status, "collection" -> st.collection,
+          "documents_added" -> st.documents_added)
+      case "add_documents" =>
+        val docs = documents.getOrElse(
+          throw new GraftException(ErrorCodes.DocumentInputRequired))
+        val added = api.addDocuments(collectionName, docs)
+        Map("status" -> "updated", "collection" -> collectionName,
+          "documents_added" -> added)
+      case "delete_collection" =>
+        val st = api.deleteCollection(collectionName, confirm)
+        Map("status" -> st.status, "collection" -> st.collection)
+      case "list_collections" =>
+        Map("collections" ->
+          api.listCollections().map(n => Map("collection_name" -> n)))
+    }
+
+  /** vector_search(action in {semantic_search, lexical_search, search}). */
+  def vectorSearch(
+      action: String,
+      collectionName: String,
+      question: String,
+      numberResults: Int = 10,
+      semanticWeight: Double = 0.5,
+      lexicalWeight: Double = 0.5,
+      rrfK: Int = 60): Map[String, Any] = {
+    val res = resolveAction(action,
+      Set("semantic_search", "lexical_search", "search"),
+      ErrorCodes.SearchActionInvalid) match {
+      case "semantic_search" =>
+        api.semanticSearch(collectionName, Seq(question), numberResults)
+      case "lexical_search" =>
+        api.lexicalSearch(collectionName, Seq(question), numberResults)
+      case "search" =>
+        api.search(collectionName, question, numberResults,
+          semanticWeight, lexicalWeight, rrfK)
+    }
+    Map("results" -> res.results.map(h => Map(
+      "id" -> h.id, "content" -> h.content,
+      "metadata" -> h.metadata, "score" -> h.score)))
+  }
+
+  /** Action normalization (mcp_server.py:116-125, :238-242; unmatched ->
+    * collection_action_invalid / search_action_invalid, mcp_server.py:199,
+    * :289): trim, casefold, dashes to underscores.
+    */
+  private def resolveAction(raw: String, allowed: Set[String], errCode: String): String = {
+    val norm = Option(raw).getOrElse("").trim.toLowerCase.replace('-', '_')
+    if (!allowed.contains(norm)) throw new GraftException(errCode)
+    norm
+  }
+}

@@ -1,0 +1,53 @@
+package graft.ingest
+
+import java.nio.file.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** File-format loaders feeding the ingest pipeline — the engine analog of
+  * the reference's SimpleDirectoryReader delegation (vector_api.py:344-347).
+  * Parity scope: plain text (+ binary for multimodal payloads); PDF/EPUB
+  * parsing is a documented gap (SURVEY §2.2).
+  *
+  * Inputs MUST come from DocumentInputs.resolveDocumentInputs — the
+  * filesystem policy runs before any Spark IO (mcp_server.py:133-138).
+  */
+object Loaders {
+
+  /** One row per file: (content, metadata{} ) — wholetext so a document is
+    * a file, not a line. Metadata deliberately carries no path/origin keys
+    * (they would be dropped by the sanitizer anyway — vector_api.py:40-43).
+    */
+  def loadTextFiles(spark: SparkSession, paths: Seq[Path]): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .text(paths.map(_.toString): _*)
+      .select(col("value").as("content"),
+        map().cast("map<string,string>").as("metadata"))
+
+  /** Whole directory as text documents (post-policy root). */
+  def loadTextDirectory(spark: SparkSession, dir: Path): DataFrame =
+    spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .text(dir.toString)
+      .select(col("value").as("content"),
+        map().cast("map<string,string>").as("metadata"))
+
+  /** Binary payloads for the multimodal pipeline: (id, modality, data). */
+  def loadBinaryFiles(spark: SparkSession, dir: Path, modality: String): DataFrame =
+    spark.read.format("binaryFile")
+      .option("recursiveFileLookup", "true")
+      .load(dir.toString)
+      .select(
+        abs(xxhash64(col("path"))).as("id"),
+        lit(modality).as("modality"),
+        col("content").as("data"))
+
+  /** Inline contents (vector_api.py:332-341 bounds checked upstream). */
+  def loadInline(spark: SparkSession, contents: Seq[String]): DataFrame = {
+    import spark.implicits._
+    contents.toDF("content")
+      .select(col("content"), map().cast("map<string,string>").as("metadata"))
+  }
+}

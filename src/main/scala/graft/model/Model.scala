@@ -86,6 +86,8 @@ object ErrorCodes {
   val EmbeddingBatchInvalid = "embedding_batch_invalid"
   val EmbeddingInvalid = "embedding_invalid"
   val VectorBackendOperationFailed = "vector_backend_operation_failed"
+  val CollectionActionInvalid = "collection_action_invalid"
+  val SearchActionInvalid = "search_action_invalid"
 
   private val Stable = "^[a-z][a-z0-9_]{0,63}$".r
 

@@ -1,0 +1,122 @@
+package graft
+
+import java.nio.file.{Files, Paths}
+import graft.ingest.{DeterministicHashEmbedder, DocumentInputs, Loaders}
+import graft.model.{ErrorCodes, GraftException}
+import graft.retriever.Retriever
+
+/** Contract tests for the outer surfaces: path confinement
+  * (tests/test_document_inputs.py matrix), file loaders, retriever
+  * protocol, MCP action routing (tests/test_mcp_server.py semantics).
+  */
+class SurfaceSpec extends SparkSpec {
+
+  private def tempRoot() = {
+    val root = Files.createTempDirectory("graft-docs")
+    Files.writeString(root.resolve("a.txt"), "alpha document text")
+    Files.createDirectory(root.resolve("sub"))
+    Files.writeString(root.resolve("sub/b.txt"), "beta document text")
+    root
+  }
+
+  test("path confinement: rejection matrix") {
+    val root = tempRoot().toString
+    def reject(path: String): Unit = {
+      val e = intercept[IllegalArgumentException](
+        DocumentInputs.resolveDocumentInputs(root, includeConfiguredDirectory = false,
+          relativePaths = Seq(path)))
+      assert(e.getMessage.nonEmpty, s"expected rejection for $path")
+    }
+    reject("/etc/passwd")              // absolute
+    reject("C:/windows/system32")      // windows drive
+    reject("..")                       // traversal
+    reject("sub/../../x")              // nested traversal
+    reject("http://host/doc")          // URL
+    reject("\\\\server\\share")        // UNC
+    reject("a" * 5000)                 // over-length
+    reject("")                         // empty
+    reject("missing.txt")              // nonexistent
+  }
+
+  test("path confinement: valid selection, dedupe, directory scan") {
+    val root = tempRoot()
+    val r = DocumentInputs.resolveDocumentInputs(root.toString,
+      includeConfiguredDirectory = false,
+      relativePaths = Seq("a.txt", "sub/b.txt", "a.txt"))
+    assert(r.paths.get.size == 2) // deduped
+    val r2 = DocumentInputs.resolveDocumentInputs(root.toString,
+      includeConfiguredDirectory = true)
+    assert(r2.directory.contains(root.toRealPath()))
+    // no inputs at all -> (None, None)
+    val r3 = DocumentInputs.resolveDocumentInputs(root.toString,
+      includeConfiguredDirectory = false)
+    assert(r3.directory.isEmpty && r3.paths.isEmpty)
+  }
+
+  test("path confinement: symlink rejected at any component") {
+    val root = tempRoot()
+    Files.createSymbolicLink(root.resolve("link.txt"), root.resolve("a.txt"))
+    val e = intercept[IllegalArgumentException](
+      DocumentInputs.resolveDocumentInputs(root.toString,
+        includeConfiguredDirectory = false, relativePaths = Seq("link.txt")))
+    assert(e.getMessage.contains("symbolic link"))
+    val e2 = intercept[IllegalArgumentException](
+      DocumentInputs.resolveDocumentInputs(root.toString,
+        includeConfiguredDirectory = true))
+    assert(e2.getMessage.contains("symbolic link"))
+  }
+
+  test("loaders: text files + directory feed the ingest pipeline") {
+    val root = tempRoot()
+    val r = DocumentInputs.resolveDocumentInputs(root.toString,
+      includeConfiguredDirectory = true,
+      relativePaths = Seq("a.txt"))
+    val single = Loaders.loadTextFiles(spark, r.paths.get)
+    assert(single.count() == 1)
+    val all = Loaders.loadTextDirectory(spark, r.directory.get)
+    assert(all.count() == 2)
+    assert(all.columns.toSet == Set("content", "metadata"))
+  }
+
+  test("retriever protocol: init, chunked add, query shapes") {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, dir, new DeterministicHashEmbedder(32))
+    val retr = new Retriever(api, "rag")
+    retr.initializeCollection()
+    import spark.implicits._
+    val longDoc = (1 to 1200).map(i => s"tok$i").mkString(" ")
+    val added = retr.addDocuments(Seq(longDoc, "short doc").toDF("content"),
+      maxTokensPerChunk = 512)
+    assert(added == 4) // 1200 tokens -> 3 chunks, plus the short doc
+    val hits = retr.query("tok5 tok6", topK = 2)
+    assert(hits.size == 2)
+    assert(hits.forall(h => h.text.nonEmpty && h.id.nonEmpty))
+    val lex = retr.bm25Query("tok1199", topK = 4)
+    assert(lex.nonEmpty)
+    assert(lex.head.text.contains("tok1199"))
+  }
+
+  test("mcp surface: action routing, response shapes, error codes") {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, dir, new DeterministicHashEmbedder(32))
+    val mcp = new McpSurface(api)
+    import spark.implicits._
+    val created = mcp.vectorCollectionManagement("Create-Collection",
+      collectionName = "mc",
+      documents = Some(Seq("hello world doc", "another doc").toDF("content")))
+    assert(created("status") == "ready" && created("documents_added") == 2L)
+    val listed = mcp.vectorCollectionManagement("list_collections")
+    assert(listed("collections") == Seq(Map("collection_name" -> "mc")))
+    val res = mcp.vectorSearch("search", "mc", "hello")
+    val hits = res("results").asInstanceOf[Seq[Map[String, Any]]]
+    assert(hits.nonEmpty && hits.head.keySet == Set("id", "content", "metadata", "score"))
+    assert(intercept[GraftException](
+      mcp.vectorCollectionManagement("drop_everything")).code
+      == ErrorCodes.CollectionActionInvalid)
+    assert(intercept[GraftException](
+      mcp.vectorSearch("fuzzy", "mc", "q")).code == ErrorCodes.SearchActionInvalid)
+    assert(intercept[GraftException](
+      mcp.vectorCollectionManagement("delete_collection",
+        collectionName = "mc")).code == ErrorCodes.DeleteConfirmationRequired)
+  }
+}
