@@ -101,12 +101,30 @@ final class Api(
   // ---- ingest ----
 
   /** Sanitize -> id -> dedup -> bounds -> embed -> norm -> MERGE. */
-  def addDocuments(name: String, batch: DataFrame): Long = {
+  def addDocuments(name: String, batch: DataFrame): Long =
+    writeDocuments(name, batch, upsert = true)
+
+  /** insert_documents(_upsert=false): duplicate ids within the prepared
+    * batch or ids already stored raise (base.py:139-157 semantics via
+    * epistemic_graph.py:198-204). The prepare step's content-dedup is the
+    * _load_documents layer; this guard protects caller-supplied batches.
+    */
+  def insertDocuments(name: String, batch: DataFrame): Long =
+    writeDocuments(name, batch, upsert = false)
+
+  private def writeDocuments(name: String, batch: DataFrame, upsert: Boolean): Long = {
     val entry = catalog.getCollection(physical(name))
-    val prepared = Ingest.prepare(batch)
+    val prepared =
+      if (upsert) Ingest.prepare(batch)
+      else {
+        val p = Ingest.prepareNoDedup(batch)
+        Ingest.assertNoDuplicateIds(p)
+        p
+      }
     Ingest.checkBounds(prepared)
     val embedded = Ingest.withNorm(Embed.withEmbeddings(prepared, embedder))
     val existing = catalog.readDocuments(entry)
+    if (!upsert) Ingest.assertNoneExist(existing, embedded)
     val merged = Ingest.upsertPlan(existing, embedded)
     val out = merged.cache()
     val added = out.count()

@@ -11,6 +11,9 @@ object Bench {
       // JVM (not ICU) case mappings: avoids a minutes-long one-time ICU
       // title-case table build in cold JVMs; identical results on ASCII data.
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // long query sequences accumulate broadcast/shuffle metadata that only
+      // a JVM GC lets the ContextCleaner reclaim; default interval is 30min
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
@@ -20,11 +23,17 @@ object Bench {
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1" && sfDir != warmDir)
       ordered.foreach { case (_, fn) =>
         try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        spark.catalog.clearCache()
       }
     val results = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // release per-query cached intermediates so later queries aren't
+      // starved by accumulated storage memory
+      spark.catalog.clearCache()
+      System.gc()
+      name -> dt
     }.toMap
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")

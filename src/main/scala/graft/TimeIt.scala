@@ -22,6 +22,7 @@ object TimeIt {
       val df = fn(spark, sfDir)
       val tPlan = System.nanoTime()
       val n = df.count()
+      spark.catalog.clearCache()
       val t1 = System.nanoTime()
       println(f"$name%-28s plan=${(tPlan - t0) / 1e9}%6.2fs exec=${(t1 - tPlan) / 1e9}%6.2fs rows=$n")
     }

@@ -15,6 +15,9 @@ object Verify {
       // JVM (not ICU) case mappings: avoids a minutes-long one-time ICU
       // title-case table build in cold JVMs; identical results on ASCII data.
       .config("spark.sql.icu.caseMappings.enabled", "false")
+      // long query sequences accumulate broadcast/shuffle metadata that only
+      // a JVM GC lets the ContextCleaner reclaim; default interval is 30min
+      .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
@@ -24,6 +27,7 @@ object Verify {
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
       }
+      finally spark.catalog.clearCache()
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

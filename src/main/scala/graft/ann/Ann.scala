@@ -56,6 +56,32 @@ object Ann {
       .select(col("id"), col("embedding"), col("norm"), col("centroid_id").as("cluster_id"))
   }
 
+  /** Offline kNN self-join: every vector's top-k neighbors (excluding
+    * itself) — the workhorse of embedding-dedup and clustering pipelines.
+    *
+    * v0 (exact): blocked self-join + two-level row_number top-k. The
+    * local/global window pair bounds the second shuffle to ~partitions*k
+    * rows per query vector. 100 TB path: restrict the self-join to IVF
+    * cluster neighborhoods (join on cluster_id from [[assign]]) — same
+    * shape, pruned pairs.
+    */
+  def knnJoin(vectors: DataFrame, k: Int): DataFrame = {
+    val a = vectors.select(col("id").as("qid"), col("embedding").as("qv"), col("norm").as("qn"))
+    val b = vectors.select(col("id"), col("embedding"), col("norm"))
+    val scored = a.join(b, col("qid") =!= col("id"))
+      .withColumn("score",
+        VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
+      .withColumn("pid", spark_partition_id())
+    val localW = Window.partitionBy("qid", "pid")
+      .orderBy(col("score").desc, col("id").asc)
+    val globalW = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("id").asc)
+    scored
+      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
+      .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
+      .select(col("qid"), col("id").as("neighbor"), col("rn").as("rank"), col("score"))
+  }
+
   /** IVF search: probe the nprobe nearest centroids, exact top-k within the
     * probed partitions. `assigned` is the output of [[assign]] (at scale:
     * read back from Parquet partitioned by cluster_id, giving partition

@@ -172,7 +172,26 @@ object DedupQueries {
       |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 5
       |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
 
+  // ---- kNN self-join: top-3 neighbors of the first 50 vectors ----
+  def annKnnJoin(s: SparkSession, dir: String): DataFrame =
+    Ann.knnJoin(Tables.vectors(s, dir).filter(col("id") < 50), 3)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("qid", "rank")
+
+  val annKnnJoinSql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings WHERE vec_id < 50),
+      |s AS (SELECT a.id AS qid, b.id AS nid,
+      |             list_cosine_similarity(a.v, b.v) AS sc
+      |      FROM e a JOIN e b ON a.id <> b.id),
+      |t AS (SELECT qid, nid, sc,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rn
+      |      FROM s)
+      |SELECT qid, nid AS neighbor, CAST(rn AS INTEGER) AS rank, round(sc, 6) AS score
+      |FROM t WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_ann_knn_join" -> (annKnnJoin _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_ngram" -> (dedupNgram _),
@@ -183,6 +202,7 @@ object DedupQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_ann_knn_join" -> annKnnJoinSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_ngram" -> dedupNgramSql,

@@ -83,6 +83,20 @@ object Ingest {
       .drop("__rn", "__ord")
   }
 
+  /** prepare() without the last-wins id dedup — for insert_documents
+    * callers whose batches must be id-unique (checked separately).
+    */
+  def prepareNoDedup(batch: DataFrame): DataFrame =
+    batch
+      .withColumn("content", Sanitize.sanitizeText(col("content")))
+      .withColumn("metadata",
+        if (batch.columns.contains("metadata")) Sanitize.sanitizeMetadata(col("metadata"))
+        else map().cast("map<string,string>"))
+      .withColumn("embedding",
+        if (batch.columns.contains("embedding")) col("embedding").cast("array<float>")
+        else lit(null).cast("array<float>"))
+      .withColumn("id", contentId(col("content")))
+
   /** Bounds from vector_api.py:47-49 / :332-341, as one aggregate pass. */
   def checkBounds(batch: DataFrame): Unit = {
     val r = batch.agg(
@@ -99,6 +113,17 @@ object Ingest {
       throw new GraftException(ErrorCodes.DocumentContentInvalid)
     if (r.getAs[Long]("totb") > graft.model.Limits.MaxDocumentTotalBytes)
       throw new GraftException(ErrorCodes.DocumentTotalSizeExceeded)
+  }
+
+  /** Duplicate ids WITHIN a batch => `document_ids_duplicate`
+    * (epistemic_graph.py:198-200, qdrant.py:177-179). One aggregate pass.
+    */
+  def assertNoDuplicateIds(batch: DataFrame): Unit = {
+    val r = batch.agg(
+      count(lit(1)).as("n"),
+      countDistinct(col("id")).as("d")).collect()(0)
+    if (r.getAs[Long]("n") != r.getAs[Long]("d"))
+      throw new GraftException(ErrorCodes.DocumentIdsDuplicate)
   }
 
   /** Insert with `_upsert=false` semantics: any id already present =>

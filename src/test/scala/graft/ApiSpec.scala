@@ -88,6 +88,19 @@ class ApiSpec extends SparkSpec {
       Seq(Ingest.contentIdScala("b doc"))).count() == 1)
   }
 
+  test("insert (_upsert=false): in-batch duplicate ids and existing ids raise") {
+    val api = newApi()
+    import spark.implicits._
+    api.createCollection("ins", documents = Some(Seq("seed doc").toDF("content")))
+    assert(intercept[GraftException](
+      api.insertDocuments("ins", Seq("dup doc", "dup doc").toDF("content"))).code
+      == ErrorCodes.DocumentIdsDuplicate)
+    assert(intercept[GraftException](
+      api.insertDocuments("ins", Seq("seed doc").toDF("content"))).code
+      == ErrorCodes.DocumentExists)
+    assert(api.insertDocuments("ins", Seq("fresh doc").toDF("content")) == 2)
+  }
+
   test("delete requires confirm=true exactly") {
     val api = newApi()
     api.createCollection("del1")

@@ -92,6 +92,21 @@ class FunctionsSpec extends SparkSpec {
     assert(fused("d3") == 0.5 / 62)
   }
 
+  test("searchMany (large-batch window path) agrees with per-query top-k path") {
+    import spark.implicits._
+    val dir = "/root/testdata/sf0.001"
+    val docs = Tables.vectors(spark, dir)
+    val qs = Tables.queryVectors(spark, dir, Seq(0, 1))
+    val perQuery = graft.search.Semantic.search(docs, qs, 5)
+      .select("query_idx", "id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    val qdf = qs.map { case (i, v) => (i, v) }.toDF("query_idx", "query_vec")
+    val windowed = graft.search.Semantic.searchMany(docs, qdf, 5)
+      .select("query_idx", "id").collect()
+      .map(r => (r.getInt(0), r.getLong(1))).toSet
+    assert(perQuery == windowed)
+  }
+
   test("error firewall collapses unstable messages") {
     import graft.model.ErrorCodes
     assert(ErrorCodes.firewall("collection_not_found") == "collection_not_found")
