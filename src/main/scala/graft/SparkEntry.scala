@@ -59,20 +59,20 @@ object SparkEntry {
     }),
     // ---- §2.3 lexical_search: TF-sum scoring (epistemic_graph fallback) ----
     "q_lexical_tf" -> ((s, dir) => {
-      val docs = corpus(s, dir)
+      val docs = textCorpus(s, dir)
       Lexical.search(docs, Seq((0, "spark join"), (1, "vector stream")), 10)
         .orderBy(col("query_idx"), col("score").desc, col("id"))
     }),
     // ---- §2.2/§2.3 index-backed lexical search over the ingest-time
     //      posting table (the GIN-index analog, postgres.py:189-196) ----
     "q_lexical_indexed" -> ((s, dir) => {
-      val postings = graft.ingest.Ingest.postings(corpus(s, dir))
+      val postings = graft.ingest.Ingest.postings(textCorpus(s, dir))
       Lexical.searchIndexed(postings, Seq((0, "spark join"), (1, "vector stream")), 10)
         .orderBy(col("query_idx"), col("score").desc, col("id"))
     }),
     // ---- §2.3 lexical_search v1: BM25 (retriever/retriever.py:90-101 intent) ----
     "q_lexical_bm25" -> ((s, dir) => {
-      val docs = corpus(s, dir)
+      val docs = textCorpus(s, dir)
       Lexical.searchBm25(docs, 0, "spark join table", 10)
         .withColumn("score", round(col("score"), 6))
         .orderBy(col("score").desc, col("id"))

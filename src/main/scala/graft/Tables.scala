@@ -29,6 +29,14 @@ object Tables {
         VectorFunctions.l2Norm(embs("embedding")).as("norm"))
   }
 
+  /** Text-only corpus (no embeddings join) — lexical operators run over ALL
+    * documents; at some sf the embeddings table covers only a subset of
+    * documents, so joining would silently shrink the lexical corpus.
+    */
+  def textCorpus(spark: SparkSession, dir: String): DataFrame =
+    t(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("content"))
+
   /** Embeddings-only view with engine column names. */
   def vectors(spark: SparkSession, dir: String): DataFrame =
     t(spark, dir, "embeddings").select(

@@ -178,10 +178,23 @@ object Dedup {
   def ngramJaccard(
       docs: DataFrame,
       threshold: Double,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sh = shingleRows(docs, shingleN).cache()
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("len"))
-    val co = sh.as("x").join(sh.as("y"),
+    // Skew guard for the inverted join: a shingle shared by d documents
+    // contributes d^2 candidate pairs, so one stop-shingle can explode the
+    // join. maxShingleDf drops such shingles from PAIR GENERATION only
+    // (sizes keep them), which can only shrink reported intersections —
+    // i.e. a documented under-count for pathological corpora, exact
+    // (default: no cap) otherwise. The standard stop-shingle treatment.
+    val joinSh =
+      if (maxShingleDf == Int.MaxValue) sh
+      else sh.join(
+        sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("sh"),
+        Seq("sh"), "left_semi")
+    val co = joinSh.as("x").join(joinSh.as("y"),
         col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
       .groupBy(col("x.id").as("a"), col("y.id").as("b"))
       .agg(count(lit(1)).as("inter"))
