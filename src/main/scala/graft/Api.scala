@@ -92,6 +92,12 @@ final class Api(
 
   def listCollections(): Seq[String] = catalog.listCollections(tenant)
 
+  /** get_collection: handle lookup; collection_not_found when absent
+    * (base.py:107-117).
+    */
+  def getCollection(name: String): graft.model.CollectionEntry =
+    catalog.getCollection(physical(name))
+
   def deleteCollection(name: String, confirm: Boolean): OpStatus = {
     if (!confirm) throw new GraftException(ErrorCodes.DeleteConfirmationRequired)
     catalog.deleteCollection(physical(name))
@@ -103,6 +109,12 @@ final class Api(
   /** Sanitize -> id -> dedup -> bounds -> embed -> norm -> MERGE. */
   def addDocuments(name: String, batch: DataFrame): Long =
     writeDocuments(name, batch, upsert = true)
+
+  /** update_documents = insert_documents(_upsert=true) everywhere in the
+    * reference (base.py:159-172).
+    */
+  def updateDocuments(name: String, batch: DataFrame): Long =
+    addDocuments(name, batch)
 
   /** insert_documents(_upsert=false): duplicate ids within the prepared
     * batch or ids already stored raise (base.py:139-157 semantics via
