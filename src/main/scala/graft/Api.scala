@@ -172,6 +172,70 @@ final class Api(
     serialize(res)
   }
 
+  /** Build (or rebuild) the collection's persistent ANN index (IVF layout,
+    * cluster-partitioned parquet — see graft.ann.IvfIndex).
+    */
+  def buildAnnIndex(name: String, nClusters: Int): DataFrame = {
+    val entry = catalog.getCollection(physical(name))
+    graft.ann.IvfIndex.build(spark, catalog, entry, nClusters)
+  }
+
+  /** Approximate semantic search through the ANN index, carrying the
+    * reference's recall knob: candidates considered >= max(10*k, 100)
+    * (mongodb.py:277). Probes are chosen adaptively — smallest set of
+    * nearest clusters whose cumulative size reaches numCandidates — then
+    * scoring within probed partitions is exact.
+    */
+  def semanticSearchApprox(
+      name: String,
+      centroids: DataFrame,
+      questions: Seq[String],
+      nResults: Int = 10): SearchResponse = {
+    val k = validLimit(nResults)
+    val numCandidates = math.max(10 * k, 100)
+    val entry = catalog.getCollection(physical(name))
+    val assigned = spark.read.parquet(graft.ann.IvfIndex.indexPath(catalog, entry))
+    val clusterSizes = assigned.groupBy("cluster_id").count()
+      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
+    val centroidRows = centroids
+      .select("centroid_id", "centroid", "centroid_norm").collect()
+    val results = questions.map(validQuestion).map(Sanitize.sanitizeString)
+      .zipWithIndex.map { case (q, qIdx) =>
+        val qVec = embedder.embedQuery(q).toSeq
+        val qNorm = math.sqrt(qVec.map(v => v.toDouble * v.toDouble).sum)
+        val ranked = centroidRows.map { r =>
+          val c = r.getSeq[Float](1)
+          val dot = c.zip(qVec).map { case (x, y) => x.toDouble * y.toDouble }.sum
+          (1.0 - dot / (r.getDouble(2) * qNorm), r.get(0))
+        }.sortBy { case (d, id) => (d, id.toString) }
+        // adaptive probe: accumulate clusters until the candidate pool
+        // reaches the oversampling floor
+        val probes = scala.collection.mutable.ArrayBuffer.empty[Any]
+        var pool = 0L
+        ranked.iterator.takeWhile { _ => pool < numCandidates }.foreach {
+          case (_, cid) =>
+            probes += cid
+            pool += clusterSizes.getOrElse(cid, 0L)
+        }
+        assigned
+          .filter(col("cluster_id").isin(probes.toSeq: _*))
+          .withColumn("score",
+            graft.search.Semantic.scoreAgainst(col("embedding"), col("norm"), qVec))
+          .withColumn("query_idx", lit(qIdx))
+          .select("query_idx", "id", "score")
+          .orderBy(col("score").desc, col("id").asc)
+          .limit(k)
+      }
+    val union = results.reduce(_ unionAll _)
+    val docsDf = docs(name)
+    val payload = union.alias("f")
+      .join(docsDf.alias("d"), col("f.id") === col("d.id"), "left")
+      .select(col("f.query_idx"), col("f.id"), col("d.content"),
+        col("d.metadata"), col("f.score"))
+      .orderBy(col("f.query_idx"), col("f.score").desc, col("f.id"))
+    serialize(payload)
+  }
+
   def lexicalSearch(
       name: String, questions: Seq[String], nResults: Int = 10): SearchResponse = {
     val k = validLimit(nResults)

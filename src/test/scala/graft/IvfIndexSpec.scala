@@ -52,4 +52,23 @@ class IvfIndexSpec extends SparkSpec {
     assert(ivf == brute)
     centroids.unpersist()
   }
+
+  test("Api.semanticSearchApprox: adaptive probes reach the oversampling floor; recall==1 when pool covers corpus") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+    val docs = (0 until 150).map(i => s"record $i text t${i % 11}").toDF("content")
+    api.createCollection("approx", documents = Some(docs))
+    val centroids = api.buildAnnIndex("approx", nClusters = 6).cache()
+    // numCandidates = max(10*k,100); with 150 docs in 6 clusters the
+    // adaptive probe covers ~100+ docs, k=5
+    val approx = api.semanticSearchApprox("approx", centroids, Seq("record 7 text"), 5)
+    assert(approx.results.size == 5)
+    assert(approx.results.map(_.score) == approx.results.map(_.score).sorted.reverse)
+    val exact = api.semanticSearch("approx", Seq("record 7 text"), 5)
+    val overlap = approx.results.map(_.id).toSet
+      .intersect(exact.results.map(_.id).toSet).size
+    assert(overlap >= 3, s"approx should mostly agree with exact, got $overlap/5")
+    centroids.unpersist()
+  }
 }
