@@ -107,6 +107,20 @@ class FunctionsSpec extends SparkSpec {
     assert(perQuery == windowed)
   }
 
+  test("salted aggregation equals plain aggregation on a skewed key") {
+    import spark.implicits._
+    // 90% of rows share one hot key
+    val df = (1 to 2000).map(i => (if (i % 10 == 0) s"k${i % 7}" else "hot", i.toLong))
+      .toDF("k", "v")
+    val plain = df.groupBy("k").agg(sum($"v").as("v"), count($"v").as("c"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    val salted = graft.functions.SkewTools
+      .saltedAgg(df.withColumn("c", $"v"), Seq("k"),
+        Map("v" -> "sum", "c" -> "count"), salts = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSet
+    assert(salted == plain)
+  }
+
   test("error firewall collapses unstable messages") {
     import graft.model.ErrorCodes
     assert(ErrorCodes.firewall("collection_not_found") == "collection_not_found")
