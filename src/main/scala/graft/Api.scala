@@ -44,6 +44,17 @@ final class Api(
     q
   }
 
+  /** A query batch must contain at least one question — an empty batch is
+    * the batch-shaped analog of the reference's empty-question rejection
+    * (vector_api.py:230), and guards the engine's per-query plan union
+    * (reduce over a non-empty list) from ever seeing Seq.empty.
+    */
+  def validQuestions(qs: Seq[String]): Seq[String] = {
+    if (qs == null || qs.isEmpty)
+      throw new GraftException(ErrorCodes.SearchQuestionInvalid)
+    qs.map(validQuestion)
+  }
+
   def validLimit(n: Int): Int = {
     if (n < 1 || n > Limits.MaxResults)
       throw new GraftException(ErrorCodes.ResultCountInvalid)
@@ -134,15 +145,16 @@ final class Api(
         p
       }
     Ingest.checkBounds(prepared)
-    val embedded = Ingest.withNorm(Embed.withEmbeddings(prepared, embedder))
-    val existing = catalog.readDocuments(entry)
-    if (!upsert) Ingest.assertNoneExist(existing, embedded)
-    val merged = Ingest.upsertPlan(existing, embedded)
-    val out = merged.cache()
-    val added = out.count()
-    Ingest.rewrite(spark, catalog, entry, out)
-    out.unpersist()
-    added
+    val embedded = Ingest.withNorm(Embed.withEmbeddings(prepared, embedder)).cache()
+    try {
+      // documents_added = size of the prepared/embedded batch, NOT the
+      // merged table count (vector_api.py:435-439 returns len(documents)).
+      val added = embedded.count()
+      val existing = catalog.readDocuments(entry)
+      if (!upsert) Ingest.assertNoneExist(existing, embedded)
+      Ingest.rewrite(spark, catalog, entry, Ingest.upsertPlan(existing, embedded))
+      added
+    } finally embedded.unpersist()
   }
 
   def deleteDocuments(name: String, ids: Seq[String]): Unit = {
@@ -165,7 +177,7 @@ final class Api(
       name: String, questions: Seq[String], nResults: Int = 10,
       distanceThreshold: Double = -1.0): SearchResponse = {
     val k = validLimit(nResults)
-    val qs = questions.map(validQuestion).map(Sanitize.sanitizeString)
+    val qs = validQuestions(questions).map(Sanitize.sanitizeString)
       .zipWithIndex.map { case (q, i) => i -> embedder.embedQuery(q).toSeq }
     val res = Semantic.search(docs(name), qs, k, distanceThreshold,
       payload = Seq("content", "metadata"))
@@ -188,37 +200,34 @@ final class Api(
     */
   def semanticSearchApprox(
       name: String,
-      centroids: DataFrame,
       questions: Seq[String],
       nResults: Int = 10): SearchResponse = {
     val k = validLimit(nResults)
+    // validate the batch BEFORE touching storage: an empty or invalid batch
+    // must surface as the governed error, not an index-read failure
+    val valid = validQuestions(questions).map(Sanitize.sanitizeString)
     val numCandidates = math.max(10 * k, 100)
     val entry = catalog.getCollection(physical(name))
-    val assigned = spark.read.parquet(graft.ann.IvfIndex.indexPath(catalog, entry))
+    // Index + centroids are both loaded from the persisted build artifacts
+    // (IvfIndex.build wrote them together), so they can never diverge, and
+    // cluster ids are normalized to Long on both sides of the size lookup.
+    val assigned = graft.ann.IvfIndex.loadIndex(spark, catalog, entry)
     val clusterSizes = assigned.groupBy("cluster_id").count()
-      .collect().map(r => r.get(0) -> r.getLong(1)).toMap
-    val centroidRows = centroids
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centroidRows = graft.ann.IvfIndex.loadCentroids(spark, catalog, entry)
       .select("centroid_id", "centroid", "centroid_norm").collect()
-    val results = questions.map(validQuestion).map(Sanitize.sanitizeString)
-      .zipWithIndex.map { case (q, qIdx) =>
-        val qVec = embedder.embedQuery(q).toSeq
+    val results = valid.zipWithIndex.map { case (q, qIdx) =>
+  val qVec = embedder.embedQuery(q).toSeq
         val qNorm = math.sqrt(qVec.map(v => v.toDouble * v.toDouble).sum)
         val ranked = centroidRows.map { r =>
           val c = r.getSeq[Float](1)
           val dot = c.zip(qVec).map { case (x, y) => x.toDouble * y.toDouble }.sum
-          (1.0 - dot / (r.getDouble(2) * qNorm), r.get(0))
-        }.sortBy { case (d, id) => (d, id.toString) }
-        // adaptive probe: accumulate clusters until the candidate pool
-        // reaches the oversampling floor
-        val probes = scala.collection.mutable.ArrayBuffer.empty[Any]
-        var pool = 0L
-        ranked.iterator.takeWhile { _ => pool < numCandidates }.foreach {
-          case (_, cid) =>
-            probes += cid
-            pool += clusterSizes.getOrElse(cid, 0L)
-        }
+          (1.0 - dot / (r.getDouble(2) * qNorm), r.getLong(0))
+        }.sortBy(identity)
+        val probes = graft.ann.IvfIndex.adaptiveProbes(
+          ranked.toSeq, clusterSizes, numCandidates)
         assigned
-          .filter(col("cluster_id").isin(probes.toSeq: _*))
+          .filter(col("cluster_id").isin(probes: _*))
           .withColumn("score",
             graft.search.Semantic.scoreAgainst(col("embedding"), col("norm"), qVec))
           .withColumn("query_idx", lit(qIdx))
@@ -239,7 +248,7 @@ final class Api(
   def lexicalSearch(
       name: String, questions: Seq[String], nResults: Int = 10): SearchResponse = {
     val k = validLimit(nResults)
-    val qs = questions.map(validQuestion).map(Sanitize.sanitizeString).zipWithIndex.map(_.swap)
+    val qs = validQuestions(questions).map(Sanitize.sanitizeString).zipWithIndex.map(_.swap)
     serialize(Lexical.search(docs(name), qs, k, payload = Seq("content", "metadata")))
   }
 

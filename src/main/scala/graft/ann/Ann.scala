@@ -113,6 +113,12 @@ object Ann {
         .orderBy(col("score").desc, col("id").asc)
         .limit(k)
     }
-    results.reduce(_ unionAll _)
+    // empty batch -> zero-row result with the result schema (see Semantic)
+    results.reduceOption(_ unionAll _).getOrElse(
+      assigned
+        .withColumn("score", lit(0.0))
+        .withColumn("query_idx", lit(0))
+        .select("query_idx", "id", "score")
+        .limit(0))
   }
 }

@@ -24,7 +24,17 @@ object IvfIndex {
   def indexPath(catalog: Catalog, entry: CollectionEntry): String =
     catalog.tablePath(entry) + ".ivf"
 
-  /** Build (or rebuild) the index from the collection's documents table. */
+  def centroidsPath(catalog: Catalog, entry: CollectionEntry): String =
+    catalog.tablePath(entry) + ".ivf.centroids"
+
+  /** Build (or rebuild) the index from the collection's documents table.
+    *
+    * Both artifacts are MATERIALIZED at build time — the assignments
+    * (partitioned by cluster_id) and the centroid table itself — so a later
+    * mutation of the documents table cannot silently desynchronize the
+    * centroids a search probes against from the persisted assignments.
+    * Returns the persisted centroid table (read back, not the lazy plan).
+    */
   def build(
       spark: SparkSession,
       catalog: Catalog,
@@ -36,26 +46,68 @@ object IvfIndex {
       .orderBy("id").limit(nClusters)
       .select(monotonically_increasing_id().as("centroid_id"),
         col("embedding").as("centroid"), col("norm").as("centroid_norm"))
-    val assigned = Ann.assign(docs, centroids)
+    centroids.write.mode(SaveMode.Overwrite).parquet(centroidsPath(catalog, entry))
+    val assigned = Ann.assign(docs, loadCentroids(spark, catalog, entry))
     assigned.write
       .partitionBy("cluster_id")
       .mode(SaveMode.Overwrite)
       .parquet(indexPath(catalog, entry))
-    centroids
+    loadCentroids(spark, catalog, entry)
+  }
+
+  /** The persisted centroid table of the last [[build]]. */
+  def loadCentroids(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): DataFrame =
+    spark.read.parquet(centroidsPath(catalog, entry))
+
+  /** Schema the assignments are read back under. Spelling it out (instead
+    * of inference) pins `cluster_id` to Long: partition-column inference
+    * would type the directory values as Integer, mismatching the Long
+    * centroid_id domain in driver-side Map lookups (Integer != Long under
+    * universal equality). A declared schema keeps the column a true
+    * partition column, so probe filters still prune physically.
+    */
+  private val IndexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", StringType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("norm", DoubleType),
+      StructField("cluster_id", LongType)))
+  }
+
+  /** The persisted assignments with `cluster_id: Long` (see [[IndexSchema]]). */
+  def loadIndex(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): DataFrame =
+    spark.read.schema(IndexSchema).parquet(indexPath(catalog, entry))
+
+  /** Adaptive probe selection: the smallest prefix of distance-ranked
+    * clusters whose cumulative size reaches `numCandidates` (the
+    * oversampling floor, reference mongodb.py:277). Driver-side over the
+    * tiny centroid ranking — the cluster-count domain, not the corpus.
+    */
+  def adaptiveProbes(
+      rankedClusters: Seq[(Double, Long)], // (distance, cluster_id) ascending
+      clusterSizes: Map[Long, Long],
+      numCandidates: Long): Seq[Long] = {
+    val probes = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var pool = 0L
+    rankedClusters.iterator.takeWhile(_ => pool < numCandidates).foreach {
+      case (_, cid) =>
+        probes += cid
+        pool += clusterSizes.getOrElse(cid, 0L)
+    }
+    probes.toSeq
   }
 
   /** Approximate top-k through the index: driver-side probe selection over
-    * the (tiny, collected) centroid table, then a partition-pruned scan.
+    * the (tiny, persisted) centroid table, then a partition-pruned scan.
     */
   def search(
       spark: SparkSession,
       catalog: Catalog,
       entry: CollectionEntry,
-      centroids: DataFrame,
       queries: Seq[(Int, Seq[Float])],
       k: Int,
-      nprobe: Int): DataFrame = {
-    val assigned = spark.read.parquet(indexPath(catalog, entry))
-    Ann.ivfTopK(assigned, centroids, queries, k, nprobe)
-  }
+      nprobe: Int): DataFrame =
+    Ann.ivfTopK(loadIndex(spark, catalog, entry),
+      loadCentroids(spark, catalog, entry), queries, k, nprobe)
 }

@@ -91,8 +91,10 @@ object TextQueries {
        |        CAST(len(list_distinct($toksD)) AS BIGINT) AS n_distinct,
        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
        |      FROM documents)
-       |SELECT lang, count(*) AS n_docs, sum(n_tok) AS total_tok,
-       |       sum(n_distinct) AS total_distinct, sum(n_ws) AS total_ws
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS total_tok,
+       |       CAST(sum(n_distinct) AS BIGINT) AS total_distinct,
+       |       CAST(sum(n_ws) AS BIGINT) AS total_ws
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Rolling polynomial fingerprint over the token stream (order-sensitive,

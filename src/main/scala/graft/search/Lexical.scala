@@ -52,7 +52,9 @@ object Lexical {
         .orderBy(col("score").desc, col("id").asc)
         .limit(k)
     }
-    results.reduce(_ unionAll _)
+    // empty batch -> zero-row result with the result schema (see Semantic)
+    results.reduceOption(_ unionAll _).getOrElse(
+      search(docs, Seq(0 -> ""), k, payload).limit(0))
   }
 
   /** BM25 top-k for one query. Two-phase: (1) one aggregate over the corpus
@@ -121,6 +123,8 @@ object Lexical {
         .orderBy(col("score").desc, col("id").asc)
         .limit(k)
     }
-    results.reduce(_ unionAll _)
+    // empty batch -> zero-row result with the result schema (see Semantic)
+    results.reduceOption(_ unionAll _).getOrElse(
+      searchIndexed(postings, Seq(0 -> ""), k).limit(0))
   }
 }

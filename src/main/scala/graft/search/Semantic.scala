@@ -70,7 +70,12 @@ object Semantic {
         .orderBy(col("score").desc, col("id").asc)
         .limit(k)
     }
-    results.reduce(_ unionAll _)
+    // Empty query batch -> empty result WITH the result schema (a plan for
+    // a dummy query, truncated to zero rows — Catalyst's OptimizeLimitZero
+    // folds it to an empty LocalRelation, so nothing is ever scanned).
+    // The Api layer additionally rejects empty batches up front.
+    results.reduceOption(_ unionAll _).getOrElse(
+      search(docs, Seq(0 -> Seq(0f)), k, distanceThreshold, payload).limit(0))
   }
 
   /** Window-based variant for LARGE query batches (offline kNN join):

@@ -26,6 +26,12 @@ object StreamingIngest {
     * within the watermark horizon (streaming analog of the batch last-wins
     * dedup — streaming keeps FIRST-wins, the only semantics expressible
     * without unbounded state), stamp ingest time.
+    *
+    * `dropDuplicatesWithinWatermark` (not plain `dropDuplicates`) is what
+    * bounds the dedup state: keys older than the watermark horizon are
+    * evicted, so state size tracks the horizon, not the stream's lifetime.
+    * Plain `dropDuplicates("id")` would never evict (the event-time column
+    * is not part of the keys) — global dedup with unbounded state.
     */
   def ingestPipeline(source: DataFrame, watermark: String = "10 minutes"): DataFrame =
     source
@@ -33,7 +39,7 @@ object StreamingIngest {
       .withColumn("id", Ingest.contentId(col("content")))
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", watermark)
-      .dropDuplicates("id")
+      .dropDuplicatesWithinWatermark("id")
 
   /** Write the ingest stream to a Parquet collection dir (append-only
     * staging; compaction into the main table is a periodic batch MERGE).

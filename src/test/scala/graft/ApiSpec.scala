@@ -83,9 +83,14 @@ class ApiSpec extends SparkSpec {
     import spark.implicits._
     api.createCollection("ups", documents = Some(Seq("a doc", "b doc").toDF("content")))
     val added = api.addDocuments("ups", Seq("b doc", "c doc").toDF("content"))
-    assert(added == 3) // total rows after merge
+    // documents_added counts the prepared batch (vector_api.py:435-439),
+    // not the merged table size
+    assert(added == 2)
     assert(api.getDocumentsByIds("ups",
       Seq(Ingest.contentIdScala("b doc"))).count() == 1)
+    // the merged table still holds the union of both batches
+    assert(api.getDocumentsByIds("ups", Seq("a doc", "b doc", "c doc")
+      .map(Ingest.contentIdScala)).count() == 3)
   }
 
   test("insert (_upsert=false): in-batch duplicate ids and existing ids raise") {
@@ -98,7 +103,8 @@ class ApiSpec extends SparkSpec {
     assert(intercept[GraftException](
       api.insertDocuments("ins", Seq("seed doc").toDF("content"))).code
       == ErrorCodes.DocumentExists)
-    assert(api.insertDocuments("ins", Seq("fresh doc").toDF("content")) == 2)
+    // batch-size semantics: one fresh doc inserted -> 1 (not table total)
+    assert(api.insertDocuments("ins", Seq("fresh doc").toDF("content")) == 1)
   }
 
   test("delete requires confirm=true exactly") {

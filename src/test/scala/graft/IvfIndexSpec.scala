@@ -23,13 +23,15 @@ class IvfIndexSpec extends SparkSpec {
     assert(dirs.length > 1)
 
     val q = new DeterministicHashEmbedder(32).embedQuery("document number 7").toSeq
-    val res = IvfIndex.search(spark, api.catalog, entry, centroids,
+    val res = IvfIndex.search(spark, api.catalog, entry,
       Seq(0 -> q), k = 5, nprobe = 3)
     assert(res.count() == 5)
 
     // partition pruning is visible in the physical plan of the probed scan
-    val assigned = spark.read.parquet(IvfIndex.indexPath(api.catalog, entry))
-    val pruned = assigned.filter(col("cluster_id").isin(0, 1))
+    // (loadIndex declares cluster_id as Long; Long probe literals must
+    // still land in PartitionFilters)
+    val assigned = IvfIndex.loadIndex(spark, api.catalog, entry)
+    val pruned = assigned.filter(col("cluster_id").isin(0L, 1L))
     val scanExec = pruned.queryExecution.executedPlan.collect {
       case f: org.apache.spark.sql.execution.FileSourceScanExec => f
     }.head
@@ -59,16 +61,81 @@ class IvfIndexSpec extends SparkSpec {
     import spark.implicits._
     val docs = (0 until 150).map(i => s"record $i text t${i % 11}").toDF("content")
     api.createCollection("approx", documents = Some(docs))
-    val centroids = api.buildAnnIndex("approx", nClusters = 6).cache()
+    api.buildAnnIndex("approx", nClusters = 6)
     // numCandidates = max(10*k,100); with 150 docs in 6 clusters the
     // adaptive probe covers ~100+ docs, k=5
-    val approx = api.semanticSearchApprox("approx", centroids, Seq("record 7 text"), 5)
+    val approx = api.semanticSearchApprox("approx", Seq("record 7 text"), 5)
     assert(approx.results.size == 5)
     assert(approx.results.map(_.score) == approx.results.map(_.score).sorted.reverse)
     val exact = api.semanticSearch("approx", Seq("record 7 text"), 5)
     val overlap = approx.results.map(_.id).toSet
       .intersect(exact.results.map(_.id).toSet).size
     assert(overlap >= 3, s"approx should mostly agree with exact, got $overlap/5")
-    centroids.unpersist()
+  }
+
+  test("adaptive probe selection stops once cluster sizes cover numCandidates (strict subset)") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+    val docs = (0 until 150).map(i => s"entry $i body b${i % 13}").toDF("content")
+    api.createCollection("probes", documents = Some(docs))
+    api.buildAnnIndex("probes", nClusters = 6)
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "probes"))
+    val assigned = IvfIndex.loadIndex(spark, api.catalog, entry)
+    // with the index loaded Long-typed, sizes key on Long and the lookup hits
+    val sizes = assigned.groupBy("cluster_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(sizes.values.sum == 150)
+    val ranked = IvfIndex.loadCentroids(spark, api.catalog, entry)
+      .collect().map(r => (r.getLong(0).toDouble, r.getLong(0))).sortBy(identity).toSeq
+    val probes = IvfIndex.adaptiveProbes(ranked, sizes, numCandidates = 100)
+    assert(probes.nonEmpty && probes.size < 6,
+      s"sizes cover the floor before all clusters: got ${probes.size}/6 probes")
+    // degenerate guard the bug produced: unknown (mistyped) keys -> all clusters
+    val mistyped = IvfIndex.adaptiveProbes(ranked, Map.empty, numCandidates = 100)
+    assert(mistyped.size == 6, "empty size map degrades to scanning every cluster")
+  }
+
+  test("centroids are persisted at build time and survive document mutation") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+    api.createCollection("stale",
+      documents = Some((0 until 60).map(i => s"stale doc $i").toDF("content")))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "stale"))
+    api.buildAnnIndex("stale", nClusters = 4)
+    val before = IvfIndex.loadCentroids(spark, api.catalog, entry)
+      .orderBy("centroid_id").collect().map(_.getSeq[Float](1)).toSeq
+    // mutate the documents table after the build
+    api.addDocuments("stale", (100 until 160).map(i => s"later doc $i").toDF("content"))
+    val after = IvfIndex.loadCentroids(spark, api.catalog, entry)
+      .orderBy("centroid_id").collect().map(_.getSeq[Float](1)).toSeq
+    assert(before == after,
+      "persisted centroids must not drift when documents change post-build")
+    // and approx search still works against the persisted pair
+    assert(api.semanticSearchApprox("stale", Seq("stale doc 7"), 5).results.size == 5)
+  }
+
+  test("empty question batches are rejected; engine layers return typed empties") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+    api.createCollection("e", documents = Some(Seq("only doc").toDF("content")))
+    assert(intercept[graft.model.GraftException](
+      api.semanticSearch("e", Seq.empty, 5)).code
+      == graft.model.ErrorCodes.SearchQuestionInvalid)
+    assert(intercept[graft.model.GraftException](
+      api.lexicalSearch("e", Seq.empty, 5)).code
+      == graft.model.ErrorCodes.SearchQuestionInvalid)
+    assert(intercept[graft.model.GraftException](
+      api.semanticSearchApprox("e", Seq.empty, 5)).code
+      == graft.model.ErrorCodes.SearchQuestionInvalid)
+    // engine-level: empty batch -> schema-correct zero-row result, no throw
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "e"))
+    val d = api.catalog.readDocuments(entry)
+    val sem = graft.search.Semantic.search(d, Seq.empty, 5)
+    assert(sem.columns.toSeq == Seq("query_idx", "id", "score") && sem.count() == 0)
+    val lex = graft.search.Lexical.search(d, Seq.empty, 5)
+    assert(lex.columns.toSeq == Seq("query_idx", "id", "score") && lex.count() == 0)
   }
 }

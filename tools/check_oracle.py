@@ -51,6 +51,16 @@ def main(sf_dir, out_dir):
         for c in eng.columns:
             a, b = eng[c], ora[c]
             try:
+                # DuckDB sum(BIGINT) yields HUGEINT -> pandas float64; the
+                # driver's hash compare then sees "10.0" vs Spark's "10".
+                # An int/float dtype split is therefore a hash FAIL even
+                # when the values are numerically identical.
+                if {a.dtype.kind, b.dtype.kind} == {'i', 'f'}:
+                    ok_ordered = False
+                    detail = (f"col {c}: dtype mismatch {a.dtype} vs {b.dtype} "
+                              "(driver hash compares string forms -> FAIL; "
+                              "CAST the oracle aggregate)")
+                    break
                 if a.dtype.kind == 'f' or b.dtype.kind == 'f':
                     import numpy as np
                     if not np.allclose(a.astype(float), b.astype(float),
