@@ -252,6 +252,18 @@ final class Api(
     serialize(Lexical.search(docs(name), qs, k, payload = Seq("content", "metadata")))
   }
 
+  /** BM25 lexical search — the scoring the reference's retriever names
+    * (retriever/retriever.py:90-101). One shared corpus-stats pass for the
+    * whole question batch, then a scan + bounded top-k per question.
+    */
+  def lexicalSearchBm25(
+      name: String, questions: Seq[String], nResults: Int = 10): SearchResponse = {
+    val k = validLimit(nResults)
+    val qs = validQuestions(questions).map(Sanitize.sanitizeString).zipWithIndex.map(_.swap)
+    serialize(Lexical.searchBm25Many(docs(name), qs, k,
+      payload = Seq("content", "metadata")))
+  }
+
   /** Hybrid RRF search (vector_api.py:518-566). */
   def search(
       name: String, question: String, numberResults: Int = 10,

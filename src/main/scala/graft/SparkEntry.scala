@@ -77,6 +77,23 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
         .orderBy(col("score").desc, col("id"))
     }),
+    // ---- §2.3 lexical_search v1 multi-query: one shared stats pass ----
+    "q_lexical_bm25_multi" -> ((s, dir) => {
+      val docs = textCorpus(s, dir)
+      Lexical.searchBm25Many(docs,
+        Seq((0, "spark join table"), (1, "vector stream data")), 10)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_idx"), col("score").desc, col("id"))
+    }),
+    // ---- §2.2/§2.3 index-backed BM25 over the posting table (content
+    //      never scanned at query time; same math, same oracle shape) ----
+    "q_lexical_bm25_indexed" -> ((s, dir) => {
+      val postings = graft.ingest.Ingest.postings(textCorpus(s, dir))
+      Lexical.searchBm25Indexed(postings,
+        Seq((0, "spark join table"), (1, "vector stream data")), 10)
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_idx"), col("score").desc, col("id"))
+    }),
     // ---- §2.3 hybrid search: weighted RRF fusion (vector_api.py:556-565) ----
     "q_hybrid_rrf" -> ((s, dir) => {
       val docs = corpus(s, dir)
@@ -92,6 +109,48 @@ object SparkEntry {
   // DuckDB fragments shared by several oracles.
   private val toksD = "regexp_extract_all(lower(text), '[a-z0-9_]{2,}')"
   private def tfD(t: String) = s"len(list_filter(toks, x -> x = '$t'))"
+
+  /** One BM25 term's score contribution (k1=1.2, b=0.75), from per-doc
+    * frequency column f$i and per-term df column df$i in scope.
+    */
+  private def bm25TermD(i: Int): String =
+    s"ln(1.0 + (n - df$i + 0.5)/(df$i + 0.5)) * (f$i*2.2)/(f$i + 1.2*(0.25 + 0.75*dl/avgdl))"
+
+  /** Shared multi-query BM25 oracle: queries (0: spark join table),
+    * (1: vector stream data). `statsFilter` distinguishes the scan path
+    * (stats over every document) from the index-backed path (stats over
+    * indexed documents, i.e. those with at least one token).
+    */
+  private def bm25MultiSqlD(statsFilter: String): String = {
+    val terms = Seq("spark", "join", "table", "vector", "stream", "data")
+    val fCols = terms.zipWithIndex
+      .map { case (t, i) => s"CAST(${tfD(t)} AS DOUBLE) AS f$i" }.mkString(",\n|             ")
+    val dfCols = terms.indices
+      .map(i => s"CAST(sum(CASE WHEN f$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+      .mkString(",\n|              ")
+    s"""WITH d AS (SELECT doc_id AS id, $toksD AS toks FROM documents),
+       |f AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl,
+       |             $fCols FROM d$statsFilter),
+       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+       |              $dfCols
+       |       FROM f),
+       |s AS (SELECT CAST(0 AS INTEGER) AS query_idx, id,
+       |             ${bm25TermD(0)}
+       |           + ${bm25TermD(1)}
+       |           + ${bm25TermD(2)} AS sc
+       |      FROM f CROSS JOIN st
+       |      UNION ALL
+       |      SELECT CAST(1 AS INTEGER), id,
+       |             ${bm25TermD(3)}
+       |           + ${bm25TermD(4)}
+       |           + ${bm25TermD(5)}
+       |      FROM f CROSS JOIN st),
+       |t AS (SELECT query_idx, id, sc,
+       |             row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+       |      FROM s WHERE sc > 0)
+       |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 10
+       |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
+  }
 
   private def searchOracles: Map[String, String] = Map(
     "q_semantic_topk" ->
@@ -160,6 +219,8 @@ object SparkEntry {
          |      FROM s WHERE sc > 0)
          |SELECT CAST(0 AS INTEGER) AS query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 10
          |ORDER BY round(sc, 6) DESC, id""".stripMargin,
+    "q_lexical_bm25_multi" -> bm25MultiSqlD(statsFilter = ""),
+    "q_lexical_bm25_indexed" -> bm25MultiSqlD(statsFilter = " WHERE len(toks) > 0"),
     "q_hybrid_rrf" ->
       s"""WITH c AS (SELECT d.doc_id AS id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
          |           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),

@@ -32,7 +32,7 @@ final class Retriever(api: Api, collection: String) {
       .map(h => RetrieverHit(h.content, h.score, h.id, h.metadata))
 
   def bm25Query(question: String, topK: Int = 10): Seq[RetrieverHit] =
-    api.lexicalSearch(collection, Seq(question), topK).results
+    api.lexicalSearchBm25(collection, Seq(question), topK).results
       .map(h => RetrieverHit(h.content, h.score, h.id, h.metadata))
 }
 

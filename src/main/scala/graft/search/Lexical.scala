@@ -97,6 +97,111 @@ object Lexical {
       .limit(k)
   }
 
+  /** Multi-query BM25: ONE corpus stats pass for the union of all query
+    * terms (N, avgdl, every df in a single aggregate — the multi-query
+    * analog of [[searchBm25]]'s phase 1), then one scan + bounded top-k per
+    * query. Q queries cost 1 + Q corpus scans instead of 2Q.
+    */
+  def searchBm25Many(
+      docs: DataFrame,
+      queries: Seq[(Int, String)],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75,
+      payload: Seq[String] = Nil
+  ): DataFrame = {
+    val allTerms = queries.flatMap { case (_, q) => tokenizeQuery(q) }.distinct
+    val toksC = tokens(col("content"))
+    val statsAggs =
+      Seq(count(lit(1)).as("n"), avg(size(toksC)).as("avgdl")) ++
+        allTerms.zipWithIndex.map { case (t, i) =>
+          sum(when(tf(toksC, lit(t)) > 0, 1L).otherwise(0L)).as(s"df_$i")
+        }
+    val stats = docs.agg(statsAggs.head, statsAggs.tail: _*).collect()(0)
+    val n = stats.getAs[Long]("n").toDouble
+    val avgdl = stats.getAs[Double]("avgdl")
+    val dfByTerm = allTerms.zipWithIndex
+      .map { case (t, i) => t -> stats.getAs[Long](s"df_$i").toDouble }.toMap
+    val results = queries.map { case (qIdx, q) =>
+      val score = tokenizeQuery(q).map { t =>
+        val df = dfByTerm(t)
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val f = tf(toksC, lit(t)).cast("double")
+        lit(idf) * (f * (k1 + 1)) /
+          (f + lit(k1) * (lit(1 - b) + lit(b) * size(toksC).cast("double") / lit(avgdl)))
+      }.reduceOption(_ + _).getOrElse(lit(0.0))
+      docs
+        .withColumn("score", score)
+        .filter(col("score") > 0)
+        .withColumn("query_idx", lit(qIdx))
+        .select((Seq("query_idx", "id") ++ payload ++ Seq("score")).map(col): _*)
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(k)
+    }
+    results.reduceOption(_ unionAll _).getOrElse(
+      searchBm25(docs, 0, "", k, k1, b, payload).limit(0))
+  }
+
+  /** Index-backed BM25 over the postings table (id, dl, term, tf) — the
+    * serving path that never touches document content. Stats (N, avgdl per
+    * indexed doc, df per term) come from the index itself; the per-doc term
+    * frequencies are assembled with one conditional-sum aggregate over the
+    * term-filtered postings, so the score expression sums terms in the SAME
+    * literal order as the scan path — bit-identical results, provable
+    * against the same oracle.
+    *
+    * Scale shape: the postings filter is a pruned scan (term-bucketed at
+    * 100 TB), the groupBy keys on (id, dl) over only matching rows, and df
+    * collection is a tiny aggregate over the same filtered slice.
+    */
+  def searchBm25Indexed(
+      postings: DataFrame,
+      queries: Seq[(Int, String)],
+      k: Int,
+      k1: Double = 1.2,
+      b: Double = 0.75
+  ): DataFrame = {
+    val docStats = postings.select("id", "dl").distinct()
+      .agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
+      .collect()(0)
+    val n = docStats.getAs[Long]("n").toDouble
+    val avgdl = docStats.getAs[Double]("avgdl")
+    val allTerms = queries.flatMap { case (_, q) => tokenizeQuery(q) }.distinct
+    val dfByTerm: Map[String, Double] =
+      if (allTerms.isEmpty) Map.empty
+      else postings.filter(col("term").isin(allTerms: _*))
+        .groupBy("term").agg(count(lit(1)).as("df"))
+        .collect().map(r => r.getString(0) -> r.getLong(1).toDouble).toMap
+    val results = queries.map { case (qIdx, q) =>
+      val terms = tokenizeQuery(q)
+      val matched =
+        if (terms.isEmpty) postings.limit(0)
+        else postings.filter(col("term").isin(terms: _*))
+      val tfCols = terms.zipWithIndex.map { case (t, i) =>
+        sum(when(col("term") === t, col("tf")).otherwise(0L)).as(s"f_$i")
+      }
+      val pivoted =
+        if (tfCols.isEmpty) matched.select(col("id"), col("dl"))
+        else matched.groupBy("id", "dl").agg(tfCols.head, tfCols.tail: _*)
+      val score = terms.zipWithIndex.map { case (t, i) =>
+        val df = dfByTerm.getOrElse(t, 0.0)
+        val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+        val f = col(s"f_$i").cast("double")
+        lit(idf) * (f * (k1 + 1)) /
+          (f + lit(k1) * (lit(1 - b) + lit(b) * col("dl").cast("double") / lit(avgdl)))
+      }.reduceOption(_ + _).getOrElse(lit(0.0))
+      pivoted
+        .withColumn("score", score)
+        .filter(col("score") > 0)
+        .withColumn("query_idx", lit(qIdx))
+        .select("query_idx", "id", "score")
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(k)
+    }
+    results.reduceOption(_ unionAll _).getOrElse(
+      searchIndexed(postings, Seq(0 -> ""), k).limit(0))
+  }
+
   /** Driver-side mirror of the column tokenizer, for query strings. */
   def tokenizeQuery(q: String): Seq[String] =
     TokenPattern.r.findAllIn(q.toLowerCase).toSeq.distinct

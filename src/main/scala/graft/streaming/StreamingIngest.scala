@@ -2,8 +2,11 @@ package graft.streaming
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode, StreamingQuery, Trigger}
-import graft.ingest.{Ingest, Sanitize}
+import graft.catalog.Catalog
+import graft.ingest.{Embed, Embedder, Ingest, Sanitize}
+import graft.model.CollectionEntry
 
 /** Structured Streaming extension: continuous document ingest and
   * event-stream analytics.
@@ -40,6 +43,52 @@ object StreamingIngest {
       .withColumn("ingest_ts", current_timestamp())
       .withWatermark("ingest_ts", watermark)
       .dropDuplicatesWithinWatermark("id")
+
+  /** Rate-limited file source: a directory watched as an unbounded stream,
+    * at most `maxFilesPerTrigger` files per micro-batch — the ingestion
+    * throttle for continuous document drops (one line = one document).
+    * At scale this is the standard landing-zone pattern: producers write
+    * files, the stream paces itself through the backlog.
+    */
+  def fileSource(spark: SparkSession, dir: String, maxFilesPerTrigger: Int = 10): DataFrame =
+    spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(dir)
+      .select(col("value").as("content"))
+
+  /** Periodic batch MERGE of the streaming staging dir into the governed
+    * collection table. The stream's watermark dedup bounds state but cannot
+    * see across restarts or late micro-batches, so compaction re-resolves
+    * id collisions (latest ingest_ts wins) before the upsert. Returns the
+    * number of documents merged.
+    *
+    * This is a maintenance job, not an API ingest call: the reference's
+    * 1000-doc request bound (vector_api.py:47-49) governs request payloads,
+    * not table maintenance, so no bounds check here.
+    */
+  def compact(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      stagingPath: String,
+      embedder: Embedder): Long = {
+    val staged = spark.read.parquet(stagingPath)
+    val w = Window.partitionBy("id").orderBy(col("ingest_ts").desc)
+    val latest = staged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("content"))
+    // prepare() re-derives the same content-addressed ids (idempotent on
+    // already-sanitized content), so stream and batch stay one code path
+    val prepared = Ingest.prepare(latest)
+    val embedded = Ingest.withNorm(Embed.withEmbeddings(prepared, embedder)).cache()
+    try {
+      val merged = embedded.count()
+      val existing = catalog.readDocuments(entry)
+      Ingest.rewrite(spark, catalog, entry, Ingest.upsertPlan(existing, embedded))
+      merged
+    } finally embedded.unpersist()
+  }
 
   /** Write the ingest stream to a Parquet collection dir (append-only
     * staging; compaction into the main table is a periodic batch MERGE).

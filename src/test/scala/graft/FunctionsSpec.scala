@@ -107,6 +107,32 @@ class FunctionsSpec extends SparkSpec {
     assert(perQuery == windowed)
   }
 
+  test("indexed BM25 equals scan BM25 bit-exactly; multi-query shares one stats pass") {
+    import spark.implicits._
+    val docs = Seq(
+      "spark joins tables with spark sql",
+      "vector streams of data flow through spark",
+      "tables of data join other tables",
+      "completely unrelated prose about nothing",
+      "spark spark spark join join table"
+    ).zipWithIndex.map { case (c, i) => (s"d$i", c) }.toDF("id", "content")
+    val queries = Seq((0, "spark join table"), (1, "vector stream data"))
+    val scan = Lexical.searchBm25Many(docs, queries, 10)
+      .orderBy("query_idx", "id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    val postings = Ingest.postings(docs)
+    val indexed = Lexical.searchBm25Indexed(postings, queries, 10)
+      .orderBy("query_idx", "id").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(scan.nonEmpty)
+    assert(scan.toSeq == indexed.toSeq,
+      "index-backed BM25 must reproduce the scan scores bit-for-bit")
+    // single-query searchBm25 agrees with the multi-query path on query 0
+    val single = Lexical.searchBm25(docs, 0, "spark join table", 10)
+      .orderBy("id").collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2)))
+    assert(single.toSeq == scan.filter(_._1 == 0).toSeq)
+  }
+
   test("salted aggregation equals plain aggregation on a skewed key") {
     import spark.implicits._
     // 90% of rows share one hot key

@@ -27,6 +27,44 @@ class StreamingSpec extends SparkSpec {
     assert(out.columns.contains("id") && out.columns.contains("ingest_ts"))
   }
 
+  test("file source end-to-end: rate-limited stream -> staging -> compaction MERGE -> searchable collection") {
+    import spark.implicits._
+    import graft.ingest.DeterministicHashEmbedder
+    val landing = Files.createTempDirectory("graft-landing").toString
+    val staging = Files.createTempDirectory("graft-staging").toString
+    val ckpt = Files.createTempDirectory("graft-ckpt").toString
+    // producers drop files into the landing zone (one line = one document)
+    Files.writeString(java.nio.file.Paths.get(landing, "batch1.txt"),
+      "alpha document about spark\nbeta document about joins\n")
+    Files.writeString(java.nio.file.Paths.get(landing, "batch2.txt"),
+      "gamma document about vectors\nalpha document about spark\n")
+    val source = StreamingIngest.fileSource(spark, landing, maxFilesPerTrigger = 1)
+    assert(source.isStreaming)
+    val q = StreamingIngest.startIngest(
+      StreamingIngest.ingestPipeline(source), staging, ckpt,
+      trigger = org.apache.spark.sql.streaming.Trigger.AvailableNow())
+    q.processAllAvailable()
+    q.stop()
+    // the duplicate "alpha" arrived in a different file; both copies may
+    // survive the per-stream dedup -> compaction must resolve them
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val embedder = new DeterministicHashEmbedder(16)
+    val api = new Api(spark, wh, embedder)
+    api.createCollection("streamed")
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "streamed"))
+    val merged = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder)
+    assert(merged == 3, s"3 distinct documents after compaction, got $merged")
+    val stored = api.catalog.readDocuments(entry)
+    assert(stored.count() == 3)
+    // compaction is idempotent: a second run merges the same ids
+    assert(StreamingIngest.compact(spark, api.catalog, entry, staging, embedder) == 3)
+    assert(api.catalog.readDocuments(entry).count() == 3)
+    // and the collection is immediately searchable through the governed API
+    val res = api.lexicalSearch("streamed", Seq("spark"), 5)
+    assert(res.results.nonEmpty)
+    assert(res.results.head.content.contains("spark"))
+  }
+
   test("streaming windowed counts with watermark emit correct aggregates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
