@@ -82,6 +82,44 @@ object Ann {
       .select(col("qid"), col("id").as("neighbor"), col("rn").as("rank"), col("score"))
   }
 
+  /** Blocked kNN self-join — the 100 TB path for [[knnJoin]]. Vectors are
+    * assigned to IVF clusters once, then the self-join runs WITHIN each
+    * cluster: the shuffle is keyed by cluster_id and the pair count drops
+    * from N^2 to sum over clusters of |c|^2. Approximate at cluster
+    * boundaries (a neighbor in a different cluster is missed), which is the
+    * standard recall/cost trade — the blocked result is exact for vectors
+    * whose true k neighbors share their cluster.
+    *
+    * Returns (qid, neighbor, rank, score) like [[knnJoin]], ranks local to
+    * the probed block.
+    */
+  def knnJoinBlocked(vectors: DataFrame, k: Int, centroids: DataFrame): DataFrame = {
+    // materialize the assignment so the self-join reads it twice instead of
+    // re-running the vector-x-centroid assignment on both sides (at scale:
+    // persist to the cluster-partitioned index and use knnJoinWithin)
+    val assigned = assign(vectors, centroids).cache()
+    knnJoinWithin(assigned, k)
+  }
+
+  /** Within-cluster kNN over a MATERIALIZED assignment (cached, or read
+    * back from the cluster-partitioned index parquet). The only join is
+    * keyed on cluster_id.
+    */
+  def knnJoinWithin(assigned: DataFrame, k: Int): DataFrame = {
+    val a = assigned.select(col("id").as("qid"), col("embedding").as("qv"),
+      col("norm").as("qn"), col("cluster_id"))
+    val b = assigned.select(col("id"), col("embedding"), col("norm"), col("cluster_id"))
+    val scored = a.join(b, Seq("cluster_id"))
+      .filter(col("qid") =!= col("id"))
+      .withColumn("score",
+        VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
+    val w = Window.partitionBy("qid")
+      .orderBy(col("score").desc, col("id").asc)
+    scored
+      .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+      .select(col("qid"), col("id").as("neighbor"), col("rn").as("rank"), col("score"))
+  }
+
   /** IVF search: probe the nprobe nearest centroids, exact top-k within the
     * probed partitions. `assigned` is the output of [[assign]] (at scale:
     * read back from Parquet partitioned by cluster_id, giving partition

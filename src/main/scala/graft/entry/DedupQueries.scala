@@ -194,8 +194,41 @@ object DedupQueries {
       |SELECT qid, nid AS neighbor, CAST(rn AS INTEGER) AS rank, round(sc, 6) AS score
       |FROM t WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---- blocked kNN self-join: within-cluster pairs only (100 TB path) ----
+  def annKnnBlocked(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val centroids = Ann.representativeCentroids(vecs, "label")
+    Ann.knnJoinBlocked(vecs, 3, centroids)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("qid", "rank")
+  }
+
+  val annKnnBlockedSql: String =
+    """WITH e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (
+      |  SELECT label AS centroid_id, v AS c FROM (
+      |    SELECT label, v, row_number() OVER (PARTITION BY label ORDER BY id) AS rn FROM e)
+      |  WHERE rn = 1),
+      |assign AS (
+      |  SELECT id, v, cluster_id FROM (
+      |    SELECT e.id, e.v, cent.centroid_id AS cluster_id,
+      |           row_number() OVER (PARTITION BY e.id
+      |             ORDER BY 1.0 - list_cosine_similarity(e.v, cent.c), cent.centroid_id) AS rn
+      |    FROM e CROSS JOIN cent)
+      |  WHERE rn = 1),
+      |s AS (SELECT a.id AS qid, b.id AS nid,
+      |             list_cosine_similarity(a.v, b.v) AS sc
+      |      FROM assign a JOIN assign b
+      |        ON a.cluster_id = b.cluster_id AND a.id <> b.id),
+      |t AS (SELECT qid, nid, sc,
+      |             row_number() OVER (PARTITION BY qid ORDER BY sc DESC, nid) AS rn
+      |      FROM s)
+      |SELECT qid, nid AS neighbor, CAST(rn AS INTEGER) AS rank, round(sc, 6) AS score
+      |FROM t WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_ann_knn_join" -> (annKnnJoin _),
+    "q_ann_knn_blocked" -> (annKnnBlocked _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_ngram" -> (dedupNgram _),
@@ -207,6 +240,7 @@ object DedupQueries {
 
   def oracles: Map[String, String] = Map(
     "q_ann_knn_join" -> annKnnJoinSql,
+    "q_ann_knn_blocked" -> annKnnBlockedSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_ngram" -> dedupNgramSql,

@@ -116,6 +116,34 @@ class IvfIndexSpec extends SparkSpec {
     assert(api.semanticSearchApprox("stale", Seq("stale doc 7"), 5).results.size == 5)
   }
 
+  test("blocked kNN self-join equals exact kNN when clusters are well-separated") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // 3 tight clusters on orthogonal axes: every point's true neighbors
+    // share its cluster, so the blocked (within-cluster) join is lossless
+    val base = Seq(
+      Array(10f, 0f, 0f, 0f), Array(0f, 10f, 0f, 0f), Array(0f, 0f, 10f, 0f))
+    val rows = (0 until 30).map { i =>
+      val c = base(i % 3)
+      val v = c.zipWithIndex.map { case (x, j) => x + (i / 3) * 0.01f * (j + 1) }
+      (f"v$i%03d", v, i % 3)
+    }
+    val vecs = rows.toDF("id", "embedding", "label")
+      .withColumn("norm", VectorFunctions.l2Norm(col("embedding")))
+    val exact = Ann.knnJoin(vecs.select("id", "embedding", "norm"), 3)
+      .select("qid", "neighbor").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val centroids = Ann.representativeCentroids(vecs, "label")
+    val blocked = Ann.knnJoinBlocked(vecs.select("id", "embedding", "norm"), 3, centroids)
+      .select("qid", "neighbor").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(blocked == exact,
+      "well-separated clusters: blocked kNN must recover the exact neighbor set")
+    // and the blocked join's pair count is the per-cluster sum, not N^2:
+    // 3 clusters x 10 x 9 = 270 scored pairs vs 30 x 29 = 870 exact
+    val scoredPairs = Ann.knnJoinBlocked(vecs.select("id", "embedding", "norm"),
+      30, centroids).count()
+    assert(scoredPairs == 270)
+  }
+
   test("empty question batches are rejected; engine layers return typed empties") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val api = new Api(spark, wh, new DeterministicHashEmbedder(32))

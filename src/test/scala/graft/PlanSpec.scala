@@ -54,6 +54,53 @@ class PlanSpec extends SparkSpec {
     assert(codegenDump.contains("numElements"), "DotProduct loop should be in generated code")
   }
 
+  test("dedup pipelines never materialize an all-pairs product") {
+    import spark.implicits._
+    val docs = (0 until 60)
+      .map(i => (s"d$i", s"shared prefix words here plus unique token u$i and filler f${i % 7}"))
+      .toDF("id", "content")
+    for (df <- Seq(
+        graft.dedup.Dedup.minHashNearDups(docs, threshold = 0.6),
+        graft.dedup.Dedup.ngramJaccard(docs, threshold = 0.5),
+        graft.dedup.Dedup.simHashNearDups(docs))) {
+      df.collect() // finalize the adaptive plan before inspecting it
+      val p = df.queryExecution.executedPlan.toString
+      assert(!p.contains("CartesianProduct"),
+        "candidate generation must stay keyed (bucket/shingle/block joins)")
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        "no non-equi join anywhere in the dedup dataflow")
+    }
+  }
+
+  test("blocked kNN self-joins on cluster_id; only the K-centroid broadcast is unkeyed") {
+    import spark.implicits._
+    val rows = (0 until 30).map { i =>
+      val v = Array.tabulate(4)(j => if (j == i % 3) 10f else 0.01f * i)
+      (f"v$i%03d", v, i % 3)
+    }
+    val vecs = rows.toDF("id", "embedding", "label")
+      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+    val centroids = graft.ann.Ann.representativeCentroids(vecs, "label")
+    val assigned = graft.ann.Ann.assign(vecs.select("id", "embedding", "norm"), centroids).cache()
+    assigned.count()
+    try {
+      val blocked = graft.ann.Ann.knnJoinWithin(assigned, 3)
+      blocked.collect()
+      // the plan string embeds the CACHED assignment's build plan inside
+      // InMemoryRelation; only the region above it is what executes here
+      val p = blocked.queryExecution.executedPlan.toString
+        .split("InMemoryRelation").head
+      // over a materialized assignment the whole dataflow is keyed: the
+      // centroid cross happened once at assignment build, not per side
+      assert(!p.contains("CartesianProduct"))
+      assert(!p.contains("BroadcastNestedLoopJoin"),
+        "self-join over the materialized assignment must be keyed")
+      assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin) \\[cluster_id".r
+        .findFirstIn(p).isDefined,
+        "self-join must key on cluster_id")
+    } finally assigned.unpersist()
+  }
+
   test("IVF probe prunes to the probed clusters (filter above the scan)") {
     val vecs = Tables.vectors(spark, dir)
     val centroids = graft.ann.Ann.representativeCentroids(vecs, "label")
