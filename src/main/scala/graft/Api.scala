@@ -252,6 +252,33 @@ final class Api(
     serialize(Lexical.search(docs(name), qs, k, payload = Seq("content", "metadata")))
   }
 
+  /** Build (or rebuild) the collection's persistent lexical index —
+    * term-bucket-partitioned postings (graft.search.LexIndex), the durable
+    * analog of the reference's GIN index (postgres.py:189-196).
+    */
+  def buildLexicalIndex(name: String): DataFrame = {
+    val entry = catalog.getCollection(physical(name))
+    graft.search.LexIndex.build(spark, catalog, entry)
+  }
+
+  /** TF lexical search through the persistent index: bucket-pruned postings
+    * scan, no document content touched until the final payload join.
+    */
+  def lexicalSearchIndexed(
+      name: String, questions: Seq[String], nResults: Int = 10): SearchResponse = {
+    val k = validLimit(nResults)
+    val qs = validQuestions(questions).map(Sanitize.sanitizeString).zipWithIndex.map(_.swap)
+    val entry = catalog.getCollection(physical(name))
+    val index = graft.search.LexIndex.load(spark, catalog, entry)
+    val hits = graft.search.LexIndex.searchTf(index, qs, k)
+    val payload = hits.alias("f")
+      .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
+      .select(col("f.query_idx"), col("f.id"), col("d.content"),
+        col("d.metadata"), col("f.score"))
+      .orderBy(col("f.query_idx"), col("f.score").desc, col("f.id"))
+    serialize(payload)
+  }
+
   /** BM25 lexical search — the scoring the reference's retriever names
     * (retriever/retriever.py:90-101). One shared corpus-stats pass for the
     * whole question batch, then a scan + bounded top-k per question.

@@ -35,6 +35,21 @@ final class Catalog(spark: SparkSession, val warehouseDir: String) {
 
   def tablePath(entry: CollectionEntry): String = s"$warehouseDir/${entry.table_name}"
 
+  /** Derived artifact dirs that live NEXT TO the table dir (ANN index,
+    * persisted centroids, posting index, staging). They must die with the
+    * collection: a recreate under the same name maps to the same table
+    * path, and a surviving index would silently serve the previous
+    * incarnation's data.
+    */
+  private def derivedPaths(entry: CollectionEntry): Seq[Path] =
+    Seq(".ivf", ".ivf.centroids", ".postings", ".staging")
+      .map(sfx => Paths.get(tablePath(entry) + sfx))
+
+  private def deleteTableAndDerived(entry: CollectionEntry): Unit = {
+    deleteDir(Paths.get(tablePath(entry)))
+    derivedPaths(entry).foreach(deleteDir)
+  }
+
   /** Tenant-scoped physical collection name (vector_api.py:216-223). */
   def physicalName(tenant: String, logical: String): String =
     s"t_${sha256Hex(tenant).take(16)}_$logical"
@@ -81,7 +96,7 @@ final class Catalog(spark: SparkSession, val warehouseDir: String) {
         e
       case existing =>
         val entry = CollectionEntry(name, tableName(name), dimension)
-        if (existing.isDefined) deleteDir(Paths.get(tablePath(entry)))
+        if (existing.isDefined) deleteTableAndDerived(entry)
         // materialize an empty table with the frozen schema
         spark.createDataFrame(
           spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.documents)
@@ -108,12 +123,12 @@ final class Catalog(spark: SparkSession, val warehouseDir: String) {
       .map(_.stripPrefix(prefix)).distinct.sorted
   }
 
-  /** Drop table dir + catalog row (postgres.py:225-239). */
+  /** Drop table dir + derived indexes + catalog row (postgres.py:225-239). */
   def deleteCollection(name: String): Unit = {
     val es = entries()
     val entry = es.find(_.collection_name == name)
       .getOrElse(throw new GraftException(ErrorCodes.CollectionNotFound))
-    deleteDir(Paths.get(tablePath(entry)))
+    deleteTableAndDerived(entry)
     writeEntries(es.filterNot(_.collection_name == name))
   }
 

@@ -137,12 +137,35 @@ object TextQueries {
       |  sha256(text) AS fingerprint
       |FROM documents ORDER BY id""".stripMargin
 
+  /** Frame-sampling shape over the decoded media: every 2nd frame of each
+    * payload's n_frames — the (id, frame_idx) layout a video pipeline feeds
+    * into per-frame embedding.
+    */
+  def mmFrames(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        lit("video").as("modality"),
+        col("text").cast("binary").as("data"))
+    Multimodal.sampleFrames(Multimodal.decodeStub(media), everyNth = 2)
+      .select(col("id"), col("n_frames"), col("frame_idx"))
+      .orderBy("id", "frame_idx")
+  }
+
+  val mmFramesSql: String =
+    """WITH m AS (SELECT doc_id AS id,
+      |             CAST(1 + octet_length(CAST(text AS BLOB)) % 16 AS INTEGER) AS n_frames
+      |           FROM documents),
+      |f AS (SELECT id, n_frames, CAST(unnest(range(n_frames)) AS INTEGER) AS frame_idx FROM m)
+      |SELECT id, n_frames, frame_idx FROM f WHERE frame_idx % 2 = 0
+      |ORDER BY id, frame_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (textLangid _),
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),
     "q_text_fingerprint" -> (textFingerprint _),
-    "q_mm_decode" -> (mmDecode _)
+    "q_mm_decode" -> (mmDecode _),
+    "q_mm_frames" -> (mmFrames _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -150,6 +173,7 @@ object TextQueries {
     "q_text_quality" -> textQualitySql,
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,
-    "q_mm_decode" -> mmDecodeSql
+    "q_mm_decode" -> mmDecodeSql,
+    "q_mm_frames" -> mmFramesSql
   )
 }

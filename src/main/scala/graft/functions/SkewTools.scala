@@ -62,4 +62,25 @@ object SkewTools {
   def saltedCountDistinct(df: DataFrame, keyCol: String, valueCol: String): DataFrame =
     df.select(col(keyCol), col(valueCol)).distinct()
       .groupBy(keyCol).agg(count(lit(1)).as(s"${valueCol}_distinct"))
+
+  /** Salted equi-join for a skewed FACT side against a small-but-not-tiny
+    * dimension (too big to broadcast, hot join keys on the fact side).
+    * The fact side gets a per-row salt (any assignment works — salting only
+    * redistributes, never changes the join result); the dimension side is
+    * replicated across all `salts` values so every (key, salt) shard finds
+    * its match. A hot key's rows then spread over `salts` reducers instead
+    * of one. Result == `fact.join(dim, key)` (inner), with the two helper
+    * columns dropped.
+    *
+    * When the dimension fits in memory, prefer `broadcast(dim)` — salting
+    * is for the middle regime AQE's skew-join cannot reach (e.g. when the
+    * skew is in a single key within one huge partition pre-shuffle).
+    */
+  def saltedJoin(fact: DataFrame, dim: DataFrame, key: String, salts: Int = 16): DataFrame = {
+    val saltedFact = fact.withColumn("__salt",
+      pmod(spark_partition_id() + monotonically_increasing_id(), lit(salts)).cast("int"))
+    val replicatedDim = dim.withColumn("__salt",
+      explode(sequence(lit(0), lit(salts - 1))))
+    saltedFact.join(replicatedDim, Seq(key, "__salt")).drop("__salt")
+  }
 }

@@ -147,6 +147,23 @@ class FunctionsSpec extends SparkSpec {
     assert(salted == plain)
   }
 
+  test("salted join equals plain join on a skewed fact table") {
+    import spark.implicits._
+    // 90% of fact rows hit one hot key
+    val fact = (0 until 2000)
+      .map(i => (if (i % 10 == 0) s"k${i % 50}" else "hot", i.toLong))
+      .toDF("key", "v")
+    val dim = (Seq("hot") ++ (0 until 50).map(i => s"k$i"))
+      .zipWithIndex.map { case (k, i) => (k, s"payload$i") }.toDF("key", "payload")
+    val plain = fact.join(dim, Seq("key"))
+      .select("key", "v", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    val salted = graft.functions.SkewTools.saltedJoin(fact, dim, "key", salts = 8)
+      .select("key", "v", "payload").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getString(2))).sorted.toSeq
+    assert(plain.nonEmpty && salted == plain)
+  }
+
   test("error firewall collapses unstable messages") {
     import graft.model.ErrorCodes
     assert(ErrorCodes.firewall("collection_not_found") == "collection_not_found")
