@@ -226,6 +226,33 @@ object CoreQueries {
       |      FROM documents CROSS JOIN i)
       |SELECT doc_id, dim, round(value, 2) AS value FROM v ORDER BY doc_id, dim""".stripMargin
 
+  /** Retriever token-window chunking (tests/reproduce_chunking.py:15-19 —
+    * <=N-token chunks, rejoined with single spaces), replayed over the
+    * documents table at a small window so most docs split.
+    */
+  def retrieverChunks(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("content"))
+    graft.retriever.Retriever.chunk(docs, maxTokens = 20)
+      .select(col("doc_id"), col("content").as("chunk"))
+      .withColumn("chunk_len", length(col("chunk")).cast("integer"))
+      .select(col("doc_id"), col("chunk_len"), col("chunk"))
+      .orderBy("doc_id", "chunk")
+  }
+
+  val retrieverChunksSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(content, '\s+') AS words
+      |           FROM (SELECT doc_id, text AS content FROM documents)),
+      |n AS (SELECT doc_id, words,
+      |             greatest(CAST(ceil(len(words) / 20.0) AS INTEGER), 1) AS n_chunks
+      |      FROM w),
+      |c AS (SELECT doc_id,
+      |             array_to_string(words[i*20+1 : i*20+20], ' ') AS chunk
+      |      FROM n, (SELECT unnest(range(100)) AS i) ix
+      |      WHERE ix.i < n.n_chunks)
+      |SELECT doc_id, CAST(length(chunk) AS INTEGER) AS chunk_len, chunk
+      |FROM c WHERE length(chunk) > 0 ORDER BY doc_id, chunk""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_collection_list" -> (collectionList _),
     "q_name_validation" -> (nameValidation _),
@@ -236,7 +263,8 @@ object CoreQueries {
     "q_delete_docs" -> (deleteDocs _),
     "q_get_by_ids" -> (getByIds _),
     "q_embed_validate" -> (embedValidate _),
-    "q_embed_deterministic" -> (embedDeterministic _)
+    "q_embed_deterministic" -> (embedDeterministic _),
+    "q_retriever_chunks" -> (retrieverChunks _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -249,6 +277,7 @@ object CoreQueries {
     "q_delete_docs" -> deleteDocsSql,
     "q_get_by_ids" -> getByIdsSql,
     "q_embed_validate" -> embedValidateSql,
-    "q_embed_deterministic" -> embedDeterministicSql
+    "q_embed_deterministic" -> embedDeterministicSql,
+    "q_retriever_chunks" -> retrieverChunksSql
   )
 }
