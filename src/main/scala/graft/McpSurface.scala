@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.DataFrame
-import graft.model.{ErrorCodes, GraftException}
+import graft.model.{BackendPolicy, ErrorCodes, GraftException}
 
 /** The outermost action-routed operator surface — the engine analog of the
   * two condensed MCP tools (reference: vector_mcp/mcp_server.py:83-199 and
@@ -20,27 +20,33 @@ final class McpSurface(api: Api) {
       collectionName: String = null,
       overwrite: Boolean = false,
       documents: Option[DataFrame] = None,
-      confirm: Boolean = false): Map[String, Any] =
+      confirm: Boolean = false,
+      dbType: String = null): Map[String, Any] = {
+    // fail-closed backend gate BEFORE any engine work (mcp_server.py:129)
+    val backend = BackendPolicy.resolve(dbType)
     resolveAction(action, Set("create_collection", "add_documents",
       "delete_collection", "list_collections"),
       ErrorCodes.CollectionActionInvalid) match {
       case "create_collection" =>
         val st = api.createCollection(collectionName, overwrite, documents)
         Map("status" -> st.status, "collection" -> st.collection,
-          "documents_added" -> st.documents_added)
+          "documents_added" -> st.documents_added, "db_type" -> backend)
       case "add_documents" =>
         val docs = documents.getOrElse(
           throw new GraftException(ErrorCodes.DocumentInputRequired))
         val added = api.addDocuments(collectionName, docs)
         Map("status" -> "updated", "collection" -> collectionName,
-          "documents_added" -> added)
+          "documents_added" -> added, "db_type" -> backend)
       case "delete_collection" =>
         val st = api.deleteCollection(collectionName, confirm)
-        Map("status" -> st.status, "collection" -> st.collection)
+        Map("status" -> st.status, "collection" -> st.collection,
+          "db_type" -> backend)
       case "list_collections" =>
         Map("collections" ->
-          api.listCollections().map(n => Map("collection_name" -> n)))
+          api.listCollections().map(n => Map("collection_name" -> n)),
+          "db_type" -> backend)
     }
+  }
 
   /** vector_search(action in {semantic_search, lexical_search, search}). */
   def vectorSearch(
@@ -50,7 +56,9 @@ final class McpSurface(api: Api) {
       numberResults: Int = 10,
       semanticWeight: Double = 0.5,
       lexicalWeight: Double = 0.5,
-      rrfK: Int = 60): Map[String, Any] = {
+      rrfK: Int = 60,
+      dbType: String = null): Map[String, Any] = {
+    val backend = BackendPolicy.resolve(dbType)
     val res = resolveAction(action,
       Set("semantic_search", "lexical_search", "search"),
       ErrorCodes.SearchActionInvalid) match {
@@ -64,7 +72,8 @@ final class McpSurface(api: Api) {
     }
     Map("results" -> res.results.map(h => Map(
       "id" -> h.id, "content" -> h.content,
-      "metadata" -> h.metadata, "score" -> h.score)))
+      "metadata" -> h.metadata, "score" -> h.score)),
+      "db_type" -> backend)
   }
 
   /** Action normalization (mcp_server.py:116-125, :238-242; unmatched ->

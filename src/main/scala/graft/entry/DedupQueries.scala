@@ -136,7 +136,10 @@ object DedupQueries {
   def annIvf(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.vectors(s, dir)
     val centroids = Ann.representativeCentroids(vecs, "label").cache()
-    val assigned = Ann.assign(vecs, centroids)
+    // materialize the assignment once: ivfTopK's per-query branches would
+    // otherwise each recompute the vector-x-centroid assignment (at scale
+    // the assignment is the persisted IvfIndex, not an inline recompute)
+    val assigned = Ann.assign(vecs, centroids).cache()
     val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
     Ann.ivfTopK(assigned, centroids, qs, k = 5, nprobe = 3)
       .withColumn("score", round(col("score"), 6))

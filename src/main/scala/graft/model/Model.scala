@@ -88,6 +88,8 @@ object ErrorCodes {
   val VectorBackendOperationFailed = "vector_backend_operation_failed"
   val CollectionActionInvalid = "collection_action_invalid"
   val SearchActionInvalid = "search_action_invalid"
+  val VectorBackendNotConfigured = "vector_backend_not_configured"
+  val VectorBackendUnsupported = "vector_backend_unsupported"
 
   private val Stable = "^[a-z][a-z0-9_]{0,63}$".r
 
@@ -98,6 +100,40 @@ object ErrorCodes {
   def firewall(message: String): String =
     if (message != null && Stable.matches(message)) message
     else VectorBackendOperationFailed
+}
+
+/** Fail-closed availability policy for backend selection
+  * (reference: vector_mcp/backend_policy.py:7-31). The Spark engine serves
+  * every canonical backend name through the one DataFrame implementation,
+  * but the POLICY itself — canonicalization, the frozen allow-list, and the
+  * two error codes — is observable API surface and kept byte-exact.
+  */
+object BackendPolicy {
+  val AvailableBackends: Set[String] =
+    Set("epistemic_graph", "mongodb", "postgres", "qdrant")
+
+  val DefaultBackend = "epistemic_graph"
+
+  def canonicalBackend(value: String): String =
+    Option(value).getOrElse("").trim.toLowerCase
+
+  /** Canonical backend, or the governed error before anything loads
+    * (backend_policy.py:23-31): empty -> vector_backend_not_configured,
+    * unknown -> vector_backend_unsupported.
+    */
+  def ensureBackendAvailable(value: String): String = {
+    val backend = canonicalBackend(value)
+    if (backend.isEmpty)
+      throw new GraftException(ErrorCodes.VectorBackendNotConfigured)
+    if (!AvailableBackends.contains(backend))
+      throw new GraftException(ErrorCodes.VectorBackendUnsupported)
+    backend
+  }
+
+  /** mcp_server.py:46-50: explicit value, else the configured default. */
+  def resolve(value: String, configuredDefault: String = DefaultBackend): String =
+    ensureBackendAvailable(
+      Option(value).filter(_.nonEmpty).getOrElse(configuredDefault))
 }
 
 /** Engine exception carrying a stable error code. */

@@ -119,4 +119,33 @@ class SurfaceSpec extends SparkSpec {
       mcp.vectorCollectionManagement("delete_collection",
         collectionName = "mc")).code == ErrorCodes.DeleteConfirmationRequired)
   }
+
+  test("backend policy: fail-closed allow-list with canonicalization and default") {
+    import graft.model.BackendPolicy
+    // allow-list passes, canonicalized (backend_policy.py:7-31)
+    for (b <- Seq("epistemic_graph", "mongodb", "postgres", "qdrant"))
+      assert(BackendPolicy.ensureBackendAvailable(b) == b)
+    assert(BackendPolicy.ensureBackendAvailable("  Postgres ") == "postgres")
+    // unknown -> vector_backend_unsupported; empty -> vector_backend_not_configured
+    assert(intercept[GraftException](
+      BackendPolicy.ensureBackendAvailable("oracle")).code
+      == ErrorCodes.VectorBackendUnsupported)
+    assert(intercept[GraftException](
+      BackendPolicy.ensureBackendAvailable("")).code
+      == ErrorCodes.VectorBackendNotConfigured)
+    // unset db_type resolves to the configured default (mcp_server.py:46-50)
+    assert(BackendPolicy.resolve(null) == "epistemic_graph")
+    assert(intercept[GraftException](
+      BackendPolicy.resolve(null, configuredDefault = "")).code
+      == ErrorCodes.VectorBackendNotConfigured)
+    // and the MCP surface gates on it before touching the engine
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, dir, new DeterministicHashEmbedder(32))
+    val mcp = new McpSurface(api)
+    assert(intercept[GraftException](
+      mcp.vectorSearch("search", "any", "q", dbType = "sqlite")).code
+      == ErrorCodes.VectorBackendUnsupported)
+    val listed = mcp.vectorCollectionManagement("list_collections", dbType = "Qdrant")
+    assert(listed("db_type") == "qdrant")
+  }
 }
