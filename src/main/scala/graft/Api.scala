@@ -187,9 +187,9 @@ final class Api(
   /** Build (or rebuild) the collection's persistent ANN index (IVF layout,
     * cluster-partitioned parquet — see graft.ann.IvfIndex).
     */
-  def buildAnnIndex(name: String, nClusters: Int): DataFrame = {
+  def buildAnnIndex(name: String, nClusters: Int, kmeansIters: Int = 0): DataFrame = {
     val entry = catalog.getCollection(physical(name))
-    graft.ann.IvfIndex.build(spark, catalog, entry, nClusters)
+    graft.ann.IvfIndex.build(spark, catalog, entry, nClusters, kmeansIters)
   }
 
   /** Approximate semantic search through the ANN index, carrying the

@@ -82,6 +82,50 @@ object Ann {
       .select(col("qid"), col("id").as("neighbor"), col("rn").as("rank"), col("score"))
   }
 
+  /** Deterministic Lloyd (k-means) refinement of the IVF centroids.
+    *
+    * Floating-point means are order-of-summation dependent, so naive
+    * distributed k-means is not reproducible across partition layouts. Here
+    * every per-dimension sum accumulates in DECIMAL (exact, commutative),
+    * divides exactly, and only then casts — centroids are bit-identical on
+    * any cluster, which keeps index builds reproducible (the same property
+    * [[representativeCentroids]] has, with far better quantization).
+    *
+    * Seeds = embeddings of the K smallest ids. Each iteration materializes
+    * the K centroids to the driver (K x dim floats — tiny) so iteration
+    * plans stay flat instead of nesting. Empty clusters keep their previous
+    * centroid.
+    */
+  def kmeansCentroids(
+      vectors: DataFrame, // (id, embedding, norm)
+      k: Int,
+      iters: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    import spark.implicits._
+    def toDf(rows: Seq[(Long, Seq[Float])]): DataFrame =
+      rows.toDF("centroid_id", "centroid")
+        .select(col("centroid_id"), col("centroid").cast("array<float>"))
+        .withColumn("centroid_norm", VectorFunctions.l2Norm(col("centroid")))
+    var current: Seq[(Long, Seq[Float])] = vectors.orderBy("id").limit(k)
+      .select("embedding").collect()
+      .zipWithIndex.map { case (r, i) => i.toLong -> r.getSeq[Float](0) }.toSeq
+    for (_ <- 0 until iters) {
+      val assigned = assign(vectors, toDf(current))
+      val means = assigned
+        .select(col("cluster_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+        .groupBy("cluster_id", "dim")
+        .agg((sum(col("v").cast("decimal(27,10)")) / count(lit(1)))
+          .cast("double").as("m"))
+        .groupBy("cluster_id")
+        .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+          s => s.getField("m").cast("float")).as("centroid"))
+        .collect()
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      current = current.map { case (cid, old) => cid -> means.getOrElse(cid, old) }
+    }
+    toDf(current)
+  }
+
   /** Blocked kNN self-join — the 100 TB path for [[knnJoin]]. Vectors are
     * assigned to IVF clusters once, then the self-join runs WITHIN each
     * cluster: the shuffle is keyed by cluster_id and the pair count drops

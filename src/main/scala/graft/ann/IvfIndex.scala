@@ -39,13 +39,19 @@ object IvfIndex {
       spark: SparkSession,
       catalog: Catalog,
       entry: CollectionEntry,
-      nClusters: Int): DataFrame = {
+      nClusters: Int,
+      kmeansIters: Int = 0): DataFrame = {
     val docs = catalog.readDocuments(entry)
       .select(col("id"), col("embedding"), col("norm"))
-    val centroids = docs
-      .orderBy("id").limit(nClusters)
-      .select(monotonically_increasing_id().as("centroid_id"),
-        col("embedding").as("centroid"), col("norm").as("centroid_norm"))
+    // kmeansIters > 0 refines the deterministic seeds with decimal-exact
+    // Lloyd iterations (Ann.kmeansCentroids) — better quantization, still
+    // bit-reproducible across builds and cluster layouts
+    val centroids =
+      if (kmeansIters > 0) Ann.kmeansCentroids(docs, nClusters, kmeansIters)
+      else docs
+        .orderBy("id").limit(nClusters)
+        .select(monotonically_increasing_id().as("centroid_id"),
+          col("embedding").as("centroid"), col("norm").as("centroid_norm"))
     centroids.write.mode(SaveMode.Overwrite).parquet(centroidsPath(catalog, entry))
     val assigned = Ann.assign(docs, loadCentroids(spark, catalog, entry))
     assigned.write

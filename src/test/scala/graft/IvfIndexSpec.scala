@@ -116,6 +116,39 @@ class IvfIndexSpec extends SparkSpec {
     assert(api.semanticSearchApprox("stale", Seq("stale doc 7"), 5).results.size == 5)
   }
 
+  test("deterministic kmeans refinement improves quantization and is bit-reproducible") {
+    import spark.implicits._
+    import graft.functions.VectorFunctions
+    // 4 gaussian-ish blobs on orthogonal axes, ids ordered so the first-K
+    // seeds all land in blob 0 (worst case for the seed heuristic)
+    val rows = (0 until 120).map { i =>
+      val blob = i / 30 // ids 0..29 -> blob 0, 30..59 -> blob 1, ...
+      val v = Array.tabulate(8)(j =>
+        (if (j == blob * 2) 10f else 0f) + 0.05f * ((i * 31 + j * 17) % 7))
+      (f"v$i%03d", v)
+    }
+    val vecs = rows.toDF("id", "embedding")
+      .withColumn("norm", VectorFunctions.l2Norm(col("embedding")))
+    def meanDist(centroids: org.apache.spark.sql.DataFrame): Double =
+      Ann.assign(vecs, centroids)
+        .join(centroids, col("cluster_id") === col("centroid_id"))
+        .select(avg(lit(1.0) -
+          VectorFunctions.dot(col("embedding"), col("centroid")) /
+            (col("norm") * col("centroid_norm"))))
+        .collect()(0).getDouble(0)
+    val seeds = vecs.orderBy("id").limit(4)
+      .select(monotonically_increasing_id().as("centroid_id"),
+        col("embedding").as("centroid"), col("norm").as("centroid_norm"))
+    val refined = Ann.kmeansCentroids(vecs, 4, iters = 3)
+    assert(meanDist(refined) < meanDist(seeds) - 0.05,
+      "3 Lloyd iterations must substantially improve quantization over first-K seeds")
+    // bit-reproducibility: decimal-exact means give identical centroids
+    val again = Ann.kmeansCentroids(vecs.repartition(7), 4, iters = 3)
+    val a = refined.orderBy("centroid_id").collect().map(_.getSeq[Float](1))
+    val b = again.orderBy("centroid_id").collect().map(_.getSeq[Float](1))
+    assert(a.toSeq == b.toSeq, "centroids must be identical across partition layouts")
+  }
+
   test("blocked kNN self-join equals exact kNN when clusters are well-separated") {
     import spark.implicits._
     import graft.functions.VectorFunctions
