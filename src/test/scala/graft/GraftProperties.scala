@@ -61,4 +61,37 @@ object GraftProperties extends Properties("graft") {
       val out = graft.model.ErrorCodes.firewall(s)
       out.matches("^[a-z][a-z0-9_]{0,63}$")
     }
+
+  property("lex index bucket is stable, in range, and casefold-insensitive to input identity") =
+    forAll(text) { s =>
+      val b = graft.search.LexIndex.bucketOfScala(s)
+      b >= 0 && b < graft.search.LexIndex.NumBuckets &&
+        b == graft.search.LexIndex.bucketOfScala(s)
+    }
+
+  property("backend policy canonicalizes and fail-closes") =
+    forAll(Gen.oneOf(
+      Gen.oneOf("epistemic_graph", "mongodb", "postgres", "qdrant"),
+      Gen.identifier)) { raw =>
+      import graft.model.{BackendPolicy, GraftException}
+      val canon = BackendPolicy.canonicalBackend(raw)
+      if (BackendPolicy.AvailableBackends.contains(canon))
+        BackendPolicy.ensureBackendAvailable(raw.toUpperCase) == canon
+      else
+        try { BackendPolicy.ensureBackendAvailable(raw); false }
+        catch { case e: GraftException =>
+          e.code == graft.model.ErrorCodes.VectorBackendUnsupported ||
+            e.code == graft.model.ErrorCodes.VectorBackendNotConfigured }
+    }
+
+  property("adaptive probes: covered floor uses a prefix, never more than all clusters") =
+    forAll(Gen.chooseNum(1, 20), Gen.chooseNum(1L, 500L)) { (nClusters, floor) =>
+      val ranked = (0 until nClusters).map(i => (i.toDouble, i.toLong))
+      val sizes = ranked.map { case (_, cid) => cid -> (cid % 7 + 1) * 10L }.toMap
+      val probes = graft.ann.IvfIndex.adaptiveProbes(ranked, sizes, floor)
+      val total = sizes.values.sum
+      probes.nonEmpty && probes.size <= nClusters &&
+        probes == ranked.map(_._2).take(probes.size) && // a prefix of the ranking
+        (sizes.filter(kv => probes.contains(kv._1)).values.sum >= math.min(floor, total))
+    }
 }
