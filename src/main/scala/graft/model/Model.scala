@@ -134,6 +134,24 @@ object BackendPolicy {
   def resolve(value: String, configuredDefault: String = DefaultBackend): String =
     ensureBackendAvailable(
       Option(value).filter(_.nonEmpty).getOrElse(configuredDefault))
+
+  /** Non-throwing status probe (backend_policy.py:34-56, the doctor
+    * surface): reports availability instead of raising. Connection-level
+    * checks (endpoints, credentials, TLS) are infrastructure config out of
+    * engine scope — on Spark, "available" means the engine serves it.
+    */
+  final case class BackendStatus(
+      backend: String, available: Boolean, reason: String, advisory: Option[String])
+
+  def backendStatus(value: String): BackendStatus = {
+    val backend = canonicalBackend(value)
+    if (backend.isEmpty)
+      BackendStatus("", available = false, "vector backend is not configured", None)
+    else if (!AvailableBackends.contains(backend))
+      BackendStatus(backend, available = false, "unsupported vector backend", None)
+    else
+      BackendStatus(backend, available = true, "available", None)
+  }
 }
 
 /** Engine exception carrying a stable error code. */

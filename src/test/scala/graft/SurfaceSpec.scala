@@ -147,5 +147,12 @@ class SurfaceSpec extends SparkSpec {
       == ErrorCodes.VectorBackendUnsupported)
     val listed = mcp.vectorCollectionManagement("list_collections", dbType = "Qdrant")
     assert(listed("db_type") == "qdrant")
+    // non-throwing doctor probe (backend_policy.py:34-56)
+    assert(BackendPolicy.backendStatus("postgres")
+      == BackendPolicy.BackendStatus("postgres", true, "available", None))
+    assert(BackendPolicy.backendStatus("")
+      == BackendPolicy.BackendStatus("", false, "vector backend is not configured", None))
+    assert(BackendPolicy.backendStatus("Oracle")
+      == BackendPolicy.BackendStatus("oracle", false, "unsupported vector backend", None))
   }
 }
