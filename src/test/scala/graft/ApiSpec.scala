@@ -107,6 +107,17 @@ class ApiSpec extends SparkSpec {
     assert(api.insertDocuments("ins", Seq("fresh doc").toDF("content")) == 1)
   }
 
+  test("searches on an empty collection return empty results, not errors") {
+    // reference: tests/test_all_backends.py:553-577 — one (empty) result
+    // list per query on a fresh collection
+    val api = newApi()
+    api.createCollection("void")
+    assert(api.semanticSearch("void", Seq("anything"), 5).results.isEmpty)
+    assert(api.lexicalSearch("void", Seq("anything"), 5).results.isEmpty)
+    assert(api.lexicalSearchBm25("void", Seq("anything"), 5).results.isEmpty)
+    assert(api.search("void", "anything", 5).results.isEmpty)
+  }
+
   test("delete requires confirm=true exactly") {
     val api = newApi()
     api.createCollection("del1")
