@@ -252,6 +252,39 @@ final class Api(
     serialize(Lexical.search(docs(name), qs, k, payload = Seq("content", "metadata")))
   }
 
+  /** Build (or rebuild) the collection's persistent sign-LSH ANN index
+    * (graft.ann.SignLshIndex) — the angular-hash alternative to the IVF
+    * layout, partitioned by (table, key) for probe-time pruning.
+    */
+  def buildLshIndex(name: String, bits: Int = 8, tables: Int = 8): DataFrame = {
+    val entry = catalog.getCollection(physical(name))
+    graft.ann.SignLshIndex.build(spark, catalog, entry, embedder.dimension, bits, tables)
+  }
+
+  /** Approximate semantic search through the sign-LSH index. Table count
+    * and key width are derived from the index itself, so search always
+    * matches the build configuration; the hyperplane seed is the fixed
+    * engine-versioned constant.
+    */
+  def semanticSearchLsh(
+      name: String, questions: Seq[String], nResults: Int = 10): SearchResponse = {
+    val k = validLimit(nResults)
+    val valid = validQuestions(questions).map(Sanitize.sanitizeString)
+    val entry = catalog.getCollection(physical(name))
+    val index = graft.ann.SignLshIndex.load(spark, catalog, entry)
+    val meta = index.agg(max(col("table")), max(length(col("key")))).collect()(0)
+    val (tables, bits) = (meta.getInt(0) + 1, meta.getInt(1))
+    val qs = valid.zipWithIndex.map { case (q, i) => i -> embedder.embedQuery(q).toSeq }
+    val hits = graft.ann.SignLshIndex.search(
+      index, qs, k, embedder.dimension, bits, tables)
+    val payload = hits.alias("f")
+      .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
+      .select(col("f.query_idx"), col("f.id"), col("d.content"),
+        col("d.metadata"), col("f.score"))
+      .orderBy(col("f.query_idx"), col("f.score").desc, col("f.id"))
+    serialize(payload)
+  }
+
   /** Build (or rebuild) the collection's persistent lexical index —
     * term-bucket-partitioned postings (graft.search.LexIndex), the durable
     * analog of the reference's GIN index (postgres.py:189-196).

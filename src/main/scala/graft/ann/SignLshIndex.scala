@@ -1,0 +1,117 @@
+package graft.ann
+
+import org.apache.spark.sql.{Column, DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.functions.VectorFunctions
+import graft.model.CollectionEntry
+
+/** Persistent random-hyperplane (sign) LSH index — the second ANN layout
+  * next to [[IvfIndex]], with the complementary recall profile: IVF prunes
+  * by nearest-centroid region (good for clustered corpora), sign-LSH by
+  * angular hash agreement (distribution-free; recall for a pair at angular
+  * similarity s is 1-(1-s^bits)^tables, tunable without rebuilding data
+  * statistics).
+  *
+  * Layout: one row per (vector, table) with the vector's sign-key in that
+  * table, written PARTITIONED BY (table, key). A query computes its own
+  * key per table DRIVER-SIDE (the hyperplanes are seeded, engine-versioned
+  * constants — reproducible on any cluster), probes exactly `tables`
+  * partitions, and ranks the union of those buckets with exact cosine —
+  * approximation affects WHICH rows are scanned, never their scores.
+  */
+object SignLshIndex {
+
+  def indexPath(catalog: Catalog, entry: CollectionEntry): String =
+    catalog.tablePath(entry) + ".signlsh"
+
+  /** Deterministic hyperplanes: tables x bits x dim gaussians from a seeded
+    * RNG — identical sequence at build and query time.
+    */
+  def planes(dim: Int, bits: Int, tables: Int, seed: Long): Seq[Seq[Array[Double]]] = {
+    val rnd = new scala.util.Random(seed)
+    Seq.fill(tables)(Seq.fill(bits)(Array.fill(dim)(rnd.nextGaussian())))
+  }
+
+  /** Column form of one table's sign key over `embedding`. */
+  private def keyCol(tablePlanes: Seq[Array[Double]]): Column =
+    tablePlanes.map { p =>
+      val lits = array(p.map(lit): _*)
+      when(VectorFunctions.dot(col("embedding"), lits) >= 0, lit("1")).otherwise(lit("0"))
+    }.reduce(concat(_, _))
+
+  /** Driver-side mirror of [[keyCol]] for a query vector. */
+  def keyOf(vec: Seq[Float], tablePlanes: Seq[Array[Double]]): String =
+    tablePlanes.map { p =>
+      val dot = p.iterator.zip(vec.iterator).map { case (x, y) => x * y.toDouble }.sum
+      if (dot >= 0) "1" else "0"
+    }.mkString
+
+  /** Build (or rebuild) the index from the collection's documents table. */
+  def build(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      dim: Int,
+      bits: Int = 8,
+      tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, bits, tables, seed)
+    val docs = catalog.readDocuments(entry)
+      .select(col("id"), col("embedding"), col("norm"))
+    val banded = docs.select(col("id"), col("embedding"), col("norm"),
+      posexplode(array(ps.map(keyCol): _*)).as(Seq("table", "key")))
+    banded.write
+      .partitionBy("table", "key")
+      .mode(SaveMode.Overwrite)
+      .parquet(indexPath(catalog, entry))
+    load(spark, catalog, entry)
+  }
+
+  private val IndexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", StringType),
+      StructField("embedding", ArrayType(FloatType)),
+      StructField("norm", DoubleType),
+      StructField("table", IntegerType),
+      StructField("key", StringType)))
+  }
+
+  def load(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): DataFrame =
+    spark.read.schema(IndexSchema).parquet(indexPath(catalog, entry))
+
+  /** Approximate top-k: probe each query's own (table, key) buckets — a
+    * `tables`-partition pruned scan — then exact cosine over the union.
+    * A vector always lands in its own buckets, so a stored vector queried
+    * by its own embedding has recall 1 at rank 1.
+    */
+  def search(
+      index: DataFrame,
+      queries: Seq[(Int, Seq[Float])],
+      k: Int,
+      dim: Int,
+      bits: Int = 8,
+      tables: Int = 8,
+      seed: Long = 42L): DataFrame = {
+    val ps = planes(dim, bits, tables, seed)
+    val results = queries.map { case (qIdx, qVec) =>
+      val probeKeys = ps.zipWithIndex.map { case (tp, t) => (t, keyOf(qVec, tp)) }
+      val probed = probeKeys.map { case (t, key) =>
+        index.filter(col("table") === t && col("key") === key)
+      }.reduce(_ unionAll _)
+      probed
+        .select("id", "embedding", "norm").distinct() // a vector can match in several tables
+        .withColumn("score",
+          graft.search.Semantic.scoreAgainst(col("embedding"), col("norm"), qVec))
+        .withColumn("query_idx", lit(qIdx))
+        .select("query_idx", "id", "score")
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(k)
+    }
+    results.reduceOption(_ unionAll _).getOrElse(
+      index
+        .withColumn("score", lit(0.0)).withColumn("query_idx", lit(0))
+        .select("query_idx", "id", "score").limit(0))
+  }
+}
