@@ -6,6 +6,8 @@ import org.apache.spark.sql.SparkSession
 object TimeIt {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.nonEmpty) args(0) else "/root/testdata/sf0.001"
+    // optional: query-name substrings to run (default: all)
+    val filters = args.drop(1).toSeq
     val spark = SparkSession.builder()
       .master("local[8]")
       .config("spark.sql.shuffle.partitions", "8")
@@ -17,7 +19,9 @@ object TimeIt {
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
     val t00 = System.nanoTime()
-    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (name, _) => filters.isEmpty || filters.exists(name.contains) }
+      .foreach { case (name, fn) =>
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val tPlan = System.nanoTime()

@@ -1,8 +1,8 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 import graft.functions.TextFunctions._
 import graft.functions.VectorFunctions
 
@@ -30,22 +30,22 @@ object Dedup {
       .agg(min("id").as("keep_id"), count(lit(1)).as("n_dups"))
 
   /** Distinct word n-gram shingle ROWS per document: (id, sh).
-    * Tokenizer regex runs once per document (generator input), shingle
-    * assembly is a window of lead()s — fully codegen'd, no HOFs.
+    *
+    * Shingle assembly happens per document inside array functions: the
+    * tokenizer regex runs once per document into a materialized `toks`
+    * column (its own projection, so CollapseProject cannot inline the regex
+    * into the lambda — it is referenced more than once and is not cheap),
+    * then [[TextFunctions.shingles]] slides over the array and
+    * `array_distinct` dedups IN PLACE. Compared to the previous
+    * window(lead)-based formulation this needs NO shuffle at all — no
+    * partitionBy(id) sort for the window and no global distinct — so the
+    * operator scales embarrassingly-parallel with the scan and cannot spill.
+    * Per-document distinct equals the global (id, sh) distinct.
     */
-  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame = {
-    val toks = docs.select(col("id"),
-      posexplode(tokens(col("content"))).as(Seq("pos", "tok")))
-    val w = Window.partitionBy("id").orderBy("pos")
-    val leads = (1 until n).foldLeft(toks) { (df, i) =>
-      df.withColumn(s"t$i", lead(col("tok"), i).over(w))
-    }
-    val parts = col("tok") +: (1 until n).map(i => col(s"t$i"))
-    leads
-      .filter(parts.last.isNotNull)
-      .select(col("id"), concat_ws(" ", parts: _*).as("sh"))
-      .distinct()
-  }
+  def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
+    docs
+      .select(col("id"), tokens(col("content")).as("toks"))
+      .select(col("id"), explode(shingles(col("toks"), n)).as("sh"))
 
   /** Deterministic MinHash permutation constants (fixed, engine-versioned). */
   val MinHashSeeds: Seq[(Long, Long)] = {
@@ -86,7 +86,7 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sh = shingleRows(docs, shingleN).cache()
+    val sh = shingleRows(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
     val sigs = minHashSignatures(sh)
     val rowsPerBand = MinHashSeeds.size / bands
     val bandKeys = (0 until bands).map { b =>
@@ -134,7 +134,7 @@ object Dedup {
       maxHamming: Int = 3,
       blocks: Int = 4): DataFrame = {
     require(maxHamming < blocks, "pigeonhole guarantee needs maxHamming < blocks")
-    val fp = simHashFingerprints(docs).cache()
+    val fp = simHashFingerprints(docs).persist(StorageLevel.MEMORY_ONLY)
     val bitsPerBlock = 32 / blocks
     val banded = fp.select(
       col("id"), col("fp"),
@@ -180,7 +180,7 @@ object Dedup {
       threshold: Double,
       shingleN: Int = 3,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sh = shingleRows(docs, shingleN).cache()
+    val sh = shingleRows(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
     val sizes = sh.groupBy("id").agg(count(lit(1)).as("len"))
     // Skew guard for the inverted join: a shingle shared by d documents
     // contributes d^2 candidate pairs, so one stop-shingle can explode the
