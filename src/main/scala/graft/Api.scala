@@ -267,7 +267,8 @@ final class Api(
     * engine-versioned constant.
     */
   def semanticSearchLsh(
-      name: String, questions: Seq[String], nResults: Int = 10): SearchResponse = {
+      name: String, questions: Seq[String], nResults: Int = 10,
+      multiProbe: Int = 0): SearchResponse = {
     val k = validLimit(nResults)
     val valid = validQuestions(questions).map(Sanitize.sanitizeString)
     val entry = catalog.getCollection(physical(name))
@@ -276,7 +277,7 @@ final class Api(
     val (tables, bits) = (meta.getInt(0) + 1, meta.getInt(1))
     val qs = valid.zipWithIndex.map { case (q, i) => i -> embedder.embedQuery(q).toSeq }
     val hits = graft.ann.SignLshIndex.search(
-      index, qs, k, embedder.dimension, bits, tables)
+      index, qs, k, embedder.dimension, bits, tables, multiProbe = multiProbe)
     val payload = hits.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.query_idx"), col("f.id"), col("d.content"),
@@ -304,6 +305,24 @@ final class Api(
     val entry = catalog.getCollection(physical(name))
     val index = graft.search.LexIndex.load(spark, catalog, entry)
     val hits = graft.search.LexIndex.searchTf(index, qs, k)
+    val payload = hits.alias("f")
+      .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
+      .select(col("f.query_idx"), col("f.id"), col("d.content"),
+        col("d.metadata"), col("f.score"))
+      .orderBy(col("f.query_idx"), col("f.score").desc, col("f.id"))
+    serialize(payload)
+  }
+
+  /** BM25 lexical search through the persistent index: bucket-pruned
+    * postings slice; scores bit-identical to the scan path.
+    */
+  def lexicalSearchBm25Indexed(
+      name: String, questions: Seq[String], nResults: Int = 10): SearchResponse = {
+    val k = validLimit(nResults)
+    val qs = validQuestions(questions).map(Sanitize.sanitizeString).zipWithIndex.map(_.swap)
+    val entry = catalog.getCollection(physical(name))
+    val index = graft.search.LexIndex.load(spark, catalog, entry)
+    val hits = graft.search.LexIndex.searchBm25(index, qs, k)
     val payload = hits.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.query_idx"), col("f.id"), col("d.content"),

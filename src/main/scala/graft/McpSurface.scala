@@ -48,7 +48,21 @@ final class McpSurface(api: Api) {
     }
   }
 
-  /** vector_search(action in {semantic_search, lexical_search, search}). */
+  /** vector_search(action in {semantic_search, lexical_search, search}).
+    *
+    * The action set is byte-identical to the reference (any other action →
+    * search_action_invalid, mcp_server.py:289). Engine execution VARIANTS —
+    * which physical strategy serves the action — are routed through the
+    * `semanticMode` / `lexicalMode` knobs instead of new actions, so the
+    * observable action contract is untouched while index-backed serving is
+    * first-class:
+    *   - semanticMode: exact (brute top-k) | approx (IVF partition-pruned,
+    *     numCandidates = max(10k,100)) | lsh (sign-LSH probe-pruned)
+    *   - lexicalMode: scan (TF over content) | indexed (TF from postings) |
+    *     bm25 (BM25 scan) | bm25_indexed (BM25 from postings)
+    * An unknown mode is governed like an unknown action (the mode IS an
+    * action refinement): search_action_invalid.
+    */
   def vectorSearch(
       action: String,
       collectionName: String,
@@ -57,15 +71,35 @@ final class McpSurface(api: Api) {
       semanticWeight: Double = 0.5,
       lexicalWeight: Double = 0.5,
       rrfK: Int = 60,
-      dbType: String = null): Map[String, Any] = {
+      dbType: String = null,
+      semanticMode: String = "exact",
+      lexicalMode: String = "scan"): Map[String, Any] = {
     val backend = BackendPolicy.resolve(dbType)
     val res = resolveAction(action,
       Set("semantic_search", "lexical_search", "search"),
       ErrorCodes.SearchActionInvalid) match {
       case "semantic_search" =>
-        api.semanticSearch(collectionName, Seq(question), numberResults)
+        resolveAction(semanticMode, Set("exact", "approx", "lsh"),
+          ErrorCodes.SearchActionInvalid) match {
+          case "exact" =>
+            api.semanticSearch(collectionName, Seq(question), numberResults)
+          case "approx" =>
+            api.semanticSearchApprox(collectionName, Seq(question), numberResults)
+          case "lsh" =>
+            api.semanticSearchLsh(collectionName, Seq(question), numberResults)
+        }
       case "lexical_search" =>
-        api.lexicalSearch(collectionName, Seq(question), numberResults)
+        resolveAction(lexicalMode, Set("scan", "indexed", "bm25", "bm25_indexed"),
+          ErrorCodes.SearchActionInvalid) match {
+          case "scan" =>
+            api.lexicalSearch(collectionName, Seq(question), numberResults)
+          case "indexed" =>
+            api.lexicalSearchIndexed(collectionName, Seq(question), numberResults)
+          case "bm25" =>
+            api.lexicalSearchBm25(collectionName, Seq(question), numberResults)
+          case "bm25_indexed" =>
+            api.lexicalSearchBm25Indexed(collectionName, Seq(question), numberResults)
+        }
       case "search" =>
         api.search(collectionName, question, numberResults,
           semanticWeight, lexicalWeight, rrfK)

@@ -42,10 +42,31 @@ object SignLshIndex {
 
   /** Driver-side mirror of [[keyCol]] for a query vector. */
   def keyOf(vec: Seq[Float], tablePlanes: Seq[Array[Double]]): String =
-    tablePlanes.map { p =>
-      val dot = p.iterator.zip(vec.iterator).map { case (x, y) => x * y.toDouble }.sum
-      if (dot >= 0) "1" else "0"
-    }.mkString
+    probeKeysOf(vec, tablePlanes, 0).head
+
+  /** Multi-probe key set for one table: the query's own sign-key first,
+    * then `extraProbes` single-bit-flip neighbors in MARGIN order — the
+    * bits whose hyperplane projection is closest to zero are the likeliest
+    * to differ between a vector and its near-neighbors (standard
+    * multi-probe LSH perturbation ordering). Flipping low-margin bits
+    * first buys most of the recall of extra tables without storing them.
+    */
+  def probeKeysOf(
+      vec: Seq[Float],
+      tablePlanes: Seq[Array[Double]],
+      extraProbes: Int): Seq[String] = {
+    val dots = tablePlanes.map { p =>
+      p.iterator.zip(vec.iterator).map { case (x, y) => x * y.toDouble }.sum
+    }
+    val base = dots.map(d => if (d >= 0) '1' else '0').toArray
+    val flips = dots.zipWithIndex.sortBy { case (d, _) => math.abs(d) }
+      .take(math.max(0, extraProbes)).map(_._2)
+    new String(base) +: flips.map { i =>
+      val k = base.clone()
+      k(i) = if (k(i) == '1') '0' else '1'
+      new String(k)
+    }
+  }
 
   /** Build (or rebuild) the index from the collection's documents table. */
   def build(
@@ -85,6 +106,13 @@ object SignLshIndex {
     * `tables`-partition pruned scan — then exact cosine over the union.
     * A vector always lands in its own buckets, so a stored vector queried
     * by its own embedding has recall 1 at rank 1.
+    *
+    * `multiProbe` > 0 additionally probes that many single-bit-flip
+    * neighbor keys per table (lowest-margin bits first,
+    * [[probeKeysOf]]) — still a pruned scan of
+    * `tables * (1 + multiProbe)` partitions, trading a linear scan-width
+    * increase for the recall that would otherwise need more tables on
+    * disk.
     */
   def search(
       index: DataFrame,
@@ -93,12 +121,14 @@ object SignLshIndex {
       dim: Int,
       bits: Int = 8,
       tables: Int = 8,
-      seed: Long = 42L): DataFrame = {
+      seed: Long = 42L,
+      multiProbe: Int = 0): DataFrame = {
     val ps = planes(dim, bits, tables, seed)
     val results = queries.map { case (qIdx, qVec) =>
-      val probeKeys = ps.zipWithIndex.map { case (tp, t) => (t, keyOf(qVec, tp)) }
-      val probed = probeKeys.map { case (t, key) =>
-        index.filter(col("table") === t && col("key") === key)
+      val probeKeys = ps.zipWithIndex.map { case (tp, t) =>
+        (t, probeKeysOf(qVec, tp, multiProbe)) }
+      val probed = probeKeys.map { case (t, keys) =>
+        index.filter(col("table") === t && col("key").isin(keys: _*))
       }.reduce(_ unionAll _)
       probed
         .select("id", "embedding", "norm").distinct() // a vector can match in several tables

@@ -58,4 +58,75 @@ class SignLshIndexSpec extends SparkSpec {
     api.deleteCollection("lsh", confirm = true)
     assert(!root.exists(), "sign-LSH index must be deleted with the collection")
   }
+
+  test("multi-probe: lowest-margin bit flips, key-set shape, recall recovery") {
+    val dim = 16
+    val ps = SignLshIndex.planes(dim, 8, 1, 42L)
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 300).map(i =>
+      i.toString -> Seq.fill(dim)((rnd.nextGaussian() * 0.5).toFloat))
+
+    // probe-key set shape: base key first, each extra differs in exactly
+    // one bit, margin-ordered flips are deterministic
+    val v = vecs.head._2
+    val keys = SignLshIndex.probeKeysOf(v, ps.head, 3)
+    assert(keys.size == 4 && keys.head == SignLshIndex.keyOf(v, ps.head))
+    assert(keys.tail.forall(k =>
+      k.zip(keys.head).count { case (a, b) => a != b } == 1))
+    assert(keys.distinct.size == keys.size)
+    assert(SignLshIndex.probeKeysOf(v, ps.head, 3) == keys)
+
+    // find a pair whose keys differ in exactly one bit, that bit being
+    // the query's LOWEST-margin bit — the pair a 1-table plain probe
+    // misses and the first flip probe must recover
+    val withKeys = vecs.map { case (id, vec) =>
+      (id, vec, SignLshIndex.keyOf(vec, ps.head),
+        SignLshIndex.probeKeysOf(vec, ps.head, 1)(1))
+    }
+    val pair = (for {
+      (qi, qv, qk, qflip) <- withKeys.iterator
+      (xi, _, xk, _) <- withKeys.iterator
+      if qi != xi && xk == qflip && xk != qk
+    } yield (qi, qv, xi)).nextOption()
+    assert(pair.isDefined, "fixture must contain a hamming-1 low-margin pair")
+    val (_, qVec, targetId) = pair.get
+
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(dim))
+    import spark.implicits._
+    api.createCollection("mp",
+      documents = Some(vecs.map(_._1).toDF("content")))
+    // the corpus embeddings here are the synthetic gaussian vectors, not
+    // text-derived ones, so write the index layout directly with the same
+    // sign-key column logic the builder uses
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "mp"))
+    val vecDf = vecs.toDF("id", "embedding")
+      .select(col("id"), col("embedding"),
+        graft.functions.VectorFunctions.l2Norm(col("embedding")).as("norm"))
+    val idxPath = SignLshIndex.indexPath(api.catalog, entry)
+    val keyColumn =
+      ps.head.map { p =>
+        val arr = array(p.map(lit): _*)
+        when(graft.functions.VectorFunctions.dot(col("embedding"), arr) >= 0,
+          lit("1")).otherwise(lit("0"))
+      }.reduce(concat(_, _))
+    vecDf.select(col("id"), col("embedding"), col("norm"),
+        lit(0).as("table"), keyColumn.as("key"))
+      .write.partitionBy("table", "key")
+      .mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(idxPath)
+    val index = SignLshIndex.load(spark, api.catalog, entry)
+
+    val plain = SignLshIndex.search(index, Seq(0 -> qVec), 300, dim,
+      bits = 8, tables = 1, multiProbe = 0)
+      .select("id").collect().map(_.getString(0)).toSet
+    val multi = SignLshIndex.search(index, Seq(0 -> qVec), 300, dim,
+      bits = 8, tables = 1, multiProbe = 1)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(!plain.contains(targetId),
+      "plain 1-table probe must miss the hamming-1 neighbor")
+    assert(multi.contains(targetId),
+      "first multi-probe flip must recover the lowest-margin neighbor")
+    assert(plain.subsetOf(multi), "multi-probe only widens the candidate set")
+    api.deleteCollection("mp", confirm = true)
+  }
 }

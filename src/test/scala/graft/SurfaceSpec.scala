@@ -120,6 +120,41 @@ class SurfaceSpec extends SparkSpec {
         collectionName = "mc")).code == ErrorCodes.DeleteConfirmationRequired)
   }
 
+  test("mcp surface: execution-variant routing via semanticMode/lexicalMode") {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, dir, new DeterministicHashEmbedder(32))
+    val mcp = new McpSurface(api)
+    import spark.implicits._
+    mcp.vectorCollectionManagement("create_collection", collectionName = "mv",
+      documents = Some(Seq("alpha beta gamma", "alpha alpha delta",
+        "beta beta beta", "epsilon zeta").toDF("content")))
+    api.buildAnnIndex("mv", nClusters = 2)
+    api.buildLshIndex("mv", bits = 4, tables = 4)
+    api.buildLexicalIndex("mv")
+    def ids(m: Map[String, Any]): Seq[Any] =
+      m("results").asInstanceOf[Seq[Map[String, Any]]].map(_("id"))
+    // every variant routes and returns the canonical result shape; the
+    // indexed/approx paths must agree with their exact/scan counterparts
+    // on this small corpus (index recall is total at this scale)
+    val semExact = mcp.vectorSearch("semantic_search", "mv", "alpha beta")
+    assert(ids(mcp.vectorSearch("semantic_search", "mv", "alpha beta",
+      semanticMode = "approx")) == ids(semExact))
+    assert(ids(mcp.vectorSearch("semantic_search", "mv", "alpha beta",
+      semanticMode = "lsh")) == ids(semExact))
+    val lexScan = mcp.vectorSearch("lexical_search", "mv", "beta")
+    assert(ids(mcp.vectorSearch("lexical_search", "mv", "beta",
+      lexicalMode = "indexed")) == ids(lexScan))
+    val bm25Scan = mcp.vectorSearch("lexical_search", "mv", "beta",
+      lexicalMode = "bm25")
+    assert(ids(mcp.vectorSearch("lexical_search", "mv", "beta",
+      lexicalMode = "bm25_indexed")) == ids(bm25Scan))
+    // unknown modes are governed exactly like unknown actions
+    assert(intercept[GraftException](mcp.vectorSearch("semantic_search", "mv",
+      "q", semanticMode = "hnsw")).code == ErrorCodes.SearchActionInvalid)
+    assert(intercept[GraftException](mcp.vectorSearch("lexical_search", "mv",
+      "q", lexicalMode = "fts")).code == ErrorCodes.SearchActionInvalid)
+  }
+
   test("backend policy: fail-closed allow-list with canonicalization and default") {
     import graft.model.BackendPolicy
     // allow-list passes, canonicalized (backend_policy.py:7-31)
