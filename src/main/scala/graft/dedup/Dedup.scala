@@ -94,17 +94,33 @@ object Dedup {
     }
     val banded = sigs.select(col("id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
-    val buckets = banded
-      .groupBy("band", "bucket")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-    val cands = buckets
-      .select(explode(expr(
-        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
+    verifyJaccard(bucketPairs(banded, "band", maxBucketSize), sh, threshold)
+  }
+
+  /** Distinct candidate pairs (a < b) from rows sharing a (block, key)
+    * bucket, as a KEYED SELF-JOIN. The earlier collect_list + nested-HOF
+    * pair expansion materialized up to maxBucketSize^2 structs in ONE array
+    * per bucket on a single task; the join shape streams the same pairs
+    * through a hash join and scales with executors. Buckets of size 1
+    * (no pairs) and > maxBucketSize (stop-bucket skew guard) are dropped
+    * before the join by a broadcast-size aggregate.
+    */
+  private def bucketPairs(
+      banded: DataFrame, // (id, <blockCol>, bucket/key)
+      blockCol: String,
+      maxBucketSize: Int): DataFrame = {
+    val keyCols = Seq(col(blockCol), col(banded.columns.last))
+    val keyNames = Seq(blockCol, banded.columns.last)
+    val eligible = banded.join(
+      banded.groupBy(keyCols: _*).agg(count(lit(1)).as("bsz"))
+        .filter(col("bsz").between(2, maxBucketSize))
+        .select(keyCols: _*),
+      keyNames, "left_semi")
+    eligible.as("x").join(eligible.as("y"),
+        keyNames.map(c => col(s"x.$c") === col(s"y.$c"))
+          .reduce(_ && _) && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    verifyJaccard(cands, sh, threshold)
   }
 
   /** Exact Jaccard for candidate pairs via the shingle inverted index. */
@@ -255,15 +271,7 @@ object Dedup {
     }
     val banded = vectors
       .select(col("id"), posexplode(array(keyCols: _*)).as(Seq("table", "key")))
-    val buckets = banded.groupBy("table", "key")
-      .agg(collect_list(col("id")).as("ids"))
-      .filter(size(col("ids")).between(2, maxBucketSize))
-    val cands = buckets
-      .select(explode(expr(
-        "filter(flatten(transform(ids, a -> transform(ids, b -> struct(a, b)))), p -> p.a < p.b)"))
-        .as("p"))
-      .select(col("p.a").as("a"), col("p.b").as("b"))
-      .distinct()
+    val cands = bucketPairs(banded, "table", maxBucketSize)
     cands
       .join(vectors.select(col("id").as("a"), col("embedding").as("ea"),
         col("norm").as("na")), "a")
