@@ -54,7 +54,12 @@ object IvfIndex {
           col("embedding").as("centroid"), col("norm").as("centroid_norm"))
     centroids.write.mode(SaveMode.Overwrite).parquet(centroidsPath(catalog, entry))
     val assigned = Ann.assign(docs, loadCentroids(spark, catalog, entry))
-    assigned.write
+    assigned
+      // one writer per cluster partition: without this, every input task
+      // writes a file into every cluster dir it touches (tasks x clusters
+      // small files); with it the layout is one file per cluster
+      .repartition(col("cluster_id"))
+      .write
       .partitionBy("cluster_id")
       .mode(SaveMode.Overwrite)
       .parquet(indexPath(catalog, entry))

@@ -82,7 +82,12 @@ object SignLshIndex {
       .select(col("id"), col("embedding"), col("norm"))
     val banded = docs.select(col("id"), col("embedding"), col("norm"),
       posexplode(array(ps.map(keyCol): _*)).as(Seq("table", "key")))
-    banded.write
+    banded
+      // one writer per (table,key) partition (see IvfIndex.build): at
+      // bits=8, tables=8 the layout has up to 2048 partitions — without
+      // the repartition each input task fans out into all of them
+      .repartition(col("table"), col("key"))
+      .write
       .partitionBy("table", "key")
       .mode(SaveMode.Overwrite)
       .parquet(indexPath(catalog, entry))

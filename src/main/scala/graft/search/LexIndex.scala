@@ -47,6 +47,10 @@ object LexIndex {
     val docs = catalog.readDocuments(entry).select(col("id"), col("content"))
     Ingest.postings(docs)
       .withColumn("bucket", bucketOf(col("term")))
+      // one writer per bucket, rows sorted by term inside each file so
+      // parquet row-group min/max stats prune term lookups within a bucket
+      .repartition(col("bucket"))
+      .sortWithinPartitions("term")
       .write
       .partitionBy("bucket")
       .mode(SaveMode.Overwrite)
