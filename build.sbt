@@ -16,7 +16,6 @@ run / fork := true
 // strategy wraps every line in "[info] " which breaks JSON parsing
 // (BENCH_r01/r02 both recorded "parsed": null).
 Compile / run / outputStrategy := Some(OutputStrategy.StdoutOutput)
-Compile / runMain / outputStrategy := Some(OutputStrategy.StdoutOutput)
 // Spark 4.x on JDK 17 needs these when SparkSession is created outside
 // spark-submit (which normally injects them). Matches
 // org.apache.spark.launcher.JavaModuleOptions.defaultModuleOptions().

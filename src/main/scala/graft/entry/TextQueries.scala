@@ -159,13 +159,41 @@ object TextQueries {
       |SELECT id, n_frames, frame_idx FROM f WHERE frame_idx % 2 = 0
       |ORDER BY id, frame_idx""".stripMargin
 
+  /** Resize planning over the decoded media: aspect-preserving dims capped
+    * at 200 (chosen below the stub's 32..639 width range so both branches
+    * of the scale decision appear in the output).
+    */
+  def mmResize(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        lit("image").as("modality"),
+        col("text").cast("binary").as("data"))
+    Multimodal.resizeStub(Multimodal.decodeStub(media), maxDim = 200)
+      .orderBy("id")
+  }
+
+  val mmResizeSql: String =
+    """WITH d AS (SELECT doc_id AS id,
+      |  CAST(32 + octet_length(CAST(text AS BLOB)) % 608 AS INTEGER) AS width,
+      |  CAST(32 + (octet_length(CAST(text AS BLOB)) * 7) % 448 AS INTEGER) AS height
+      |  FROM documents),
+      |m AS (SELECT id, width, height, greatest(width, height) AS mx FROM d)
+      |SELECT id, width, height,
+      |  CASE WHEN mx <= 200 THEN width
+      |       ELSE greatest(1, CAST(floor(CAST(width AS BIGINT) * 200 / mx) AS INTEGER)) END AS out_w,
+      |  CASE WHEN mx <= 200 THEN height
+      |       ELSE greatest(1, CAST(floor(CAST(height AS BIGINT) * 200 / mx) AS INTEGER)) END AS out_h,
+      |  mx > 200 AS resized
+      |FROM m ORDER BY id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_text_langid" -> (textLangid _),
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_mm_decode" -> (mmDecode _),
-    "q_mm_frames" -> (mmFrames _)
+    "q_mm_frames" -> (mmFrames _),
+    "q_mm_resize" -> (mmResize _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -174,6 +202,7 @@ object TextQueries {
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_mm_decode" -> mmDecodeSql,
-    "q_mm_frames" -> mmFramesSql
+    "q_mm_frames" -> mmFramesSql,
+    "q_mm_resize" -> mmResizeSql
   )
 }

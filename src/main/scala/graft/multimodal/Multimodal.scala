@@ -67,6 +67,23 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Resize planning over decoded media: aspect-preserving target
+    * dimensions capped at `maxDim` (no-op when already within bounds),
+    * plus the scale decision — the metadata half of a resize stage. The
+    * pixel half belongs in [[decodeStub]]'s replaceable body; this column
+    * arithmetic is exact integer math so an oracle can replay it.
+    */
+  def resizeStub(decoded: DataFrame, maxDim: Int = 256): DataFrame = {
+    val m = greatest(col("width"), col("height"))
+    def scaled(side: org.apache.spark.sql.Column) =
+      greatest(lit(1), floor(side.cast("long") * maxDim / m).cast("int"))
+    decoded.select(
+      col("id"), col("width"), col("height"),
+      when(m <= maxDim, col("width")).otherwise(scaled(col("width"))).as("out_w"),
+      when(m <= maxDim, col("height")).otherwise(scaled(col("height"))).as("out_h"),
+      (m > maxDim).as("resized"))
+  }
+
   /** Frame sampling shape: explode n_frames into (id, frame_idx) rows with
     * a deterministic per-frame pseudo-feature — the layout a video pipeline
     * feeds into per-frame embedding.
