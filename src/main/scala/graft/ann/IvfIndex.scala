@@ -53,8 +53,19 @@ object IvfIndex {
         .select(monotonically_increasing_id().as("centroid_id"),
           col("embedding").as("centroid"), col("norm").as("centroid_norm"))
     centroids.write.mode(SaveMode.Overwrite).parquet(centroidsPath(catalog, entry))
-    val assigned = Ann.assign(docs, loadCentroids(spark, catalog, entry))
-    assigned
+    reassign(spark, catalog, entry)
+  }
+
+  /** Re-derive the persisted assignments from the CURRENT documents table
+    * against the EXISTING persisted centroids (the quantizer stays fixed —
+    * what a production IVF does on writes; retraining is an explicit
+    * rebuild). Called by [[build]] and by the write path's derived-index
+    * refresh.
+    */
+  def reassign(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): DataFrame = {
+    val docs = catalog.readDocuments(entry)
+      .select(col("id"), col("embedding"), col("norm"))
+    Ann.assign(docs, loadCentroids(spark, catalog, entry))
       // one writer per cluster partition: without this, every input task
       // writes a file into every cluster dir it touches (tasks x clusters
       // small files); with it the layout is one file per cluster

@@ -73,6 +73,40 @@ class LexIndexSpec extends SparkSpec {
     assert(res.results.nonEmpty && res.results.head.content.contains("spark"))
   }
 
+  test("derived indexes refresh on document writes (no stale serving)") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(16))
+    import spark.implicits._
+    api.createCollection("live", documents = Some(corpus()))
+    api.buildLexicalIndex("live")
+    api.buildAnnIndex("live", nClusters = 4)
+    api.buildLshIndex("live", bits = 4, tables = 4)
+
+    // an upsert introducing a brand-new term must be served by the index
+    api.addDocuments("live", Seq("zeppelin archive entry").toDF("content"))
+    val hit = api.lexicalSearchIndexed("live", Seq("zeppelin"), 5)
+    assert(hit.results.nonEmpty && hit.results.head.content.contains("zeppelin"),
+      "postings index must include rows upserted after the build")
+    val bm = api.lexicalSearchBm25Indexed("live", Seq("zeppelin"), 5)
+    assert(bm.results.nonEmpty && bm.results.head.content.contains("zeppelin"))
+    // the new document is reachable through both refreshed ANN layouts
+    val sem = api.semanticSearchApprox("live", Seq("zeppelin archive entry"), 3)
+    assert(sem.results.head.content == "zeppelin archive entry")
+    val lsh = api.semanticSearchLsh("live", Seq("zeppelin archive entry"), 3)
+    assert(lsh.results.head.content == "zeppelin archive entry")
+
+    // a delete must disappear from index-served results too
+    val id = hit.results.head.id
+    api.deleteDocuments("live", Seq(id))
+    assert(api.lexicalSearchIndexed("live", Seq("zeppelin"), 5).results.isEmpty,
+      "postings index must not serve deleted documents")
+    assert(!api.semanticSearchApprox("live", Seq("zeppelin archive entry"), 3)
+      .results.exists(_.id == id))
+    assert(!api.semanticSearchLsh("live", Seq("zeppelin archive entry"), 3)
+      .results.exists(_.id == id))
+    api.deleteCollection("live", confirm = true)
+  }
+
   test("derived indexes die with the collection (no stale serving after recreate)") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val api = new Api(spark, wh, new DeterministicHashEmbedder(16))
