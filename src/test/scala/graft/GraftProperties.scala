@@ -94,4 +94,19 @@ object GraftProperties extends Properties("graft") {
         probes == ranked.map(_._2).take(probes.size) && // a prefix of the ranking
         (sizes.filter(kv => probes.contains(kv._1)).values.sum >= math.min(floor, total))
     }
+
+  property("multi-probe keys: base first, unique, each flip exactly one bit") =
+    forAll(Gen.chooseNum(1, 6), Gen.chooseNum(0, 8),
+        Gen.listOfN(8, Gen.chooseNum(-1.0f, 1.0f))) { (bits, extra, vecL) =>
+      import graft.ann.SignLshIndex
+      val planes = SignLshIndex.planes(8, bits, 1, 42L).head
+      val vec = vecL.toSeq
+      val keys = SignLshIndex.probeKeysOf(vec, planes, extra)
+      keys.head == SignLshIndex.keyOf(vec, planes) &&
+        keys.size == 1 + math.min(extra, bits) &&
+        keys.distinct.size == keys.size &&
+        keys.tail.forall(k =>
+          k.length == bits &&
+            k.zip(keys.head).count { case (a, b) => a != b } == 1)
+    }
 }
