@@ -126,7 +126,12 @@ object LexIndex {
       .agg(count(lit(1)).as("n"), avg(col("dl").cast("double")).as("avgdl"))
       .collect()(0)
     val n = docStats.getAs[Long]("n").toDouble
-    val avgdl = docStats.getAs[Double]("avgdl")
+    // empty index (e.g. every document deleted since the build): avg(dl)
+    // aggregates to NULL — any non-zero stand-in is fine, the pruned slice
+    // is empty so no row is ever scored with it
+    val avgdl =
+      if (docStats.isNullAt(docStats.fieldIndex("avgdl"))) 1.0
+      else docStats.getAs[Double]("avgdl")
     val dfByTerm: Map[String, Double] =
       if (allTerms.isEmpty) Map.empty
       else sliced.groupBy("term").agg(count(lit(1)).as("df"))

@@ -105,6 +105,15 @@ class LexIndexSpec extends SparkSpec {
     assert(!api.semanticSearchLsh("live", Seq("zeppelin archive entry"), 3)
       .results.exists(_.id == id))
     api.deleteCollection("live", confirm = true)
+
+    // an index emptied by deletes serves empty results, not an error
+    api.createCollection("solo", documents = Some(Seq("only doc").toDF("content")))
+    api.buildLexicalIndex("solo")
+    val soloId = api.lexicalSearchIndexed("solo", Seq("only"), 1).results.head.id
+    api.deleteDocuments("solo", Seq(soloId))
+    assert(api.lexicalSearchBm25Indexed("solo", Seq("only"), 5).results.isEmpty)
+    assert(api.lexicalSearchIndexed("solo", Seq("only"), 5).results.isEmpty)
+    api.deleteCollection("solo", confirm = true)
   }
 
   test("derived indexes die with the collection (no stale serving after recreate)") {
