@@ -86,6 +86,9 @@ object StreamingIngest {
       val merged = embedded.count()
       val existing = catalog.readDocuments(entry)
       Ingest.rewrite(spark, catalog, entry, Ingest.upsertPlan(existing, embedded))
+      // compaction is a write like any other: persisted derived indexes
+      // must reflect the merged table (graft.Indexes scaladoc)
+      graft.Indexes.refreshDerived(spark, catalog, entry, embedder.dimension)
       merged
     } finally embedded.unpersist()
   }
