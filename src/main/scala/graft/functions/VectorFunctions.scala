@@ -32,6 +32,10 @@ object VectorFunctions {
   def l2Norm(a: Column): Column =
     VectorExpressions.l2NormNative(a)
 
+  /** Squared L2 distance of two ARRAY<numeric> columns, in double. */
+  def l2DistanceSq(a: Column, b: Column): Column =
+    VectorExpressions.l2DistanceSqNative(a, b)
+
   /** Cosine similarity of two vector columns (recomputes both norms). */
   def cosine(a: Column, b: Column): Column =
     dot(a, b) / (l2Norm(a) * l2Norm(b))
