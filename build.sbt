@@ -28,11 +28,23 @@ val jdk17AddOpens = Seq(
   "java.base/sun.nio.ch", "java.base/sun.nio.cs",
   "java.base/sun.security.action", "java.base/sun.util.calendar",
 ).flatMap(p => Seq("--add-opens", s"$p=ALL-UNNAMED"))
+// local[32] runs 32 concurrent tasks in ONE JVM: at 8g the sort/agg
+// buffers of wide aggregations spill, and under machine contention the
+// spill path is what blows bench times up. Default to a quarter of the
+// box's RAM capped at 32g (→ 32g on the 128 GiB bench box, small enough
+// to start on dev laptops); SPARK_DRIVER_MEM overrides explicitly.
+val defaultHeap: String = {
+  val memTotalGb =
+    try {
+      scala.io.Source.fromFile("/proc/meminfo").getLines()
+        .collectFirst { case l if l.startsWith("MemTotal:") =>
+          l.split("\\s+")(1).toLong / (1024 * 1024) }
+        .getOrElse(16L)
+    } catch { case _: Throwable => 16L }
+  s"${math.max(2L, math.min(32L, memTotalGb / 4))}g"
+}
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
-  // local[32] runs 32 concurrent tasks in ONE JVM: at 8g the sort/agg
-  // buffers of wide aggregations spill, and under machine contention the
-  // spill path is what blows bench times up. The box has 128 GiB.
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "32g")}",
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", defaultHeap)}",
 )

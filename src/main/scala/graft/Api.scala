@@ -267,10 +267,12 @@ final class Api(
     graft.ann.SignLshIndex.build(spark, catalog, entry, embedder.dimension, bits, tables)
   }
 
-  /** Approximate semantic search through the sign-LSH index. Table count
-    * and key width are derived from the index itself, so search always
-    * matches the build configuration; the hyperplane seed is the fixed
-    * engine-versioned constant.
+  /** Approximate semantic search through the sign-LSH index. Layout
+    * parameters (bits, tables, seed, dim) come from the sidecar meta
+    * persisted at build time, so search always matches the build
+    * configuration — including over an index a delete emptied; a missing
+    * index surfaces the governed `ann_index_not_found` instead of a raw
+    * storage error.
     */
   def semanticSearchLsh(
       name: String, questions: Seq[String], nResults: Int = 10,
@@ -278,12 +280,13 @@ final class Api(
     val k = validLimit(nResults)
     val valid = validQuestions(questions).map(Sanitize.sanitizeString)
     val entry = catalog.getCollection(physical(name))
+    val meta = graft.ann.SignLshIndex
+      .metaOrDerive(spark, catalog, entry, embedder.dimension)
+      .getOrElse(throw new GraftException(ErrorCodes.AnnIndexNotFound))
     val index = graft.ann.SignLshIndex.load(spark, catalog, entry)
-    val meta = index.agg(max(col("table")), max(length(col("key")))).collect()(0)
-    val (tables, bits) = (meta.getInt(0) + 1, meta.getInt(1))
     val qs = valid.zipWithIndex.map { case (q, i) => i -> embedder.embedQuery(q).toSeq }
     val hits = graft.ann.SignLshIndex.search(
-      index, qs, k, embedder.dimension, bits, tables, multiProbe = multiProbe)
+      index, qs, k, meta.dim, meta.bits, meta.tables, meta.seed, multiProbe = multiProbe)
     val payload = hits.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.query_idx"), col("f.id"), col("d.content"),

@@ -36,11 +36,16 @@ object Indexes {
         exists(graft.ann.IvfIndex.indexPath(catalog, entry)))
       graft.ann.IvfIndex.reassign(spark, catalog, entry)
     if (exists(graft.ann.SignLshIndex.indexPath(catalog, entry))) {
-      val meta = graft.ann.SignLshIndex.load(spark, catalog, entry)
-        .agg(max(col("table")), max(length(col("key")))).collect()(0)
-      if (!meta.isNullAt(0))
-        graft.ann.SignLshIndex.build(spark, catalog, entry, dim,
-          bits = meta.getInt(1), tables = meta.getInt(0) + 1)
+      // (bits, tables, seed) come from the persisted sidecar meta written at
+      // build time — never derived from index rows, which go away when a
+      // delete empties the collection (ADVICE r3). Legacy indexes without a
+      // sidecar fall back to row-derivation once; build() then writes the
+      // sidecar, making the parameters durable from that point on.
+      val meta = graft.ann.SignLshIndex.metaOrDerive(spark, catalog, entry, dim)
+      meta.foreach { m =>
+        graft.ann.SignLshIndex.build(spark, catalog, entry, m.dim,
+          bits = m.bits, tables = m.tables, seed = m.seed)
+      }
     }
   }
 }

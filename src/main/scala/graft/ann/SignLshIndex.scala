@@ -20,10 +20,60 @@ import graft.model.CollectionEntry
   * partitions, and ranks the union of those buckets with exact cosine —
   * approximation affects WHICH rows are scanned, never their scores.
   */
+/** Build-time configuration of a sign-LSH index, persisted as a one-row
+  * sidecar table next to the index itself. The layout parameters are part
+  * of the index — deriving them from index ROWS (max(table), key length)
+  * breaks the moment a write empties the collection: an empty rebuild has
+  * no rows, the parameters become unrecoverable, and every later refresh
+  * must silently skip. The sidecar survives empty rebuilds.
+  */
+final case class LshMeta(bits: Int, tables: Int, seed: Long, dim: Int)
+
 object SignLshIndex {
 
   def indexPath(catalog: Catalog, entry: CollectionEntry): String =
     catalog.tablePath(entry) + ".signlsh"
+
+  def metaPath(catalog: Catalog, entry: CollectionEntry): String =
+    catalog.tablePath(entry) + ".signlsh.meta"
+
+  /** The persisted build parameters, or None when no index was ever built
+    * (or a legacy index predates the sidecar).
+    */
+  def loadMeta(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): Option[LshMeta] = {
+    val p = metaPath(catalog, entry)
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(p))) None
+    else {
+      import spark.implicits._
+      spark.read.parquet(p).as[LshMeta].collect().headOption
+    }
+  }
+
+  /** Like [[loadMeta]] but governed: missing index/meta surfaces the stable
+    * error code instead of a raw storage exception (ADVICE r3: no ungoverned
+    * NPE on a null meta row).
+    */
+  def requireMeta(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): LshMeta =
+    loadMeta(spark, catalog, entry).getOrElse(
+      throw new graft.model.GraftException(graft.model.ErrorCodes.AnnIndexNotFound))
+
+  /** [[loadMeta]], with a one-time fallback for legacy indexes that predate
+    * the sidecar: derive (bits, tables) from the index rows — possible only
+    * while the index is non-empty; the default seed is the only one legacy
+    * builds could have used. Returns None when neither source has the
+    * parameters (legacy index emptied before a sidecar existed).
+    */
+  def metaOrDerive(
+      spark: SparkSession, catalog: Catalog, entry: CollectionEntry, dim: Int): Option[LshMeta] =
+    loadMeta(spark, catalog, entry).orElse {
+      if (!java.nio.file.Files.exists(java.nio.file.Paths.get(indexPath(catalog, entry)))) None
+      else {
+        val row = load(spark, catalog, entry)
+          .agg(max(col("table")), max(length(col("key")))).collect()(0)
+        if (row.isNullAt(0)) None
+        else Some(LshMeta(bits = row.getInt(1), tables = row.getInt(0) + 1, seed = 42L, dim = dim))
+      }
+    }
 
   /** Deterministic hyperplanes: tables x bits x dim gaussians from a seeded
     * RNG — identical sequence at build and query time.
@@ -91,6 +141,9 @@ object SignLshIndex {
       .partitionBy("table", "key")
       .mode(SaveMode.Overwrite)
       .parquet(indexPath(catalog, entry))
+    import spark.implicits._
+    spark.createDataset(Seq(LshMeta(bits, tables, seed, dim))).toDF()
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaPath(catalog, entry))
     load(spark, catalog, entry)
   }
 

@@ -94,7 +94,7 @@ object Dedup {
     }
     val banded = sigs.select(col("id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
-    verifyJaccard(bucketPairs(banded, "band", maxBucketSize), sh, threshold)
+    verifyJaccard(bucketPairs(banded, "band", "bucket", maxBucketSize), sh, threshold)
   }
 
   /** Distinct candidate pairs (a < b) from rows sharing a (block, key)
@@ -106,11 +106,14 @@ object Dedup {
     * before the join by a broadcast-size aggregate.
     */
   private def bucketPairs(
-      banded: DataFrame, // (id, <blockCol>, bucket/key)
+      banded: DataFrame, // (id, <blockCol>, <keyCol>)
       blockCol: String,
+      keyCol: String,
       maxBucketSize: Int): DataFrame = {
-    val keyCols = Seq(col(blockCol), col(banded.columns.last))
-    val keyNames = Seq(blockCol, banded.columns.last)
+    require(banded.columns.contains(blockCol) && banded.columns.contains(keyCol),
+      s"bucketPairs needs ($blockCol, $keyCol) in ${banded.columns.mkString(",")}")
+    val keyCols = Seq(col(blockCol), col(keyCol))
+    val keyNames = Seq(blockCol, keyCol)
     val eligible = banded.join(
       banded.groupBy(keyCols: _*).agg(count(lit(1)).as("bsz"))
         .filter(col("bsz").between(2, maxBucketSize))
@@ -271,7 +274,7 @@ object Dedup {
     }
     val banded = vectors
       .select(col("id"), posexplode(array(keyCols: _*)).as(Seq("table", "key")))
-    val cands = bucketPairs(banded, "table", maxBucketSize)
+    val cands = bucketPairs(banded, "table", "key", maxBucketSize)
     cands
       .join(vectors.select(col("id").as("a"), col("embedding").as("ea"),
         col("norm").as("na")), "a")

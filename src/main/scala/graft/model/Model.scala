@@ -90,6 +90,9 @@ object ErrorCodes {
   val SearchActionInvalid = "search_action_invalid"
   val VectorBackendNotConfigured = "vector_backend_not_configured"
   val VectorBackendUnsupported = "vector_backend_unsupported"
+  // engine extension (no reference analog — its backends build indexes at
+  // DDL time): requesting an index-served search before the index is built
+  val AnnIndexNotFound = "ann_index_not_found"
 
   private val Stable = "^[a-z][a-z0-9_]{0,63}$".r
 

@@ -59,6 +59,51 @@ class SignLshIndexSpec extends SparkSpec {
     assert(!root.exists(), "sign-LSH index must be deleted with the collection")
   }
 
+  test("meta sidecar: params survive an emptying delete; missing index is governed") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+
+    // no index built yet -> governed error, not a raw storage exception
+    api.createCollection("m0", documents = Some(Seq("x").toDF("content")))
+    val noIdx = intercept[graft.model.GraftException](
+      api.semanticSearchLsh("m0", Seq("x"), 3))
+    assert(noIdx.code == graft.model.ErrorCodes.AnnIndexNotFound)
+
+    val docs = (0 until 40).map(i => s"meta doc $i").toDF("content")
+    api.createCollection("meta", documents = Some(docs))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "meta"))
+    api.buildLshIndex("meta", bits = 5, tables = 3)
+    assert(SignLshIndex.loadMeta(spark, api.catalog, entry)
+      .contains(graft.ann.LshMeta(5, 3, 42L, 32)))
+
+    // delete EVERY document: the refresh rebuilds an empty index, and the
+    // (bits, tables) must survive in the sidecar (they are unrecoverable
+    // from zero rows — the round-3 stale-serving bug)
+    val allIds = api.getDocumentsByIds("meta",
+      api.catalog.readDocuments(entry).select("id").collect().map(_.getString(0)).toSeq)
+      .select("id").collect().map(_.getString(0)).toSeq
+    api.deleteDocuments("meta", allIds)
+    assert(api.catalog.readDocuments(entry).count() == 0)
+    assert(SignLshIndex.loadMeta(spark, api.catalog, entry)
+      .contains(graft.ann.LshMeta(5, 3, 42L, 32)), "meta must survive an empty rebuild")
+    // searching the emptied index is governed-empty, not an error
+    assert(api.semanticSearchLsh("meta", Seq("meta doc 7"), 3).results.isEmpty)
+
+    // documents added AFTER the emptying delete must re-enter the index
+    api.addDocuments("meta", Seq("reborn doc").toDF("content"))
+    val res = api.semanticSearchLsh("meta", Seq("reborn doc"), 3)
+    assert(res.results.nonEmpty && res.results.head.content == "reborn doc")
+    // and the layout still uses the original build parameters
+    val keyDirs = new java.io.File(
+      SignLshIndex.indexPath(api.catalog, entry) + "/table=0").listFiles()
+      .map(_.getName).filter(_.startsWith("key="))
+    assert(keyDirs.nonEmpty && keyDirs.forall(_.matches("key=[01]{5}")))
+    api.deleteCollection("meta", confirm = true)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(
+      SignLshIndex.metaPath(api.catalog, entry))), "meta sidecar dies with the collection")
+  }
+
   test("multi-probe: lowest-margin bit flips, key-set shape, recall recovery") {
     val dim = 16
     val ps = SignLshIndex.planes(dim, 8, 1, 42L)
