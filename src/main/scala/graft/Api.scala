@@ -152,8 +152,13 @@ final class Api(
       val added = embedded.count()
       val existing = catalog.readDocuments(entry)
       if (!upsert) Ingest.assertNoneExist(existing, embedded)
+      // incremental index maintenance (Indexes scaladoc): stage the delta
+      // BEFORE the rewrite (old rows still readable), apply AFTER
+      val replaced = existing.join(embedded.select("id"), Seq("id"), "left_semi")
+      val pending = Indexes.stage(spark, catalog, entry, embedder.dimension,
+        oldRows = replaced, newRows = embedded)
       Ingest.rewrite(spark, catalog, entry, Ingest.upsertPlan(existing, embedded))
-      refreshDerivedIndexes(entry)
+      Indexes.applyPending(spark, catalog, entry, pending, embedded)
       added
     } finally embedded.unpersist()
   }
@@ -161,13 +166,14 @@ final class Api(
   def deleteDocuments(name: String, ids: Seq[String]): Unit = {
     val entry = catalog.getCollection(physical(name))
     val existing = catalog.readDocuments(entry)
-    Ingest.rewrite(spark, catalog, entry, Ingest.deletePlan(existing, ids).cache())
-    refreshDerivedIndexes(entry)
+    val plan = Ingest.deletePlan(existing, ids).cache()
+    val pending = Indexes.stage(spark, catalog, entry, embedder.dimension,
+      oldRows = existing.filter(col("id").isin(ids: _*)),
+      newRows = existing.limit(0))
+    Ingest.rewrite(spark, catalog, entry, plan)
+    Indexes.applyPending(spark, catalog, entry, pending,
+      catalog.readDocuments(entry).limit(0))
   }
-
-  /** Write-path derived-index maintenance — see [[Indexes.refreshDerived]]. */
-  private def refreshDerivedIndexes(entry: graft.model.CollectionEntry): Unit =
-    Indexes.refreshDerived(spark, catalog, entry, embedder.dimension)
 
   def getDocumentsByIds(name: String, ids: Seq[String]): DataFrame = {
     val entry = catalog.getCollection(physical(name))

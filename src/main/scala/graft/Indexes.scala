@@ -1,9 +1,15 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import java.nio.file.{Files, Path, Paths, StandardCopyOption}
+import java.util.Comparator
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
+
+import graft.ann.{Ann, IvfIndex, LshMeta, SignLshIndex}
 import graft.catalog.Catalog
 import graft.model.CollectionEntry
+import graft.search.LexIndex
 
 /** Derived-index maintenance shared by every write path (API upsert/delete
   * and streaming compaction).
@@ -11,39 +17,213 @@ import graft.model.CollectionEntry
   * Reference parity: every backend maintains its indexes transactionally
   * with document writes (pg updates GIN/HNSW per INSERT, qdrant/mongo index
   * within upsert) — so any PERSISTED derived index here must reflect the
-  * table after a write instead of silently serving stale rows. Postings are
-  * rebuilt; IVF re-assigns against the persisted centroids (the quantizer
-  * stays fixed, as in a production IVF — centroid retraining is an explicit
-  * buildAnnIndex); sign-LSH re-bands under the same (bits, tables) derived
-  * from the existing layout (the hyperplane family is a seeded constant,
-  * so keys stay comparable).
+  * table after a write instead of silently serving stale rows. And like
+  * those backends, maintenance is INCREMENTAL, not a full rebuild
+  * (ADVICE r3): every index is partitioned on a key that is a
+  * deterministic function of a row's content/embedding (term hash bucket,
+  * IVF cluster, LSH table+key), so a write touching Δ documents can
+  * compute exactly which partitions the old and new versions of those
+  * rows live in, and rewrite only those — O(Δ × bucket) work per write,
+  * independent of corpus size.
+  *
+  * Two-phase protocol around the documents-table rewrite:
+  *   1. [[stage]] BEFORE the rewrite — snapshots the changed rows
+  *      (old versions still readable + incoming batch) off the table's
+  *      lineage via localCheckpoint and computes each index's affected
+  *      partition values eagerly.
+  *   2. [[applyPending]] AFTER the rewrite — for each index, rebuilds
+  *      the affected partitions only (surviving rows ∖ changed ids
+  *      ∪ fresh rows of the new batch) into a staging dir and swaps the
+  *      partition dirs in; a partition left with no rows is deleted,
+  *      so dynamic-overwrite's "empty partition survives" hazard cannot
+  *      produce stale index rows.
+  *
+  * Semantics are identical to a full rebuild (same index ROWS — file
+  * layout aside), which [[refreshDerived]] still provides for explicit
+  * rebuilds and legacy indexes without staged state.
   */
 object Indexes {
 
-  /** Refresh whichever persisted derived indexes exist for `entry`.
-    * `dim` is the collection's embedding dimension (for LSH re-banding).
+  /** Eagerly-staged description of what one write touches: the changed-id
+    * snapshot (pre-rewrite, lineage-free) and each existing index's
+    * affected partition values. Built by [[stage]]; consumed once by
+    * [[applyPending]].
+    */
+  final case class Pending(
+      ids: DataFrame, // distinct changed ids (old ∪ new), localCheckpoint'd
+      lexBuckets: Option[Seq[Int]],
+      ivfClusters: Option[Seq[Long]],
+      lsh: Option[(LshMeta, Seq[(Int, String)])])
+
+  private def exists(p: String) = Files.exists(Paths.get(p))
+
+  private val DeltaCols = Seq("id", "content", "embedding", "norm")
+
+  /** Phase 1 (call BEFORE the documents-table rewrite): snapshot the
+    * write's delta and compute affected index partitions.
+    *
+    * `oldRows`: pre-write versions of the ids this write replaces or
+    * deletes (empty for pure inserts). `newRows`: the incoming batch
+    * (empty for deletes). Both need (id, content, embedding, norm).
+    * Returns None when the collection has no persisted derived index —
+    * then there is nothing to maintain and no snapshot cost is paid.
+    */
+  def stage(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      dim: Int,
+      oldRows: DataFrame,
+      newRows: DataFrame): Option[Pending] = {
+    val hasLex = exists(LexIndex.indexPath(catalog, entry))
+    val hasIvf = exists(IvfIndex.centroidsPath(catalog, entry)) &&
+      exists(IvfIndex.indexPath(catalog, entry))
+    val lshMeta =
+      if (exists(SignLshIndex.indexPath(catalog, entry)))
+        SignLshIndex.metaOrDerive(spark, catalog, entry, dim)
+      else None
+    if (!hasLex && !hasIvf && lshMeta.isEmpty) return None
+
+    // localCheckpoint severs lineage from the table path: the snapshots
+    // stay valid (and Δ-sized) after the rewrite swaps the table dirs.
+    val oldSnap = oldRows.select(DeltaCols.map(col): _*).localCheckpoint()
+    val newSnap = newRows.select(DeltaCols.map(col): _*).localCheckpoint()
+    val both = oldSnap.unionByName(newSnap)
+    val ids = both.select("id").distinct().localCheckpoint()
+
+    val lexBuckets =
+      if (!hasLex) None
+      else Some(LexIndex.indexRows(both)
+        .select("bucket").distinct().collect().map(_.getInt(0)).toSeq)
+    val ivfClusters =
+      if (!hasIvf) None
+      else {
+        val cents = IvfIndex.loadCentroids(spark, catalog, entry)
+        // per-version assignment: Ann.assign picks one row per id (window
+        // on id), so a changed embedding's old and new clusters must be
+        // derived from separate passes over the two snapshots
+        def clustersOf(rows: DataFrame): Seq[Long] =
+          Ann.assign(rows, cents).select("cluster_id").distinct()
+            .collect().map(_.getLong(0)).toSeq
+        Some((clustersOf(oldSnap) ++ clustersOf(newSnap)).distinct)
+      }
+    val lsh = lshMeta.map { m =>
+      val parts = SignLshIndex.band(both, m)
+        .select("table", "key").distinct().collect()
+        .map(r => (r.getInt(0), r.getString(1))).toSeq
+      (m, parts)
+    }
+    Some(Pending(ids, lexBuckets, ivfClusters, lsh))
+  }
+
+  /** Phase 2 (call AFTER the documents-table rewrite): rewrite each
+    * index's affected partitions. `newRows` is the same incoming batch
+    * passed to [[stage]] (still cached by the caller).
+    */
+  def applyPending(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      pending: Option[Pending],
+      newRows: DataFrame): Unit = pending.foreach { p =>
+    val fresh = newRows.select(DeltaCols.map(col): _*)
+    p.lexBuckets.foreach { buckets =>
+      val idx = LexIndex.load(spark, catalog, entry)
+        .filter(col("bucket").isin(buckets: _*))
+        .join(broadcast(p.ids), Seq("id"), "left_anti")
+        .unionByName(LexIndex.indexRows(fresh))
+      replacePartitions(idx, LexIndex.indexPath(catalog, entry),
+        Seq("bucket"), sortCol = Some("term"),
+        affectedDirs = buckets.map(b => s"bucket=$b"))
+    }
+    p.ivfClusters.foreach { clusters =>
+      val cents = IvfIndex.loadCentroids(spark, catalog, entry)
+      val idx = IvfIndex.loadIndex(spark, catalog, entry)
+        .filter(col("cluster_id").isin(clusters: _*))
+        .join(broadcast(p.ids), Seq("id"), "left_anti")
+        .unionByName(Ann.assign(fresh, cents))
+      replacePartitions(idx, IvfIndex.indexPath(catalog, entry),
+        Seq("cluster_id"), sortCol = None,
+        affectedDirs = clusters.map(c => s"cluster_id=$c"))
+    }
+    p.lsh.foreach { case (m, parts) =>
+      if (parts.nonEmpty) {
+        val pred = parts.map { case (t, k) =>
+          col("table") === t && col("key") === k
+        }.reduce(_ || _)
+        val idx = SignLshIndex.load(spark, catalog, entry)
+          .filter(pred)
+          .join(broadcast(p.ids), Seq("id"), "left_anti")
+          .unionByName(SignLshIndex.band(fresh, m))
+        replacePartitions(idx, SignLshIndex.indexPath(catalog, entry),
+          Seq("table", "key"), sortCol = None,
+          affectedDirs = parts.map { case (t, k) => s"table=$t/key=$k" })
+      }
+    }
+  }
+
+  /** Rebuild the given partition dirs of a partitioned index from
+    * `replacement` (which must contain rows for ONLY those partitions):
+    * write to a `.delta` staging dir, then per affected partition delete
+    * the live dir and move the staged one in (absent staged dir = the
+    * partition emptied = plain delete). Same swap discipline as
+    * Ingest.rewrite — never reads and overwrites the same path in one
+    * job, and on a real cluster each move is one filesystem rename.
+    */
+  private def replacePartitions(
+      replacement: DataFrame,
+      indexPath: String,
+      partCols: Seq[String],
+      sortCol: Option[String],
+      affectedDirs: Seq[String]): Unit = {
+    val staging = indexPath + ".delta"
+    val repart = replacement.repartition(partCols.map(col): _*)
+    val sorted = sortCol.fold(repart)(c => repart.sortWithinPartitions(c))
+    sorted.write
+      .partitionBy(partCols: _*)
+      .mode(SaveMode.Overwrite)
+      .parquet(staging)
+    affectedDirs.foreach { rel =>
+      val target = Paths.get(s"$indexPath/$rel")
+      deleteDir(target)
+      val src = Paths.get(s"$staging/$rel")
+      if (Files.exists(src)) {
+        Files.createDirectories(target.getParent)
+        Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
+      }
+    }
+    deleteDir(Paths.get(staging))
+  }
+
+  private def deleteDir(p: Path): Unit =
+    if (Files.exists(p))
+      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+        .forEach(f => Files.delete(f))
+
+  /** Full rebuild of whichever persisted derived indexes exist for
+    * `entry` — the explicit-rebuild path (and the fallback when no
+    * staged delta is available). `dim` is the collection's embedding
+    * dimension (for LSH re-banding).
     */
   def refreshDerived(
       spark: SparkSession,
       catalog: Catalog,
       entry: CollectionEntry,
       dim: Int): Unit = {
-    def exists(p: String) =
-      java.nio.file.Files.exists(java.nio.file.Paths.get(p))
-    if (exists(graft.search.LexIndex.indexPath(catalog, entry)))
-      graft.search.LexIndex.build(spark, catalog, entry)
-    if (exists(graft.ann.IvfIndex.centroidsPath(catalog, entry)) &&
-        exists(graft.ann.IvfIndex.indexPath(catalog, entry)))
-      graft.ann.IvfIndex.reassign(spark, catalog, entry)
-    if (exists(graft.ann.SignLshIndex.indexPath(catalog, entry))) {
+    if (exists(LexIndex.indexPath(catalog, entry)))
+      LexIndex.build(spark, catalog, entry)
+    if (exists(IvfIndex.centroidsPath(catalog, entry)) &&
+        exists(IvfIndex.indexPath(catalog, entry)))
+      IvfIndex.reassign(spark, catalog, entry)
+    if (exists(SignLshIndex.indexPath(catalog, entry))) {
       // (bits, tables, seed) come from the persisted sidecar meta written at
       // build time — never derived from index rows, which go away when a
       // delete empties the collection (ADVICE r3). Legacy indexes without a
       // sidecar fall back to row-derivation once; build() then writes the
       // sidecar, making the parameters durable from that point on.
-      val meta = graft.ann.SignLshIndex.metaOrDerive(spark, catalog, entry, dim)
+      val meta = SignLshIndex.metaOrDerive(spark, catalog, entry, dim)
       meta.foreach { m =>
-        graft.ann.SignLshIndex.build(spark, catalog, entry, m.dim,
+        SignLshIndex.build(spark, catalog, entry, m.dim,
           bits = m.bits, tables = m.tables, seed = m.seed)
       }
     }

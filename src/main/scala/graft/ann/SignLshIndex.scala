@@ -118,6 +118,17 @@ object SignLshIndex {
     }
   }
 
+  /** The index rows (id, embedding, norm, table, key) for a set of
+    * documents under a given layout — the row-level unit both [[build]]
+    * (whole table) and the write path's incremental partition refresh
+    * (Δ batch only) share.
+    */
+  def band(docs: DataFrame, meta: LshMeta): DataFrame = {
+    val ps = planes(meta.dim, meta.bits, meta.tables, meta.seed)
+    docs.select(col("id"), col("embedding"), col("norm"),
+      posexplode(array(ps.map(keyCol): _*)).as(Seq("table", "key")))
+  }
+
   /** Build (or rebuild) the index from the collection's documents table. */
   def build(
       spark: SparkSession,
@@ -127,11 +138,9 @@ object SignLshIndex {
       bits: Int = 8,
       tables: Int = 8,
       seed: Long = 42L): DataFrame = {
-    val ps = planes(dim, bits, tables, seed)
     val docs = catalog.readDocuments(entry)
       .select(col("id"), col("embedding"), col("norm"))
-    val banded = docs.select(col("id"), col("embedding"), col("norm"),
-      posexplode(array(ps.map(keyCol): _*)).as(Seq("table", "key")))
+    val banded = band(docs, LshMeta(bits, tables, seed, dim))
     banded
       // one writer per (table,key) partition (see IvfIndex.build): at
       // bits=8, tables=8 the layout has up to 2048 partitions — without

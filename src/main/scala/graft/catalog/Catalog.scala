@@ -42,7 +42,8 @@ final class Catalog(spark: SparkSession, val warehouseDir: String) {
     * incarnation's data.
     */
   private def derivedPaths(entry: CollectionEntry): Seq[Path] =
-    Seq(".ivf", ".ivf.centroids", ".postings", ".signlsh", ".signlsh.meta", ".staging")
+    Seq(".ivf", ".ivf.centroids", ".ivf.delta", ".postings", ".postings.delta",
+        ".signlsh", ".signlsh.meta", ".signlsh.delta", ".staging")
       .map(sfx => Paths.get(tablePath(entry) + sfx))
 
   private def deleteTableAndDerived(entry: CollectionEntry): Unit = {

@@ -42,11 +42,18 @@ object LexIndex {
     ((d(0) & 0xff)) % NumBuckets
   }
 
+  /** The index rows (id, dl, term, tf, bucket) for a set of documents —
+    * the row-level unit both [[build]] (whole table) and the write path's
+    * incremental partition refresh (Δ batch only) share.
+    */
+  def indexRows(docs: DataFrame): DataFrame =
+    Ingest.postings(docs.select(col("id"), col("content")))
+      .withColumn("bucket", bucketOf(col("term")))
+
   /** Build (or rebuild) the index from the collection's documents table. */
   def build(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): DataFrame = {
     val docs = catalog.readDocuments(entry).select(col("id"), col("content"))
-    Ingest.postings(docs)
-      .withColumn("bucket", bucketOf(col("term")))
+    indexRows(docs)
       // one writer per bucket, rows sorted by term inside each file so
       // parquet row-group min/max stats prune term lookups within a bucket
       .repartition(col("bucket"))

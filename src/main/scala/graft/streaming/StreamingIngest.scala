@@ -85,10 +85,15 @@ object StreamingIngest {
     try {
       val merged = embedded.count()
       val existing = catalog.readDocuments(entry)
-      Ingest.rewrite(spark, catalog, entry, Ingest.upsertPlan(existing, embedded))
       // compaction is a write like any other: persisted derived indexes
-      // must reflect the merged table (graft.Indexes scaladoc)
-      graft.Indexes.refreshDerived(spark, catalog, entry, embedder.dimension)
+      // must reflect the merged table — incrementally, so per-micro-batch
+      // maintenance cost tracks the batch size, not the corpus size
+      // (graft.Indexes scaladoc)
+      val replaced = existing.join(embedded.select("id"), Seq("id"), "left_semi")
+      val pending = graft.Indexes.stage(spark, catalog, entry, embedder.dimension,
+        oldRows = replaced, newRows = embedded)
+      Ingest.rewrite(spark, catalog, entry, Ingest.upsertPlan(existing, embedded))
+      graft.Indexes.applyPending(spark, catalog, entry, pending, embedded)
       merged
     } finally embedded.unpersist()
   }
