@@ -301,6 +301,42 @@ final class Api(
     serialize(payload)
   }
 
+  /** Build (or rebuild) the collection's persistent IVF-PQ index
+    * (graft.ann.PqIndex) — cluster-partitioned PQ codes + persisted
+    * codebooks, the reference's literal "IVF-PQ" engine-side ANN
+    * (epistemic_graph.py:5-8). Reuses the IvfIndex centroids when
+    * buildAnnIndex ran first (one quantizer for both layouts).
+    */
+  def buildPqIndex(
+      name: String, m: Int = 8, k: Int = 16, iters: Int = 3): Unit = {
+    val entry = catalog.getCollection(physical(name))
+    graft.ann.PqIndex.build(spark, catalog, entry, embedder.dimension, m, k, iters)
+  }
+
+  /** Approximate semantic search through the IVF-PQ index: probe-pruned
+    * ADC over codes (embeddings never scanned), exact cosine re-rank of
+    * the oversampled shortlist. Carries the reference's recall knob
+    * (candidates >= max(10*k, 100), mongodb.py:277); a missing index
+    * surfaces the governed `ann_index_not_found`.
+    */
+  def semanticSearchPq(
+      name: String, questions: Seq[String], nResults: Int = 10,
+      oversample: Int = 4): SearchResponse = {
+    val k = validLimit(nResults)
+    val valid = validQuestions(questions).map(Sanitize.sanitizeString)
+    val entry = catalog.getCollection(physical(name))
+    val qs = valid.zipWithIndex.map { case (q, i) => i -> embedder.embedQuery(q).toSeq }
+    val vectors = catalog.readDocuments(entry).select("id", "embedding", "norm")
+    val hits = graft.ann.PqIndex.search(spark, catalog, entry, vectors, qs, k,
+      numCandidates = math.max(10L * k, 100L), oversample = oversample)
+    val payload = hits.alias("f")
+      .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
+      .select(col("f.query_idx"), col("f.id"), col("d.content"),
+        col("d.metadata"), col("f.score"))
+      .orderBy(col("f.query_idx"), col("f.score").desc, col("f.id"))
+    serialize(payload)
+  }
+
   /** Build (or rebuild) the collection's persistent lexical index —
     * term-bucket-partitioned postings (graft.search.LexIndex), the durable
     * analog of the reference's GIN index (postgres.py:189-196).

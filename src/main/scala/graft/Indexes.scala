@@ -6,7 +6,7 @@ import java.util.Comparator
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.{Ann, IvfIndex, LshMeta, SignLshIndex}
+import graft.ann.{Ann, IvfIndex, LshMeta, PqIndex, SignLshIndex}
 import graft.catalog.Catalog
 import graft.model.CollectionEntry
 import graft.search.LexIndex
@@ -53,6 +53,7 @@ object Indexes {
       ids: DataFrame, // distinct changed ids (old ∪ new), localCheckpoint'd
       lexBuckets: Option[Seq[Int]],
       ivfClusters: Option[Seq[Long]],
+      pqClusters: Option[Seq[Long]],
       lsh: Option[(LshMeta, Seq[(Int, String)])])
 
   private def exists(p: String) = Files.exists(Paths.get(p))
@@ -78,11 +79,13 @@ object Indexes {
     val hasLex = exists(LexIndex.indexPath(catalog, entry))
     val hasIvf = exists(IvfIndex.centroidsPath(catalog, entry)) &&
       exists(IvfIndex.indexPath(catalog, entry))
+    val hasPq = exists(PqIndex.indexPath(catalog, entry)) &&
+      exists(PqIndex.codebooksPath(catalog, entry))
     val lshMeta =
       if (exists(SignLshIndex.indexPath(catalog, entry)))
         SignLshIndex.metaOrDerive(spark, catalog, entry, dim)
       else None
-    if (!hasLex && !hasIvf && lshMeta.isEmpty) return None
+    if (!hasLex && !hasIvf && !hasPq && lshMeta.isEmpty) return None
 
     // localCheckpoint severs lineage from the table path: the snapshots
     // stay valid (and Δ-sized) after the rewrite swaps the table dirs.
@@ -95,8 +98,11 @@ object Indexes {
       if (!hasLex) None
       else Some(LexIndex.indexRows(both)
         .select("bucket").distinct().collect().map(_.getInt(0)).toSeq)
-    val ivfClusters =
-      if (!hasIvf) None
+    // IVF and PQ partition on the same quantizer (the persisted centroid
+    // table), so the cluster set is computed once and shared; a PQ index
+    // without centroids lives in the single cluster-0 partition.
+    val clusterSet =
+      if (!hasIvf && !(hasPq && exists(IvfIndex.centroidsPath(catalog, entry)))) None
       else {
         val cents = IvfIndex.loadCentroids(spark, catalog, entry)
         // per-version assignment: Ann.assign picks one row per id (window
@@ -107,13 +113,17 @@ object Indexes {
             .collect().map(_.getLong(0)).toSeq
         Some((clustersOf(oldSnap) ++ clustersOf(newSnap)).distinct)
       }
+    val ivfClusters = if (hasIvf) clusterSet else None
+    val pqClusters =
+      if (!hasPq) None
+      else clusterSet.orElse(Some(Seq(0L)))
     val lsh = lshMeta.map { m =>
       val parts = SignLshIndex.band(both, m)
         .select("table", "key").distinct().collect()
         .map(r => (r.getInt(0), r.getString(1))).toSeq
       (m, parts)
     }
-    Some(Pending(ids, lexBuckets, ivfClusters, lsh))
+    Some(Pending(ids, lexBuckets, ivfClusters, pqClusters, lsh))
   }
 
   /** Phase 2 (call AFTER the documents-table rewrite): rewrite each
@@ -145,6 +155,17 @@ object Indexes {
       replacePartitions(idx, IvfIndex.indexPath(catalog, entry),
         Seq("cluster_id"), sortCol = None,
         affectedDirs = clusters.map(c => s"cluster_id=$c"))
+    }
+    p.pqClusters.foreach { clusters =>
+      PqIndex.loadCodebooks(spark, catalog, entry).foreach { cb =>
+        val idx = PqIndex.load(spark, catalog, entry)
+          .filter(col("cluster_id").isin(clusters: _*))
+          .join(broadcast(p.ids), Seq("id"), "left_anti")
+          .unionByName(PqIndex.encodeRows(spark, catalog, entry, fresh, cb))
+        replacePartitions(idx, PqIndex.indexPath(catalog, entry),
+          Seq("cluster_id"), sortCol = None,
+          affectedDirs = clusters.map(c => s"cluster_id=$c"))
+      }
     }
     p.lsh.foreach { case (m, parts) =>
       if (parts.nonEmpty) {
@@ -215,6 +236,9 @@ object Indexes {
     if (exists(IvfIndex.centroidsPath(catalog, entry)) &&
         exists(IvfIndex.indexPath(catalog, entry)))
       IvfIndex.reassign(spark, catalog, entry)
+    if (exists(PqIndex.indexPath(catalog, entry)) &&
+        exists(PqIndex.codebooksPath(catalog, entry)))
+      PqIndex.reencode(spark, catalog, entry)
     if (exists(SignLshIndex.indexPath(catalog, entry))) {
       // (bits, tables, seed) come from the persisted sidecar meta written at
       // build time — never derived from index rows, which go away when a

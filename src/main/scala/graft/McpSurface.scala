@@ -57,7 +57,8 @@ final class McpSurface(api: Api) {
     * observable action contract is untouched while index-backed serving is
     * first-class:
     *   - semanticMode: exact (brute top-k) | approx (IVF partition-pruned,
-    *     numCandidates = max(10k,100)) | lsh (sign-LSH probe-pruned)
+    *     numCandidates = max(10k,100)) | lsh (sign-LSH probe-pruned) |
+    *     pq (IVF-PQ: probe-pruned ADC over codes, exact re-rank)
     *   - lexicalMode: scan (TF over content) | indexed (TF from postings) |
     *     bm25 (BM25 scan) | bm25_indexed (BM25 from postings)
     * An unknown mode is governed like an unknown action (the mode IS an
@@ -79,7 +80,7 @@ final class McpSurface(api: Api) {
       Set("semantic_search", "lexical_search", "search"),
       ErrorCodes.SearchActionInvalid) match {
       case "semantic_search" =>
-        resolveAction(semanticMode, Set("exact", "approx", "lsh"),
+        resolveAction(semanticMode, Set("exact", "approx", "lsh", "pq"),
           ErrorCodes.SearchActionInvalid) match {
           case "exact" =>
             api.semanticSearch(collectionName, Seq(question), numberResults)
@@ -87,6 +88,8 @@ final class McpSurface(api: Api) {
             api.semanticSearchApprox(collectionName, Seq(question), numberResults)
           case "lsh" =>
             api.semanticSearchLsh(collectionName, Seq(question), numberResults)
+          case "pq" =>
+            api.semanticSearchPq(collectionName, Seq(question), numberResults)
         }
       case "lexical_search" =>
         resolveAction(lexicalMode, Set("scan", "indexed", "bm25", "bm25_indexed"),

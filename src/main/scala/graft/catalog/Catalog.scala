@@ -43,6 +43,7 @@ final class Catalog(spark: SparkSession, val warehouseDir: String) {
     */
   private def derivedPaths(entry: CollectionEntry): Seq[Path] =
     Seq(".ivf", ".ivf.centroids", ".ivf.delta", ".postings", ".postings.delta",
+        ".pq", ".pq.codebooks", ".pq.delta",
         ".signlsh", ".signlsh.meta", ".signlsh.delta", ".staging")
       .map(sfx => Paths.get(tablePath(entry) + sfx))
 

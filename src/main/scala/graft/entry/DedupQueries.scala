@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Tables.t
-import graft.ann.Ann
+import graft.ann.{Ann, Pq}
 import graft.dedup.Dedup
 
 /** Oracle-checked queries for the dedup + similarity-search pipeline
@@ -179,6 +179,65 @@ object DedupQueries {
       |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 5
       |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
 
+  // ---- ANN: PQ codes + ADC shortlist + exact re-rank (IVF-PQ's PQ half).
+  //      iters=0 keeps training oracle-expressible: codeword (j,c) is
+  //      subspace j of the c-th-smallest-id vector (graft.ann.Pq.train
+  //      seeding), so DuckDB replays codebooks, code assignment (argmin
+  //      squared-L2, ties to lowest code), the ADC shortlist, and the
+  //      exact cosine re-rank end to end. ----
+  def annPq(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val cb = Pq.train(vecs.select("id", "embedding"), dim = 64, m = 4, k = 8, iters = 0)
+    // cache: each query's ADC branch scans the codes, not the floats
+    val codes = Pq.encode(vecs.select("id", "embedding"), 64, cb).cache()
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    Pq.searchAdcRerank(codes, vecs.select("id", "embedding", "norm"), cb, qs,
+      k = 5, oversample = 4)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("query_idx"), col("score").desc, col("id"))
+  }
+
+  val annPqSql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |js AS (SELECT CAST(j AS INTEGER) AS j FROM generate_series(0, 3) t(j)),
+      |seed AS (SELECT code, v FROM (
+      |    SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS code, v FROM e)
+      |  WHERE code < 8),
+      |cw AS (SELECT js.j, seed.code, list_slice(seed.v, js.j*16 + 1, js.j*16 + 16) AS cw
+      |       FROM js CROSS JOIN seed),
+      |sub AS (SELECT e.id, js.j, list_slice(e.v, js.j*16 + 1, js.j*16 + 16) AS sv
+      |        FROM e CROSS JOIN js),
+      |codes AS (SELECT id, j, code FROM (
+      |    SELECT sub.id, sub.j, cw.code,
+      |           row_number() OVER (PARTITION BY sub.id, sub.j ORDER BY
+      |             list_sum(list_transform(range(1, 17),
+      |               i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))), cw.code) AS rn
+      |    FROM sub JOIN cw ON sub.j = cw.j)
+      |  WHERE rn = 1),
+      |q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id IN (0,1,2)),
+      |qsub AS (SELECT q.qid, js.j, list_slice(q.qv, js.j*16 + 1, js.j*16 + 16) AS qsv
+      |         FROM q CROSS JOIN js),
+      |perj AS (SELECT qsub.qid, codes.id, codes.j,
+      |                list_sum(list_transform(range(1, 17),
+      |                  i -> (qsv[i] - cw.cw[i]) * (qsv[i] - cw.cw[i]))) AS dj
+      |         FROM codes JOIN cw ON cw.j = codes.j AND cw.code = codes.code
+      |         JOIN qsub ON qsub.j = codes.j),
+      |adist AS (SELECT qid, id, list_sum(list(dj ORDER BY j)) AS ad
+      |          FROM perj GROUP BY qid, id),
+      |short AS (SELECT qid, id FROM (
+      |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY ad ASC, id) AS rn
+      |    FROM adist)
+      |  WHERE rn <= 20),
+      |scored AS (SELECT q.qid AS query_idx, e.id,
+      |                  list_cosine_similarity(e.v, q.qv) AS sc
+      |           FROM short JOIN q ON q.qid = short.qid JOIN e ON e.id = short.id),
+      |t AS (SELECT query_idx, id, sc,
+      |             row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+      |      FROM scored)
+      |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 5
+      |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
+
   // ---- kNN self-join: top-3 neighbors of the first 50 vectors ----
   def annKnnJoin(s: SparkSession, dir: String): DataFrame =
     Ann.knnJoin(Tables.vectors(s, dir).filter(col("id") < 50), 3)
@@ -238,7 +297,8 @@ object DedupQueries {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_brute" -> (annBrute _),
-    "q_ann_ivf" -> (annIvf _)
+    "q_ann_ivf" -> (annIvf _),
+    "q_ann_pq" -> (annPq _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -250,6 +310,7 @@ object DedupQueries {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_ann_brute" -> annBruteSql,
-    "q_ann_ivf" -> annIvfSql
+    "q_ann_ivf" -> annIvfSql,
+    "q_ann_pq" -> annPqSql
   )
 }

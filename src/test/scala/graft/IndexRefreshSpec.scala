@@ -5,7 +5,7 @@ import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
 
-import graft.ann.{Ann, IvfIndex, SignLshIndex}
+import graft.ann.{Ann, IvfIndex, PqIndex, SignLshIndex}
 import graft.ingest.DeterministicHashEmbedder
 import graft.search.LexIndex
 
@@ -34,6 +34,15 @@ class IndexRefreshSpec extends SparkSpec {
       rows(Ann.assign(docs.select("id", "embedding", "norm"), cents), "id", "cluster_id"),
       "ivf assignments must equal a from-scratch reassign")
 
+    val cbOpt = PqIndex.loadCodebooks(spark, api.catalog, entry)
+    cbOpt.foreach { cb =>
+      val pq = PqIndex.load(spark, api.catalog, entry)
+      assert(rows(pq, "id", "codes", "cluster_id") ==
+        rows(PqIndex.encodeRows(spark, api.catalog, entry,
+          docs.select("id", "embedding", "norm"), cb), "id", "codes", "cluster_id"),
+        "pq codes must equal a from-scratch re-encode")
+    }
+
     val meta = SignLshIndex.requireMeta(spark, api.catalog, entry)
     val lsh = SignLshIndex.load(spark, api.catalog, entry)
     assert(rows(lsh, "id", "table", "key") ==
@@ -51,6 +60,7 @@ class IndexRefreshSpec extends SparkSpec {
     api.createCollection("inc", documents = Some(docs))
     api.buildLexicalIndex("inc")
     api.buildAnnIndex("inc", nClusters = 4)
+    api.buildPqIndex("inc", m = 4, k = 4, iters = 1)
     api.buildLshIndex("inc", bits = 4, tables = 2)
     assertIndexesMatchFullRebuild(api, "inc")
 
@@ -84,6 +94,7 @@ class IndexRefreshSpec extends SparkSpec {
     assert(api.catalog.readDocuments(entry).count() == 0)
     assert(LexIndex.load(spark, api.catalog, entry).count() == 0)
     assert(IvfIndex.loadIndex(spark, api.catalog, entry).count() == 0)
+    assert(PqIndex.load(spark, api.catalog, entry).count() == 0)
     assert(SignLshIndex.load(spark, api.catalog, entry).count() == 0)
 
     // re-add after the emptying delete: rows must re-enter all indexes

@@ -1,0 +1,126 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.ann.{Pq, PqIndex}
+import graft.ingest.DeterministicHashEmbedder
+import graft.model.{ErrorCodes, GraftException}
+
+class PqIndexSpec extends SparkSpec {
+
+  test("persistent IVF-PQ: cluster-partitioned codes, pruned ADC scan, exact re-rank recall") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+    val docs = (0 until 200).map(i => s"pq document number $i tokens t$i").toDF("content")
+    api.createCollection("pq", documents = Some(docs))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "pq"))
+
+    // IVF first (shared quantizer), then PQ on top
+    api.buildAnnIndex("pq", nClusters = 8)
+    api.buildPqIndex("pq", m = 4, k = 8, iters = 1)
+
+    // codes are physically partitioned by cluster
+    val dirs = new java.io.File(PqIndex.indexPath(api.catalog, entry))
+      .listFiles().map(_.getName).filter(_.startsWith("cluster_id="))
+    assert(dirs.length > 1, "PQ codes must be cluster-partitioned")
+
+    // persisted codebooks round-trip with the declared (m, k) shape
+    val cb = PqIndex.loadCodebooks(spark, api.catalog, entry).get
+    assert(cb.size == 4 && cb.forall(_.size == 8) && cb.forall(_.forall(_.length == 8)))
+
+    // probe filter lands in PartitionFilters (physical pruning)
+    val pruned = PqIndex.load(spark, api.catalog, entry)
+      .filter(col("cluster_id").isin(0L, 1L))
+    val scan = pruned.queryExecution.executedPlan.collect {
+      case f: org.apache.spark.sql.execution.FileSourceScanExec => f
+    }.head
+    assert(scan.partitionFilters.exists(_.toString.contains("cluster_id")))
+    // ...and the pruned scan reads codes, never the embedding column
+    assert(!scan.schema.fieldNames.contains("embedding"),
+      "ADC candidate scan must not read float embeddings")
+
+    // a stored document queried by its own content must surface at rank 1:
+    // oversampled ADC shortlist + exact re-rank (its own cluster is probed,
+    // its codes are its own nearest, exact rerank is exact)
+    val res = api.semanticSearchPq("pq", Seq("pq document number 7 tokens t7"), 3)
+    assert(res.results.nonEmpty &&
+      res.results.head.content == "pq document number 7 tokens t7")
+
+    api.deleteCollection("pq", confirm = true)
+    assert(!Files.exists(java.nio.file.Paths.get(PqIndex.indexPath(api.catalog, entry))))
+    assert(!Files.exists(java.nio.file.Paths.get(PqIndex.codebooksPath(api.catalog, entry))))
+  }
+
+  test("PQ without IVF centroids: single-partition codes, search still serves") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+    api.createCollection("pqflat",
+      documents = Some((0 until 50).map(i => s"flat doc $i").toDF("content")))
+    api.buildPqIndex("pqflat", m = 4, k = 4, iters = 0)
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "pqflat"))
+    val clusters = PqIndex.load(spark, api.catalog, entry)
+      .select("cluster_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(clusters == Set(0L))
+    val res = api.semanticSearchPq("pqflat", Seq("flat doc 3"), 2)
+    assert(res.results.nonEmpty && res.results.head.content == "flat doc 3")
+    api.deleteCollection("pqflat", confirm = true)
+  }
+
+  test("governed error for a missing PQ index; codebooks survive an emptying delete") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(16))
+    import spark.implicits._
+    api.createCollection("pqe", documents = Some(Seq("solo").toDF("content")))
+    val noIdx = intercept[GraftException](api.semanticSearchPq("pqe", Seq("solo"), 2))
+    assert(noIdx.code == ErrorCodes.AnnIndexNotFound)
+
+    api.addDocuments("pqe", (0 until 30).map(i => s"pq doc $i").toDF("content"))
+    api.buildPqIndex("pqe", m = 4, k = 4, iters = 0)
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "pqe"))
+    val cbBefore = PqIndex.loadCodebooks(spark, api.catalog, entry).get
+
+    val allIds = api.catalog.readDocuments(entry)
+      .select("id").collect().map(_.getString(0)).toSeq
+    api.deleteDocuments("pqe", allIds)
+    assert(api.catalog.readDocuments(entry).count() == 0)
+    assert(PqIndex.load(spark, api.catalog, entry).count() == 0)
+    // the quantizer is part of the index: it must survive zero rows
+    val cbAfter = PqIndex.loadCodebooks(spark, api.catalog, entry).get
+    assert(cbBefore.flatten.map(_.toSeq) == cbAfter.flatten.map(_.toSeq))
+    // searching the emptied index is governed-empty, not an error
+    assert(api.semanticSearchPq("pqe", Seq("pq doc 3"), 2).results.isEmpty)
+
+    // re-added documents re-enter the index under the surviving codebooks
+    api.addDocuments("pqe", Seq("pq reborn").toDF("content"))
+    val res = api.semanticSearchPq("pqe", Seq("pq reborn"), 2)
+    assert(res.results.nonEmpty && res.results.head.content == "pq reborn")
+    api.deleteCollection("pqe", confirm = true)
+  }
+
+  test("ADC shortlist ordering is deterministic and rerank equals brute force on a covering probe") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+    val docs = (0 until 120).map(i => s"cover doc $i w$i").toDF("content")
+    api.createCollection("pqc", documents = Some(docs))
+    api.buildPqIndex("pqc", m = 4, k = 16, iters = 1)
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "pqc"))
+    val vectors = api.catalog.readDocuments(entry).select("id", "embedding", "norm")
+
+    // without centroids every row is scanned (covering probe): an
+    // oversample big enough to cover the corpus makes rerank == brute force
+    val emb = new DeterministicHashEmbedder(32)
+    val q = Seq(0 -> emb.embedQuery("cover doc 42 w42").toSeq)
+    val pqTop = PqIndex.search(spark, api.catalog, entry, vectors, q,
+      k = 5, numCandidates = 1000, oversample = 1000)
+      .select("id").collect().map(_.getString(0)).toSeq
+    val brute = graft.ann.Ann.bruteTopK(vectors, q, 5)
+      .select("id").collect().map(_.getString(0)).toSeq
+    assert(pqTop == brute, "covering-oversample PQ rerank must equal brute force")
+    api.deleteCollection("pqc", confirm = true)
+  }
+}

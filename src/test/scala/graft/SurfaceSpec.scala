@@ -129,6 +129,7 @@ class SurfaceSpec extends SparkSpec {
       documents = Some(Seq("alpha beta gamma", "alpha alpha delta",
         "beta beta beta", "epsilon zeta").toDF("content")))
     api.buildAnnIndex("mv", nClusters = 2)
+    api.buildPqIndex("mv", m = 4, k = 4, iters = 1)
     api.buildLshIndex("mv", bits = 4, tables = 4)
     api.buildLexicalIndex("mv")
     def ids(m: Map[String, Any]): Seq[Any] =
@@ -141,6 +142,8 @@ class SurfaceSpec extends SparkSpec {
       semanticMode = "approx")) == ids(semExact))
     assert(ids(mcp.vectorSearch("semantic_search", "mv", "alpha beta",
       semanticMode = "lsh")) == ids(semExact))
+    assert(ids(mcp.vectorSearch("semantic_search", "mv", "alpha beta",
+      semanticMode = "pq")) == ids(semExact))
     val lexScan = mcp.vectorSearch("lexical_search", "mv", "beta")
     assert(ids(mcp.vectorSearch("lexical_search", "mv", "beta",
       lexicalMode = "indexed")) == ids(lexScan))
