@@ -21,7 +21,7 @@ final case class SearchResponse(results: Seq[HitRow])
   * tests assert them — tests/test_vector_api.py).
   */
 final class Api(
-    spark: SparkSession,
+    val spark: SparkSession,
     warehouseDir: String,
     embedder: Embedder,
     tenant: String = "default") {

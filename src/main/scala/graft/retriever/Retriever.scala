@@ -18,10 +18,68 @@ import graft.functions.TextFunctions
 final case class RetrieverHit(text: String, score: Double, id: String,
     metadata: Map[String, String])
 
-final class Retriever(api: Api, collection: String) {
+/** `documentRoot`: the confined root that directory / path inputs resolve
+  * against (reference: the configured document directory every
+  * `document_paths` entry must stay inside, document_inputs.py:19-147).
+  * Retrievers constructed without one reject file inputs.
+  */
+final class Retriever(api: Api, collection: String,
+    documentRoot: Option[String] = None) {
 
-  def initializeCollection(overwrite: Boolean = false): Unit =
-    api.createCollection(collection, overwrite = overwrite)
+  /** connect_database (retriever.py:66-75): in a Spark-native engine the
+    * "connection" is the live session + readable catalog; the protocol
+    * result is a Boolean, not an exception.
+    */
+  def connectDatabase(): Boolean =
+    try { api.listCollections(); true } catch { case _: Exception => false }
+
+  /** initialize_collection (retriever.py:24-51): create (default
+    * overwrite=true, mirroring the protocol default) and ingest whichever
+    * of the three input kinds were given. Boolean result per the protocol;
+    * callers wanting governed error codes use the Api directly.
+    */
+  def initializeCollection(
+      overwrite: Boolean = true,
+      documentDirectory: Option[String] = None,
+      documentPaths: Seq[String] = Nil,
+      documentContents: Seq[String] = Nil,
+      maxTokensPerChunk: Int = 512): Boolean =
+    try {
+      api.createCollection(collection, overwrite = overwrite)
+      if (documentDirectory.nonEmpty || documentPaths.nonEmpty ||
+          documentContents.nonEmpty)
+        addDocumentInputs(documentDirectory, documentPaths, documentContents,
+          maxTokensPerChunk)
+      true
+    } catch { case _: Exception => false }
+
+  /** add_documents over the protocol's three input kinds (directory /
+    * path list / inline contents), root-confined exactly like the MCP
+    * ingestion path. Returns number of stored chunks.
+    */
+  def addDocumentInputs(
+      documentDirectory: Option[String] = None,
+      documentPaths: Seq[String] = Nil,
+      documentContents: Seq[String] = Nil,
+      maxTokensPerChunk: Int = 512): Long = {
+    val spark = api.spark
+    val root = documentDirectory.orElse(documentRoot).getOrElse("")
+    // the root is only consulted when a directory or path input needs it
+    // (inline-only ingests resolve rootless, document_inputs.py:42-44)
+    val resolved = graft.ingest.DocumentInputs.resolveDocumentInputs(
+      configuredRoot = root,
+      includeConfiguredDirectory = documentDirectory.nonEmpty,
+      relativePaths = documentPaths,
+      documentContents = documentContents)
+    val parts = Seq(
+      resolved.directory.map(d => graft.ingest.Loaders.loadTextDirectory(spark, d)),
+      resolved.paths.map(ps => graft.ingest.Loaders.loadTextFiles(spark, ps)),
+      if (documentContents.nonEmpty)
+        Some(graft.ingest.Loaders.loadInline(spark, documentContents))
+      else None).flatten
+    require(parts.nonEmpty, "document input required")
+    addDocuments(parts.reduce(_ unionByName _), maxTokensPerChunk)
+  }
 
   /** Chunk + ingest documents; returns number of stored chunks. */
   def addDocuments(docs: DataFrame, maxTokensPerChunk: Int = 512): Long =

@@ -96,6 +96,33 @@ class SurfaceSpec extends SparkSpec {
     assert(lex.head.text.contains("tok1199"))
   }
 
+  test("retriever protocol: connect_database + the three document-input kinds") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val docRoot = Files.createTempDirectory("graft-docs")
+    Files.writeString(docRoot.resolve("a.txt"), "alpha file content")
+    Files.writeString(docRoot.resolve("b.txt"), "beta file content")
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    val retr = new Retriever(api, "rag2", documentRoot = Some(docRoot.toString))
+    assert(retr.connectDatabase())
+
+    // initialize_collection with inline contents (protocol default overwrite=true)
+    assert(retr.initializeCollection(
+      documentContents = Seq("inline gamma content")))
+    // directory + path-list ingest through the confined resolver
+    val n1 = retr.addDocumentInputs(documentDirectory = Some(docRoot.toString))
+    assert(n1 == 2)
+    val n2 = retr.addDocumentInputs(documentPaths = Seq("a.txt"))
+    assert(n2 == 1) // content-addressed id: re-adding a.txt merges, count is batch size
+    assert(retr.query("alpha file content", topK = 1).head.text.contains("alpha"))
+    assert(retr.bm25Query("gamma", topK = 1).head.text.contains("gamma"))
+    // escaping the root is a protocol failure, not a crash
+    assert(intercept[Exception](
+      retr.addDocumentInputs(documentPaths = Seq("../outside.txt"))) != null)
+    // initialize failure surfaces as false (protocol bool), not an exception
+    val bad = new Retriever(api, "bad name!", None)
+    assert(!bad.initializeCollection())
+  }
+
   test("mcp surface: action routing, response shapes, error codes") {
     val dir = Files.createTempDirectory("graft-wh").toString
     val api = new Api(spark, dir, new DeterministicHashEmbedder(32))
