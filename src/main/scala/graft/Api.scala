@@ -157,7 +157,8 @@ final class Api(
       val replaced = existing.join(embedded.select("id"), Seq("id"), "left_semi")
       val pending = Indexes.stage(spark, catalog, entry, embedder.dimension,
         oldRows = replaced, newRows = embedded)
-      Ingest.rewrite(spark, catalog, entry, Ingest.upsertPlan(existing, embedded))
+      // bucket-level MERGE: only the batch's id buckets are rewritten
+      Ingest.mergeUpsert(spark, catalog, entry, embedded)
       Indexes.applyPending(spark, catalog, entry, pending, embedded)
       added
     } finally embedded.unpersist()
@@ -166,18 +167,19 @@ final class Api(
   def deleteDocuments(name: String, ids: Seq[String]): Unit = {
     val entry = catalog.getCollection(physical(name))
     val existing = catalog.readDocuments(entry)
-    val plan = Ingest.deletePlan(existing, ids).cache()
     val pending = Indexes.stage(spark, catalog, entry, embedder.dimension,
       oldRows = existing.filter(col("id").isin(ids: _*)),
       newRows = existing.limit(0))
-    Ingest.rewrite(spark, catalog, entry, plan)
+    // bucket-level delete: touched buckets computed driver-side from ids
+    Ingest.mergeDelete(spark, catalog, entry, ids)
     Indexes.applyPending(spark, catalog, entry, pending,
       catalog.readDocuments(entry).limit(0))
   }
 
   def getDocumentsByIds(name: String, ids: Seq[String]): DataFrame = {
     val entry = catalog.getCollection(physical(name))
-    Ingest.getByIds(catalog.readDocuments(entry), ids)
+    // bucket-pruned point lookup; missing-ids semantics live in getByIds
+    Ingest.getByIds(catalog.readDocumentsForIds(entry, ids), ids)
   }
 
   // ---- search ----

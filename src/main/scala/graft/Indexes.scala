@@ -1,9 +1,8 @@
 package graft
 
-import java.nio.file.{Files, Path, Paths, StandardCopyOption}
-import java.util.Comparator
+import java.nio.file.{Files, Paths}
 
-import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.ann.{Ann, IvfIndex, LshMeta, PqIndex, SignLshIndex}
@@ -183,43 +182,14 @@ object Indexes {
     }
   }
 
-  /** Rebuild the given partition dirs of a partitioned index from
-    * `replacement` (which must contain rows for ONLY those partitions):
-    * write to a `.delta` staging dir, then per affected partition delete
-    * the live dir and move the staged one in (absent staged dir = the
-    * partition emptied = plain delete). Same swap discipline as
-    * Ingest.rewrite — never reads and overwrites the same path in one
-    * job, and on a real cluster each move is one filesystem rename.
-    */
   private def replacePartitions(
       replacement: DataFrame,
       indexPath: String,
       partCols: Seq[String],
       sortCol: Option[String],
-      affectedDirs: Seq[String]): Unit = {
-    val staging = indexPath + ".delta"
-    val repart = replacement.repartition(partCols.map(col): _*)
-    val sorted = sortCol.fold(repart)(c => repart.sortWithinPartitions(c))
-    sorted.write
-      .partitionBy(partCols: _*)
-      .mode(SaveMode.Overwrite)
-      .parquet(staging)
-    affectedDirs.foreach { rel =>
-      val target = Paths.get(s"$indexPath/$rel")
-      deleteDir(target)
-      val src = Paths.get(s"$staging/$rel")
-      if (Files.exists(src)) {
-        Files.createDirectories(target.getParent)
-        Files.move(src, target, StandardCopyOption.ATOMIC_MOVE)
-      }
-    }
-    deleteDir(Paths.get(staging))
-  }
-
-  private def deleteDir(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
-        .forEach(f => Files.delete(f))
+      affectedDirs: Seq[String]): Unit =
+    graft.catalog.PartitionedTable.replacePartitions(
+      replacement, indexPath, partCols, sortCol, affectedDirs)
 
   /** Full rebuild of whichever persisted derived indexes exist for
     * `entry` — the explicit-rebuild path (and the fallback when no

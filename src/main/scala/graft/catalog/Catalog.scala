@@ -42,8 +42,8 @@ final class Catalog(spark: SparkSession, val warehouseDir: String) {
     * incarnation's data.
     */
   private def derivedPaths(entry: CollectionEntry): Seq[Path] =
-    Seq(".ivf", ".ivf.centroids", ".ivf.delta", ".postings", ".postings.delta",
-        ".pq", ".pq.codebooks", ".pq.delta",
+    Seq(".delta", ".ivf", ".ivf.centroids", ".ivf.delta",
+        ".postings", ".postings.delta", ".pq", ".pq.codebooks", ".pq.delta",
         ".signlsh", ".signlsh.meta", ".signlsh.delta", ".staging")
       .map(sfx => Paths.get(tablePath(entry) + sfx))
 
@@ -134,6 +134,26 @@ final class Catalog(spark: SparkSession, val warehouseDir: String) {
     writeEntries(es.filterNot(_.collection_name == name))
   }
 
+  /** The logical documents table (bucket partition column dropped). */
   def readDocuments(entry: CollectionEntry): DataFrame =
-    spark.read.schema(Schemas.documents).parquet(tablePath(entry))
+    readDocumentsPhysical(entry).drop("bucket")
+
+  /** The physical layout: logical columns + the id-hash `bucket` partition
+    * column (declared, not inferred — see IvfIndex.IndexSchema), for
+    * writers doing partition-level merges and readers that prune buckets.
+    */
+  def readDocumentsPhysical(entry: CollectionEntry): DataFrame =
+    spark.read.schema(Schemas.documentsPhysical).parquet(tablePath(entry))
+
+  /** Point lookups with physical bucket pruning: ids map driver-side to
+    * their buckets, the scan skips every other partition dir. The missing-
+    * ids-silently-absent semantics stay in Ingest.getByIds.
+    */
+  def readDocumentsForIds(entry: CollectionEntry, ids: Seq[String]): DataFrame = {
+    if (ids == null || ids.isEmpty) return readDocuments(entry)
+    val buckets = ids.map(graft.ingest.Ingest.idBucketScala).distinct
+    readDocumentsPhysical(entry)
+      .filter(org.apache.spark.sql.functions.col("bucket").isin(buckets: _*))
+      .drop("bucket")
+  }
 }

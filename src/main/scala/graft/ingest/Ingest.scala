@@ -184,13 +184,82 @@ object Ingest {
       .agg(count(lit(1)).as("tf"))
   }
 
-  /** Swap-write a DataFrame into a collection's table dir. */
+  /** Bucket count of the documents table's id-hash partitioning. 64 keeps
+    * tiny dev collections from fragmenting; the 100 TB deployment knob is
+    * this one constant (e.g. 4096 → ~25 GB rewrite units).
+    */
+  val NumDocBuckets = 64
+
+  /** Stable id → bucket hash (first two hex chars of md5, mod buckets) —
+    * the same definable-anywhere form as LexIndex.bucketOf, so any oracle
+    * can replay the layout.
+    */
+  def idBucket(id: Column): Column =
+    conv(substring(md5(id), 1, 2), 16, 10).cast("int") % NumDocBuckets
+
+  /** Driver-side mirror of [[idBucket]] — lets delete-by-ids compute its
+    * touched buckets with zero Spark jobs.
+    */
+  def idBucketScala(id: String): Int = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(id.getBytes("UTF-8"))
+    (d(0) & 0xff) % NumDocBuckets
+  }
+
+  /** Swap-write a FULL table image into a collection's table dir,
+    * id-bucket-partitioned (initial loads, explicit rebuilds). Incremental
+    * writes go through [[mergeUpsert]]/[[mergeDelete]] instead.
+    */
   def rewrite(spark: SparkSession, catalog: Catalog, entry: CollectionEntry, df: DataFrame): Unit = {
     val path = catalog.tablePath(entry)
     val tmp = s"$path.staging"
-    df.write.mode(SaveMode.Overwrite).parquet(tmp)
+    df.withColumn("bucket", idBucket(col("id")))
+      .repartition(col("bucket"))
+      .write.partitionBy("bucket").mode(SaveMode.Overwrite).parquet(tmp)
     deleteDir(Paths.get(path))
     Files.move(Paths.get(tmp), Paths.get(path), StandardCopyOption.ATOMIC_MOVE)
+  }
+
+  /** MERGE a prepared batch into the table by rewriting ONLY the id
+    * buckets the batch touches: surviving rows of those buckets (anti-join
+    * on batch ids) plus the batch. An old and new version of an id share a
+    * bucket (bucket = f(id)), so the touched set is exactly the batch's
+    * buckets — O(batch × bucket) work per write at any corpus size.
+    */
+  def mergeUpsert(
+      spark: SparkSession, catalog: Catalog, entry: CollectionEntry,
+      batch: DataFrame): Unit = {
+    val cols = Seq("id", "content", "metadata", "embedding", "norm")
+    val withBucket = batch.select(cols.map(col): _*)
+      .withColumn("bucket", idBucket(col("id")))
+    val buckets = withBucket.select("bucket").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    val existing = catalog.readDocumentsPhysical(entry)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(broadcast(batch.select("id")), Seq("id"), "left_anti")
+      .select((cols :+ "bucket").map(col): _*)
+    graft.catalog.PartitionedTable.replacePartitions(
+      existing.unionByName(withBucket), catalog.tablePath(entry),
+      Seq("bucket"), sortCol = None,
+      affectedDirs = buckets.map(b => s"bucket=$b"))
+  }
+
+  /** Delete ids by rewriting only their buckets (computed driver-side —
+    * no job). Validation matches [[deletePlan]].
+    */
+  def mergeDelete(
+      spark: SparkSession, catalog: Catalog, entry: CollectionEntry,
+      ids: Seq[String]): Unit = {
+    if (ids == null || ids.isEmpty)
+      throw new GraftException(ErrorCodes.DocumentIdsRequired)
+    val buckets = ids.map(idBucketScala).distinct
+    val survivors = catalog.readDocumentsPhysical(entry)
+      .filter(col("bucket").isin(buckets: _*))
+      .filter(!col("id").isin(ids: _*))
+    graft.catalog.PartitionedTable.replacePartitions(
+      survivors, catalog.tablePath(entry),
+      Seq("bucket"), sortCol = None,
+      affectedDirs = buckets.map(b => s"bucket=$b"))
   }
 
   private def deleteDir(p: Path): Unit =

@@ -51,6 +51,13 @@ object Schemas {
     StructField("norm", DoubleType, nullable = true)
   ))
 
+  /** Physical layout of [[documents]]: plus the id-hash `bucket` partition
+    * column (Ingest.idBucket), so writes rewrite only touched buckets and
+    * point reads prune partitions. Declared (not inferred) to pin the type.
+    */
+  val documentsPhysical: StructType =
+    StructType(documents.fields :+ StructField("bucket", IntegerType, nullable = true))
+
   val catalog: StructType = StructType(Seq(
     StructField("collection_name", StringType, nullable = false),
     StructField("table_name", StringType, nullable = false),

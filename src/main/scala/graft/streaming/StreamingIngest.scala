@@ -92,7 +92,9 @@ object StreamingIngest {
       val replaced = existing.join(embedded.select("id"), Seq("id"), "left_semi")
       val pending = graft.Indexes.stage(spark, catalog, entry, embedder.dimension,
         oldRows = replaced, newRows = embedded)
-      Ingest.rewrite(spark, catalog, entry, Ingest.upsertPlan(existing, embedded))
+      // bucket-level MERGE: compaction rewrites only the micro-batch's
+      // id buckets, so maintenance cost tracks batch size, not corpus size
+      Ingest.mergeUpsert(spark, catalog, entry, embedded)
       graft.Indexes.applyPending(spark, catalog, entry, pending, embedded)
       merged
     } finally embedded.unpersist()
