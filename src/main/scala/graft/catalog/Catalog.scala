@@ -99,10 +99,14 @@ final class Catalog(spark: SparkSession, val warehouseDir: String) {
       case existing =>
         val entry = CollectionEntry(name, tableName(name), dimension)
         if (existing.isDefined) deleteTableAndDerived(entry)
-        // materialize an empty table with the frozen schema
+        // materialize an empty table with the frozen schema, in the
+        // bucket-partitioned physical layout (an empty partitioned write
+        // creates no stray root-level data file — every data file the
+        // table will ever hold lives under a bucket= dir)
         spark.createDataFrame(
-          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.documents)
-          .write.mode(SaveMode.Overwrite).parquet(tablePath(entry))
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], Schemas.documentsPhysical)
+          .write.partitionBy("bucket")
+          .mode(SaveMode.Overwrite).parquet(tablePath(entry))
         writeEntries(es.filterNot(_.collection_name == name) :+ entry)
         entry
     }
