@@ -70,7 +70,8 @@ object TextQueries {
   }
 
   /** Token counting: regex tokens, distinct tokens, whitespace-split words,
-    * plus a corpus-level rollup per lang.
+    * BPE-ish pre-tokens (LLM-token-count proxy), plus a corpus-level
+    * rollup per lang.
     */
   def textTokens(s: SparkSession, dir: String): DataFrame = {
     val toks = TextFunctions.tokens(col("text"))
@@ -78,10 +79,12 @@ object TextQueries {
       .select(col("lang"),
         size(toks).cast("long").as("n_tok"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
-        size(split(col("text"), " ")).cast("long").as("n_ws"))
+        size(split(col("text"), " ")).cast("long").as("n_ws"),
+        size(TextFunctions.bpeTokens(col("text"))).cast("long").as("n_bpe"))
       .groupBy("lang")
       .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("total_tok"),
-        sum("n_distinct").as("total_distinct"), sum("n_ws").as("total_ws"))
+        sum("n_distinct").as("total_distinct"), sum("n_ws").as("total_ws"),
+        sum("n_bpe").as("total_bpe"))
       .orderBy("lang")
   }
 
@@ -89,12 +92,16 @@ object TextQueries {
     s"""WITH d AS (SELECT lang,
        |        CAST(len($toksD) AS BIGINT) AS n_tok,
        |        CAST(len(list_distinct($toksD)) AS BIGINT) AS n_distinct,
-       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws
+       |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_ws,
+       |        CAST(len(regexp_extract_all(lower(text),
+       |          '''(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))
+       |          AS BIGINT) AS n_bpe
        |      FROM documents)
        |SELECT lang, count(*) AS n_docs,
        |       CAST(sum(n_tok) AS BIGINT) AS total_tok,
        |       CAST(sum(n_distinct) AS BIGINT) AS total_distinct,
-       |       CAST(sum(n_ws) AS BIGINT) AS total_ws
+       |       CAST(sum(n_ws) AS BIGINT) AS total_ws,
+       |       CAST(sum(n_bpe) AS BIGINT) AS total_bpe
        |FROM d GROUP BY lang ORDER BY lang""".stripMargin
 
   /** Rolling polynomial fingerprint over the token stream (order-sensitive,

@@ -29,6 +29,19 @@ object TextFunctions {
   def distinctTokens(text: Column): Column =
     array_distinct(tokens(text))
 
+  /** BPE-style pre-tokenizer pattern (the GPT-2 shape: contraction
+    * suffixes, space-prefixed letter runs, digit runs, punctuation runs)
+    * restricted to constructs Java regex and RE2 share — no lookahead
+    * (RE2 has none), ASCII classes only (no unicode-table drift), input
+    * lowercased first. Counting these approximates LLM token counts far
+    * better than whitespace words on code/punctuation-heavy text.
+    */
+  val BpeTokenPattern = "'(s|t|re|ve|m|ll|d)| ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+
+  /** BPE-ish pre-tokens of `text`, in order (token-count source). */
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(lower(text), lit(BpeTokenPattern), lit(0))
+
   /** Term frequency of `term` within the token array. */
   def tf(toks: Column, term: Column): Column =
     size(filter(toks, t => t === term))
