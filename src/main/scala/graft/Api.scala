@@ -153,12 +153,17 @@ final class Api(
       val existing = catalog.readDocuments(entry)
       if (!upsert) Ingest.assertNoneExist(existing, embedded)
       // incremental index maintenance (Indexes scaladoc): stage the delta
-      // BEFORE the rewrite (old rows still readable), apply AFTER
-      val replaced = existing.join(embedded.select("id"), Seq("id"), "left_semi")
+      // BEFORE the rewrite (old rows still readable), apply AFTER; the
+      // old-rows probe prunes to the batch's buckets, so even the staging
+      // scan is bucket-bounded
+      val buckets = Ingest.bucketsOf(embedded)
+      val replaced = catalog.readDocumentsPhysical(entry)
+        .filter(col("bucket").isin(buckets: _*)).drop("bucket")
+        .join(embedded.select("id"), Seq("id"), "left_semi")
       val pending = Indexes.stage(spark, catalog, entry, embedder.dimension,
         oldRows = replaced, newRows = embedded)
       // bucket-level MERGE: only the batch's id buckets are rewritten
-      Ingest.mergeUpsert(spark, catalog, entry, embedded)
+      Ingest.mergeUpsert(spark, catalog, entry, embedded, Some(buckets))
       Indexes.applyPending(spark, catalog, entry, pending, embedded)
       added
     } finally embedded.unpersist()
@@ -168,7 +173,8 @@ final class Api(
     val entry = catalog.getCollection(physical(name))
     val existing = catalog.readDocuments(entry)
     val pending = Indexes.stage(spark, catalog, entry, embedder.dimension,
-      oldRows = existing.filter(col("id").isin(ids: _*)),
+      oldRows = catalog.readDocumentsForIds(entry, ids)
+        .filter(col("id").isin(ids: _*)),
       newRows = existing.limit(0))
     // bucket-level delete: touched buckets computed driver-side from ids
     Ingest.mergeDelete(spark, catalog, entry, ids)

@@ -226,14 +226,18 @@ object Ingest {
     * bucket (bucket = f(id)), so the touched set is exactly the batch's
     * buckets — O(batch × bucket) work per write at any corpus size.
     */
+  /** The distinct id buckets a batch maps to (one tiny job). */
+  def bucketsOf(batch: DataFrame): Seq[Int] =
+    batch.select(idBucket(col("id")).as("bucket")).distinct()
+      .collect().map(_.getInt(0)).toSeq
+
   def mergeUpsert(
       spark: SparkSession, catalog: Catalog, entry: CollectionEntry,
-      batch: DataFrame): Unit = {
+      batch: DataFrame, bucketsHint: Option[Seq[Int]] = None): Unit = {
     val cols = Seq("id", "content", "metadata", "embedding", "norm")
     val withBucket = batch.select(cols.map(col): _*)
       .withColumn("bucket", idBucket(col("id")))
-    val buckets = withBucket.select("bucket").distinct()
-      .collect().map(_.getInt(0)).toSeq
+    val buckets = bucketsHint.getOrElse(bucketsOf(batch))
     val existing = catalog.readDocumentsPhysical(entry)
       .filter(col("bucket").isin(buckets: _*))
       .join(broadcast(batch.select("id")), Seq("id"), "left_anti")

@@ -89,12 +89,15 @@ object StreamingIngest {
       // must reflect the merged table — incrementally, so per-micro-batch
       // maintenance cost tracks the batch size, not the corpus size
       // (graft.Indexes scaladoc)
-      val replaced = existing.join(embedded.select("id"), Seq("id"), "left_semi")
+      val buckets = Ingest.bucketsOf(embedded)
+      val replaced = catalog.readDocumentsPhysical(entry)
+        .filter(col("bucket").isin(buckets: _*)).drop("bucket")
+        .join(embedded.select("id"), Seq("id"), "left_semi")
       val pending = graft.Indexes.stage(spark, catalog, entry, embedder.dimension,
         oldRows = replaced, newRows = embedded)
       // bucket-level MERGE: compaction rewrites only the micro-batch's
       // id buckets, so maintenance cost tracks batch size, not corpus size
-      Ingest.mergeUpsert(spark, catalog, entry, embedded)
+      Ingest.mergeUpsert(spark, catalog, entry, embedded, Some(buckets))
       graft.Indexes.applyPending(spark, catalog, entry, pending, embedded)
       merged
     } finally embedded.unpersist()
