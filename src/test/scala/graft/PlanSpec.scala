@@ -54,6 +54,34 @@ class PlanSpec extends SparkSpec {
     assert(codegenDump.contains("numElements"), "DotProduct loop should be in generated code")
   }
 
+  test("PQ ADC candidate scan reads codes only and stays keyed") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val vecs = (0 until 80).map { i =>
+      (f"v$i%03d", Array.fill(16)(rnd.nextGaussian().toFloat).toSeq)
+    }.toDF("id", "embedding")
+      .select(col("id"), col("embedding").cast("array<float>").as("embedding"))
+      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+    val cb = graft.ann.Pq.train(vecs.select("id", "embedding"), 16, m = 4, k = 4, iters = 1)
+    val codes = graft.ann.Pq.encode(vecs.select("id", "embedding"), 16, cb).cache()
+    codes.count()
+    try {
+      val q = Seq(0 -> (0 until 16).map(_.toFloat))
+      val adc = graft.ann.Pq.searchAdc(codes.select("id", "codes"), cb, q, 5)
+      adc.collect()
+      val p = adc.queryExecution.executedPlan.toString
+      assert(p.contains("TakeOrderedAndProject"), "ADC top-k must stay bounded")
+      assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+        "ADC scoring is a scan over codes, never a join")
+      val rr = graft.ann.Pq.searchAdcRerank(codes.select("id", "codes"),
+        vecs.select("id", "embedding", "norm"), cb, q, 5, oversample = 4)
+      rr.collect()
+      val rp = rr.queryExecution.executedPlan.toString.split("InMemoryRelation").head
+      assert(!rp.contains("CartesianProduct"),
+        "re-rank joins the tiny shortlist by id, never all-pairs")
+    } finally codes.unpersist()
+  }
+
   test("dedup pipelines never materialize an all-pairs product") {
     import spark.implicits._
     val docs = (0 until 60)
