@@ -226,18 +226,36 @@ final class Api(
     // validate the batch BEFORE touching storage: an empty or invalid batch
     // must surface as the governed error, not an index-read failure
     val valid = validQuestions(questions).map(Sanitize.sanitizeString)
-    val numCandidates = math.max(10 * k, 100)
     val entry = catalog.getCollection(physical(name))
-    // Index + centroids are both loaded from the persisted build artifacts
-    // (IvfIndex.build wrote them together), so they can never diverge, and
-    // cluster ids are normalized to Long on both sides of the size lookup.
+    val qs = valid.zipWithIndex.map { case (q, i) => i -> embedder.embedQuery(q).toSeq }
+    val union = approxHits(entry, qs, k)
+    val docsDf = docs(name)
+    val payload = union.alias("f")
+      .join(docsDf.alias("d"), col("f.id") === col("d.id"), "left")
+      .select(col("f.query_idx"), col("f.id"), col("d.content"),
+        col("d.metadata"), col("f.score"))
+      .orderBy(col("f.query_idx"), col("f.score").desc, col("f.id"))
+    serialize(payload)
+  }
+
+  /** IVF-approx hits (query_idx, id, score) for prepared query vectors —
+    * the serving core shared by [[semanticSearchApprox]] and the
+    * index-served hybrid ([[searchIndexed]]). Index + centroids are both
+    * loaded from the persisted build artifacts (IvfIndex.build wrote them
+    * together), so they can never diverge, and cluster ids are normalized
+    * to Long on both sides of the size lookup.
+    */
+  private def approxHits(
+      entry: graft.model.CollectionEntry,
+      qs: Seq[(Int, Seq[Float])],
+      k: Int): DataFrame = {
+    val numCandidates = math.max(10 * k, 100)
     val assigned = graft.ann.IvfIndex.loadIndex(spark, catalog, entry)
     val clusterSizes = assigned.groupBy("cluster_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     val centroidRows = graft.ann.IvfIndex.loadCentroids(spark, catalog, entry)
       .select("centroid_id", "centroid", "centroid_norm").collect()
-    val results = valid.zipWithIndex.map { case (q, qIdx) =>
-  val qVec = embedder.embedQuery(q).toSeq
+    val results = qs.map { case (qIdx, qVec) =>
         val qNorm = math.sqrt(qVec.map(v => v.toDouble * v.toDouble).sum)
         val ranked = centroidRows.map { r =>
           val c = r.getSeq[Float](1)
@@ -255,14 +273,7 @@ final class Api(
           .orderBy(col("score").desc, col("id").asc)
           .limit(k)
       }
-    val union = results.reduce(_ unionAll _)
-    val docsDf = docs(name)
-    val payload = union.alias("f")
-      .join(docsDf.alias("d"), col("f.id") === col("d.id"), "left")
-      .select(col("f.query_idx"), col("f.id"), col("d.content"),
-        col("d.metadata"), col("f.score"))
-      .orderBy(col("f.query_idx"), col("f.score").desc, col("f.id"))
-    serialize(payload)
+    results.reduce(_ unionAll _)
   }
 
   def lexicalSearch(
@@ -294,13 +305,8 @@ final class Api(
     val k = validLimit(nResults)
     val valid = validQuestions(questions).map(Sanitize.sanitizeString)
     val entry = catalog.getCollection(physical(name))
-    val meta = graft.ann.SignLshIndex
-      .metaOrDerive(spark, catalog, entry, embedder.dimension)
-      .getOrElse(throw new GraftException(ErrorCodes.AnnIndexNotFound))
-    val index = graft.ann.SignLshIndex.load(spark, catalog, entry)
     val qs = valid.zipWithIndex.map { case (q, i) => i -> embedder.embedQuery(q).toSeq }
-    val hits = graft.ann.SignLshIndex.search(
-      index, qs, k, meta.dim, meta.bits, meta.tables, meta.seed, multiProbe = multiProbe)
+    val hits = lshHits(entry, qs, k, multiProbe)
     val payload = hits.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.query_idx"), col("f.id"), col("d.content"),
@@ -334,9 +340,7 @@ final class Api(
     val valid = validQuestions(questions).map(Sanitize.sanitizeString)
     val entry = catalog.getCollection(physical(name))
     val qs = valid.zipWithIndex.map { case (q, i) => i -> embedder.embedQuery(q).toSeq }
-    val vectors = catalog.readDocuments(entry).select("id", "embedding", "norm")
-    val hits = graft.ann.PqIndex.search(spark, catalog, entry, vectors, qs, k,
-      numCandidates = math.max(10L * k, 100L), oversample = oversample)
+    val hits = pqHits(entry, qs, k, oversample)
     val payload = hits.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.query_idx"), col("f.id"), col("d.content"),
@@ -402,6 +406,33 @@ final class Api(
       payload = Seq("content", "metadata")))
   }
 
+  /** Sign-LSH hits (query_idx, id, score) for prepared query vectors —
+    * layout from the persisted sidecar meta; governed error when the
+    * index was never built.
+    */
+  private def lshHits(
+      entry: graft.model.CollectionEntry,
+      qs: Seq[(Int, Seq[Float])],
+      k: Int,
+      multiProbe: Int = 0): DataFrame = {
+    val meta = graft.ann.SignLshIndex
+      .metaOrDerive(spark, catalog, entry, embedder.dimension)
+      .getOrElse(throw new GraftException(ErrorCodes.AnnIndexNotFound))
+    val index = graft.ann.SignLshIndex.load(spark, catalog, entry)
+    graft.ann.SignLshIndex.search(
+      index, qs, k, meta.dim, meta.bits, meta.tables, meta.seed, multiProbe = multiProbe)
+  }
+
+  /** IVF-PQ hits (query_idx, id, score) for prepared query vectors. */
+  private def pqHits(
+      entry: graft.model.CollectionEntry,
+      qs: Seq[(Int, Seq[Float])],
+      k: Int,
+      oversample: Int = 4): DataFrame =
+    graft.ann.PqIndex.search(spark, catalog, entry,
+      catalog.readDocuments(entry).select("id", "embedding", "norm"), qs, k,
+      numCandidates = math.max(10L * k, 100L), oversample = oversample)
+
   /** Hybrid RRF search (vector_api.py:518-566). */
   def search(
       name: String, question: String, numberResults: Int = 10,
@@ -423,6 +454,50 @@ final class Api(
         .orderBy(col("f.score").desc, col("f.id").asc)
       serialize(payload)
     } finally d.unpersist()
+  }
+
+  /** Index-served hybrid RRF: the 100 TB serving shape — both fusion
+    * inputs come from persistent indexes (semantic via IVF / sign-LSH /
+    * IVF-PQ, lexical via the bucket-pruned posting index), so the corpus
+    * content is never scanned; only the fused top-k joins back for its
+    * payload. Fusion math and validation are identical to [[search]];
+    * an unknown mode is governed like an unknown action.
+    */
+  def searchIndexed(
+      name: String, question: String, numberResults: Int = 10,
+      semanticWeight: Double = 0.5, lexicalWeight: Double = 0.5,
+      rrfK: Int = 60,
+      semanticMode: String = "approx",
+      lexicalMode: String = "bm25_indexed"): SearchResponse = {
+    val limit = validLimit(numberResults)
+    validQuestion(question)
+    validWeightsAndK(semanticWeight, lexicalWeight, rrfK)
+    val safeQ = Sanitize.sanitizeString(question)
+    val entry = catalog.getCollection(physical(name))
+    val qs = Seq(0 -> embedder.embedQuery(safeQ).toSeq)
+    val sem = invoke(semanticMode match {
+      case "exact" => Semantic.search(docs(name), qs, limit)
+      case "approx" => approxHits(entry, qs, limit)
+      case "lsh" => lshHits(entry, qs, limit)
+      case "pq" => pqHits(entry, qs, limit)
+      case _ => throw new GraftException(ErrorCodes.SearchActionInvalid)
+    })
+    val lex = invoke(lexicalMode match {
+      case "scan" => Lexical.search(docs(name), Seq((0, safeQ)), limit)
+      case "bm25" => Lexical.searchBm25Many(docs(name), Seq((0, safeQ)), limit)
+      case "indexed" => graft.search.LexIndex.searchTf(
+        graft.search.LexIndex.load(spark, catalog, entry), Seq((0, safeQ)), limit)
+      case "bm25_indexed" => graft.search.LexIndex.searchBm25(
+        graft.search.LexIndex.load(spark, catalog, entry), Seq((0, safeQ)), limit)
+      case _ => throw new GraftException(ErrorCodes.SearchActionInvalid)
+    })
+    val fused = Hybrid.rrf(sem, lex, semanticWeight, lexicalWeight, rrfK, limit)
+    val payload = fused.alias("f")
+      .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
+      .select(col("f.query_idx"), col("f.id"), col("d.content"),
+        col("d.metadata"), col("f.score"))
+      .orderBy(col("f.score").desc, col("f.id").asc)
+    serialize(payload)
   }
 
   /** Result serialization (vector_api.py:368-386): drop non-finite scores,

@@ -104,8 +104,15 @@ final class McpSurface(api: Api) {
             api.lexicalSearchBm25Indexed(collectionName, Seq(question), numberResults)
         }
       case "search" =>
-        api.search(collectionName, question, numberResults,
-          semanticWeight, lexicalWeight, rrfK)
+        // default modes = the scan hybrid (reference behavior); any
+        // index-backed mode on either side routes through the
+        // index-served fusion with identical RRF math
+        if (semanticMode == "exact" && lexicalMode == "scan")
+          api.search(collectionName, question, numberResults,
+            semanticWeight, lexicalWeight, rrfK)
+        else
+          api.searchIndexed(collectionName, question, numberResults,
+            semanticWeight, lexicalWeight, rrfK, semanticMode, lexicalMode)
     }
     Map("results" -> res.results.map(h => Map(
       "id" -> h.id, "content" -> h.content,

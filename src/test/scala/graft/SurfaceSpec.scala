@@ -178,11 +178,28 @@ class SurfaceSpec extends SparkSpec {
       lexicalMode = "bm25")
     assert(ids(mcp.vectorSearch("lexical_search", "mv", "beta",
       lexicalMode = "bm25_indexed")) == ids(bm25Scan))
+    // index-served hybrid: same RRF math, both inputs from indexes. With
+    // TF-indexed lexical (same ranks as the scan) and total-recall
+    // semantic indexes, the fused ORDER must match the scan hybrid
+    // exactly; BM25 lexical legitimately re-ranks, so there the fused
+    // top-k is compared as a set.
+    val hybridScan = mcp.vectorSearch("search", "mv", "alpha beta")
+    for (sm <- Seq("approx", "lsh", "pq"))
+      assert(ids(mcp.vectorSearch("search", "mv", "alpha beta",
+        semanticMode = sm, lexicalMode = "indexed")) == ids(hybridScan),
+        s"index-served hybrid ($sm/indexed) must match the scan hybrid here")
+    assert(ids(mcp.vectorSearch("search", "mv", "alpha beta",
+      semanticMode = "approx", lexicalMode = "bm25_indexed")).toSet ==
+      ids(hybridScan).toSet,
+      "bm25-fused hybrid reranks but serves the same documents here")
     // unknown modes are governed exactly like unknown actions
     assert(intercept[GraftException](mcp.vectorSearch("semantic_search", "mv",
       "q", semanticMode = "hnsw")).code == ErrorCodes.SearchActionInvalid)
     assert(intercept[GraftException](mcp.vectorSearch("lexical_search", "mv",
       "q", lexicalMode = "fts")).code == ErrorCodes.SearchActionInvalid)
+    assert(intercept[GraftException](mcp.vectorSearch("search", "mv",
+      "q", semanticMode = "hnsw", lexicalMode = "indexed"))
+      .code == ErrorCodes.SearchActionInvalid)
   }
 
   test("backend policy: fail-closed allow-list with canonicalization and default") {
