@@ -16,7 +16,10 @@ object Bench {
       .config("spark.cleaner.periodicGC.interval", "30s")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local profiling loop)
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+      .filter { case (n, _) => only.forall(_.contains(n)) }
     // JIT/codegen warmup at the smallest sf so timed numbers measure the
     // engine, not cold-JVM compilation (standard practice; same queries).
     val warmDir = "/root/testdata/sf0.001"

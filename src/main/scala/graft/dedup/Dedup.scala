@@ -147,6 +147,17 @@ object Dedup {
     * (md5 once per token, 32 codegen'd conditional sums), pigeonhole band
     * blocking (`blocks` slices: hamming <= blocks-1 implies >= 1 identical
     * slice), hamming verify. Exact w.r.t. the simhash fingerprints.
+    *
+    * Scale shape: candidate generation runs over DISTINCT fingerprints, not
+    * documents. Near-dup corpora collapse many documents onto one
+    * fingerprint, so doc-level banded self-joins grow quadratically with
+    * dup-group size while the fingerprint-level join is capped by |distinct
+    * fp| (<= 2^32) regardless of corpus size. The hamming filter runs
+    * INSIDE the join stage (pipelined, before any dedup shuffle), so only
+    * surviving fingerprint pairs — output-sized, not candidate-sized — ever
+    * shuffle. Doc pairs are then recovered by two keyed equi-joins on fp
+    * (cross-fingerprint pairs) plus a keyed self-join on fp (identical
+    * fingerprints, hamming 0); both are output-proportional.
     */
   def simHashNearDups(
       docs: DataFrame,
@@ -154,22 +165,30 @@ object Dedup {
       blocks: Int = 4): DataFrame = {
     require(maxHamming < blocks, "pigeonhole guarantee needs maxHamming < blocks")
     val fp = simHashFingerprints(docs).persist(StorageLevel.MEMORY_ONLY)
+    val fps = fp.select("fp").distinct()
     val bitsPerBlock = 32 / blocks
-    val banded = fp.select(
-      col("id"), col("fp"),
+    val banded = fps.select(
+      col("fp"),
       posexplode(array((0 until blocks).map { b =>
         call_function("shiftright", col("fp"), lit(b * bitsPerBlock)) % (1L << bitsPerBlock)
       }: _*)).as(Seq("block", "key")))
-    val cands = banded.as("x").join(banded.as("y"),
+    val fpPairs = banded.as("x").join(banded.as("y"),
         col("x.block") === col("y.block") && col("x.key") === col("y.key") &&
-          col("x.id") < col("y.id"))
-      .select(col("x.id").as("a"), col("y.id").as("b"),
-        col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
-      .distinct()
-    cands
+          col("x.fp") < col("y.fp"))
+      .select(col("x.fp").as("fp_a"), col("y.fp").as("fp_b"))
       .withColumn("hamming", hamming(col("fp_a"), col("fp_b")))
       .filter(col("hamming") <= maxHamming)
-      .select("a", "b", "hamming")
+      .distinct()
+    val cross = fpPairs
+      .join(fp.select(col("id").as("ia"), col("fp").as("fp_a")), "fp_a")
+      .join(fp.select(col("id").as("ib"), col("fp").as("fp_b")), "fp_b")
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    val same = fp.as("x").join(fp.as("y"),
+        col("x.fp") === col("y.fp") && col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"),
+        hamming(col("x.fp"), col("y.fp")).as("hamming"))
+    cross.unionByName(same)
   }
 
   /** 32-bit SimHash per document: bit i set iff the tf-weighted sum of
