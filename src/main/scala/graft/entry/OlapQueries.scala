@@ -82,6 +82,78 @@ object OlapQueries {
       |       min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
       |FROM x GROUP BY 1, 2 ORDER BY user_id, session_idx""".stripMargin
 
+  /** Backward as-of join over the events stream: every click matched to the
+    * user's most recent preceding (or simultaneous) view. Exercises
+    * [[graft.operators.AsOfJoin]] — the union+ordered-window shape, one
+    * keyed shuffle, no inequality theta-join. Oracle: DuckDB's native
+    * ASOF JOIN.
+    */
+  def eventsAsof(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    // microsecond timestamps on both sides: DuckDB reads parquet
+    // TIMESTAMP(NANOS) as TIMESTAMP (us), so ns-resolution ordering or
+    // arithmetic here would drift from the oracle by 1ms at boundaries
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        expr("ts div 1000").as("tsu"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        expr("ts div 1000").as("vtsu"))
+    graft.operators.AsOfJoin.asof(clicks, views,
+        keys = Seq("user_id"), leftTs = "tsu", rightTs = "vtsu",
+        leftCols = Seq("click_id", "tsu"), rightCols = Seq("view_id", "vtsu"),
+        rightTieBreak = Seq("view_id"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        expr("(tsu - vtsu) div 1000").as("gap_ms"))
+      .orderBy("click_id")
+  }
+
+  val eventsAsofSql: String =
+    """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+      |           WHERE event_type = 'click'),
+      |     v AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+      |           WHERE event_type = 'view')
+      |SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+      |       (c.tsu - v.tsu) // 1000 AS gap_ms
+      |FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.tsu >= v.tsu
+      |ORDER BY click_id""".stripMargin
+
+  /** Banded range join over the events stream: per purchase, the user's
+    * clicks in the preceding 30 minutes (inclusive). Exercises
+    * [[graft.operators.RangeJoin]] — time-bucketed equi-join, exact range
+    * filter inside the join stage; candidates bounded by bucket density,
+    * never per-key cross products. Decimal-exact value sum for the oracle.
+    */
+  def eventsRange(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    // us timestamps for oracle parity (see eventsAsof)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ptsu"))
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), expr("ts div 1000").as("ctsu"), col("value"))
+    graft.operators.RangeJoin.range(purchases, clicks,
+        keys = Seq("user_id"), leftTs = "ptsu", rightTs = "ctsu",
+        before = 1800000000L, after = 0L,
+        leftCols = Seq("event_id"), rightCols = Seq("value"))
+      .groupBy("event_id", "user_id")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(dec(col("value"), 6)).cast("double").as("sum_value"))
+      .orderBy("event_id")
+  }
+
+  val eventsRangeSql: String =
+    """WITH p AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+      |           WHERE event_type = 'purchase'),
+      |     c AS (SELECT user_id, epoch_us(ts) AS tsu, value FROM events
+      |           WHERE event_type = 'click')
+      |SELECT p.event_id, p.user_id, count(*) AS n_clicks,
+      |       CAST(sum(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+      |FROM p JOIN c ON p.user_id = c.user_id
+      |  AND c.tsu BETWEEN p.tsu - 1800000000 AND p.tsu
+      |GROUP BY 1, 2 ORDER BY p.event_id""".stripMargin
+
   /** TPC-H Q1-style pricing summary over lineitem (the classic bench agg). */
   def q1Pricing(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "lineitem")
@@ -225,6 +297,8 @@ object OlapQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_window" -> (eventsWindow _),
     "q_events_sessionize" -> (eventsSessionize _),
+    "q_events_asof" -> (eventsAsof _),
+    "q_events_range" -> (eventsRange _),
     "q1_pricing" -> (q1Pricing _),
     "q3_revenue" -> (q3Revenue _),
     "q5_nation" -> (q5Nation _),
@@ -235,6 +309,8 @@ object OlapQueries {
   def oracles: Map[String, String] = Map(
     "q_events_window" -> eventsWindowSql,
     "q_events_sessionize" -> eventsSessionizeSql,
+    "q_events_asof" -> eventsAsofSql,
+    "q_events_range" -> eventsRangeSql,
     "q1_pricing" -> q1PricingSql,
     "q3_revenue" -> q3RevenueSql,
     "q5_nation" -> q5NationSql,

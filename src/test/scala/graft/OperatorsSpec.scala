@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{AsOfJoin, RangeJoin}
+
+/** Semantics of the as-of and banded range join operators. */
+class OperatorsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("asof matches the most recent right row at or before the left ts") {
+    val left = Seq((1L, 100L, "l1"), (1L, 250L, "l2"), (2L, 50L, "l3"))
+      .toDF("k", "ts", "lp")
+    val right = Seq((1L, 100L, "r100"), (1L, 200L, "r200"), (2L, 60L, "r60"))
+      .toDF("k", "rts", "rp")
+    val out = AsOfJoin.asof(left, right, Seq("k"), "ts", "rts",
+      leftCols = Seq("lp"), rightCols = Seq("rp"))
+      .orderBy("lp").collect().map(r => (r.getString(1), r.getString(2)))
+    // l1: equal ts matches (inclusive); l2: latest prior is r200;
+    // l3: only right row is AFTER it -> dropped (inner semantics)
+    assert(out.toSeq == Seq(("l1", "r100"), ("l2", "r200")))
+  }
+
+  test("asof tie-break picks the last right row in tie-break order") {
+    val left = Seq((1L, 10L, "l")).toDF("k", "ts", "lp")
+    val right = Seq((1L, 5L, "first"), (1L, 5L, "second"))
+      .toDF("k", "rts", "rp")
+    val out = AsOfJoin.asof(left, right, Seq("k"), "ts", "rts",
+      leftCols = Seq("lp"), rightCols = Seq("rp"), rightTieBreak = Seq("rp"))
+      .collect()
+    assert(out.length == 1 && out(0).getString(2) == "second")
+  }
+
+  test("asof equals the naive inequality-join formulation on random data") {
+    val rnd = new scala.util.Random(7)
+    val left = Seq.tabulate(200)(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = Seq.tabulate(200)(i => (rnd.nextInt(5).toLong, rnd.nextInt(1000).toLong, i.toLong))
+      .toDF("k", "rts", "rid")
+    // dedupe right per (k, rts) the same way the operator's tie-break does
+    // (max rid wins) so the naive join is deterministic too
+    val out = AsOfJoin.asof(left, right, Seq("k"), "ts", "rts",
+      leftCols = Seq("lid"), rightCols = Seq("rid"), rightTieBreak = Seq("rid"))
+      .select("k", "lid", "rid")
+    val naive = left.as("l").join(right.as("r"),
+        $"l.k" === $"r.k" && $"r.rts" <= $"l.ts")
+      .groupBy($"l.k".as("k"), $"l.lid".as("lid"), $"l.ts".as("ts"))
+      .agg(max(struct($"r.rts", $"r.rid")).getField("rid").as("rid"))
+      .select("k", "lid", "rid")
+    assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
+  }
+
+  test("range join honors inclusive bounds and bucket boundaries") {
+    // window [ts-10, ts]: right at exactly ts-10 and ts are in; ts-11 and
+    // ts+1 are out. Bucket width = 10, so these probes cross bucket edges.
+    val left = Seq((1L, 100L, "L")).toDF("k", "ts", "lp")
+    val right = Seq((1L, 89L), (1L, 90L), (1L, 95L), (1L, 100L), (1L, 101L))
+      .toDF("k", "rts")
+    val out = RangeJoin.range(left, right, Seq("k"), "ts", "rts",
+      before = 10L, after = 0L, leftCols = Seq("lp"), rightCols = Seq("rts"))
+      .select("rts").as[Long].collect().sorted
+    assert(out.toSeq == Seq(90L, 95L, 100L))
+  }
+
+  test("range join emits each qualifying pair exactly once") {
+    val rnd = new scala.util.Random(11)
+    val left = Seq.tabulate(150)(i => (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = Seq.tabulate(150)(i => (rnd.nextInt(3).toLong, rnd.nextInt(500).toLong, i.toLong))
+      .toDF("k", "rts", "rid")
+    val out = RangeJoin.range(left, right, Seq("k"), "ts", "rts",
+      before = 30L, after = 20L, leftCols = Seq("lid"), rightCols = Seq("rid"))
+    val naive = left.as("l").join(right.as("r"),
+      $"l.k" === $"r.k" && $"r.rts" >= $"l.ts" - 30L && $"r.rts" <= $"l.ts" + 20L)
+      .select($"l.k".as("k"), $"l.lid".as("lid"), $"r.rid".as("rid"))
+    assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
+  }
+
+  test("range join buckets are exact at epoch-ns magnitudes") {
+    // 2026-era epoch ns ~ 1.78e18 — beyond double's 53-bit mantissa. A
+    // float-division bucket key would misplace rows near bucket edges.
+    val base = 1786576499000000000L
+    val w = 1800000000000L // 30 min in ns
+    // right row exactly at the lower window edge, left at a bucket edge
+    val left = Seq((1L, base, "L")).toDF("k", "ts", "lp")
+    val right = Seq((1L, base - w), (1L, base - w - 1), (1L, base))
+      .toDF("k", "rts")
+    val out = RangeJoin.range(left, right, Seq("k"), "ts", "rts",
+      before = w, after = 0L, leftCols = Seq("lp"), rightCols = Seq("rts"))
+      .select("rts").as[Long].collect().sorted
+    assert(out.toSeq == Seq(base - w, base))
+  }
+}
