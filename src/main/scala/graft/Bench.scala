@@ -14,6 +14,11 @@ object Bench {
       // long query sequences accumulate broadcast/shuffle metadata that only
       // a JVM GC lets the ContextCleaner reclaim; default interval is 30min
       .config("spark.cleaner.periodicGC.interval", "30s")
+      // 45+ queries x 2 reps generate far more than the default 100 cached
+      // codegen classes; evictions force janino recompiles on the second
+      // rep, which lands as seconds of phantom "query time" (static conf,
+      // must be set before session creation)
+      .config("spark.sql.codegen.cache.maxEntries", "5000")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // SPARK_GRAFT_ONLY=q_a,q_b restricts the run (local profiling loop)

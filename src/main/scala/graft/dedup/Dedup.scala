@@ -246,6 +246,42 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Benchmark decontamination: bipartite shingle-containment join. For
+    * each (train, eval) document pair sharing at least one word n-gram,
+    * containment = |sh(train) ∩ sh(eval)| / |sh(train)|; pairs at or above
+    * `threshold` are flagged (the C4/GPT-style eval-overlap check, done
+    * with n-gram sets instead of exact 13-gram hits so partial overlap
+    * surfaces too). Same inverted-index shape as [[ngramJaccard]] — the
+    * train x eval cross product never materializes; candidates are
+    * generated per shared shingle, keyed by the shingle. `maxShingleDf`
+    * drops stop-shingles (by EVAL-side document frequency) from candidate
+    * generation, the standard skew guard.
+    */
+  def containment(
+      train: DataFrame,
+      eval: DataFrame,
+      threshold: Double,
+      shingleN: Int = 5,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val shT = shingleRows(train, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    val shE = shingleRows(eval, shingleN)
+    val sizesT = shT.groupBy("id").agg(count(lit(1)).as("len"))
+    val joinE =
+      if (maxShingleDf == Int.MaxValue) shE
+      else shE.join(
+        shE.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("sh"),
+        Seq("sh"), "left_semi")
+    val co = shT.as("x").join(joinE.as("y"), col("x.sh") === col("y.sh"))
+      .groupBy(col("x.id").as("train_id"), col("y.id").as("eval_id"))
+      .agg(count(lit(1)).as("inter"))
+    co.join(sizesT.select(col("id").as("train_id"), col("len")), "train_id")
+      .withColumn("containment",
+        col("inter").cast("double") / col("len").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("train_id", "eval_id", "containment")
+  }
+
   /** Embedding near-duplicates: pairs with cosine >= threshold.
     * v0 is the exact blocked self-join (join condition prunes by id order);
     * the 100 TB path is [[embeddingNearDupsLsh]].

@@ -193,7 +193,65 @@ object TextQueries {
       |  mx > 200 AS resized
       |FROM m ORDER BY id""".stripMargin
 
+  /** Deterministic stratified sampling — reproducible corpus downsampling
+    * ([[graft.operators.Sampling]]): per-language keep rates (en 10%,
+    * others 50%) gated on a pure hash of the id, so the sample is identical
+    * on any cluster/partitioning. One scan, no shuffle.
+    */
+  def sampleStratified(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.stratified(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        idCol = "doc_id", strataCol = "lang",
+        rates = Map("en" -> 0.1), defaultRate = 0.5)
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_kept"), sum(col("doc_id")).as("id_checksum"))
+      .orderBy("lang")
+
+  val sampleStratifiedSql: String =
+    """WITH d AS (SELECT doc_id, lang,
+      |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 AS h
+      |  FROM documents)
+      |SELECT lang, count(*) AS n_kept, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+      |FROM d WHERE h < CASE WHEN lang = 'en' THEN 1000 ELSE 5000 END
+      |GROUP BY 1 ORDER BY lang""".stripMargin
+
+  /** Benchmark decontamination: train docs (doc_id % 97 != 0) sharing word
+    * 3-grams with the held-out eval slice (doc_id % 97 = 0), flagged at
+    * shingle-containment >= 0.05 ([[graft.dedup.Dedup.containment]] —
+    * inverted-index bipartite join, no train x eval cross product).
+    */
+  def decontaminate(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("content"))
+    graft.dedup.Dedup.containment(
+        docs.filter(col("id") % 97 =!= 0), docs.filter(col("id") % 97 === 0),
+        threshold = 0.05, shingleN = 3)
+      .withColumn("containment", round(col("containment"), 6))
+      .orderBy("train_id", "eval_id")
+  }
+
+  val decontaminateSql: String =
+    """WITH sh AS (
+      |  SELECT id, list_distinct(list_transform(range(len(w) - 2),
+      |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      |  FROM (SELECT doc_id AS id,
+      |          regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |t AS (SELECT id, unnest(sh) AS s FROM sh WHERE id % 97 <> 0),
+      |e AS (SELECT id, unnest(sh) AS s FROM sh WHERE id % 97 = 0),
+      |sizes AS (SELECT id, len(sh) AS l FROM sh),
+      |co AS (SELECT t.id AS train_id, e.id AS eval_id, count(*) AS inter
+      |       FROM t JOIN e ON t.s = e.s GROUP BY 1, 2)
+      |SELECT train_id, eval_id,
+      |       round(CAST(inter AS DOUBLE) / l, 6) AS containment
+      |FROM co JOIN sizes ON co.train_id = sizes.id
+      |WHERE CAST(inter AS DOUBLE) / l >= 0.05
+      |ORDER BY train_id, eval_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_stratified" -> (sampleStratified _),
+    "q_decontaminate" -> (decontaminate _),
     "q_text_langid" -> (textLangid _),
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),
@@ -204,6 +262,8 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_sample_stratified" -> sampleStratifiedSql,
+    "q_decontaminate" -> decontaminateSql,
     "q_text_langid" -> textLangidSql,
     "q_text_quality" -> textQualitySql,
     "q_text_tokens" -> textTokensSql,
