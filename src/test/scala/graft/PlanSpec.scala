@@ -129,6 +129,33 @@ class PlanSpec extends SparkSpec {
     } finally assigned.unpersist()
   }
 
+  test("as-of join plans as one keyed window — no join operator at all") {
+    import spark.implicits._
+    val left = (0 until 40).map(i => (i % 5L, i * 10L, i.toLong)).toDF("k", "ts", "lid")
+    val right = (0 until 40).map(i => (i % 5L, i * 7L, i.toLong)).toDF("k", "rts", "rid")
+    val df = graft.operators.AsOfJoin.asof(left, right, Seq("k"), "ts", "rts",
+      leftCols = Seq("lid"), rightCols = Seq("rid"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(p.contains("Window"), "as-of carries matches via an ordered window")
+    assert(!p.contains("Join"),
+      "no join operator: the inequality must never become a theta-join")
+  }
+
+  test("range join stays a keyed equi-join with the range filter inside") {
+    import spark.implicits._
+    val left = (0 until 40).map(i => (i % 5L, i * 10L, i.toLong)).toDF("k", "ts", "lid")
+    val right = (0 until 40).map(i => (i % 5L, i * 7L, i.toLong)).toDF("k", "rts", "rid")
+    val df = graft.operators.RangeJoin.range(left, right, Seq("k"), "ts", "rts",
+      before = 15L, after = 5L, leftCols = Seq("lid"), rightCols = Seq("rid"))
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "banding must make the range join an equi-join")
+    assert("(BroadcastHashJoin|SortMergeJoin|ShuffledHashJoin).*__bucket".r
+      .findFirstIn(p).isDefined, "join must key on (keys, bucket)")
+  }
+
   test("IVF probe prunes to the probed clusters (filter above the scan)") {
     val vecs = Tables.vectors(spark, dir)
     val centroids = graft.ann.Ann.representativeCentroids(vecs, "label")
