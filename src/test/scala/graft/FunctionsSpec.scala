@@ -15,6 +15,25 @@ class FunctionsSpec extends SparkSpec {
       == "6b7dfd25-6e32-5c87-849c-8b658ed84470")
   }
 
+  test("graft_* SQL functions register and match the Column API bit-exactly") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    Seq((Array(1.0f, 2.0f, 3.0f), Array(0.5f, -1.5f, 2.25f)))
+      .toDF("a", "b").createOrReplaceTempView("vecs")
+    val sqlRow = spark.sql(
+      """SELECT graft_dot(a, b) AS d, graft_l2norm(a) AS n,
+        |       graft_l2distsq(a, b) AS q, graft_cosine(a, b) AS c
+        |FROM vecs""".stripMargin).collect()(0)
+    val apiRow = spark.table("vecs").select(
+      VectorFunctions.dot($"a", $"b"), VectorFunctions.l2Norm($"a"),
+      VectorFunctions.l2DistanceSq($"a", $"b"),
+      VectorFunctions.cosine($"a", $"b")).collect()(0)
+    (0 until 4).foreach(i => assert(sqlRow.getDouble(i) == apiRow.getDouble(i)))
+    // the config-based path injects the same builders without error
+    new graft.functions.GraftExtensions().apply(
+      new org.apache.spark.sql.SparkSessionExtensions)
+  }
+
   test("native dot/l2Norm match interpreted HOF formulation bit-exactly") {
     import spark.implicits._
     val df = Seq(
