@@ -76,4 +76,83 @@ object AsOfJoin {
 
   private def structType(df: DataFrame, cols: Seq[String]) =
     org.apache.spark.sql.types.StructType(cols.map(c => df.schema(c)))
+
+  /** Skew-bounded as-of join — identical results to [[asof]], but no task
+    * ever sorts more than one (key, time-chunk) of data. [[asof]] puts a
+    * key's ENTIRE history in one task (fine for billions of small keys,
+    * quadratic pain for a hot key); here:
+    *
+    *   1. chunk-local pass: the same union+window, partitioned by
+    *      (key, chunk) — bounded by chunk density;
+    *   2. carry summaries: the last right row of each (key, chunk) (one
+    *      row per non-empty chunk), then a cumulative window over the
+    *      SUMMARIES per key — sequential per key but over #chunks rows,
+    *      not #rows — yields each chunk's carry-in (latest right row of
+    *      any earlier chunk);
+    *   3. left rows with no chunk-local match take their chunk's carry-in
+    *      via a keyed join on (key, chunk).
+    *
+    * `chunk` is in the ts column's unit. Right tie-break columns must be
+    * orderable (the summary pass ranks by (ts, tieBreak...)).
+    */
+  def asofChunked(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      leftCols: Seq[String],
+      rightCols: Seq[String],
+      chunk: Long,
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    require(chunk > 0, s"chunk $chunk must be positive")
+    val rFields = (rightCols ++ rightTieBreak).distinct
+    def chunkOf(ts: Column): Column = {
+      val t = ts.cast("long")
+      (t - pmod(t, lit(chunk))).as("__chunk")
+    }
+    val l = left.select(
+      keys.map(col) ++
+        Seq(col(leftTs).as("__ts"), chunkOf(col(leftTs)), lit(1).as("__side")) ++
+        leftCols.map(col) ++
+        Seq(lit(null).cast(structType(right, rFields)).as("__r")): _*)
+    val r = right.select(
+      keys.map(col) ++
+        Seq(col(rightTs).as("__ts"), chunkOf(col(rightTs)), lit(0).as("__side")) ++
+        leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
+        Seq(struct(rFields.map(col): _*).as("__r")): _*)
+    val ord: Seq[Column] = col("__ts").asc +: col("__side").asc +:
+      rightTieBreak.map(c => col("__r").getField(c).asc)
+    // 1. chunk-local last-carry (bounded per-task work)
+    val localW = Window.partitionBy((keys :+ "__chunk").map(col): _*)
+      .orderBy(ord: _*).rowsBetween(Window.unboundedPreceding, 0)
+    val localMatched = l.unionByName(r)
+      .withColumn("__match", last(col("__r"), ignoreNulls = true).over(localW))
+      .filter(col("__side") === 1)
+    // 2. per-(key, chunk) last right row -> cumulative carry over summaries
+    val summaryRankW = Window.partitionBy((keys :+ "__chunk").map(col): _*)
+      .orderBy(col("__ts").desc +:
+        rightTieBreak.map(c => col("__r").getField(c).desc): _*)
+    val chunkLast = r
+      .withColumn("__rn", row_number().over(summaryRankW))
+      .filter(col("__rn") === 1)
+      .select((keys :+ "__chunk").map(col) :+ col("__r").as("__last"): _*)
+    // summaries must cover chunks that hold only LEFT rows too — their
+    // carry-in is the latest right row of any earlier chunk
+    val allChunks = l.select((keys :+ "__chunk").map(col): _*)
+      .unionByName(r.select((keys :+ "__chunk").map(col): _*)).distinct()
+    val carryW = Window.partitionBy(keys.map(col): _*).orderBy(col("__chunk").asc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val carryIn = allChunks
+      .join(chunkLast, keys :+ "__chunk", "left")
+      .withColumn("__carry", last(col("__last"), ignoreNulls = true).over(carryW))
+      .select((keys :+ "__chunk").map(col) :+ col("__carry"): _*)
+    // 3. unmatched left rows take the carry-in of their chunk
+    localMatched
+      .join(carryIn, keys :+ "__chunk", "left")
+      .withColumn("__final", coalesce(col("__match"), col("__carry")))
+      .filter(col("__final").isNotNull)
+      .select(keys.map(col) ++ leftCols.map(col) ++
+        rightCols.map(c => col("__final").getField(c).as(c)): _*)
+  }
 }

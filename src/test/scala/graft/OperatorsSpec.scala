@@ -50,6 +50,25 @@ class OperatorsSpec extends SparkSpec {
     assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
   }
 
+  test("chunked as-of equals the single-window as-of on random data") {
+    val rnd = new scala.util.Random(13)
+    val left = Seq.tabulate(300)(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(2000).toLong, i.toLong))
+      .toDF("k", "ts", "lid")
+    val right = Seq.tabulate(300)(i =>
+      (rnd.nextInt(4).toLong, rnd.nextInt(2000).toLong, i.toLong))
+      .toDF("k", "rts", "rid")
+    val plain = AsOfJoin.asof(left, right, Seq("k"), "ts", "rts",
+      leftCols = Seq("lid"), rightCols = Seq("rid"), rightTieBreak = Seq("rid"))
+    for (chunk <- Seq(1L, 7L, 100L, 10000L)) {
+      val chunked = AsOfJoin.asofChunked(left, right, Seq("k"), "ts", "rts",
+        leftCols = Seq("lid"), rightCols = Seq("rid"), chunk = chunk,
+        rightTieBreak = Seq("rid"))
+      assert(chunked.exceptAll(plain).count() == 0 &&
+        plain.exceptAll(chunked).count() == 0, s"mismatch at chunk=$chunk")
+    }
+  }
+
   test("range join honors inclusive bounds and bucket boundaries") {
     // window [ts-10, ts]: right at exactly ts-10 and ts are in; ts-11 and
     // ts+1 are out. Bucket width = 10, so these probes cross bucket edges.
