@@ -246,6 +246,47 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Exact n-gram Jaccard with PPJoin-style prefix + size filtering —
+    * identical results to [[ngramJaccard]], far fewer candidates.
+    *
+    * Order every document's shingles by GLOBAL rarity (df asc, shingle
+    * asc); a pair with Jaccard >= t must share a shingle within both
+    * documents' first `len - ceil(t*len) + 1` shingles (prefix-filter
+    * theorem) and satisfy t*|A| <= |B| (size filter). Candidate
+    * generation joins ONLY prefix rows — and since prefixes hold each
+    * document's RAREST shingles, the stop-shingle d^2 blowup that forces
+    * [[ngramJaccard]]'s maxShingleDf cap cannot happen: frequent shingles
+    * fall out of prefixes by construction. Verification counts exact
+    * intersections over the FULL shingle sets for surviving pairs only.
+    * The epsilon inside ceil() guards against float fuzz enlarging the
+    * prefix cutoff (a slightly larger prefix is always safe; a smaller
+    * one is not).
+    */
+  def ngramJaccardPrefix(
+      docs: DataFrame,
+      threshold: Double,
+      shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold out of (0,1]")
+    val sh = shingleRows(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    val sizes = sh.groupBy("id").agg(count(lit(1)).as("len"))
+    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("sh").asc)
+    val pref = sh.join(dfs, "sh")
+      .withColumn("rnk", row_number().over(rankW))
+      .join(sizes, "id")
+      .filter(col("rnk") <=
+        col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
+      .select("id", "sh", "len")
+    val cands = pref.as("x").join(pref.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id") &&
+          col("x.len") * lit(threshold) <= col("y.len") &&
+          col("y.len") * lit(threshold) <= col("x.len"))
+      .select(col("x.id").as("a"), col("y.id").as("b"))
+      .distinct()
+    verifyJaccard(cands, sh, threshold)
+  }
+
   /** Benchmark decontamination: bipartite shingle-containment join. For
     * each (train, eval) document pair sharing at least one word n-gram,
     * containment = |sh(train) ∩ sh(eval)| / |sh(train)|; pairs at or above

@@ -66,7 +66,12 @@ object DedupQueries {
 
   val dedupMinhashSql: String = jaccardInvertedSqlD(0.6)
 
-  // ---- exact n-gram Jaccard via inverted index (same oracle shape) ----
+  // ---- exact n-gram Jaccard via inverted index (same oracle shape).
+  //      The PPJoin-style prefix+size-filtered variant
+  //      (Dedup.ngramJaccardPrefix) returns identical results (DedupSpec
+  //      equality test) and is the skewed-corpus scale path; at this sf
+  //      the plain form's single shingle join is cheaper than the
+  //      prefix pass's extra df/rank shuffles, so the bench keeps it. ----
   def dedupNgram(s: SparkSession, dir: String): DataFrame =
     Dedup.ngramJaccard(docs(s, dir), threshold = 0.5)
       .withColumn("jaccard", round(col("jaccard"), 6))

@@ -34,6 +34,18 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("prefix-filtered n-gram jaccard equals the plain inverted-index form") {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("content"))
+    for (t <- Seq(0.3, 0.5, 0.8)) {
+      val plain = Dedup.ngramJaccard(docs, t)
+      val pref = Dedup.ngramJaccardPrefix(docs, t)
+      assert(pref.exceptAll(plain).count() == 0 &&
+        plain.exceptAll(pref).count() == 0, s"mismatch at threshold=$t")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("simhash blocking is lossless for hamming <= blocks-1") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))
