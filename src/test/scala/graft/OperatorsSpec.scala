@@ -95,6 +95,23 @@ class OperatorsSpec extends SparkSpec {
     assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
   }
 
+  test("deterministic sample is invariant to partitioning and repeatable") {
+    val df = spark.range(0, 2000).toDF("id")
+    val once = graft.operators.Sampling.sample(df, "id", 0.3)
+      .as[Long].collect().sorted.toSeq
+    val repart = graft.operators.Sampling.sample(df.repartition(13), "id", 0.3)
+      .as[Long].collect().sorted.toSeq
+    assert(once == repart, "hash gate must not depend on partition layout")
+    assert(once.nonEmpty && once.size < 2000)
+    // stratified: a stratum at rate 0 keeps nothing, at rate 1 everything
+    val strata = df.withColumn("s",
+      when(col("id") % 2 === 0, "even").otherwise("odd"))
+    val kept = graft.operators.Sampling.stratified(
+      strata, "id", "s", Map("even" -> 0.0), defaultRate = 1.0)
+    assert(kept.filter(col("s") === "even").count() == 0)
+    assert(kept.filter(col("s") === "odd").count() == 1000)
+  }
+
   test("range join buckets are exact at epoch-ns magnitudes") {
     // 2026-era epoch ns ~ 1.78e18 — beyond double's 53-bit mantissa. A
     // float-division bucket key would misplace rows near bucket edges.
