@@ -44,6 +44,27 @@ object Loaders {
         lit(modality).as("modality"),
         col("content").as("data"))
 
+  /** JSONL corpus — the standard training-data interchange shape: one
+    * document per line, `{"content": "...", "metadata": {"k": "v", ...}}`.
+    * Parsed with an EXPLICIT schema (no inference pass — at 100 TB a
+    * schema-inference scan would read the corpus twice), metadata values
+    * coerced to strings per the engine's document model. Lines that fail
+    * to parse or carry no `content` are dropped (corpus-ingestion
+    * semantics: a bad line invalidates the line, not the batch); callers
+    * needing strictness can diff counts against `spark.read.text`.
+    */
+  def loadJsonl(spark: SparkSession, paths: Seq[Path]): DataFrame = {
+    val schema = "content STRING, metadata MAP<STRING,STRING>"
+    spark.read
+      .text(paths.map(_.toString): _*)
+      .select(from_json(col("value"), org.apache.spark.sql.types.StructType
+        .fromDDL(schema)).as("j"))
+      .select(col("j.content").as("content"),
+        coalesce(col("j.metadata"), map().cast("map<string,string>"))
+          .as("metadata"))
+      .filter(col("content").isNotNull)
+  }
+
   /** Inline contents (vector_api.py:332-341 bounds checked upstream). */
   def loadInline(spark: SparkSession, contents: Seq[String]): DataFrame = {
     import spark.implicits._

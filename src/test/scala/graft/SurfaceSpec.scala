@@ -78,6 +78,24 @@ class SurfaceSpec extends SparkSpec {
     assert(all.columns.toSet == Set("content", "metadata"))
   }
 
+  test("loaders: jsonl parses with explicit schema, drops bad lines") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
+    val f = dir.resolve("corpus.jsonl")
+    java.nio.file.Files.writeString(f,
+      """{"content": "doc one", "metadata": {"lang": "en"}}
+        |{"content": "doc two"}
+        |not json at all
+        |{"metadata": {"lang": "de"}}
+        |""".stripMargin)
+    val df = Loaders.loadJsonl(spark, Seq(f))
+    val rows = df.orderBy("content").collect()
+    assert(rows.length == 2, "bad lines and content-less lines drop")
+    assert(rows(0).getString(0) == "doc one" &&
+      rows(0).getMap[String, String](1).get("lang").contains("en"))
+    assert(rows(1).getString(0) == "doc two" &&
+      rows(1).getMap[String, String](1).isEmpty)
+  }
+
   test("retriever protocol: init, chunked add, query shapes") {
     val dir = Files.createTempDirectory("graft-wh").toString
     val api = new Api(spark, dir, new DeterministicHashEmbedder(32))
