@@ -120,6 +120,37 @@ final class McpSurface(api: Api) {
       "db_type" -> backend)
   }
 
+  /** Verbose mode (reference README.md:67-82): seven per-operation tools,
+    * one per action, dispatching to the SAME handlers as the two condensed
+    * action-routed tools — identical validation, responses, and error
+    * codes. A name outside the seven is governed with the family code of
+    * the condensed tool it would have routed through; search-family names
+    * are recognized by their `_search`/`search` suffix (mirroring the
+    * reference where an unknown verbose tool simply is not registered).
+    */
+  def verboseTool(
+      tool: String,
+      collectionName: String = null,
+      overwrite: Boolean = false,
+      documents: Option[DataFrame] = None,
+      confirm: Boolean = false,
+      question: String = null,
+      numberResults: Int = 10,
+      semanticWeight: Double = 0.5,
+      lexicalWeight: Double = 0.5,
+      rrfK: Int = 60,
+      dbType: String = null,
+      semanticMode: String = "exact",
+      lexicalMode: String = "scan"): Map[String, Any] = {
+    val norm = Option(tool).getOrElse("").trim.toLowerCase.replace('-', '_')
+    if (norm.endsWith("search"))
+      vectorSearch(norm, collectionName, question, numberResults,
+        semanticWeight, lexicalWeight, rrfK, dbType, semanticMode, lexicalMode)
+    else
+      vectorCollectionManagement(norm, collectionName, overwrite, documents,
+        confirm, dbType)
+  }
+
   /** Action normalization (mcp_server.py:116-125, :238-242; unmatched ->
     * collection_action_invalid / search_action_invalid, mcp_server.py:199,
     * :289): trim, casefold, dashes to underscores.

@@ -220,6 +220,27 @@ class SurfaceSpec extends SparkSpec {
       .code == ErrorCodes.SearchActionInvalid)
   }
 
+  test("verbose tools dispatch to the condensed handlers with same codes") {
+    val dir = Files.createTempDirectory("graft-wh-verbose").toString
+    val api = new Api(spark, dir, new DeterministicHashEmbedder(32))
+    val surface = new McpSurface(api)
+    surface.vectorCollectionManagement("create_collection", "verbosecoll",
+      documents = Some(Loaders.loadInline(spark, Seq("spark join doc"))))
+    val listed = surface.verboseTool("list_collections")
+    assert(listed("collections").asInstanceOf[Seq[Map[String, String]]]
+      .exists(_("collection_name") == "verbosecoll"))
+    val hits = surface.verboseTool("semantic-search",
+      collectionName = "verbosecoll", question = "spark join")
+    assert(hits.contains("results"))
+    val bad = intercept[graft.model.GraftException](
+      surface.verboseTool("drop_everything"))
+    assert(bad.code == graft.model.ErrorCodes.CollectionActionInvalid)
+    val badSearch = intercept[graft.model.GraftException](
+      surface.verboseTool("mega_search", collectionName = "verbosecoll",
+        question = "x"))
+    assert(badSearch.code == graft.model.ErrorCodes.SearchActionInvalid)
+  }
+
   test("backend policy: fail-closed allow-list with canonicalization and default") {
     import graft.model.BackendPolicy
     // allow-list passes, canonicalized (backend_policy.py:7-31)
