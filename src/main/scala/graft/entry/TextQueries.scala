@@ -193,6 +193,61 @@ object TextQueries {
       |  mx > 200 AS resized
       |FROM m ORDER BY id""".stripMargin
 
+  /** End-to-end curation pipeline — the composition showpiece: quality
+    * filter (rounded-score threshold, so the gate is engine-stable) →
+    * English lang-ID gate → exact content dedup (min-id survivor) →
+    * deterministic 50% sample → per-source rollup. Every stage is an
+    * engine operator ([[graft.functions.TextFunctions]],
+    * [[graft.dedup.Dedup]]-style exact dedup, [[graft.operators.Sampling]]);
+    * one scan + one dedup shuffle + one rollup, no collect between stages.
+    */
+  def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val filtered = t(s, dir, "documents")
+      .select(col("doc_id"), col("text"), col("source"))
+      .withColumn("quality", round(TextFunctions.qualityScore(col("text")), 6))
+      .withColumn("stopr", round(TextFunctions.stopwordRatio(toks), 6))
+      .filter(col("quality") >= 0.5 && col("stopr") >= 0.05)
+    val kept = filtered
+      .groupBy(sha2(col("text"), 256).as("digest"))
+      .agg(min(struct(col("doc_id"), col("source"))).as("k"))
+      .select(col("k.doc_id").as("doc_id"), col("k.source").as("source"))
+    graft.operators.Sampling.sample(kept, "doc_id", 0.5)
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_checksum"))
+      .orderBy("source")
+  }
+
+  val pipelineCurateSql: String = {
+    val stops = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d0 AS (SELECT doc_id, text, source, $toksD AS toks FROM documents),
+       |m AS (SELECT doc_id, text, source,
+       |        CAST(len(toks) AS DOUBLE) AS ntok,
+       |        CAST(length(text) AS DOUBLE) AS nchar,
+       |        CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+       |        CASE WHEN len(toks) = 0 THEN 0.0
+       |             ELSE list_reduce(list_prepend(0.0,
+       |                    list_transform(toks, t -> CAST(length(t) AS DOUBLE))),
+       |                  (a, b) -> a + b) / len(toks) END AS meanlen,
+       |        CASE WHEN len(toks) = 0 THEN 0.0
+       |             ELSE CAST(len(list_filter(toks, x -> list_contains([$stops], x))) AS DOUBLE)
+       |                  / len(toks) END AS stopratio
+       |      FROM d0),
+       |q AS (SELECT doc_id, text, source,
+       |        round(least(ntok / 50.0, 1.0) * 0.4 +
+       |          (CASE WHEN nchar = 0 THEN 0.0 ELSE alpha / nchar END) * 0.3 +
+       |          (CASE WHEN meanlen >= 3 AND meanlen <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+       |          least(stopratio * 10.0, 1.0) * 0.1, 6) AS quality,
+       |        round(stopratio, 6) AS stopr FROM m),
+       |f AS (SELECT doc_id, text, source FROM q WHERE quality >= 0.5 AND stopr >= 0.05),
+       |k AS (SELECT min(doc_id) AS doc_id FROM f GROUP BY sha256(text)),
+       |k2 AS (SELECT k.doc_id, f.source FROM k JOIN f USING (doc_id)),
+       |smp AS (SELECT doc_id, source FROM k2
+       |        WHERE ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 10000 < 5000)
+       |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       |FROM smp GROUP BY 1 ORDER BY source""".stripMargin
+  }
+
   /** Deterministic stratified sampling — reproducible corpus downsampling
     * ([[graft.operators.Sampling]]): per-language keep rates (en 10%,
     * others 50%) gated on a pure hash of the id, so the sample is identical
@@ -250,6 +305,7 @@ object TextQueries {
       |ORDER BY train_id, eval_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_curate" -> (pipelineCurate _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_decontaminate" -> (decontaminate _),
     "q_text_langid" -> (textLangid _),
@@ -262,6 +318,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pipeline_curate" -> pipelineCurateSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_decontaminate" -> decontaminateSql,
     "q_text_langid" -> textLangidSql,
