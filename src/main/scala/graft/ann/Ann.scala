@@ -187,7 +187,7 @@ object Ann {
         (d, r.get(0))
       }.sortBy { case (d, id) => (d, id.toString) }.take(nprobe).map(_._2)
       assigned
-        .filter(col("cluster_id").isin(probeIds: _*))
+        .filter(col("cluster_id").isin(probeIds.toIndexedSeq: _*))
         .withColumn("score",
           graft.search.Semantic.scoreAgainst(col("embedding"), col("norm"), qVec))
         .withColumn("query_idx", lit(qIdx))

@@ -86,7 +86,7 @@ object SignLshIndex {
   /** Column form of one table's sign key over `embedding`. */
   private def keyCol(tablePlanes: Seq[Array[Double]]): Column =
     tablePlanes.map { p =>
-      val lits = array(p.map(lit): _*)
+      val lits = array(p.toIndexedSeq.map(lit): _*)
       when(VectorFunctions.dot(col("embedding"), lits) >= 0, lit("1")).otherwise(lit("0"))
     }.reduce(concat(_, _))
 

@@ -364,7 +364,7 @@ object Dedup {
       Seq.fill(tables)(Seq.fill(bitsPerTable)(Array.fill(dim)(rnd.nextGaussian())))
     val keyCols = planes.map { tablePlanes =>
       tablePlanes.map { p =>
-        val lits = array(p.map(lit): _*)
+        val lits = array(p.toIndexedSeq.map(lit): _*)
         when(VectorFunctions.dot(col("embedding"), lits) >= 0, lit("1")).otherwise(lit("0"))
       }.reduce(concat(_, _))
     }

@@ -30,7 +30,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftFunctions {
 
   private def info(name: String, usage: String): ExpressionInfo =
-    new ExpressionInfo(classOf[VectorExpressions.type].getName, null, name, usage, "")
+    new ExpressionInfo(classOf[VectorExpressions.type].getName, null, name,
+      usage, "", "", "", "", "", "", "built-in")
 
   private def binary(name: String, f: (Expression, Expression) => Expression)(
       args: Seq[Expression]): Expression = {
