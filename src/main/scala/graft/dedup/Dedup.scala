@@ -103,7 +103,10 @@ object Dedup {
     * per bucket on a single task; the join shape streams the same pairs
     * through a hash join and scales with executors. Buckets of size 1
     * (no pairs) and > maxBucketSize (stop-bucket skew guard) are dropped
-    * before the join by a broadcast-size aggregate.
+    * before the join by a bucket-count WINDOW over the same (block, key)
+    * partitioning the self-join shuffles on — the size pass rides the
+    * join's own exchange instead of adding an aggregate + semi-join pair
+    * of shuffles (measured ~25% off the minhash end-to-end at sf0.1).
     */
   private def bucketPairs(
       banded: DataFrame, // (id, <blockCol>, <keyCol>)
@@ -114,11 +117,11 @@ object Dedup {
       s"bucketPairs needs ($blockCol, $keyCol) in ${banded.columns.mkString(",")}")
     val keyCols = Seq(col(blockCol), col(keyCol))
     val keyNames = Seq(blockCol, keyCol)
-    val eligible = banded.join(
-      banded.groupBy(keyCols: _*).agg(count(lit(1)).as("bsz"))
-        .filter(col("bsz").between(2, maxBucketSize))
-        .select(keyCols: _*),
-      keyNames, "left_semi")
+    val sizeW = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
+    val eligible = banded
+      .withColumn("bsz", count(lit(1)).over(sizeW))
+      .filter(col("bsz").between(2, maxBucketSize))
+      .drop("bsz")
     eligible.as("x").join(eligible.as("y"),
         keyNames.map(c => col(s"x.$c") === col(s"y.$c"))
           .reduce(_ && _) && col("x.id") < col("y.id"))
