@@ -50,12 +50,15 @@ object AsOfJoin {
       rightCols: Seq[String],
       rightTieBreak: Seq[String] = Nil): DataFrame = {
     val rFields = (rightCols ++ rightTieBreak).distinct
-    val l = left.select(
+    // SQL equi-join semantics: a null key never matches (the window would
+    // otherwise group null keys together and "match" them)
+    val keysNotNull = keys.map(col(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true))
+    val l = left.filter(keysNotNull).select(
       keys.map(col) ++
         Seq(col(leftTs).as("__ts"), lit(1).as("__side")) ++
         leftCols.map(col) ++
         Seq(lit(null).cast(structType(right, rFields)).as("__r")): _*)
-    val r = right.select(
+    val r = right.filter(keysNotNull).select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), lit(0).as("__side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++
@@ -111,12 +114,13 @@ object AsOfJoin {
       val t = ts.cast("long")
       (t - pmod(t, lit(chunk))).as("__chunk")
     }
-    val l = left.select(
+    val keysNotNull = keys.map(col(_).isNotNull).reduceOption(_ && _).getOrElse(lit(true))
+    val l = left.filter(keysNotNull).select(
       keys.map(col) ++
         Seq(col(leftTs).as("__ts"), chunkOf(col(leftTs)), lit(1).as("__side")) ++
         leftCols.map(col) ++
         Seq(lit(null).cast(structType(right, rFields)).as("__r")): _*)
-    val r = right.select(
+    val r = right.filter(keysNotNull).select(
       keys.map(col) ++
         Seq(col(rightTs).as("__ts"), chunkOf(col(rightTs)), lit(0).as("__side")) ++
         leftCols.map(c => lit(null).cast(left.schema(c).dataType).as(c)) ++

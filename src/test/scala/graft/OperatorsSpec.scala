@@ -21,6 +21,16 @@ class OperatorsSpec extends SparkSpec {
     assert(out.toSeq == Seq(("l1", "r100"), ("l2", "r200")))
   }
 
+  test("asof drops null-key rows like a SQL equi-join would") {
+    val left = Seq((Some(1L), 10L, "l1"), (None, 10L, "lnull"))
+      .toDF("k", "ts", "lp")
+    val right = Seq((Some(1L), 5L, "r1"), (None, 5L, "rnull"))
+      .toDF("k", "rts", "rp")
+    val out = AsOfJoin.asof(left, right, Seq("k"), "ts", "rts",
+      leftCols = Seq("lp"), rightCols = Seq("rp")).collect()
+    assert(out.length == 1 && out(0).getString(1) == "l1")
+  }
+
   test("asof tie-break picks the last right row in tie-break order") {
     val left = Seq((1L, 10L, "l")).toDF("k", "ts", "lp")
     val right = Seq((1L, 5L, "first"), (1L, 5L, "second"))
