@@ -304,7 +304,48 @@ object TextQueries {
       |WHERE CAST(inter AS DOUBLE) / l >= 0.05
       |ORDER BY train_id, eval_id""".stripMargin
 
+  /** Media similarity end-to-end: binary payload → decode ([[Multimodal
+    * .decodeStub]]) → feature extraction ([[Multimodal.featuresStub]],
+    * per-partition encoder-session template) → exact cosine top-k
+    * ([[graft.ann.Ann.bruteTopK]]). From the features on, media similarity
+    * IS vector similarity — the same ANN serving paths (IVF/LSH/PQ) apply
+    * unchanged at scale.
+    */
+  def mmSimilarity(s: SparkSession, dir: String): DataFrame = {
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), lit("image").as("modality"),
+        col("text").cast("binary").as("data"))
+    val feats = Multimodal.featuresStub(Multimodal.decodeStub(media))
+      .withColumnRenamed("features", "embedding")
+      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+      .cache() // the query lookup and the corpus scan share one build
+    val qs = feats.filter(col("id").isin(0L, 1L, 2L))
+      .select("id", "embedding").collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1)).sortBy(_._1).toSeq
+    graft.ann.Ann.bruteTopK(feats, qs, 5)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("query_idx"), col("score").desc, col("id"))
+  }
+
+  val mmSimilaritySql: String =
+    """WITH f AS (SELECT doc_id AS id,
+      |        list_transform(range(8), i -> CAST(CAST(('0x' ||
+      |          substr(sha256(text), CAST(i*4+1 AS INTEGER), 4)) AS BIGINT)
+      |          / 65535.0 AS REAL)) AS vf
+      |      FROM documents),
+      |fd AS (SELECT id, CAST(vf AS DOUBLE[]) AS v FROM f),
+      |q AS (SELECT id AS qid, v AS qv FROM fd WHERE id IN (0, 1, 2)),
+      |s AS (SELECT q.qid AS query_idx, fd.id,
+      |             list_cosine_similarity(fd.v, q.qv) AS sc
+      |      FROM q CROSS JOIN fd),
+      |t AS (SELECT query_idx, id, sc,
+      |             row_number() OVER (PARTITION BY query_idx
+      |               ORDER BY sc DESC, id) AS rn FROM s)
+      |SELECT CAST(query_idx AS INTEGER) AS query_idx, id, round(sc, 6) AS score
+      |FROM t WHERE rn <= 5 ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mm_similarity" -> (mmSimilarity _),
     "q_pipeline_curate" -> (pipelineCurate _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_decontaminate" -> (decontaminate _),
@@ -318,6 +359,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mm_similarity" -> mmSimilaritySql,
     "q_pipeline_curate" -> pipelineCurateSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_decontaminate" -> decontaminateSql,

@@ -84,6 +84,36 @@ object Multimodal {
       (m > maxDim).as("resized"))
   }
 
+  /** Feature extraction over decoded media — the embedding stage of a
+    * multimodal pipeline, same per-partition-init mapPartitions template as
+    * [[decodeStub]] (the init slot is where a real encoder session — CLIP,
+    * an ONNX runtime, an audio embedder — lives, created once per partition
+    * and reused across the batch). The stub derives a deterministic
+    * `dim`-float vector from the content fingerprint's hex (4 hex chars →
+    * one [0,1] feature; double division then float cast, so an oracle
+    * replays it bit-exactly: DuckDB `('0x'||substr(sha256(x),...))::BIGINT
+    * / 65535.0` cast REAL). Output (id, features) feeds the ANN operators
+    * directly — media similarity is vector similarity from here on.
+    */
+  def featuresStub(decoded: DataFrame, dim: Int = 8): DataFrame = {
+    require(dim >= 1 && dim * 4 <= 64, s"dim $dim needs 4*dim hex chars of a sha256")
+    val spark = decoded.sparkSession
+    import spark.implicits._
+    decoded.select(col("id").cast("long"), col("fingerprint"))
+      .as[(Long, String)]
+      .mapPartitions { it =>
+        // per-partition "encoder session" init slot (trivial for the stub)
+        val hexRadix = 16
+        it.map { case (id, fp) =>
+          val feats = Array.tabulate(dim) { i =>
+            (Integer.parseInt(fp.substring(i * 4, i * 4 + 4), hexRadix) /
+              65535.0).toFloat
+          }
+          (id, feats)
+        }
+      }.toDF("id", "features")
+  }
+
   /** Frame sampling shape: explode n_frames into (id, frame_idx) rows with
     * a deterministic per-frame pseudo-feature — the layout a video pipeline
     * feeds into per-frame embedding.
