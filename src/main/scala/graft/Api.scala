@@ -500,6 +500,33 @@ final class Api(
     serialize(payload)
   }
 
+  /** Collection statistics — the observability half of the doctor surface
+    * (model.BackendPolicy.backendStatus is the availability half): document
+    * count, frozen dimension, and which persistent derived indexes exist
+    * with their row counts. Point reads only — the documents count is a
+    * parquet-metadata count (no scan), index counts read only the indexes
+    * that exist.
+    */
+  def describeCollection(name: String): Map[String, Any] = invoke {
+    val entry = catalog.getCollection(physical(validCollection(name)))
+    import java.nio.file.{Files, Paths}
+    def countIf(path: String): Option[Long] =
+      if (Files.exists(Paths.get(path)))
+        Some(spark.read.parquet(path).count())
+      else None
+    val indexes = Seq(
+      "lexical" -> graft.search.LexIndex.indexPath(catalog, entry),
+      "ivf" -> graft.ann.IvfIndex.indexPath(catalog, entry),
+      "pq" -> graft.ann.PqIndex.indexPath(catalog, entry),
+      "lsh" -> graft.ann.SignLshIndex.indexPath(catalog, entry))
+      .flatMap { case (k, p) => countIf(p).map(k -> _) }.toMap
+    Map(
+      "collection" -> name,
+      "documents" -> docs(name).count(),
+      "dimension" -> entry.dimension,
+      "indexes" -> indexes)
+  }
+
   /** Result serialization (vector_api.py:368-386): drop non-finite scores,
     * sanitize content/metadata on the way out.
     */

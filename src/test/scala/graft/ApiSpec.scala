@@ -118,6 +118,20 @@ class ApiSpec extends SparkSpec {
     assert(api.search("void", "anything", 5).results.isEmpty)
   }
 
+  test("describeCollection reports counts, dimension, and live indexes") {
+    val api = newApi()
+    api.createCollection("desc1", documents = Some(corpus()))
+    val before = api.describeCollection("desc1")
+    assert(before("documents") == 5L && before("dimension") == 64)
+    assert(before("indexes").asInstanceOf[Map[String, Long]].isEmpty)
+    api.buildLexicalIndex("desc1")
+    val after = api.describeCollection("desc1")
+    val idx = after("indexes").asInstanceOf[Map[String, Long]]
+    assert(idx.keySet == Set("lexical") && idx("lexical") > 0)
+    val missing = intercept[GraftException](api.describeCollection("nope"))
+    assert(missing.code == ErrorCodes.CollectionNotFound)
+  }
+
   test("delete requires confirm=true exactly") {
     val api = newApi()
     api.createCollection("del1")
