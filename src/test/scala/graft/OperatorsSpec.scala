@@ -122,6 +122,17 @@ class OperatorsSpec extends SparkSpec {
     assert(kept.filter(col("s") === "odd").count() == 1000)
   }
 
+  test("sample fractions nest: sample(f1) is a subset of sample(f2) for f1 <= f2") {
+    val df = spark.range(0, 3000).toDF("id")
+    val s30 = graft.operators.Sampling.sample(df, "id", 0.3)
+      .as[Long].collect().toSet
+    val s60 = graft.operators.Sampling.sample(df, "id", 0.6)
+      .as[Long].collect().toSet
+    assert(s30.subsetOf(s60),
+      "the hash gate must make smaller fractions subsets of larger ones")
+    assert(s30.nonEmpty && s60.size > s30.size)
+  }
+
   test("range join buckets are exact at epoch-ns magnitudes") {
     // 2026-era epoch ns ~ 1.78e18 — beyond double's 53-bit mantissa. A
     // float-division bucket key would misplace rows near bucket edges.
