@@ -169,6 +169,59 @@ final class Api(
     } finally embedded.unpersist()
   }
 
+  /** Near-duplicate-rejecting upsert — dedup-on-write against the EXISTING
+    * corpus (the ingest gate a continuously-fed training store needs;
+    * within-batch content-exact dedup is the normal prepare step). A batch
+    * row is rejected when some stored document with a DIFFERENT id has
+    * embedding cosine >= `cosineThreshold`; an identical-content row keeps
+    * its id and flows through as the usual idempotent update.
+    *
+    * Candidates come from the persisted sign-LSH index: the batch's own
+    * band keys prune the index scan to the (table, key) partitions a
+    * near-dup could inhabit — O(batch x tables) partitions touched however
+    * large the corpus — then exact cosine verifies every candidate.
+    * Requires a built LSH index (governed `ann_index_not_found` otherwise).
+    *
+    * @return (written, rejected) counts
+    */
+  def addDocumentsDedup(
+      name: String,
+      batch: DataFrame,
+      cosineThreshold: Double): (Long, Long) = invoke {
+    val entry = catalog.getCollection(physical(validCollection(name)))
+    val meta = graft.ann.SignLshIndex.requireMeta(spark, catalog, entry)
+    val prepared = Ingest.prepare(batch)
+    Ingest.checkBounds(prepared)
+    val embedded = Ingest.withNorm(Embed.withEmbeddings(prepared, embedder)).cache()
+    try {
+      val total = embedded.count()
+      val banded = graft.ann.SignLshIndex.band(embedded, meta)
+      val probeParts = banded.select("table", "key").distinct().collect()
+      // one disjunct per table with its key set — matches the index's
+      // (table, key) partition layout, so the scan physically prunes
+      val pred = probeParts.groupBy(_.getInt(0)).map { case (t, rows) =>
+        col("table") === t &&
+          col("key").isin(rows.map(_.getString(1)).toIndexedSeq: _*)
+      }.reduceOption(_ || _).getOrElse(lit(false))
+      val rejectedIds = graft.ann.SignLshIndex.load(spark, catalog, entry)
+        .filter(pred)
+        .select(col("id").as("eid"), col("embedding").as("ee"),
+          col("norm").as("en"), col("table"), col("key"))
+        .join(banded.select(col("id").as("nid"), col("embedding").as("ne"),
+          col("norm").as("nn"), col("table"), col("key")), Seq("table", "key"))
+        .filter(col("eid") =!= col("nid"))
+        .filter(graft.functions.VectorFunctions.dot(col("ee"), col("ne")) /
+          (col("en") * col("nn")) >= cosineThreshold)
+        .select(col("nid").as("id")).distinct()
+      val keep = embedded.join(rejectedIds, Seq("id"), "left_anti")
+        .select("content", "metadata").cache()
+      try {
+        val written = if (keep.isEmpty) 0L else addDocuments(name, keep)
+        (written, total - written)
+      } finally keep.unpersist()
+    } finally embedded.unpersist()
+  }
+
   def deleteDocuments(name: String, ids: Seq[String]): Unit = {
     val entry = catalog.getCollection(physical(name))
     val existing = catalog.readDocuments(entry)

@@ -132,6 +132,34 @@ class ApiSpec extends SparkSpec {
     assert(missing.code == ErrorCodes.CollectionNotFound)
   }
 
+  test("near-dup ingest gate rejects by index-pruned cosine, writes the rest") {
+    val api = newApi()
+    api.createCollection("gate1", documents = Some(corpus()))
+    // no index yet -> governed error, nothing written
+    val noIdx = intercept[GraftException](
+      api.addDocumentsDedup("gate1", corpus(), cosineThreshold = 0.9))
+    assert(noIdx.code == ErrorCodes.AnnIndexNotFound)
+    api.buildLshIndex("gate1", bits = 1, tables = 8)
+    import spark.implicits._
+    val incoming = Seq(
+      ("Rust is a systems programming language focused on safety.",
+        Map("category" -> "programming")))
+      .toDF("content", "metadata")
+    // threshold above any possible cosine: everything writes
+    val (w1, r1) = api.addDocumentsDedup("gate1", incoming, cosineThreshold = 1.1)
+    assert(w1 == 1L && r1 == 0L)
+    // re-adding the same content is an idempotent update (same id), never
+    // a near-dup rejection even at a threshold every bucket-mate clears
+    val (w2, r2) = api.addDocumentsDedup("gate1", incoming, cosineThreshold = 1.1)
+    assert(w2 == 1L && r2 == 0L)
+    // threshold below any cosine: a fresh doc colliding with ANY stored
+    // bucket-mate (certain at bits=1, tables=8 over 6 docs) is rejected
+    val fresh = Seq(("Completely new document about container orchestration.",
+      Map.empty[String, String])).toDF("content", "metadata")
+    val (w3, r3) = api.addDocumentsDedup("gate1", fresh, cosineThreshold = -1.0)
+    assert(w3 == 0L && r3 == 1L)
+  }
+
   test("delete requires confirm=true exactly") {
     val api = newApi()
     api.createCollection("del1")
