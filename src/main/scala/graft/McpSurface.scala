@@ -21,7 +21,8 @@ final class McpSurface(api: Api) {
       overwrite: Boolean = false,
       documents: Option[DataFrame] = None,
       confirm: Boolean = false,
-      dbType: String = null): Map[String, Any] = {
+      dbType: String = null,
+      nearDupThreshold: Option[Double] = None): Map[String, Any] = {
     // fail-closed backend gate BEFORE any engine work (mcp_server.py:129)
     val backend = BackendPolicy.resolve(dbType)
     resolveAction(action, Set("create_collection", "add_documents",
@@ -34,9 +35,21 @@ final class McpSurface(api: Api) {
       case "add_documents" =>
         val docs = documents.getOrElse(
           throw new GraftException(ErrorCodes.DocumentInputRequired))
-        val added = api.addDocuments(collectionName, docs)
-        Map("status" -> "updated", "collection" -> collectionName,
-          "documents_added" -> added, "db_type" -> backend)
+        // engine-extension knob (like semanticMode): a cosine threshold
+        // routes the write through the LSH-pruned near-dup ingest gate;
+        // the action contract and response shape are unchanged, with the
+        // rejection count surfaced alongside
+        nearDupThreshold match {
+          case Some(t) =>
+            val (written, rejected) = api.addDocumentsDedup(collectionName, docs, t)
+            Map("status" -> "updated", "collection" -> collectionName,
+              "documents_added" -> written, "documents_rejected" -> rejected,
+              "db_type" -> backend)
+          case None =>
+            val added = api.addDocuments(collectionName, docs)
+            Map("status" -> "updated", "collection" -> collectionName,
+              "documents_added" -> added, "db_type" -> backend)
+        }
       case "delete_collection" =>
         val st = api.deleteCollection(collectionName, confirm)
         Map("status" -> st.status, "collection" -> st.collection,

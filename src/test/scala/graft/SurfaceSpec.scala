@@ -241,6 +241,23 @@ class SurfaceSpec extends SparkSpec {
     assert(badSearch.code == graft.model.ErrorCodes.SearchActionInvalid)
   }
 
+  test("mcp add_documents routes through the near-dup gate when the knob is set") {
+    val dir = Files.createTempDirectory("graft-wh-gate").toString
+    val api = new Api(spark, dir, new DeterministicHashEmbedder(32))
+    val surface = new McpSurface(api)
+    surface.vectorCollectionManagement("create_collection", "gatecoll",
+      documents = Some(Loaders.loadInline(spark, Seq("seed doc one", "seed doc two"))))
+    api.buildLshIndex("gatecoll", bits = 1, tables = 8)
+    val res = surface.vectorCollectionManagement("add_documents", "gatecoll",
+      documents = Some(Loaders.loadInline(spark, Seq("an unrelated new doc"))),
+      nearDupThreshold = Some(-1.0)) // any bucket-mate rejects
+    assert(res("documents_added") == 0L && res("documents_rejected") == 1L)
+    val res2 = surface.vectorCollectionManagement("add_documents", "gatecoll",
+      documents = Some(Loaders.loadInline(spark, Seq("an unrelated new doc"))),
+      nearDupThreshold = Some(1.1)) // nothing can clear it
+    assert(res2("documents_added") == 1L && res2("documents_rejected") == 0L)
+  }
+
   test("backend policy: fail-closed allow-list with canonicalization and default") {
     import graft.model.BackendPolicy
     // allow-list passes, canonicalized (backend_policy.py:7-31)
