@@ -28,6 +28,15 @@ final class Api(
 
   val catalog = new Catalog(spark, warehouseDir)
 
+  /** Serializes mutating operations — the engine analog of the reference's
+    * per-process RLock around backend acquisition and writes
+    * (vector_api.py:202): concurrent searches are safe (reads of immutable
+    * parquet snapshots), but two concurrent writers would race the
+    * bucket-swap MERGE and index-partition swaps. Reentrant (JVM monitor),
+    * so gated paths may call each other.
+    */
+  private val writeLock = new Object
+
   // ---- validation (vector_api.py §2.4) ----
 
   private val CollectionRe = "^[A-Za-z][A-Za-z0-9_]{0,39}$".r
@@ -109,7 +118,7 @@ final class Api(
   def getCollection(name: String): graft.model.CollectionEntry =
     catalog.getCollection(physical(name))
 
-  def deleteCollection(name: String, confirm: Boolean): OpStatus = {
+  def deleteCollection(name: String, confirm: Boolean): OpStatus = writeLock.synchronized {
     if (!confirm) throw new GraftException(ErrorCodes.DeleteConfirmationRequired)
     catalog.deleteCollection(physical(name))
     OpStatus("deleted", name, 0)
@@ -135,7 +144,7 @@ final class Api(
   def insertDocuments(name: String, batch: DataFrame): Long =
     writeDocuments(name, batch, upsert = false)
 
-  private def writeDocuments(name: String, batch: DataFrame, upsert: Boolean): Long = {
+  private def writeDocuments(name: String, batch: DataFrame, upsert: Boolean): Long = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
     val prepared =
       if (upsert) Ingest.prepare(batch)
@@ -187,7 +196,7 @@ final class Api(
   def addDocumentsDedup(
       name: String,
       batch: DataFrame,
-      cosineThreshold: Double): (Long, Long) = invoke {
+      cosineThreshold: Double): (Long, Long) = invoke { writeLock.synchronized {
     val entry = catalog.getCollection(physical(validCollection(name)))
     val meta = graft.ann.SignLshIndex.requireMeta(spark, catalog, entry)
     val prepared = Ingest.prepare(batch)
@@ -220,9 +229,9 @@ final class Api(
         (written, total - written)
       } finally keep.unpersist()
     } finally embedded.unpersist()
-  }
+  } }
 
-  def deleteDocuments(name: String, ids: Seq[String]): Unit = {
+  def deleteDocuments(name: String, ids: Seq[String]): Unit = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
     val existing = catalog.readDocuments(entry)
     val pending = Indexes.stage(spark, catalog, entry, embedder.dimension,
@@ -260,7 +269,7 @@ final class Api(
   /** Build (or rebuild) the collection's persistent ANN index (IVF layout,
     * cluster-partitioned parquet — see graft.ann.IvfIndex).
     */
-  def buildAnnIndex(name: String, nClusters: Int, kmeansIters: Int = 0): DataFrame = {
+  def buildAnnIndex(name: String, nClusters: Int, kmeansIters: Int = 0): DataFrame = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
     graft.ann.IvfIndex.build(spark, catalog, entry, nClusters, kmeansIters)
   }
@@ -340,7 +349,7 @@ final class Api(
     * (graft.ann.SignLshIndex) — the angular-hash alternative to the IVF
     * layout, partitioned by (table, key) for probe-time pruning.
     */
-  def buildLshIndex(name: String, bits: Int = 8, tables: Int = 8): DataFrame = {
+  def buildLshIndex(name: String, bits: Int = 8, tables: Int = 8): DataFrame = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
     graft.ann.SignLshIndex.build(spark, catalog, entry, embedder.dimension, bits, tables)
   }
@@ -375,7 +384,7 @@ final class Api(
     * buildAnnIndex ran first (one quantizer for both layouts).
     */
   def buildPqIndex(
-      name: String, m: Int = 8, k: Int = 16, iters: Int = 3): Unit = {
+      name: String, m: Int = 8, k: Int = 16, iters: Int = 3): Unit = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
     graft.ann.PqIndex.build(spark, catalog, entry, embedder.dimension, m, k, iters)
   }
@@ -406,7 +415,7 @@ final class Api(
     * term-bucket-partitioned postings (graft.search.LexIndex), the durable
     * analog of the reference's GIN index (postgres.py:189-196).
     */
-  def buildLexicalIndex(name: String): DataFrame = {
+  def buildLexicalIndex(name: String): DataFrame = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
     graft.search.LexIndex.build(spark, catalog, entry)
   }
