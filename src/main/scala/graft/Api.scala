@@ -198,30 +198,15 @@ final class Api(
       batch: DataFrame,
       cosineThreshold: Double): (Long, Long) = invoke { writeLock.synchronized {
     val entry = catalog.getCollection(physical(validCollection(name)))
-    val meta = graft.ann.SignLshIndex.requireMeta(spark, catalog, entry)
+    // governed index check BEFORE any embedding work
+    graft.ann.SignLshIndex.requireMeta(spark, catalog, entry)
     val prepared = Ingest.prepare(batch)
     Ingest.checkBounds(prepared)
     val embedded = Ingest.withNorm(Embed.withEmbeddings(prepared, embedder)).cache()
     try {
       val total = embedded.count()
-      val banded = graft.ann.SignLshIndex.band(embedded, meta)
-      val probeParts = banded.select("table", "key").distinct().collect()
-      // one disjunct per table with its key set — matches the index's
-      // (table, key) partition layout, so the scan physically prunes
-      val pred = probeParts.groupBy(_.getInt(0)).map { case (t, rows) =>
-        col("table") === t &&
-          col("key").isin(rows.map(_.getString(1)).toIndexedSeq: _*)
-      }.reduceOption(_ || _).getOrElse(lit(false))
-      val rejectedIds = graft.ann.SignLshIndex.load(spark, catalog, entry)
-        .filter(pred)
-        .select(col("id").as("eid"), col("embedding").as("ee"),
-          col("norm").as("en"), col("table"), col("key"))
-        .join(banded.select(col("id").as("nid"), col("embedding").as("ne"),
-          col("norm").as("nn"), col("table"), col("key")), Seq("table", "key"))
-        .filter(col("eid") =!= col("nid"))
-        .filter(graft.functions.VectorFunctions.dot(col("ee"), col("ne")) /
-          (col("en") * col("nn")) >= cosineThreshold)
-        .select(col("nid").as("id")).distinct()
+      val rejectedIds = graft.ann.SignLshIndex.nearDupIds(
+        spark, catalog, entry, embedded, cosineThreshold)
       val keep = embedded.join(rejectedIds, Seq("id"), "left_anti")
         .select("content", "metadata").cache()
       try {

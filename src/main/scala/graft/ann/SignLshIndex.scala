@@ -169,6 +169,44 @@ object SignLshIndex {
   def load(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): DataFrame =
     spark.read.schema(IndexSchema).parquet(indexPath(catalog, entry))
 
+  /** Ids of `batch` rows ((id, embedding, norm)) that near-duplicate an
+    * already-indexed document with a DIFFERENT id at cosine >= `threshold`
+    * — the candidate core of dedup-on-write (Api.addDocumentsDedup, and
+    * the streaming compaction gate). The batch's own band keys prune the
+    * index scan to O(batch x tables) (table, key) partitions regardless
+    * of corpus size; exact cosine verifies every candidate. Governed
+    * `ann_index_not_found` when no index/meta exists.
+    */
+  def nearDupIds(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      batch: DataFrame, // (id, embedding, norm)
+      threshold: Double): DataFrame = {
+    val meta = requireMeta(spark, catalog, entry)
+    val banded = band(batch, meta)
+    val probeParts = banded.select("table", "key").distinct().collect()
+    // one disjunct per table with its key set — matches the (table, key)
+    // partition layout, so the scan physically prunes
+    val pred = probeParts.groupBy(_.getInt(0)).map { case (t, rows) =>
+      col("table") === t &&
+        col("key").isin(rows.map(_.getString(1)).toIndexedSeq: _*)
+    }.reduceOption(_ || _).getOrElse(lit(false))
+    load(spark, catalog, entry)
+      .filter(pred)
+      .select(col("id").as("eid"), col("embedding").as("ee"),
+        col("norm").as("en"), col("table"), col("key"))
+      .join(batchSide(banded), Seq("table", "key"))
+      .filter(col("eid") =!= col("nid"))
+      .filter(graft.functions.VectorFunctions.dot(col("ee"), col("ne")) /
+        (col("en") * col("nn")) >= threshold)
+      .select(col("nid").as("id")).distinct()
+  }
+
+  private def batchSide(banded: DataFrame): DataFrame =
+    banded.select(col("id").as("nid"), col("embedding").as("ne"),
+      col("norm").as("nn"), col("table"), col("key"))
+
   /** Approximate top-k: probe each query's own (table, key) buckets — a
     * `tables`-partition pruned scan — then exact cosine over the union.
     * A vector always lands in its own buckets, so a stored vector queried

@@ -71,7 +71,8 @@ object StreamingIngest {
       catalog: Catalog,
       entry: CollectionEntry,
       stagingPath: String,
-      embedder: Embedder): Long = {
+      embedder: Embedder,
+      nearDupCosine: Option[Double] = None): Long = {
     val staged = spark.read.parquet(stagingPath)
     val w = Window.partitionBy("id").orderBy(col("ingest_ts").desc)
     val latest = staged
@@ -81,7 +82,17 @@ object StreamingIngest {
     // prepare() re-derives the same content-addressed ids (idempotent on
     // already-sanitized content), so stream and batch stay one code path
     val prepared = Ingest.prepare(latest)
-    val embedded = Ingest.withNorm(Embed.withEmbeddings(prepared, embedder)).cache()
+    // cached so the gate's band/verify pass and the merge share ONE
+    // embedding run (a real model call must not execute twice per batch)
+    val all = Ingest.withNorm(Embed.withEmbeddings(prepared, embedder)).cache()
+    // optional index-backed near-dup gate (same candidate core as
+    // Api.addDocumentsDedup): micro-batch rows near-duplicating an
+    // already-stored document drop before the merge — streaming dedup
+    // against the CORPUS, not just within the watermark horizon
+    val embedded = nearDupCosine.fold(all) { t =>
+      all.join(graft.ann.SignLshIndex.nearDupIds(spark, catalog, entry, all, t),
+        Seq("id"), "left_anti")
+    }.cache()
     try {
       val merged = embedded.count()
       val existing = catalog.readDocuments(entry)
@@ -100,7 +111,7 @@ object StreamingIngest {
       Ingest.mergeUpsert(spark, catalog, entry, embedded, Some(buckets))
       graft.Indexes.applyPending(spark, catalog, entry, pending, embedded)
       merged
-    } finally embedded.unpersist()
+    } finally { embedded.unpersist(); all.unpersist() }
   }
 
   /** Write the ingest stream to a Parquet collection dir (append-only

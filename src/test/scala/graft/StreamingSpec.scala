@@ -65,6 +65,36 @@ class StreamingSpec extends SparkSpec {
     assert(res.results.head.content.contains("spark"))
   }
 
+  test("gated compaction drops corpus near-dups through the LSH index") {
+    import spark.implicits._
+    import graft.ingest.DeterministicHashEmbedder
+    val wh = Files.createTempDirectory("graft-wh-sgate").toString
+    val embedder = new DeterministicHashEmbedder(16)
+    val api = new Api(spark, wh, embedder)
+    api.createCollection("sgate",
+      documents = Some(Seq(("existing seed document", Map.empty[String, String]))
+        .toDF("content", "metadata")))
+    api.buildLshIndex("sgate", bits = 1, tables = 8)
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "sgate"))
+    val staging = Files.createTempDirectory("graft-staging-sgate").toString
+    Seq(("brand new incoming document", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+      .toDF("content", "ingest_ts")
+      .withColumn("id", graft.ingest.Ingest.contentId(org.apache.spark.sql.functions.col("content")))
+      .write.mode("overwrite").parquet(staging)
+    // threshold no cosine clears: the doc merges
+    val m1 = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      nearDupCosine = Some(1.1))
+    assert(m1 == 1 && api.catalog.readDocuments(entry).count() == 2)
+    // threshold every bucket-mate clears: an unseen doc is rejected
+    Seq(("another different document entirely", java.sql.Timestamp.valueOf("2026-01-01 00:00:01")))
+      .toDF("content", "ingest_ts")
+      .withColumn("id", graft.ingest.Ingest.contentId(org.apache.spark.sql.functions.col("content")))
+      .write.mode("overwrite").parquet(staging)
+    val m2 = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      nearDupCosine = Some(-1.0))
+    assert(m2 == 0 && api.catalog.readDocuments(entry).count() == 2)
+  }
+
   test("streaming windowed counts with watermark emit correct aggregates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
