@@ -290,6 +290,43 @@ object Dedup {
     verifyJaccard(cands, sh, threshold)
   }
 
+  /** Duplicate-cluster resolution: near-dup PAIRS → connected components,
+    * so a pipeline knows what to KEEP when A~B and B~C (pairs alone
+    * cannot say). Iterative min-label propagation in plain DataFrames —
+    * each round every node takes the minimum component label among itself
+    * and its neighbors; converges in O(graph diameter) rounds (near-dup
+    * clusters are shallow — diameter tracks cluster size, not corpus
+    * size). Each round is one keyed join + aggregate;
+    * localCheckpoint severs the growing lineage so round N's plan does
+    * not replay rounds 1..N-1. Output: (id, comp) with comp = the
+    * component's minimum id — the canonical survivor.
+    */
+  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("comp", col("id")).localCheckpoint()
+    var changed = 1L
+    var i = 0
+    while (changed > 0 && i < maxIter) {
+      val neighborMin = edges
+        .join(labels.select(col("id").as("b"), col("comp").as("ncomp")), "b")
+        .groupBy(col("a").as("id")).agg(min("ncomp").as("nmin"))
+      val stepped = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("comp"), coalesce(col("nmin"), col("comp"))).as("comp"),
+          (coalesce(col("nmin"), col("comp")) < col("comp"))
+            .cast("long").as("__chg"))
+        .localCheckpoint()
+      changed = stepped.agg(coalesce(sum("__chg"), lit(0L))).collect()(0).getLong(0)
+      labels = stepped.select("id", "comp")
+      i += 1
+    }
+    require(changed == 0, s"label propagation did not converge in $maxIter rounds")
+    labels
+  }
+
   /** Benchmark decontamination: bipartite shingle-containment join. For
     * each (train, eval) document pair sharing at least one word n-gram,
     * containment = |sh(train) ∩ sh(eval)| / |sh(train)|; pairs at or above

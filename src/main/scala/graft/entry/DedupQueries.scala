@@ -79,6 +79,40 @@ object DedupQueries {
 
   val dedupNgramSql: String = jaccardInvertedSqlD(0.5)
 
+  // ---- duplicate clusters: minhash pairs -> connected components; the
+  //      keep-decision layer over pairwise near-dups. Oracle replays the
+  //      pairs (inverted-index jaccard) then a recursive-CTE transitive
+  //      closure with min-reachable-id as the component label. ----
+  def dedupClusters(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashNearDups(docs(s, dir), threshold = 0.6)
+      .select("a", "b")
+    Dedup.duplicateClusters(pairs)
+      .groupBy(col("comp").as("keep_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("member_checksum"))
+      .orderBy("keep_id")
+  }
+
+  val dedupClustersSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+       |f AS (SELECT id, unnest(sh) AS s FROM sh),
+       |sizes AS (SELECT id, len(sh) AS l FROM sh),
+       |co AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+       |       FROM f x JOIN f y ON x.s = y.s AND x.id < y.id
+       |       GROUP BY x.id, y.id),
+       |p AS (SELECT co.a, co.b FROM co
+       |      JOIN sizes sa ON co.a = sa.id JOIN sizes sb ON co.b = sb.id
+       |      WHERE CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) >= 0.6),
+       |edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+       |reach(src, t) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.t = e.a),
+       |comp AS (SELECT src AS id, least(src, min(t)) AS comp
+       |         FROM reach GROUP BY src)
+       |SELECT comp AS keep_id, count(*) AS n_members,
+       |       CAST(sum(id) AS BIGINT) AS member_checksum
+       |FROM comp GROUP BY 1 ORDER BY keep_id""".stripMargin
+
   // ---- SimHash near-dups (full fingerprint replay in the oracle) ----
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashNearDups(docs(s, dir), maxHamming = 3, blocks = 4)
@@ -298,6 +332,7 @@ object DedupQueries {
     "q_ann_knn_blocked" -> (annKnnBlocked _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_embedding" -> (dedupEmbedding _),
@@ -311,6 +346,7 @@ object DedupQueries {
     "q_ann_knn_blocked" -> annKnnBlockedSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
