@@ -34,6 +34,21 @@ class DedupSpec extends SparkSpec {
     assert(lsh == exact)
   }
 
+  test("duplicateClusters resolves chains, separate components, long paths") {
+    import spark.implicits._
+    // chain 1~2~3, pair 10~11, and a 12-node path (multi-round convergence)
+    val longChain = (100L until 111L).map(i => (i, i + 1))
+    val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ longChain).toDF("a", "b")
+    val comp = Dedup.duplicateClusters(pairs)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
+    assert(comp(10L) == 10L && comp(11L) == 10L)
+    assert((100L to 111L).forall(comp(_) == 100L))
+    // components partition the node set; every label is a member's min
+    assert(comp.keySet == comp.values.toSet.flatMap((c: Long) =>
+      comp.filter(_._2 == c).keySet))
+  }
+
   test("prefix-filtered n-gram jaccard equals the plain inverted-index form") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))
