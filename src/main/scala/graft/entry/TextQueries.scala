@@ -344,7 +344,34 @@ object TextQueries {
       |SELECT CAST(query_idx AS INTEGER) AS query_idx, id, round(sc, 6) AS score
       |FROM t WHERE rn <= 5 ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
 
+  /** Corpus distribution stats — exact token-count percentiles per
+    * language (the length-distribution fingerprint every curation run
+    * reports). Spark's exact `percentile` and DuckDB's `quantile_cont`
+    * share the linear-interpolation definition, so the values hash-match
+    * without rounding games; at 100 TB swap in approx_percentile and drop
+    * the oracle to rows-only.
+    */
+  def textPercentiles(s: SparkSession, dir: String): DataFrame = {
+    val nTok = size(TextFunctions.tokens(col("text"))).cast("double")
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .agg(percentile(nTok, array(lit(0.5), lit(0.9), lit(0.99))).as("q"))
+      .select(col("lang"),
+        round(element_at(col("q"), 1), 6).as("p50"),
+        round(element_at(col("q"), 2), 6).as("p90"),
+        round(element_at(col("q"), 3), 6).as("p99"))
+      .orderBy("lang")
+  }
+
+  val textPercentilesSql: String =
+    s"""WITH d AS (SELECT lang, CAST(len($toksD) AS DOUBLE) AS n FROM documents),
+       |q AS (SELECT lang, quantile_cont(n, [0.5, 0.9, 0.99]) AS q FROM d GROUP BY 1)
+       |SELECT lang, round(q[1], 6) AS p50, round(q[2], 6) AS p90,
+       |       round(q[3], 6) AS p99
+       |FROM q ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_percentiles" -> (textPercentiles _),
     "q_mm_similarity" -> (mmSimilarity _),
     "q_pipeline_curate" -> (pipelineCurate _),
     "q_sample_stratified" -> (sampleStratified _),
@@ -359,6 +386,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_percentiles" -> textPercentilesSql,
     "q_mm_similarity" -> mmSimilaritySql,
     "q_pipeline_curate" -> pipelineCurateSql,
     "q_sample_stratified" -> sampleStratifiedSql,
