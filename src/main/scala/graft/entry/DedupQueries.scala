@@ -327,7 +327,15 @@ object DedupQueries {
       |SELECT qid, nid AS neighbor, CAST(rn AS INTEGER) AS rank, round(sc, 6) AS score
       |FROM t WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---- the PPJoin prefix+size-filtered variant under the SAME oracle as
+  //      q_dedup_ngram: candidate pruning must not change a single pair ----
+  def dedupNgramPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramJaccardPrefix(docs(s, dir), threshold = 0.5)
+      .withColumn("jaccard", round(col("jaccard"), 6))
+      .orderBy("a", "b")
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_ngram_prefix" -> (dedupNgramPrefix _),
     "q_ann_knn_join" -> (annKnnJoin _),
     "q_ann_knn_blocked" -> (annKnnBlocked _),
     "q_dedup_exact" -> (dedupExact _),
@@ -342,6 +350,7 @@ object DedupQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_dedup_ngram_prefix" -> jaccardInvertedSqlD(0.5),
     "q_ann_knn_join" -> annKnnJoinSql,
     "q_ann_knn_blocked" -> annKnnBlockedSql,
     "q_dedup_exact" -> dedupExactSql,

@@ -119,6 +119,29 @@ object OlapQueries {
       |FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.tsu >= v.tsu
       |ORDER BY click_id""".stripMargin
 
+  /** The skew-bounded as-of variant under the SAME oracle as
+    * [[eventsAsof]]: chunk-local windows + carry summaries
+    * ([[graft.operators.AsOfJoin.asofChunked]], 1-hour chunks) must
+    * reproduce the single-window join bit-for-bit.
+    */
+  def eventsAsofChunked(s: SparkSession, dir: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        expr("ts div 1000").as("tsu"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        expr("ts div 1000").as("vtsu"))
+    graft.operators.AsOfJoin.asofChunked(clicks, views,
+        keys = Seq("user_id"), leftTs = "tsu", rightTs = "vtsu",
+        leftCols = Seq("click_id", "tsu"), rightCols = Seq("view_id", "vtsu"),
+        chunk = 3600L * 1000000L, rightTieBreak = Seq("view_id"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        expr("(tsu - vtsu) div 1000").as("gap_ms"))
+      .orderBy("click_id")
+  }
+
   /** Banded range join over the events stream: per purchase, the user's
     * clicks in the preceding 30 minutes (inclusive). Exercises
     * [[graft.operators.RangeJoin]] — time-bucketed equi-join, exact range
@@ -298,6 +321,7 @@ object OlapQueries {
     "q_events_window" -> (eventsWindow _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_asof" -> (eventsAsof _),
+    "q_events_asof_chunked" -> (eventsAsofChunked _),
     "q_events_range" -> (eventsRange _),
     "q1_pricing" -> (q1Pricing _),
     "q3_revenue" -> (q3Revenue _),
@@ -310,6 +334,7 @@ object OlapQueries {
     "q_events_window" -> eventsWindowSql,
     "q_events_sessionize" -> eventsSessionizeSql,
     "q_events_asof" -> eventsAsofSql,
+    "q_events_asof_chunked" -> eventsAsofSql,
     "q_events_range" -> eventsRangeSql,
     "q1_pricing" -> q1PricingSql,
     "q3_revenue" -> q3RevenueSql,
