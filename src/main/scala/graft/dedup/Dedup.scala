@@ -43,9 +43,21 @@ object Dedup {
     * Per-document distinct equals the global (id, sh) distinct.
     */
   def shingleRows(docs: DataFrame, n: Int = 3): DataFrame =
+    shingleSets(docs, n).select(col("id"), explode(col("shs")).as("sh"))
+
+  /** Per-document distinct shingle SETS: (id, shs: array<string>, len).
+    * The doc-level (un-exploded) form of [[shingleRows]] — same scan, no
+    * shuffle; `len == size(shs)` is the set cardinality every Jaccard
+    * denominator needs. Arrays are SORTED (once per document, here) so
+    * per-pair verification can merge-count intersections instead of
+    * building hash sets; row consumers (explode targets) are all
+    * order-insensitive aggregates/joins.
+    */
+  def shingleSets(docs: DataFrame, n: Int = 3): DataFrame =
     docs
       .select(col("id"), tokens(col("content")).as("toks"))
-      .select(col("id"), explode(shingles(col("toks"), n)).as("sh"))
+      .select(col("id"), sort_array(shingles(col("toks"), n)).as("shs"))
+      .withColumn("len", size(col("shs")))
 
   /** Deterministic MinHash permutation constants (fixed, engine-versioned). */
   val MinHashSeeds: Seq[(Long, Long)] = {
@@ -86,15 +98,15 @@ object Dedup {
       shingleN: Int = 3,
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
-    val sh = shingleRows(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
-    val sigs = minHashSignatures(sh)
+    val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    val sigs = minHashSignatures(sets.select(col("id"), explode(col("shs")).as("sh")))
     val rowsPerBand = MinHashSeeds.size / bands
     val bandKeys = (0 until bands).map { b =>
       concat_ws("_", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
     }
     val banded = sigs.select(col("id"),
       posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
-    verifyJaccard(bucketPairs(banded, "band", "bucket", maxBucketSize), sh, threshold)
+    verifyJaccard(bucketPairs(banded, "band", "bucket", maxBucketSize), sets, threshold)
   }
 
   /** Distinct candidate pairs (a < b) from rows sharing a (block, key)
@@ -129,22 +141,29 @@ object Dedup {
       .distinct()
   }
 
-  /** Exact Jaccard for candidate pairs via the shingle inverted index. */
-  private def verifyJaccard(cands: DataFrame, sh: DataFrame, threshold: Double): DataFrame = {
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("len"))
-    val inter = cands
-      .join(sh.select(col("id").as("a"), col("sh")), "a")
-      .join(sh.select(col("id").as("b"), col("sh")), Seq("b", "sh"))
-      .groupBy("a", "b")
-      .agg(count(lit(1)).as("inter"))
-    inter
-      .join(sizes.select(col("id").as("a"), col("len").as("la")), "a")
-      .join(sizes.select(col("id").as("b"), col("len").as("lb")), "b")
+  /** Exact Jaccard for candidate pairs: two keyed joins fetch each side's
+    * shingle SET ([[shingleSets]] sorted arrays), then a native merge-count
+    * ([[VectorExpressions.SortedIntersectCount]]) computes the overlap
+    * IN-ROW. The earlier inverted-index verify expanded every pair by
+    * |sh(a)| rows and re-aggregated (a near-dup-heavy corpus put ~50x the
+    * candidate count through an extra shuffle); this shape's shuffle is
+    * exactly candidate-sized and the intersection is an allocation-free
+    * O(|a|+|b|) scan inside codegen — cheap enough that the optimizer
+    * collapsing the jaccard filter into the join condition (which
+    * re-evaluates it per probed row) does not hurt. Both joins are plain
+    * equi-joins on id — broadcast when the doc-set side is small,
+    * shuffle-hash otherwise, output-proportional either way.
+    */
+  private def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+    cands
+      .join(sets.select(col("id").as("a"), col("shs").as("sha"), col("len").as("la")), "a")
+      .join(sets.select(col("id").as("b"), col("shs").as("shb"), col("len").as("lb")), "b")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCount(col("sha"), col("shb")))
       .withColumn("jaccard",
         col("inter").cast("double") / (col("la") + col("lb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
-  }
 
   /** SimHash near-dups: 32-bit fingerprints from exploded token rows
     * (md5 once per token, 32 codegen'd conditional sums), pigeonhole band
@@ -221,8 +240,9 @@ object Dedup {
       threshold: Double,
       shingleN: Int = 3,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sh = shingleRows(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("len"))
+    val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    val sh = sets.select(col("id"), explode(col("shs")).as("sh"))
+    val sizes = sets.select(col("id"), col("len")) // set cardinality, no shuffle
     // Skew guard for the inverted join: a shingle shared by d documents
     // contributes d^2 candidate pairs, so one stop-shingle can explode the
     // join. maxShingleDf drops such shingles from PAIR GENERATION only
@@ -270,14 +290,13 @@ object Dedup {
       threshold: Double,
       shingleN: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold out of (0,1]")
-    val sh = shingleRows(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
-    val sizes = sh.groupBy("id").agg(count(lit(1)).as("len"))
+    val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    val sh = sets.select(col("id"), explode(col("shs")).as("sh"), col("len"))
     val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("sh").asc)
     val pref = sh.join(dfs, "sh")
       .withColumn("rnk", row_number().over(rankW))
-      .join(sizes, "id")
       .filter(col("rnk") <=
         col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
       .select("id", "sh", "len")
@@ -287,23 +306,42 @@ object Dedup {
           col("y.len") * lit(threshold) <= col("x.len"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
-    verifyJaccard(cands, sh, threshold)
+    verifyJaccard(cands, sets, threshold)
   }
 
   /** Duplicate-cluster resolution: near-dup PAIRS → connected components,
     * so a pipeline knows what to KEEP when A~B and B~C (pairs alone
-    * cannot say). Iterative min-label propagation in plain DataFrames —
-    * each round every node takes the minimum component label among itself
-    * and its neighbors; converges in O(graph diameter) rounds (near-dup
-    * clusters are shallow — diameter tracks cluster size, not corpus
-    * size). Each round is one keyed join + aggregate;
-    * localCheckpoint severs the growing lineage so round N's plan does
-    * not replay rounds 1..N-1. Output: (id, comp) with comp = the
-    * component's minimum id — the canonical survivor.
+    * cannot say). Output: (id, comp) with comp = the component's minimum
+    * id — the canonical survivor.
+    *
+    * Two execution paths behind one contract:
+    *   - edge sets at or under `localEdgeLimit` (near-dup graphs are
+    *     output-sized — tiny next to the corpus) solve DRIVER-SIDE with
+    *     path-compressed union-find: one collect, zero shuffle rounds.
+    *   - larger graphs run iterative min-label propagation in plain
+    *     DataFrames — each round every node takes the minimum component
+    *     label among itself and its neighbors; converges in O(graph
+    *     diameter) rounds (near-dup clusters are shallow — diameter
+    *     tracks cluster size, not corpus size). Each round is one keyed
+    *     join + aggregate; localCheckpoint severs the growing lineage so
+    *     round N's plan does not replay rounds 1..N-1.
     */
-  def duplicateClusters(pairs: DataFrame, maxIter: Int = 50): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+  def duplicateClusters(
+      pairs: DataFrame,
+      maxIter: Int = 50,
+      localEdgeLimit: Long = 1L << 20): DataFrame = {
+    val undirected = pairs.select(col("a"), col("b")).distinct().localCheckpoint()
+    // Near-dup edge sets are OUTPUT-sized (pairs above a high threshold),
+    // usually orders of magnitude smaller than the corpus — when the whole
+    // graph fits on the driver, path-compressed union-find solves it in one
+    // collect + one parallelize instead of O(diameter) join+agg rounds
+    // (each a full shuffle + localCheckpoint). The distributed loop below
+    // stays the scale path for graphs past the limit (~1M edges ≈ tens of
+    // MB collected).
+    if (undirected.count() <= localEdgeLimit)
+      return duplicateClustersLocal(undirected)
+    val edges = undirected
+      .unionByName(undirected.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
@@ -327,6 +365,65 @@ object Dedup {
     labels
   }
 
+  /** Driver-side connected components for collected edge lists: standard
+    * union-find with path compression + union by rank, then a min-id pass
+    * per root. Identical output contract to the distributed loop:
+    * (id, comp) for every id appearing in an edge, comp = the component's
+    * minimum id under the same ordering Spark's `min`/`least` use
+    * (numeric order; binary/lexicographic for strings — ids here are
+    * ASCII content hashes or numeric keys, where the two coincide).
+    */
+  private def duplicateClustersLocal(undirected: DataFrame): DataFrame = {
+    val spark = undirected.sparkSession
+    val idType = undirected.schema("a").dataType
+    val rows = undirected.collect()
+    val index = scala.collection.mutable.HashMap.empty[Any, Int]
+    val values = scala.collection.mutable.ArrayBuffer.empty[Any]
+    def idx(v: Any): Int = index.getOrElseUpdate(v, { values += v; values.size - 1 })
+    val pairsIdx = rows.map(r => (idx(r.get(0)), idx(r.get(1))))
+    val parent = Array.tabulate(values.size)(identity)
+    val rank = new Array[Int](values.size)
+    def find(x: Int): Int = {
+      var r = x
+      while (parent(r) != r) r = parent(r)
+      var c = x
+      while (parent(c) != r) { val n = parent(c); parent(c) = r; c = n }
+      r
+    }
+    pairsIdx.foreach { case (a, b) =>
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (rank(ra) < rank(rb)) parent(ra) = rb
+        else if (rank(rb) < rank(ra)) parent(rb) = ra
+        else { parent(rb) = ra; rank(ra) += 1 }
+      }
+    }
+    val ord: Ordering[Any] = (idType match {
+      case org.apache.spark.sql.types.StringType => Ordering.String
+      case org.apache.spark.sql.types.LongType => Ordering.Long
+      case org.apache.spark.sql.types.IntegerType => Ordering.Int
+      case org.apache.spark.sql.types.ShortType => Ordering.Short
+      case org.apache.spark.sql.types.DoubleType => Ordering.Double.TotalOrdering
+      case org.apache.spark.sql.types.FloatType => Ordering.Float.TotalOrdering
+      case other => throw new IllegalArgumentException(
+        s"duplicateClusters: unsupported id type $other for the local solve")
+    }).asInstanceOf[Ordering[Any]]
+    val minOfRoot = scala.collection.mutable.HashMap.empty[Int, Any]
+    values.indices.foreach { i =>
+      val r = find(i)
+      val v = values(i)
+      minOfRoot.get(r) match {
+        case Some(m) if ord.lteq(m, v) => ()
+        case _ => minOfRoot(r) = v
+      }
+    }
+    val out = values.indices.map(i => org.apache.spark.sql.Row(values(i), minOfRoot(find(i))))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("id", idType),
+      org.apache.spark.sql.types.StructField("comp", idType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
+  }
+
   /** Benchmark decontamination: bipartite shingle-containment join. For
     * each (train, eval) document pair sharing at least one word n-gram,
     * containment = |sh(train) ∩ sh(eval)| / |sh(train)|; pairs at or above
@@ -344,9 +441,10 @@ object Dedup {
       threshold: Double,
       shingleN: Int = 5,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val shT = shingleRows(train, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    val setsT = shingleSets(train, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    val shT = setsT.select(col("id"), explode(col("shs")).as("sh"))
     val shE = shingleRows(eval, shingleN)
-    val sizesT = shT.groupBy("id").agg(count(lit(1)).as("len"))
+    val sizesT = setsT.select(col("id"), col("len")) // set cardinality, no shuffle
     val joinE =
       if (maxShingleDf == Int.MaxValue) shE
       else shE.join(

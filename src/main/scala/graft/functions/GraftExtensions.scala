@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Divide, Expression, ExpressionInfo, Multiply}
 
-import graft.functions.VectorExpressions.{DotProduct, L2DistanceSq, L2Norm}
+import graft.functions.VectorExpressions.{DotProduct, L2DistanceSq, L2Norm, SortedIntersectCount}
 
 /** SQL-surface registration of the engine's native Catalyst expressions —
   * the `SparkSessionExtensions` integration path for functions Spark lacks
@@ -56,7 +56,11 @@ object GraftFunctions {
     ("graft_cosine",
       info("graft_cosine", "graft_cosine(a, b) - cosine similarity of two numeric arrays"),
       binary("graft_cosine", (a, b) =>
-        Divide(DotProduct(a, b), Multiply(L2Norm(a), L2Norm(b)))) _))
+        Divide(DotProduct(a, b), Multiply(L2Norm(a), L2Norm(b)))) _),
+    ("graft_sorted_intersect",
+      info("graft_sorted_intersect",
+        "graft_sorted_intersect(a, b) - common-element count of two sorted string arrays"),
+      binary("graft_sorted_intersect", SortedIntersectCount(_, _)) _))
 
   /** Register every engine function into an existing session. */
   def register(spark: SparkSession): Unit = {

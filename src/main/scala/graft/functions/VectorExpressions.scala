@@ -146,10 +146,61 @@ object VectorExpressions {
     }
   }
 
+  /** Count of common elements of two SORTED string arrays (each side
+    * duplicate-free), by a single merge scan of UTF8String binary
+    * comparisons — the set-intersection cardinality every Jaccard
+    * denominator needs. The built-in `array_intersect` builds a fresh
+    * hash set per evaluation (per ROW — and join conditions and collapsed
+    * projections evaluate an expression more than once); this is
+    * allocation-free O(|a|+|b|) per eval, so even double evaluation stays
+    * cheap. Inputs must be sorted ascending in Spark's string order
+    * (`sort_array`) with no null elements; element order is the ONLY
+    * contract difference vs `size(array_intersect(a, b))`.
+    */
+  case class SortedIntersectCount(left: Expression, right: Expression)
+      extends BinaryExpression {
+    override def dataType: DataType = IntegerType
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): SortedIntersectCount =
+      copy(left = newLeft, right = newRight)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val x = a.asInstanceOf[ArrayData]
+      val y = b.asInstanceOf[ArrayData]
+      val (nx, ny) = (x.numElements(), y.numElements())
+      var i = 0; var j = 0; var c = 0
+      while (i < nx && j < ny) {
+        val cmp = x.getUTF8String(i).compareTo(y.getUTF8String(j))
+        if (cmp == 0) { c += 1; i += 1; j += 1 }
+        else if (cmp < 0) i += 1
+        else j += 1
+      }
+      c
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        s"""
+        |int nx = $a.numElements();
+        |int ny = $b.numElements();
+        |int i = 0, j = 0, c = 0;
+        |while (i < nx && j < ny) {
+        |  int cmp = $a.getUTF8String(i).compareTo($b.getUTF8String(j));
+        |  if (cmp == 0) { c++; i++; j++; }
+        |  else if (cmp < 0) i++;
+        |  else j++;
+        |}
+        |${ev.value} = c;
+        """.stripMargin
+      })
+  }
+
   // Column-API entry points
   def dotNative(a: Column, b: Column): Column = column(DotProduct(expr(a), expr(b)))
   def l2NormNative(a: Column): Column = column(L2Norm(expr(a)))
   def l2DistanceSqNative(a: Column, b: Column): Column = column(L2DistanceSq(expr(a), expr(b)))
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    column(SortedIntersectCount(expr(a), expr(b)))
 
   private def expr(c: Column): Expression =
     org.apache.spark.sql.GraftSqlBridge.expression(c)

@@ -39,14 +39,29 @@ class DedupSpec extends SparkSpec {
     // chain 1~2~3, pair 10~11, and a 12-node path (multi-round convergence)
     val longChain = (100L until 111L).map(i => (i, i + 1))
     val pairs = (Seq((1L, 2L), (2L, 3L), (10L, 11L)) ++ longChain).toDF("a", "b")
-    val comp = Dedup.duplicateClusters(pairs)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L))
-    assert(comp(10L) == 10L && comp(11L) == 10L)
-    assert((100L to 111L).forall(comp(_) == 100L))
-    // components partition the node set; every label is a member's min
-    assert(comp.keySet == comp.values.toSet.flatMap((c: Long) =>
-      comp.filter(_._2 == c).keySet))
+    // localEdgeLimit = 0 forces the distributed loop; the default takes the
+    // driver union-find path — both must produce the identical labeling
+    for (limit <- Seq(0L, 1L << 20)) {
+      val comp = Dedup.duplicateClusters(pairs, localEdgeLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(Seq(1L, 2L, 3L).forall(comp(_) == 1L), s"limit=$limit")
+      assert(comp(10L) == 10L && comp(11L) == 10L, s"limit=$limit")
+      assert((100L to 111L).forall(comp(_) == 100L), s"limit=$limit")
+      // components partition the node set; every label is a member's min
+      assert(comp.keySet == comp.values.toSet.flatMap((c: Long) =>
+        comp.filter(_._2 == c).keySet), s"limit=$limit")
+    }
+  }
+
+  test("duplicateClusters local and distributed paths agree on string ids") {
+    import spark.implicits._
+    val pairs = Seq(("d", "c"), ("b", "c"), ("x", "y")).toDF("a", "b")
+    val expected = Map("b" -> "b", "c" -> "b", "d" -> "b", "x" -> "x", "y" -> "x")
+    for (limit <- Seq(0L, 1L << 20)) {
+      val comp = Dedup.duplicateClusters(pairs, localEdgeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(comp == expected, s"limit=$limit")
+    }
   }
 
   test("prefix-filtered n-gram jaccard equals the plain inverted-index form") {

@@ -98,6 +98,28 @@ class FunctionsSpec extends SparkSpec {
     assert(sh == Seq("one two three", "two three four"))
   }
 
+  test("sortedIntersectCount equals size(array_intersect) on sorted distinct arrays") {
+    import spark.implicits._
+    val cases = Seq(
+      (Seq("a", "b", "c"), Seq("b", "c", "d")),
+      (Seq("a"), Seq("a")),
+      (Seq("a", "b"), Seq("c", "d")),
+      (Seq.empty[String], Seq("a")),
+      (Seq.empty[String], Seq.empty[String]),
+      (Seq("aa", "ab", "b"), Seq("ab", "b", "z")))
+    val df = cases.toDF("x", "y")
+      .select(
+        graft.functions.VectorExpressions.sortedIntersectCount(col("x"), col("y")).as("m"),
+        size(array_intersect(col("x"), col("y"))).as("e"))
+    assert(df.collect().forall(r => r.getInt(0) == r.getInt(1)))
+    // SQL registration routes to the same expression
+    graft.functions.GraftFunctions.register(spark)
+    val viaSql = cases.toDF("x", "y")
+      .selectExpr("graft_sorted_intersect(x, y) AS m",
+        "size(array_intersect(x, y)) AS e")
+    assert(viaSql.collect().forall(r => r.getInt(0) == r.getInt(1)))
+  }
+
   test("RRF fusion math matches reference formula on a hand-computed case") {
     // reference: tests/test_vector_api.py:148-167 semantics —
     // doc in both lists at ranks r1, r2 scores w1/(k+r1)+w2/(k+r2)
