@@ -65,13 +65,16 @@ object VectorExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val (lg, rg) = (getterName(elemType(left)), getterName(elemType(right)))
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // fresh names: the expression can appear more than once in one
+        // codegen scope (collapsed projections, join conditions)
+        val (n, s, i) = (ctx.freshName("n"), ctx.freshName("s"), ctx.freshName("i"))
         s"""
-        |int n = Math.min($a.numElements(), $b.numElements());
-        |double s = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  s += ((double)$a.$lg(i)) * ((double)$b.$rg(i));
+        |int $n = Math.min($a.numElements(), $b.numElements());
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  $s += ((double)$a.$lg($i)) * ((double)$b.$rg($i));
         |}
-        |${ev.value} = s;
+        |${ev.value} = $s;
         """.stripMargin
       })
     }
@@ -96,14 +99,19 @@ object VectorExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val g = getterName(elemType(child))
       nullSafeCodeGen(ctx, ev, a => {
+        // fresh names: graft_cosine emits TWO L2Norms in one scope — fixed
+        // local names made janino fail ("redefinition of i") and the whole
+        // predicate silently fell back to interpreted eval
+        val (n, s, i, v) = (ctx.freshName("n"), ctx.freshName("s"),
+          ctx.freshName("i"), ctx.freshName("v"))
         s"""
-        |int n = $a.numElements();
-        |double s = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  double v = (double)$a.$g(i);
-        |  s += v * v;
+        |int $n = $a.numElements();
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $v = (double)$a.$g($i);
+        |  $s += $v * $v;
         |}
-        |${ev.value} = Math.sqrt(s);
+        |${ev.value} = Math.sqrt($s);
         """.stripMargin
       })
     }
@@ -133,14 +141,17 @@ object VectorExpressions {
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
       val (lg, rg) = (getterName(elemType(left)), getterName(elemType(right)))
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // fresh names (see L2Norm): safe under repeated emission in one scope
+        val (n, s, i, d) = (ctx.freshName("n"), ctx.freshName("s"),
+          ctx.freshName("i"), ctx.freshName("d"))
         s"""
-        |int n = Math.min($a.numElements(), $b.numElements());
-        |double s = 0.0;
-        |for (int i = 0; i < n; i++) {
-        |  double d = ((double)$a.$lg(i)) - ((double)$b.$rg(i));
-        |  s += d * d;
+        |int $n = Math.min($a.numElements(), $b.numElements());
+        |double $s = 0.0;
+        |for (int $i = 0; $i < $n; $i++) {
+        |  double $d = ((double)$a.$lg($i)) - ((double)$b.$rg($i));
+        |  $s += $d * $d;
         |}
-        |${ev.value} = s;
+        |${ev.value} = $s;
         """.stripMargin
       })
     }
@@ -180,17 +191,22 @@ object VectorExpressions {
 
     override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
       nullSafeCodeGen(ctx, ev, (a, b) => {
+        // fresh names: the expression can appear more than once in one
+        // codegen scope (e.g. a filter collapsed into a join condition)
+        val (nx, ny) = (ctx.freshName("nx"), ctx.freshName("ny"))
+        val (i, j, c, cmp) = (ctx.freshName("i"), ctx.freshName("j"),
+          ctx.freshName("c"), ctx.freshName("cmp"))
         s"""
-        |int nx = $a.numElements();
-        |int ny = $b.numElements();
-        |int i = 0, j = 0, c = 0;
-        |while (i < nx && j < ny) {
-        |  int cmp = $a.getUTF8String(i).compareTo($b.getUTF8String(j));
-        |  if (cmp == 0) { c++; i++; j++; }
-        |  else if (cmp < 0) i++;
-        |  else j++;
+        |int $nx = $a.numElements();
+        |int $ny = $b.numElements();
+        |int $i = 0, $j = 0, $c = 0;
+        |while ($i < $nx && $j < $ny) {
+        |  int $cmp = $a.getUTF8String($i).compareTo($b.getUTF8String($j));
+        |  if ($cmp == 0) { $c++; $i++; $j++; }
+        |  else if ($cmp < 0) $i++;
+        |  else $j++;
         |}
-        |${ev.value} = c;
+        |${ev.value} = $c;
         """.stripMargin
       })
   }

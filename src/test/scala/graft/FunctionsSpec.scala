@@ -120,6 +120,33 @@ class FunctionsSpec extends SparkSpec {
     assert(viaSql.collect().forall(r => r.getInt(0) == r.getInt(1)))
   }
 
+  test("native expressions codegen-compile when emitted twice in one scope") {
+    // A filter collapsed into a join condition (or graft_cosine's two
+    // L2Norms) emits the same expression twice into one generated
+    // function; with fixed local names janino fails ("redefinition of
+    // local variable i") and Spark silently falls back to interpreted
+    // eval — correct results, hot path off codegen. Compiling the
+    // predicate DIRECTLY surfaces that as a test failure.
+    import org.apache.spark.sql.catalyst.expressions._
+    import org.apache.spark.sql.catalyst.expressions.codegen.GeneratePredicate
+    import org.apache.spark.sql.types._
+    import graft.functions.VectorExpressions._
+    val arr = AttributeReference("x", ArrayType(StringType, containsNull = false))()
+    val brr = AttributeReference("y", ArrayType(StringType, containsNull = false))()
+    val vec = AttributeReference("v", ArrayType(FloatType, containsNull = false))()
+    val wec = AttributeReference("w", ArrayType(FloatType, containsNull = false))()
+    val schema = Seq(arr, brr, vec, wec)
+    def twice(e: Expression): Expression =
+      And(GreaterThan(e, Literal(0.0)), LessThan(e, Literal(9.9)))
+    GeneratePredicate.generate(twice(Cast(
+      SortedIntersectCount(arr, brr), DoubleType)), schema)
+    GeneratePredicate.generate(twice(DotProduct(vec, wec)), schema)
+    GeneratePredicate.generate(twice(L2Norm(vec)), schema)
+    GeneratePredicate.generate(twice(L2DistanceSq(vec, wec)), schema)
+    GeneratePredicate.generate(twice(Divide(DotProduct(vec, wec),
+      Multiply(L2Norm(vec), L2Norm(wec)))), schema)
+  }
+
   test("RRF fusion math matches reference formula on a hand-computed case") {
     // reference: tests/test_vector_api.py:148-167 semantics —
     // doc in both lists at ranks r1, r2 scores w1/(k+r1)+w2/(k+r2)
