@@ -317,7 +317,39 @@ object OlapQueries {
       |  FROM orders)
       |WHERE rn <= 2 ORDER BY o_custkey, rn""".stripMargin
 
+  /** Multi-level aggregation headliner: corpus stats ROLLUP over
+    * (lang, source) — per-(lang,source), per-lang subtotals, and the grand
+    * total in ONE pass (Spark Expand + a single aggregate exchange — no
+    * union of three scans). `grouping_id` disambiguates a NULL data value
+    * from a rollup subtotal row. Scale shape: the Expand multiplies rows
+    * by the grouping-set count BEFORE the exchange, but partial
+    * aggregation collapses each set to its group cardinality map-side, so
+    * shuffled bytes stay ~3x group counts, not 3x the corpus.
+    */
+  def corpusRollup(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), col("source"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("toks"),
+        col("n_chars"))
+      .rollup("lang", "source")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum("toks").as("n_tokens"), sum("n_chars").as("sum_chars"))
+      .select(col("lang"), col("source"), col("gid").cast("long").as("gid"),
+        col("n_docs"), col("n_tokens"), col("sum_chars"))
+      .orderBy(col("gid"), col("lang"), col("source"))
+
+  val corpusRollupSql: String =
+    """SELECT lang, source, CAST(grouping_id(lang, source) AS BIGINT) AS gid,
+      |       count(*) AS n_docs,
+      |       CAST(sum(len(regexp_extract_all(lower(text), '[a-z0-9_]{2,}'))) AS BIGINT)
+      |         AS n_tokens,
+      |       CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY ROLLUP(lang, source)
+      |ORDER BY gid, lang, source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_rollup" -> (corpusRollup _),
     "q_events_window" -> (eventsWindow _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_asof" -> (eventsAsof _),
@@ -331,6 +363,7 @@ object OlapQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_rollup" -> corpusRollupSql,
     "q_events_window" -> eventsWindowSql,
     "q_events_sessionize" -> eventsSessionizeSql,
     "q_events_asof" -> eventsAsofSql,

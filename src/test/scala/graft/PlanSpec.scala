@@ -156,6 +156,39 @@ class PlanSpec extends SparkSpec {
       .findFirstIn(p).isDefined, "join must key on (keys, bucket)")
   }
 
+  test("rollup plans as Expand + ONE aggregate exchange (no union of scans)") {
+    val df = graft.entry.OlapQueries.corpusRollup(spark, dir)
+    df.collect()
+    // an adaptive plan's toString repeats the tree ("Final Plan" then
+    // "Initial Plan") — inspect the final section only
+    val p = df.queryExecution.executedPlan.toString.split("== Initial Plan ==").head
+    assert(p.contains("Expand"), "grouping sets must go through Expand")
+    // one partial+final aggregate pair -> exactly one hash-partitioned
+    // exchange below the final sort; a union-of-scans formulation would
+    // show one per grouping set
+    val exchanges = p.linesIterator.count(l =>
+      l.contains("Exchange hashpartitioning"))
+    assert(exchanges == 1, s"expected 1 aggregate exchange, saw $exchanges in\n$p")
+    assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
+      "rollup must read the corpus once")
+  }
+
+  test("jaccard verify is candidate-sized: no row expansion after the bucket join") {
+    import spark.implicits._
+    val docs = (0 until 60)
+      .map(i => (s"d$i", s"shared prefix words here plus unique token u$i and filler f${i % 7}"))
+      .toDF("id", "content")
+    val df = graft.dedup.Dedup.minHashNearDups(docs, threshold = 0.6)
+    df.collect()
+    val p = df.queryExecution.executedPlan.toString
+    // the verify joins fetch shingle SETS per candidate id: above the
+    // candidate-pair aggregate there must be no Generate (explode) —
+    // i.e. nothing multiplies candidate rows back out by shingle count
+    val aboveCands = p.split("HashAggregate").head
+    assert(!aboveCands.contains("Generate"),
+      "verification must join per-pair shingle sets, not re-exploded rows")
+  }
+
   test("IVF probe prunes to the probed clusters (filter above the scan)") {
     val vecs = Tables.vectors(spark, dir)
     val centroids = graft.ann.Ann.representativeCentroids(vecs, "label")
