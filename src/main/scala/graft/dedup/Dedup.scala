@@ -330,19 +330,22 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 50,
       localEdgeLimit: Long = 1L << 20): DataFrame = {
-    val undirected = pairs.select(col("a"), col("b")).distinct().localCheckpoint()
+    // symmetrized distinct edge set, materialized ONCE — both paths read it
+    val edges = pairs.select(col("a"), col("b"))
+      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
     // Near-dup edge sets are OUTPUT-sized (pairs above a high threshold),
     // usually orders of magnitude smaller than the corpus — when the whole
     // graph fits on the driver, path-compressed union-find solves it in one
     // collect + one parallelize instead of O(diameter) join+agg rounds
     // (each a full shuffle + localCheckpoint). The distributed loop below
-    // stays the scale path for graphs past the limit (~1M edges ≈ tens of
-    // MB collected).
-    if (undirected.count() <= localEdgeLimit)
-      return duplicateClustersLocal(undirected)
-    val edges = undirected
-      .unionByName(undirected.select(col("b").as("a"), col("a").as("b")))
-      .distinct().localCheckpoint()
+    // stays the scale path for graphs past the limit (~2M symmetrized rows
+    // ≈ tens of MB collected) and for id types without a driver-side
+    // ordering mirror.
+    if (edges.count() <= 2 * localEdgeLimit) {
+      val local = duplicateClustersLocal(edges)
+      if (local.isDefined) return local.get
+    }
     var labels = edges.select(col("a").as("id")).distinct()
       .withColumn("comp", col("id")).localCheckpoint()
     var changed = 1L
@@ -369,13 +372,29 @@ object Dedup {
     * union-find with path compression + union by rank, then a min-id pass
     * per root. Identical output contract to the distributed loop:
     * (id, comp) for every id appearing in an edge, comp = the component's
-    * minimum id under the same ordering Spark's `min`/`least` use
-    * (numeric order; binary/lexicographic for strings — ids here are
-    * ASCII content hashes or numeric keys, where the two coincide).
+    * minimum id under the same ordering Spark's `min`/`least` use —
+    * numeric order for numerics, UTF-8 BYTE order for strings
+    * (UTF8String.compareTo, NOT java.lang.String's UTF-16 order: the two
+    * disagree for supplementary-plane characters, and the survivor must
+    * not depend on which path ran). Returns None for id types without a
+    * driver-side ordering mirror here (decimal, date, ...) — the caller
+    * then falls through to the distributed loop, which supports any
+    * orderable type.
     */
-  private def duplicateClustersLocal(undirected: DataFrame): DataFrame = {
+  private def duplicateClustersLocal(undirected: DataFrame): Option[DataFrame] = {
     val spark = undirected.sparkSession
     val idType = undirected.schema("a").dataType
+    val ord: Ordering[Any] = (idType match {
+      case org.apache.spark.sql.types.StringType =>
+        Ordering.by((s: String) =>
+          org.apache.spark.unsafe.types.UTF8String.fromString(s))
+      case org.apache.spark.sql.types.LongType => Ordering.Long
+      case org.apache.spark.sql.types.IntegerType => Ordering.Int
+      case org.apache.spark.sql.types.ShortType => Ordering.Short
+      case org.apache.spark.sql.types.DoubleType => Ordering.Double.TotalOrdering
+      case org.apache.spark.sql.types.FloatType => Ordering.Float.TotalOrdering
+      case _ => return None
+    }).asInstanceOf[Ordering[Any]]
     val rows = undirected.collect()
     val index = scala.collection.mutable.HashMap.empty[Any, Int]
     val values = scala.collection.mutable.ArrayBuffer.empty[Any]
@@ -398,16 +417,6 @@ object Dedup {
         else { parent(rb) = ra; rank(ra) += 1 }
       }
     }
-    val ord: Ordering[Any] = (idType match {
-      case org.apache.spark.sql.types.StringType => Ordering.String
-      case org.apache.spark.sql.types.LongType => Ordering.Long
-      case org.apache.spark.sql.types.IntegerType => Ordering.Int
-      case org.apache.spark.sql.types.ShortType => Ordering.Short
-      case org.apache.spark.sql.types.DoubleType => Ordering.Double.TotalOrdering
-      case org.apache.spark.sql.types.FloatType => Ordering.Float.TotalOrdering
-      case other => throw new IllegalArgumentException(
-        s"duplicateClusters: unsupported id type $other for the local solve")
-    }).asInstanceOf[Ordering[Any]]
     val minOfRoot = scala.collection.mutable.HashMap.empty[Int, Any]
     values.indices.foreach { i =>
       val r = find(i)
@@ -421,7 +430,7 @@ object Dedup {
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("id", idType),
       org.apache.spark.sql.types.StructField("comp", idType)))
-    spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema)
+    Some(spark.createDataFrame(spark.sparkContext.parallelize(out.toSeq, 1), schema))
   }
 
   /** Benchmark decontamination: bipartite shingle-containment join. For

@@ -170,6 +170,19 @@ object VectorExpressions {
     */
   case class SortedIntersectCount(left: Expression, right: Expression)
       extends BinaryExpression {
+    // analysis-time type check: the SQL surface (graft_sorted_intersect)
+    // would otherwise reinterpret non-string array slots as string
+    // (offset, length) pointers at runtime — garbage counts, no error
+    override def checkInputDataTypes():
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+      import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+      (left.dataType, right.dataType) match {
+        case (ArrayType(StringType, _), ArrayType(StringType, _)) =>
+          TypeCheckResult.TypeCheckSuccess
+        case (l, r) => TypeCheckResult.TypeCheckFailure(
+          s"graft_sorted_intersect expects (array<string>, array<string>), got ($l, $r)")
+      }
+    }
     override def dataType: DataType = IntegerType
     override protected def withNewChildrenInternal(
         newLeft: Expression, newRight: Expression): SortedIntersectCount =

@@ -62,6 +62,26 @@ class DedupSpec extends SparkSpec {
         .collect().map(r => r.getString(0) -> r.getString(1)).toMap
       assert(comp == expected, s"limit=$limit")
     }
+    // non-ASCII survivor choice must match Spark's UTF-8 BYTE order on both
+    // paths: U+FFFD (EF BF BD) sorts BELOW U+1F600 (F0 9F 98 80) in bytes,
+    // though java.lang.String's UTF-16 order says the opposite
+    val uni = Seq(("😀", "�")).toDF("a", "b")
+    for (limit <- Seq(0L, 1L << 20)) {
+      val comp = Dedup.duplicateClusters(uni, localEdgeLimit = limit)
+        .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+      assert(comp.values.toSet == Set("�"), s"limit=$limit: $comp")
+    }
+  }
+
+  test("duplicateClusters falls through to the distributed loop for decimal ids") {
+    import spark.implicits._
+    val pairs = Seq((BigDecimal(2), BigDecimal(1)), (BigDecimal(2), BigDecimal(3)))
+      .toDF("a", "b")
+    // small edge set, but DecimalType has no local-ordering mirror — the
+    // distributed path must serve it instead of throwing
+    val comp = Dedup.duplicateClusters(pairs)
+      .collect().map(r => (r.getDecimal(0).intValue(), r.getDecimal(1).intValue())).toMap
+    assert(comp == Map(1 -> 1, 2 -> 1, 3 -> 1))
   }
 
   test("prefix-filtered n-gram jaccard equals the plain inverted-index form") {

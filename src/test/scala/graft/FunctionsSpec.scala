@@ -118,6 +118,13 @@ class FunctionsSpec extends SparkSpec {
       .selectExpr("graft_sorted_intersect(x, y) AS m",
         "size(array_intersect(x, y)) AS e")
     assert(viaSql.collect().forall(r => r.getInt(0) == r.getInt(1)))
+    // non-string arrays are an ANALYSIS error, not runtime garbage
+    // (getUTF8String over int slots would misread them as pointers)
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_sorted_intersect(array(1, 2), array(1, 2))").collect()
+    }
+    assert(err.getMessage.contains("graft_sorted_intersect") ||
+      err.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
   test("native expressions codegen-compile when emitted twice in one scope") {
