@@ -367,11 +367,15 @@ final class Api(
     * codebooks, the reference's literal "IVF-PQ" engine-side ANN
     * (epistemic_graph.py:5-8). Reuses the IvfIndex centroids when
     * buildAnnIndex ran first (one quantizer for both layouts).
+    * `residual = true` quantizes (embedding - centroid) instead of raw
+    * vectors — the IVFADC design; needs the IVF centroids (built first),
+    * otherwise the build records a raw encoding.
     */
   def buildPqIndex(
-      name: String, m: Int = 8, k: Int = 16, iters: Int = 3): Unit = writeLock.synchronized {
+      name: String, m: Int = 8, k: Int = 16, iters: Int = 3,
+      residual: Boolean = false): Unit = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
-    graft.ann.PqIndex.build(spark, catalog, entry, embedder.dimension, m, k, iters)
+    graft.ann.PqIndex.build(spark, catalog, entry, embedder.dimension, m, k, iters, residual)
   }
 
   /** Approximate semantic search through the IVF-PQ index: probe-pruned

@@ -153,6 +153,89 @@ object Pq {
         .select("query_idx", "id", "adist").limit(0))
   }
 
+  /** Residual vectors for IVFADC: embedding - assigned centroid, in FLOAT
+    * (element-wise; float subtraction is oracle-mirrorable as
+    * CAST(double_sub AS REAL)). Input needs (id, embedding, cluster_id);
+    * centroids (cluster_id, centroid) broadcast-join in. Output keeps the
+    * cluster for partitioned writes and per-cluster ADC tables.
+    *
+    * Residual quantization is what makes IVF-PQ accurate (Jegou et al.,
+    * "Product Quantization for Nearest Neighbor Search", IVFADC): within a
+    * cluster the residuals concentrate near 0, so the same m x k codebook
+    * budget spends its resolution on a much smaller ball than raw-vector
+    * encoding.
+    */
+  def residualOf(assigned: DataFrame, centroids: DataFrame): DataFrame =
+    assigned
+      .join(broadcast(centroids.select(col("cluster_id"), col("centroid"))), "cluster_id")
+      .select(col("id"),
+        zip_with(col("embedding"), col("centroid"), (x, y) => x - y).as("embedding"),
+        col("cluster_id"))
+
+  /** ADC top-k over residual-encoded codes: the distance table is PER
+    * (query, cluster) — table[j][code] = ||(q - centroid_cluster)_j -
+    * cw[j][code]||^2 — selected in-row by a map literal keyed on
+    * cluster_id. Everything else matches [[searchAdc]]: tables built
+    * driver-side (nprobe * m * k doubles), the scan reads only
+    * (id, codes, cluster_id), bounded top-k.
+    */
+  def searchAdcClustered(
+      codes: DataFrame, // (id, codes, cluster_id)
+      cb: Codebooks,
+      centroidsByCluster: Map[Long, Seq[Float]],
+      queries: Seq[(Int, Seq[Float])],
+      k: Int): DataFrame = {
+    val m = cb.size
+    val results = queries.map { case (qIdx, qVec) =>
+      val ds = qVec.length / m
+      val tablesByCluster = centroidsByCluster.toSeq.sortBy(_._1).map { case (cid, cent) =>
+        // float residual first (mirrors residualOf), then double distances
+        val qr = qVec.zip(cent).map { case (x, y) => x - y }
+        val table: Seq[Seq[Double]] = cb.zipWithIndex.map { case (words, j) =>
+          val sub = qr.slice(j * ds, (j + 1) * ds)
+          words.map { w =>
+            var s = 0.0; var i = 0
+            while (i < ds) {
+              val d = sub(i).toDouble - w(i).toDouble; s += d * d; i += 1
+            }
+            s
+          }
+        }
+        lit(cid) -> array(table.map(row => array(row.map(lit): _*)): _*)
+      }
+      val tableOfRow = element_at(
+        map(tablesByCluster.flatMap { case (c, t) => Seq(c, t) }: _*), col("cluster_id"))
+      val score = aggregate(
+        zip_with(col("codes"), sequence(lit(0), lit(m - 1)),
+          (c, j) => element_at(element_at(tableOfRow, j + 1), c + 1)),
+        lit(0.0), (acc, x) => acc + x)
+      codes
+        .filter(col("cluster_id").isin(centroidsByCluster.keys.toSeq: _*))
+        .withColumn("adist", score)
+        .withColumn("query_idx", lit(qIdx))
+        .select("query_idx", "id", "adist")
+        .orderBy(col("adist").asc, col("id").asc)
+        .limit(k)
+    }
+    results.reduceOption(_ unionAll _).getOrElse(
+      codes.withColumn("adist", lit(0.0)).withColumn("query_idx", lit(0))
+        .select("query_idx", "id", "adist").limit(0))
+  }
+
+  /** [[searchAdcClustered]] + exact cosine re-rank of the oversampled
+    * shortlist — the residual-index analog of [[searchAdcRerank]].
+    */
+  def searchAdcRerankClustered(
+      codes: DataFrame, // (id, codes, cluster_id)
+      vectors: DataFrame, // (id, embedding, norm)
+      cb: Codebooks,
+      centroidsByCluster: Map[Long, Seq[Float]],
+      queries: Seq[(Int, Seq[Float])],
+      k: Int,
+      oversample: Int = 4): DataFrame =
+    rerank(searchAdcClustered(codes, cb, centroidsByCluster, queries, k * oversample),
+      vectors, queries, k)
+
   /** The serving shape at scale: ADC over codes produces an oversampled
     * shortlist (k * oversample, the mongodb.py:277 numCandidates idea),
     * then ONLY the shortlist joins back to the float vectors for exact
@@ -165,8 +248,18 @@ object Pq {
       cb: Codebooks,
       queries: Seq[(Int, Seq[Float])],
       k: Int,
-      oversample: Int = 4): DataFrame = {
-    val shortlist = searchAdc(codes, cb, queries, k * oversample)
+      oversample: Int = 4): DataFrame =
+    rerank(searchAdc(codes, cb, queries, k * oversample), vectors, queries, k)
+
+  /** Exact cosine re-rank of an ADC shortlist (query_idx, id, adist)
+    * against the float vectors — the only embedding read in any PQ
+    * serving path.
+    */
+  private def rerank(
+      shortlist: DataFrame,
+      vectors: DataFrame, // (id, embedding, norm)
+      queries: Seq[(Int, Seq[Float])],
+      k: Int): DataFrame = {
     val qNorms = queries.map { case (i, q) =>
       i -> math.sqrt(q.map(v => v.toDouble * v.toDouble).sum)
     }.toMap
@@ -182,7 +275,7 @@ object Pq {
         .limit(k)
     }
     results.reduceOption(_ unionAll _).getOrElse(
-      codes.withColumn("score", lit(0.0)).withColumn("query_idx", lit(0))
+      shortlist.withColumn("score", lit(0.0))
         .select("query_idx", "id", "score").limit(0))
   }
 }

@@ -42,7 +42,32 @@ object PqIndex {
   def codebooksPath(catalog: Catalog, entry: CollectionEntry): String =
     catalog.tablePath(entry) + ".pq.codebooks"
 
+  def metaPath(catalog: Catalog, entry: CollectionEntry): String =
+    catalog.tablePath(entry) + ".pq.meta"
+
   private def exists(p: String) = Files.exists(Paths.get(p))
+
+  /** Whether the persisted codes are RESIDUAL-encoded (quantized
+    * embedding - centroid, the IVFADC design) — part of the index's
+    * identity like the codebooks themselves: decoding/serving must use
+    * the same convention the build used. Indexes without a meta sidecar
+    * predate residual support and are raw-encoded.
+    */
+  def isResidual(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): Boolean =
+    exists(metaPath(catalog, entry)) && {
+      val rows = spark.read.parquet(metaPath(catalog, entry)).select("residual").collect()
+      rows.nonEmpty && rows(0).getBoolean(0)
+    }
+
+  private def saveMeta(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      residual: Boolean): Unit = {
+    import spark.implicits._
+    Seq(residual).toDF("residual")
+      .coalesce(1).write.mode(SaveMode.Overwrite).parquet(metaPath(catalog, entry))
+  }
 
   /** Build (or rebuild) the index from the collection's documents table:
     * train codebooks (deterministic, [[Pq.train]]), persist them, encode
@@ -55,11 +80,25 @@ object PqIndex {
       dim: Int,
       m: Int = 8,
       k: Int = 16,
-      iters: Int = 3): Unit = {
+      iters: Int = 3,
+      residual: Boolean = false): Unit = {
     val docs = catalog.readDocuments(entry)
       .select(col("id"), col("embedding"), col("norm"))
-    val cb = Pq.train(docs.select("id", "embedding"), dim, m, k, iters)
+    // residual encoding needs an IVF quantizer to take residuals AGAINST;
+    // without centroids it degenerates to raw encoding, so record raw
+    val doResidual = residual && exists(IvfIndex.centroidsPath(catalog, entry))
+    val trainRows =
+      if (!doResidual) docs.select("id", "embedding")
+      else {
+        val cents = IvfIndex.loadCentroids(spark, catalog, entry)
+        Pq.residualOf(
+          Ann.assign(docs, cents),
+          cents.select(col("centroid_id").as("cluster_id"), col("centroid")))
+          .select("id", "embedding")
+      }
+    val cb = Pq.train(trainRows, dim, m, k, iters)
     saveCodebooks(spark, catalog, entry, cb)
+    saveMeta(spark, catalog, entry, doResidual)
     val codes = encodeRows(spark, catalog, entry, docs, cb)
     codes
       // one writer per cluster partition (see IvfIndex.build)
@@ -72,7 +111,10 @@ object PqIndex {
 
   /** PQ-encode a set of rows (id, embedding, norm) and attach their IVF
     * cluster — the row-level unit [[build]] (whole table) and the write
-    * path's incremental partition refresh (Δ batch only) share.
+    * path's incremental partition refresh (Δ batch only) share. Honors
+    * the index's persisted encoding convention: residual indexes encode
+    * (embedding - assigned centroid) under the SAME quantizer every
+    * earlier row used.
     */
   def encodeRows(
       spark: SparkSession,
@@ -81,14 +123,20 @@ object PqIndex {
       rows: DataFrame,
       cb: Pq.Codebooks): DataFrame = {
     val dim = cb.size * cb.head.head.length
-    val codes = Pq.encode(rows.select("id", "embedding"), dim, cb)
-    if (exists(IvfIndex.centroidsPath(catalog, entry))) {
-      val cents = IvfIndex.loadCentroids(spark, catalog, entry)
-      codes.join(
-        Ann.assign(rows.select("id", "embedding", "norm"), cents)
-          .select(col("id"), col("cluster_id")),
-        "id")
-    } else codes.withColumn("cluster_id", lit(0L))
+    if (!exists(IvfIndex.centroidsPath(catalog, entry)))
+      return Pq.encode(rows.select("id", "embedding"), dim, cb)
+        .withColumn("cluster_id", lit(0L))
+    val cents = IvfIndex.loadCentroids(spark, catalog, entry)
+    val assigned = Ann.assign(rows.select("id", "embedding", "norm"), cents)
+    if (isResidual(spark, catalog, entry)) {
+      val residuals = Pq.residualOf(assigned,
+        cents.select(col("centroid_id").as("cluster_id"), col("centroid")))
+      Pq.encode(residuals.select("id", "embedding"), dim, cb)
+        .join(residuals.select(col("id"), col("cluster_id")), "id")
+    } else {
+      Pq.encode(rows.select("id", "embedding"), dim, cb)
+        .join(assigned.select(col("id"), col("cluster_id")), "id")
+    }
   }
 
   /** Re-derive the persisted codes from the CURRENT documents table under
@@ -183,13 +231,16 @@ object PqIndex {
     val cb = loadCodebooks(spark, catalog, entry).getOrElse(
       throw new graft.model.GraftException(graft.model.ErrorCodes.AnnIndexNotFound))
     val index = load(spark, catalog, entry)
-    val pruned =
-      if (!exists(IvfIndex.centroidsPath(catalog, entry))) index
+    val hasCentroids = exists(IvfIndex.centroidsPath(catalog, entry))
+    val centroidRows =
+      if (!hasCentroids) Array.empty[org.apache.spark.sql.Row]
+      else IvfIndex.loadCentroids(spark, catalog, entry)
+        .select("centroid_id", "centroid", "centroid_norm").collect()
+    val (pruned, probedIds) =
+      if (!hasCentroids) (index, Seq.empty[Long])
       else {
         val clusterSizes = index.groupBy("cluster_id").count()
           .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-        val centroidRows = IvfIndex.loadCentroids(spark, catalog, entry)
-          .select("centroid_id", "centroid", "centroid_norm").collect()
         val probes = queries.flatMap { case (_, qVec) =>
           val qNorm = math.sqrt(qVec.map(v => v.toDouble * v.toDouble).sum)
           val ranked = centroidRows.map { r =>
@@ -199,8 +250,22 @@ object PqIndex {
           }.sortBy(identity)
           IvfIndex.adaptiveProbes(ranked.toSeq, clusterSizes, numCandidates)
         }.distinct
-        index.filter(col("cluster_id").isin(probes: _*))
+        (index.filter(col("cluster_id").isin(probes: _*)), probes)
       }
-    Pq.searchAdcRerank(pruned.select("id", "codes"), vectors, cb, queries, k, oversample)
+    if (isResidual(spark, catalog, entry)) {
+      // residual codes are meaningless without the centroids they were
+      // taken against — a missing quantizer is a governed error, not an
+      // empty result
+      if (!hasCentroids)
+        throw new graft.model.GraftException(graft.model.ErrorCodes.AnnIndexNotFound)
+      // per-(query, probed-cluster) ADC tables against the SAME centroids
+      // the codes were residual-encoded with
+      val centroidMap = centroidRows
+        .filter(r => probedIds.contains(r.getLong(0)))
+        .map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap
+      Pq.searchAdcRerankClustered(pruned.select("id", "codes", "cluster_id"),
+        vectors, cb, centroidMap, queries, k, oversample)
+    } else
+      Pq.searchAdcRerank(pruned.select("id", "codes"), vectors, cb, queries, k, oversample)
   }
 }

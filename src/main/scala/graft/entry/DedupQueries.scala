@@ -277,6 +277,96 @@ object DedupQueries {
       |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 5
       |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
 
+  // ---- ANN: residual IVF-PQ (IVFADC — Jegou et al.): codes quantize
+  //      (vector - assigned centroid); each (query, cluster) pair gets its
+  //      own ADC table from the query's residual against that cluster's
+  //      centroid. iters=0 + representative centroids keep every stage
+  //      DuckDB-replayable: assignment, float residuals (double-sub
+  //      rounded to REAL == float subtraction), residual-seeded codebooks,
+  //      argmin codes, per-cluster ADC shortlist, exact re-rank. ----
+  def annPqResidual(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val centroids = Ann.representativeCentroids(vecs, "label").cache()
+    val assigned = Ann.assign(vecs, centroids).cache()
+    val residuals = Pq.residualOf(assigned,
+      centroids.select(col("centroid_id").as("cluster_id"), col("centroid")))
+    val cb = Pq.train(residuals.select("id", "embedding"), dim = 64, m = 4, k = 8, iters = 0)
+    // cache: each query's ADC branch scans codes, not floats. cluster_id
+    // normalizes to long (the label column is int here; the persisted
+    // PqIndex layout is long)
+    val codes = Pq.encode(residuals.select("id", "embedding"), 64, cb)
+      .join(assigned.select(col("id"), col("cluster_id").cast("long").as("cluster_id")),
+        "id").cache()
+    val centroidMap = centroids.select("centroid_id", "centroid").collect()
+      .map(r => r.getAs[Number](0).longValue() -> r.getSeq[Float](1)).toMap
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    Pq.searchAdcRerankClustered(codes, vecs.select("id", "embedding", "norm"),
+      cb, centroidMap, qs, k = 5, oversample = 4)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("query_idx"), col("score").desc, col("id"))
+  }
+
+  val annPqResidualSql: String =
+    """WITH e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |js AS (SELECT CAST(j AS INTEGER) AS j FROM generate_series(0, 3) t(j)),
+      |cent AS (SELECT label AS cl, v AS c FROM (
+      |    SELECT label, v, row_number() OVER (PARTITION BY label ORDER BY id) AS rn FROM e)
+      |  WHERE rn = 1),
+      |assign AS (SELECT id, cl FROM (
+      |    SELECT e.id, cent.cl,
+      |           row_number() OVER (PARTITION BY e.id
+      |             ORDER BY 1.0 - list_cosine_similarity(e.v, cent.c), cent.cl) AS rn
+      |    FROM e CROSS JOIN cent)
+      |  WHERE rn = 1),
+      |res AS (SELECT e.id, a.cl,
+      |               list_transform(range(1, 65),
+      |                 i -> CAST(CAST(e.v[i] - cent.c[i] AS REAL) AS DOUBLE)) AS rv
+      |        FROM e JOIN assign a ON a.id = e.id JOIN cent ON cent.cl = a.cl),
+      |seed AS (SELECT code, rv FROM (
+      |    SELECT CAST(row_number() OVER (ORDER BY id) - 1 AS INTEGER) AS code, rv FROM res)
+      |  WHERE code < 8),
+      |cw AS (SELECT js.j, seed.code, list_slice(seed.rv, js.j*16 + 1, js.j*16 + 16) AS cw
+      |       FROM js CROSS JOIN seed),
+      |sub AS (SELECT res.id, js.j, list_slice(res.rv, js.j*16 + 1, js.j*16 + 16) AS sv
+      |        FROM res CROSS JOIN js),
+      |codes AS (SELECT id, j, code FROM (
+      |    SELECT sub.id, sub.j, cw.code,
+      |           row_number() OVER (PARTITION BY sub.id, sub.j ORDER BY
+      |             list_sum(list_transform(range(1, 17),
+      |               i -> (sv[i] - cw[i]) * (sv[i] - cw[i]))), cw.code) AS rn
+      |    FROM sub JOIN cw ON sub.j = cw.j)
+      |  WHERE rn = 1),
+      |q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id IN (0,1,2)),
+      |qres AS (SELECT q.qid, cent.cl,
+      |                list_transform(range(1, 65),
+      |                  i -> CAST(CAST(q.qv[i] - cent.c[i] AS REAL) AS DOUBLE)) AS qrv
+      |         FROM q CROSS JOIN cent),
+      |qsub AS (SELECT qres.qid, qres.cl, js.j,
+      |                list_slice(qres.qrv, js.j*16 + 1, js.j*16 + 16) AS qsv
+      |         FROM qres CROSS JOIN js),
+      |perj AS (SELECT qsub.qid, codes.id, codes.j,
+      |                list_sum(list_transform(range(1, 17),
+      |                  i -> (qsv[i] - cw.cw[i]) * (qsv[i] - cw.cw[i]))) AS dj
+      |         FROM codes
+      |         JOIN assign ON assign.id = codes.id
+      |         JOIN qsub ON qsub.j = codes.j AND qsub.cl = assign.cl
+      |         JOIN cw ON cw.j = codes.j AND cw.code = codes.code),
+      |adist AS (SELECT qid, id, list_sum(list(dj ORDER BY j)) AS ad
+      |          FROM perj GROUP BY qid, id),
+      |short AS (SELECT qid, id FROM (
+      |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY ad ASC, id) AS rn
+      |    FROM adist)
+      |  WHERE rn <= 20),
+      |scored AS (SELECT q.qid AS query_idx, e.id,
+      |                  list_cosine_similarity(e.v, q.qv) AS sc
+      |           FROM short JOIN q ON q.qid = short.qid JOIN e ON e.id = short.id),
+      |t AS (SELECT query_idx, id, sc,
+      |             row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+      |      FROM scored)
+      |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 5
+      |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
+
   // ---- kNN self-join: top-3 neighbors of the first 50 vectors ----
   def annKnnJoin(s: SparkSession, dir: String): DataFrame =
     Ann.knnJoin(Tables.vectors(s, dir).filter(col("id") < 50), 3)
@@ -346,7 +436,8 @@ object DedupQueries {
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_brute" -> (annBrute _),
     "q_ann_ivf" -> (annIvf _),
-    "q_ann_pq" -> (annPq _)
+    "q_ann_pq" -> (annPq _),
+    "q_ann_pq_residual" -> (annPqResidual _)
   )
 
   def oracles: Map[String, String] = Map(
@@ -361,6 +452,7 @@ object DedupQueries {
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_ann_brute" -> annBruteSql,
     "q_ann_ivf" -> annIvfSql,
-    "q_ann_pq" -> annPqSql
+    "q_ann_pq" -> annPqSql,
+    "q_ann_pq_residual" -> annPqResidualSql
   )
 }

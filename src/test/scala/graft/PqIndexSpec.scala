@@ -101,6 +101,74 @@ class PqIndexSpec extends SparkSpec {
     api.deleteCollection("pqe", confirm = true)
   }
 
+  test("residual IVF-PQ (IVFADC): serves through the index, meta survives, re-adds re-encode") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+    val docs = (0 until 200).map(i => s"res document number $i tokens t$i").toDF("content")
+    api.createCollection("pqr", documents = Some(docs))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "pqr"))
+
+    api.buildAnnIndex("pqr", nClusters = 8)
+    api.buildPqIndex("pqr", m = 4, k = 8, iters = 1, residual = true)
+    assert(PqIndex.isResidual(spark, api.catalog, entry), "meta must record residual encoding")
+
+    // a stored document queried by its own content surfaces at rank 1
+    // (own cluster probed, residual ADC shortlist, exact re-rank)
+    val res = api.semanticSearchPq("pqr", Seq("res document number 7 tokens t7"), 3)
+    assert(res.results.nonEmpty &&
+      res.results.head.content == "res document number 7 tokens t7")
+
+    // the encoding convention survives an emptying delete (meta + codebooks
+    // are index state), and re-added docs re-enter RESIDUAL-encoded via the
+    // incremental write path
+    val allIds = api.catalog.readDocuments(entry)
+      .select("id").collect().map(_.getString(0)).toSeq
+    api.deleteDocuments("pqr", allIds)
+    assert(PqIndex.load(spark, api.catalog, entry).count() == 0)
+    assert(PqIndex.isResidual(spark, api.catalog, entry))
+    api.addDocuments("pqr", Seq("res reborn").toDF("content"))
+    val reborn = api.semanticSearchPq("pqr", Seq("res reborn"), 2)
+    assert(reborn.results.nonEmpty && reborn.results.head.content == "res reborn")
+    api.deleteCollection("pqr", confirm = true)
+    assert(!Files.exists(java.nio.file.Paths.get(PqIndex.metaPath(api.catalog, entry))))
+  }
+
+  test("residual quantization error beats raw encoding on clustered vectors") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    // 4 well-separated cluster centers + small noise: residuals concentrate
+    // near 0, which is exactly where IVFADC spends its codebook budget
+    val centers = (0 until 4).map(c => Array.fill(16)(rnd.nextGaussian() * 10f))
+    val rows = (0 until 80).map { i =>
+      val c = i % 4
+      val v = centers(c).map(x => (x + rnd.nextGaussian() * 0.3).toFloat)
+      (f"v$i%03d", v.toSeq, c.toLong)
+    }
+    val vecs = rows.toDF("id", "embedding", "cluster_id")
+      .select(col("id"), col("embedding").cast("array<float>").as("embedding"),
+        col("cluster_id"))
+    val centroids = centers.zipWithIndex
+      .map { case (c, i) => (i.toLong, c.toSeq) }.toDF("cluster_id", "centroid")
+      .select(col("cluster_id"), col("centroid").cast("array<float>").as("centroid"))
+
+    def reconstructionMse(train: org.apache.spark.sql.DataFrame): Double = {
+      val cb = Pq.train(train.select("id", "embedding"), dim = 16, m = 4, k = 8, iters = 2)
+      val codes = Pq.encode(train.select("id", "embedding"), 16, cb)
+        .collect().map(r => r.getString(0) -> r.getSeq[Int](1)).toMap
+      val orig = train.select("id", "embedding")
+        .collect().map(r => r.getString(0) -> r.getSeq[Float](1)).toMap
+      orig.map { case (id, v) =>
+        val rec = codes(id).zipWithIndex.flatMap { case (code, j) => cb(j)(code) }
+        v.zip(rec).map { case (x, y) => (x - y).toDouble * (x - y) }.sum / v.size
+      }.sum / orig.size
+    }
+    val rawMse = reconstructionMse(vecs)
+    val resMse = reconstructionMse(Pq.residualOf(vecs, centroids))
+    assert(resMse < rawMse,
+      s"residual quantization must beat raw on clustered data: $resMse vs $rawMse")
+  }
+
   test("ADC shortlist ordering is deterministic and rerank equals brute force on a covering probe") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
