@@ -33,9 +33,11 @@ final class Api(
     * (vector_api.py:202): concurrent searches are safe (reads of immutable
     * parquet snapshots), but two concurrent writers would race the
     * bucket-swap MERGE and index-partition swaps. Reentrant (JVM monitor),
-    * so gated paths may call each other.
+    * so gated paths may call each other. The lock is PER WAREHOUSE, not
+    * per Api instance — streaming compaction and any second Api handle
+    * over the same warehouse serialize against the same monitor.
     */
-  private val writeLock = new Object
+  private val writeLock = graft.catalog.WriteLocks.forWarehouse(warehouseDir)
 
   // ---- validation (vector_api.py §2.4) ----
 
@@ -207,8 +209,11 @@ final class Api(
       val total = embedded.count()
       val rejectedIds = graft.ann.SignLshIndex.nearDupIds(
         spark, catalog, entry, embedded, cosineThreshold)
+      // keep the batch's embeddings: withEmbeddings only embeds rows whose
+      // embedding is null, so the model runs ONCE per batch (the gate's
+      // embed pass), not once for the gate and again for the write
       val keep = embedded.join(rejectedIds, Seq("id"), "left_anti")
-        .select("content", "metadata").cache()
+        .select("content", "metadata", "embedding").cache()
       try {
         val written = if (keep.isEmpty) 0L else addDocuments(name, keep)
         (written, total - written)
@@ -217,6 +222,10 @@ final class Api(
   } }
 
   def deleteDocuments(name: String, ids: Seq[String]): Unit = writeLock.synchronized {
+    // governed BEFORE any expression references ids: `isin(ids: _*)` on a
+    // null Seq NPEs eagerly while the filter is built
+    if (ids == null || ids.isEmpty)
+      throw new GraftException(ErrorCodes.DocumentIdsRequired)
     val entry = catalog.getCollection(physical(name))
     val existing = catalog.readDocuments(entry)
     val pending = Indexes.stage(spark, catalog, entry, embedder.dimension,
@@ -256,7 +265,17 @@ final class Api(
     */
   def buildAnnIndex(name: String, nClusters: Int, kmeansIters: Int = 0): DataFrame = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
-    graft.ann.IvfIndex.build(spark, catalog, entry, nClusters, kmeansIters)
+    val built = graft.ann.IvfIndex.build(spark, catalog, entry, nClusters, kmeansIters)
+    // the PQ codes are physically partitioned (and, for residual indexes,
+    // VALUED) under the IVF quantizer: whenever the centroids change —
+    // first build after a flat PQ, or a rebuild with different clusters —
+    // an existing PQ index must re-encode under the new quantizer, or its
+    // maintenance/probing (keyed by CURRENT centroids) silently desyncs
+    // from the rows' actual partitions and stale codes survive writes
+    if (java.nio.file.Files.exists(java.nio.file.Paths.get(
+        graft.ann.PqIndex.indexPath(catalog, entry))))
+      graft.ann.PqIndex.reencode(spark, catalog, entry)
+    built
   }
 
   /** Approximate semantic search through the ANN index, carrying the
@@ -562,9 +581,12 @@ final class Api(
     val entry = catalog.getCollection(physical(validCollection(name)))
     import java.nio.file.{Files, Paths}
     def countIf(path: String): Option[Long] =
-      if (Files.exists(Paths.get(path)))
-        Some(spark.read.parquet(path).count())
-      else None
+      if (!Files.exists(Paths.get(path))) None
+      else
+        // an index a delete drained empty has no data files left to infer
+        // a schema from — that is a live (zero-row) index, not an error
+        try Some(spark.read.parquet(path).count())
+        catch { case _: org.apache.spark.sql.AnalysisException => Some(0L) }
     val indexes = Seq(
       "lexical" -> graft.search.LexIndex.indexPath(catalog, entry),
       "ivf" -> graft.ann.IvfIndex.indexPath(catalog, entry),

@@ -117,15 +117,22 @@ final class McpSurface(api: Api) {
             api.lexicalSearchBm25Indexed(collectionName, Seq(question), numberResults)
         }
       case "search" =>
+        // normalize the modes exactly like the single-sided actions do —
+        // "Exact"/" scan " must behave identically on every action
+        val sem = resolveAction(semanticMode, Set("exact", "approx", "lsh", "pq"),
+          ErrorCodes.SearchActionInvalid)
+        val lex = resolveAction(lexicalMode,
+          Set("scan", "indexed", "bm25", "bm25_indexed"),
+          ErrorCodes.SearchActionInvalid)
         // default modes = the scan hybrid (reference behavior); any
         // index-backed mode on either side routes through the
         // index-served fusion with identical RRF math
-        if (semanticMode == "exact" && lexicalMode == "scan")
+        if (sem == "exact" && lex == "scan")
           api.search(collectionName, question, numberResults,
             semanticWeight, lexicalWeight, rrfK)
         else
           api.searchIndexed(collectionName, question, numberResults,
-            semanticWeight, lexicalWeight, rrfK, semanticMode, lexicalMode)
+            semanticWeight, lexicalWeight, rrfK, sem, lex)
     }
     Map("results" -> res.results.map(h => Map(
       "id" -> h.id, "content" -> h.content,

@@ -113,12 +113,15 @@ object Dedup {
     * bucket, as a KEYED SELF-JOIN. The earlier collect_list + nested-HOF
     * pair expansion materialized up to maxBucketSize^2 structs in ONE array
     * per bucket on a single task; the join shape streams the same pairs
-    * through a hash join and scales with executors. Buckets of size 1
-    * (no pairs) and > maxBucketSize (stop-bucket skew guard) are dropped
-    * before the join by a bucket-count WINDOW over the same (block, key)
-    * partitioning the self-join shuffles on — the size pass rides the
-    * join's own exchange instead of adding an aggregate + semi-join pair
-    * of shuffles (measured ~25% off the minhash end-to-end at sf0.1).
+    * through a hash join and scales with executors. Two guards drop
+    * non-pair-producing buckets before the join: oversized stop buckets
+    * (> maxBucketSize) go first via a partial-aggregated blacklist
+    * (skew-immune: map-side combine collapses a hot bucket to one count
+    * row; only the tiny oversized key set broadcasts back as an
+    * anti-join), then singleton buckets drop via a bucket-count WINDOW
+    * over the same (block, key) partitioning the self-join shuffles on —
+    * the window rides the join's own exchange, and with stop buckets
+    * already gone its largest group is bounded by maxBucketSize.
     */
   private def bucketPairs(
       banded: DataFrame, // (id, <blockCol>, <keyCol>)
@@ -129,10 +132,22 @@ object Dedup {
       s"bucketPairs needs ($blockCol, $keyCol) in ${banded.columns.mkString(",")}")
     val keyCols = Seq(col(blockCol), col(keyCol))
     val keyNames = Seq(blockCol, keyCol)
+    // Stop buckets are excluded BEFORE the window: the window's
+    // partitionBy ships every row of a bucket to one task, so a 100M-row
+    // stop bucket would be a single-task straggler exactly on the skewed
+    // input the guard exists for. The blacklist count is a partial
+    // aggregate (map-side combine collapses the hot bucket before its
+    // shuffle) and only oversized keys — a tiny set by construction —
+    // broadcast back as an anti-join. On corpora with no stop buckets the
+    // blacklist is empty and the anti-join is a no-op probe.
+    val oversized = banded.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+      .filter(col("__n") > maxBucketSize)
+      .select(keyCols: _*)
     val sizeW = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
     val eligible = banded
+      .join(broadcast(oversized), keyNames, "left_anti")
       .withColumn("bsz", count(lit(1)).over(sizeW))
-      .filter(col("bsz").between(2, maxBucketSize))
+      .filter(col("bsz") >= 2)
       .drop("bsz")
     eligible.as("x").join(eligible.as("y"),
         keyNames.map(c => col(s"x.$c") === col(s"y.$c"))

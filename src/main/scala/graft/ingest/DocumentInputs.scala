@@ -20,11 +20,18 @@ object DocumentInputs {
 
   final case class Resolved(directory: Option[Path], paths: Option[Seq[Path]])
 
+  /** `directoryWithinRoot`: narrows the directory scan to a subdirectory
+    * of the configured root (the retriever protocol's document_directory).
+    * It may be absolute or root-relative, but its real path MUST stay
+    * inside the configured root — a caller-supplied directory never
+    * replaces the confinement root. None scans the whole root.
+    */
   def resolveDocumentInputs(
       configuredRoot: String,
       includeConfiguredDirectory: Boolean,
       relativePaths: Seq[String] = Nil,
-      documentContents: Seq[String] = Nil): Resolved = {
+      documentContents: Seq[String] = Nil,
+      directoryWithinRoot: Option[String] = None): Resolved = {
 
     if (documentContents.size > Limits.MaxFiles)
       fail("Too many inline documents")
@@ -85,9 +92,29 @@ object DocumentInputs {
     val directory: Option[Path] =
       if (!includeConfiguredDirectory) None
       else {
+        // the scan base may narrow to a subdirectory, but the CONFIGURED
+        // root stays the confinement boundary: real-path containment is
+        // checked, so neither `..` nor a symlinked dir can escape it
+        val scanBase: Path = directoryWithinRoot.map(_.trim) match {
+          case None => root
+          case Some(r) =>
+            if (r.isEmpty || r.length > 4096 || r.contains('\u0000') ||
+                r.contains("://"))
+              fail("Document directory must resolve inside the configured root")
+            val candidate =
+              try {
+                val p = Paths.get(r)
+                (if (p.isAbsolute) p else root.resolve(r)).toRealPath()
+              } catch {
+                case _: Exception => fail("Document directory was not found")
+              }
+            if (!candidate.startsWith(root) || !Files.isDirectory(candidate))
+              fail("Document directory must resolve inside the configured root")
+            candidate
+        }
         var total = 0L
         var count = 0
-        Files.walk(root).iterator().asScala.foreach { p =>
+        Files.walk(scanBase).iterator().asScala.foreach { p =>
           if (Files.isSymbolicLink(p))
             fail("Configured document root contains a symbolic link")
           if (Files.isRegularFile(p, LinkOption.NOFOLLOW_LINKS)) {
@@ -102,7 +129,7 @@ object DocumentInputs {
               fail("Configured document root exceeded its size limit")
           }
         }
-        Some(root)
+        Some(scanBase)
       }
 
     Resolved(directory, if (seen.isEmpty) None else Some(seen.toSeq))

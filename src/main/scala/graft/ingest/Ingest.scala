@@ -187,6 +187,14 @@ object Ingest {
   /** Bucket count of the documents table's id-hash partitioning. 64 keeps
     * tiny dev collections from fragmenting; the 100 TB deployment knob is
     * this one constant (e.g. 4096 → ~25 GB rewrite units).
+    *
+    * The bucketed layout is the engine's v1 (and only) on-disk format:
+    * every path that writes a documents table partitions by `bucket`, so
+    * bucket-pruned reads and bucket-level merges see every row by
+    * construction. There is no reader for un-bucketed root-level files —
+    * a table produced by something else entirely must be re-ingested, not
+    * mounted; and changing NumDocBuckets on an EXISTING warehouse
+    * likewise requires a rebuild (ids would hash to different buckets).
     */
   val NumDocBuckets = 64
 

@@ -21,7 +21,12 @@ final case class RetrieverHit(text: String, score: Double, id: String,
 /** `documentRoot`: the confined root that directory / path inputs resolve
   * against (reference: the configured document directory every
   * `document_paths` entry must stay inside, document_inputs.py:19-147).
-  * Retrievers constructed without one reject file inputs.
+  * Retrievers constructed without one reject file inputs. A
+  * caller-supplied `documentDirectory` narrows the scan to a
+  * subdirectory INSIDE this root (real-path checked) — it never becomes
+  * the confinement root itself. (Stricter than the reference retrievers,
+  * which load any path the process can read; this engine routes every
+  * file input through the same confinement the MCP surface enforces.)
   */
 final class Retriever(api: Api, collection: String,
     documentRoot: Option[String] = None) {
@@ -63,14 +68,18 @@ final class Retriever(api: Api, collection: String,
       documentContents: Seq[String] = Nil,
       maxTokensPerChunk: Int = 512): Long = {
     val spark = api.spark
-    val root = documentDirectory.orElse(documentRoot).getOrElse("")
-    // the root is only consulted when a directory or path input needs it
+    // the CONFIGURED root is the only confinement boundary: a
+    // caller-supplied documentDirectory narrows the scan to a
+    // subdirectory inside it (real-path checked) and can never replace
+    // it; retrievers constructed without a root reject file inputs. The
+    // root is only consulted when a directory or path input needs it
     // (inline-only ingests resolve rootless, document_inputs.py:42-44)
     val resolved = graft.ingest.DocumentInputs.resolveDocumentInputs(
-      configuredRoot = root,
+      configuredRoot = documentRoot.getOrElse(""),
       includeConfiguredDirectory = documentDirectory.nonEmpty,
       relativePaths = documentPaths,
-      documentContents = documentContents)
+      documentContents = documentContents,
+      directoryWithinRoot = documentDirectory)
     val parts = Seq(
       resolved.directory.map(d => graft.ingest.Loaders.loadTextDirectory(spark, d)),
       resolved.paths.map(ps => graft.ingest.Loaders.loadTextFiles(spark, ps)),

@@ -93,7 +93,10 @@ object StreamingIngest {
       all.join(graft.ann.SignLshIndex.nearDupIds(spark, catalog, entry, all, t),
         Seq("id"), "left_anti")
     }.cache()
-    try {
+    // compaction mutates the same table + index dirs the Api write paths
+    // do — it must hold the SAME per-warehouse monitor (WriteLocks), or a
+    // concurrent add_documents races the bucket/partition swaps
+    try graft.catalog.WriteLocks.forWarehouse(catalog.warehouseDir).synchronized {
       val merged = embedded.count()
       val existing = catalog.readDocuments(entry)
       // compaction is a write like any other: persisted derived indexes

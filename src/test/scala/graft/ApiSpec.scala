@@ -130,6 +130,15 @@ class ApiSpec extends SparkSpec {
     assert(idx.keySet == Set("lexical") && idx("lexical") > 0)
     val missing = intercept[GraftException](api.describeCollection("nope"))
     assert(missing.code == ErrorCodes.CollectionNotFound)
+    // an index drained EMPTY by deletes still describes (as 0 rows) — the
+    // observability surface must survive the emptied-index state
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "desc1"))
+    val allIds = api.catalog.readDocuments(entry)
+      .select("id").collect().map(_.getString(0)).toSeq
+    api.deleteDocuments("desc1", allIds)
+    val drained = api.describeCollection("desc1")
+    assert(drained("documents") == 0L)
+    assert(drained("indexes").asInstanceOf[Map[String, Long]] == Map("lexical" -> 0L))
   }
 
   test("near-dup ingest gate rejects by index-pruned cosine, writes the rest") {
@@ -158,6 +167,27 @@ class ApiSpec extends SparkSpec {
       Map.empty[String, String])).toDF("content", "metadata")
     val (w3, r3) = api.addDocumentsDedup("gate1", fresh, cosineThreshold = -1.0)
     assert(w3 == 0L && r3 == 1L)
+  }
+
+  test("near-dup ingest gate embeds each document exactly once") {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, dir, new CountingEmbedder(64))
+    api.createCollection("gate2", documents = Some(corpus()))
+    api.buildLshIndex("gate2", bits = 4, tables = 4)
+    import spark.implicits._
+    val incoming = Seq(
+      ("Rust is a systems programming language focused on safety.",
+        Map("category" -> "programming")),
+      ("Go is a compiled language designed at a search company.",
+        Map("category" -> "programming")))
+      .toDF("content", "metadata")
+    CountingEmbedder.texts.set(0)
+    val (w, _) = api.addDocumentsDedup("gate2", incoming, cosineThreshold = 1.1)
+    assert(w == 2L)
+    // the gate's embed pass is the ONLY model call: the kept rows carry
+    // their vectors into the write, which must not re-embed them
+    assert(CountingEmbedder.texts.get() == 2,
+      s"expected 2 embedded texts, saw ${CountingEmbedder.texts.get()}")
   }
 
   test("delete requires confirm=true exactly") {
@@ -236,6 +266,11 @@ class ApiSpec extends SparkSpec {
       == ErrorCodes.DocumentIdsRequired)
     api.deleteDocuments("docs", Seq(id1))
     assert(api.getDocumentsByIds("docs", Seq(id1)).count() == 0)
+    // null ids are the governed code, not an NPE from building the filter
+    assert(intercept[GraftException](api.deleteDocuments("docs", null)).code
+      == ErrorCodes.DocumentIdsRequired)
+    assert(intercept[GraftException](api.deleteDocuments("docs", Seq.empty)).code
+      == ErrorCodes.DocumentIdsRequired)
   }
 
   test("collection_not_found and collection_exists and dimension mismatch") {
@@ -252,5 +287,23 @@ class ApiSpec extends SparkSpec {
     assert(intercept[GraftException](
       api.catalog.createCollection(phys, 128)).code
       == ErrorCodes.CollectionVectorSchemaMismatch)
+  }
+}
+
+/** Embedder that counts every text it actually embeds — executor-side
+  * increments land on the driver-JVM singleton under local[...] masters,
+  * which is where the suite runs.
+  */
+object CountingEmbedder {
+  val texts = new java.util.concurrent.atomic.AtomicInteger(0)
+}
+
+final class CountingEmbedder(dim: Int)
+    extends graft.ingest.Embedder {
+  private val inner = new graft.ingest.DeterministicHashEmbedder(dim)
+  override def dimension: Int = dim
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    CountingEmbedder.texts.addAndGet(texts.size)
+    inner.embedBatch(texts)
   }
 }

@@ -134,6 +134,32 @@ class PqIndexSpec extends SparkSpec {
     assert(!Files.exists(java.nio.file.Paths.get(PqIndex.metaPath(api.catalog, entry))))
   }
 
+  test("IVF rebuild re-encodes an existing PQ index (no stale flat codes)") {
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+    api.createCollection("pqsync",
+      documents = Some((0 until 60).map(i => s"sync doc $i w$i").toDF("content")))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "pqsync"))
+    // PQ first (flat: every code in cluster_id=0), centroids AFTER
+    api.buildPqIndex("pqsync", m = 4, k = 4, iters = 0)
+    assert(PqIndex.load(spark, api.catalog, entry)
+      .select("cluster_id").distinct().collect().map(_.getLong(0)).toSet == Set(0L))
+    api.buildAnnIndex("pqsync", nClusters = 4)
+    // the codes must have re-partitioned under the new quantizer...
+    val clusters = PqIndex.load(spark, api.catalog, entry)
+      .select("cluster_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(clusters.size > 1, s"codes still flat after IVF build: $clusters")
+    // ...so a delete keyed by CURRENT centroids removes the code row too
+    val someId = api.catalog.readDocuments(entry)
+      .select("id").orderBy("id").limit(1).collect()(0).getString(0)
+    api.deleteDocuments("pqsync", Seq(someId))
+    assert(PqIndex.load(spark, api.catalog, entry)
+      .filter(col("id") === someId).count() == 0,
+      "stale code row survived the delete")
+    api.deleteCollection("pqsync", confirm = true)
+  }
+
   test("residual quantization error beats raw encoding on clustered vectors") {
     import spark.implicits._
     val rnd = new scala.util.Random(11)

@@ -136,6 +136,25 @@ class SurfaceSpec extends SparkSpec {
     // escaping the root is a protocol failure, not a crash
     assert(intercept[Exception](
       retr.addDocumentInputs(documentPaths = Seq("../outside.txt"))) != null)
+    // a caller-supplied directory NARROWS the scan inside the root...
+    val sub = Files.createDirectory(docRoot.resolve("sub"))
+    Files.writeString(sub.resolve("c.txt"), "delta subdir content")
+    assert(retr.addDocumentInputs(documentDirectory = Some("sub")) == 1)
+    assert(retr.addDocumentInputs(documentDirectory = Some(sub.toString)) == 1)
+    // ...and can NEVER replace the configured root (absolute dir outside)
+    val outside = Files.createTempDirectory("graft-outside")
+    Files.writeString(outside.resolve("x.txt"), "outside content")
+    assert(intercept[Exception](retr.addDocumentInputs(
+      documentDirectory = Some(outside.toString))).getMessage
+      .contains("inside the configured root"))
+    assert(intercept[Exception](retr.addDocumentInputs(
+      documentDirectory = Some("../"))).getMessage
+      .contains("inside the configured root"))
+    // a retriever with NO configured root rejects directory inputs
+    val rootless = new Retriever(api, "rag2")
+    assert(intercept[Exception](rootless.addDocumentInputs(
+      documentDirectory = Some(outside.toString))).getMessage
+      .contains("root is unavailable"))
     // initialize failure surfaces as false (protocol bool), not an exception
     val bad = new Retriever(api, "bad name!", None)
     assert(!bad.initializeCollection())
@@ -210,8 +229,14 @@ class SurfaceSpec extends SparkSpec {
       semanticMode = "approx", lexicalMode = "bm25_indexed")).toSet ==
       ids(hybridScan).toSet,
       "bm25-fused hybrid reranks but serves the same documents here")
+    // mode spellings normalize on EVERY action — the hybrid must accept
+    // the same "Exact"/" scan " forms the single-sided actions do
+    assert(ids(mcp.vectorSearch("search", "mv", "alpha beta",
+      semanticMode = "Exact", lexicalMode = " scan ")) == ids(hybridScan))
     // unknown modes are governed exactly like unknown actions
     assert(intercept[GraftException](mcp.vectorSearch("semantic_search", "mv",
+      "q", semanticMode = "hnsw")).code == ErrorCodes.SearchActionInvalid)
+    assert(intercept[GraftException](mcp.vectorSearch("search", "mv",
       "q", semanticMode = "hnsw")).code == ErrorCodes.SearchActionInvalid)
     assert(intercept[GraftException](mcp.vectorSearch("lexical_search", "mv",
       "q", lexicalMode = "fts")).code == ErrorCodes.SearchActionInvalid)
