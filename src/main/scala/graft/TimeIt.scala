@@ -17,7 +17,7 @@ object TimeIt {
       // title-case table build in cold JVMs; identical results on ASCII data.
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
-    spark.sparkContext.setLogLevel("ERROR")
+    spark.sparkContext.setLogLevel(sys.env.getOrElse("SPARK_GRAFT_LOG", "ERROR"))
     val t00 = System.nanoTime()
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => filters.isEmpty || filters.exists(name.contains) }

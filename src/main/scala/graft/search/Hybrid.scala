@@ -2,7 +2,6 @@ package graft.search
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.expressions.Window
 
 /** Hybrid search — weighted Reciprocal Rank Fusion of the semantic and
   * lexical result sets.
@@ -25,6 +24,16 @@ object Hybrid {
   /** Fuse two ranked result sets. Inputs must have (query_idx, id, score).
     * Returns (query_idx, id, score) with score = fused RRF score,
     * top `limit` per query, ordered by score desc then id asc.
+    *
+    * Ranking shape: both inputs are already top-k'd, so each query's list
+    * is <= limit (<= 1000) rows — small enough to rank as ONE aggregated
+    * array per query (collect_list -> sort_array -> posexplode, the
+    * reference's bounded heap as an aggregate). A row_number window would
+    * compute the same ranks, but with a literal query_idx (the single-query
+    * serving path) Catalyst folds the partition spec away and the window
+    * degenerates to a global single-partition sort; the aggregate form
+    * hash-spreads per-query groups across executors regardless of how
+    * query_idx was built, and its state is bounded by limit per group.
     */
   def rrf(
       semantic: DataFrame,
@@ -34,21 +43,27 @@ object Hybrid {
       rrfK: Int,
       limit: Int
   ): DataFrame = {
-    val w = Window.partitionBy("query_idx").orderBy(col("score").desc, col("id").asc)
+    // sort key struct(-score, id): ascending struct order = score desc,
+    // ties id asc — the reference's (distance, id) rank order
+    def ranked(df: DataFrame) = df
+      .select("query_idx", "id", "score")
+      .groupBy("query_idx")
+      .agg(sort_array(collect_list(struct(negate(col("score")).as("ns"),
+        col("id")))).as("ordered"))
+      .select(col("query_idx"),
+        posexplode(col("ordered")).as(Seq("rank0", "row")))
     def contrib(df: DataFrame, weight: Double): DataFrame =
-      df.select("query_idx", "id", "score")
-        .withColumn("rank", row_number().over(w))
-        .select(col("query_idx"), col("id"),
-          (lit(weight) / (lit(rrfK.toDouble) + col("rank").cast("double"))).as("contrib"))
+      ranked(df).select(col("query_idx"), col("row.id").as("id"),
+        (lit(weight) / (lit(rrfK.toDouble) +
+          (col("rank0") + lit(1)).cast("double"))).as("contrib"))
     val fused = contrib(semantic, semanticWeight)
       .unionAll(contrib(lexical, lexicalWeight))
       .groupBy("query_idx", "id")
       .agg(sum("contrib").as("score"))
-    val topW = Window.partitionBy("query_idx").orderBy(col("score").desc, col("id").asc)
-    fused
-      .withColumn("rn", row_number().over(topW))
-      .filter(col("rn") <= limit)
-      .drop("rn")
+    ranked(fused)
+      .filter(col("rank0") < limit)
+      .select(col("query_idx"), col("row.id").as("id"),
+        negate(col("row.ns")).as("score"))
       .orderBy(col("query_idx").asc, col("score").desc, col("id").asc)
   }
 }
