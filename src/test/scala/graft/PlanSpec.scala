@@ -189,6 +189,35 @@ class PlanSpec extends SparkSpec {
       "verification must join per-pair shingle sets, not re-exploded rows")
   }
 
+  test("no entry query plans an unpartitioned window (global single-task sort)") {
+    // An empty window partition spec ships EVERY row to one task — the
+    // classic silent scale killer (WindowExec logs 'No Partition Defined').
+    // Catalyst can also CREATE one by constant-folding a literal partition
+    // key (how the single-query RRF path once degenerated), so guard the
+    // executed plans of the whole query surface, not just the code.
+    import org.apache.spark.sql.execution.SparkPlan
+    import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+    import org.apache.spark.sql.execution.window.WindowExec
+    def badWindows(p: SparkPlan): Seq[String] = {
+      val buf = scala.collection.mutable.Buffer[String]()
+      def walk(n: SparkPlan): Unit = {
+        n match {
+          case w: WindowExec if w.partitionSpec.isEmpty =>
+            buf += w.simpleString(120)
+          case a: AdaptiveSparkPlanExec => walk(a.executedPlan)
+          case _ => ()
+        }
+        n.children.foreach(walk)
+      }
+      walk(p)
+      buf.toSeq
+    }
+    SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val bad = badWindows(fn(spark, dir).queryExecution.executedPlan)
+      assert(bad.isEmpty, s"$name has unpartitioned window(s): ${bad.mkString("; ")}")
+    }
+  }
+
   test("IVF probe prunes to the probed clusters (filter above the scan)") {
     val vecs = Tables.vectors(spark, dir)
     val centroids = graft.ann.Ann.representativeCentroids(vecs, "label")
