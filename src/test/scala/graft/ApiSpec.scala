@@ -190,6 +190,41 @@ class ApiSpec extends SparkSpec {
       s"expected 2 embedded texts, saw ${CountingEmbedder.texts.get()}")
   }
 
+  test("concurrent writers through two Api handles serialize per warehouse") {
+    // The write lock is keyed by warehouse path (WriteLocks), so two Api
+    // instances over the SAME warehouse must serialize their bucket-swap
+    // MERGEs — interleaved writers would otherwise drop each other's rows
+    // or leave an index partition half-swapped.
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val api1 = new Api(spark, dir, new DeterministicHashEmbedder(64))
+    val api2 = new Api(spark, dir, new DeterministicHashEmbedder(64))
+    api1.createCollection("cc1")
+    api1.buildLexicalIndex("cc1")
+    import spark.implicits._
+    import scala.concurrent.{Await, Future}
+    import scala.concurrent.duration._
+    import scala.concurrent.ExecutionContext.Implicits.global
+    val writes = (0 until 6).map { i =>
+      val api = if (i % 2 == 0) api1 else api2
+      Future {
+        api.addDocuments("cc1",
+          (0 until 10).map(j => s"writer $i distinct document number $j")
+            .toDF("content"))
+      }
+    }
+    Await.result(Future.sequence(writes), 120.seconds)
+    // every writer's batch survived (ids are content-derived, all distinct)
+    val entry = api1.catalog.getCollection(api1.catalog.physicalName("default", "cc1"))
+    assert(api1.catalog.readDocuments(entry).count() == 60L)
+    // the incrementally-maintained index matches a from-scratch rebuild
+    val served = graft.search.LexIndex.load(spark, api1.catalog, entry)
+      .select("id", "term").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    graft.search.LexIndex.build(spark, api1.catalog, entry)
+    val rebuilt = graft.search.LexIndex.load(spark, api1.catalog, entry)
+      .select("id", "term").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(served == rebuilt, "incremental index diverged from rebuild under concurrency")
+  }
+
   test("delete requires confirm=true exactly") {
     val api = newApi()
     api.createCollection("del1")
