@@ -104,9 +104,9 @@ object Indexes {
       if (!hasIvf && !(hasPq && exists(IvfIndex.centroidsPath(catalog, entry)))) None
       else {
         val cents = IvfIndex.loadCentroids(spark, catalog, entry)
-        // per-version assignment: Ann.assign picks one row per id (window
-        // on id), so a changed embedding's old and new clusters must be
-        // derived from separate passes over the two snapshots
+        // per-version assignment: Ann.assign picks one row per id (argmin
+        // aggregate on id), so a changed embedding's old and new clusters
+        // must be derived from separate passes over the two snapshots
         def clustersOf(rows: DataFrame): Seq[Long] =
           Ann.assign(rows, cents).select("cluster_id").distinct()
             .collect().map(_.getLong(0)).toSeq

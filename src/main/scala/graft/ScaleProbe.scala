@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Empirical scaling probe: replicate the sf0.1 corpus M-fold and time the
+  * heavy operators at each multiplier, as evidence that their cost curves
+  * are linear in corpus size (the property that must survive 100 TB).
+  *
+  * Replication suffixes EVERY token with the replica index
+  * (`w -> wx<rep>`), so each replica preserves the base corpus's
+  * internal near-duplicate structure (and token count) while sharing
+  * zero shingles/terms across replicas — true output (near-dup pairs, index rows) therefore
+  * grows exactly M-fold, and any super-linear runtime is the OPERATOR's
+  * doing, not the workload's. Embedding replicas keep the base vectors
+  * (ANN serving is top-k-bounded, so identical copies don't change its
+  * cost shape) with ids re-salted to stay distinct.
+  *
+  *   java -cp ... graft.ScaleProbe /root/testdata/sf0.1 1,8,64
+  *
+  * Prints one JSON line per (multiplier, op): {"mult":M,"op":...,
+  * "rows":N,"sec":S}. Not part of the library surface or the driver
+  * contract — evidence tooling like PlanDump.
+  */
+object ScaleProbe {
+
+  private def saltedDocs(base: DataFrame, mult: Int): DataFrame =
+    base.select(col("*"), explode(sequence(lit(0), lit(mult - 1))).as("rep"))
+      .select(
+        concat_ws("#", col("id"), col("rep")).as("id"),
+        concat_ws(" ",
+          transform(split(col("content"), " "),
+            w => concat(w, lit("x"), col("rep")))).as("content"))
+
+  private def saltedVectors(base: DataFrame, mult: Int): DataFrame =
+    base.select(col("*"), explode(sequence(lit(0), lit(mult - 1))).as("rep"))
+      .select(
+        concat_ws("#", col("id"), col("rep")).as("id"),
+        col("embedding"), col("norm"))
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
+    val mults = args.lift(1).getOrElse("1,8,64").split(",").map(_.trim.toInt).toSeq
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .config("spark.sql.icu.caseMappings.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    val printTimer: (Int, String, () => Long) => Unit = (mult, op, f) => {
+      val t0 = System.nanoTime()
+      val rows = f()
+      val sec = (System.nanoTime() - t0) / 1e9
+      println(f"""{"mult":$mult,"op":"$op","rows":$rows,"sec":$sec%.3f}""")
+      spark.catalog.clearCache()
+      System.gc()
+    }
+    // untimed warmup at the smallest multiplier: JIT + janino compilation
+    // would otherwise land entirely in the first timed row
+    runAll(spark, sfDir, mults.min, cpus.toInt, (_, _, f) => { f(); () })
+    mults.foreach { m =>
+      runAll(spark, sfDir, m, cpus.toInt, printTimer)
+    }
+    spark.stop()
+  }
+
+  private def runAll(
+      spark: SparkSession, sfDir: String, m: Int, cpus: Int,
+      timer: (Int, String, () => Long) => Unit): Unit = {
+    def time(op: String)(f: => Long): Unit = { timer(m, op, () => f) }
+    val docs = saltedDocs(Tables.textCorpus(spark, sfDir), m)
+      .repartition(cpus).localCheckpoint() // materialized, evenly spread
+    val vecs = saltedVectors(Tables.vectors(spark, sfDir), m).localCheckpoint()
+    val qs = Tables.queryVectors(spark, sfDir, Seq(0, 1, 2))
+
+    time("dedup_exact")(graft.dedup.Dedup.exact(docs).count())
+    time("dedup_minhash")(
+      graft.dedup.Dedup.minHashNearDups(docs, threshold = 0.6).count())
+    time("dedup_simhash")(
+      graft.dedup.Dedup.simHashNearDups(docs).count())
+    time("dedup_simhash64")(
+      graft.dedup.Dedup.simHash64NearDups(docs).count())
+    time("dedup_ngram_prefix")(
+      graft.dedup.Dedup.ngramJaccardPrefix(docs, threshold = 0.5).count())
+    time("semantic_topk")(
+      graft.ann.Ann.bruteTopK(vecs, qs, 10).count())
+    time("knn_blocked") {
+      // the 100 TB recipe: cluster COUNT scales with the corpus (keeps
+      // per-cluster size — and the within-cluster join — constant);
+      // centroids train on a bounded sample, never the full corpus
+      val nVecs = vecs.count().toDouble
+      val train =
+        if (nVecs <= 20000) vecs
+        else vecs.sample(withReplacement = false, 20000.0 / nVecs, seed = 42L)
+      val cents = graft.ann.Ann.kmeansCentroids(train, 16 * m, 2)
+      val assigned = graft.ann.Ann.assign(vecs, cents)
+      graft.ann.Ann.knnJoinWithin(assigned, 5).count()
+    }
+  }
+}

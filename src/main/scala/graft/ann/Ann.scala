@@ -31,29 +31,43 @@ object Ann {
       k: Int): DataFrame =
     graft.search.Semantic.search(vectors, queries, k)
 
-  /** One deterministic representative vector per label group. */
-  def representativeCentroids(vectors: DataFrame, labelCol: String): DataFrame = {
-    val w = Window.partitionBy(col(labelCol)).orderBy(col("id").asc)
+  /** One deterministic representative vector per label group (the
+    * minimum-id member). min(struct) aggregation, not a window: partial
+    * aggregation collapses each label's rows map-side, so no full-corpus
+    * shuffle — and the struct's lexicographic order (id asc) picks the
+    * same row a row_number window would.
+    */
+  def representativeCentroids(vectors: DataFrame, labelCol: String): DataFrame =
     vectors
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col(labelCol).as("centroid_id"), col("embedding").as("centroid"),
-        col("norm").as("centroid_norm"))
-  }
+      .groupBy(col(labelCol).as("centroid_id"))
+      .agg(min(struct(col("id"), col("embedding"), col("norm"))).as("m"))
+      .select(col("centroid_id"), col("m.embedding").as("centroid"),
+        col("m.norm").as("centroid_norm"))
 
   /** Assign every vector to its nearest centroid (done once, at ingest).
     * Ties break on centroid_id ascending — deterministic.
+    *
+    * The argmin is a min(struct(dist, centroid_id, ...)) aggregation over
+    * the vector-x-centroid product, NOT a window: struct order gives the
+    * identical (dist asc, centroid_id asc) choice, but partial aggregation
+    * collapses each vector's K candidate rows inside the map task — the
+    * shuffle carries one row per VECTOR, not N x K rows. (The window form
+    * measured 30x slower at a 128k x 1024-centroid assignment: it
+    * shuffled and sorted the full 131M-row product.)
     */
   def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
     val joined = vectors.crossJoin(broadcast(centroids))
       .withColumn("dist",
         lit(1.0) - VectorFunctions.dot(col("embedding"), col("centroid")) /
           (col("norm") * col("centroid_norm")))
-    val w = Window.partitionBy(col("id")).orderBy(col("dist").asc, col("centroid_id").asc)
     joined
-      .withColumn("__rn", row_number().over(w))
-      .filter(col("__rn") === 1)
-      .select(col("id"), col("embedding"), col("norm"), col("centroid_id").as("cluster_id"))
+      .groupBy("id")
+      // embedding/norm ride in trailing struct fields: (dist, centroid_id)
+      // is unique per id-group, so they never participate in the ordering
+      .agg(min(struct(col("dist"), col("centroid_id"),
+        col("embedding"), col("norm"))).as("m"))
+      .select(col("id"), col("m.embedding").as("embedding"),
+        col("m.norm").as("norm"), col("m.centroid_id").as("cluster_id"))
   }
 
   /** Offline kNN self-join: every vector's top-k neighbors (excluding
@@ -157,7 +171,12 @@ object Ann {
       .filter(col("qid") =!= col("id"))
       .withColumn("score",
         VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
-    val w = Window.partitionBy("qid")
+    // qid -> cluster_id is functional (each vector is assigned once), so
+    // ranking per (cluster_id, qid) equals ranking per qid — but the join
+    // output is ALREADY hash-distributed by cluster_id, which satisfies
+    // the (cluster_id, qid) clustering: the window needs only a
+    // within-partition sort, no second shuffle of the candidate pairs.
+    val w = Window.partitionBy("cluster_id", "qid")
       .orderBy(col("score").desc, col("id").asc)
     scored
       .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)

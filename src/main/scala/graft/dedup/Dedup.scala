@@ -246,6 +246,85 @@ object Dedup {
           .reduce(_ + _).as("fp"))
   }
 
+  /** 64-bit SimHash near-dups — the corpus-scale variant of
+    * [[simHashNearDups]]. 32-bit fingerprints saturate by birthday
+    * collision once |distinct fp| approaches 2^16·sqrt-scale corpora
+    * (hundreds of thousands of documents produce spurious hamming<=3
+    * pairs between unrelated texts, and the 8-bit band keys degrade into
+    * 256 giant buckets); 64 bits push both cliffs out by a factor of
+    * 2^32 and give 16-bit band keys (65536 buckets/block at blocks=4).
+    *
+    * The fingerprint is held as two 32-bit halves (hi = md5 hex 1-8,
+    * lo = hex 9-16) so every number stays inside SIGNED 64-bit range in
+    * both Spark and the DuckDB oracle; hamming = popcount(hi xor hi') +
+    * popcount(lo xor lo'). Same candidate shape as the 32-bit operator:
+    * banding over DISTINCT fingerprints, hamming filter inside the join,
+    * doc pairs recovered by keyed equi-joins.
+    */
+  def simHash64NearDups(
+      docs: DataFrame,
+      maxHamming: Int = 3,
+      blocks: Int = 4): DataFrame = {
+    require(maxHamming < blocks, "pigeonhole guarantee needs maxHamming < blocks")
+    require(64 % blocks == 0 && blocks % 2 == 0,
+      s"blocks=$blocks must be even and divide 64")
+    val fp = simHashFingerprints64(docs).persist(StorageLevel.MEMORY_ONLY)
+    val fps = fp.select("fp_hi", "fp_lo").distinct()
+    val bitsPerBlock = 64 / blocks
+    val perHalf = blocks / 2
+    def blockKey(b: Int): Column = {
+      val half = if (b < perHalf) col("fp_lo") else col("fp_hi")
+      val shift = (if (b < perHalf) b else b - perHalf) * bitsPerBlock
+      call_function("shiftright", half, lit(shift)) % (1L << bitsPerBlock)
+    }
+    val banded = fps.select(
+      col("fp_hi"), col("fp_lo"),
+      posexplode(array((0 until blocks).map(blockKey): _*)).as(Seq("block", "key")))
+    val ham = hamming(col("x.fp_hi"), col("y.fp_hi")) +
+      hamming(col("x.fp_lo"), col("y.fp_lo"))
+    val fpPairs = banded.as("x").join(banded.as("y"),
+        col("x.block") === col("y.block") && col("x.key") === col("y.key") &&
+          (col("x.fp_hi") < col("y.fp_hi") ||
+            (col("x.fp_hi") === col("y.fp_hi") && col("x.fp_lo") < col("y.fp_lo"))))
+      .withColumn("hamming", ham)
+      .filter(col("hamming") <= maxHamming)
+      .select(col("x.fp_hi").as("ha"), col("x.fp_lo").as("la"),
+        col("y.fp_hi").as("hb"), col("y.fp_lo").as("lb"), col("hamming"))
+      .distinct()
+    val cross = fpPairs
+      .join(fp.select(col("id").as("ia"), col("fp_hi").as("ha"), col("fp_lo").as("la")),
+        Seq("ha", "la"))
+      .join(fp.select(col("id").as("ib"), col("fp_hi").as("hb"), col("fp_lo").as("lb")),
+        Seq("hb", "lb"))
+      .select(least(col("ia"), col("ib")).as("a"),
+        greatest(col("ia"), col("ib")).as("b"), col("hamming"))
+    val same = fp.as("x").join(fp.as("y"),
+        col("x.fp_hi") === col("y.fp_hi") && col("x.fp_lo") === col("y.fp_lo") &&
+          col("x.id") < col("y.id"))
+      .select(col("x.id").as("a"), col("y.id").as("b"), lit(0).as("hamming"))
+    cross.unionByName(same)
+  }
+
+  /** 64-bit SimHash per document as two 32-bit halves: bit i of each half
+    * set iff the tf-weighted sum of (+1/-1 by bit i of that half's token
+    * hash) is positive. (id, fp_hi, fp_lo).
+    */
+  def simHashFingerprints64(docs: DataFrame): DataFrame = {
+    val toks = docs
+      .select(col("id"), explode(tokens(col("content"))).as("tok"))
+      .withColumn("hh", stableHash32(col("tok")))
+      .withColumn("hl", graft.functions.TextFunctions.stableHash32b(col("tok")))
+    def bitAggs(h: String, p: String) = (0 until 32).map { i =>
+      sum(when(call_function("shiftright", col(h), lit(i)) % 2 === 1, 1L)
+        .otherwise(-1L)).as(s"$p$i")
+    }
+    val aggs = bitAggs("hh", "h") ++ bitAggs("hl", "l")
+    def fold(p: String) = (0 until 32).map(i =>
+      when(col(s"$p$i") > 0, lit(1L << i)).otherwise(lit(0L))).reduce(_ + _)
+    toks.groupBy("id").agg(aggs.head, aggs.tail: _*)
+      .select(col("id"), fold("h").as("fp_hi"), fold("l").as("fp_lo"))
+  }
+
   /** Exact n-gram Jaccard over the shingle inverted index: pairs sharing at
     * least one shingle get their intersection counted by a groupBy — the
     * all-pairs cross join never materializes.

@@ -138,6 +138,35 @@ object DedupQueries {
       |WHERE bit_count(xor(a.fp, b.fp)) <= 3
       |ORDER BY a, b""".stripMargin
 
+  def dedupSimhash64(s: SparkSession, dir: String): DataFrame =
+    Dedup.simHash64NearDups(docs(s, dir), maxHamming = 3, blocks = 4)
+      .orderBy("a", "b")
+
+  val dedupSimhash64Sql: String =
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(regexp_extract_all(lower(text), '[a-z0-9_]{2,}')) AS tok
+      |  FROM documents),
+      |h AS (SELECT doc_id,
+      |        ('0x' || substr(md5(tok), 1, 8))::BIGINT AS hh,
+      |        ('0x' || substr(md5(tok), 9, 8))::BIGINT AS hl FROM toks),
+      |bits AS (
+      |  SELECT doc_id, i,
+      |         sum(CASE WHEN (hh >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sh,
+      |         sum(CASE WHEN (hl >> i) & 1 = 1 THEN 1 ELSE -1 END) AS sl
+      |  FROM h CROSS JOIN (SELECT CAST(unnest(range(32)) AS INTEGER) AS i)
+      |  GROUP BY doc_id, i),
+      |fp AS (
+      |  SELECT doc_id,
+      |         sum(CASE WHEN sh > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS fp_hi,
+      |         sum(CASE WHEN sl > 0 THEN (CAST(1 AS BIGINT) << i) ELSE 0 END) AS fp_lo
+      |  FROM bits GROUP BY doc_id)
+      |SELECT a.doc_id AS a, b.doc_id AS b,
+      |       CAST(bit_count(xor(a.fp_hi, b.fp_hi))
+      |          + bit_count(xor(a.fp_lo, b.fp_lo)) AS INTEGER) AS hamming
+      |FROM fp a JOIN fp b ON a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
+      |ORDER BY a, b""".stripMargin
+
   // ---- embedding cosine near-dups ----
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.vectors(s, dir), threshold = 0.4)
@@ -433,6 +462,7 @@ object DedupQueries {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_simhash" -> (dedupSimhash _),
+    "q_dedup_simhash64" -> (dedupSimhash64 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_ann_brute" -> (annBrute _),
     "q_ann_ivf" -> (annIvf _),
@@ -449,6 +479,7 @@ object DedupQueries {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_simhash" -> dedupSimhashSql,
+    "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_ann_brute" -> annBruteSql,
     "q_ann_ivf" -> annIvfSql,

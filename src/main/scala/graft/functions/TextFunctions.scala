@@ -74,6 +74,15 @@ object TextFunctions {
   def stableHash32(s: Column): Column =
     conv(substring(md5(s), 1, 8), 16, 10).cast("long")
 
+  /** Second independent stable 32-bit hash: md5 hex chars 9..16.
+    * (DuckDB: `('0x' || substr(md5(s),9,8))::BIGINT`.) Pairs with
+    * [[stableHash32]] to build 64-bit fingerprints whose arithmetic stays
+    * inside SIGNED 64-bit range in both engines — a single 64-bit unsigned
+    * parse would overflow BIGINT on either side.
+    */
+  def stableHash32b(s: Column): Column =
+    conv(substring(md5(s), 9, 8), 16, 10).cast("long")
+
   /** MinHash signature entry j for a shingle set: min over shingles of
     * (a_j * h + b_j) mod p with h = stableHash32(shingle).
     * p = 1e9+7 keeps a*h < 2^63 (a,b < p, h < 2^32).

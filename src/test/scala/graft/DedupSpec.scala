@@ -110,4 +110,27 @@ class DedupSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaBlocks == brute)
   }
+
+  test("64-bit simhash blocking is lossless and strictly sharper than 32-bit") {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("content"))
+    val viaBlocks = Dedup.simHash64NearDups(docs, maxHamming = 3, blocks = 4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // brute-force pairs over the two-half fingerprints
+    val fp = Dedup.simHashFingerprints64(docs)
+    val brute = fp.as("x").join(fp.as("y"), col("x.id") < col("y.id"))
+      .withColumn("h",
+        graft.functions.TextFunctions.hamming(col("x.fp_hi"), col("y.fp_hi")) +
+          graft.functions.TextFunctions.hamming(col("x.fp_lo"), col("y.fp_lo")))
+      .filter(col("h") <= 3)
+      .select(col("x.id"), col("y.id")).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBlocks == brute)
+    // 64 bits can only DROP pairs relative to its own hi-half (= the
+    // 32-bit fingerprint): hamming64 >= hamming(hi), so the 64-bit pair
+    // set is a subset of the 32-bit one at the same threshold
+    val pairs32 = Dedup.simHashNearDups(docs, maxHamming = 3, blocks = 4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaBlocks.subsetOf(pairs32))
+  }
 }
