@@ -74,7 +74,11 @@ object ScaleProbe {
     def time(op: String)(f: => Long): Unit = { timer(m, op, () => f) }
     val docs = saltedDocs(Tables.textCorpus(spark, sfDir), m)
       .repartition(cpus).localCheckpoint() // materialized, evenly spread
-    val vecs = saltedVectors(Tables.vectors(spark, sfDir), m).localCheckpoint()
+    // repartition matters: the base parquet is ONE file, and explode keeps
+    // its partitioning — narrow operators downstream would otherwise run
+    // single-task (measured: the whole blocked-kNN stage on one core)
+    val vecs = saltedVectors(Tables.vectors(spark, sfDir), m)
+      .repartition(cpus).localCheckpoint()
     val qs = Tables.queryVectors(spark, sfDir, Seq(0, 1, 2))
 
     time("dedup_exact")(graft.dedup.Dedup.exact(docs).count())
@@ -91,11 +95,12 @@ object ScaleProbe {
     time("knn_blocked") {
       // the 100 TB recipe: cluster COUNT scales with the corpus (keeps
       // per-cluster size — and the within-cluster join — constant);
-      // centroids train on a bounded sample, never the full corpus
-      val nVecs = vecs.count().toDouble
-      val train =
-        if (nVecs <= 20000) vecs
-        else vecs.sample(withReplacement = false, 20000.0 / nVecs, seed = 42L)
+      // centroids train on a bounded, DEDUPLICATED sample (here: the base
+      // vectors before replication — training on the replicated corpus
+      // seeds duplicate centroids, which collapse into few giant skewed
+      // clusters), never the full corpus
+      val train = Tables.vectors(spark, sfDir)
+        .select("id", "embedding", "norm")
       val cents = graft.ann.Ann.kmeansCentroids(train, 16 * m, 2)
       val assigned = graft.ann.Ann.assign(vecs, cents)
       graft.ann.Ann.knnJoinWithin(assigned, 5).count()

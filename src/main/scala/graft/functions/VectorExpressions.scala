@@ -224,6 +224,91 @@ object VectorExpressions {
       })
   }
 
+  /** Argmin over a BAKED centroid matrix: returns the 0-based index (in
+    * the constructor's row order) of the centroid with minimum cosine
+    * distance `1 - dot/(norm * centroidNorm)` from the row's embedding.
+    *
+    * This is the assignment kernel of IVF builds: the declarative
+    * formulation (crossJoin(broadcast(centroids)) + argmin) materializes
+    * an N x K row product — ~520 bytes per row with both arrays aboard —
+    * before anything can reduce it, which measured 400+ s at
+    * 128k x 1024 on 32 cores. Here the matrix rides once per task as a
+    * reference object and each row runs a K x D primitive loop inside
+    * codegen: no row explosion, no shuffle, N output rows.
+    *
+    * Parity with the declarative form: dots accumulate left-to-right in
+    * double (same order as [[DotProduct]]), candidates are compared with
+    * NaN-as-largest semantics, and the CALLER passes centroids sorted
+    * ascending by centroid id so index order reproduces the
+    * (dist asc, centroid_id asc) tie-break of min(struct(...)).
+    */
+  case class NearestCentroidIndex(
+      left: Expression,  // embedding: array<float|double>
+      right: Expression, // precomputed L2 norm: double
+      centroids: Array[Array[Float]],
+      centroidNorms: Array[Double])
+      extends BinaryExpression {
+    require(centroids.nonEmpty && centroids.length == centroidNorms.length,
+      "centroid matrix and norms must be non-empty and aligned")
+    override def dataType: DataType = IntegerType
+    override protected def withNewChildrenInternal(
+        newLeft: Expression, newRight: Expression): NearestCentroidIndex =
+      copy(left = newLeft, right = newRight)
+
+    override def nullSafeEval(a: Any, b: Any): Any = {
+      val e = a.asInstanceOf[ArrayData]
+      val norm = b.asInstanceOf[Double]
+      val et = elemType(left)
+      var bestDist = 0.0
+      var bestIdx = -1
+      var k = 0
+      while (k < centroids.length) {
+        val c = centroids(k)
+        val n = math.min(e.numElements(), c.length)
+        var dot = 0.0
+        var i = 0
+        while (i < n) { dot += getD(e, i, et) * c(i).toDouble; i += 1 }
+        val dist = 1.0 - dot / (norm * centroidNorms(k))
+        if (bestIdx < 0 ||
+            (java.lang.Double.isNaN(bestDist) && !java.lang.Double.isNaN(dist)) ||
+            dist < bestDist) {
+          bestDist = dist; bestIdx = k
+        }
+        k += 1
+      }
+      bestIdx
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+      val g = getterName(elemType(left))
+      val mat = ctx.addReferenceObj("centroidMat", centroids, "float[][]")
+      val cns = ctx.addReferenceObj("centroidNorms", centroidNorms, "double[]")
+      nullSafeCodeGen(ctx, ev, (a, b) => {
+        val (bd, bi, k, c, n, dot, i, d) = (
+          ctx.freshName("bestDist"), ctx.freshName("bestIdx"),
+          ctx.freshName("k"), ctx.freshName("c"), ctx.freshName("n"),
+          ctx.freshName("dot"), ctx.freshName("i"), ctx.freshName("dist"))
+        s"""
+        |double $bd = 0.0;
+        |int $bi = -1;
+        |for (int $k = 0; $k < $mat.length; $k++) {
+        |  float[] $c = $mat[$k];
+        |  int $n = Math.min($a.numElements(), $c.length);
+        |  double $dot = 0.0;
+        |  for (int $i = 0; $i < $n; $i++) {
+        |    $dot += ((double)$a.$g($i)) * ((double)$c[$i]);
+        |  }
+        |  double $d = 1.0 - $dot / ($b * $cns[$k]);
+        |  if ($bi < 0 || (Double.isNaN($bd) && !Double.isNaN($d)) || $d < $bd) {
+        |    $bd = $d; $bi = $k;
+        |  }
+        |}
+        |${ev.value} = $bi;
+        """.stripMargin
+      })
+    }
+  }
+
   // Column-API entry points
   def dotNative(a: Column, b: Column): Column = column(DotProduct(expr(a), expr(b)))
   def l2NormNative(a: Column): Column = column(L2Norm(expr(a)))

@@ -60,4 +60,17 @@ object VectorFunctions {
   /** Euclidean (L2) distance in double. */
   def l2Distance(a: Column, b: Column): Column =
     sqrt(VectorExpressions.l2DistanceSqNative(a, b))
+
+  /** 0-based argmin index into a baked centroid matrix by cosine distance
+    * (see [[VectorExpressions.NearestCentroidIndex]]); rows must pass
+    * centroids pre-sorted in the desired tie-break order.
+    */
+  def nearestCentroidIndex(
+      embedding: Column, norm: Column,
+      centroids: Array[Array[Float]], centroidNorms: Array[Double]): Column =
+    org.apache.spark.sql.GraftSqlBridge.column(
+      VectorExpressions.NearestCentroidIndex(
+        org.apache.spark.sql.GraftSqlBridge.expression(embedding),
+        org.apache.spark.sql.GraftSqlBridge.expression(norm),
+        centroids, centroidNorms))
 }
