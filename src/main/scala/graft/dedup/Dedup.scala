@@ -181,9 +181,21 @@ object Dedup {
       .select("a", "b", "jaccard")
 
   /** SimHash near-dups: 32-bit fingerprints from exploded token rows
-    * (md5 once per token, 32 codegen'd conditional sums), pigeonhole band
-    * blocking (`blocks` slices: hamming <= blocks-1 implies >= 1 identical
-    * slice), hamming verify. Exact w.r.t. the simhash fingerprints.
+    * (md5 once per token, 32 codegen'd conditional sums), block-combination
+    * blocking, hamming verify. Exact w.r.t. the simhash fingerprints.
+    *
+    * Blocking (Manku et al., WWW'07 §3): the fingerprint splits into
+    * `blocks` nearly-even bit slices; `maxHamming` errors corrupt at most
+    * `maxHamming` slices, so at least `blocks - maxHamming` slices are
+    * clean and the key concatenating those slices matches exactly. One
+    * candidate table per C(blocks, blocks-maxHamming) slice combination.
+    * At blocks = maxHamming+1 this degenerates to classic single-slice
+    * pigeonhole banding; LARGER `blocks` trades more tables for much
+    * wider keys — e.g. d=3: blocks=4 gives 4 tables of 8-bit keys (256
+    * buckets, ~N^2/512 candidate pairs), blocks=6 gives 20 tables of
+    * 16/17-bit keys (~N^2·20/2^17 pairs — ~50x fewer at N=50k, and the
+    * gap widens with N). Candidate volume, not verify cost, dominates
+    * this operator, so the default is blocks=6.
     *
     * Scale shape: candidate generation runs over DISTINCT fingerprints, not
     * documents. Near-dup corpora collapse many documents onto one
@@ -199,16 +211,25 @@ object Dedup {
   def simHashNearDups(
       docs: DataFrame,
       maxHamming: Int = 3,
-      blocks: Int = 4): DataFrame = {
-    require(maxHamming < blocks, "pigeonhole guarantee needs maxHamming < blocks")
+      blocks: Int = 6): DataFrame = {
+    require(maxHamming < blocks && blocks <= 32,
+      "pigeonhole guarantee needs maxHamming < blocks <= 32")
     val fp = simHashFingerprints(docs).persist(StorageLevel.MEMORY_ONLY)
     val fps = fp.select("fp").distinct()
-    val bitsPerBlock = 32 / blocks
+    val widths = (0 until blocks).map(i => 32 / blocks + (if (i < 32 % blocks) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(b: Int): Column =
+      call_function("shiftright", col("fp"), lit(offsets(b))) % (1L << widths(b))
+    // one key per slice combination: clean slices concatenated into a long
+    // (injective: each slice lands at its cumulative-width bit offset)
+    val comboKeys = (0 until blocks).combinations(blocks - maxHamming).toSeq.map { combo =>
+      combo.foldLeft((lit(0L), 0)) { case ((acc, at), b) =>
+        (acc + blockVal(b) * lit(1L << at), at + widths(b))
+      }._1
+    }
     val banded = fps.select(
       col("fp"),
-      posexplode(array((0 until blocks).map { b =>
-        call_function("shiftright", col("fp"), lit(b * bitsPerBlock)) % (1L << bitsPerBlock)
-      }: _*)).as(Seq("block", "key")))
+      posexplode(array(comboKeys: _*)).as(Seq("block", "key")))
     val fpPairs = banded.as("x").join(banded.as("y"),
         col("x.block") === col("y.block") && col("x.key") === col("y.key") &&
           col("x.fp") < col("y.fp"))
@@ -252,7 +273,9 @@ object Dedup {
     * (hundreds of thousands of documents produce spurious hamming<=3
     * pairs between unrelated texts, and the 8-bit band keys degrade into
     * 256 giant buckets); 64 bits push both cliffs out by a factor of
-    * 2^32 and give 16-bit band keys (65536 buckets/block at blocks=4).
+    * 2^32, and block-combination blocking (see [[simHashNearDups]]) gives
+    * multi-slice keys — 32/33-bit combos at blocks=6 — whose buckets stay
+    * small deep into the billions of distinct fingerprints.
     *
     * The fingerprint is held as two 32-bit halves (hi = md5 hex 1-8,
     * lo = hex 9-16) so every number stays inside SIGNED 64-bit range in
@@ -264,22 +287,37 @@ object Dedup {
   def simHash64NearDups(
       docs: DataFrame,
       maxHamming: Int = 3,
-      blocks: Int = 4): DataFrame = {
+      blocks: Int = 6): DataFrame = {
     require(maxHamming < blocks, "pigeonhole guarantee needs maxHamming < blocks")
-    require(64 % blocks == 0 && blocks % 2 == 0,
-      s"blocks=$blocks must be even and divide 64")
+    require(blocks % 2 == 0 && blocks <= 64,
+      s"blocks=$blocks must be even (half the slices per 32-bit half) and <= 64")
     val fp = simHashFingerprints64(docs).persist(StorageLevel.MEMORY_ONLY)
     val fps = fp.select("fp_hi", "fp_lo").distinct()
-    val bitsPerBlock = 64 / blocks
+    // blocks/2 nearly-even slices per 32-bit half; slice widths sum to 32.
     val perHalf = blocks / 2
-    def blockKey(b: Int): Column = {
+    val widths = (0 until perHalf).map(i => 32 / perHalf + (if (i < 32 % perHalf) 1 else 0))
+    val offsets = widths.scanLeft(0)(_ + _)
+    def blockVal(b: Int): Column = {
       val half = if (b < perHalf) col("fp_lo") else col("fp_hi")
-      val shift = (if (b < perHalf) b else b - perHalf) * bitsPerBlock
-      call_function("shiftright", half, lit(shift)) % (1L << bitsPerBlock)
+      val i = if (b < perHalf) b else b - perHalf
+      call_function("shiftright", half, lit(offsets(i))) % (1L << widths(i))
     }
+    def widthOf(b: Int): Int = widths(if (b < perHalf) b else b - perHalf)
+    // combination keys (same guarantee as the 32-bit form): one table per
+    // C(blocks, blocks-maxHamming) slice combo; combos of <= 48 bits of
+    // slices (blocks=6, d=3) stay inside a signed long
+    val comboKeys = (0 until blocks).combinations(blocks - maxHamming).toSeq.map { combo =>
+      combo.foldLeft((lit(0L), 0)) { case ((acc, at), b) =>
+        (acc + blockVal(b) * lit(1L << at), at + widthOf(b))
+      }._1
+    }
+    require(comboKeys.nonEmpty &&
+      (0 until blocks).combinations(blocks - maxHamming)
+        .forall(_.map(widthOf).sum <= 62),
+      "combo key must fit a signed long; raise blocks or maxHamming")
     val banded = fps.select(
       col("fp_hi"), col("fp_lo"),
-      posexplode(array((0 until blocks).map(blockKey): _*)).as(Seq("block", "key")))
+      posexplode(array(comboKeys: _*)).as(Seq("block", "key")))
     val ham = hamming(col("x.fp_hi"), col("y.fp_hi")) +
       hamming(col("x.fp_lo"), col("y.fp_lo"))
     val fpPairs = banded.as("x").join(banded.as("y"),

@@ -115,7 +115,7 @@ object DedupQueries {
 
   // ---- SimHash near-dups (full fingerprint replay in the oracle) ----
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHashNearDups(docs(s, dir), maxHamming = 3, blocks = 4)
+    Dedup.simHashNearDups(docs(s, dir), maxHamming = 3, blocks = 6)
       .orderBy("a", "b")
 
   val dedupSimhashSql: String =
@@ -139,7 +139,7 @@ object DedupQueries {
       |ORDER BY a, b""".stripMargin
 
   def dedupSimhash64(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash64NearDups(docs(s, dir), maxHamming = 3, blocks = 4)
+    Dedup.simHash64NearDups(docs(s, dir), maxHamming = 3, blocks = 6)
       .orderBy("a", "b")
 
   val dedupSimhash64Sql: String =

@@ -99,8 +99,6 @@ class DedupSpec extends SparkSpec {
   test("simhash blocking is lossless for hamming <= blocks-1") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))
-    val viaBlocks = Dedup.simHashNearDups(docs, maxHamming = 3, blocks = 4)
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute-force pairs over the fingerprints
     val fp = Dedup.simHashFingerprints(docs)
     val brute = fp.as("x").join(fp.as("y"), col("x.id") < col("y.id"))
@@ -108,14 +106,19 @@ class DedupSpec extends SparkSpec {
       .filter(col("h") <= 3)
       .select(col("x.id"), col("y.id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    assert(viaBlocks == brute)
+    // blocks=4: single-slice pigeonhole banding; blocks=6/7: multi-slice
+    // combination keys (uneven widths at 7). Same pair set from all.
+    for (blocks <- Seq(4, 6, 7)) {
+      val viaBlocks = Dedup.simHashNearDups(docs, maxHamming = 3, blocks = blocks)
+        .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+      assert(viaBlocks == brute, s"combination blocking lost pairs at blocks=$blocks")
+      spark.catalog.clearCache()
+    }
   }
 
   test("64-bit simhash blocking is lossless and strictly sharper than 32-bit") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))
-    val viaBlocks = Dedup.simHash64NearDups(docs, maxHamming = 3, blocks = 4)
-      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     // brute-force pairs over the two-half fingerprints
     val fp = Dedup.simHashFingerprints64(docs)
     val brute = fp.as("x").join(fp.as("y"), col("x.id") < col("y.id"))
@@ -125,7 +128,14 @@ class DedupSpec extends SparkSpec {
       .filter(col("h") <= 3)
       .select(col("x.id"), col("y.id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val viaBlocks = Dedup.simHash64NearDups(docs, maxHamming = 3, blocks = 4)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaBlocks == brute)
+    // multi-slice combination keys (blocks=6: combos of 3 slices spanning
+    // both halves) must recover the identical pair set
+    val viaCombos = Dedup.simHash64NearDups(docs, maxHamming = 3, blocks = 6)
+      .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(viaCombos == brute, "combination blocking lost pairs at blocks=6")
     // 64 bits can only DROP pairs relative to its own hi-half (= the
     // 32-bit fingerprint): hamming64 >= hamming(hi), so the 64-bit pair
     // set is a subset of the 32-bit one at the same threshold
