@@ -404,8 +404,8 @@ object Dedup {
   /** Exact n-gram Jaccard with PPJoin-style prefix + size filtering —
     * identical results to [[ngramJaccard]], far fewer candidates.
     *
-    * Order every document's shingles by GLOBAL rarity (df asc, shingle
-    * asc); a pair with Jaccard >= t must share a shingle within both
+    * Order every document's shingles by GLOBAL rarity (df asc, tiebreak
+    * below); a pair with Jaccard >= t must share a shingle within both
     * documents' first `len - ceil(t*len) + 1` shingles (prefix-filter
     * theorem) and satisfy t*|A| <= |B| (size filter). Candidate
     * generation joins ONLY prefix rows — and since prefixes hold each
@@ -416,6 +416,19 @@ object Dedup {
     * The epsilon inside ceil() guards against float fuzz enlarging the
     * prefix cutoff (a slightly larger prefix is always safe; a smaller
     * one is not).
+    *
+    * Every shuffle in candidate generation is keyed by an 8-byte
+    * `xxhash64(sh)` instead of the shingle STRING (a word 3-gram averages
+    * ~25 bytes and the df/join stages ship every shingle occurrence):
+    * df counting groups by hash, the df join probes on hash, and the
+    * prefix self-join matches on hash — ~3x less shuffle volume and
+    * fixed-width comparisons throughout. Correctness is unaffected:
+    * the prefix theorem holds for ANY consistent total order, and
+    * (df(h(sh)), h(sh), sh) IS one (sh appears as the final tiebreak, so
+    * hash ties between distinct shingles still order consistently across
+    * documents); equal shingles always share a hash, so the hash join
+    * finds every true candidate, and a hash COLLISION can only add a
+    * false candidate that the exact-Jaccard verify discards.
     */
   def ngramJaccardPrefix(
       docs: DataFrame,
@@ -423,17 +436,19 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold out of (0,1]")
     val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
-    val sh = sets.select(col("id"), explode(col("shs")).as("sh"), col("len"))
-    val dfs = sh.groupBy("sh").agg(count(lit(1)).as("df"))
+    val sh = sets
+      .select(col("id"), explode(col("shs")).as("sh"), col("len"))
+      .withColumn("h", xxhash64(col("sh")))
+    val dfs = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val rankW = org.apache.spark.sql.expressions.Window
-      .partitionBy("id").orderBy(col("df").asc, col("sh").asc)
-    val pref = sh.join(dfs, "sh")
+      .partitionBy("id").orderBy(col("df").asc, col("h").asc, col("sh").asc)
+    val pref = sh.join(dfs, "h")
       .withColumn("rnk", row_number().over(rankW))
       .filter(col("rnk") <=
         col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
-      .select("id", "sh", "len")
+      .select("id", "h", "len")
     val cands = pref.as("x").join(pref.as("y"),
-        col("x.sh") === col("y.sh") && col("x.id") < col("y.id") &&
+        col("x.h") === col("y.h") && col("x.id") < col("y.id") &&
           col("x.len") * lit(threshold) <= col("y.len") &&
           col("y.len") * lit(threshold) <= col("x.len"))
       .select(col("x.id").as("a"), col("y.id").as("b"))
