@@ -1,0 +1,129 @@
+package graft.dedup
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions._
+
+/** Corpus-filtering signals for pretraining pipelines, beyond pairwise
+  * dedup: within-document repetition statistics (the Gopher/MassiveText
+  * repetition rules, Rae et al. 2021 §A1.1) and corpus-level boilerplate
+  * coverage (template/navigation n-grams shared by many documents, the
+  * C4/RefinedWeb line-dedup idea expressed over token n-grams).
+  *
+  * Same dataflow contract as [[Dedup]]: EXPLODE + JOIN + AGGREGATE with
+  * keyed shuffles only. The tokenizer regex runs once per document into a
+  * materialized column; n-gram assembly is an in-row transform over that
+  * array; every aggregation is combiner-friendly (map-side partial
+  * collapses within-document repeats before any shuffle).
+  */
+object CorpusFilters {
+
+  /** REPEATING (non-distinct) n-grams of a token array — unlike
+    * [[graft.functions.TextFunctions.shingles]], duplicates stay, because
+    * repetition counting is the point. Empty/short docs get an empty
+    * array (guarded: `sequence(0, -1)` would otherwise emit a descending
+    * range).
+    */
+  private def gramsOf(toks: Column, n: Int): Column =
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      transform(sequence(lit(0), size(toks) - lit(n)), i =>
+        concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
+
+  /** n-gram occurrence rows with start positions:
+    * (id, tok_len, pos, g), pos 0-based. One scan, no shuffle.
+    */
+  def gramRows(
+      docs: DataFrame,
+      n: Int,
+      idCol: String = "id",
+      contentCol: String = "content"): DataFrame =
+    docs
+      .select(col(idCol).as("id"), tokens(col(contentCol)).as("toks"))
+      .select(col("id"), size(col("toks")).as("tok_len"),
+        posexplode(gramsOf(col("toks"), n)).as(Seq("pos", "g")))
+
+  /** Within-document repetition signals, one row per (document, n):
+    *
+    *   - `total_ngrams` / `distinct_ngrams` — occurrence vs type counts
+    *   - `dup_frac` — fraction of n-gram slots occupied by a repeat
+    *     (`1 - distinct/total`; Gopher's "duplicate n-grams" family)
+    *   - `top_frac` — the most frequent n-gram's share of all slots
+    *     (Gopher's "top n-gram coverage")
+    *
+    * Documents with fewer than n tokens emit no row (no n-gram slots —
+    * the fractions are undefined, matching Gopher which filters on
+    * defined signals only).
+    *
+    * Scale shape: two keyed aggregations, (id, n, g) then (id, n). The
+    * first has map-side combine — a pathologically repetitive document
+    * (the very thing this signal flags) collapses to its type count
+    * before the shuffle, so hot documents cannot skew it. Group keys
+    * carry the gram string for oracle replay; an oracle-free deployment
+    * can key on xxhash64(g) as in [[Dedup.ngramJaccardPrefix]].
+    */
+  def repetitionSignals(
+      docs: DataFrame,
+      ns: Seq[Int] = Seq(2, 3),
+      idCol: String = "id",
+      contentCol: String = "content"): DataFrame = {
+    require(ns.nonEmpty && ns.forall(_ >= 1), s"ns $ns must be positive")
+    val grams = ns.map { n =>
+      gramRows(docs, n, idCol, contentCol).withColumn("n", lit(n))
+    }.reduce(_ unionByName _)
+    grams
+      .groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
+      .groupBy("id", "n")
+      .agg(sum("c").as("total_ngrams"),
+        count(lit(1)).as("distinct_ngrams"),
+        max("c").as("top_count"))
+      .select(col("id"), col("n"),
+        col("total_ngrams"), col("distinct_ngrams"),
+        (lit(1.0) - col("distinct_ngrams").cast("double") /
+          col("total_ngrams").cast("double")).as("dup_frac"),
+        (col("top_count").cast("double") /
+          col("total_ngrams").cast("double")).as("top_frac"))
+  }
+
+  /** Corpus-level boilerplate coverage: an n-gram appearing in at least
+    * `minDf` DISTINCT documents is boilerplate; a document's coverage is
+    * the fraction of its token positions lying inside at least one
+    * boilerplate n-gram occurrence (interval union over [pos, pos+n)).
+    * Output: (id, tok_len, covered_tokens, boilerplate_frac) — every
+    * document appears, zero-covered ones included, so the result joins
+    * directly into a keep/drop gate.
+    *
+    * Scale shape: df counting aggregates DISTINCT (id, g) rows — map-side
+    * partial dedup bounds a repetitive document's contribution before the
+    * shuffle — and only grams at df >= minDf survive into the left-semi
+    * probe (broadcast-sized for realistic thresholds: boilerplate is by
+    * definition a small fraction of the gram vocabulary). Position
+    * expansion multiplies FLAGGED occurrences only by n, then collapses
+    * per document. No all-pairs stage anywhere; everything keys on g or
+    * id.
+    */
+  def boilerplateCoverage(
+      docs: DataFrame,
+      n: Int = 3,
+      minDf: Int = 5,
+      idCol: String = "id",
+      contentCol: String = "content"): DataFrame = {
+    require(n >= 1 && minDf >= 2, s"need n >= 1, minDf >= 2 (got n=$n, minDf=$minDf)")
+    val rows = gramRows(docs, n, idCol, contentCol)
+    val boiler = rows.select("id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("g")
+    val covered = rows.join(boiler, Seq("g"), "left_semi")
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+      .groupBy("id").agg(count(lit(1)).as("covered_tokens"))
+    docs
+      .select(col(idCol).as("id"), size(tokens(col(contentCol))).as("tok_len"))
+      .join(covered, Seq("id"), "left")
+      .select(col("id"), col("tok_len"),
+        coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),
+        when(col("tok_len") === 0, lit(0.0)).otherwise(
+          coalesce(col("covered_tokens"), lit(0L)).cast("double") /
+            col("tok_len").cast("double")).as("boilerplate_frac"))
+  }
+}

@@ -370,7 +370,72 @@ object TextQueries {
        |       round(q[3], 6) AS p99
        |FROM q ORDER BY lang""".stripMargin
 
+  /** Gopher-style within-document repetition signals (dup n-gram fraction
+    * and top n-gram coverage for n = 2, 3). Rounded for float parity.
+    */
+  def textRepetition(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.CorpusFilters.repetitionSignals(
+      t(s, dir, "documents"), ns = Seq(2, 3),
+      idCol = "doc_id", contentCol = "text")
+      .select(col("id").as("doc_id"), col("n"),
+        col("total_ngrams"), col("distinct_ngrams"),
+        round(col("dup_frac"), 6).as("dup_frac"),
+        round(col("top_frac"), 6).as("top_frac"))
+      .orderBy("doc_id", "n")
+
+  val textRepetitionSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |g AS (
+       |  SELECT doc_id, 2 AS n, array_to_string(toks[i+1:i+2], ' ') AS g
+       |  FROM d, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)
+       |  UNION ALL
+       |  SELECT doc_id, 3 AS n, array_to_string(toks[i+1:i+3], ' ') AS g
+       |  FROM d, UNNEST(range(greatest(len(toks)-2, 0))) AS u(i)),
+       |c AS (SELECT doc_id, n, g, count(*) AS c FROM g GROUP BY doc_id, n, g),
+       |a AS (SELECT doc_id, n,
+       |        CAST(sum(c) AS BIGINT) AS total_ngrams,
+       |        count(*) AS distinct_ngrams,
+       |        max(c) AS top_count
+       |      FROM c GROUP BY doc_id, n)
+       |SELECT doc_id, n, total_ngrams, distinct_ngrams,
+       |       round(1.0 - CAST(distinct_ngrams AS DOUBLE) / total_ngrams, 6) AS dup_frac,
+       |       round(CAST(top_count AS DOUBLE) / total_ngrams, 6) AS top_frac
+       |FROM a ORDER BY doc_id, n""".stripMargin
+
+  /** Corpus-boilerplate coverage: fraction of each document's token
+    * positions inside a 3-gram shared by >= 5 documents.
+    */
+  def textBoilerplate(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.CorpusFilters.boilerplateCoverage(
+      t(s, dir, "documents"), n = 3, minDf = 5,
+      idCol = "doc_id", contentCol = "text")
+      .select(col("id").as("doc_id"), col("tok_len").cast("long").as("tok_len"),
+        col("covered_tokens"),
+        round(col("boilerplate_frac"), 6).as("boilerplate_frac"))
+      .orderBy("doc_id")
+
+  val textBoilerplateSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |g AS (SELECT doc_id, len(toks) AS tok_len, i AS pos,
+       |        array_to_string(toks[i+1:i+3], ' ') AS g
+       |      FROM d, UNNEST(range(greatest(len(toks)-2, 0))) AS u(i)),
+       |boiler AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g)
+       |           GROUP BY g HAVING count(*) >= 5),
+       |cov AS (SELECT doc_id, count(DISTINCT p) AS covered_tokens
+       |        FROM (SELECT doc_id, UNNEST(generate_series(pos, pos+2)) AS p
+       |              FROM g WHERE g.g IN (SELECT g FROM boiler)) e
+       |        GROUP BY doc_id)
+       |SELECT d.doc_id, len(d.toks) AS tok_len,
+       |       coalesce(cov.covered_tokens, 0) AS covered_tokens,
+       |       round(CASE WHEN len(d.toks) = 0 THEN 0.0
+       |             ELSE CAST(coalesce(cov.covered_tokens, 0) AS DOUBLE)
+       |                  / len(d.toks) END, 6) AS boilerplate_frac
+       |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_repetition" -> (textRepetition _),
+    "q_text_boilerplate" -> (textBoilerplate _),
     "q_text_percentiles" -> (textPercentiles _),
     "q_mm_similarity" -> (mmSimilarity _),
     "q_pipeline_curate" -> (pipelineCurate _),
@@ -386,6 +451,8 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_repetition" -> textRepetitionSql,
+    "q_text_boilerplate" -> textBoilerplateSql,
     "q_text_percentiles" -> textPercentilesSql,
     "q_mm_similarity" -> mmSimilaritySql,
     "q_pipeline_curate" -> pipelineCurateSql,

@@ -1,0 +1,73 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.dedup.CorpusFilters
+
+class CorpusFiltersSpec extends SparkSpec {
+  private val dir = "/root/testdata/sf0.001"
+
+  private def doc(id: Long, text: String) = (id, text)
+
+  private def df(rows: (Long, String)*) = {
+    import spark.implicits._
+    rows.toDF("id", "content")
+  }
+
+  test("repetition signals: hand-computed fractions, repeats counted") {
+    // "a b a b a" -> 2-grams: [a b, b a, a b, b a] total=4, distinct=2,
+    // dup=0.5, top=0.5; 3-grams: [a b a, b a b, a b a] total=3 distinct=2
+    val r = CorpusFilters.repetitionSignals(df(doc(1L, "aa bb aa bb aa")))
+      .collect().map(x => (x.getInt(1), x.getLong(2), x.getLong(3),
+        x.getDouble(4), x.getDouble(5))).sortBy(_._1)
+    assert(r(0) == ((2, 4L, 2L, 0.5, 0.5)))
+    assert(r(1) == ((3, 3L, 2L, 1.0 - 2.0 / 3.0, 2.0 / 3.0)))
+  }
+
+  test("repetition signals: short docs emit no row, unique docs score 0") {
+    val r = CorpusFilters.repetitionSignals(
+      df(doc(1L, "aa"), doc(2L, "aa bb cc dd")))
+    val byDoc = r.collect().groupBy(_.getLong(0))
+    assert(!byDoc.contains(1L), "1-token doc has no 2-gram slots")
+    assert(byDoc(2L).forall(x => x.getDouble(4) == 0.0),
+      "all-distinct doc has dup_frac 0")
+  }
+
+  test("boilerplate coverage: flagged spans cover positions, union not sum") {
+    // "xx yy zz" appears in 3 docs (minDf=3 flags it); doc 4 shares no
+    // flagged gram. Doc 1 has the gram at positions 0 and 2 (overlap at
+    // pos 2): covered = union [0,2] + [2,4] = 5 of 5 tokens.
+    val docs = df(
+      doc(1L, "xx yy zz xx yy zz"), // grams at pos 0..3; "xx yy zz" at 0 and 3
+      doc(2L, "qq xx yy zz rr"),
+      doc(3L, "xx yy zz"),
+      doc(4L, "aa bb cc dd"))
+    val r = CorpusFilters.boilerplateCoverage(docs, n = 3, minDf = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getInt(1), x.getLong(2)))).toMap
+    assert(r(1L) == ((6, 6L))) // [0,2]+[3,5] union = all 6
+    assert(r(2L) == ((5, 3L))) // [1,3] of 5 tokens
+    assert(r(3L) == ((3, 3L)))
+    assert(r(4L) == ((4, 0L)), "unflagged doc present with zero coverage")
+  }
+
+  test("boilerplate coverage: overlapping occurrences count positions once") {
+    // "xx xx xx xx" has "xx xx" at pos 0,1,2 — union covers 4, not 6
+    val docs = df(doc(1L, "xx xx xx xx"), doc(2L, "xx xx"), doc(3L, "xx xx"))
+    val r = CorpusFilters.boilerplateCoverage(docs, n = 2, minDf = 3)
+      .filter(col("id") === 1L).collect().head
+    assert(r.getLong(2) == 4L && r.getInt(1) == 4)
+  }
+
+  test("repetition signals on the documents table are sane") {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("content"))
+    val r = CorpusFilters.repetitionSignals(docs).cache()
+    val n = docs.count()
+    assert(r.count() == 2 * n, "every doc has 2- and 3-gram rows at this sf")
+    val bad = r.filter(col("dup_frac") < 0 || col("dup_frac") > 1 ||
+      col("top_frac") <= 0 || col("top_frac") > 1 ||
+      col("distinct_ngrams") > col("total_ngrams")).count()
+    assert(bad == 0)
+    r.unpersist()
+    spark.catalog.clearCache()
+  }
+}
