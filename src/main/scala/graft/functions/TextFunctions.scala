@@ -165,4 +165,33 @@ object TextFunctions {
     (lenScore * lit(0.4) + alphaRatio * lit(0.3) +
       wordLenScore * lit(0.2) + stopScore * lit(0.1))
   }
+
+  /** HTML → plain text, as a pure regexp_replace chain (stays inside
+    * WholeStageCodegen — no UDF, no external parser). The engine analog of
+    * the reference's html2text delegation (vector_mcp/vector_api.py:34,
+    * pyproject.toml:8): script/style/comment subtrees drop entirely,
+    * block-level closers become newlines, remaining tags become spaces,
+    * the common named entities decode (`&amp;` LAST so `&amp;lt;` cannot
+    * double-decode), and whitespace collapses. Regex-based stripping is
+    * lossy on pathological markup by design — same stance as html2text;
+    * exotic entities pass through verbatim rather than guessing.
+    */
+  def htmlToText(html: Column): Column = {
+    val noScript = regexp_replace(html,
+      "(?is)<(script|style)\\b[^>]*>.*?</(script|style)\\s*>", " ")
+    val noComment = regexp_replace(noScript, "(?s)<!--.*?-->", " ")
+    val breaks = regexp_replace(noComment,
+      "(?i)<(br|/p|/div|/li|/tr|/h[1-6]|/blockquote|/pre)\\b[^>]*/?>", "\n")
+    val noTags = regexp_replace(breaks, "(?s)<[^>]*>", " ")
+    val decoded = Seq(
+      "&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&#34;" -> "\"", "&amp;" -> "&"
+    ).foldLeft(noTags) { case (c, (from, to)) =>
+      regexp_replace(c, java.util.regex.Pattern.quote(from), to)
+    }
+    val collapsed = regexp_replace(regexp_replace(decoded,
+      "[ \\t\\x0B\\f\\r]+", " "), "\\s*\\n\\s*", "\n")
+    // Spark trim() strips spaces only; newlines need the regex form
+    regexp_replace(collapsed, "^\\s+|\\s+$", "")
+  }
 }

@@ -65,6 +65,33 @@ object Loaders {
       .filter(col("content").isNotNull)
   }
 
+  /** HTML files as text documents: wholetext read + the codegen'd
+    * [[graft.functions.TextFunctions.htmlToText]] strip (script/style
+    * removal, block-tag newlines, entity decode). Closes the HTML part of
+    * the SimpleDirectoryReader delegation (vector_api.py:344-347);
+    * PDF/EPUB stay documented gaps (binary formats need parsers the
+    * container does not ship). Documents whose markup strips to empty are
+    * dropped — the reference's reader likewise yields no document for
+    * content-free files.
+    */
+  def loadHtmlFiles(spark: SparkSession, paths: Seq[Path]): DataFrame =
+    stripHtml(spark.read
+      .option("wholetext", "true")
+      .text(paths.map(_.toString): _*))
+
+  /** Whole directory of HTML (post-policy root). */
+  def loadHtmlDirectory(spark: SparkSession, dir: Path): DataFrame =
+    stripHtml(spark.read
+      .option("wholetext", "true")
+      .option("recursiveFileLookup", "true")
+      .text(dir.toString))
+
+  private def stripHtml(raw: DataFrame): DataFrame =
+    raw
+      .select(graft.functions.TextFunctions.htmlToText(col("value")).as("content"),
+        map().cast("map<string,string>").as("metadata"))
+      .filter(length(col("content")) > 0)
+
   /** Inline contents (vector_api.py:332-341 bounds checked upstream). */
   def loadInline(spark: SparkSession, contents: Seq[String]): DataFrame = {
     import spark.implicits._

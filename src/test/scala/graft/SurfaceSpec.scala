@@ -78,6 +78,31 @@ class SurfaceSpec extends SparkSpec {
     assert(all.columns.toSet == Set("content", "metadata"))
   }
 
+  test("loaders: html strips markup, decodes entities, drops empty docs") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-html")
+    java.nio.file.Files.writeString(dir.resolve("a.html"),
+      """<html><head><title>T</title><style>p { color: red; }</style>
+        |<script>var x = "<p>not text</p>";</script></head>
+        |<body><!-- comment --><h1>Header</h1>
+        |<p>alpha &amp; beta &lt;tag&gt; &quot;q&quot;&nbsp;end</p>
+        |<div>second   block</div></body></html>""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("empty.html"),
+      "<html><body><script>only_code();</script></body></html>")
+    val rows = Loaders.loadHtmlDirectory(spark, dir).collect()
+    assert(rows.length == 1, "markup-only file strips to empty and drops")
+    val text = rows(0).getString(0)
+    // decoded "&lt;tag&gt;" legitimately yields "<tag>"; real markup is gone
+    assert(!text.contains("<p>") && !text.contains("<div") &&
+      !text.contains("<html") && !text.contains("color") &&
+      !text.contains("not text") && !text.contains("comment"))
+    assert(!text.startsWith("\n") && !text.endsWith("\n"), "trimmed")
+    assert(text.contains("T") && text.contains("Header"))
+    assert(text.contains("alpha & beta <tag> \"q\" end"), s"entities: $text")
+    assert(text.contains("second block"), "inner whitespace collapses")
+    assert(text.split("\n").map(_.trim).count(_.nonEmpty) >= 3,
+      "block closers become line breaks")
+  }
+
   test("loaders: jsonl parses with explicit schema, drops bad lines") {
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl")
     val f = dir.resolve("corpus.jsonl")
