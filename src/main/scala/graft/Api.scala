@@ -358,6 +358,53 @@ final class Api(
     graft.ann.SignLshIndex.build(spark, catalog, entry, embedder.dimension, bits, tables)
   }
 
+  /** Build the persistent MinHash content index — enables
+    * [[addDocumentsDedupContent]] (textual dedup-on-write) at O(batch)
+    * probe cost per write. Maintained incrementally by every write path
+    * like the other derived indexes.
+    */
+  def buildMinHashIndex(name: String, bands: Int = 16, shingleN: Int = 3): DataFrame =
+    writeLock.synchronized {
+      val entry = catalog.getCollection(physical(name))
+      graft.dedup.MinHashIndex.build(spark, catalog, entry, bands, shingleN)
+    }
+
+  /** Content-side near-dup ingest gate: reject batch documents whose TEXT
+    * near-duplicates an already-ingested document (n-gram Jaccard >=
+    * `jaccardThreshold`, exact-verified over candidates from the persistent
+    * MinHash index), then write the survivors. The content twin of the
+    * embedding-side [[addDocumentsDedup]]: that one catches semantic
+    * duplicates through the embedder; this one catches textual
+    * near-duplicates (boilerplate edits, near-identical crawls) without
+    * touching the embedding model — rejected rows are dropped BEFORE the
+    * embed pass, so the model runs only for documents that will actually
+    * land. Returns (written, rejected). Same-id re-upserts are not
+    * self-flagged (update semantics preserved). Governed
+    * `dedup_index_not_found` when the index was never built.
+    */
+  def addDocumentsDedupContent(
+      name: String,
+      batch: DataFrame,
+      jaccardThreshold: Double): (Long, Long) = invoke { writeLock.synchronized {
+    val entry = catalog.getCollection(physical(validCollection(name)))
+    // governed index check BEFORE any pipeline work
+    graft.dedup.MinHashIndex.requireMeta(spark, catalog, entry)
+    val prepared = Ingest.prepare(batch)
+    Ingest.checkBounds(prepared)
+    val staged = prepared.cache()
+    try {
+      val total = staged.count()
+      val rejectedIds = graft.dedup.MinHashIndex.nearDupIds(
+        spark, catalog, entry, staged.select("id", "content"), jaccardThreshold)
+      val keep = staged.join(rejectedIds, Seq("id"), "left_anti")
+        .select("content", "metadata").cache()
+      try {
+        val written = if (keep.isEmpty) 0L else addDocuments(name, keep)
+        (written, total - written)
+      } finally keep.unpersist()
+    } finally staged.unpersist()
+  } }
+
   /** Approximate semantic search through the sign-LSH index. Layout
     * parameters (bits, tables, seed, dim) come from the sidecar meta
     * persisted at build time, so search always matches the build

@@ -53,7 +53,8 @@ object Indexes {
       lexBuckets: Option[Seq[Int]],
       ivfClusters: Option[Seq[Long]],
       pqClusters: Option[Seq[Long]],
-      lsh: Option[(LshMeta, Seq[(Int, String)])])
+      lsh: Option[(LshMeta, Seq[(Int, String)])],
+      minhash: Option[(graft.dedup.MinHashMeta, Seq[Int])] = None)
 
   private def exists(p: String) = Files.exists(Paths.get(p))
 
@@ -84,7 +85,11 @@ object Indexes {
       if (exists(SignLshIndex.indexPath(catalog, entry)))
         SignLshIndex.metaOrDerive(spark, catalog, entry, dim)
       else None
-    if (!hasLex && !hasIvf && !hasPq && lshMeta.isEmpty) return None
+    val mhMeta =
+      if (exists(graft.dedup.MinHashIndex.indexPath(catalog, entry)))
+        graft.dedup.MinHashIndex.loadMeta(spark, catalog, entry)
+      else None
+    if (!hasLex && !hasIvf && !hasPq && lshMeta.isEmpty && mhMeta.isEmpty) return None
 
     // localCheckpoint severs lineage from the table path: the snapshots
     // stay valid (and Δ-sized) after the rewrite swaps the table dirs.
@@ -122,7 +127,12 @@ object Indexes {
         .map(r => (r.getInt(0), r.getString(1))).toSeq
       (m, parts)
     }
-    Some(Pending(ids, lexBuckets, ivfClusters, pqClusters, lsh))
+    val minhash = mhMeta.map { m =>
+      val parts = graft.dedup.MinHashIndex.indexRows(both, m)
+        .select("pbucket").distinct().collect().map(_.getInt(0)).toSeq
+      (m, parts)
+    }
+    Some(Pending(ids, lexBuckets, ivfClusters, pqClusters, lsh, minhash))
   }
 
   /** Phase 2 (call AFTER the documents-table rewrite): rewrite each
@@ -180,6 +190,17 @@ object Indexes {
           affectedDirs = parts.map { case (t, k) => s"table=$t/key=$k" })
       }
     }
+    p.minhash.foreach { case (m, parts) =>
+      if (parts.nonEmpty) {
+        val idx = graft.dedup.MinHashIndex.load(spark, catalog, entry)
+          .filter(col("pbucket").isin(parts: _*))
+          .join(broadcast(p.ids), Seq("id"), "left_anti")
+          .unionByName(graft.dedup.MinHashIndex.indexRows(fresh, m))
+        replacePartitions(idx, graft.dedup.MinHashIndex.indexPath(catalog, entry),
+          Seq("pbucket"), sortCol = Some("key"),
+          affectedDirs = parts.map(b => s"pbucket=$b"))
+      }
+    }
   }
 
   private def replacePartitions(
@@ -221,5 +242,10 @@ object Indexes {
           bits = m.bits, tables = m.tables, seed = m.seed)
       }
     }
+    if (exists(graft.dedup.MinHashIndex.indexPath(catalog, entry)))
+      graft.dedup.MinHashIndex.loadMeta(spark, catalog, entry).foreach { m =>
+        graft.dedup.MinHashIndex.build(spark, catalog, entry,
+          bands = m.bands, shingleN = m.shingleN)
+      }
   }
 }

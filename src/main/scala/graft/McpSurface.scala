@@ -22,7 +22,8 @@ final class McpSurface(api: Api) {
       documents: Option[DataFrame] = None,
       confirm: Boolean = false,
       dbType: String = null,
-      nearDupThreshold: Option[Double] = None): Map[String, Any] = {
+      nearDupThreshold: Option[Double] = None,
+      nearDupMode: String = "embedding"): Map[String, Any] = {
     // fail-closed backend gate BEFORE any engine work (mcp_server.py:129)
     val backend = BackendPolicy.resolve(dbType)
     resolveAction(action, Set("create_collection", "add_documents",
@@ -35,13 +36,19 @@ final class McpSurface(api: Api) {
       case "add_documents" =>
         val docs = documents.getOrElse(
           throw new GraftException(ErrorCodes.DocumentInputRequired))
-        // engine-extension knob (like semanticMode): a cosine threshold
-        // routes the write through the LSH-pruned near-dup ingest gate;
-        // the action contract and response shape are unchanged, with the
-        // rejection count surfaced alongside
+        // engine-extension knob (like semanticMode): a threshold routes the
+        // write through an index-pruned near-dup ingest gate —
+        // nearDupMode "embedding" (cosine via the sign-LSH index) or
+        // "content" (n-gram jaccard via the MinHash index); the action
+        // contract and response shape are unchanged, with the rejection
+        // count surfaced alongside
         nearDupThreshold match {
           case Some(t) =>
-            val (written, rejected) = api.addDocumentsDedup(collectionName, docs, t)
+            val (written, rejected) = nearDupMode match {
+              case "embedding" => api.addDocumentsDedup(collectionName, docs, t)
+              case "content" => api.addDocumentsDedupContent(collectionName, docs, t)
+              case _ => throw new GraftException(ErrorCodes.CollectionActionInvalid)
+            }
             Map("status" -> "updated", "collection" -> collectionName,
               "documents_added" -> written, "documents_rejected" -> rejected,
               "db_type" -> backend)

@@ -44,7 +44,8 @@ final class Catalog(spark: SparkSession, val warehouseDir: String) {
   private def derivedPaths(entry: CollectionEntry): Seq[Path] =
     Seq(".delta", ".ivf", ".ivf.centroids", ".ivf.delta",
         ".postings", ".postings.delta", ".pq", ".pq.codebooks", ".pq.meta",
-        ".pq.delta", ".signlsh", ".signlsh.meta", ".signlsh.delta", ".staging")
+        ".pq.delta", ".signlsh", ".signlsh.meta", ".signlsh.delta",
+        ".minhash", ".minhash.meta", ".minhash.delta", ".staging")
       .map(sfx => Paths.get(tablePath(entry) + sfx))
 
   private def deleteTableAndDerived(entry: CollectionEntry): Unit = {

@@ -100,6 +100,8 @@ object ErrorCodes {
   // engine extension (no reference analog — its backends build indexes at
   // DDL time): requesting an index-served search before the index is built
   val AnnIndexNotFound = "ann_index_not_found"
+  // engine extension: content-dedup gate requested before buildMinHashIndex
+  val DedupIndexNotFound = "dedup_index_not_found"
 
   private val Stable = "^[a-z][a-z0-9_]{0,63}$".r
 

@@ -49,6 +49,13 @@ class IndexRefreshSpec extends SparkSpec {
       rows(SignLshIndex.band(docs.select("id", "embedding", "norm"), meta),
         "id", "table", "key"),
       "lsh bands must equal a from-scratch build")
+
+    val mhMeta = graft.dedup.MinHashIndex.requireMeta(spark, api.catalog, entry)
+    val mh = graft.dedup.MinHashIndex.load(spark, api.catalog, entry)
+    assert(rows(mh, "id", "band", "key", "pbucket") ==
+      rows(graft.dedup.MinHashIndex.indexRows(docs.select("id", "content"), mhMeta),
+        "id", "band", "key", "pbucket"),
+      "minhash bands must equal a from-scratch build")
   }
 
   test("incremental refresh == full rebuild across upsert / delete / empty / re-add") {
@@ -62,6 +69,7 @@ class IndexRefreshSpec extends SparkSpec {
     api.buildAnnIndex("inc", nClusters = 4)
     api.buildPqIndex("inc", m = 4, k = 4, iters = 1)
     api.buildLshIndex("inc", bits = 4, tables = 2)
+    api.buildMinHashIndex("inc", bands = 16, shingleN = 3)
     assertIndexesMatchFullRebuild(api, "inc")
 
     // upsert: brand-new content plus re-sent existing content
@@ -96,6 +104,7 @@ class IndexRefreshSpec extends SparkSpec {
     assert(IvfIndex.loadIndex(spark, api.catalog, entry).count() == 0)
     assert(PqIndex.load(spark, api.catalog, entry).count() == 0)
     assert(SignLshIndex.load(spark, api.catalog, entry).count() == 0)
+    assert(graft.dedup.MinHashIndex.load(spark, api.catalog, entry).count() == 0)
 
     // re-add after the emptying delete: rows must re-enter all indexes
     api.addDocuments("inc", Seq("zeta reborn alpha").toDF("content"))

@@ -306,6 +306,26 @@ class SurfaceSpec extends SparkSpec {
       documents = Some(Loaders.loadInline(spark, Seq("an unrelated new doc"))),
       nearDupThreshold = Some(1.1)) // nothing can clear it
     assert(res2("documents_added") == 1L && res2("documents_rejected") == 0L)
+
+    // content mode routes to the MinHash gate (and is governed before build)
+    val noIdx = intercept[GraftException] {
+      surface.vectorCollectionManagement("add_documents", "gatecoll",
+        documents = Some(Loaders.loadInline(spark, Seq("whatever text here"))),
+        nearDupThreshold = Some(0.5), nearDupMode = "content")
+    }
+    assert(noIdx.code == ErrorCodes.DedupIndexNotFound)
+    api.buildMinHashIndex("gatecoll", bands = 16, shingleN = 2)
+    val res3 = surface.vectorCollectionManagement("add_documents", "gatecoll",
+      documents = Some(Loaders.loadInline(spark, Seq("seed doc one extra"))),
+      nearDupThreshold = Some(0.5), nearDupMode = "content")
+    assert(res3("documents_added") == 0L && res3("documents_rejected") == 1L,
+      "2-gram jaccard 2/3 vs 'seed doc one' must reject at 0.5")
+    val badMode = intercept[GraftException] {
+      surface.vectorCollectionManagement("add_documents", "gatecoll",
+        documents = Some(Loaders.loadInline(spark, Seq("x y z"))),
+        nearDupThreshold = Some(0.5), nearDupMode = "simhash")
+    }
+    assert(badMode.code == ErrorCodes.CollectionActionInvalid)
   }
 
   test("backend policy: fail-closed allow-list with canonicalization and default") {
