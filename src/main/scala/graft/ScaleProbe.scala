@@ -90,6 +90,12 @@ object ScaleProbe {
       graft.dedup.Dedup.simHash64NearDups(docs).count())
     time("dedup_ngram_prefix")(
       graft.dedup.Dedup.ngramJaccardPrefix(docs, threshold = 0.5).count())
+    time("text_repetition")(
+      graft.dedup.CorpusFilters.repetitionSignals(docs).count())
+    // salting keeps per-replica gram dfs intact, so the flagged vocabulary
+    // (and with it true output) grows exactly M-fold
+    time("text_boilerplate")(
+      graft.dedup.CorpusFilters.boilerplateCoverage(docs, n = 3, minDf = 5).count())
     time("semantic_topk")(
       graft.ann.Ann.bruteTopK(vecs, qs, 10).count())
     time("knn_blocked") {

@@ -273,9 +273,13 @@ object Dedup {
     * (hundreds of thousands of documents produce spurious hamming<=3
     * pairs between unrelated texts, and the 8-bit band keys degrade into
     * 256 giant buckets); 64 bits push both cliffs out by a factor of
-    * 2^32, and block-combination blocking (see [[simHashNearDups]]) gives
-    * multi-slice keys — 32/33-bit combos at blocks=6 — whose buckets stay
-    * small deep into the billions of distinct fingerprints.
+    * 2^32. Default blocks=4 (classic pigeonhole, 16-bit keys): the
+    * 64-bit space stays unsaturated to ~10^9 distinct fingerprints, and
+    * the C(6,3)=20-table combination layout costs 5x the banding rows
+    * for sharpness those corpora don't need (measured 1.7x slower at
+    * 320k docs). blocks=6 (32/33-bit combo keys, see [[simHashNearDups]])
+    * is the knob for corpora past ~10^8 distinct fingerprints, where
+    * 16-bit buckets themselves start crowding.
     *
     * The fingerprint is held as two 32-bit halves (hi = md5 hex 1-8,
     * lo = hex 9-16) so every number stays inside SIGNED 64-bit range in
@@ -287,7 +291,7 @@ object Dedup {
   def simHash64NearDups(
       docs: DataFrame,
       maxHamming: Int = 3,
-      blocks: Int = 6): DataFrame = {
+      blocks: Int = 4): DataFrame = {
     require(maxHamming < blocks, "pigeonhole guarantee needs maxHamming < blocks")
     require(blocks % 2 == 0 && blocks <= 64,
       s"blocks=$blocks must be even (half the slices per 32-bit half) and <= 64")

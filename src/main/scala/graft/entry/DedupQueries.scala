@@ -139,7 +139,7 @@ object DedupQueries {
       |ORDER BY a, b""".stripMargin
 
   def dedupSimhash64(s: SparkSession, dir: String): DataFrame =
-    Dedup.simHash64NearDups(docs(s, dir), maxHamming = 3, blocks = 6)
+    Dedup.simHash64NearDups(docs(s, dir), maxHamming = 3, blocks = 4)
       .orderBy("a", "b")
 
   val dedupSimhash64Sql: String =
