@@ -433,7 +433,67 @@ object TextQueries {
        |FROM d LEFT JOIN cov ON d.doc_id = cov.doc_id
        |ORDER BY d.doc_id""".stripMargin
 
+  /** Curation pipeline v2 — the round-5 signals composed end-to-end:
+    * Gopher repetition gates (dup-2-gram fraction, top-2-gram coverage) ∧
+    * corpus-boilerplate coverage gate → exact-dedup winner per digest →
+    * per-source rollup. Thresholds sit at the corpus's p80-p90 so each
+    * gate does real work. One driver program, no collect between stages;
+    * every shuffle keys on id/gram/digest/source. A document too short to
+    * have 2-gram slots has no defined repetition signal and drops
+    * (Gopher filters on defined signals only).
+    */
+  def pipelineCurate2(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("content"), col("source"))
+    val rep = graft.dedup.CorpusFilters.repetitionSignals(docs, ns = Seq(2))
+      .filter(col("dup_frac") <= 0.05 && col("top_frac") <= 0.06)
+      .select("id")
+    val boil = graft.dedup.CorpusFilters.boilerplateCoverage(docs, n = 3, minDf = 5)
+      .filter(col("boilerplate_frac") <= 0.2)
+      .select("id")
+    docs
+      .join(rep, Seq("id"), "left_semi")
+      .join(boil, Seq("id"), "left_semi")
+      .groupBy(sha2(col("content"), 256).as("digest"))
+      .agg(min(struct(col("id"), col("source"))).as("k"))
+      .select(col("k.id").as("id"), col("k.source").as("source"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"), sum("id").as("id_checksum"))
+      .orderBy("source")
+  }
+
+  val pipelineCurate2Sql: String =
+    s"""WITH d AS (SELECT doc_id, text, source, $toksD AS toks FROM documents),
+       |g2 AS (SELECT doc_id, array_to_string(toks[i+1:i+2], ' ') AS g
+       |       FROM d, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)),
+       |c2 AS (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY doc_id, g),
+       |rep AS (SELECT doc_id FROM (
+       |          SELECT doc_id, 1.0 - CAST(count(*) AS DOUBLE)/sum(c) AS dupf,
+       |                 CAST(max(c) AS DOUBLE)/sum(c) AS topf
+       |          FROM c2 GROUP BY doc_id) r
+       |        WHERE dupf <= 0.05 AND topf <= 0.06),
+       |g3 AS (SELECT doc_id, len(toks) AS tok_len, i AS pos,
+       |         array_to_string(toks[i+1:i+3], ' ') AS g
+       |       FROM d, UNNEST(range(greatest(len(toks)-2, 0))) AS u(i)),
+       |b AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g3) bg
+       |      GROUP BY g HAVING count(*) >= 5),
+       |cov AS (SELECT doc_id, count(DISTINCT p) AS cv
+       |        FROM (SELECT doc_id, UNNEST(generate_series(pos, pos+2)) AS p
+       |              FROM g3 WHERE g3.g IN (SELECT g FROM b)) e
+       |        GROUP BY doc_id),
+       |boil AS (SELECT d.doc_id FROM d LEFT JOIN cov USING (doc_id)
+       |         WHERE CASE WHEN len(toks) = 0 THEN 0.0
+       |               ELSE CAST(coalesce(cv, 0) AS DOUBLE)/len(toks) END <= 0.2),
+       |kept AS (SELECT d.doc_id, d.text, d.source FROM d
+       |         WHERE d.doc_id IN (SELECT doc_id FROM rep)
+       |           AND d.doc_id IN (SELECT doc_id FROM boil)),
+       |k AS (SELECT min(doc_id) AS doc_id FROM kept GROUP BY sha256(text)),
+       |k2 AS (SELECT k.doc_id, kept.source FROM k JOIN kept USING (doc_id))
+       |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
+       |FROM k2 GROUP BY 1 ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_curate2" -> (pipelineCurate2 _),
     "q_text_repetition" -> (textRepetition _),
     "q_text_boilerplate" -> (textBoilerplate _),
     "q_text_percentiles" -> (textPercentiles _),
@@ -451,6 +511,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pipeline_curate2" -> pipelineCurate2Sql,
     "q_text_repetition" -> textRepetitionSql,
     "q_text_boilerplate" -> textBoilerplateSql,
     "q_text_percentiles" -> textPercentilesSql,

@@ -72,7 +72,8 @@ object StreamingIngest {
       entry: CollectionEntry,
       stagingPath: String,
       embedder: Embedder,
-      nearDupCosine: Option[Double] = None): Long = {
+      nearDupCosine: Option[Double] = None,
+      nearDupJaccard: Option[Double] = None): Long = {
     val staged = spark.read.parquet(stagingPath)
     val w = Window.partitionBy("id").orderBy(col("ingest_ts").desc)
     val latest = staged
@@ -82,9 +83,17 @@ object StreamingIngest {
     // prepare() re-derives the same content-addressed ids (idempotent on
     // already-sanitized content), so stream and batch stay one code path
     val prepared = Ingest.prepare(latest)
+    // content-jaccard gate runs BEFORE the embed pass (same stance as
+    // Api.addDocumentsDedupContent: textually duplicated rows never reach
+    // the embedding model); candidate core = the persistent MinHash index
+    val textGated = nearDupJaccard.fold(prepared) { t =>
+      prepared.join(graft.dedup.MinHashIndex.nearDupIds(
+          spark, catalog, entry, prepared.select("id", "content"), t),
+        Seq("id"), "left_anti")
+    }
     // cached so the gate's band/verify pass and the merge share ONE
     // embedding run (a real model call must not execute twice per batch)
-    val all = Ingest.withNorm(Embed.withEmbeddings(prepared, embedder)).cache()
+    val all = Ingest.withNorm(Embed.withEmbeddings(textGated, embedder)).cache()
     // optional index-backed near-dup gate (same candidate core as
     // Api.addDocumentsDedup): micro-batch rows near-duplicating an
     // already-stored document drop before the merge — streaming dedup

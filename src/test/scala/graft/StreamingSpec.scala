@@ -95,6 +95,42 @@ class StreamingSpec extends SparkSpec {
     assert(m2 == 0 && api.catalog.readDocuments(entry).count() == 2)
   }
 
+  test("gated compaction drops textual near-dups through the MinHash index") {
+    import spark.implicits._
+    import graft.ingest.DeterministicHashEmbedder
+    val wh = Files.createTempDirectory("graft-wh-sgate2").toString
+    val embedder = new DeterministicHashEmbedder(16)
+    val api = new Api(spark, wh, embedder)
+    api.createCollection("sgate2",
+      documents = Some(Seq(("an existing seed document body with several tokens",
+        Map.empty[String, String])).toDF("content", "metadata")))
+    api.buildMinHashIndex("sgate2", bands = 16, shingleN = 2)
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "sgate2"))
+    val staging = Files.createTempDirectory("graft-staging-sgate2").toString
+    def stage(content: String): Unit =
+      Seq((content, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+        .toDF("content", "ingest_ts")
+        .withColumn("id", graft.ingest.Ingest.contentId(
+          org.apache.spark.sql.functions.col("content")))
+        .write.mode("overwrite").parquet(staging)
+    // one-token tweak of the seed: 2-gram jaccard 5/9 >= 0.5 -> dropped
+    stage("an existing seed document body with numerous tokens")
+    val m1 = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      nearDupJaccard = Some(0.5))
+    assert(m1 == 0 && api.catalog.readDocuments(entry).count() == 1,
+      "textual near-dup must not merge")
+    // genuinely novel text merges, and the index refresh makes it corpus
+    stage("completely unrelated streaming payload about parquet files")
+    val m2 = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      nearDupJaccard = Some(0.5))
+    assert(m2 == 1 && api.catalog.readDocuments(entry).count() == 2)
+    stage("completely unrelated streaming payload about orc files")
+    val m3 = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      nearDupJaccard = Some(0.5))
+    assert(m3 == 0 && api.catalog.readDocuments(entry).count() == 2,
+      "gate must see documents compacted through itself")
+  }
+
   test("streaming windowed counts with watermark emit correct aggregates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
