@@ -638,7 +638,8 @@ final class Api(
       "lexical" -> graft.search.LexIndex.indexPath(catalog, entry),
       "ivf" -> graft.ann.IvfIndex.indexPath(catalog, entry),
       "pq" -> graft.ann.PqIndex.indexPath(catalog, entry),
-      "lsh" -> graft.ann.SignLshIndex.indexPath(catalog, entry))
+      "lsh" -> graft.ann.SignLshIndex.indexPath(catalog, entry),
+      "minhash" -> graft.dedup.MinHashIndex.indexPath(catalog, entry))
       .flatMap { case (k, p) => countIf(p).map(k -> _) }.toMap
     Map(
       "collection" -> name,

@@ -125,9 +125,11 @@ class ApiSpec extends SparkSpec {
     assert(before("documents") == 5L && before("dimension") == 64)
     assert(before("indexes").asInstanceOf[Map[String, Long]].isEmpty)
     api.buildLexicalIndex("desc1")
+    api.buildMinHashIndex("desc1", bands = 8, shingleN = 2)
     val after = api.describeCollection("desc1")
     val idx = after("indexes").asInstanceOf[Map[String, Long]]
-    assert(idx.keySet == Set("lexical") && idx("lexical") > 0)
+    assert(idx.keySet == Set("lexical", "minhash") &&
+      idx("lexical") > 0 && idx("minhash") > 0)
     val missing = intercept[GraftException](api.describeCollection("nope"))
     assert(missing.code == ErrorCodes.CollectionNotFound)
     // an index drained EMPTY by deletes still describes (as 0 rows) — the
@@ -138,7 +140,8 @@ class ApiSpec extends SparkSpec {
     api.deleteDocuments("desc1", allIds)
     val drained = api.describeCollection("desc1")
     assert(drained("documents") == 0L)
-    assert(drained("indexes").asInstanceOf[Map[String, Long]] == Map("lexical" -> 0L))
+    assert(drained("indexes").asInstanceOf[Map[String, Long]] ==
+      Map("lexical" -> 0L, "minhash" -> 0L))
   }
 
   test("near-dup ingest gate rejects by index-pruned cosine, writes the rest") {
