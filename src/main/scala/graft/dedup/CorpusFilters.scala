@@ -29,6 +29,20 @@ object CorpusFilters {
       transform(sequence(lit(0), size(toks) - lit(n)), i =>
         concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*)))
 
+  /** One tokenizer pass over the corpus: (id, toks). Every gate in this
+    * object consumes THIS shape, so a pipeline composing several gates
+    * (repetition + boilerplate + downstream dedup) tokenizes each
+    * document exactly once — persist the result and fan out. At 100 TB
+    * the tokenizer regex over the content column is a scan-dominating
+    * cost; paying it per-gate would multiply the most expensive stage by
+    * the gate count.
+    */
+  def tokenized(
+      docs: DataFrame,
+      idCol: String = "id",
+      contentCol: String = "content"): DataFrame =
+    docs.select(col(idCol).as("id"), tokens(col(contentCol)).as("toks"))
+
   /** n-gram occurrence rows with start positions:
     * (id, tok_len, pos, g), pos 0-based. One scan, no shuffle.
     */
@@ -37,10 +51,12 @@ object CorpusFilters {
       n: Int,
       idCol: String = "id",
       contentCol: String = "content"): DataFrame =
-    docs
-      .select(col(idCol).as("id"), tokens(col(contentCol)).as("toks"))
-      .select(col("id"), size(col("toks")).as("tok_len"),
-        posexplode(gramsOf(col("toks"), n)).as(Seq("pos", "g")))
+    gramRowsFromToks(tokenized(docs, idCol, contentCol), n)
+
+  /** [[gramRows]] over an existing (id, toks) frame ([[tokenized]]). */
+  def gramRowsFromToks(tokd: DataFrame, n: Int): DataFrame =
+    tokd.select(col("id"), size(col("toks")).as("tok_len"),
+      posexplode(gramsOf(col("toks"), n)).as(Seq("pos", "g")))
 
   /** Within-document repetition signals, one row per (document, n):
     *
@@ -65,10 +81,16 @@ object CorpusFilters {
       docs: DataFrame,
       ns: Seq[Int] = Seq(2, 3),
       idCol: String = "id",
-      contentCol: String = "content"): DataFrame = {
+      contentCol: String = "content"): DataFrame =
+    repetitionSignalsFromToks(tokenized(docs, idCol, contentCol), ns)
+
+  /** [[repetitionSignals]] over an existing (id, toks) frame. */
+  def repetitionSignalsFromToks(
+      tokd: DataFrame,
+      ns: Seq[Int] = Seq(2, 3)): DataFrame = {
     require(ns.nonEmpty && ns.forall(_ >= 1), s"ns $ns must be positive")
     val grams = ns.map { n =>
-      gramRows(docs, n, idCol, contentCol).withColumn("n", lit(n))
+      gramRowsFromToks(tokd, n).withColumn("n", lit(n))
     }.reduce(_ unionByName _)
     grams
       .groupBy("id", "n", "g").agg(count(lit(1)).as("c"))
@@ -106,9 +128,16 @@ object CorpusFilters {
       n: Int = 3,
       minDf: Int = 5,
       idCol: String = "id",
-      contentCol: String = "content"): DataFrame = {
+      contentCol: String = "content"): DataFrame =
+    boilerplateCoverageFromToks(tokenized(docs, idCol, contentCol), n, minDf)
+
+  /** [[boilerplateCoverage]] over an existing (id, toks) frame. */
+  def boilerplateCoverageFromToks(
+      tokd: DataFrame,
+      n: Int = 3,
+      minDf: Int = 5): DataFrame = {
     require(n >= 1 && minDf >= 2, s"need n >= 1, minDf >= 2 (got n=$n, minDf=$minDf)")
-    val rows = gramRows(docs, n, idCol, contentCol)
+    val rows = gramRowsFromToks(tokd, n)
     val boiler = rows.select("id", "g").distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -117,8 +146,8 @@ object CorpusFilters {
       .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
       .distinct()
       .groupBy("id").agg(count(lit(1)).as("covered_tokens"))
-    docs
-      .select(col(idCol).as("id"), size(tokens(col(contentCol))).as("tok_len"))
+    tokd
+      .select(col("id"), size(col("toks")).as("tok_len"))
       .join(covered, Seq("id"), "left")
       .select(col("id"), col("tok_len"),
         coalesce(col("covered_tokens"), lit(0L)).as("covered_tokens"),

@@ -445,10 +445,14 @@ object TextQueries {
   def pipelineCurate2(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"), col("source"))
-    val rep = graft.dedup.CorpusFilters.repetitionSignals(docs, ns = Seq(2))
+    // ONE tokenizer pass feeds both gates (the scan-dominating stage at
+    // 100 TB — persist and fan out instead of re-tokenizing per gate)
+    val tokd = graft.dedup.CorpusFilters.tokenized(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val rep = graft.dedup.CorpusFilters.repetitionSignalsFromToks(tokd, ns = Seq(2))
       .filter(col("dup_frac") <= 0.05 && col("top_frac") <= 0.06)
       .select("id")
-    val boil = graft.dedup.CorpusFilters.boilerplateCoverage(docs, n = 3, minDf = 5)
+    val boil = graft.dedup.CorpusFilters.boilerplateCoverageFromToks(tokd, n = 3, minDf = 5)
       .filter(col("boilerplate_frac") <= 0.2)
       .select("id")
     docs
