@@ -263,9 +263,12 @@ final class Api(
   /** Build (or rebuild) the collection's persistent ANN index (IVF layout,
     * cluster-partitioned parquet — see graft.ann.IvfIndex).
     */
-  def buildAnnIndex(name: String, nClusters: Int, kmeansIters: Int = 0): DataFrame = writeLock.synchronized {
+  def buildAnnIndex(
+      name: String, nClusters: Int, kmeansIters: Int = 0,
+      trainFraction: Double = 1.0): DataFrame = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
-    val built = graft.ann.IvfIndex.build(spark, catalog, entry, nClusters, kmeansIters)
+    val built = graft.ann.IvfIndex.build(
+      spark, catalog, entry, nClusters, kmeansIters, trainFraction)
     // the PQ codes are physically partitioned (and, for residual indexes,
     // VALUED) under the IVF quantizer: whenever the centroids change —
     // first build after a flat PQ, or a rebuild with different clusters —

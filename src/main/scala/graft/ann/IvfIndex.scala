@@ -40,15 +40,27 @@ object IvfIndex {
       catalog: Catalog,
       entry: CollectionEntry,
       nClusters: Int,
-      kmeansIters: Int = 0): DataFrame = {
+      kmeansIters: Int = 0,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction $trainFraction out of (0,1]")
     val docs = catalog.readDocuments(entry)
       .select(col("id"), col("embedding"), col("norm"))
     // kmeansIters > 0 refines the deterministic seeds with decimal-exact
     // Lloyd iterations (Ann.kmeansCentroids) — better quantization, still
-    // bit-reproducible across builds and cluster layouts
+    // bit-reproducible across builds and cluster layouts.
+    // trainFraction < 1 trains Lloyd on a DETERMINISTIC hash-of-id sample
+    // (operators.Sampling: partitioning-independent, reproducible) — the
+    // 100 TB recipe: quantizer quality needs a representative sample, not
+    // every row, so training cost is bounded while ASSIGNMENT still covers
+    // the full corpus (reassign below). Centroids stay bit-reproducible
+    // because the sample is a pure function of ids.
+    val trainSet =
+      if (trainFraction >= 1.0) docs
+      else graft.operators.Sampling.sample(docs, "id", trainFraction)
     val centroids =
-      if (kmeansIters > 0) Ann.kmeansCentroids(docs, nClusters, kmeansIters)
-      else docs
+      if (kmeansIters > 0) Ann.kmeansCentroids(trainSet, nClusters, kmeansIters)
+      else trainSet
         .orderBy("id").limit(nClusters)
         .select(monotonically_increasing_id().as("centroid_id"),
           col("embedding").as("centroid"), col("norm").as("centroid_norm"))

@@ -149,6 +149,31 @@ class IvfIndexSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "centroids must be identical across partition layouts")
   }
 
+  test("bounded-sample training: full-corpus assignment, reproducible centroids") {
+    val wh = Files.createTempDirectory("graft-wh-ts").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+    val docs = (0 until 300).map(i => s"sampled training doc $i body b${i % 11}").toDF("content")
+    api.createCollection("ivfs", documents = Some(docs))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "ivfs"))
+    // quantizer trains on ~half the vectors; assignment must still cover ALL
+    api.buildAnnIndex("ivfs", nClusters = 4, kmeansIters = 2, trainFraction = 0.5)
+    assert(IvfIndex.loadIndex(spark, api.catalog, entry).count() == 300,
+      "every document gets assigned regardless of the training sample")
+    val c1 = IvfIndex.loadCentroids(spark, api.catalog, entry)
+      .orderBy("centroid_id").collect().map(_.getSeq[Float](1).toSeq).toSeq
+    // rebuild: the hash-of-id sample is partitioning-independent, so the
+    // quantizer is bit-identical
+    api.buildAnnIndex("ivfs", nClusters = 4, kmeansIters = 2, trainFraction = 0.5)
+    val c2 = IvfIndex.loadCentroids(spark, api.catalog, entry)
+      .orderBy("centroid_id").collect().map(_.getSeq[Float](1).toSeq).toSeq
+    assert(c1 == c2, "sampled training must stay deterministic across rebuilds")
+    // and the index still serves
+    val q = new DeterministicHashEmbedder(32).embedQuery("sampled training doc 5").toSeq
+    assert(IvfIndex.search(spark, api.catalog, entry, Seq(0 -> q), k = 3, nprobe = 2)
+      .count() == 3)
+  }
+
   test("blocked kNN self-join equals exact kNN when clusters are well-separated") {
     import spark.implicits._
     import graft.functions.VectorFunctions
