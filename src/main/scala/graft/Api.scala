@@ -442,9 +442,10 @@ final class Api(
     */
   def buildPqIndex(
       name: String, m: Int = 8, k: Int = 16, iters: Int = 3,
-      residual: Boolean = false): Unit = writeLock.synchronized {
+      residual: Boolean = false, trainFraction: Double = 1.0): Unit = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
-    graft.ann.PqIndex.build(spark, catalog, entry, embedder.dimension, m, k, iters, residual)
+    graft.ann.PqIndex.build(
+      spark, catalog, entry, embedder.dimension, m, k, iters, residual, trainFraction)
   }
 
   /** Approximate semantic search through the IVF-PQ index: probe-pruned

@@ -81,18 +81,28 @@ object PqIndex {
       m: Int = 8,
       k: Int = 16,
       iters: Int = 3,
-      residual: Boolean = false): Unit = {
+      residual: Boolean = false,
+      trainFraction: Double = 1.0): Unit = {
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction $trainFraction out of (0,1]")
     val docs = catalog.readDocuments(entry)
       .select(col("id"), col("embedding"), col("norm"))
+    // codebooks, like the IVF quantizer, need a REPRESENTATIVE sample,
+    // not every row: trainFraction < 1 bounds the per-iteration training
+    // scans with the deterministic hash-of-id gate (IvfIndex.build has the
+    // same knob and rationale); ENCODING below always covers the corpus
+    val trainDocs =
+      if (trainFraction >= 1.0) docs
+      else graft.operators.Sampling.sample(docs, "id", trainFraction)
     // residual encoding needs an IVF quantizer to take residuals AGAINST;
     // without centroids it degenerates to raw encoding, so record raw
     val doResidual = residual && exists(IvfIndex.centroidsPath(catalog, entry))
     val trainRows =
-      if (!doResidual) docs.select("id", "embedding")
+      if (!doResidual) trainDocs.select("id", "embedding")
       else {
         val cents = IvfIndex.loadCentroids(spark, catalog, entry)
         Pq.residualOf(
-          Ann.assign(docs, cents),
+          Ann.assign(trainDocs, cents),
           cents.select(col("centroid_id").as("cluster_id"), col("centroid")))
           .select("id", "embedding")
       }

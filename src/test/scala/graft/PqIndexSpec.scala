@@ -70,6 +70,27 @@ class PqIndexSpec extends SparkSpec {
     api.deleteCollection("pqflat", confirm = true)
   }
 
+  test("bounded-sample codebook training: full-corpus codes, reproducible, serves") {
+    val wh = Files.createTempDirectory("graft-wh-pqts").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+    api.createCollection("pqts",
+      documents = Some((0 until 200).map(i => s"pq sampled doc $i tail t${i % 9}")
+        .toDF("content")))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "pqts"))
+    api.buildPqIndex("pqts", m = 4, k = 4, iters = 2, trainFraction = 0.5)
+    assert(PqIndex.load(spark, api.catalog, entry).count() == 200,
+      "encoding covers every document regardless of the training sample")
+    val cb1 = PqIndex.loadCodebooks(spark, api.catalog, entry).get
+    api.buildPqIndex("pqts", m = 4, k = 4, iters = 2, trainFraction = 0.5)
+    val cb2 = PqIndex.loadCodebooks(spark, api.catalog, entry).get
+    assert(cb1.map(_.map(_.toSeq)) == cb2.map(_.map(_.toSeq)),
+      "hash-of-id sampled training must stay deterministic across rebuilds")
+    val res = api.semanticSearchPq("pqts", Seq("pq sampled doc 11 tail t2"), 3)
+    assert(res.results.nonEmpty)
+    api.deleteCollection("pqts", confirm = true)
+  }
+
   test("governed error for a missing PQ index; codebooks survive an emptying delete") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val api = new Api(spark, wh, new DeterministicHashEmbedder(16))
