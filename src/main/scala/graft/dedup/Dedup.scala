@@ -123,7 +123,7 @@ object Dedup {
     * the window rides the join's own exchange, and with stop buckets
     * already gone its largest group is bounded by maxBucketSize.
     */
-  private def bucketPairs(
+  private[dedup] def bucketPairs(
       banded: DataFrame, // (id, <blockCol>, <keyCol>)
       blockCol: String,
       keyCol: String,
@@ -169,7 +169,7 @@ object Dedup {
     * equi-joins on id — broadcast when the doc-set side is small,
     * shuffle-hash otherwise, output-proportional either way.
     */
-  private def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
+  private[dedup] def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
     cands
       .join(sets.select(col("id").as("a"), col("shs").as("sha"), col("len").as("la")), "a")
       .join(sets.select(col("id").as("b"), col("shs").as("shb"), col("len").as("lb")), "b")

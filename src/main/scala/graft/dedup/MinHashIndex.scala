@@ -131,6 +131,37 @@ object MinHashIndex {
     * re-shingled for the exact-Jaccard verify. Same-id collisions are
     * ignored, so re-upserting a document never self-flags.
     */
+  /** Corpus-wide near-dup PAIRS served FROM the index — offline dedup
+    * without re-shingling or re-banding the corpus: candidates are index
+    * rows sharing a (band, key) (same guarded self-join as
+    * [[Dedup.minHashNearDups]]: stop-bucket blacklist + singleton drop,
+    * skew bounded by `maxBucketSize`), and only the documents appearing
+    * in some candidate pair — an output-sized set — are re-read and
+    * re-shingled for the exact-Jaccard verify. Identical pair set to
+    * [[Dedup.minHashNearDups]] at the index's banding config
+    * (spec-asserted); the signature/banding computation over the whole
+    * corpus is what the persisted index amortizes across runs.
+    */
+  def nearDupPairs(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      threshold: Double,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val meta = requireMeta(spark, catalog, entry)
+    val banded = load(spark, catalog, entry).select("id", "band", "key")
+    val cands = Dedup.bucketPairs(banded, "band", "key", maxBucketSize)
+      .localCheckpoint()
+    val ids = cands.select(col("a").as("id"))
+      .unionByName(cands.select(col("b").as("id")))
+      .distinct().collect().map(_.getString(0)).toSeq
+    if (ids.isEmpty) return cands.withColumn("jaccard", lit(0.0)).limit(0)
+    val sets = Dedup.shingleSets(
+      catalog.readDocumentsForIds(entry, ids).select(col("id"), col("content")),
+      meta.shingleN)
+    Dedup.verifyJaccard(cands, sets, threshold)
+  }
+
   def nearDupIds(
       spark: SparkSession,
       catalog: Catalog,

@@ -82,6 +82,26 @@ class MinHashIndexSpec extends SparkSpec {
     assert(w2 == 0 && r2 == 1, "gate must see documents added through itself")
   }
 
+  test("index-served corpus pairs equal the from-scratch minhash dedup") {
+    val api = freshApi()
+    import spark.implicits._
+    // clusters of planted near-dups (one-token variants) + distinct tails
+    val base = (0 until 30).map(i =>
+      s"corpus pair doc $i alpha beta gamma tok${i}a tok${i}b tok${i}c")
+    val dups = Seq(3, 7, 11).map(i =>
+      s"corpus pair doc $i alpha beta gamma tok${i}a tok${i}b tok${i}zz")
+    api.createCollection("pairs", documents = Some((base ++ dups).toDF("content")))
+    api.buildMinHashIndex("pairs", bands = 16, shingleN = 3)
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "pairs"))
+    val fromIndex = MinHashIndex.nearDupPairs(spark, api.catalog, entry, 0.5)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    val scratch = graft.dedup.Dedup.minHashNearDups(
+        api.catalog.readDocuments(entry).select("id", "content"), threshold = 0.5)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(fromIndex == scratch && fromIndex.size >= 3,
+      s"index-served pairs must equal from-scratch (got ${fromIndex.size} vs ${scratch.size})")
+  }
+
   test("gate is governed when no index exists; empty-delete keeps meta") {
     val api = freshApi()
     import spark.implicits._
