@@ -207,6 +207,38 @@ object SignLshIndex {
     banded.select(col("id").as("nid"), col("embedding").as("ne"),
       col("norm").as("nn"), col("table"), col("key"))
 
+  /** Corpus-wide embedding near-dup PAIRS served FROM the index (the
+    * embedding-side analog of [[graft.dedup.MinHashIndex.nearDupPairs]]):
+    * candidates are index rows sharing a (table, key) — the guarded
+    * keyed self-join from the dedup family (stop-bucket blacklist +
+    * singleton drop, skew bounded by `maxBucketSize`) — and the exact
+    * cosine verify reads embeddings straight from the candidate rows;
+    * nothing outside the index is touched. Recall follows the index's
+    * (bits, tables) like [[graft.dedup.Dedup.embeddingNearDupsLsh]]:
+    * a verified SUBSET of the exact all-pairs answer, with 1-(1-s^bits)
+    * ^tables recall per pair. Output: (a, b, cosine), a < b.
+    */
+  def nearDupPairs(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      threshold: Double,
+      maxBucketSize: Int = 1000): DataFrame = {
+    requireMeta(spark, catalog, entry) // governed missing-index error
+    val idx = load(spark, catalog, entry)
+    val cands = graft.dedup.Dedup.bucketPairs(
+      idx.select("id", "table", "key"), "table", "key", maxBucketSize)
+    val va = idx.select(col("id").as("a"), col("embedding").as("ea"),
+      col("norm").as("na")).distinct()
+    val vb = idx.select(col("id").as("b"), col("embedding").as("eb"),
+      col("norm").as("nb")).distinct()
+    cands.join(va, "a").join(vb, "b")
+      .withColumn("cosine",
+        VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b", "cosine")
+  }
+
   /** Approximate top-k: probe each query's own (table, key) buckets — a
     * `tables`-partition pruned scan — then exact cosine over the union.
     * A vector always lands in its own buckets, so a stored vector queried

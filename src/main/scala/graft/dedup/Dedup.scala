@@ -123,7 +123,7 @@ object Dedup {
     * the window rides the join's own exchange, and with stop buckets
     * already gone its largest group is bounded by maxBucketSize.
     */
-  private[dedup] def bucketPairs(
+  private[graft] def bucketPairs(
       banded: DataFrame, // (id, <blockCol>, <keyCol>)
       blockCol: String,
       keyCol: String,

@@ -59,6 +59,33 @@ class SignLshIndexSpec extends SparkSpec {
     assert(!root.exists(), "sign-LSH index must be deleted with the collection")
   }
 
+  test("index-served embedding pairs: verified subset of exact, planted dups found") {
+    val wh = Files.createTempDirectory("graft-wh-lshpairs").toString
+    val embedder = new DeterministicHashEmbedder(32)
+    val api = new Api(spark, wh, embedder)
+    import spark.implicits._
+    // identical texts never coexist (content-addressed ids), so plant
+    // EXACT-duplicate embeddings by supplying them explicitly
+    val base = (0 until 60).map(i => (s"pairs doc $i body", i))
+    val docs = base.map { case (t, i) =>
+      // docs 0/1 and 2/3 share an embedding (cosine 1.0); rest are hash-distinct
+      val src = if (i == 1) "pairs doc 0 body" else if (i == 3) "pairs doc 2 body" else t
+      (t, embedder.embedQuery(src).toIndexedSeq)
+    }.toDF("content", "embedding")
+    api.createCollection("lshp", documents = Some(docs))
+    api.buildLshIndex("lshp", bits = 4, tables = 6)
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "lshp"))
+    val pairs = SignLshIndex.nearDupPairs(spark, api.catalog, entry, 0.999)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+    assert(pairs.length >= 2, s"both planted duplicate pairs must surface: ${pairs.length}")
+    assert(pairs.forall(_._3 >= 0.999))
+    // subset of the exact answer: every reported pair really is a near-dup
+    val vecs = api.catalog.readDocuments(entry).select("id", "embedding", "norm")
+    val exact = graft.dedup.Dedup.embeddingNearDups(vecs, 0.999)
+      .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(pairs.map(p => (p._1, p._2)).toSet.subsetOf(exact))
+  }
+
   test("meta sidecar: params survive an emptying delete; missing index is governed") {
     val wh = Files.createTempDirectory("graft-wh").toString
     val api = new Api(spark, wh, new DeterministicHashEmbedder(32))
