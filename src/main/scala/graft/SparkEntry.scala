@@ -106,6 +106,19 @@ object SparkEntry {
       Hybrid.rrf(sem, lex, 0.5, 0.5, 60, 10)
         .withColumn("score", round(col("score"), 9))
         .orderBy(col("score").desc, col("id"))
+    }),
+    // ---- §2.3 hybrid RRF with the lexical leg served from the posting
+    //      table — the Api.searchIndexed serving shape under the oracle
+    //      (BM25-from-postings is bit-exact vs the content scan) ----
+    "q_hybrid_rrf_indexed" -> ((s, dir) => {
+      val docs = corpus(s, dir).cache()
+      val qv = queryVectors(s, dir, Seq(0))
+      val sem = Semantic.search(docs, qv, 10)
+      val postings = graft.ingest.Ingest.postings(docs.select("id", "content")).cache()
+      val lex = Lexical.searchBm25Indexed(postings, Seq((0, "spark join")), 10)
+      Hybrid.rrf(sem, lex, 0.5, 0.5, 60, 10)
+        .withColumn("score", round(col("score"), 9))
+        .orderBy(col("score").desc, col("id"))
     })
   )
 
@@ -234,6 +247,39 @@ object SparkEntry {
          |        WHERE rnk <= 10),
          |lexs AS (SELECT id, CAST(${tfD("spark")} + ${tfD("join")} AS DOUBLE) AS score
          |         FROM (SELECT id, $toksD AS toks FROM c)),
+         |lex AS (SELECT id, rnk FROM (
+         |          SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk
+         |          FROM lexs WHERE score > 0)
+         |        WHERE rnk <= 10),
+         |u AS (SELECT id, 0.5/(60.0 + rnk) AS contrib FROM sem
+         |      UNION ALL
+         |      SELECT id, 0.5/(60.0 + rnk) FROM lex),
+         |fz AS (SELECT CAST(0 AS INTEGER) AS query_idx, id, sum(contrib) AS score
+         |       FROM u GROUP BY id),
+         |t AS (SELECT query_idx, id, score, row_number() OVER (ORDER BY score DESC, id) AS rn
+         |      FROM fz)
+         |SELECT query_idx, id, round(score, 9) AS score FROM t WHERE rn <= 10
+         |ORDER BY round(score, 9) DESC, id""".stripMargin,
+    "q_hybrid_rrf_indexed" ->
+      s"""WITH c AS (SELECT d.doc_id AS id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+         |           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+         |semall AS (SELECT id, list_cosine_similarity(v, qv) AS sc FROM c CROSS JOIN q),
+         |sem AS (SELECT id, rnk FROM (
+         |          SELECT id, row_number() OVER (ORDER BY sc DESC, id) AS rnk FROM semall)
+         |        WHERE rnk <= 10),
+         |tk AS (SELECT id, $toksD AS toks FROM c),
+         |f AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl,
+         |             CAST(${tfD("spark")} AS DOUBLE) AS f0,
+         |             CAST(${tfD("join")} AS DOUBLE) AS f1 FROM tk),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         |              CAST(sum(CASE WHEN f0 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df0,
+         |              CAST(sum(CASE WHEN f1 > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df1
+         |       FROM f WHERE dl > 0),
+         |lexs AS (SELECT id,
+         |             ln(1.0 + (n - df0 + 0.5)/(df0 + 0.5)) * (f0*2.2)/(f0 + 1.2*(0.25 + 0.75*dl/avgdl))
+         |           + ln(1.0 + (n - df1 + 0.5)/(df1 + 0.5)) * (f1*2.2)/(f1 + 1.2*(0.25 + 0.75*dl/avgdl)) AS score
+         |         FROM f CROSS JOIN st),
          |lex AS (SELECT id, rnk FROM (
          |          SELECT id, row_number() OVER (ORDER BY score DESC, id) AS rnk
          |          FROM lexs WHERE score > 0)
