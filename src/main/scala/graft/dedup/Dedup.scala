@@ -450,11 +450,23 @@ object Dedup {
       .withColumn("rnk", row_number().over(rankW))
       .filter(col("rnk") <=
         col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
-      .select("id", "h", "len")
+      .select("id", "h", "len", "rnk")
+    // Positional filter (PPJoin proper, Xiao et al. WWW'08): J >= t is
+    // |x∩y| >= alpha with alpha = ceil(t/(1+t) * (|x|+|y|)); a pair's
+    // FIRST shared shingle in the global order (ranks i, j) bounds the
+    // whole overlap by min(|x|-i, |y|-j) + 1, so candidate rows failing
+    // the bound drop — lossless, because every true pair still passes at
+    // its first-match row. This is the lever when prefixes alone are weak
+    // (small shared vocabularies: many docs share "rare" shingles), where
+    // it cuts candidates by multiples before the expensive distinct.
+    val alpha = ceil((lit(threshold) / (lit(1.0) + lit(threshold))) *
+      (col("x.len") + col("y.len")) - lit(1e-9))
     val cands = pref.as("x").join(pref.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id") &&
           col("x.len") * lit(threshold) <= col("y.len") &&
-          col("y.len") * lit(threshold) <= col("x.len"))
+          col("y.len") * lit(threshold) <= col("x.len") &&
+          least(col("x.len") - col("x.rnk"), col("y.len") - col("y.rnk")) +
+            lit(1) >= alpha)
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
     verifyJaccard(cands, sets, threshold)
