@@ -131,6 +131,38 @@ object MinHashIndex {
     * re-shingled for the exact-Jaccard verify. Same-id collisions are
     * ignored, so re-upserting a document never self-flags.
     */
+  /** Candidate-id reads switch strategy at this count: below it, ids
+    * collect to the driver and fetch through the id-bucket-pruned point
+    * scan (fastest when candidates are output-sized — the normal case);
+    * above it — a duplicate-heavy corpus can make one band bucket's
+    * candidates corpus-sized — the read degrades to a distributed
+    * left-semi join against the documents table: same rows, no
+    * driver-side materialization to blow up.
+    */
+  private[graft] val CollectLimit = 100000
+
+  /** Shingle sets of the candidate documents, by whichever read strategy
+    * the candidate count calls for (see [[CollectLimit]]).
+    */
+  private[graft] def candidateSets(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      candIds: DataFrame, // (id), distinct
+      shingleN: Int,
+      collectLimit: Int = CollectLimit): DataFrame = {
+    val n = candIds.count()
+    // readDocumentsForIds prunes to the ids' BUCKETS (the physical lever);
+    // the exact id cut happens here, so bucket-mates are never shingled
+    val docs =
+      if (n <= collectLimit) {
+        val ids = candIds.collect().map(_.getString(0)).toSeq
+        catalog.readDocumentsForIds(entry, ids)
+          .filter(col("id").isin(ids: _*))
+      } else catalog.readDocuments(entry).join(candIds, Seq("id"), "left_semi")
+    Dedup.shingleSets(docs.select(col("id"), col("content")), shingleN)
+  }
+
   /** Corpus-wide near-dup PAIRS served FROM the index — offline dedup
     * without re-shingling or re-banding the corpus: candidates are index
     * rows sharing a (band, key) (same guarded self-join as
@@ -152,13 +184,10 @@ object MinHashIndex {
     val banded = load(spark, catalog, entry).select("id", "band", "key")
     val cands = Dedup.bucketPairs(banded, "band", "key", maxBucketSize)
       .localCheckpoint()
-    val ids = cands.select(col("a").as("id"))
+    val candIds = cands.select(col("a").as("id"))
       .unionByName(cands.select(col("b").as("id")))
-      .distinct().collect().map(_.getString(0)).toSeq
-    if (ids.isEmpty) return cands.withColumn("jaccard", lit(0.0)).limit(0)
-    val sets = Dedup.shingleSets(
-      catalog.readDocumentsForIds(entry, ids).select(col("id"), col("content")),
-      meta.shingleN)
+      .distinct()
+    val sets = candidateSets(spark, catalog, entry, candIds, meta.shingleN)
     Dedup.verifyJaccard(cands, sets, threshold)
   }
 
@@ -183,14 +212,13 @@ object MinHashIndex {
       .join(batchBands.drop("pbucket"), Seq("band", "key"))
       .filter(col("eid") =!= col("nid"))
       .select("nid", "eid").distinct().localCheckpoint()
-    // candidate corpus docs: output-sized; fetched via the id-bucket-pruned
-    // point-scan path and re-shingled (the index stores no shingle arrays —
-    // they would multiply corpus storage by the band count)
-    val eids = cands.select("eid").distinct().collect().map(_.getString(0)).toSeq
-    if (eids.isEmpty) return batch.select("id").limit(0)
-    val corpusSets = Dedup.shingleSets(
-      catalog.readDocumentsForIds(entry, eids).select(col("id"), col("content")),
-      meta.shingleN)
+    // candidate corpus docs: output-sized in the normal case and fetched
+    // via the id-bucket-pruned point scan; corpus-sized in pathological
+    // duplicate-heavy buckets, where the read degrades to a semi-join
+    // (candidateSets). The index stores no shingle arrays — they would
+    // multiply corpus storage by the band count.
+    val corpusSets = candidateSets(spark, catalog, entry,
+      cands.select(col("eid").as("id")).distinct(), meta.shingleN)
     cands
       .join(batchSets.select(col("id").as("nid"), col("shs").as("shn"),
         col("len").as("ln")), "nid")

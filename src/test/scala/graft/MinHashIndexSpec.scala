@@ -100,6 +100,18 @@ class MinHashIndexSpec extends SparkSpec {
       .select("a", "b").collect().map(r => (r.getString(0), r.getString(1))).toSet
     assert(fromIndex == scratch && fromIndex.size >= 3,
       s"index-served pairs must equal from-scratch (got ${fromIndex.size} vs ${scratch.size})")
+    // degraded candidate read (semi-join instead of driver collect) must
+    // produce the same verified sets — force it with collectLimit = 0
+    val candIds = fromIndex.flatMap(p => Seq(p._1, p._2)).toSeq.distinct
+      .toDF("id")
+    val viaSemi = MinHashIndex.candidateSets(spark, api.catalog, entry,
+        candIds, shingleN = 3, collectLimit = 0)
+      .select("id").collect().map(_.getString(0)).toSet
+    val viaCollect = MinHashIndex.candidateSets(spark, api.catalog, entry,
+        candIds, shingleN = 3)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(viaSemi == viaCollect && viaSemi == candIds.collect()
+      .map(_.getString(0)).toSet)
   }
 
   test("gate is governed when no index exists; empty-delete keeps meta") {
