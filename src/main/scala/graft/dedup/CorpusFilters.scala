@@ -131,6 +131,59 @@ object CorpusFilters {
       contentCol: String = "content"): DataFrame =
     boilerplateCoverageFromToks(tokenized(docs, idCol, contentCol), n, minDf)
 
+  /** Boilerplate REMOVAL (the C4/RefinedWeb cleaning transform, not just
+    * the score): rebuild each document from the tokens NOT covered by any
+    * corpus-frequent n-gram occurrence. Output: (id, tok_len,
+    * kept_tokens, cleaned) — cleaned is the kept tokens re-joined in
+    * order; a fully-boilerplate document comes out empty (kept_tokens 0),
+    * ready for a length gate downstream. Token-space transform by design:
+    * the tokenizer is lossy, so `cleaned` is normalized text, which is
+    * what a training pipeline feeds the tokenizer anyway.
+    *
+    * Scale shape: the flagged-position set is computed exactly as in
+    * [[boilerplateCoverageFromToks]]; the anti-join cutting covered
+    * positions keys on (id, pos), and reassembly is one id-keyed
+    * aggregate whose per-group payload is the document's own token list —
+    * linear, skew bounded by document length.
+    */
+  def boilerplateStrip(
+      docs: DataFrame,
+      n: Int = 3,
+      minDf: Int = 5,
+      idCol: String = "id",
+      contentCol: String = "content"): DataFrame =
+    boilerplateStripFromToks(tokenized(docs, idCol, contentCol), n, minDf)
+
+  /** [[boilerplateStrip]] over an existing (id, toks) frame. */
+  def boilerplateStripFromToks(
+      tokd: DataFrame,
+      n: Int = 3,
+      minDf: Int = 5): DataFrame = {
+    require(n >= 1 && minDf >= 2, s"need n >= 1, minDf >= 2 (got n=$n, minDf=$minDf)")
+    val rows = gramRowsFromToks(tokd, n)
+    val boiler = rows.select("id", "g").distinct()
+      .groupBy("g").agg(count(lit(1)).as("df"))
+      .filter(col("df") >= minDf)
+      .select("g")
+    val covered = rows.join(boiler, Seq("g"), "left_semi")
+      .select(col("id"), explode(sequence(col("pos"), col("pos") + lit(n - 1))).as("p"))
+      .distinct()
+    val kept = tokd
+      .select(col("id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .join(covered, Seq("id", "p"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("kept_tokens"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        s => s.getField("tok"))).as("cleaned"))
+    tokd
+      .select(col("id"), size(col("toks")).as("tok_len"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("tok_len"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** [[boilerplateCoverage]] over an existing (id, toks) frame. */
   def boilerplateCoverageFromToks(
       tokd: DataFrame,

@@ -496,7 +496,42 @@ object TextQueries {
        |SELECT source, count(*) AS n_docs, CAST(sum(doc_id) AS BIGINT) AS id_checksum
        |FROM k2 GROUP BY 1 ORDER BY source""".stripMargin
 
+  /** Boilerplate removal: cleaned documents with corpus-frequent 3-gram
+    * spans cut (tok_len cast long for oracle dtype parity).
+    */
+  def textBoilerplateStrip(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.CorpusFilters.boilerplateStrip(
+      t(s, dir, "documents"), n = 3, minDf = 5,
+      idCol = "doc_id", contentCol = "text")
+      .select(col("id").as("doc_id"), col("tok_len").cast("long").as("tok_len"),
+        col("kept_tokens"), col("cleaned"))
+      .orderBy("doc_id")
+
+  val textBoilerplateStripSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |g AS (SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+3], ' ') AS g
+       |      FROM d, UNNEST(range(greatest(len(toks)-2, 0))) AS u(i)),
+       |b AS (SELECT g FROM (SELECT DISTINCT doc_id, g FROM g) bg
+       |      GROUP BY g HAVING count(*) >= 5),
+       |cov AS (SELECT DISTINCT doc_id, p
+       |        FROM (SELECT doc_id, UNNEST(generate_series(pos, pos+2)) AS p
+       |              FROM g WHERE g.g IN (SELECT g FROM b)) e),
+       |tp AS (SELECT doc_id, i AS p, toks[i+1] AS tok
+       |       FROM d, UNNEST(range(len(toks))) AS u(i)),
+       |kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+       |         LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+       |         WHERE cov.p IS NULL),
+       |c AS (SELECT doc_id, count(*) AS kept_tokens,
+       |        string_agg(tok, ' ' ORDER BY p) AS cleaned
+       |      FROM kept GROUP BY doc_id)
+       |SELECT d.doc_id, len(d.toks) AS tok_len,
+       |       coalesce(c.kept_tokens, 0) AS kept_tokens,
+       |       coalesce(c.cleaned, '') AS cleaned
+       |FROM d LEFT JOIN c USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_boilerplate_strip" -> (textBoilerplateStrip _),
     "q_pipeline_curate2" -> (pipelineCurate2 _),
     "q_text_repetition" -> (textRepetition _),
     "q_text_boilerplate" -> (textBoilerplate _),
@@ -515,6 +550,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_boilerplate_strip" -> textBoilerplateStripSql,
     "q_pipeline_curate2" -> pipelineCurate2Sql,
     "q_text_repetition" -> textRepetitionSql,
     "q_text_boilerplate" -> textBoilerplateSql,

@@ -57,6 +57,20 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(r.getLong(2) == 4L && r.getInt(1) == 4)
   }
 
+  test("boilerplate strip: covered spans cut, order kept, full-coverage empties") {
+    val docs = df(
+      doc(1L, "aa xx yy zz bb"),  // flagged "xx yy zz" at pos 1 -> keep aa bb
+      doc(2L, "xx yy zz"),        // fully covered -> empty
+      doc(3L, "cc xx yy zz dd"),
+      doc(4L, "qq rr ss tt"))     // untouched
+    val r = CorpusFilters.boilerplateStrip(docs, n = 3, minDf = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((2L, "aa bb")))
+    assert(r(2L) == ((0L, "")), "fully-boilerplate doc comes out empty")
+    assert(r(3L) == ((2L, "cc dd")))
+    assert(r(4L) == ((4L, "qq rr ss tt")), "clean doc passes through in token space")
+  }
+
   test("repetition signals on the documents table are sane") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))
