@@ -30,7 +30,7 @@ object Bench {
     val warmDir = "/root/testdata/sf0.001"
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1" && sfDir != warmDir)
       ordered.foreach { case (_, fn) =>
-        try fn(spark, warmDir).count() catch { case _: Throwable => () }
+        try fn(spark, warmDir).queryExecution.toRdd.count() catch { case _: Throwable => () }
         spark.catalog.clearCache()
       }
     // best-of-N per query (default 2): a single GC pause or transient
@@ -41,7 +41,13 @@ object Bench {
     val results = ordered.map { case (name, fn) =>
       val times = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => () }
+        // toRdd.count(), NOT count(): a count() aggregate lets the optimizer
+        // prune every projected column (a per-doc score, a rebuilt string)
+        // and drop unique-keyed joins — some queries then "benchmark" a
+        // fraction of their real plan. toRdd executes the FULL physical
+        // plan and materializes every output column, which is what the
+        // driver's Verify pays when it writes parquet.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => () }
         val dt = (System.nanoTime() - t0) / 1e9
         // release per-query cached intermediates so later queries aren't
         // starved by accumulated storage memory

@@ -96,6 +96,12 @@ object ScaleProbe {
     // (and with it true output) grows exactly M-fold
     time("text_boilerplate")(
       graft.dedup.CorpusFilters.boilerplateCoverage(docs, n = 3, minDf = 5).count())
+    // count() alone lets the optimizer skip the reassembly aggregate (the
+    // final left join contributes no rows to a bare count); summing over
+    // `cleaned` forces the full transform
+    time("text_boilerplate_strip")(
+      graft.dedup.CorpusFilters.boilerplateStrip(docs, n = 3, minDf = 5)
+        .agg(count(lit(1)), sum(length(col("cleaned")))).collect()(0).getLong(0))
     time("semantic_topk")(
       graft.ann.Ann.bruteTopK(vecs, qs, 10).count())
     time("knn_blocked") {

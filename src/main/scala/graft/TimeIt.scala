@@ -25,7 +25,7 @@ object TimeIt {
       val t0 = System.nanoTime()
       val df = fn(spark, sfDir)
       val tPlan = System.nanoTime()
-      val n = df.count()
+      val n = df.queryExecution.toRdd.count() // full plan, no count-pruning (see Bench)
       spark.catalog.clearCache()
       val t1 = System.nanoTime()
       println(f"$name%-28s plan=${(tPlan - t0) / 1e9}%6.2fs exec=${(t1 - tPlan) / 1e9}%6.2fs rows=$n")
