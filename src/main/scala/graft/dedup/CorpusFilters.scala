@@ -1,6 +1,7 @@
 package graft.dedup
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.storage.StorageLevel
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions._
 
@@ -160,7 +161,7 @@ object CorpusFilters {
       n: Int = 3,
       minDf: Int = 5): DataFrame = {
     require(n >= 1 && minDf >= 2, s"need n >= 1, minDf >= 2 (got n=$n, minDf=$minDf)")
-    val rows = gramRowsFromToks(tokd, n)
+    val rows = gramRowsFromToks(tokd, n).persist(StorageLevel.MEMORY_ONLY)
     val boiler = rows.select("id", "g").distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
@@ -190,7 +191,10 @@ object CorpusFilters {
       n: Int = 3,
       minDf: Int = 5): DataFrame = {
     require(n >= 1 && minDf >= 2, s"need n >= 1, minDf >= 2 (got n=$n, minDf=$minDf)")
-    val rows = gramRowsFromToks(tokd, n)
+    // the gram rows feed BOTH the df pass and the semi-join probe; without
+    // the persist the tokenize + explode scan runs twice (Dedup precedent:
+    // shingleSets persists for the same reason)
+    val rows = gramRowsFromToks(tokd, n).persist(StorageLevel.MEMORY_ONLY)
     val boiler = rows.select("id", "g").distinct()
       .groupBy("g").agg(count(lit(1)).as("df"))
       .filter(col("df") >= minDf)
