@@ -27,6 +27,8 @@ object Bench {
       .filter { case (n, _) => only.forall(_.contains(n)) }
     // JIT/codegen warmup at the smallest sf so timed numbers measure the
     // engine, not cold-JVM compilation (standard practice; same queries).
+    // Warmup errors are swallowed here ONLY because the same failure
+    // re-raises in the timed run below, where it is recorded per-query.
     val warmDir = "/root/testdata/sf0.001"
     if (sys.env.getOrElse("SPARK_GRAFT_WARMUP", "1") == "1" && sfDir != warmDir)
       ordered.foreach { case (_, fn) =>
@@ -38,8 +40,8 @@ object Bench {
     // the reported number (r03 saw one query at 18x its steady-state time);
     // min-of-reps reports the engine's cost, not the box's worst moment
     val reps = math.max(1, sys.env.getOrElse("SPARK_GRAFT_REPS", "2").toInt)
-    val results = ordered.map { case (name, fn) =>
-      val times = (1 to reps).map { _ =>
+    val results: Seq[(String, Either[String, Double])] = ordered.map { case (name, fn) =>
+      val attempts = (1 to reps).map { _ =>
         val t0 = System.nanoTime()
         // toRdd.count(), NOT count(): a count() aggregate lets the optimizer
         // prune every projected column (a per-doc score, a rebuilt string)
@@ -47,20 +49,42 @@ object Bench {
         // fraction of their real plan. toRdd executes the FULL physical
         // plan and materializes every output column, which is what the
         // driver's Verify pays when it writes parquet.
-        try { fn(spark, sfDir).queryExecution.toRdd.count() } catch { case _: Throwable => () }
+        // A failed query is an err entry in the output JSON, excluded from
+        // `total` — NEVER a fast fake time (r4 shipped 5 broken queries as
+        // ~0.07s "successes" exactly that way).
+        val err =
+          try { fn(spark, sfDir).queryExecution.toRdd.count(); None }
+          catch { case e: Throwable =>
+            Some(s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(300)}")
+          }
         val dt = (System.nanoTime() - t0) / 1e9
         // release per-query cached intermediates so later queries aren't
         // starved by accumulated storage memory
         spark.catalog.clearCache()
         System.gc()
-        dt
+        (err, dt)
       }
-      name -> times.min
-    }.toMap
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+      attempts.flatMap(_._1).headOption match {
+        case Some(e) => name -> Left(e)
+        case None    => name -> Right(attempts.map(_._2).min)
+      }
+    }
+    def q(s: String): String = "\"" + s.flatMap {
+      case '"'  => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
+      case c => c.toString
+    } + "\""
+    val ok = results.collect { case (k, Right(v)) => k -> v }
+    val errors = results.collect { case (k, Left(e)) => k -> e }
+    val qs = ok.map { case (k, v) => q(k) + ":" + v }.mkString("{", ",", "}")
+    val errJson = errors.map { case (k, v) => q(k) + ":" + q(v) }.mkString("{", ",", "}")
+    val total = ok.map(_._2).sum
+    errors.foreach { case (k, e) => System.err.println(s"[bench] FAILED $k: $e") }
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"n_ok":${ok.size},"n_err":${errors.size}}""")
     spark.stop()
   }
 }

@@ -21,11 +21,21 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // A failing query must be a loud, machine-readable artifact — not just a
+    // stderr line. r4 lost 5 queries silently: Verify logged and moved on,
+    // and the driver's correctness file simply shrank. Every failure lands
+    // in outDir/_errors.json AND on stdout.
+    val failures = scala.collection.mutable.LinkedHashMap.empty[String, String]
+    // SPARK_GRAFT_ONLY=q_a,q_b restricts the dump (local iteration loop);
+    // the driver never sets it, so its runs always cover every query
+    val only = sys.env.get("SPARK_GRAFT_ONLY").map(_.split(",").toSet)
+    val selected = SparkEntry.queries.filter { case (n, _) => only.forall(_.contains(n)) }
+    selected.foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        failures(name) = s"${e.getClass.getName}: ${Option(e.getMessage).getOrElse("").take(500)}"
+        System.err.println(s"[verify] $name FAILED: ${e.getMessage}")
       }
       finally spark.catalog.clearCache()
     }
@@ -42,8 +52,18 @@ object Verify {
       case c => c.toString
     } + "\""
     val json = SparkEntry.oracleSql
+      .filter { case (k, _) => only.forall(_.contains(k)) }
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = failures
+      .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
+    if (failures.nonEmpty) {
+      println(s"[verify] ${failures.size} of ${selected.size} queries FAILED: " +
+        failures.keys.mkString(", "))
+    } else {
+      println(s"[verify] all ${selected.size} queries wrote results")
+    }
     spark.stop()
   }
 }

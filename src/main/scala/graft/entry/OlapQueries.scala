@@ -20,24 +20,31 @@ object OlapQueries {
   private def dec(c: org.apache.spark.sql.Column, scale: Int) =
     c.cast(s"decimal(18,$scale)")
 
-  /** Tumbling 1-hour window aggregation over the events stream table —
-    * the batch shape of the Structured Streaming windowed count.
-    * events.ts is Parquet TIMESTAMP(NANOS) which Spark only reads as a
-    * nanos LONG (legacy conf); converted explicitly to a timestamp so the
-    * real window() operator is exercised.
+  /** Epoch micros/millis from the events table's TIMESTAMP_NTZ `ts`.
+    * events.ts is Parquet TIMESTAMP(isAdjustedToUTC=false, MICROS), which
+    * Spark 4 reads as TIMESTAMP_NTZ — `unix_micros` and friends reject NTZ,
+    * and a cast to TIMESTAMP would make the result depend on the session
+    * timezone. `timestampdiff` against the NTZ epoch is a pure wall-clock
+    * difference: timezone-independent and bit-identical to DuckDB's
+    * `epoch_us`/`epoch_ms` over the same column.
     */
-  def eventsWindow(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+  private def epochOf(unit: String, colName: String) =
+    expr(s"timestampdiff($unit, TIMESTAMP_NTZ'1970-01-01 00:00:00', $colName)")
+
+  /** Tumbling 1-hour window aggregation over the events stream table —
+    * the batch shape of the Structured Streaming windowed count. window()
+    * operates on the TIMESTAMP_NTZ column directly (supported since 3.4);
+    * the window start is reported as epoch millis for the oracle.
+    */
+  def eventsWindow(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "events")
-      .withColumn("ts2", timestamp_micros(expr("ts div 1000")))
-      .groupBy(window(col("ts2"), "1 hour").as("w"), col("event_type"))
+      .groupBy(window(col("ts"), "1 hour").as("w"), col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(dec(col("value"), 4)).as("sum_dec"))
-      .select(unix_millis(col("w.start")).as("window_start"),
+      .select(epochOf("MILLISECOND", "w.start").as("window_start"),
         col("event_type"), col("n"),
         col("sum_dec").cast("double").as("sum_value"))
       .orderBy("window_start", "event_type")
-  }
 
   val eventsWindowSql: String =
     """SELECT epoch_ms(date_trunc('hour', ts)) AS window_start, event_type,
@@ -50,10 +57,9 @@ object OlapQueries {
     * streaming session_window aggregation.
     */
   def eventsSessionize(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
     val ev = t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), expr("ts div 1000000").as("ts_ms"))
+      .select(col("user_id"), col("event_id"), epochOf("MILLISECOND", "ts").as("ts_ms"))
       .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
       .withColumn("new_sess",
         when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 30L * 60 * 1000, 1L)
@@ -89,17 +95,15 @@ object OlapQueries {
     * ASOF JOIN.
     */
   def eventsAsof(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = t(s, dir, "events")
-    // microsecond timestamps on both sides: DuckDB reads parquet
-    // TIMESTAMP(NANOS) as TIMESTAMP (us), so ns-resolution ordering or
-    // arithmetic here would drift from the oracle by 1ms at boundaries
+    // epoch-micros on both sides — same resolution DuckDB's epoch_us gives
+    // the oracle, so ordering and gap arithmetic cannot drift at boundaries
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
-        expr("ts div 1000").as("tsu"))
+        epochOf("MICROSECOND", "ts").as("tsu"))
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
-        expr("ts div 1000").as("vtsu"))
+        epochOf("MICROSECOND", "ts").as("vtsu"))
     graft.operators.AsOfJoin.asof(clicks, views,
         keys = Seq("user_id"), leftTs = "tsu", rightTs = "vtsu",
         leftCols = Seq("click_id", "tsu"), rightCols = Seq("view_id", "vtsu"),
@@ -125,14 +129,13 @@ object OlapQueries {
     * reproduce the single-window join bit-for-bit.
     */
   def eventsAsofChunked(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = t(s, dir, "events")
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id").as("click_id"), col("user_id"),
-        expr("ts div 1000").as("tsu"))
+        epochOf("MICROSECOND", "ts").as("tsu"))
     val views = ev.filter(col("event_type") === "view")
       .select(col("event_id").as("view_id"), col("user_id"),
-        expr("ts div 1000").as("vtsu"))
+        epochOf("MICROSECOND", "ts").as("vtsu"))
     graft.operators.AsOfJoin.asofChunked(clicks, views,
         keys = Seq("user_id"), leftTs = "tsu", rightTs = "vtsu",
         leftCols = Seq("click_id", "tsu"), rightCols = Seq("view_id", "vtsu"),
@@ -149,13 +152,12 @@ object OlapQueries {
     * never per-key cross products. Decimal-exact value sum for the oracle.
     */
   def eventsRange(s: SparkSession, dir: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val ev = t(s, dir, "events")
-    // us timestamps for oracle parity (see eventsAsof)
+    // epoch-micros for oracle parity (see eventsAsof)
     val purchases = ev.filter(col("event_type") === "purchase")
-      .select(col("event_id"), col("user_id"), expr("ts div 1000").as("ptsu"))
+      .select(col("event_id"), col("user_id"), epochOf("MICROSECOND", "ts").as("ptsu"))
     val clicks = ev.filter(col("event_type") === "click")
-      .select(col("user_id"), expr("ts div 1000").as("ctsu"), col("value"))
+      .select(col("user_id"), epochOf("MICROSECOND", "ts").as("ctsu"), col("value"))
     graft.operators.RangeJoin.range(purchases, clicks,
         keys = Seq("user_id"), leftTs = "ptsu", rightTs = "ctsu",
         before = 1800000000L, after = 0L,
