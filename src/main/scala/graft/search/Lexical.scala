@@ -39,12 +39,17 @@ object Lexical {
   ): DataFrame = {
     val results = queries.map { case (qIdx, q) =>
       val terms = tokenizeQuery(q)
-      val toks = tokens(col("content"))
+      // materialize the tokenizer ONCE per row (same idiom as
+      // Dedup.shingleSets): scoring references col("__toks") per term, so a
+      // 3-term query pays the regex 1x, not 3x — CollapseProject keeps a
+      // multiply-referenced non-trivial alias in its own projection
+      val toks = col("__toks")
       val score = terms
         .map(t => tf(toks, lit(t)).cast("double"))
         .reduceOption(_ + _)
         .getOrElse(lit(0.0))
       docs
+        .withColumn("__toks", tokens(col("content")))
         .withColumn("score", score)
         .filter(col("score") > 0)
         .withColumn("query_idx", lit(qIdx))
@@ -72,13 +77,17 @@ object Lexical {
       payload: Seq[String] = Nil
   ): DataFrame = {
     val terms = tokenizeQuery(query)
-    val toksC = tokens(col("content"))
+    // one tokenizer run per row in BOTH phases (see search): the stats
+    // aggregate and the scoring scan each project __toks once and reference
+    // it per term, instead of inlining the regex into every term expression
+    val toksC = col("__toks")
     val statsAggs =
       Seq(count(lit(1)).as("n"), avg(size(toksC)).as("avgdl")) ++
         terms.zipWithIndex.map { case (t, i) =>
           sum(when(tf(toksC, lit(t)) > 0, 1L).otherwise(0L)).as(s"df_$i")
         }
-    val stats = docs.agg(statsAggs.head, statsAggs.tail: _*).collect()(0)
+    val stats = docs.select(tokens(col("content")).as("__toks"))
+      .agg(statsAggs.head, statsAggs.tail: _*).collect()(0)
     val n = stats.getAs[Long]("n").toDouble
     val avgdl = stats.getAs[Double]("avgdl")
     val score = terms.zipWithIndex.map { case (t, i) =>
@@ -89,6 +98,7 @@ object Lexical {
         (f + lit(k1) * (lit(1 - b) + lit(b) * size(toksC).cast("double") / lit(avgdl)))
     }.reduceOption(_ + _).getOrElse(lit(0.0))
     docs
+      .withColumn("__toks", tokens(col("content")))
       .withColumn("score", score)
       .filter(col("score") > 0)
       .withColumn("query_idx", lit(queryIdx))
@@ -111,13 +121,14 @@ object Lexical {
       payload: Seq[String] = Nil
   ): DataFrame = {
     val allTerms = queries.flatMap { case (_, q) => tokenizeQuery(q) }.distinct
-    val toksC = tokens(col("content"))
+    val toksC = col("__toks") // materialized once per row — see searchBm25
     val statsAggs =
       Seq(count(lit(1)).as("n"), avg(size(toksC)).as("avgdl")) ++
         allTerms.zipWithIndex.map { case (t, i) =>
           sum(when(tf(toksC, lit(t)) > 0, 1L).otherwise(0L)).as(s"df_$i")
         }
-    val stats = docs.agg(statsAggs.head, statsAggs.tail: _*).collect()(0)
+    val stats = docs.select(tokens(col("content")).as("__toks"))
+      .agg(statsAggs.head, statsAggs.tail: _*).collect()(0)
     val n = stats.getAs[Long]("n").toDouble
     val avgdl = stats.getAs[Double]("avgdl")
     val dfByTerm = allTerms.zipWithIndex
@@ -131,6 +142,7 @@ object Lexical {
           (f + lit(k1) * (lit(1 - b) + lit(b) * size(toksC).cast("double") / lit(avgdl)))
       }.reduceOption(_ + _).getOrElse(lit(0.0))
       docs
+        .withColumn("__toks", tokens(col("content")))
         .withColumn("score", score)
         .filter(col("score") > 0)
         .withColumn("query_idx", lit(qIdx))
