@@ -634,19 +634,35 @@ object Dedup {
   }
 
   /** Embedding near-duplicates: pairs with cosine >= threshold.
-    * v0 is the exact blocked self-join (join condition prunes by id order);
-    * the 100 TB path is [[embeddingNearDupsLsh]].
+    *
+    * The exact form is an all-pairs inequality self-join — O(N²) and a
+    * BroadcastNestedLoopJoin physically, which is only acceptable on small
+    * inputs (an eval set, one collection). Above `maxExactRows` the call
+    * routes to [[embeddingNearDupsLsh]] (banded candidates + exact-cosine
+    * verify), so composing this operator into a corpus-scale pipeline can
+    * never silently materialize the quadratic product. Near-dup detection
+    * is recall-oriented, so the LSH path's (bits, tables) recall envelope
+    * is the documented semantics at scale; callers needing the exact join
+    * regardless of size can raise `maxExactRows` explicitly.
     */
   def embeddingNearDups(
       vectors: DataFrame, // (id, embedding, norm)
-      threshold: Double): DataFrame = {
-    val a = vectors.select(col("id").as("a"), col("embedding").as("ea"), col("norm").as("na"))
-    val b = vectors.select(col("id").as("b"), col("embedding").as("eb"), col("norm").as("nb"))
-    a.join(b, col("a") < col("b"))
-      .withColumn("cosine",
-        VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select("a", "b", "cosine")
+      threshold: Double,
+      maxExactRows: Long = 100000L): DataFrame = {
+    // one cheap count() guards against the quadratic plan; vectors is a
+    // column-pruned scan (id only) for this job
+    if (vectors.count() > maxExactRows) {
+      val dim = vectors.select(size(col("embedding")).as("d")).head().getInt(0)
+      embeddingNearDupsLsh(vectors, threshold, dim)
+    } else {
+      val a = vectors.select(col("id").as("a"), col("embedding").as("ea"), col("norm").as("na"))
+      val b = vectors.select(col("id").as("b"), col("embedding").as("eb"), col("norm").as("nb"))
+      a.join(b, col("a") < col("b"))
+        .withColumn("cosine",
+          VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= threshold)
+        .select("a", "b", "cosine")
+    }
   }
 
   /** Scale path: random-hyperplane (sign) LSH blocking + exact cosine

@@ -24,6 +24,22 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall unexpectedly low")
   }
 
+  test("embeddingNearDups guard: above maxExactRows the plan is banded, never all-pairs") {
+    val vecs = Tables.vectors(spark, dir)
+    val guarded = Dedup.embeddingNearDups(vecs, 0.9, maxExactRows = 10)
+    guarded.collect()
+    val p = guarded.queryExecution.executedPlan.toString
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "above the guard the quadratic self-join must never materialize")
+    // under the guard (default 100k) the small input keeps the exact join —
+    // the same call shape q_dedup_embedding relies on for oracle parity
+    val exact = Dedup.embeddingNearDups(vecs, 0.9)
+    exact.collect()
+    val pe = exact.queryExecution.executedPlan.toString
+    assert(pe.contains("BroadcastNestedLoopJoin") || pe.contains("CartesianProduct"),
+      "small inputs stay on the exact all-pairs join")
+  }
+
   test("minhash LSH equals exact n-gram jaccard on this corpus (lossless band config)") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))
