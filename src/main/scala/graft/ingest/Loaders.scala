@@ -6,33 +6,67 @@ import org.apache.spark.sql.functions._
 
 /** File-format loaders feeding the ingest pipeline — the engine analog of
   * the reference's SimpleDirectoryReader delegation (vector_api.py:344-347).
-  * Parity scope: plain text (+ binary for multimodal payloads); PDF/EPUB
-  * parsing is a documented gap (SURVEY §2.2).
+  * Parity scope: plain text, JSONL, HTML (+ binary for multimodal
+  * payloads); PDF/EPUB parsing stays a documented gap (SURVEY §2.2), now
+  * enforced by the governed `document_parse_unsupported` error rather than
+  * a silent text-read of binary bytes.
   *
   * Inputs MUST come from DocumentInputs.resolveDocumentInputs — the
   * filesystem policy runs before any Spark IO (mcp_server.py:133-138).
   */
 object Loaders {
 
+  /** Formats the reference parses through SimpleDirectoryReader deps (pypdf,
+    * ebooklib — pyproject.toml:8) that this engine has NO parser for. A
+    * wholetext read of these binaries would silently ingest garbage bytes;
+    * the governed `document_parse_unsupported` error fails the batch instead
+    * (same fail-closed stance as the optional-dependency boundary,
+    * db_utils.py:66-105).
+    */
+  private val UnparseableExtensions = Set("pdf", "epub")
+
+  private def extOf(p: Path): String = {
+    val n = p.getFileName.toString
+    val i = n.lastIndexOf('.')
+    if (i < 0) "" else n.substring(i + 1).toLowerCase
+  }
+
+  private def requireParseable(paths: IterableOnce[Path]): Unit =
+    if (paths.iterator.exists(p => UnparseableExtensions(extOf(p))))
+      throw new graft.model.GraftException(
+        graft.model.ErrorCodes.DocumentParseUnsupported)
+
   /** One row per file: (content, metadata{} ) — wholetext so a document is
     * a file, not a line. Metadata deliberately carries no path/origin keys
     * (they would be dropped by the sanitizer anyway — vector_api.py:40-43).
     */
-  def loadTextFiles(spark: SparkSession, paths: Seq[Path]): DataFrame =
+  def loadTextFiles(spark: SparkSession, paths: Seq[Path]): DataFrame = {
+    requireParseable(paths)
     spark.read
       .option("wholetext", "true")
       .text(paths.map(_.toString): _*)
       .select(col("value").as("content"),
         map().cast("map<string,string>").as("metadata"))
+  }
 
-  /** Whole directory as text documents (post-policy root). */
-  def loadTextDirectory(spark: SparkSession, dir: Path): DataFrame =
+  /** Whole directory as text documents (post-policy root). The driver-side
+    * extension walk is bounded: directory inputs already passed the
+    * <=1000-file policy scan (document_inputs.py:13-16) before reaching any
+    * loader.
+    */
+  def loadTextDirectory(spark: SparkSession, dir: Path): DataFrame = {
+    val walk = java.nio.file.Files.walk(dir)
+    try requireParseable(
+      scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator()).asScala
+        .filter(java.nio.file.Files.isRegularFile(_)))
+    finally walk.close()
     spark.read
       .option("wholetext", "true")
       .option("recursiveFileLookup", "true")
       .text(dir.toString)
       .select(col("value").as("content"),
         map().cast("map<string,string>").as("metadata"))
+  }
 
   /** Binary payloads for the multimodal pipeline: (id, modality, data). */
   def loadBinaryFiles(spark: SparkSession, dir: Path, modality: String): DataFrame =

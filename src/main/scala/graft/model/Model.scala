@@ -93,10 +93,17 @@ object ErrorCodes {
   val EmbeddingBatchInvalid = "embedding_batch_invalid"
   val EmbeddingInvalid = "embedding_invalid"
   val VectorBackendOperationFailed = "vector_backend_operation_failed"
+  // reference firewall's second terminal code (vector_api.py:268-282):
+  // a required external provider (embedding model endpoint) is unreachable
+  val VectorProviderDependencyUnavailable = "vector_provider_dependency_unavailable"
   val CollectionActionInvalid = "collection_action_invalid"
   val SearchActionInvalid = "search_action_invalid"
   val VectorBackendNotConfigured = "vector_backend_not_configured"
   val VectorBackendUnsupported = "vector_backend_unsupported"
+  // engine extension: the reference parses PDF/EPUB via SimpleDirectoryReader
+  // deps (pyproject.toml:8); this engine has no binary-document parser, and a
+  // silent text-read of one would ingest garbage — fail governed instead
+  val DocumentParseUnsupported = "document_parse_unsupported"
   // engine extension (no reference analog — its backends build indexes at
   // DDL time): requesting an index-served search before the index is built
   val AnnIndexNotFound = "ann_index_not_found"

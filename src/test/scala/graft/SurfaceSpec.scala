@@ -78,6 +78,24 @@ class SurfaceSpec extends SparkSpec {
     assert(all.columns.toSet == Set("content", "metadata"))
   }
 
+  test("loaders: pdf/epub inputs fail governed, not silent text-read") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-pdf")
+    java.nio.file.Files.write(dir.resolve("doc.pdf"),
+      Array[Byte]('%', 'P', 'D', 'F', '-', '1', '.', '7'))
+    java.nio.file.Files.writeString(dir.resolve("ok.txt"), "plain text")
+    val exPath = intercept[graft.model.GraftException](
+      Loaders.loadTextFiles(spark, Seq(dir.resolve("doc.pdf"))))
+    assert(exPath.code == graft.model.ErrorCodes.DocumentParseUnsupported)
+    val exDir = intercept[graft.model.GraftException](
+      Loaders.loadTextDirectory(spark, dir))
+    assert(exDir.code == graft.model.ErrorCodes.DocumentParseUnsupported)
+    val exEpub = intercept[graft.model.GraftException](
+      Loaders.loadTextFiles(spark, Seq(dir.resolve("book.EPUB"))))
+    assert(exEpub.code == graft.model.ErrorCodes.DocumentParseUnsupported)
+    // a pdf-free selection in the same root still loads
+    assert(Loaders.loadTextFiles(spark, Seq(dir.resolve("ok.txt"))).count() == 1)
+  }
+
   test("loaders: html strips markup, decodes entities, drops empty docs") {
     val dir = java.nio.file.Files.createTempDirectory("graft-html")
     java.nio.file.Files.writeString(dir.resolve("a.html"),
