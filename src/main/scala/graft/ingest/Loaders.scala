@@ -132,4 +132,79 @@ object Loaders {
     contents.toDF("content")
       .select(col("content"), map().cast("map<string,string>").as("metadata"))
   }
+
+  // ------------------------------------------------- binary-document parse
+
+  private val pdfTextUdf = udf((b: Array[Byte]) =>
+    if (b == null) null else DocParse.pdfToText(b).orNull)
+  private val epubTextUdf = udf((b: Array[Byte]) =>
+    if (b == null) null else DocParse.epubToText(b).orNull)
+
+  /** PDF documents via the scoped pure-JVM extractor ([[DocParse.pdfToText]]
+    * — uncompressed/Flate content streams, standard string encodings). A
+    * file the extractor cannot decode fails the batch with the governed
+    * `document_parse_unsupported` error — never a silent empty/garbage
+    * document. The pre-check job is bounded: path inputs already passed the
+    * <=1000-file / <=512 MiB policy.
+    */
+  def loadPdfFiles(spark: SparkSession, paths: Seq[Path]): DataFrame =
+    failClosed(spark.read.format("binaryFile")
+      .load(paths.map(_.toString): _*)
+      .select(pdfTextUdf(col("content")).as("content"),
+        map().cast("map<string,string>").as("metadata")))
+
+  /** EPUB documents: archive-order XHTML extraction ([[DocParse.epubToText]]),
+    * same fail-closed contract as [[loadPdfFiles]].
+    */
+  def loadEpubFiles(spark: SparkSession, paths: Seq[Path]): DataFrame =
+    failClosed(spark.read.format("binaryFile")
+      .load(paths.map(_.toString): _*)
+      .select(epubTextUdf(col("content")).as("content"),
+        map().cast("map<string,string>").as("metadata")))
+
+  private def failClosed(parsed: DataFrame): DataFrame = {
+    if (parsed.filter(col("content").isNull || length(col("content")) === 0)
+        .limit(1).count() > 0)
+      throw new graft.model.GraftException(
+        graft.model.ErrorCodes.DocumentParseUnsupported)
+    parsed
+  }
+
+  /** Extension-routed loading — the engine's SimpleDirectoryReader analog
+    * (vector_api.py:344-347): pdf/epub through the binary extractors, jsonl
+    * and html through their structured loaders, everything else wholetext.
+    * One DataFrame out (unionByName over the per-format parts).
+    */
+  def loadAuto(spark: SparkSession, paths: Seq[Path]): DataFrame = {
+    val byKind = paths.groupBy { p =>
+      extOf(p) match {
+        case "pdf" => "pdf"
+        case "epub" => "epub"
+        case "jsonl" => "jsonl"
+        case "html" | "htm" => "html"
+        case _ => "text"
+      }
+    }
+    val parts = Seq(
+      byKind.get("text").map(ps => loadTextFiles(spark, ps)),
+      byKind.get("jsonl").map(ps => loadJsonl(spark, ps)),
+      byKind.get("html").map(ps => loadHtmlFiles(spark, ps)),
+      byKind.get("pdf").map(ps => loadPdfFiles(spark, ps)),
+      byKind.get("epub").map(ps => loadEpubFiles(spark, ps))).flatten
+    require(parts.nonEmpty, "document input required")
+    parts.reduce(_ unionByName _)
+  }
+
+  /** Extension-routed whole-directory load (post-policy root): driver-side
+    * bounded walk (the <=1000-file policy scan already ran), then
+    * [[loadAuto]] over the regular files found.
+    */
+  def loadDirectoryAuto(spark: SparkSession, dir: Path): DataFrame = {
+    val walk = java.nio.file.Files.walk(dir)
+    val files =
+      try scala.jdk.CollectionConverters.IteratorHasAsScala(walk.iterator()).asScala
+        .filter(java.nio.file.Files.isRegularFile(_)).toVector.sorted
+      finally walk.close()
+    loadAuto(spark, files)
+  }
 }

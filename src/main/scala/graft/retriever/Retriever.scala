@@ -81,8 +81,10 @@ final class Retriever(api: Api, collection: String,
       documentContents = documentContents,
       directoryWithinRoot = documentDirectory)
     val parts = Seq(
-      resolved.directory.map(d => graft.ingest.Loaders.loadTextDirectory(spark, d)),
-      resolved.paths.map(ps => graft.ingest.Loaders.loadTextFiles(spark, ps)),
+      // extension-routed (SimpleDirectoryReader analog): pdf/epub extract,
+      // jsonl/html parse, everything else wholetext
+      resolved.directory.map(d => graft.ingest.Loaders.loadDirectoryAuto(spark, d)),
+      resolved.paths.map(ps => graft.ingest.Loaders.loadAuto(spark, ps)),
       if (documentContents.nonEmpty)
         Some(graft.ingest.Loaders.loadInline(spark, documentContents))
       else None).flatten
