@@ -88,6 +88,33 @@ object CoreQueries {
       |    '[REDACTED_PATH]', 'g') AS content
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** PII entity redaction (email/ssn/phone + path pass) under the oracle —
+    * content synthesized deterministically per document so every entity
+    * kind appears with corpus variety; patterns RE2-safe by construction
+    * (Sanitize.redactEntities scaladoc), so DuckDB replays them verbatim.
+    */
+  def sanitizePii(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("reach "), col("source"),
+          lit("@corp.io ssn 123-45-6789 tel 555-867-5309 or (555) 123-4567 at /var/log/app.log end "),
+          substring(col("text"), 1, 30)).as("content"))
+    d.select(col("doc_id"),
+        Sanitize.sanitizeTextFull(col("content")).as("content"))
+      .orderBy("doc_id")
+  }
+
+  val sanitizePiiSql: String =
+    """SELECT doc_id,
+      |  regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+      |    'reach ' || source || '@corp.io ssn 123-45-6789 tel 555-867-5309 or (555) 123-4567 at /var/log/app.log end ' || substr(text, 1, 30),
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED_EMAIL]', 'g'),
+      |    '\b\d{3}-\d{2}-\d{4}\b', '[REDACTED_SSN]', 'g'),
+      |    '\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b', '[REDACTED_PHONE]', 'g'),
+      |    '(?:[A-Za-z]:[\\/][^\s<>"'']+|/(?:[^/\s]+/)+[^\s<>"'']*|\\\\[^\s\\]+\\[^\s]+)',
+      |    '[REDACTED_PATH]', 'g') AS content
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   /** vector_api.py:312-314 — content-addressed id derivation (engine's
     * stable sha256 surrogate, SURVEY §1.4).
     */
@@ -257,6 +284,7 @@ object CoreQueries {
     "q_collection_list" -> (collectionList _),
     "q_name_validation" -> (nameValidation _),
     "q_sanitize_paths" -> (sanitizePaths _),
+    "q_sanitize_pii" -> (sanitizePii _),
     "q_id_derivation" -> (idDerivation _),
     "q_ingest_dedup" -> (ingestDedup _),
     "q_upsert_merge" -> (upsertMerge _),
@@ -271,6 +299,7 @@ object CoreQueries {
     "q_collection_list" -> collectionListSql,
     "q_name_validation" -> nameValidationSql,
     "q_sanitize_paths" -> sanitizePathsSql,
+    "q_sanitize_pii" -> sanitizePiiSql,
     "q_id_derivation" -> idDerivationSql,
     "q_ingest_dedup" -> ingestDedupSql,
     "q_upsert_merge" -> upsertMergeSql,

@@ -39,10 +39,40 @@ object Sanitize {
   def redactPaths(c: Column): Column =
     regexp_replace(c, LocalPathRegex, Redacted)
 
-  /** Sanitize a text column (path redaction; PiiSanitizer scope gap
-    * documented above).
+  /** Minimal PII entity pass — the reproducible slice of the reference's
+    * external PiiSanitizer (vector_api.py:33): emails, US SSNs, and
+    * NANP-style phone numbers. Patterns are deliberately RE2-safe (no
+    * lookaround) so the DuckDB oracle replays them verbatim; conservative
+    * by design — a governed false negative beats corrupting non-PII text.
+    */
+  val EmailRegex: String = """[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"""
+  val SsnRegex: String = """\b\d{3}-\d{2}-\d{4}\b"""
+  val PhoneRegex: String = """\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b"""
+
+  val RedactedEmail = "[REDACTED_EMAIL]"
+  val RedactedSsn = "[REDACTED_SSN]"
+  val RedactedPhone = "[REDACTED_PHONE]"
+
+  /** Redact PII entities (email -> ssn -> phone, in that order — ssn must
+    * run before the phone pass sees its digit runs).
+    */
+  def redactEntities(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, EmailRegex, RedactedEmail),
+        SsnRegex, RedactedSsn),
+      PhoneRegex, RedactedPhone)
+
+  /** Sanitize a text column (path redaction; the broader PiiSanitizer scope
+    * gap is documented above — [[redactEntities]] is the opt-in entity
+    * pass, kept out of the byte-parity default path).
     */
   def sanitizeText(c: Column): Column = redactPaths(c)
+
+  /** Full sanitize: entity redaction THEN path redaction (an email's
+    * domain must not first be chewed by the path regex).
+    */
+  def sanitizeTextFull(c: Column): Column = redactPaths(redactEntities(c))
 
   /** Sanitize a MAP<STRING,STRING> metadata column: drop private keys,
     * sanitize surviving keys and values (vector_api.py:287-298).

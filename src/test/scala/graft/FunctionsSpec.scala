@@ -7,6 +7,33 @@ import graft.search.Lexical
 
 class FunctionsSpec extends SparkSpec {
 
+  test("pii entity redaction: email/ssn/phone redact, near-misses survive, idempotent") {
+    import spark.implicits._
+    val in = Seq(
+      "mail a.b+c@x-y.co now",                   // email
+      "ssn 123-45-6789 here",                    // ssn
+      "call 555-867-5309 or (555) 123-4567",     // phones
+      "+1 555.867.5309 intl form",               // phone w/ country code
+      "v1.2.3 and 12-34 and a@b stay",           // near-misses must survive
+      "doc at /var/log/x.log with bob@corp.io")  // path + email compose
+      .toDF("content")
+    val out = in.select(graft.ingest.Sanitize.sanitizeTextFull($"content").as("c"))
+      .collect().map(_.getString(0))
+    assert(out(0) == "mail [REDACTED_EMAIL] now")
+    assert(out(1) == "ssn [REDACTED_SSN] here")
+    assert(out(2) == "call [REDACTED_PHONE] or ([REDACTED_PHONE]")
+    // \b cannot sit before '+' (non-word on both sides), so the match
+    // starts at the '1' — identical in Java regex and RE2, parity-safe
+    assert(out(3) == "+[REDACTED_PHONE] intl form")
+    assert(out(4) == "v1.2.3 and 12-34 and a@b stay")
+    assert(out(5) == "doc at [REDACTED_PATH] with [REDACTED_EMAIL]")
+    // idempotent: a second pass changes nothing
+    val twice = in.select(graft.ingest.Sanitize.sanitizeTextFull(
+      graft.ingest.Sanitize.sanitizeTextFull($"content")).as("c"))
+      .collect().map(_.getString(0))
+    assert(twice.toSeq == out.toSeq)
+  }
+
   test("uuid5 NAMESPACE_OID byte parity with Python uuid.uuid5") {
     // expected values generated with CPython's uuid module
     assert(Ingest.uuid5Oid("test") == "b428b5d9-df19-5bb9-a1dc-115e071b836c")
