@@ -38,6 +38,20 @@ object ScaleProbe {
         concat_ws("#", col("id"), col("rep")).as("id"),
         col("embedding"), col("norm"))
 
+  /** Events replicated with per-replica user/event-id salting: every
+    * replica's users are DISJOINT, so keyed temporal operators see M x the
+    * key count at CONSTANT per-key event density — per-key window/join work
+    * is unchanged and true output grows exactly M-fold. Timestamps are
+    * untouched (the time range is the workload's, not the replica's).
+    */
+  private def saltedEvents(base: DataFrame, mult: Int): DataFrame =
+    base.select(col("*"), explode(sequence(lit(0), lit(mult - 1))).as("rep"))
+      .select(
+        (col("event_id") * mult + col("rep")).as("event_id"),
+        col("ts"),
+        (col("user_id") * mult + col("rep")).as("user_id"),
+        col("event_type"), col("value"))
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.1")
     val mults = args.lift(1).getOrElse("1,8,64").split(",").map(_.trim.toInt).toSeq
@@ -71,7 +85,10 @@ object ScaleProbe {
   private def runAll(
       spark: SparkSession, sfDir: String, m: Int, cpus: Int,
       timer: (Int, String, () => Long) => Unit): Unit = {
-    def time(op: String)(f: => Long): Unit = { timer(m, op, () => f) }
+    // SPARK_GRAFT_OPS=a,b restricts the sweep (iteration loop)
+    val only = sys.env.get("SPARK_GRAFT_OPS").map(_.split(",").toSet)
+    def time(op: String)(f: => Long): Unit =
+      if (only.forall(_.contains(op))) timer(m, op, () => f)
     val docs = saltedDocs(Tables.textCorpus(spark, sfDir), m)
       .repartition(cpus).localCheckpoint() // materialized, evenly spread
     // repartition matters: the base parquet is ONE file, and explode keeps
@@ -104,6 +121,51 @@ object ScaleProbe {
         .agg(count(lit(1)), sum(length(col("cleaned")))).collect()(0).getLong(0))
     time("semantic_topk")(
       graft.ann.Ann.bruteTopK(vecs, qs, 10).count())
+    // temporal family: count() would prune the carried match columns, so
+    // every probe sums an output column the operator had to compute
+    val events = saltedEvents(Tables.t(spark, sfDir, "events"), m)
+      .withColumn("tsu",
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"))
+      .repartition(cpus).localCheckpoint()
+    time("events_asof") {
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("event_id").as("click_id"), col("user_id"), col("tsu"))
+      val views = events.filter(col("event_type") === "view")
+        .select(col("event_id").as("view_id"), col("user_id"), col("tsu").as("vtsu"))
+      graft.operators.AsOfJoin.asof(clicks, views, Seq("user_id"), "tsu", "vtsu",
+          leftCols = Seq("click_id", "tsu"), rightCols = Seq("view_id", "vtsu"),
+          rightTieBreak = Seq("view_id"))
+        .agg(count(lit(1)), avg(col("vtsu"))).collect()(0).getLong(0) // avg: epoch-us sums overflow long at 64x
+    }
+    time("events_range") {
+      val purchases = events.filter(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("tsu").as("ptsu"))
+      val clicks = events.filter(col("event_type") === "click")
+        .select(col("user_id"), col("tsu").as("ctsu"), col("value"))
+      graft.operators.RangeJoin.range(purchases, clicks, Seq("user_id"),
+          "ptsu", "ctsu", before = 1800000000L, after = 0L,
+          leftCols = Seq("event_id"), rightCols = Seq("value"))
+        .agg(count(lit(1)), sum(col("value"))).collect()(0).getLong(0)
+    }
+    time("events_sessionize") {
+      val byUser = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("tsu"), col("event_id"))
+      events
+        .withColumn("prev", lag(col("tsu"), 1).over(byUser))
+        .withColumn("new_sess",
+          when(col("prev").isNull || col("tsu") - col("prev") > 1800000000L, 1L)
+            .otherwise(0L))
+        .withColumn("session_idx", sum(col("new_sess")).over(
+          byUser.rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "session_idx")
+        .agg(count(lit(1)).as("n"), max("tsu").as("end_tsu"))
+        .agg(count(lit(1)), avg(col("end_tsu"))).collect()(0).getLong(0)
+    }
+    time("events_window") {
+      events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
+        .agg(count(lit(1)).as("n"))
+        .agg(count(lit(1)), sum(col("n"))).collect()(0).getLong(0)
+    }
     time("knn_blocked") {
       // the 100 TB recipe: cluster COUNT scales with the corpus (keeps
       // per-cluster size — and the within-cluster join — constant);
