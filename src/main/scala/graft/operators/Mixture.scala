@@ -1,0 +1,87 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Training-data mixture operators: token-budget fill per group and
+  * deterministic export sharding — the two steps between a curated corpus
+  * and a training run (choose the mixture, lay out the shards).
+  */
+object Mixture {
+
+  /** Select documents per group (e.g. language/source) to fill a token
+    * budget, preferring higher quality — greedy semantics: a document is
+    * kept iff the running token sum over (quality DESC, id ASC) within its
+    * group stays within `budget`.
+    *
+    * Scale shape — the naive form is a window over (group) with only a
+    * handful of groups: a giant per-group single-task sort at corpus
+    * scale. This implementation is the two-level threshold form instead:
+    *
+    *   1. aggregate token sums per (group, quality) — combiner-collapsed,
+    *      output is |distinct quality| rows per group (quality is a
+    *      rounded score: bounded, small);
+    *   2. a window over that TINY aggregate finds each group's boundary
+    *      quality bin and the budget remaining at the boundary;
+    *   3. docs in bins above the boundary pass with no further work; only
+    *      the boundary bin's documents sort (per (group, quality) — one
+    *      bin, not the group) to fill the remainder by id order.
+    *
+    * Identical output to the greedy definition, but the only corpus-sized
+    * shuffles are one aggregate and one boundary-bin window — nothing
+    * sorts a whole group on one task.
+    *
+    * Input columns: (id, group, quality, tokens); output: the kept rows.
+    */
+  def tokenBudgetFill(docs: DataFrame, budget: Long): DataFrame = {
+    val binned = docs.groupBy("group", "quality")
+      .agg(sum(col("tokens")).as("bin_tokens"))
+    val byQuality = Window.partitionBy("group")
+      .orderBy(col("quality").desc)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val bins = binned
+      .withColumn("cum", sum(col("bin_tokens")).over(byQuality))
+      .withColumn("full", col("cum") <= budget)
+      // budget left when this bin starts (only meaningful for the first
+      // non-full bin = the boundary bin)
+      .withColumn("remaining", lit(budget) - (col("cum") - col("bin_tokens")))
+    val boundary = Window.partitionBy("group")
+      .orderBy(col("quality").desc)
+    val marked = bins.withColumn("prev_full",
+        lag(col("full"), 1, true).over(boundary))
+      .withColumn("is_boundary", !col("full") && col("prev_full"))
+      .select("group", "quality", "full", "is_boundary", "remaining")
+    val joined = docs.join(broadcast(marked), Seq("group", "quality"))
+    val fullDocs = joined.filter(col("full"))
+      .select("group", "id", "quality", "tokens")
+    val byId = Window.partitionBy("group", "quality")
+      .orderBy(col("id"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val boundaryDocs = joined.filter(col("is_boundary"))
+      .withColumn("bin_cum", sum(col("tokens")).over(byId))
+      .filter(col("bin_cum") <= col("remaining"))
+      .select("group", "id", "quality", "tokens")
+    fullDocs.unionByName(boundaryDocs)
+  }
+
+  /** Deterministic export sharding: assign every document a shard in
+    * [0, nShards) and a stable pseudo-random position within the shard —
+    * the "shuffle the corpus for training" step, reproducible on any
+    * cluster/partitioning because both keys derive from the document id
+    * (md5-based stableHash32, oracle-replayable). At 100 TB nShards is
+    * chosen for the trainer's shard size (thousands), so the per-shard
+    * row_number window is bounded by shard size, never the corpus.
+    */
+  def exportShards(docs: DataFrame, idCol: Column, nShards: Int): DataFrame = {
+    val h = graft.functions.TextFunctions.stableHash32(idCol.cast("string"))
+    val h2 = graft.functions.TextFunctions.stableHash32b(idCol.cast("string"))
+    val byShard = Window.partitionBy("shard").orderBy(col("__ord"), col("__id"))
+    docs
+      .withColumn("shard", pmod(h, lit(nShards)).cast("int"))
+      .withColumn("__ord", h2)
+      .withColumn("__id", idCol.cast("string"))
+      .withColumn("pos", row_number().over(byShard).cast("long"))
+      .drop("__ord", "__id")
+  }
+}

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.functions._
-import graft.operators.{AsOfJoin, RangeJoin}
+import graft.operators.{AsOfJoin, Mixture, RangeJoin}
 
 /** Semantics of the as-of and banded range join operators. */
 class OperatorsSpec extends SparkSpec {
@@ -103,6 +103,63 @@ class OperatorsSpec extends SparkSpec {
       $"l.k" === $"r.k" && $"r.rts" >= $"l.ts" - 30L && $"r.rts" <= $"l.ts" + 20L)
       .select($"l.k".as("k"), $"l.lid".as("lid"), $"r.rid".as("rid"))
     assert(out.exceptAll(naive).count() == 0 && naive.exceptAll(out).count() == 0)
+  }
+
+  test("tokenBudgetFill (threshold form) equals the naive greedy window on random data") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(11)
+    val docs = (0 until 400).map { i =>
+      (f"d$i%03d", s"g${i % 3}",
+        // coarse quality grid forces multi-doc bins (the boundary-bin path)
+        (rnd.nextInt(8) / 8.0), 20L + rnd.nextInt(80))
+    }.toDF("id", "group", "quality", "tokens")
+    for (budget <- Seq(100L, 1500L, 10000L, 1000000L)) {
+      val got = Mixture.tokenBudgetFill(docs, budget)
+        .select("group", "id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("group").orderBy(col("quality").desc, col("id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val naive = docs.withColumn("cum", sum(col("tokens")).over(w))
+        .filter(col("cum") <= budget)
+        .select("group", "id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+      assert(got == naive, s"budget=$budget: threshold form diverged from greedy")
+    }
+  }
+
+  test("tokenBudgetFill never single-task-sorts a whole group") {
+    import spark.implicits._
+    val docs = (0 until 100)
+      .map(i => (s"d$i", "onegroup", (i % 5) / 5.0, 10L))
+      .toDF("id", "group", "quality", "tokens")
+    val df = Mixture.tokenBudgetFill(docs, 300L)
+    df.collect()
+    // the per-DOCUMENT window (boundary fill) must partition on
+    // (group, quality) — a bin, never a whole group; the group-only
+    // windows may exist only over the tiny per-bin aggregate
+    val p = df.queryExecution.executedPlan.toString
+    val boundaryWindow = p.linesIterator.exists(l =>
+      l.contains("Window [") &&
+        "\\[group#\\d+, [^\\]]*quality".r.findFirstIn(l).isDefined)
+    assert(boundaryWindow,
+      s"the boundary fill must window on (group, quality), not (group):\n$p")
+  }
+
+  test("exportShards: deterministic, partition-invariant, positions dense per shard") {
+    import spark.implicits._
+    val docs = (0 until 300).map(i => Tuple1(s"doc-$i")).toDF("id")
+    val a = Mixture.exportShards(docs, col("id"), 7)
+      .select("shard", "pos", "id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    val b = Mixture.exportShards(docs.repartition(13), col("id"), 7)
+      .select("shard", "pos", "id").collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getString(2))).toSet
+    assert(a == b, "shard+pos must not depend on input partitioning")
+    val byShard = a.groupBy(_._1)
+    assert(byShard.keySet.subsetOf((0 until 7).toSet))
+    byShard.foreach { case (s, rows) =>
+      assert(rows.map(_._2).toSeq.sorted == (1L to rows.size).toSeq,
+        s"shard $s positions must be dense 1..n")
+    }
   }
 
   test("deterministic sample is invariant to partitioning and repeatable") {
