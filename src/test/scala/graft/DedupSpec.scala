@@ -40,6 +40,18 @@ class DedupSpec extends SparkSpec {
       "small inputs stay on the exact all-pairs join")
   }
 
+  test("simHashNearDups guard: above max32BitDocs it routes to the 64-bit variant") {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("content"))
+    val routed = Dedup.simHashNearDups(docs, max32BitDocs = 10)
+      .selectExpr("a", "b", "CAST(hamming AS BIGINT) AS hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    val wide = Dedup.simHash64NearDups(docs)
+      .selectExpr("a", "b", "CAST(hamming AS BIGINT) AS hamming").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2))).toSet
+    assert(routed == wide, "guarded call must equal the 64-bit operator")
+  }
+
   test("minhash LSH equals exact n-gram jaccard on this corpus (lossless band config)") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))
