@@ -598,9 +598,66 @@ object TextQueries {
       |       doc_id
       |FROM h ORDER BY shard, pos""".stripMargin
 
+  /** Curation pipeline v3 — the training-export tail: quality scoring →
+    * per-lang token-budget mixture fill → deterministic shard layout, ONE
+    * composed plan (no driver round-trips between stages), replayed in
+    * full by the oracle. The shape a 100 TB export job has: scan+score,
+    * one bin aggregate + tiny windows, then a shard-keyed bounded window.
+    */
+  def pipelineCurate3(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("lang").as("group"),
+        round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("tokens"))
+    val kept = graft.operators.Mixture.tokenBudgetFill(docs, budget = 2000L)
+    graft.operators.Mixture.exportShards(kept, col("id"), 4)
+      .select(col("shard"), col("pos"), col("id").as("doc_id"),
+        col("group").as("lang"), col("quality"), col("tokens"))
+      .orderBy("shard", "pos")
+  }
+
+  val pipelineCurate3Sql: String = {
+    val stops = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH d AS (SELECT doc_id, lang, text, $toksD AS toks FROM documents),
+       |m AS (SELECT doc_id, lang,
+       |        CAST(len(toks) AS DOUBLE) AS ntok,
+       |        CAST(len(toks) AS BIGINT) AS tokens,
+       |        CAST(length(text) AS DOUBLE) AS nchar,
+       |        CAST(length(regexp_replace(lower(text), '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+       |        CASE WHEN len(toks) = 0 THEN 0.0
+       |             ELSE list_reduce(list_prepend(0.0,
+       |                    list_transform(toks, t -> CAST(length(t) AS DOUBLE))),
+       |                  (a, b) -> a + b) / len(toks) END AS meanlen,
+       |        CASE WHEN len(toks) = 0 THEN 0.0
+       |             ELSE CAST(len(list_filter(toks, x -> list_contains([$stops], x))) AS DOUBLE)
+       |                  / len(toks) END AS stopratio
+       |      FROM d),
+       |q AS (SELECT doc_id, lang, tokens, round(
+       |        least(ntok / 50.0, 1.0) * 0.4 +
+       |        (CASE WHEN nchar = 0 THEN 0.0 ELSE alpha / nchar END) * 0.3 +
+       |        (CASE WHEN meanlen >= 3 AND meanlen <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+       |        least(stopratio * 10.0, 1.0) * 0.1, 6) AS quality
+       |      FROM m),
+       |c AS (SELECT lang, doc_id, quality, tokens,
+       |        sum(tokens) OVER (PARTITION BY lang ORDER BY quality DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM q),
+       |k AS (SELECT lang, doc_id, quality, tokens FROM c WHERE cum <= 2000),
+       |h AS (SELECT k.*,
+       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) AS h1,
+       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+       |      FROM k)
+       |SELECT CAST(h1 % 4 AS INTEGER) AS shard,
+       |       CAST(row_number() OVER (PARTITION BY h1 % 4
+       |         ORDER BY h2, CAST(doc_id AS VARCHAR)) AS BIGINT) AS pos,
+       |       doc_id, lang, quality, tokens
+       |FROM h ORDER BY shard, pos""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mixture_budget" -> (mixtureBudget _),
     "q_export_shards" -> (exportShardsQ _),
+    "q_pipeline_curate3" -> (pipelineCurate3 _),
     "q_text_boilerplate_strip" -> (textBoilerplateStrip _),
     "q_pipeline_curate2" -> (pipelineCurate2 _),
     "q_text_repetition" -> (textRepetition _),
@@ -622,6 +679,7 @@ object TextQueries {
   def oracles: Map[String, String] = Map(
     "q_mixture_budget" -> mixtureBudgetSql,
     "q_export_shards" -> exportShardsSql,
+    "q_pipeline_curate3" -> pipelineCurate3Sql,
     "q_text_boilerplate_strip" -> textBoilerplateStripSql,
     "q_pipeline_curate2" -> pipelineCurate2Sql,
     "q_text_repetition" -> textRepetitionSql,
