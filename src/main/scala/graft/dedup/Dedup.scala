@@ -212,12 +212,13 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 3,
       blocks: Int = 6,
-      max32BitDocs: Long = 100000L): DataFrame = {
+      max32BitDocs: Long = 10000L): DataFrame = {
     require(maxHamming < blocks && blocks <= 32,
       "pigeonhole guarantee needs maxHamming < blocks <= 32")
-    // birthday guard (measured: 32-bit saturates past ~10^5 docs — spurious
-    // hamming<=3 pairs between unrelated texts AND crowding band buckets,
-    // 48.7s at 320k docs on the 64x sweep): above the cutoff route to the
+    // birthday guard (measured on the r5 sweep: at 5k prose docs the
+    // 32-bit measure already emits 104k hamming<=3 pairs where the 64-bit
+    // fingerprint finds 932 true near-dups; at 320k docs the 32-bit run
+    // was 48.7s of mostly-spurious output): above the cutoff route to the
     // 64-bit fingerprint variant, whose space stays unsaturated to ~10^9.
     // SimHash near-dup is a recall-oriented candidate measure, so the wider
     // fingerprint is the documented semantics at corpus scale; callers
