@@ -654,10 +654,39 @@ object TextQueries {
        |FROM h ORDER BY shard, pos""".stripMargin
   }
 
+  /** Per-source token cap (Mixture.domainTokenCap) under the greedy
+    * oracle: per source, keep docs in (hash-bucket, doc_id) order while
+    * the running token sum stays within cap — unbiased deterministic
+    * per-domain downsampling.
+    */
+  def domainCap(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("source").as("group"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("tokens"))
+    graft.operators.Mixture.domainTokenCap(docs, col("id"), cap = 600L)
+      .select(col("group").as("source"), col("id").as("doc_id"),
+        col("quality"), col("tokens"))
+      .orderBy("source", "doc_id")
+  }
+
+  val domainCapSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |        CAST(len($toksD) AS BIGINT) AS tokens,
+       |        -CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |          % 4096 AS DOUBLE) AS quality
+       |      FROM documents),
+       |c AS (SELECT source, doc_id, quality, tokens,
+       |        sum(tokens) OVER (PARTITION BY source ORDER BY quality DESC, doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM d)
+       |SELECT source, doc_id, quality, tokens FROM c WHERE cum <= 600
+       |ORDER BY source, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_mixture_budget" -> (mixtureBudget _),
     "q_export_shards" -> (exportShardsQ _),
     "q_pipeline_curate3" -> (pipelineCurate3 _),
+    "q_domain_cap" -> (domainCap _),
     "q_text_boilerplate_strip" -> (textBoilerplateStrip _),
     "q_pipeline_curate2" -> (pipelineCurate2 _),
     "q_text_repetition" -> (textRepetition _),
@@ -680,6 +709,7 @@ object TextQueries {
     "q_mixture_budget" -> mixtureBudgetSql,
     "q_export_shards" -> exportShardsSql,
     "q_pipeline_curate3" -> pipelineCurate3Sql,
+    "q_domain_cap" -> domainCapSql,
     "q_text_boilerplate_strip" -> textBoilerplateStripSql,
     "q_pipeline_curate2" -> pipelineCurate2Sql,
     "q_text_repetition" -> textRepetitionSql,

@@ -65,6 +65,25 @@ object Mixture {
     fullDocs.unionByName(boundaryDocs)
   }
 
+  /** Per-domain token cap — unbiased deterministic downsampling: no group
+    * (domain/source) contributes more than `cap` tokens, selection ordered
+    * by (md5-derived hash bucket, id) so it favors no quality signal and
+    * reproduces on any partitioning. Delegates to [[tokenBudgetFill]] with
+    * quality = -(hash % buckets): the bucket count (default 4096) keeps the
+    * per-(group, quality) bins COARSE, which is what makes the threshold
+    * form scale — unique per-doc order keys would collapse it back into a
+    * whole-group window.
+    *
+    * Input columns: (id, group, tokens); output: the kept rows with the
+    * bucket-derived `quality` column retained.
+    */
+  def domainTokenCap(
+      docs: DataFrame, idCol: Column, cap: Long, buckets: Int = 4096): DataFrame = {
+    val h = graft.functions.TextFunctions.stableHash32(idCol.cast("string"))
+    tokenBudgetFill(
+      docs.withColumn("quality", -(h % lit(buckets.toLong)).cast("double")), cap)
+  }
+
   /** Deterministic export sharding: assign every document a shard in
     * [0, nShards) and a stable pseudo-random position within the shard —
     * the "shuffle the corpus for training" step, reproducible on any

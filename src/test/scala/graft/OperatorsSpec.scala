@@ -144,6 +144,25 @@ class OperatorsSpec extends SparkSpec {
       s"the boundary fill must window on (group, quality), not (group):\n$p")
   }
 
+  test("domainTokenCap: per-group token sums within cap, partition-invariant") {
+    import spark.implicits._
+    val docs = (0 until 200)
+      .map(i => (s"d$i", s"src${i % 4}", 15L + (i % 9)))
+      .toDF("id", "group", "tokens")
+    val cap = 120L
+    val kept = Mixture.domainTokenCap(docs, col("id"), cap)
+    val sums = kept.groupBy("group").agg(sum("tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(sums.nonEmpty && sums.values.forall(_ <= cap),
+      s"every group must respect the cap: $sums")
+    val a = kept.select("group", "id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    val b = Mixture.domainTokenCap(docs.repartition(17), col("id"), cap)
+      .select("group", "id").collect()
+      .map(r => (r.getString(0), r.getString(1))).toSet
+    assert(a == b, "selection must not depend on input partitioning")
+  }
+
   test("exportShards: deterministic, partition-invariant, positions dense per shard") {
     import spark.implicits._
     val docs = (0 until 300).map(i => Tuple1(s"doc-$i")).toDF("id")
