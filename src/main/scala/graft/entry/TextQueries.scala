@@ -42,8 +42,11 @@ object TextQueries {
     */
   def textQuality(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .select(col("doc_id"), col("text"),
+        TextFunctions.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
-        round(TextFunctions.qualityScore(col("text")), 6).as("quality"))
+        round(TextFunctions.qualityScoreFromToks(col("text"), col("__toks")), 6)
+          .as("quality"))
       .orderBy("doc_id")
 
   val textQualitySql: String = {
@@ -202,12 +205,14 @@ object TextQueries {
     * one scan + one dedup shuffle + one rollup, no collect between stages.
     */
   def pipelineCurate(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
     val filtered = t(s, dir, "documents")
-      .select(col("doc_id"), col("text"), col("source"))
-      .withColumn("quality", round(TextFunctions.qualityScore(col("text")), 6))
-      .withColumn("stopr", round(TextFunctions.stopwordRatio(toks), 6))
+      .select(col("doc_id"), col("text"), col("source"),
+        TextFunctions.tokens(col("text")).as("__toks"))
+      .withColumn("quality",
+        round(TextFunctions.qualityScoreFromToks(col("text"), col("__toks")), 6))
+      .withColumn("stopr", round(TextFunctions.stopwordRatio(col("__toks")), 6))
       .filter(col("quality") >= 0.5 && col("stopr") >= 0.05)
+      .drop("__toks")
     val kept = filtered
       .groupBy(sha2(col("text"), 256).as("digest"))
       .agg(min(struct(col("doc_id"), col("source"))).as("k"))
@@ -538,9 +543,12 @@ object TextQueries {
     */
   def mixtureBudget(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .select(col("doc_id").as("id"), col("lang").as("group"),
-        round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("tokens"))
+      .select(col("doc_id").as("id"), col("lang").as("group"), col("text"),
+        TextFunctions.tokens(col("text")).as("__toks"))
+      .select(col("id"), col("group"),
+        round(TextFunctions.qualityScoreFromToks(col("text"), col("__toks")), 6)
+          .as("quality"),
+        size(col("__toks")).cast("long").as("tokens"))
     graft.operators.Mixture.tokenBudgetFill(docs, budget = 2000L)
       .select(col("group").as("lang"), col("id").as("doc_id"),
         col("quality"), col("tokens"))
@@ -606,9 +614,12 @@ object TextQueries {
     */
   def pipelineCurate3(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
-      .select(col("doc_id").as("id"), col("lang").as("group"),
-        round(TextFunctions.qualityScore(col("text")), 6).as("quality"),
-        size(TextFunctions.tokens(col("text"))).cast("long").as("tokens"))
+      .select(col("doc_id").as("id"), col("lang").as("group"), col("text"),
+        TextFunctions.tokens(col("text")).as("__toks"))
+      .select(col("id"), col("group"),
+        round(TextFunctions.qualityScoreFromToks(col("text"), col("__toks")), 6)
+          .as("quality"),
+        size(col("__toks")).cast("long").as("tokens"))
     val kept = graft.operators.Mixture.tokenBudgetFill(docs, budget = 2000L)
     graft.operators.Mixture.exportShards(kept, col("id"), 4)
       .select(col("shard"), col("pos"), col("id").as("doc_id"),

@@ -151,8 +151,16 @@ object TextFunctions {
     * ratio, mean word length band and stopword presence — the standard
     * cheap pretraining-quality signals (C4/Gopher-style rules).
     */
-  def qualityScore(text: Column): Column = {
-    val toks = tokens(text)
+  def qualityScore(text: Column): Column = qualityScoreFromToks(text, tokens(text))
+
+  /** [[qualityScore]] over an already-materialized token column — callers
+    * scoring a whole corpus should project `tokens(text)` into its own
+    * column first and pass it here: the score references the tokens four
+    * times (count, mean length, stopword ratio), and inlining the
+    * tokenizer regex per reference costs 4x the scan's dominant work
+    * (same pitfall Lexical.search fixed in r5).
+    */
+  def qualityScoreFromToks(text: Column, toks: Column): Column = {
     val nTok = size(toks).cast("double")
     val nChar = length(text).cast("double")
     val alphaChars = length(regexp_replace(lower(text), "[^a-z]", "")).cast("double")

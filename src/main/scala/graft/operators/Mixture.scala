@@ -35,7 +35,14 @@ object Mixture {
     * Input columns: (id, group, quality, tokens); output: the kept rows.
     */
   def tokenBudgetFill(docs: DataFrame, budget: Long): DataFrame = {
-    val binned = docs.groupBy("group", "quality")
+    // materialize the NARROW projection once (id/group/quality/tokens):
+    // the operator reads it three times (bin aggregate + the two keyed
+    // branches), and without this an expensive upstream — a full quality
+    // scan of the corpus — would re-run per branch. One eager write of
+    // four narrow columns beats two repeated corpus scans at any scale.
+    val base = docs.select(col("id"), col("group"), col("quality"), col("tokens"))
+      .localCheckpoint()
+    val binned = base.groupBy("group", "quality")
       .agg(sum(col("tokens")).as("bin_tokens"))
     val byQuality = Window.partitionBy("group")
       .orderBy(col("quality").desc)
@@ -52,7 +59,7 @@ object Mixture {
         lag(col("full"), 1, true).over(boundary))
       .withColumn("is_boundary", !col("full") && col("prev_full"))
       .select("group", "quality", "full", "is_boundary", "remaining")
-    val joined = docs.join(broadcast(marked), Seq("group", "quality"))
+    val joined = base.join(broadcast(marked), Seq("group", "quality"))
     val fullDocs = joined.filter(col("full"))
       .select("group", "id", "quality", "tokens")
     val byId = Window.partitionBy("group", "quality")
