@@ -15,14 +15,13 @@ object TextQueries {
   private val toksD = "regexp_extract_all(lower(text), '[a-z0-9_]{2,}')"
 
   /** Language-ID heuristic: English-stopword density. */
-  def textLangid(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
+  def textLangid(s: SparkSession, dir: String): DataFrame =
     t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("__toks"))
       .select(col("doc_id"),
-        round(TextFunctions.stopwordRatio(toks), 6).as("stopword_ratio"),
-        TextFunctions.langIdEn(toks).as("predicted"))
+        round(TextFunctions.stopwordRatio(col("__toks")), 6).as("stopword_ratio"),
+        TextFunctions.langIdEn(col("__toks")).as("predicted"))
       .orderBy("doc_id")
-  }
 
   val textLangidSql: String = {
     val stops = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
@@ -77,8 +76,10 @@ object TextQueries {
     * rollup per lang.
     */
   def textTokens(s: SparkSession, dir: String): DataFrame = {
-    val toks = TextFunctions.tokens(col("text"))
+    val toks = col("__toks")
     t(s, dir, "documents")
+      .select(col("lang"), col("text"),
+        TextFunctions.tokens(col("text")).as("__toks"))
       .select(col("lang"),
         size(toks).cast("long").as("n_tok"),
         size(array_distinct(toks)).cast("long").as("n_distinct"),
