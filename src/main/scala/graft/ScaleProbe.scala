@@ -166,6 +166,29 @@ object ScaleProbe {
         .agg(count(lit(1)).as("n"))
         .agg(count(lit(1)), sum(col("n"))).collect()(0).getLong(0)
     }
+    // mixture family: budgets/shard counts scale WITH the corpus (the 100 TB
+    // recipe — fixed budgets would shrink output share as M grows and fixed
+    // shard counts would grow per-shard windows); quality from a
+    // materialized token column, tokens synthesized per doc
+    val mixDocs = docs
+      .select(col("id"), graft.functions.TextFunctions.tokens(col("content")).as("__toks"),
+        (graft.functions.TextFunctions.stableHash32(col("id")) % 20).as("grp"))
+      .select(col("id"), concat(lit("g"), col("grp")).as("group"),
+        round(greatest(least(size(col("__toks")).cast("double") / 50.0, lit(1.0)), lit(0.0)) * 8, 0).as("quality"),
+        size(col("__toks")).cast("long").as("tokens"))
+    time("mixture_fill") {
+      graft.operators.Mixture.tokenBudgetFill(mixDocs, budget = 2000L * m)
+        .agg(count(lit(1)), sum(col("tokens"))).collect()(0).getLong(0)
+    }
+    time("domain_cap") {
+      graft.operators.Mixture.domainTokenCap(
+          mixDocs.select("id", "group", "tokens"), col("id"), cap = 2000L * m)
+        .agg(count(lit(1)), sum(col("tokens"))).collect()(0).getLong(0)
+    }
+    time("export_shards") {
+      graft.operators.Mixture.exportShards(docs.select("id"), col("id"), 16 * m)
+        .agg(count(lit(1)), max(col("pos"))).collect()(0).getLong(0)
+    }
     time("knn_blocked") {
       // the 100 TB recipe: cluster COUNT scales with the corpus (keeps
       // per-cluster size — and the within-cluster join — constant);
