@@ -20,6 +20,8 @@ import graft.functions.VectorFunctions
   */
 object Dedup {
 
+  private val log = org.slf4j.LoggerFactory.getLogger(getClass)
+
   /** Exact dedup by content digest: one row per distinct content with the
     * surviving (minimum) id and the duplicate count.
     */
@@ -212,7 +214,8 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 3,
       blocks: Int = 6,
-      max32BitDocs: Long = 10000L): DataFrame = {
+      max32BitDocs: Long = 10000L,
+      sizeHint: Option[Long] = None): DataFrame = {
     require(maxHamming < blocks && blocks <= 32,
       "pigeonhole guarantee needs maxHamming < blocks <= 32")
     // birthday guard (measured on the r5 sweep: at 5k prose docs the
@@ -223,9 +226,32 @@ object Dedup {
     // SimHash near-dup is a recall-oriented candidate measure, so the wider
     // fingerprint is the documented semantics at corpus scale; callers
     // needing 32-bit behavior regardless can raise max32BitDocs.
-    if (docs.count() > max32BitDocs)
-      return simHash64NearDups(docs, maxHamming)
-    val fp = simHashFingerprints(docs).persist(StorageLevel.MEMORY_ONLY)
+    //
+    // Single upstream pass: fp_hi of the 64-bit fingerprint is the SAME
+    // aggregation as the 32-bit fp (same token hash, same bit fold), so the
+    // routing count runs over the persisted narrow fingerprint frame — the
+    // count materializes the cache and whichever route wins reads from it;
+    // the upstream plan (possibly an expensive parsed/filtered corpus)
+    // executes exactly once. A caller-supplied sizeHint skips even that.
+    val fp64 = simHashFingerprints64(docs).persist(StorageLevel.MEMORY_ONLY)
+    val n = sizeHint.getOrElse(fp64.count())
+    if (n > max32BitDocs) {
+      log.info(s"simHashNearDups: $n docs > max32BitDocs=$max32BitDocs, routing to 64-bit fingerprint")
+      simHash64NearDupsFromFingerprints(fp64, maxHamming, blocks = 4)
+    } else {
+      log.info(s"simHashNearDups: $n docs <= max32BitDocs=$max32BitDocs, 32-bit fingerprint")
+      simHashNearDups32FromFingerprints(
+        fp64.select(col("id"), col("fp_hi").as("fp")), maxHamming, blocks)
+    }
+  }
+
+  /** 32-bit candidate generation over a precomputed (id, fp) frame (cached
+    * by [[simHashNearDups]]; re-references below are cache reads).
+    */
+  private def simHashNearDups32FromFingerprints(
+      fp: DataFrame,
+      maxHamming: Int,
+      blocks: Int): DataFrame = {
     val fps = fp.select("fp").distinct()
     val widths = (0 until blocks).map(i => 32 / blocks + (if (i < 32 % blocks) 1 else 0))
     val offsets = widths.scanLeft(0)(_ + _)
@@ -302,11 +328,21 @@ object Dedup {
   def simHash64NearDups(
       docs: DataFrame,
       maxHamming: Int = 3,
-      blocks: Int = 4): DataFrame = {
+      blocks: Int = 4): DataFrame =
+    simHash64NearDupsFromFingerprints(
+      simHashFingerprints64(docs).persist(StorageLevel.MEMORY_ONLY),
+      maxHamming, blocks)
+
+  /** 64-bit candidate generation over a precomputed (id, fp_hi, fp_lo)
+    * frame (cached by the caller; re-references below are cache reads).
+    */
+  private def simHash64NearDupsFromFingerprints(
+      fp: DataFrame,
+      maxHamming: Int,
+      blocks: Int): DataFrame = {
     require(maxHamming < blocks, "pigeonhole guarantee needs maxHamming < blocks")
     require(blocks % 2 == 0 && blocks <= 64,
       s"blocks=$blocks must be even (half the slices per 32-bit half) and <= 64")
-    val fp = simHashFingerprints64(docs).persist(StorageLevel.MEMORY_ONLY)
     val fps = fp.select("fp_hi", "fp_lo").distinct()
     // blocks/2 nearly-even slices per 32-bit half; slice widths sum to 32.
     val perHalf = blocks / 2
@@ -659,13 +695,20 @@ object Dedup {
   def embeddingNearDups(
       vectors: DataFrame, // (id, embedding, norm)
       threshold: Double,
-      maxExactRows: Long = 100000L): DataFrame = {
-    // one cheap count() guards against the quadratic plan; vectors is a
-    // column-pruned scan (id only) for this job
-    if (vectors.count() > maxExactRows) {
+      maxExactRows: Long = 100000L,
+      sizeHint: Option[Long] = None): DataFrame = {
+    // The routing count() is column-pruned (reads no embedding bytes) but
+    // still executes the upstream plan once before the real job; callers
+    // whose `vectors` is an expensive derived frame should pass sizeHint
+    // (or persist upstream) to make routing free. Embedding frames are too
+    // wide to persist unilaterally here, so the hint is the contract.
+    val n = sizeHint.getOrElse(vectors.count())
+    if (n > maxExactRows) {
+      log.info(s"embeddingNearDups: $n rows > maxExactRows=$maxExactRows, routing to sign-LSH")
       val dim = vectors.select(size(col("embedding")).as("d")).head().getInt(0)
       embeddingNearDupsLsh(vectors, threshold, dim)
     } else {
+      log.info(s"embeddingNearDups: $n rows <= maxExactRows=$maxExactRows, exact pairwise")
       val a = vectors.select(col("id").as("a"), col("embedding").as("ea"), col("norm").as("na"))
       val b = vectors.select(col("id").as("b"), col("embedding").as("eb"), col("norm").as("nb"))
       a.join(b, col("a") < col("b"))

@@ -76,7 +76,7 @@ object CoreQueries {
       .select(col("doc_id"),
         concat(lit("see /home/"), col("source"), lit("/data/f.txt and C:\\tmp\\x.bin then "),
           substring(col("text"), 1, 40)).as("content"))
-    d.select(col("doc_id"), Sanitize.sanitizeText(col("content")).as("content"))
+    d.select(col("doc_id"), Sanitize.redactPaths(col("content")).as("content"))
       .orderBy("doc_id")
   }
 
@@ -130,16 +130,21 @@ object CoreQueries {
       |  substr(sha256(text), 21, 12) AS id
       |FROM documents ORDER BY doc_id""".stripMargin
 
-  /** vector_api.py:363-366 — dedup by content id, LAST wins. Duplicates
-    * constructed by keying on `source` (20 groups over 500 docs); input
-    * order = doc_id.
+  /** vector_api.py:363-366 — dedup by content id, LAST wins, over the
+    * engine's ALWAYS-ON sanitize default (ids are derived from the
+    * sanitized content, vector_api.py:312-314): raw content carries an
+    * email per source group; the kept rows prove redaction happened
+    * BEFORE id derivation. Duplicates constructed by keying on `source`
+    * (20 groups over 500 docs); input order = doc_id.
     */
   def ingestDedup(s: SparkSession, dir: String): DataFrame = {
     val d = t(s, dir, "documents")
-      .select(col("doc_id"), col("source").as("content"))
+      .select(col("doc_id"),
+        concat(col("source"), lit(" contact "), col("source"), lit("@corp.io")).as("content"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("doc_id").desc)
-    d.withColumn("id", Ingest.contentId(col("content")))
+    d.withColumn("content", Sanitize.sanitizeText(col("content")))
+      .withColumn("id", Ingest.contentId(col("content")))
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("id"), col("doc_id").as("kept_doc_id"), col("content"))
@@ -147,15 +152,24 @@ object CoreQueries {
   }
 
   val ingestDedupSql: String =
-    """WITH d AS (SELECT doc_id, source AS content,
-      |  substr(sha256(source),1,8) || '-' || substr(sha256(source),9,4) || '-' ||
-      |  substr(sha256(source),13,4) || '-' || substr(sha256(source),17,4) || '-' ||
-      |  substr(sha256(source),21,12) AS id FROM documents),
+    """WITH raw AS (SELECT doc_id, source || ' contact ' || source || '@corp.io' AS content
+      |             FROM documents),
+      |san AS (SELECT doc_id,
+      |  regexp_replace(content,
+      |    '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '[REDACTED_EMAIL]', 'g') AS content
+      |  FROM raw),
+      |d AS (SELECT doc_id, content,
+      |  substr(sha256(content),1,8) || '-' || substr(sha256(content),9,4) || '-' ||
+      |  substr(sha256(content),13,4) || '-' || substr(sha256(content),17,4) || '-' ||
+      |  substr(sha256(content),21,12) AS id FROM san),
       |r AS (SELECT *, row_number() OVER (PARTITION BY id ORDER BY doc_id DESC) AS rn FROM d)
       |SELECT id, doc_id AS kept_doc_id, content FROM r WHERE rn = 1 ORDER BY content""".stripMargin
 
   /** postgres.py:262-276 — MERGE upsert: existing 0..399, update batch
-    * 300..499 with new payloads; result = anti-join + batch.
+    * 300..499 with new payloads; result = anti-join + batch. The batch
+    * passes the engine's always-on sanitize default (its contact email is
+    * redacted, shifting content_len by exactly
+    * len("[REDACTED_EMAIL]") − len("ops@corp.io") — visible in the hash).
     */
   def upsertMerge(s: SparkSession, dir: String): DataFrame = {
     val all = t(s, dir, "documents")
@@ -163,7 +177,8 @@ object CoreQueries {
       .select(col("doc_id").as("id"), lit("v1").as("version"), col("text").as("content"))
     val batch = all.filter(col("doc_id") >= 300)
       .select(col("doc_id").as("id"), lit("v2").as("version"),
-        concat(col("text"), lit(" [updated]")).as("content"))
+        Sanitize.sanitizeText(
+          concat(col("text"), lit(" [updated] contact ops@corp.io"))).as("content"))
     existing.join(batch.select("id"), Seq("id"), "left_anti")
       .unionByName(batch)
       .select(col("id"), col("version"), length(col("content")).as("content_len"))
@@ -173,7 +188,10 @@ object CoreQueries {
   val upsertMergeSql: String =
     """WITH existing AS (SELECT doc_id AS id, 'v1' AS version, text AS content
       |                  FROM documents WHERE doc_id < 400),
-      |batch AS (SELECT doc_id AS id, 'v2' AS version, text || ' [updated]' AS content
+      |batch AS (SELECT doc_id AS id, 'v2' AS version,
+      |            regexp_replace(text || ' [updated] contact ops@corp.io',
+      |              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+      |              '[REDACTED_EMAIL]', 'g') AS content
       |          FROM documents WHERE doc_id >= 300)
       |SELECT id, version, CAST(length(content) AS INTEGER) AS content_len FROM (
       |  SELECT * FROM existing WHERE id NOT IN (SELECT id FROM batch)

@@ -63,16 +63,18 @@ object Sanitize {
         SsnRegex, RedactedSsn),
       PhoneRegex, RedactedPhone)
 
-  /** Sanitize a text column (path redaction; the broader PiiSanitizer scope
-    * gap is documented above — [[redactEntities]] is the opt-in entity
-    * pass, kept out of the byte-parity default path).
+  /** Sanitize a text column — the engine's ALWAYS-ON default, matching the
+    * reference's main path where every content/metadata/query/result string
+    * passes the PII sanitizer (vector_api.py:284-301, :368-386): entity
+    * redaction THEN path redaction (an email's domain must not first be
+    * chewed by the path regex).
     */
-  def sanitizeText(c: Column): Column = redactPaths(c)
+  def sanitizeText(c: Column): Column = redactPaths(redactEntities(c))
 
-  /** Full sanitize: entity redaction THEN path redaction (an email's
-    * domain must not first be chewed by the path regex).
+  /** Alias of [[sanitizeText]] (the full chain became the default in r6;
+    * kept for callers/specs that name the full pass explicitly).
     */
-  def sanitizeTextFull(c: Column): Column = redactPaths(redactEntities(c))
+  def sanitizeTextFull(c: Column): Column = sanitizeText(c)
 
   /** Sanitize a MAP<STRING,STRING> metadata column: drop private keys,
     * sanitize surviving keys and values (vector_api.py:287-298).
@@ -84,7 +86,12 @@ object Sanitize {
         (k, _) => sanitizeText(k)),
       (_, v) => sanitizeText(v))
 
-  /** Driver-side mirror for query strings (vector_api.py:548). */
+  /** Driver-side mirror of [[sanitizeText]] for query strings
+    * (vector_api.py:548) — same entity-then-path order.
+    */
   def sanitizeString(s: String): String =
-    s.replaceAll(LocalPathRegex, Redacted)
+    s.replaceAll(EmailRegex, java.util.regex.Matcher.quoteReplacement(RedactedEmail))
+      .replaceAll(SsnRegex, java.util.regex.Matcher.quoteReplacement(RedactedSsn))
+      .replaceAll(PhoneRegex, java.util.regex.Matcher.quoteReplacement(RedactedPhone))
+      .replaceAll(LocalPathRegex, java.util.regex.Matcher.quoteReplacement(Redacted))
 }
