@@ -19,34 +19,73 @@ import graft.model.{ErrorCodes, GraftException}
   * JSON-RPC error objects (-32700 parse, -32600 invalid request, -32601
   * unknown method, -32602 invalid params).
   *
-  * Spark-side: requests execute on the server's dispatch thread against the
-  * shared SparkSession — the MCP workload is request/response serving
-  * (bounded top-k reads, bounded ingest batches), matching the reference's
-  * one-client-call-at-a-time `run_blocking` hop (mcp_server.py:288).
+  * Spark-side: requests run on a bounded worker pool (the distributed
+  * analog of the reference's `run_blocking` thread hop, mcp_server.py:288),
+  * so a slow `tools/call` query never blocks `ping`/`initialize`/`/health`
+  * for other callers; SparkSession actions are thread-safe by contract.
+  * A `/health` route answers GET without touching Spark (parity:
+  * tests/test_mcp_server.py:44-217). Browser-origin requests are subject to
+  * DNS-rebinding protection: an `Origin` header, when present, must be
+  * loopback or the request is rejected 403 (the MCP streamable-HTTP
+  * transport's required origin validation).
   */
 final class McpServer(
     surface: McpSurface,
     spark: org.apache.spark.sql.SparkSession,
     host: String = "127.0.0.1",
-    port: Int = 0) {
+    port: Int = 0,
+    workerThreads: Int = 8) {
 
   private val mapper = new ObjectMapper().registerModule(DefaultScalaModule)
   private val sessions = new AtomicLong(0L)
   private var server: HttpServer = _
+  private var pool: java.util.concurrent.ExecutorService = _
 
   def start(): Int = {
     server = HttpServer.create(new InetSocketAddress(host, port), 0)
+    pool = java.util.concurrent.Executors.newFixedThreadPool(
+      workerThreads,
+      (r: Runnable) => {
+        val t = new Thread(r, "graft-mcp-worker")
+        t.setDaemon(true)
+        t
+      })
+    server.setExecutor(pool)
     server.createContext("/mcp", (ex: HttpExchange) => handle(ex))
+    server.createContext("/health", (ex: HttpExchange) => health(ex))
     server.start()
     server.getAddress.getPort
   }
 
-  def stop(): Unit = if (server != null) server.stop(0)
+  def stop(): Unit = {
+    if (server != null) server.stop(0)
+    if (pool != null) pool.shutdownNow()
+  }
+
+  /** Liveness probe — static, never touches Spark or the surface. */
+  private def health(ex: HttpExchange): Unit = {
+    try {
+      if (ex.getRequestMethod != "GET") reply(ex, 405, """{"error":"GET only"}""")
+      else reply(ex, 200, """{"status":"ok","server":"graft"}""")
+    } finally ex.close()
+  }
+
+  /** DNS-rebinding guard: a present Origin header must parse to a loopback
+    * host. Non-browser clients (no Origin) pass through.
+    */
+  private def originAllowed(ex: HttpExchange): Boolean =
+    Option(ex.getRequestHeaders.getFirst("Origin")).forall { o =>
+      try {
+        val h = java.net.URI.create(o).getHost
+        h == "localhost" || h == "127.0.0.1" || h == "[::1]" || h == "::1"
+      } catch { case _: Exception => false }
+    }
 
   // ------------------------------------------------------------ dispatch
 
   private def handle(ex: HttpExchange): Unit = {
     try {
+      if (!originAllowed(ex)) { reply(ex, 403, """{"error":"origin not allowed"}"""); return }
       if (ex.getRequestMethod != "POST") { reply(ex, 405, """{"error":"POST only"}"""); return }
       val req =
         try mapper.readTree(ex.getRequestBody.readAllBytes())
@@ -71,8 +110,14 @@ final class McpServer(
           val params = req.get("params")
           if (params == null || params.get("name") == null)
             reply(ex, 200, rpcError(id, -32602, "params.name required"))
-          else reply(ex, 200, rpcResult(id,
-            callTool(params.get("name").asText(), params.get("arguments"))))
+          else {
+            val tool = params.get("name").asText()
+            // unknown tool is a PROTOCOL error (-32602 per MCP convention),
+            // not a governed engine code — the tool never ran
+            if (!McpServer.ToolNames.contains(tool))
+              reply(ex, 200, rpcError(id, -32602, s"unknown tool: $tool"))
+            else reply(ex, 200, rpcResult(id, callTool(tool, params.get("arguments"))))
+          }
         case "" => reply(ex, 200, rpcError(id, -32600, "method required"))
         case other => reply(ex, 200, rpcError(id, -32601, s"unknown method: $other"))
       }
@@ -148,7 +193,7 @@ final class McpServer(
             semanticWeight = d("semantic_weight", 0.5),
             lexicalWeight = d("lexical_weight", 0.5),
             rrfK = i("rrf_k", 60), dbType = s("db_type"))
-        case _ =>
+        case _ => // unreachable: dispatch rejects unknown tools with -32602
           throw new GraftException(ErrorCodes.CollectionActionInvalid)
       }
       Map("content" -> Seq(Map("type" -> "text",
@@ -185,4 +230,9 @@ final class McpServer(
       ex.getResponseBody.write(bytes)
     }
   }
+}
+
+object McpServer {
+  /** The served tool surface (reference README.md:60-66). */
+  val ToolNames: Set[String] = Set("vector_collection_management", "vector_search")
 }

@@ -10,7 +10,7 @@ import graft.model.{BackendPolicy, ErrorCodes, GraftException}
   * response shapes, error codes) is what the reference's
   * tests/test_mcp_server.py asserts.
   */
-final class McpSurface(api: Api) {
+class McpSurface(api: Api) { // non-final: specs override tool methods to inject latches
 
   /** vector_collection_management(action in {create_collection,
     * add_documents, delete_collection, list_collections}).

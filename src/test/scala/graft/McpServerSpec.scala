@@ -127,12 +127,86 @@ class McpServerSpec extends SparkSpec {
       // unparseable body -> -32700
       val (st, parse) = rpc(port, "{nope")
       assert(st == 400 && parse.get("error").get("code").asInt() == -32700)
-      // unknown tool name -> isError result with a stable code
+      // unknown tool name -> JSON-RPC -32602 (protocol error: the tool
+      // never ran, so no governed engine code applies)
       val (_, badTool) = rpc(port,
         """{"jsonrpc":"2.0","id":10,"method":"tools/call","params":{
           |"name":"no_such_tool","arguments":{}}}""".stripMargin)
-      val (tErr, _) = toolResult(badTool)
-      assert(tErr)
+      assert(badTool.get("error").get("code").asInt() == -32602)
+    }
+  }
+
+  test("health route answers GET without touching the engine") {
+    withServer { port =>
+      val resp = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/health")).GET().build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(resp.statusCode() == 200)
+      assert(mapper.readTree(resp.body()).get("status").asText() == "ok")
+      // POST to /health is a 405, not a crash
+      val bad = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/health"))
+        .POST(HttpRequest.BodyPublishers.ofString("{}")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(bad.statusCode() == 405)
+    }
+  }
+
+  test("non-loopback Origin is rejected 403 (DNS-rebinding guard); loopback passes") {
+    withServer { port =>
+      val evil = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/mcp"))
+        .header("Content-Type", "application/json")
+        .header("Origin", "http://evil.example.com")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"jsonrpc":"2.0","id":1,"method":"ping"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(evil.statusCode() == 403)
+      val ok = client.send(HttpRequest.newBuilder(
+          URI.create(s"http://127.0.0.1:$port/mcp"))
+        .header("Content-Type", "application/json")
+        .header("Origin", "http://localhost:3000")
+        .POST(HttpRequest.BodyPublishers.ofString(
+          """{"jsonrpc":"2.0","id":1,"method":"ping"}""")).build(),
+        HttpResponse.BodyHandlers.ofString())
+      assert(ok.statusCode() == 200)
+    }
+  }
+
+  test("ping answers while a slow tools/call is in flight (worker pool, not dispatch thread)") {
+    val wh = java.nio.file.Files.createTempDirectory("graft-mcp-wh").toString
+    val api = new Api(spark, wh, new DeterministicHashEmbedder(16), "default")
+    val entered = new java.util.concurrent.CountDownLatch(1)
+    val release = new java.util.concurrent.CountDownLatch(1)
+    // a surface whose search blocks until released — deterministic stand-in
+    // for a long-running Spark query occupying one worker
+    val slowSurface = new McpSurface(api) {
+      override def vectorSearch(
+          action: String, collectionName: String, question: String,
+          numberResults: Int, semanticWeight: Double, lexicalWeight: Double,
+          rrfK: Int, dbType: String, semanticMode: String,
+          lexicalMode: String): Map[String, Any] = {
+        entered.countDown()
+        release.await(30, java.util.concurrent.TimeUnit.SECONDS)
+        Map("results" -> Seq.empty)
+      }
+    }
+    val server = new McpServer(slowSurface, spark)
+    val port = server.start()
+    try {
+      val slow = new Thread(() => rpc(port,
+        """{"jsonrpc":"2.0","id":20,"method":"tools/call","params":{
+          |"name":"vector_search","arguments":{"action":"search",
+          |"collection_name":"x","question":"y"}}}""".stripMargin))
+      slow.start()
+      assert(entered.await(10, java.util.concurrent.TimeUnit.SECONDS),
+        "slow call never reached the surface")
+      // with the call parked on a worker, ping must still answer
+      val (st, pong) = rpc(port, """{"jsonrpc":"2.0","id":21,"method":"ping"}""")
+      assert(st == 200 && pong.get("result") != null)
+    } finally {
+      release.countDown()
+      server.stop()
     }
   }
 }
