@@ -28,6 +28,11 @@ import graft.model.{ErrorCodes, GraftException}
   *  - connect/IO failure, 429 or 5xx, retried `maxRetries` times with
   *    deterministic exponential backoff, then →
   *    `vector_provider_dependency_unavailable`.
+  *
+  * Authentication: `apiKey` (sent as `authHeader: <prefix><key>`, default
+  * `Authorization: Bearer <key>`) covers the bearer-token and x-api-key
+  * styles every real embeddings endpoint uses. The key is config, never
+  * logged, and excluded from toString.
   */
 final class HttpBatchEmbedder(
     val endpoint: String,
@@ -36,7 +41,13 @@ final class HttpBatchEmbedder(
     val connectTimeoutMs: Int = 5000,
     val requestTimeoutMs: Int = 60000,
     val maxRetries: Int = 3,
-    val backoffMs: Int = 250) extends Embedder {
+    val backoffMs: Int = 250,
+    apiKey: Option[String] = None,
+    val authHeader: String = "Authorization",
+    val authPrefix: String = "Bearer ") extends Embedder {
+
+  override def toString: String =
+    s"HttpBatchEmbedder($endpoint, dim=$dimension${if (apiKey.isDefined) ", auth=set" else ""})"
 
   @transient private lazy val client: HttpClient = HttpClient.newBuilder()
     .connectTimeout(Duration.ofMillis(connectTimeoutMs.toLong))
@@ -52,9 +63,11 @@ final class HttpBatchEmbedder(
     val arr = root.putArray("input")
     texts.foreach(arr.add)
     root.put("dimension", dimension)
-    val req = HttpRequest.newBuilder(URI.create(endpoint))
+    val builder = HttpRequest.newBuilder(URI.create(endpoint))
       .timeout(Duration.ofMillis(requestTimeoutMs.toLong))
       .header("Content-Type", "application/json")
+    apiKey.foreach(k => builder.header(authHeader, authPrefix + k))
+    val req = builder
       .POST(HttpRequest.BodyPublishers.ofString(mapper.writeValueAsString(root)))
       .build()
     var attempt = 0
@@ -94,7 +107,9 @@ final class HttpBatchEmbedder(
         throw new GraftException(ErrorCodes.EmbeddingBatchInvalid)
       (0 until data.size()).map { i =>
         val emb = data.get(i).get("embedding")
-        if (emb == null || !emb.isArray)
+        // wrong-width vectors fail HERE with the governed code, not later
+        // in an opaque dimension-mismatch downstream
+        if (emb == null || !emb.isArray || emb.size() != dimension)
           throw new GraftException(ErrorCodes.EmbeddingBatchInvalid)
         Array.tabulate(emb.size())(j => emb.get(j).floatValue())
       }
@@ -113,7 +128,15 @@ object HttpBatchEmbedder {
   def fromEnv(env: Map[String, String] = sys.env): HttpBatchEmbedder = {
     val endpoint = env.getOrElse("GRAFT_EMBED_ENDPOINT",
       throw new GraftException(ErrorCodes.VectorProviderDependencyUnavailable))
-    val dim = env.get("GRAFT_EMBED_DIM").flatMap(_.toIntOption).getOrElse(768)
-    new HttpBatchEmbedder(endpoint, dim)
+    // an unparseable dimension is a config ERROR, not a silent 768 fallback
+    val dim = env.get("GRAFT_EMBED_DIM") match {
+      case None => 768
+      case Some(s) => s.toIntOption.filter(_ > 0).getOrElse(
+        throw new GraftException(ErrorCodes.EmbeddingInvalid))
+    }
+    new HttpBatchEmbedder(endpoint, dim,
+      apiKey = env.get("GRAFT_EMBED_API_KEY"),
+      authHeader = env.getOrElse("GRAFT_EMBED_AUTH_HEADER", "Authorization"),
+      authPrefix = env.getOrElse("GRAFT_EMBED_AUTH_PREFIX", "Bearer "))
   }
 }

@@ -22,16 +22,24 @@ class HttpEmbedderSpec extends SparkSpec {
   private def stubVec(text: String, dim: Int): Array[Float] =
     Array.tabulate(dim)(j => ((text.length + j) % 7) / 10.0f)
 
-  /** Start a stub embedding server; `failFirst` requests return HTTP 500. */
-  private def withServer(failFirst: Int = 0, status: Int = 200)(
+  /** Start a stub embedding server; `failFirst` requests return HTTP 500.
+    * `seenAuth` records the auth-header value of the last request (null if
+    * absent); `respondDim` overrides the response vector width.
+    */
+  private def withServer(
+      failFirst: Int = 0, status: Int = 200,
+      seenAuth: java.util.concurrent.atomic.AtomicReference[String] = null,
+      respondDim: Int = -1)(
       body: (String, AtomicInteger) => Unit): Unit = {
     val server = HttpServer.create(new InetSocketAddress("127.0.0.1", 0), 0)
     val requests = new AtomicInteger(0)
     server.createContext("/embed", (ex: HttpExchange) => {
       val n = requests.incrementAndGet()
+      if (seenAuth != null)
+        seenAuth.set(ex.getRequestHeaders.getFirst("Authorization"))
       val reqJson = mapper.readTree(ex.getRequestBody.readAllBytes())
       val input = reqJson.get("input")
-      val dim = reqJson.get("dimension").intValue()
+      val dim = if (respondDim > 0) respondDim else reqJson.get("dimension").intValue()
       if (n <= failFirst) {
         ex.sendResponseHeaders(500, -1); ex.close()
       } else if (status != 200) {
@@ -129,5 +137,41 @@ class HttpEmbedderSpec extends SparkSpec {
   test("fromEnv: missing endpoint config fails closed with the provider code") {
     val ex = intercept[GraftException](HttpBatchEmbedder.fromEnv(Map.empty))
     assert(ex.code == ErrorCodes.VectorProviderDependencyUnavailable)
+  }
+
+  test("api key arrives as the configured auth header; absent key sends none") {
+    val seen = new java.util.concurrent.atomic.AtomicReference[String]("unset")
+    withServer(seenAuth = seen) { (url, _) =>
+      new HttpBatchEmbedder(url, dimension = 4, backoffMs = 10,
+        apiKey = Some("sk-test-123")).embedBatch(Seq("x"))
+      assert(seen.get() == "Bearer sk-test-123")
+      new HttpBatchEmbedder(url, dimension = 4, backoffMs = 10).embedBatch(Seq("x"))
+      assert(seen.get() == null, "no key => no Authorization header")
+    }
+  }
+
+  test("toString never exposes the api key") {
+    val e = new HttpBatchEmbedder("http://h/e", 4, apiKey = Some("sk-secret"))
+    assert(!e.toString.contains("sk-secret"))
+  }
+
+  test("wrong-width response vectors are embedding_batch_invalid at parse time") {
+    withServer(respondDim = 7) { (url, _) =>
+      val e = new HttpBatchEmbedder(url, dimension = 4, backoffMs = 10)
+      val ex = intercept[GraftException](e.embedBatch(Seq("x")))
+      assert(ex.code == ErrorCodes.EmbeddingBatchInvalid)
+    }
+  }
+
+  test("fromEnv: unparseable or non-positive GRAFT_EMBED_DIM fails loudly") {
+    val base = Map("GRAFT_EMBED_ENDPOINT" -> "http://h/e")
+    assert(intercept[GraftException](
+      HttpBatchEmbedder.fromEnv(base + ("GRAFT_EMBED_DIM" -> "not-a-number"))).code
+      == ErrorCodes.EmbeddingInvalid)
+    assert(intercept[GraftException](
+      HttpBatchEmbedder.fromEnv(base + ("GRAFT_EMBED_DIM" -> "0"))).code
+      == ErrorCodes.EmbeddingInvalid)
+    assert(HttpBatchEmbedder.fromEnv(base).dimension == 768, "absent dim defaults")
+    assert(HttpBatchEmbedder.fromEnv(base + ("GRAFT_EMBED_DIM" -> "64")).dimension == 64)
   }
 }
