@@ -13,17 +13,29 @@ import scala.collection.mutable.ArrayBuffer
   *  - EPUB is a ZIP of XHTML (the format IS the spec): entries are read in
   *    archive order (authoring tools write spine order), each content
   *    document stripped with the same HTML-to-text rules as the HTML loader.
-  *  - PDF extraction handles the text-showing operators (Tj/TJ/'/") of
-  *    uncompressed and FlateDecode content streams with standard string
-  *    encodings — the output of common simple generators. Object-stream
-  *    cross-references, encryption, and CID/Type0 subset fonts are out of
-  *    scope.
+  *  - PDF extraction follows the cross-reference structure (classic `xref`
+  *    tables AND PDF 1.5+ cross-reference streams with PNG predictors,
+  *    /Prev chains, and /Type/ObjStm object streams) from /Root through the
+  *    page tree to each page's /Contents, decoding FlateDecode streams and
+  *    the text-showing operators (Tj/TJ/'/") with standard string
+  *    encodings. When the xref is damaged it falls back to a linear scan of
+  *    every `stream…endstream` blob. Encryption and CID/Type0 subset fonts
+  *    remain out of scope.
   *
   * Both return None when nothing extractable is found; callers surface the
   * governed `document_parse_unsupported` error rather than ingesting binary
-  * bytes as text. All functions are executor-safe (no shared state).
+  * bytes as text. Decompression is BOUNDED ([[MaxInflatedBytes]] per
+  * stream/zip entry) so a crafted flate bomb inside the 512 MiB file policy
+  * becomes the governed parse error, not an executor OOM. All functions are
+  * executor-safe (no shared state).
   */
 object DocParse {
+
+  /** Per-stream / per-zip-entry decompression ceiling (64 MiB): more text
+    * than any real document page set, small enough that a zip/flate bomb
+    * cannot OOM an executor.
+    */
+  val MaxInflatedBytes: Int = 64 * 1024 * 1024
 
   // ---------------------------------------------------------------- EPUB
 
@@ -39,7 +51,11 @@ object DocParse {
         val name = e.getName.toLowerCase
         val ext = name.substring(name.lastIndexOf('.') + 1)
         if (!e.isDirectory && EpubContentExt(ext)) {
-          val html = new String(zin.readAllBytes(), StandardCharsets.UTF_8)
+          val entryBytes = readBounded(zin, MaxInflatedBytes) match {
+            case Some(b) => b
+            case None => return None // zip-bomb entry: governed failure
+          }
+          val html = new String(entryBytes, StandardCharsets.UTF_8)
           val text = stripMarkup(html)
           if (text.nonEmpty) parts += text
         }
@@ -62,8 +78,10 @@ object DocParse {
     s = s.replaceAll("(?i)</(p|div|h[1-6]|li|tr|table|section|article|blockquote)>", "\n")
     s = s.replaceAll("(?i)<br\\s*/?>", "\n")
     s = s.replaceAll("(?s)<[^>]*>", " ")
-    s = s.replace("&nbsp;", " ").replace("&amp;", "&").replace("&lt;", "<")
-      .replace("&gt;", ">").replace("&quot;", "\"").replace("&#39;", "'")
+    // &amp; decodes LAST so double-encoded "&amp;lt;" yields literal "&lt;",
+    // not "<" — same order as TextFunctions.htmlToText
+    s = s.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
     s = s.replaceAll("[ \\t\\x0B\\f\\r]+", " ")
     s = s.replaceAll(" ?\\n ?", "\n").replaceAll("\\n{2,}", "\n")
     s.trim
@@ -73,12 +91,328 @@ object DocParse {
 
   /** Extracted text of the PDF's content streams, or None when no text
     * operator is decodable (scanned, encrypted, or out-of-scope encoding).
+    *
+    * Primary path: follow the cross-reference structure (classic table or
+    * PDF 1.5+ xref stream, /Prev chains, object streams) from /Root through
+    * the page tree, extracting each page's /Contents in document order.
+    * Fallback (damaged/absent xref): linear scan of every stream blob.
     */
   def pdfToText(bytes: Array[Byte]): Option[String] = {
     if (bytes.length < 5 || new String(bytes, 0, 5, StandardCharsets.US_ASCII) != "%PDF-")
       return None
-    val streams = contentStreams(bytes)
-    val texts = streams.flatMap(textFromContentStream)
+    val viaXref =
+      try xrefPagesText(bytes)
+      catch { case _: Exception => None } // damaged xref → linear fallback
+    viaXref.orElse {
+      val texts = contentStreams(bytes).flatMap(textFromContentStream)
+      val out = texts.mkString("\n").trim
+      if (out.isEmpty) None else Some(out)
+    }
+  }
+
+  // ------------------------------------------------- PDF xref-driven path
+
+  /** Where an object lives: at a byte offset (xref type 1) or inside a
+    * /Type/ObjStm compressed object stream (xref type 2).
+    */
+  private sealed trait Loc
+  private final case class AtOffset(off: Int) extends Loc
+  private final case class InObjStm(stm: Int, idx: Int) extends Loc
+
+  private val RefRe = """(\d+)\s+\d+\s+R""".r
+
+  private def refAfter(dict: String, key: String): Option[Int] =
+    (java.util.regex.Pattern.quote(key) + """\s+(\d+)\s+\d+\s+R""").r
+      .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  private def intAfter(dict: String, key: String): Option[Int] =
+    (java.util.regex.Pattern.quote(key) + """\s+(\d+)""").r
+      .findFirstMatchIn(dict).map(_.group(1).toInt)
+
+  /** Body of the first `[ ... ]` after `key` (flat arrays only). */
+  private def arrayAfter(dict: String, key: String): Option[String] =
+    (java.util.regex.Pattern.quote(key) + """\s*\[([^\]]*)\]""").r
+      .findFirstMatchIn(dict).map(_.group(1))
+
+  /** The balanced `<< ... >>` starting at/after `from`: (dict, end index). */
+  private def balancedDict(s: String, from: Int): Option[(String, Int)] = {
+    val start = s.indexOf("<<", from)
+    if (start < 0) return None
+    var i = start
+    var depth = 0
+    while (i < s.length - 1) {
+      if (s.charAt(i) == '<' && s.charAt(i + 1) == '<') { depth += 1; i += 2 }
+      else if (s.charAt(i) == '>' && s.charAt(i + 1) == '>') {
+        depth -= 1; i += 2
+        if (depth == 0) return Some((s.substring(start, i), i))
+      }
+      else i += 1
+    }
+    None
+  }
+
+  /** Parse the xref chain starting at `startxref`'s offset into
+    * (objNum → Loc, latest trailer dict). Later (newer) sections win; /Prev
+    * sections only fill absent keys — the incremental-update rule.
+    */
+  private def readXrefChain(
+      raw: String, bytes: Array[Byte]): Option[(Map[Int, Loc], String)] = {
+    val sx = raw.lastIndexOf("startxref")
+    if (sx < 0) return None
+    val offStr = raw.substring(sx + 9).trim.takeWhile(_.isDigit)
+    if (offStr.isEmpty) return None
+    val locs = scala.collection.mutable.Map.empty[Int, Loc]
+    var trailer: String = null
+    var next: Option[Int] = Some(offStr.toInt)
+    val seen = scala.collection.mutable.Set.empty[Int]
+    while (next.isDefined) {
+      val off = next.get
+      if (off < 0 || off >= raw.length || !seen.add(off)) return None
+      var p = off
+      while (p < raw.length && raw.charAt(p).isWhitespace) p += 1
+      val dict: String =
+        if (raw.startsWith("xref", p)) {
+          // classic table: sections of "start count" + count entries
+          p += 4
+          var d: String = null
+          val tok = new java.util.StringTokenizer(raw.substring(p, math.min(p + 4 * 1024 * 1024, raw.length)))
+          var done = false
+          while (!done && tok.hasMoreTokens) {
+            val t = tok.nextToken()
+            if (t == "trailer") {
+              val at = raw.indexOf("trailer", p)
+              d = balancedDict(raw, at).map(_._1).orNull
+              done = true
+            } else {
+              val start = t.toInt
+              val count = tok.nextToken().toInt
+              var i = 0
+              while (i < count) {
+                val a = tok.nextToken(); val _gen = tok.nextToken(); val ty = tok.nextToken()
+                if (ty == "n") locs.getOrElseUpdate(start + i, AtOffset(a.toInt))
+                i += 1
+              }
+            }
+          }
+          if (d == null) return None
+          d
+        } else {
+          // xref STREAM: an ordinary stream object whose payload encodes
+          // the table ([W-widths] fields, optional PNG predictor)
+          val (d, payloadOpt) = parseObjectAt(raw, bytes, p).getOrElse(return None)
+          if (!d.contains("/XRef")) return None
+          val data = decodeStream(d, payloadOpt.getOrElse(return None)).getOrElse(return None)
+          val w = arrayAfter(d, "/W").map(_.trim.split("""\s+""").toSeq.map(_.toInt))
+            .getOrElse(return None)
+          if (w.length < 3) return None
+          val size = intAfter(d, "/Size").getOrElse(return None)
+          val index = arrayAfter(d, "/Index")
+            .map(_.trim.split("""\s+""").toSeq.map(_.toInt))
+            .getOrElse(Seq(0, size))
+          val rowLen = w.sum
+          var pos = 0
+          index.grouped(2).foreach {
+            case Seq(first, n) =>
+              var i = 0
+              while (i < n && pos + rowLen <= data.length) {
+                def field(fi: Int): Long = {
+                  val o = pos + w.take(fi).sum
+                  var v = 0L
+                  (0 until w(fi)).foreach(j => v = (v << 8) | (data(o + j) & 0xffL))
+                  v
+                }
+                val ftype = if (w(0) == 0) 1L else field(0)
+                if (ftype == 1L) locs.getOrElseUpdate(first + i, AtOffset(field(1).toInt))
+                else if (ftype == 2L) locs.getOrElseUpdate(first + i, InObjStm(field(1).toInt, field(2).toInt))
+                pos += rowLen
+                i += 1
+              }
+            case _ => ()
+          }
+          d
+        }
+      if (trailer == null) trailer = dict
+      next = intAfter(dict, "/Prev")
+    }
+    if (trailer == null) None else Some((locs.toMap, trailer))
+  }
+
+  /** Parse an indirect object at a byte offset: (dictionary, raw stream
+    * payload if the object is a stream). /Length is honored when direct;
+    * otherwise the payload ends at the next `endstream`.
+    */
+  private def parseObjectAt(
+      raw: String, bytes: Array[Byte], off: Int): Option[(String, Option[Array[Byte]])] = {
+    val objAt = raw.indexOf("obj", off)
+    if (objAt < 0 || objAt > off + 64) return None
+    val (dict, dictEnd) = balancedDict(raw, objAt) match {
+      case Some(de) => de
+      case None => // non-dict object (array/number): return its text as the "dict"
+        val end = raw.indexOf("endobj", objAt)
+        return if (end < 0) None else Some((raw.substring(objAt + 3, end), None))
+    }
+    var p = dictEnd
+    while (p < raw.length && raw.charAt(p).isWhitespace) p += 1
+    if (!raw.startsWith("stream", p)) return Some((dict, None))
+    p += "stream".length
+    if (p < raw.length && raw.charAt(p) == '\r') p += 1
+    if (p < raw.length && raw.charAt(p) == '\n') p += 1
+    // direct /Length only — an indirect length falls back to endstream scan
+    val len = """(/Length)\s+(\d+)(?!\s+\d+\s+R)""".r
+      .findFirstMatchIn(dict).map(_.group(2).toInt)
+    val end = len match {
+      case Some(l) if p + l <= bytes.length && raw.startsWith("endstream", skipEol(raw, p + l)) => p + l
+      case _ =>
+        val e = raw.indexOf("endstream", p)
+        if (e < 0) return Some((dict, None))
+        var q = e
+        if (q > p && raw.charAt(q - 1) == '\n') q -= 1
+        if (q > p && raw.charAt(q - 1) == '\r') q -= 1
+        q
+    }
+    Some((dict, Some(bytes.slice(p, end))))
+  }
+
+  private def skipEol(raw: String, p: Int): Int = {
+    var q = p
+    if (q < raw.length && raw.charAt(q) == '\r') q += 1
+    if (q < raw.length && raw.charAt(q) == '\n') q += 1
+    q
+  }
+
+  /** Decode a stream payload per its dictionary: FlateDecode (bounded) and
+    * the PNG predictors of /DecodeParms. Unfiltered payloads pass through.
+    */
+  private def decodeStream(dict: String, payload: Array[Byte]): Option[Array[Byte]] = {
+    val inflated =
+      if (dict.contains("/FlateDecode")) inflate(payload) match {
+        case Some(b) => b
+        case None => return None
+      }
+      else payload
+    val predictor = intAfter(dict, "/Predictor").getOrElse(1)
+    if (predictor < 10) Some(inflated)
+    else { // PNG predictors: rows of (filter byte + columns), bpp = 1
+      val columns = intAfter(dict, "/Columns").getOrElse(1)
+      pngUnpredict(inflated, columns)
+    }
+  }
+
+  /** Reverse PNG row filters (None/Sub/Up/Average/Paeth) at 1 byte/pixel —
+    * the form xref streams use.
+    */
+  private def pngUnpredict(data: Array[Byte], columns: Int): Option[Array[Byte]] = {
+    if (columns <= 0 || data.length % (columns + 1) != 0) return None
+    val rows = data.length / (columns + 1)
+    val out = new Array[Byte](rows * columns)
+    var r = 0
+    while (r < rows) {
+      val ft = data(r * (columns + 1)) & 0xff
+      var c = 0
+      while (c < columns) {
+        val x = data(r * (columns + 1) + 1 + c) & 0xff
+        val left = if (c > 0) out(r * columns + c - 1) & 0xff else 0
+        val up = if (r > 0) out((r - 1) * columns + c) & 0xff else 0
+        val upLeft = if (r > 0 && c > 0) out((r - 1) * columns + c - 1) & 0xff else 0
+        val v = ft match {
+          case 0 => x
+          case 1 => x + left
+          case 2 => x + up
+          case 3 => x + (left + up) / 2
+          case 4 => // Paeth
+            val pp = left + up - upLeft
+            val pa = math.abs(pp - left); val pb = math.abs(pp - up); val pc = math.abs(pp - upLeft)
+            x + (if (pa <= pb && pa <= pc) left else if (pb <= pc) up else upLeft)
+          case _ => return None
+        }
+        out(r * columns + c) = (v & 0xff).toByte
+        c += 1
+      }
+      r += 1
+    }
+    Some(out)
+  }
+
+  /** Resolve objects by number, transparently opening /Type/ObjStm object
+    * streams (header = /N (num, relOffset) pairs before /First).
+    */
+  private final class Objects(raw: String, bytes: Array[Byte], locs: Map[Int, Loc]) {
+    private val objStmCache = scala.collection.mutable.Map.empty[Int, Option[(String, Seq[(Int, Int)])]]
+
+    /** (dict-or-body text, raw stream payload). */
+    def apply(num: Int): Option[(String, Option[Array[Byte]])] = locs.get(num).flatMap {
+      case AtOffset(off) => parseObjectAt(raw, bytes, off)
+      case InObjStm(stm, idx) =>
+        objStm(stm).flatMap { case (content, pairs) =>
+          if (idx >= pairs.length) None
+          else {
+            val first = pairs(idx)._2
+            val until = if (idx + 1 < pairs.length) pairs(idx + 1)._2 else content.length
+            Some((content.substring(first, math.min(until, content.length)), None))
+          }
+        }
+    }
+
+    /** Decoded content + (objNum, absolute offset) pairs of an ObjStm. */
+    private def objStm(num: Int): Option[(String, Seq[(Int, Int)])] =
+      objStmCache.getOrElseUpdate(num, locs.get(num) match {
+        case Some(AtOffset(off)) =>
+          for {
+            (dict, payloadOpt) <- parseObjectAt(raw, bytes, off)
+            payload <- payloadOpt
+            data <- decodeStream(dict, payload)
+            n <- intAfter(dict, "/N")
+            first <- intAfter(dict, "/First")
+          } yield {
+            val content = new String(data, StandardCharsets.ISO_8859_1)
+            val header = content.substring(0, math.min(first, content.length))
+            val nums = header.trim.split("""\s+""").filter(_.nonEmpty).map(_.toInt)
+            val pairs = nums.grouped(2).take(n).collect {
+              case Array(objNum, rel) => (objNum, first + rel)
+            }.toSeq
+            (content, pairs)
+          }
+        case _ => None // ObjStm inside an ObjStm is illegal per spec
+      })
+  }
+
+  /** The xref-driven extraction: /Root → /Pages tree → each page's
+    * /Contents, concatenated per page, in document order.
+    */
+  private def xrefPagesText(bytes: Array[Byte]): Option[String] = {
+    val raw = new String(bytes, StandardCharsets.ISO_8859_1)
+    val (locs, trailer) = readXrefChain(raw, bytes).getOrElse(return None)
+    val objects = new Objects(raw, bytes, locs)
+    val rootNum = refAfter(trailer, "/Root").getOrElse(return None)
+    val catalog = objects(rootNum).map(_._1).getOrElse(return None)
+    val pagesRoot = refAfter(catalog, "/Pages").getOrElse(return None)
+    // walk the page tree (cycle-guarded); leaves are /Type /Page
+    val pages = scala.collection.mutable.ArrayBuffer.empty[String]
+    val seen = scala.collection.mutable.Set.empty[Int]
+    def walk(num: Int): Unit = {
+      if (!seen.add(num) || seen.size > 100000) return
+      objects(num).map(_._1).foreach { d =>
+        if (d.contains("/Page") && !d.contains("/Pages")) pages += d
+        else arrayAfter(d, "/Kids").toSeq
+          .flatMap(body => RefRe.findAllMatchIn(body).map(_.group(1).toInt))
+          .foreach(walk)
+      }
+    }
+    walk(pagesRoot)
+    if (pages.isEmpty) return None
+    val texts = pages.flatMap { page =>
+      val contentRefs = arrayAfter(page, "/Contents")
+        .map(body => RefRe.findAllMatchIn(body).map(_.group(1).toInt).toSeq)
+        .orElse(refAfter(page, "/Contents").map(Seq(_)))
+        .getOrElse(Seq.empty)
+      val decoded = contentRefs.flatMap { ref =>
+        objects(ref).flatMap { case (d, payloadOpt) =>
+          payloadOpt.flatMap(p => decodeStream(d, p))
+        }
+      }
+      if (decoded.isEmpty) None
+      else textFromContentStream(decoded.reduce((a, b) => a ++ "\n".getBytes(StandardCharsets.ISO_8859_1) ++ b))
+    }
     val out = texts.mkString("\n").trim
     if (out.isEmpty) None else Some(out)
   }
@@ -124,11 +458,27 @@ object DocParse {
         val n = inf.inflate(buf)
         if (n == 0 && !inf.finished()) return None // stuck: corrupt/dict-needed
         out.write(buf, 0, n)
+        if (out.size() > MaxInflatedBytes) return None // flate bomb: governed, not OOM
       }
       Some(out.toByteArray)
     } catch {
       case _: Exception => None
     } finally inf.end()
+  }
+
+  /** Read a stream to completion, refusing past `cap` bytes (zip-bomb
+    * guard for EPUB entries).
+    */
+  private def readBounded(in: java.io.InputStream, cap: Int): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    var n = in.read(buf)
+    while (n >= 0) {
+      out.write(buf, 0, n)
+      if (out.size() > cap) return None
+      n = in.read(buf)
+    }
+    Some(out.toByteArray)
   }
 
   /** Text-showing operators in a decoded content stream: `(s) Tj`,

@@ -43,6 +43,74 @@ class DocParseSpec extends SparkSpec {
     out.toByteArray
   }
 
+  private def deflate(b: Array[Byte]): Array[Byte] = {
+    val d = new Deflater()
+    d.setInput(b); d.finish()
+    val buf = new Array[Byte](b.length * 2 + 64)
+    val n = d.deflate(buf)
+    d.end()
+    buf.take(n)
+  }
+
+  /** A PDF 1.5 fixture exercising the modern xref machinery: the
+    * catalog/pages/page dictionaries live inside a /Type/ObjStm object
+    * stream, the content stream is top-level FlateDecode, and the
+    * cross-reference is a STREAM (W [1 2 1]) — optionally PNG-Up predicted
+    * (/Predictor 12), the layout every post-1.5 writer emits. There is no
+    * classic `xref` table anywhere in the file.
+    */
+  private def pdf15Bytes(body: String, predictor: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.5\n")
+    // obj 4: the page's content stream (top-level; streams cannot live in ObjStm)
+    val content = deflate(body.getBytes(StandardCharsets.ISO_8859_1))
+    val off4 = out.size()
+    w(s"4 0 obj << /Length ${content.length} /Filter /FlateDecode >> stream\n")
+    out.write(content); w("\nendstream endobj\n")
+    // obj 5: ObjStm holding objects 1 (catalog), 2 (pages), 3 (page)
+    val o1 = "<< /Type /Catalog /Pages 2 0 R >>"
+    val o2 = "<< /Type /Pages /Kids [3 0 R] /Count 1 >>"
+    val o3 = "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>"
+    val header = s"1 0 2 ${o1.length + 1} 3 ${o1.length + o2.length + 2} "
+    val stmPayload = deflate((header + o1 + " " + o2 + " " + o3).getBytes(StandardCharsets.ISO_8859_1))
+    val off5 = out.size()
+    w(s"5 0 obj << /Type /ObjStm /N 3 /First ${header.length} " +
+      s"/Length ${stmPayload.length} /Filter /FlateDecode >> stream\n")
+    out.write(stmPayload); w("\nendstream endobj\n")
+    // obj 6: the xref stream itself (type/offset-hi-lo/extra rows)
+    val off6 = out.size()
+    def row(t: Int, f2: Int, f3: Int): Array[Int] =
+      Array(t, (f2 >> 8) & 0xff, f2 & 0xff, f3)
+    val rows = Seq(
+      row(0, 0, 0),   // obj 0: free
+      row(2, 5, 0),   // obj 1: ObjStm 5, index 0
+      row(2, 5, 1),   // obj 2
+      row(2, 5, 2),   // obj 3
+      row(1, off4, 0),
+      row(1, off5, 0),
+      row(1, off6, 0))
+    val table: Array[Byte] =
+      if (!predictor) rows.flatten.map(_.toByte).toArray
+      else { // PNG Up filter (type 2) per 4-byte row
+        val b = Array.newBuilder[Byte]
+        var prev = Array(0, 0, 0, 0)
+        rows.foreach { r =>
+          b += 2.toByte
+          (0 until 4).foreach(c => b += ((r(c) - prev(c)) & 0xff).toByte)
+          prev = r
+        }
+        b.result()
+      }
+    val tz = deflate(table)
+    val parms = if (predictor) " /DecodeParms << /Predictor 12 /Columns 4 >>" else ""
+    w(s"6 0 obj << /Type /XRef /Size 7 /W [1 2 1] /Root 1 0 R$parms " +
+      s"/Length ${tz.length} /Filter /FlateDecode >> stream\n")
+    out.write(tz); w("\nendstream endobj\n")
+    w(s"startxref\n$off6\n%%EOF\n")
+    out.toByteArray
+  }
+
   /** A minimal EPUB: zip with mimetype + two XHTML chapters. */
   private def epubBytes(chapters: Seq[String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -85,11 +153,69 @@ class DocParseSpec extends SparkSpec {
     assert(DocParse.pdfToText("not a pdf at all".getBytes).isEmpty)
   }
 
+  test("pdf 1.5: object-stream + xref-stream layout extracts via the xref path") {
+    val pdf = pdf15Bytes("BT /F1 12 Tf 72 720 Td (modern xref text) Tj ET", predictor = false)
+    assert(DocParse.pdfToText(pdf).contains("modern xref text"))
+  }
+
+  test("pdf 1.5: PNG-Up predicted xref stream (Predictor 12) decodes") {
+    val pdf = pdf15Bytes("BT (predicted xref works) Tj ET", predictor = true)
+    assert(DocParse.pdfToText(pdf).contains("predicted xref works"))
+  }
+
+  test("pdf 1.5: extraction follows the page tree, not a blind stream scan") {
+    // append an ORPHAN text-bearing stream (valid object, never referenced
+    // by any page): the xref-driven path must exclude it, while a linear
+    // stream scan would have included it — this discriminates the two.
+    val base = pdf15Bytes("BT (page text only) Tj ET", predictor = false)
+    val out = new ByteArrayOutputStream()
+    out.write(base)
+    val orphan = "BT (orphan stream text) Tj ET"
+    out.write((s"9 0 obj << /Length ${orphan.length} >> stream\n" + orphan +
+      "\nendstream endobj\n").getBytes(StandardCharsets.ISO_8859_1))
+    val got = DocParse.pdfToText(out.toByteArray).get
+    assert(got.contains("page text only"))
+    assert(!got.contains("orphan stream text"),
+      "xref path must extract only page /Contents")
+  }
+
+  test("pdf: flate bomb is a governed None, not an OOM") {
+    // ~256 KiB of zeros compresses to ~300 bytes; claim it's a content
+    // stream and shrink the cap path by a direct call through pdfToText on
+    // a crafted PDF whose stream inflates far past any text payload.
+    // (The real 64 MiB cap is exercised with a 128 MiB expansion — still
+    // only ~128 KiB compressed, so the fixture stays tiny.)
+    val big = new Array[Byte](128 * 1024 * 1024) // inflates past MaxInflatedBytes
+    val z = deflate(big)
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    w("%PDF-1.4\n")
+    w(s"1 0 obj << /Length ${z.length} /Filter /FlateDecode >> stream\n")
+    out.write(z)
+    w("\nendstream endobj\n%%EOF\n")
+    assert(DocParse.pdfToText(out.toByteArray).isEmpty)
+  }
+
+  test("epub: oversized entry (zip bomb) is a governed None") {
+    val bos = new ByteArrayOutputStream()
+    val zip = new ZipOutputStream(bos)
+    zip.putNextEntry(new ZipEntry("OEBPS/bomb.xhtml"))
+    val chunk = new Array[Byte](1 * 1024 * 1024)
+    java.util.Arrays.fill(chunk, 'a'.toByte)
+    (0 until 70).foreach(_ => zip.write(chunk)) // 70 MiB of 'a' > 64 MiB cap
+    zip.closeEntry()
+    zip.close()
+    assert(DocParse.epubToText(bos.toByteArray).isEmpty)
+  }
+
   test("epub: archive-order xhtml extraction strips markup") {
-    val epub = epubBytes(Seq("First chapter text.", "Second &amp; final."))
+    val epub = epubBytes(Seq("First chapter text.", "Second &amp; final.",
+      "double-encoded &amp;lt;tag&amp;gt; stays literal"))
     val got = DocParse.epubToText(epub).get
     assert(got.contains("First chapter text."))
     assert(got.contains("Second & final."))
+    // &amp; decodes LAST: "&amp;lt;" -> literal "&lt;", never "<"
+    assert(got.contains("double-encoded &lt;tag&gt; stays literal"))
     assert(!got.contains("color:red"), "style subtree must be stripped")
     assert(got.indexOf("First") < got.indexOf("Second"))
     assert(DocParse.epubToText("junk".getBytes).isEmpty)
