@@ -577,6 +577,34 @@ final class Api(
     } finally d.unpersist()
   }
 
+  /** Batched hybrid RRF over a question list: one fused plan for the whole
+    * batch ([[graft.search.Hybrid.rrfMany]]) — the semantic legs share one
+    * docs×queries pass, the lexical legs share one corpus-stats aggregate.
+    * Validation and fusion math are identical to [[search]].
+    */
+  def searchMany(
+      name: String, questions: Seq[String], numberResults: Int = 10,
+      semanticWeight: Double = 0.5, lexicalWeight: Double = 0.5,
+      rrfK: Int = 60): SearchResponse = {
+    val limit = validLimit(numberResults)
+    validWeightsAndK(semanticWeight, lexicalWeight, rrfK)
+    val qs = validQuestions(questions).map(Sanitize.sanitizeString).zipWithIndex.map(_.swap)
+    val d = docs(name).cache()
+    try {
+      import spark.implicits._
+      val queriesDf = qs.map { case (i, q) => (i, embedder.embedQuery(q).toSeq) }
+        .toDF("query_idx", "query_vec")
+      val fused = invoke(graft.search.Hybrid.rrfMany(
+        d, queriesDf, qs, semanticWeight, lexicalWeight, rrfK, limit))
+      val payload = fused.alias("f")
+        .join(d.alias("d"), col("f.id") === col("d.id"), "left")
+        .select(col("f.query_idx"), col("f.id"), col("d.content"),
+          col("d.metadata"), col("f.score"))
+        .orderBy(col("f.query_idx"), col("f.score").desc, col("f.id").asc)
+      serialize(payload)
+    } finally d.unpersist()
+  }
+
   /** Index-served hybrid RRF: the 100 TB serving shape — both fusion
     * inputs come from persistent indexes (semantic via IVF / sign-LSH /
     * IVF-PQ, lexical via the bucket-pruned posting index), so the corpus

@@ -107,6 +107,20 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 9))
         .orderBy(col("score").desc, col("id"))
     }),
+    // ---- §2.3 batched hybrid RRF: ONE plan for a 2-question batch — the
+    //      semantic legs share a docs×queries pass, the lexical legs share
+    //      one BM25 stats aggregate (Hybrid.rrfMany serving path) ----
+    "q_hybrid_rrf_many" -> ((s, dir) => {
+      val docs = corpus(s, dir)
+      import s.implicits._
+      val queriesDf = queryVectors(s, dir, Seq(0, 1))
+        .map { case (i, v) => (i, v) }.toDF("query_idx", "query_vec")
+      Hybrid.rrfMany(docs, queriesDf,
+        Seq((0, "spark join table"), (1, "vector stream data")),
+        0.5, 0.5, 60, 10)
+        .withColumn("score", round(col("score"), 9))
+        .orderBy(col("query_idx"), col("score").desc, col("id"))
+    }),
     // ---- §2.3 hybrid RRF with the lexical leg served from the posting
     //      table — the Api.searchIndexed serving shape under the oracle
     //      (BM25-from-postings is bit-exact vs the content scan) ----
@@ -260,6 +274,57 @@ object SparkEntry {
          |      FROM fz)
          |SELECT query_idx, id, round(score, 9) AS score FROM t WHERE rn <= 10
          |ORDER BY round(score, 9) DESC, id""".stripMargin,
+    "q_hybrid_rrf_many" -> {
+      val terms = Seq("spark", "join", "table", "vector", "stream", "data")
+      val fCols = terms.zipWithIndex
+        .map { case (t, i) => s"CAST(${tfD(t)} AS DOUBLE) AS f$i" }.mkString(",\n|             ")
+      val dfCols = terms.indices
+        .map(i => s"CAST(sum(CASE WHEN f$i > 0 THEN 1 ELSE 0 END) AS DOUBLE) AS df$i")
+        .mkString(",\n|              ")
+      s"""WITH c AS (SELECT d.doc_id AS id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
+         |           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),
+         |q AS (SELECT CAST(vec_id AS INTEGER) AS query_idx, CAST(embedding AS DOUBLE[]) AS qv
+         |      FROM embeddings WHERE vec_id IN (0,1)),
+         |semall AS (SELECT q.query_idx, c.id, list_cosine_similarity(c.v, q.qv) AS sc
+         |           FROM c CROSS JOIN q),
+         |sem AS (SELECT query_idx, id, rnk FROM (
+         |          SELECT query_idx, id,
+         |                 row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rnk
+         |          FROM semall)
+         |        WHERE rnk <= 10),
+         |tk AS (SELECT id, $toksD AS toks FROM (SELECT id, text FROM c)),
+         |f AS (SELECT id, CAST(len(toks) AS DOUBLE) AS dl,
+         |             $fCols FROM tk),
+         |st AS (SELECT CAST(count(*) AS DOUBLE) AS n, avg(dl) AS avgdl,
+         |              $dfCols
+         |       FROM f),
+         |s AS (SELECT CAST(0 AS INTEGER) AS query_idx, id,
+         |             ${bm25TermD(0)}
+         |           + ${bm25TermD(1)}
+         |           + ${bm25TermD(2)} AS sc
+         |      FROM f CROSS JOIN st
+         |      UNION ALL
+         |      SELECT CAST(1 AS INTEGER), id,
+         |             ${bm25TermD(3)}
+         |           + ${bm25TermD(4)}
+         |           + ${bm25TermD(5)}
+         |      FROM f CROSS JOIN st),
+         |lex AS (SELECT query_idx, id, rnk FROM (
+         |          SELECT query_idx, id,
+         |                 row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rnk
+         |          FROM s WHERE sc > 0)
+         |        WHERE rnk <= 10),
+         |u AS (SELECT query_idx, id, 0.5/(60.0 + rnk) AS contrib FROM sem
+         |      UNION ALL
+         |      SELECT query_idx, id, 0.5/(60.0 + rnk) FROM lex),
+         |fz AS (SELECT query_idx, id, sum(contrib) AS score
+         |       FROM u GROUP BY query_idx, id),
+         |t AS (SELECT query_idx, id, score,
+         |             row_number() OVER (PARTITION BY query_idx ORDER BY score DESC, id) AS rn
+         |      FROM fz)
+         |SELECT query_idx, id, round(score, 9) AS score FROM t WHERE rn <= 10
+         |ORDER BY query_idx, round(score, 9) DESC, id""".stripMargin
+    },
     "q_hybrid_rrf_indexed" ->
       s"""WITH c AS (SELECT d.doc_id AS id, d.text, CAST(e.embedding AS DOUBLE[]) AS v
          |           FROM documents d JOIN embeddings e ON d.doc_id = e.vec_id),

@@ -66,4 +66,30 @@ object Hybrid {
         negate(col("row.ns")).as("score"))
       .orderBy(col("query_idx").asc, col("score").desc, col("id").asc)
   }
+
+  /** Batched hybrid serving: fuse BOTH legs' multi-query batch paths in ONE
+    * plan — [[Semantic.searchMany]] (one docs×queries pass with two-level
+    * pre-top-k) and [[Lexical.searchBm25Many]] (one shared corpus-stats
+    * aggregate for the union of all query terms). Q hybrid questions cost
+    * one broadcast-join scan + (1 + Q) lexical scans instead of 2Q full
+    * single-query plans; fusion math is [[rrf]] unchanged (it is already
+    * query_idx-keyed).
+    *
+    * @param docs        (id, content, embedding, norm) corpus frame
+    * @param queriesDf   (query_idx, query_vec) — the embedded questions
+    * @param textQueries (query_idx, question) — the same questions as text
+    */
+  def rrfMany(
+      docs: DataFrame,
+      queriesDf: DataFrame,
+      textQueries: Seq[(Int, String)],
+      semanticWeight: Double,
+      lexicalWeight: Double,
+      rrfK: Int,
+      limit: Int
+  ): DataFrame = {
+    val sem = Semantic.searchMany(docs, queriesDf, limit)
+    val lex = Lexical.searchBm25Many(docs, textQueries, limit)
+    rrf(sem, lex, semanticWeight, lexicalWeight, rrfK, limit)
+  }
 }

@@ -294,6 +294,45 @@ class ApiSpec extends SparkSpec {
     assert(hit.metadata.contains("category"))
   }
 
+  test("searchMany: batched hybrid fusion matches per-question search results") {
+    val api = newApi()
+    api.createCollection("batch", documents = Some(corpus()))
+    val many = api.searchMany("batch", Seq("vector database", "spark engine"), 3)
+    // same legs as rrfMany (exact semantic + BM25 lexical), one question each
+    val one0 = api.searchIndexed("batch", "vector database", 3,
+      semanticMode = "exact", lexicalMode = "bm25")
+    val one1 = api.searchIndexed("batch", "spark engine", 3,
+      semanticMode = "exact", lexicalMode = "bm25")
+    // responses flatten query_idx but keep (query_idx, score desc) order,
+    // so the batch must equal the per-question results concatenated
+    def ids(r: Seq[HitRow]) = r.map(h => (h.id, math.round(h.score * 1e9)))
+    assert(ids(many.results) == ids(one0.results) ++ ids(one1.results))
+    // weight/rrf_k validation applies to the batch path too
+    assert(intercept[GraftException](
+      api.searchMany("batch", Seq("q"), rrfK = 0)).code == ErrorCodes.RrfKInvalid)
+  }
+
+  test("PII entities redacted by default on the ingest -> search round trip") {
+    val api = newApi()
+    import spark.implicits._
+    val df = Seq(
+      ("billing details ping alice@example.com or call 555-867-5309 today",
+        Map("owner" -> "bob@example.com", "category" -> "billing"))
+    ).toDF("content", "metadata")
+    api.createCollection("pii", documents = Some(df))
+    val res = api.lexicalSearch("pii", Seq("billing"), 5)
+    val hit = res.results.head
+    assert(hit.content.contains("[REDACTED_EMAIL]"))
+    assert(hit.content.contains("[REDACTED_PHONE]"))
+    assert(!hit.content.contains("alice@example.com"))
+    assert(!hit.content.contains("555-867-5309"))
+    assert(hit.metadata("owner") == "[REDACTED_EMAIL]")
+    // the stored id is content-addressed AFTER sanitization (vector_api.py:312-314)
+    val sanitized = Sanitize.sanitizeString(
+      "billing details ping alice@example.com or call 555-867-5309 today")
+    assert(api.getDocumentsByIds("pii", Seq(Ingest.contentIdScala(sanitized))).count() == 1)
+  }
+
   test("get/delete documents; missing ids silently absent; empty ids error") {
     val api = newApi()
     import spark.implicits._
