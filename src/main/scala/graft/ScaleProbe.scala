@@ -180,6 +180,15 @@ object ScaleProbe {
       graft.operators.Mixture.tokenBudgetFill(mixDocs, budget = 2000L * m)
         .agg(count(lit(1)), sum(col("tokens"))).collect()(0).getLong(0)
     }
+    time("mixture_fill_skew") {
+      // adversarial shape: ONE dominant (group, quality) bin — every doc
+      // lands in the boundary bin, so the fill degenerates to a corpus-sized
+      // ordered prefix sum within a single window partition unless guarded
+      val skew = mixDocs.select(col("id"), lit("g0").as("group"),
+        lit(1.0).as("quality"), col("tokens"))
+      graft.operators.Mixture.tokenBudgetFill(skew, budget = 2000L * m)
+        .agg(count(lit(1)), sum(col("tokens"))).collect()(0).getLong(0)
+    }
     time("domain_cap") {
       graft.operators.Mixture.domainTokenCap(
           mixDocs.select("id", "group", "tokens"), col("id"), cap = 2000L * m)

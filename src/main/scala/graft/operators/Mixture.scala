@@ -62,11 +62,35 @@ object Mixture {
     val joined = base.join(broadcast(marked), Seq("group", "quality"))
     val fullDocs = joined.filter(col("full"))
       .select("group", "id", "quality", "tokens")
-    val byId = Window.partitionBy("group", "quality")
-      .orderBy(col("id"))
+    // Boundary-bin fill = an id-ordered prefix sum over ONE (group, quality)
+    // bin per group. A plain window partitioned by (group, quality) puts
+    // that whole bin on one task — fine for balanced corpora, a serial
+    // bottleneck when one bin dominates (a single source at uniform
+    // quality). Distributed prefix-sum instead: range-partition by
+    // (group, id), per-partition subtotals (one tiny agg: |groups| x P
+    // rows), cumulative offsets via a window over partition IDs, then a
+    // per-row running sum WITHIN each range partition — every task's
+    // window is bounded by |bin|/P, never the bin. bin_cum is invariant
+    // to where the sampled range boundaries fall (offset + local sum =
+    // total sum over smaller ids), so output matches the naive window
+    // bit-for-bit; the localCheckpoint pins one sampled partitioning so
+    // the subtotal job and the fill job cannot disagree on boundaries.
+    val bd = joined.filter(col("is_boundary"))
+      .select("group", "id", "quality", "tokens", "remaining")
+    val ranged = bd
+      .repartitionByRange(col("group"), col("id"))
+      .withColumn("__part", spark_partition_id())
+      .localCheckpoint()
+    val byPart = Window.partitionBy("group").orderBy(col("__part"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy("group", "__part")
+      .agg(sum(col("tokens")).as("psum"))
+      .withColumn("offset", coalesce(sum(col("psum")).over(byPart), lit(0L)))
+      .select("group", "__part", "offset")
+    val withinPart = Window.partitionBy("group", "__part").orderBy(col("id"))
       .rowsBetween(Window.unboundedPreceding, 0)
-    val boundaryDocs = joined.filter(col("is_boundary"))
-      .withColumn("bin_cum", sum(col("tokens")).over(byId))
+    val boundaryDocs = ranged.join(broadcast(offsets), Seq("group", "__part"))
+      .withColumn("bin_cum", col("offset") + sum(col("tokens")).over(withinPart))
       .filter(col("bin_cum") <= col("remaining"))
       .select("group", "id", "quality", "tokens")
     fullDocs.unionByName(boundaryDocs)

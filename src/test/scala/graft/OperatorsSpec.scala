@@ -126,7 +126,7 @@ class OperatorsSpec extends SparkSpec {
     }
   }
 
-  test("tokenBudgetFill never single-task-sorts a whole group") {
+  test("tokenBudgetFill never single-task-sorts a whole group or bin") {
     import spark.implicits._
     val docs = (0 until 100)
       .map(i => (s"d$i", "onegroup", (i % 5) / 5.0, 10L))
@@ -134,14 +134,32 @@ class OperatorsSpec extends SparkSpec {
     val df = Mixture.tokenBudgetFill(docs, 300L)
     df.collect()
     // the per-DOCUMENT window (boundary fill) must partition on
-    // (group, quality) — a bin, never a whole group; the group-only
-    // windows may exist only over the tiny per-bin aggregate
+    // (group, __part) — a range slice of a bin, never a whole group or a
+    // whole bin (a dominant (group, quality) bin would serialize);
+    // group-only windows may exist only over tiny aggregates (per-bin
+    // sums, per-partition offsets)
     val p = df.queryExecution.executedPlan.toString
-    val boundaryWindow = p.linesIterator.exists(l =>
+    val sliceWindow = p.linesIterator.exists(l =>
       l.contains("Window [") &&
-        "\\[group#\\d+, [^\\]]*quality".r.findFirstIn(l).isDefined)
-    assert(boundaryWindow,
-      s"the boundary fill must window on (group, quality), not (group):\n$p")
+        "windowspecdefinition\\(group#\\d+, __part#\\d+".r.findFirstIn(l).isDefined)
+    assert(sliceWindow,
+      s"the boundary fill must window on (group, __part) range slices:\n$p")
+    // and a dominant single bin still yields the exact greedy prefix
+    assert(df.count() == 30L, "300-token budget over 10-token docs keeps 30")
+  }
+
+  test("tokenBudgetFill skew: one dominant (group, quality) bin stays exact") {
+    import spark.implicits._
+    // every doc in ONE bin -> the entire corpus is the boundary bin; the
+    // distributed prefix sum must reproduce the naive greedy answer
+    val docs = (0 until 500).map(i => (f"d$i%03d", "g0", 1.0, 7L))
+      .toDF("id", "group", "quality", "tokens")
+      .repartition(13) // adversarial input partitioning
+    val got = Mixture.tokenBudgetFill(docs, 700L)
+      .select("id").collect().map(_.getString(0)).toSet
+    // greedy keeps the first 100 ids in id order (7L * 100 = 700)
+    val expect = (0 until 100).map(i => f"d$i%03d").toSet
+    assert(got == expect)
   }
 
   test("domainTokenCap: per-group token sums within cap, partition-invariant") {
