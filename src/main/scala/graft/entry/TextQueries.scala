@@ -694,7 +694,45 @@ object TextQueries {
        |SELECT source, doc_id, quality, tokens FROM c WHERE cum <= 600
        |ORDER BY source, doc_id""".stripMargin
 
+  /** Temperature-scaled mixture (Mixture.temperatureMixture) under the
+    * greedy oracle: per-source token budgets ∝ sqrt(group tokens) (alpha
+    * 0.5), split by integer micro-weights (exact cross-engine arithmetic),
+    * fill in unbiased (hash-bucket, id) order.
+    */
+  def mixtureTemperature(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("source").as("group"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("tokens"))
+    graft.operators.Mixture.temperatureMixture(docs, alpha = 0.5, targetTokens = 5000L)
+      .select(col("group").as("source"), col("id").as("doc_id"),
+        col("quality"), col("tokens"))
+      .orderBy("source", "doc_id")
+  }
+
+  val mixtureTemperatureSql: String =
+    s"""WITH d AS (SELECT doc_id, source,
+       |        CAST(len($toksD) AS BIGINT) AS tokens,
+       |        -CAST(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)
+       |          % 4096 AS DOUBLE) AS quality
+       |      FROM documents),
+       |g AS (SELECT source, CAST(sum(tokens) AS BIGINT) AS n_tokens FROM d GROUP BY source),
+       |w AS (SELECT source, n_tokens,
+       |        CAST(round(pow(CAST(n_tokens AS DOUBLE), 0.5) * 1000000, 0) AS BIGINT) AS w
+       |      FROM g),
+       |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM w),
+       |b AS (SELECT source,
+       |        least(CAST((CAST(w AS HUGEINT) * 5000) // CAST(tot AS HUGEINT) AS BIGINT),
+       |              n_tokens) AS budget
+       |      FROM w CROSS JOIN t),
+       |c AS (SELECT d.source, d.doc_id, d.quality, d.tokens, b.budget,
+       |        sum(d.tokens) OVER (PARTITION BY d.source ORDER BY d.quality DESC, d.doc_id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM d JOIN b ON d.source = b.source)
+       |SELECT source, doc_id, quality, tokens FROM c WHERE cum <= budget
+       |ORDER BY source, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_mixture_temperature" -> (mixtureTemperature _),
     "q_mixture_budget" -> (mixtureBudget _),
     "q_export_shards" -> (exportShardsQ _),
     "q_pipeline_curate3" -> (pipelineCurate3 _),
@@ -718,6 +756,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_mixture_temperature" -> mixtureTemperatureSql,
     "q_mixture_budget" -> mixtureBudgetSql,
     "q_export_shards" -> exportShardsSql,
     "q_pipeline_curate3" -> pipelineCurate3Sql,

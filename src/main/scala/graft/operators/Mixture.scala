@@ -35,24 +35,41 @@ object Mixture {
     * Input columns: (id, group, quality, tokens); output: the kept rows.
     */
   def tokenBudgetFill(docs: DataFrame, budget: Long): DataFrame = {
-    // materialize the NARROW projection once (id/group/quality/tokens):
-    // the operator reads it three times (bin aggregate + the two keyed
-    // branches), and without this an expensive upstream — a full quality
-    // scan of the corpus — would re-run per branch. One eager write of
-    // four narrow columns beats two repeated corpus scans at any scale.
-    val base = docs.select(col("id"), col("group"), col("quality"), col("tokens"))
+    val base = narrowBase(docs)
+    fillFromBase(base,
+      base.select("group").distinct().withColumn("budget", lit(budget)))
+  }
+
+  /** [[tokenBudgetFill]] with a PER-GROUP budget frame (group, budget) —
+    * the primitive behind temperature mixtures and any non-uniform split.
+    * Groups absent from `budgets` are dropped (no budget = keep nothing).
+    */
+  def tokenBudgetFillPerGroup(docs: DataFrame, budgets: DataFrame): DataFrame =
+    fillFromBase(narrowBase(docs), budgets.select("group", "budget"))
+
+  /** Materialize the NARROW projection once (id/group/quality/tokens):
+    * the fill reads it three times (bin aggregate + the two keyed
+    * branches), and without this an expensive upstream — a full quality
+    * scan of the corpus — would re-run per branch. One eager write of
+    * four narrow columns beats repeated corpus scans at any scale.
+    */
+  private def narrowBase(docs: DataFrame): DataFrame =
+    docs.select(col("id"), col("group"), col("quality"), col("tokens"))
       .localCheckpoint()
+
+  private def fillFromBase(base: DataFrame, budgets: DataFrame): DataFrame = {
     val binned = base.groupBy("group", "quality")
       .agg(sum(col("tokens")).as("bin_tokens"))
+      .join(broadcast(budgets), Seq("group"))
     val byQuality = Window.partitionBy("group")
       .orderBy(col("quality").desc)
       .rowsBetween(Window.unboundedPreceding, 0)
     val bins = binned
       .withColumn("cum", sum(col("bin_tokens")).over(byQuality))
-      .withColumn("full", col("cum") <= budget)
+      .withColumn("full", col("cum") <= col("budget"))
       // budget left when this bin starts (only meaningful for the first
       // non-full bin = the boundary bin)
-      .withColumn("remaining", lit(budget) - (col("cum") - col("bin_tokens")))
+      .withColumn("remaining", col("budget") - (col("cum") - col("bin_tokens")))
     val boundary = Window.partitionBy("group")
       .orderBy(col("quality").desc)
     val marked = bins.withColumn("prev_full",
@@ -113,6 +130,68 @@ object Mixture {
     val h = graft.functions.TextFunctions.stableHash32(idCol.cast("string"))
     tokenBudgetFill(
       docs.withColumn("quality", -(h % lit(buckets.toLong)).cast("double")), cap)
+  }
+
+  /** Temperature-scaled mixture budgets — the classic training-mixture
+    * recipe: group g with n_g tokens gets sampling weight ∝ n_g^alpha
+    * (alpha 1 = proportional/natural, 0 = uniform across groups; 0.3–0.7
+    * is the usual multilingual smoothing band), and a token budget
+    * weight·targetTokens, capped at the group's capacity (no repetition —
+    * `epochs` reports how much upsampling the uncapped share implies).
+    *
+    * Determinism across engines/partitionings: weights are QUANTIZED to
+    * integer micro-weights (round(n^alpha · quantum)) so the split is pure
+    * integer arithmetic — an exact sum and an exact integral division,
+    * reproducible bit-for-bit in any SQL oracle; floating error can only
+    * flip a result if n^alpha · quantum lands within one pow() ulp of a
+    * .5 boundary (~1e-9 per group). The group aggregate is tiny
+    * (|groups| rows), so every step after it is driver-scale.
+    *
+    * Input: (group, tokens) rows (plus anything else, ignored).
+    * Output: (group, n_tokens, weight, budget, epochs).
+    */
+  def temperatureBudgets(
+      docs: DataFrame,
+      alpha: Double,
+      targetTokens: Long,
+      quantum: Long = 1000000L): DataFrame = {
+    val g = docs.groupBy("group").agg(sum(col("tokens")).as("n_tokens"))
+    val w = g.withColumn("w",
+      round(pow(col("n_tokens").cast("double"), lit(alpha)) * lit(quantum.toDouble), 0)
+        .cast("long"))
+    val tot = w.agg(sum(col("w")).as("tot"))
+    w.crossJoin(broadcast(tot))
+      .withColumn("budget_uncapped",
+        expr(s"CAST(CAST(w AS DECIMAL(38,0)) * CAST($targetTokens AS DECIMAL(38,0)) " +
+          "div CAST(tot AS DECIMAL(38,0)) AS BIGINT)"))
+      .withColumn("budget", least(col("budget_uncapped"), col("n_tokens")))
+      .withColumn("weight",
+        round(col("w").cast("double") / col("tot").cast("double"), 9))
+      .withColumn("epochs",
+        round(col("budget_uncapped").cast("double") / col("n_tokens").cast("double"), 6))
+      .select("group", "n_tokens", "weight", "budget", "epochs")
+  }
+
+  /** Temperature-mixture selection: [[temperatureBudgets]] for the split,
+    * unbiased hash-ordered [[tokenBudgetFillPerGroup]] for the picks (the
+    * [[domainTokenCap]] ordering — favors no quality signal, reproduces on
+    * any partitioning). One corpus pass builds the narrow base; the budget
+    * aggregate and the fill both read the checkpointed frame.
+    *
+    * Input: (id, group, tokens); output: kept rows with the bucket-derived
+    * `quality` order key retained.
+    */
+  def temperatureMixture(
+      docs: DataFrame,
+      alpha: Double,
+      targetTokens: Long,
+      buckets: Int = 4096,
+      quantum: Long = 1000000L): DataFrame = {
+    val h = graft.functions.TextFunctions.stableHash32(col("id").cast("string"))
+    val base = narrowBase(
+      docs.withColumn("quality", -(h % lit(buckets.toLong)).cast("double")))
+    val budgets = temperatureBudgets(base, alpha, targetTokens, quantum)
+    fillFromBase(base, budgets.select("group", "budget"))
   }
 
   /** Deterministic export sharding: assign every document a shard in

@@ -162,6 +162,63 @@ class OperatorsSpec extends SparkSpec {
     assert(got == expect)
   }
 
+  test("temperatureBudgets: alpha endpoints, capacity cap, epochs") {
+    import spark.implicits._
+    val docs = (Seq.fill(90)("big") ++ Seq.fill(10)("small")).zipWithIndex
+      .map { case (g, i) => (s"d$i", g, 100L) }
+      .toDF("id", "group", "tokens") // big: 9000 tokens, small: 1000
+    def budgets(alpha: Double, target: Long) =
+      graft.operators.Mixture.temperatureBudgets(docs, alpha, target)
+        .collect().map(r => r.getString(0) ->
+          (r.getLong(1), r.getDouble(2), r.getLong(3), r.getDouble(4))).toMap
+    // alpha = 1: proportional split (9000:1000 -> 90%:10% of target)
+    val prop = budgets(1.0, 1000L)
+    assert(prop("big")._3 == 900L && prop("small")._3 == 100L)
+    // alpha = 0: uniform weights -> equal budgets
+    val unif = budgets(0.0, 1000L)
+    assert(unif("big")._3 == 500L && unif("small")._3 == 500L)
+    // alpha = 0.5 smooths between: small's share rises above 10%
+    val smooth = budgets(0.5, 1000L)
+    assert(smooth("small")._3 > 100L && smooth("small")._3 < 500L)
+    assert(math.abs(smooth("big")._2 + smooth("small")._2 - 1.0) < 1e-6,
+      "weights normalize")
+    // budgets cap at capacity; epochs reports the uncapped share
+    val over = budgets(1.0, 100000L)
+    assert(over("big")._3 == 9000L, "budget capped at group capacity")
+    assert(over("big")._4 > 1.0, "epochs > 1 records the implied upsampling")
+  }
+
+  test("temperatureMixture equals the naive per-group greedy fill") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(7)
+    val docs = (0 until 300)
+      .map(i => (f"d$i%03d", s"g${i % 4}", 10L + rnd.nextInt(40)))
+      .toDF("id", "group", "tokens").repartition(7)
+    val got = graft.operators.Mixture.temperatureMixture(docs, 0.5, 3000L)
+      .select("group", "id").collect().map(r => (r.getString(0), r.getString(1))).toSet
+    // naive: per-group budget from the quantized integer split, then a
+    // greedy window in (hash-bucket, id) order
+    val budgets = graft.operators.Mixture.temperatureBudgets(
+        docs.select("group", "tokens"), 0.5, 3000L)
+      .collect().map(r => r.getString(0) -> r.getLong(3)).toMap
+    val h = graft.functions.TextFunctions.stableHash32(col("id").cast("string"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("group").orderBy(col("q").desc, col("id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val naive = docs
+      .withColumn("q", -(h % lit(4096L)).cast("double"))
+      .withColumn("cum", sum(col("tokens")).over(w))
+      .collect().filter { r =>
+        r.getAs[Long]("cum") <= budgets(r.getAs[String]("group"))
+      }.map(r => (r.getAs[String]("group"), r.getAs[String]("id"))).toSet
+    assert(got == naive)
+    // and the kept token mass respects each group's budget
+    val sums = graft.operators.Mixture.temperatureMixture(docs, 0.5, 3000L)
+      .groupBy("group").agg(sum("tokens").as("t"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    sums.foreach { case (g, t) => assert(t <= budgets(g), s"group $g over budget") }
+  }
+
   test("domainTokenCap: per-group token sums within cap, partition-invariant") {
     import spark.implicits._
     val docs = (0 until 200)
