@@ -185,6 +185,70 @@ object CorpusFilters {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** Duplicated-span removal with keep-first semantics (the ExactSubstr
+    * dedup of Lee et al. 2022, "Deduplicating Training Data Makes
+    * Language Models Better", approximated at fixed k-token span
+    * granularity): a k-token span occurring more than once in the corpus
+    * keeps only its globally FIRST occurrence — first in (id, pos)
+    * order — and the tokens covered by every later occurrence are cut,
+    * documents rebuilt from what remains. Output matches
+    * [[boilerplateStrip]]: (id, tok_len, kept_tokens, cleaned).
+    *
+    * Distinct from [[boilerplateStrip]] in two ways: the trigger is ANY
+    * repeat (df >= 2, not a frequency threshold), and one canonical copy
+    * of each duplicated span always survives — the corpus keeps the
+    * information, it just stops repeating it, which is the training-data
+    * semantics (memorization comes from the repeats, not the content).
+    *
+    * Scale shape: the first-occurrence pass is ONE keyed aggregation on
+    * g with map-side combine (min/count collapse a hot span's
+    * occurrences within each partition before the shuffle — a span
+    * repeated a million times contributes one row per task). The
+    * occurrence⋈first join keys on g against a one-row-per-duplicated-
+    * gram frame; position expansion multiplies non-first duplicated
+    * occurrences only by k; cutting and reassembly are (id, pos)/id
+    * keyed exactly as in [[boilerplateStripFromToks]]. No windows over
+    * unbounded groups, no all-pairs stage.
+    */
+  def spanDedup(
+      docs: DataFrame,
+      k: Int = 5,
+      idCol: String = "id",
+      contentCol: String = "content"): DataFrame =
+    spanDedupFromToks(tokenized(docs, idCol, contentCol), k)
+
+  /** [[spanDedup]] over an existing (id, toks) frame. */
+  def spanDedupFromToks(tokd: DataFrame, k: Int = 5): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got k=$k)")
+    // gram rows feed the first-occurrence aggregate AND the occurrence
+    // probe; persist for the same reason boilerplateStrip does
+    val rows = gramRowsFromToks(tokd, k).persist(StorageLevel.MEMORY_ONLY)
+    val first = rows
+      .groupBy("g")
+      .agg(min(struct(col("id"), col("pos"))).as("f"), count(lit(1)).as("occ"))
+      .filter(col("occ") > 1)
+      .select(col("g"), col("f.id").as("fid"), col("f.pos").as("fpos"))
+    val covered = rows.join(first, Seq("g"))
+      .filter(!(col("id") === col("fid") && col("pos") === col("fpos")))
+      .select(col("id"),
+        explode(sequence(col("pos"), col("pos") + lit(k - 1))).as("p"))
+      .distinct()
+    val kept = tokd
+      .select(col("id"), posexplode(col("toks")).as(Seq("p", "tok")))
+      .join(covered, Seq("id", "p"), "left_anti")
+    val rebuilt = kept.groupBy("id").agg(
+      count(lit(1)).as("kept_tokens"),
+      concat_ws(" ", transform(
+        array_sort(collect_list(struct(col("p"), col("tok")))),
+        s => s.getField("tok"))).as("cleaned"))
+    tokd
+      .select(col("id"), size(col("toks")).as("tok_len"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("tok_len"),
+        coalesce(col("kept_tokens"), lit(0L)).as("kept_tokens"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** [[boilerplateCoverage]] over an existing (id, toks) frame. */
   def boilerplateCoverageFromToks(
       tokd: DataFrame,

@@ -453,7 +453,44 @@ object DedupQueries {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("a", "b")
 
+  // ---- duplicated-span removal (ExactSubstr keep-first, Lee et al. 2022)
+  //      at 5-token span granularity: later occurrences of any repeated
+  //      span are cut, the first survives; oracle replays the keep-first
+  //      rule with a per-gram window ----
+  def dedupSpans(s: SparkSession, dir: String): DataFrame =
+    graft.dedup.CorpusFilters.spanDedup(
+      t(s, dir, "documents"), k = 5, idCol = "doc_id", contentCol = "text")
+      .select(col("id").as("doc_id"), col("tok_len").cast("long").as("tok_len"),
+        col("kept_tokens"), col("cleaned"))
+      .orderBy("doc_id")
+
+  val dedupSpansSql: String =
+    """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks
+      |           FROM documents),
+      |g AS (SELECT doc_id, i AS pos, array_to_string(toks[i+1:i+5], ' ') AS g
+      |      FROM d, UNNEST(range(greatest(len(toks)-4, 0))) AS u(i)),
+      |r AS (SELECT doc_id, pos,
+      |        row_number() OVER (PARTITION BY g ORDER BY doc_id, pos) AS rn
+      |      FROM g),
+      |cov AS (SELECT DISTINCT doc_id, p
+      |        FROM (SELECT doc_id, UNNEST(generate_series(pos, pos+4)) AS p
+      |              FROM r WHERE rn > 1) e),
+      |tp AS (SELECT doc_id, i AS p, toks[i+1] AS tok
+      |       FROM d, UNNEST(range(len(toks))) AS u(i)),
+      |kept AS (SELECT tp.doc_id, tp.p, tp.tok FROM tp
+      |         LEFT JOIN cov ON tp.doc_id = cov.doc_id AND tp.p = cov.p
+      |         WHERE cov.p IS NULL),
+      |c AS (SELECT doc_id, count(*) AS kept_tokens,
+      |        string_agg(tok, ' ' ORDER BY p) AS cleaned
+      |      FROM kept GROUP BY doc_id)
+      |SELECT d.doc_id, len(d.toks) AS tok_len,
+      |       coalesce(c.kept_tokens, 0) AS kept_tokens,
+      |       coalesce(c.cleaned, '') AS cleaned
+      |FROM d LEFT JOIN c USING (doc_id)
+      |ORDER BY d.doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dedup_spans" -> (dedupSpans _),
     "q_dedup_ngram_prefix" -> (dedupNgramPrefix _),
     "q_ann_knn_join" -> (annKnnJoin _),
     "q_ann_knn_blocked" -> (annKnnBlocked _),
@@ -471,6 +508,7 @@ object DedupQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_dedup_spans" -> dedupSpansSql,
     "q_dedup_ngram_prefix" -> jaccardInvertedSqlD(0.5),
     "q_ann_knn_join" -> annKnnJoinSql,
     "q_ann_knn_blocked" -> annKnnBlockedSql,

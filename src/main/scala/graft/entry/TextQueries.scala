@@ -731,7 +731,60 @@ object TextQueries {
        |SELECT source, doc_id, quality, tokens FROM c WHERE cum <= budget
        |ORDER BY source, doc_id""".stripMargin
 
+  /** CCNet-style LM quality filter (Perplexity): add-one bigram model
+    * trained on the src0 reference slice, every document scored by mean
+    * negative log likelihood per bigram (micro-nat integer sums — exact
+    * under any reduce order), head/middle/tail thirds per language by
+    * integer rank cuts. The oracle replays the whole pipeline including
+    * the unknown-token fallback.
+    */
+  def textPerplexity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("lang"), col("source"),
+        TextFunctions.tokens(col("text")).as("toks"))
+    val lm = graft.dedup.Perplexity.train(
+      docs.filter(col("source") === "src0").select("id", "toks"))
+    val scored = graft.dedup.Perplexity.score(docs.select("id", "toks"), lm)
+      .join(docs.select("id", "lang"), Seq("id"))
+    graft.dedup.Perplexity.buckets(scored, "lang")
+      .select(col("id").as("doc_id"), col("lang"), col("n_bigrams"),
+        col("nll_micro"), round(col("avg_nll"), 6).as("avg_nll"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val textPerplexitySql: String =
+    s"""WITH d AS (SELECT doc_id, lang, source, $toksD AS toks FROM documents),
+       |rp AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2
+       |       FROM d, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)
+       |       WHERE source = 'src0'),
+       |big AS (SELECT w1, w2, count(*) AS c12 FROM rp GROUP BY w1, w2),
+       |uni AS (SELECT w1, count(*) AS c1 FROM rp GROUP BY w1),
+       |voc AS (SELECT count(DISTINCT w) AS v
+       |        FROM (SELECT UNNEST(toks) AS w FROM d WHERE source = 'src0')),
+       |occ AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2, count(*) AS occ
+       |        FROM d, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)
+       |        GROUP BY doc_id, w1, w2),
+       |s AS (SELECT occ.doc_id, occ.occ,
+       |        CAST(floor(-ln(CAST(coalesce(big.c12, 0) + 1 AS DOUBLE)
+       |          / CAST(coalesce(uni.c1, 0) + voc.v AS DOUBLE)) * 1e6) AS BIGINT) AS t_micro
+       |      FROM occ LEFT JOIN big ON occ.w1 = big.w1 AND occ.w2 = big.w2
+       |               LEFT JOIN uni ON occ.w1 = uni.w1
+       |               CROSS JOIN voc),
+       |a AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       |        CAST(sum(occ * t_micro) AS BIGINT) AS nll_micro
+       |      FROM s GROUP BY doc_id),
+       |j AS (SELECT a.doc_id, d.lang, a.n_bigrams, a.nll_micro,
+       |        CAST(a.nll_micro AS DOUBLE) / (CAST(a.n_bigrams AS DOUBLE) * 1e6) AS avg_nll
+       |      FROM a JOIN d ON a.doc_id = d.doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY lang) AS n FROM j)
+       |SELECT doc_id, lang, n_bigrams, nll_micro, round(avg_nll, 6) AS avg_nll,
+       |       CASE WHEN rn*3 <= n THEN 'head'
+       |            WHEN rn*3 <= n*2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_text_perplexity" -> (textPerplexity _),
     "q_mixture_temperature" -> (mixtureTemperature _),
     "q_mixture_budget" -> (mixtureBudget _),
     "q_export_shards" -> (exportShardsQ _),
@@ -756,6 +809,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_text_perplexity" -> textPerplexitySql,
     "q_mixture_temperature" -> mixtureTemperatureSql,
     "q_mixture_budget" -> mixtureBudgetSql,
     "q_export_shards" -> exportShardsSql,

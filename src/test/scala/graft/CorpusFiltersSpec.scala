@@ -71,6 +71,27 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(r(4L) == ((4L, "qq rr ss tt")), "clean doc passes through in token space")
   }
 
+  test("span dedup: keep-first across and within documents") {
+    val docs = df(
+      doc(1L, "aa bb cc dd"),        // holds the first occurrence of both its grams
+      doc(2L, "xx aa bb cc yy"),     // "aa bb cc" repeats doc 1 pos 0 -> cut 1..3
+      doc(3L, "aa bb cc dd"),        // full duplicate of doc 1 -> empties
+      doc(4L, "pp qq rr ss pp qq rr")) // within-doc repeat at pos 4 -> cut 4..6
+    val r = CorpusFilters.spanDedup(docs, k = 3)
+      .collect().map(x => x.getLong(0) -> ((x.getLong(2), x.getString(3)))).toMap
+    assert(r(1L) == ((4L, "aa bb cc dd")), "first occurrence survives intact")
+    assert(r(2L) == ((2L, "xx yy")))
+    assert(r(3L) == ((0L, "")), "exact later duplicate comes out empty")
+    assert(r(4L) == ((4L, "pp qq rr ss")), "within-doc repeat keeps the first copy")
+  }
+
+  test("span dedup: duplicate-free corpus passes through unchanged") {
+    val docs = df(doc(1L, "aa bb cc dd ee"), doc(2L, "ff gg hh ii"))
+    val r = CorpusFilters.spanDedup(docs, k = 3)
+      .collect().map(x => x.getLong(0) -> x.getString(3)).toMap
+    assert(r(1L) == "aa bb cc dd ee" && r(2L) == "ff gg hh ii")
+  }
+
   test("repetition signals on the documents table are sane") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))
