@@ -255,7 +255,7 @@ object Pq {
     * against the float vectors — the only embedding read in any PQ
     * serving path.
     */
-  private def rerank(
+  private[ann] def rerank(
       shortlist: DataFrame,
       vectors: DataFrame, // (id, embedding, norm)
       queries: Seq[(Int, Seq[Float])],

@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Tables.t
-import graft.ann.{Ann, Pq}
+import graft.ann.{Ann, Pq, Sq}
 import graft.dedup.Dedup
 
 /** Oracle-checked queries for the dedup + similarity-search pipeline
@@ -306,6 +306,58 @@ object DedupQueries {
       |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 5
       |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
 
+  // ---- ANN: SQ8 scalar quantization — per-dimension min/max byte codes,
+  //      linearized approximate-dot ADC shortlist (weight vector per
+  //      query, constant term rank-invariant), exact cosine re-rank.
+  //      Every stage (bounds, codes, weights, left-fold scores, re-rank)
+  //      is replayed in DuckDB. ----
+  def annSq(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val model = Sq.train(vecs.select("id", "embedding"))
+    // cache: each query's ADC branch scans the codes, not the floats
+    val codes = Sq.encode(vecs.select("id", "embedding"), model).cache()
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    Sq.searchAdcRerank(codes, vecs.select("id", "embedding", "norm"), model, qs,
+      k = 5, oversample = 4)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("query_idx"), col("score").desc, col("id"))
+  }
+
+  val annSqSql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |mm AS (SELECT i, min(v[i+1]) AS lo, max(v[i+1]) AS hi
+      |       FROM e, UNNEST(range(64)) AS u(i) GROUP BY i),
+      |arr AS (SELECT list(lo ORDER BY i) AS minv,
+      |               list(hi - lo ORDER BY i) AS scalev FROM mm),
+      |codes AS (SELECT id, list_transform(range(1, 65), d ->
+      |    CASE WHEN arr.scalev[d] = 0 THEN 0
+      |         ELSE CAST(least(greatest(floor((v[d] - arr.minv[d]) * 255.0
+      |                / arr.scalev[d]), 0), 255) AS INTEGER) END) AS codes
+      |  FROM e CROSS JOIN arr),
+      |q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id IN (0,1,2)),
+      |w AS (SELECT q.qid, q.qv,
+      |        list_transform(range(1, 65), d -> q.qv[d] * arr.scalev[d] / 255.0) AS w
+      |      FROM q CROSS JOIN arr),
+      |ad AS (SELECT w.qid, c.id,
+      |         list_reduce(list_prepend(CAST(0.0 AS DOUBLE),
+      |           list_transform(range(1, 65),
+      |             d -> CAST(c.codes[d] AS DOUBLE) * w.w[d])),
+      |           (a, b) -> a + b) AS ad
+      |       FROM codes c CROSS JOIN w),
+      |short AS (SELECT qid, id FROM (
+      |    SELECT qid, id, row_number() OVER (PARTITION BY qid ORDER BY ad DESC, id) AS rn
+      |    FROM ad)
+      |  WHERE rn <= 20),
+      |scored AS (SELECT q.qid AS query_idx, e.id,
+      |                  list_cosine_similarity(e.v, q.qv) AS sc
+      |           FROM short JOIN q ON q.qid = short.qid JOIN e ON e.id = short.id),
+      |t AS (SELECT query_idx, id, sc,
+      |             row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+      |      FROM scored)
+      |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 5
+      |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
+
   // ---- ANN: residual IVF-PQ (IVFADC — Jegou et al.): codes quantize
   //      (vector - assigned centroid); each (query, cluster) pair gets its
   //      own ADC table from the query's residual against that cluster's
@@ -491,6 +543,7 @@ object DedupQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_spans" -> (dedupSpans _),
+    "q_ann_sq" -> (annSq _),
     "q_dedup_ngram_prefix" -> (dedupNgramPrefix _),
     "q_ann_knn_join" -> (annKnnJoin _),
     "q_ann_knn_blocked" -> (annKnnBlocked _),
@@ -509,6 +562,7 @@ object DedupQueries {
 
   def oracles: Map[String, String] = Map(
     "q_dedup_spans" -> dedupSpansSql,
+    "q_ann_sq" -> annSqSql,
     "q_dedup_ngram_prefix" -> jaccardInvertedSqlD(0.5),
     "q_ann_knn_join" -> annKnnJoinSql,
     "q_ann_knn_blocked" -> annKnnBlockedSql,
