@@ -119,6 +119,34 @@ object ScaleProbe {
     time("text_boilerplate_strip")(
       graft.dedup.CorpusFilters.boilerplateStrip(docs, n = 3, minDf = 5)
         .agg(count(lit(1)), sum(length(col("cleaned")))).collect()(0).getLong(0))
+    // same forced-reassembly shape as boilerplate_strip: a bare count would
+    // let the optimizer drop the rebuild aggregate
+    time("dedup_spans")(
+      graft.dedup.CorpusFilters.spanDedup(docs, k = 5)
+        .agg(count(lit(1)), sum(length(col("cleaned")))).collect()(0).getLong(0))
+    // perplexity: the reference slice is a fixed FRACTION (hash-of-id 1/20),
+    // so the LM grows with the corpus like a real per-snapshot retrain; the
+    // group column gives ~20 languages so the bucket windows stay
+    // per-group-bounded (the documented exact form — approx cutoffs are the
+    // swap-in past that)
+    time("text_perplexity") {
+      val toks = graft.dedup.CorpusFilters.tokenized(docs)
+      val lm = graft.dedup.Perplexity.train(
+        toks.filter(graft.functions.TextFunctions.stableHash32(col("id")) % 20 === 0))
+      val scored = graft.dedup.Perplexity.score(toks, lm)
+        .withColumn("lang",
+          concat(lit("g"), graft.functions.TextFunctions.stableHash32(col("id")) % 20))
+      graft.dedup.Perplexity.buckets(scored)
+        .agg(count(lit(1)), sum(col("nll_micro"))).collect()(0).getLong(0)
+    }
+    // SQ8 serving: train = one min/max agg, encode = narrow transform, ADC =
+    // codes-only scan with bounded top-k — the whole path should be one
+    // linear pass regardless of M
+    time("ann_sq") {
+      val model = graft.ann.Sq.train(vecs.select("id", "embedding"))
+      val codes = graft.ann.Sq.encode(vecs.select("id", "embedding"), model)
+      graft.ann.Sq.searchAdcRerank(codes, vecs, model, qs, k = 10, oversample = 4).count()
+    }
     time("semantic_topk")(
       graft.ann.Ann.bruteTopK(vecs, qs, 10).count())
     // temporal family: count() would prune the carried match columns, so

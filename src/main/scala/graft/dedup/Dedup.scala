@@ -214,7 +214,7 @@ object Dedup {
       docs: DataFrame,
       maxHamming: Int = 3,
       blocks: Int = 6,
-      max32BitDocs: Long = 10000L,
+      max32BitDocs: Long = 4000L,
       sizeHint: Option[Long] = None): DataFrame = {
     require(maxHamming < blocks && blocks <= 32,
       "pigeonhole guarantee needs maxHamming < blocks <= 32")
@@ -223,6 +223,9 @@ object Dedup {
     // fingerprint finds 932 true near-dups; at 320k docs the 32-bit run
     // was 48.7s of mostly-spurious output): above the cutoff route to the
     // 64-bit fingerprint variant, whose space stays unsaturated to ~10^9.
+    // The cutoff sits BELOW the 5k point where saturation is already
+    // measured — r5's 10k default left a 5k corpus on the saturated path,
+    // paying 104k-pair candidate joins for output that is >99% noise.
     // SimHash near-dup is a recall-oriented candidate measure, so the wider
     // fingerprint is the documented semantics at corpus scale; callers
     // needing 32-bit behavior regardless can raise max32BitDocs.

@@ -358,6 +358,45 @@ object DedupQueries {
       |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 5
       |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
 
+  // ---- serving: MMR diversity re-rank over a brute-force top-20
+  //      shortlist (λ=0.5, k=5). The oracle unrolls the greedy selection:
+  //      step n picks the argmax of 0.5·rel − 0.5·max-cosine-to-selected
+  //      among unselected candidates (ties to the lower id). λ=0.5 is
+  //      exactly representable, so the combine is bit-identical in both
+  //      engines. ----
+  def searchMmr(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val qs = Tables.queryVectors(s, dir, Seq(0))
+    val short = Ann.bruteTopK(vecs, qs, 20)
+      .join(vecs.select(col("id"), col("embedding")), "id")
+      .select("id", "score", "embedding")
+    graft.search.Mmr.rerank(short, k = 5, lambda = 0.5)
+      .withColumn("score", round(col("score"), 6))
+      .withColumn("mmr", round(col("mmr"), 6))
+      .orderBy("rank")
+  }
+
+  val searchMmrSql: String = {
+    val steps = (2 to 5).map { n =>
+      s"""s$n AS (SELECT $n AS rank, c.id, c.score, c.v,
+         |        0.5*c.score - 0.5*(SELECT max(list_cosine_similarity(c.v, p.v))
+         |                           FROM p${n - 1} p) AS mmr
+         |       FROM short c WHERE c.id NOT IN (SELECT id FROM p${n - 1})
+         |       ORDER BY mmr DESC, c.id LIMIT 1),
+         |p$n AS (SELECT * FROM p${n - 1} UNION ALL SELECT * FROM s$n)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT CAST(embedding AS DOUBLE[]) AS qv FROM embeddings WHERE vec_id = 0),
+       |short AS (SELECT id, list_cosine_similarity(e.v, q.qv) AS score, e.v AS v
+       |          FROM e CROSS JOIN q ORDER BY score DESC, id LIMIT 20),
+       |s1 AS (SELECT 1 AS rank, id, score, v, 0.5*score - 0.5*0.0 AS mmr
+       |       FROM short ORDER BY mmr DESC, id LIMIT 1),
+       |p1 AS (SELECT * FROM s1),
+       |$steps
+       |SELECT rank, id, round(score, 6) AS score, round(mmr, 6) AS mmr
+       |FROM p5 ORDER BY rank""".stripMargin
+  }
+
   // ---- ANN: residual IVF-PQ (IVFADC — Jegou et al.): codes quantize
   //      (vector - assigned centroid); each (query, cluster) pair gets its
   //      own ADC table from the query's residual against that cluster's
@@ -544,6 +583,7 @@ object DedupQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_dedup_spans" -> (dedupSpans _),
     "q_ann_sq" -> (annSq _),
+    "q_search_mmr" -> (searchMmr _),
     "q_dedup_ngram_prefix" -> (dedupNgramPrefix _),
     "q_ann_knn_join" -> (annKnnJoin _),
     "q_ann_knn_blocked" -> (annKnnBlocked _),
@@ -563,6 +603,7 @@ object DedupQueries {
   def oracles: Map[String, String] = Map(
     "q_dedup_spans" -> dedupSpansSql,
     "q_ann_sq" -> annSqSql,
+    "q_search_mmr" -> searchMmrSql,
     "q_dedup_ngram_prefix" -> jaccardInvertedSqlD(0.5),
     "q_ann_knn_join" -> annKnnJoinSql,
     "q_ann_knn_blocked" -> annKnnBlockedSql,
