@@ -783,7 +783,74 @@ object TextQueries {
        |            WHEN rn*3 <= n*2 THEN 'middle' ELSE 'tail' END AS bucket
        |FROM r ORDER BY doc_id""".stripMargin
 
+  /** Sequence packing (Pack.packOffsets): stable-shuffle concat-and-split
+    * layout — every document's global token-stream offset and context
+    * windows at L=512. Oracle replays the exclusive prefix sum as one
+    * DuckDB window over the same md5 shuffle order; hash equality proves
+    * the distributed prefix sum (range partitions + driver offsets)
+    * identical to the naive global-window definition.
+    */
+  def packOffsetsQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("tokens"))
+    graft.operators.Pack.packOffsets(docs, 512L)
+      .select(col("id").as("doc_id"), col("tokens"), col("offset"),
+        col("seq"), col("pos_in_seq"), col("seq_last"))
+      .orderBy("offset", "doc_id")
+  }
+
+  val packOffsetsSql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(len($toksD) AS BIGINT) AS tokens,
+       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+       |      FROM documents),
+       |o AS (SELECT doc_id, tokens,
+       |        CAST(COALESCE(sum(tokens) OVER (ORDER BY h2, CAST(doc_id AS VARCHAR)
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |      FROM d)
+       |SELECT doc_id, tokens, "offset",
+       |       "offset" // 512 AS seq,
+       |       "offset" % 512 AS pos_in_seq,
+       |       greatest("offset", "offset" + tokens - 1) // 512 AS seq_last
+       |FROM o ORDER BY "offset", doc_id""".stripMargin
+
+  /** Per-sequence manifest (Pack.sequenceManifest): which slice of which
+    * document each L=64 context window carries — the join frame an export
+    * writer uses to emit window contents. L=64 sits under the corpus's max
+    * document length so multi-window spans are exercised.
+    */
+  def packManifestQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("tokens"))
+    val packed = graft.operators.Pack.packOffsets(docs, 64L)
+    graft.operators.Pack.sequenceManifest(packed, 64L)
+      .select(col("seq"), col("id").as("doc_id"), col("doc_begin"),
+        col("doc_end"), col("offset"), col("tokens"))
+      .orderBy("seq", "offset")
+  }
+
+  val packManifestSql: String =
+    s"""WITH d AS (SELECT doc_id, CAST(len($toksD) AS BIGINT) AS tokens,
+       |        CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+       |      FROM documents),
+       |o AS (SELECT doc_id, tokens,
+       |        CAST(COALESCE(sum(tokens) OVER (ORDER BY h2, CAST(doc_id AS VARCHAR)
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |      FROM d WHERE tokens > 0),
+       |m AS (SELECT unnest(range("offset" // 64,
+       |          (greatest("offset", "offset" + tokens - 1) // 64) + 1)) AS seq,
+       |        doc_id, "offset", tokens
+       |      FROM o)
+       |SELECT seq, doc_id,
+       |       greatest(0, seq * 64 - "offset") AS doc_begin,
+       |       least(tokens, seq * 64 + 64 - "offset") AS doc_end,
+       |       "offset", tokens
+       |FROM m ORDER BY seq, "offset"""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pack_offsets" -> (packOffsetsQ _),
+    "q_pack_manifest" -> (packManifestQ _),
     "q_text_perplexity" -> (textPerplexity _),
     "q_mixture_temperature" -> (mixtureTemperature _),
     "q_mixture_budget" -> (mixtureBudget _),
@@ -809,6 +876,8 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pack_offsets" -> packOffsetsSql,
+    "q_pack_manifest" -> packManifestSql,
     "q_text_perplexity" -> textPerplexitySql,
     "q_mixture_temperature" -> mixtureTemperatureSql,
     "q_mixture_budget" -> mixtureBudgetSql,
