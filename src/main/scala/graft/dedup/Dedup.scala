@@ -764,4 +764,55 @@ object Dedup {
       .filter(col("cosine") >= threshold)
       .select("a", "b", "cosine")
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic dedup via
+    * cluster-then-dedup-within — k-means partitions the embedding space so
+    * the pairwise cosine pass runs per cluster (the blocked-kNN shape:
+    * cluster-keyed self-join, never an all-pairs product), pairs above the
+    * threshold form ε-balls, and one representative survives per ball.
+    *
+    * Deterministic survivor rule: connected components over the pair graph
+    * with the minimum id as the component label — the paper's greedy
+    * "keep one per ball" realized with the same component machinery as
+    * [[duplicateClusters]], so survivors are partitioning-invariant (the
+    * paper itself keeps a random/centroid-distance pick; min-id is this
+    * engine's reproducible convention, as in exact dedup).
+    *
+    * Scale shape: centroid assignment is a broadcast map (k centroids);
+    * the within-cluster join is bounded by the largest cluster (size k for
+    * balance — same operating guidance as [[graft.ann.Ann.knnJoinWithin]]);
+    * component resolution is output-sized. Cross-cluster near-dups at the
+    * Voronoi boundary are the documented recall loss the paper accepts.
+    *
+    * Input: (id, embedding, norm) + a (centroid_id, centroid,
+    * centroid_norm) frame (train with [[graft.ann.Ann.kmeansCentroids]] or
+    * serve from a persisted [[graft.ann.IvfIndex]]). Output: one row per
+    * input id — (id, cluster_id, comp, keep); keep = id is its ball's
+    * survivor.
+    */
+  def semDeDup(
+      vectors: DataFrame, // (id, embedding, norm)
+      centroids: DataFrame, // (centroid_id, centroid, centroid_norm)
+      threshold: Double): DataFrame = {
+    // assignment read twice (pair join sides + output) — persist the
+    // narrow (id, cluster) map; embeddings re-read from the source frame
+    val assigned = graft.ann.Ann.assign(vectors, centroids)
+      .select(col("id"), col("embedding"), col("norm"), col("cluster_id"))
+      .persist(StorageLevel.MEMORY_ONLY)
+    val a = assigned.select(col("cluster_id"), col("id").as("a"),
+      col("embedding").as("ea"), col("norm").as("na"))
+    val b = assigned.select(col("cluster_id"), col("id").as("b"),
+      col("embedding").as("eb"), col("norm").as("nb"))
+    val pairs = a.join(b, Seq("cluster_id")).filter(col("a") < col("b"))
+      .withColumn("cosine",
+        VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+      .filter(col("cosine") >= threshold)
+      .select("a", "b")
+    val comps = duplicateClusters(pairs)
+    assigned.select("id", "cluster_id")
+      .join(comps, Seq("id"), "left")
+      .withColumn("comp", coalesce(col("comp"), col("id")))
+      .withColumn("keep", col("comp") === col("id"))
+      .select("id", "cluster_id", "comp", "keep")
+  }
 }

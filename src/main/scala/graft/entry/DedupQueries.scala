@@ -181,6 +181,47 @@ object DedupQueries {
       |WHERE list_cosine_similarity(a.v, b.v) >= 0.4
       |ORDER BY a, b""".stripMargin
 
+  // ---- SemDeDup: cluster-then-dedup-within (Abbas et al. 2023) — the
+  //      oracle replays assignment (label-seeded deterministic centroids,
+  //      same fragment as q_ann_ivf), within-cluster cosine pairs, and the
+  //      recursive-CTE component closure with min-id survivors. ----
+  def dedupSemantic(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val centroids = Ann.representativeCentroids(vecs, "label").cache()
+    Dedup.semDeDup(vecs, centroids, threshold = 0.4)
+      .orderBy("id")
+  }
+
+  val dedupSemanticSql: String =
+    """WITH RECURSIVE
+      |e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (
+      |  SELECT label AS centroid_id, v AS c FROM (
+      |    SELECT label, v, row_number() OVER (PARTITION BY label ORDER BY id) AS rn FROM e)
+      |  WHERE rn = 1),
+      |assign AS (
+      |  SELECT id, v, cluster_id FROM (
+      |    SELECT e.id, e.v, cent.centroid_id AS cluster_id,
+      |           row_number() OVER (PARTITION BY e.id
+      |             ORDER BY 1.0 - list_cosine_similarity(e.v, cent.c), cent.centroid_id) AS rn
+      |    FROM e CROSS JOIN cent)
+      |  WHERE rn = 1),
+      |p AS (SELECT x.id AS a, y.id AS b
+      |      FROM assign x JOIN assign y
+      |        ON x.cluster_id = y.cluster_id AND x.id < y.id
+      |      WHERE list_cosine_similarity(x.v, y.v) >= 0.4),
+      |edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+      |reach(src, t) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.t = e2.a),
+      |comp AS (SELECT src AS id, least(src, min(t)) AS comp
+      |         FROM reach GROUP BY src)
+      |SELECT a2.id, a2.cluster_id, COALESCE(comp.comp, a2.id) AS comp,
+      |       COALESCE(comp.comp, a2.id) = a2.id AS keep
+      |FROM assign a2 LEFT JOIN comp ON a2.id = comp.id
+      |ORDER BY a2.id""".stripMargin
+
   // ---- ANN: exact brute-force top-k ----
   def annBrute(s: SparkSession, dir: String): DataFrame = {
     val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2, 3, 4))
@@ -594,6 +635,7 @@ object DedupQueries {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> (dedupSimhash64 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_dedup_semantic" -> (dedupSemantic _),
     "q_ann_brute" -> (annBrute _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_pq" -> (annPq _),
@@ -614,6 +656,7 @@ object DedupQueries {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_dedup_semantic" -> dedupSemanticSql,
     "q_ann_brute" -> annBruteSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_pq" -> annPqSql,

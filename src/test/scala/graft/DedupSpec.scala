@@ -171,4 +171,32 @@ class DedupSpec extends SparkSpec {
       .select("a", "b").collect().map(r => (r.getLong(0), r.getLong(1))).toSet
     assert(viaBlocks.subsetOf(pairs32))
   }
+
+  test("semDeDup keeps exactly one survivor per within-cluster dup ball") {
+    import spark.implicits._
+    // two tight clusters; planted near-identical pairs inside each
+    def v(xs: Double*) = xs.map(_.toFloat)
+    val rows = Seq(
+      (1L, v(1, 0, 0)), (2L, v(0.999, 0.01, 0)), (3L, v(0.7, 0.7, 0.3)),
+      (10L, v(0, 1, 0)), (11L, v(0.01, 0.999, 0)), (12L, v(0.01, 0.998, 0.01))
+    ).toDF("id", "embedding")
+    val vecs = rows.select(col("id"), col("embedding"),
+      graft.functions.VectorFunctions.l2Norm(col("embedding")).as("norm"))
+    val cents = Seq((100L, v(1, 0, 0)), (200L, v(0, 1, 0)))
+      .toDF("centroid_id", "centroid")
+      .select(col("centroid_id"), col("centroid"),
+        graft.functions.VectorFunctions.l2Norm(col("centroid")).as("centroid_norm"))
+    val out = Dedup.semDeDup(vecs, cents, threshold = 0.99).orderBy("id").collect()
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(2), r.getBoolean(3))).toMap
+    // ball {1,2}: min-id 1 survives; 3 is alone (cos to both < .99)
+    assert(byId(1L) == (1L, true) && byId(2L) == (1L, false))
+    assert(byId(3L)._2)
+    // ball {10,11,12}: 10 survives
+    assert(byId(10L) == (10L, true) && !byId(11L)._2 && !byId(12L)._2)
+    // every ball has exactly one keeper
+    out.groupBy(_.getLong(2)).foreach { case (_, rs) =>
+      assert(rs.count(_.getBoolean(3)) == 1)
+    }
+  }
 }
