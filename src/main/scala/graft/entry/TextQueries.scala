@@ -848,7 +848,69 @@ object TextQueries {
        |       "offset", tokens
        |FROM m ORDER BY seq, "offset"""".stripMargin
 
+  /** DSIR importance resampling (operators.Dsir): hashed unigram+bigram
+    * bucket distributions for the src0 target slice vs the whole corpus,
+    * micro-nat log-ratio weights, hash-derived Gumbel top-100. Full DuckDB
+    * replay: feature hashing, smoothing, the integer weight sums, and the
+    * Gumbel keys.
+    */
+  def dsirSelect(s: SparkSession, dir: String): DataFrame = {
+    val B = 4096
+    // tokenize once: counts (target + raw) and the weight pass all read it
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("source"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .localCheckpoint()
+    val target = base.filter(col("source") === "src0").select("id", "toks")
+    val raw = base.select("id", "toks")
+    val table = graft.operators.Dsir.importanceTable(
+      graft.operators.Dsir.bucketCounts(target, B),
+      graft.operators.Dsir.bucketCounts(raw, B), B)
+    val w = graft.operators.Dsir.importanceWeights(raw, table, B)
+    graft.operators.Dsir.resampleTopK(w, 100)
+      .select(col("id").as("doc_id"), col("n_feats"), col("w_micro"),
+        round(col("avg_w"), 6).as("avg_w"), col("key_micro"))
+      .orderBy(col("key_micro").desc, col("doc_id"))
+  }
+
+  val dsirSelectSql: String =
+    s"""WITH d AS (SELECT doc_id AS id, source, $toksD AS toks FROM documents),
+       |feats AS (
+       |  SELECT id, source,
+       |         ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096 AS bucket
+       |  FROM (
+       |    SELECT id, source, unnest(toks) AS t FROM d
+       |    UNION ALL
+       |    SELECT id, source, unnest(list_transform(range(len(toks) - 1),
+       |             i -> toks[i+1] || ' ' || toks[i+2])) AS t
+       |    FROM d WHERE len(toks) >= 2)),
+       |tc AS (SELECT bucket, count(*) AS ct FROM feats WHERE source = 'src0' GROUP BY 1),
+       |rc AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+       |nt AS (SELECT count(*) AS n FROM feats WHERE source = 'src0'),
+       |nr AS (SELECT count(*) AS n FROM feats),
+       |tab AS (
+       |  SELECT b.bucket,
+       |         CAST(floor((ln((COALESCE(tc.ct, 0) + 1)::DOUBLE / (nt.n + 4096))
+       |                   - ln((COALESCE(rc.cr, 0) + 1)::DOUBLE / (nr.n + 4096))) * 1e6)
+       |           AS BIGINT) AS r_micro
+       |  FROM (SELECT unnest(range(4096)) AS bucket) b
+       |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+       |  CROSS JOIN nt CROSS JOIN nr),
+       |occ AS (SELECT id, bucket, count(*) AS occ FROM feats GROUP BY 1, 2),
+       |w AS (SELECT id, CAST(sum(occ) AS BIGINT) AS n_feats,
+       |        CAST(sum(occ * r_micro) AS BIGINT) AS w_micro
+       |      FROM occ JOIN tab USING (bucket) GROUP BY id),
+       |g AS (SELECT id, n_feats, w_micro,
+       |        CAST(w_micro AS DOUBLE) / (n_feats * 1e6) AS avg_w,
+       |        w_micro + CAST(floor(-ln(-ln(
+       |          ((('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+       |            / 4294967296.0))) * 1e6) AS BIGINT) AS key_micro
+       |      FROM w)
+       |SELECT id AS doc_id, n_feats, w_micro, round(avg_w, 6) AS avg_w, key_micro
+       |FROM g ORDER BY key_micro DESC, CAST(id AS VARCHAR) LIMIT 100""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_dsir_select" -> (dsirSelect _),
     "q_pack_offsets" -> (packOffsetsQ _),
     "q_pack_manifest" -> (packManifestQ _),
     "q_text_perplexity" -> (textPerplexity _),
@@ -876,6 +938,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_dsir_select" -> dsirSelectSql,
     "q_pack_offsets" -> packOffsetsSql,
     "q_pack_manifest" -> packManifestSql,
     "q_text_perplexity" -> textPerplexitySql,
