@@ -226,6 +226,37 @@ object ScaleProbe {
       graft.operators.Mixture.exportShards(docs.select("id"), col("id"), 16 * m)
         .agg(count(lit(1)), max(col("pos"))).collect()(0).getLong(0)
     }
+    // packing: the prefix sum must stay one corpus shuffle; sum over
+    // pos_in_seq forces the window output (count alone would prune it)
+    time("pack_offsets") {
+      graft.operators.Pack.packOffsets(
+          mixDocs.select("id", "tokens"), seqLen = 512L)
+        .agg(count(lit(1)), sum(col("pos_in_seq"))).collect()(0).getLong(0)
+    }
+    // DSIR: target slice is a fixed fraction (grows with the corpus, like
+    // a real trusted-domain crawl); k scales with M so selection share is
+    // constant and the top-k heap is the only bounded structure
+    time("dsir_select") {
+      val toks = graft.dedup.CorpusFilters.tokenized(docs)
+      val target = toks.filter(
+        graft.functions.TextFunctions.stableHash32(col("id")) % 20 === 0)
+      val B = 4096
+      val tab = graft.operators.Dsir.importanceTable(
+        graft.operators.Dsir.bucketCounts(target, B),
+        graft.operators.Dsir.bucketCounts(toks, B), B)
+      graft.operators.Dsir.resampleTopK(
+          graft.operators.Dsir.importanceWeights(toks, tab, B), 100 * m)
+        .agg(count(lit(1)), sum(col("key_micro"))).collect()(0).getLong(0)
+    }
+    // SemDeDup: cluster count scales with the corpus (constant per-cluster
+    // size bounds the within-cluster pair join — same recipe as
+    // knn_blocked); centroids train on the bounded base sample
+    time("dedup_semantic") {
+      val train = Tables.vectors(spark, sfDir).select("id", "embedding", "norm")
+      val cents = graft.ann.Ann.kmeansCentroids(train, 16 * m, 2)
+      graft.dedup.Dedup.semDeDup(vecs, cents, threshold = 0.9)
+        .agg(count(lit(1)), sum(col("keep").cast("long"))).collect()(0).getLong(0)
+    }
     time("knn_blocked") {
       // the 100 TB recipe: cluster COUNT scales with the corpus (keeps
       // per-cluster size — and the within-cluster join — constant);
