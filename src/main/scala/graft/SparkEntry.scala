@@ -49,6 +49,20 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
         .orderBy(col("query_idx"), col("score").desc, col("id"))
     }),
+    // ---- serving tail: RAG context assembly — top-20 retrieval per query
+    //      fitted to a 400-token context budget (greedy prefix in rank
+    //      order; per-query window, shortlist-bounded) ----
+    "q_rag_context" -> ((s, dir) => {
+      val docs = vectors(s, dir)
+      val qs = queryVectors(s, dir, Seq(0, 1, 2))
+      val hits = Semantic.search(docs, qs, 20)
+      val tokens = t(s, dir, "documents").select(col("doc_id").as("id"),
+        size(graft.functions.TextFunctions.tokens(col("text"))).cast("long").as("tokens"))
+      graft.search.ContextAssembly.assemble(hits.join(tokens, "id"), 400L)
+        .select(col("query_idx"), col("rank"), col("id"),
+          round(col("score"), 6).as("score"), col("tokens"), col("cum_tokens"))
+        .orderBy("query_idx", "rank")
+    }),
     // ---- §2.3 semantic_search with distance_threshold (keep iff 1-sim <= t) ----
     "q_semantic_threshold" -> ((s, dir) => {
       val docs = vectors(s, dir)
@@ -194,6 +208,27 @@ object SparkEntry {
          |      FROM s)
          |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 10
          |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin,
+    "q_rag_context" ->
+      s"""WITH q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id IN (0,1,2)),
+         |s AS (SELECT q.qid AS query_idx, e.vec_id AS id,
+         |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sc
+         |      FROM q CROSS JOIN embeddings e),
+         |t AS (SELECT query_idx, id, sc,
+         |             row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+         |      FROM s),
+         |h AS (SELECT t.query_idx, t.id, t.sc,
+         |             CAST(len($toksD) AS BIGINT) AS tokens
+         |      FROM t JOIN documents d ON t.id = d.doc_id WHERE t.rn <= 20),
+         |r AS (SELECT query_idx, id, sc, tokens,
+         |             row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rank,
+         |             CAST(sum(tokens) OVER (PARTITION BY query_idx ORDER BY sc DESC, id
+         |               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_tokens
+         |      FROM h)
+         |SELECT query_idx, CAST(rank AS INTEGER) AS rank, id, round(sc, 6) AS score,
+         |       tokens, cum_tokens
+         |FROM r WHERE cum_tokens <= 400
+         |ORDER BY query_idx, rank""".stripMargin,
     "q_semantic_threshold" ->
       s"""WITH q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
          |           FROM embeddings WHERE vec_id IN (0,1,2)),
