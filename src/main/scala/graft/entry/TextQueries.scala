@@ -909,7 +909,86 @@ object TextQueries {
        |SELECT id AS doc_id, n_feats, w_micro, round(avg_w, 6) AS avg_w, key_micro
        |FROM g ORDER BY key_micro DESC, CAST(id AS VARCHAR) LIMIT 100""".stripMargin
 
+  /** Curation pipeline v4 — the full selection-to-trainer tail with the
+    * round-6 operators: length gate → DSIR importance selection against
+    * the src0 target slice → sequence packing of the selected corpus into
+    * L=256 context windows. One composed plan; the only driver
+    * round-trips are the bounded ones the operators document (DSIR's
+    * B-row table build is pure dataflow, packing collects B bucket
+    * subtotals). The oracle replays every stage.
+    */
+  def pipelineCurate4(s: SparkSession, dir: String): DataFrame = {
+    val B = 4096
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("source"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("tokens", size(col("toks")).cast("long"))
+      .localCheckpoint()
+    val eligible = base.filter(col("tokens") >= 20)
+    val target = eligible.filter(col("source") === "src0").select("id", "toks")
+    val tab = graft.operators.Dsir.importanceTable(
+      graft.operators.Dsir.bucketCounts(target, B),
+      graft.operators.Dsir.bucketCounts(eligible.select("id", "toks"), B), B)
+    val picked = graft.operators.Dsir.resampleTopK(
+      graft.operators.Dsir.importanceWeights(eligible.select("id", "toks"), tab, B), 200)
+    val withTokens = picked.select("id")
+      .join(eligible.select("id", "tokens"), "id")
+    graft.operators.Pack.packOffsets(withTokens, 256L)
+      .select(col("id").as("doc_id"), col("tokens"), col("offset"),
+        col("seq"), col("pos_in_seq"), col("seq_last"))
+      .orderBy("offset", "doc_id")
+  }
+
+  val pipelineCurate4Sql: String =
+    s"""WITH d AS (SELECT doc_id AS id, source, $toksD AS toks,
+       |        CAST(len($toksD) AS BIGINT) AS tokens
+       |      FROM documents),
+       |el AS (SELECT * FROM d WHERE tokens >= 20),
+       |feats AS (
+       |  SELECT id, source,
+       |         ('0x' || substr(md5(t), 1, 8))::BIGINT % 4096 AS bucket
+       |  FROM (
+       |    SELECT id, source, unnest(toks) AS t FROM el
+       |    UNION ALL
+       |    SELECT id, source, unnest(list_transform(range(len(toks) - 1),
+       |             i -> toks[i+1] || ' ' || toks[i+2])) AS t
+       |    FROM el WHERE len(toks) >= 2)),
+       |tc AS (SELECT bucket, count(*) AS ct FROM feats WHERE source = 'src0' GROUP BY 1),
+       |rc AS (SELECT bucket, count(*) AS cr FROM feats GROUP BY 1),
+       |nt AS (SELECT count(*) AS n FROM feats WHERE source = 'src0'),
+       |nr AS (SELECT count(*) AS n FROM feats),
+       |tab AS (
+       |  SELECT b.bucket,
+       |         CAST(floor((ln((COALESCE(tc.ct, 0) + 1)::DOUBLE / (nt.n + 4096))
+       |                   - ln((COALESCE(rc.cr, 0) + 1)::DOUBLE / (nr.n + 4096))) * 1e6)
+       |           AS BIGINT) AS r_micro
+       |  FROM (SELECT unnest(range(4096)) AS bucket) b
+       |  LEFT JOIN tc USING (bucket) LEFT JOIN rc USING (bucket)
+       |  CROSS JOIN nt CROSS JOIN nr),
+       |occ AS (SELECT id, bucket, count(*) AS occ FROM feats GROUP BY 1, 2),
+       |w AS (SELECT id, CAST(sum(occ * r_micro) AS BIGINT) AS w_micro
+       |      FROM occ JOIN tab USING (bucket) GROUP BY id),
+       |picked AS (
+       |  SELECT id FROM w
+       |  ORDER BY w_micro + CAST(floor(-ln(-ln(
+       |      ((('0x' || substr(md5(CAST(id AS VARCHAR)), 1, 8))::BIGINT + 0.5)
+       |        / 4294967296.0))) * 1e6) AS BIGINT) DESC, CAST(id AS VARCHAR)
+       |  LIMIT 200),
+       |pt AS (SELECT el.id, el.tokens,
+       |        CAST(('0x' || substr(md5(CAST(el.id AS VARCHAR)), 9, 8)) AS BIGINT) AS h2
+       |      FROM picked JOIN el ON picked.id = el.id),
+       |o AS (SELECT id, tokens,
+       |        CAST(COALESCE(sum(tokens) OVER (ORDER BY h2, CAST(id AS VARCHAR)
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS "offset"
+       |      FROM pt)
+       |SELECT id AS doc_id, tokens, "offset",
+       |       "offset" // 256 AS seq,
+       |       "offset" % 256 AS pos_in_seq,
+       |       greatest("offset", "offset" + tokens - 1) // 256 AS seq_last
+       |FROM o ORDER BY "offset", doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_curate4" -> (pipelineCurate4 _),
     "q_dsir_select" -> (dsirSelect _),
     "q_pack_offsets" -> (packOffsetsQ _),
     "q_pack_manifest" -> (packManifestQ _),
@@ -938,6 +1017,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pipeline_curate4" -> pipelineCurate4Sql,
     "q_dsir_select" -> dsirSelectSql,
     "q_pack_offsets" -> packOffsetsSql,
     "q_pack_manifest" -> packManifestSql,
