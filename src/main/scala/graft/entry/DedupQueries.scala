@@ -222,6 +222,65 @@ object DedupQueries {
       |FROM assign a2 LEFT JOIN comp ON a2.id = comp.id
       |ORDER BY a2.id""".stripMargin
 
+  // ---- ANN: random-projection (JL) candidate generation + exact re-rank.
+  //      The oracle replays the md5-derived sign matrix, the left-fold
+  //      projections of corpus and queries, projected-cosine shortlists,
+  //      and the exact-cosine re-rank. ----
+  def annRp(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    graft.ann.Rp.searchRerank(vecs, qs, seed = 42L, targetDim = 16, dim = 64,
+        k = 5, oversample = 4)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("query_idx"), col("score").desc, col("id"))
+  }
+
+  val annRpSql: String =
+    """WITH mat AS (
+      |  SELECT j, list_transform(range(64), i ->
+      |      CASE WHEN ('0x' || substr(md5('rp:42:' || j || ':' || i), 1, 8))::BIGINT % 2 = 0
+      |           THEN 1.0 ELSE -1.0 END) AS srow
+      |  FROM (SELECT unnest(range(16)) AS j)),
+      |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |pr AS (SELECT e.id, m.j,
+      |        list_reduce(list_prepend(0.0, list_transform(range(64),
+      |          i -> e.v[i+1] * m.srow[i+1])), (a, b) -> a + b) AS y
+      |      FROM e CROSS JOIN mat m),
+      |pv AS (SELECT id, list(y ORDER BY j) AS p FROM pr GROUP BY id),
+      |pn AS (SELECT id, p,
+      |        sqrt(list_reduce(list_prepend(0.0, list_transform(p, x -> x * x)),
+      |          (a, b) -> a + b)) AS pnorm
+      |      FROM pv),
+      |q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id IN (0,1,2)),
+      |qpr AS (SELECT q.qid, q.qv, m.j,
+      |        list_reduce(list_prepend(0.0, list_transform(range(64),
+      |          i -> q.qv[i+1] * m.srow[i+1])), (a, b) -> a + b) AS y
+      |      FROM q CROSS JOIN mat m),
+      |qpv AS (SELECT qid, any_value(qv) AS qv, list(y ORDER BY j) AS qp
+      |      FROM qpr GROUP BY qid),
+      |qpn AS (SELECT qid, qv, qp,
+      |        sqrt(list_reduce(list_prepend(0.0, list_transform(qp, x -> x * x)),
+      |          (a, b) -> a + b)) AS qnorm
+      |      FROM qpv),
+      |sc AS (SELECT qpn.qid AS query_idx, pn.id, qpn.qv,
+      |        list_reduce(list_prepend(0.0, list_transform(range(16),
+      |          i -> pn.p[i+1] * qpn.qp[i+1])), (a, b) -> a + b)
+      |          / (pn.pnorm * qpn.qnorm) AS psc
+      |      FROM pn CROSS JOIN qpn),
+      |shortlist AS (SELECT query_idx, id, qv FROM (
+      |    SELECT query_idx, id, qv,
+      |           row_number() OVER (PARTITION BY query_idx ORDER BY psc DESC, id) AS rn
+      |    FROM sc) WHERE rn <= 20),
+      |rr AS (SELECT s.query_idx, s.id,
+      |        list_cosine_similarity(e.v, s.qv) AS score
+      |      FROM shortlist s JOIN e ON s.id = e.id)
+      |SELECT query_idx, id, round(score, 6) AS score FROM (
+      |  SELECT query_idx, id, score,
+      |         row_number() OVER (PARTITION BY query_idx ORDER BY score DESC, id) AS rn
+      |  FROM rr) WHERE rn <= 5
+      |ORDER BY query_idx, round(score, 6) DESC, id""".stripMargin
+
   // ---- ANN: exact brute-force top-k ----
   def annBrute(s: SparkSession, dir: String): DataFrame = {
     val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2, 3, 4))
@@ -636,6 +695,7 @@ object DedupQueries {
     "q_dedup_simhash64" -> (dedupSimhash64 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_dedup_semantic" -> (dedupSemantic _),
+    "q_ann_rp" -> (annRp _),
     "q_ann_brute" -> (annBrute _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_pq" -> (annPq _),
@@ -657,6 +717,7 @@ object DedupQueries {
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_dedup_semantic" -> dedupSemanticSql,
+    "q_ann_rp" -> annRpSql,
     "q_ann_brute" -> annBruteSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_pq" -> annPqSql,
