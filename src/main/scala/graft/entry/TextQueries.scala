@@ -987,7 +987,30 @@ object TextQueries {
        |       greatest("offset", "offset" + tokens - 1) // 256 AS seq_last
        |FROM o ORDER BY "offset", doc_id""".stripMargin
 
+  /** One-pass corpus profile (operators.Profile): per-column row / null /
+    * exact-distinct counts and native-order min/max over the documents
+    * table. Columns chosen integer/varchar so string-cast min/max render
+    * identically in both engines.
+    */
+  def corpusProfile(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Profile.profile(
+        t(s, dir, "documents"), Seq("doc_id", "lang", "source", "n_chars"))
+      .orderBy("column")
+
+  val corpusProfileSql: String = {
+    def one(c: String) =
+      s"""SELECT '$c' AS "column", count(*) AS n_rows,
+         |       count(*) - count($c) AS n_nulls,
+         |       count(DISTINCT $c) AS n_distinct,
+         |       CAST(min($c) AS VARCHAR) AS min_value,
+         |       CAST(max($c) AS VARCHAR) AS max_value
+         |FROM documents""".stripMargin
+    Seq("doc_id", "lang", "source", "n_chars").map(one)
+      .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_profile" -> (corpusProfile _),
     "q_pipeline_curate4" -> (pipelineCurate4 _),
     "q_dsir_select" -> (dsirSelect _),
     "q_pack_offsets" -> (packOffsetsQ _),
@@ -1017,6 +1040,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_profile" -> corpusProfileSql,
     "q_pipeline_curate4" -> pipelineCurate4Sql,
     "q_dsir_select" -> dsirSelectSql,
     "q_pack_offsets" -> packOffsetsSql,

@@ -213,4 +213,19 @@ object Mixture {
       .withColumn("pos", row_number().over(byShard).cast("long"))
       .drop("__ord", "__id")
   }
+
+  /** Materialize the [[exportShards]] layout to disk: one parquet
+    * directory per shard (`shard=<s>/`), rows laid down in `pos` order so
+    * a trainer streaming a shard file reads the deterministic shuffle
+    * order without sorting. The write itself is the shard-keyed exchange
+    * [[exportShards]]'s window already paid — repartitioning by shard
+    * before `partitionBy` keeps one task per shard (one output file per
+    * shard directory, no tiny-file spray), and per-task work is bounded
+    * by shard size, which `nShards` is chosen to cap.
+    */
+  def writeShards(docs: DataFrame, idCol: Column, nShards: Int, path: String): Unit =
+    exportShards(docs, idCol, nShards)
+      .repartition(nShards, col("shard"))
+      .sortWithinPartitions("shard", "pos")
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }
