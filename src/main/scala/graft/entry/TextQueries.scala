@@ -1009,7 +1009,66 @@ object TextQueries {
       .mkString("", "\nUNION ALL\n", "\nORDER BY \"column\"")
   }
 
+  /** Trained quality classifier (operators.QualityClassifier): 2 rounds of
+    * full-batch logistic regression over B=64 hashed features, label =
+    * "is src0", then the scoring pass. The oracle replays BOTH training
+    * rounds (micro-quantized gradients make every cross-row sum exact
+    * integer arithmetic) and the final margins/probabilities.
+    */
+  def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        when(col("source") === "src0", 1).otherwise(0).as("label"),
+        TextFunctions.tokens(col("text")).as("toks"))
+    // featurize once: training does 2 passes + the scoring pass
+    val feats = graft.operators.QualityClassifier.features(docs, 64)
+      .localCheckpoint()
+    val w = graft.operators.QualityClassifier.train(feats, buckets = 64, iters = 2)
+    graft.operators.QualityClassifier.score(feats, w)
+      .select(col("id").as("doc_id"), col("label"),
+        col("margin_micro"), round(col("p"), 6).as("p"))
+      .orderBy("doc_id")
+  }
+
+  val qualityClassifierSql: String =
+    s"""WITH d AS (SELECT doc_id AS id,
+       |        CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS label,
+       |        $toksD AS toks
+       |      FROM documents),
+       |feats AS (SELECT DISTINCT id, label, bucket FROM (
+       |  SELECT id, label, ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS bucket
+       |  FROM (
+       |    SELECT id, label, unnest(toks) AS t FROM d
+       |    UNION ALL
+       |    SELECT id, label, unnest(list_transform(range(len(toks) - 1),
+       |             i -> toks[i+1] || ' ' || toks[i+2])) AS t
+       |    FROM d WHERE len(toks) >= 2))),
+       |n AS (SELECT count(DISTINCT id) AS n FROM feats),
+       |g0 AS (SELECT bucket, CAST(sum(500000 - label * 1000000) AS BIGINT) AS g
+       |       FROM feats GROUP BY bucket),
+       |w1 AS (SELECT b.bucket,
+       |         CAST(-round(COALESCE(g0.g, 0) / n.n, 0) AS BIGINT) AS w
+       |       FROM (SELECT unnest(range(64)) AS bucket) b
+       |       LEFT JOIN g0 USING (bucket) CROSS JOIN n),
+       |m1 AS (SELECT f.id, f.label, CAST(sum(w1.w) AS BIGINT) AS margin
+       |       FROM feats f JOIN w1 USING (bucket) GROUP BY f.id, f.label),
+       |d1 AS (SELECT id,
+       |         CAST(round((1.0 / (1.0 + exp(-margin / 1e6)) - label) * 1e6, 0)
+       |           AS BIGINT) AS dm
+       |       FROM m1),
+       |g1 AS (SELECT f.bucket, CAST(sum(d1.dm) AS BIGINT) AS g
+       |       FROM feats f JOIN d1 USING (id) GROUP BY f.bucket),
+       |w2 AS (SELECT w1.bucket,
+       |         CAST(w1.w - round(COALESCE(g1.g, 0) / n.n, 0) AS BIGINT) AS w
+       |       FROM w1 LEFT JOIN g1 USING (bucket) CROSS JOIN n),
+       |m2 AS (SELECT f.id, f.label, CAST(sum(w2.w) AS BIGINT) AS margin_micro
+       |       FROM feats f JOIN w2 USING (bucket) GROUP BY f.id, f.label)
+       |SELECT id AS doc_id, label, margin_micro,
+       |       round(1.0 / (1.0 + exp(-margin_micro / 1e6)), 6) AS p
+       |FROM m2 ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_quality_classifier" -> (qualityClassifier _),
     "q_corpus_profile" -> (corpusProfile _),
     "q_pipeline_curate4" -> (pipelineCurate4 _),
     "q_dsir_select" -> (dsirSelect _),
@@ -1040,6 +1099,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_quality_classifier" -> qualityClassifierSql,
     "q_corpus_profile" -> corpusProfileSql,
     "q_pipeline_curate4" -> pipelineCurate4Sql,
     "q_dsir_select" -> dsirSelectSql,
