@@ -77,6 +77,12 @@ object ScaleProbe {
     // would otherwise land entirely in the first timed row
     runAll(spark, sfDir, mults.min, cpus.toInt, (_, _, f) => { f(); () })
     mults.foreach { m =>
+      // release the PREVIOUS multiplier's localCheckpoint blocks: they are
+      // unreachable from here on but invisible to clearCache(), and letting
+      // them accumulate turns later multipliers' rows into GC-pressure
+      // measurements (quality_classifier at 64x: 30s in-sweep vs 7s in a
+      // fresh JVM before this unpersist existed)
+      spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       runAll(spark, sfDir, m, cpus.toInt, printTimer)
     }
     spark.stop()
@@ -247,6 +253,28 @@ object ScaleProbe {
       graft.operators.Dsir.resampleTopK(
           graft.operators.Dsir.importanceWeights(toks, tab, B), 100 * m)
         .agg(count(lit(1)), sum(col("key_micro"))).collect()(0).getLong(0)
+    }
+    // classifier: T=2 full-batch rounds — each round is one pass over the
+    // persisted feature frame; label = hash slice (fixed fraction)
+    time("quality_classifier") {
+      val toks = graft.dedup.CorpusFilters.tokenized(docs)
+        .withColumn("label",
+          (graft.functions.TextFunctions.stableHash32(col("id")) % 20 === 0)
+            .cast("int"))
+      // persist (NOT localCheckpoint): the probe must free these blocks
+      // eagerly after the op — clearCache() does not reach checkpoint
+      // RDDs, and letting multipliers' feature frames pile up turns the
+      // later sweep rows into GC-pressure measurements
+      val feats = graft.operators.QualityClassifier.features(toks, 64)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try {
+        val w = graft.operators.QualityClassifier.train(feats, 64, iters = 2)
+        graft.operators.QualityClassifier.score(feats, w)
+          .agg(count(lit(1)), sum(col("margin_micro"))).collect()(0).getLong(0)
+      } finally feats.unpersist(blocking = true)
+    }
+    time("corpus_profile") {
+      graft.operators.Profile.profile(docs, Seq("id", "content")).count()
     }
     // SemDeDup: cluster count scales with the corpus (constant per-cluster
     // size bounds the within-cluster pair join — same recipe as
