@@ -1067,7 +1067,40 @@ object TextQueries {
        |       round(1.0 / (1.0 + exp(-margin_micro / 1e6)), 6) AS p
        |FROM m2 ORDER BY doc_id""".stripMargin
 
+  /** Vocabulary coverage (operators.Vocab): types needed to cover 50/90/
+    * 95/99% of token mass, from count-of-counts — the oracle computes the
+    * naive full-sort cumulative form; equality proves the block-exact
+    * driver math right.
+    */
+  def vocabCoverage(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Vocab.coverage(
+        t(s, dir, "documents")
+          .select(col("doc_id").as("id"), TextFunctions.tokens(col("text")).as("toks")))
+      .orderBy("coverage_target")
+
+  val vocabCoverageSql: String =
+    s"""WITH d AS (SELECT doc_id, $toksD AS toks FROM documents),
+       |tf AS (SELECT t AS tok, count(*) AS f
+       |       FROM (SELECT unnest(toks) AS t FROM d) GROUP BY 1),
+       |tot AS (SELECT CAST(sum(f) AS BIGINT) AS total,
+       |               CAST(count(*) AS BIGINT) AS vocab FROM tf),
+       |r AS (SELECT f,
+       |        CAST(row_number() OVER (ORDER BY f DESC, tok) AS BIGINT) AS rnk,
+       |        CAST(sum(f) OVER (ORDER BY f DESC, tok
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |      FROM tf),
+       |targets AS (SELECT unnest([0.5, 0.9, 0.95, 0.99]) AS coverage_target),
+       |need AS (SELECT coverage_target,
+       |           CAST(ceil(coverage_target * tot.total) AS BIGINT) AS need,
+       |           tot.vocab, tot.total
+       |         FROM targets CROSS JOIN tot)
+       |SELECT n.coverage_target, CAST(min(r.rnk) AS BIGINT) AS vocab_needed,
+       |       n.vocab AS vocab_size, n.total AS tokens_total
+       |FROM need n JOIN r ON r.cum >= n.need
+       |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_vocab_coverage" -> (vocabCoverage _),
     "q_quality_classifier" -> (qualityClassifier _),
     "q_corpus_profile" -> (corpusProfile _),
     "q_pipeline_curate4" -> (pipelineCurate4 _),
@@ -1099,6 +1132,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_vocab_coverage" -> vocabCoverageSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_corpus_profile" -> corpusProfileSql,
     "q_pipeline_curate4" -> pipelineCurate4Sql,

@@ -54,4 +54,19 @@ class ProfileExportSpec extends SparkSpec {
     assert(logical == physical)
     org.apache.commons.io.FileUtils.deleteDirectory(new java.io.File(tmp))
   }
+
+  test("vocab coverage matches a hand-built Zipf-ish corpus") {
+    // 10 docs of "a", 5 of "b b", 1 of "c": f(a)=10, f(b)=10, f(c)=1, T=21
+    val docs = ((1 to 10).map(i => (i.toLong, Seq("a"))) ++
+      (11 to 15).map(i => (i.toLong, Seq("b", "b"))) :+ (16L, Seq("c")))
+      .toDF("id", "toks")
+    val rows = graft.operators.Vocab.coverage(docs, Seq(0.5, 0.95, 1.0))
+      .collect().map(r => r.getDouble(0) -> r.getLong(1)).toMap
+    // 50%: need ceil(10.5)=11 tokens -> both f=10 types needed (block math)
+    assert(rows(0.5) == 2L)
+    // 95%: ceil(19.95)=20 -> two types cover 20 >= 20
+    assert(rows(0.95) == 2L)
+    // 100%: all three
+    assert(rows(1.0) == 3L)
+  }
 }
