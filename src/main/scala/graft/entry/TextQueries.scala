@@ -1010,10 +1010,14 @@ object TextQueries {
   }
 
   /** Trained quality classifier (operators.QualityClassifier): 2 rounds of
-    * full-batch logistic regression over B=64 hashed features, label =
-    * "is src0", then the scoring pass. The oracle replays BOTH training
-    * rounds (micro-quantized gradients make every cross-row sum exact
-    * integer arithmetic) and the final margins/probabilities.
+    * full-batch logistic regression (mean-pooled hashed features + bias,
+    * B=64), label = "is src0", then the scoring pass. The oracle replays
+    * BOTH training rounds (micro-quantized gradients make every cross-row
+    * sum exact integer arithmetic) and the final margins/probabilities.
+    * On THIS synthetic corpus all sources share one token distribution,
+    * so the trained p collapses to the class prior for both labels — the
+    * oracle proves training-math parity; QualityClassifierSpec's
+    * separable/imbalanced corpora prove the model actually learns.
     */
   def qualityClassifier(s: SparkSession, dir: String): DataFrame = {
     val docs = t(s, dir, "documents")
@@ -1023,17 +1027,22 @@ object TextQueries {
     // featurize once: training does 2 passes + the scoring pass
     val feats = graft.operators.QualityClassifier.features(docs, 64)
       .localCheckpoint()
-    val w = graft.operators.QualityClassifier.train(feats, buckets = 64, iters = 2)
-    graft.operators.QualityClassifier.score(feats, w)
+    val model = graft.operators.QualityClassifier.train(feats, buckets = 64, iters = 2)
+    graft.operators.QualityClassifier.score(feats, model)
       .select(col("id").as("doc_id"), col("label"),
         col("margin_micro"), round(col("p"), 6).as("p"))
       .orderBy("doc_id")
   }
 
-  val qualityClassifierSql: String =
-    s"""WITH d AS (SELECT doc_id AS id,
+  /** Shared CTE chain replaying 2 training rounds of the mean-pooled
+    * biased model (eta = 4): feats → per-doc feature counts → round-0
+    * gradients at p = 0.5 → (bias1, w1) → margins → round-1 gradients →
+    * (bias2, w2) → final margins `m2`.
+    */
+  private val clfTrainCtes: String =
+    s"""d AS (SELECT doc_id AS id, lang, source,
        |        CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS label,
-       |        $toksD AS toks
+       |        $toksD AS toks, CAST(len($toksD) AS BIGINT) AS tokens
        |      FROM documents),
        |feats AS (SELECT DISTINCT id, label, bucket FROM (
        |  SELECT id, label, ('0x' || substr(md5(t), 1, 8))::BIGINT % 64 AS bucket
@@ -1043,26 +1052,53 @@ object TextQueries {
        |    SELECT id, label, unnest(list_transform(range(len(toks) - 1),
        |             i -> toks[i+1] || ' ' || toks[i+2])) AS t
        |    FROM d WHERE len(toks) >= 2))),
-       |n AS (SELECT count(DISTINCT id) AS n FROM feats),
-       |g0 AS (SELECT bucket, CAST(sum(500000 - label * 1000000) AS BIGINT) AS g
-       |       FROM feats GROUP BY bucket),
+       |lbl AS (SELECT DISTINCT id, label FROM feats),
+       |nb AS (SELECT id, CAST(count(*) AS BIGINT) AS nf FROM feats GROUP BY id),
+       |n AS (SELECT count(*) AS n FROM nb),
+       |pd0 AS (SELECT nb.id, lbl.label, nb.nf,
+       |         CAST(round((0.5 - lbl.label) * 1e6, 0) AS BIGINT) AS dm,
+       |         CAST(round((0.5 - lbl.label) * 1e6 / nb.nf, 0) AS BIGINT) AS cm
+       |       FROM nb JOIN lbl USING (id)),
+       |g0 AS (SELECT f.bucket, CAST(sum(pd0.cm) AS BIGINT) AS g
+       |       FROM feats f JOIN pd0 USING (id) GROUP BY 1),
+       |b1 AS (SELECT CAST(-round(4.0 * CAST(sum(pd0.dm) AS DOUBLE) / n.n, 0)
+       |           AS BIGINT) AS bias
+       |       FROM pd0 CROSS JOIN n GROUP BY n.n),
        |w1 AS (SELECT b.bucket,
-       |         CAST(-round(COALESCE(g0.g, 0) / n.n, 0) AS BIGINT) AS w
+       |         CAST(-round(4.0 * CAST(COALESCE(g0.g, 0) AS DOUBLE) / n.n, 0)
+       |           AS BIGINT) AS w
        |       FROM (SELECT unnest(range(64)) AS bucket) b
        |       LEFT JOIN g0 USING (bucket) CROSS JOIN n),
-       |m1 AS (SELECT f.id, f.label, CAST(sum(w1.w) AS BIGINT) AS margin
-       |       FROM feats f JOIN w1 USING (bucket) GROUP BY f.id, f.label),
-       |d1 AS (SELECT id,
-       |         CAST(round((1.0 / (1.0 + exp(-margin / 1e6)) - label) * 1e6, 0)
-       |           AS BIGINT) AS dm
-       |       FROM m1),
-       |g1 AS (SELECT f.bucket, CAST(sum(d1.dm) AS BIGINT) AS g
-       |       FROM feats f JOIN d1 USING (id) GROUP BY f.bucket),
+       |m1 AS (SELECT f.id,
+       |         CAST(b1.bias + round(CAST(sum(w1.w) AS DOUBLE) / nb.nf, 0)
+       |           AS BIGINT) AS margin
+       |       FROM feats f JOIN w1 USING (bucket) JOIN nb USING (id) CROSS JOIN b1
+       |       GROUP BY f.id, nb.nf, b1.bias),
+       |pd1 AS (SELECT m1.id, lbl.label, nb.nf,
+       |         1.0 / (1.0 + exp(-m1.margin / 1e6)) AS p
+       |       FROM m1 JOIN lbl USING (id) JOIN nb USING (id)),
+       |pd1q AS (SELECT id, nf,
+       |          CAST(round((p - label) * 1e6, 0) AS BIGINT) AS dm,
+       |          CAST(round((p - label) * 1e6 / nf, 0) AS BIGINT) AS cm
+       |        FROM pd1),
+       |g1 AS (SELECT f.bucket, CAST(sum(pd1q.cm) AS BIGINT) AS g
+       |       FROM feats f JOIN pd1q USING (id) GROUP BY 1),
+       |b2 AS (SELECT CAST(b1.bias -
+       |           round(4.0 * CAST(sum(pd1q.dm) AS DOUBLE) / n.n, 0) AS BIGINT) AS bias
+       |       FROM pd1q CROSS JOIN n CROSS JOIN b1 GROUP BY n.n, b1.bias),
        |w2 AS (SELECT w1.bucket,
-       |         CAST(w1.w - round(COALESCE(g1.g, 0) / n.n, 0) AS BIGINT) AS w
+       |         CAST(w1.w - round(4.0 * CAST(COALESCE(g1.g, 0) AS DOUBLE) / n.n, 0)
+       |           AS BIGINT) AS w
        |       FROM w1 LEFT JOIN g1 USING (bucket) CROSS JOIN n),
-       |m2 AS (SELECT f.id, f.label, CAST(sum(w2.w) AS BIGINT) AS margin_micro
-       |       FROM feats f JOIN w2 USING (bucket) GROUP BY f.id, f.label)
+       |m2 AS (SELECT f.id, lbl.label,
+       |         CAST(b2.bias + round(CAST(sum(w2.w) AS DOUBLE) / nb.nf, 0)
+       |           AS BIGINT) AS margin_micro
+       |       FROM feats f JOIN w2 USING (bucket) JOIN nb USING (id)
+       |         JOIN lbl USING (id) CROSS JOIN b2
+       |       GROUP BY f.id, lbl.label, nb.nf, b2.bias)""".stripMargin
+
+  val qualityClassifierSql: String =
+    s"""WITH $clfTrainCtes
        |SELECT id AS doc_id, label, margin_micro,
        |       round(1.0 / (1.0 + exp(-margin_micro / 1e6)), 6) AS p
        |FROM m2 ORDER BY doc_id""".stripMargin
@@ -1099,7 +1135,60 @@ object TextQueries {
        |FROM need n JOIN r ON r.cum >= n.need
        |GROUP BY 1, 3, 4 ORDER BY 1""".stripMargin
 
+  /** Curation pipeline v5 — the trained-filter form of the selection
+    * pipeline (the GPT-3/LLaMA recipe): train the quality classifier on
+    * the trusted slice, gate the corpus at p ≥ 0.5, then fill per-language
+    * token budgets preferring higher classifier score. The oracle replays
+    * training (both rounds), the sigmoid gate, and the greedy fill.
+    */
+  def pipelineCurate5(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("lang"),
+        when(col("source") === "src0", 1).otherwise(0).as("label"),
+        TextFunctions.tokens(col("text")).as("toks"))
+      .withColumn("tokens", size(col("toks")).cast("long"))
+      .localCheckpoint()
+    val feats = graft.operators.QualityClassifier.features(base, 64).localCheckpoint()
+    val model = graft.operators.QualityClassifier.train(feats, 64, iters = 2)
+    val scored = graft.operators.QualityClassifier.score(feats, model)
+      .localCheckpoint()
+    // gate: classifier margin at or above the corpus mean — an exact
+    // integer comparison (margin·N ≥ Σ margins), robust to class prior
+    // where an absolute p-cutoff is not (2-round underfit models sit
+    // entirely on one side of 0.5)
+    val Array(totalMargin, cnt) = scored
+      .agg(coalesce(sum("margin_micro"), lit(0L)), count(lit(1)))
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).toArray
+    val gated = scored
+      .filter(col("margin_micro") * cnt >= totalMargin)
+      .join(base.select("id", "lang", "tokens"), "id")
+      .select(col("id"), col("lang").as("group"),
+        round(col("p"), 2).as("quality"), col("tokens"))
+    graft.operators.Mixture.tokenBudgetFill(gated, budget = 1500L)
+      .select(col("group").as("lang"), col("id").as("doc_id"),
+        col("quality"), col("tokens"))
+      .orderBy("lang", "doc_id")
+  }
+
+  val pipelineCurate5Sql: String =
+    s"""WITH $clfTrainCtes,
+       |tot AS (SELECT CAST(sum(margin_micro) AS BIGINT) AS t,
+       |               CAST(count(*) AS BIGINT) AS c FROM m2),
+       |gated AS (SELECT d.id, d.lang,
+       |            round(1.0 / (1.0 + exp(-m2.margin_micro / 1e6)), 2) AS quality,
+       |            d.tokens
+       |          FROM m2 JOIN d USING (id) CROSS JOIN tot
+       |          WHERE m2.margin_micro * tot.c >= tot.t),
+       |c AS (SELECT lang, id, quality, tokens,
+       |        CAST(sum(tokens) OVER (PARTITION BY lang
+       |          ORDER BY quality DESC, id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum
+       |      FROM gated)
+       |SELECT lang, id AS doc_id, quality, tokens FROM c WHERE cum <= 1500
+       |ORDER BY lang, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pipeline_curate5" -> (pipelineCurate5 _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_quality_classifier" -> (qualityClassifier _),
     "q_corpus_profile" -> (corpusProfile _),
@@ -1132,6 +1221,7 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pipeline_curate5" -> pipelineCurate5Sql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_corpus_profile" -> corpusProfileSql,
