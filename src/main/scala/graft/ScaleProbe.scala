@@ -155,6 +155,11 @@ object ScaleProbe {
     }
     time("semantic_topk")(
       graft.ann.Ann.bruteTopK(vecs, qs, 10).count())
+    // JL projection + projected shortlist + exact re-rank: one narrow
+    // projection pass and a bounded heap — should track semantic_topk
+    time("ann_rp")(
+      graft.ann.Rp.searchRerank(vecs, qs, seed = 42L, targetDim = 16,
+        dim = 64, k = 10, oversample = 4).count())
     // temporal family: count() would prune the carried match columns, so
     // every probe sums an output column the operator had to compute
     val events = saltedEvents(Tables.t(spark, sfDir, "events"), m)
