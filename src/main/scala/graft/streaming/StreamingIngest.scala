@@ -66,6 +66,17 @@ object StreamingIngest {
     * 1000-doc request bound (vector_api.py:47-49) governs request payloads,
     * not table maintenance, so no bounds check here.
     */
+  /** Trained-quality compaction gate: a persisted
+    * [[graft.operators.QualityClassifier.Model]] plus its bucket count and
+    * the minimum micro-margin a micro-batch row must score to land —
+    * score-on-ingest, the production deployment shape for a trained
+    * filter (train offline, gate the stream).
+    */
+  final case class QualityGate(
+      model: graft.operators.QualityClassifier.Model,
+      buckets: Int,
+      minMarginMicro: Long)
+
   def compact(
       spark: SparkSession,
       catalog: Catalog,
@@ -73,7 +84,8 @@ object StreamingIngest {
       stagingPath: String,
       embedder: Embedder,
       nearDupCosine: Option[Double] = None,
-      nearDupJaccard: Option[Double] = None): Long = {
+      nearDupJaccard: Option[Double] = None,
+      qualityGate: Option[QualityGate] = None): Long = {
     val staged = spark.read.parquet(stagingPath)
     val w = Window.partitionBy("id").orderBy(col("ingest_ts").desc)
     val latest = staged
@@ -91,9 +103,22 @@ object StreamingIngest {
           spark, catalog, entry, prepared.select("id", "content"), t),
         Seq("id"), "left_anti")
     }
+    // trained-quality gate runs pre-embed too (a low-quality row must
+    // never cost a model call): mean-pooled margin under the persisted
+    // classifier, rows below the floor drop here
+    val qualityGated = qualityGate.fold(textGated) { g =>
+      val feats = graft.operators.QualityClassifier.features(
+        textGated.select(col("id"), lit(0).as("label"),
+          graft.functions.TextFunctions.tokens(col("content")).as("toks")),
+        g.buckets)
+      textGated.join(
+        graft.operators.QualityClassifier.score(feats, g.model)
+          .filter(col("margin_micro") < g.minMarginMicro).select("id"),
+        Seq("id"), "left_anti")
+    }
     // cached so the gate's band/verify pass and the merge share ONE
     // embedding run (a real model call must not execute twice per batch)
-    val all = Ingest.withNorm(Embed.withEmbeddings(textGated, embedder)).cache()
+    val all = Ingest.withNorm(Embed.withEmbeddings(qualityGated, embedder)).cache()
     // optional index-backed near-dup gate (same candidate core as
     // Api.addDocumentsDedup): micro-batch rows near-duplicating an
     // already-stored document drop before the merge — streaming dedup

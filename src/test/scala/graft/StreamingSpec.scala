@@ -175,4 +175,38 @@ class StreamingSpec extends SparkSpec {
     assert(rows.contains((1L, 2, 3.0))) // first burst closed as one session
     assert(rows.contains((1L, 1, 4.0))) // second burst closed after third arrives
   }
+
+  test("gated compaction drops low-quality rows under a persisted classifier model") {
+    import spark.implicits._
+    import graft.ingest.DeterministicHashEmbedder
+    import graft.operators.QualityClassifier
+    val wh = Files.createTempDirectory("graft-wh-qgate").toString
+    val embedder = new DeterministicHashEmbedder(16)
+    val api = new Api(spark, wh, embedder)
+    api.createCollection("qgate")
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "qgate"))
+    // train offline on a separable corpus, persist, load — the deployment path
+    val train = (1 to 100).map { i =>
+      if (i % 2 == 0) (i.toLong, 1, Seq("science", "method", "data"))
+      else (i.toLong, 0, Seq("spam", "click", "win"))
+    }.toDF("id", "label", "toks")
+    val model = QualityClassifier.train(QualityClassifier.features(train, 64), 64, 8)
+    val mpath = Files.createTempDirectory("graft-qmodel").toString + "/m"
+    QualityClassifier.save(model, spark, mpath)
+    val loaded = QualityClassifier.load(spark, mpath)
+    val gate = StreamingIngest.QualityGate(loaded, 64, minMarginMicro = 0L)
+    val staging = Files.createTempDirectory("graft-staging-qgate").toString
+    Seq(("science method data analysis", java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+        ("spam click win now", java.sql.Timestamp.valueOf("2026-01-01 00:00:01")))
+      .toDF("content", "ingest_ts")
+      .withColumn("id", graft.ingest.Ingest.contentId(
+        org.apache.spark.sql.functions.col("content")))
+      .write.mode("append").parquet(staging)
+    val merged = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      qualityGate = Some(gate))
+    val landed = api.catalog.readDocuments(entry).select("content")
+      .collect().map(_.getString(0))
+    assert(merged == 1 && landed.length == 1, s"expected 1 landed, got ${landed.toSeq}")
+    assert(landed.head.contains("science"), "the target-like row must land")
+  }
 }
