@@ -298,7 +298,82 @@ object CoreQueries {
       |SELECT doc_id, CAST(length(chunk) AS INTEGER) AS chunk_len, chunk
       |FROM c WHERE length(chunk) > 0 ORDER BY doc_id, chunk""".stripMargin
 
+  /** Overlapping RAG chunking (Retriever.chunkOverlap): size 20 / stride
+    * 12 token windows with the no-fully-contained-window count rule,
+    * chunk_idx for provenance. Oracle replays starts, slices, and the
+    * window-count formula.
+    */
+  def chunkOverlapQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("content"))
+    graft.retriever.Retriever.chunkOverlap(docs, chunkSize = 20, stride = 12)
+      .select(col("doc_id"), col("chunk_idx"),
+        length(col("content")).cast("integer").as("chunk_len"),
+        col("content").as("chunk"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
+  val chunkOverlapSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      |           FROM documents),
+      |n AS (SELECT doc_id, words,
+      |             1 + CAST((greatest(len(words) - 20, 0) + 11) // 12 AS INTEGER) AS n_chunks
+      |      FROM w),
+      |c AS (SELECT doc_id, ix.i AS chunk_idx,
+      |             array_to_string(words[i*12+1 : i*12+20], ' ') AS chunk
+      |      FROM n, (SELECT CAST(unnest(range(100)) AS INTEGER) AS i) ix
+      |      WHERE ix.i < n.n_chunks)
+      |SELECT doc_id, chunk_idx, CAST(length(chunk) AS INTEGER) AS chunk_len, chunk
+      |FROM c WHERE length(chunk) > 0 ORDER BY doc_id, chunk_idx""".stripMargin
+
+  /** Leakage-safe split (operators.Split): near-dup pairs (MinHash 0.6)
+    * → components → whole-cluster train/eval assignment by component
+    * hash. Oracle replays the pair set, the recursive closure, and the
+    * hash gate; the invariant "no pair straddles the split" is implied by
+    * hash-of-comp and checked in the spec.
+    */
+  def leakageSplitQ(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text").as("content"))
+    val pairs = graft.dedup.Dedup.minHashNearDups(docs, threshold = 0.6).select("a", "b")
+    graft.operators.Split.leakageSafeSplit(docs, pairs, evalPermille = 200)
+      .select(col("id").as("doc_id"), col("comp"), col("split"))
+      .orderBy("doc_id")
+  }
+
+  val leakageSplitSql: String =
+    """WITH RECURSIVE sh AS (
+      |  SELECT id, list_distinct(list_transform(range(len(w) - 2),
+      |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      |  FROM (SELECT doc_id AS id,
+      |          regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |f AS (SELECT id, unnest(sh) AS s FROM sh),
+      |sizes AS (SELECT id, len(sh) AS l FROM sh),
+      |co AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+      |       FROM f x JOIN f y ON x.s = y.s AND x.id < y.id
+      |       GROUP BY x.id, y.id),
+      |p AS (SELECT co.a, co.b FROM co
+      |      JOIN sizes sa ON co.a = sa.id JOIN sizes sb ON co.b = sb.id
+      |      WHERE CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) >= 0.6),
+      |edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+      |reach(src, t) AS (
+      |  SELECT a, b FROM edges
+      |  UNION
+      |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.t = e.a),
+      |comp AS (SELECT src AS id, least(src, min(t)) AS comp
+      |         FROM reach GROUP BY src),
+      |lab AS (SELECT d.doc_id AS id, COALESCE(comp.comp, d.doc_id) AS comp
+      |        FROM documents d LEFT JOIN comp ON d.doc_id = comp.id)
+      |SELECT id AS doc_id, comp,
+      |       CASE WHEN ('0x' || substr(md5(CAST(comp AS VARCHAR)), 1, 8))::BIGINT
+      |                 % 1000 < 200
+      |            THEN 'eval' ELSE 'train' END AS split
+      |FROM lab ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_chunk_overlap" -> (chunkOverlapQ _),
+    "q_split_leakage" -> (leakageSplitQ _),
     "q_collection_list" -> (collectionList _),
     "q_name_validation" -> (nameValidation _),
     "q_sanitize_paths" -> (sanitizePaths _),
@@ -325,6 +400,8 @@ object CoreQueries {
     "q_get_by_ids" -> getByIdsSql,
     "q_embed_validate" -> embedValidateSql,
     "q_embed_deterministic" -> embedDeterministicSql,
+    "q_chunk_overlap" -> chunkOverlapSql,
+    "q_split_leakage" -> leakageSplitSql,
     "q_retriever_chunks" -> retrieverChunksSql
   )
 }

@@ -107,6 +107,33 @@ final class Retriever(api: Api, collection: String,
 
 object Retriever {
 
+  /** Overlapping token-window chunking — the standard RAG splitter shape
+    * (size/stride, overlap = size − stride) so a fact spanning a chunk
+    * boundary still appears whole in some window. Window starts are
+    * 0, stride, 2·stride, …; the window count is
+    * 1 + ceil(max(0, n − size)/stride), so the LAST window is the first
+    * to reach the document's end and no emitted window is fully contained
+    * in its predecessor. One output row per (doc, chunk_idx); per-row
+    * array work only — no shuffle, no UDF.
+    */
+  def chunkOverlap(docs: DataFrame, chunkSize: Int, stride: Int): DataFrame = {
+    require(stride >= 1 && stride <= chunkSize,
+      s"need 1 <= stride <= chunkSize (got stride=$stride size=$chunkSize)")
+    docs
+      .withColumn("__words", split(col("content"), "\\s+"))
+      .withColumn("__n", size(col("__words")))
+      .withColumn("__nchunks",
+        expr(s"1 + CAST((greatest(__n - $chunkSize, 0) + $stride - 1) DIV $stride AS INT)"))
+      .select(col("*"),
+        posexplode(transform(sequence(lit(0), col("__nchunks") - 1),
+          i => concat_ws(" ",
+            slice(col("__words"), i * stride + 1, lit(chunkSize)))))
+          .as(Seq("chunk_idx", "__chunk")))
+      .filter(length(col("__chunk")) > 0)
+      .withColumn("content", col("__chunk"))
+      .drop("__words", "__n", "__nchunks", "__chunk")
+  }
+
   /** Split content into <=maxTokens whitespace-token chunks, one output row
     * per chunk (documents under the limit pass through unchanged). Chunk
     * text rejoins the token window with single spaces — the standard

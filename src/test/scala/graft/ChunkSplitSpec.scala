@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Split
+import graft.retriever.Retriever
+
+/** Overlapping chunking window math and leakage-safe split invariants. */
+class ChunkSplitSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("chunkOverlap windows: starts at stride steps, last reaches the end, none contained") {
+    val docs = Seq((1L, (1 to 10).map(i => s"w$i").mkString(" ")))
+      .toDF("id", "content")
+    val out = Retriever.chunkOverlap(docs, chunkSize = 8, stride = 4)
+      .orderBy("chunk_idx").collect()
+      .map(r => (r.getAs[Int]("chunk_idx"), r.getAs[String]("content")))
+    // n=10, size=8, stride=4 -> 1 + ceil(2/4) = 2 windows: [w1..w8], [w5..w10]
+    assert(out.toSeq == Seq(
+      (0, (1 to 8).map(i => s"w$i").mkString(" ")),
+      (1, (5 to 10).map(i => s"w$i").mkString(" "))))
+  }
+
+  test("chunkOverlap passes short documents through as one window") {
+    val docs = Seq((1L, "just three words")).toDF("id", "content")
+    val out = Retriever.chunkOverlap(docs, 20, 12).collect()
+    assert(out.length == 1 && out(0).getAs[String]("content") == "just three words")
+  }
+
+  test("chunkOverlap with stride == size equals the non-overlapping chunker") {
+    val docs = Seq((1L, (1 to 50).map(i => s"t$i").mkString(" ")))
+      .toDF("id", "content")
+    val a = Retriever.chunkOverlap(docs, 20, 20)
+      .select("content").collect().map(_.getString(0)).sorted.toSeq
+    val b = Retriever.chunk(docs, 20)
+      .select("content").collect().map(_.getString(0)).sorted.toSeq
+    assert(a == b)
+  }
+
+  test("leakage-safe split never puts a near-dup pair across the split") {
+    val docs = (1L to 50L).map(i => (i, s"doc $i")).toDF("id", "content")
+    // chain 1-2-3 plus pair 10-11; everything else isolated
+    val pairs = Seq((1L, 2L), (2L, 3L), (10L, 11L)).toDF("a", "b")
+    val out = Split.leakageSafeSplit(docs, pairs, evalPermille = 300)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getString(2))).toMap
+    assert(out(1L) == out(2L) && out(2L) == out(3L), "cluster 1-2-3 must not straddle")
+    assert(out(10L) == out(11L))
+    assert(out.values.map(_._2).toSet.subsetOf(Set("train", "eval")))
+    // isolated docs split by their own id hash; both sides populated at 30%
+    val sides = out.values.groupBy(_._2).view.mapValues(_.size).toMap
+    assert(sides.getOrElse("eval", 0) > 0 && sides.getOrElse("train", 0) > 0)
+  }
+}
