@@ -1187,7 +1187,65 @@ object TextQueries {
        |SELECT lang, id AS doc_id, quality, tokens FROM c WHERE cum <= 1500
        |ORDER BY lang, doc_id""".stripMargin
 
+  /** Fixed-size deterministic sample (Sampling.fixedSize): exactly 50
+    * lowest-hash documents — the eval-set carve a fraction gate can't
+    * express; compiles to TakeOrderedAndProject.
+    */
+  def sampleFixed(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.fixedSize(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")), "doc_id", 50)
+      .orderBy("doc_id")
+
+  val sampleFixedSql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang FROM documents
+      |  ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+      |           CAST(doc_id AS VARCHAR)
+      |  LIMIT 50)
+      |ORDER BY doc_id""".stripMargin
+
+  /** Per-group fixed-size sample (Sampling.fixedSizePerGroup): 5 lowest-
+    * hash documents per language — the per-stratum eval carve.
+    */
+  def sampleFixedGroup(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Sampling.fixedSizePerGroup(
+        t(s, dir, "documents").select(col("doc_id"), col("lang")),
+        "doc_id", "lang", 5)
+      .orderBy("lang", "doc_id")
+
+  val sampleFixedGroupSql: String =
+    """SELECT doc_id, lang FROM (
+      |  SELECT doc_id, lang, row_number() OVER (PARTITION BY lang
+      |    ORDER BY ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT,
+      |             CAST(doc_id AS VARCHAR)) AS rn
+      |  FROM documents)
+      |WHERE rn <= 5 ORDER BY lang, doc_id""".stripMargin
+
+  /** Canonical text normalization (TextFunctions.normalizeText) over
+    * synthesized messy content (tabs, control chars, case, runs of
+    * spaces) so every rule fires with corpus variety.
+    */
+  def textNormalize(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(lit("  MiXeD\tCase\u0001ctrl  "), substring(col("text"), 1, 40),
+          lit("   tail\u007F  ")).as("raw"))
+      .select(col("doc_id"),
+        TextFunctions.normalizeText(col("raw")).as("normalized"))
+      .orderBy("doc_id")
+
+  val textNormalizeSql: String =
+    """SELECT doc_id,
+      |  trim(regexp_replace(regexp_replace(
+      |    lower('  MiXeD' || chr(9) || 'Case' || chr(1) || 'ctrl  ' ||
+      |          substr(text, 1, 40) || '   tail' || chr(127) || '  '),
+      |    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS normalized
+      |FROM documents ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_sample_fixed" -> (sampleFixed _),
+    "q_sample_fixed_group" -> (sampleFixedGroup _),
+    "q_text_normalize" -> (textNormalize _),
     "q_pipeline_curate5" -> (pipelineCurate5 _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_quality_classifier" -> (qualityClassifier _),
@@ -1221,6 +1279,9 @@ object TextQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_sample_fixed" -> sampleFixedSql,
+    "q_sample_fixed_group" -> sampleFixedGroupSql,
+    "q_text_normalize" -> textNormalizeSql,
     "q_pipeline_curate5" -> pipelineCurate5Sql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_quality_classifier" -> qualityClassifierSql,

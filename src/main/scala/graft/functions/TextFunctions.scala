@@ -112,6 +112,17 @@ object TextFunctions {
   def hamming(a: Column, b: Column): Column =
     bit_count(a.bitwiseXOR(b))
 
+  /** Canonical text normalization — the pre-tokenize cleanup pass a
+    * crawl pipeline applies: lowercase, control characters to spaces,
+    * whitespace runs collapsed to one space, ends trimmed. RE2-safe and
+    * byte-deterministic on both engines (Unicode NFC normalization has no
+    * Spark built-in and is documented out of scope — inputs here are the
+    * tokenizer's ASCII domain).
+    */
+  def normalizeText(c: Column): Column =
+    trim(regexp_replace(
+      regexp_replace(lower(c), "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
+
   /** Rolling polynomial fingerprint over the token stream:
     * h = fold(0, tokens)((acc, t) => (acc * 31 + stableHash32(t)) mod p).
     * Order-sensitive — two docs with the same bag of words but different

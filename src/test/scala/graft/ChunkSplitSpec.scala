@@ -50,4 +50,24 @@ class ChunkSplitSpec extends SparkSpec {
     val sides = out.values.groupBy(_._2).view.mapValues(_.size).toMap
     assert(sides.getOrElse("eval", 0) > 0 && sides.getOrElse("train", 0) > 0)
   }
+
+  test("fixedSize sampling is exact-size, partitioning-invariant, growth-stable") {
+    import graft.operators.Sampling
+    val docs = (1L to 300L).map(i => (i, s"d$i")).toDF("id", "payload")
+    def ids(d: org.apache.spark.sql.DataFrame) = Sampling.fixedSize(d, "id", 40)
+      .select("id").collect().map(_.getLong(0)).toSet
+    val a = ids(docs)
+    assert(a.size == 40)
+    assert(a == ids(docs.repartition(17)))
+    // growth stability: adding rows can only REPLACE members whose hash
+    // exceeds a newcomer's — the survivors stay
+    val grown = (1L to 400L).map(i => (i, s"d$i")).toDF("id", "payload")
+    val b = ids(grown)
+    assert((a intersect b).size >= 25, "hash-prefix stability violated")
+    // per-group: exactly k per group
+    val g = docs.withColumn("g", (org.apache.spark.sql.functions.col("id") % 3).cast("string"))
+    val perG = Sampling.fixedSizePerGroup(g, "id", "g", 7)
+      .groupBy("g").count().collect().map(_.getLong(1))
+    assert(perG.forall(_ == 7L))
+  }
 }
