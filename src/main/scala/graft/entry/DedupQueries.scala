@@ -113,6 +113,55 @@ object DedupQueries {
        |       CAST(sum(id) AS BIGINT) AS member_checksum
        |FROM comp GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  // ---- duplication health report: cluster-size histogram — the corpus
+  //      metric a dedup pass is judged by ("X% of docs sit in dup groups
+  //      of size k"). Size-1 clusters = docs in no near-dup pair, counted
+  //      from the corpus total so the report covers ALL documents. ----
+  def dedupStats(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minHashNearDups(d, threshold = 0.6).select("a", "b")
+    val comps = Dedup.duplicateClusters(pairs)
+    val sizes = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
+      .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
+    val inPairs = comps.select(count(lit(1))).head().getLong(0)
+    val total = d.select(count(lit(1))).head().getLong(0)
+    import s.implicits._
+    val singletons = Seq((1L, total - inPairs)).toDF("cluster_size", "n_clusters")
+    sizes.unionByName(singletons)
+      .groupBy("cluster_size").agg(sum("n_clusters").as("n_clusters"))
+      .withColumn("n_docs", col("cluster_size") * col("n_clusters"))
+      .orderBy("cluster_size")
+  }
+
+  val dedupStatsSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+       |f AS (SELECT id, unnest(sh) AS s FROM sh),
+       |sizes AS (SELECT id, len(sh) AS l FROM sh),
+       |co AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+       |       FROM f x JOIN f y ON x.s = y.s AND x.id < y.id
+       |       GROUP BY x.id, y.id),
+       |p AS (SELECT co.a, co.b FROM co
+       |      JOIN sizes sa ON co.a = sa.id JOIN sizes sb ON co.b = sb.id
+       |      WHERE CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) >= 0.6),
+       |edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+       |reach(src, t) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.t = e.a),
+       |comp AS (SELECT src AS id, least(src, min(t)) AS comp
+       |         FROM reach GROUP BY src),
+       |cs AS (SELECT comp, count(*) AS cluster_size FROM comp GROUP BY comp),
+       |hist AS (SELECT cluster_size, CAST(count(*) AS BIGINT) AS n_clusters
+       |         FROM cs GROUP BY cluster_size
+       |         UNION ALL
+       |         SELECT 1 AS cluster_size,
+       |                (SELECT count(*) FROM documents) - (SELECT count(*) FROM comp)),
+       |agg AS (SELECT cluster_size, CAST(sum(n_clusters) AS BIGINT) AS n_clusters
+       |        FROM hist GROUP BY cluster_size)
+       |SELECT cluster_size, n_clusters,
+       |       CAST(cluster_size * n_clusters AS BIGINT) AS n_docs
+       |FROM agg ORDER BY cluster_size""".stripMargin
+
   // ---- SimHash near-dups (full fingerprint replay in the oracle) ----
   def dedupSimhash(s: SparkSession, dir: String): DataFrame =
     Dedup.simHashNearDups(docs(s, dir), maxHamming = 3, blocks = 6)
@@ -690,6 +739,7 @@ object DedupQueries {
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_stats" -> (dedupStats _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> (dedupSimhash64 _),
@@ -712,6 +762,7 @@ object DedupQueries {
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_stats" -> dedupStatsSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
