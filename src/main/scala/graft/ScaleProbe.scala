@@ -81,7 +81,11 @@ object ScaleProbe {
       // unreachable from here on but invisible to clearCache(), and letting
       // them accumulate turns later multipliers' rows into GC-pressure
       // measurements (quality_classifier at 64x: 30s in-sweep vs 7s in a
-      // fresh JVM before this unpersist existed)
+      // fresh JVM before this unpersist existed).
+      // INVARIANT: no frame may be reused ACROSS multipliers — this blanket
+      // unpersist truncates localCheckpoint lineage irrecoverably, so any
+      // future cross-multiplier cached table would fail (checkpointed) or
+      // silently recompute (cached). Each runAll builds its frames fresh.
       spark.sparkContext.getPersistentRDDs.values.foreach(_.unpersist(true))
       runAll(spark, sfDir, m, cpus.toInt, printTimer)
     }

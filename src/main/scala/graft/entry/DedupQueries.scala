@@ -120,7 +120,10 @@ object DedupQueries {
   def dedupStats(s: SparkSession, dir: String): DataFrame = {
     val d = docs(s, dir)
     val pairs = Dedup.minHashNearDups(d, threshold = 0.6).select("a", "b")
-    val comps = Dedup.duplicateClusters(pairs)
+    // comps feeds the sizes plan, the eager inPairs count, AND the final
+    // union plan — checkpoint so the component pipeline runs once, not 3x
+    // (semDeDup persists its assignment frame for the same reason)
+    val comps = Dedup.duplicateClusters(pairs).localCheckpoint()
     val sizes = comps.groupBy("comp").agg(count(lit(1)).as("cluster_size"))
       .groupBy("cluster_size").agg(count(lit(1)).as("n_clusters"))
     val inPairs = comps.select(count(lit(1))).head().getLong(0)

@@ -31,12 +31,17 @@ object BloomGate {
 
   /** Split a batch against the sketch: (definitelyNew, possiblyExisting).
     * The predicate runs executor-side over the broadcast-captured sketch
-    * (a scan-local filter — pushdown beneath it unaffected).
+    * (a scan-local filter — pushdown beneath it unaffected). A null id
+    * routes to the possibly-existing phase (the exact join decides), never
+    * NPEs the batch. Set `materialize` when the batch is an expensive
+    * derived frame: both output frames filter the same flagged plan, so an
+    * unmaterialized split evaluates the batch source twice.
     */
-  def split(batch: DataFrame, idCol: String, bloom: BloomFilter)
-      : (DataFrame, DataFrame) = {
-    val contains = udf((id: String) => bloom.mightContain(id))
-    val flagged = batch.withColumn("__maybe", contains(col(idCol).cast("string")))
+  def split(batch: DataFrame, idCol: String, bloom: BloomFilter,
+      materialize: Boolean = false): (DataFrame, DataFrame) = {
+    val contains = udf((id: String) => id == null || bloom.mightContain(id))
+    val flagged0 = batch.withColumn("__maybe", contains(col(idCol).cast("string")))
+    val flagged = if (materialize) flagged0.localCheckpoint() else flagged0
     (flagged.filter(!col("__maybe")).drop("__maybe"),
       flagged.filter(col("__maybe")).drop("__maybe"))
   }
@@ -49,8 +54,8 @@ object BloomGate {
     */
   def notExisting(
       corpus: DataFrame, batch: DataFrame, idCol: String,
-      bloom: BloomFilter): DataFrame = {
-    val (definitelyNew, possibly) = split(batch, idCol, bloom)
+      bloom: BloomFilter, materialize: Boolean = false): DataFrame = {
+    val (definitelyNew, possibly) = split(batch, idCol, bloom, materialize)
     definitelyNew.unionByName(
       possibly.join(corpus.select(col(idCol)), Seq(idCol), "left_anti"))
   }

@@ -30,7 +30,12 @@ object ContextAssembly {
     results
       .withColumn("rank", row_number().over(byRank))
       .withColumn("cum_tokens",
-        sum(col("tokens")).over(byRank.rowsBetween(Window.unboundedPreceding, 0)))
+        // null tokens would be SKIPPED by the window sum — the row would
+        // keep its rank and pass the budget filter while consuming no
+        // budget, silently overpacking the context; count it as 0 so the
+        // row is still charged-for deterministically
+        sum(coalesce(col("tokens"), lit(0L)))
+          .over(byRank.rowsBetween(Window.unboundedPreceding, 0)))
       .filter(col("cum_tokens") <= budgetTokens)
   }
 }

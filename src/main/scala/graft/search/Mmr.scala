@@ -30,13 +30,21 @@ object Mmr {
     require(k >= 1, s"need k >= 1 (got $k)")
     require(lambda >= 0.0 && lambda <= 1.0, s"lambda $lambda outside [0,1]")
     val spark = shortlist.sparkSession
-    import spark.implicits._
     import org.apache.spark.sql.functions.col
+    import org.apache.spark.sql.types._
+    // id stays type-generic like the surrounding serving operators: no
+    // long cast (non-numeric ids would null out and corrupt the re-rank);
+    // tie-break compares numerics numerically, everything else lexically
+    val idField = shortlist.schema("id")
     // serving-bounded collect: the shortlist IS the output-sized set
     val cand = shortlist
-      .select(col("id").cast("long"), col("score").cast("double"), col("embedding"))
+      .select(col("id"), col("score").cast("double"), col("embedding"))
       .collect()
-      .map(r => (r.getLong(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+      .map(r => (r.get(0), r.getDouble(1), r.getSeq[Float](2).toArray))
+    def idLt(x: Any, y: Any): Boolean = (x, y) match {
+      case (a: Number, b: Number) => a.doubleValue < b.doubleValue
+      case (a, b) => String.valueOf(a) < String.valueOf(b)
+    }
     val norms = cand.map { case (_, _, e) =>
       var s = 0.0; var d = 0
       while (d < e.length) { s += e(d).toDouble * e(d).toDouble; d += 1 }
@@ -56,12 +64,22 @@ object Mmr {
           if (selected.isEmpty) 0.0
           else selected.iterator.map(s => cos(i, s._1)).max
         (i, lambda * cand(i)._2 - (1 - lambda) * maxSim)
-      }.minBy { case (i, m) => (-m, cand(i)._1) }
+      }.reduceLeft { (x, y) =>
+        if (y._2 > x._2 || (y._2 == x._2 && idLt(cand(y._1)._1, cand(x._1)._1))) y
+        else x
+      }
       selected += best
       remaining -= best._1
     }
-    selected.toSeq.zipWithIndex
-      .map { case ((i, m), r) => (r + 1, cand(i)._1, cand(i)._2, m) }
-      .toDF("rank", "id", "score", "mmr")
+    val outSchema = StructType(Seq(
+      StructField("rank", IntegerType, nullable = false),
+      StructField("id", idField.dataType, idField.nullable),
+      StructField("score", DoubleType, nullable = false),
+      StructField("mmr", DoubleType, nullable = false)))
+    val rows = selected.toSeq.zipWithIndex.map { case ((i, m), r) =>
+      org.apache.spark.sql.Row(r + 1, cand(i)._1, cand(i)._2, m)
+    }
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), outSchema)
   }
 }

@@ -32,6 +32,17 @@ class BloomGateSpec extends SparkSpec {
     assert(twoPhase == (501L to 700L).toSet)
   }
 
+  test("null id routes to the exact phase instead of failing the batch") {
+    val corpus = (1L to 100L).map(i => (s"d$i", "x")).toDF("id", "content")
+    val bloom = BloomGate.build(corpus, "id", 100L)
+    val batch = Seq((null.asInstanceOf[String], "orphan"), ("d5", "dup"), ("z9", "new"))
+      .toDF("id", "content")
+    val (definitelyNew, possibly) = BloomGate.split(batch, "id", bloom)
+    assert(definitelyNew.collect().map(_.getString(0)).toSeq == Seq("z9"))
+    val p = possibly.collect().map(r => Option(r.getString(0))).toSet
+    assert(p == Set(None, Some("d5")), "null + true dup both go to the exact join")
+  }
+
   test("false positives stay near the configured rate") {
     val corpus = (1L to 10000L).map(i => (i, "x")).toDF("id", "content")
     val bloom = BloomGate.build(corpus, "id", 10000L, fpp = 0.01)

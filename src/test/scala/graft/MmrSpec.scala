@@ -33,4 +33,18 @@ class MmrSpec extends SparkSpec {
       .collect().map(x => x.getLong(1)).toSeq
     assert(r == Seq(4L, 7L), "equal mmr -> lower id first; only 2 rows out")
   }
+
+  test("id stays type-generic: string ids survive the re-rank untouched") {
+    import spark.implicits._
+    val in = Seq(
+      ("doc-a", 0.95, Seq(1f, 0f)),
+      ("doc-b", 0.93, Seq(1f, 0f)),
+      ("doc-c", 0.50, Seq(0f, 1f)))
+      .toDF("id", "score", "embedding")
+      .select(col("id"), col("score"),
+        col("embedding").cast("array<float>").as("embedding"))
+    val r = Mmr.rerank(in, k = 3)
+    assert(r.schema("id").dataType.typeName == "string")
+    assert(r.collect().map(_.getString(1)).toSeq == Seq("doc-a", "doc-c", "doc-b"))
+  }
 }
