@@ -133,7 +133,7 @@ object TextQueries {
       .select(col("doc_id").as("id"),
         lit("image").as("modality"),
         col("text").cast("binary").as("data"))
-    Multimodal.decodeStub(media)
+    Multimodal.decode(media)
       .select(col("id"), col("byte_len"), col("width"), col("height"),
         col("n_frames"), col("fingerprint"))
       .orderBy("id")
@@ -148,6 +148,42 @@ object TextQueries {
       |  sha256(text) AS fingerprint
       |FROM documents ORDER BY id""".stripMargin
 
+  /** REAL image decode roundtrip: deterministic solid-color PNGs are
+    * ImageIO-ENCODED from per-doc arithmetic (dims 8..31 x 8..23, RGB from
+    * doc_id), then ImageIO-DECODED by [[Multimodal.decode]] — recovered
+    * width/height/luma must match the encode-side arithmetic, which the
+    * oracle replays without ever seeing the bytes. A byte-length stub
+    * cannot pass this (PNG byte length does not determine dims); only a
+    * real pixel decode can. `luma` is the mean-luma grid cell scaled back
+    * to 0..255 (solid fill → every cell identical, `f_spread` = 0 proves
+    * it).
+    */
+  def mmDecodeImage(s: SparkSession, dir: String): DataFrame = {
+    val png = udf((id: Long) => Multimodal.solidPng(
+      (8 + id % 24).toInt, (8 + (id * 3) % 16).toInt,
+      (id % 256).toInt, ((id * 5) % 256).toInt, ((id * 11) % 256).toInt))
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), lit("image").as("modality"),
+        png(col("doc_id").cast("long")).as("data"))
+    Multimodal.decode(media)
+      .select(col("id"), col("width"), col("height"), col("n_frames"),
+        round(element_at(col("features"), 1) * 255).cast("long").as("luma"),
+        round((array_max(col("features")) - array_min(col("features")))
+          * 1e6).cast("long").as("f_spread"))
+      .orderBy("id")
+  }
+
+  val mmDecodeImageSql: String =
+    """WITH m AS (SELECT doc_id AS id,
+      |  8 + doc_id % 24 AS w, 8 + (doc_id*3) % 16 AS h,
+      |  doc_id % 256 AS r, (doc_id*5) % 256 AS g, (doc_id*11) % 256 AS b
+      |  FROM documents)
+      |SELECT id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  1 AS n_frames,
+      |  CAST((299*r + 587*g + 114*b) // 1000 AS BIGINT) AS luma,
+      |  CAST(0 AS BIGINT) AS f_spread
+      |FROM m ORDER BY id""".stripMargin
+
   /** Frame-sampling shape over the decoded media: every 2nd frame of each
     * payload's n_frames — the (id, frame_idx) layout a video pipeline feeds
     * into per-frame embedding.
@@ -157,7 +193,7 @@ object TextQueries {
       .select(col("doc_id").as("id"),
         lit("video").as("modality"),
         col("text").cast("binary").as("data"))
-    Multimodal.sampleFrames(Multimodal.decodeStub(media), everyNth = 2)
+    Multimodal.sampleFrames(Multimodal.decode(media), everyNth = 2)
       .select(col("id"), col("n_frames"), col("frame_idx"))
       .orderBy("id", "frame_idx")
   }
@@ -179,7 +215,7 @@ object TextQueries {
       .select(col("doc_id").as("id"),
         lit("image").as("modality"),
         col("text").cast("binary").as("data"))
-    Multimodal.resizeStub(Multimodal.decodeStub(media), maxDim = 200)
+    Multimodal.resizeStub(Multimodal.decode(media), maxDim = 200)
       .orderBy("id")
   }
 
@@ -311,7 +347,7 @@ object TextQueries {
       |ORDER BY train_id, eval_id""".stripMargin
 
   /** Media similarity end-to-end: binary payload → decode ([[Multimodal
-    * .decodeStub]]) → feature extraction ([[Multimodal.featuresStub]],
+    * .decode]]) → feature extraction ([[Multimodal.featuresStub]],
     * per-partition encoder-session template) → exact cosine top-k
     * ([[graft.ann.Ann.bruteTopK]]). From the features on, media similarity
     * IS vector similarity — the same ANN serving paths (IVF/LSH/PQ) apply
@@ -321,7 +357,7 @@ object TextQueries {
     val media = t(s, dir, "documents")
       .select(col("doc_id").as("id"), lit("image").as("modality"),
         col("text").cast("binary").as("data"))
-    val feats = Multimodal.featuresStub(Multimodal.decodeStub(media))
+    val feats = Multimodal.featuresStub(Multimodal.decode(media))
       .withColumnRenamed("features", "embedding")
       .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
       .cache() // the query lookup and the corpus scan share one build
@@ -1274,6 +1310,7 @@ object TextQueries {
     "q_text_tokens" -> (textTokens _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_mm_decode" -> (mmDecode _),
+    "q_mm_decode_image" -> (mmDecodeImage _),
     "q_mm_frames" -> (mmFrames _),
     "q_mm_resize" -> (mmResize _)
   )
@@ -1310,6 +1347,7 @@ object TextQueries {
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_mm_decode" -> mmDecodeSql,
+    "q_mm_decode_image" -> mmDecodeImageSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_resize" -> mmResizeSql
   )

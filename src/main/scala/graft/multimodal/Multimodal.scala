@@ -1,18 +1,22 @@
 package graft.multimodal
 
+import java.io.ByteArrayInputStream
 import java.security.MessageDigest
+import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Multimodal column plumbing: image/audio/video as opaque BINARY payloads
   * with typed metadata, and a batched per-partition decode/feature step.
   *
-  * The decode itself is a STUB — this container has no image/audio codecs —
-  * but everything Spark-side is real and tested: the schema, the binary
-  * column handling, the batched mapPartitions shape (decode libraries are
-  * initialized once per partition, rows processed in batches — the same
-  * template a JNI/FFmpeg decoder drops into), and the deterministic output
-  * contract (so the driver's oracle can replay it).
+  * IMAGE decode is REAL: payloads that sniff as PNG or JPEG go through
+  * `javax.imageio` (pure JDK, no new dependency — the same standard as the
+  * pure-JVM PDF parser in [[graft.ingest.DocParse]]): actual pixel decode,
+  * real width/height, and a downsampled mean-luma grid as the feature
+  * vector. Audio/video decode remains a documented STUB (no codec in the
+  * JDK); those payloads get deterministic pseudo-metadata derived from the
+  * bytes, preserving the schema/partitioning/batching contract a real
+  * FFmpeg-via-JNI decoder would drop into.
   */
 object Multimodal {
 
@@ -29,13 +33,88 @@ object Multimodal {
       fingerprint: String,
       features: Array[Float])
 
-  /** STUB decoder: deterministic pseudo-metadata derived from the payload
-    * bytes. A real implementation replaces ONLY the body of `decodeOne`
-    * (e.g. javax.imageio / FFmpeg via JNI); the Spark plumbing around it —
-    * per-partition init, batching, schema — is the real, tested part.
+  /** Number of cells in the downsampled luma grid emitted for real image
+    * decodes (2 rows x 4 cols — matches the stub's 8-float feature width).
+    */
+  val LumaGridRows = 2
+  val LumaGridCols = 4
+
+  private def isPng(d: Array[Byte]): Boolean =
+    d.length > 8 && d(0) == 0x89.toByte && d(1) == 'P'.toByte &&
+      d(2) == 'N'.toByte && d(3) == 'G'.toByte
+  private def isJpeg(d: Array[Byte]): Boolean =
+    d.length > 3 && d(0) == 0xff.toByte && d(1) == 0xd8.toByte &&
+      d(2) == 0xff.toByte
+
+  /** Real image decode via `javax.imageio`. Features = mean luma per cell
+    * of a [[LumaGridRows]]x[[LumaGridCols]] grid, integer-accumulated
+    * (luma = (299r + 587g + 114b) / 1000, integer division) then divided
+    * once at the end — deterministic across partitionings and replayable
+    * by an oracle that knows the source pixels. Cells that receive no
+    * pixels (image narrower than the grid) stay 0. Returns None when
+    * ImageIO cannot parse the payload (truncated file) — the caller falls
+    * back to the stub path rather than failing the batch (governed
+    * degradation, same stance as DocParse).
+    */
+  private def decodeImage(id: Long, modality: String, data: Array[Byte],
+      md: MessageDigest): Option[Decoded] = {
+    val img =
+      try Option(ImageIO.read(new ByteArrayInputStream(data)))
+      catch { case _: Exception => None }
+    img.map { im =>
+      val w = im.getWidth
+      val h = im.getHeight
+      val cells = LumaGridRows * LumaGridCols
+      val sums = new Array[Long](cells)
+      val counts = new Array[Long](cells)
+      var y = 0
+      while (y < h) {
+        val row = (y.toLong * LumaGridRows / h).toInt
+        var x = 0
+        while (x < w) {
+          val rgb = im.getRGB(x, y)
+          val r = (rgb >> 16) & 0xff
+          val g = (rgb >> 8) & 0xff
+          val b = rgb & 0xff
+          val luma = (299 * r + 587 * g + 114 * b) / 1000
+          val cell = row * LumaGridCols + (x.toLong * LumaGridCols / w).toInt
+          sums(cell) += luma
+          counts(cell) += 1
+          x += 1
+        }
+        y += 1
+      }
+      val fp = md.digest(data).map("%02x".format(_)).mkString
+      md.reset()
+      Decoded(
+        id = id,
+        modality = modality,
+        byte_len = data.length.toLong,
+        width = w,
+        height = h,
+        n_frames = 1,
+        fingerprint = fp,
+        features = Array.tabulate(cells)(i =>
+          if (counts(i) == 0) 0.0f
+          else (sums(i).toDouble / counts(i) / 255.0).toFloat))
+    }
+  }
+
+  /** Decode dispatch: PNG/JPEG payloads decode for real (see
+    * [[decodeImage]]); everything else — audio/video/unknown — takes the
+    * STUB path: deterministic pseudo-metadata derived from the payload
+    * bytes. A real audio/video implementation replaces ONLY the stub body
+    * (FFmpeg via JNI); the Spark plumbing around it — per-partition init,
+    * batching, schema — is identical either way.
     */
   private def decodeOne(id: Long, modality: String, data: Array[Byte],
       md: MessageDigest): Decoded = {
+    if (isPng(data) || isJpeg(data)) {
+      decodeImage(id, modality, data, md) match {
+        case Some(d) => return d
+        case None => // unparseable image payload: fall through to the stub
+      }
+    }
     val len = data.length.toLong
     val fp = md.digest(data).map("%02x".format(_)).mkString
     md.reset()
@@ -51,11 +130,32 @@ object Multimodal {
         (data(((i * 7) % math.max(1, data.length)).toInt) & 0xff) / 255.0f))
   }
 
-  /** Batched decode over (id: long, modality: string, data: binary).
-    * One "decoder" (digest) instance per partition — the once-per-partition
-    * init pattern for heavyweight native decoders.
+  /** Deterministic synthetic PNG: `w` x `h` filled with a solid (r,g,b).
+    * An honest fixture/test-pattern generator (ImageIO-encoded, real PNG
+    * bytes) — the encode half of the decode roundtrip the oracle replays.
     */
-  def decodeStub(media: DataFrame): DataFrame = {
+  def solidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"bad dims ${w}x$h")
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) { im.setRGB(x, y, rgb); x += 1 }
+      y += 1
+    }
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
+  /** Batched decode over (id: long, modality: string, data: binary) —
+    * real PNG/JPEG decode, stub for other payloads (see [[decodeOne]]).
+    * One digest instance per partition — the once-per-partition init
+    * pattern for heavyweight native decoders.
+    */
+  def decode(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     val ds: Dataset[(Long, String, Array[Byte])] =
@@ -70,7 +170,7 @@ object Multimodal {
   /** Resize planning over decoded media: aspect-preserving target
     * dimensions capped at `maxDim` (no-op when already within bounds),
     * plus the scale decision — the metadata half of a resize stage. The
-    * pixel half belongs in [[decodeStub]]'s replaceable body; this column
+    * pixel half belongs in [[decode]]'s replaceable body; this column
     * arithmetic is exact integer math so an oracle can replay it.
     */
   def resizeStub(decoded: DataFrame, maxDim: Int = 256): DataFrame = {
@@ -86,7 +186,7 @@ object Multimodal {
 
   /** Feature extraction over decoded media — the embedding stage of a
     * multimodal pipeline, same per-partition-init mapPartitions template as
-    * [[decodeStub]] (the init slot is where a real encoder session — CLIP,
+    * [[decode]] (the init slot is where a real encoder session — CLIP,
     * an ONNX runtime, an audio embedder — lives, created once per partition
     * and reused across the batch). The stub derives a deterministic
     * `dim`-float vector from the content fingerprint's hex (4 hex chars →

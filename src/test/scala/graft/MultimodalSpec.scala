@@ -1,0 +1,83 @@
+package graft
+
+import java.io.ByteArrayOutputStream
+import javax.imageio.ImageIO
+import java.awt.image.BufferedImage
+import org.apache.spark.sql.functions._
+import graft.multimodal.Multimodal
+
+/** Real image decode over real PNG/JPEG bytes (javax.imageio), plus the
+  * governed fallbacks: truncated images and non-image payloads take the
+  * deterministic stub path instead of failing the batch.
+  */
+class MultimodalSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  private def mediaDF(rows: (Long, String, Array[Byte])*) =
+    rows.toDF("id", "modality", "data")
+
+  /** Horizontal greyscale step gradient: pixel (x, y) = grey x*30. */
+  private def gradientPng(w: Int, h: Int): Array[Byte] = {
+    val im = new BufferedImage(w, h, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until h; x <- 0 until w) {
+      val v = x * 30
+      im.setRGB(x, y, (v << 16) | (v << 8) | v)
+    }
+    val out = new ByteArrayOutputStream()
+    ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
+  test("PNG roundtrip: real dims, 1 frame, exact mean-luma grid") {
+    // 8x2 gradient: grid cols of 2 px each, grey value x*30 -> luma = value
+    // (grey luma is exact: (299+587+114)v / 1000 = v). Cell means 15/75/135/195.
+    val out = Multimodal.decode(mediaDF((7L, "image", gradientPng(8, 2))))
+      .collect().head
+    assert(out.getAs[Int]("width") == 8 && out.getAs[Int]("height") == 2)
+    assert(out.getAs[Int]("n_frames") == 1)
+    val f = out.getSeq[Float](out.fieldIndex("features"))
+    val expect = Seq(15, 75, 135, 195).map(v => (v / 255.0).toFloat)
+    assert(f == expect ++ expect, s"grid means off: $f")
+  }
+
+  test("solid PNG: every grid cell carries the fill's luma") {
+    val bytes = Multimodal.solidPng(20, 10, 200, 100, 50)
+    val out = Multimodal.decode(mediaDF((1L, "image", bytes))).collect().head
+    assert(out.getAs[Int]("width") == 20 && out.getAs[Int]("height") == 10)
+    val luma = (299 * 200 + 587 * 100 + 114 * 50) / 1000
+    val f = out.getSeq[Float](out.fieldIndex("features"))
+    assert(f.forall(_ == (luma / 255.0).toFloat), s"expected all $luma: $f")
+  }
+
+  test("JPEG: exact dims; solid-fill luma within lossy tolerance") {
+    val im = new BufferedImage(33, 17, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 17; x <- 0 until 33) im.setRGB(x, y, 0x806040)
+    val jout = new ByteArrayOutputStream()
+    assert(ImageIO.write(im, "jpg", jout), "JDK jpeg writer available")
+    val out = Multimodal.decode(mediaDF((2L, "image", jout.toByteArray)))
+      .collect().head
+    assert(out.getAs[Int]("width") == 33 && out.getAs[Int]("height") == 17)
+    val luma = (299 * 0x80 + 587 * 0x60 + 114 * 0x40) / 1000 / 255.0
+    val f = out.getSeq[Float](out.fieldIndex("features"))
+    assert(f.forall(v => math.abs(v - luma) < 0.02), s"jpeg luma drifted: $f")
+  }
+
+  test("truncated PNG falls back to the stub instead of failing the batch") {
+    val broken = Multimodal.solidPng(16, 16, 1, 2, 3).take(20) // magic intact, body gone
+    val out = Multimodal.decode(mediaDF((3L, "image", broken))).collect().head
+    // stub semantics: dims derived from byte length, not pixels
+    assert(out.getAs[Long]("byte_len") == 20L)
+    assert(out.getAs[Int]("width") == (32 + 20 % 608))
+    assert(out.getAs[Int]("n_frames") == (1 + 20 % 16))
+  }
+
+  test("non-image payloads keep the deterministic stub contract") {
+    val data = "not an image at all".getBytes("UTF-8")
+    val out = Multimodal.decode(mediaDF((4L, "audio", data))).collect().head
+    val len = data.length
+    assert(out.getAs[Int]("width") == (32 + len % 608))
+    assert(out.getAs[Int]("height") == (32 + (len * 7) % 448))
+    assert(out.getAs[Int]("n_frames") == (1 + len % 16))
+  }
+}
