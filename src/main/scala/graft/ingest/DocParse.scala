@@ -18,9 +18,14 @@ import scala.collection.mutable.ArrayBuffer
   *    /Prev chains, and /Type/ObjStm object streams) from /Root through the
   *    page tree to each page's /Contents, decoding FlateDecode streams and
   *    the text-showing operators (Tj/TJ/'/") with standard string
-  *    encodings. When the xref is damaged it falls back to a linear scan of
-  *    every `stream…endstream` blob. Encryption and CID/Type0 subset fonts
-  *    remain out of scope.
+  *    encodings. CID/Type0 fonts are supported through their /ToUnicode
+  *    CMaps (bfchar/bfrange incl. array form, codespacerange-derived code
+  *    width, /Resources inheritance down the page tree) — the path
+  *    post-2005 subset-font PDFs need; a Type0 font WITHOUT /ToUnicode
+  *    (raw CID against an external CMap resource) degrades to byte
+  *    decoding. When the xref is damaged extraction falls back to a linear
+  *    scan of every `stream…endstream` blob (font-blind — resources can't
+  *    be resolved without an xref). Encryption remains out of scope.
   *
   * Both return None when nothing extractable is found; callers surface the
   * governed `document_parse_unsupported` error rather than ingesting binary
@@ -104,7 +109,7 @@ object DocParse {
       try xrefPagesText(bytes)
       catch { case _: Exception => None } // damaged xref → linear fallback
     viaXref.orElse {
-      val texts = contentStreams(bytes).flatMap(textFromContentStream)
+      val texts = contentStreams(bytes).flatMap(textFromContentStream(_))
       val out = texts.mkString("\n").trim
       if (out.isEmpty) None else Some(out)
     }
@@ -376,6 +381,167 @@ object DocParse {
       })
   }
 
+  // ------------------------------------------- CID/Type0 font CMap support
+
+  /** A parsed /ToUnicode CMap: fixed code width in bytes (from the first
+    * codespacerange; 2 for the ubiquitous Identity-H layout) and the
+    * code → Unicode-string map (multi-char targets carry ligatures).
+    * Codes with no mapping are dropped — emitting the raw CID would
+    * inject glyph-index garbage into the text.
+    */
+  private[ingest] final case class ToUnicodeCMap(codeBytes: Int, map: Map[Int, String]) {
+    def decode(bytes: Array[Byte]): String = {
+      val sb = new StringBuilder
+      var i = 0
+      while (i + codeBytes <= bytes.length) {
+        var code = 0
+        var j = 0
+        while (j < codeBytes) { code = (code << 8) | (bytes(i + j) & 0xff); j += 1 }
+        map.get(code).foreach(sb ++= _)
+        i += codeBytes
+      }
+      sb.toString
+    }
+  }
+
+  private val HexTokRe = """<([0-9A-Fa-f]+)>""".r
+
+  /** Hex string → UTF-16BE text (a bfchar/bfrange destination). */
+  private def utf16be(hex: String): String = {
+    val padded = if (hex.length % 4 == 0) hex else hex.reverse.padTo((hex.length + 3) / 4 * 4, '0').reverse.toString
+    padded.grouped(4).map(h => Integer.parseInt(h, 16).toChar).mkString
+  }
+
+  /** Parse a decoded /ToUnicode CMap stream. Handles the operators real
+    * writers emit: codespacerange (code width), bfchar pairs, bfrange in
+    * both increment (`<lo> <hi> <dstStart>`) and array
+    * (`<lo> <hi> [<d1> … <dN>]`) forms. Range spans are capped at 65536
+    * codes so a crafted CMap cannot balloon the map.
+    */
+  private[ingest] def parseToUnicode(cmap: String): Option[ToUnicodeCMap] = {
+    val codeBytes = {
+      val cs = cmap.indexOf("begincodespacerange")
+      if (cs < 0) 2
+      else HexTokRe.findFirstMatchIn(cmap.substring(cs))
+        .map(_.group(1).length / 2).filter(w => w >= 1 && w <= 2).getOrElse(2)
+    }
+    val entries = Map.newBuilder[Int, String]
+    var any = false
+    // ---- bfchar sections: <src> <dst> pairs
+    sections(cmap, "beginbfchar", "endbfchar").foreach { body =>
+      HexTokRe.findAllMatchIn(body).map(_.group(1)).grouped(2).foreach {
+        case Seq(src, dst) =>
+          entries += Integer.parseInt(src, 16) -> utf16be(dst)
+          any = true
+        case _ => ()
+      }
+    }
+    // ---- bfrange sections: <lo> <hi> (<dstStart> | [<d1> … <dN>])
+    sections(cmap, "beginbfrange", "endbfrange").foreach { body =>
+      var i = 0
+      def nextTok(): Option[String] = {
+        while (i < body.length && body.charAt(i) != '<' && body.charAt(i) != '[') i += 1
+        if (i >= body.length) None
+        else if (body.charAt(i) == '[') {
+          val end = body.indexOf(']', i)
+          if (end < 0) { i = body.length; None }
+          else { val t = body.substring(i, end + 1); i = end + 1; Some(t) }
+        } else {
+          val end = body.indexOf('>', i)
+          if (end < 0) { i = body.length; None }
+          else { val t = body.substring(i, end + 1); i = end + 1; Some(t) }
+        }
+      }
+      var go = true
+      while (go) {
+        (nextTok(), nextTok(), nextTok()) match {
+          case (Some(loT), Some(hiT), Some(dstT)) =>
+            (HexTokRe.findFirstMatchIn(loT), HexTokRe.findFirstMatchIn(hiT)) match {
+              case (Some(loM), Some(hiM)) =>
+                val lo = Integer.parseInt(loM.group(1), 16)
+                val hi = math.min(Integer.parseInt(hiM.group(1), 16), lo + 65535)
+                if (dstT.startsWith("[")) {
+                  val dsts = HexTokRe.findAllMatchIn(dstT).map(_.group(1)).toSeq
+                  (lo to hi).zip(dsts).foreach { case (c, d) =>
+                    entries += c -> utf16be(d); any = true
+                  }
+                } else HexTokRe.findFirstMatchIn(dstT).foreach { dM =>
+                  // increment the LAST UTF-16 unit, per the CMap spec
+                  val base = utf16be(dM.group(1))
+                  var c = lo
+                  while (c <= hi) {
+                    val s =
+                      if (base.isEmpty) ""
+                      else base.dropRight(1) + (base.last + (c - lo)).toChar
+                    entries += c -> s
+                    any = true
+                    c += 1
+                  }
+                }
+              case _ => ()
+            }
+          case _ => go = false
+        }
+      }
+    }
+    if (any) Some(ToUnicodeCMap(codeBytes, entries.result())) else None
+  }
+
+  /** All `begin…end` section bodies of a CMap (writers may emit several). */
+  private def sections(s: String, begin: String, end: String): Seq[String] = {
+    val out = ArrayBuffer.empty[String]
+    var from = 0
+    while (from < s.length) {
+      val b = s.indexOf(begin, from)
+      if (b < 0) return out.toSeq
+      val e = s.indexOf(end, b + begin.length)
+      if (e < 0) return out.toSeq
+      out += s.substring(b + begin.length, e)
+      from = e + end.length
+    }
+    out.toSeq
+  }
+
+  /** A key's value that may be a direct nested dictionary or an indirect
+    * reference (the two forms /Resources and /Font legally take).
+    */
+  private def dictValue(objects: Objects, container: String, key: String): Option[String] = {
+    val kq = java.util.regex.Pattern.quote(key)
+    (kq + """\s*<<""").r.findFirstMatchIn(container) match {
+      case Some(m) => balancedDict(container, m.start).map(_._1)
+      case None => refAfter(container, key).flatMap(objects(_)).map(_._1)
+    }
+  }
+
+  private val FontEntryRe = """/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R""".r
+
+  /** Resolve a page's font resources to their /ToUnicode CMaps: resource
+    * name (the `/F1` of `Tf`) → parsed CMap, for fonts that carry one.
+    * `resources` is the page's own /Resources or the nearest inherited
+    * one; `cmapCache` dedupes parse work across pages sharing fonts.
+    */
+  private def pageFonts(
+      objects: Objects, resources: Option[String],
+      cmapCache: scala.collection.mutable.Map[Int, Option[ToUnicodeCMap]]): Map[String, ToUnicodeCMap] =
+    resources.flatMap(res => dictValue(objects, res, "/Font")) match {
+      case None => Map.empty
+      case Some(fontDict) =>
+        FontEntryRe.findAllMatchIn(fontDict).flatMap { m =>
+          val name = m.group(1)
+          val fontRef = m.group(2).toInt
+          val cmap = cmapCache.getOrElseUpdate(fontRef,
+            for {
+              (fd, _) <- objects(fontRef)
+              tuRef <- refAfter(fd, "/ToUnicode")
+              (td, payloadOpt) <- objects(tuRef)
+              payload <- payloadOpt
+              data <- decodeStream(td, payload)
+              cm <- parseToUnicode(new String(data, StandardCharsets.ISO_8859_1))
+            } yield cm)
+          cmap.map(name -> _)
+        }.toMap
+    }
+
   /** The xref-driven extraction: /Root → /Pages tree → each page's
     * /Contents, concatenated per page, in document order.
     */
@@ -386,21 +552,25 @@ object DocParse {
     val rootNum = refAfter(trailer, "/Root").getOrElse(return None)
     val catalog = objects(rootNum).map(_._1).getOrElse(return None)
     val pagesRoot = refAfter(catalog, "/Pages").getOrElse(return None)
-    // walk the page tree (cycle-guarded); leaves are /Type /Page
-    val pages = scala.collection.mutable.ArrayBuffer.empty[String]
+    // walk the page tree (cycle-guarded); leaves are /Type /Page.
+    // /Resources inherit down the tree: a node's own dict wins, else the
+    // nearest ancestor's (PDF 32000 §7.7.3.4)
+    val pages = scala.collection.mutable.ArrayBuffer.empty[(String, Option[String])]
     val seen = scala.collection.mutable.Set.empty[Int]
-    def walk(num: Int): Unit = {
+    def walk(num: Int, inheritedRes: Option[String]): Unit = {
       if (!seen.add(num) || seen.size > 100000) return
       objects(num).map(_._1).foreach { d =>
-        if (d.contains("/Page") && !d.contains("/Pages")) pages += d
+        val res = dictValue(objects, d, "/Resources").orElse(inheritedRes)
+        if (d.contains("/Page") && !d.contains("/Pages")) pages += ((d, res))
         else arrayAfter(d, "/Kids").toSeq
           .flatMap(body => RefRe.findAllMatchIn(body).map(_.group(1).toInt))
-          .foreach(walk)
+          .foreach(walk(_, res))
       }
     }
-    walk(pagesRoot)
+    walk(pagesRoot, None)
     if (pages.isEmpty) return None
-    val texts = pages.flatMap { page =>
+    val cmapCache = scala.collection.mutable.Map.empty[Int, Option[ToUnicodeCMap]]
+    val texts = pages.flatMap { case (page, res) =>
       val contentRefs = arrayAfter(page, "/Contents")
         .map(body => RefRe.findAllMatchIn(body).map(_.group(1).toInt).toSeq)
         .orElse(refAfter(page, "/Contents").map(Seq(_)))
@@ -411,7 +581,9 @@ object DocParse {
         }
       }
       if (decoded.isEmpty) None
-      else textFromContentStream(decoded.reduce((a, b) => a ++ "\n".getBytes(StandardCharsets.ISO_8859_1) ++ b))
+      else textFromContentStream(
+        decoded.reduce((a, b) => a ++ "\n".getBytes(StandardCharsets.ISO_8859_1) ++ b),
+        pageFonts(objects, res, cmapCache))
     }
     val out = texts.mkString("\n").trim
     if (out.isEmpty) None else Some(out)
@@ -483,23 +655,45 @@ object DocParse {
 
   /** Text-showing operators in a decoded content stream: `(s) Tj`,
     * `(s) '`/`"`, and `[ (a) -120 (b) ] TJ`; Td/TD/T* line moves become
-    * newlines. Literal-string escapes per the spec; hex strings `<..>`
-    * decoded as Latin-1 byte pairs.
+    * newlines. Literal-string escapes per the spec. `fonts` maps resource
+    * names (tracked through `Tf` operators) to /ToUnicode CMaps: shown
+    * strings under a CMap'd font decode as CID codes through the map;
+    * otherwise hex strings decode as Latin-1 byte pairs and literal
+    * strings as-is (the simple-font path).
     */
-  private def textFromContentStream(stream: Array[Byte]): Option[String] = {
+  private def textFromContentStream(
+      stream: Array[Byte],
+      fonts: Map[String, ToUnicodeCMap] = Map.empty): Option[String] = {
     val s = new String(stream, StandardCharsets.ISO_8859_1)
     if (!s.contains("BT")) return None
     val sb = new StringBuilder
     var i = 0
     var sawText = false
+    var cur: Option[ToUnicodeCMap] = None
     while (i < s.length) {
       s.charAt(i) match {
+        case '/' if fonts.nonEmpty =>
+          // font selection: `/Name size Tf` — reset on any other name op
+          var e = i + 1
+          while (e < s.length && !s.charAt(e).isWhitespace &&
+            "()<>[]{}/%".indexOf(s.charAt(e)) < 0) e += 1
+          val name = s.substring(i + 1, e)
+          if (nextToken(s, e) == "Tf") cur = fonts.get(name)
+          i = e
         case '(' =>
           val (lit, next) = literalString(s, i)
           // a string is "shown" only if the next operator token shows text
           val op = nextToken(s, next)
-          if (op == "Tj" || op == "'" || op == "\"") { sb ++= lit; sawText = true }
-          else if (op == "TJ" || insideArray(s, i)) { sb ++= lit; sawText = true }
+          val shown = op == "Tj" || op == "'" || op == "\"" ||
+            op == "TJ" || insideArray(s, i)
+          if (shown) {
+            cur match {
+              case Some(cm) =>
+                sb ++= cm.decode(lit.toCharArray.map(c => (c & 0xff).toByte))
+              case None => sb ++= lit
+            }
+            sawText = true
+          }
           i = next
         case '<' if i + 1 < s.length && s.charAt(i + 1) != '<' =>
           val end = s.indexOf('>', i)
@@ -509,8 +703,17 @@ object DocParse {
             val op = nextToken(s, end + 1)
             if (op == "Tj" || op == "'" || op == "\"" || op == "TJ" || insideArray(s, i)) {
               val padded = if (hex.length % 2 == 1) hex + "0" else hex
-              padded.grouped(2).foreach { h =>
-                try sb += Integer.parseInt(h, 16).toChar catch { case _: Exception => () }
+              cur match {
+                case Some(cm) =>
+                  val bytes = padded.grouped(2).flatMap { h =>
+                    try Some(Integer.parseInt(h, 16).toByte)
+                    catch { case _: Exception => None }
+                  }.toArray
+                  sb ++= cm.decode(bytes)
+                case None =>
+                  padded.grouped(2).foreach { h =>
+                    try sb += Integer.parseInt(h, 16).toChar catch { case _: Exception => () }
+                  }
               }
               sawText = true
             }

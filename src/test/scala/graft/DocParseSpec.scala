@@ -111,6 +111,67 @@ class DocParseSpec extends SparkSpec {
     out.toByteArray
   }
 
+  /** A CID/Type0-font PDF with a classic xref table: the page shows text
+    * as 2-byte CID hex strings under `/F1` (Identity-H style), and the
+    * font's /ToUnicode CMap (FlateDecode stream) carries the CID→Unicode
+    * map. `resourcesOnPages` moves /Resources up to the Pages node to
+    * exercise inheritance. Extraction MUST go through the CMap — the CIDs
+    * are arbitrary small integers, so byte decoding yields control chars,
+    * not text.
+    */
+  private def pdfCidBytes(content: String, toUnicode: String,
+      resourcesOnPages: Boolean): Array[Byte] = {
+    val out = new ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
+    val offsets = scala.collection.mutable.Map.empty[Int, Int]
+    def obj(n: Int, body: String): Unit = {
+      offsets(n) = out.size(); w(s"$n 0 obj $body endobj\n")
+    }
+    w("%PDF-1.4\n")
+    val res = "/Resources << /Font << /F1 5 0 R >> >>"
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, s"<< /Type /Pages /Kids [3 0 R] /Count 1 ${if (resourcesOnPages) res else ""} >>")
+    obj(3, s"<< /Type /Page /Parent 2 0 R /Contents 4 0 R ${if (!resourcesOnPages) res else ""} >>")
+    offsets(4) = out.size()
+    val c = content.getBytes(StandardCharsets.ISO_8859_1)
+    w(s"4 0 obj << /Length ${c.length} >> stream\n"); out.write(c); w("\nendstream endobj\n")
+    obj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " +
+      "/Encoding /Identity-H /ToUnicode 6 0 R >>")
+    offsets(6) = out.size()
+    val tz = deflate(toUnicode.getBytes(StandardCharsets.ISO_8859_1))
+    w(s"6 0 obj << /Length ${tz.length} /Filter /FlateDecode >> stream\n")
+    out.write(tz); w("\nendstream endobj\n")
+    val xrefOff = out.size()
+    w("xref\n0 7\n0000000000 65535 f \n")
+    (1 to 6).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w("trailer << /Size 7 /Root 1 0 R >>\n")
+    w(s"startxref\n$xrefOff\n%%EOF\n")
+    out.toByteArray
+  }
+
+  private val cidCMap =
+    """/CIDInit /ProcSet findresource begin
+      |12 dict begin
+      |begincmap
+      |1 begincodespacerange
+      |<0000> <FFFF>
+      |endcodespacerange
+      |2 beginbfchar
+      |<0001> <0048>
+      |<0002> <0065>
+      |endbfchar
+      |3 beginbfrange
+      |<0003> <0003> <006C>
+      |<0005> <0006> [<0057> <00660069>]
+      |<0008> <0009> <0031>
+      |endbfrange
+      |2 beginbfchar
+      |<0004> <006F>
+      |<0007> <0020>
+      |endbfchar
+      |endcmap
+      |""".stripMargin
+
   /** A minimal EPUB: zip with mimetype + two XHTML chapters. */
   private def epubBytes(chapters: Seq[String]): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
@@ -177,6 +238,29 @@ class DocParseSpec extends SparkSpec {
     assert(got.contains("page text only"))
     assert(!got.contains("orphan stream text"),
       "xref path must extract only page /Contents")
+  }
+
+  test("pdf: CID/Type0 font decodes through its /ToUnicode CMap") {
+    // CIDs are small integers — only the CMap can turn them into text.
+    // Covers bfchar, single-dst bfrange, array bfrange (with the "fi"
+    // ligature multi-char target), and an increment range (<0008>-><0009>
+    // from <0031> = "1","2").
+    val content = "BT /F1 12 Tf <0001000200030003000400070005000600080009> Tj ET"
+    val got = DocParse.pdfToText(pdfCidBytes(content, cidCMap, resourcesOnPages = false))
+    assert(got.contains("Hello Wfi12"), s"got $got")
+  }
+
+  test("pdf: /Resources inherit from the Pages node down to the page") {
+    val content = "BT /F1 12 Tf <00010002000300030004> Tj ET"
+    val got = DocParse.pdfToText(pdfCidBytes(content, cidCMap, resourcesOnPages = true))
+    assert(got.contains("Hello"), s"got $got")
+  }
+
+  test("pdf: CID font switches off after Tf selects an unmapped font") {
+    // /F2 is not in resources -> byte decoding resumes for its strings
+    val content = "BT /F1 12 Tf <00010002000300030004> Tj /F2 10 Tf (plain) Tj ET"
+    val got = DocParse.pdfToText(pdfCidBytes(content, cidCMap, resourcesOnPages = false))
+    assert(got.exists(t => t.contains("Hello") && t.contains("plain")), s"got $got")
   }
 
   test("pdf: flate bomb is a governed None, not an OOM") {
