@@ -162,7 +162,13 @@ final class Api(
       // merged table count (vector_api.py:435-439 returns len(documents)).
       val added = embedded.count()
       val existing = catalog.readDocuments(entry)
-      if (!upsert) Ingest.assertNoneExist(existing, embedded)
+      // existence check: through the persisted bloom sketch when one is
+      // built (O(batch), zero corpus I/O when nothing possibly-exists);
+      // exact corpus semi-join otherwise — identical semantics either way
+      if (!upsert) ingest.BloomGate.loadIndex(catalog, entry) match {
+        case Some(b) => Ingest.assertNoneExistBloom(catalog, entry, embedded, b)
+        case None => Ingest.assertNoneExist(existing, embedded)
+      }
       // incremental index maintenance (Indexes scaladoc): stage the delta
       // BEFORE the rewrite (old rows still readable), apply AFTER; the
       // old-rows probe prunes to the batch's buckets, so even the staging
@@ -176,6 +182,8 @@ final class Api(
       // bucket-level MERGE: only the batch's id buckets are rewritten
       Ingest.mergeUpsert(spark, catalog, entry, embedded, Some(buckets))
       Indexes.applyPending(spark, catalog, entry, pending, embedded)
+      // bloom sidecar maintenance is O(batch) like the other indexes
+      ingest.BloomGate.noteInserted(catalog, entry, embedded)
       added
     } finally embedded.unpersist()
   }
@@ -477,6 +485,18 @@ final class Api(
   def buildLexicalIndex(name: String): DataFrame = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
     graft.search.LexIndex.build(spark, catalog, entry)
+  }
+
+  /** Build the bloom existence-prefilter sidecar: one corpus pass for the
+    * id sketch, after which insert_documents' existence check is O(batch)
+    * (zero corpus I/O when no batch id possibly exists — the common
+    * incremental-ingest case). Maintained incrementally by every write;
+    * rebuild to reclaim fpp headroom after heavy churn. Returns the number
+    * of ids sketched.
+    */
+  def buildBloomGate(name: String, fpp: Double = 0.01): Long = writeLock.synchronized {
+    val entry = catalog.getCollection(physical(name))
+    ingest.BloomGate.buildIndex(spark, catalog, entry, fpp = fpp)
   }
 
   /** TF lexical search through the persistent index: bucket-pruned postings

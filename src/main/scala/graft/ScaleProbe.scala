@@ -157,6 +157,22 @@ object ScaleProbe {
       val codes = graft.ann.Sq.encode(vecs.select("id", "embedding"), model)
       graft.ann.Sq.searchAdcRerank(codes, vecs, model, qs, k = 10, oversample = 4).count()
     }
+    // bloom existence prefilter: the sketch build is the one corpus pass
+    // (linear by construction); the per-batch check is the operator under
+    // test and must stay FLAT in M — with a fresh batch (the common
+    // incremental-ingest case) it touches zero corpus bytes
+    var bloomSketch: org.apache.spark.util.sketch.BloomFilter = null
+    time("bloom_build") {
+      bloomSketch = graft.ingest.BloomGate.build(
+        docs, "id", expectedItems = 10000L * m, fpp = 0.01)
+      bloomSketch.bitSize()
+    }
+    time("bloom_check") {
+      val batch = docs.select(concat(col("id"), lit("~new")).as("id"))
+        .limit(1000).localCheckpoint()
+      graft.ingest.BloomGate.notExisting(
+        docs.select("id"), batch, "id", bloomSketch).count()
+    }
     time("semantic_topk")(
       graft.ann.Ann.bruteTopK(vecs, qs, 10).count())
     // JL projection + projected shortlist + exact re-rank: one narrow

@@ -45,7 +45,8 @@ final class Catalog(spark: SparkSession, val warehouseDir: String) {
     Seq(".delta", ".ivf", ".ivf.centroids", ".ivf.delta",
         ".postings", ".postings.delta", ".pq", ".pq.codebooks", ".pq.meta",
         ".pq.delta", ".signlsh", ".signlsh.meta", ".signlsh.delta",
-        ".minhash", ".minhash.meta", ".minhash.delta", ".staging")
+        ".minhash", ".minhash.meta", ".minhash.delta", ".staging",
+        ".bloom", ".bloom.meta")
       .map(sfx => Paths.get(tablePath(entry) + sfx))
 
   private def deleteTableAndDerived(entry: CollectionEntry): Unit = {

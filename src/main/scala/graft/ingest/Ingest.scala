@@ -136,6 +136,30 @@ object Ingest {
     if (clash > 0) throw new GraftException(ErrorCodes.DocumentExists)
   }
 
+  /** Bloom-accelerated existence check: identical semantics to
+    * [[assertNoneExist]] (bloom filters have no false negatives, so every
+    * real duplicate reaches the exact phase) at O(batch) cost against a
+    * corpus-sized table. The batch's ids split against the corpus sketch;
+    * when nothing possibly-exists — the common incremental-ingest case —
+    * NO corpus read happens at all; otherwise the exact semi-join runs
+    * over only the suspects' id buckets (the getByIds point-scan shape),
+    * not the whole table.
+    */
+  def assertNoneExistBloom(
+      catalog: graft.catalog.Catalog, entry: graft.model.CollectionEntry,
+      batch: DataFrame,
+      bloom: org.apache.spark.util.sketch.BloomFilter): Unit = {
+    // batch is caller-cached; the suspect slice is fpp-sized + real dups
+    val (_, possibly) = BloomGate.split(batch.select("id"), "id", bloom)
+    val suspects = possibly.localCheckpoint()
+    if (suspects.limit(1).count() == 0L) return // zero corpus I/O
+    val buckets = bucketsOf(suspects)
+    val clash = catalog.readDocumentsPhysical(entry)
+      .filter(col("bucket").isin(buckets: _*))
+      .join(suspects, Seq("id"), "left_semi").limit(1).count()
+    if (clash > 0) throw new GraftException(ErrorCodes.DocumentExists)
+  }
+
   /** MERGE: existing rows not in the batch + the batch (upsert, last wins).
     * Equivalent to `INSERT ... ON CONFLICT (id) DO UPDATE`
     * (postgres.py:262-276).

@@ -147,6 +147,9 @@ object StreamingIngest {
       // id buckets, so maintenance cost tracks batch size, not corpus size
       Ingest.mergeUpsert(spark, catalog, entry, embedded, Some(buckets))
       graft.Indexes.applyPending(spark, catalog, entry, pending, embedded)
+      // bloom existence sketch is a derived index like the rest: fold the
+      // micro-batch's ids in so batch-API inserts keep their O(batch) check
+      graft.ingest.BloomGate.noteInserted(catalog, entry, embedded)
       merged
     } finally { embedded.unpersist(); all.unpersist() }
   }

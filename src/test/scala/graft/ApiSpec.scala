@@ -107,6 +107,34 @@ class ApiSpec extends SparkSpec {
     assert(api.insertDocuments("ins", Seq("fresh doc").toDF("content")) == 1)
   }
 
+  test("bloom gate: insert semantics identical with the sketch built") {
+    val api = newApi()
+    import spark.implicits._
+    api.createCollection("bg", documents = Some(Seq("seed doc").toDF("content")))
+    assert(api.buildBloomGate("bg") == 1L)
+    // existing id still raises through the gate (no false negatives)
+    assert(intercept[GraftException](
+      api.insertDocuments("bg", Seq("seed doc").toDF("content"))).code
+      == ErrorCodes.DocumentExists)
+    // fresh docs insert; the sketch must LEARN them (noteInserted), so a
+    // re-insert of the same content raises — a stale sketch would wave the
+    // duplicate through as definitely-new
+    assert(api.insertDocuments("bg", Seq("fresh one", "fresh two").toDF("content")) == 2)
+    assert(intercept[GraftException](
+      api.insertDocuments("bg", Seq("fresh two").toDF("content"))).code
+      == ErrorCodes.DocumentExists)
+    // streaming-style upsert writes maintain it too (addDocuments path)
+    api.addDocuments("bg", Seq("via upsert").toDF("content"))
+    assert(intercept[GraftException](
+      api.insertDocuments("bg", Seq("via upsert").toDF("content"))).code
+      == ErrorCodes.DocumentExists)
+    // delete then re-insert: stale bloom bits route to the exact check,
+    // which finds the id gone — insert succeeds (false positives only
+    // cost work, never block a legal insert)
+    api.deleteDocuments("bg", Seq(Ingest.contentIdScala("fresh one")))
+    assert(api.insertDocuments("bg", Seq("fresh one").toDF("content")) == 1)
+  }
+
   test("searches on an empty collection return empty results, not errors") {
     // reference: tests/test_all_backends.py:553-577 — one (empty) result
     // list per query on a fresh collection
