@@ -173,6 +173,15 @@ object ScaleProbe {
       graft.ingest.BloomGate.notExisting(
         docs.select("id"), batch, "id", bloomSketch).count()
     }
+    // BPE training: one corpus pass to the vocab-sized word table, then
+    // per-round keyed pair aggs over that table — rounds should scale with
+    // VOCAB (which the salted replicas grow M-fold), staying shuffles over
+    // a table far below corpus size
+    time("bpe_train")(
+      graft.operators.Bpe.train(
+        docs.select(col("id"),
+          graft.functions.TextFunctions.tokens(col("content")).as("toks")),
+        merges = 4).count())
     time("semantic_topk")(
       graft.ann.Ann.bruteTopK(vecs, qs, 10).count())
     // JL projection + projected shortlist + exact re-rank: one narrow

@@ -125,6 +125,56 @@ object TextQueries {
        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** BPE merge training: 8 rounds of highest-frequency-pair merges over
+    * the corpus vocabulary ([[graft.operators.Bpe]]). The oracle replays
+    * ALL 8 rounds — pair counts, lexical tie-break argmax, and the exact
+    * left-to-right non-overlapping merge application (positional form:
+    * match runs, even offsets applied) — so a hash match proves the whole
+    * training loop, not just the final table's shape.
+    */
+  def bpeTrain(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bpe.train(
+      t(s, dir, "documents").select(col("doc_id").as("id"),
+        TextFunctions.tokens(col("text")).as("toks")),
+      merges = 8).orderBy("merge_rank")
+
+  val bpeTrainSql: String = {
+    val T = 8
+    val rounds = (1 to T).map { t =>
+      s"""p$t AS MATERIALIZED (SELECT syms[i+1] AS s1, syms[i+2] AS s2, CAST(sum(n) AS BIGINT) AS cnt
+         |        FROM w$t, UNNEST(range(greatest(len(syms)-1, 0))) AS u(i)
+         |        GROUP BY 1, 2),
+         |b$t AS MATERIALIZED (SELECT s1, s2 FROM p$t ORDER BY cnt DESC, s1, s2 LIMIT 1),
+         |m$t AS (SELECT $t AS merge_rank, s1, s2, (SELECT max(cnt) FROM p$t) AS cnt FROM b$t),
+         |x$t AS MATERIALIZED (SELECT w.word, u.i
+         |        FROM w$t w, b$t b, UNNEST(range(greatest(len(w.syms)-1, 0))) AS u(i)
+         |        WHERE w.syms[u.i+1] = b.s1 AND w.syms[u.i+2] = b.s2),
+         |r$t AS (SELECT word, i, i - row_number() OVER (PARTITION BY word ORDER BY i) AS rg FROM x$t),
+         |ap$t AS MATERIALIZED (SELECT word, i FROM (
+         |           SELECT word, i, min(i) OVER (PARTITION BY word, rg) AS rs FROM r$t)
+         |         WHERE (i - rs) % 2 = 0),
+         |pos$t AS (SELECT word, n, syms, u.i FROM w$t, UNNEST(range(len(syms))) AS u(i)),
+         |w${t + 1} AS MATERIALIZED (
+         |  SELECT p.word,
+         |    list(CASE WHEN a1.i IS NOT NULL THEN p.syms[p.i+1] || p.syms[p.i+2]
+         |              ELSE p.syms[p.i+1] END ORDER BY p.i) AS syms,
+         |    any_value(p.n) AS n
+         |  FROM pos$t p
+         |  LEFT JOIN ap$t a1 ON a1.word = p.word AND a1.i = p.i
+         |  LEFT JOIN ap$t a2 ON a2.word = p.word AND a2.i = p.i - 1
+         |  WHERE a2.i IS NULL
+         |  GROUP BY p.word)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH w1 AS MATERIALIZED (
+       |  SELECT word, string_split(word, '') AS syms, CAST(count(*) AS BIGINT) AS n
+       |  FROM (SELECT unnest($toksD) AS word FROM documents)
+       |  GROUP BY word),
+       |$rounds,
+       |mm AS (${(1 to T).map(t => s"SELECT * FROM m$t").mkString(" UNION ALL ")})
+       |SELECT merge_rank, s1 AS lhs, s2 AS rhs, s1 || s2 AS merged, cnt
+       |FROM mm ORDER BY merge_rank""".stripMargin
+  }
+
   /** Multimodal decode plumbing: binary payloads through the batched
     * mapPartitions "decoder" (deterministic stub — see Multimodal docs).
     */
@@ -1309,6 +1359,7 @@ object TextQueries {
     "q_text_quality" -> (textQuality _),
     "q_text_tokens" -> (textTokens _),
     "q_text_fingerprint" -> (textFingerprint _),
+    "q_bpe_train" -> (bpeTrain _),
     "q_mm_decode" -> (mmDecode _),
     "q_mm_decode_image" -> (mmDecodeImage _),
     "q_mm_frames" -> (mmFrames _),
@@ -1346,6 +1397,7 @@ object TextQueries {
     "q_text_quality" -> textQualitySql,
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,
+    "q_bpe_train" -> bpeTrainSql,
     "q_mm_decode" -> mmDecodeSql,
     "q_mm_decode_image" -> mmDecodeImageSql,
     "q_mm_frames" -> mmFramesSql,

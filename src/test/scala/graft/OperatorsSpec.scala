@@ -284,6 +284,30 @@ class OperatorsSpec extends SparkSpec {
     assert(s30.nonEmpty && s60.size > s30.size)
   }
 
+  test("bpe: merge application is left-to-right non-overlapping") {
+    import graft.operators.Bpe
+    assert(Bpe.segment("aaaa", Seq(("a", "a"))) == Seq("aa", "aa"))
+    assert(Bpe.segment("aaa", Seq(("a", "a"))) == Seq("aa", "a"))
+    assert(Bpe.segment("hello", Seq(("l", "l"), ("e", "ll"), ("h", "ell")))
+      == Seq("hell", "o"))
+  }
+
+  test("bpe: training learns the dominant pair first, lexical tie-break") {
+    import graft.operators.Bpe
+    // "abab" x3 + "cd" x1: pair counts ab=6, ba=3, cd=1 -> first merge (a,b);
+    // round 2: (ab,ab)=3 beats (c,d)=1 -> second merge (ab,ab)
+    val docs = Seq(
+      (1L, Seq("abab", "abab", "abab", "cd"))).toDF("id", "toks")
+    val m = Bpe.train(docs, merges = 2).orderBy("merge_rank")
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getLong(4)))
+    assert(m.toSeq == Seq((1, "a", "b", "ab", 6L), (2, "ab", "ab", "abab", 3L)))
+    // tie-break: "ba" and "ab" both count 2 -> lexically smaller (a,b) wins
+    val tie = Seq((1L, Seq("ab", "ab", "ba", "ba"))).toDF("id", "toks")
+    val t1 = Bpe.train(tie, merges = 1).collect()(0)
+    assert((t1.getString(1), t1.getString(2)) == ("a", "b"))
+  }
+
   test("range join buckets are exact at epoch-ns magnitudes") {
     // 2026-era epoch ns ~ 1.78e18 — beyond double's 53-bit mantissa. A
     // float-division bucket key would misplace rows near bucket edges.
