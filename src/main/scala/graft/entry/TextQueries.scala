@@ -1328,10 +1328,38 @@ object TextQueries {
       |    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g')) AS normalized
       |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** NFC normalization: composed ("é") and decomposed ("e"+combining
+    * acute) spellings of the same word must unify byte-identically in
+    * both engines; n_chars drops to the composed count, proving real
+    * composition (a pass-through would differ in length AND bytes).
+    */
+  def textNormalizeNfc(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("doc_id"),
+        concat(substring(col("text"), 1, 40),
+          lit(" caf\u00e9 cafe\u0301 \u00e9e\u0301\u00e9 ")).as("raw"))
+      .select(col("doc_id"),
+        TextFunctions.normalizeTextNfc(col("raw")).as("normalized"))
+      .select(col("doc_id"), col("normalized"),
+        length(col("normalized")).as("n_chars"))
+      .orderBy("doc_id")
+
+  val textNormalizeNfcSql: String =
+    """WITH n AS (SELECT doc_id,
+      |  nfc_normalize(trim(regexp_replace(regexp_replace(
+      |    lower(substr(text, 1, 40) ||
+      |          ' caf' || chr(233) || ' cafe' || chr(769) || ' ' ||
+      |          chr(233) || 'e' || chr(769) || chr(233) || ' '),
+      |    '[\x00-\x1f\x7f]', ' ', 'g'), '\s+', ' ', 'g'))) AS normalized
+      |  FROM documents)
+      |SELECT doc_id, normalized, length(normalized) AS n_chars
+      |FROM n ORDER BY doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_sample_fixed" -> (sampleFixed _),
     "q_sample_fixed_group" -> (sampleFixedGroup _),
     "q_text_normalize" -> (textNormalize _),
+    "q_text_normalize_nfc" -> (textNormalizeNfc _),
     "q_pipeline_curate5" -> (pipelineCurate5 _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_quality_classifier" -> (qualityClassifier _),
@@ -1370,6 +1398,7 @@ object TextQueries {
     "q_sample_fixed" -> sampleFixedSql,
     "q_sample_fixed_group" -> sampleFixedGroupSql,
     "q_text_normalize" -> textNormalizeSql,
+    "q_text_normalize_nfc" -> textNormalizeNfcSql,
     "q_pipeline_curate5" -> pipelineCurate5Sql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_quality_classifier" -> qualityClassifierSql,

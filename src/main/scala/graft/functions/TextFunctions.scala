@@ -123,6 +123,20 @@ object TextFunctions {
     trim(regexp_replace(
       regexp_replace(lower(c), "[\\x00-\\x1F\\x7F]", " "), "\\s+", " "))
 
+  private val nfcUdf = udf((s: String) =>
+    if (s == null) null
+    else java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC))
+
+  /** [[normalizeText]] plus Unicode NFC composition — the multilingual
+    * variant: composed ("é") and decomposed ("e"+U+0301) spellings of the
+    * same text unify, so dedup digests and lexical matches stop splitting
+    * on byte-level encoding accidents. A UDF because Spark has no NFC
+    * built-in (`java.text.Normalizer` is the JDK's ICU-free implementation;
+    * DuckDB's `nfc_normalize` is the oracle mirror); runs after the ASCII
+    * canonicalization so the regex pipeline stays codegen'd.
+    */
+  def normalizeTextNfc(c: Column): Column = nfcUdf(normalizeText(c))
+
   /** Rolling polynomial fingerprint over the token stream:
     * h = fold(0, tokens)((acc, t) => (acc * 31 + stableHash32(t)) mod p).
     * Order-sensitive — two docs with the same bag of words but different

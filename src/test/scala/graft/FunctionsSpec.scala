@@ -266,6 +266,19 @@ class FunctionsSpec extends SparkSpec {
     assert(plain.nonEmpty && salted == plain)
   }
 
+  test("NFC normalization unifies composed and decomposed spellings") {
+    import spark.implicits._
+    import graft.functions.TextFunctions
+    val out = Seq(("caf\u00e9", "cafe\u0301"))
+      .toDF("composed", "decomposed")
+      .select(
+        TextFunctions.normalizeTextNfc(org.apache.spark.sql.functions.col("composed")).as("a"),
+        TextFunctions.normalizeTextNfc(org.apache.spark.sql.functions.col("decomposed")).as("b"))
+      .collect()(0)
+    assert(out.getString(0) == out.getString(1), "NFC must unify the spellings")
+    assert(out.getString(0).length == 4, "composed form is 4 chars")
+  }
+
   test("error firewall collapses unstable messages") {
     import graft.model.ErrorCodes
     assert(ErrorCodes.firewall("collection_not_found") == "collection_not_found")
