@@ -10,7 +10,30 @@ import graft.model.{BackendPolicy, ErrorCodes, GraftException}
   * response shapes, error codes) is what the reference's
   * tests/test_mcp_server.py asserts.
   */
-class McpSurface(api: Api) { // non-final: specs override tool methods to inject latches
+class McpSurface(
+    api: Api,
+    // Pluggable identity-entitlement resolver for listings — the engine
+    // analog of the reference's identity-scoped resource filter
+    // (mcp_server.py:61-80: caller's groups decide which resources list by
+    // default; applied to list_collections at :179-198). (namespace,
+    // names) => allowed names. FAIL-OPEN like the reference: a resolver
+    // error must never break listing — the full set returns.
+    entitlements: Option[(String, Seq[String]) => Seq[String]] = None
+) { // non-final: specs override tool methods to inject latches
+
+  /** Filter `names` through the entitlement resolver. Catalog order is
+    * preserved and the resolver cannot invent names (intersection only);
+    * any resolver exception degrades to the full set (mcp_server.py:79-80).
+    */
+  private def entitled(namespace: String, names: Seq[String]): Seq[String] =
+    entitlements match {
+      case None => names
+      case Some(resolve) =>
+        try {
+          val allowed = resolve(namespace, names).toSet
+          names.filter(allowed)
+        } catch { case _: Exception => names }
+    }
 
   /** vector_collection_management(action in {create_collection,
     * add_documents, delete_collection, list_collections}).
@@ -62,8 +85,12 @@ class McpSurface(api: Api) { // non-final: specs override tool methods to inject
         Map("status" -> st.status, "collection" -> st.collection,
           "db_type" -> backend)
       case "list_collections" =>
+        // entitlement filter on the LISTING only (namespace "collection",
+        // mcp_server.py:189) — point lookups stay governed by their own
+        // collection_not_found contract
         Map("collections" ->
-          api.listCollections().map(n => Map("collection_name" -> n)),
+          entitled("collection", api.listCollections())
+            .map(n => Map("collection_name" -> n)),
           "db_type" -> backend)
     }
   }

@@ -227,6 +227,33 @@ class SurfaceSpec extends SparkSpec {
         collectionName = "mc")).code == ErrorCodes.DeleteConfirmationRequired)
   }
 
+  test("mcp surface: entitlement filter scopes listing, fails open") {
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, dir, new DeterministicHashEmbedder(32))
+    import spark.implicits._
+    val base = new McpSurface(api)
+    base.vectorCollectionManagement("create_collection", collectionName = "teama",
+      documents = Some(Seq("a doc").toDF("content")))
+    base.vectorCollectionManagement("create_collection", collectionName = "teamb",
+      documents = Some(Seq("b doc").toDF("content")))
+    def names(m: Map[String, Any]): Seq[String] =
+      m("collections").asInstanceOf[Seq[Map[String, Any]]]
+        .map(_("collection_name").asInstanceOf[String])
+    // entitled subset lists; resolver cannot invent names
+    val scoped = new McpSurface(api, entitlements =
+      Some((ns, ns2) => { assert(ns == "collection"); Seq("teama", "ghost") }))
+    assert(names(scoped.vectorCollectionManagement("list_collections"))
+      == Seq("teama"))
+    // resolver failure = FULL set (fail-open, mcp_server.py:79-80)
+    val failing = new McpSurface(api, entitlements =
+      Some((_, _) => throw new RuntimeException("idp down")))
+    assert(names(failing.vectorCollectionManagement("list_collections"))
+      == Seq("teama", "teamb"))
+    // no resolver configured = unchanged behavior
+    assert(names(base.vectorCollectionManagement("list_collections"))
+      == Seq("teama", "teamb"))
+  }
+
   test("mcp surface: execution-variant routing via semanticMode/lexicalMode") {
     val dir = Files.createTempDirectory("graft-wh").toString
     val api = new Api(spark, dir, new DeterministicHashEmbedder(32))
