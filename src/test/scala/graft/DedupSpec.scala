@@ -199,4 +199,31 @@ class DedupSpec extends SparkSpec {
       assert(rs.count(_.getBoolean(3)) == 1)
     }
   }
+
+  test("embeddingNearDups sizeHint skips the routing pass over the source") {
+    import org.apache.spark.sql.functions._
+    val n = 40
+    // an "expensive derived frame": a mapPartitions transform Spark cannot
+    // prune, instrumented with an accumulator counting rows PRODUCED — each
+    // full execution of the upstream adds exactly n
+    def instrumented(acc: org.apache.spark.util.LongAccumulator) = {
+      import spark.implicits._
+      spark.range(n).as[Long].mapPartitions { it =>
+        it.map { i =>
+          acc.add(1)
+          (i, Array.tabulate(4)(d => (i % 7 + d).toFloat))
+        }
+      }.toDF("id", "embedding")
+        .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+    }
+    val withHint = spark.sparkContext.longAccumulator("withHint")
+    Dedup.embeddingNearDups(instrumented(withHint), threshold = 0.9,
+      sizeHint = Some(n.toLong)).count()
+    val noHint = spark.sparkContext.longAccumulator("noHint")
+    Dedup.embeddingNearDups(instrumented(noHint), threshold = 0.9).count()
+    // identical work except the routing count: the hint saves exactly one
+    // full upstream execution
+    assert(noHint.value == withHint.value + n,
+      s"hint=${withHint.value} nohint=${noHint.value}")
+  }
 }
