@@ -173,6 +173,22 @@ object ScaleProbe {
       graft.ingest.BloomGate.notExisting(
         docs.select("id"), batch, "id", bloomSketch).count()
     }
+    // approx swap-ins vs their exact oracles: the exact forms pay a
+    // per-group sort (percentile) / an Expand duplication (distinct); the
+    // sketch forms (GK percentile, HLL distinct) are mergeable partials —
+    // the gap is the price of exactness the 100 TB path avoids
+    val profDocs = docs.select(col("id"), col("content"),
+      (graft.functions.TextFunctions.stableHash32(col("id")) % 20).as("grp"),
+      length(col("content")).cast("double").as("v"))
+    time("percentiles_exact")(
+      graft.operators.Profile.percentiles(profDocs, "grp", "v").count())
+    time("percentiles_approx")(
+      graft.operators.Profile.percentiles(profDocs, "grp", "v", approx = true).count())
+    time("profile_exact")(
+      graft.operators.Profile.profile(profDocs, Seq("id", "content", "grp")).count())
+    time("profile_approx")(
+      graft.operators.Profile.profile(profDocs, Seq("id", "content", "grp"),
+        approxDistinct = true).count())
     // BPE training: one corpus pass to the vocab-sized word table, then
     // per-round keyed pair aggs over that table — rounds should scale with
     // VOCAB (which the salted replicas grow M-fold), staying shuffles over

@@ -42,4 +42,32 @@ object Profile {
         col(s"__max_$c").as("max_value"))): _*)).as("p"))
       .select("p.*")
   }
+
+  /** Grouped quantiles with an exact/approx switch — the distribution
+    * fingerprint (p50/p90/p99 token lengths etc.) every curation batch
+    * reports. Exact `percentile` is a per-group sort — the oracle-checkable
+    * form, fine to ~10^8 rows/group; `approx = true` swaps in
+    * `approx_percentile` (Greenwald-Khanna sketch, mergeable partials, no
+    * sort) whose rank error is bounded by 1/`accuracy` — the 100 TB form.
+    * Output long-form: (group, p, value).
+    */
+  def percentiles(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      ps: Seq[Double] = Seq(0.5, 0.9, 0.99),
+      approx: Boolean = false,
+      accuracy: Int = 10000): DataFrame = {
+    require(ps.nonEmpty && ps.forall(p => p >= 0.0 && p <= 1.0),
+      s"percentiles must lie in [0,1]: $ps")
+    val arr = array(ps.map(lit): _*)
+    val agg =
+      if (approx) approx_percentile(col(valueCol).cast("double"), arr, lit(accuracy))
+      else percentile(col(valueCol).cast("double"), arr)
+    df.groupBy(groupCol)
+      .agg(agg.as("__q"))
+      .select(col(groupCol).as("group"),
+        explode(arrays_zip(array(ps.map(lit): _*).as("p"), col("__q").as("value"))).as("z"))
+      .select(col("group"), col("z.p").as("p"), col("z.value").cast("double").as("value"))
+  }
 }
