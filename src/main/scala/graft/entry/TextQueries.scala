@@ -138,8 +138,39 @@ object TextQueries {
         TextFunctions.tokens(col("text")).as("toks")),
       merges = 8).orderBy("merge_rank")
 
+  /** Corpus segmentation under the learned table: every vocabulary word's
+    * subword pieces after the same 8 merges — the apply half of the loop,
+    * sharing the oracle's round chain so train and segment are checked
+    * against one derivation.
+    */
+  def bpeSegment(s: SparkSession, dir: String): DataFrame = {
+    val toks = t(s, dir, "documents").select(col("doc_id").as("id"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    val rules = graft.operators.Bpe.train(toks, merges = 8)
+      .orderBy("merge_rank").collect()
+      .map(r => (r.getString(1), r.getString(2))).toSeq
+    graft.operators.Bpe.segmentWords(toks, rules).orderBy("word")
+  }
+
+  val bpeSegmentSql: String =
+    s"""WITH ${bpeChainSql(8)}
+       |SELECT word, array_to_string(syms, ' ') AS pieces,
+       |       CAST(len(syms) AS INTEGER) AS n_pieces, n
+       |FROM w9 ORDER BY word""".stripMargin
+
   val bpeTrainSql: String = {
     val T = 8
+    s"""WITH ${bpeChainSql(T)},
+       |mm AS (${(1 to T).map(t => s"SELECT * FROM m$t").mkString(" UNION ALL ")})
+       |SELECT merge_rank, s1 AS lhs, s2 AS rhs, s1 || s2 AS merged, cnt
+       |FROM mm ORDER BY merge_rank""".stripMargin
+  }
+
+  /** The shared T-round BPE derivation (w1..w{T+1}, p/b/m/x/r/ap/pos per
+    * round) — materialized CTEs, since DuckDB inlines plain CTE chains
+    * exponentially.
+    */
+  private def bpeChainSql(T: Int): String = {
     val rounds = (1 to T).map { t =>
       s"""p$t AS MATERIALIZED (SELECT syms[i+1] AS s1, syms[i+2] AS s2, CAST(sum(n) AS BIGINT) AS cnt
          |        FROM w$t, UNNEST(range(greatest(len(syms)-1, 0))) AS u(i)
@@ -165,14 +196,11 @@ object TextQueries {
          |  WHERE a2.i IS NULL
          |  GROUP BY p.word)""".stripMargin
     }.mkString(",\n")
-    s"""WITH w1 AS MATERIALIZED (
+    s"""w1 AS MATERIALIZED (
        |  SELECT word, string_split(word, '') AS syms, CAST(count(*) AS BIGINT) AS n
        |  FROM (SELECT unnest($toksD) AS word FROM documents)
        |  GROUP BY word),
-       |$rounds,
-       |mm AS (${(1 to T).map(t => s"SELECT * FROM m$t").mkString(" UNION ALL ")})
-       |SELECT merge_rank, s1 AS lhs, s2 AS rhs, s1 || s2 AS merged, cnt
-       |FROM mm ORDER BY merge_rank""".stripMargin
+       |$rounds""".stripMargin
   }
 
   /** Multimodal decode plumbing: binary payloads through the batched
@@ -233,6 +261,47 @@ object TextQueries {
       |  CAST((299*r + 587*g + 114*b) // 1000 AS BIGINT) AS luma,
       |  CAST(0 AS BIGINT) AS f_spread
       |FROM m ORDER BY id""".stripMargin
+
+  /** REAL pixel resize roundtrip: solid PNGs (varied dims straddling the
+    * 128 cap) go through [[Multimodal.resizePixels]] — actual box-sampled
+    * pixels, re-encoded PNG — and the OUTPUT bytes are decoded again:
+    * recovered dims must equal the integer scaling arithmetic and the
+    * solid fill's luma must survive resampling exactly (integer area
+    * average of a constant is the constant). The oracle replays the
+    * arithmetic without seeing any bytes.
+    */
+  def mmResizeReal(s: SparkSession, dir: String): DataFrame = {
+    val png = udf((id: Long) => Multimodal.solidPng(
+      (60 + id % 190).toInt, (60 + (id * 3) % 130).toInt,
+      (id % 256).toInt, ((id * 5) % 256).toInt, ((id * 11) % 256).toInt))
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), lit("image").as("modality"),
+        png(col("doc_id").cast("long")).as("data"))
+    val resized = Multimodal.resizePixels(media, maxDim = 128)
+    val dec = Multimodal.decode(
+      resized.select(col("id"), lit("image").as("modality"), col("data")))
+    resized.select("id", "width", "height", "out_w", "out_h", "resized")
+      .join(dec.select(col("id"), col("width").as("dec_w"),
+        col("height").as("dec_h"),
+        round(element_at(col("features"), 1) * 255).cast("long").as("luma")), "id")
+      .orderBy("id")
+  }
+
+  val mmResizeRealSql: String =
+    """WITH m AS (SELECT doc_id AS id,
+      |  60 + doc_id % 190 AS w, 60 + (doc_id*3) % 130 AS h,
+      |  doc_id % 256 AS r, (doc_id*5) % 256 AS g, (doc_id*11) % 256 AS b
+      |  FROM documents),
+      |d AS (SELECT id, w, h, greatest(w, h) AS mx, r, g, b FROM m),
+      |o AS (SELECT id, w, h,
+      |  CASE WHEN mx <= 128 THEN w ELSE greatest(1, CAST(w * 128 // mx AS INTEGER)) END AS out_w,
+      |  CASE WHEN mx <= 128 THEN h ELSE greatest(1, CAST(h * 128 // mx AS INTEGER)) END AS out_h,
+      |  mx > 128 AS resized, r, g, b FROM d)
+      |SELECT id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h, resized,
+      |  CAST(out_w AS INTEGER) AS dec_w, CAST(out_h AS INTEGER) AS dec_h,
+      |  CAST((299*r + 587*g + 114*b) // 1000 AS BIGINT) AS luma
+      |FROM o ORDER BY id""".stripMargin
 
   /** Frame-sampling shape over the decoded media: every 2nd frame of each
     * payload's n_frames — the (id, frame_idx) layout a video pipeline feeds
@@ -1388,8 +1457,10 @@ object TextQueries {
     "q_text_tokens" -> (textTokens _),
     "q_text_fingerprint" -> (textFingerprint _),
     "q_bpe_train" -> (bpeTrain _),
+    "q_bpe_segment" -> (bpeSegment _),
     "q_mm_decode" -> (mmDecode _),
     "q_mm_decode_image" -> (mmDecodeImage _),
+    "q_mm_resize_real" -> (mmResizeReal _),
     "q_mm_frames" -> (mmFrames _),
     "q_mm_resize" -> (mmResize _)
   )
@@ -1427,8 +1498,10 @@ object TextQueries {
     "q_text_tokens" -> textTokensSql,
     "q_text_fingerprint" -> textFingerprintSql,
     "q_bpe_train" -> bpeTrainSql,
+    "q_bpe_segment" -> bpeSegmentSql,
     "q_mm_decode" -> mmDecodeSql,
     "q_mm_decode_image" -> mmDecodeImageSql,
+    "q_mm_resize_real" -> mmResizeRealSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_resize" -> mmResizeSql
   )

@@ -167,11 +167,87 @@ object Multimodal {
     }.toDF()
   }
 
+  /** Aspect-preserving target dims capped at maxDim: the shared integer
+    * arithmetic of [[resizeStub]] (planning) and [[resizePixels]] (real).
+    */
+  private def targetDims(w: Int, h: Int, maxDim: Int): (Int, Int, Boolean) = {
+    val m = math.max(w, h)
+    if (m <= maxDim) (w, h, false)
+    else (math.max(1, (w.toLong * maxDim / m).toInt),
+      math.max(1, (h.toLong * maxDim / m).toInt), true)
+  }
+
+  /** REAL pixel resize over (id, modality, data) payloads: PNG/JPEG inputs
+    * decode, box-sample (integer area average per channel — exact for
+    * solid regions, deterministic everywhere) down to the aspect-preserving
+    * cap, and re-encode as PNG; images already within bounds and non-image
+    * payloads pass through untouched. Output: (id, width, height, out_w,
+    * out_h, resized, data) where data carries the RESIZED PNG bytes — the
+    * roundtrip an oracle checks by decoding them again.
+    */
+  def resizePixels(media: DataFrame, maxDim: Int = 256): DataFrame = {
+    require(maxDim >= 1, s"need maxDim >= 1 (got $maxDim)")
+    val spark = media.sparkSession
+    import spark.implicits._
+    val ds: Dataset[(Long, String, Array[Byte])] =
+      media.select(col("id").cast("long"), col("modality"), col("data"))
+        .as[(Long, String, Array[Byte])]
+    ds.map { case (id, _, data) =>
+      val img =
+        if (isPng(data) || isJpeg(data))
+          try Option(ImageIO.read(new ByteArrayInputStream(data)))
+          catch { case _: Exception => None }
+        else None
+      img match {
+        case None => (id, -1, -1, -1, -1, false, data) // pass-through
+        case Some(im) =>
+          val w = im.getWidth
+          val h = im.getHeight
+          val (ow, oh, scaled) = targetDims(w, h, maxDim)
+          if (!scaled) (id, w, h, ow, oh, false, data)
+          else {
+            val out = new java.awt.image.BufferedImage(
+              ow, oh, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            var oy = 0
+            while (oy < oh) {
+              val y0 = (oy.toLong * h / oh).toInt
+              val y1 = math.max(y0 + 1, ((oy + 1).toLong * h / oh).toInt)
+              var ox = 0
+              while (ox < ow) {
+                val x0 = (ox.toLong * w / ow).toInt
+                val x1 = math.max(x0 + 1, ((ox + 1).toLong * w / ow).toInt)
+                var sr = 0L; var sg = 0L; var sb = 0L
+                var y = y0
+                while (y < y1) {
+                  var x = x0
+                  while (x < x1) {
+                    val rgb = im.getRGB(x, y)
+                    sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+                    x += 1
+                  }
+                  y += 1
+                }
+                val cnt = (y1 - y0).toLong * (x1 - x0)
+                out.setRGB(ox, oy,
+                  (((sr / cnt) & 0xff) << 16).toInt |
+                    (((sg / cnt) & 0xff) << 8).toInt | ((sb / cnt) & 0xff).toInt)
+                ox += 1
+              }
+              oy += 1
+            }
+            val bos = new java.io.ByteArrayOutputStream()
+            ImageIO.write(out, "png", bos)
+            (id, w, h, ow, oh, true, bos.toByteArray)
+          }
+      }
+    }.toDF("id", "width", "height", "out_w", "out_h", "resized", "data")
+  }
+
   /** Resize planning over decoded media: aspect-preserving target
     * dimensions capped at `maxDim` (no-op when already within bounds),
     * plus the scale decision — the metadata half of a resize stage. The
-    * pixel half belongs in [[decode]]'s replaceable body; this column
-    * arithmetic is exact integer math so an oracle can replay it.
+    * pixel half lives in [[resizePixels]]; this column arithmetic is exact
+    * integer math so an oracle can replay it.
     */
   def resizeStub(decoded: DataFrame, maxDim: Int = 256): DataFrame = {
     val m = greatest(col("width"), col("height"))

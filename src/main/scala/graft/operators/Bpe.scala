@@ -104,4 +104,26 @@ object Bpe {
     rules.foldLeft(word.split("").filter(_.nonEmpty).toSeq) {
       case (syms, (a, b)) => applyMerge(syms, a, b)
     }
+
+  /** Corpus segmentation under a learned merge table — the apply half of
+    * the tokenizer loop. Scale-correct form: each DISTINCT word segments
+    * exactly once over the vocabulary-sized table (rules ride the UDF
+    * closure — a broadcast of T pairs); mapping the corpus back to
+    * per-occurrence subwords is then a hash join against this frame, never
+    * a per-occurrence re-segmentation. Output: (word, pieces, n_pieces, n)
+    * with pieces space-joined (symbols are space-free by construction).
+    */
+  def segmentWords(
+      docsToks: DataFrame, rules: Seq[(String, String)]): DataFrame = {
+    val segUdf = udf((w: String) => {
+      val pieces = segment(w, rules)
+      (pieces.mkString(" "), pieces.length)
+    })
+    docsToks
+      .select(explode(col("toks")).as("word"))
+      .groupBy("word").agg(count(lit(1)).as("n"))
+      .withColumn("__s", segUdf(col("word")))
+      .select(col("word"), col("__s._1").as("pieces"),
+        col("__s._2").as("n_pieces"), col("n"))
+  }
 }

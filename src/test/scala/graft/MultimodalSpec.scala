@@ -63,6 +63,37 @@ class MultimodalSpec extends SparkSpec {
     assert(f.forall(v => math.abs(v - luma) < 0.02), s"jpeg luma drifted: $f")
   }
 
+  test("resizePixels: box-average downscale is exact on a gradient") {
+    // 8x2 gradient (grey x*30) -> 4x1: each out pixel averages a 2x2 box
+    // of greys {v, v+30} twice -> v+15. Decode of the re-encoded PNG must
+    // see [15, 75, 135, 195] in the first grid row (second row empty -> 0).
+    val out = Multimodal.resizePixels(
+      mediaDF((5L, "image", gradientPng(8, 2))), maxDim = 4).collect().head
+    assert((out.getAs[Int]("width"), out.getAs[Int]("height")) == (8, 2))
+    assert((out.getAs[Int]("out_w"), out.getAs[Int]("out_h")) == (4, 1))
+    assert(out.getAs[Boolean]("resized"))
+    val dec = Multimodal.decode(mediaDF(
+      (5L, "image", out.getAs[Array[Byte]]("data")))).collect().head
+    assert((dec.getAs[Int]("width"), dec.getAs[Int]("height")) == (4, 1))
+    val f = dec.getSeq[Float](dec.fieldIndex("features"))
+    val expect = Seq(15, 75, 135, 195).map(v => (v / 255.0).toFloat) ++
+      Seq(0f, 0f, 0f, 0f)
+    assert(f == expect, s"resampled grid off: $f")
+  }
+
+  test("resizePixels: within-bounds and non-image payloads pass through") {
+    val small = Multimodal.solidPng(10, 6, 1, 2, 3)
+    val rows = Multimodal.resizePixels(mediaDF(
+      (1L, "image", small),
+      (2L, "audio", "not an image".getBytes("UTF-8"))), maxDim = 64)
+      .collect().sortBy(_.getLong(0))
+    assert(!rows(0).getAs[Boolean]("resized") &&
+      rows(0).getAs[Array[Byte]]("data").sameElements(small))
+    assert(rows(1).getAs[Int]("width") == -1, "non-image marked undecoded")
+    assert(rows(1).getAs[Array[Byte]]("data")
+      .sameElements("not an image".getBytes("UTF-8")))
+  }
+
   test("truncated PNG falls back to the stub instead of failing the batch") {
     val broken = Multimodal.solidPng(16, 16, 1, 2, 3).take(20) // magic intact, body gone
     val out = Multimodal.decode(mediaDF((3L, "image", broken))).collect().head
