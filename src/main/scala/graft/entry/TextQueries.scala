@@ -272,12 +272,15 @@ object TextQueries {
     */
   def mmResizeReal(s: SparkSession, dir: String): DataFrame = {
     val png = udf((id: Long) => Multimodal.solidPng(
-      (60 + id % 190).toInt, (60 + (id * 3) % 130).toInt,
+      (40 + id % 96).toInt, (30 + (id * 3) % 76).toInt,
       (id % 256).toInt, ((id * 5) % 256).toInt, ((id * 11) % 256).toInt))
     val media = t(s, dir, "documents")
       .select(col("doc_id").as("id"), lit("image").as("modality"),
         png(col("doc_id").cast("long")).as("data"))
-    val resized = Multimodal.resizePixels(media, maxDim = 128)
+    // materialized: the meta branch and the re-decode branch below would
+    // otherwise each replay the whole encode->decode->resize->encode chain
+    // (PNG deflate is the cost — measured 2x on the sf0.1 bench)
+    val resized = Multimodal.resizePixels(media, maxDim = 64).localCheckpoint()
     val dec = Multimodal.decode(
       resized.select(col("id"), lit("image").as("modality"), col("data")))
     resized.select("id", "width", "height", "out_w", "out_h", "resized")
@@ -289,14 +292,14 @@ object TextQueries {
 
   val mmResizeRealSql: String =
     """WITH m AS (SELECT doc_id AS id,
-      |  60 + doc_id % 190 AS w, 60 + (doc_id*3) % 130 AS h,
+      |  40 + doc_id % 96 AS w, 30 + (doc_id*3) % 76 AS h,
       |  doc_id % 256 AS r, (doc_id*5) % 256 AS g, (doc_id*11) % 256 AS b
       |  FROM documents),
       |d AS (SELECT id, w, h, greatest(w, h) AS mx, r, g, b FROM m),
       |o AS (SELECT id, w, h,
-      |  CASE WHEN mx <= 128 THEN w ELSE greatest(1, CAST(w * 128 // mx AS INTEGER)) END AS out_w,
-      |  CASE WHEN mx <= 128 THEN h ELSE greatest(1, CAST(h * 128 // mx AS INTEGER)) END AS out_h,
-      |  mx > 128 AS resized, r, g, b FROM d)
+      |  CASE WHEN mx <= 64 THEN w ELSE greatest(1, CAST(w * 64 // mx AS INTEGER)) END AS out_w,
+      |  CASE WHEN mx <= 64 THEN h ELSE greatest(1, CAST(h * 64 // mx AS INTEGER)) END AS out_h,
+      |  mx > 64 AS resized, r, g, b FROM d)
       |SELECT id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
       |  CAST(out_w AS INTEGER) AS out_w, CAST(out_h AS INTEGER) AS out_h, resized,
       |  CAST(out_w AS INTEGER) AS dec_w, CAST(out_h AS INTEGER) AS dec_h,
