@@ -249,6 +249,54 @@ object CorpusFilters {
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
 
+  /** CCNet-style PARAGRAPH dedup (Wenzek et al. 2019 §4.1: "we remove
+    * duplicated paragraphs" corpus-wide before language modeling): split
+    * each document on `sep`, keep only the globally FIRST occurrence of
+    * every distinct paragraph (order: lowest (id, pos)), reassemble the
+    * survivors per document in original order. Differs from [[spanDedup]]
+    * in its unit — whole separator-delimited paragraphs, not overlapping
+    * k-gram spans — which is the cheap form boilerplate headers/footers
+    * actually dedupe under.
+    *
+    * Scale shape: one explode to (id, pos, par) rows, one keyed
+    * (paragraph) aggregation for the first-occurrence winner (the
+    * min(struct(id,pos)) argmin — map-side combinable), and a per-doc
+    * ordered reassembly bounded by the document's own paragraph count.
+    * Never all-pairs, no corpus-wide window.
+    *
+    * Output: (id, n_pars, kept_pars, cleaned) — documents whose every
+    * paragraph lost keep a row with empty `cleaned`.
+    */
+  def paragraphDedup(
+      docs: DataFrame,
+      sep: String = "\n",
+      idCol: String = "id",
+      contentCol: String = "content"): DataFrame = {
+    val pars = docs
+      .select(col(idCol).as("id"),
+        posexplode(split(col(contentCol), java.util.regex.Pattern.quote(sep)))
+          .as(Seq("pos", "par")))
+      .filter(trim(col("par")) =!= "")
+    // global argmin per paragraph: the ONLY shuffle keyed on content
+    val kept = pars
+      .groupBy("par")
+      .agg(min(struct(col("id"), col("pos"))).as("f"))
+      .select(col("f.id").as("id"), col("f.pos").as("pos"), col("par"))
+    val rebuilt = kept
+      .groupBy("id")
+      .agg(count(lit(1)).as("kept_pars"),
+        array_join(array_sort(collect_list(struct(col("pos"), col("par"))))
+          .getField("par"), sep).as("cleaned"))
+    docs
+      .select(col(idCol).as("id"),
+        size(filter(split(col(contentCol), java.util.regex.Pattern.quote(sep)),
+          p => trim(p) =!= "")).cast("long").as("n_pars"))
+      .join(rebuilt, Seq("id"), "left")
+      .select(col("id"), col("n_pars"),
+        coalesce(col("kept_pars"), lit(0L)).as("kept_pars"),
+        coalesce(col("cleaned"), lit("")).as("cleaned"))
+  }
+
   /** [[boilerplateCoverage]] over an existing (id, toks) frame. */
   def boilerplateCoverageFromToks(
       tokd: DataFrame,

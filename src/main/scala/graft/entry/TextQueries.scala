@@ -125,6 +125,44 @@ object TextQueries {
        |    (a, b) -> (a * 31 + b) % 1000000007) AS fingerprint
        |FROM documents ORDER BY doc_id""".stripMargin
 
+  /** CCNet paragraph dedup: documents re-chunked into 3-token
+    * pseudo-paragraphs (the corpus has no newlines; both engines replay
+    * the chunking), then corpus-wide first-occurrence paragraph
+    * deduplication with per-doc reassembly
+    * ([[graft.dedup.CorpusFilters.paragraphDedup]]).
+    */
+  def textParagraphDedup(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val docs = t(s, dir, "documents").select(col("doc_id").as("id"),
+      array_join(transform(
+        sequence(lit(0), greatest(ceil(size(toks) / 3.0).cast("int") - 1, lit(0))),
+        i => array_join(slice(toks, i * 3 + 1, lit(3)), " ")), "\n").as("content"))
+    graft.dedup.CorpusFilters.paragraphDedup(docs).orderBy("id")
+  }
+
+  val textParagraphDedupSql: String =
+    s"""WITH d0 AS (SELECT doc_id AS id, $toksD AS toks FROM documents),
+       |d AS (SELECT id, array_to_string(list_transform(
+       |        range(greatest(CAST(ceil(len(toks)/3.0) AS INT), 1)),
+       |        i -> array_to_string(toks[i*3+1:i*3+3], ' ')), chr(10)) AS content
+       |      FROM d0),
+       |p0 AS (SELECT id, string_split(content, chr(10)) AS parts FROM d),
+       |p AS (SELECT id, u.i AS pos, parts[u.i+1] AS par
+       |      FROM p0, UNNEST(range(len(parts))) u(i)
+       |      WHERE trim(parts[u.i+1]) <> ''),
+       |k AS (SELECT id, pos, par FROM (
+       |        SELECT id, pos, par,
+       |               row_number() OVER (PARTITION BY par ORDER BY id, pos) AS rn
+       |        FROM p) WHERE rn = 1),
+       |r AS (SELECT id, CAST(count(*) AS BIGINT) AS kept_pars,
+       |             string_agg(par, chr(10) ORDER BY pos) AS cleaned
+       |      FROM k GROUP BY id),
+       |n AS (SELECT id, CAST(len(list_filter(string_split(content, chr(10)),
+       |             x -> trim(x) <> '')) AS BIGINT) AS n_pars FROM d)
+       |SELECT n.id, n.n_pars, coalesce(r.kept_pars, 0) AS kept_pars,
+       |       coalesce(r.cleaned, '') AS cleaned
+       |FROM n LEFT JOIN r USING (id) ORDER BY id""".stripMargin
+
   /** BPE merge training: 8 rounds of highest-frequency-pair merges over
     * the corpus vocabulary ([[graft.operators.Bpe]]). The oracle replays
     * ALL 8 rounds — pair counts, lexical tie-break argmax, and the exact
@@ -1461,6 +1499,7 @@ object TextQueries {
     "q_text_fingerprint" -> (textFingerprint _),
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_segment" -> (bpeSegment _),
+    "q_dedup_paragraph" -> (textParagraphDedup _),
     "q_mm_decode" -> (mmDecode _),
     "q_mm_decode_image" -> (mmDecodeImage _),
     "q_mm_resize_real" -> (mmResizeReal _),
@@ -1502,6 +1541,7 @@ object TextQueries {
     "q_text_fingerprint" -> textFingerprintSql,
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_segment" -> bpeSegmentSql,
+    "q_dedup_paragraph" -> textParagraphDedupSql,
     "q_mm_decode" -> mmDecodeSql,
     "q_mm_decode_image" -> mmDecodeImageSql,
     "q_mm_resize_real" -> mmResizeRealSql,

@@ -92,6 +92,22 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(r(1L) == "aa bb cc dd ee" && r(2L) == "ff gg hh ii")
   }
 
+  test("paragraph dedup: first occurrence wins corpus-wide and within-doc") {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "intro text\nshared boilerplate\nunique one"),
+      (2L, "shared boilerplate\nunique two\nshared boilerplate"),
+      (3L, "shared boilerplate")) // everything a dup -> empty cleaned
+      .toDF("id", "content")
+    val out = CorpusFilters.paragraphDedup(docs)
+      .collect().map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3))).toMap
+    assert(out(1L) == (3L, 3L, "intro text\nshared boilerplate\nunique one"))
+    // doc 2: both copies of the shared par lose (doc 1 owns it), order kept
+    assert(out(2L) == (3L, 1L, "unique two"))
+    assert(out(3L) == (1L, 0L, ""), "fully-deduped doc keeps a row")
+  }
+
   test("repetition signals on the documents table are sane") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))
