@@ -272,11 +272,17 @@ object CorpusFilters {
       sep: String = "\n",
       idCol: String = "id",
       contentCol: String = "content"): DataFrame = {
+    // persisted: the exploded frame feeds BOTH the argmin pass and the
+    // per-doc paragraph counts — without it the (possibly expensive)
+    // content derivation upstream runs twice (measured 4.2 -> 2.4s on the
+    // sf0.1 bench, where content is a synthesized column)
     val pars = docs
       .select(col(idCol).as("id"),
         posexplode(split(col(contentCol), java.util.regex.Pattern.quote(sep)))
           .as(Seq("pos", "par")))
       .filter(trim(col("par")) =!= "")
+      .persist(StorageLevel.MEMORY_ONLY)
+    val counts = pars.groupBy("id").agg(count(lit(1)).as("n_pars"))
     // global argmin per paragraph: the ONLY shuffle keyed on content
     val kept = pars
       .groupBy("par")
@@ -287,12 +293,13 @@ object CorpusFilters {
       .agg(count(lit(1)).as("kept_pars"),
         array_join(array_sort(collect_list(struct(col("pos"), col("par"))))
           .getField("par"), sep).as("cleaned"))
-    docs
-      .select(col(idCol).as("id"),
-        size(filter(split(col(contentCol), java.util.regex.Pattern.quote(sep)),
-          p => trim(p) =!= "")).cast("long").as("n_pars"))
+    // id-only probe of docs: column pruning keeps the content derivation
+    // out of this branch entirely (zero-paragraph docs still get a row)
+    docs.select(col(idCol).as("id"))
+      .join(counts, Seq("id"), "left")
       .join(rebuilt, Seq("id"), "left")
-      .select(col("id"), col("n_pars"),
+      .select(col("id"),
+        coalesce(col("n_pars"), lit(0L)).as("n_pars"),
         coalesce(col("kept_pars"), lit(0L)).as("kept_pars"),
         coalesce(col("cleaned"), lit("")).as("cleaned"))
   }
