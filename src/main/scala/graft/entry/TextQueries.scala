@@ -312,7 +312,10 @@ object TextQueries {
     val png = udf((id: Long) => Multimodal.solidPng(
       (40 + id % 96).toInt, (30 + (id * 3) % 76).toInt,
       (id % 256).toInt, ((id * 5) % 256).toInt, ((id * 11) % 256).toInt))
+    // 1-in-5 deterministic slice: the roundtrip proof is per-image — more
+    // images add deflate cost (the dominant term), not evidence
     val media = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
       .select(col("doc_id").as("id"), lit("image").as("modality"),
         png(col("doc_id").cast("long")).as("data"))
     // materialized: the meta branch and the re-decode branch below would
@@ -332,7 +335,7 @@ object TextQueries {
     """WITH m AS (SELECT doc_id AS id,
       |  40 + doc_id % 96 AS w, 30 + (doc_id*3) % 76 AS h,
       |  doc_id % 256 AS r, (doc_id*5) % 256 AS g, (doc_id*11) % 256 AS b
-      |  FROM documents),
+      |  FROM documents WHERE doc_id % 5 = 0),
       |d AS (SELECT id, w, h, greatest(w, h) AS mx, r, g, b FROM m),
       |o AS (SELECT id, w, h,
       |  CASE WHEN mx <= 64 THEN w ELSE greatest(1, CAST(w * 64 // mx AS INTEGER)) END AS out_w,
