@@ -219,6 +219,34 @@ object DedupQueries {
       |WHERE bit_count(xor(a.fp_hi, b.fp_hi)) + bit_count(xor(a.fp_lo, b.fp_lo)) <= 3
       |ORDER BY a, b""".stripMargin
 
+  // ---- hard-negative mining (contrastive-training data op) ----
+  //      anchors = every 50th vector; positives = the (anchor, anchor+1)
+  //      pair; top-5 most-similar non-positive non-self negatives. Exact
+  //      form (the oracle); the blocked IVF variant is the scale path,
+  //      recall-spec'd in MiningSpec.
+  def hardNegatives(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val anchors = vecs.filter(col("id") % 50 === 0)
+      .select(col("id").as("anchor_id"))
+    val positives = anchors.select(col("anchor_id"),
+      (col("anchor_id") + 1).as("pos_id"))
+    graft.operators.Mining.hardNegatives(vecs, anchors, positives, k = 5)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("anchor_id", "rank")
+  }
+
+  val hardNegativesSql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |a AS (SELECT id AS anchor_id, v AS qv FROM e WHERE id % 50 = 0),
+      |s AS (SELECT a.anchor_id, e.id, list_cosine_similarity(a.qv, e.v) AS score
+      |      FROM a JOIN e ON e.id <> a.anchor_id AND e.id <> a.anchor_id + 1),
+      |t AS (SELECT anchor_id, id, score,
+      |             row_number() OVER (PARTITION BY anchor_id ORDER BY score DESC, id) AS rank
+      |      FROM s)
+      |SELECT anchor_id, id AS negative, CAST(rank AS INTEGER) AS rank,
+      |       round(score, 6) AS score
+      |FROM t WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
+
   // ---- embedding cosine near-dups ----
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.vectors(s, dir), threshold = 0.4)
@@ -747,6 +775,7 @@ object DedupQueries {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> (dedupSimhash64 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_hard_negatives" -> (hardNegatives _),
     "q_dedup_semantic" -> (dedupSemantic _),
     "q_ann_rp" -> (annRp _),
     "q_ann_brute" -> (annBrute _),
@@ -770,6 +799,7 @@ object DedupQueries {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_hard_negatives" -> hardNegativesSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_ann_rp" -> annRpSql,
     "q_ann_brute" -> annBruteSql,
