@@ -189,6 +189,40 @@ object ScaleProbe {
     time("profile_approx")(
       graft.operators.Profile.profile(profDocs, Seq("id", "content", "grp"),
         approxDistinct = true).count())
+    // paragraph dedup: explode + one content-keyed argmin + per-doc
+    // reassembly — should track corpus size linearly
+    time("dedup_paragraph") {
+      val pd = docs.select(col("id"),
+        regexp_replace(col("content"), "( \\S+ \\S+ \\S+)", "$1\n").as("content"))
+      graft.dedup.CorpusFilters.paragraphDedup(pd)
+        .agg(count(lit(1)), sum(length(col("cleaned")))).collect()(0).getLong(0)
+    }
+    // mining family: blocked hard negatives (cluster-keyed candidates) and
+    // pool-based random negatives (anchors x poolSize, never x corpus) —
+    // both should stay flat-ish per anchor as the corpus grows
+    // salted ids are strings — anchor selection goes through the parity
+    // hash, not arithmetic; positives = self (already excluded) keeps the
+    // probe about timing, not pair semantics
+    def miningAnchors = vecs
+      .filter(graft.functions.TextFunctions.stableHash32(col("id")) % 100 === 0)
+      .select(col("id").as("anchor_id"))
+    def miningPositives = miningAnchors
+      .select(col("anchor_id"), col("anchor_id").as("pos_id"))
+    time("hard_negatives_blocked") {
+      // cluster count scales WITH the corpus (16 per base replica — the
+      // IVF sizing convention: K grows so per-cluster size stays bounded;
+      // a fixed K would make the blocked join O(N^2/K), measured 31s at
+      // 64x vs ~2s with scaled K)
+      val cents = graft.ann.Ann.representativeCentroids(
+        vecs.withColumn("label",
+          graft.functions.TextFunctions.stableHash32(col("id")) % (16 * m)), "label")
+      graft.operators.Mining.hardNegativesBlocked(
+        vecs, miningAnchors, miningPositives, 10, cents).count()
+    }
+    time("random_negatives") {
+      graft.operators.Mining.randomNegatives(
+        vecs, miningAnchors, miningPositives, 10, 1024).count()
+    }
     // BPE training: one corpus pass to the vocab-sized word table, then
     // per-round keyed pair aggs over that table — rounds should scale with
     // VOCAB (which the salted replicas grow M-fold), staying shuffles over

@@ -247,6 +247,33 @@ object DedupQueries {
       |       round(score, 6) AS score
       |FROM t WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
 
+  // ---- random negatives: same anchors/positives, hash-pool selection ----
+  def randomNegatives(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val anchors = vecs.filter(col("id") % 50 === 0)
+      .select(col("id").as("anchor_id"))
+    val positives = anchors.select(col("anchor_id"),
+      (col("anchor_id") + 1).as("pos_id"))
+    graft.operators.Mining.randomNegatives(vecs, anchors, positives,
+      k = 5, poolSize = 200, seed = 7)
+      .orderBy("anchor_id", "rank")
+  }
+
+  val randomNegativesSql: String =
+    """WITH e AS (SELECT vec_id AS id FROM embeddings),
+      |pool AS (SELECT id FROM e
+      |         ORDER BY ('0x' || substr(md5(id || ':' || 7), 1, 8))::BIGINT, id
+      |         LIMIT 200),
+      |a AS (SELECT id AS anchor_id FROM e WHERE id % 50 = 0),
+      |c AS (SELECT a.anchor_id, p.id FROM a CROSS JOIN pool p
+      |      WHERE p.id <> a.anchor_id AND p.id <> a.anchor_id + 1),
+      |t AS (SELECT anchor_id, id,
+      |        row_number() OVER (PARTITION BY anchor_id ORDER BY
+      |          ('0x' || substr(md5(anchor_id || ':' || id || ':' || 7), 1, 8))::BIGINT, id) AS rank
+      |      FROM c)
+      |SELECT anchor_id, id AS negative, CAST(rank AS INTEGER) AS rank
+      |FROM t WHERE rank <= 5 ORDER BY anchor_id, rank""".stripMargin
+
   // ---- embedding cosine near-dups ----
   def dedupEmbedding(s: SparkSession, dir: String): DataFrame =
     Dedup.embeddingNearDups(Tables.vectors(s, dir), threshold = 0.4)
@@ -776,6 +803,7 @@ object DedupQueries {
     "q_dedup_simhash64" -> (dedupSimhash64 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
     "q_hard_negatives" -> (hardNegatives _),
+    "q_random_negatives" -> (randomNegatives _),
     "q_dedup_semantic" -> (dedupSemantic _),
     "q_ann_rp" -> (annRp _),
     "q_ann_brute" -> (annBrute _),
@@ -800,6 +828,7 @@ object DedupQueries {
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
     "q_hard_negatives" -> hardNegativesSql,
+    "q_random_negatives" -> randomNegativesSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_ann_rp" -> annRpSql,
     "q_ann_brute" -> annBruteSql,

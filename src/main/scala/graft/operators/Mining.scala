@@ -65,6 +65,42 @@ object Mining {
     topK(scoredCandidates(vectors, anchors, positives), k)
   }
 
+  /** Deterministic RANDOM negatives — the uniform companion of
+    * [[hardNegatives]] (the easy-negative mix every contrastive recipe
+    * blends in): k pseudo-random non-positive, non-self ids per anchor,
+    * reproducible across runs and partitionings.
+    *
+    * Scale shape: one bounded corpus pass selects a hash-ordered candidate
+    * POOL (`TakeOrderedAndProject`, the [[Sampling.fixedSize]] shape);
+    * per-anchor selection then runs against the broadcast pool — anchors ×
+    * poolSize, never anchors × corpus. Randomness is the md5-derived
+    * stableHash32 (the engine's cross-engine parity hash), keyed by seed
+    * for the pool and by (anchor, candidate, seed) for per-anchor order,
+    * so different anchors draw different negatives from the same pool.
+    * poolSize must comfortably exceed k + the positives-per-anchor tail or
+    * short anchors come back light.
+    */
+  def randomNegatives(
+      vectors: DataFrame, anchors: DataFrame, positives: DataFrame,
+      k: Int, poolSize: Int = 1024, seed: Int = 42): DataFrame = {
+    require(k >= 1 && poolSize > k, s"need poolSize > k >= 1 (got k=$k pool=$poolSize)")
+    val h = graft.functions.TextFunctions.stableHash32 _
+    val pool = vectors
+      .select(col("id"))
+      .orderBy(h(concat_ws(":", col("id"), lit(seed))), col("id"))
+      .limit(poolSize)
+    val ranked = anchors.select(col("anchor_id"))
+      .join(broadcast(pool))
+      .filter(col("anchor_id") =!= col("id"))
+      .join(positives.select(col("anchor_id"), col("pos_id").as("id")),
+        Seq("anchor_id", "id"), "left_anti")
+      .withColumn("rank", row_number().over(
+        Window.partitionBy("anchor_id").orderBy(
+          h(concat_ws(":", col("anchor_id"), col("id"), lit(seed))), col("id"))))
+      .filter(col("rank") <= k)
+    ranked.select(col("anchor_id"), col("id").as("negative"), col("rank"))
+  }
+
   /** Cluster-blocked form: candidates limited to the anchor's IVF cluster
     * (`centroids` as in `Ann.assign`) — corpus-scale linear, recall bounded
     * by the quantizer like every blocked ANN op here.

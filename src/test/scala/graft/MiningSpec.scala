@@ -36,6 +36,26 @@ class MiningSpec extends SparkSpec {
     assert(!out.exists(r => r.getAs[Long]("negative") == 2L))
   }
 
+  test("random negatives: deterministic, exclusion holds, anchors differ") {
+    val v = vecs((0L to 30L).map(i => (i, Seq(i.toFloat, 1f))): _*)
+    val anchors = Seq(0L, 10L).toDF("anchor_id")
+    val positives = Seq((0L, 1L), (10L, 11L)).toDF("anchor_id", "pos_id")
+    def run() = Mining.randomNegatives(v, anchors, positives,
+      k = 4, poolSize = 16, seed = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    val a = run()
+    assert(a == run(), "same seed -> same negatives")
+    assert(a.count(_._1 == 0L) == 4 && a.count(_._1 == 10L) == 4)
+    assert(!a.contains((0L, 1L, 1)) && a.forall { case (aid, n, _) => n != aid })
+    assert(!a.filter(_._1 == 0L).exists(_._2 == 1L), "positive excluded")
+    // the per-(anchor, candidate) hash gives anchors different draws
+    assert(a.filter(_._1 == 0L).map(_._2) != a.filter(_._1 == 10L).map(_._2))
+    val b = Mining.randomNegatives(v, anchors, positives,
+      k = 4, poolSize = 16, seed = 4)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).sorted.toSeq
+    assert(a != b, "seed changes the draw")
+  }
+
   test("blocked variant recovers exact results on well-separated clusters") {
     // two tight clusters; anchors and their negatives co-habit a cluster
     val cluster1 = (0 until 20).map(i =>
