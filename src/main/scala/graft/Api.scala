@@ -487,6 +487,36 @@ final class Api(
     graft.search.LexIndex.build(spark, catalog, entry)
   }
 
+  /** Storage maintenance: bin-pack fragmented partitions of the documents
+    * table and every existing derived index. The engine's OWN write path
+    * cannot fragment — stage-and-swap repartitions on the partition key,
+    * landing ONE file per touched dir per write (BucketedTableSpec proves
+    * the no-op) — so this is the safety net for externally-written tables,
+    * crash debris, and config drift. Row-identical layout rewrite; returns
+    * (table-or-index name -> partitions compacted). Runs under the write
+    * lock like any other physical rewrite.
+    */
+  def compactStorage(name: String, maxFiles: Int = 4): Map[String, Int] = writeLock.synchronized {
+    val entry = catalog.getCollection(physical(name))
+    import graft.catalog.PartitionedTable.compactPartitions
+    def ifExists(path: String, partCols: Seq[String], sortCol: Option[String]) =
+      if (java.nio.file.Files.exists(java.nio.file.Paths.get(path)))
+        compactPartitions(spark, path, partCols, sortCol, maxFiles).size
+      else 0
+    Map(
+      "documents" -> ifExists(catalog.tablePath(entry), Seq("bucket"), None),
+      "postings" -> ifExists(graft.search.LexIndex.indexPath(catalog, entry),
+        Seq("bucket"), Some("term")),
+      "ivf" -> ifExists(graft.ann.IvfIndex.indexPath(catalog, entry),
+        Seq("cluster_id"), None),
+      "pq" -> ifExists(graft.ann.PqIndex.indexPath(catalog, entry),
+        Seq("cluster_id"), None),
+      "signlsh" -> ifExists(graft.ann.SignLshIndex.indexPath(catalog, entry),
+        Seq("table", "key"), None),
+      "minhash" -> ifExists(graft.dedup.MinHashIndex.indexPath(catalog, entry),
+        Seq("pbucket"), Some("key")))
+  }
+
   /** Build the bloom existence-prefilter sidecar: one corpus pass for the
     * id sketch, after which insert_documents' existence check is O(batch)
     * (zero corpus I/O when no batch id possibly exists — the common

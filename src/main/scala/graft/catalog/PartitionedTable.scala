@@ -49,4 +49,48 @@ object PartitionedTable {
     if (Files.exists(p))
       Files.walk(p).sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+
+  /** Bin-pack fragmented partitions. Every incremental write leaves at
+    * least one new file in each touched partition dir, so a frequently-
+    * written bucket accumulates files and scan cost grows with WRITE COUNT
+    * instead of data size — the classic small-files problem. This rewrites
+    * ONLY partitions holding more than `maxFiles` parquet files, each down
+    * to one file (bucket/partition granularity IS the size unit — the
+    * bucket-count constant is the deployment sizing knob), through the
+    * same stage-and-swap discipline as [[replacePartitions]]. Pure layout:
+    * row-identical, no schema or partitioning change. Returns the relative
+    * partition dirs compacted.
+    */
+  def compactPartitions(
+      spark: org.apache.spark.sql.SparkSession,
+      tablePath: String,
+      partCols: Seq[String],
+      sortCol: Option[String],
+      maxFiles: Int = 4): Seq[String] = {
+    require(maxFiles >= 1, s"need maxFiles >= 1 (got $maxFiles)")
+    val base = Paths.get(tablePath)
+    if (!Files.exists(base)) return Seq.empty
+    // partition dirs = partCols.size levels of `col=value` directories
+    def partDirs(dir: Path, level: Int): Seq[Path] =
+      if (level == partCols.size) Seq(dir)
+      else {
+        val prefix = partCols(level) + "="
+        val kids = Files.list(dir).toArray.toSeq.map(_.asInstanceOf[Path])
+          .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
+        kids.flatMap(partDirs(_, level + 1))
+      }
+    val fragmented = partDirs(base, 0).filter { d =>
+      Files.list(d).toArray.toSeq.map(_.asInstanceOf[Path])
+        .count(_.getFileName.toString.endsWith(".parquet")) > maxFiles
+    }
+    if (fragmented.isEmpty) return Seq.empty
+    val rels = fragmented.map(d => base.relativize(d).toString)
+    // basePath keeps the partition columns while reading only the
+    // fragmented dirs; replacePartitions' repartition on the partition
+    // keys lands each key in one task = one output file per dir
+    val df = spark.read.option("basePath", tablePath)
+      .parquet(fragmented.map(_.toString): _*)
+    replacePartitions(df, tablePath, partCols, sortCol, rels)
+    rels
+  }
 }

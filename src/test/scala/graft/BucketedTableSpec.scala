@@ -93,4 +93,55 @@ class BucketedTableSpec extends SparkSpec {
     api.deleteCollection("bp", confirm = true)
     assert(!Files.exists(Paths.get(api.catalog.tablePath(entry) + ".delta")))
   }
+
+  private def maxFilesPerDir(tablePath: String, prefix: String): Int = {
+    val base = Paths.get(tablePath)
+    java.nio.file.Files.list(base).toArray.toSeq
+      .map(_.asInstanceOf[java.nio.file.Path])
+      .filter(p => p.getFileName.toString.startsWith(prefix))
+      .map(p => java.nio.file.Files.list(p).toArray.toSeq
+        .map(_.asInstanceOf[java.nio.file.Path])
+        .count(_.getFileName.toString.endsWith(".parquet")))
+      .maxOption.getOrElse(0)
+  }
+
+  test("compactPartitions: fragmented dirs coalesce row-identically; engine writes never fragment") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // external-writer fragmentation: 6 append-mode writes into one table
+    val tablePath = Files.createTempDirectory("graft-frag").toString + "/t"
+    (0 until 6).foreach { i =>
+      (0 until 40).map(j => (s"r$i-$j", (j % 4).toString))
+        .toDF("id", "payload")
+        .withColumn("bucket", org.apache.spark.sql.functions.pmod(
+          org.apache.spark.sql.functions.crc32(col("id")), org.apache.spark.sql.functions.lit(4)))
+        .write.mode("append").partitionBy("bucket").parquet(tablePath)
+    }
+    assert(maxFilesPerDir(tablePath, "bucket=") > 1, "setup must fragment")
+    val before = spark.read.parquet(tablePath)
+      .select("id").collect().map(_.getString(0)).toSet
+    val compacted = graft.catalog.PartitionedTable.compactPartitions(
+      spark, tablePath, Seq("bucket"), sortCol = None, maxFiles = 1)
+    assert(compacted.nonEmpty)
+    assert(maxFilesPerDir(tablePath, "bucket=") == 1, "one file per dir now")
+    val after = spark.read.parquet(tablePath)
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(after == before, "layout-only: row set unchanged")
+    // second pass: nothing left to do
+    assert(graft.catalog.PartitionedTable.compactPartitions(
+      spark, tablePath, Seq("bucket"), None, maxFiles = 1).isEmpty)
+
+    // and the engine's OWN write path never needs it: stage-and-swap lands
+    // one file per touched bucket by construction, so compactStorage on a
+    // repeatedly-written collection is a no-op
+    val dir = Files.createTempDirectory("graft-wh").toString
+    val api = new Api(spark, dir, new graft.ingest.DeterministicHashEmbedder(32))
+    api.createCollection("frag")
+    (0 until 4).foreach { i =>
+      api.addDocuments("frag", (0 until 8).map(j => s"doc $i $j").toDF("content"))
+    }
+    assert(api.compactStorage("frag", maxFiles = 1).values.sum == 0,
+      "engine writes are already one file per partition")
+    assert(api.search("frag", "doc", numberResults = 3).results.nonEmpty)
+  }
 }
