@@ -123,6 +123,70 @@ object OlapQueries {
       |FROM c ASOF JOIN v ON c.user_id = v.user_id AND c.tsu >= v.tsu
       |ORDER BY click_id""".stripMargin
 
+  /** FORWARD as-of join: every click matched to the user's EARLIEST
+    * following (or simultaneous) view — the "next event after" direction.
+    * DuckDB has no forward ASOF, so the oracle is the argmin form
+    * (row_number over following views), which doubles as independent
+    * evidence the window trick is right.
+    */
+  def eventsAsofForward(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        epochOf("MICROSECOND", "ts").as("tsu"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        epochOf("MICROSECOND", "ts").as("vtsu"))
+    graft.operators.AsOfJoin.asofForward(clicks, views,
+        keys = Seq("user_id"), leftTs = "tsu", rightTs = "vtsu",
+        leftCols = Seq("click_id", "tsu"), rightCols = Seq("view_id", "vtsu"),
+        rightTieBreak = Seq("view_id"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        expr("(vtsu - tsu) div 1000").as("wait_ms"))
+      .orderBy("click_id")
+  }
+
+  val eventsAsofForwardSql: String =
+    """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+      |           WHERE event_type = 'click'),
+      |     v AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+      |           WHERE event_type = 'view'),
+      |j AS (SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+      |             (v.tsu - c.tsu) // 1000 AS wait_ms,
+      |             row_number() OVER (PARTITION BY c.event_id
+      |               ORDER BY v.tsu, v.event_id) AS rn
+      |      FROM c JOIN v ON v.user_id = c.user_id AND v.tsu >= c.tsu)
+      |SELECT click_id, user_id, view_id, wait_ms FROM j WHERE rn = 1
+      |ORDER BY click_id""".stripMargin
+
+  /** Rolling 1-hour event-time aggregate per user (RANGE frame over epoch
+    * micros): the trailing-window feature every behavioral model computes.
+    * RANGE (not ROWS) so timestamp peers share one answer — deterministic
+    * under any partitioning, identical framing in both engines.
+    */
+  def eventsRolling(s: SparkSession, dir: String): DataFrame = {
+    val hour = 3600L * 1000000L
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("user_id").orderBy(col("tsu"))
+      .rangeBetween(-hour, 0)
+    t(s, dir, "events")
+      .select(col("event_id"), col("user_id"),
+        epochOf("MICROSECOND", "ts").as("tsu"), col("value"))
+      .withColumn("n_1h", count(lit(1)).over(w))
+      .withColumn("sum_1h", round(sum(col("value")).over(w), 6))
+      .select("event_id", "user_id", "tsu", "n_1h", "sum_1h")
+      .orderBy("event_id")
+  }
+
+  val eventsRollingSql: String =
+    """SELECT event_id, user_id, epoch_us(ts) AS tsu,
+      |  CAST(count(*) OVER w AS BIGINT) AS n_1h,
+      |  round(sum(value) OVER w, 6) AS sum_1h
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+      |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin
+
   /** The skew-bounded as-of variant under the SAME oracle as
     * [[eventsAsof]]: chunk-local windows + carry summaries
     * ([[graft.operators.AsOfJoin.asofChunked]], 1-hour chunks) must
@@ -355,6 +419,8 @@ object OlapQueries {
     "q_events_window" -> (eventsWindow _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_asof" -> (eventsAsof _),
+    "q_events_asof_forward" -> (eventsAsofForward _),
+    "q_events_rolling" -> (eventsRolling _),
     "q_events_asof_chunked" -> (eventsAsofChunked _),
     "q_events_range" -> (eventsRange _),
     "q1_pricing" -> (q1Pricing _),
@@ -369,6 +435,8 @@ object OlapQueries {
     "q_events_window" -> eventsWindowSql,
     "q_events_sessionize" -> eventsSessionizeSql,
     "q_events_asof" -> eventsAsofSql,
+    "q_events_asof_forward" -> eventsAsofForwardSql,
+    "q_events_rolling" -> eventsRollingSql,
     "q_events_asof_chunked" -> eventsAsofSql,
     "q_events_range" -> eventsRangeSql,
     "q1_pricing" -> q1PricingSql,

@@ -48,7 +48,40 @@ object AsOfJoin {
       rightTs: String,
       leftCols: Seq[String],
       rightCols: Seq[String],
-      rightTieBreak: Seq[String] = Nil): DataFrame = {
+      rightTieBreak: Seq[String] = Nil): DataFrame =
+    asofImpl(left, right, keys, leftTs, rightTs, leftCols, rightCols,
+      rightTieBreak, forward = false)
+
+  /** FORWARD as-of join: for each left row, the single EARLIEST right row
+    * with the same key and `right.ts >= left.ts` (inclusive) — the
+    * "next event after" direction (pandas merge_asof direction='forward').
+    * Same union + ordered window, scanned in DESCENDING time: the running
+    * `last(ignoreNulls)` then carries the nearest FOLLOWING right row.
+    * Among right rows sharing (key, ts), the FIRST in `rightTieBreak`
+    * order wins (mirror of the backward join's last-wins).
+    */
+  def asofForward(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      leftCols: Seq[String],
+      rightCols: Seq[String],
+      rightTieBreak: Seq[String] = Nil): DataFrame =
+    asofImpl(left, right, keys, leftTs, rightTs, leftCols, rightCols,
+      rightTieBreak, forward = true)
+
+  private def asofImpl(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      leftCols: Seq[String],
+      rightCols: Seq[String],
+      rightTieBreak: Seq[String],
+      forward: Boolean): DataFrame = {
     val rFields = (rightCols ++ rightTieBreak).distinct
     // SQL equi-join semantics: a null key never matches (the window would
     // otherwise group null keys together and "match" them)
@@ -65,9 +98,12 @@ object AsOfJoin {
         Seq(struct(rFields.map(col): _*).as("__r")): _*)
     // ties within (key, ts, side): order right rows by the tie-break so
     // last() picks a deterministic winner; left rows don't need one (each
-    // produces its own output row)
-    val ord: Seq[Column] = col("__ts").asc +: col("__side").asc +:
-      rightTieBreak.map(c => col("__r").getField(c).asc)
+    // produces its own output row). Forward scans time DESC (the mirror),
+    // with the tie-break reversed so the winner is the FIRST in tie order.
+    val tsOrd = if (forward) col("__ts").desc else col("__ts").asc
+    val tieOrd = rightTieBreak.map(c =>
+      if (forward) col("__r").getField(c).desc else col("__r").getField(c).asc)
+    val ord: Seq[Column] = tsOrd +: col("__side").asc +: tieOrd
     val w = Window.partitionBy(keys.map(col): _*).orderBy(ord: _*)
       .rowsBetween(Window.unboundedPreceding, 0)
     l.unionByName(r)

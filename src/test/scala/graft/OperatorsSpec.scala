@@ -284,6 +284,20 @@ class OperatorsSpec extends SparkSpec {
     assert(s30.nonEmpty && s60.size > s30.size)
   }
 
+  test("asofForward: earliest following match, inclusive, first-tie wins") {
+    val left = Seq((1L, 100L, "a"), (1L, 250L, "b"), (2L, 50L, "c"))
+      .toDF("k", "ts", "lp")
+    val right = Seq(
+      (1L, 100L, 10L), // simultaneous -> inclusive match for "a"
+      (1L, 300L, 11L), (1L, 300L, 12L), // tie at 300: lowest rid wins
+      (2L, 40L, 13L)) // strictly before -> no forward match for "c"
+      .toDF("k", "rts", "rid")
+    val out = AsOfJoin.asofForward(left, right, Seq("k"), "ts", "rts",
+      leftCols = Seq("lp"), rightCols = Seq("rid"), rightTieBreak = Seq("rid"))
+      .collect().map(r => (r.getAs[String]("lp"), r.getAs[Long]("rid"))).toMap
+    assert(out == Map("a" -> 10L, "b" -> 11L), s"got $out")
+  }
+
   test("bpe: merge application is left-to-right non-overlapping") {
     import graft.operators.Bpe
     assert(Bpe.segment("aaaa", Seq(("a", "a"))) == Seq("aa", "aa"))
