@@ -187,6 +187,79 @@ object OlapQueries {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** Funnel attribution — view -> click (within 30 min) -> purchase
+    * (within 60 min of the attributed click), composed from TWO backward
+    * as-of joins plus gap filters; hourly conversion counts out. The
+    * composition showcase for the temporal family: each stage is one
+    * keyed shuffle, no stage materializes candidate sets. The oracle
+    * replays both attributions in the independent argmin form.
+    */
+  def eventsFunnel(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    def side(t0: String, idAs: String, tsAs: String) =
+      ev.filter(col("event_type") === t0)
+        .select(col("event_id").as(idAs), col("user_id"),
+          epochOf("MICROSECOND", "ts").as(tsAs))
+    val views = side("view", "view_id", "vtsu")
+    val clicks = side("click", "click_id", "ctsu")
+    val purchases = side("purchase", "purchase_id", "ptsu")
+    // stage 1: click attributed to the most recent view <= 30 min before
+    val convClicks = graft.operators.AsOfJoin.asof(clicks, views,
+        keys = Seq("user_id"), leftTs = "ctsu", rightTs = "vtsu",
+        leftCols = Seq("click_id", "ctsu"), rightCols = Seq("view_id", "vtsu"),
+        rightTieBreak = Seq("view_id"))
+      .filter(col("ctsu") - col("vtsu") <= 1800L * 1000000L)
+    // stage 2: purchase attributed to the most recent CONVERTED click
+    // <= 60 min before (highest click_id wins timestamp ties — the
+    // backward join's last-in-order contract)
+    val convPurchases = graft.operators.AsOfJoin.asof(purchases, convClicks,
+        keys = Seq("user_id"), leftTs = "ptsu", rightTs = "ctsu",
+        leftCols = Seq("purchase_id", "ptsu"), rightCols = Seq("click_id", "ctsu"),
+        rightTieBreak = Seq("click_id"))
+      .filter(col("ptsu") - col("ctsu") <= 3600L * 1000000L)
+    val hourU = 3600L * 1000000L
+    def hourly(df: DataFrame, tsCol: String, as: String) =
+      df.groupBy(expr(s"$tsCol div ${hourU}L").as("hour"))
+        .agg(count(lit(1)).as(as))
+    hourly(views, "vtsu", "n_views")
+      .join(hourly(convClicks, "ctsu", "n_conv_clicks"), Seq("hour"), "full")
+      .join(hourly(convPurchases, "ptsu", "n_conv_purchases"), Seq("hour"), "full")
+      .select(col("hour"),
+        coalesce(col("n_views"), lit(0L)).as("n_views"),
+        coalesce(col("n_conv_clicks"), lit(0L)).as("n_conv_clicks"),
+        coalesce(col("n_conv_purchases"), lit(0L)).as("n_conv_purchases"))
+      .orderBy("hour")
+  }
+
+  val eventsFunnelSql: String =
+    """WITH v AS (SELECT event_id AS view_id, user_id, epoch_us(ts) AS vtsu
+      |           FROM events WHERE event_type = 'view'),
+      |c AS (SELECT event_id AS click_id, user_id, epoch_us(ts) AS ctsu
+      |      FROM events WHERE event_type = 'click'),
+      |p AS (SELECT event_id AS purchase_id, user_id, epoch_us(ts) AS ptsu
+      |      FROM events WHERE event_type = 'purchase'),
+      |cc0 AS (SELECT c.click_id, c.user_id, c.ctsu, v.view_id, v.vtsu,
+      |          row_number() OVER (PARTITION BY c.click_id
+      |            ORDER BY v.vtsu DESC, v.view_id DESC) AS rn
+      |        FROM c JOIN v ON v.user_id = c.user_id AND v.vtsu <= c.ctsu),
+      |cc AS (SELECT * FROM cc0 WHERE rn = 1 AND ctsu - vtsu <= 1800000000),
+      |pp0 AS (SELECT p.purchase_id, p.ptsu, cc.click_id, cc.ctsu,
+      |          row_number() OVER (PARTITION BY p.purchase_id
+      |            ORDER BY cc.ctsu DESC, cc.click_id DESC) AS rn
+      |        FROM p JOIN cc ON cc.user_id = p.user_id AND cc.ctsu <= p.ptsu),
+      |pp AS (SELECT * FROM pp0 WHERE rn = 1 AND ptsu - ctsu <= 3600000000),
+      |hv AS (SELECT vtsu // 3600000000 AS hour, CAST(count(*) AS BIGINT) AS n_views
+      |       FROM v GROUP BY 1),
+      |hc AS (SELECT ctsu // 3600000000 AS hour, CAST(count(*) AS BIGINT) AS n_conv_clicks
+      |       FROM cc GROUP BY 1),
+      |hp AS (SELECT ptsu // 3600000000 AS hour, CAST(count(*) AS BIGINT) AS n_conv_purchases
+      |       FROM pp GROUP BY 1)
+      |SELECT hour, coalesce(n_views, 0) AS n_views,
+      |       coalesce(n_conv_clicks, 0) AS n_conv_clicks,
+      |       coalesce(n_conv_purchases, 0) AS n_conv_purchases
+      |FROM hv FULL JOIN hc USING (hour) FULL JOIN hp USING (hour)
+      |ORDER BY hour""".stripMargin
+
   /** The skew-bounded as-of variant under the SAME oracle as
     * [[eventsAsof]]: chunk-local windows + carry summaries
     * ([[graft.operators.AsOfJoin.asofChunked]], 1-hour chunks) must
@@ -421,6 +494,7 @@ object OlapQueries {
     "q_events_asof" -> (eventsAsof _),
     "q_events_asof_forward" -> (eventsAsofForward _),
     "q_events_rolling" -> (eventsRolling _),
+    "q_events_funnel" -> (eventsFunnel _),
     "q_events_asof_chunked" -> (eventsAsofChunked _),
     "q_events_range" -> (eventsRange _),
     "q1_pricing" -> (q1Pricing _),
@@ -437,6 +511,7 @@ object OlapQueries {
     "q_events_asof" -> eventsAsofSql,
     "q_events_asof_forward" -> eventsAsofForwardSql,
     "q_events_rolling" -> eventsRollingSql,
+    "q_events_funnel" -> eventsFunnelSql,
     "q_events_asof_chunked" -> eventsAsofSql,
     "q_events_range" -> eventsRangeSql,
     "q1_pricing" -> q1PricingSql,
