@@ -163,6 +163,87 @@ object TextQueries {
        |       coalesce(r.cleaned, '') AS cleaned
        |FROM n LEFT JOIN r USING (id) ORDER BY id""".stripMargin
 
+  /** Curation pipeline v6 — the round-7 composition: corpus-wide PARAGRAPH
+    * dedup ([[graft.dedup.CorpusFilters.paragraphDedup]]) feeds the
+    * quality scorer over the CLEANED text, and survivors flow through the
+    * per-language token-budget fill into a rollup. One composed plan; the
+    * oracle replays every stage (paragraph chain, quality formula on the
+    * deduped text, greedy fill, rollup) in DuckDB.
+    */
+  def pipelineCurate6(s: SparkSession, dir: String): DataFrame = {
+    val toks0 = TextFunctions.tokens(col("text"))
+    val synth = t(s, dir, "documents").select(col("doc_id").as("id"),
+      array_join(transform(
+        sequence(lit(0), greatest(ceil(size(toks0) / 3.0).cast("int") - 1, lit(0))),
+        i => array_join(slice(toks0, i * 3 + 1, lit(3)), " ")), "\n").as("content"))
+    val deduped = graft.dedup.CorpusFilters.paragraphDedup(synth)
+      .filter(col("kept_pars") > 0)
+    val scored = deduped
+      .join(t(s, dir, "documents").select(col("doc_id").as("id"), col("lang")), Seq("id"))
+      .select(col("id"), col("lang").as("group"), col("cleaned"),
+        TextFunctions.tokens(col("cleaned")).as("__toks"))
+      .select(col("id"), col("group"),
+        round(TextFunctions.qualityScoreFromToks(col("cleaned"), col("__toks")), 6)
+          .as("quality"),
+        size(col("__toks")).cast("long").as("tokens"))
+    graft.operators.Mixture.tokenBudgetFill(scored, budget = 1500L)
+      .groupBy(col("group").as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("kept_tokens"),
+        sum("id").as("id_checksum"))
+      .orderBy("lang")
+  }
+
+  val pipelineCurate6Sql: String = {
+    val stops = TextFunctions.EnglishStopwords.map(w => s"'$w'").mkString(", ")
+    s"""WITH ${"" /* paragraph chain over synthesized 3-token paragraphs */}
+       |d0 AS (SELECT doc_id AS id, lang, $toksD AS toks FROM documents),
+       |d AS (SELECT id, array_to_string(list_transform(
+       |        range(greatest(CAST(ceil(len(toks)/3.0) AS INT), 1)),
+       |        i -> array_to_string(toks[i*3+1:i*3+3], ' ')), chr(10)) AS content
+       |      FROM d0),
+       |p0 AS (SELECT id, string_split(content, chr(10)) AS parts FROM d),
+       |p AS (SELECT id, u.i AS pos, parts[u.i+1] AS par
+       |      FROM p0, UNNEST(range(len(parts))) u(i)
+       |      WHERE trim(parts[u.i+1]) <> ''),
+       |kf AS (SELECT id, pos, par FROM (
+       |         SELECT id, pos, par,
+       |                row_number() OVER (PARTITION BY par ORDER BY id, pos) AS rn
+       |         FROM p) WHERE rn = 1),
+       |r AS (SELECT id, string_agg(par, chr(10) ORDER BY pos) AS cleaned
+       |      FROM kf GROUP BY id),
+       |cl AS (SELECT r.id, d0.lang, r.cleaned,
+       |         regexp_extract_all(lower(r.cleaned), '[a-z0-9_]{2,}') AS toks
+       |       FROM r JOIN d0 ON d0.id = r.id),
+       |m AS (SELECT id, lang,
+       |        CAST(len(toks) AS DOUBLE) AS ntok,
+       |        CAST(len(toks) AS BIGINT) AS tokens,
+       |        CAST(length(cleaned) AS DOUBLE) AS nchar,
+       |        CAST(length(regexp_replace(lower(cleaned), '[^a-z]', '', 'g')) AS DOUBLE) AS alpha,
+       |        CASE WHEN len(toks) = 0 THEN 0.0
+       |             ELSE list_reduce(list_prepend(0.0,
+       |                    list_transform(toks, t -> CAST(length(t) AS DOUBLE))),
+       |                  (a, b) -> a + b) / len(toks) END AS meanlen,
+       |        CASE WHEN len(toks) = 0 THEN 0.0
+       |             ELSE CAST(len(list_filter(toks, x -> list_contains([$stops], x))) AS DOUBLE)
+       |                  / len(toks) END AS stopratio
+       |      FROM cl),
+       |q AS (SELECT id, lang, tokens, round(
+       |        least(ntok / 50.0, 1.0) * 0.4 +
+       |        (CASE WHEN nchar = 0 THEN 0.0 ELSE alpha / nchar END) * 0.3 +
+       |        (CASE WHEN meanlen >= 3 AND meanlen <= 10 THEN 1.0 ELSE 0.5 END) * 0.2 +
+       |        least(stopratio * 10.0, 1.0) * 0.1, 6) AS quality
+       |      FROM m),
+       |c AS (SELECT lang, id, quality, tokens,
+       |        sum(tokens) OVER (PARTITION BY lang ORDER BY quality DESC, id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM q),
+       |kk AS (SELECT lang, id, tokens FROM c WHERE cum <= 1500)
+       |SELECT lang, count(*) AS n_docs,
+       |       CAST(sum(tokens) AS BIGINT) AS kept_tokens,
+       |       CAST(sum(id) AS BIGINT) AS id_checksum
+       |FROM kk GROUP BY lang ORDER BY lang""".stripMargin
+  }
+
   /** BPE merge training: 8 rounds of highest-frequency-pair merges over
     * the corpus vocabulary ([[graft.operators.Bpe]]). The oracle replays
     * ALL 8 rounds — pair counts, lexical tie-break argmax, and the exact
@@ -1503,6 +1584,7 @@ object TextQueries {
     "q_bpe_train" -> (bpeTrain _),
     "q_bpe_segment" -> (bpeSegment _),
     "q_dedup_paragraph" -> (textParagraphDedup _),
+    "q_pipeline_curate6" -> (pipelineCurate6 _),
     "q_mm_decode" -> (mmDecode _),
     "q_mm_decode_image" -> (mmDecodeImage _),
     "q_mm_resize_real" -> (mmResizeReal _),
@@ -1545,6 +1627,7 @@ object TextQueries {
     "q_bpe_train" -> bpeTrainSql,
     "q_bpe_segment" -> bpeSegmentSql,
     "q_dedup_paragraph" -> textParagraphDedupSql,
+    "q_pipeline_curate6" -> pipelineCurate6Sql,
     "q_mm_decode" -> mmDecodeSql,
     "q_mm_decode_image" -> mmDecodeImageSql,
     "q_mm_resize_real" -> mmResizeRealSql,
