@@ -187,6 +187,45 @@ object OlapQueries {
       |             RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
       |ORDER BY event_id""".stripMargin
 
+  /** NEAREST as-of join: every click matched to the closest view in
+    * either direction (equidistant ties backward). The oracle is a global
+    * argmin over ALL candidate views by (|Δt|, direction, the per-
+    * direction tie order) — provably equivalent to the two-pass pick and
+    * computed completely independently of the window trick.
+    */
+  def eventsAsofNearest(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("event_id").as("click_id"), col("user_id"),
+        epochOf("MICROSECOND", "ts").as("tsu"))
+    val views = ev.filter(col("event_type") === "view")
+      .select(col("event_id").as("view_id"), col("user_id"),
+        epochOf("MICROSECOND", "ts").as("vtsu"))
+    graft.operators.AsOfJoin.asofNearest(clicks, views,
+        keys = Seq("user_id"), leftTs = "tsu", rightTs = "vtsu",
+        leftId = "click_id",
+        leftCols = Seq("click_id", "tsu"), rightCols = Seq("view_id", "vtsu"),
+        rightTieBreak = Seq("view_id"))
+      .select(col("click_id"), col("user_id"), col("view_id"),
+        abs(col("vtsu") - col("tsu")).as("dist_us"))
+      .orderBy("click_id")
+  }
+
+  val eventsAsofNearestSql: String =
+    """WITH c AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+      |           WHERE event_type = 'click'),
+      |     v AS (SELECT event_id, user_id, epoch_us(ts) AS tsu FROM events
+      |           WHERE event_type = 'view'),
+      |j AS (SELECT c.event_id AS click_id, c.user_id, v.event_id AS view_id,
+      |             abs(v.tsu - c.tsu) AS dist_us,
+      |             row_number() OVER (PARTITION BY c.event_id ORDER BY
+      |               abs(v.tsu - c.tsu),
+      |               CASE WHEN v.tsu <= c.tsu THEN 0 ELSE 1 END,
+      |               CASE WHEN v.tsu <= c.tsu THEN -v.event_id ELSE v.event_id END) AS rn
+      |      FROM c JOIN v ON v.user_id = c.user_id)
+      |SELECT click_id, user_id, view_id, dist_us FROM j WHERE rn = 1
+      |ORDER BY click_id""".stripMargin
+
   /** Funnel attribution — view -> click (within 30 min) -> purchase
     * (within 60 min of the attributed click), composed from TWO backward
     * as-of joins plus gap filters; hourly conversion counts out. The
@@ -495,6 +534,7 @@ object OlapQueries {
     "q_events_asof_forward" -> (eventsAsofForward _),
     "q_events_rolling" -> (eventsRolling _),
     "q_events_funnel" -> (eventsFunnel _),
+    "q_events_asof_nearest" -> (eventsAsofNearest _),
     "q_events_asof_chunked" -> (eventsAsofChunked _),
     "q_events_range" -> (eventsRange _),
     "q1_pricing" -> (q1Pricing _),
@@ -512,6 +552,7 @@ object OlapQueries {
     "q_events_asof_forward" -> eventsAsofForwardSql,
     "q_events_rolling" -> eventsRollingSql,
     "q_events_funnel" -> eventsFunnelSql,
+    "q_events_asof_nearest" -> eventsAsofNearestSql,
     "q_events_asof_chunked" -> eventsAsofSql,
     "q_events_range" -> eventsRangeSql,
     "q1_pricing" -> q1PricingSql,

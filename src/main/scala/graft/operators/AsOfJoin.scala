@@ -72,6 +72,41 @@ object AsOfJoin {
     asofImpl(left, right, keys, leftTs, rightTs, leftCols, rightCols,
       rightTieBreak, forward = true)
 
+  /** NEAREST as-of join (pandas merge_asof direction='nearest'): for each
+    * left row, whichever of its backward and forward matches sits closer
+    * in time; equidistant ties go BACKWARD (the conservative "already
+    * happened" choice). Two ordered-window passes + a per-left-row argmin
+    * — still no inequality theta-join. Requires a unique `leftId` column
+    * to identify left rows across the two passes, `leftTs` in `leftCols`
+    * and `rightTs` in `rightCols` (the delta is computed from the output).
+    */
+  def asofNearest(
+      left: DataFrame,
+      right: DataFrame,
+      keys: Seq[String],
+      leftTs: String,
+      rightTs: String,
+      leftId: String,
+      leftCols: Seq[String],
+      rightCols: Seq[String],
+      rightTieBreak: Seq[String] = Nil): DataFrame = {
+    require(leftCols.contains(leftId) && leftCols.contains(leftTs),
+      s"leftCols must carry leftId=$leftId and leftTs=$leftTs")
+    require(rightCols.contains(rightTs), s"rightCols must carry rightTs=$rightTs")
+    val b = asof(left, right, keys, leftTs, rightTs, leftCols, rightCols, rightTieBreak)
+      .withColumn("__dir", lit(0))
+      .withColumn("__delta", col(leftTs) - col(rightTs))
+    val f = asofForward(left, right, keys, leftTs, rightTs, leftCols, rightCols, rightTieBreak)
+      .withColumn("__dir", lit(1))
+      .withColumn("__delta", col(rightTs) - col(leftTs))
+    val w = Window.partitionBy(col(leftId))
+      .orderBy(col("__delta").asc, col("__dir").asc)
+    b.unionByName(f)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__dir", "__delta", "__rn")
+  }
+
   private def asofImpl(
       left: DataFrame,
       right: DataFrame,

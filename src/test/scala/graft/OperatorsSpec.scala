@@ -298,6 +298,22 @@ class OperatorsSpec extends SparkSpec {
     assert(out == Map("a" -> 10L, "b" -> 11L), s"got $out")
   }
 
+  test("asofNearest: closer side wins, equidistant goes backward") {
+    val left = Seq((1L, 100L, "a"), (1L, 200L, "b"), (2L, 10L, "c"))
+      .toDF("k", "ts", "lid")
+    val right = Seq(
+      (1L, 90L, 10L),  // 10 behind "a"
+      (1L, 104L, 11L), // 4 ahead of "a" -> forward wins for "a"
+      (1L, 195L, 12L), (1L, 205L, 13L)) // equidistant for "b" -> backward 12
+      .toDF("k", "rts", "rid")
+    val out = AsOfJoin.asofNearest(left, right, Seq("k"), "ts", "rts",
+      leftId = "lid", leftCols = Seq("lid", "ts"),
+      rightCols = Seq("rid", "rts"), rightTieBreak = Seq("rid"))
+      .collect().map(r => (r.getAs[String]("lid"), r.getAs[Long]("rid"))).toMap
+    assert(out == Map("a" -> 11L, "b" -> 12L), s"got $out")
+    assert(!out.contains("c"), "no right rows for key 2")
+  }
+
   test("bpe: merge application is left-to-right non-overlapping") {
     import graft.operators.Bpe
     assert(Bpe.segment("aaaa", Seq(("a", "a"))) == Seq("aa", "aa"))
