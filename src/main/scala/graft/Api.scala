@@ -268,6 +268,34 @@ final class Api(
     serialize(res)
   }
 
+  /** Diversity-aware semantic search: exact top-(k·oversample) shortlist,
+    * MMR re-rank ([[graft.search.Mmr]], λ trades relevance vs diversity),
+    * top-k out with the MMR score as the reported score. The expensive
+    * part stays the fully-distributed retrieval leg; the greedy re-rank
+    * runs over the serving-bounded shortlist (n_results guard × a small
+    * oversample). The standard serving step between retrieval and
+    * [[graft.search.ContextAssembly]].
+    */
+  def semanticSearchDiverse(
+      name: String, question: String, nResults: Int = 10,
+      lambda: Double = 0.5, oversample: Int = 4): SearchResponse = {
+    val k = validLimit(nResults)
+    require(oversample >= 1 && k.toLong * oversample <= 10000,
+      s"oversample $oversample out of range for k=$k")
+    val q = Sanitize.sanitizeString(validQuestions(Seq(question)).head)
+    val d = docs(name)
+    val short = Semantic.search(d, Seq(0 -> embedder.embedQuery(q).toSeq),
+        k * oversample, payload = Seq("embedding"))
+      .select("id", "score", "embedding")
+    val reranked = graft.search.Mmr.rerank(short, k, lambda)
+    val payload = reranked.alias("f")
+      .join(d.alias("d"), col("f.id") === col("d.id"), "left")
+      .select(col("f.rank"), col("f.id"), col("d.content"), col("d.metadata"),
+        col("f.mmr").as("score"))
+      .orderBy(col("f.rank"))
+    serialize(payload.drop("rank"))
+  }
+
   /** Build (or rebuild) the collection's persistent ANN index (IVF layout,
     * cluster-partitioned parquet — see graft.ann.IvfIndex).
     */

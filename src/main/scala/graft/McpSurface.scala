@@ -127,7 +127,7 @@ class McpSurface(
       Set("semantic_search", "lexical_search", "search"),
       ErrorCodes.SearchActionInvalid) match {
       case "semantic_search" =>
-        resolveAction(semanticMode, Set("exact", "approx", "lsh", "pq"),
+        resolveAction(semanticMode, Set("exact", "approx", "lsh", "pq", "diverse"),
           ErrorCodes.SearchActionInvalid) match {
           case "exact" =>
             api.semanticSearch(collectionName, Seq(question), numberResults)
@@ -137,6 +137,8 @@ class McpSurface(
             api.semanticSearchLsh(collectionName, Seq(question), numberResults)
           case "pq" =>
             api.semanticSearchPq(collectionName, Seq(question), numberResults)
+          case "diverse" => // MMR re-ranked serving (Api.semanticSearchDiverse)
+            api.semanticSearchDiverse(collectionName, question, numberResults)
         }
       case "lexical_search" =>
         resolveAction(lexicalMode, Set("scan", "indexed", "bm25", "bm25_indexed"),

@@ -135,6 +135,20 @@ class ApiSpec extends SparkSpec {
     assert(api.insertDocuments("bg", Seq("fresh one").toDF("content")) == 1)
   }
 
+  test("diverse search: lambda=1 reduces to plain semantic order; k unique hits") {
+    val api = newApi()
+    api.createCollection("div", documents = Some(corpus()))
+    val plain = api.semanticSearch("div", Seq("vector database"), 3)
+      .results.map(_.id)
+    val pure = api.semanticSearchDiverse("div", "vector database", 3, lambda = 1.0)
+      .results.map(_.id)
+    assert(pure == plain, "lambda=1 is pure relevance = plain semantic order")
+    val div = api.semanticSearchDiverse("div", "vector database", 3, lambda = 0.5)
+    assert(div.results.size == 3)
+    assert(div.results.map(_.id).distinct.size == 3, "no duplicate hits")
+    assert(div.results.forall(h => h.content != null))
+  }
+
   test("searches on an empty collection return empty results, not errors") {
     // reference: tests/test_all_backends.py:553-577 — one (empty) result
     // list per query on a fresh collection
