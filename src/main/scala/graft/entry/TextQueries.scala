@@ -381,6 +381,39 @@ object TextQueries {
       |  CAST(0 AS BIGINT) AS f_spread
       |FROM m ORDER BY id""".stripMargin
 
+  /** REAL audio decode roundtrip: deterministic mono PCM WAVs
+    * (square-wave samples, dims/rate/amplitude from per-doc arithmetic)
+    * are encoded, then decoded by `javax.sound.sampled` through
+    * [[Multimodal.decode]] — recovered sample rate, channel count, frame
+    * count, and per-window RMS (which equals the amplitude exactly for a
+    * square wave) must match the encode-side arithmetic the oracle
+    * replays without seeing any bytes. A byte-length stub cannot pass.
+    */
+  def mmDecodeAudio(s: SparkSession, dir: String): DataFrame = {
+    val wav = udf((id: Long) => Multimodal.squareWav(
+      (400 + id % 600).toInt, (8000 + (id % 4) * 4000).toInt,
+      (1000 + id % 20000).toInt))
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), lit("audio").as("modality"),
+        wav(col("doc_id").cast("long")).as("data"))
+    Multimodal.decode(media)
+      .select(col("id"), col("width").as("sample_rate"),
+        col("height").as("channels"), col("n_frames"),
+        round(element_at(col("features"), 1) * 32768).cast("long").as("rms_amp"),
+        round((array_max(col("features")) - array_min(col("features")))
+          * 1e6).cast("long").as("f_spread"))
+      .orderBy("id")
+  }
+
+  val mmDecodeAudioSql: String =
+    """SELECT doc_id AS id,
+      |  CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+      |  1 AS channels,
+      |  CAST(400 + doc_id % 600 AS INTEGER) AS n_frames,
+      |  CAST(1000 + doc_id % 20000 AS BIGINT) AS rms_amp,
+      |  CAST(0 AS BIGINT) AS f_spread
+      |FROM documents ORDER BY id""".stripMargin
+
   /** REAL pixel resize roundtrip: solid PNGs (varied dims straddling the
     * 128 cap) go through [[Multimodal.resizePixels]] — actual box-sampled
     * pixels, re-encoded PNG — and the OUTPUT bytes are decoded again:
@@ -1588,6 +1621,7 @@ object TextQueries {
     "q_mm_decode" -> (mmDecode _),
     "q_mm_decode_image" -> (mmDecodeImage _),
     "q_mm_resize_real" -> (mmResizeReal _),
+    "q_mm_decode_audio" -> (mmDecodeAudio _),
     "q_mm_frames" -> (mmFrames _),
     "q_mm_resize" -> (mmResize _)
   )
@@ -1631,6 +1665,7 @@ object TextQueries {
     "q_mm_decode" -> mmDecodeSql,
     "q_mm_decode_image" -> mmDecodeImageSql,
     "q_mm_resize_real" -> mmResizeRealSql,
+    "q_mm_decode_audio" -> mmDecodeAudioSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_resize" -> mmResizeSql
   )

@@ -105,12 +105,100 @@ object Multimodal {
     }
   }
 
-  /** Decode dispatch: PNG/JPEG payloads decode for real (see
-    * [[decodeImage]]); everything else — audio/video/unknown — takes the
-    * STUB path: deterministic pseudo-metadata derived from the payload
-    * bytes. A real audio/video implementation replaces ONLY the stub body
-    * (FFmpeg via JNI); the Spark plumbing around it — per-partition init,
-    * batching, schema — is identical either way.
+  /** Number of RMS-energy windows emitted for real audio decodes. */
+  val AudioWindows = 8
+
+  private def isWav(d: Array[Byte]): Boolean =
+    d.length > 12 && d(0) == 'R'.toByte && d(1) == 'I'.toByte &&
+      d(2) == 'F'.toByte && d(3) == 'F'.toByte &&
+      d(8) == 'W'.toByte && d(9) == 'A'.toByte &&
+      d(10) == 'V'.toByte && d(11) == 'E'.toByte
+
+  /** Real WAV (PCM) decode via `javax.sound.sampled` — the JDK's codec,
+    * same pure-JVM standard as the ImageIO image path. Metadata maps onto
+    * the shared [[Decoded]] schema: width = sample rate, height =
+    * channels, n_frames = PCM frame count. Features = per-window RMS
+    * energy over [[AudioWindows]] equal slices of the (first-channel)
+    * sample stream, integer-accumulated (sum of squares in Long) then
+    * rooted once — deterministic and oracle-replayable. Returns None for
+    * non-PCM/compressed or truncated payloads (caller falls back to the
+    * stub, governed like the image path).
+    */
+  private def decodeAudio(id: Long, modality: String, data: Array[Byte],
+      md: MessageDigest): Option[Decoded] =
+    try {
+      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new ByteArrayInputStream(data))
+      try {
+        val fmt = in.getFormat
+        if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||
+            fmt.getSampleSizeInBits != 16) return None
+        val bytes = in.readAllBytes()
+        val frameSize = fmt.getFrameSize // channels * 2
+        val frames = bytes.length / frameSize
+        if (frames == 0) return None
+        val bigEndian = fmt.isBigEndian
+        val sums = new Array[Long](AudioWindows)
+        val counts = new Array[Long](AudioWindows)
+        var i = 0
+        while (i < frames) {
+          val o = i * frameSize // first channel only
+          val s =
+            if (bigEndian) ((bytes(o) << 8) | (bytes(o + 1) & 0xff)).toShort
+            else ((bytes(o + 1) << 8) | (bytes(o) & 0xff)).toShort
+          val w = (i.toLong * AudioWindows / frames).toInt
+          sums(w) += s.toLong * s.toLong
+          counts(w) += 1
+          i += 1
+        }
+        val fp = md.digest(data).map("%02x".format(_)).mkString
+        md.reset()
+        Some(Decoded(
+          id = id,
+          modality = modality,
+          byte_len = data.length.toLong,
+          width = fmt.getSampleRate.toInt,
+          height = fmt.getChannels,
+          n_frames = frames,
+          fingerprint = fp,
+          features = Array.tabulate(AudioWindows)(w =>
+            if (counts(w) == 0) 0.0f
+            else (math.sqrt(sums(w).toDouble / counts(w)) / 32768.0).toFloat)))
+      } finally in.close()
+    } catch { case _: Exception => None }
+
+  /** Deterministic synthetic WAV: mono PCM16, `n` samples of an
+    * alternating ±amplitude square wave at `rate` Hz — every sample's
+    * square is amplitude², so each RMS window recovers the amplitude
+    * EXACTLY (the encode half of the audio decode roundtrip oracle).
+    */
+  def squareWav(n: Int, rate: Int, amplitude: Int): Array[Byte] = {
+    require(n >= 1 && rate >= 1 && amplitude >= 0 && amplitude <= 32767,
+      s"bad wav params n=$n rate=$rate amp=$amplitude")
+    val dataLen = n * 2
+    val out = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(rate).putInt(rate * 2).putShort(2).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      out.putShort((if (i % 2 == 0) amplitude else -amplitude).toShort)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Decode dispatch: PNG/JPEG images and PCM WAV audio decode for real
+    * (see [[decodeImage]]/[[decodeAudio]]); everything else —
+    * video/unknown — takes the STUB path: deterministic pseudo-metadata
+    * derived from the payload bytes. A real video implementation replaces
+    * ONLY the stub body (FFmpeg via JNI — no codec ships in the JDK); the
+    * Spark plumbing around it — per-partition init, batching, schema — is
+    * identical either way.
     */
   private def decodeOne(id: Long, modality: String, data: Array[Byte],
       md: MessageDigest): Decoded = {
@@ -118,6 +206,12 @@ object Multimodal {
       decodeImage(id, modality, data, md) match {
         case Some(d) => return d
         case None => // unparseable image payload: fall through to the stub
+      }
+    }
+    if (isWav(data)) {
+      decodeAudio(id, modality, data, md) match {
+        case Some(d) => return d
+        case None => // non-PCM/truncated wav: fall through to the stub
       }
     }
     val len = data.length.toLong

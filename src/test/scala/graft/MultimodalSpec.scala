@@ -94,6 +94,24 @@ class MultimodalSpec extends SparkSpec {
       .sameElements("not an image".getBytes("UTF-8")))
   }
 
+  test("WAV decode: real rate/channels/frames; RMS windows recover amplitude") {
+    val bytes = Multimodal.squareWav(n = 800, rate = 16000, amplitude = 12345)
+    val out = Multimodal.decode(mediaDF((9L, "audio", bytes))).collect().head
+    assert(out.getAs[Int]("width") == 16000, "width carries sample rate")
+    assert(out.getAs[Int]("height") == 1, "height carries channels")
+    assert(out.getAs[Int]("n_frames") == 800)
+    val f = out.getSeq[Float](out.fieldIndex("features"))
+    assert(f.forall(v => math.round(v * 32768) == 12345L),
+      s"square-wave RMS must equal the amplitude exactly: $f")
+  }
+
+  test("truncated WAV falls back to the stub instead of failing the batch") {
+    val broken = Multimodal.squareWav(100, 8000, 5).take(30) // RIFF magic intact
+    val out = Multimodal.decode(mediaDF((8L, "audio", broken))).collect().head
+    assert(out.getAs[Long]("byte_len") == 30L)
+    assert(out.getAs[Int]("width") == (32 + 30 % 608), "stub semantics")
+  }
+
   test("truncated PNG falls back to the stub instead of failing the batch") {
     val broken = Multimodal.solidPng(16, 16, 1, 2, 3).take(20) // magic intact, body gone
     val out = Multimodal.decode(mediaDF((3L, "image", broken))).collect().head
