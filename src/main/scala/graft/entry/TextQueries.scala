@@ -414,6 +414,42 @@ object TextQueries {
       |  CAST(0 AS BIGINT) AS f_spread
       |FROM documents ORDER BY id""".stripMargin
 
+  /** REAL video-container decode roundtrip: deterministic AVIs (1..5
+    * solid frames each, dims/colors from per-doc arithmetic) go through
+    * the pure-JVM RIFF walker + per-frame ImageIO decode — recovered
+    * frame dims, true frame COUNT, and first-frame luma must match the
+    * encode-side arithmetic. Frames here are PNG payloads (byte-exact
+    * luma for the oracle); the decoder accepts any ImageIO-decodable
+    * frame, which in the wild means MJPEG.
+    */
+  def mmDecodeVideo(s: SparkSession, dir: String): DataFrame = {
+    val avi = udf((id: Long) => {
+      val w = (16 + id % 16).toInt
+      val h = (12 + (id * 3) % 12).toInt
+      val n = (1 + id % 5).toInt
+      Multimodal.mjpegAvi(Seq.tabulate(n)(f =>
+        Multimodal.solidPng(w, h, ((id + f) % 256).toInt,
+          ((id * 5) % 256).toInt, ((id * 11) % 256).toInt)))
+    })
+    val media = t(s, dir, "documents")
+      .filter(col("doc_id") % 5 === 0)
+      .select(col("doc_id").as("id"), lit("video").as("modality"),
+        avi(col("doc_id").cast("long")).as("data"))
+    Multimodal.decode(media)
+      .select(col("id"), col("width"), col("height"), col("n_frames"),
+        round(element_at(col("features"), 1) * 255).cast("long").as("luma"))
+      .orderBy("id")
+  }
+
+  val mmDecodeVideoSql: String =
+    """SELECT doc_id AS id,
+      |  CAST(16 + doc_id % 16 AS INTEGER) AS width,
+      |  CAST(12 + (doc_id*3) % 12 AS INTEGER) AS height,
+      |  CAST(1 + doc_id % 5 AS INTEGER) AS n_frames,
+      |  CAST((299*(doc_id % 256) + 587*((doc_id*5) % 256)
+      |      + 114*((doc_id*11) % 256)) // 1000 AS BIGINT) AS luma
+      |FROM documents WHERE doc_id % 5 = 0 ORDER BY id""".stripMargin
+
   /** REAL pixel resize roundtrip: solid PNGs (varied dims straddling the
     * 128 cap) go through [[Multimodal.resizePixels]] — actual box-sampled
     * pixels, re-encoded PNG — and the OUTPUT bytes are decoded again:
@@ -1622,6 +1658,7 @@ object TextQueries {
     "q_mm_decode_image" -> (mmDecodeImage _),
     "q_mm_resize_real" -> (mmResizeReal _),
     "q_mm_decode_audio" -> (mmDecodeAudio _),
+    "q_mm_decode_video" -> (mmDecodeVideo _),
     "q_mm_frames" -> (mmFrames _),
     "q_mm_resize" -> (mmResize _)
   )
@@ -1666,6 +1703,7 @@ object TextQueries {
     "q_mm_decode_image" -> mmDecodeImageSql,
     "q_mm_resize_real" -> mmResizeRealSql,
     "q_mm_decode_audio" -> mmDecodeAudioSql,
+    "q_mm_decode_video" -> mmDecodeVideoSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_resize" -> mmResizeSql
   )

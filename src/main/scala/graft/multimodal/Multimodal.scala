@@ -1,6 +1,7 @@
 package graft.multimodal
 
 import java.io.ByteArrayInputStream
+import java.nio.charset.StandardCharsets
 import java.security.MessageDigest
 import javax.imageio.ImageIO
 import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
@@ -192,13 +193,90 @@ object Multimodal {
     out.array()
   }
 
-  /** Decode dispatch: PNG/JPEG images and PCM WAV audio decode for real
-    * (see [[decodeImage]]/[[decodeAudio]]); everything else —
-    * video/unknown — takes the STUB path: deterministic pseudo-metadata
-    * derived from the payload bytes. A real video implementation replaces
-    * ONLY the stub body (FFmpeg via JNI — no codec ships in the JDK); the
-    * Spark plumbing around it — per-partition init, batching, schema — is
-    * identical either way.
+  private def isAvi(d: Array[Byte]): Boolean =
+    d.length > 12 && d(0) == 'R'.toByte && d(1) == 'I'.toByte &&
+      d(2) == 'F'.toByte && d(3) == 'F'.toByte &&
+      d(8) == 'A'.toByte && d(9) == 'V'.toByte &&
+      d(10) == 'I'.toByte && d(11) == ' '.toByte
+
+  private def le32(d: Array[Byte], o: Int): Int =
+    (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8) |
+      ((d(o + 2) & 0xff) << 16) | ((d(o + 3) & 0xff) << 24)
+
+  /** Real MJPEG-AVI video decode: a pure-JVM RIFF chunk walker (LIST
+    * nesting, even-byte padding per the spec) collects the `movi` list's
+    * video chunks (`##dc`/`##db`); the frame count is the real chunk
+    * count and the FIRST frame's payload decodes through [[decodeImage]]
+    * (ImageIO — MJPEG frames are JPEGs) for true width/height and the
+    * luma-grid features. Non-RIFF, frame-less, or undecodable-first-frame
+    * payloads return None (governed stub fallback). Compressed codecs
+    * (H.264 etc.) have no JDK decoder and stay out of scope — their
+    * chunks don't ImageIO-decode, so they fail governed, never garbage.
+    */
+  private def decodeVideo(id: Long, modality: String, data: Array[Byte],
+      md: MessageDigest): Option[Decoded] =
+    try {
+      // walk chunks, recursing into LISTs, collecting video frame payloads
+      val frames = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+      def walk(from: Int, until: Int): Unit = {
+        var o = from
+        while (o + 8 <= until) {
+          val cc = new String(data, o, 4, StandardCharsets.US_ASCII)
+          val size = le32(data, o + 4)
+          if (size < 0 || o + 8 + size > until) return // truncated chunk
+          if (cc == "LIST") walk(o + 12, o + 8 + size) // skip 4-byte list type
+          else if (cc.length == 4 &&
+              (cc.substring(2) == "dc" || cc.substring(2) == "db"))
+            frames += ((o + 8, size))
+          o += 8 + size + (size & 1) // chunks pad to even length
+        }
+      }
+      walk(12, math.min(12 + le32(data, 4) - 4, data.length))
+      if (frames.isEmpty) return None
+      val (fo, fl) = frames.head
+      decodeImage(id, modality, java.util.Arrays.copyOfRange(data, fo, fo + fl), md)
+        .map(_.copy(
+          byte_len = data.length.toLong,
+          n_frames = frames.length,
+          fingerprint = {
+            val fp = md.digest(data).map("%02x".format(_)).mkString
+            md.reset(); fp
+          }))
+    } catch { case _: Exception => None }
+
+  /** Minimal MJPEG-AVI container around pre-encoded frame payloads — the
+    * encode half of the video decode roundtrip oracle (header-only hdrl,
+    * one `00dc` chunk per frame in a `movi` LIST, even-padded).
+    */
+  def mjpegAvi(frames: Seq[Array[Byte]]): Array[Byte] = {
+    require(frames.nonEmpty, "need at least one frame")
+    val bos = new java.io.ByteArrayOutputStream()
+    def fourcc(s: String): Array[Byte] = s.getBytes(StandardCharsets.US_ASCII)
+    def le(i: Int): Array[Byte] = Array(
+      (i & 0xff).toByte, ((i >> 8) & 0xff).toByte,
+      ((i >> 16) & 0xff).toByte, ((i >> 24) & 0xff).toByte)
+    val movi = new java.io.ByteArrayOutputStream()
+    movi.write(fourcc("movi"))
+    frames.foreach { f =>
+      movi.write(fourcc("00dc")); movi.write(le(f.length)); movi.write(f)
+      if (f.length % 2 == 1) movi.write(0)
+    }
+    val moviBytes = movi.toByteArray
+    val body = new java.io.ByteArrayOutputStream()
+    body.write(fourcc("AVI "))
+    body.write(fourcc("LIST")); body.write(le(moviBytes.length)); body.write(moviBytes)
+    val bodyBytes = body.toByteArray
+    bos.write(fourcc("RIFF")); bos.write(le(bodyBytes.length)); bos.write(bodyBytes)
+    bos.toByteArray
+  }
+
+  /** Decode dispatch: PNG/JPEG images, PCM WAV audio, and MJPEG-AVI video
+    * decode for real (see [[decodeImage]]/[[decodeAudio]]/[[decodeVideo]]
+    * — all pure-JDK); anything else takes the STUB path: deterministic
+    * pseudo-metadata derived from the payload bytes (compressed video
+    * codecs need FFmpeg-via-JNI and fail governed to the stub, never
+    * silently). The Spark plumbing — per-partition init, batching,
+    * schema — is identical either way.
     */
   private def decodeOne(id: Long, modality: String, data: Array[Byte],
       md: MessageDigest): Decoded = {
@@ -212,6 +290,12 @@ object Multimodal {
       decodeAudio(id, modality, data, md) match {
         case Some(d) => return d
         case None => // non-PCM/truncated wav: fall through to the stub
+      }
+    }
+    if (isAvi(data)) {
+      decodeVideo(id, modality, data, md) match {
+        case Some(d) => return d
+        case None => // compressed/truncated avi: fall through to the stub
       }
     }
     val len = data.length.toLong

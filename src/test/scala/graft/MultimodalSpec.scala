@@ -112,6 +112,37 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Int]("width") == (32 + 30 % 608), "stub semantics")
   }
 
+  test("AVI decode: real frame count and first-frame pixels; JPEG frames work") {
+    // PNG frames: exact luma roundtrip
+    val pngFrames = Seq.tabulate(3)(_ => Multimodal.solidPng(10, 8, 30, 60, 90))
+    val out = Multimodal.decode(
+      mediaDF((11L, "video", Multimodal.mjpegAvi(pngFrames)))).collect().head
+    assert((out.getAs[Int]("width"), out.getAs[Int]("height")) == (10, 8))
+    assert(out.getAs[Int]("n_frames") == 3, "frame count from real chunk walk")
+    val luma = (299 * 30 + 587 * 60 + 114 * 90) / 1000
+    val f = out.getSeq[Float](out.fieldIndex("features"))
+    assert(f.forall(_ == (luma / 255.0).toFloat))
+    // true-to-name MJPEG: JPEG frames decode too (lossy, dims exact)
+    val im = new BufferedImage(20, 14, BufferedImage.TYPE_INT_RGB)
+    for (y <- 0 until 14; x <- 0 until 20) im.setRGB(x, y, 0x405060)
+    val jb = new ByteArrayOutputStream(); ImageIO.write(im, "jpg", jb)
+    val jout = Multimodal.decode(
+      mediaDF((12L, "video", Multimodal.mjpegAvi(Seq(jb.toByteArray, jb.toByteArray)))))
+      .collect().head
+    assert((jout.getAs[Int]("width"), jout.getAs[Int]("height")) == (20, 14))
+    assert(jout.getAs[Int]("n_frames") == 2)
+  }
+
+  test("non-MJPEG AVI falls back to the stub (no JDK codec for compressed video)") {
+    // a video chunk that is NOT ImageIO-decodable (fake H.264-ish bytes)
+    val junk = Array.fill[Byte](64)(0x42)
+    val out = Multimodal.decode(
+      mediaDF((13L, "video", Multimodal.mjpegAvi(Seq(junk))))).collect().head
+    // stub semantics: dims derived from byte length
+    val len = out.getAs[Long]("byte_len")
+    assert(out.getAs[Int]("width") == (32 + len % 608).toInt)
+  }
+
   test("truncated PNG falls back to the stub instead of failing the batch") {
     val broken = Multimodal.solidPng(16, 16, 1, 2, 3).take(20) // magic intact, body gone
     val out = Multimodal.decode(mediaDF((3L, "image", broken))).collect().head
