@@ -25,7 +25,12 @@ import scala.collection.mutable.ArrayBuffer
   *    (raw CID against an external CMap resource) degrades to byte
   *    decoding. When the xref is damaged extraction falls back to a linear
   *    scan of every `stream…endstream` blob (font-blind — resources can't
-  *    be resolved without an xref). Encryption remains out of scope.
+  *    be resolved without an xref). Encrypted documents openable WITHOUT a
+  *    password (the common owner-password-only files) decrypt through
+  *    [[PdfCrypt]] (RC4-40/128, AES-128 crypt filters, AES-256 R6);
+  *    password-locked files fail governed, and an encrypted file with a
+  *    damaged xref never falls through to the linear scan (its streams are
+  *    ciphertext).
   *
   * Both return None when nothing extractable is found; callers surface the
   * governed `document_parse_unsupported` error rather than ingesting binary
@@ -109,6 +114,12 @@ object DocParse {
       try xrefPagesText(bytes)
       catch { case _: Exception => None } // damaged xref → linear fallback
     viaXref.orElse {
+      // an encrypted file whose xref path failed must NOT fall back to the
+      // linear scan — its streams are ciphertext and any "BT…Tj" hit would
+      // be garbage. /Encrypt lives in the trailer, i.e. near the file tail.
+      val tail = new String(bytes, math.max(0, bytes.length - 2048),
+        math.min(2048, bytes.length), StandardCharsets.ISO_8859_1)
+      if (tail.contains("/Encrypt")) return None
       val texts = contentStreams(bytes).flatMap(textFromContentStream(_))
       val out = texts.mkString("\n").trim
       if (out.isEmpty) None else Some(out)
@@ -338,15 +349,44 @@ object DocParse {
     Some(out)
   }
 
-  /** Resolve objects by number, transparently opening /Type/ObjStm object
-    * streams (header = /N (num, relOffset) pairs before /First).
+  /** Generation number from the `N G obj` header at a byte offset (for the
+    * per-object decryption key); 0 when unparsable.
     */
-  private final class Objects(raw: String, bytes: Array[Byte], locs: Map[Int, Loc]) {
+  private def genAt(raw: String, off: Int): Int = {
+    val objAt = raw.indexOf("obj", off)
+    if (objAt < 0 || objAt > off + 64) return 0
+    raw.substring(off, objAt).trim.split("""\s+""") match {
+      case Array(_, g) if g.forall(_.isDigit) => g.toInt
+      case _ => 0
+    }
+  }
+
+  /** Resolve objects by number, transparently opening /Type/ObjStm object
+    * streams (header = /N (num, relOffset) pairs before /First). When `dec`
+    * is set (encrypted document), stream payloads are decrypted with the
+    * per-object key BEFORE filter decoding — except xref streams, which the
+    * spec forbids encrypting. Objects inside an ObjStm are NOT separately
+    * encrypted (the ObjStm's own stream was).
+    */
+  private final class Objects(raw: String, bytes: Array[Byte], locs: Map[Int, Loc],
+      dec: Option[PdfCrypt.Decryptor] = None) {
     private val objStmCache = scala.collection.mutable.Map.empty[Int, Option[(String, Seq[(Int, Int)])]]
 
-    /** (dict-or-body text, raw stream payload). */
+    private def decrypted(num: Int, off: Int, dict: String,
+        payload: Array[Byte]): Option[Array[Byte]] = dec match {
+      case Some(d) if !dict.contains("/XRef") => d.decrypt(num, genAt(raw, off), payload)
+      case _ => Some(payload)
+    }
+
+    /** (dict-or-body text, decrypted-but-still-filtered stream payload). */
     def apply(num: Int): Option[(String, Option[Array[Byte]])] = locs.get(num).flatMap {
-      case AtOffset(off) => parseObjectAt(raw, bytes, off)
+      case AtOffset(off) =>
+        parseObjectAt(raw, bytes, off).flatMap { case (dict, payloadOpt) =>
+          payloadOpt match {
+            case None => Some((dict, None))
+            case Some(p) => decrypted(num, off, dict, p).map(dp => (dict, Some(dp)))
+          }
+        }
       case InObjStm(stm, idx) =>
         objStm(stm).flatMap { case (content, pairs) =>
           if (idx >= pairs.length) None
@@ -365,7 +405,8 @@ object DocParse {
           for {
             (dict, payloadOpt) <- parseObjectAt(raw, bytes, off)
             payload <- payloadOpt
-            data <- decodeStream(dict, payload)
+            plain <- decrypted(num, off, dict, payload)
+            data <- decodeStream(dict, plain)
             n <- intAfter(dict, "/N")
             first <- intAfter(dict, "/First")
           } yield {
@@ -542,13 +583,38 @@ object DocParse {
         }.toMap
     }
 
+  /** First element of the trailer's /ID array (hex or literal form) — input
+    * to the R≤4 key derivation. Empty when absent (lenient: the spec
+    * requires an ID on encrypted files, but damaged writers exist).
+    */
+  private def idFirst(trailer: String): Array[Byte] =
+    """/ID\s*\[""".r.findFirstMatchIn(trailer) match {
+      case None => Array.empty[Byte]
+      case Some(m) =>
+        PdfCrypt.firstString(trailer.substring(m.end)).getOrElse(Array.empty[Byte])
+    }
+
   /** The xref-driven extraction: /Root → /Pages tree → each page's
     * /Contents, concatenated per page, in document order.
     */
   private def xrefPagesText(bytes: Array[Byte]): Option[String] = {
     val raw = new String(bytes, StandardCharsets.ISO_8859_1)
     val (locs, trailer) = readXrefChain(raw, bytes).getOrElse(return None)
-    val objects = new Objects(raw, bytes, locs)
+    // Encrypted document: build the empty-user-password decryptor from the
+    // /Encrypt dictionary (resolved WITHOUT decryption — its own strings are
+    // stored in the clear, §7.6.2). Failure (real password, unsupported
+    // handler) is a governed None: never fall through to ciphertext.
+    val dec: Option[PdfCrypt.Decryptor] = refAfter(trailer, "/Encrypt") match {
+      case None => None
+      case Some(encNum) =>
+        val encDict = locs.get(encNum) match {
+          case Some(AtOffset(off)) => parseObjectAt(raw, bytes, off).map(_._1)
+          case _ => None // Encrypt dict may not live in an ObjStm
+        }
+        val id0 = idFirst(trailer)
+        Some(encDict.flatMap(PdfCrypt.fromEncrypt(_, id0)).getOrElse(return None))
+    }
+    val objects = new Objects(raw, bytes, locs, dec)
     val rootNum = refAfter(trailer, "/Root").getOrElse(return None)
     val catalog = objects(rootNum).map(_._1).getOrElse(return None)
     val pagesRoot = refAfter(catalog, "/Pages").getOrElse(return None)
