@@ -31,6 +31,7 @@ object SparkEntry {
       graft.entry.CoreQueries.queries ++
       graft.entry.DedupQueries.queries ++
       graft.entry.TextQueries.queries ++
+      graft.entry.TermQueries.queries ++
       graft.entry.OlapQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -38,6 +39,7 @@ object SparkEntry {
       graft.entry.CoreQueries.oracles ++
       graft.entry.DedupQueries.oracles ++
       graft.entry.TextQueries.oracles ++
+      graft.entry.TermQueries.oracles ++
       graft.entry.OlapQueries.oracles
 
   private def searchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -1,0 +1,162 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Multi-language identification via character-trigram profiles (the
+  * classic Cavnar–Trenkle n-gram approach, the same family fastText's
+  * langid and CLD run on). [[graft.functions.TextFunctions.langIdEn]] is
+  * the cheap English/unknown gate; this operator picks AMONG languages —
+  * what a multilingual curation pipeline needs before per-language
+  * mixture fills.
+  *
+  * The model is a deterministic constant: per-language seed text (written
+  * for this engine from common function words) → top-[[ProfileSize]]
+  * trigrams by frequency → rank weights. Both the Spark side and the
+  * DuckDB oracle consume the SAME [[profiles]] table (the oracle embeds
+  * it as a VALUES literal), so the oracle replays scoring end to end.
+  *
+  * Scale shape: normalize + trigram explode is narrow per-row work; the
+  * profile table is a few hundred rows (explicit broadcast); scoring is
+  * one (doc, lang) keyed aggregation; argmax is a per-doc window over ≤
+  * |languages| rows. One shuffle total.
+  */
+object LangId {
+
+  /** Top-N trigrams kept per language. */
+  val ProfileSize = 60
+
+  /** Seed corpora: high-frequency function words + short connective
+    * phrases per language. Accent-stripped by [[normalize]] on both
+    * sides, so profiles stay ASCII.
+    */
+  private val seeds: Map[String, String] = Map(
+    "en" -> ("the and that have with this from they which were been their said " +
+      "each about would there what when your can said who will way many then " +
+      "them these some her him into time has look two more write see number " +
+      "could people than first water been called who oil its now find long " +
+      "down day did get come made may part over new sound take only little " +
+      "work know place year live me back give most very after thing our just " +
+      "name good sentence man think say great where help through much before " +
+      "line right too mean old any same tell boy follow came want show also " +
+      "around form three small set put end does another well large must big " +
+      "even such because turn here why ask went men read need land different " +
+      "home us move try kind hand picture again change off play spell air away"),
+    "de" -> ("der die das und ist nicht ich sie wir ihr ein eine einen einem dem " +
+      "den des auch noch wenn aber oder doch schon sehr mehr immer wieder durch " +
+      "über unter zwischen nach vor bei mit von zu aus für gegen ohne um während " +
+      "weil dass diese dieser dieses welche haben werden können müssen sollen " +
+      "wollen machen sagen gehen sehen wissen kommen geben stehen finden bleiben " +
+      "liegen heißen denken nehmen tun dürfen glauben halten nennen mögen zeigen " +
+      "führen sprechen bringen leben fahren meinen fragen kennen gelten stellen " +
+      "spielen arbeiten brauchen folgen lernen bestehen verstehen setzen bekommen " +
+      "beginnen erzählen versuchen schreiben laufen erklären entsprechen sitzen " +
+      "ziehen scheinen fallen gehören entstehen erhalten treffen suchen legen"),
+    "fr" -> ("le la les un une des et est sont dans pour avec sans sous sur mais " +
+      "ou donc car ne pas plus moins très bien tout tous toutes cette ce ces qui " +
+      "que quoi dont où nous vous ils elles avoir être faire dire aller voir " +
+      "savoir pouvoir vouloir venir devoir prendre trouver donner parler aimer " +
+      "passer mettre demander tenir sembler laisser rester penser entendre " +
+      "regarder répondre rendre connaître paraître arriver croire commencer " +
+      "comprendre attendre entrer sortir vivre revenir appeler mourir partir " +
+      "jeter suivre écrire montrer tomber sentir perdre porter ouvrir lire " +
+      "monter offrir souffrir toujours jamais souvent quelque chose personne " +
+      "autre même aussi alors après avant comme depuis pendant contre entre"),
+    "es" -> ("el la los las un una unos unas y es son en para con sin sobre pero " +
+      "o porque no más menos muy bien todo todos todas esta este estos estas que " +
+      "quien cual donde nosotros vosotros ellos ellas haber ser estar tener hacer " +
+      "decir ir ver saber poder querer venir deber llegar pasar poner parecer " +
+      "quedar creer hablar llevar dejar seguir encontrar llamar pensar salir " +
+      "volver tomar conocer vivir sentir mirar contar empezar esperar buscar " +
+      "existir entrar trabajar escribir perder producir ocurrir entender pedir " +
+      "recibir recordar terminar permitir aparecer conseguir comenzar servir " +
+      "sacar necesitar mantener resultar leer caer cambiar presentar crear " +
+      "abrir considerar oír acabar convertir ganar formar traer partir morir"),
+    "it" -> ("il lo la i gli le un uno una e è sono in per con senza sopra sotto " +
+      "ma o perché non più meno molto bene tutto tutti tutte questa questo " +
+      "questi queste che chi quale dove noi voi loro avere essere fare dire " +
+      "andare vedere sapere potere volere venire dovere arrivare passare mettere " +
+      "parlare trovare lasciare prendere pensare stare portare sentire diventare " +
+      "capire morire scrivere leggere chiamare vivere ricordare dare guardare " +
+      "sembrare aprire chiedere credere restare uscire cercare entrare tornare " +
+      "tenere aspettare finire correre rispondere cadere decidere conoscere " +
+      "nascere mostrare rimanere giocare camminare mangiare perdere salire " +
+      "scendere ascoltare cantare dormire amare studiare lavorare comprare"),
+    "pt" -> ("o a os as um uma uns umas e é são em para com sem sobre mas ou " +
+      "porque não mais menos muito bem tudo todos todas esta este estes estas " +
+      "que quem qual onde nós vós eles elas haver ser estar ter fazer dizer ir " +
+      "ver saber poder querer vir dever chegar passar parecer ficar crer falar " +
+      "levar deixar seguir encontrar chamar pensar sair voltar tomar conhecer " +
+      "viver sentir olhar contar começar esperar buscar existir entrar trabalhar " +
+      "escrever perder produzir ocorrer entender pedir receber lembrar terminar " +
+      "permitir aparecer conseguir servir tirar precisar manter resultar ler " +
+      "cair mudar apresentar criar abrir considerar ouvir acabar converter " +
+      "ganhar formar trazer partir morrer ajudar comprar pagar jogar dormir"))
+
+  /** Ordered (trigram, rank-weight) profile per language, derived from the
+    * seeds with the same normalization the classifier applies. Shared by
+    * both sides of the oracle.
+    */
+  val profiles: Map[String, Seq[(String, Int)]] = seeds.map { case (lang, seed) =>
+    val norm = normalizeStr(seed)
+    val counts = (0 to norm.length - 3).map(i => norm.substring(i, i + 3))
+      .groupBy(identity).view.mapValues(_.size).toMap
+    val top = counts.toSeq.sortBy { case (tri, c) => (-c, tri) }.take(ProfileSize)
+    lang -> top.zipWithIndex.map { case ((tri, _), i) => (tri, ProfileSize - i) }
+  }
+
+  /** Shared normalization: lowercase, non-letter runs → single space, trim.
+    * (Accented letters fall to spaces — profiles and documents lose them
+    * IDENTICALLY, so scoring stays consistent; ASCII-trigram profiles are
+    * the standard robustness trade in n-gram language ID.)
+    */
+  private def normalizeStr(s: String): String =
+    s.toLowerCase.replaceAll("[^a-z]+", " ").trim
+
+  def normalize(c: Column): Column =
+    trim(regexp_replace(lower(c), "[^a-z]+", " "))
+
+  /** All character trigrams of a normalized string (1-based substr —
+    * matches the oracle's `substr(n, i, 3)` exactly).
+    */
+  def trigrams(norm: Column): Column =
+    when(length(norm) < 3, array().cast("array<string>"))
+      .otherwise(transform(
+        sequence(lit(1), length(norm) - 2),
+        i => norm.substr(i, lit(3))))
+
+  /** Classify documents: (id, text) → (id, predicted, score). Unmatched
+    * (no profile trigram) documents classify as 'unknown' with score 0;
+    * ties break on language code ascending.
+    */
+  def classify(docs: DataFrame): DataFrame = {
+    val s = docs.sparkSession
+    import s.implicits._
+    val rows = profiles.toSeq.sortBy(_._1).flatMap { case (l, ps) =>
+      ps.map { case (tri, w) => (l, tri, w) }
+    }
+    val profileDf = rows.toDF("lang", "tri", "w")
+    val tris = docs.select(col("id"), explode(trigrams(normalize(col("text")))).as("tri"))
+    val scores = tris
+      .join(broadcast(profileDf), "tri")
+      .groupBy("id", "lang")
+      .agg(sum(col("w")).as("score"))
+    val w = Window.partitionBy("id").orderBy(col("score").desc, col("lang").asc)
+    val best = scores
+      .withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("id"), col("lang").as("predicted"), col("score"))
+    docs.select(col("id")).join(best, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("predicted"), lit("unknown")).as("predicted"),
+        coalesce(col("score"), lit(0L)).as("score"))
+  }
+
+  /** The profile table as a SQL VALUES body — the oracle's side of the
+    * shared model constant.
+    */
+  def profileValuesSql: String =
+    profiles.toSeq.sortBy(_._1).flatMap { case (l, ps) =>
+      ps.map { case (tri, w) => s"('$l', '$tri', $w)" }
+    }.mkString(", ")
+}

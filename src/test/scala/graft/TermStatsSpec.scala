@@ -1,0 +1,97 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.functions.LangId
+import graft.operators.Keywords
+
+/** Term-statistics operators: TF-IDF keywords and PMI collocations
+  * against hand-computed values, and the trigram-profile language
+  * classifier against distinctive sentences per language.
+  */
+class TermStatsSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("tfidf: corpus-unique term outranks ubiquitous term, hand-checked value") {
+    // "apple" appears in every doc (df=3 → idf=ln(4/4)=0); "kiwi" only in
+    // doc 1 (df=1 → idf=ln(4/2)); "pear" twice in doc 1.
+    val docs = Seq(
+      (1L, Seq("apple", "kiwi", "pear", "pear")),
+      (2L, Seq("apple", "pear")),
+      (3L, Seq("apple"))).toDF("id", "toks")
+    val out = Keywords.tfidfTopK(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2), r.getDouble(3))).toSeq
+    // kiwi: 1·ln(4/2)=0.693 beats pear: 2·ln(4/3)=0.575
+    val doc1 = out.filter(_._1 == 1L).sortBy(_._2)
+    assert(doc1.map(_._3) == Seq("kiwi", "pear"), s"got $doc1")
+    val kiwi = doc1.find(_._3 == "kiwi").get._4
+    assert(math.abs(kiwi - 1.0 * math.log(4.0 / 2.0)) < 1e-12)
+    val pear = doc1.find(_._3 == "pear").get._4
+    assert(math.abs(pear - 2.0 * math.log(4.0 / 3.0)) < 1e-12)
+    // the everywhere-term scores ln(1)=0 and only surfaces when nothing
+    // else is left (doc 3 has nothing but "apple")
+    assert(out.filter(_._1 == 3L).map(_._3) == Seq("apple"))
+  }
+
+  test("pmi: always-together pair beats independent pair; minCount prunes") {
+    // "data science" always adjacent; "the" pairs with everything.
+    val rows = (0 until 30).map(i => (i.toLong, Seq("data", "science", "the", s"w$i"))) ++
+      (30 until 40).map(i => (i.toLong, Seq("the", s"w$i")))
+    val docs = rows.toDF("id", "toks")
+    val out = Keywords.pmiCollocations(docs, 10, 5L).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3), r.getDouble(4)))
+    assert(out.nonEmpty)
+    // top collocation is the perfectly-correlated pair
+    assert((out.head._2, out.head._3) == ("data", "science"), s"got ${out.head}")
+    // every surviving pair respects minCount
+    assert(out.forall(_._4 >= 5))
+    // hand-check the winner: c_ab=30, c_a=c_b=30, T=30·4+10·2=140 tokens,
+    // B=30·3+10·1=100 bigrams
+    val expect = math.log(30.0) + 2 * math.log(140.0) - math.log(100.0) -
+      math.log(30.0) - math.log(30.0)
+    assert(math.abs(out.head._5 - expect) < 1e-9, s"got ${out.head._5} want $expect")
+  }
+
+  test("langid: distinctive sentences classify to their language") {
+    val docs = Seq(
+      (1L, "The people who would have been there said that they could never find the way home."),
+      (2L, "Die Kinder haben gesagt, dass sie nicht wissen, wo der Zug zwischen den Städten fährt."),
+      (3L, "Les enfants qui sont dans la maison ne peuvent pas trouver le chemin pour aller à l'école."),
+      (4L, "Los niños que están en la casa no pueden encontrar el camino para llegar a la escuela."),
+      (5L, "I bambini che sono nella casa non possono trovare la strada per arrivare alla scuola."),
+      (6L, "As crianças que estão em casa não podem encontrar o caminho para chegar à escola."),
+      (7L, "")).toDF("id", "text")
+    val got = LangId.classify(docs).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "en", s"en got ${got(1L)}")
+    assert(got(2L) == "de", s"de got ${got(2L)}")
+    assert(got(3L) == "fr", s"fr got ${got(3L)}")
+    assert(got(4L) == "es", s"es got ${got(4L)}")
+    assert(got(5L) == "it", s"it got ${got(5L)}")
+    assert(got(6L) == "pt", s"pt got ${got(6L)}")
+    assert(got(7L) == "unknown")
+  }
+
+  test("langid: profiles are deterministic and ASCII-only") {
+    assert(LangId.profiles.size == 6)
+    LangId.profiles.foreach { case (lang, ps) =>
+      assert(ps.size == LangId.ProfileSize, s"$lang profile size ${ps.size}")
+      assert(ps.forall { case (tri, _) => tri.length == 3 && tri.forall(c => c == ' ' || ('a' <= c && c <= 'z')) })
+      // rank weights descend from ProfileSize to 1
+      assert(ps.map(_._2) == (LangId.ProfileSize to 1 by -1))
+    }
+  }
+
+  test("tfidf/pmi: empty and single-token documents contribute nothing but survive") {
+    val docs = Seq(
+      (1L, Seq.empty[String]),
+      (2L, Seq("solo")),
+      (3L, Seq("alpha", "beta"))).toDF("id", "toks")
+    val kw = Keywords.tfidfTopK(docs, 3).collect()
+    assert(!kw.exists(_.getLong(0) == 1L), "empty doc has no keywords")
+    assert(kw.exists(_.getLong(0) == 2L))
+    val pmi = Keywords.pmiCollocations(docs, 5, 1L).collect()
+    assert(pmi.length == 1) // only (alpha, beta) exists as a bigram
+    assert(pmi.head.getString(1) == "alpha" && pmi.head.getString(2) == "beta")
+  }
+}
