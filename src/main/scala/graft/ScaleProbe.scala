@@ -232,6 +232,28 @@ object ScaleProbe {
         docs.select(col("id"),
           graft.functions.TextFunctions.tokens(col("content")).as("toks")),
         merges = 4).count())
+    // term statistics: tf/df and unigram/bigram keyed aggs over the salted
+    // token stream (vocab grows M-fold, per-replica term structure intact);
+    // sums force the scoring math the optimizer would prune under count()
+    time("keywords_tfidf") {
+      graft.operators.Keywords.tfidfTopK(
+          docs.select(col("id"),
+            graft.functions.TextFunctions.tokens(col("content")).as("toks")), 5)
+        .agg(count(lit(1)), sum(col("tfidf"))).collect()(0).getLong(0)
+    }
+    time("collocations_pmi") {
+      graft.operators.Keywords.pmiCollocations(
+          docs.select(col("id"),
+            graft.functions.TextFunctions.tokens(col("content")).as("toks")),
+          50, 5L)
+        .agg(count(lit(1)), sum(col("pmi"))).collect()(0).getLong(0)
+    }
+    // language ID: narrow trigram explode + broadcast profile join + one
+    // (doc, lang) keyed agg — should be a single linear pass
+    time("langid_multi") {
+      graft.functions.LangId.classify(docs.select(col("id"), col("content").as("text")))
+        .agg(count(lit(1)), sum(col("score"))).collect()(0).getLong(0)
+    }
     time("semantic_topk")(
       graft.ann.Ann.bruteTopK(vecs, qs, 10).count())
     // JL projection + projected shortlist + exact re-rank: one narrow

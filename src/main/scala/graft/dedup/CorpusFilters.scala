@@ -331,4 +331,75 @@ object CorpusFilters {
           coalesce(col("covered_tokens"), lit(0L)).cast("double") /
             col("tok_len").cast("double")).as("boilerplate_frac"))
   }
+
+  /** The stopwords Gopher's "contains required words" rule checks for. */
+  val GopherRequiredStops: Seq[String] =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** The full Gopher document-quality rule gate (Rae et al. 2021 §A1.1) —
+    * per-document pass/fail flags for each rule plus the conjunction,
+    * complementing [[repetitionSignals]] (the repetition half of the same
+    * appendix) and the blended
+    * [[graft.functions.TextFunctions.qualityScore]]:
+    *
+    *  1. word count within [minWords, maxWords]
+    *  2. mean word length within [3, 10]
+    *  3. symbol-to-word ratio (`#` chars + `...` occurrences) ≤ 0.1
+    *  4. fraction of lines starting with a bullet (•, -, *) ≤ 0.9
+    *  5. fraction of lines ending with an ellipsis ≤ 0.3
+    *  6. fraction of words containing an alphabetic character ≥ 0.8
+    *  7. at least 2 distinct words from [[GopherRequiredStops]]
+    *
+    * Words are whitespace-split (the paper's definition — NOT the engine
+    * tokenizer, which drops 1-char words the length stats need). Entirely
+    * narrow per-row column work: no shuffle, no UDF, whole-stage codegen.
+    */
+  def gopherRules(
+      docs: DataFrame,
+      minWords: Int = 50,
+      maxWords: Int = 100000,
+      idCol: String = "id",
+      contentCol: String = "content"): DataFrame = {
+    val text = col(contentCol)
+    val words = filter(split(text, "\\s+"), w => length(w) > 0)
+    val lines = filter(transform(split(text, "\n"), l => trim(l)), l => length(l) > 0)
+    val nW = size(words).cast("long")
+    val nL = size(lines).cast("long")
+    val meanLen = when(nW === 0, lit(0.0)).otherwise(
+      aggregate(words, lit(0L), (acc, w) => acc + length(w)).cast("double") / nW)
+    val nHash = (length(text) - length(regexp_replace(text, "#", ""))).cast("long")
+    val nEll = ((length(text) -
+      length(regexp_replace(text, "\\.\\.\\.", ""))) / 3).cast("long")
+    val symbolRatio = when(nW === 0, lit(0.0)).otherwise(
+      (nHash + nEll).cast("double") / nW)
+    val bulletFrac = when(nL === 0, lit(0.0)).otherwise(
+      size(filter(lines, l =>
+        l.startsWith("•") || l.startsWith("- ") || l.startsWith("* ")))
+        .cast("double") / nL)
+    val ellipsisFrac = when(nL === 0, lit(0.0)).otherwise(
+      size(filter(lines, l => l.endsWith("..."))).cast("double") / nL)
+    val alphaFrac = when(nW === 0, lit(0.0)).otherwise(
+      size(filter(words, w => w.rlike("[a-zA-Z]"))).cast("double") / nW)
+    val nStops = size(array_intersect(
+      transform(words, w => lower(w)),
+      array(GopherRequiredStops.map(lit): _*))).cast("long")
+    docs.select(
+        col(idCol).as("id"), nW.as("n_words"), meanLen.as("mean_word_len"),
+        symbolRatio.as("symbol_ratio"), bulletFrac.as("bullet_frac"),
+        ellipsisFrac.as("ellipsis_frac"), alphaFrac.as("alpha_frac"),
+        nStops.as("n_req_stops"))
+      .withColumn("pass_words",
+        col("n_words") >= minWords && col("n_words") <= maxWords)
+      .withColumn("pass_meanlen",
+        col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("pass_symbol", col("symbol_ratio") <= 0.1)
+      .withColumn("pass_bullet", col("bullet_frac") <= 0.9)
+      .withColumn("pass_ellipsis", col("ellipsis_frac") <= 0.3)
+      .withColumn("pass_alpha", col("alpha_frac") >= 0.8)
+      .withColumn("pass_stops", col("n_req_stops") >= 2)
+      .withColumn("keep",
+        col("pass_words") && col("pass_meanlen") && col("pass_symbol") &&
+          col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
+          col("pass_stops"))
+  }
 }

@@ -111,15 +111,136 @@ object TermQueries {
        |FROM d LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.id = b.id
        |ORDER BY d.id""".stripMargin
 
+  /** The full Gopher rule gate — every per-rule flag plus the conjunction,
+    * so the oracle hash covers each rule's arithmetic, not just `keep`.
+    * minWords=20 sits inside the synthetic corpus's length distribution
+    * (the paper's 50 would gate everything on one rule and flatten the
+    * hash signal; the arithmetic under test is identical).
+    */
+  def filterGopher(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text").as("content"))
+    graft.dedup.CorpusFilters.gopherRules(docs, minWords = 20)
+      .select(col("id"), col("n_words"),
+        round(col("mean_word_len"), 6).as("mean_word_len"),
+        round(col("symbol_ratio"), 6).as("symbol_ratio"),
+        round(col("alpha_frac"), 6).as("alpha_frac"),
+        col("n_req_stops"), col("pass_words"), col("pass_meanlen"),
+        col("pass_symbol"), col("pass_bullet"), col("pass_ellipsis"),
+        col("pass_alpha"), col("pass_stops"), col("keep"))
+      .orderBy("id")
+  }
+
+  val filterGopherSql: String =
+    """WITH m AS (SELECT doc_id AS id, text,
+      |    list_filter(regexp_split_to_array(text, '\s+'), w -> length(w) > 0) AS words,
+      |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+      |      l -> length(l) > 0) AS lines,
+      |    length(text) - length(replace(text, '#', '')) AS n_hash,
+      |    (length(text) - length(regexp_replace(text, '\.\.\.', '', 'g'))) // 3 AS n_ell
+      |  FROM documents),
+      |s AS (SELECT id,
+      |    CAST(len(words) AS BIGINT) AS n_words,
+      |    CASE WHEN len(words) = 0 THEN 0.0
+      |         ELSE list_reduce(list_prepend(0, list_transform(words, w -> length(w))),
+      |                (a, b) -> a + b) * 1.0 / len(words) END AS mean_word_len,
+      |    CASE WHEN len(words) = 0 THEN 0.0
+      |         ELSE (n_hash + n_ell) * 1.0 / len(words) END AS symbol_ratio,
+      |    CASE WHEN len(lines) = 0 THEN 0.0
+      |         ELSE len(list_filter(lines, l -> starts_with(l, '•')
+      |                OR starts_with(l, '- ') OR starts_with(l, '* ')))
+      |              * 1.0 / len(lines) END AS bullet_frac,
+      |    CASE WHEN len(lines) = 0 THEN 0.0
+      |         ELSE len(list_filter(lines, l -> ends_with(l, '...')))
+      |              * 1.0 / len(lines) END AS ellipsis_frac,
+      |    CASE WHEN len(words) = 0 THEN 0.0
+      |         ELSE len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+      |              * 1.0 / len(words) END AS alpha_frac,
+      |    CAST(len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+      |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT)
+      |      AS n_req_stops
+      |  FROM m)
+      |SELECT id, n_words, round(mean_word_len, 6) AS mean_word_len,
+      |       round(symbol_ratio, 6) AS symbol_ratio,
+      |       round(alpha_frac, 6) AS alpha_frac, n_req_stops,
+      |       n_words >= 20 AND n_words <= 100000 AS pass_words,
+      |       mean_word_len >= 3.0 AND mean_word_len <= 10.0 AS pass_meanlen,
+      |       symbol_ratio <= 0.1 AS pass_symbol,
+      |       bullet_frac <= 0.9 AS pass_bullet,
+      |       ellipsis_frac <= 0.3 AS pass_ellipsis,
+      |       alpha_frac >= 0.8 AS pass_alpha,
+      |       n_req_stops >= 2 AS pass_stops,
+      |       (n_words >= 20 AND n_words <= 100000)
+      |         AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+      |         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+      |         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+      |         AND n_req_stops >= 2 AS keep
+      |FROM s ORDER BY id""".stripMargin
+
+  /** Cluster-topics report (c-TF-IDF, the BERTopic idea): assign docs to
+    * embedding clusters, then describe each cluster by its top TF-IDF
+    * terms treating clusters as the "documents" — literally
+    * [[Keywords.tfidfTopK]] with cluster ids. The oracle replays the
+    * centroid seeding + cosine argmin assignment (same fragment as
+    * q_dedup_semantic) and the term scoring.
+    */
+  def clusterTopics(s: SparkSession, dir: String): DataFrame = {
+    val vecs = graft.Tables.vectors(s, dir)
+    val cents = graft.ann.Ann.representativeCentroids(vecs, "label").cache()
+    val assigned = graft.ann.Ann.assign(vecs, cents)
+    val docsT = t(s, dir, "documents")
+      .select(col("doc_id").as("doc"), TextFunctions.tokens(col("text")).as("toks"))
+    val perCluster = docsT
+      .join(assigned.select(col("id").as("doc"), col("cluster_id")), "doc")
+      .select(col("cluster_id").as("id"), col("toks"))
+    Keywords.tfidfTopK(perCluster, 5)
+      .select(col("id").as("cluster_id"), col("rank"), col("term"),
+        round(col("tfidf"), 6).as("tfidf"))
+      .orderBy("cluster_id", "rank")
+  }
+
+  val clusterTopicsSql: String =
+    s"""WITH e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |cent AS (
+       |  SELECT label AS centroid_id, v AS c FROM (
+       |    SELECT label, v, row_number() OVER (PARTITION BY label ORDER BY id) AS rn FROM e)
+       |  WHERE rn = 1),
+       |assign AS (
+       |  SELECT id, cluster_id FROM (
+       |    SELECT e.id, cent.centroid_id AS cluster_id,
+       |           row_number() OVER (PARTITION BY e.id
+       |             ORDER BY 1.0 - list_cosine_similarity(e.v, cent.c), cent.centroid_id) AS rn
+       |    FROM e CROSS JOIN cent)
+       |  WHERE rn = 1),
+       |d AS (SELECT a.cluster_id AS cid, $toksD AS toks
+       |      FROM documents JOIN assign a ON documents.doc_id = a.id),
+       |terms AS (SELECT cid, unnest(toks) AS term FROM d),
+       |tf AS (SELECT cid, term, count(*) AS tf FROM terms GROUP BY 1, 2),
+       |df AS (SELECT term, count(*) AS df FROM tf GROUP BY 1),
+       |n AS (SELECT count(DISTINCT cid) AS n_docs FROM d),
+       |scored AS (SELECT cid, tf.term AS term,
+       |             tf * ln((n_docs + 1) / CAST(df + 1 AS DOUBLE)) AS tfidf
+       |           FROM tf JOIN df USING (term) CROSS JOIN n),
+       |ranked AS (SELECT cid, term, tfidf,
+       |             row_number() OVER (PARTITION BY cid
+       |               ORDER BY tfidf DESC, term ASC) AS rank
+       |           FROM scored)
+       |SELECT cid AS cluster_id, rank, term, round(tfidf, 6) AS tfidf
+       |FROM ranked WHERE rank <= 5
+       |ORDER BY cluster_id, rank""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_keywords_tfidf" -> (keywordsTfidf _),
     "q_collocations_pmi" -> (collocationsPmi _),
-    "q_text_langid_multi" -> (textLangidMulti _)
+    "q_text_langid_multi" -> (textLangidMulti _),
+    "q_filter_gopher" -> (filterGopher _),
+    "q_cluster_topics" -> (clusterTopics _)
   )
 
   def oracles: Map[String, String] = Map(
     "q_keywords_tfidf" -> keywordsTfidfSql,
     "q_collocations_pmi" -> collocationsPmiSql,
-    "q_text_langid_multi" -> textLangidMultiSql
+    "q_text_langid_multi" -> textLangidMultiSql,
+    "q_filter_gopher" -> filterGopherSql,
+    "q_cluster_topics" -> clusterTopicsSql
   )
 }

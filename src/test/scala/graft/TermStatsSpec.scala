@@ -82,6 +82,36 @@ class TermStatsSpec extends SparkSpec {
     }
   }
 
+  test("gopher rules: each rule trips on its crafted document") {
+    import graft.dedup.CorpusFilters
+    val good = ("w1", ("the cat sat of the mat and that dog ran with play " * 5).trim)
+    val tooShort = ("w2", "the of and that have")
+    val longWords = ("w3", Array.fill(30)("pneumonoultramicroscopic").mkString(" ") +
+      " the of and that")
+    val symbols = ("w4", Array.fill(30)("## ... ##").mkString(" ") + " the of")
+    val bullets = ("w5", (1 to 30).map(i => s"- item $i of the list and that").mkString("\n"))
+    val nonAlpha = ("w6", (1 to 30).map(_.toString * 2).mkString(" ") + " the of and")
+    val noStops = ("w7", Array.fill(30)("zebra quartz").mkString(" "))
+    val docs = Seq(good, tooShort, longWords, symbols, bullets, nonAlpha, noStops)
+      .toDF("id", "content")
+    val out = CorpusFilters.gopherRules(docs, minWords = 20).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(out("w1").getAs[Boolean]("keep"), "clean doc passes all rules")
+    assert(!out("w2").getAs[Boolean]("pass_words") && !out("w2").getAs[Boolean]("keep"))
+    assert(!out("w3").getAs[Boolean]("pass_meanlen"))
+    assert(!out("w4").getAs[Boolean]("pass_symbol"))
+    assert(!out("w5").getAs[Boolean]("pass_bullet"))
+    assert(!out("w6").getAs[Boolean]("pass_alpha"))
+    assert(!out("w7").getAs[Boolean]("pass_stops"))
+    // hand-check one stat: w1 repeats a 12-word sentence 5 times -> 60 words
+    assert(out("w1").getAs[Long]("n_words") == 60L)
+    // empty text: all zero stats, fails word count, no NaN/null anywhere
+    val empty = CorpusFilters.gopherRules(Seq(("e", "")).toDF("id", "content"),
+      minWords = 20).collect().head
+    assert(empty.getAs[Long]("n_words") == 0L && !empty.getAs[Boolean]("keep"))
+    assert(!empty.anyNull)
+  }
+
   test("tfidf/pmi: empty and single-token documents contribute nothing but survive") {
     val docs = Seq(
       (1L, Seq.empty[String]),
