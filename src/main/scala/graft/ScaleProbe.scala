@@ -232,6 +232,14 @@ object ScaleProbe {
         docs.select(col("id"),
           graft.functions.TextFunctions.tokens(col("content")).as("toks")),
         merges = 4).count())
+    // unigram-LM: one corpus pass to the word table, seeding/EM over that
+    // (inventory alphabet-bounded); salting grows the vocab M-fold so the
+    // curve tracks VOCAB growth, not corpus growth
+    time("unigram_train")(
+      graft.operators.UnigramLm.train(
+        docs.select(col("id"),
+          graft.functions.TextFunctions.tokens(col("content")).as("toks")),
+        rounds = 1).count())
     // term statistics: tf/df and unigram/bigram keyed aggs over the salted
     // token stream (vocab grows M-fold, per-replica term structure intact);
     // sums force the scoring math the optimizer would prune under count()

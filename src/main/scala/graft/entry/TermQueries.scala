@@ -228,7 +228,113 @@ object TermQueries {
        |FROM ranked WHERE rank <= 5
        |ORDER BY cluster_id, rank""".stripMargin
 
+  // ---- Unigram-LM tokenizer (Kudo 2018 / SentencePiece): the oracle
+  //      replays seeding, micro-nat costs, the INTEGER Viterbi DP (encoded
+  //      tie-break, list_reduce accumulator), the recursive backtrace, and
+  //      the EM usage re-estimation. ----
+
+  /** Shared SQL prefix: word table → seed pieces → costs → per-word
+    * (p, L) cost grid → integer Viterbi (list_reduce; encoded
+    * `cost*8 + (4−L)` so min() breaks ties to the longest piece) →
+    * recursive-CTE backtrace into pieces. Callers prepend WITH RECURSIVE.
+    */
+  private val unigramPrefixSql: String =
+    s"""d AS (SELECT $toksD AS toks FROM documents),
+       |w AS (SELECT unnest(toks) AS word FROM d),
+       |words AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+       |subx AS (SELECT word, n,
+       |           unnest(flatten(list_transform(range(1, length(word) + 1), i ->
+       |             list_transform(range(1, 5), L -> {'i': i, 'L': L})))) AS s
+       |         FROM words),
+       |sub AS (SELECT word, n, substr(word, CAST(s.i AS INT), CAST(s.L AS INT)) AS piece
+       |        FROM subx WHERE s.i + s.L - 1 <= length(word)),
+       |seed AS (SELECT piece, CAST(sum(n) AS BIGINT) AS freq FROM sub GROUP BY 1
+       |         HAVING length(piece) = 1 OR sum(n) >= 2),
+       |tot AS (SELECT CAST(sum(freq) AS BIGINT) AS t FROM seed),
+       |costs AS (SELECT piece, CAST(floor(-ln(freq * 1.0 / t) * 1000000) AS BIGINT) AS c
+       |          FROM seed CROSS JOIN tot),
+       |gridx AS (SELECT word,
+       |            unnest(flatten(list_transform(range(1, length(word) + 1), p ->
+       |              list_transform(range(1, 5), L -> {'p': p, 'L': L})))) AS s
+       |          FROM words),
+       |grid AS (SELECT word, s.p AS p, s.L AS L,
+       |           CASE WHEN s.p >= s.L
+       |                THEN substr(word, CAST(s.p - s.L + 1 AS INT), CAST(s.L AS INT)) END AS piece
+       |         FROM gridx),
+       |gcost AS (SELECT g.word, g.p, g.L, coalesce(c.c, CAST(999999999999 AS BIGINT)) AS c
+       |          FROM grid g LEFT JOIN costs c ON g.piece = c.piece),
+       |parr AS (SELECT word, list(c ORDER BY p, L) AS pc FROM gcost GROUP BY word),
+       |dp AS (SELECT words.word, words.n, length(words.word) AS len, parr.pc,
+       |         list_reduce(
+       |           list_prepend([CAST(0 AS BIGINT)],
+       |             list_transform(range(1, length(words.word) + 1), p -> [CAST(p AS BIGINT)])),
+       |           (acc, x) -> list_append(acc,
+       |             list_min(list_transform([1, 2, 3, 4], L ->
+       |               CASE WHEN x[1] >= L
+       |                 THEN ((acc[CAST(x[1] - L + 1 AS INT)] // 8) + pc[CAST((x[1] - 1) * 4 + L AS INT)]) * 8 + (4 - L)
+       |                 ELSE CAST(99999999999999999 AS BIGINT) END)))) AS earr
+       |       FROM words JOIN parr USING (word)),
+       |els AS (SELECT word, n, len, earr, list_transform(earr, e -> 4 - (e % 8)) AS Ls FROM dp),
+       |r(word, pos, L) AS (
+       |  SELECT word, len, Ls[len + 1] FROM els WHERE len > 0
+       |  UNION ALL
+       |  SELECT r.word, r.pos - r.L, e.Ls[r.pos - r.L + 1]
+       |  FROM r JOIN els e USING (word) WHERE r.pos - r.L > 0
+       |),
+       |pieces AS (SELECT word, pos,
+       |             substr(word, CAST(pos - L + 1 AS INT), CAST(L AS INT)) AS piece
+       |           FROM r)""".stripMargin
+
+  /** Per-distinct-word Viterbi segmentation under the seed cost table. */
+  def unigramSegment(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramLm
+    val docsToks = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), TextFunctions.tokens(col("text")).as("toks"))
+    val words = UnigramLm.wordTable(docsToks)
+    val costs = UnigramLm.costTable(UnigramLm.seedPieces(words))
+    UnigramLm.segmentWords(words, costs)
+      .select(col("word"), col("n"), col("pieces"), col("n_pieces").cast("long").as("n_pieces"),
+        col("cost_micro"))
+      .orderBy("word")
+  }
+
+  val unigramSegmentSql: String =
+    s"""WITH RECURSIVE
+       |$unigramPrefixSql
+       |SELECT p.word, any_value(e.n) AS n,
+       |       string_agg(p.piece, ' ' ORDER BY p.pos) AS pieces,
+       |       count(*) AS n_pieces,
+       |       any_value(e.earr[e.len + 1] // 8) AS cost_micro
+       |FROM pieces p JOIN els e USING (word)
+       |GROUP BY p.word ORDER BY p.word""".stripMargin
+
+  /** One EM round of unigram-LM training: final (piece, usage, cost). */
+  def unigramTrain(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramLm
+    val docsToks = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), TextFunctions.tokens(col("text")).as("toks"))
+    UnigramLm.train(docsToks, rounds = 1).orderBy("piece")
+  }
+
+  val unigramTrainSql: String =
+    s"""WITH RECURSIVE
+       |$unigramPrefixSql,
+       |usage AS (SELECT p.piece, CAST(sum(e.n) AS BIGINT) AS usage
+       |          FROM pieces p JOIN els e USING (word) GROUP BY 1),
+       |kept AS (SELECT c.piece, coalesce(u.usage, 0) AS usage,
+       |           coalesce(u.usage, 0) +
+       |             CASE WHEN length(c.piece) = 1 THEN 1 ELSE 0 END AS smoothed
+       |         FROM costs c LEFT JOIN usage u USING (piece)
+       |         WHERE coalesce(u.usage, 0) +
+       |             CASE WHEN length(c.piece) = 1 THEN 1 ELSE 0 END > 0),
+       |tot2 AS (SELECT CAST(sum(smoothed) AS BIGINT) AS t2 FROM kept)
+       |SELECT piece, usage,
+       |       CAST(floor(-ln(smoothed * 1.0 / t2) * 1000000) AS BIGINT) AS cost_micro
+       |FROM kept CROSS JOIN tot2 ORDER BY piece""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_unigram_segment" -> (unigramSegment _),
+    "q_unigram_train" -> (unigramTrain _),
     "q_keywords_tfidf" -> (keywordsTfidf _),
     "q_collocations_pmi" -> (collocationsPmi _),
     "q_text_langid_multi" -> (textLangidMulti _),
@@ -237,6 +343,8 @@ object TermQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_unigram_segment" -> unigramSegmentSql,
+    "q_unigram_train" -> unigramTrainSql,
     "q_keywords_tfidf" -> keywordsTfidfSql,
     "q_collocations_pmi" -> collocationsPmiSql,
     "q_text_langid_multi" -> textLangidMultiSql,
