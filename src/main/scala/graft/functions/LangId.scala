@@ -117,18 +117,23 @@ object LangId {
   def normalize(c: Column): Column =
     trim(regexp_replace(lower(c), "[^a-z]+", " "))
 
-  /** All character trigrams of a normalized string (1-based substr —
-    * matches the oracle's `substr(n, i, 3)` exactly).
+  /** All character trigrams of a normalized string — the native
+    * [[TextExpressions.CharTrigrams]] expression (child evaluated once per
+    * row; a HOF formulation re-runs the inlined normalize per element —
+    * see TextExpressions). Semantics match the oracle's
+    * `substr(n, i, 3)` sweep exactly.
     */
-  def trigrams(norm: Column): Column =
-    when(length(norm) < 3, array().cast("array<string>"))
-      .otherwise(transform(
-        sequence(lit(1), length(norm) - 2),
-        i => norm.substr(i, lit(3))))
+  def trigrams(norm: Column): Column = TextExpressions.charTrigrams(norm)
 
   /** Classify documents: (id, text) → (id, predicted, score). Unmatched
     * (no profile trigram) documents classify as 'unknown' with score 0;
     * ties break on language code ascending.
+    *
+    * Trigram extraction is the native [[TextExpressions.CharTrigrams]]
+    * expression: the normalize() regexes run once per row inside the
+    * generator. Every DataFrame-level formulation (HOF lambda, position
+    * explode + substr) gets the normalize alias re-inlined by projection
+    * collapse and pays it per trigram — measured 16.5 s vs 1.4 s at sf0.1.
     */
   def classify(docs: DataFrame): DataFrame = {
     val s = docs.sparkSession
@@ -137,7 +142,8 @@ object LangId {
       ps.map { case (tri, w) => (l, tri, w) }
     }
     val profileDf = rows.toDF("lang", "tri", "w")
-    val tris = docs.select(col("id"), explode(trigrams(normalize(col("text")))).as("tri"))
+    val tris = docs
+      .select(col("id"), explode(trigrams(normalize(col("text")))).as("tri"))
     val scores = tris
       .join(broadcast(profileDf), "tri")
       .groupBy("id", "lang")

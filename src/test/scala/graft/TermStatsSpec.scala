@@ -72,6 +72,21 @@ class TermStatsSpec extends SparkSpec {
     assert(got(7L) == "unknown")
   }
 
+  test("charTrigrams: native expression matches the substring sweep, edge cases") {
+    import graft.functions.TextExpressions
+    val df = Seq("hello world", "ab", "abc", "", "xyzw").toDF("s")
+    val got = df.select(col("s"), TextExpressions.charTrigrams(col("s")).as("t"))
+      .collect().map(r => r.getString(0) -> r.getSeq[String](1)).toMap
+    def naive(s: String) = (0 to s.length - 3).map(i => s.substring(i, i + 3))
+    got.foreach { case (s, t) => assert(t == naive(s), s"mismatch for '$s'") }
+    assert(got("ab").isEmpty && got("").isEmpty)
+    assert(got("abc") == Seq("abc"))
+    // null-safe
+    val withNull = Seq(Some("abcd"), None).toDF("s")
+    val n = withNull.select(TextExpressions.charTrigrams(col("s"))).collect()
+    assert(n.exists(_.isNullAt(0)))
+  }
+
   test("langid: profiles are deterministic and ASCII-only") {
     assert(LangId.profiles.size == 6)
     LangId.profiles.foreach { case (lang, ps) =>
