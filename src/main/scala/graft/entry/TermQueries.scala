@@ -332,7 +332,48 @@ object TermQueries {
        |       CAST(floor(-ln(smoothed * 1.0 / t2) * 1000000) AS BIGINT) AS cost_micro
        |FROM kept CROSS JOIN tot2 ORDER BY piece""".stripMargin
 
+  /** Positional phrase search with snippets: adjacency + order, phrase-TF
+    * scoring, ±3-token highlight windows. The oracle replays the start-
+    * position sweep, top-k, and snippet slicing per query.
+    */
+  def phraseSearch(s: SparkSession, dir: String): DataFrame = {
+    val docs = graft.Tables.textCorpus(s, dir)
+    graft.search.Lexical.phraseSearch(docs,
+        Seq(0 -> "table hash", 1 -> "customer join", 2 -> "spark hash sort"),
+        k = 10, window = 3)
+      .select(col("query_idx"), col("id"), col("phrase_tf"),
+        col("first_pos").cast("long").as("first_pos"), col("snippet"))
+      .orderBy(col("query_idx"), col("phrase_tf").desc, col("id"))
+  }
+
+  val phraseSearchSql: String =
+    s"""WITH d AS (SELECT doc_id AS id, $toksD AS toks FROM documents),
+       |q(query_idx, terms) AS (VALUES
+       |  (0, ['table', 'hash']), (1, ['customer', 'join']),
+       |  (2, ['spark', 'hash', 'sort'])),
+       |m AS (SELECT query_idx, id, toks, len(terms) AS m, terms,
+       |        list_filter(range(1, len(toks) - len(terms) + 2), i ->
+       |          list_reduce(list_prepend(TRUE,
+       |            list_transform(range(1, len(terms) + 1), j ->
+       |              toks[CAST(i + j - 1 AS INT)] = terms[CAST(j AS INT)])),
+       |            (a, b) -> a AND b)) AS starts
+       |      FROM d CROSS JOIN q),
+       |hits AS (SELECT query_idx, id, toks, m,
+       |           CAST(len(starts) AS BIGINT) AS phrase_tf,
+       |           CAST(starts[1] - 1 AS BIGINT) AS first_pos
+       |         FROM m WHERE len(starts) > 0),
+       |topk AS (SELECT *, row_number() OVER (PARTITION BY query_idx
+       |           ORDER BY phrase_tf DESC, id ASC) AS rn
+       |         FROM hits)
+       |SELECT query_idx, id, phrase_tf, first_pos,
+       |       array_to_string(toks[
+       |         CAST(greatest(first_pos - 3, 0) + 1 AS INT):
+       |         CAST(first_pos + m + 3 AS INT)], ' ') AS snippet
+       |FROM topk WHERE rn <= 10
+       |ORDER BY query_idx, phrase_tf DESC, id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_phrase_search" -> (phraseSearch _),
     "q_unigram_segment" -> (unigramSegment _),
     "q_unigram_train" -> (unigramTrain _),
     "q_keywords_tfidf" -> (keywordsTfidf _),
@@ -343,6 +384,7 @@ object TermQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_phrase_search" -> phraseSearchSql,
     "q_unigram_segment" -> unigramSegmentSql,
     "q_unigram_train" -> unigramTrainSql,
     "q_keywords_tfidf" -> keywordsTfidfSql,

@@ -244,4 +244,76 @@ object Lexical {
     results.reduceOption(_ unionAll _).getOrElse(
       searchIndexed(postings, Seq(0 -> ""), k).limit(0))
   }
+
+  /** Phrase tokenization: [[tokenizeQuery]]'s regex WITHOUT the dedup —
+    * a phrase is an ordered sequence, repeats included.
+    */
+  def tokenizePhrase(q: String): Seq[String] =
+    TokenPattern.r.findAllIn(q.toLowerCase).toSeq
+
+  /** Positional phrase search: top-k documents containing the query terms
+    * ADJACENT and IN ORDER, scored by phrase occurrence count, with a
+    * ±`window`-token snippet around the first occurrence (the highlight a
+    * serving layer returns).
+    *
+    * Scale shape — the positional-index intersection, without an m-way
+    * self-join: one posexplode pass keeps only phrase-term rows (for rare
+    * phrases that is a sliver of the corpus), each row emits its candidate
+    * phrase-START position for every slot its term could fill
+    * (`p0 = pos − slot`), and a phrase match is a (id, p0) group whose
+    * DISTINCT satisfied slots count m — ONE keyed shuffle on (id, p0),
+    * output-proportional from the filter onward. Snippets are computed by
+    * re-reading content for the ≤ Q·k winning docs only (bucket-pruned
+    * point reads against a real table).
+    */
+  def phraseSearch(
+      docs: DataFrame,
+      queries: Seq[(Int, String)],
+      k: Int,
+      window: Int = 5): DataFrame = {
+    val tokPos = docs
+      .select(col("id"), posexplode(tokens(col("content"))).as(Seq("pos", "term")))
+    val results = queries.flatMap { case (qIdx, q) =>
+      val terms = tokenizePhrase(q)
+      if (terms.isEmpty) None
+      else Some {
+        val m = terms.length
+        // term -> slots it fills (repeated phrase terms fill several)
+        val slotMap = terms.zipWithIndex.groupMap(_._1)(_._2)
+        val slotExpr = map(slotMap.toSeq.sortBy(_._1).flatMap { case (t, slots) =>
+          Seq(lit(t), array(slots.map(lit): _*))
+        }: _*)
+        val matches = tokPos
+          .filter(col("term").isin(terms.distinct: _*))
+          .select(col("id"), col("pos"), explode(element_at(slotExpr, col("term"))).as("slot"))
+          .withColumn("p0", col("pos") - col("slot"))
+          .filter(col("p0") >= 0)
+          .groupBy("id", "p0")
+          .agg(countDistinct(col("slot")).as("n_slots"))
+          .filter(col("n_slots") === m)
+        val perDoc = matches.groupBy("id")
+          .agg(count(lit(1)).as("phrase_tf"), min(col("p0")).as("first_pos"))
+          .orderBy(col("phrase_tf").desc, col("id").asc)
+          .limit(k)
+        // snippet: tokens [first_pos - window, first_pos + m + window) of the
+        // winning docs only
+        val withToks = perDoc.join(
+          docs.select(col("id"), tokens(col("content")).as("__toks")), "id")
+        val start = greatest(col("first_pos") - window, lit(0))
+        withToks
+          .withColumn("snippet", array_join(
+            slice(col("__toks"), start + 1,
+              col("first_pos") + lit(m + window) - start), " "))
+          .withColumn("query_idx", lit(qIdx))
+          .select(col("query_idx"), col("id"), col("phrase_tf"),
+            col("first_pos"), col("snippet"))
+          .orderBy(col("phrase_tf").desc, col("id").asc)
+      }
+    }
+    results.reduceOption(_ unionAll _).getOrElse(
+      docs.sparkSession.emptyDataFrame
+        .select(lit(0).as("query_idx"), lit(0L).as("id"),
+          lit(0L).as("phrase_tf"), lit(0).as("first_pos"),
+          lit("").as("snippet")).limit(0))
+  }
 }

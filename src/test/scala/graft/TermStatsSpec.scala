@@ -127,6 +127,33 @@ class TermStatsSpec extends SparkSpec {
     assert(!empty.anyNull)
   }
 
+  test("phrase search: adjacency and order required; repeats; snippet window") {
+    import graft.search.Lexical
+    val docs = Seq(
+      (1L, "alpha beta gamma delta"),        // "beta gamma" at pos 1
+      (2L, "gamma beta alpha"),              // reversed: no match
+      (3L, "beta xx gamma"),                 // not adjacent: no match
+      // (separator must survive the >=2-char tokenizer: adjacency is
+      // post-tokenization, same as the oracle)
+      (4L, "beta gamma beta gamma"),         // two occurrences
+      (5L, "the the end")).toDF("id", "content")
+    val out = Lexical.phraseSearch(docs, Seq(0 -> "beta gamma", 1 -> "the the"),
+      k = 10, window = 1).collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getInt(3), r.getString(4)))
+    val q0 = out.filter(_._1 == 0).sortBy(_._2)
+    assert(q0.map(_._2).toSeq == Seq(1L, 4L), s"got ${q0.toSeq}")
+    assert(q0.find(_._2 == 4L).get._3 == 2L, "two occurrences counted")
+    assert(q0.find(_._2 == 1L).get._4 == 1, "first_pos is 0-based token index")
+    // snippet: window 1 around "beta gamma" in doc 1 -> "alpha beta gamma delta"
+    assert(q0.find(_._2 == 1L).get._5 == "alpha beta gamma delta")
+    // repeated-term phrase matches doc 5 only ("the the")
+    val q1 = out.filter(_._1 == 1)
+    assert(q1.map(_._2).toSeq == Seq(5L), s"got $q1")
+    // phrase ranking: higher phrase_tf first
+    val ranked = out.filter(_._1 == 0)
+    assert(ranked.maxBy(_._3)._2 == 4L)
+  }
+
   test("tfidf/pmi: empty and single-token documents contribute nothing but survive") {
     val docs = Seq(
       (1L, Seq.empty[String]),
