@@ -71,16 +71,21 @@ object Keywords {
       .withColumn("pmi", log(
         col("c_ab").cast("double") * col("t_tok") * col("t_tok") /
           (col("t_big") * col("c_a") * col("c_b"))))
-    // global top-k via TakeOrderedAndProject (orderBy + limit), then the
-    // rank window runs over k rows only — no corpus-sized single-partition
-    // sort even when minCount leaves millions of candidate bigrams
+    // global top-k via TakeOrderedAndProject (orderBy + limit), then ranks
+    // assigned on the ≤ k collected rows (the Mmr shortlist precedent): a
+    // rank window here would be unpartitioned — the single-task sort
+    // PlanSpec bans — and a rank self-join would recompute the corpus
+    // aggregation twice
+    val spark = docs.sparkSession
+    import spark.implicits._
     val top = scored
+      .select(col("w1"), col("w2"), col("c_ab"), col("pmi"))
       .orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)
       .limit(k)
-    top
-      .withColumn("rank", row_number().over(
-        Window.orderBy(col("pmi").desc, col("w1").asc, col("w2").asc)))
-      .select(col("rank"), col("w1"), col("w2"),
-        col("c_ab").as("pair_count"), col("pmi"))
+      .collect()
+      .sortBy(r => (-r.getDouble(3), r.getString(0), r.getString(1)))
+    top.zipWithIndex.map { case (r, i) =>
+      (i + 1, r.getString(0), r.getString(1), r.getLong(2), r.getDouble(3))
+    }.toSeq.toDF("rank", "w1", "w2", "pair_count", "pmi")
   }
 }
