@@ -682,6 +682,50 @@ object TextQueries {
       .orderBy(col("query_idx"), col("score").desc, col("id"))
   }
 
+  /** Media similarity over REAL decoded features: deterministic gray-stripe
+    * PNGs (stripe gray values from per-doc arithmetic, stripes aligned with
+    * the 2x4 luma grid) are encoded, decoded by javax.imageio, reduced to
+    * luma-grid features, and searched by exact cosine top-k. Gray luma is
+    * integer-exact, so the oracle reproduces the features in closed form —
+    * a byte-length stub cannot pass this.
+    */
+  def mmSimilarityReal(s: SparkSession, dir: String): DataFrame = {
+    val png = udf((id: Long) => Multimodal.stripePng(8, 4, Seq(
+      (id % 256).toInt, ((id * 7 + 13) % 256).toInt,
+      ((id * 29 + 5) % 256).toInt, ((id * 53 + 101) % 256).toInt)))
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), lit("image").as("modality"),
+        png(col("doc_id").cast("long")).as("data"))
+    val feats = Multimodal.decode(media)
+      .select(col("id"), col("features").as("embedding"))
+      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+      .cache() // the query lookup and the corpus scan share one decode pass
+    val qs = feats.filter(col("id").isin(0L, 1L, 2L))
+      .select("id", "embedding").collect()
+      .map(r => r.getLong(0).toInt -> r.getSeq[Float](1)).sortBy(_._1).toSeq
+    graft.ann.Ann.bruteTopK(feats, qs, 5)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("query_idx"), col("score").desc, col("id"))
+  }
+
+  val mmSimilarityRealSql: String =
+    """WITH v AS (SELECT doc_id AS id,
+      |        [doc_id % 256, (doc_id * 7 + 13) % 256,
+      |         (doc_id * 29 + 5) % 256, (doc_id * 53 + 101) % 256] AS s
+      |      FROM documents),
+      |f AS (SELECT id, list_transform(s || s,
+      |        x -> CAST(CAST(x / 255.0 AS FLOAT) AS DOUBLE)) AS fv
+      |      FROM v),
+      |q AS (SELECT id AS qid, fv AS qv FROM f WHERE id IN (0, 1, 2)),
+      |sc AS (SELECT q.qid AS query_idx, f.id,
+      |             list_cosine_similarity(f.fv, q.qv) AS sc
+      |       FROM q CROSS JOIN f),
+      |t AS (SELECT query_idx, id, sc,
+      |             row_number() OVER (PARTITION BY query_idx
+      |               ORDER BY sc DESC, id) AS rn FROM sc)
+      |SELECT CAST(query_idx AS INTEGER) AS query_idx, id, round(sc, 6) AS score
+      |FROM t WHERE rn <= 5 ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
+
   val mmSimilaritySql: String =
     """WITH f AS (SELECT doc_id AS id,
       |        list_transform(range(8), i -> CAST(CAST(('0x' ||
@@ -1643,6 +1687,7 @@ object TextQueries {
     "q_text_boilerplate" -> (textBoilerplate _),
     "q_text_percentiles" -> (textPercentiles _),
     "q_mm_similarity" -> (mmSimilarity _),
+    "q_mm_similarity_real" -> (mmSimilarityReal _),
     "q_pipeline_curate" -> (pipelineCurate _),
     "q_sample_stratified" -> (sampleStratified _),
     "q_decontaminate" -> (decontaminate _),
@@ -1688,6 +1733,7 @@ object TextQueries {
     "q_text_boilerplate" -> textBoilerplateSql,
     "q_text_percentiles" -> textPercentilesSql,
     "q_mm_similarity" -> mmSimilaritySql,
+    "q_mm_similarity_real" -> mmSimilarityRealSql,
     "q_pipeline_curate" -> pipelineCurateSql,
     "q_sample_stratified" -> sampleStratifiedSql,
     "q_decontaminate" -> decontaminateSql,

@@ -317,6 +317,28 @@ object Multimodal {
     * An honest fixture/test-pattern generator (ImageIO-encoded, real PNG
     * bytes) — the encode half of the decode roundtrip the oracle replays.
     */
+  /** Deterministic vertical-stripe grayscale PNG: stripe j (of
+    * `vals.length`) fills columns [j·w/n, (j+1)·w/n) with gray value
+    * vals(j). Gray luma is integer-exact ((299+587+114)v/1000 = v), so
+    * when stripes align with the feature grid the decoded luma-grid
+    * features equal vals/255 in closed form — the fixture that lets an
+    * oracle replay REAL-decode feature similarity end to end.
+    */
+  def stripePng(w: Int, h: Int, vals: Seq[Int]): Array[Byte] = {
+    require(w >= vals.length && h >= 1 && vals.nonEmpty, s"bad dims ${w}x$h / ${vals.length}")
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val px = Array.tabulate(w * h) { i =>
+      val x = i % w
+      val v = vals(x * vals.length / w) & 0xff
+      (v << 16) | (v << 8) | v
+    }
+    im.setRGB(0, 0, w, h, px, 0, w)
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(im, "png", out)
+    out.toByteArray
+  }
+
   def solidPng(w: Int, h: Int, r: Int, g: Int, b: Int): Array[Byte] = {
     require(w >= 1 && h >= 1, s"bad dims ${w}x$h")
     val im = new java.awt.image.BufferedImage(

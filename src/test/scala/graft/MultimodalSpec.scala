@@ -41,6 +41,15 @@ class MultimodalSpec extends SparkSpec {
     assert(f == expect ++ expect, s"grid means off: $f")
   }
 
+  test("stripe PNG: decoded features equal the stripe values in closed form") {
+    val bytes = Multimodal.stripePng(8, 4, Seq(10, 20, 128, 255))
+    val out = Multimodal.decode(mediaDF((9L, "image", bytes))).collect().head
+    assert(out.getAs[Int]("width") == 8 && out.getAs[Int]("height") == 4)
+    val f = out.getSeq[Float](out.fieldIndex("features"))
+    val expect = Seq(10, 20, 128, 255).map(v => (v / 255.0).toFloat)
+    assert(f == expect ++ expect, s"stripe features off: $f")
+  }
+
   test("solid PNG: every grid cell carries the fill's luma") {
     val bytes = Multimodal.solidPng(20, 10, 200, 100, 50)
     val out = Multimodal.decode(mediaDF((1L, "image", bytes))).collect().head
