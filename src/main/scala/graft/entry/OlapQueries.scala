@@ -226,6 +226,49 @@ object OlapQueries {
       |SELECT click_id, user_id, view_id, dist_us FROM j WHERE rn = 1
       |ORDER BY click_id""".stripMargin
 
+  /** Cohort retention triangle — the product-analytics staple: users
+    * cohorted by first-active week, then the fraction of each cohort
+    * active again k weeks later. Weeks are integer epoch-week ordinals
+    * (`epoch_us div 604800000000` — exact long division, no calendar/
+    * timezone parity risk). All stages are keyed: one (user, week)
+    * distinct, one per-user min, one co-partitioned user join, two small
+    * keyed aggregates — the shape that survives a 100 TB events table.
+    */
+  def eventsRetention(s: SparkSession, dir: String): DataFrame = {
+    val weekExpr = expr(
+      "timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts) div 604800000000")
+    val weeks = t(s, dir, "events")
+      .select(col("user_id"), weekExpr.as("week")).distinct()
+    val first = weeks.groupBy("user_id").agg(min(col("week")).as("cohort"))
+    val joined = weeks.join(first, "user_id")
+      .withColumn("week_offset", col("week") - col("cohort"))
+    val sizes = first.groupBy("cohort")
+      .agg(countDistinct(col("user_id")).as("cohort_users"))
+    joined.groupBy("cohort", "week_offset")
+      .agg(countDistinct(col("user_id")).as("n_active"))
+      .join(sizes, "cohort")
+      .withColumn("retention",
+        round(col("n_active").cast("double") / col("cohort_users"), 6))
+      .select("cohort", "week_offset", "n_active", "cohort_users", "retention")
+      .orderBy("cohort", "week_offset")
+  }
+
+  val eventsRetentionSql: String =
+    """WITH w AS (SELECT DISTINCT user_id,
+      |        epoch_us(ts) // 604800000000 AS week FROM events),
+      |f AS (SELECT user_id, min(week) AS cohort FROM w GROUP BY 1),
+      |j AS (SELECT w.user_id, f.cohort, w.week - f.cohort AS week_offset
+      |      FROM w JOIN f USING (user_id)),
+      |s AS (SELECT cohort, CAST(count(DISTINCT user_id) AS BIGINT) AS cohort_users
+      |      FROM f GROUP BY 1),
+      |a AS (SELECT cohort, week_offset,
+      |        CAST(count(DISTINCT user_id) AS BIGINT) AS n_active
+      |      FROM j GROUP BY 1, 2)
+      |SELECT a.cohort, a.week_offset, n_active, cohort_users,
+      |       round(n_active * 1.0 / cohort_users, 6) AS retention
+      |FROM a JOIN s USING (cohort)
+      |ORDER BY cohort, week_offset""".stripMargin
+
   /** Funnel attribution — view -> click (within 30 min) -> purchase
     * (within 60 min of the attributed click), composed from TWO backward
     * as-of joins plus gap filters; hourly conversion counts out. The
@@ -534,6 +577,7 @@ object OlapQueries {
     "q_events_asof_forward" -> (eventsAsofForward _),
     "q_events_rolling" -> (eventsRolling _),
     "q_events_funnel" -> (eventsFunnel _),
+    "q_events_retention" -> (eventsRetention _),
     "q_events_asof_nearest" -> (eventsAsofNearest _),
     "q_events_asof_chunked" -> (eventsAsofChunked _),
     "q_events_range" -> (eventsRange _),
@@ -552,6 +596,7 @@ object OlapQueries {
     "q_events_asof_forward" -> eventsAsofForwardSql,
     "q_events_rolling" -> eventsRollingSql,
     "q_events_funnel" -> eventsFunnelSql,
+    "q_events_retention" -> eventsRetentionSql,
     "q_events_asof_nearest" -> eventsAsofNearestSql,
     "q_events_asof_chunked" -> eventsAsofSql,
     "q_events_range" -> eventsRangeSql,
