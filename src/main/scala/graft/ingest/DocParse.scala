@@ -97,6 +97,117 @@ object DocParse {
     s.trim
   }
 
+  // ---------------------------------------------------------------- DOCX
+
+  /** DOCX text: the format is a ZIP whose `word/document.xml` holds the
+    * body as WordprocessingML — text lives in `<w:t>` runs, paragraphs
+    * end at `</w:p>`, explicit breaks/tabs are `<w:br/>`/`<w:tab/>`.
+    * Same ZIP machinery (bounded reads) as EPUB; field instruction text
+    * (`<w:instrText>`, e.g. TOC codes) is dropped like script subtrees
+    * in HTML.
+    */
+  def docxToText(bytes: Array[Byte]): Option[String] = {
+    val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
+    try {
+      var e = zin.getNextEntry
+      while (e != null) {
+        if (e.getName == "word/document.xml") {
+          val xml = readBounded(zin, MaxInflatedBytes) match {
+            case Some(b) => new String(b, StandardCharsets.UTF_8)
+            case None => return None
+          }
+          val text = stripWordXml(xml)
+          return if (text.isEmpty) None else Some(text)
+        }
+        zin.closeEntry()
+        e = zin.getNextEntry
+      }
+      None
+    } catch {
+      case _: Exception => None // not a zip / truncated archive
+    } finally zin.close()
+  }
+
+  private[ingest] def stripWordXml(xml: String): String = {
+    var s = xml
+    s = s.replaceAll("(?s)<w:instrText.*?</w:instrText>", " ")
+    s = s.replaceAll("<w:tab\\s*/>", "\t")
+    s = s.replaceAll("<w:br[^>]*/>", "\n")
+    s = s.replaceAll("</w:p>", "\n")
+    s = s.replaceAll("(?s)<[^>]*>", "")
+    s = s.replace("&nbsp;", " ").replace("&lt;", "<").replace("&gt;", ">")
+      .replace("&quot;", "\"").replace("&#39;", "'").replace("&amp;", "&")
+    s = s.replaceAll("[ \\t\\x0B\\f\\r]+", " ")
+    s = s.replaceAll(" ?\\n ?", "\n").replaceAll("\\n{2,}", "\n")
+    s.trim
+  }
+
+  // ------------------------------------------------------------ Markdown
+
+  /** Markdown → plain text: formatting stripped, content kept (the
+    * MarkdownReader contract): fence markers, headers, blockquote/bullet
+    * prefixes, emphasis, inline code ticks removed; links and images
+    * reduce to their text/alt-text.
+    */
+  def markdownToText(md: String): String = {
+    var s = md
+    s = s.replaceAll("(?m)^```.*$", "")
+    s = s.replaceAll("!\\[([^\\]]*)\\]\\([^)]*\\)", "$1")
+    s = s.replaceAll("\\[([^\\]]+)\\]\\([^)]*\\)", "$1")
+    s = s.replaceAll("(?m)^#{1,6}\\s*", "")
+    s = s.replaceAll("(?m)^>\\s?", "")
+    s = s.replaceAll("(?m)^\\s*[-*+]\\s+", "")
+    s = s.replaceAll("(?m)^\\s*\\d+\\.\\s+", "")
+    s = s.replaceAll("\\*\\*([^*]+)\\*\\*", "$1").replaceAll("__([^_]+)__", "$1")
+    s = s.replaceAll("\\*([^*\\n]+)\\*", "$1")
+    s = s.replaceAll("(?<![A-Za-z0-9])_([^_\\n]+)_(?![A-Za-z0-9])", "$1")
+    s = s.replace("`", "")
+    s.replaceAll("\\n{3,}", "\n\n").trim
+  }
+
+  // ----------------------------------------------------------------- CSV
+
+  /** CSV → one text document: rows rendered as `v1, v2, …` lines, in file
+    * order, minimal RFC 4180 (quoted fields may carry commas/newlines/
+    * doubled quotes). One document per FILE — the row→text rendering the
+    * reference gets from its CSV reader.
+    */
+  def csvToText(csv: String): String = {
+    val out = new StringBuilder
+    val field = new StringBuilder
+    val row = ArrayBuffer.empty[String]
+    var inQuotes = false
+    var i = 0
+    def endField(): Unit = { row += field.toString; field.clear() }
+    def endRow(): Unit = {
+      endField()
+      if (row.exists(_.nonEmpty)) {
+        if (out.nonEmpty) out += '\n'
+        out ++= row.mkString(", ")
+      }
+      row.clear()
+    }
+    while (i < csv.length) {
+      val c = csv.charAt(i)
+      if (inQuotes) {
+        if (c == '"' && i + 1 < csv.length && csv.charAt(i + 1) == '"') {
+          field += '"'; i += 1
+        }
+        else if (c == '"') inQuotes = false
+        else field += c
+      } else c match {
+        case '"' => inQuotes = true
+        case ',' => endField()
+        case '\r' => () // CRLF: the \n handles the row end
+        case '\n' => endRow()
+        case other => field += other
+      }
+      i += 1
+    }
+    if (field.nonEmpty || row.nonEmpty) endRow()
+    out.toString
+  }
+
   // ----------------------------------------------------------------- PDF
 
   /** Extracted text of the PDF's content streams, or None when no text

@@ -23,7 +23,7 @@ object Loaders {
     * (same fail-closed stance as the optional-dependency boundary,
     * db_utils.py:66-105).
     */
-  private val UnparseableExtensions = Set("pdf", "epub")
+  private val UnparseableExtensions = Set("pdf", "epub", "docx")
 
   private def extOf(p: Path): String = {
     val n = p.getFileName.toString
@@ -162,6 +162,68 @@ object Loaders {
       .select(epubTextUdf(col("content")).as("content"),
         map().cast("map<string,string>").as("metadata")))
 
+  private val docxTextUdf = udf((b: Array[Byte]) =>
+    if (b == null) null else DocParse.docxToText(b).orNull)
+  private val markdownUdf = udf((s: String) =>
+    if (s == null) null else DocParse.markdownToText(s))
+  private val csvUdf = udf((s: String) =>
+    if (s == null) null else DocParse.csvToText(s))
+
+  /** DOCX via the pure-JVM WordprocessingML extractor
+    * ([[DocParse.docxToText]]), fail-closed like PDF/EPUB.
+    */
+  def loadDocxFiles(spark: SparkSession, paths: Seq[Path]): DataFrame =
+    failClosed(spark.read.format("binaryFile")
+      .load(paths.map(_.toString): _*)
+      .select(docxTextUdf(col("content")).as("content"),
+        map().cast("map<string,string>").as("metadata")))
+
+  /** Markdown as text documents: wholetext + formatting strip
+    * ([[DocParse.markdownToText]]) — content kept, markup dropped.
+    */
+  def loadMarkdownFiles(spark: SparkSession, paths: Seq[Path]): DataFrame =
+    spark.read.option("wholetext", "true")
+      .text(paths.map(_.toString): _*)
+      .select(markdownUdf(col("value")).as("content"),
+        map().cast("map<string,string>").as("metadata"))
+      .filter(length(col("content")) > 0)
+
+  /** CSV: one document per file, rows rendered `v1, v2, …` in file order
+    * (minimal RFC 4180 — quoted fields keep commas/newlines).
+    */
+  def loadCsvFiles(spark: SparkSession, paths: Seq[Path]): DataFrame =
+    spark.read.option("wholetext", "true")
+      .text(paths.map(_.toString): _*)
+      .select(csvUdf(col("value")).as("content"),
+        map().cast("map<string,string>").as("metadata"))
+      .filter(length(col("content")) > 0)
+
+  /** Jupyter notebooks: cell sources concatenated in order, pure
+    * `from_json` (no UDF) — `source` handled in BOTH its JSON spellings
+    * (array of lines, single string) by parsing twice and coalescing.
+    */
+  def loadIpynbFiles(spark: SparkSession, paths: Seq[Path]): DataFrame = {
+    import org.apache.spark.sql.types.StructType
+    val arrSchema = StructType.fromDDL(
+      "cells ARRAY<STRUCT<cell_type: STRING, source: ARRAY<STRING>>>")
+    val strSchema = StructType.fromDDL(
+      "cells ARRAY<STRUCT<cell_type: STRING, source: STRING>>")
+    spark.read.option("wholetext", "true")
+      .text(paths.map(_.toString): _*)
+      .select(
+        from_json(col("value"), arrSchema).as("a"),
+        from_json(col("value"), strSchema).as("s"))
+      // a string-source notebook parses under the array schema as cells
+      // with NULL sources (empty text, not null) — nullif makes coalesce
+      // actually fall through to the string-schema branch
+      .select(coalesce(
+        nullif(array_join(transform(col("a.cells"),
+          c => concat_ws("", c.getField("source"))), "\n\n"), lit("")),
+        nullif(array_join(col("s.cells.source"), "\n\n"), lit(""))).as("content"),
+        map().cast("map<string,string>").as("metadata"))
+      .filter(length(col("content")) > 0)
+  }
+
   private def failClosed(parsed: DataFrame): DataFrame = {
     if (parsed.filter(col("content").isNull || length(col("content")) === 0)
         .limit(1).count() > 0)
@@ -180,8 +242,12 @@ object Loaders {
       extOf(p) match {
         case "pdf" => "pdf"
         case "epub" => "epub"
+        case "docx" => "docx"
         case "jsonl" => "jsonl"
+        case "ipynb" => "ipynb"
         case "html" | "htm" => "html"
+        case "md" | "markdown" => "md"
+        case "csv" => "csv"
         case _ => "text"
       }
     }
@@ -189,8 +255,12 @@ object Loaders {
       byKind.get("text").map(ps => loadTextFiles(spark, ps)),
       byKind.get("jsonl").map(ps => loadJsonl(spark, ps)),
       byKind.get("html").map(ps => loadHtmlFiles(spark, ps)),
+      byKind.get("md").map(ps => loadMarkdownFiles(spark, ps)),
+      byKind.get("csv").map(ps => loadCsvFiles(spark, ps)),
+      byKind.get("ipynb").map(ps => loadIpynbFiles(spark, ps)),
       byKind.get("pdf").map(ps => loadPdfFiles(spark, ps)),
-      byKind.get("epub").map(ps => loadEpubFiles(spark, ps))).flatten
+      byKind.get("epub").map(ps => loadEpubFiles(spark, ps)),
+      byKind.get("docx").map(ps => loadDocxFiles(spark, ps))).flatten
     require(parts.nonEmpty, "document input required")
     parts.reduce(_ unionByName _)
   }

@@ -305,6 +305,92 @@ class DocParseSpec extends SparkSpec {
     assert(DocParse.epubToText("junk".getBytes).isEmpty)
   }
 
+  /** Minimal DOCX: zip with word/document.xml in WordprocessingML. */
+  private def docxBytes(paragraphs: Seq[String]): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    z.putNextEntry(new ZipEntry("[Content_Types].xml"))
+    z.write("<Types/>".getBytes(StandardCharsets.UTF_8))
+    z.closeEntry()
+    z.putNextEntry(new ZipEntry("word/document.xml"))
+    val body = paragraphs.map(p =>
+      s"""<w:p><w:r><w:t>$p</w:t></w:r></w:p>""").mkString
+    z.write(
+      s"""<?xml version="1.0"?><w:document><w:body>$body</w:body></w:document>"""
+        .getBytes(StandardCharsets.UTF_8))
+    z.closeEntry()
+    z.close()
+    bos.toByteArray
+  }
+
+  test("docx: WordprocessingML paragraphs extract in order") {
+    val docx = docxBytes(Seq("First paragraph here.", "Second &amp; final."))
+    val got = DocParse.docxToText(docx).get
+    assert(got.contains("First paragraph here."))
+    assert(got.contains("Second & final."))
+    assert(got.indexOf("First") < got.indexOf("Second"))
+    // paragraphs separated by a newline, tags gone
+    assert(!got.contains("<w:"))
+    // a zip without word/document.xml (e.g. an EPUB) is None
+    assert(DocParse.docxToText(epubBytes(Seq("not a docx"))).isEmpty)
+    assert(DocParse.docxToText("junk".getBytes).isEmpty)
+  }
+
+  test("markdown: formatting strips, content and link text survive") {
+    val md =
+      """# Title
+        |Some *emphasis* and **bold** plus `code`.
+        |
+        |- bullet one
+        |1. ordered item
+        |> quoted line
+        |A [link text](https://example.com) and ![alt text](img.png).
+        |```scala
+        |val kept = "code body stays"
+        |```
+        |""".stripMargin
+    val got = DocParse.markdownToText(md)
+    assert(got.contains("Title") && !got.contains("# Title"))
+    assert(got.contains("Some emphasis and bold plus code."))
+    assert(got.contains("bullet one") && !got.contains("- bullet"))
+    assert(got.contains("ordered item") && !got.contains("1. ordered"))
+    assert(got.contains("quoted line") && !got.contains("> quoted"))
+    assert(got.contains("A link text and alt text."))
+    assert(!got.contains("https://example.com"))
+    assert(got.contains("val kept = \"code body stays\""))
+    assert(!got.contains("```"))
+  }
+
+  test("csv: rows render as comma-joined lines; quoting honored") {
+    val csv = "name,role\n\"Smith, Jo\",admin\n\"multi\nline\",\"with \"\"quotes\"\"\"\n"
+    val got = DocParse.csvToText(csv)
+    val lines = got.split("\n")
+    assert(lines(0) == "name, role")
+    assert(lines(1) == "Smith, Jo, admin")
+    // quoted newline stays inside the field
+    assert(got.contains("multi\nline, with \"quotes\""))
+  }
+
+  test("loaders: md/csv/ipynb/docx route through loadDirectoryAuto") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docparse2")
+    java.nio.file.Files.writeString(dir.resolve("a.md"), "# H\nfrom *markdown* file")
+    java.nio.file.Files.writeString(dir.resolve("b.csv"), "x,y\n1,2\n")
+    java.nio.file.Files.writeString(dir.resolve("c.ipynb"),
+      """{"cells":[{"cell_type":"markdown","source":["from ","notebook"]},
+        |{"cell_type":"code","source":["print(1)"]}]}""".stripMargin)
+    java.nio.file.Files.writeString(dir.resolve("d.ipynb"),
+      """{"cells":[{"cell_type":"code","source":"string source form"}]}""")
+    java.nio.file.Files.write(dir.resolve("e.docx"), docxBytes(Seq("from docx")))
+    val contents = Loaders.loadDirectoryAuto(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    assert(contents.exists(_.contains("from markdown file")))
+    assert(contents.exists(c => c.contains("x, y") && c.contains("1, 2")))
+    assert(contents.exists(_.contains("from notebook")))
+    assert(contents.exists(_.contains("print(1)")))
+    assert(contents.exists(_.contains("string source form")))
+    assert(contents.exists(_.contains("from docx")))
+  }
+
   test("loaders: pdf/epub route through extraction; undecodable pdf fails governed") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docparse")
     java.nio.file.Files.write(dir.resolve("a.pdf"),
