@@ -256,6 +256,12 @@ object ScaleProbe {
           50, 5L)
         .agg(count(lit(1)), sum(col("pmi"))).collect()(0).getLong(0)
     }
+    // Gopher rule gate: narrow per-row column work, no shuffle at all —
+    // the curve should be a clean linear scan
+    time("filter_gopher") {
+      graft.dedup.CorpusFilters.gopherRules(docs, minWords = 20)
+        .agg(count(lit(1)), sum(col("keep").cast("long"))).collect()(0).getLong(0)
+    }
     // language ID: narrow trigram explode + broadcast profile join + one
     // (doc, lang) keyed agg — should be a single linear pass
     time("langid_multi") {
@@ -308,6 +314,19 @@ object ScaleProbe {
         .groupBy("user_id", "session_idx")
         .agg(count(lit(1)).as("n"), max("tsu").as("end_tsu"))
         .agg(count(lit(1)), avg(col("end_tsu"))).collect()(0).getLong(0)
+    }
+    // cohort retention: (user, week) distinct + per-user min + user join —
+    // user count grows M-fold at constant per-user density, so every stage
+    // is keyed work over M× keys
+    time("events_retention") {
+      val weekExpr = expr("tsu div 604800000000")
+      val weeks = events.select(col("user_id"), weekExpr.as("week")).distinct()
+      val first = weeks.groupBy("user_id").agg(min(col("week")).as("cohort"))
+      weeks.join(first, "user_id")
+        .withColumn("week_offset", col("week") - col("cohort"))
+        .groupBy("cohort", "week_offset")
+        .agg(countDistinct(col("user_id")).as("n_active"))
+        .agg(count(lit(1)), sum(col("n_active"))).collect()(0).getLong(0)
     }
     time("events_window") {
       events.groupBy(window(col("ts"), "1 hour"), col("event_type"))
