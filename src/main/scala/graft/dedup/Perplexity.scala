@@ -90,6 +90,69 @@ object Perplexity {
           (col("n_bigrams").cast("double") * 1e6)).as("avg_nll"))
   }
 
+  /** Interpolated Kneser–Ney bigram model (the KenLM smoothing family
+    * CCNet's real 5-gram LM uses, at bigram order): discounted bigram
+    * probability backed off to the CONTINUATION distribution —
+    *
+    *   P(w2|w1) = max(c12 − D, 0)/c1 + D·N1+(w1·)/c1 · Pcont(w2)
+    *   Pcont(w2) = (N1+(·w2) + 1) / (B + W + 1)      (add-one: OOV > 0)
+    *   unseen w1 → Pcont(w2)
+    *
+    * with D = 0.75 (exact in binary), B = bigram types, W = continuation
+    * types. Continuation counts are what distinguish KN from add-one:
+    * a word frequent in ONE context ("Francisco") stops looking probable
+    * everywhere. All frames are keyed aggregations over the bigram-type
+    * table (vocabulary-scale, not corpus-scale).
+    */
+  final case class KnLm(bigrams: DataFrame, contexts: DataFrame,
+      continuation: DataFrame, totals: DataFrame)
+
+  val KnDiscount = 0.75
+
+  def trainKn(refToks: DataFrame): KnLm = {
+    val pairs = refToks
+      .select(explode(bigramsOf(col("toks"))).as("b"))
+      .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+    // per-context totals AND distinct-successor counts from the TYPE table
+    val contexts = bigrams.groupBy("w1")
+      .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1r"))
+    val continuation = bigrams.groupBy(col("w2"))
+      .agg(count(lit(1)).as("nl"))
+    val totals = bigrams.agg(count(lit(1)).as("b_types"))
+      .crossJoin(continuation.agg(count(lit(1)).as("w_types")))
+    KnLm(bigrams, contexts, continuation, totals)
+  }
+
+  /** Score a corpus under a KN model — same output contract as [[score]]
+    * (micro-nat integer sums, one row per document with ≥ 1 bigram).
+    */
+  def scoreKn(docsToks: DataFrame, lm: KnLm): DataFrame = {
+    val occ = docsToks
+      .select(col("id"), explode(bigramsOf(col("toks"))).as("b"))
+      .groupBy(col("id"), col("b.w1").as("w1"), col("b.w2").as("w2"))
+      .agg(count(lit(1)).as("occ"))
+    val pcont = (coalesce(col("nl"), lit(0L)) + lit(1)).cast("double") /
+      (col("b_types") + col("w_types") + lit(1)).cast("double")
+    val p = when(col("c1").isNull, pcont).otherwise(
+      greatest(coalesce(col("c12"), lit(0L)).cast("double") - lit(KnDiscount), lit(0.0)) /
+        col("c1").cast("double") +
+        lit(KnDiscount) * col("n1r").cast("double") / col("c1").cast("double") * pcont)
+    val termMicro = floor(-log(p) * lit(1e6)).cast("long")
+    occ
+      .join(lm.bigrams, Seq("w1", "w2"), "left")
+      .join(lm.contexts, Seq("w1"), "left")
+      .join(lm.continuation, Seq("w2"), "left")
+      .crossJoin(broadcast(lm.totals))
+      .select(col("id"), col("occ"), termMicro.as("t_micro"))
+      .groupBy("id")
+      .agg(sum("occ").as("n_bigrams"),
+        sum(col("occ") * col("t_micro")).as("nll_micro"))
+      .select(col("id"), col("n_bigrams"), col("nll_micro"),
+        (col("nll_micro").cast("double") /
+          (col("n_bigrams").cast("double") * 1e6)).as("avg_nll"))
+  }
+
   /** CCNet head/middle/tail split per group (language): rank documents by
     * (avg_nll ASC, id) within each group and cut at thirds with integer
     * arithmetic (rn*3 <= n → head; rn*3 <= 2n → middle; else tail), so

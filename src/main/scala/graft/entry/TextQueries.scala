@@ -1145,6 +1145,66 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  /** Kneser–Ney variant of the CCNet pipeline: same dataflow, the KenLM
+    * smoothing family at bigram order. The oracle replays the full model —
+    * discounted probabilities, continuation counts, backoff — in SQL.
+    */
+  def textPerplexityKn(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("lang"), col("source"),
+        TextFunctions.tokens(col("text")).as("toks"))
+    val lm = graft.dedup.Perplexity.trainKn(
+      docs.filter(col("source") === "src0").select("id", "toks"))
+    val scored = graft.dedup.Perplexity.scoreKn(docs.select("id", "toks"), lm)
+      .join(docs.select("id", "lang"), Seq("id"))
+    graft.dedup.Perplexity.buckets(scored, "lang")
+      .select(col("id").as("doc_id"), col("lang"), col("n_bigrams"),
+        col("nll_micro"), round(col("avg_nll"), 6).as("avg_nll"), col("bucket"))
+      .orderBy("doc_id")
+  }
+
+  val textPerplexityKnSql: String =
+    s"""WITH d AS (SELECT doc_id, lang, source, $toksD AS toks FROM documents),
+       |rp AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2
+       |       FROM d, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)
+       |       WHERE source = 'src0'),
+       |big AS (SELECT w1, w2, count(*) AS c12 FROM rp GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1r
+       |        FROM big GROUP BY w1),
+       |cont AS (SELECT w2, count(*) AS nl FROM big GROUP BY w2),
+       |tot AS (SELECT (SELECT count(*) FROM big) AS b_types,
+       |               (SELECT count(*) FROM cont) AS w_types),
+       |occ AS (SELECT doc_id, toks[i+1] AS w1, toks[i+2] AS w2, count(*) AS occ
+       |        FROM d, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)
+       |        GROUP BY doc_id, w1, w2),
+       |s AS (SELECT occ.doc_id, occ.occ,
+       |        CAST(floor(-ln(
+       |          CASE WHEN ctx.c1 IS NULL
+       |            THEN CAST(coalesce(cont.nl, 0) + 1 AS DOUBLE)
+       |                 / CAST(tot.b_types + tot.w_types + 1 AS DOUBLE)
+       |            ELSE greatest(CAST(coalesce(big.c12, 0) AS DOUBLE) - 0.75, 0.0)
+       |                   / CAST(ctx.c1 AS DOUBLE)
+       |                 + 0.75 * CAST(ctx.n1r AS DOUBLE) / CAST(ctx.c1 AS DOUBLE)
+       |                   * (CAST(coalesce(cont.nl, 0) + 1 AS DOUBLE)
+       |                      / CAST(tot.b_types + tot.w_types + 1 AS DOUBLE))
+       |          END) * 1e6) AS BIGINT) AS t_micro
+       |      FROM occ LEFT JOIN big ON occ.w1 = big.w1 AND occ.w2 = big.w2
+       |               LEFT JOIN ctx ON occ.w1 = ctx.w1
+       |               LEFT JOIN cont ON occ.w2 = cont.w2
+       |               CROSS JOIN tot),
+       |a AS (SELECT doc_id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       |        CAST(sum(occ * t_micro) AS BIGINT) AS nll_micro
+       |      FROM s GROUP BY doc_id),
+       |j AS (SELECT a.doc_id, d.lang, a.n_bigrams, a.nll_micro,
+       |        CAST(a.nll_micro AS DOUBLE) / (CAST(a.n_bigrams AS DOUBLE) * 1e6) AS avg_nll
+       |      FROM a JOIN d ON a.doc_id = d.doc_id),
+       |r AS (SELECT *, row_number() OVER (PARTITION BY lang ORDER BY avg_nll, doc_id) AS rn,
+       |        count(*) OVER (PARTITION BY lang) AS n FROM j)
+       |SELECT doc_id, lang, n_bigrams, nll_micro, round(avg_nll, 6) AS avg_nll,
+       |       CASE WHEN rn * 3 <= n THEN 'head'
+       |            WHEN rn * 3 <= n * 2 THEN 'middle' ELSE 'tail' END AS bucket
+       |FROM r ORDER BY doc_id""".stripMargin
+
   val textPerplexitySql: String =
     s"""WITH d AS (SELECT doc_id, lang, source, $toksD AS toks FROM documents),
        |rp AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2
@@ -1676,6 +1736,7 @@ object TextQueries {
     "q_pack_offsets" -> (packOffsetsQ _),
     "q_pack_manifest" -> (packManifestQ _),
     "q_text_perplexity" -> (textPerplexity _),
+    "q_text_perplexity_kn" -> (textPerplexityKn _),
     "q_mixture_temperature" -> (mixtureTemperature _),
     "q_mixture_budget" -> (mixtureBudget _),
     "q_export_shards" -> (exportShardsQ _),
@@ -1722,6 +1783,7 @@ object TextQueries {
     "q_pack_offsets" -> packOffsetsSql,
     "q_pack_manifest" -> packManifestSql,
     "q_text_perplexity" -> textPerplexitySql,
+    "q_text_perplexity_kn" -> textPerplexityKnSql,
     "q_mixture_temperature" -> mixtureTemperatureSql,
     "q_mixture_budget" -> mixtureBudgetSql,
     "q_export_shards" -> exportShardsSql,

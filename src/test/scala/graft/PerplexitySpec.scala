@@ -33,6 +33,42 @@ class PerplexitySpec extends SparkSpec {
     assert(!r.contains(20L), "single-token doc has no bigrams")
   }
 
+  test("kneser-ney: hand-computed interpolated probability and backoff") {
+    import spark.implicits._
+    // reference: "aa bb", "aa bb", "aa cc" -> bigrams (aa,bb) c12=2, (aa,cc) c12=1
+    // ctx aa: c1=3, n1r=2; cont: bb nl=1, cc nl=1; B=2 types, W=2 types
+    val ref = Seq(
+      (1L, Seq("aa", "bb")), (2L, Seq("aa", "bb")), (3L, Seq("aa", "cc")))
+      .toDF("id", "toks")
+    val lm = Perplexity.trainKn(ref)
+    // doc: ["aa","bb"]: P = max(2-.75,0)/3 + .75*2/3 * (1+1)/(2+2+1)
+    val pSeen = 1.25 / 3.0 + 0.5 * (2.0 / 5.0)
+    // doc: ["aa","zz"]: c12=0 -> discounted term 0, backoff with nl(zz)=0
+    val pBackoff = 0.0 + 0.75 * 2.0 / 3.0 * (1.0 / 5.0)
+    // doc: ["zz","bb"]: unseen context -> pure continuation (1+1)/5
+    val pUnseenCtx = 2.0 / 5.0
+    val docs = Seq(
+      (10L, Seq("aa", "bb")), (11L, Seq("aa", "zz")), (12L, Seq("zz", "bb")))
+      .toDF("id", "toks")
+    val got = Perplexity.scoreKn(docs, lm).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got(10L) == math.floor(-math.log(pSeen) * 1e6).toLong)
+    assert(got(11L) == math.floor(-math.log(pBackoff) * 1e6).toLong)
+    assert(got(12L) == math.floor(-math.log(pUnseenCtx) * 1e6).toLong)
+    // the KN property: high-count-one-context vs spread continuation.
+    // "xx" follows ONE context 5 times; "yy" follows 3 different contexts
+    // once each -> Pcont(yy) > Pcont(xx) despite lower raw frequency.
+    val ref2 = (1 to 5).map(i => (i.toLong, Seq("ctx", "xx"))) ++
+      Seq((6L, Seq("p1", "yy")), (7L, Seq("p2", "yy")), (8L, Seq("p3", "yy")))
+    val lm2 = Perplexity.trainKn(ref2.toDF("id", "toks"))
+    val probe = Seq((20L, Seq("novel", "xx")), (21L, Seq("novel", "yy")))
+      .toDF("id", "toks")
+    val s2 = Perplexity.scoreKn(probe, lm2).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(s2(21L) < s2(20L),
+      "continuation-diverse word must score MORE probable after an unseen context")
+  }
+
   test("head/middle/tail thirds cut by integer rank within group") {
     val lm = Perplexity.train(toks(1L -> "aa bb aa"))
     val scored = Perplexity.score(
