@@ -51,6 +51,19 @@ object SparkEntry {
         .withColumn("score", round(col("score"), 6))
         .orderBy(col("query_idx"), col("score").desc, col("id"))
     }),
+    // ---- filtered vector search (metadata predicate + top-k): pure
+    //      composition — the attribute filter sits UNDER the scoring
+    //      projection, so Catalyst pushes it into the parquet scan
+    //      (PushedFilters on label) and the top-k heap only sees
+    //      qualifying rows. No operator code needed; the plan is the
+    //      feature. ----
+    "q_semantic_filtered" -> ((s, dir) => {
+      val docs = vectors(s, dir).filter(col("label") === 1)
+      val qs = queryVectors(s, dir, Seq(0, 1, 2))
+      Semantic.search(docs, qs, 10, payload = Seq("label"))
+        .withColumn("score", round(col("score"), 6))
+        .orderBy(col("query_idx"), col("score").desc, col("id"))
+    }),
     // ---- serving tail: RAG context assembly — top-20 retrieval per query
     //      fitted to a 400-token context budget (greedy prefix in rank
     //      order; per-query window, shortlist-bounded) ----
@@ -209,6 +222,17 @@ object SparkEntry {
          |             row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
          |      FROM s)
          |SELECT query_idx, id, round(sc, 6) AS score FROM t WHERE rn <= 10
+         |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin,
+    "q_semantic_filtered" ->
+      s"""WITH q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+         |           FROM embeddings WHERE vec_id IN (0,1,2)),
+         |s AS (SELECT q.qid AS query_idx, e.vec_id AS id, e.label,
+         |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sc
+         |      FROM q CROSS JOIN embeddings e WHERE e.label = 1),
+         |t AS (SELECT query_idx, id, label, sc,
+         |             row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+         |      FROM s)
+         |SELECT query_idx, id, label, round(sc, 6) AS score FROM t WHERE rn <= 10
          |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin,
     "q_rag_context" ->
       s"""WITH q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv

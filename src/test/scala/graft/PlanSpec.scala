@@ -35,6 +35,13 @@ class PlanSpec extends SparkSpec {
       p.contains("EqualTo(r_name,ASIA)"), "r_name filter must reach the scan")
   }
 
+  test("filtered vector search pushes the metadata predicate into the scan") {
+    val p = plan(SparkEntry.queries("q_semantic_filtered")(spark, dir))
+    assert(p.contains("PushedFilters") && p.contains("EqualTo(label,1)"),
+      "label filter must reach the parquet scan, not sit above scoring")
+    assert(p.contains("TakeOrderedAndProject"), "top-k must stay bounded")
+  }
+
   test("lexical TF search keeps bounded top-k (no global sort)") {
     val docs = Tables.corpus(spark, dir)
     val p = plan(graft.search.Lexical.search(docs, Seq((0, "spark join")), 10))
