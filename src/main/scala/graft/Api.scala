@@ -388,6 +388,34 @@ final class Api(
     serialize(Lexical.search(docs(name), qs, k, payload = Seq("content", "metadata")))
   }
 
+  /** Positional phrase search over the collection: query terms ADJACENT
+    * and IN ORDER, ranked by phrase occurrence count, with a snippet
+    * highlight around the first occurrence carried in the metadata
+    * (`snippet`, `phrase_tf` keys). Scale shape = the slot-emission form
+    * of [[graft.search.Lexical.phraseSearch]]: one keyed shuffle over
+    * phrase-term rows only; content/metadata re-read for the ≤ k winners.
+    */
+  def phraseSearch(
+      name: String, question: String, nResults: Int = 10,
+      window: Int = 5): SearchResponse = {
+    val k = validLimit(nResults)
+    require(window >= 0 && window <= 100, s"window $window out of range")
+    val q = Sanitize.sanitizeString(validQuestions(Seq(question)).head)
+    val d = docs(name)
+    val hits = Lexical.phraseSearch(
+      d.select(col("id"), col("content")), Seq(0 -> q), k, window)
+    val payload = hits.alias("h")
+      .join(d.alias("d"), col("h.id") === col("d.id"))
+      .select(col("h.id").as("id"), col("d.content").as("content"),
+        map_concat(
+          coalesce(col("d.metadata"), map().cast("map<string,string>")),
+          map(lit("snippet"), col("h.snippet"),
+            lit("phrase_tf"), col("h.phrase_tf").cast("string"))).as("metadata"),
+        col("h.phrase_tf").cast("double").as("score"))
+      .orderBy(col("score").desc, col("id"))
+    serialize(payload)
+  }
+
   /** Build (or rebuild) the collection's persistent sign-LSH ANN index
     * (graft.ann.SignLshIndex) — the angular-hash alternative to the IVF
     * layout, partitioned by (table, key) for probe-time pruning.

@@ -107,7 +107,9 @@ class McpSurface(
     *     numCandidates = max(10k,100)) | lsh (sign-LSH probe-pruned) |
     *     pq (IVF-PQ: probe-pruned ADC over codes, exact re-rank)
     *   - lexicalMode: scan (TF over content) | indexed (TF from postings) |
-    *     bm25 (BM25 scan) | bm25_indexed (BM25 from postings)
+    *     bm25 (BM25 scan) | bm25_indexed (BM25 from postings) |
+    *     phrase (adjacency + order + snippet; lexical_search action only —
+    *     hybrid fusion over phrase scores is not defined)
     * An unknown mode is governed like an unknown action (the mode IS an
     * action refinement): search_action_invalid.
     */
@@ -141,7 +143,8 @@ class McpSurface(
             api.semanticSearchDiverse(collectionName, question, numberResults)
         }
       case "lexical_search" =>
-        resolveAction(lexicalMode, Set("scan", "indexed", "bm25", "bm25_indexed"),
+        resolveAction(lexicalMode,
+          Set("scan", "indexed", "bm25", "bm25_indexed", "phrase"),
           ErrorCodes.SearchActionInvalid) match {
           case "scan" =>
             api.lexicalSearch(collectionName, Seq(question), numberResults)
@@ -151,6 +154,8 @@ class McpSurface(
             api.lexicalSearchBm25(collectionName, Seq(question), numberResults)
           case "bm25_indexed" =>
             api.lexicalSearchBm25Indexed(collectionName, Seq(question), numberResults)
+          case "phrase" => // adjacency + order + snippet (Api.phraseSearch)
+            api.phraseSearch(collectionName, question, numberResults)
         }
       case "search" =>
         // normalize the modes exactly like the single-sided actions do —

@@ -303,6 +303,22 @@ class SurfaceSpec extends SparkSpec {
     // the same "Exact"/" scan " forms the single-sided actions do
     assert(ids(mcp.vectorSearch("search", "mv", "alpha beta",
       semanticMode = "Exact", lexicalMode = " scan ")) == ids(hybridScan))
+    // phrase mode: adjacency + order — "alpha beta" matches only the doc
+    // where they are adjacent in order; snippet + phrase_tf ride metadata
+    val phrase = mcp.vectorSearch("lexical_search", "mv", "alpha beta",
+      lexicalMode = "phrase")
+    val phraseHits = phrase("results").asInstanceOf[Seq[Map[String, Any]]]
+    assert(phraseHits.length == 1, s"got $phraseHits")
+    val md = phraseHits.head("metadata").asInstanceOf[Map[String, String]]
+    assert(md("phrase_tf") == "1")
+    assert(md("snippet").contains("alpha beta"))
+    // reversed order must NOT match
+    assert(mcp.vectorSearch("lexical_search", "mv", "beta alpha",
+      lexicalMode = "phrase")("results").asInstanceOf[Seq[_]].isEmpty)
+    // phrase is a lexical_search-only mode: the hybrid rejects it governed
+    val exH = intercept[graft.model.GraftException](
+      mcp.vectorSearch("search", "mv", "alpha beta", lexicalMode = "phrase"))
+    assert(exH.code == graft.model.ErrorCodes.SearchActionInvalid)
     // unknown modes are governed exactly like unknown actions
     assert(intercept[GraftException](mcp.vectorSearch("semantic_search", "mv",
       "q", semanticMode = "hnsw")).code == ErrorCodes.SearchActionInvalid)
