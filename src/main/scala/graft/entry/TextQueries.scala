@@ -244,6 +244,150 @@ object TextQueries {
        |FROM kk GROUP BY lang ORDER BY lang""".stripMargin
   }
 
+  /** Curation pipeline v7 — the round-7 composition: Gopher rule gate
+    * → multi-language trigram-profile ID → Kneser–Ney perplexity terciles
+    * per predicted language (LM trained on the GATED src0 slice; tail
+    * dropped) → per-language token-budget fill by KN quality. One composed
+    * plan, no driver round-trips; the oracle replays every stage.
+    *
+    * Gate policy: all rules except the required-stopword count, which is
+    * relaxed to ≥ 1 — the synthetic corpus is keyword prose carrying "the"
+    * but rarely a second function word, so the paper's ≥ 2 would zero the
+    * corpus and make every downstream stage vacuous (q_filter_gopher keeps
+    * the faithful ≥ 2 flag for the operator itself).
+    */
+  def pipelineCurate7(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text"), col("source"))
+    val gated = graft.dedup.CorpusFilters
+      .gopherRules(base.select(col("id"), col("text").as("content")), minWords = 20)
+      .filter(col("pass_words") && col("pass_meanlen") && col("pass_symbol") &&
+        col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
+        col("n_req_stops") >= 1)
+      .select("id")
+    val kept = base.join(gated, "id")
+    val langs = graft.functions.LangId.classify(kept.select(col("id"), col("text")))
+      .select(col("id"), col("predicted"))
+    val toks = kept.select(col("id"), col("source"),
+      TextFunctions.tokens(col("text")).as("toks"))
+    val lm = graft.dedup.Perplexity.trainKn(
+      toks.filter(col("source") === "src0").select("id", "toks"))
+    val scored = graft.dedup.Perplexity.scoreKn(toks.select("id", "toks"), lm)
+      .join(langs, "id")
+    val bucketed = graft.dedup.Perplexity.buckets(scored, "predicted")
+      .filter(col("bucket") =!= "tail")
+    val fillIn = bucketed
+      .join(toks.select(col("id"), size(col("toks")).cast("long").as("tokens")), "id")
+      .select(col("id"), col("predicted").as("group"),
+        round(-col("avg_nll"), 6).as("quality"), col("tokens"))
+    graft.operators.Mixture.tokenBudgetFill(fillIn, budget = 1200L)
+      .groupBy(col("group").as("lang"))
+      .agg(count(lit(1)).as("n_docs"), sum("tokens").as("kept_tokens"),
+        sum("id").as("id_checksum"))
+      .orderBy("lang")
+  }
+
+  val pipelineCurate7Sql: String =
+    s"""WITH g0 AS (SELECT doc_id AS id, text, source FROM documents),
+       |gm AS (SELECT id, text,
+       |    list_filter(regexp_split_to_array(text, '\\s+'), w -> length(w) > 0) AS words,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |      l -> length(l) > 0) AS lines,
+       |    length(text) - length(replace(text, '#', '')) AS n_hash,
+       |    (length(text) - length(regexp_replace(text, '\\.\\.\\.', '', 'g'))) // 3 AS n_ell
+       |  FROM g0),
+       |gs AS (SELECT id,
+       |    CAST(len(words) AS BIGINT) AS n_words,
+       |    CASE WHEN len(words) = 0 THEN 0.0
+       |         ELSE list_reduce(list_prepend(0, list_transform(words, w -> length(w))),
+       |                (a, b) -> a + b) * 1.0 / len(words) END AS mean_word_len,
+       |    CASE WHEN len(words) = 0 THEN 0.0
+       |         ELSE (n_hash + n_ell) * 1.0 / len(words) END AS symbol_ratio,
+       |    CASE WHEN len(lines) = 0 THEN 0.0
+       |         ELSE len(list_filter(lines, l -> starts_with(l, '•')
+       |                OR starts_with(l, '- ') OR starts_with(l, '* ')))
+       |              * 1.0 / len(lines) END AS bullet_frac,
+       |    CASE WHEN len(lines) = 0 THEN 0.0
+       |         ELSE len(list_filter(lines, l -> ends_with(l, '...')))
+       |              * 1.0 / len(lines) END AS ellipsis_frac,
+       |    CASE WHEN len(words) = 0 THEN 0.0
+       |         ELSE len(list_filter(words, w -> regexp_matches(w, '[a-zA-Z]')))
+       |              * 1.0 / len(words) END AS alpha_frac,
+       |    CAST(len(list_intersect(list_distinct(list_transform(words, w -> lower(w))),
+       |      ['the', 'be', 'to', 'of', 'and', 'that', 'have', 'with'])) AS BIGINT)
+       |      AS n_req_stops
+       |  FROM gm),
+       |gk AS (SELECT id FROM gs
+       |       WHERE n_words >= 20 AND n_words <= 100000
+       |         AND mean_word_len >= 3.0 AND mean_word_len <= 10.0
+       |         AND symbol_ratio <= 0.1 AND bullet_frac <= 0.9
+       |         AND ellipsis_frac <= 0.3 AND alpha_frac >= 0.8
+       |         AND n_req_stops >= 1),
+       |d AS (SELECT g0.id, g0.text, g0.source FROM g0 JOIN gk USING (id)),
+       |prof(lang_p, tri, w) AS (VALUES ${graft.functions.LangId.profileValuesSql}),
+       |nn AS (SELECT id, trim(regexp_replace(lower(text), '[^a-z]+', ' ', 'g')) AS nrm
+       |       FROM d),
+       |tris AS (SELECT id, unnest(CASE WHEN length(nrm) < 3 THEN []
+       |           ELSE list_transform(range(1, length(nrm) - 1),
+       |                  i -> substr(nrm, CAST(i AS INTEGER), 3)) END) AS tri
+       |         FROM nn),
+       |lsc AS (SELECT id, lang_p, CAST(sum(w) AS BIGINT) AS score
+       |        FROM tris JOIN prof USING (tri) GROUP BY 1, 2),
+       |lbest AS (SELECT id, lang_p FROM (
+       |           SELECT id, lang_p, row_number() OVER (PARTITION BY id
+       |             ORDER BY score DESC, lang_p ASC) AS rn FROM lsc) WHERE rn = 1),
+       |lang_of AS (SELECT d.id, coalesce(b.lang_p, 'unknown') AS grp
+       |            FROM d LEFT JOIN lbest b ON d.id = b.id),
+       |dt AS (SELECT id, source, $toksD AS toks FROM d),
+       |rp AS (SELECT toks[i+1] AS w1, toks[i+2] AS w2
+       |       FROM dt, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)
+       |       WHERE source = 'src0'),
+       |big AS (SELECT w1, w2, count(*) AS c12 FROM rp GROUP BY w1, w2),
+       |ctx AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1, count(*) AS n1r
+       |        FROM big GROUP BY w1),
+       |cont AS (SELECT w2, count(*) AS nl FROM big GROUP BY w2),
+       |tot AS (SELECT (SELECT count(*) FROM big) AS b_types,
+       |               (SELECT count(*) FROM cont) AS w_types),
+       |occ AS (SELECT id, toks[i+1] AS w1, toks[i+2] AS w2, count(*) AS occ
+       |        FROM dt, UNNEST(range(greatest(len(toks)-1, 0))) AS u(i)
+       |        GROUP BY id, w1, w2),
+       |sc AS (SELECT occ.id, occ.occ,
+       |        CAST(floor(-ln(
+       |          CASE WHEN ctx.c1 IS NULL
+       |            THEN CAST(coalesce(cont.nl, 0) + 1 AS DOUBLE)
+       |                 / CAST(tot.b_types + tot.w_types + 1 AS DOUBLE)
+       |            ELSE greatest(CAST(coalesce(big.c12, 0) AS DOUBLE) - 0.75, 0.0)
+       |                   / CAST(ctx.c1 AS DOUBLE)
+       |                 + 0.75 * CAST(ctx.n1r AS DOUBLE) / CAST(ctx.c1 AS DOUBLE)
+       |                   * (CAST(coalesce(cont.nl, 0) + 1 AS DOUBLE)
+       |                      / CAST(tot.b_types + tot.w_types + 1 AS DOUBLE))
+       |          END) * 1e6) AS BIGINT) AS t_micro
+       |      FROM occ LEFT JOIN big ON occ.w1 = big.w1 AND occ.w2 = big.w2
+       |               LEFT JOIN ctx ON occ.w1 = ctx.w1
+       |               LEFT JOIN cont ON occ.w2 = cont.w2
+       |               CROSS JOIN tot),
+       |ag AS (SELECT id, CAST(sum(occ) AS BIGINT) AS n_bigrams,
+       |        CAST(sum(occ * t_micro) AS BIGINT) AS nll_micro
+       |      FROM sc GROUP BY id),
+       |jj AS (SELECT ag.id, lang_of.grp, ag.n_bigrams, ag.nll_micro,
+       |        CAST(ag.nll_micro AS DOUBLE) / (CAST(ag.n_bigrams AS DOUBLE) * 1e6) AS avg_nll
+       |      FROM ag JOIN lang_of ON ag.id = lang_of.id),
+       |rr AS (SELECT *, row_number() OVER (PARTITION BY grp ORDER BY avg_nll, id) AS rn,
+       |        count(*) OVER (PARTITION BY grp) AS n FROM jj),
+       |bk AS (SELECT id, grp, avg_nll FROM rr WHERE rn * 3 <= n * 2),
+       |fi AS (SELECT bk.id, bk.grp, round(-bk.avg_nll, 6) AS quality,
+       |         CAST(len(dt.toks) AS BIGINT) AS tokens
+       |       FROM bk JOIN dt ON bk.id = dt.id),
+       |cu AS (SELECT grp, id, tokens,
+       |        sum(tokens) OVER (PARTITION BY grp ORDER BY quality DESC, id
+       |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum
+       |      FROM fi),
+       |kk AS (SELECT grp, id, tokens FROM cu WHERE cum <= 1200)
+       |SELECT grp AS lang, count(*) AS n_docs,
+       |       CAST(sum(tokens) AS BIGINT) AS kept_tokens,
+       |       CAST(sum(id) AS BIGINT) AS id_checksum
+       |FROM kk GROUP BY grp ORDER BY lang""".stripMargin
+
   /** BPE merge training: 8 rounds of highest-frequency-pair merges over
     * the corpus vocabulary ([[graft.operators.Bpe]]). The oracle replays
     * ALL 8 rounds — pair counts, lexical tie-break argmax, and the exact
@@ -1760,6 +1904,7 @@ object TextQueries {
     "q_bpe_segment" -> (bpeSegment _),
     "q_dedup_paragraph" -> (textParagraphDedup _),
     "q_pipeline_curate6" -> (pipelineCurate6 _),
+    "q_pipeline_curate7" -> (pipelineCurate7 _),
     "q_mm_decode" -> (mmDecode _),
     "q_mm_decode_image" -> (mmDecodeImage _),
     "q_mm_resize_real" -> (mmResizeReal _),
@@ -1807,6 +1952,7 @@ object TextQueries {
     "q_bpe_segment" -> bpeSegmentSql,
     "q_dedup_paragraph" -> textParagraphDedupSql,
     "q_pipeline_curate6" -> pipelineCurate6Sql,
+    "q_pipeline_curate7" -> pipelineCurate7Sql,
     "q_mm_decode" -> mmDecodeSql,
     "q_mm_decode_image" -> mmDecodeImageSql,
     "q_mm_resize_real" -> mmResizeRealSql,
