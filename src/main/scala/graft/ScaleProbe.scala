@@ -149,6 +149,18 @@ object ScaleProbe {
       graft.dedup.Perplexity.buckets(scored)
         .agg(count(lit(1)), sum(col("nll_micro"))).collect()(0).getLong(0)
     }
+    // Kneser-Ney variant: same dataflow as text_perplexity plus the
+    // continuation/context legs — all vocabulary-table-sized keyed aggs
+    time("text_perplexity_kn") {
+      val toks = graft.dedup.CorpusFilters.tokenized(docs)
+      val lm = graft.dedup.Perplexity.trainKn(
+        toks.filter(graft.functions.TextFunctions.stableHash32(col("id")) % 20 === 0))
+      val scored = graft.dedup.Perplexity.scoreKn(toks, lm)
+        .withColumn("lang",
+          concat(lit("g"), graft.functions.TextFunctions.stableHash32(col("id")) % 20))
+      graft.dedup.Perplexity.buckets(scored)
+        .agg(count(lit(1)), sum(col("nll_micro"))).collect()(0).getLong(0)
+    }
     // SQ8 serving: train = one min/max agg, encode = narrow transform, ADC =
     // codes-only scan with bounded top-k — the whole path should be one
     // linear pass regardless of M

