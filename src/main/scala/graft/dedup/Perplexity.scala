@@ -53,8 +53,12 @@ object Perplexity {
     val pairs = refToks
       .select(explode(bigramsOf(col("toks"))).as("b"))
       .select(col("b.w1").as("w1"), col("b.w2").as("w2"))
+    // context counts derive from the checkpointed TYPE table (sum of c12
+    // per w1 == pair count per w1), so the corpus-scale pair aggregation
+    // runs once, not once per derived frame — the [[trainKn]] lesson
     val bigrams = pairs.groupBy("w1", "w2").agg(count(lit(1)).as("c12"))
-    val unigrams = pairs.groupBy("w1").agg(count(lit(1)).as("c1"))
+      .localCheckpoint()
+    val unigrams = bigrams.groupBy("w1").agg(sum(col("c12")).as("c1"))
     val vocab = refToks
       .select(explode(col("toks")).as("w"))
       .agg(count_distinct(col("w")).as("v"))
