@@ -372,7 +372,32 @@ object TermQueries {
        |FROM topk WHERE rn <= 10
        |ORDER BY query_idx, phrase_tf DESC, id""".stripMargin
 
+  /** Per-language equi-width histogram of document token counts — the
+    * ANALYZE companion to percentiles; integer-exact bin edges.
+    */
+  def corpusHistogram(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("lang"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+    graft.operators.Profile.histogram(docs, "lang", "n_tok", nBins = 8)
+      .orderBy("group", "bin")
+  }
+
+  val corpusHistogramSql: String =
+    s"""WITH d AS (SELECT lang AS grp, CAST(len($toksD) AS BIGINT) AS v FROM documents),
+       |b AS (SELECT grp, min(v) AS lo, max(v) AS hi FROM d GROUP BY 1),
+       |w AS (SELECT grp, lo, greatest(CAST(ceil((hi - lo + 1) * 1.0 / 8) AS BIGINT), 1) AS wd
+       |      FROM b),
+       |x AS (SELECT d.grp, least((d.v - w.lo) // w.wd, 7) AS bin, w.lo, w.wd
+       |      FROM d JOIN w USING (grp))
+       |SELECT grp AS "group", bin,
+       |       lo + bin * wd AS lo, lo + (bin + 1) * wd - 1 AS hi,
+       |       count(*) AS n
+       |FROM x GROUP BY grp, bin, lo, wd
+       |ORDER BY "group", bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_histogram" -> (corpusHistogram _),
     "q_phrase_search" -> (phraseSearch _),
     "q_unigram_segment" -> (unigramSegment _),
     "q_unigram_train" -> (unigramTrain _),
@@ -384,6 +409,7 @@ object TermQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_histogram" -> corpusHistogramSql,
     "q_phrase_search" -> phraseSearchSql,
     "q_unigram_segment" -> unigramSegmentSql,
     "q_unigram_train" -> unigramTrainSql,

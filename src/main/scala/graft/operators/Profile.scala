@@ -70,4 +70,36 @@ object Profile {
         explode(arrays_zip(array(ps.map(lit): _*).as("p"), col("__q").as("value"))).as("z"))
       .select(col("group"), col("z.p").as("p"), col("z.value").cast("double").as("value"))
   }
+
+  /** Per-group equi-width histogram of a LONG value column — the other
+    * half of ANALYZE next to [[percentiles]]: (group, bin, lo, hi, n)
+    * with `nBins` integer-exact bins spanning the group's [min, max]
+    * (the max lands in the last bin). Two keyed aggregations: per-group
+    * min/max (broadcast back), then the bin counts — both map-side
+    * combinable, nothing corpus-sized crosses the driver. Bin edges are
+    * integer arithmetic (`lo + i·width`, width = ceil(span/nBins)), so
+    * the oracle replays them exactly — no float bucket boundaries to
+    * drift between engines.
+    */
+  def histogram(df: DataFrame, groupCol: String, valueCol: String,
+      nBins: Int = 10): DataFrame = {
+    require(nBins >= 1 && nBins <= 100000, s"nBins $nBins out of range")
+    val bounds = df.groupBy(col(groupCol).as("group"))
+      .agg(min(col(valueCol)).cast("long").as("__lo"),
+        max(col(valueCol)).cast("long").as("__hi"))
+    val width = greatest(
+      ceil((col("__hi") - col("__lo") + 1).cast("double") / nBins).cast("long"),
+      lit(1L))
+    df.select(col(groupCol).as("group"), col(valueCol).cast("long").as("__v"))
+      .join(broadcast(bounds), "group")
+      .withColumn("__w", width)
+      .withColumn("bin",
+        least(expr("(__v - __lo) div __w"), lit(nBins - 1L)))
+      .groupBy("group", "bin", "__lo", "__w")
+      .agg(count(lit(1)).as("n"))
+      .select(col("group"), col("bin"),
+        (col("__lo") + col("bin") * col("__w")).as("lo"),
+        (col("__lo") + (col("bin") + 1) * col("__w") - 1).as("hi"),
+        col("n"))
+  }
 }

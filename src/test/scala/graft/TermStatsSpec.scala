@@ -154,6 +154,23 @@ class TermStatsSpec extends SparkSpec {
     assert(ranked.maxBy(_._3)._2 == 4L)
   }
 
+  test("histogram: integer-exact bins, max in last bin, singleton group") {
+    import graft.operators.Profile
+    val df = (Seq.tabulate(20)(i => ("a", i.toLong)) :+ ("b", 7L))
+      .toDF("g", "v")
+    val out = Profile.histogram(df, "g", "v", nBins = 4).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // group a: values 0..19, width ceil(20/4)=5 -> bins [0,4][5,9][10,14][15,19], 5 each
+    val a = out.filter(_._1 == "a").sortBy(_._2)
+    assert(a.map(t => (t._2, t._3, t._4, t._5)).toSeq ==
+      Seq((0L, 0L, 4L, 5L), (1L, 5L, 9L, 5L), (2L, 10L, 14L, 5L), (3L, 15L, 19L, 5L)))
+    // group b: single value -> width 1, one bin holding it
+    val b = out.filter(_._1 == "b")
+    assert(b.toSeq == Seq(("b", 0L, 7L, 7L, 1L)))
+    // totals preserved
+    assert(out.map(_._5).sum == 21L)
+  }
+
   test("tfidf/pmi: empty and single-token documents contribute nothing but survive") {
     val docs = Seq(
       (1L, Seq.empty[String]),
