@@ -60,7 +60,14 @@ object GraftFunctions {
     ("graft_sorted_intersect",
       info("graft_sorted_intersect",
         "graft_sorted_intersect(a, b) - common-element count of two sorted string arrays"),
-      binary("graft_sorted_intersect", SortedIntersectCount(_, _)) _))
+      binary("graft_sorted_intersect", SortedIntersectCount(_, _)) _),
+    ("graft_char_trigrams",
+      info("graft_char_trigrams",
+        "graft_char_trigrams(s) - all overlapping character trigrams of a string"),
+      (args: Seq[Expression]) => {
+        require(args.length == 1, s"graft_char_trigrams expects 1 argument, got ${args.length}")
+        TextExpressions.CharTrigrams(args.head)
+      }))
 
   /** Register every engine function into an existing session. */
   def register(spark: SparkSession): Unit = {

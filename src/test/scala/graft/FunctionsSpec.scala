@@ -154,6 +154,18 @@ class FunctionsSpec extends SparkSpec {
       err.getMessage.contains("DATATYPE_MISMATCH"))
   }
 
+  test("graft_char_trigrams SQL function matches the Column API") {
+    import spark.implicits._
+    graft.functions.GraftFunctions.register(spark)
+    val df = Seq("hello", "ab", "").toDF("s")
+    val viaSql = df.selectExpr("graft_char_trigrams(s) AS t")
+      .collect().map(_.getSeq[String](0))
+    val viaCol = df.select(graft.functions.TextExpressions.charTrigrams(col("s")))
+      .collect().map(_.getSeq[String](0))
+    assert(viaSql.toSeq == viaCol.toSeq)
+    assert(viaSql.head == Seq("hel", "ell", "llo"))
+  }
+
   test("native expressions codegen-compile when emitted twice in one scope") {
     // A filter collapsed into a join condition (or graft_cosine's two
     // L2Norms) emits the same expression twice into one generated
