@@ -280,6 +280,15 @@ object ScaleProbe {
       graft.functions.LangId.classify(docs.select(col("id"), col("content").as("text")))
         .agg(count(lit(1)), sum(col("score"))).collect()(0).getLong(0)
     }
+    // phrase search: the posexplode scan is the only corpus-sized stage;
+    // only phrase-term rows shuffle. Query terms use replica 0's salted
+    // spelling, so matches exist and their count stays CONSTANT as M
+    // grows — the curve isolates the scan from the (tiny) shuffle.
+    time("phrase_search") {
+      graft.search.Lexical.phraseSearch(docs,
+          Seq(0 -> "tablex0 hashx0", 1 -> "customerx0 joinx0"), k = 10, window = 3)
+        .agg(count(lit(1)), sum(col("phrase_tf"))).collect()(0).getLong(0)
+    }
     time("semantic_topk")(
       graft.ann.Ann.bruteTopK(vecs, qs, 10).count())
     // JL projection + projected shortlist + exact re-rank: one narrow

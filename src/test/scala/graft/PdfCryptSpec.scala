@@ -200,6 +200,29 @@ class PdfCryptSpec extends SparkSpec {
     assert(DocParse.pdfToText(raw.getBytes(Iso)).isEmpty)
   }
 
+  test("malformed encrypt dictionaries fail governed, never throw") {
+    val good = encryptedPdf("BT (x) Tj ET", "rc4_128")
+    val raw = new String(good, Iso)
+    def mutate(f: String => String): Option[String] =
+      DocParse.pdfToText(f(raw).getBytes(Iso))
+    // truncated /U (16 bytes instead of 32): validation fails -> None
+    assert(mutate(s => {
+      val m = """/U <([0-9A-F]+)>""".r.findFirstMatchIn(s).get
+      s.substring(0, m.start) + s"/U <${m.group(1).take(32)}>" + s.substring(m.end)
+    }).isEmpty)
+    // missing /O entirely -> None
+    assert(mutate(_.replaceAll("""/O <[0-9A-F]+> """, "")).isEmpty)
+    // unsupported security handler -> None
+    assert(mutate(_.replace("/Filter /Standard", "/Filter /Custom")).isEmpty)
+    // corrupted V5 /UE (wrong length) -> None
+    val v5 = new String(aes256Pdf("BT (x) Tj ET"), Iso)
+    val m = """/UE <([0-9A-F]+)>""".r.findFirstMatchIn(v5).get
+    val broken = v5.substring(0, m.start) + s"/UE <${m.group(1).take(16)}>" + v5.substring(m.end)
+    assert(DocParse.pdfToText(broken.getBytes(Iso)).isEmpty)
+    // sanity: the unmutated files still extract
+    assert(DocParse.pdfToText(good).nonEmpty)
+  }
+
   test("round-trip primitives: rc4 is symmetric, aes pdf layout inverts") {
     val key = Array.tabulate(16)(i => (i * 3 + 1).toByte)
     val data = "the quick brown fox".getBytes(Iso)

@@ -73,6 +73,17 @@ class UnigramLmSpec extends SparkSpec {
     assert(out2("abab") == 3L && out2("cd") == 3L)
   }
 
+  test("train is partitioning-invariant (distributed-determinism contract)") {
+    val docs = Seq(
+      (1L, Seq("alpha", "beta", "alphabet")),
+      (2L, Seq("beta", "beta", "alpha")),
+      (3L, Seq("gamma", "alphabet", "delta"))).toDF("id", "toks")
+    def table(parts: Int) =
+      UnigramLm.train(docs.repartition(parts), rounds = 2).collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getLong(2))).sortBy(_._1).toSeq
+    assert(table(1) == table(7))
+  }
+
   test("segmentWords: output shape and per-word costs are consistent") {
     val docs = Seq((1L, Seq("hello", "hello", "help"))).toDF("id", "toks")
     val words = UnigramLm.wordTable(docs)
