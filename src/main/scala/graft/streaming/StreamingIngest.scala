@@ -85,7 +85,8 @@ object StreamingIngest {
       embedder: Embedder,
       nearDupCosine: Option[Double] = None,
       nearDupJaccard: Option[Double] = None,
-      qualityGate: Option[QualityGate] = None): Long = {
+      qualityGate: Option[QualityGate] = None,
+      langAllow: Option[Set[String]] = None): Long = {
     val staged = spark.read.parquet(stagingPath)
     val w = Window.partitionBy("id").orderBy(col("ingest_ts").desc)
     val latest = staged
@@ -103,10 +104,20 @@ object StreamingIngest {
           spark, catalog, entry, prepared.select("id", "content"), t),
         Seq("id"), "left_anti")
     }
+    // language gate (multilingual pipelines: only the allowed languages
+    // land) — trigram-profile classification, pre-embed like every gate:
+    // a wrong-language row must never cost a model call
+    val langGated = langAllow.fold(textGated) { allowed =>
+      textGated.join(
+        graft.functions.LangId.classify(textGated.select(col("id"), col("content").as("text")))
+          .filter(col("predicted").isin(allowed.toSeq: _*))
+          .select("id"),
+        Seq("id"), "left_semi")
+    }
     // trained-quality gate runs pre-embed too (a low-quality row must
     // never cost a model call): mean-pooled margin under the persisted
     // classifier, rows below the floor drop here
-    val qualityGated = qualityGate.fold(textGated) { g =>
+    val qualityGated = qualityGate.fold(langGated) { g =>
       val feats = graft.operators.QualityClassifier.features(
         textGated.select(col("id"), lit(0).as("label"),
           graft.functions.TextFunctions.tokens(col("content")).as("toks")),

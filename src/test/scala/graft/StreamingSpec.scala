@@ -131,6 +131,35 @@ class StreamingSpec extends SparkSpec {
       "gate must see documents compacted through itself")
   }
 
+  test("gated compaction drops disallowed languages before the embed pass") {
+    import spark.implicits._
+    import graft.ingest.DeterministicHashEmbedder
+    val wh = Files.createTempDirectory("graft-wh-sgate4").toString
+    val embedder = new DeterministicHashEmbedder(16)
+    val api = new Api(spark, wh, embedder)
+    api.createCollection("sgate4",
+      documents = Some(Seq(("seed document in the english language with all the words",
+        Map.empty[String, String])).toDF("content", "metadata")))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "sgate4"))
+    val staging = Files.createTempDirectory("graft-staging-sgate4").toString
+    def stage(contents: Seq[String]): Unit =
+      contents.map((_, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+        .toDF("content", "ingest_ts")
+        .withColumn("id", graft.ingest.Ingest.contentId(
+          org.apache.spark.sql.functions.col("content")))
+        .write.mode("overwrite").parquet(staging)
+    stage(Seq(
+      "The people who would have been there said that they could never find the way home.",
+      "Die Kinder haben gesagt, dass sie nicht wissen, wo der Zug zwischen den Orten ist."))
+    val merged = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      langAllow = Some(Set("en")))
+    assert(merged == 1, "only the English row lands")
+    val texts = api.catalog.readDocuments(entry).collect()
+      .map(_.getAs[String]("content")).toSet
+    assert(texts.exists(_.contains("never find the way home")))
+    assert(!texts.exists(_.contains("Die Kinder")))
+  }
+
   test("streaming windowed counts with watermark emit correct aggregates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
