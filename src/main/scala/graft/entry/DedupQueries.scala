@@ -79,6 +79,46 @@ object DedupQueries {
 
   val dedupNgramSql: String = jaccardInvertedSqlD(0.5)
 
+  // ---- threshold sweep: the tuning report for picking a near-dup cutoff —
+  //      pair counts and affected-document counts at every candidate
+  //      threshold from ONE candidate-generation pass (the expensive
+  //      shingle join runs once; the 7-way threshold fan-out multiplies
+  //      only the output-sized pair list). ----
+  def dedupSweep(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val pairs = Dedup.ngramJaccard(docs(s, dir), threshold = 0.3)
+    val tDf = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
+    val hit = pairs.crossJoin(broadcast(tDf))
+      .filter(col("jaccard") >= col("threshold"))
+    val np = hit.groupBy("threshold").agg(count(lit(1)).as("n_pairs"))
+    val nd = hit
+      .select(col("threshold"), explode(array(col("a"), col("b"))).as("d"))
+      .groupBy("threshold").agg(countDistinct(col("d")).as("n_docs"))
+    np.join(nd, "threshold").orderBy("threshold")
+  }
+
+  val dedupSweepSql: String =
+    s"""WITH $shingleCte,
+       |f AS (SELECT id, unnest(sh) AS s FROM sh),
+       |sizes AS (SELECT id, len(sh) AS l FROM sh),
+       |co AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+       |       FROM f x JOIN f y ON x.s = y.s AND x.id < y.id
+       |       GROUP BY x.id, y.id),
+       |pj AS (SELECT co.a, co.b,
+       |         CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) AS j
+       |       FROM co JOIN sizes sa ON co.a = sa.id JOIN sizes sb ON co.b = sb.id
+       |       WHERE CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) >= 0.3),
+       |th(t) AS (VALUES (CAST(0.3 AS DOUBLE)), (CAST(0.4 AS DOUBLE)),
+       |  (CAST(0.5 AS DOUBLE)), (CAST(0.6 AS DOUBLE)), (CAST(0.7 AS DOUBLE)),
+       |  (CAST(0.8 AS DOUBLE)), (CAST(0.9 AS DOUBLE))),
+       |p2 AS (SELECT t, a, b FROM pj CROSS JOIN th WHERE j >= t),
+       |np AS (SELECT t, count(*) AS n_pairs FROM p2 GROUP BY 1),
+       |nd AS (SELECT t, CAST(count(DISTINCT d) AS BIGINT) AS n_docs
+       |       FROM (SELECT t, unnest([a, b]) AS d FROM p2) GROUP BY 1)
+       |SELECT np.t AS threshold, n_pairs, n_docs
+       |FROM np JOIN nd ON np.t = nd.t ORDER BY threshold""".stripMargin
+
   // ---- duplicate clusters: minhash pairs -> connected components; the
   //      keep-decision layer over pairwise near-dups. Oracle replays the
   //      pairs (inverted-index jaccard) then a recursive-CTE transitive
@@ -799,6 +839,7 @@ object DedupQueries {
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_stats" -> (dedupStats _),
     "q_dedup_ngram" -> (dedupNgram _),
+    "q_dedup_sweep" -> (dedupSweep _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> (dedupSimhash64 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
@@ -824,6 +865,7 @@ object DedupQueries {
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_stats" -> dedupStatsSql,
     "q_dedup_ngram" -> dedupNgramSql,
+    "q_dedup_sweep" -> dedupSweepSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
