@@ -32,6 +32,7 @@ object SparkEntry {
       graft.entry.DedupQueries.queries ++
       graft.entry.TextQueries.queries ++
       graft.entry.TermQueries.queries ++
+      graft.entry.QualityQueries.queries ++
       graft.entry.OlapQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -40,6 +41,7 @@ object SparkEntry {
       graft.entry.DedupQueries.oracles ++
       graft.entry.TextQueries.oracles ++
       graft.entry.TermQueries.oracles ++
+      graft.entry.QualityQueries.oracles ++
       graft.entry.OlapQueries.oracles
 
   private def searchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

@@ -402,4 +402,95 @@ object CorpusFilters {
           col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
           col("pass_stops"))
   }
+
+  /** The C4 cleaning gate (Raffel et al. 2020 §2.2) — the line-level and
+    * page-level web-cleanup rules that produced C4 from Common Crawl,
+    * complementing [[gopherRules]] (which judges whole documents but never
+    * rewrites them):
+    *
+    *  - LINE filter: keep only lines that end in a terminal punctuation
+    *    mark (`.`, `!`, `?`, or a closing quote) AND contain at least
+    *    `minLineWords` whitespace-separated words. `cleaned` is the
+    *    surviving lines rejoined with newlines.
+    *  - PAGE filters: drop pages whose CLEANED text has fewer than
+    *    `minSentences` sentences (runs of `[.!?]+`), pages containing the
+    *    placeholder phrase "lorem ipsum", and pages containing `{` (the
+    *    paper's code-page heuristic).
+    *
+    * The paper's bad-word-list rule is intentionally not reproduced (no
+    * embedded word list in this engine); its line-level dedup is covered
+    * corpus-wide by [[paragraphDedup]]/[[spanDedup]].
+    *
+    * Entirely narrow per-row column work — no shuffle, no UDF. The line
+    * analysis runs as ONE native expression per row
+    * ([[graft.functions.TextExpressions.C4LineStats]]): the declarative
+    * `filter(transform(split...))` form is a CSE-exempt lambda HOF that
+    * projection collapse re-inlines into all seven consuming outputs —
+    * measured 3.1 s vs 0.6 s at sf0.1 for identical semantics. Like
+    * [[gopherRules]] this emits every signal, not just `keep`, so a
+    * downstream gate (or the oracle hash) sees each rule's arithmetic.
+    */
+  def c4Rules(
+      docs: DataFrame,
+      minLineWords: Int = 5,
+      minSentences: Int = 3,
+      idCol: String = "id",
+      contentCol: String = "content"): DataFrame = {
+    val text = col(contentCol)
+    val st = graft.functions.TextExpressions.c4LineStats(text, minLineWords)
+    val stage = docs.select(
+      col(idCol).as("id"),
+      st.getField("n_lines").as("n_lines"),
+      st.getField("n_kept").as("n_kept"),
+      st.getField("cleaned").as("cleaned"),
+      lower(text).contains("lorem ipsum").as("has_lorem"),
+      text.contains("{").as("has_brace"))
+    stage
+      .withColumn("kept_frac",
+        when(col("n_lines") === 0, lit(0.0)).otherwise(
+          col("n_kept").cast("double") / col("n_lines").cast("double")))
+      .withColumn("n_sentences",
+        size(regexp_extract_all(col("cleaned"), lit("[.!?]+"), lit(0))).cast("long"))
+      .withColumn("keep",
+        col("n_sentences") >= minSentences && !col("has_lorem") && !col("has_brace"))
+      .select("id", "n_lines", "n_kept", "kept_frac", "n_sentences",
+        "has_lorem", "has_brace", "keep", "cleaned")
+  }
+
+  /** Flesch readability statistics — reading-ease and grade-level scores
+    * from a deterministic syllable heuristic (runs of `[aeiouy]+` per
+    * token, minimum 1), the lightweight fluency signal quality pipelines
+    * put next to [[gopherRules]]/[[qualityScore]]-style gates.
+    *
+    * Tokens come from the engine tokenizer (casefolded `[a-z0-9_]{2,}`)
+    * so the syllable regex sees canonical lowercase words; sentences are
+    * runs of `[.!?]+` in the raw text (minimum 1 — headlines score as one
+    * sentence, not a division by zero). Documents with no tokens emit
+    * zeroed scores rather than NaN. All ratios divide exact integer
+    * counts, so both sides of an oracle compute identical doubles.
+    * Narrow per-row column work: no shuffle, no UDF.
+    */
+  def readability(
+      docs: DataFrame,
+      idCol: String = "id",
+      contentCol: String = "content"): DataFrame = {
+    val text = col(contentCol)
+    val toks = tokens(text)
+    val nWords = size(toks).cast("long")
+    val nSyll = aggregate(toks, lit(0L), (acc, w) =>
+      acc + greatest(size(regexp_extract_all(w, lit("[aeiouy]+"), lit(0))).cast("long"), lit(1L)))
+    val nSent = greatest(size(regexp_extract_all(text, lit("[.!?]+"), lit(0))), lit(1))
+      .cast("long")
+    val base = docs.select(col(idCol).as("id"), nWords.as("n_words"),
+      nSyll.as("n_syllables"), nSent.as("n_sentences"))
+    val wps = col("n_words").cast("double") / col("n_sentences").cast("double")
+    val spw = col("n_syllables").cast("double") / col("n_words").cast("double")
+    base
+      .withColumn("flesch",
+        when(col("n_words") === 0, lit(0.0)).otherwise(
+          round(lit(206.835) - lit(1.015) * wps - lit(84.6) * spw, 6)))
+      .withColumn("fk_grade",
+        when(col("n_words") === 0, lit(0.0)).otherwise(
+          round(lit(0.39) * wps + lit(11.8) * spw - lit(15.59), 6)))
+  }
 }

@@ -111,6 +111,61 @@ object Dedup {
     verifyJaccard(bucketPairs(banded, "band", "bucket", maxBucketSize), sets, threshold)
   }
 
+  /** Bipartite MinHash+LSH near-dup join ACROSS two corpora — "which
+    * incoming documents near-duplicate the reference corpus" (dedup of a
+    * new crawl against an existing training set, the cross-snapshot
+    * CC-dedup shape), without ever comparing either corpus to itself.
+    *
+    * Same signature scheme, band math, and recall argument as
+    * [[minHashNearDups]] (P(candidate | J) = 1-(1-J^2)^16 over 16x2
+    * bands), but candidates come from an INNER equi-join of the two
+    * sides' (band, bucket) rows, so the candidate volume is
+    * output-shaped: buckets present on only one side produce nothing
+    * (no singleton-window pass needed), and the per-side stop-bucket
+    * guard bounds skew exactly like [[bucketPairs]]. `a` is always the
+    * left corpus id, `b` the right — ids may collide across corpora
+    * (the same document in both sides is a legitimate cross-match), so
+    * no a<b canonicalization applies. Every candidate is verified with
+    * exact Jaccard before emission.
+    */
+  def minHashNearDupsAcross(
+      left: DataFrame,
+      right: DataFrame,
+      threshold: Double = 0.6,
+      shingleN: Int = 3,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
+    val setsL = shingleSets(left, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    val setsR = shingleSets(right, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    val rowsPerBand = MinHashSeeds.size / bands
+    def bandedOf(sets: DataFrame): DataFrame = {
+      val sigs = minHashSignatures(sets.select(col("id"), explode(col("shs")).as("sh")))
+      val bandKeys = (0 until bands).map { b =>
+        concat_ws("_", (0 until rowsPerBand).map(r => col(s"m${b * rowsPerBand + r}")): _*)
+      }
+      sigs.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
+    }
+    def eligible(banded: DataFrame): DataFrame = {
+      val oversized = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
+        .filter(col("__n") > maxBucketSize)
+        .select("band", "bucket")
+      banded.join(broadcast(oversized), Seq("band", "bucket"), "left_anti")
+    }
+    val cands = eligible(bandedOf(setsL)).select(col("band"), col("bucket"), col("id").as("a"))
+      .join(eligible(bandedOf(setsR)).select(col("band"), col("bucket"), col("id").as("b")),
+        Seq("band", "bucket"))
+      .select("a", "b").distinct()
+    cands
+      .join(setsL.select(col("id").as("a"), col("shs").as("sha"), col("len").as("la")), "a")
+      .join(setsR.select(col("id").as("b"), col("shs").as("shb"), col("len").as("lb")), "b")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCount(col("sha"), col("shb")))
+      .withColumn("jaccard",
+        col("inter").cast("double") / (col("la") + col("lb") - col("inter")).cast("double"))
+      .filter(col("jaccard") >= threshold)
+      .select("a", "b", "jaccard")
+  }
+
   /** Distinct candidate pairs (a < b) from rows sharing a (block, key)
     * bucket, as a KEYED SELF-JOIN. The earlier collect_list + nested-HOF
     * pair expansion materialized up to maxBucketSize^2 structs in ONE array

@@ -59,4 +59,99 @@ object TextExpressions {
   }
 
   def charTrigrams(c: Column): Column = column(CharTrigrams(expression(c)))
+
+  /** C4 line-filter statistics in ONE pass over the text:
+    * `struct<n_lines, n_kept, cleaned>` where a line counts if it trims
+    * (spaces only, the `trim`/DuckDB parity) to non-empty, and is KEPT if
+    * it additionally ends in terminal punctuation (`.`, `!`, `?`, `"`)
+    * and holds at least `minLineWords` whitespace-separated words;
+    * `cleaned` is the kept lines rejoined with newlines.
+    *
+    * Why native (the [[CharTrigrams]] rationale): the declarative form —
+    * `filter(transform(split(text,"\n"), trim), pred)` referenced by
+    * n_lines / n_kept / kept_frac / cleaned / n_sentences / keep — is a
+    * lambda HOF, so CSE skips it and projection collapse re-inlines the
+    * whole split-trim-filter chain into every consumer (~7 evaluations
+    * per row). This expression generates code (a static helper call), so
+    * subexpression elimination runs it once per row no matter how many
+    * struct fields the projection reads. Semantics are byte-identical to
+    * the column form: space-only trim, Java `\s` word boundaries,
+    * last-char punctuation test.
+    */
+  case class C4LineStats(child: Expression, minLineWords: Int) extends UnaryExpression {
+    override def dataType: DataType = C4LineStats.schema
+    override protected def withNewChildInternal(newChild: Expression): C4LineStats =
+      copy(child = newChild)
+
+    override def nullSafeEval(input: Any): Any =
+      C4LineStatsHelper.compute(input.asInstanceOf[UTF8String], minLineWords)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.C4LineStatsHelper.compute($a, $minLineWords);")
+  }
+
+  object C4LineStats {
+    val schema: StructType = StructType(Seq(
+      StructField("n_lines", LongType, nullable = false),
+      StructField("n_kept", LongType, nullable = false),
+      StructField("cleaned", StringType, nullable = false)))
+  }
+
+  def c4LineStats(c: Column, minLineWords: Int): Column =
+    column(C4LineStats(expression(c), minLineWords))
+}
+
+/** Static helper the generated code calls (top-level object = Java static
+  * forwarder, resolvable from janino-compiled projections).
+  */
+object C4LineStatsHelper {
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+
+  def compute(s: UTF8String, minWords: Int): InternalRow = {
+    val text = s.toString
+    val len = text.length
+    var nLines = 0L
+    var nKept = 0L
+    val sb = new java.lang.StringBuilder
+    var start = 0
+    var i = 0
+    while (i <= len) {
+      if (i == len || text.charAt(i) == '\n') {
+        var a = start
+        var b = i
+        // space-only trim: parity with Spark `trim` and DuckDB trim()
+        while (a < b && text.charAt(a) == ' ') a += 1
+        while (b > a && text.charAt(b - 1) == ' ') b -= 1
+        if (b > a) {
+          nLines += 1L
+          val last = text.charAt(b - 1)
+          if (last == '.' || last == '!' || last == '?' || last == '"') {
+            // words = maximal runs of non-\s chars (Java regex \s set)
+            var w = 0
+            var inWord = false
+            var j = a
+            while (j < b) {
+              val c = text.charAt(j)
+              val ws = c == ' ' || c == '\t' || c == '\u000B' || c == '\f' ||
+                c == '\r' || c == '\n'
+              if (ws) inWord = false
+              else if (!inWord) { w += 1; inWord = true }
+              j += 1
+            }
+            if (w >= minWords) {
+              nKept += 1L
+              if (sb.length > 0) sb.append('\n')
+              sb.append(text, a, b)
+            }
+          }
+        }
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericInternalRow(
+      Array[Any](nLines, nKept, UTF8String.fromString(sb.toString)))
+  }
 }

@@ -108,6 +108,59 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(out(3L) == (1L, 0L, ""), "fully-deduped doc keeps a row")
   }
 
+  test("c4 rules: line punctuation + word count, page flags, cleaned text") {
+    val text = "one two three four five.\nshort.\nno punct line here\nsix seven eight nine!"
+    val r = CorpusFilters.c4Rules(df(doc(1L, text)), minLineWords = 3, minSentences = 2)
+      .collect().head
+    assert(r.getAs[Long]("n_lines") == 4L)
+    assert(r.getAs[Long]("n_kept") == 2L, "short + unpunctuated lines drop")
+    assert(r.getAs[String]("cleaned") ==
+      "one two three four five.\nsix seven eight nine!")
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(!r.getAs[Boolean]("has_lorem") && !r.getAs[Boolean]("has_brace"))
+    assert(r.getAs[Boolean]("keep"))
+    assert(math.abs(r.getAs[Double]("kept_frac") - 0.5) < 1e-12)
+  }
+
+  test("c4 rules: lorem ipsum and brace pages rejected, empty doc survives") {
+    val rows = CorpusFilters.c4Rules(df(
+        doc(1L, "this page has Lorem Ipsum somewhere.\nand a fine second sentence here."),
+        doc(2L, "a code page with braces {x}.\nand a fine second sentence here."),
+        doc(3L, "")),
+      minLineWords = 3, minSentences = 1)
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(rows(1L).getAs[Boolean]("has_lorem") && !rows(1L).getAs[Boolean]("keep"))
+    assert(rows(2L).getAs[Boolean]("has_brace") && !rows(2L).getAs[Boolean]("keep"))
+    assert(rows(3L).getAs[Long]("n_lines") == 0L)
+    assert(rows(3L).getAs[Double]("kept_frac") == 0.0)
+    assert(!rows(3L).getAs[Boolean]("keep"))
+  }
+
+  test("readability: hand-computed Flesch and FK grade") {
+    // toks = [hello, world, the, cat, sat]: syllable groups 2+1+1+1+1 = 6;
+    // sentence runs '.' and '!' = 2; w/s = 2.5, syl/w = 1.2
+    val r = CorpusFilters.readability(df(doc(1L, "hello world. the cat sat!")))
+      .collect().head
+    assert(r.getAs[Long]("n_words") == 5L)
+    assert(r.getAs[Long]("n_syllables") == 6L)
+    assert(r.getAs[Long]("n_sentences") == 2L)
+    assert(math.abs(r.getAs[Double]("flesch") -
+      (206.835 - 1.015 * 2.5 - 84.6 * 1.2)) < 1e-6)
+    assert(math.abs(r.getAs[Double]("fk_grade") -
+      (0.39 * 2.5 + 11.8 * 1.2 - 15.59)) < 1e-6)
+  }
+
+  test("readability: vowelless tokens count one syllable; empty doc zeroes") {
+    val rows = CorpusFilters.readability(df(doc(1L, "42 99"), doc(2L, "")))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    assert(rows(1L).getAs[Long]("n_words") == 2L)
+    assert(rows(1L).getAs[Long]("n_syllables") == 2L, "digit tokens clamp to 1")
+    assert(rows(1L).getAs[Long]("n_sentences") == 1L, "no punctuation = one sentence")
+    assert(rows(2L).getAs[Long]("n_words") == 0L)
+    assert(rows(2L).getAs[Double]("flesch") == 0.0)
+    assert(rows(2L).getAs[Double]("fk_grade") == 0.0)
+  }
+
   test("repetition signals on the documents table are sane") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))

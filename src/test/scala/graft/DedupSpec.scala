@@ -24,6 +24,38 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"recall $recall unexpectedly low")
   }
 
+  test("cross-corpus minhash join equals exact bipartite jaccard; ids may collide") {
+    import spark.implicits._
+    val base = "spark shuffles keyed rows across executors while the optimizer prunes " +
+      "columns and pushes filters into the parquet scan before any join runs"
+    val left = Seq(
+      (1L, base),
+      (2L, "completely different text about cooking pasta with plenty of salted water"),
+      (7L, "another unrelated document describing mountain weather and trail conditions today"))
+      .toDF("id", "content")
+    val right = Seq(
+      (1L, base + " with one extra clause appended"), // near-dup of left 1, SAME id
+      (5L, base),                                     // exact dup of left 1
+      (9L, "entirely unrelated third text on gardening tomatoes in late summer heat"))
+      .toDF("id", "content")
+    val got = Dedup.minHashNearDupsAcross(left, right, threshold = 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // exact bipartite jaccard over the engine's shingle sets
+    val sl = Dedup.shingleSets(left).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val sr = Dedup.shingleSets(right).collect()
+      .map(r => r.getLong(0) -> r.getSeq[String](1).toSet).toMap
+    val exact = (for {
+      (a, sa) <- sl.toSeq; (b, sb) <- sr.toSeq
+      inter = (sa & sb).size
+      j = inter.toDouble / (sa.size + sb.size - inter)
+      if j >= 0.5
+    } yield (a, b)).toSet
+    assert(got == exact, s"got $got, exact $exact")
+    assert(got.contains((1L, 1L)), "same-id cross-corpus match must surface")
+    assert(got.contains((1L, 5L)))
+  }
+
   test("embeddingNearDups guard: above maxExactRows the plan is banded, never all-pairs") {
     val vecs = Tables.vectors(spark, dir)
     val guarded = Dedup.embeddingNearDups(vecs, 0.9, maxExactRows = 10)
