@@ -50,7 +50,12 @@ object PlanDump {
     "q_cluster_topics" -> "cluster topics: narrow centroid argmin + cluster-keyed term aggs",
     "q_text_perplexity_kn" -> "Kneser-Ney LM: checkpointed type table feeds context/continuation legs, keyed joins",
     "q_pipeline_curate7" -> "curation v7: gopher gate -> langid -> KN terciles -> fill, ONE composed plan",
-    "q_semantic_filtered" -> "filtered vector search: predicate pushed into the scan under the top-k")
+    "q_semantic_filtered" -> "filtered vector search: predicate pushed into the scan under the top-k",
+    "q_filter_c4" -> "C4 gate: ONE native C4LineStats pass per row (CSE-deduped struct fields), no shuffle",
+    "q_dedup_across" -> "cross-corpus near-dup: bipartite (band,bucket) inner join, candidates output-shaped",
+    "q_text_novelty" -> "novelty: distinct-shingle agg + LEFT SEMI probe, per-doc keyed counts",
+    "q_ann_recall" -> "ANN recall report: both retrieval legs bounded top-k, hit join on (query,id)",
+    "q_pipeline_curate8" -> "curation v8: C4 clean -> bipartite novelty gate -> rollup, one composed plan")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -134,6 +134,42 @@ object ScaleProbe {
     time("dedup_spans")(
       graft.dedup.CorpusFilters.spanDedup(docs, k = 5)
         .agg(count(lit(1)), sum(length(col("cleaned")))).collect()(0).getLong(0))
+    // C4 gate: one native-expression pass per row — must stay linear-flat
+    // (the lambda-HOF form it replaced re-inlined the line analysis ~7x);
+    // the sum over `cleaned` forces the rewrite, not just the flags
+    time("filter_c4")(
+      graft.dedup.CorpusFilters.c4Rules(docs, minLineWords = 2, minSentences = 1)
+        .agg(count(lit(1)), sum(length(col("cleaned")))).collect()(0).getLong(0))
+    // readability: narrow per-row arithmetic, the cheapest gate in the set
+    time("text_readability")(
+      graft.dedup.CorpusFilters.readability(docs)
+        .agg(count(lit(1)), sum(col("n_syllables"))).collect()(0).getLong(0))
+    // heavy hitters: the whole point is NO vocabulary-sized shuffle — the
+    // candidate union is <= capacity x partitions rows and the recount is
+    // a broadcast semi-join, so the curve should track the token-stream
+    // scan. Salting grows the vocab M-fold; capacity stays comfortably
+    // above it at every multiplier, keeping the result exact
+    time("terms_topk")(
+      graft.operators.HeavyHitters.topKTerms(
+        docs.select(col("id"),
+          graft.functions.TextFunctions.tokens(col("content")).as("toks")),
+        k = 20, capacity = 65536).count())
+    // cross-corpus near-dup join: replica-internal near-dup structure
+    // straddles the hash-parity split, so true output grows M-fold; the
+    // bipartite (band,bucket) inner join must keep candidates output-shaped
+    time("dedup_across") {
+      val par = graft.functions.TextFunctions.stableHash32(col("id")) % 2
+      graft.dedup.Dedup.minHashNearDupsAcross(
+        docs.filter(par === 0), docs.filter(par === 1), threshold = 0.6).count()
+    }
+    // novelty: distinct reference shingles (vocab-sized agg) + a LEFT SEMI
+    // probe per incoming shingle — both legs linear in corpus size
+    time("text_novelty") {
+      val par = graft.functions.TextFunctions.stableHash32(col("id")) % 2
+      graft.dedup.Dedup.noveltyScore(
+          docs.filter(par === 1), docs.filter(par === 0))
+        .agg(count(lit(1)), sum(col("n_novel"))).collect()(0).getLong(0)
+    }
     // perplexity: the reference slice is a fixed FRACTION (hash-of-id 1/20),
     // so the LM grows with the corpus like a real per-snapshot retrain; the
     // group column gives ~20 languages so the bucket windows stay

@@ -457,6 +457,42 @@ object CorpusFilters {
         "has_lorem", "has_brace", "keep", "cleaned")
   }
 
+  /** Lexical-diversity signals — type-token ratio and hapax fraction, the
+    * vocabulary-richness quality cues (template/spam pages repeat a tiny
+    * vocabulary; TTR near 1 with high hapax share marks word-salad):
+    * per-document `n_tokens`, `n_types`, `n_hapax` (types occurring once
+    * in the document), `ttr = types/tokens`, `hapax_frac = hapax/types`.
+    *
+    * Shape: one explode + (id, term) keyed count + per-id aggregate —
+    * map-side combine collapses within-document repeats before either
+    * shuffle, so shuffled rows ≈ distinct (doc, term) pairs, the same
+    * contract as [[graft.operators.Keywords]]. Zeroed ratios for empty
+    * docs (kept: a gate must see every document).
+    */
+  def lexicalDiversity(
+      docs: DataFrame,
+      idCol: String = "id",
+      contentCol: String = "content"): DataFrame = {
+    val tokd = tokenized(docs, idCol, contentCol)
+    val tf = tokd.select(col("id"), explode(col("toks")).as("term"))
+      .groupBy("id", "term").agg(count(lit(1)).as("tf"))
+    val agg = tf.groupBy("id").agg(
+      sum(col("tf")).as("n_tokens"),
+      count(lit(1)).as("n_types"),
+      sum(when(col("tf") === 1, 1L).otherwise(0L)).as("n_hapax"))
+    tokd.select(col("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_tokens"), lit(0L)).as("n_tokens"),
+        coalesce(col("n_types"), lit(0L)).as("n_types"),
+        coalesce(col("n_hapax"), lit(0L)).as("n_hapax"))
+      .withColumn("ttr",
+        when(col("n_tokens") === 0, lit(0.0)).otherwise(
+          col("n_types").cast("double") / col("n_tokens").cast("double")))
+      .withColumn("hapax_frac",
+        when(col("n_types") === 0, lit(0.0)).otherwise(
+          col("n_hapax").cast("double") / col("n_types").cast("double")))
+  }
+
   /** Flesch readability statistics — reading-ease and grade-level scores
     * from a deterministic syllable heuristic (runs of `[aeiouy]+` per
     * token, minimum 1), the lightweight fluency signal quality pipelines

@@ -738,6 +738,40 @@ object Dedup {
       .select("train_id", "eval_id", "containment")
   }
 
+  /** Per-document NOVELTY against a reference corpus: the fraction of a
+    * document's distinct word n-grams that appear NOWHERE in the
+    * reference — "how much of this crawl is actually new text", the
+    * incremental-ingest complement of [[containment]] (which flags
+    * specific overlapping pairs; novelty aggregates the overlap away and
+    * scores each incoming document alone).
+    *
+    * Dataflow: reference shingles dedupe to one row per distinct n-gram
+    * (vocabulary-sized, keyed agg), incoming shingles probe them with a
+    * LEFT SEMI join (shingle-keyed, no pair blowup — a document matching
+    * thousands of reference docs still contributes |sh(doc)| rows), and
+    * two per-doc aggs produce seen/total counts. Only documents with at
+    * least one n-gram (≥ shingleN tokens) emit a row, the [[shingleSets]]
+    * convention the dedup family shares.
+    */
+  def noveltyScore(
+      docs: DataFrame,
+      reference: DataFrame,
+      shingleN: Int = 3): DataFrame = {
+    val refSh = shingleSets(reference, shingleN)
+      .select(explode(col("shs")).as("sh")).distinct()
+    val docSh = shingleSets(docs, shingleN)
+      .select(col("id"), explode(col("shs")).as("sh"))
+      .persist(StorageLevel.MEMORY_ONLY)
+    val tot = docSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+    val seen = docSh.join(refSh, Seq("sh"), "left_semi")
+      .groupBy("id").agg(count(lit(1)).as("n_seen"))
+    tot.join(seen, Seq("id"), "left")
+      .withColumn("n_novel", col("n_shingles") - coalesce(col("n_seen"), lit(0L)))
+      .withColumn("novelty",
+        col("n_novel").cast("double") / col("n_shingles").cast("double"))
+      .select("id", "n_shingles", "n_novel", "novelty")
+  }
+
   /** Embedding near-duplicates: pairs with cosine >= threshold.
     *
     * The exact form is an all-pairs inequality self-join — O(N²) and a

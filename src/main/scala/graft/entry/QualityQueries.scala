@@ -136,6 +136,65 @@ object QualityQueries {
        |SELECT CAST(rank AS INT) AS rank, term, n FROM r WHERE rank <= 20
        |ORDER BY rank""".stripMargin
 
+  // ---- lexical diversity: per-doc type-token ratio + hapax fraction
+  //      (vocabulary-richness quality cues). Ratios divide exact integer
+  //      counts, so both sides compute identical doubles. ----
+  def textDiversity(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents").select(col("doc_id").as("id"), col("text").as("content"))
+    CorpusFilters.lexicalDiversity(docs)
+      .withColumn("ttr", round(col("ttr"), 6))
+      .withColumn("hapax_frac", round(col("hapax_frac"), 6))
+      .orderBy("id")
+  }
+
+  val textDiversitySql: String =
+    s"""WITH d AS (SELECT doc_id AS id, $toksD AS toks FROM documents),
+       |tf AS (SELECT id, term, count(*) AS tf FROM (
+       |         SELECT id, unnest(toks) AS term FROM d) GROUP BY 1, 2),
+       |a AS (SELECT id, CAST(sum(tf) AS BIGINT) AS n_tokens,
+       |             CAST(count(*) AS BIGINT) AS n_types,
+       |             CAST(sum(CASE WHEN tf = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax
+       |      FROM tf GROUP BY 1)
+       |SELECT d.id, coalesce(a.n_tokens, 0) AS n_tokens,
+       |       coalesce(a.n_types, 0) AS n_types,
+       |       coalesce(a.n_hapax, 0) AS n_hapax,
+       |       round(CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN 0.0
+       |             ELSE CAST(a.n_types AS DOUBLE) / CAST(a.n_tokens AS DOUBLE) END, 6) AS ttr,
+       |       round(CASE WHEN coalesce(a.n_types, 0) = 0 THEN 0.0
+       |             ELSE CAST(a.n_hapax AS DOUBLE) / CAST(a.n_types AS DOUBLE) END, 6) AS hapax_frac
+       |FROM d LEFT JOIN a USING (id) ORDER BY d.id""".stripMargin
+
+  // ---- Zipf fit over the exact top-30 term counts: micro-nat-quantized
+  //      least squares — every sum is an exact BIGINT on both sides, so
+  //      the closed-form slope/intercept are bit-identical doubles. ----
+  def termsZipf(s: SparkSession, dir: String): DataFrame = {
+    val toksDf = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), TextFunctions.tokens(col("text")).as("toks"))
+    HeavyHitters.zipfFit(toksDf, k = 30, capacity = 65536)
+  }
+
+  val termsZipfSql: String =
+    s"""WITH f AS (SELECT unnest($toksD) AS term FROM documents),
+       |c AS (SELECT term, CAST(count(*) AS BIGINT) AS n FROM f GROUP BY 1),
+       |r AS (SELECT term, n, row_number() OVER (ORDER BY n DESC, term ASC) AS rank FROM c
+       |      QUALIFY rank <= 30),
+       |p AS (SELECT CAST(round(ln(CAST(rank AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS x,
+       |             CAST(round(ln(CAST(n AS DOUBLE)) * 1000000.0, 0) AS BIGINT) AS y
+       |      FROM r),
+       |sums AS (SELECT CAST(count(*) AS BIGINT) AS k,
+       |                CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |                CAST(sum(x * x) AS BIGINT) AS sxx,
+       |                CAST(sum(x * y) AS BIGINT) AS sxy
+       |         FROM p),
+       |fit AS (SELECT k,
+       |          CAST(k * sxy - sx * sy AS DOUBLE) / CAST(k * sxx - sx * sx AS DOUBLE) AS slope,
+       |          sx, sy
+       |        FROM sums)
+       |SELECT k, round(slope, 6) AS slope,
+       |       round((CAST(sy AS DOUBLE) / k - slope * (CAST(sx AS DOUBLE) / k)) / 1000000.0, 6)
+       |         AS intercept
+       |FROM fit""".stripMargin
+
   // ---- cross-corpus near-dup join: even doc_ids play the reference
   //      corpus, odd the incoming batch. Oracle = exact bipartite
   //      Jaccard via the inverted index (recall argument identical to
@@ -167,6 +226,35 @@ object QualityQueries {
       |FROM co JOIN sizes sa ON co.a = sa.id JOIN sizes sb ON co.b = sb.id
       |WHERE CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) >= 0.6
       |ORDER BY co.a, co.b""".stripMargin
+
+  // ---- per-document novelty vs a reference corpus: fraction of the
+  //      incoming (odd-id) documents' distinct 3-gram shingles absent
+  //      from the reference (even-id) corpus — the "how much of this
+  //      crawl is new text" report. ----
+  def textNovelty(s: SparkSession, dir: String): DataFrame = {
+    val base = t(s, dir, "documents").select(col("doc_id").as("id"), col("text").as("content"))
+    Dedup.noveltyScore(base.filter(col("id") % 2 === 1), base.filter(col("id") % 2 === 0))
+      .withColumn("novelty", round(col("novelty"), 6))
+      .orderBy("id")
+  }
+
+  val textNoveltySql: String =
+    """WITH sh AS (
+      |  SELECT id, list_distinct(list_transform(range(len(w) - 2),
+      |           i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+      |  FROM (SELECT doc_id AS id,
+      |          regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS w
+      |        FROM documents)
+      |  WHERE len(w) >= 3),
+      |ref AS (SELECT DISTINCT unnest(sh) AS sg FROM sh WHERE id % 2 = 0),
+      |d AS (SELECT id, unnest(sh) AS sg FROM sh WHERE id % 2 = 1),
+      |tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shingles FROM d GROUP BY 1),
+      |seen AS (SELECT id, CAST(count(*) AS BIGINT) AS n_seen
+      |         FROM d JOIN ref USING (sg) GROUP BY id)
+      |SELECT t.id, t.n_shingles,
+      |  t.n_shingles - coalesce(s.n_seen, 0) AS n_novel,
+      |  round((t.n_shingles - coalesce(s.n_seen, 0)) * 1.0 / t.n_shingles, 6) AS novelty
+      |FROM tot t LEFT JOIN seen s USING (id) ORDER BY t.id""".stripMargin
 
   // ---- ANN recall evaluation: recall@10 of the nprobe=2 IVF route
   //      against the exact brute-force ground truth — the index-quality
@@ -238,6 +326,94 @@ object QualityQueries {
       |FROM keff k LEFT JOIN hits h ON k.query_idx = h.query_idx
       |ORDER BY k.query_idx""".stripMargin
 
+  // ---- curation pipeline v8 — the round-7 web-crawl composition: C4
+  //      line cleaning (on the synthesized structure) → cross-corpus
+  //      NOVELTY of the incoming (odd-id) half against the reference
+  //      (even-id) half, both post-cleaning → keep docs at least half
+  //      novel → per-language rollup (doc count, token mass, micro-exact
+  //      mean novelty). One composed plan; the oracle replays synthesis,
+  //      every C4 rule, the shingle novelty join, the gate, and the
+  //      rollup. ----
+  def pipelineCurate8(s: SparkSession, dir: String): DataFrame = {
+    val toks = TextFunctions.tokens(col("text"))
+    val nChunks = greatest(ceil(size(toks) / 4.0).cast("int"), lit(1))
+    val lines = transform(sequence(lit(0), nChunks - 1), i =>
+      concat(array_join(slice(toks, i * 4 + 1, lit(4)), " "),
+        when(i % 3 === 0, lit(".")).when(i % 3 === 1, lit("")).otherwise(lit("!"))))
+    val synth = concat(array_join(lines, "\n"),
+      when(col("doc_id") % 7 === 0, lit(" {")).otherwise(lit("")),
+      when(col("doc_id") % 11 === 0, lit("\nlorem ipsum has five words."))
+        .otherwise(lit("")))
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("lang"), synth.as("content")).localCheckpoint()
+    val c4 = CorpusFilters.c4Rules(docs, minLineWords = 4, minSentences = 8)
+      .filter(col("keep")).select(col("id"), col("cleaned").as("content"))
+      .localCheckpoint() // both novelty sides + the token join reuse it
+    val inc = c4.filter(col("id") % 2 === 1)
+    val nov = Dedup.noveltyScore(inc, c4.filter(col("id") % 2 === 0))
+    nov.filter(col("novelty") >= 0.5)
+      .join(docs.select(col("id"), col("lang")), "id")
+      .join(inc.select(col("id"),
+        size(TextFunctions.tokens(col("content"))).cast("long").as("n_tok")), "id")
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("sum_tokens"),
+        sum(round(col("novelty") * 1e6, 0).cast("long")).as("sum_novelty_micro"))
+      .select(col("lang"), col("n_docs"), col("sum_tokens"),
+        round(col("sum_novelty_micro").cast("double") / 1e6 /
+          col("n_docs").cast("double"), 6).as("mean_novelty"))
+      .orderBy("lang")
+  }
+
+  val pipelineCurate8Sql: String =
+    s"""WITH d0 AS (SELECT doc_id, lang, $toksD AS toks FROM documents),
+       |synth AS (SELECT doc_id, lang,
+       |    array_to_string(list_transform(
+       |      range(greatest(CAST(ceil(len(toks) / 4.0) AS INT), 1)),
+       |      i -> array_to_string(toks[i*4+1:i*4+4], ' ') ||
+       |           CASE WHEN i % 3 = 0 THEN '.' WHEN i % 3 = 1 THEN '' ELSE '!' END),
+       |      chr(10))
+       |    || CASE WHEN doc_id % 7 = 0 THEN ' {' ELSE '' END
+       |    || CASE WHEN doc_id % 11 = 0 THEN chr(10) || 'lorem ipsum has five words.' ELSE '' END
+       |    AS text
+       |  FROM d0),
+       |m AS (SELECT doc_id AS id, lang, text,
+       |    list_filter(list_transform(string_split(text, chr(10)), l -> trim(l)),
+       |      l -> length(l) > 0) AS lines
+       |  FROM synth),
+       |k AS (SELECT id, lang, text,
+       |    list_filter(lines, l -> regexp_matches(l, '[.!?"]$$')
+       |      AND len(list_filter(regexp_split_to_array(l, '\\s+'), w -> length(w) > 0)) >= 4)
+       |      AS kept
+       |  FROM m),
+       |c AS (SELECT id, lang, array_to_string(kept, chr(10)) AS cleaned,
+       |    contains(lower(text), 'lorem ipsum') AS has_lorem,
+       |    contains(text, '{') AS has_brace
+       |  FROM k),
+       |cf AS (SELECT id, lang, cleaned FROM c
+       |  WHERE len(regexp_extract_all(cleaned, '[.!?]+', 0)) >= 8
+       |    AND NOT has_lorem AND NOT has_brace),
+       |tk AS (SELECT id, lang, regexp_extract_all(lower(cleaned), '[a-z0-9_]{2,}') AS w
+       |  FROM cf),
+       |ss AS (SELECT id, lang, CAST(len(w) AS BIGINT) AS n_tok,
+       |    list_distinct(list_transform(range(len(w) - 2),
+       |      i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])) AS sh
+       |  FROM tk WHERE len(w) >= 3),
+       |ref AS (SELECT DISTINCT unnest(sh) AS sg FROM ss WHERE id % 2 = 0),
+       |dd AS (SELECT id, unnest(sh) AS sg FROM ss WHERE id % 2 = 1),
+       |tot AS (SELECT id, CAST(count(*) AS BIGINT) AS n_shingles FROM dd GROUP BY 1),
+       |seen AS (SELECT id, CAST(count(*) AS BIGINT) AS n_seen
+       |         FROM dd JOIN ref USING (sg) GROUP BY id),
+       |nov AS (SELECT t.id,
+       |          (t.n_shingles - coalesce(s.n_seen, 0)) * 1.0 / t.n_shingles AS novelty
+       |        FROM tot t LEFT JOIN seen s USING (id)),
+       |sel AS (SELECT n.id, n.novelty, ss.lang, ss.n_tok
+       |        FROM nov n JOIN ss ON n.id = ss.id WHERE n.novelty >= 0.5)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |  CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |  round(CAST(sum(CAST(round(novelty * 1000000.0, 0) AS BIGINT)) AS DOUBLE)
+       |        / 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_novelty
+       |FROM sel GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- cluster-balance report: per-cluster membership counts and
   //      cosine-to-centroid statistics (the k-means quality check run
   //      before trusting SemDeDup/IVF partitions). Per-row cosines are
@@ -292,6 +468,10 @@ object QualityQueries {
     "q_filter_c4" -> (filterC4 _),
     "q_text_readability" -> (textReadability _),
     "q_terms_topk" -> (termsTopK _),
+    "q_terms_zipf" -> (termsZipf _),
+    "q_text_diversity" -> (textDiversity _),
+    "q_text_novelty" -> (textNovelty _),
+    "q_pipeline_curate8" -> (pipelineCurate8 _),
     "q_dedup_across" -> (dedupAcross _),
     "q_ann_recall" -> (annRecall _),
     "q_cluster_balance" -> (clusterBalance _)
@@ -301,6 +481,10 @@ object QualityQueries {
     "q_filter_c4" -> filterC4Sql,
     "q_text_readability" -> textReadabilitySql,
     "q_terms_topk" -> termsTopKSql,
+    "q_terms_zipf" -> termsZipfSql,
+    "q_text_diversity" -> textDiversitySql,
+    "q_text_novelty" -> textNoveltySql,
+    "q_pipeline_curate8" -> pipelineCurate8Sql,
     "q_dedup_across" -> dedupAcrossSql,
     "q_ann_recall" -> annRecallSql,
     "q_cluster_balance" -> clusterBalanceSql

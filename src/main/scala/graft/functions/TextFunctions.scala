@@ -56,13 +56,15 @@ object TextFunctions {
     * per row. Use ONLY with a materialized token column; for pipelines use
     * the explode-based [[graft.dedup.Dedup.shingleRows]] instead.
     */
-  def shingles(toks: Column, n: Int): Column = {
-    val count = greatest(size(toks) - lit(n - 1), lit(0))
-    array_distinct(
-      transform(sequence(lit(0), count - lit(1)), i =>
-        concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*))
-    )
-  }
+  def shingles(toks: Column, n: Int): Column =
+    // short-doc guard (the gramsOf precedent): below n tokens the
+    // descending sequence(0, -1) would feed element_at an out-of-range
+    // index and fail the whole job on one malformed row
+    when(size(toks) < n, array().cast("array<string>")).otherwise(
+      array_distinct(
+        transform(sequence(lit(0), size(toks) - lit(n)), i =>
+          concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*))
+      ))
 
   /** Stable 32-bit string hash with a DuckDB-expressible definition:
     * first 8 hex chars of md5, parsed as an unsigned 32-bit integer.

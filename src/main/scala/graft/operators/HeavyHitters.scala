@@ -82,4 +82,38 @@ object HeavyHitters {
     top.zipWithIndex.map { case (r, i) => (i + 1, r.getString(0), r.getLong(1)) }
       .toSeq.toDF("rank", "term", "n")
   }
+
+  /** Zipf-law fit over the exact top-k term counts: least-squares slope
+    * and intercept of `ln(count) ~ intercept + slope * ln(rank)` (a
+    * Zipfian corpus shows slope ≈ -1; the synthetic word-salad here is
+    * near-uniform, slope ≈ 0 — either way the REPORT is the operator).
+    *
+    * The regression runs driver-side over the ≤ k collected top-k rows
+    * (the [[topKTerms]] result is already a driver-built frame). Log
+    * values are micro-nat-quantized (⌊ln·10⁶⌉ as integers) before the
+    * sums, so the closed-form slope divides EXACT integers — the oracle
+    * computes bit-identical doubles regardless of summation order, the
+    * engine's established float-parity discipline.
+    */
+  def zipfFit(toksDf: DataFrame, k: Int, capacity: Int = 65536): DataFrame = {
+    import toksDf.sparkSession.implicits._
+    val top = topKTerms(toksDf, k, capacity)
+      .select("rank", "n").collect()
+      .map(r => (r.getInt(0), r.getLong(1)))
+    def micro(x: Double): Long = math.round(math.log(x) * 1e6)
+    val pts = top.map { case (r, n) => (micro(r.toDouble), micro(n.toDouble)) }
+    val kk = pts.length.toLong
+    val sx = pts.map(_._1).sum
+    val sy = pts.map(_._2).sum
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    // closed form over exact integer sums; the 1e6 quantization scale
+    // cancels in slope ((y/1e6 sums) / (x/1e6 sums)) and divides out of
+    // the intercept once
+    val slope = (kk * sxy - sx * sy).toDouble / (kk * sxx - sx * sx).toDouble
+    val intercept = (sy.toDouble / kk - slope * (sx.toDouble / kk)) / 1e6
+    Seq((kk, BigDecimal(slope).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble,
+      BigDecimal(intercept).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble))
+      .toDF("k", "slope", "intercept")
+  }
 }

@@ -77,6 +77,13 @@ object StreamingIngest {
       buckets: Int,
       minMarginMicro: Long)
 
+  /** C4 compaction gate ([[graft.dedup.CorpusFilters.c4Rules]]): the one
+    * REWRITING gate — surviving rows land with their line-filtered
+    * `cleaned` text (so ids are content-addressed on what is actually
+    * stored), pages failing the sentence/lorem/brace rules drop entirely.
+    */
+  final case class C4Gate(minLineWords: Int = 5, minSentences: Int = 3)
+
   def compact(
       spark: SparkSession,
       catalog: Catalog,
@@ -86,16 +93,30 @@ object StreamingIngest {
       nearDupCosine: Option[Double] = None,
       nearDupJaccard: Option[Double] = None,
       qualityGate: Option[QualityGate] = None,
-      langAllow: Option[Set[String]] = None): Long = {
+      langAllow: Option[Set[String]] = None,
+      c4Gate: Option[C4Gate] = None): Long = {
     val staged = spark.read.parquet(stagingPath)
     val w = Window.partitionBy("id").orderBy(col("ingest_ts").desc)
     val latest = staged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("content"))
+    // C4 gate runs FIRST — it rewrites content (kept lines only), and
+    // everything downstream (content-addressed ids, sanitize, dedup and
+    // quality gates, the embed pass) must see the stored text, not the
+    // raw crawl. The raw content doubles as the row id here: c4Rules
+    // only needs a carrier column, and duplicate contents collapse to
+    // one id at prepare() anyway.
+    val cleaned = c4Gate.fold(latest) { g =>
+      graft.dedup.CorpusFilters.c4Rules(
+          latest.select(col("content").as("id"), col("content")),
+          g.minLineWords, g.minSentences)
+        .filter(col("keep"))
+        .select(col("cleaned").as("content"))
+    }
     // prepare() re-derives the same content-addressed ids (idempotent on
     // already-sanitized content), so stream and batch stay one code path
-    val prepared = Ingest.prepare(latest)
+    val prepared = Ingest.prepare(cleaned)
     // content-jaccard gate runs BEFORE the embed pass (same stance as
     // Api.addDocumentsDedupContent: textually duplicated rows never reach
     // the embedding model); candidate core = the persistent MinHash index
@@ -118,11 +139,14 @@ object StreamingIngest {
     // never cost a model call): mean-pooled margin under the persisted
     // classifier, rows below the floor drop here
     val qualityGated = qualityGate.fold(langGated) { g =>
+      // builds on langGated, not textGated: gates COMPOSE — scoring the
+      // pre-language-gate frame here silently un-dropped disallowed
+      // languages whenever both gates were configured (r7 fix, spec-pinned)
       val feats = graft.operators.QualityClassifier.features(
-        textGated.select(col("id"), lit(0).as("label"),
+        langGated.select(col("id"), lit(0).as("label"),
           graft.functions.TextFunctions.tokens(col("content")).as("toks")),
         g.buckets)
-      textGated.join(
+      langGated.join(
         graft.operators.QualityClassifier.score(feats, g.model)
           .filter(col("margin_micro") < g.minMarginMicro).select("id"),
         Seq("id"), "left_anti")

@@ -136,6 +136,21 @@ class CorpusFiltersSpec extends SparkSpec {
     assert(!rows(3L).getAs[Boolean]("keep"))
   }
 
+  test("lexical diversity: TTR and hapax fraction, empty docs zeroed") {
+    // doc 1: tokens [aa bb aa cc] -> 4 tokens, 3 types, hapax {bb, cc}
+    val rows = CorpusFilters.lexicalDiversity(df(doc(1L, "aa bb aa cc"), doc(2L, "")))
+      .collect().map(r => r.getAs[Long]("id") -> r).toMap
+    val r1 = rows(1L)
+    assert(r1.getAs[Long]("n_tokens") == 4L)
+    assert(r1.getAs[Long]("n_types") == 3L)
+    assert(r1.getAs[Long]("n_hapax") == 2L)
+    assert(math.abs(r1.getAs[Double]("ttr") - 0.75) < 1e-12)
+    assert(math.abs(r1.getAs[Double]("hapax_frac") - 2.0 / 3.0) < 1e-12)
+    val r2 = rows(2L)
+    assert(r2.getAs[Long]("n_tokens") == 0L && r2.getAs[Double]("ttr") == 0.0,
+      "empty docs keep a zeroed row — gates must see every document")
+  }
+
   test("readability: hand-computed Flesch and FK grade") {
     // toks = [hello, world, the, cat, sat]: syllable groups 2+1+1+1+1 = 6;
     // sentence runs '.' and '!' = 2; w/s = 2.5, syl/w = 1.2

@@ -56,6 +56,25 @@ class DedupSpec extends SparkSpec {
     assert(got.contains((1L, 5L)))
   }
 
+  test("novelty score: all-new 1.0, fully-seen 0.0, partial overlap exact") {
+    import spark.implicits._
+    val ref = Seq((10L, "alpha beta gamma delta epsilon")).toDF("id", "content")
+    val docs = Seq(
+      (1L, "alpha beta gamma delta epsilon"),       // every shingle seen
+      (2L, "zeta eta theta iota kappa"),            // nothing seen
+      (3L, "alpha beta gamma completely new stuff"), // mixed
+      (4L, "too short"))                            // < 3 tokens: no row
+      .toDF("id", "content")
+    val got = graft.dedup.Dedup.noveltyScore(docs, ref)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getDouble(3)))).toMap
+    assert(got(1L) == ((3L, 0L, 0.0)))
+    assert(got(2L) == ((3L, 3L, 1.0)))
+    // doc 3 shingles: [alpha beta gamma, beta gamma completely,
+    //  gamma completely new, completely new stuff] — only the first seen
+    assert(got(3L) == ((4L, 3L, 0.75)))
+    assert(!got.contains(4L), "sub-shingle docs emit no row (family convention)")
+  }
+
   test("embeddingNearDups guard: above maxExactRows the plan is banded, never all-pairs") {
     val vecs = Tables.vectors(spark, dir)
     val guarded = Dedup.embeddingNearDups(vecs, 0.9, maxExactRows = 10)

@@ -40,6 +40,25 @@ class HeavyHittersSpec extends SparkSpec {
     assert(got == Seq(("a", 2L), ("b", 1L)))
   }
 
+  test("zipf fit: hand-computed regression over exact counts") {
+    // counts 4,2,1 -> ranks 1,2,3; replicate the micro-quantized closed form
+    val terms = Seq.fill(4)("aa") ++ Seq.fill(2)("bb") ++ Seq("cc")
+    val got = HeavyHitters.zipfFit(toksDf(terms, 2), k = 3, capacity = 100)
+      .collect().head
+    def micro(x: Double) = math.round(math.log(x) * 1e6)
+    val pts = Seq((micro(1), micro(4)), (micro(2), micro(2)), (micro(3), micro(1)))
+    val (k, sx, sy) = (3L, pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (k * sxy - sx * sy).toDouble / (k * sxx - sx * sx).toDouble
+    val intercept = (sy.toDouble / k - slope * (sx.toDouble / k)) / 1e6
+    assert(got.getLong(0) == 3L)
+    assert(math.abs(got.getDouble(1) - slope) < 1e-6)
+    assert(math.abs(got.getDouble(2) - intercept) < 1e-6)
+    // a 4/2/1 geometric drop is exactly Zipf slope -1-ish in log2 space
+    assert(got.getDouble(1) < -1.1 && got.getDouble(1) > -1.4)
+  }
+
   test("the candidate pass is narrow and the recount join broadcasts") {
     val terms = Seq.fill(100)("hot") ++ (0 until 50).map(i => s"t$i")
     val top = HeavyHitters.topKTerms(toksDf(terms, 4), k = 1, capacity = 16)

@@ -238,4 +238,71 @@ class StreamingSpec extends SparkSpec {
     assert(merged == 1 && landed.length == 1, s"expected 1 landed, got ${landed.toSeq}")
     assert(landed.head.contains("science"), "the target-like row must land")
   }
+
+  test("C4 compaction gate rewrites kept lines and drops failing pages") {
+    import spark.implicits._
+    import graft.ingest.DeterministicHashEmbedder
+    val wh = Files.createTempDirectory("graft-wh-c4gate").toString
+    val embedder = new DeterministicHashEmbedder(16)
+    val api = new Api(spark, wh, embedder)
+    api.createCollection("c4gate")
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "c4gate"))
+    val staging = Files.createTempDirectory("graft-staging-c4gate").toString
+    Seq(
+      ("this is a good first line.\nbad fragment\nand a second proper sentence here!",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      ("code page with a brace {x}.\nanother fully punctuated line right here.",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:01")))
+      .toDF("content", "ingest_ts")
+      .withColumn("id", graft.ingest.Ingest.contentId(
+        org.apache.spark.sql.functions.col("content")))
+      .write.mode("append").parquet(staging)
+    val merged = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      c4Gate = Some(StreamingIngest.C4Gate(minLineWords = 3, minSentences = 2)))
+    val landed = api.catalog.readDocuments(entry).select("content")
+      .collect().map(_.getString(0))
+    assert(merged == 1 && landed.length == 1, s"expected 1 landed, got ${landed.toSeq}")
+    assert(landed.head == "this is a good first line.\nand a second proper sentence here!",
+      s"stored content must be the line-filtered text, got '${landed.head}'")
+  }
+
+  test("language and quality gates COMPOSE: both drop when configured together") {
+    import spark.implicits._
+    import graft.ingest.DeterministicHashEmbedder
+    import graft.operators.QualityClassifier
+    val wh = Files.createTempDirectory("graft-wh-compose").toString
+    val embedder = new DeterministicHashEmbedder(16)
+    val api = new Api(spark, wh, embedder)
+    api.createCollection("composegate")
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "composegate"))
+    val train = (1 to 100).map { i =>
+      if (i % 2 == 0) (i.toLong, 1, Seq("science", "method", "data"))
+      else (i.toLong, 0, Seq("spam", "click", "win"))
+    }.toDF("id", "label", "toks")
+    val model = QualityClassifier.train(QualityClassifier.features(train, 64), 64, 8)
+    val staging = Files.createTempDirectory("graft-staging-compose").toString
+    Seq(
+      // English + target-like: the only row that should land
+      ("the science method and the data they would have been using there.",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00")),
+      // English + spam-like: quality gate drops it
+      ("spam click win spam click win spam click win now and here you are the one.",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:01")),
+      // German + target-like words: language gate must STILL drop it (the
+      // r7 regression: the quality gate used to rebuild from the
+      // pre-language frame, un-dropping disallowed languages)
+      ("die wissenschaft science method data und die kinder haben gesagt dass sie nicht wissen wo der zug ist.",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:02")))
+      .toDF("content", "ingest_ts")
+      .withColumn("id", graft.ingest.Ingest.contentId(
+        org.apache.spark.sql.functions.col("content")))
+      .write.mode("append").parquet(staging)
+    val merged = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      qualityGate = Some(StreamingIngest.QualityGate(model, 64, minMarginMicro = 0L)),
+      langAllow = Some(Set("en")))
+    val landed = api.catalog.readDocuments(entry).select("content")
+      .collect().map(_.getString(0))
+    assert(merged == 1 && landed.length == 1, s"expected 1 landed, got ${landed.toSeq}")
+    assert(landed.head.contains("they would have been using"))
+  }
 }
