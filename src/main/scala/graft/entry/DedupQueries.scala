@@ -66,6 +66,35 @@ object DedupQueries {
 
   val dedupMinhashSql: String = jaccardInvertedSqlD(0.6)
 
+  // ---- MinHash SIGNATURES replayed bit-for-bit: q_dedup_minhash proves
+  //      the verified pair set equals exact Jaccard, but the signature
+  //      arithmetic itself (md5-derived 32-bit shingle hash, 32
+  //      (a·h+b) mod p permutation minima) was previously only
+  //      spec-covered. This oracle recomputes every (id, m0..m31) row in
+  //      DuckDB from the same engine-versioned seed constants, so a
+  //      silent change to the permutation family or hash canon breaks
+  //      the gate. No overflow: a,b < p = 1e9+7 and h < 2^32, so
+  //      a·h + b < 4.4e18 fits BIGINT on both engines. ----
+  def dedupMinhashSig(s: SparkSession, dir: String): DataFrame = {
+    val sets = Dedup.shingleSets(docs(s, dir))
+    Dedup.minHashSignatures(
+        sets.select(col("id"), explode(col("shs")).as("sh")))
+      .orderBy("id")
+  }
+
+  val dedupMinhashSigSql: String = {
+    val p = graft.functions.TextFunctions.MinHashP
+    val cols = Dedup.MinHashSeeds.zipWithIndex
+      .map { case ((a, b), i) => s"min(($a * h + $b) % $p) AS m$i" }
+      .mkString(",\n|       ")
+    s"""WITH $shingleCte,
+       |f AS (SELECT id, unnest(sh) AS s FROM sh),
+       |hx AS (SELECT id, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM f)
+       |SELECT id, CAST(count(*) AS BIGINT) AS n_sh,
+       |       $cols
+       |FROM hx GROUP BY id ORDER BY id""".stripMargin
+  }
+
   // ---- exact n-gram Jaccard via inverted index (same oracle shape).
   //      The PPJoin-style prefix+size-filtered variant
   //      (Dedup.ngramJaccardPrefix) returns identical results (DedupSpec
@@ -836,6 +865,7 @@ object DedupQueries {
     "q_ann_knn_blocked" -> (annKnnBlocked _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
+    "q_dedup_minhash_sig" -> (dedupMinhashSig _),
     "q_dedup_clusters" -> (dedupClusters _),
     "q_dedup_stats" -> (dedupStats _),
     "q_dedup_ngram" -> (dedupNgram _),
@@ -862,6 +892,7 @@ object DedupQueries {
     "q_ann_knn_blocked" -> annKnnBlockedSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
+    "q_dedup_minhash_sig" -> dedupMinhashSigSql,
     "q_dedup_clusters" -> dedupClustersSql,
     "q_dedup_stats" -> dedupStatsSql,
     "q_dedup_ngram" -> dedupNgramSql,

@@ -332,6 +332,71 @@ object TermQueries {
        |       CAST(floor(-ln(smoothed * 1.0 / t2) * 1000000) AS BIGINT) AS cost_micro
        |FROM kept CROSS JOIN tot2 ORDER BY piece""".stripMargin
 
+  /** WordPiece-style greedy MaxMatch segmentation under the same seed
+    * vocabulary the unigram-LM trainer starts from — the BERT inference
+    * rule (longest piece at each position, no backtracking), shipped
+    * next to the Viterbi form so the greedy/optimal contrast is
+    * measurable. The oracle replays seeding, the per-(position, length)
+    * vocabulary-membership grid, and the forward greedy scan as a
+    * recursive CTE.
+    */
+  def wordpieceSegment(s: SparkSession, dir: String): DataFrame = {
+    import graft.operators.UnigramLm
+    val docsToks = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), TextFunctions.tokens(col("text")).as("toks"))
+    val words = UnigramLm.wordTable(docsToks)
+    UnigramLm.segmentWordsGreedy(words, UnigramLm.seedPieces(words))
+      .select(col("word"), col("n"), col("pieces"),
+        col("n_pieces").cast("long").as("n_pieces"))
+      .orderBy("word")
+  }
+
+  val wordpieceSegmentSql: String =
+    s"""WITH RECURSIVE
+       |d AS (SELECT $toksD AS toks FROM documents),
+       |w AS (SELECT unnest(toks) AS word FROM d),
+       |words AS (SELECT word, count(*) AS n FROM w GROUP BY 1),
+       |subx AS (SELECT word, n,
+       |           unnest(flatten(list_transform(range(1, length(word) + 1), i ->
+       |             list_transform(range(1, 5), L -> {'i': i, 'L': L})))) AS s
+       |         FROM words),
+       |sub AS (SELECT word, n, substr(word, CAST(s.i AS INT), CAST(s.L AS INT)) AS piece
+       |        FROM subx WHERE s.i + s.L - 1 <= length(word)),
+       |seed AS (SELECT piece FROM (SELECT piece, sum(n) AS freq FROM sub GROUP BY 1)
+       |         WHERE length(piece) = 1 OR freq >= 2),
+       |gridx AS (SELECT word,
+       |            unnest(flatten(list_transform(range(1, length(word) + 1), p ->
+       |              list_transform(range(1, 5), L -> {'p': p, 'L': L})))) AS s
+       |          FROM words),
+       |grid AS (SELECT word, s.p AS p, s.L AS L,
+       |           CASE WHEN s.p + s.L - 1 <= length(word)
+       |                THEN substr(word, CAST(s.p AS INT), CAST(s.L AS INT)) END AS piece
+       |         FROM gridx),
+       |flag AS (SELECT grid.word, grid.p, grid.L,
+       |           grid.piece IS NOT NULL AND seed.piece IS NOT NULL AS ok
+       |         FROM grid LEFT JOIN seed ON grid.piece = seed.piece),
+       |farr AS (SELECT word, list(ok ORDER BY p, L) AS fl FROM flag GROUP BY word),
+       |fw AS (SELECT words.word, words.n, length(words.word) AS len, farr.fl
+       |       FROM words JOIN farr USING (word)),
+       |r(word, pos, L) AS (
+       |  SELECT word, 1,
+       |    CAST(list_max(list_filter([1, 2, 3, 4],
+       |      L -> L <= len AND fl[CAST(L AS INT)])) AS INT)
+       |  FROM fw WHERE len > 0
+       |  UNION ALL
+       |  SELECT r.word, r.pos + r.L,
+       |    CAST(list_max(list_filter([1, 2, 3, 4],
+       |      L2 -> r.pos + r.L + L2 - 1 <= f.len
+       |        AND f.fl[CAST((r.pos + r.L - 1) * 4 + L2 AS INT)])) AS INT)
+       |  FROM r JOIN fw f USING (word) WHERE r.pos + r.L <= f.len
+       |)
+       |SELECT p.word, any_value(f.n) AS n,
+       |       string_agg(substr(p.word, CAST(p.pos AS INT), CAST(p.L AS INT)),
+       |         ' ' ORDER BY p.pos) AS pieces,
+       |       CAST(count(*) AS BIGINT) AS n_pieces
+       |FROM r p JOIN fw f USING (word)
+       |GROUP BY p.word ORDER BY p.word""".stripMargin
+
   /** Positional phrase search with snippets: adjacency + order, phrase-TF
     * scoring, ±3-token highlight windows. The oracle replays the start-
     * position sweep, top-k, and snippet slicing per query.
@@ -400,6 +465,7 @@ object TermQueries {
     "q_corpus_histogram" -> (corpusHistogram _),
     "q_phrase_search" -> (phraseSearch _),
     "q_unigram_segment" -> (unigramSegment _),
+    "q_wordpiece_segment" -> (wordpieceSegment _),
     "q_unigram_train" -> (unigramTrain _),
     "q_keywords_tfidf" -> (keywordsTfidf _),
     "q_collocations_pmi" -> (collocationsPmi _),
@@ -412,6 +478,7 @@ object TermQueries {
     "q_corpus_histogram" -> corpusHistogramSql,
     "q_phrase_search" -> phraseSearchSql,
     "q_unigram_segment" -> unigramSegmentSql,
+    "q_wordpiece_segment" -> wordpieceSegmentSql,
     "q_unigram_train" -> unigramTrainSql,
     "q_keywords_tfidf" -> keywordsTfidfSql,
     "q_collocations_pmi" -> collocationsPmiSql,

@@ -165,6 +165,117 @@ object DocParse {
     s.replaceAll("\\n{3,}", "\n\n").trim
   }
 
+  // ----------------------------------------------------------------- XML
+
+  /** Generic XML → text: CDATA content survives (extracted BEFORE the tag
+    * strip — the generic `<[^>]*>` regex would otherwise eat it up to the
+    * first `>`), comments / processing instructions / DOCTYPE dropped,
+    * tags → space, entities decoded with `&amp;` LAST (the htmlToText
+    * decode-order rule: decoding it earlier would re-introduce entity
+    * prefixes), whitespace collapsed.
+    */
+  def xmlToText(xml: String): String = {
+    var s = xml
+    // CDATA content is literal — entity-ENCODE it so the tag strip can't
+    // eat embedded markup; the final decode pass restores it verbatim
+    val cdata = java.util.regex.Pattern.compile("(?s)<!\\[CDATA\\[(.*?)\\]\\]>").matcher(s)
+    val sb = new java.lang.StringBuilder
+    while (cdata.find()) {
+      val lit = cdata.group(1)
+        .replace("&", "&amp;").replace("<", "&lt;").replace(">", "&gt;")
+      cdata.appendReplacement(sb, java.util.regex.Matcher.quoteReplacement(lit))
+    }
+    cdata.appendTail(sb)
+    s = sb.toString
+    s = s.replaceAll("(?s)<!--.*?-->", " ")
+    s = s.replaceAll("(?s)<\\?.*?\\?>", " ")
+    s = s.replaceAll("(?i)<!DOCTYPE[^>]*>", " ")
+    s = s.replaceAll("(?s)<[^>]*>", " ")
+    s = s.replace("&lt;", "<").replace("&gt;", ">").replace("&quot;", "\"")
+      .replace("&apos;", "'").replace("&#39;", "'").replace("&#34;", "\"")
+      .replace("&amp;", "&")
+    s.replaceAll("[ \\t\\x0B\\f\\r]+", " ").replaceAll("\\s*\\n\\s*", "\n").trim
+  }
+
+  // ----------------------------------------------------------------- RTF
+
+  /** RTF → text via a small group-aware scanner (the pure-JVM standard of
+    * the PDF/EPUB/DOCX extractors — no library): control words are
+    * consumed with their optional numeric parameter and delimiter space
+    * (`\par`/`\line` → newline, `\tab` → tab), `\'hh` hex escapes decode,
+    * escaped `\\ \{ \}` literals pass through, and destination groups
+    * that hold no document text (`{\fonttbl…}`, `{\colortbl…}`,
+    * stylesheet/info/pict and every `{\*…}` group) are skipped by
+    * tracking the brace depth where skipping began. Raw CR/LF inside RTF
+    * are NOT content (the spec: line breaks come from `\par`). Returns
+    * None (fail-closed, like [[docxToText]]) unless the payload starts
+    * with `{\rtf` or nothing textual survives.
+    */
+  def rtfToText(rtf: String): Option[String] = {
+    if (rtf == null || !rtf.startsWith("{\\rtf")) return None
+    val skipDests = Set("fonttbl", "colortbl", "stylesheet", "info", "pict",
+      "themedata", "generator", "xmlnstbl", "listtable", "listoverridetable")
+    val out = new StringBuilder
+    val n = rtf.length
+    var i = 0
+    var depth = 0
+    var skipDepth = -1
+    while (i < n) {
+      rtf.charAt(i) match {
+        case '{' =>
+          depth += 1; i += 1
+          if (skipDepth < 0 && i < n && rtf.charAt(i) == '\\') {
+            var j = i + 1
+            if (j < n && rtf.charAt(j) == '*') skipDepth = depth
+            else {
+              val start = j
+              while (j < n && rtf.charAt(j).isLetter) j += 1
+              if (skipDests.contains(rtf.substring(start, j))) skipDepth = depth
+            }
+          }
+        case '}' =>
+          if (skipDepth == depth) skipDepth = -1
+          depth -= 1; i += 1
+        case '\\' if i + 1 < n =>
+          val c2 = rtf.charAt(i + 1)
+          if (c2.isLetter) {
+            var j = i + 1
+            while (j < n && rtf.charAt(j).isLetter) j += 1
+            val word = rtf.substring(i + 1, j)
+            if (j < n && (rtf.charAt(j) == '-' || rtf.charAt(j).isDigit)) {
+              j += 1
+              while (j < n && rtf.charAt(j).isDigit) j += 1
+            }
+            if (j < n && rtf.charAt(j) == ' ') j += 1 // delimiter space is consumed
+            if (skipDepth < 0) word match {
+              case "par" | "line" => out += '\n'
+              case "tab" => out += '\t'
+              case _ => ()
+            }
+            i = j
+          } else if (c2 == '\'' && i + 3 < n) {
+            if (skipDepth < 0)
+              try out += Integer.parseInt(rtf.substring(i + 2, i + 4), 16).toChar
+              catch { case _: NumberFormatException => () }
+            i += 4
+          } else {
+            if (skipDepth < 0) c2 match {
+              case '\\' | '{' | '}' => out += c2
+              case '~' => out += ' '
+              case _ => ()
+            }
+            i += 2
+          }
+        case '\r' | '\n' => i += 1
+        case ch =>
+          if (skipDepth < 0) out += ch
+          i += 1
+      }
+    }
+    val t = out.toString.replaceAll("\\n{3,}", "\n\n").trim
+    if (t.isEmpty) None else Some(t)
+  }
+
   // ----------------------------------------------------------------- CSV
 
   /** CSV → one text document: rows rendered as `v1, v2, …` lines, in file

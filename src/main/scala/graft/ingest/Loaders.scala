@@ -166,6 +166,10 @@ object Loaders {
     if (b == null) null else DocParse.docxToText(b).orNull)
   private val markdownUdf = udf((s: String) =>
     if (s == null) null else DocParse.markdownToText(s))
+  private val xmlUdf = udf((s: String) =>
+    if (s == null) null else DocParse.xmlToText(s))
+  private val rtfUdf = udf((s: String) =>
+    if (s == null) null else DocParse.rtfToText(s).orNull)
   private val csvUdf = udf((s: String) =>
     if (s == null) null else DocParse.csvToText(s))
 
@@ -187,6 +191,26 @@ object Loaders {
       .select(markdownUdf(col("value")).as("content"),
         map().cast("map<string,string>").as("metadata"))
       .filter(length(col("content")) > 0)
+
+  /** XML as text documents: CDATA-aware tag strip + entity decode
+    * ([[DocParse.xmlToText]]); empty results (markup-only files) drop.
+    */
+  def loadXmlFiles(spark: SparkSession, paths: Seq[Path]): DataFrame =
+    spark.read.option("wholetext", "true")
+      .text(paths.map(_.toString): _*)
+      .select(xmlUdf(col("value")).as("content"),
+        map().cast("map<string,string>").as("metadata"))
+      .filter(length(col("content")) > 0)
+
+  /** RTF via the pure-JVM group-aware scanner ([[DocParse.rtfToText]]),
+    * fail-closed like PDF/EPUB/DOCX: a payload that is not `{\rtf…}` or
+    * yields no text raises `document_parse_unsupported`.
+    */
+  def loadRtfFiles(spark: SparkSession, paths: Seq[Path]): DataFrame =
+    failClosed(spark.read.option("wholetext", "true")
+      .text(paths.map(_.toString): _*)
+      .select(rtfUdf(col("value")).as("content"),
+        map().cast("map<string,string>").as("metadata")))
 
   /** CSV: one document per file, rows rendered `v1, v2, …` in file order
     * (minimal RFC 4180 — quoted fields keep commas/newlines).
@@ -248,6 +272,8 @@ object Loaders {
         case "html" | "htm" => "html"
         case "md" | "markdown" => "md"
         case "csv" => "csv"
+        case "xml" => "xml"
+        case "rtf" => "rtf"
         case _ => "text"
       }
     }
@@ -257,6 +283,8 @@ object Loaders {
       byKind.get("html").map(ps => loadHtmlFiles(spark, ps)),
       byKind.get("md").map(ps => loadMarkdownFiles(spark, ps)),
       byKind.get("csv").map(ps => loadCsvFiles(spark, ps)),
+      byKind.get("xml").map(ps => loadXmlFiles(spark, ps)),
+      byKind.get("rtf").map(ps => loadRtfFiles(spark, ps)),
       byKind.get("ipynb").map(ps => loadIpynbFiles(spark, ps)),
       byKind.get("pdf").map(ps => loadPdfFiles(spark, ps)),
       byKind.get("epub").map(ps => loadEpubFiles(spark, ps)),

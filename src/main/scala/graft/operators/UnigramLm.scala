@@ -127,6 +127,45 @@ object UnigramLm {
         col("__s._2").as("n_pieces"), col("__s._3").as("cost_micro"))
   }
 
+  /** WordPiece-style greedy MaxMatch: at each position take the LONGEST
+    * vocabulary piece (≤ maxLen), no backtracking — the BERT tokenizer's
+    * inference rule, the third member of the tokenizer family next to
+    * [[Bpe.segment]] (merge replay) and [[segmentWords]] (Viterbi).
+    * Greedy can split worse than Viterbi (that contrast is the point of
+    * shipping both); single characters always advance the scan when the
+    * vocabulary covers them (seed vocabularies do by construction —
+    * uncovered characters fall back to themselves, documented coverage
+    * behavior rather than a whole-word [UNK]).
+    */
+  private[graft] def maxMatch(word: String, vocab: String => Boolean, maxLen: Int): Seq[String] = {
+    val out = scala.collection.mutable.ArrayBuffer.empty[String]
+    var p = 0
+    while (p < word.length) {
+      var l = math.min(maxLen, word.length - p)
+      while (l > 1 && !vocab(word.substring(p, p + l))) l -= 1
+      out += word.substring(p, p + l)
+      p += l
+    }
+    out.toSeq
+  }
+
+  /** Greedy-segment every distinct word under a piece vocabulary:
+    * (word, n, pieces [space-joined], n_pieces). The vocabulary collects
+    * to the driver — alphabet-bounded, the [[segmentWords]] contract.
+    */
+  def segmentWordsGreedy(words: DataFrame, pieces: DataFrame, maxLen: Int = 4): DataFrame = {
+    val vocab: Set[String] =
+      pieces.select("piece").collect().map(_.getString(0)).toSet
+    val segUdf = udf((w: String) => {
+      val ps = maxMatch(w, vocab, maxLen)
+      (ps.mkString(" "), ps.length)
+    })
+    words
+      .withColumn("__s", segUdf(col("word")))
+      .select(col("word"), col("n"), col("__s._1").as("pieces"),
+        col("__s._2").as("n_pieces"))
+  }
+
   /** One EM round: usage of each piece across the Viterbi segmentations
     * (weighted by word frequency), add-one smoothing for single chars
     * (they must survive for coverage), zero-usage longer pieces dropped.

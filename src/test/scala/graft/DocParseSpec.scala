@@ -371,6 +371,57 @@ class DocParseSpec extends SparkSpec {
     assert(got.contains("multi\nline, with \"quotes\""))
   }
 
+  test("xml: CDATA content survives the tag strip; entities amp-last; PIs dropped") {
+    val xml =
+      """<?xml version="1.0"?><!DOCTYPE note><root>
+        |<title>Hello &amp;lt; World</title>
+        |<!-- a comment -->
+        |<body><![CDATA[kept <raw> & verbatim]]></body>
+        |<a href="x">link &lt;text&gt;</a>
+        |</root>""".stripMargin
+    val got = DocParse.xmlToText(xml)
+    assert(got.contains("Hello &lt; World"), "amp decodes LAST: &amp;lt; -> &lt;")
+    assert(got.contains("kept <raw> & verbatim"), "CDATA content must survive")
+    assert(got.contains("link <text>"))
+    assert(!got.contains("<?xml") && !got.contains("a comment") && !got.contains("DOCTYPE"))
+  }
+
+  test("rtf: control words consumed, destinations skipped, escapes decode; fail-closed") {
+    val rtf = """{\rtf1\ansi{\fonttbl{\f0 Calibri;}}{\*\generator Riched20;}
+                |{\colortbl ;\red0\green0\blue255;}
+                |\f0\fs22 Hello \b bold\b0  world\par
+                |Second \'e9 line\tab tabbed \{lit\} 100\% done\par}""".stripMargin
+    val got = DocParse.rtfToText(rtf)
+    assert(got.isDefined)
+    val t = got.get
+    assert(t.contains("Hello bold world"))
+    assert(t.contains("Second é line\ttabbed {lit}"))
+    assert(!t.contains("Calibri") && !t.contains("Riched20") && !t.contains("red0"),
+      "font/color/starred destination groups carry no document text")
+    assert(t.split("\n").length >= 2, "\\par breaks lines")
+    assert(DocParse.rtfToText("plain text, not rtf").isEmpty, "fail-closed")
+    assert(DocParse.rtfToText("{\\rtf1{\\fonttbl{\\f0 X;}}}").isEmpty,
+      "markup-only file yields nothing")
+  }
+
+  test("loaders: xml/rtf route through loadDirectoryAuto; bad rtf fails governed") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-docparse3")
+    java.nio.file.Files.writeString(dir.resolve("a.xml"),
+      "<doc><p>from xml file</p></doc>")
+    java.nio.file.Files.writeString(dir.resolve("b.rtf"),
+      "{\\rtf1\\ansi from rtf file\\par}")
+    val contents = Loaders.loadDirectoryAuto(spark, dir)
+      .collect().map(_.getString(0)).toSet
+    assert(contents.exists(_.contains("from xml file")))
+    assert(contents.exists(_.contains("from rtf file")))
+    val bad = java.nio.file.Files.createTempDirectory("graft-docparse4")
+    java.nio.file.Files.writeString(bad.resolve("x.rtf"), "not rtf at all")
+    val e = intercept[graft.model.GraftException] {
+      Loaders.loadDirectoryAuto(spark, bad).collect()
+    }
+    assert(e.code == graft.model.ErrorCodes.DocumentParseUnsupported)
+  }
+
   test("loaders: md/csv/ipynb/docx route through loadDirectoryAuto") {
     val dir = java.nio.file.Files.createTempDirectory("graft-docparse2")
     java.nio.file.Files.writeString(dir.resolve("a.md"), "# H\nfrom *markdown* file")

@@ -99,4 +99,30 @@ class UnigramLmSpec extends SparkSpec {
       assert(ps.map(costMap).sum == cost, "reported cost equals sum of piece costs")
     }
   }
+
+  test("maxMatch greedy: longest piece wins, char fallback, tiles the word") {
+    val vocab = Set("ab", "abc", "b", "c", "d")
+    assert(UnigramLm.maxMatch("abcd", vocab, 4) == Seq("abc", "d"),
+      "longest match at position 0")
+    assert(UnigramLm.maxMatch("abxd", vocab, 4) == Seq("ab", "x", "d"),
+      "uncovered char falls back to itself")
+    // greedy can be WORSE than optimal: 'ab'+... leaves 'cb' uncovered
+    val v2 = Set("ab", "a", "bcb", "b", "c")
+    assert(UnigramLm.maxMatch("abcb", v2, 4) == Seq("ab", "c", "b"),
+      "no backtracking: greedy misses a + bcb")
+  }
+
+  test("segmentWordsGreedy tiles every word and matches maxMatch") {
+    val words = Seq(("interna", 3L), ("data", 2L), ("spark", 1L)).toDF("word", "n")
+    val pieces = UnigramLm.seedPieces(words)
+    val vocab = pieces.select("piece").collect().map(_.getString(0)).toSet
+    val seg = UnigramLm.segmentWordsGreedy(words, pieces)
+      .collect().map(r => (r.getString(0), r.getString(2), r.getInt(3)))
+    seg.foreach { case (word, ps, n) =>
+      val expect = UnigramLm.maxMatch(word, vocab, 4)
+      assert(ps.split(" ").toSeq == expect, s"$word")
+      assert(n == expect.length)
+      assert(expect.mkString("") == word)
+    }
+  }
 }
