@@ -414,6 +414,116 @@ object QualityQueries {
        |        / 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_novelty
        |FROM sel GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- ranking-quality evaluation: NDCG@10 + MRR of the nprobe=2 IVF
+  //      route judged by exact-cosine graded relevance (the brute-force
+  //      top-10 is the qrel set; docs outside it score 0, the standard
+  //      top-k-qrels convention). Relevance grades and rank-discount
+  //      weights are micro-quantized integers SHARED with the oracle as
+  //      literals (the LangId profile-constant precedent), so every DCG
+  //      sum is exact on both sides. ----
+  private val ndcgWeights: Seq[Long] =
+    (1 to 10).map(r => math.round(1e6 / (math.log(r + 1.0) / math.log(2.0))))
+
+  def annNdcg(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val cents = Ann.representativeCentroids(vecs, "label").cache()
+    val assigned = Ann.assign(vecs, cents).cache()
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    val qw = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_idx").orderBy(col("score").desc, col("id"))
+    val wArr = array(ndcgWeights.map(lit): _*)
+    val truth = Ann.bruteTopK(vecs, qs, 10)
+      .withColumn("rel_micro",
+        round(greatest(col("score"), lit(0.0)) * 1e6, 0).cast("long"))
+      .withColumn("rn", row_number().over(qw))
+      .select("query_idx", "id", "rel_micro", "rn").cache()
+    val ranked = Ann.ivfTopK(assigned, cents, qs, k = 10, nprobe = 2)
+      .withColumn("rank", row_number().over(qw))
+      .select("query_idx", "id", "rank")
+    val dcg = ranked
+      .join(truth.select("query_idx", "id", "rel_micro"), Seq("query_idx", "id"), "left")
+      .withColumn("g", coalesce(col("rel_micro"), lit(0L)) * element_at(wArr, col("rank")))
+      .groupBy("query_idx").agg(sum(col("g")).as("dcg_micro"))
+    val idcg = truth
+      .withColumn("g", col("rel_micro") * element_at(wArr, col("rn")))
+      .groupBy("query_idx").agg(sum(col("g")).as("idcg_micro"))
+    val best = truth.filter(col("rn") === 1).select(col("query_idx"), col("id"))
+    val rr = ranked.join(best, Seq("query_idx", "id"))
+      .select(col("query_idx"),
+        round(lit(1e6) / col("rank"), 0).cast("long").as("rr_micro"))
+    idcg.join(dcg, Seq("query_idx"), "left").join(rr, Seq("query_idx"), "left")
+      .select(col("query_idx"),
+        coalesce(col("dcg_micro"), lit(0L)).as("dcg_micro"),
+        col("idcg_micro"),
+        round(coalesce(col("dcg_micro"), lit(0L)).cast("double") /
+          col("idcg_micro").cast("double"), 6).as("ndcg"),
+        coalesce(col("rr_micro"), lit(0L)).as("rr_micro"))
+      .orderBy("query_idx")
+  }
+
+  val annNdcgSql: String = {
+    val wVals = ndcgWeights.zipWithIndex
+      .map { case (w, i) => s"(${i + 1}, CAST($w AS BIGINT))" }.mkString(", ")
+    s"""WITH e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+       |      FROM embeddings WHERE vec_id IN (0,1,2)),
+       |wt(rank, wmicro) AS (VALUES $wVals),
+       |bs AS (SELECT q.qid AS query_idx, e.id,
+       |              list_cosine_similarity(e.v, q.qv) AS sc
+       |       FROM q CROSS JOIN e),
+       |truth AS (SELECT query_idx, id,
+       |            CAST(round(greatest(sc, 0.0) * 1000000.0, 0) AS BIGINT) AS rel_micro,
+       |            rn
+       |          FROM (SELECT query_idx, id, sc,
+       |                  row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+       |                FROM bs) WHERE rn <= 10),
+       |cent AS (
+       |  SELECT label AS centroid_id, v AS c FROM (
+       |    SELECT label, v, row_number() OVER (PARTITION BY label ORDER BY id) AS rn FROM e)
+       |  WHERE rn = 1),
+       |assign AS (
+       |  SELECT id, v, centroid_id AS cluster_id FROM (
+       |    SELECT e.id, e.v, cent.centroid_id,
+       |           row_number() OVER (PARTITION BY e.id
+       |             ORDER BY 1.0 - list_cosine_similarity(e.v, cent.c), cent.centroid_id) AS rn
+       |    FROM e CROSS JOIN cent)
+       |  WHERE rn = 1),
+       |probes AS (
+       |  SELECT qid, centroid_id FROM (
+       |    SELECT q.qid, cent.centroid_id,
+       |           row_number() OVER (PARTITION BY q.qid
+       |             ORDER BY 1.0 - list_cosine_similarity(q.qv, cent.c), cent.centroid_id) AS rn
+       |    FROM q CROSS JOIN cent)
+       |  WHERE rn <= 2),
+       |ranked AS (SELECT query_idx, id, rn AS rank FROM (
+       |             SELECT q.qid AS query_idx, a.id,
+       |                    row_number() OVER (PARTITION BY q.qid
+       |                      ORDER BY list_cosine_similarity(a.v, q.qv) DESC, a.id) AS rn
+       |             FROM q JOIN probes p ON p.qid = q.qid
+       |             JOIN assign a ON a.cluster_id = p.centroid_id) WHERE rn <= 10),
+       |dcg AS (SELECT r.query_idx,
+       |          CAST(sum(coalesce(t.rel_micro, 0) * wt.wmicro) AS BIGINT) AS dcg_micro
+       |        FROM ranked r
+       |        LEFT JOIN truth t ON r.query_idx = t.query_idx AND r.id = t.id
+       |        JOIN wt ON wt.rank = r.rank
+       |        GROUP BY r.query_idx),
+       |idcg AS (SELECT query_idx,
+       |           CAST(sum(rel_micro * wt.wmicro) AS BIGINT) AS idcg_micro
+       |         FROM truth JOIN wt ON wt.rank = truth.rn
+       |         GROUP BY query_idx),
+       |best AS (SELECT query_idx, id FROM truth WHERE rn = 1),
+       |rr AS (SELECT r.query_idx,
+       |         CAST(round(1000000.0 / r.rank, 0) AS BIGINT) AS rr_micro
+       |       FROM ranked r JOIN best b ON r.query_idx = b.query_idx AND r.id = b.id)
+       |SELECT i.query_idx, coalesce(d.dcg_micro, 0) AS dcg_micro, i.idcg_micro,
+       |       round(CAST(coalesce(d.dcg_micro, 0) AS DOUBLE) / CAST(i.idcg_micro AS DOUBLE), 6)
+       |         AS ndcg,
+       |       coalesce(rr.rr_micro, 0) AS rr_micro
+       |FROM idcg i LEFT JOIN dcg d ON i.query_idx = d.query_idx
+       |LEFT JOIN rr ON i.query_idx = rr.query_idx
+       |ORDER BY i.query_idx""".stripMargin
+  }
+
   // ---- cluster-balance report: per-cluster membership counts and
   //      cosine-to-centroid statistics (the k-means quality check run
   //      before trusting SemDeDup/IVF partitions). Per-row cosines are
@@ -474,6 +584,7 @@ object QualityQueries {
     "q_pipeline_curate8" -> (pipelineCurate8 _),
     "q_dedup_across" -> (dedupAcross _),
     "q_ann_recall" -> (annRecall _),
+    "q_ann_ndcg" -> (annNdcg _),
     "q_cluster_balance" -> (clusterBalance _)
   )
 
@@ -487,6 +598,7 @@ object QualityQueries {
     "q_pipeline_curate8" -> pipelineCurate8Sql,
     "q_dedup_across" -> dedupAcrossSql,
     "q_ann_recall" -> annRecallSql,
+    "q_ann_ndcg" -> annNdcgSql,
     "q_cluster_balance" -> clusterBalanceSql
   )
 }
