@@ -371,7 +371,72 @@ object CoreQueries {
       |            THEN 'eval' ELSE 'train' END AS split
       |FROM lab ORDER BY doc_id""".stripMargin
 
+  // ---- corpus PII-exposure scan: per-language counts of documents
+  //      containing each PII entity class (email / SSN / NANP phone /
+  //      local path) plus an any-entity rate in exact micro units — the
+  //      compliance report a corpus owner runs BEFORE deciding whether
+  //      always-on redaction suffices. Detection reuses the very regexes
+  //      the sanitizer redacts with ([[Sanitize]]), so scan and redact can
+  //      never disagree about what counts as PII. PII is synthesized onto
+  //      deterministic row subsets (the sanitizePii precedent — raw
+  //      synthetic text carries none), exercising every counter including
+  //      overlaps. One narrow scan + one keyed agg; no shuffle beyond the
+  //      |lang|-sized groupBy. ----
+  def piiScan(s: SparkSession, dir: String): DataFrame = {
+    val d = t(s, dir, "documents")
+      .select(col("doc_id"), col("lang"),
+        concat(col("text"),
+          when(col("doc_id") % 3 === 0, concat(lit(" contact "), col("source"), lit("@corp.io"))).otherwise(lit("")),
+          when(col("doc_id") % 5 === 0, lit(" ssn 123-45-6789")).otherwise(lit("")),
+          when(col("doc_id") % 7 === 0, lit(" call 555-867-5309")).otherwise(lit("")),
+          when(col("doc_id") % 11 === 0, lit(" log /var/log/app.log")).otherwise(lit(""))
+        ).as("content"))
+    val flags = d.select(col("lang"),
+      col("content").rlike(Sanitize.EmailRegex).cast("long").as("has_email"),
+      col("content").rlike(Sanitize.SsnRegex).cast("long").as("has_ssn"),
+      col("content").rlike(Sanitize.PhoneRegex).cast("long").as("has_phone"),
+      col("content").rlike(Sanitize.LocalPathRegex).cast("long").as("has_path"))
+    flags
+      .withColumn("has_any",
+        greatest(col("has_email"), col("has_ssn"), col("has_phone"), col("has_path")))
+      .groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("has_email").as("n_email"), sum("has_ssn").as("n_ssn"),
+        sum("has_phone").as("n_phone"), sum("has_path").as("n_path"),
+        sum("has_any").as("n_any"))
+      .select(col("lang"), col("n_docs"), col("n_email"), col("n_ssn"),
+        col("n_phone"), col("n_path"),
+        expr("(n_any * 1000000L) div n_docs").as("pii_rate_micro"))
+      .orderBy("lang")
+  }
+
+  val piiScanSql: String =
+    """WITH d AS (
+      |  SELECT lang,
+      |    text
+      |      || CASE WHEN doc_id % 3 = 0 THEN ' contact ' || source || '@corp.io' ELSE '' END
+      |      || CASE WHEN doc_id % 5 = 0 THEN ' ssn 123-45-6789' ELSE '' END
+      |      || CASE WHEN doc_id % 7 = 0 THEN ' call 555-867-5309' ELSE '' END
+      |      || CASE WHEN doc_id % 11 = 0 THEN ' log /var/log/app.log' ELSE '' END
+      |      AS content
+      |  FROM documents),
+      |fl AS (SELECT lang,
+      |    CASE WHEN regexp_matches(content, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}') THEN 1 ELSE 0 END AS has_email,
+      |    CASE WHEN regexp_matches(content, '\b\d{3}-\d{2}-\d{4}\b') THEN 1 ELSE 0 END AS has_ssn,
+      |    CASE WHEN regexp_matches(content, '\b(?:\+?1[-. ])?\(?\d{3}\)?[-. ]\d{3}[-. ]\d{4}\b') THEN 1 ELSE 0 END AS has_phone,
+      |    CASE WHEN regexp_matches(content, '(?:[A-Za-z]:[\\/][^\s<>"'']+|/(?:[^/\s]+/)+[^\s<>"'']*|\\\\[^\s\\]+\\[^\s]+)') THEN 1 ELSE 0 END AS has_path
+      |  FROM d)
+      |SELECT lang, count(*) AS n_docs,
+      |  CAST(sum(has_email) AS BIGINT) AS n_email,
+      |  CAST(sum(has_ssn) AS BIGINT) AS n_ssn,
+      |  CAST(sum(has_phone) AS BIGINT) AS n_phone,
+      |  CAST(sum(has_path) AS BIGINT) AS n_path,
+      |  (CAST(sum(greatest(has_email, has_ssn, has_phone, has_path)) AS BIGINT) * 1000000)
+      |    // count(*) AS pii_rate_micro
+      |FROM fl GROUP BY lang ORDER BY lang""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_pii_scan" -> (piiScan _),
     "q_chunk_overlap" -> (chunkOverlapQ _),
     "q_split_leakage" -> (leakageSplitQ _),
     "q_collection_list" -> (collectionList _),
@@ -389,6 +454,7 @@ object CoreQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_pii_scan" -> piiScanSql,
     "q_collection_list" -> collectionListSql,
     "q_name_validation" -> nameValidationSql,
     "q_sanitize_paths" -> sanitizePathsSql,

@@ -856,7 +856,108 @@ object DedupQueries {
       |FROM d LEFT JOIN c USING (doc_id)
       |ORDER BY d.doc_id""".stripMargin
 
+  // ---- near-dup graph PageRank: template-spam centrality over the
+  //      exact-Jaccard pair graph at threshold 0.3 (the sweep-proven
+  //      cutoff). High-rank nodes near-duplicate many others without any
+  //      single tight cluster — the down-rank signal for boilerplate
+  //      farms. Integer micro-rank arithmetic (d = 0.85 as 85/100 BIGINT
+  //      division) so the oracle replays all 5 iterations bit-for-bit
+  //      as unrolled CTEs. ----
+  def graphPagerank(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRank(
+      Dedup.ngramJaccard(docs(s, dir), threshold = 0.3).select("a", "b"),
+      iters = 5)
+      .orderBy(desc("rank_micro"), col("id"))
+
+  val graphPagerankSql: String = {
+    val steps = (1 to 5).map { i =>
+      s"""c$i AS (SELECT e.b AS id, CAST(sum(r${i - 1}.r // d.deg) AS BIGINT) AS s
+         |       FROM edges e JOIN r${i - 1} ON e.a = r${i - 1}.id
+         |       JOIN deg d ON d.id = e.a GROUP BY e.b),
+         |r$i AS (SELECT n.id, CAST(150000 + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |       FROM deg n LEFT JOIN c$i c ON n.id = c.id)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $shingleCte,
+       |f AS (SELECT id, unnest(sh) AS s FROM sh),
+       |sizes AS (SELECT id, len(sh) AS l FROM sh),
+       |co AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+       |       FROM f x JOIN f y ON x.s = y.s AND x.id < y.id
+       |       GROUP BY x.id, y.id),
+       |p AS (SELECT co.a, co.b FROM co
+       |      JOIN sizes sa ON co.a = sa.id JOIN sizes sb ON co.b = sb.id
+       |      WHERE CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) >= 0.3),
+       |edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+       |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+       |r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS r FROM deg),
+       |$steps
+       |SELECT n.id, n.deg, r5.r AS rank_micro
+       |FROM deg n JOIN r5 ON n.id = r5.id
+       |ORDER BY rank_micro DESC, n.id""".stripMargin
+  }
+
+  // ---- quality-aware dedup survivor selection: instead of the min-id
+  //      survivor, keep the highest-token-count member of each near-dup
+  //      cluster (tie -> min id) — the NeMo-Curator-style "keep the
+  //      richest copy" policy a curation pass actually wants. Composes
+  //      minhash pairs -> components -> a per-cluster argmax (window
+  //      PARTITIONED by component; bounded groups). ----
+  def dedupSurvivor(s: SparkSession, dir: String): DataFrame = {
+    val d = docs(s, dir)
+    val pairs = Dedup.minHashNearDups(d, threshold = 0.6).select("a", "b")
+    val comps = Dedup.duplicateClusters(pairs)
+    val toks = d.select(col("id"),
+      size(regexp_extract_all(lower(col("content")), lit("[a-z0-9_]{2,}"), lit(0)))
+        .cast("long").as("tokens"))
+    val m = comps.join(toks, "id")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(desc("tokens"), col("id"))
+    val best = m.withColumn("rn", row_number().over(w)).filter(col("rn") === 1)
+      .select(col("comp"), col("id").as("keep_id"), col("tokens").as("keep_tokens"))
+    val sizesByComp = m.groupBy("comp")
+      .agg(count(lit(1)).as("n_members"), sum("tokens").as("cluster_tokens"))
+    best.join(sizesByComp, "comp")
+      .select("comp", "keep_id", "keep_tokens", "n_members", "cluster_tokens")
+      .orderBy("comp")
+  }
+
+  val dedupSurvivorSql: String =
+    s"""WITH RECURSIVE $shingleCte,
+       |f AS (SELECT id, unnest(sh) AS s FROM sh),
+       |sizes AS (SELECT id, len(sh) AS l FROM sh),
+       |co AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+       |       FROM f x JOIN f y ON x.s = y.s AND x.id < y.id
+       |       GROUP BY x.id, y.id),
+       |p AS (SELECT co.a, co.b FROM co
+       |      JOIN sizes sa ON co.a = sa.id JOIN sizes sb ON co.b = sb.id
+       |      WHERE CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) >= 0.6),
+       |edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+       |reach(src, t) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e.b FROM reach r JOIN edges e ON r.t = e.a),
+       |comp AS (SELECT src AS id, least(src, min(t)) AS comp
+       |         FROM reach GROUP BY src),
+       |toks AS (SELECT doc_id AS id,
+       |           CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]{2,}')) AS BIGINT)
+       |             AS tokens
+       |         FROM documents),
+       |m AS (SELECT comp.comp, comp.id, toks.tokens
+       |      FROM comp JOIN toks ON comp.id = toks.id),
+       |best AS (SELECT comp, id AS keep_id, tokens AS keep_tokens FROM (
+       |           SELECT comp, id, tokens,
+       |             row_number() OVER (PARTITION BY comp
+       |               ORDER BY tokens DESC, id) AS rn
+       |           FROM m) WHERE rn = 1),
+       |cs AS (SELECT comp, count(*) AS n_members,
+       |         CAST(sum(tokens) AS BIGINT) AS cluster_tokens
+       |       FROM m GROUP BY comp)
+       |SELECT best.comp, keep_id, keep_tokens, n_members, cluster_tokens
+       |FROM best JOIN cs ON best.comp = cs.comp
+       |ORDER BY best.comp""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_graph_pagerank" -> (graphPagerank _),
+    "q_dedup_survivor" -> (dedupSurvivor _),
     "q_dedup_spans" -> (dedupSpans _),
     "q_ann_sq" -> (annSq _),
     "q_search_mmr" -> (searchMmr _),
@@ -884,6 +985,8 @@ object DedupQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_graph_pagerank" -> graphPagerankSql,
+    "q_dedup_survivor" -> dedupSurvivorSql,
     "q_dedup_spans" -> dedupSpansSql,
     "q_ann_sq" -> annSqSql,
     "q_search_mmr" -> searchMmrSql,

@@ -569,7 +569,65 @@ object OlapQueries {
       |GROUP BY ROLLUP(lang, source)
       |ORDER BY gid, lang, source""".stripMargin
 
+  // ---- session-scoped event-transition matrix (first-order Markov
+  //      chain): within each 30-min session, count adjacent event-type
+  //      transitions and express each row of the transition matrix in
+  //      exact micro-probabilities (n * 1e6 div row-total — integer
+  //      division both sides, no float). The telemetry view of "what do
+  //      users do next"; the same sessionization rule as
+  //      q_events_sessionize so the two reports agree on boundaries.
+  //      Scale: two partitioned windows (per-user, per-session order) and
+  //      two keyed aggs over |event-type|^2-bounded output. ----
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val ev = t(s, dir, "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochOf("MILLISECOND", "ts").as("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySess = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("ts_ms"), col("event_id"))
+    val trans = ev
+      .withColumn("dst", lead(col("event_type"), 1).over(bySess))
+      .filter(col("dst").isNotNull)
+      .groupBy(col("event_type").as("src"), col("dst"))
+      .agg(count(lit(1)).as("n"))
+    val tot = trans.groupBy("src").agg(sum("n").as("row_total"))
+    trans.join(tot, "src")
+      .select(col("src"), col("dst"), col("n"),
+        expr("(n * 1000000L) div row_total").as("p_micro"))
+      .orderBy("src", "dst")
+  }
+
+  val eventsMarkovSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+      |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |s AS (SELECT user_id, event_id, event_type, ts_ms,
+      |        CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |      FROM ev),
+      |x AS (SELECT user_id, event_id, event_type, ts_ms,
+      |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |      FROM s),
+      |nx AS (SELECT event_type AS src,
+      |         lead(event_type) OVER (PARTITION BY user_id, session_idx
+      |           ORDER BY ts_ms, event_id) AS dst
+      |       FROM x),
+      |tr AS (SELECT src, dst, count(*) AS n FROM nx WHERE dst IS NOT NULL
+      |       GROUP BY src, dst),
+      |tot AS (SELECT src, CAST(sum(n) AS BIGINT) AS row_total FROM tr GROUP BY src)
+      |SELECT tr.src, tr.dst, tr.n, (tr.n * 1000000) // tot.row_total AS p_micro
+      |FROM tr JOIN tot ON tr.src = tot.src
+      |ORDER BY tr.src, tr.dst""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_markov" -> (eventsMarkov _),
     "q_corpus_rollup" -> (corpusRollup _),
     "q_events_window" -> (eventsWindow _),
     "q_events_sessionize" -> (eventsSessionize _),
@@ -589,6 +647,7 @@ object OlapQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_events_markov" -> eventsMarkovSql,
     "q_corpus_rollup" -> corpusRollupSql,
     "q_events_window" -> eventsWindowSql,
     "q_events_sessionize" -> eventsSessionizeSql,

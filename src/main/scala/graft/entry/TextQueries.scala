@@ -1700,6 +1700,69 @@ object TextQueries {
        |       round(1.0 / (1.0 + exp(-margin_micro / 1e6)), 6) AS p
        |FROM m2 ORDER BY doc_id""".stripMargin
 
+  /** Reliability (calibration) report for the trained quality classifier:
+    * bin the training corpus into 10 equi-width margin bins over the
+    * OBSERVED margin range (width = ((max-min) div 10) + 1, so bin is
+    * always 0..9 — a fixed absolute width would collapse to one bin: the
+    * 2-round model's margins span only ~0.01 units) and compare the mean
+    * predicted probability against the empirical positive rate per bin —
+    * the standard check before trusting classifier scores as selection
+    * weights (an over-confident filter silently skews the mixture).
+    * All-bin arithmetic is exact: integer bin edges from a single-row
+    * min/max aggregate, counts, micro-quantized probability sums, and
+    * integer-division rates. Training is the same fully-replayed 2-round
+    * run as q_quality_classifier (shared CTE chain); the report adds one
+    * tiny min/max agg plus one |bins|-sized keyed aggregate.
+    */
+  def classifierCalibration(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        when(col("source") === "src0", 1).otherwise(0).as("label"),
+        TextFunctions.tokens(col("text")).as("toks"))
+    val feats = graft.operators.QualityClassifier.features(docs, 64)
+      .localCheckpoint()
+    val model = graft.operators.QualityClassifier.train(feats, buckets = 64, iters = 2)
+    val scored = graft.operators.QualityClassifier.score(feats, model)
+      .select(col("margin_micro"), col("label").cast("long").as("pos"),
+        round(col("p") * lit(1e6), 0).cast("long").as("p_micro"))
+      .localCheckpoint()
+    // single-row stats aggregate (the bounded-collect pattern): bin edges
+    // must be literals so the bin expression stays a narrow map
+    val r = scored.agg(min("margin_micro"), max("margin_micro")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val w = (mx - mn) / 10 + 1
+    scored
+      .select(expr(s"(margin_micro - ${mn}L) div ${w}L").as("bin"),
+        col("pos"), col("p_micro"))
+      .groupBy("bin")
+      .agg(count(lit(1)).as("n_docs"), sum("pos").as("n_pos"),
+        sum("p_micro").as("sum_p_micro"))
+      .select(col("bin"), expr(s"${mn}L + bin * ${w}L").as("lo_micro"),
+        col("n_docs"), col("n_pos"),
+        expr("(n_pos * 1000000L) div n_docs").as("pos_rate_micro"),
+        expr("sum_p_micro div n_docs").as("mean_p_micro"))
+      .orderBy("bin")
+  }
+
+  val classifierCalibrationSql: String =
+    s"""WITH $clfTrainCtes,
+       |sc AS (SELECT id, label, margin_micro,
+       |         CAST(round((1.0 / (1.0 + exp(-margin_micro / 1e6))) * 1e6, 0) AS BIGINT)
+       |           AS p_micro
+       |       FROM m2),
+       |st AS (SELECT min(margin_micro) AS mn,
+       |              ((max(margin_micro) - min(margin_micro)) // 10) + 1 AS w
+       |       FROM sc),
+       |b AS (SELECT (sc.margin_micro - st.mn) // st.w AS bin,
+       |             st.mn, st.w, sc.label, sc.p_micro
+       |      FROM sc CROSS JOIN st)
+       |SELECT bin, CAST(mn + bin * w AS BIGINT) AS lo_micro,
+       |  count(*) AS n_docs,
+       |  CAST(sum(label) AS BIGINT) AS n_pos,
+       |  (CAST(sum(label) AS BIGINT) * 1000000) // count(*) AS pos_rate_micro,
+       |  CAST(sum(p_micro) AS BIGINT) // count(*) AS mean_p_micro
+       |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin
+
   /** Vocabulary coverage (operators.Vocab): types needed to cover 50/90/
     * 95/99% of token mass, from count-of-counts — the oracle computes the
     * naive full-sort cumulative form; equality proves the block-exact
@@ -1874,6 +1937,7 @@ object TextQueries {
     "q_pipeline_curate5" -> (pipelineCurate5 _),
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_quality_classifier" -> (qualityClassifier _),
+    "q_classifier_calibration" -> (classifierCalibration _),
     "q_corpus_profile" -> (corpusProfile _),
     "q_pipeline_curate4" -> (pipelineCurate4 _),
     "q_dsir_select" -> (dsirSelect _),
@@ -1922,6 +1986,7 @@ object TextQueries {
     "q_pipeline_curate5" -> pipelineCurate5Sql,
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_quality_classifier" -> qualityClassifierSql,
+    "q_classifier_calibration" -> classifierCalibrationSql,
     "q_corpus_profile" -> corpusProfileSql,
     "q_pipeline_curate4" -> pipelineCurate4Sql,
     "q_dsir_select" -> dsirSelectSql,
