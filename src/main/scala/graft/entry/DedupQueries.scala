@@ -955,7 +955,88 @@ object DedupQueries {
        |FROM best JOIN cs ON best.comp = cs.comp
        |ORDER BY best.comp""".stripMargin
 
+  // ---- corpus-overlap sketch: pairwise similarity BETWEEN sub-corpora
+  //      (source groups) from corpus-level MinHash signatures — the
+  //      "how much does this crawl overlap that one" report, where the
+  //      sketch estimate (matching permutation minima / 32) is the 100 TB
+  //      path (one keyed agg per corpus, 33 longs per corpus to compare)
+  //      and the exact distinct-shingle Jaccard rides along as the
+  //      reference column the estimate is judged by. The oracle replays
+  //      BOTH: the signature arithmetic bit-for-bit from the
+  //      engine-versioned seeds (the q_dedup_minhash_sig precedent) and
+  //      the exact inverted-index intersection. ----
+  def corpusOverlap(s: SparkSession, dir: String): DataFrame = {
+    import graft.functions.TextFunctions
+    val shd = t(s, dir, "documents")
+      .select(col("source"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("source"), explode(TextFunctions.shingles(col("toks"), 3)).as("sh"))
+      .distinct().localCheckpoint()
+    val sigs = Dedup.minHashSignatures(shd.select(col("source").as("id"), col("sh")))
+    val sz = shd.groupBy(col("source")).agg(count(lit(1)).as("l"))
+    val inter = shd.as("x").join(shd.as("y"),
+        col("x.sh") === col("y.sh") && col("x.source") < col("y.source"))
+      .groupBy(col("x.source").as("src_a"), col("y.source").as("src_b"))
+      .agg(count(lit(1)).as("inter"))
+    val a = sigs.select(col("id").as("src_a") +:
+      (0 until 32).map(i => col(s"m$i").as(s"a$i")): _*)
+    val b = sigs.select(col("id").as("src_b") +:
+      (0 until 32).map(i => col(s"m$i").as(s"b$i")): _*)
+    val nMatch = (0 until 32)
+      .map(i => (col(s"a$i") === col(s"b$i")).cast("long"))
+      .reduce(_ + _)
+    a.crossJoin(broadcast(b)).filter(col("src_a") < col("src_b"))
+      .withColumn("n_match", nMatch)
+      .select(col("src_a"), col("src_b"), col("n_match"))
+      .join(inter, Seq("src_a", "src_b"), "left")
+      .na.fill(0L, Seq("inter"))
+      .join(sz.select(col("source").as("src_a"), col("l").as("la")), "src_a")
+      .join(sz.select(col("source").as("src_b"), col("l").as("lb")), "src_b")
+      .select(col("src_a"), col("src_b"), col("n_match"),
+        expr("(n_match * 1000000L) div 32").as("est_jaccard_micro"),
+        col("inter"), (col("la") + col("lb") - col("inter")).as("unions"),
+        expr("(inter * 1000000L) div (la + lb - inter)").as("exact_jaccard_micro"))
+      .orderBy("src_a", "src_b")
+  }
+
+  val corpusOverlapSql: String = {
+    val p = graft.functions.TextFunctions.MinHashP
+    val cols = Dedup.MinHashSeeds.zipWithIndex
+      .map { case ((sa, sb), i) => s"min(($sa * h + $sb) % $p) AS m$i" }
+      .mkString(",\n|         ")
+    val matches = (0 until 32)
+      .map(i => s"CASE WHEN a.m$i = b.m$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH d AS (SELECT source,
+       |        regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS w
+       |      FROM documents),
+       |shd AS (SELECT DISTINCT source, w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] AS s
+       |        FROM d, UNNEST(range(len(w) - 2)) AS u(i)
+       |        WHERE len(w) >= 3),
+       |hx AS (SELECT source, ('0x' || substr(md5(s), 1, 8))::BIGINT AS h FROM shd),
+       |sig AS (SELECT source,
+       |         $cols
+       |        FROM hx GROUP BY source),
+       |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS l FROM shd GROUP BY source),
+       |ix AS (SELECT x.source AS src_a, y.source AS src_b, count(*) AS inter
+       |       FROM shd x JOIN shd y ON x.s = y.s AND x.source < y.source
+       |       GROUP BY 1, 2),
+       |pm AS (SELECT a.source AS src_a, b.source AS src_b,
+       |         CAST($matches AS BIGINT) AS n_match
+       |       FROM sig a JOIN sig b ON a.source < b.source)
+       |SELECT pm.src_a, pm.src_b, pm.n_match,
+       |  (pm.n_match * 1000000) // 32 AS est_jaccard_micro,
+       |  CAST(coalesce(ix.inter, 0) AS BIGINT) AS inter,
+       |  sa.l + sb.l - coalesce(ix.inter, 0) AS unions,
+       |  (CAST(coalesce(ix.inter, 0) AS BIGINT) * 1000000)
+       |    // (sa.l + sb.l - coalesce(ix.inter, 0)) AS exact_jaccard_micro
+       |FROM pm LEFT JOIN ix ON pm.src_a = ix.src_a AND pm.src_b = ix.src_b
+       |JOIN sz sa ON pm.src_a = sa.source
+       |JOIN sz sb ON pm.src_b = sb.source
+       |ORDER BY pm.src_a, pm.src_b""".stripMargin
+  }
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_corpus_overlap" -> (corpusOverlap _),
     "q_graph_pagerank" -> (graphPagerank _),
     "q_dedup_survivor" -> (dedupSurvivor _),
     "q_dedup_spans" -> (dedupSpans _),
@@ -985,6 +1066,7 @@ object DedupQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_corpus_overlap" -> corpusOverlapSql,
     "q_graph_pagerank" -> graphPagerankSql,
     "q_dedup_survivor" -> dedupSurvivorSql,
     "q_dedup_spans" -> dedupSpansSql,

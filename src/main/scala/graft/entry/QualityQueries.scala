@@ -414,6 +414,49 @@ object QualityQueries {
        |        / 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_novelty
        |FROM sel GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- per-dimension embedding statistics: the embedding-quality QA
+  //      report (dead dimensions, range drift, variance collapse) run
+  //      before trusting an embedding column for similarity work. Values
+  //      are micro-quantized to integers, so every count/min/max/sum is
+  //      exact; mean and biased variance use explicit floor division
+  //      (NOT `div`/`//` — sums can be negative, and Spark `div`
+  //      truncates toward zero while DuckDB `//` floors, so only a
+  //      shared floor form is portable). One posexplode + one |dims|-
+  //      keyed agg; at 100 TB this is a single map + combine-friendly
+  //      shuffle of 64 keys. ----
+  def embedStats(s: SparkSession, dir: String): DataFrame =
+    Tables.vectors(s, dir)
+      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("dim").cast("long").as("dim"),
+        round(col("v").cast("double") * lit(1e6), 0).cast("long").as("q"))
+      .groupBy("dim")
+      .agg(count(lit(1)).as("n"), min("q").as("min_micro"),
+        max("q").as("max_micro"), sum("q").as("sum_q"),
+        sum(col("q") * col("q")).as("sum_q2"))
+      .withColumn("mean_micro",
+        floor(col("sum_q").cast("double") / col("n")).cast("long"))
+      .select(col("dim"), col("n"), col("min_micro"), col("max_micro"),
+        col("mean_micro"),
+        (floor(col("sum_q2").cast("double") / col("n")).cast("long")
+          - col("mean_micro") * col("mean_micro")).as("var_micro2"))
+      .orderBy("dim")
+
+  private val embedStatsSql: String =
+    """WITH q AS (
+      |  SELECT i AS dim,
+      |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1e6, 0) AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(range(len(embedding))) AS u(i)),
+      |a AS (SELECT dim, count(*) AS n, min(q) AS min_micro, max(q) AS max_micro,
+      |        CAST(sum(q) AS BIGINT) AS sum_q,
+      |        CAST(sum(q * q) AS BIGINT) AS sum_q2
+      |      FROM q GROUP BY dim)
+      |SELECT dim, n, min_micro, max_micro,
+      |  CAST(floor(CAST(sum_q AS DOUBLE) / n) AS BIGINT) AS mean_micro,
+      |  CAST(floor(CAST(sum_q2 AS DOUBLE) / n) AS BIGINT)
+      |    - CAST(floor(CAST(sum_q AS DOUBLE) / n) AS BIGINT)
+      |      * CAST(floor(CAST(sum_q AS DOUBLE) / n) AS BIGINT) AS var_micro2
+      |FROM a ORDER BY dim""".stripMargin
+
   // ---- ranking-quality evaluation: NDCG@10 + MRR of the nprobe=2 IVF
   //      route judged by exact-cosine graded relevance (the brute-force
   //      top-10 is the qrel set; docs outside it score 0, the standard
@@ -581,6 +624,7 @@ object QualityQueries {
     "q_terms_zipf" -> (termsZipf _),
     "q_text_diversity" -> (textDiversity _),
     "q_text_novelty" -> (textNovelty _),
+    "q_embed_stats" -> (embedStats _),
     "q_pipeline_curate8" -> (pipelineCurate8 _),
     "q_dedup_across" -> (dedupAcross _),
     "q_ann_recall" -> (annRecall _),
@@ -595,6 +639,7 @@ object QualityQueries {
     "q_terms_zipf" -> termsZipfSql,
     "q_text_diversity" -> textDiversitySql,
     "q_text_novelty" -> textNoveltySql,
+    "q_embed_stats" -> embedStatsSql,
     "q_pipeline_curate8" -> pipelineCurate8Sql,
     "q_dedup_across" -> dedupAcrossSql,
     "q_ann_recall" -> annRecallSql,
