@@ -218,6 +218,36 @@ object StreamingIngest {
       .select(col("window.start").as("window_start"), col("event_type"),
         col("n"), col("sum_value"))
 
+  /** Stream-stream click-attribution join — the interval-join shape
+    * (impression at t, click in [t, t + attributionWindow] for the same
+    * user) as a genuine two-sided Structured Streaming join. Watermarks on
+    * BOTH inputs plus the event-time bound in the join condition are what
+    * make state finite: Spark retains impression state only until
+    * click-watermark passes imp_ts + window and click state only until
+    * imp-watermark passes click_ts, so at any moment each executor holds a
+    * bounded time slice of both streams regardless of total stream length
+    * — the 100 TB/day property. Batch analog: operators.RangeJoin /
+    * eventsFunnel's as-of chain. Inner join, so output is append-safe.
+    *
+    * Inputs: impressions(imp_user long, imp_ts timestamp, campaign);
+    * clicks(click_user long, click_ts timestamp).
+    */
+  def attributionJoin(
+      impressions: DataFrame,
+      clicks: DataFrame,
+      attributionWindow: String = "30 minutes",
+      watermark: String = "1 hour"): DataFrame = {
+    val imp = impressions.withWatermark("imp_ts", watermark)
+    val clk = clicks.withWatermark("click_ts", watermark)
+    imp.join(clk,
+        expr(s"""imp_user = click_user AND
+                |click_ts >= imp_ts AND
+                |click_ts <= imp_ts + interval $attributionWindow""".stripMargin))
+      .select(col("imp_user").as("user_id"), col("campaign"),
+        col("imp_ts"), col("click_ts"),
+        expr("timestampdiff(MILLISECOND, imp_ts, click_ts)").as("latency_ms"))
+  }
+
   final case class Event(user_id: Long, ts: java.sql.Timestamp, value: Double)
   final case class SessionState(start: Long, last: Long, n: Int, sum: Double)
   final case class SessionOut(user_id: Long, start_ms: Long, end_ms: Long,

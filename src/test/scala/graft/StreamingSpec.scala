@@ -305,4 +305,32 @@ class StreamingSpec extends SparkSpec {
     assert(merged == 1 && landed.length == 1, s"expected 1 landed, got ${landed.toSeq}")
     assert(landed.head.contains("they would have been using"))
   }
+
+  test("stream-stream attribution join matches clicks inside the window only") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingIngest.attributionJoin(
+      imps.toDF().toDF("imp_user", "imp_ts", "campaign"),
+      clks.toDF().toDF("click_user", "click_ts"),
+      attributionWindow = "30 minutes")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    imps.addData(
+      (1L, ts("2024-01-01 10:00:00"), "campA"),
+      (2L, ts("2024-01-01 10:00:00"), "campB"),
+      (3L, ts("2024-01-01 10:00:00"), "campC"))
+    clks.addData(
+      (1L, ts("2024-01-01 10:10:00")), // in window -> attributed
+      (2L, ts("2024-01-01 11:00:00")), // 60 min later -> outside window
+      (3L, ts("2024-01-01 09:50:00")), // BEFORE the impression -> no match
+      (4L, ts("2024-01-01 10:05:00"))) // click with no impression
+    val q = joined.writeStream.format("memory").queryName("attrib")
+      .outputMode("append").start()
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.sql("SELECT user_id, campaign, latency_ms FROM attrib")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    assert(rows.toSeq == Seq((1L, "campA", 600000L)))
+  }
 }
