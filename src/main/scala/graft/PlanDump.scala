@@ -55,7 +55,14 @@ object PlanDump {
     "q_dedup_across" -> "cross-corpus near-dup: bipartite (band,bucket) inner join, candidates output-shaped",
     "q_text_novelty" -> "novelty: distinct-shingle agg + LEFT SEMI probe, per-doc keyed counts",
     "q_ann_recall" -> "ANN recall report: both retrieval legs bounded top-k, hit join on (query,id)",
-    "q_pipeline_curate8" -> "curation v8: C4 clean -> bipartite novelty gate -> rollup, one composed plan")
+    "q_pipeline_curate8" -> "curation v8: C4 clean -> bipartite novelty gate -> rollup, one composed plan",
+    "q_graph_pagerank" -> "near-dup PageRank: output-sized edge list, per-round ONE keyed join + agg",
+    "q_dedup_survivor" -> "survivor selection: component-keyed argmax window over the cluster join",
+    "q_corpus_overlap" -> "corpus overlap: corpus-keyed signature agg + broadcast pair compare",
+    "q_events_markov" -> "Markov transitions: partitioned session windows + |types|^2-bounded aggs",
+    "q_classifier_calibration" -> "calibration: trained margins -> literal bin edges -> 10-key agg",
+    "q_embed_stats" -> "embedding stats: narrow posexplode + 64-key combiner-collapsed agg",
+    "q_ann_ndcg" -> "NDCG/MRR eval: bounded top-k legs + per-query discount-weight join")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -488,5 +488,30 @@ object ScaleProbe {
       val assigned = graft.ann.Ann.assign(vecs, cents)
       graft.ann.Ann.knnJoinWithin(assigned, 5).count()
     }
+    // near-dup graph PageRank: replicas share no shingles, so the edge
+    // list (and the graph) grows exactly M-fold; 5 iterations of keyed
+    // join+agg must track the edge count, not the corpus pair space
+    time("graph_pagerank") {
+      val pairs = graft.dedup.Dedup.ngramJaccard(docs, threshold = 0.3)
+        .select("a", "b")
+      graft.operators.Graph.pageRank(pairs, iters = 5)
+        .agg(count(lit(1)), sum(col("rank_micro"))).collect()(0).getLong(0)
+    }
+    // session transition matrix: per-user windows at constant per-key
+    // density (salted users are disjoint), transition output bounded by
+    // |event-type|^2 — the curve must track the event count
+    time("events_markov") {
+      graft.operators.Transitions.sessionTransitions(
+          events.select(col("user_id"), col("event_id"), col("event_type"),
+            col("tsu").as("ts_ms")),
+          gapMs = 1800000000L) // tsu is micros; same 30-min gap
+        .agg(count(lit(1)), sum(col("n"))).collect()(0).getLong(0)
+    }
+    // per-dim embedding stats: one narrow explode + a 64-key combine-
+    // friendly agg — the flattest curve in the sweep if healthy
+    time("embed_stats") {
+      graft.operators.Profile.embeddingStats(vecs)
+        .agg(count(lit(1)), sum(col("n"))).collect()(0).getLong(0)
+    }
   }
 }

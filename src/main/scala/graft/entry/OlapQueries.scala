@@ -578,30 +578,12 @@ object OlapQueries {
   //      q_events_sessionize so the two reports agree on boundaries.
   //      Scale: two partitioned windows (per-user, per-session order) and
   //      two keyed aggs over |event-type|^2-bounded output. ----
-  def eventsMarkov(s: SparkSession, dir: String): DataFrame = {
-    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
-    val ev = t(s, dir, "events")
-      .select(col("user_id"), col("event_id"), col("event_type"),
-        epochOf("MILLISECOND", "ts").as("ts_ms"))
-      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
-      .withColumn("new_sess",
-        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 30L * 60 * 1000, 1L)
-          .otherwise(0L))
-      .withColumn("session_idx",
-        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
-    val bySess = Window.partitionBy("user_id", "session_idx")
-      .orderBy(col("ts_ms"), col("event_id"))
-    val trans = ev
-      .withColumn("dst", lead(col("event_type"), 1).over(bySess))
-      .filter(col("dst").isNotNull)
-      .groupBy(col("event_type").as("src"), col("dst"))
-      .agg(count(lit(1)).as("n"))
-    val tot = trans.groupBy("src").agg(sum("n").as("row_total"))
-    trans.join(tot, "src")
-      .select(col("src"), col("dst"), col("n"),
-        expr("(n * 1000000L) div row_total").as("p_micro"))
+  def eventsMarkov(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Transitions.sessionTransitions(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            epochOf("MILLISECOND", "ts").as("ts_ms")))
       .orderBy("src", "dst")
-  }
 
   val eventsMarkovSql: String =
     """WITH ev AS (

@@ -414,31 +414,11 @@ object QualityQueries {
        |        / 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_novelty
        |FROM sel GROUP BY lang ORDER BY lang""".stripMargin
 
-  // ---- per-dimension embedding statistics: the embedding-quality QA
-  //      report (dead dimensions, range drift, variance collapse) run
-  //      before trusting an embedding column for similarity work. Values
-  //      are micro-quantized to integers, so every count/min/max/sum is
-  //      exact; mean and biased variance use explicit floor division
-  //      (NOT `div`/`//` — sums can be negative, and Spark `div`
-  //      truncates toward zero while DuckDB `//` floors, so only a
-  //      shared floor form is portable). One posexplode + one |dims|-
-  //      keyed agg; at 100 TB this is a single map + combine-friendly
-  //      shuffle of 64 keys. ----
+  // ---- per-dimension embedding statistics (operators.Profile
+  //      .embeddingStats — integer-exact micro quantization, shared
+  //      floor-division form; see the operator scaladoc). ----
   def embedStats(s: SparkSession, dir: String): DataFrame =
-    Tables.vectors(s, dir)
-      .select(posexplode(col("embedding")).as(Seq("dim", "v")))
-      .select(col("dim").cast("long").as("dim"),
-        round(col("v").cast("double") * lit(1e6), 0).cast("long").as("q"))
-      .groupBy("dim")
-      .agg(count(lit(1)).as("n"), min("q").as("min_micro"),
-        max("q").as("max_micro"), sum("q").as("sum_q"),
-        sum(col("q") * col("q")).as("sum_q2"))
-      .withColumn("mean_micro",
-        floor(col("sum_q").cast("double") / col("n")).cast("long"))
-      .select(col("dim"), col("n"), col("min_micro"), col("max_micro"),
-        col("mean_micro"),
-        (floor(col("sum_q2").cast("double") / col("n")).cast("long")
-          - col("mean_micro") * col("mean_micro")).as("var_micro2"))
+    graft.operators.Profile.embeddingStats(Tables.vectors(s, dir))
       .orderBy("dim")
 
   private val embedStatsSql: String =

@@ -57,15 +57,16 @@ object Graph {
       .localCheckpoint()
     var ranks = nodes.select(col("id"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
-      val contrib = edges
+      // one keyed join + one keyed agg per round — no re-join against the
+      // node list: in the symmetrized graph every node has >= 1 in-edge,
+      // so the contribution aggregate already covers the full node set
+      ranks = edges
         .join(ranks, edges("a") === ranks("id"))
         .select(col("b").as("id"),
           expr("rank_micro div deg").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
-      ranks = nodes.select(col("id"))
-        .join(contrib, Seq("id"), "left")
         .select(col("id"),
-          expr("150000L + (85L * coalesce(s, 0L)) div 100L").as("rank_micro"))
+          expr("150000L + (85L * s) div 100L").as("rank_micro"))
         .localCheckpoint()
     }
     nodes.join(ranks, "id")
