@@ -33,6 +33,7 @@ object SparkEntry {
       graft.entry.TextQueries.queries ++
       graft.entry.TermQueries.queries ++
       graft.entry.QualityQueries.queries ++
+      graft.entry.EvalQueries.queries ++
       graft.entry.OlapQueries.queries
 
   def oracleSql: Map[String, String] =
@@ -42,6 +43,7 @@ object SparkEntry {
       graft.entry.TextQueries.oracles ++
       graft.entry.TermQueries.oracles ++
       graft.entry.QualityQueries.oracles ++
+      graft.entry.EvalQueries.oracles ++
       graft.entry.OlapQueries.oracles
 
   private def searchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(

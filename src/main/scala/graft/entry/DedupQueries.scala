@@ -161,6 +161,20 @@ object DedupQueries {
       .orderBy("keep_id")
   }
 
+  // ---- the same duplicate-cluster report through the large-star/
+  //      small-star component path (operators.Graph) — the O(log n)-round
+  //      route past the union-find edge cap and the O(diameter) label
+  //      propagation. Same oracle as q_dedup_clusters: hash equality
+  //      proves the two component algorithms interchangeable. ----
+  def dedupClustersLss(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.minHashNearDups(docs(s, dir), threshold = 0.6)
+      .select("a", "b")
+    graft.operators.Graph.connectedComponentsLss(pairs)
+      .groupBy(col("comp").as("keep_id"))
+      .agg(count(lit(1)).as("n_members"), sum(col("id")).as("member_checksum"))
+      .orderBy("keep_id")
+  }
+
   val dedupClustersSql: String =
     s"""WITH RECURSIVE $shingleCte,
        |f AS (SELECT id, unnest(sh) AS s FROM sh),
@@ -895,6 +909,51 @@ object DedupQueries {
        |ORDER BY rank_micro DESC, n.id""".stripMargin
   }
 
+  // ---- near-dup graph triangle census: per-node triangle counts +
+  //      local clustering coefficient over the same exact-Jaccard pair
+  //      graph as q_graph_pagerank — high clustering = tight template
+  //      cluster, high degree + low clustering = hub page. The oracle
+  //      replays the degree-ordered orientation, the wedge join, the
+  //      closing-edge probe, and the integer cc arithmetic. ----
+  def graphTriangles(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.triangles(
+      Dedup.ngramJaccard(docs(s, dir), threshold = 0.3).select("a", "b"))
+      .orderBy("id")
+
+  val graphTrianglesSql: String =
+    s"""WITH $shingleCte,
+       |f AS (SELECT id, unnest(sh) AS s FROM sh),
+       |sizes AS (SELECT id, len(sh) AS l FROM sh),
+       |co AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+       |       FROM f x JOIN f y ON x.s = y.s AND x.id < y.id
+       |       GROUP BY x.id, y.id),
+       |p AS (SELECT co.a, co.b FROM co
+       |      JOIN sizes sa ON co.a = sa.id JOIN sizes sb ON co.b = sb.id
+       |      WHERE CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) >= 0.3),
+       |e AS (SELECT DISTINCT least(a, b) AS a, greatest(a, b) AS b
+       |      FROM p WHERE a <> b),
+       |deg AS (SELECT id, CAST(count(*) AS BIGINT) AS deg
+       |        FROM (SELECT a AS id FROM e UNION ALL SELECT b FROM e)
+       |        GROUP BY 1),
+       |o AS (SELECT CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.a < e.b)
+       |               THEN e.a ELSE e.b END AS u,
+       |             CASE WHEN x.deg < y.deg OR (x.deg = y.deg AND e.a < e.b)
+       |               THEN e.b ELSE e.a END AS v
+       |      FROM e JOIN deg x ON e.a = x.id JOIN deg y ON e.b = y.id),
+       |w AS (SELECT e1.u AS w, e1.v AS x, e2.v AS y
+       |      FROM o e1 JOIN o e2 ON e1.u = e2.u AND e1.v < e2.v),
+       |tr AS (SELECT w.w, w.x, w.y FROM w JOIN e ON w.x = e.a AND w.y = e.b),
+       |pn AS (SELECT id, CAST(count(*) AS BIGINT) AS tri
+       |       FROM (SELECT w AS id FROM tr UNION ALL SELECT x FROM tr
+       |             UNION ALL SELECT y FROM tr)
+       |       GROUP BY 1)
+       |SELECT d.id, d.deg, CAST(COALESCE(pn.tri, 0) AS BIGINT) AS tri,
+       |       CAST(CASE WHEN d.deg >= 2
+       |         THEN (2000000 * COALESCE(pn.tri, 0)) // (d.deg * (d.deg - 1))
+       |         ELSE 0 END AS BIGINT) AS cc_micro
+       |FROM deg d LEFT JOIN pn USING (id)
+       |ORDER BY d.id""".stripMargin
+
   // ---- quality-aware dedup survivor selection: instead of the min-id
   //      survivor, keep the highest-token-count member of each near-dup
   //      cluster (tie -> min id) — the NeMo-Curator-style "keep the
@@ -1038,6 +1097,7 @@ object DedupQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_overlap" -> (corpusOverlap _),
     "q_graph_pagerank" -> (graphPagerank _),
+    "q_graph_triangles" -> (graphTriangles _),
     "q_dedup_survivor" -> (dedupSurvivor _),
     "q_dedup_spans" -> (dedupSpans _),
     "q_ann_sq" -> (annSq _),
@@ -1049,6 +1109,7 @@ object DedupQueries {
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_minhash_sig" -> (dedupMinhashSig _),
     "q_dedup_clusters" -> (dedupClusters _),
+    "q_dedup_clusters_lss" -> (dedupClustersLss _),
     "q_dedup_stats" -> (dedupStats _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_sweep" -> (dedupSweep _),
@@ -1068,6 +1129,7 @@ object DedupQueries {
   def oracles: Map[String, String] = Map(
     "q_corpus_overlap" -> corpusOverlapSql,
     "q_graph_pagerank" -> graphPagerankSql,
+    "q_graph_triangles" -> graphTrianglesSql,
     "q_dedup_survivor" -> dedupSurvivorSql,
     "q_dedup_spans" -> dedupSpansSql,
     "q_ann_sq" -> annSqSql,
@@ -1079,6 +1141,7 @@ object DedupQueries {
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_minhash_sig" -> dedupMinhashSigSql,
     "q_dedup_clusters" -> dedupClustersSql,
+    "q_dedup_clusters_lss" -> dedupClustersSql,
     "q_dedup_stats" -> dedupStatsSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_sweep" -> dedupSweepSql,

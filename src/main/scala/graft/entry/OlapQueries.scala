@@ -578,6 +578,46 @@ object OlapQueries {
   //      q_events_sessionize so the two reports agree on boundaries.
   //      Scale: two partitioned windows (per-user, per-session order) and
   //      two keyed aggs over |event-type|^2-bounded output. ----
+  // ---- hourly volume anomaly report (operators.Anomaly): top-50
+  //      (type, day, hour) buckets by |z| against the per-(type, hour-of-
+  //      day) seasonal baseline, zero-filled over the full grid so silent
+  //      hours register. The oracle replays the grid build, the integer
+  //      sufficient statistics, and the floored milli-z. ----
+  def eventsAnomaly(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.hourlyZScores(
+        t(s, dir, "events")
+          .select(col("event_type"), epochOf("MILLISECOND", "ts").as("ts_ms")))
+      .orderBy(abs(col("z_milli")).desc, col("event_type"), col("day"), col("hour"))
+      .limit(50)
+
+  val eventsAnomalySql: String =
+    """WITH ev AS (SELECT event_type, epoch_ms(ts) AS ts_ms FROM events),
+      |c AS (SELECT event_type, ts_ms // 86400000 AS day,
+      |             (ts_ms // 3600000) % 24 AS hour,
+      |             CAST(count(*) AS BIGINT) AS c
+      |      FROM ev GROUP BY 1, 2, 3),
+      |types AS (SELECT DISTINCT event_type FROM c),
+      |days AS (SELECT DISTINCT day FROM c),
+      |grid AS (SELECT t.event_type, d.day, h.hour,
+      |           CAST(COALESCE(c.c, 0) AS BIGINT) AS cnt
+      |         FROM types t CROSS JOIN days d
+      |         CROSS JOIN (SELECT unnest(range(24)) AS hour) h
+      |         LEFT JOIN c ON c.event_type = t.event_type
+      |           AND c.day = d.day AND c.hour = h.hour),
+      |st AS (SELECT event_type, hour, CAST(count(*) AS BIGINT) AS n_days,
+      |              CAST(sum(cnt) AS BIGINT) AS sx,
+      |              CAST(sum(cnt * cnt) AS BIGINT) AS sxx
+      |       FROM grid GROUP BY 1, 2),
+      |z AS (SELECT g.event_type, g.day, g.hour, g.cnt, st.n_days,
+      |        st.sx AS sum_cnt,
+      |        CAST(floor((st.n_days * g.cnt - st.sx)::DOUBLE
+      |          / sqrt((st.n_days * st.sxx - st.sx * st.sx)::DOUBLE) * 1000)
+      |          AS BIGINT) AS z_milli
+      |      FROM grid g JOIN st USING (event_type, hour)
+      |      WHERE st.n_days * st.sxx - st.sx * st.sx > 0)
+      |SELECT * FROM z
+      |ORDER BY abs(z_milli) DESC, event_type, day, hour LIMIT 50""".stripMargin
+
   def eventsMarkov(s: SparkSession, dir: String): DataFrame =
     graft.operators.Transitions.sessionTransitions(
         t(s, dir, "events")
@@ -609,6 +649,7 @@ object OlapQueries {
       |ORDER BY tr.src, tr.dst""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_anomaly" -> (eventsAnomaly _),
     "q_events_markov" -> (eventsMarkov _),
     "q_corpus_rollup" -> (corpusRollup _),
     "q_events_window" -> (eventsWindow _),
@@ -629,6 +670,7 @@ object OlapQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_events_anomaly" -> eventsAnomalySql,
     "q_events_markov" -> eventsMarkovSql,
     "q_corpus_rollup" -> corpusRollupSql,
     "q_events_window" -> eventsWindowSql,

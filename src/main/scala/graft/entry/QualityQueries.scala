@@ -437,6 +437,121 @@ object QualityQueries {
       |      * CAST(floor(CAST(sum_q AS DOUBLE) / n) AS BIGINT) AS var_micro2
       |FROM a ORDER BY dim""".stripMargin
 
+  // ---- Matryoshka-style dimension-truncation sweep: recall@10 of
+  //      prefix-truncated cosine search (dims 8/16/32/64) against the
+  //      full-dimension exact top-10 — prices how many leading
+  //      dimensions a cheap first-pass index needs before the exact
+  //      re-rank. Pure composition: four truncated bruteTopK legs in one
+  //      union plan against one checkpointed ground-truth leg. ----
+  def annDimSweep(s: SparkSession, dir: String): DataFrame = {
+    val full = Tables.vectors(s, dir)
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    val truth = Ann.bruteTopK(full, qs, 10).select(col("query_idx"), col("id"))
+      .localCheckpoint() // 4 sweep legs join it; the full scan runs once
+    val legs = Seq(8, 16, 32, 64).map { d =>
+      val tv = t(s, dir, "embeddings")
+        .select(col("vec_id").as("id"), slice(col("embedding"), 1, d).as("embedding"))
+        .withColumn("norm", VectorFunctions.l2Norm(col("embedding")))
+      val qd = qs.map { case (i, v) => (i, v.take(d)) }
+      Ann.bruteTopK(tv, qd, 10)
+        .select(lit(d.toLong).as("dim"), col("query_idx"), col("id"))
+    }.reduce(_ unionByName _)
+    legs.join(truth, Seq("query_idx", "id"))
+      .groupBy("dim", "query_idx")
+      .agg(count(lit(1)).as("n_hits"))
+      .select(col("dim"), col("query_idx"), col("n_hits"),
+        round(col("n_hits").cast("double") / lit(10.0), 6).as("recall"))
+      .orderBy("dim", "query_idx")
+  }
+
+  val annDimSweepSql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id IN (0,1,2)),
+      |bs AS (SELECT q.qid AS query_idx, e.id,
+      |              list_cosine_similarity(e.v, q.qv) AS sc
+      |       FROM q CROSS JOIN e),
+      |truth AS (SELECT query_idx, id FROM (
+      |            SELECT query_idx, id,
+      |                   row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+      |            FROM bs) WHERE rn <= 10),
+      |dims AS (SELECT CAST(unnest([8, 16, 32, 64]) AS BIGINT) AS dim),
+      |ts AS (SELECT d.dim, q.qid AS query_idx, e.id,
+      |              list_cosine_similarity(e.v[1:CAST(d.dim AS INT)],
+      |                                     q.qv[1:CAST(d.dim AS INT)]) AS sc
+      |       FROM dims d CROSS JOIN q CROSS JOIN e),
+      |tk AS (SELECT dim, query_idx, id FROM (
+      |         SELECT dim, query_idx, id,
+      |                row_number() OVER (PARTITION BY dim, query_idx
+      |                  ORDER BY sc DESC, id) AS rn
+      |         FROM ts) WHERE rn <= 10),
+      |h AS (SELECT tk.dim, tk.query_idx, CAST(count(*) AS BIGINT) AS n_hits
+      |      FROM tk JOIN truth t ON tk.query_idx = t.query_idx AND tk.id = t.id
+      |      GROUP BY 1, 2)
+      |SELECT dim, query_idx, n_hits,
+      |       round(CAST(n_hits AS DOUBLE) / 10.0, 6) AS recall
+      |FROM h ORDER BY dim, query_idx""".stripMargin
+
+  // ---- top principal component by power iteration (operators.Pca):
+  //      3 fully-replayed rounds — centering, the two keyed projections,
+  //      the 2^20 rescale, the exact-integer renormalization — plus the
+  //      explained-variance ratio in HUGEINT. Oracle = the same
+  //      arithmetic as unrolled CTEs over the raw embeddings. ----
+  def embedPca(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Pca.topComponent(
+        Tables.t(s, dir, "embeddings")
+          .select(col("vec_id").as("id"), col("embedding")), iters = 3)
+      .orderBy("dim")
+
+  private val embedPcaSql: String = {
+    val iter = (1 to 3).map { k =>
+      s"""s$k AS (SELECT c.id,
+         |        CAST(floor(CAST(sum(c.x * v.w) AS DOUBLE) / 1e6) AS BIGINT) AS sm
+         |      FROM c JOIN v${k - 1} v USING (dim) GROUP BY c.id),
+         |y$k AS (SELECT c.dim, CAST(sum(s$k.sm * c.x) AS BIGINT) AS y
+         |      FROM c JOIN s$k USING (id) GROUP BY c.dim),
+         |m$k AS (SELECT CAST(max(abs(y)) AS DOUBLE) AS m FROM y$k),
+         |k$k AS (SELECT dim,
+         |        CAST(floor(CAST(y AS DOUBLE) * 1048576.0 / m) AS BIGINT) AS yk
+         |      FROM y$k CROSS JOIN m$k),
+         |n$k AS (SELECT sqrt(CAST(sum(yk * yk) AS DOUBLE)) AS norm FROM k$k),
+         |v$k AS (SELECT dim,
+         |        CAST(floor(CAST(yk AS DOUBLE) * 1e6 / norm) AS BIGINT) AS w
+         |      FROM k$k CROSS JOIN n$k)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH q AS (
+       |  SELECT vec_id AS id, i AS dim,
+       |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1e6, 0) AS BIGINT) AS q
+       |  FROM embeddings, UNNEST(range(len(embedding))) AS u(i)),
+       |da AS (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       |              CAST(sum(q) AS BIGINT) AS sq
+       |       FROM q GROUP BY 1),
+       |mu AS (SELECT dim, CAST(floor(CAST(sq AS DOUBLE) / n) AS BIGINT) AS mu, n
+       |       FROM da),
+       |c AS (SELECT q.id, q.dim, q.q - mu.mu AS x FROM q JOIN mu USING (dim)),
+       |nd AS (SELECT CAST(count(*) AS BIGINT) AS d FROM mu),
+       |v0 AS (SELECT dim, CAST(floor(1e6 / sqrt(CAST(nd.d AS DOUBLE))) AS BIGINT) AS w
+       |       FROM mu CROSS JOIN nd),
+       |$iter,
+       |proj AS (SELECT c.id,
+       |           CAST(floor(CAST(sum(c.x * v3.w) AS DOUBLE) / 1e9) AS BIGINT) AS p
+       |         FROM c JOIN v3 USING (dim) GROUP BY c.id),
+       |pst AS (SELECT CAST(count(*) AS HUGEINT) AS np, CAST(sum(p) AS HUGEINT) AS sp,
+       |               CAST(sum(p * p) AS HUGEINT) AS spp
+       |        FROM proj),
+       |vt AS (SELECT CAST(sum(CAST(n AS HUGEINT) * CAST(sxx AS HUGEINT)
+       |                 - CAST(sx AS HUGEINT) * CAST(sx AS HUGEINT)) AS HUGEINT) AS tot
+       |       FROM (SELECT dim, CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(x) AS BIGINT) AS sx,
+       |               CAST(sum(x * x) AS BIGINT) AS sxx
+       |             FROM c GROUP BY 1)),
+       |ex AS (SELECT CAST(((np * spp - sp * sp) * 1000000 * 1000000) // tot
+       |         AS BIGINT) AS explained_ppm
+       |       FROM pst CROSS JOIN vt)
+       |SELECT mu.dim, mu.mu AS mean_micro, v3.w AS v_micro, ex.explained_ppm
+       |FROM mu JOIN v3 USING (dim) CROSS JOIN ex ORDER BY dim""".stripMargin
+  }
+
   // ---- ranking-quality evaluation: NDCG@10 + MRR of the nprobe=2 IVF
   //      route judged by exact-cosine graded relevance (the brute-force
   //      top-10 is the qrel set; docs outside it score 0, the standard
@@ -605,6 +720,8 @@ object QualityQueries {
     "q_text_diversity" -> (textDiversity _),
     "q_text_novelty" -> (textNovelty _),
     "q_embed_stats" -> (embedStats _),
+    "q_embed_pca" -> (embedPca _),
+    "q_ann_dim_sweep" -> (annDimSweep _),
     "q_pipeline_curate8" -> (pipelineCurate8 _),
     "q_dedup_across" -> (dedupAcross _),
     "q_ann_recall" -> (annRecall _),
@@ -620,6 +737,8 @@ object QualityQueries {
     "q_text_diversity" -> textDiversitySql,
     "q_text_novelty" -> textNoveltySql,
     "q_embed_stats" -> embedStatsSql,
+    "q_embed_pca" -> embedPcaSql,
+    "q_ann_dim_sweep" -> annDimSweepSql,
     "q_pipeline_curate8" -> pipelineCurate8Sql,
     "q_dedup_across" -> dedupAcrossSql,
     "q_ann_recall" -> annRecallSql,

@@ -1636,7 +1636,7 @@ object TextQueries {
     * gradients at p = 0.5 → (bias1, w1) → margins → round-1 gradients →
     * (bias2, w2) → final margins `m2`.
     */
-  private val clfTrainCtes: String =
+  private[entry] val clfTrainCtes: String =
     s"""d AS (SELECT doc_id AS id, lang, source,
        |        CASE WHEN source = 'src0' THEN 1 ELSE 0 END AS label,
        |        $toksD AS toks, CAST(len($toksD) AS BIGINT) AS tokens

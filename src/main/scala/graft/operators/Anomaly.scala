@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Telemetry anomaly detection over the events stream — the ops-side
+  * companion to [[Drift]]'s corpus-side monitoring: flag (event_type,
+  * day, hour) buckets whose volume deviates from that hour-of-day's
+  * historical norm. Seasonal baseline per (type, hour-of-day) rather
+  * than a global mean, so the 3 am lull doesn't mask a 3 am error spike.
+  *
+  * Exactness: the z-score is computed from exact integer sufficient
+  * statistics only — `dev = n·x − Σx` and `var_num = n·Σx² − (Σx)²`
+  * (population variance numerator scaled by n²), giving
+  * `z = dev / √var_num`. The single sqrt/division runs on exact integer
+  * inputs, so the double result is bit-deterministic and the floored
+  * milli-z replays in a SQL oracle.
+  *
+  * Zero-filling matters: an hour with NO events is the strongest anomaly
+  * of all and would vanish from a naive groupBy. The (type × day × hour)
+  * grid is built from two tiny distinct frames (types are bounded by the
+  * product's event taxonomy, days by the retention window) broadcast
+  * into nested-loop expansion — never a corpus-sized cartesian.
+  *
+  * Scale shape: one keyed count over the events scan (map-side combine),
+  * then everything downstream is grid-sized (|types|·|days|·24). Two
+  * keyed aggregates, broadcast joins, no window, no collect.
+  */
+object Anomaly {
+
+  /** Per-bucket hourly z-scores. `events`: (event_type, ts_ms epoch
+    * millis). Returns (event_type, day, hour, cnt, n_days, sum_cnt,
+    * z_milli) for every grid bucket with positive variance; `day` is the
+    * epoch day index, `z_milli = ⌊1000·(n·x − Σx)/√(n·Σx² − (Σx)²)⌋`.
+    * Callers threshold (|z| ≥ 2000–3000) or rank by |z|.
+    */
+  def hourlyZScores(events: DataFrame): DataFrame = {
+    val counts = events
+      .select(col("event_type"),
+        expr("ts_ms div 86400000").as("day"),
+        expr("(ts_ms div 3600000) % 24").as("hour"))
+      .groupBy("event_type", "day", "hour")
+      .agg(count(lit(1)).as("c"))
+      .localCheckpoint() // 3 consumers: types, days, the grid join
+    val types = counts.select("event_type").distinct()
+    val days = counts.select("day").distinct()
+    val hours = counts.sparkSession.range(24).select(col("id").as("hour"))
+    val grid = types
+      .crossJoin(broadcast(days))
+      .crossJoin(broadcast(hours))
+      .join(counts, Seq("event_type", "day", "hour"), "left")
+      .select(col("event_type"), col("day"), col("hour"),
+        coalesce(col("c"), lit(0L)).as("cnt"))
+    val stats = grid.groupBy("event_type", "hour")
+      .agg(count(lit(1)).as("n_days"), sum("cnt").as("sx"),
+        sum(col("cnt") * col("cnt")).as("sxx"))
+    grid.join(stats, Seq("event_type", "hour"))
+      .withColumn("dev", col("n_days") * col("cnt") - col("sx"))
+      .withColumn("var_num", col("n_days") * col("sxx") - col("sx") * col("sx"))
+      .filter(col("var_num") > 0)
+      .select(col("event_type"), col("day"), col("hour"), col("cnt"),
+        col("n_days"), col("sx").as("sum_cnt"),
+        floor(col("dev").cast("double") / sqrt(col("var_num").cast("double"))
+          * lit(1000)).cast("long").as("z_milli"))
+  }
+}

@@ -43,6 +43,140 @@ object Graph {
     edges.join(deg, "a")
   }
 
+  /** Connected components by alternating large-star / small-star rounds
+    * (Kiveris et al. 2014, "Connected Components in MapReduce and
+    * Beyond") — the O(log n)-round scale path past
+    * [[graft.dedup.Dedup.duplicateClusters]]'s two routes: the
+    * union-find route collects the edge list (capped at ~2M edges) and
+    * the min-label-propagation route needs O(diameter) rounds, which on
+    * a pathological chain of near-dups is O(n). Large-star hangs every
+    * node's larger neighbors onto its neighborhood minimum (halving tall
+    * trees), small-star re-hangs the smaller neighbors; the fixed point
+    * is a star forest rooted at each component's minimum id, reached in
+    * logarithmically many rounds regardless of diameter.
+    *
+    * Output: (id, comp) for every node in an edge, comp = the component's
+    * minimum id — identical to duplicateClusters, so the two are
+    * interchangeable (and cross-checked in GraphSpec).
+    *
+    * Scale shape: each round is two keyed min-aggregates + two keyed
+    * equi-joins over the CURRENT edge set, which only ever shrinks-or-
+    * stays output-sized (large-star can transiently add edges but the
+    * star-ward rewiring collapses them next round); no collect, driver
+    * state = the round counter + a constant-size convergence signature.
+    * Edges localCheckpoint per round so round N's plan doesn't replay
+    * rounds 1..N−1 (the pageRank precedent).
+    */
+  def connectedComponentsLss(pairs: DataFrame, maxRounds: Int = 40): DataFrame = {
+    def largeStar(e: DataFrame): DataFrame = {
+      val sym = e.select(col("a").as("u"), col("b").as("v"))
+        .unionByName(e.select(col("b").as("u"), col("a").as("v")))
+      val mins = sym.groupBy("u")
+        .agg(min("v").as("mv"))
+        .select(col("u"), least(col("mv"), col("u")).as("m"))
+      sym.join(mins, "u").filter(col("v") > col("u"))
+        .select(col("v").as("a"), col("m").as("b")).distinct()
+    }
+    def smallStar(e: DataFrame): DataFrame = {
+      // orient (big, small): v < u for every surviving edge
+      val ori = e.select(greatest(col("a"), col("b")).as("u"),
+        least(col("a"), col("b")).as("v"))
+      val mins = ori.groupBy("u").agg(min("v").as("m"))
+      ori.join(mins, "u").filter(col("v") =!= col("m"))
+        .select(col("v").as("a"), col("m").as("b"))
+        .unionByName(mins.select(col("u").as("a"), col("m").as("b")))
+        .distinct()
+    }
+    var edges = pairs
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b")).distinct().localCheckpoint()
+    val nodes = edges.select(col("a").as("id"))
+      .unionByName(edges.select(col("b").as("id"))).distinct().localCheckpoint()
+    // convergence signature: one tiny aggregate action per round — the
+    // edge set at the fixed point reproduces itself exactly
+    def sig(e: DataFrame): (Long, Long, Long) = {
+      // hash folded into [0, 1e9) before summing: the ANSI-mode sum stays
+      // exact to ~9e9 edges instead of overflowing on full-range hashes
+      val r = e.agg(count(lit(1)),
+        coalesce(sum(pmod(xxhash64(col("a"), col("b")), lit(1000000007L))), lit(0L)),
+        coalesce(sum(pmod(xxhash64(col("b"), col("a")), lit(1000000007L))), lit(0L))).head()
+      (r.getLong(0), r.getLong(1), r.getLong(2))
+    }
+    var last = sig(edges)
+    var round = 0
+    var converged = false
+    while (!converged && round < maxRounds) {
+      edges = smallStar(largeStar(edges)).localCheckpoint()
+      val s = sig(edges)
+      converged = s == last
+      last = s
+      round += 1
+    }
+    require(converged, s"large-star/small-star did not converge in $maxRounds rounds")
+    // star forest: every non-root points at its component min; roots are
+    // exactly the nodes never appearing on the child side
+    val labels = edges.select(col("a").as("id"), col("b").as("comp"))
+    nodes.join(labels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
+  }
+
+  /** Per-node triangle count + local clustering coefficient over the
+    * undirected pair graph — the companion structure signal to
+    * [[pageRank]]: in a near-dup graph, high clustering (your neighbors
+    * also duplicate each other) marks a tight template CLUSTER, while
+    * high degree with low clustering marks a hub page duplicating many
+    * unrelated pages. Returns (id, deg, tri, cc_micro) for every node in
+    * an edge; cc_micro = ⌊2·tri·10^6 / (deg·(deg−1))⌋, 0 for deg < 2 (the
+    * usual convention, and it keeps the report column null-free).
+    *
+    * Scale shape: the classic wedge join is Σ deg² — quadratic in hub
+    * degree. Here every edge is ORIENTED from its (degree, id)-smaller
+    * endpoint (Schank–Wagner / Cohen's MapReduce form), so each triangle
+    * is generated exactly once at its smallest-degree corner and the
+    * wedge count drops to O(m^{3/2}) regardless of hub skew. Three keyed
+    * equi-joins (wedge build + closing-edge probe), one explode bounded
+    * by 3·triangles, keyed aggregates with map-side combine — no window,
+    * no collect, output-sized intermediates throughout.
+    */
+  def triangles(pairs: DataFrame): DataFrame = {
+    // id-canonical distinct edge set (a < b): closing-edge probe target
+    val e = pairs
+      .select(least(col("a"), col("b")).as("a"), greatest(col("a"), col("b")).as("b"))
+      .filter(col("a") =!= col("b"))
+      .distinct().localCheckpoint()
+    val deg = e.select(col("a").as("id")).unionByName(e.select(col("b").as("id")))
+      .groupBy("id").agg(count(lit(1)).as("deg"))
+      .localCheckpoint()
+    // orient each edge from the (deg, id)-lexicographically smaller side
+    val dd = e
+      .join(deg.select(col("id").as("a"), col("deg").as("da")), "a")
+      .join(deg.select(col("id").as("b"), col("deg").as("db")), "b")
+    val oriented = dd.select(
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("a"))
+        .otherwise(col("b")).as("u"),
+      when(col("da") < col("db") ||
+        (col("da") === col("db") && col("a") < col("b")), col("b"))
+        .otherwise(col("a")).as("v"))
+      .localCheckpoint()
+    // wedges at the smallest-degree corner; x<y dedupes the unordered pair
+    val wedges = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.u") === col("e2.u") && col("e1.v") < col("e2.v"))
+      .select(col("e1.u").as("w"), col("e1.v").as("x"), col("e2.v").as("y"))
+    val tris = wedges
+      .join(e, wedges("x") === e("a") && wedges("y") === e("b"))
+      .select(col("w"), col("x"), col("y"))
+    val perNode = tris
+      .select(explode(array(col("w"), col("x"), col("y"))).as("id"))
+      .groupBy("id").agg(count(lit(1)).as("tri"))
+    deg.join(perNode, Seq("id"), "left")
+      .select(col("id"), col("deg"), coalesce(col("tri"), lit(0L)).as("tri"),
+        when(col("deg") >= 2,
+          expr("(2000000L * coalesce(tri, 0L)) div (deg * (deg - 1L))"))
+          .otherwise(lit(0L)).as("cc_micro"))
+  }
+
   /** Fixed-iteration integer PageRank over the undirected graph defined by
     * `pairs` (columns a, b — each row one undirected edge; symmetrized and
     * deduplicated here). Returns (id, deg, rank_micro) for every node that

@@ -60,6 +60,55 @@ object Sampling {
       .drop("__rn")
   }
 
+  /** WEIGHTED fixed-size sample without replacement — Efraimidis–Spirakis
+    * (2006) exponential keys in their Gumbel form: top-k by
+    * `ln(w) + Gumbel` draws each size-k subset with the same probability
+    * as sequential weighted draws without replacement. The randomness is
+    * hash-derived (u from the id's md5 hash, g = −ln(−ln u) — the
+    * [[Dsir.resampleTopK]] construction), so the sample is deterministic,
+    * partitioning-invariant, and SQL-replayable; keys are summed in
+    * micro-units so the order is integer-exact. The training-mixture use:
+    * sample documents proportional to token count (or quality score)
+    * instead of uniformly, without a corpus sort — compiles to
+    * `TakeOrderedAndProject` (per-partition bounded heap).
+    *
+    * `weightCol` must be a positive integer column; rows with weight ≤ 0
+    * or null are excluded (they have zero selection probability).
+    */
+  def weightedFixedSize(df: DataFrame, idCol: String, weightCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got $k)")
+    df.filter(col(weightCol) > 0)
+      .withColumn("__key", weightedKeyMicro(col(idCol), col(weightCol)))
+      .orderBy(col("__key").desc, col(idCol).cast("string"))
+      .limit(k)
+      .drop("__key")
+  }
+
+  /** Weighted fixed-size sample PER GROUP (per-language / per-source
+    * carve): one keyed window, WindowGroupLimit bounds per-task work.
+    */
+  def weightedFixedSizePerGroup(
+      df: DataFrame, idCol: String, weightCol: String, groupCol: String, k: Int): DataFrame = {
+    require(k >= 1, s"need k >= 1 (got $k)")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(groupCol))
+      .orderBy(weightedKeyMicro(col(idCol), col(weightCol)).desc,
+        col(idCol).cast("string"))
+    df.filter(col(weightCol) > 0)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= k)
+      .drop("__rn")
+  }
+
+  /** `⌊10^6·ln w⌋ + ⌊10^6·g⌋` with hash-Gumbel g — deterministic micro-key
+    * shared by both weighted samplers (and replayed by the oracle).
+    */
+  private def weightedKeyMicro(idCol: Column, weightCol: Column): Column = {
+    val u = (TextFunctions.stableHash32(idCol.cast("string")).cast("double") +
+      lit(0.5)) / lit(4294967296.0)
+    floor(log(weightCol.cast("double")) * lit(1e6)).cast("long") +
+      floor(-log(-log(u)) * lit(1e6)).cast("long")
+  }
+
   /** Stratified deterministic sample: per-stratum fractions with a default
     * for unlisted strata. One scan, no shuffle; the rate lookup is a
     * literal CASE chain (broadcast-free).

@@ -70,4 +70,32 @@ class ChunkSplitSpec extends SparkSpec {
       .groupBy("g").count().collect().map(_.getLong(1))
     assert(perG.forall(_ == 7L))
   }
+
+  test("weighted sampling: exact-size, deterministic, weight-proportional") {
+    import graft.operators.Sampling
+    // 200 light rows (w=1) + 20 heavy rows (w=10000): heavies should
+    // dominate a k=20 draw (ln-weight gap ~9.2 vs Gumbel noise)
+    val docs = ((1L to 200L).map(i => (i, 1L)) ++
+      (1001L to 1020L).map(i => (i, 10000L))).toDF("id", "w")
+    def draw(d: org.apache.spark.sql.DataFrame) =
+      Sampling.weightedFixedSize(d, "id", "w", 20)
+        .select("id").collect().map(_.getLong(0)).toSet
+    val a = draw(docs)
+    assert(a.size == 20)
+    assert(a == draw(docs.repartition(13)), "not partitioning-invariant")
+    assert(a.count(_ >= 1001L) >= 18, s"heavy rows under-drawn: $a")
+    // zero/negative/null weights are excluded outright
+    val withBad = docs.unionByName(
+      Seq((5000L, 0L), (5001L, -3L)).toDF("id", "w"))
+    assert(!draw(withBad).exists(_ >= 5000L))
+    // per-group carve: exactly k per group, same determinism
+    val g = docs.withColumn("g",
+      (org.apache.spark.sql.functions.col("id") % 2).cast("string"))
+    val perG = Sampling.weightedFixedSizePerGroup(g, "id", "w", "g", 5)
+    assert(perG.groupBy("g").count().collect().map(_.getLong(1)).forall(_ == 5L))
+    val p1 = perG.select("id").collect().map(_.getLong(0)).toSet
+    val p2 = Sampling.weightedFixedSizePerGroup(g.repartition(7), "id", "w", "g", 5)
+      .select("id").collect().map(_.getLong(0)).toSet
+    assert(p1 == p2)
+  }
 }

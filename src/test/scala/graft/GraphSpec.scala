@@ -39,6 +39,73 @@ class GraphSpec extends SparkSpec {
     assert(dup == base)
   }
 
+  private def tris(pairs: Seq[(Long, Long)]): Map[Long, (Long, Long, Long)] =
+    Graph.triangles(pairs.toDF("a", "b")).collect()
+      .map(r => r.getAs[Long]("id") ->
+        (r.getAs[Long]("deg"), r.getAs[Long]("tri"),
+          r.getAs[Long]("cc_micro"))).toMap
+
+  test("triangles: K4 — every node in 3 triangles with clustering 1.0") {
+    val k4 = for (a <- 1L to 4L; b <- (a + 1) to 4L) yield (a, b)
+    val m = tris(k4)
+    assert(m.size == 4)
+    assert(m.values.forall(_ == ((3L, 3L, 1000000L))))
+  }
+
+  test("triangles: path graph has none; cc 0 for deg<2 and open wedges") {
+    val m = tris(Seq((1L, 2L), (2L, 3L)))
+    assert(m(1L) == ((1L, 0L, 0L))) // deg<2: cc 0 by convention
+    assert(m(2L) == ((2L, 0L, 0L))) // open wedge: 0/(2*1)
+    assert(m(3L) == ((1L, 0L, 0L)))
+  }
+
+  test("triangles: triangle with a pendant edge, hand-computed cc") {
+    val m = tris(Seq((1L, 2L), (2L, 3L), (1L, 3L), (3L, 4L)))
+    assert(m(1L) == ((2L, 1L, 1000000L)))
+    assert(m(2L) == ((2L, 1L, 1000000L)))
+    // deg 3, one triangle: 2*1e6/(3*2) = 333333
+    assert(m(3L) == ((3L, 1L, 333333L)))
+    assert(m(4L) == ((1L, 0L, 0L)))
+  }
+
+  test("triangles: orientation, duplicates, and self-loops don't change counts") {
+    val base = tris(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val messy = tris(Seq((2L, 1L), (3L, 2L), (1L, 3L), (1L, 2L), (1L, 1L)))
+    assert(messy == base)
+  }
+
+  private def lss(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Graph.connectedComponentsLss(pairs.toDF("a", "b")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+
+  test("LSS components: long chain collapses to the minimum in few rounds") {
+    // path 1-2-...-50: min-label propagation needs O(n) rounds; LSS O(log n)
+    val chain = (1L until 50L).map(i => (i, i + 1))
+    val m = lss(chain)
+    assert(m.size == 50)
+    assert(m.values.forall(_ == 1L))
+  }
+
+  test("LSS components: multiple components, orientation + duplicates") {
+    val m = lss(Seq((5L, 3L), (3L, 9L), (9L, 5L), (20L, 21L), (21L, 20L), (30L, 31L)))
+    assert(m(3L) == 3L && m(5L) == 3L && m(9L) == 3L)
+    assert(m(20L) == 20L && m(21L) == 20L)
+    assert(m(30L) == 30L && m(31L) == 30L)
+  }
+
+  test("LSS components agree with duplicateClusters on a pseudo-random graph") {
+    // deterministic sparse graph over 200 nodes
+    val pairs = (1 to 260).map { i =>
+      val a = (i * 2654435761L) % 200L
+      val b = (i * 40503L + 7) % 200L
+      (a, b)
+    }.filter { case (a, b) => a != b }
+    val a = lss(pairs)
+    val b = graft.dedup.Dedup.duplicateClusters(pairs.toDF("a", "b")).collect()
+      .map(r => r.getAs[Long]("id") -> r.getAs[Long]("comp")).toMap
+    assert(a == b)
+  }
+
   test("hub node outranks leaves; disconnected components don't interact") {
     // star 10-(11,12,13) plus isolated edge 20-21
     val m = ranks(Seq((10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L)), iters = 5)
