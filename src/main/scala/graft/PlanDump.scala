@@ -62,7 +62,17 @@ object PlanDump {
     "q_events_markov" -> "Markov transitions: partitioned session windows + |types|^2-bounded aggs",
     "q_classifier_calibration" -> "calibration: trained margins -> literal bin edges -> 10-key agg",
     "q_embed_stats" -> "embedding stats: narrow posexplode + 64-key combiner-collapsed agg",
-    "q_ann_ndcg" -> "NDCG/MRR eval: bounded top-k legs + per-query discount-weight join")
+    "q_ann_ndcg" -> "NDCG/MRR eval: bounded top-k legs + per-query discount-weight join",
+    "q_classifier_auc" -> "exact AUC: distinct-margin agg + bucket-sliced prefix sum, window PARTITIONED by bucket (no global sort)",
+    "q_drift_psi" -> "PSI drift: two pruned scans -> 10-key aggs -> bins-sized grid, single-row broadcast total",
+    "q_sample_weighted" -> "weighted sample: Gumbel micro-key + TakeOrderedAndProject heap",
+    "q_graph_triangles" -> "triangle census: degree-ordered orientation, wedge equi-join + closing-edge probe (O(m^1.5))",
+    "q_dedup_clusters_lss" -> "LSS components: per-round keyed min-aggs + joins, edge set output-sized",
+    "q_events_anomaly" -> "hourly anomaly: keyed count + broadcast grid zero-fill + |grid| stats aggs",
+    "q_embed_pca" -> "PCA power round: broadcast 64-row component join + two keyed aggs per pass",
+    "q_ann_dim_sweep" -> "dim sweep: four truncated top-k legs unioned against ONE checkpointed truth leg",
+    "q_events_paths" -> "session paths: user-keyed session windows -> |types|^3-bounded count -> top-k heap",
+    "q_events_abtest" -> "A/B readout: unit-keyed agg -> 2-row arm agg -> single-row z projection")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

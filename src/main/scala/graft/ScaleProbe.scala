@@ -513,5 +513,62 @@ object ScaleProbe {
       graft.operators.Profile.embeddingStats(vecs)
         .agg(count(lit(1)), sum(col("n"))).collect()(0).getLong(0)
     }
+    // exact AUC: distinct-margin agg + B-bucket prefix sum — the curve
+    // must track the scored-row scan, never a global sort (margins here
+    // are token counts vs a length label: dense ties, the hard case)
+    time("classifier_auc") {
+      val scored = docs.select(
+        length(col("content")).cast("long").as("margin_micro"),
+        (graft.functions.TextFunctions.stableHash32(col("id")) % 2).as("pos"))
+      graft.operators.Eval.aucExact(scored)
+        .agg(sum(col("n_pos") + col("n_neg"))).collect()(0).getLong(0)
+    }
+    // PSI drift: two narrow scans + bins-sized grid — flat-by-construction
+    time("drift_psi") {
+      val par = graft.functions.TextFunctions.stableHash32(col("id")) % 2
+      val lens = docs.select(length(col("content")).cast("long").as("v"), par.as("p"))
+      graft.operators.Drift.psi(
+          lens.filter(col("p") === 0).select("v"),
+          lens.filter(col("p") === 1).select("v"), "v", bins = 10)
+        .agg(count(lit(1)), sum(col("n_ref"))).collect()(0).getLong(0)
+    }
+    // weighted sampling: TakeOrderedAndProject heap — must track the scan
+    time("sample_weighted") {
+      graft.operators.Sampling.weightedFixedSize(
+          docs.select(col("id"), length(col("content")).cast("long").as("w")),
+          "id", "w", 1000)
+        .agg(count(lit(1)), sum(col("w"))).collect()(0).getLong(0)
+    }
+    // LSS components: O(log n) rounds of keyed min-agg+join over the
+    // M-fold edge list — compare against the union-find route's collect
+    time("dedup_clusters_lss") {
+      val pairs = graft.dedup.Dedup.minHashNearDups(docs, threshold = 0.6)
+        .select("a", "b").localCheckpoint()
+      graft.operators.Graph.connectedComponentsLss(pairs)
+        .agg(count(lit(1))).collect()(0).getLong(0)
+    }
+    // triangle census: degree-ordered wedges keep the join O(m^1.5);
+    // replicas share no shingles so the edge list grows exactly M-fold
+    time("graph_triangles") {
+      val pairs = graft.dedup.Dedup.ngramJaccard(docs, threshold = 0.3)
+        .select("a", "b")
+      graft.operators.Graph.triangles(pairs)
+        .agg(count(lit(1)), sum(col("tri"))).collect()(0).getLong(0)
+    }
+    // hourly anomaly: one keyed count over events + grid-sized tail;
+    // salted users leave the (type, day, hour) grid CONSTANT while the
+    // counts grow M-fold — the curve must track the event scan
+    time("events_anomaly") {
+      graft.operators.Anomaly.hourlyZScores(
+          events.select(col("event_type"), expr("tsu div 1000").as("ts_ms")))
+        .agg(count(lit(1)), sum(col("cnt"))).collect()(0).getLong(0)
+    }
+    // PCA power iteration: 3 rounds x (broadcast join + two keyed aggs)
+    // over the M-fold long form; driver state d longs per round
+    time("embed_pca") {
+      graft.operators.Pca.topComponent(
+          vecs.select(col("id"), col("embedding")), iters = 3)
+        .agg(count(lit(1)), sum(col("v_micro"))).collect()(0).getLong(0)
+    }
   }
 }

@@ -618,6 +618,81 @@ object OlapQueries {
       |SELECT * FROM z
       |ORDER BY abs(z_milli) DESC, event_type, day, hour LIMIT 50""".stripMargin
 
+  // ---- top 3-step session paths (operators.Transitions.sessionPaths):
+  //      the flow report generalizing the Markov bigrams; same session
+  //      gap rule, keyed count bounded by |event-type|^3, top-20 heap. ----
+  def eventsPaths(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Transitions.sessionPaths(
+        t(s, dir, "events")
+          .select(col("user_id"), col("event_id"), col("event_type"),
+            epochOf("MILLISECOND", "ts").as("ts_ms")),
+        steps = 3, k = 20)
+
+  val eventsPathsSql: String =
+    """WITH ev AS (
+      |  SELECT user_id, event_id, event_type, epoch_ms(ts) AS ts_ms,
+      |         lag(epoch_ms(ts)) OVER (PARTITION BY user_id ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |  FROM events),
+      |s AS (SELECT user_id, event_id, event_type, ts_ms,
+      |        CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000 THEN 1 ELSE 0 END AS new_sess
+      |      FROM ev),
+      |x AS (SELECT user_id, event_id, event_type, ts_ms,
+      |        CAST(sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_idx
+      |      FROM s),
+      |nx AS (SELECT event_type AS e0,
+      |         lead(event_type, 1) OVER w AS e1,
+      |         lead(event_type, 2) OVER w AS e2
+      |       FROM x
+      |       WINDOW w AS (PARTITION BY user_id, session_idx ORDER BY ts_ms, event_id)),
+      |p AS (SELECT e0 || ' > ' || e1 || ' > ' || e2 AS path, count(*) AS n
+      |      FROM nx WHERE e1 IS NOT NULL AND e2 IS NOT NULL GROUP BY 1)
+      |SELECT path, n FROM p ORDER BY n DESC, path LIMIT 20""".stripMargin
+
+  // ---- two-arm experiment readout (operators.Experiment): users hashed
+  //      into deterministic arms, conversion = "power buyer" (>= 14
+  //      purchase events — the synthetic stream gives every user SOME
+  //      purchase, so any-purchase would be the degenerate 100%/100%
+  //      readout with an undefined z); exact counts/micro rates and the
+  //      pooled two-proportion milli-z, all replayed bit-for-bit. ----
+  def eventsAbtest(s: SparkSession, dir: String): DataFrame = {
+    val units = t(s, dir, "events")
+      .groupBy("user_id")
+      .agg(when(sum(when(col("event_type") === "purchase", 1L).otherwise(0L)) >= 14, 1L)
+        .otherwise(0L).as("converted"))
+      .select(
+        (graft.functions.TextFunctions.stableHash32(col("user_id").cast("string")) % 2)
+          .as("arm"),
+        col("converted"))
+    graft.operators.Experiment.abTest(units)
+  }
+
+  val eventsAbtestSql: String =
+    """WITH u AS (SELECT user_id,
+      |             CASE WHEN sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) >= 14
+      |               THEN 1 ELSE 0 END AS converted
+      |           FROM events GROUP BY 1),
+      |a AS (SELECT ('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT % 2 AS arm,
+      |             converted
+      |      FROM u),
+      |g AS (SELECT arm, CAST(count(*) AS BIGINT) AS n, CAST(sum(converted) AS BIGINT) AS c
+      |      FROM a GROUP BY 1),
+      |t AS (SELECT CAST(sum(CASE WHEN arm = 0 THEN n ELSE 0 END) AS BIGINT) AS n0,
+      |             CAST(sum(CASE WHEN arm = 1 THEN n ELSE 0 END) AS BIGINT) AS n1,
+      |             CAST(sum(CASE WHEN arm = 0 THEN c ELSE 0 END) AS BIGINT) AS c0,
+      |             CAST(sum(CASE WHEN arm = 1 THEN c ELSE 0 END) AS BIGINT) AS c1
+      |      FROM g)
+      |SELECT n0 AS n_0, n1 AS n_1, c0 AS conv_0, c1 AS conv_1,
+      |  (c0 * 1000000) // n0 AS rate_0_micro,
+      |  (c1 * 1000000) // n1 AS rate_1_micro,
+      |  (c1 * 1000000) // n1 - (c0 * 1000000) // n0 AS lift_micro,
+      |  CAST(floor((c1::DOUBLE / n1 - c0::DOUBLE / n0)
+      |    / sqrt(((c0 + c1)::DOUBLE / (n0 + n1))
+      |           * (1.0 - (c0 + c1)::DOUBLE / (n0 + n1))
+      |           * (1.0 / n0 + 1.0 / n1))
+      |    * 1000) AS BIGINT) AS z_milli
+      |FROM t""".stripMargin
+
   def eventsMarkov(s: SparkSession, dir: String): DataFrame =
     graft.operators.Transitions.sessionTransitions(
         t(s, dir, "events")
@@ -650,6 +725,8 @@ object OlapQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_anomaly" -> (eventsAnomaly _),
+    "q_events_paths" -> (eventsPaths _),
+    "q_events_abtest" -> (eventsAbtest _),
     "q_events_markov" -> (eventsMarkov _),
     "q_corpus_rollup" -> (corpusRollup _),
     "q_events_window" -> (eventsWindow _),
@@ -671,6 +748,8 @@ object OlapQueries {
 
   def oracles: Map[String, String] = Map(
     "q_events_anomaly" -> eventsAnomalySql,
+    "q_events_paths" -> eventsPathsSql,
+    "q_events_abtest" -> eventsAbtestSql,
     "q_events_markov" -> eventsMarkovSql,
     "q_corpus_rollup" -> corpusRollupSql,
     "q_events_window" -> eventsWindowSql,

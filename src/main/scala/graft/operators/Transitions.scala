@@ -20,6 +20,42 @@ import org.apache.spark.sql.functions._
   */
 object Transitions {
 
+  /** Top-k n-step session paths — the flow report behind every "how do
+    * users reach purchase" question, and the n-gram generalization of
+    * [[sessionTransitions]]'s bigrams: consecutive `steps`-long
+    * event-type sequences inside gap-delimited sessions, counted and
+    * ranked. Same windows-partitioned-by-user shape (per-key density
+    * bounds window width), one keyed count whose key space is bounded by
+    * |event-type|^steps, top-k via TakeOrderedAndProject.
+    */
+  def sessionPaths(
+      events: DataFrame,
+      gapMs: Long = 30L * 60 * 1000,
+      steps: Int = 3,
+      k: Int = 20): DataFrame = {
+    require(steps >= 2 && steps <= 5, s"steps=$steps outside [2,5]")
+    require(k >= 1, s"need k >= 1 (got $k)")
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val ev = events
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > gapMs, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val bySess = Window.partitionBy("user_id", "session_idx")
+      .orderBy(col("ts_ms"), col("event_id"))
+    val withLeads = (1 until steps).foldLeft(ev.withColumn("e0", col("event_type"))) {
+      case (df, i) => df.withColumn(s"e$i", lead(col("event_type"), i).over(bySess))
+    }
+    withLeads
+      .filter((1 until steps).map(i => col(s"e$i").isNotNull).reduce(_ && _))
+      .select(concat_ws(" > ", (0 until steps).map(i => col(s"e$i")): _*).as("path"))
+      .groupBy("path").agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("path"))
+      .limit(k)
+  }
+
   /** events: (user_id, event_id, event_type, ts_ms). Same gap rule as the
     * sessionize operators so session boundaries agree across reports.
     */

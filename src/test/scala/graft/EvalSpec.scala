@@ -126,6 +126,45 @@ class EvalSpec extends SparkSpec {
     assert(again.map(_.toSeq).toSeq == rows.map(_.toSeq).toSeq)
   }
 
+  test("abTest: hand-computed two-proportion z; degenerate cases null") {
+    import graft.operators.Experiment
+    // arm0 1/4 vs arm1 3/4: pool .5, z = .5/sqrt(.125) = 1.41421
+    val units = (Seq.fill(1)((0L, 1L)) ++ Seq.fill(3)((0L, 0L)) ++
+      Seq.fill(3)((1L, 1L)) ++ Seq.fill(1)((1L, 0L))).toDF("arm", "converted")
+    val r = Experiment.abTest(units).head()
+    assert(r.getAs[Long]("n_0") == 4L && r.getAs[Long]("n_1") == 4L)
+    assert(r.getAs[Long]("rate_0_micro") == 250000L)
+    assert(r.getAs[Long]("rate_1_micro") == 750000L)
+    assert(r.getAs[Long]("lift_micro") == 500000L)
+    assert(r.getAs[Long]("z_milli") == 1414L)
+    // everyone converted -> zero pooled variance -> null z
+    val flat = Experiment.abTest(Seq((0L, 1L), (1L, 1L)).toDF("arm", "converted")).head()
+    assert(flat.isNullAt(flat.fieldIndex("z_milli")))
+    // one empty arm -> null rate + z
+    val one = Experiment.abTest(Seq((0L, 1L), (0L, 0L)).toDF("arm", "converted")).head()
+    assert(one.isNullAt(one.fieldIndex("rate_1_micro")) &&
+      one.isNullAt(one.fieldIndex("z_milli")))
+  }
+
+  test("sessionPaths: 3-step paths respect session gaps and rank by count") {
+    import graft.operators.Transitions
+    val m = 60000L
+    val ev = Seq(
+      // user 1, one session: A B C D
+      (1L, 1L, "A", 0L), (1L, 2L, "B", m), (1L, 3L, "C", 2 * m), (1L, 4L, "D", 3 * m),
+      // user 2, one session: A B C
+      (2L, 5L, "A", 0L), (2L, 6L, "B", m), (2L, 7L, "C", 2 * m),
+      // user 3: A B, 31-min gap, C D -> no 3-path
+      (3L, 8L, "A", 0L), (3L, 9L, "B", m), (3L, 10L, "C", 32 * m), (3L, 11L, "D", 33 * m)
+    ).toDF("user_id", "event_id", "event_type", "ts_ms")
+    val out = Transitions.sessionPaths(ev, steps = 3, k = 10).collect()
+      .map(r => r.getString(0) -> r.getLong(1))
+    assert(out.toSeq == Seq("A > B > C" -> 2L, "B > C > D" -> 1L))
+    // k truncates after the (count desc, path asc) order
+    val top1 = Transitions.sessionPaths(ev, steps = 3, k = 1).collect()
+    assert(top1.length == 1 && top1.head.getString(0) == "A > B > C")
+  }
+
   test("PSI is partitioning-invariant and symmetric-ish under swap") {
     val ref = (1L to 300L).map(i => i % 50L).toDF("v")
     val cur = (1L to 200L).map(i => (i * i) % 50L).toDF("v")
