@@ -60,6 +60,38 @@ object TextExpressions {
 
   def charTrigrams(c: Column): Column = column(CharTrigrams(expression(c)))
 
+  /** DISTINCT word n-gram shingles of a token array — `join(" ")` of each
+    * length-`n` window, first-occurrence order (the `array_distinct`
+    * contract), empty below `n` tokens.
+    *
+    * Why native (the [[CharTrigrams]] rationale): the column form —
+    * `when(size(toks) < n, []).otherwise(array_distinct(transform(
+    * sequence(...), i -> concat_ws(element_at(toks, ...)))))` — is a
+    * lambda HOF under a CASE, so CSE skips it and projection collapse
+    * re-inlines the tokenizer (`regexp_extract_all` + `lower`) into the
+    * CASE condition and into the lambda — re-tokenizing per shingle.
+    * Measured on q_decontaminate at sf0.1: 9.5 s (guarded HOF) vs 2.4 s
+    * (pre-guard HOF) vs ~1 s native. This expression reads its child
+    * once per row and handles the short-doc guard internally.
+    */
+  case class WordShingles(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"shingle width must be >= 1 (got $n)")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): WordShingles =
+      copy(child = newChild)
+
+    override def nullSafeEval(input: Any): Any =
+      WordShinglesHelper.compute(
+        input.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData], n)
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a =>
+        s"${ev.value} = graft.functions.WordShinglesHelper.compute($a, $n);")
+  }
+
+  def wordShingles(toks: Column, n: Int): Column =
+    column(WordShingles(expression(toks), n))
+
   /** C4 line-filter statistics in ONE pass over the text:
     * `struct<n_lines, n_kept, cleaned>` where a line counts if it trims
     * (spaces only, the `trim`/DuckDB parity) to non-empty, and is KEPT if
@@ -153,5 +185,36 @@ object C4LineStatsHelper {
     }
     new GenericInternalRow(
       Array[Any](nLines, nKept, UTF8String.fromString(sb.toString)))
+  }
+}
+
+/** Static helper for [[TextExpressions.WordShingles]] (top-level object =
+  * Java static forwarder, resolvable from janino-compiled projections).
+  */
+object WordShinglesHelper {
+  import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+
+  private val Space = UTF8String.fromString(" ")
+
+  def compute(arr: ArrayData, n: Int): ArrayData = {
+    val size = arr.numElements()
+    val m = size - n + 1
+    if (m <= 0) return new GenericArrayData(new Array[Any](0))
+    // LinkedHashSet: dedupe with first-occurrence order, the
+    // array_distinct contract the dedup-family oracles replay
+    val seen = new java.util.LinkedHashSet[UTF8String](m * 2)
+    var i = 0
+    while (i < m) {
+      val parts = new Array[UTF8String](n)
+      var j = 0
+      while (j < n) { parts(j) = arr.getUTF8String(i + j); j += 1 }
+      seen.add(UTF8String.concatWs(Space, parts: _*))
+      i += 1
+    }
+    val out = new Array[Any](seen.size())
+    val it = seen.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next(); k += 1 }
+    new GenericArrayData(out)
   }
 }

@@ -57,14 +57,14 @@ object TextFunctions {
     * the explode-based [[graft.dedup.Dedup.shingleRows]] instead.
     */
   def shingles(toks: Column, n: Int): Column =
-    // short-doc guard (the gramsOf precedent): below n tokens the
-    // descending sequence(0, -1) would feed element_at an out-of-range
-    // index and fail the whole job on one malformed row
-    when(size(toks) < n, array().cast("array<string>")).otherwise(
-      array_distinct(
-        transform(sequence(lit(0), size(toks) - lit(n)), i =>
-          concat_ws(" ", (0 until n).map(j => element_at(toks, i + lit(j + 1))): _*))
-      ))
+    // native expression, NOT the when+transform column form: the CASE-
+    // guarded HOF re-inlined the tokenizer into the guard condition and
+    // the lambda (no CSE on CodegenFallback), re-tokenizing per shingle —
+    // measured 9.5 s vs 2.4 s (pre-guard) vs ~1 s (native) on
+    // q_decontaminate at sf0.1. Same semantics: distinct first-occurrence
+    // n-gram strings, empty below n tokens (the short-doc guard lives
+    // inside the expression, so no malformed row can fail the job).
+    TextExpressions.wordShingles(toks, n)
 
   /** Stable 32-bit string hash with a DuckDB-expressible definition:
     * first 8 hex chars of md5, parsed as an unsigned 32-bit integer.
