@@ -723,7 +723,221 @@ object OlapQueries {
       |FROM tr JOIN tot ON tr.src = tot.src
       |ORDER BY tr.src, tr.dst""".stripMargin
 
+  /** TPC-H Q4 shape — EXISTS correlated semi-join: orders in a quarter
+    * with at least one lineitem shipped after the order date (the
+    * late-shipment analog of Q4's commit<receipt over this schema's
+    * columns). Plans as a LeftSemi hash join on the equi key with the
+    * range predicate in the join condition — the probe side never
+    * duplicates orders however many lineitems match (no distinct needed),
+    * and the quarter filter prunes the build side at the scan.
+    */
+  def q4Priority(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("1996-07-01").cast("timestamp") &&
+        col("o_orderdate") < lit("1996-10-01").cast("timestamp"))
+    val li = t(s, dir, "lineitem").select("l_orderkey", "l_shipdate")
+    ord.join(li, ord("o_orderkey") === li("l_orderkey") &&
+        li("l_shipdate") > ord("o_orderdate"), "leftsemi")
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
+  }
+
+  val q4PrioritySql: String =
+    """SELECT o_orderpriority, count(*) AS order_count
+      |FROM orders
+      |WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+      |  AND EXISTS (SELECT 1 FROM lineitem
+      |              WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+      |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin
+
+  /** TPC-H Q14 shape — conditional aggregation over a broadcast dimension
+    * join: promo-type revenue share for one ship month. Both sums ride the
+    * same decimal accumulator; the percentage divides the two exact
+    * doubles (identical IEEE sequence both engines).
+    */
+  def q14Promo(s: SparkSession, dir: String): DataFrame = {
+    val rev = (dec(col("l_extendedprice"), 2) *
+      (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2)))
+      .cast("decimal(18,4)")
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .agg(
+        sum(when(col("p_type") === "PROMO", rev)
+          .otherwise(lit(0).cast("decimal(18,4)"))).as("pr"),
+        sum(rev).as("tr"))
+      .select(col("pr").cast("double").as("promo_revenue"),
+        col("tr").cast("double").as("total_revenue"),
+        round(lit(100.0) * col("pr").cast("double") / col("tr").cast("double"), 6)
+          .as("promo_pct"))
+  }
+
+  val q14PromoSql: String =
+    """WITH r AS (
+      |  SELECT p_type,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |              AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00')
+      |SELECT CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE) AS promo_revenue,
+      |       CAST(sum(rev) AS DOUBLE) AS total_revenue,
+      |       round(100.0 * CAST(sum(CASE WHEN p_type = 'PROMO' THEN rev ELSE CAST(0 AS DECIMAL(18,4)) END) AS DOUBLE)
+      |             / CAST(sum(rev) AS DOUBLE), 6) AS promo_pct
+      |FROM r""".stripMargin
+
+  /** TPC-H Q18 shape — group-HAVING then join back: orders whose total
+    * quantity clears a large-volume threshold, re-joined to orders +
+    * broadcast customer for the top-10 report. The HAVING side aggregates
+    * lineitem once (map-side partials collapse each order's lines before
+    * the exchange); only the ~p99 surviving keys join back.
+    */
+  def q18Large(s: SparkSession, dir: String): DataFrame = {
+    val big = t(s, dir, "lineitem")
+      .groupBy("l_orderkey")
+      .agg(sum(dec(col("l_quantity"), 2)).as("qty"))
+      .filter(col("qty") > lit(262).cast("decimal(18,2)"))
+    t(s, dir, "orders")
+      .join(big, col("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .select(col("c_name"), col("o_custkey"), col("o_orderkey"),
+        date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate_str"),
+        round(col("o_totalprice"), 2).as("total_price"),
+        col("qty").cast("double").as("sum_qty"))
+      .orderBy(col("total_price").desc, col("o_orderkey"))
+      .limit(10)
+  }
+
+  val q18LargeSql: String =
+    """SELECT c_name, o_custkey, o_orderkey,
+      |       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate_str,
+      |       round(o_totalprice, 2) AS total_price,
+      |       CAST(qty AS DOUBLE) AS sum_qty
+      |FROM orders
+      |JOIN (SELECT l_orderkey, sum(CAST(l_quantity AS DECIMAL(18,2))) AS qty
+      |      FROM lineitem GROUP BY l_orderkey
+      |      HAVING sum(CAST(l_quantity AS DECIMAL(18,2))) > 262) big
+      |  ON o_orderkey = big.l_orderkey
+      |JOIN customer ON o_custkey = c_custkey
+      |ORDER BY total_price DESC, o_orderkey LIMIT 10""".stripMargin
+
+  /** TPC-H Q19 shape — disjunctive predicates spanning both join sides:
+    * three (brand, size-range, quantity-range) arms OR'd together. The
+    * join stays an equi hash join on partkey with the disjunction as its
+    * residual condition, and Catalyst still extracts the common
+    * quantity envelope (1..50) as a pushable scan filter — the OR does
+    * not force a nested loop.
+    */
+  def q19Disjunct(s: SparkSession, dir: String): DataFrame = {
+    val arm1 = col("p_brand") === "Brand#1" && col("p_size").between(1, 15) &&
+      col("l_quantity").between(1, 30)
+    val arm2 = col("p_brand") === "Brand#2" && col("p_size").between(10, 30) &&
+      col("l_quantity").between(10, 40)
+    val arm3 = col("p_brand") === "Brand#3" && col("p_size").between(20, 50) &&
+      col("l_quantity").between(20, 50)
+    t(s, dir, "lineitem")
+      .join(broadcast(t(s, dir, "part")), col("l_partkey") === col("p_partkey"))
+      .filter(arm1 || arm2 || arm3)
+      .agg(
+        sum(dec(col("l_extendedprice"), 2) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2))).as("r"),
+        count(lit(1)).as("n"))
+      .select(col("r").cast("double").as("revenue"), col("n"))
+  }
+
+  val q19DisjunctSql: String =
+    """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+      |           * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |       count(*) AS n
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 30)
+      |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 30 AND l_quantity BETWEEN 10 AND 40)
+      |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
+
+  /** TPC-H Q11 shape — global-aggregate scalar threshold: parts whose
+    * revenue exceeds 0.1% of total corpus revenue. The 1-row total
+    * broadcasts into the filter (`val * 1000 > tot` keeps the comparison
+    * decimal-exact — no division, no float), so the plan is two keyed
+    * aggregates + a broadcast nested loop over ONE row, never a second
+    * corpus pass.
+    */
+  def q11Important(s: SparkSession, dir: String): DataFrame = {
+    val rows = t(s, dir, "lineitem")
+      .select(col("l_partkey"),
+        (dec(col("l_extendedprice"), 2) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2)))
+          .cast("decimal(18,4)").as("rev"))
+    val v = rows.groupBy("l_partkey").agg(sum(col("rev")).as("val"))
+    val tot = rows.agg(sum(col("rev")).as("tot"))
+    v.crossJoin(broadcast(tot))
+      .filter(col("val") * lit(1500).cast("decimal(4,0)") > col("tot"))
+      .select(col("l_partkey"), col("val").cast("double").as("value"))
+      .orderBy(col("value").desc, col("l_partkey"))
+      .limit(50)
+  }
+
+  val q11ImportantSql: String =
+    """WITH r AS (
+      |  SELECT l_partkey,
+      |         CAST(CAST(l_extendedprice AS DECIMAL(18,2))
+      |              * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |              AS DECIMAL(18,4)) AS rev
+      |  FROM lineitem),
+      |v AS (SELECT l_partkey, sum(rev) AS val FROM r GROUP BY 1),
+      |tt AS (SELECT sum(rev) AS tot FROM r)
+      |SELECT l_partkey, CAST(val AS DOUBLE) AS value
+      |FROM v, tt WHERE val * 1500 > tot
+      |ORDER BY value DESC, l_partkey LIMIT 50""".stripMargin
+
+  /** TPC-H Q22 shape — scalar-subquery threshold + anti join: customers
+    * with above-average positive balance and no order since 2000, by
+    * market segment. The average compares as `bal * n_pos > sum_pos`
+    * (decimal-exact cross-multiplication — no division anywhere), the
+    * 1-row aggregate broadcasts, and the dormancy check is a LeftAnti
+    * hash join against the date-pruned orders scan.
+    */
+  def q22Segment(s: SparkSession, dir: String): DataFrame = {
+    val cust = t(s, dir, "customer")
+    val pos = cust.filter(col("c_acctbal") > 0)
+      .agg(count(lit(1)).cast("decimal(10,0)").as("n_pos"),
+        sum(dec(col("c_acctbal"), 2)).as("sum_pos"))
+    val recent = t(s, dir, "orders")
+      .filter(col("o_orderdate") >= lit("2000-01-01").cast("timestamp"))
+      .select("o_custkey")
+    cust.crossJoin(broadcast(pos))
+      .filter(dec(col("c_acctbal"), 2) * col("n_pos") > col("sum_pos"))
+      .join(recent, col("c_custkey") === col("o_custkey"), "left_anti")
+      .groupBy("c_mktsegment")
+      .agg(count(lit(1)).as("n_cust"), sum(dec(col("c_acctbal"), 2)).as("sb"))
+      .select(col("c_mktsegment"), col("n_cust"),
+        col("sb").cast("double").as("total_bal"))
+      .orderBy("c_mktsegment")
+  }
+
+  val q22SegmentSql: String =
+    """WITH p AS (SELECT CAST(count(*) AS DECIMAL(10,0)) AS n_pos,
+      |                  sum(CAST(c_acctbal AS DECIMAL(18,2))) AS sum_pos
+      |           FROM customer WHERE c_acctbal > 0)
+      |SELECT c_mktsegment, count(*) AS n_cust,
+      |       CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS total_bal
+      |FROM customer, p
+      |WHERE CAST(c_acctbal AS DECIMAL(18,2)) * n_pos > sum_pos
+      |  AND NOT EXISTS (SELECT 1 FROM orders
+      |                  WHERE o_custkey = c_custkey
+      |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
+      |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q4_priority" -> (q4Priority _),
+    "q14_promo" -> (q14Promo _),
+    "q18_large" -> (q18Large _),
+    "q19_disjunct" -> (q19Disjunct _),
+    "q11_important" -> (q11Important _),
+    "q22_segment" -> (q22Segment _),
     "q_events_anomaly" -> (eventsAnomaly _),
     "q_events_paths" -> (eventsPaths _),
     "q_events_abtest" -> (eventsAbtest _),
@@ -747,6 +961,12 @@ object OlapQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q4_priority" -> q4PrioritySql,
+    "q14_promo" -> q14PromoSql,
+    "q18_large" -> q18LargeSql,
+    "q19_disjunct" -> q19DisjunctSql,
+    "q11_important" -> q11ImportantSql,
+    "q22_segment" -> q22SegmentSql,
     "q_events_anomaly" -> eventsAnomalySql,
     "q_events_paths" -> eventsPathsSql,
     "q_events_abtest" -> eventsAbtestSql,
