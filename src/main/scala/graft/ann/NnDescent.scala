@@ -1,0 +1,110 @@
+package graft.ann
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.VectorFunctions
+
+/** NN-descent kNN-graph construction (Dong, Moses, Li 2011 — "Efficient
+  * k-nearest neighbor graph construction for generic similarity measures").
+  *
+  * The graph-ANN family member next to the quantization (IVF/PQ/SQ8) and
+  * hashing (sign-LSH, random-projection) routes: start from a cheap
+  * deterministic graph and repeatedly let every node meet its neighbors'
+  * neighbors, keeping the best k by cosine. Converges in a handful of
+  * rounds because "a neighbor of a neighbor is likely a neighbor".
+  *
+  * Scale shape (the reason this is THE way to build a 100 TB kNN graph):
+  * each round's candidate set is bounded per node — the undirected degree
+  * is at most 2k, so neighbor-of-neighbor expansion emits at most
+  * (2k)^2 + 2k candidates per node, independent of corpus size. Every
+  * stage is a keyed join or a per-node window: no all-pairs product, no
+  * global sort, no driver-side state beyond the node count. Contrast
+  * [[Ann.knnJoin]] (exact, N^2 pairs) and [[Ann.knnJoinBlocked]] (pairs
+  * bounded by cluster sizes but blind across cluster boundaries):
+  * NN-descent routes around block boundaries through the graph itself.
+  *
+  * Determinism: the init ring is id-arithmetic, candidate sets are exact
+  * DISTINCT sets, and every top-k tie-breaks (score desc, dst asc) — the
+  * whole construction replays bit-for-bit in the oracle.
+  */
+object NnDescent {
+
+  /** Deterministic pseudo-random init: node i's k starting candidates are
+    * hash-derived offsets `(i + 1 + h(i,j) mod (n-1)) mod n`, j = 1..k —
+    * never self, spread uniformly over the id space. Requires dense
+    * 0..n-1 long ids (the engine's export/pack layouts guarantee dense
+    * ids; [[graft.operators.Mixture.exportShards]] is the densifier when
+    * ids are sparse). Random spread matters: a LOCAL init (e.g. an id
+    * ring) expands only ±k·2^r ids after r rounds, so convergence on
+    * weakly-clustered data would measure the init's pathology, not the
+    * operator. The md5-derived offset replays exactly in the oracle.
+    */
+  def randomInit(vectors: DataFrame, k: Int): DataFrame = {
+    val n = vectors.count()
+    require(n > k, s"init needs more than k=$k vectors, got $n")
+    vectors
+      .select(col("id").as("src"),
+        explode(array((1 to k).map(lit): _*)).as("j"))
+      .select(col("src"),
+        ((col("src") + lit(1L) +
+          graft.functions.TextFunctions.stableHash32(
+            concat_ws("_", col("src"), col("j"))) % lit(n - 1)) % lit(n))
+          .as("dst"))
+  }
+
+  /** One NN-descent round: candidates = current edges (both directions) ∪
+    * neighbor-of-neighbor pairs over the undirected graph, exact cosine
+    * on each candidate, keep top-k per source.
+    *
+    * Returns (src, dst, rank, score). The join plan: two self-joins keyed
+    * on node id (bounded fan-out), two keyed joins to fetch endpoint
+    * vectors, one per-src window over ≤ (2k)^2 + 2k rows.
+    */
+  def refine(vectors: DataFrame, graph: DataFrame, k: Int): DataFrame = {
+    val edges = graph.select("src", "dst")
+    val und = edges.union(edges.select(col("dst").as("src"), col("src").as("dst")))
+    val nofn = und.as("a").join(und.as("b"), col("a.dst") === col("b.src"))
+      .select(col("a.src").as("src"), col("b.dst").as("dst"))
+    val cands = nofn.union(und)
+      .filter(col("src") =!= col("dst"))
+      .distinct()
+    val ev = vectors.select(col("id"), col("embedding"), col("norm"))
+    val scored = cands
+      .join(ev.select(col("id").as("src"), col("embedding").as("sv"),
+        col("norm").as("sn")), "src")
+      .join(ev.select(col("id").as("dst"), col("embedding").as("dv"),
+        col("norm").as("dn")), "dst")
+      .withColumn("score",
+        VectorFunctions.dot(col("sv"), col("dv")) / (col("sn") * col("dn")))
+    val w = Window.partitionBy("src").orderBy(col("score").desc, col("dst").asc)
+    scored
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("src"), col("dst"), col("rank"), col("score"))
+  }
+
+  /** Build the kNN graph: random init + `rounds` refinement rounds. Each
+    * round's graph is localCheckpointed so round r+1 plans over
+    * materialized edges, not a 2^r-deep join tree (the
+    * [[graft.operators.Graph.pageRank]] iteration pattern).
+    *
+    * `rho` is the paper's sample-rate oversampling: the graph is built at
+    * width rho*k and truncated to k at the end. On weakly-clustered data
+    * (near-orthogonal embeddings) rho=1 plateaus well short of the exact
+    * graph — the (2k)^2 candidate pool is too small when similarity has
+    * no locality to exploit — while rho=2 reaches ~0.9 recall and rho≈3
+    * converges fully in 2 rounds (measured, NnDescentSpec).
+    */
+  def build(vectors: DataFrame, k: Int, rounds: Int, rho: Int = 1): DataFrame = {
+    val kb = k * rho
+    var g = randomInit(vectors, kb).localCheckpoint()
+    var last: DataFrame = null
+    for (_ <- 0 until rounds) {
+      last = refine(vectors, g, kb).localCheckpoint()
+      g = last.select("src", "dst")
+    }
+    if (last == null) g.withColumn("rank", lit(1)).withColumn("score", lit(0.0))
+    else last.filter(col("rank") <= k)
+  }
+}

@@ -827,6 +827,50 @@ object DedupQueries {
       |SELECT qid, nid AS neighbor, CAST(rn AS INTEGER) AS rank, round(sc, 6) AS score
       |FROM t WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---- NN-descent kNN-graph construction (Dong 2011): ring init + 2
+  //      neighbor-of-neighbor refinement rounds, k=3, over the first 200
+  //      vectors. The oracle unrolls both rounds — candidate DISTINCT
+  //      sets, cosine, per-src top-k — so the whole construction replays
+  //      bit-for-bit. Per-node candidate work is (2k)^2-bounded: the
+  //      100 TB kNN-graph path that routes around knnJoinBlocked's
+  //      cluster-boundary blindness. ----
+  def annNnDescent(s: SparkSession, dir: String): DataFrame =
+    graft.ann.NnDescent.build(
+        Tables.vectors(s, dir).filter(col("id") < 200), k = 3, rounds = 2)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("src", "rank")
+
+  val annNnDescentSql: String = {
+    // one refinement round over graph g$i -> scored s$j and top-k g$j
+    def roundCtes(i: Int, j: Int): String =
+      s"""u$j AS (SELECT src, dst FROM g$i UNION ALL SELECT dst, src FROM g$i),
+         |c$j AS (SELECT DISTINCT src, dst FROM (
+         |          SELECT a.src, b.dst FROM u$j a JOIN u$j b ON a.dst = b.src
+         |          UNION ALL SELECT src, dst FROM u$j)
+         |        WHERE src <> dst),
+         |s$j AS (SELECT c.src, c.dst, list_cosine_similarity(ea.v, eb.v) AS sc
+         |        FROM c$j c JOIN e ea ON ea.id = c.src JOIN e eb ON eb.id = c.dst),
+         |g$j AS (SELECT src, dst FROM (
+         |          SELECT src, dst,
+         |                 row_number() OVER (PARTITION BY src ORDER BY sc DESC, dst) AS rn
+         |          FROM s$j)
+         |        WHERE rn <= 3)""".stripMargin
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+       |           FROM embeddings WHERE vec_id < 200),
+       |nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM e),
+       |g0 AS (SELECT id AS src,
+       |              (id + 1 + ('0x' || substr(md5(CAST(id AS VARCHAR) || '_' || CAST(d.d AS VARCHAR)), 1, 8))::BIGINT
+       |                % (nn.n - 1)) % nn.n AS dst
+       |       FROM e CROSS JOIN nn CROSS JOIN (SELECT unnest([1, 2, 3]) AS d) d),
+       |${roundCtes(0, 1)},
+       |${roundCtes(1, 2)}
+       |SELECT src, dst, CAST(rn AS INTEGER) AS rank, round(sc, 6) AS score
+       |FROM (SELECT src, dst, sc,
+       |             row_number() OVER (PARTITION BY src ORDER BY sc DESC, dst) AS rn
+       |      FROM s2)
+       |WHERE rn <= 3 ORDER BY src, rank""".stripMargin
+  }
+
   // ---- the PPJoin prefix+size-filtered variant under the SAME oracle as
   //      q_dedup_ngram: candidate pruning must not change a single pair ----
   def dedupNgramPrefix(s: SparkSession, dir: String): DataFrame =
@@ -1105,6 +1149,7 @@ object DedupQueries {
     "q_dedup_ngram_prefix" -> (dedupNgramPrefix _),
     "q_ann_knn_join" -> (annKnnJoin _),
     "q_ann_knn_blocked" -> (annKnnBlocked _),
+    "q_ann_nndescent" -> (annNnDescent _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -1137,6 +1182,7 @@ object DedupQueries {
     "q_dedup_ngram_prefix" -> jaccardInvertedSqlD(0.5),
     "q_ann_knn_join" -> annKnnJoinSql,
     "q_ann_knn_blocked" -> annKnnBlockedSql,
+    "q_ann_nndescent" -> annNnDescentSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_minhash_sig" -> dedupMinhashSigSql,
