@@ -14,6 +14,42 @@ object EvalQueries {
 
   private val toksD = "regexp_extract_all(lower(text), '[a-z0-9_]{2,}')"
 
+  // ---- Poisson-bootstrap confidence interval for mean tokens/doc
+  //      (operators.Bootstrap): 32 deterministic hash-drawn Poisson(1)
+  //      resamples in ONE corpus pass, percentile CI from the replica
+  //      means. The oracle replays the md5 draws, the inverse-CDF
+  //      weights (shared integer thresholds), every replica mean, and
+  //      the order statistics. ----
+  def bootstrapCi(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Bootstrap.meanCi(
+      t(s, dir, "documents").select(col("doc_id").as("id"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("tokens")),
+      "id", "tokens", b = 32)
+
+  val bootstrapCiSql: String = {
+    val wExpr = graft.operators.Bootstrap.CdfThresholds
+      .map(t => s"(CASE WHEN u >= $t THEN 1 ELSE 0 END)").mkString(" + ")
+    s"""WITH d AS (SELECT doc_id AS id, CAST(len($toksD) AS BIGINT) AS v
+       |           FROM documents),
+       |reps AS (SELECT CAST(unnest(range(32)) AS BIGINT) AS rep),
+       |x AS (SELECT d.id, d.v, r.rep,
+       |        ('0x' || substr(md5(CAST(d.id AS VARCHAR) || ':' || CAST(r.rep AS VARCHAR)), 1, 8))::BIGINT AS u
+       |      FROM d CROSS JOIN reps r),
+       |wts AS (SELECT id, v, rep, $wExpr AS w FROM x),
+       |m AS (SELECT rep,
+       |        (CAST(sum(w * v) AS BIGINT) * 1000000) // CAST(sum(w) AS BIGINT) AS mean_micro
+       |      FROM wts GROUP BY rep),
+       |o AS (SELECT mean_micro,
+       |        row_number() OVER (ORDER BY mean_micro, rep) AS rn FROM m),
+       |pt AS (SELECT (CAST(sum(v) AS BIGINT) * 1000000) // count(*) AS point_micro,
+       |              CAST(count(*) AS BIGINT) AS n
+       |       FROM d)
+       |SELECT CAST(32 AS BIGINT) AS b, pt.n AS n_rows, pt.point_micro,
+       |  (SELECT mean_micro FROM o WHERE rn = 2) AS lo_micro,
+       |  (SELECT mean_micro FROM o WHERE rn = 31) AS hi_micro
+       |FROM pt""".stripMargin
+  }
+
   // ---- exact AUC of the trained quality classifier (operators.Eval):
   //      the same fully-replayed 2-round training run as
   //      q_quality_classifier (shared CTE chain), then the tie-aware
@@ -143,6 +179,7 @@ object EvalQueries {
        |ORDER BY lang, doc_id""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_bootstrap_ci" -> (bootstrapCi _),
     "q_classifier_auc" -> (classifierAuc _),
     "q_drift_psi" -> (driftPsi _),
     "q_sample_weighted" -> (sampleWeighted _),
@@ -150,6 +187,7 @@ object EvalQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_bootstrap_ci" -> bootstrapCiSql,
     "q_classifier_auc" -> classifierAucSql,
     "q_drift_psi" -> driftPsiSql,
     "q_sample_weighted" -> sampleWeightedSql,

@@ -1763,6 +1763,72 @@ object TextQueries {
        |  CAST(sum(p_micro) AS BIGINT) // count(*) AS mean_p_micro
        |FROM b GROUP BY bin, mn, w ORDER BY bin""".stripMargin
 
+  /** Precision/recall/F1 threshold sweep of the trained quality
+    * classifier — the operating-point report completing the eval trio:
+    * q_classifier_auc grades ranking, q_classifier_calibration grades
+    * probabilities, this grades each candidate DECISION THRESHOLD. 11
+    * thresholds span the observed margin range (same integer bin-edge
+    * rule as calibration); per threshold: exact integer confusion counts
+    * and micro P/R/F1 (a vacuous empty prediction set scores precision
+    * 1e6 by convention — no NULLs, no dtype drift). One corpus pass: the
+    * 11-way explode collapses map-side to 11 rows per partition before
+    * the exchange.
+    */
+  def classifierPr(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id").as("id"),
+        when(col("source") === "src0", 1).otherwise(0).as("label"),
+        TextFunctions.tokens(col("text")).as("toks"))
+    val feats = graft.operators.QualityClassifier.features(docs, 64)
+      .localCheckpoint()
+    val model = graft.operators.QualityClassifier.train(feats, buckets = 64, iters = 2)
+    val scored = graft.operators.QualityClassifier.score(feats, model)
+      .select(col("margin_micro"), col("label").cast("long").as("pos"))
+      .localCheckpoint()
+    val r = scored.agg(min("margin_micro"), max("margin_micro")).head()
+    val (mn, mx) = (r.getLong(0), r.getLong(1))
+    val w = (mx - mn) / 10 + 1
+    val ths = (0 to 10).map(i => struct(lit(i.toLong).as("i"), lit(mn + i * w).as("thr")))
+    scored
+      .select(explode(array(ths: _*)).as("th"), col("margin_micro"), col("pos"))
+      .groupBy(col("th.i").as("i"), col("th.thr").as("thr_micro"))
+      .agg(
+        sum(col("pos")).as("p"),
+        sum(when(col("margin_micro") >= col("th.thr"), col("pos")).otherwise(0L)).as("tp"),
+        sum(when(col("margin_micro") >= col("th.thr") && col("pos") === 0, 1L)
+          .otherwise(0L)).as("fp"))
+      .select(col("i"), col("thr_micro"),
+        (col("tp") + col("fp")).as("n_pred"), col("tp"), col("fp"),
+        when(col("tp") + col("fp") === 0, lit(1000000L))
+          .otherwise(expr("(tp * 1000000L) div (tp + fp)")).as("precision_micro"),
+        expr("(tp * 1000000L) div p").as("recall_micro"),
+        when(expr("2L*tp + fp + (p - tp)") === 0, lit(0L))
+          .otherwise(expr("(2L * tp * 1000000L) div (2L*tp + fp + (p - tp))"))
+          .as("f1_micro"))
+      .orderBy("i")
+  }
+
+  val classifierPrSql: String =
+    s"""WITH $clfTrainCtes,
+       |sc AS (SELECT id, label, margin_micro FROM m2),
+       |st AS (SELECT min(margin_micro) AS mn,
+       |              ((max(margin_micro) - min(margin_micro)) // 10) + 1 AS w
+       |       FROM sc),
+       |th AS (SELECT CAST(g.i AS BIGINT) AS i,
+       |              CAST(st.mn + g.i * st.w AS BIGINT) AS thr_micro
+       |       FROM (SELECT unnest(range(11)) AS i) g CROSS JOIN st),
+       |x AS (SELECT th.i, th.thr_micro,
+       |        CAST(sum(sc.label) AS BIGINT) AS p,
+       |        CAST(sum(CASE WHEN sc.margin_micro >= th.thr_micro THEN sc.label ELSE 0 END) AS BIGINT) AS tp,
+       |        CAST(sum(CASE WHEN sc.margin_micro >= th.thr_micro AND sc.label = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fp
+       |      FROM sc CROSS JOIN th GROUP BY 1, 2)
+       |SELECT i, thr_micro, tp + fp AS n_pred, tp, fp,
+       |  CASE WHEN tp + fp = 0 THEN 1000000 ELSE (tp * 1000000) // (tp + fp) END AS precision_micro,
+       |  (tp * 1000000) // p AS recall_micro,
+       |  CASE WHEN 2*tp + fp + (p - tp) = 0 THEN 0
+       |       ELSE (2 * tp * 1000000) // (2*tp + fp + (p - tp)) END AS f1_micro
+       |FROM x ORDER BY i""".stripMargin
+
   /** Vocabulary coverage (operators.Vocab): types needed to cover 50/90/
     * 95/99% of token mass, from count-of-counts — the oracle computes the
     * naive full-sort cumulative form; equality proves the block-exact
@@ -1938,6 +2004,7 @@ object TextQueries {
     "q_vocab_coverage" -> (vocabCoverage _),
     "q_quality_classifier" -> (qualityClassifier _),
     "q_classifier_calibration" -> (classifierCalibration _),
+    "q_classifier_pr" -> (classifierPr _),
     "q_corpus_profile" -> (corpusProfile _),
     "q_pipeline_curate4" -> (pipelineCurate4 _),
     "q_dsir_select" -> (dsirSelect _),
@@ -1987,6 +2054,7 @@ object TextQueries {
     "q_vocab_coverage" -> vocabCoverageSql,
     "q_quality_classifier" -> qualityClassifierSql,
     "q_classifier_calibration" -> classifierCalibrationSql,
+    "q_classifier_pr" -> classifierPrSql,
     "q_corpus_profile" -> corpusProfileSql,
     "q_pipeline_curate4" -> pipelineCurate4Sql,
     "q_dsir_select" -> dsirSelectSql,
