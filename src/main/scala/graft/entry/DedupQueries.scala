@@ -827,6 +827,46 @@ object DedupQueries {
       |SELECT qid, nid AS neighbor, CAST(rn AS INTEGER) AS rank, round(sc, 6) AS score
       |FROM t WHERE rn <= 3 ORDER BY qid, rank""".stripMargin
 
+  // ---- MinHash-LSH parameter planner: the analytic S-curve table behind
+  //      choosing (bands, rows) for a 32-permutation signature — candidate
+  //      probability 1-(1-s^r)^b on a Jaccard grid for every divisor
+  //      split. The empirical companion is q_dedup_sweep (measured counts
+  //      at candidate cutoffs); this prices the blocking BEFORE running
+  //      it, which at 100 TB is the difference between a tuned first try
+  //      and a wasted corpus pass. Powers are literal repeated
+  //      multiplication in one shared left-assoc order — no libm pow, so
+  //      both engines produce bit-identical doubles. ----
+  def lshPlanner(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val grid = (1 to 19).map(i => i * 50000L).toDF("s_micro")
+    val splits = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+    splits.map { case (b, r) =>
+      val srExpr = (1 to r).map(_ => "(s_micro * 1e-6)").mkString(" * ")
+      val pExpr = (1 to b).map(_ => "(1.0 - sr)").mkString(" * ")
+      grid
+        .selectExpr(s"CAST($b AS BIGINT) AS bands",
+          s"CAST($r AS BIGINT) AS rows_per_band", "s_micro", s"$srExpr AS sr")
+        .selectExpr("bands", "rows_per_band", "s_micro",
+          s"CAST(floor((1.0 - ($pExpr)) * 1e6) AS BIGINT) AS p_candidate_micro")
+    }.reduce(_ unionByName _).orderBy("bands", "s_micro")
+  }
+
+  val lshPlannerSql: String = {
+    val splits = Seq((32, 1), (16, 2), (8, 4), (4, 8), (2, 16), (1, 32))
+    val arms = splits.map { case (b, r) =>
+      val srExpr = (1 to r).map(_ => "(s_micro * 1e-6)").mkString(" * ")
+      val pExpr = (1 to b).map(_ => "(1.0 - sr)").mkString(" * ")
+      s"""SELECT bands, rows_per_band, s_micro,
+         |  CAST(floor((1.0 - ($pExpr)) * 1e6) AS BIGINT) AS p_candidate_micro
+         |FROM (SELECT CAST($b AS BIGINT) AS bands, CAST($r AS BIGINT) AS rows_per_band,
+         |             s_micro, $srExpr AS sr FROM grid)""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH grid AS (SELECT CAST((i + 1) * 50000 AS BIGINT) AS s_micro
+       |              FROM (SELECT unnest(range(19)) AS i))
+       |$arms
+       |ORDER BY bands, s_micro""".stripMargin
+  }
+
   // ---- NN-descent kNN-graph construction (Dong 2011): ring init + 2
   //      neighbor-of-neighbor refinement rounds, k=3, over the first 200
   //      vectors. The oracle unrolls both rounds — candidate DISTINCT
@@ -1150,6 +1190,7 @@ object DedupQueries {
     "q_ann_knn_join" -> (annKnnJoin _),
     "q_ann_knn_blocked" -> (annKnnBlocked _),
     "q_ann_nndescent" -> (annNnDescent _),
+    "q_lsh_planner" -> (lshPlanner _),
     "q_dedup_exact" -> (dedupExact _),
     "q_dedup_minhash" -> (dedupMinhash _),
     "q_dedup_minhash_sig" -> (dedupMinhashSig _),
@@ -1183,6 +1224,7 @@ object DedupQueries {
     "q_ann_knn_join" -> annKnnJoinSql,
     "q_ann_knn_blocked" -> annKnnBlockedSql,
     "q_ann_nndescent" -> annNnDescentSql,
+    "q_lsh_planner" -> lshPlannerSql,
     "q_dedup_exact" -> dedupExactSql,
     "q_dedup_minhash" -> dedupMinhashSql,
     "q_dedup_minhash_sig" -> dedupMinhashSigSql,

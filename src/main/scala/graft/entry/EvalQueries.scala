@@ -50,6 +50,41 @@ object EvalQueries {
        |FROM pt""".stripMargin
   }
 
+  // ---- embedding-centroid semantic drift (operators.Drift
+  //      .semanticDrift): label<5 slice as the reference corpus, label>=5
+  //      as the incoming one; per-dimension centroid deltas plus the
+  //      centroid-cosine and shift-L2 summary, all micro-exact. ----
+  def driftSemantic(s: SparkSession, dir: String): DataFrame = {
+    val all = graft.Tables.vectors(s, dir)
+    graft.operators.Drift.semanticDrift(
+        all.filter(col("label") < 5), all.filter(col("label") >= 5))
+      .orderBy("dim")
+  }
+
+  val driftSemanticSql: String =
+    """WITH q AS (
+      |  SELECT CASE WHEN label < 5 THEN 0 ELSE 1 END AS side, i AS dim,
+      |    CAST(round(CAST(embedding[i+1] AS DOUBLE) * 1e6, 0) AS BIGINT) AS q
+      |  FROM embeddings, UNNEST(range(len(embedding))) AS u(i)),
+      |m AS (SELECT side, dim, CAST(count(*) AS BIGINT) AS n,
+      |        CAST(floor(CAST(sum(q) AS DOUBLE) / count(*)) AS BIGINT) AS mean_micro
+      |      FROM q GROUP BY 1, 2),
+      |j AS (SELECT r.dim, r.n AS n_ref, c.n AS n_cur,
+      |        r.mean_micro AS ref_mean_micro, c.mean_micro AS cur_mean_micro,
+      |        c.mean_micro - r.mean_micro AS delta_micro
+      |      FROM (SELECT * FROM m WHERE side = 0) r
+      |      JOIN (SELECT * FROM m WHERE side = 1) c USING (dim)),
+      |s AS (SELECT
+      |        CAST(floor(CAST(sum(ref_mean_micro * cur_mean_micro) AS DOUBLE)
+      |          / (sqrt(CAST(sum(ref_mean_micro * ref_mean_micro) AS DOUBLE))
+      |             * sqrt(CAST(sum(cur_mean_micro * cur_mean_micro) AS DOUBLE))) * 1e6)
+      |          AS BIGINT) AS centroid_cos_micro,
+      |        CAST(floor(sqrt(CAST(sum(delta_micro * delta_micro) AS DOUBLE)))
+      |          AS BIGINT) AS shift_l2_micro
+      |      FROM j)
+      |SELECT j.*, s.centroid_cos_micro, s.shift_l2_micro
+      |FROM j CROSS JOIN s ORDER BY dim""".stripMargin
+
   // ---- exact AUC of the trained quality classifier (operators.Eval):
   //      the same fully-replayed 2-round training run as
   //      q_quality_classifier (shared CTE chain), then the tie-aware
@@ -180,6 +215,7 @@ object EvalQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bootstrap_ci" -> (bootstrapCi _),
+    "q_drift_semantic" -> (driftSemantic _),
     "q_classifier_auc" -> (classifierAuc _),
     "q_drift_psi" -> (driftPsi _),
     "q_sample_weighted" -> (sampleWeighted _),
@@ -188,6 +224,7 @@ object EvalQueries {
 
   def oracles: Map[String, String] = Map(
     "q_bootstrap_ci" -> bootstrapCiSql,
+    "q_drift_semantic" -> driftSemanticSql,
     "q_classifier_auc" -> classifierAucSql,
     "q_drift_psi" -> driftPsiSql,
     "q_sample_weighted" -> sampleWeightedSql,

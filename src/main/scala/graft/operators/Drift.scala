@@ -76,4 +76,47 @@ object Drift {
     val total = grid.agg(sum("term_nano").as("psi_nano"))
     grid.crossJoin(broadcast(total))
   }
+
+  /** Embedding-centroid drift between a reference and a current corpus
+    * slice — the SEMANTIC companion to [[psi]]'s scalar-feature drift:
+    * "did the meaning of the corpus move", asked of the embedding space
+    * directly. Per dimension: both slices' centroid coordinates
+    * (micro-quantized integer sums, floored division — the
+    * [[Profile.embeddingStats]] convention) and their delta; every row
+    * also carries the two whole-corpus summary numbers, cosine between
+    * the centroids and the L2 norm of the shift (exact BIGINT
+    * dot-products, ONE floored double each).
+    *
+    * Scale shape: two posexplode → dim-keyed aggregates (map-side
+    * combine collapses to d rows per partition), a d-row join, and a
+    * d-row summary aggregate that broadcasts back — nothing is
+    * corpus-sized after the first combine.
+    */
+  def semanticDrift(ref: DataFrame, cur: DataFrame): DataFrame = {
+    def dimMeans(df: DataFrame, name: String): DataFrame =
+      df.select(posexplode(col("embedding")).as(Seq("dim", "v")))
+        .select(col("dim").cast("long").as("dim"),
+          round(col("v").cast("double") * lit(1e6), 0).cast("long").as("q"))
+        .groupBy("dim")
+        .agg(count(lit(1)).as(s"n_$name"), sum("q").as("s"))
+        .select(col("dim"), col(s"n_$name"),
+          floor(col("s").cast("double") / col(s"n_$name")).cast("long")
+            .as(s"${name}_mean_micro"))
+    val perDim = dimMeans(ref, "ref").join(dimMeans(cur, "cur"), "dim")
+      .select(col("dim"), col("n_ref"), col("n_cur"),
+        col("ref_mean_micro"), col("cur_mean_micro"),
+        (col("cur_mean_micro") - col("ref_mean_micro")).as("delta_micro"))
+      .localCheckpoint() // consumed twice: summary aggregate + output rows
+    val summary = perDim.agg(
+        sum(col("ref_mean_micro") * col("cur_mean_micro")).as("rc"),
+        sum(col("ref_mean_micro") * col("ref_mean_micro")).as("rr"),
+        sum(col("cur_mean_micro") * col("cur_mean_micro")).as("cc"),
+        sum(col("delta_micro") * col("delta_micro")).as("dd"))
+      .select(
+        floor(col("rc").cast("double") /
+          (sqrt(col("rr").cast("double")) * sqrt(col("cc").cast("double"))) * lit(1e6))
+          .cast("long").as("centroid_cos_micro"),
+        floor(sqrt(col("dd").cast("double"))).cast("long").as("shift_l2_micro"))
+    perDim.crossJoin(broadcast(summary))
+  }
 }
