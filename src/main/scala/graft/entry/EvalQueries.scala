@@ -85,6 +85,68 @@ object EvalQueries {
       |SELECT j.*, s.centroid_cos_micro, s.shift_l2_micro
       |FROM j CROSS JOIN s ORDER BY dim""".stripMargin
 
+  // ---- mergeable profile (operators.Profile.profileLong /
+  //      mergeProfiles): the engine computes corpus stats by MERGING the
+  //      profiles of two disjoint halves; the oracle computes the same
+  //      stats directly over the whole table. Hash equality proves the
+  //      merge exact — the O(batch) stats-maintenance contract. ----
+  def profileMerge(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+    val cols = Seq("doc_id", "n_chars")
+    graft.operators.Profile.mergeProfiles(
+        graft.operators.Profile.profileLong(docs.filter(col("doc_id") % 2 === 0), cols),
+        graft.operators.Profile.profileLong(docs.filter(col("doc_id") % 2 === 1), cols))
+      .orderBy("column")
+  }
+
+  val profileMergeSql: String =
+    """SELECT 'doc_id' AS "column", CAST(count(*) AS BIGINT) AS n_rows,
+      |       CAST(count(*) - count(doc_id) AS BIGINT) AS n_nulls,
+      |       CAST(min(doc_id) AS BIGINT) AS min_value,
+      |       CAST(max(doc_id) AS BIGINT) AS max_value,
+      |       CAST(sum(doc_id) AS BIGINT) AS sum_value
+      |FROM documents
+      |UNION ALL
+      |SELECT 'n_chars', CAST(count(*) AS BIGINT),
+      |       CAST(count(*) - count(n_chars) AS BIGINT),
+      |       CAST(min(n_chars) AS BIGINT), CAST(max(n_chars) AS BIGINT),
+      |       CAST(sum(n_chars) AS BIGINT)
+      |FROM documents
+      |ORDER BY "column"""".stripMargin
+
+  // ---- per-group OLS trend (operators.Trend.groupOls): chars-per-doc
+  //      regressed on tokens-per-doc within each language — exact BIGINT
+  //      sufficient statistics, shared-sequence floored doubles. ----
+  def trendOls(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Trend.groupOls(
+        t(s, dir, "documents").select(col("lang"),
+          size(TextFunctions.tokens(col("text"))).cast("long").as("toks"),
+          col("n_chars")),
+        "lang", "toks", "n_chars")
+      .orderBy("group")
+
+  val trendOlsSql: String =
+    s"""WITH d AS (SELECT lang, CAST(len($toksD) AS BIGINT) AS x,
+       |                  CAST(n_chars AS BIGINT) AS y
+       |           FROM documents),
+       |g AS (SELECT lang AS "group", CAST(count(*) AS BIGINT) AS n,
+       |        CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy,
+       |        CAST(sum(x * x) AS BIGINT) AS sxx,
+       |        CAST(sum(x * y) AS BIGINT) AS sxy
+       |      FROM d GROUP BY 1)
+       |SELECT "group", n,
+       |  CASE WHEN n * sxx - sx * sx = 0 THEN 0
+       |       ELSE CAST(floor(CAST(n * sxy - sx * sy AS DOUBLE)
+       |              / CAST(n * sxx - sx * sx AS DOUBLE) * 1e6) AS BIGINT)
+       |  END AS slope_micro,
+       |  CASE WHEN n * sxx - sx * sx = 0 THEN 0
+       |       ELSE CAST(floor(CAST(sy AS DOUBLE) / CAST(n AS DOUBLE)
+       |              - (CAST(n * sxy - sx * sy AS DOUBLE)
+       |                 / CAST(n * sxx - sx * sx AS DOUBLE))
+       |                * (CAST(sx AS DOUBLE) / CAST(n AS DOUBLE))) AS BIGINT)
+       |  END AS intercept_value
+       |FROM g ORDER BY "group"""".stripMargin
+
   // ---- exact AUC of the trained quality classifier (operators.Eval):
   //      the same fully-replayed 2-round training run as
   //      q_quality_classifier (shared CTE chain), then the tie-aware
@@ -216,6 +278,8 @@ object EvalQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_bootstrap_ci" -> (bootstrapCi _),
     "q_drift_semantic" -> (driftSemantic _),
+    "q_profile_merge" -> (profileMerge _),
+    "q_trend_ols" -> (trendOls _),
     "q_classifier_auc" -> (classifierAuc _),
     "q_drift_psi" -> (driftPsi _),
     "q_sample_weighted" -> (sampleWeighted _),
@@ -225,6 +289,8 @@ object EvalQueries {
   def oracles: Map[String, String] = Map(
     "q_bootstrap_ci" -> bootstrapCiSql,
     "q_drift_semantic" -> driftSemanticSql,
+    "q_profile_merge" -> profileMergeSql,
+    "q_trend_ols" -> trendOlsSql,
     "q_classifier_auc" -> classifierAucSql,
     "q_drift_psi" -> driftPsiSql,
     "q_sample_weighted" -> sampleWeightedSql,

@@ -128,4 +128,41 @@ object Profile {
         col("mean_micro"),
         (floor(col("sum_q2").cast("double") / col("n")).cast("long")
           - col("mean_micro") * col("mean_micro")).as("var_micro2"))
+
+  /** MERGEABLE profile over long-typed metric columns — the incremental
+    * form of [[profile]]: every statistic here (counts, min, max, sum) is
+    * an exact semigroup, so the profile of `corpus ∪ batch` is
+    * [[mergeProfiles]] of the two parts' profiles — stats maintenance
+    * after an ingest batch costs O(batch), never a corpus re-scan. (Exact
+    * distinct counts are deliberately absent: they don't merge; the HLL
+    * sketch in `profile(approxDistinct = true)` is the mergeable
+    * substitute.) Long-form output: one row per column, all-BIGINT.
+    */
+  def profileLong(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "need at least one column to profile")
+    val aggs = cols.flatMap(c => Seq(
+      count(col(c)).as(s"__cnt_$c"),
+      min(col(c).cast("long")).as(s"__min_$c"),
+      max(col(c).cast("long")).as(s"__max_$c"),
+      sum(col(c).cast("long")).as(s"__sum_$c"))) :+ count(lit(1)).as("__rows")
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column"),
+        col("__rows").as("n_rows"),
+        (col("__rows") - col(s"__cnt_$c")).as("n_nulls"),
+        col(s"__min_$c").as("min_value"),
+        col(s"__max_$c").as("max_value"),
+        coalesce(col(s"__sum_$c"), lit(0L)).as("sum_value"))): _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** Merge two [[profileLong]] outputs: counts and sums add, min/max
+    * fold. A |cols|-row aggregate — the whole merge is metadata-sized.
+    */
+  def mergeProfiles(a: DataFrame, b: DataFrame): DataFrame =
+    a.unionByName(b)
+      .groupBy("column")
+      .agg(sum("n_rows").as("n_rows"), sum("n_nulls").as("n_nulls"),
+        min("min_value").as("min_value"), max("max_value").as("max_value"),
+        sum("sum_value").as("sum_value"))
 }
