@@ -993,6 +993,49 @@ object DedupQueries {
        |ORDER BY rank_micro DESC, n.id""".stripMargin
   }
 
+  // ---- personalized PageRank over the same near-dup graph: teleport
+  //      mass concentrated on the id%10==0 seed slice — affinity TO the
+  //      seeds rather than global centrality. Oracle unrolls all 5
+  //      rounds with the seed-conditional restart vector. ----
+  def graphPpr(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.pageRankPersonalized(
+      Dedup.ngramJaccard(docs(s, dir), threshold = 0.3).select("a", "b"),
+      isSeed = id => id % 10 === 0, iters = 5)
+      .orderBy(desc("rank_micro"), col("id"))
+
+  val graphPprSql: String = {
+    val steps = (1 to 5).map { i =>
+      s"""c$i AS (SELECT e.b AS id, CAST(sum(r${i - 1}.r // d.deg) AS BIGINT) AS s
+         |       FROM edges e JOIN r${i - 1} ON e.a = r${i - 1}.id
+         |       JOIN deg d ON d.id = e.a GROUP BY e.b),
+         |r$i AS (SELECT n.id,
+         |         CAST((CASE WHEN n.id % 10 = 0 THEN rst.rv ELSE 0 END)
+         |              + (85 * coalesce(c.s, 0)) // 100 AS BIGINT) AS r
+         |       FROM deg n LEFT JOIN c$i c ON n.id = c.id CROSS JOIN rst)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH $shingleCte,
+       |f AS (SELECT id, unnest(sh) AS s FROM sh),
+       |sizes AS (SELECT id, len(sh) AS l FROM sh),
+       |co AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+       |       FROM f x JOIN f y ON x.s = y.s AND x.id < y.id
+       |       GROUP BY x.id, y.id),
+       |p AS (SELECT co.a, co.b FROM co
+       |      JOIN sizes sa ON co.a = sa.id JOIN sizes sb ON co.b = sb.id
+       |      WHERE CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) >= 0.3),
+       |edges AS (SELECT a, b FROM p UNION SELECT b AS a, a AS b FROM p),
+       |deg AS (SELECT a AS id, CAST(count(*) AS BIGINT) AS deg FROM edges GROUP BY a),
+       |cnt AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |               CAST(sum(CASE WHEN id % 10 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ns
+       |        FROM deg),
+       |rst AS (SELECT (150000 * n) // ns AS rv FROM cnt),
+       |r0 AS (SELECT id, CASE WHEN id % 10 = 0 THEN rst.rv ELSE CAST(0 AS BIGINT) END AS r
+       |       FROM deg CROSS JOIN rst),
+       |$steps
+       |SELECT n.id, n.deg, r5.r AS rank_micro
+       |FROM deg n JOIN r5 ON n.id = r5.id
+       |ORDER BY rank_micro DESC, n.id""".stripMargin
+  }
+
   // ---- near-dup graph triangle census: per-node triangle counts +
   //      local clustering coefficient over the same exact-Jaccard pair
   //      graph as q_graph_pagerank — high clustering = tight template
@@ -1181,6 +1224,7 @@ object DedupQueries {
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_corpus_overlap" -> (corpusOverlap _),
     "q_graph_pagerank" -> (graphPagerank _),
+    "q_graph_ppr" -> (graphPpr _),
     "q_graph_triangles" -> (graphTriangles _),
     "q_dedup_survivor" -> (dedupSurvivor _),
     "q_dedup_spans" -> (dedupSpans _),
@@ -1215,6 +1259,7 @@ object DedupQueries {
   def oracles: Map[String, String] = Map(
     "q_corpus_overlap" -> corpusOverlapSql,
     "q_graph_pagerank" -> graphPagerankSql,
+    "q_graph_ppr" -> graphPprSql,
     "q_graph_triangles" -> graphTrianglesSql,
     "q_dedup_survivor" -> dedupSurvivorSql,
     "q_dedup_spans" -> dedupSpansSql,

@@ -184,6 +184,46 @@ object Graph {
     * and >= 1 in-edge, so there are no dangling nodes and the classic
     * update needs no leak correction.
     */
+  /** Personalized PageRank — [[pageRank]] with the teleport mass
+    * concentrated on a seed set instead of spread uniformly: relevance
+    * TO THE SEEDS rather than global centrality ("which documents sit
+    * near this trusted slice in the near-dup graph" — the graph form of
+    * a trusted-corpus affinity score). Same integer micro arithmetic and
+    * same one-join-one-agg round shape; the restart vector gives each
+    * seed `(0.15·n·1e6) div |seeds|` so total teleport mass matches the
+    * uniform variant's. `isSeed` must be a deterministic predicate over
+    * the node id (it is evaluated inside the plan each round AND once in
+    * a 1-row seed-count aggregate).
+    */
+  def pageRankPersonalized(
+      pairs: DataFrame,
+      isSeed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
+      iters: Int = 5): DataFrame = {
+    require(iters >= 1, "pageRankPersonalized needs at least one iteration")
+    val edges = symmetrizeWithDegree(pairs).localCheckpoint()
+    val nodes = edges.select(col("a").as("id"), col("deg")).distinct()
+      .localCheckpoint()
+    val cnt = nodes.agg(count(lit(1)).as("n"),
+      sum(when(isSeed(col("id")), 1L).otherwise(0L)).as("ns")).head()
+    val (n, ns) = (cnt.getLong(0), cnt.getLong(1))
+    require(ns > 0, "personalization needs at least one seed in the graph")
+    val restart = (150000L * n) / ns
+    def restartOf(id: org.apache.spark.sql.Column) =
+      when(isSeed(id), lit(restart)).otherwise(lit(0L))
+    var ranks = nodes.select(col("id"), restartOf(col("id")).as("rank_micro"))
+    for (_ <- 1 to iters) {
+      ranks = edges
+        .join(ranks, edges("a") === ranks("id"))
+        .select(col("b").as("id"), expr("rank_micro div deg").as("c"))
+        .groupBy("id").agg(sum("c").as("s"))
+        .select(col("id"),
+          (restartOf(col("id")) + expr("(85L * s) div 100L")).as("rank_micro"))
+        .localCheckpoint()
+    }
+    nodes.join(ranks, "id")
+      .select(col("id"), col("deg"), col("rank_micro"))
+  }
+
   def pageRank(pairs: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
     val edges = symmetrizeWithDegree(pairs).localCheckpoint()

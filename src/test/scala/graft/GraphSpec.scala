@@ -106,6 +106,26 @@ class GraphSpec extends SparkSpec {
     assert(a == b)
   }
 
+  test("personalized: mass concentrates around the seed, not the hub") {
+    import org.apache.spark.sql.functions.col
+    // star 1-2,1-3,1-4 plus a far chain 4-5-6: seed node 6 sits at the
+    // chain's end — its neighborhood must outrank the hub's leaves
+    val pairs = Seq((1L, 2L), (1L, 3L), (1L, 4L), (4L, 5L), (5L, 6L))
+      .toDF("a", "b")
+    val r = Graph.pageRankPersonalized(pairs, id => id === 6, iters = 5)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank_micro")).toMap
+    assert(r(6L) > r(2L) && r(5L) > r(2L),
+      s"seed neighborhood should outrank far leaves: $r")
+    // uniform pageRank on the same graph ranks hub 1 on top; PPR must not
+    val uni = Graph.pageRank(pairs, iters = 5)
+      .collect().map(x => x.getAs[Long]("id") -> x.getAs[Long]("rank_micro")).toMap
+    assert(uni(1L) == uni.values.max && r(1L) != r.values.max)
+    // graph without any seed fails loudly
+    intercept[IllegalArgumentException] {
+      Graph.pageRankPersonalized(pairs, id => id === 99, iters = 1).collect()
+    }
+  }
+
   test("hub node outranks leaves; disconnected components don't interact") {
     // star 10-(11,12,13) plus isolated edge 20-21
     val m = ranks(Seq((10L, 11L), (10L, 12L), (10L, 13L), (20L, 21L)), iters = 5)
