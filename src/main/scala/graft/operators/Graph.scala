@@ -36,9 +36,13 @@ object Graph {
     * edge list with per-source degree attached.
     */
   private def symmetrizeWithDegree(pairs: DataFrame): DataFrame = {
-    val edges = pairs.select(col("a"), col("b"))
-      .unionByName(pairs.select(col("b").as("a"), col("a").as("b")))
-      .distinct()
+    // pairs is usually a whole candidate-generation pipeline: materialize
+    // it once (output-sized) before the union reads it twice, and the
+    // symmetrized set once before the degree join reads THAT twice
+    val p0 = pairs.select(col("a"), col("b")).localCheckpoint()
+    val edges = p0
+      .unionByName(p0.select(col("b").as("a"), col("a").as("b")))
+      .distinct().localCheckpoint()
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
     edges.join(deg, "a")
   }
