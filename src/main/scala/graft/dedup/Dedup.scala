@@ -510,6 +510,45 @@ object Dedup {
       .select("a", "b", "jaccard")
   }
 
+  /** Asymmetric within-corpus containment pairs — quote/subset detection:
+    * `|Sa ∩ Sb| / |Sa| >= t` flags documents largely CONTAINED in another
+    * even when symmetric Jaccard stays low (a tweet quoted inside an
+    * article never clears a Jaccard cutoff; its containment is ~1). The
+    * directed sibling of [[ngramJaccard]] (same inverted-index join and
+    * stop-shingle guard semantics) and the within-corpus form of
+    * [[containment]]'s train-vs-eval check. Emits BOTH directions of each
+    * co-occurring pair — the candidate join still generates each
+    * unordered pair once; the direction fan-out is output-sized.
+    */
+  def ngramContainmentPairs(
+      docs: DataFrame,
+      threshold: Double,
+      shingleN: Int = 3,
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    val sh = sets.select(col("id"), explode(col("shs")).as("sh"))
+    val sizes = sets.select(col("id"), col("len"))
+    val joinSh =
+      if (maxShingleDf == Int.MaxValue) sh
+      else sh.join(
+        sh.groupBy("sh").agg(count(lit(1)).as("df"))
+          .filter(col("df") <= maxShingleDf).select("sh"),
+        Seq("sh"), "left_semi")
+    val co = joinSh.as("x").join(joinSh.as("y"),
+        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+      .agg(count(lit(1)).as("inter"))
+      .join(sizes.select(col("id").as("a"), col("len").as("la")), "a")
+      .join(sizes.select(col("id").as("b"), col("len").as("lb")), "b")
+    co.select(col("a").as("src"), col("b").as("dst"), col("inter"), col("la").as("src_len"))
+      .unionByName(
+        co.select(col("b").as("src"), col("a").as("dst"), col("inter"), col("lb").as("src_len")))
+      .withColumn("containment",
+        col("inter").cast("double") / col("src_len").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("src", "dst", "containment")
+  }
+
   /** Exact n-gram Jaccard with PPJoin-style prefix + size filtering —
     * identical results to [[ngramJaccard]], far fewer candidates.
     *

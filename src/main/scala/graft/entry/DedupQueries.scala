@@ -108,6 +108,34 @@ object DedupQueries {
 
   val dedupNgramSql: String = jaccardInvertedSqlD(0.5)
 
+  // ---- asymmetric containment pairs: quote/subset detection — documents
+  //      whose shingle set is >= 60% contained in another document's,
+  //      both directions emitted. Catches the tweet-inside-article case
+  //      symmetric Jaccard structurally misses. ----
+  def dedupContainment(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairs(docs(s, dir), threshold = 0.6)
+      .withColumn("containment", round(col("containment"), 6))
+      .orderBy("src", "dst")
+
+  val dedupContainmentSql: String =
+    s"""WITH $shingleCte,
+       |f AS (SELECT id, unnest(sh) AS s FROM sh),
+       |sizes AS (SELECT id, len(sh) AS l FROM sh),
+       |co AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+       |       FROM f x JOIN f y ON x.s = y.s AND x.id < y.id
+       |       GROUP BY x.id, y.id),
+       |sized AS (SELECT co.a, co.b, co.inter, sa.l AS la, sb.l AS lb
+       |          FROM co JOIN sizes sa ON co.a = sa.id
+       |          JOIN sizes sb ON co.b = sb.id),
+       |dirs AS (SELECT a AS src, b AS dst, inter, la AS src_len FROM sized
+       |         UNION ALL
+       |         SELECT b AS src, a AS dst, inter, lb AS src_len FROM sized)
+       |SELECT src, dst,
+       |       round(CAST(inter AS DOUBLE) / CAST(src_len AS DOUBLE), 6) AS containment
+       |FROM dirs
+       |WHERE CAST(inter AS DOUBLE) / CAST(src_len AS DOUBLE) >= 0.6
+       |ORDER BY src, dst""".stripMargin
+
   // ---- threshold sweep: the tuning report for picking a near-dup cutoff —
   //      pair counts and affected-document counts at every candidate
   //      threshold from ONE candidate-generation pass (the expensive
@@ -1243,6 +1271,7 @@ object DedupQueries {
     "q_dedup_stats" -> (dedupStats _),
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_sweep" -> (dedupSweep _),
+    "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> (dedupSimhash64 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
@@ -1278,6 +1307,7 @@ object DedupQueries {
     "q_dedup_stats" -> dedupStatsSql,
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_sweep" -> dedupSweepSql,
+    "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,

@@ -569,6 +569,52 @@ object OlapQueries {
       |GROUP BY ROLLUP(lang, source)
       |ORDER BY gid, lang, source""".stripMargin
 
+  /** CUBE companion to [[corpusRollup]]: all four grouping sets of
+    * (lang, source) — including the source-only marginals ROLLUP cannot
+    * express — in ONE pass (Expand ×4 + a single aggregate exchange;
+    * map-side partials still collapse each set to its group cardinality
+    * before the shuffle).
+    */
+  def corpusCube(s: SparkSession, dir: String): DataFrame =
+    t(s, dir, "documents")
+      .select(col("lang"), col("source"), col("n_chars"))
+      .cube("lang", "source")
+      .agg(grouping_id().as("gid"), count(lit(1)).as("n_docs"),
+        sum("n_chars").as("sum_chars"))
+      .select(col("lang"), col("source"), col("gid").cast("long").as("gid"),
+        col("n_docs"), col("sum_chars"))
+      .orderBy(col("gid"), col("lang"), col("source"))
+
+  val corpusCubeSql: String =
+    """SELECT lang, source, CAST(grouping_id(lang, source) AS BIGINT) AS gid,
+      |       count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+      |FROM documents
+      |GROUP BY CUBE(lang, source)
+      |ORDER BY gid, lang, source""".stripMargin
+
+  /** Pivot: languages as rows, sources as columns (doc counts) — the
+    * cross-tab report shape. Spark's `pivot` with an EXPLICIT value list
+    * plans as one aggregate (no second distinct-values job and a stable
+    * column order); the oracle is the equivalent conditional-sum form.
+    */
+  def corpusPivot(s: SparkSession, dir: String): DataFrame = {
+    val sources = Seq("src0", "src1", "src2", "src3")
+    t(s, dir, "documents")
+      .groupBy("lang")
+      .pivot("source", sources)
+      .agg(count(lit(1)))
+      .na.fill(0L, sources)
+      .orderBy("lang")
+  }
+
+  val corpusPivotSql: String =
+    """SELECT lang,
+      |  CAST(sum(CASE WHEN source = 'src0' THEN 1 ELSE 0 END) AS BIGINT) AS src0,
+      |  CAST(sum(CASE WHEN source = 'src1' THEN 1 ELSE 0 END) AS BIGINT) AS src1,
+      |  CAST(sum(CASE WHEN source = 'src2' THEN 1 ELSE 0 END) AS BIGINT) AS src2,
+      |  CAST(sum(CASE WHEN source = 'src3' THEN 1 ELSE 0 END) AS BIGINT) AS src3
+      |FROM documents GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- session-scoped event-transition matrix (first-order Markov
   //      chain): within each 30-min session, count adjacent event-type
   //      transitions and express each row of the transition matrix in
@@ -943,6 +989,8 @@ object OlapQueries {
     "q_events_abtest" -> (eventsAbtest _),
     "q_events_markov" -> (eventsMarkov _),
     "q_corpus_rollup" -> (corpusRollup _),
+    "q_corpus_cube" -> (corpusCube _),
+    "q_corpus_pivot" -> (corpusPivot _),
     "q_events_window" -> (eventsWindow _),
     "q_events_sessionize" -> (eventsSessionize _),
     "q_events_asof" -> (eventsAsof _),
@@ -972,6 +1020,8 @@ object OlapQueries {
     "q_events_abtest" -> eventsAbtestSql,
     "q_events_markov" -> eventsMarkovSql,
     "q_corpus_rollup" -> corpusRollupSql,
+    "q_corpus_cube" -> corpusCubeSql,
+    "q_corpus_pivot" -> corpusPivotSql,
     "q_events_window" -> eventsWindowSql,
     "q_events_sessionize" -> eventsSessionizeSql,
     "q_events_asof" -> eventsAsofSql,

@@ -163,6 +163,25 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1 -> 1, 2 -> 1, 3 -> 1))
   }
 
+  test("containment pairs catch a quote symmetric jaccard misses") {
+    import spark.implicits._
+    val big = (1 to 40).map(i => s"w$i").mkString(" ")
+    val quote = (10 to 15).map(i => s"w$i").mkString(" ") // 6 words inside big
+    val corpus = Seq((1L, big), (2L, quote), (3L, "entirely different words here now"))
+      .toDF("id", "content")
+    val cont = Dedup.ngramContainmentPairs(corpus, threshold = 0.9, shingleN = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // quote's 4 shingles all appear in big: containment(2 in 1) = 1.0
+    assert(cont.exists { case (s, d, c) => s == 2L && d == 1L && c == 1.0 },
+      s"missing full containment: ${cont.toSeq}")
+    // the reverse direction is far below threshold (4/38) and absent
+    assert(!cont.exists { case (s, d, _) => s == 1L && d == 2L })
+    // symmetric jaccard misses the pair entirely at the same cutoff
+    val jac = Dedup.ngramJaccard(corpus, threshold = 0.9, shingleN = 3)
+      .collect()
+    assert(jac.isEmpty)
+  }
+
   test("prefix-filtered n-gram jaccard equals the plain inverted-index form") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))
