@@ -271,6 +271,53 @@ object CoreQueries {
       |      FROM documents CROSS JOIN i)
       |SELECT doc_id, dim, round(value, 2) AS value FROM v ORDER BY doc_id, dim""".stripMargin
 
+  /** The RAG ingestion composition end to end: chunk every document into
+    * token windows, embed EACH CHUNK (per-partition batch embedder), and
+    * mean-pool the chunk embeddings back to one document vector — the
+    * "late chunking" layout where retrieval serves chunks but
+    * doc-level ops (dedup, clustering) want one vector per document.
+    * Pooling is exact: embedder outputs are hundredths by construction,
+    * so the mean runs in integer micro units (sum(cent·10⁴) div k) —
+    * partitioning-invariant, oracle-replayable. One chunk explode + one
+    * (doc, dim)-keyed aggregate; nothing corpus-sized beyond the chunk
+    * rows themselves.
+    */
+  def chunkEmbedPool(s: SparkSession, dir: String): DataFrame = {
+    val docs = t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("content"))
+    val chunks = graft.retriever.Retriever.chunk(docs, maxTokens = 20)
+      .select(col("doc_id"), col("content"),
+        lit(null).cast("array<float>").as("embedding"))
+    Embed.withEmbeddings(chunks, new DeterministicHashEmbedder(8))
+      .select(col("doc_id"), posexplode(col("embedding")).as(Seq("dim", "v")))
+      .select(col("doc_id"), col("dim"),
+        round(col("v").cast("double") * 100, 0).cast("long").as("cent"))
+      .groupBy("doc_id", "dim")
+      .agg(count(lit(1)).as("n_chunks"), sum(col("cent") * 10000L).as("sm"))
+      .select(col("doc_id"), col("dim"), col("n_chunks"),
+        expr("sm div n_chunks").as("pooled_micro"))
+      .orderBy("doc_id", "dim")
+  }
+
+  val chunkEmbedPoolSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(content, '\s+') AS words
+      |           FROM (SELECT doc_id, text AS content FROM documents)),
+      |n AS (SELECT doc_id, words,
+      |             greatest(CAST(ceil(len(words) / 20.0) AS INTEGER), 1) AS n_chunks
+      |      FROM w),
+      |c AS (SELECT doc_id,
+      |             array_to_string(words[i*20+1 : i*20+20], ' ') AS chunk
+      |      FROM n, (SELECT unnest(range(100)) AS i) ix
+      |      WHERE ix.i < n.n_chunks),
+      |ck AS (SELECT doc_id, chunk FROM c WHERE length(chunk) > 0),
+      |i AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS dim),
+      |v AS (SELECT doc_id, dim,
+      |        ('0x' || substr(sha256(chunk || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 AS cent
+      |      FROM ck CROSS JOIN i)
+      |SELECT doc_id, dim, CAST(count(*) AS BIGINT) AS n_chunks,
+      |       CAST(sum(cent * 10000) AS BIGINT) // count(*) AS pooled_micro
+      |FROM v GROUP BY 1, 2 ORDER BY doc_id, dim""".stripMargin
+
   /** Retriever token-window chunking (tests/reproduce_chunking.py:15-19 —
     * <=N-token chunks, rejoined with single spaces), replayed over the
     * documents table at a small window so most docs split.
@@ -450,6 +497,7 @@ object CoreQueries {
     "q_get_by_ids" -> (getByIds _),
     "q_embed_validate" -> (embedValidate _),
     "q_embed_deterministic" -> (embedDeterministic _),
+    "q_chunk_embed_pool" -> (chunkEmbedPool _),
     "q_retriever_chunks" -> (retrieverChunks _)
   )
 
@@ -466,6 +514,7 @@ object CoreQueries {
     "q_get_by_ids" -> getByIdsSql,
     "q_embed_validate" -> embedValidateSql,
     "q_embed_deterministic" -> embedDeterministicSql,
+    "q_chunk_embed_pool" -> chunkEmbedPoolSql,
     "q_chunk_overlap" -> chunkOverlapSql,
     "q_split_leakage" -> leakageSplitSql,
     "q_retriever_chunks" -> retrieverChunksSql
