@@ -72,7 +72,22 @@ object PlanDump {
     "q_embed_pca" -> "PCA power round: broadcast 64-row component join + two keyed aggs per pass",
     "q_ann_dim_sweep" -> "dim sweep: four truncated top-k legs unioned against ONE checkpointed truth leg",
     "q_events_paths" -> "session paths: user-keyed session windows -> |types|^3-bounded count -> top-k heap",
-    "q_events_abtest" -> "A/B readout: unit-keyed agg -> 2-row arm agg -> single-row z projection")
+    "q_events_abtest" -> "A/B readout: unit-keyed agg -> 2-row arm agg -> single-row z projection",
+    "q4_priority" -> "TPC-H Q4 shape: LeftSemi hash join, range predicate in the join condition",
+    "q18_large" -> "TPC-H Q18 shape: HAVING-side partial agg -> surviving-key join-back -> top-10 heap",
+    "q19_disjunct" -> "TPC-H Q19 shape: broadcast hash join with the OR arms as residual condition",
+    "q11_important" -> "TPC-H Q11 shape: two keyed aggs + 1-row broadcast threshold (no second corpus pass)",
+    "q22_segment" -> "TPC-H Q22 shape: 1-row broadcast scalar + LeftAnti dormancy join",
+    "q_corpus_cube" -> "CUBE: Expand x4 grouping sets, ONE aggregate exchange (partials collapse map-side)",
+    "q_corpus_pivot" -> "pivot: explicit value list -> ONE aggregate, no distinct-values job",
+    "q_ann_nndescent" -> "NN-descent round: bounded neighbor self-joins + vector-fetch joins + per-src window",
+    "q_graph_ppr" -> "personalized PageRank round: one keyed join + agg, seed-conditional restart projection",
+    "q_dedup_containment" -> "containment pairs: inverted-index candidate join, direction fan-out output-sized",
+    "q_bootstrap_ci" -> "Poisson bootstrap: B-way explode collapses map-side to B rows per partition",
+    "q_drift_semantic" -> "semantic drift: two dim-keyed combiner aggs -> d-row join -> broadcast summary",
+    "q_profile_merge" -> "mergeable profile: two 1-row aggs -> |cols|-row merge agg (metadata-sized)",
+    "q_trend_ols" -> "grouped OLS: one keyed sufficient-statistics agg -> closed-form projection",
+    "q_chunk_embed_pool" -> "chunk-embed-pool: chunk explode -> per-partition batch embed -> (doc,dim) agg")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -570,5 +570,32 @@ object ScaleProbe {
           vecs.select(col("id"), col("embedding")), iters = 3)
         .agg(count(lit(1)), sum(col("v_micro"))).collect()(0).getLong(0)
     }
+    // NN-descent: per-node candidate work is (2k)^2-bounded, so the curve
+    // must track the node count (each round = 2 bounded self-joins + 2
+    // vector-fetch joins + a per-node window). Ids must be dense 0..n-1:
+    // re-key the salted vectors by row_number over (id) — probe-only
+    // densification, the operator contract documents exportShards as the
+    // production densifier
+    time("ann_nndescent") {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      val dense = vecs
+        .withColumn("id", row_number().over(w).cast("long") - 1)
+        .repartition(cpus).localCheckpoint()
+      graft.ann.NnDescent.build(dense, k = 5, rounds = 2)
+        .agg(count(lit(1)), sum(col("dst"))).collect()(0).getLong(0)
+    }
+    // asymmetric containment: same inverted-index candidate join as
+    // dedup_ngram; the direction fan-out doubles only output-sized rows
+    time("dedup_containment") {
+      graft.dedup.Dedup.ngramContainmentPairs(docs, threshold = 0.6).count()
+    }
+    // bootstrap CI: one B-way explode + B-row aggregate; must be ~linear
+    // in rows x B with no driver growth
+    time("bootstrap_ci") {
+      graft.operators.Bootstrap.meanCi(
+          docs.select(col("id"), length(col("content")).cast("long").as("v")),
+          "id", "v", b = 32)
+        .collect()(0).getLong(2)
+    }
   }
 }
