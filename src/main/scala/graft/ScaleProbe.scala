@@ -589,6 +589,22 @@ object ScaleProbe {
     time("dedup_containment") {
       graft.dedup.Dedup.ngramContainmentPairs(docs, threshold = 0.6).count()
     }
+    // the one-sided prefix route: stop shingles fall out of probe
+    // prefixes, so the d^2 candidate blowup above cannot happen
+    time("dedup_containment_prefix") {
+      graft.dedup.Dedup.ngramContainmentPairsPrefix(docs, threshold = 0.6).count()
+    }
+    // edit-distance join over the DISTINCT 24-char content-prefix
+    // vocabulary (the fuzzy-VALUE-matching form the query uses — raw
+    // per-doc prefixes collide massively, which is exact dedup's job,
+    // not Ed-Join's): candidate volume rides on char-q-gram rarity
+    // prefixes while salting grows the distinct vocabulary ~M-fold —
+    // the adversarial case for rarity ordering (gram df grows with M)
+    time("dedup_editdist") {
+      val vocab = docs.select(substring(col("content"), 1, 24).as("str"))
+        .distinct().select(col("str").as("id"), col("str"))
+      graft.dedup.EditJoin.editDistancePairs(vocab, k = 2).count()
+    }
     // bootstrap CI: one B-way explode + B-row aggregate; must be ~linear
     // in rows x B with no driver growth
     time("bootstrap_ci") {

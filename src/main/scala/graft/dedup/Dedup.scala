@@ -549,6 +549,62 @@ object Dedup {
       .select("src", "dst", "containment")
   }
 
+  /** [[ngramContainmentPairs]] with one-sided prefix + size filtering —
+    * identical results, the 100 TB candidate path. The containment
+    * adaptation of the prefix-filter machinery: C(a→b) ≥ t needs
+    * |Sa∩Sb| ≥ ceil(t·|Sa|), so (prefix) a must share a shingle within
+    * its |Sa| − ceil(t·|Sa|) + 1 globally-RAREST shingles — the probe
+    * side alone is prefix-filtered; (size) the dst must have at least
+    * ceil(t·|Sa|) shingles at all. Stop shingles fall out of probe
+    * prefixes by construction, which kills the d² candidate blowup the
+    * plain form inherits (measured 139.6 s at the 64× sweep point).
+    *
+    * The indexed side stays the RAW shingle frame — no df join, no
+    * per-document rank window, no materialization. A first cut ranked
+    * BOTH sides (to add PPJoin's positional bound on the indexed side,
+    * mirroring [[ngramJaccardPrefix]]'s symmetric form) and was SLOWER
+    * than the plain form it was meant to fix (343 s vs 139.6 s at the
+    * 64× sweep point): a contained doc may sit anywhere in its
+    * container's rarity order, so the indexed side cannot be
+    * prefix-shrunk, and windowing + checkpointing the full corpus-sized
+    * shingle frame costs more than the y-rank positional term ever
+    * prunes. One window over the probe side only; the probe prefix's
+    * low-df shingles bound the join fan-out on their own.
+    */
+  def ngramContainmentPairsPrefix(
+      docs: DataFrame,
+      threshold: Double,
+      shingleN: Int = 3): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold $threshold out of (0,1]")
+    val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    val sh = sets
+      .select(col("id"), explode(col("shs")).as("sh"), col("len"))
+      .withColumn("h", xxhash64(col("sh")))
+    val dfs = sh.groupBy("h").agg(count(lit(1)).as("df"))
+    val rankW = org.apache.spark.sql.expressions.Window
+      .partitionBy("id").orderBy(col("df").asc, col("h").asc, col("sh").asc)
+    val pref = sh.join(dfs, "h")
+      .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <=
+        col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
+      .select("id", "h", "len")
+    val cands = pref.as("x").join(sh.select("id", "h", "len").as("y"),
+        col("x.h") === col("y.h") && col("x.id") =!= col("y.id") &&
+          col("y.len") >= lit(threshold) * col("x.len") - lit(1e-9))
+      .select(col("x.id").as("src"), col("y.id").as("dst"))
+      .distinct()
+    cands
+      .join(sets.select(col("id").as("src"), col("shs").as("sha"),
+        col("len").as("src_len")), "src")
+      .join(sets.select(col("id").as("dst"), col("shs").as("shb")), "dst")
+      .withColumn("inter",
+        graft.functions.VectorExpressions.sortedIntersectCount(col("sha"), col("shb")))
+      .withColumn("containment",
+        col("inter").cast("double") / col("src_len").cast("double"))
+      .filter(col("containment") >= threshold)
+      .select("src", "dst", "containment")
+  }
+
   /** Exact n-gram Jaccard with PPJoin-style prefix + size filtering —
     * identical results to [[ngramJaccard]], far fewer candidates.
     *

@@ -5,7 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.Tables.t
 import graft.ann.{Ann, Pq, Sq}
-import graft.dedup.Dedup
+import graft.dedup.{Dedup, EditJoin}
 
 /** Oracle-checked queries for the dedup + similarity-search pipeline
   * operators. LSH-based operators (MinHash, SimHash blocking) verify every
@@ -135,6 +135,37 @@ object DedupQueries {
        |FROM dirs
        |WHERE CAST(inter AS DOUBLE) / CAST(src_len AS DOUBLE) >= 0.6
        |ORDER BY src, dst""".stripMargin
+
+  // ---- the one-sided prefix-filtered containment variant under the SAME
+  //      oracle as q_dedup_containment: candidate pruning must not change
+  //      a single directed pair. ----
+  def dedupContainmentPrefix(s: SparkSession, dir: String): DataFrame =
+    Dedup.ngramContainmentPairsPrefix(docs(s, dir), threshold = 0.6)
+      .withColumn("containment", round(col("containment"), 6))
+      .orderBy("src", "dst")
+
+  // ---- edit-distance similarity join over the distinct part-name
+  //      vocabulary: typo-grade fuzzy value matching (Ed-Join q-gram
+  //      prefix filtering; the character-level member of the dedup
+  //      family — word-shingle ops are blind to single-character
+  //      edits). Distinct values first: fuzzy VALUE matching is the
+  //      realistic form, and id-grade duplicates would otherwise
+  //      quadratically re-derive the same string pair. ----
+  def dedupEditdist(s: SparkSession, dir: String): DataFrame = {
+    val names = t(s, dir, "part")
+      .select(col("p_name").as("str")).distinct()
+      .select(col("str").as("id"), col("str"))
+    EditJoin.editDistancePairs(names, k = 2)
+      .orderBy("src", "dst")
+  }
+
+  val dedupEditdistSql: String =
+    """WITH n AS (SELECT DISTINCT p_name AS name FROM part)
+      |SELECT a.name AS src, b.name AS dst,
+      |       CAST(levenshtein(a.name, b.name) AS BIGINT) AS dist
+      |FROM n a, n b
+      |WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2
+      |ORDER BY src, dst""".stripMargin
 
   // ---- threshold sweep: the tuning report for picking a near-dup cutoff —
   //      pair counts and affected-document counts at every candidate
@@ -1272,6 +1303,8 @@ object DedupQueries {
     "q_dedup_ngram" -> (dedupNgram _),
     "q_dedup_sweep" -> (dedupSweep _),
     "q_dedup_containment" -> (dedupContainment _),
+    "q_dedup_containment_prefix" -> (dedupContainmentPrefix _),
+    "q_dedup_editdist" -> (dedupEditdist _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> (dedupSimhash64 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
@@ -1308,6 +1341,8 @@ object DedupQueries {
     "q_dedup_ngram" -> dedupNgramSql,
     "q_dedup_sweep" -> dedupSweepSql,
     "q_dedup_containment" -> dedupContainmentSql,
+    "q_dedup_containment_prefix" -> dedupContainmentSql,
+    "q_dedup_editdist" -> dedupEditdistSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,

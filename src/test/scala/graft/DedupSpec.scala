@@ -182,6 +182,20 @@ class DedupSpec extends SparkSpec {
     assert(jac.isEmpty)
   }
 
+  test("prefix-filtered containment equals the plain form at several thresholds") {
+    val corpus = Tables.textCorpus(spark, dir)
+    for (t <- Seq(0.4, 0.6, 0.8)) {
+      val plain = Dedup.ngramContainmentPairs(corpus, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      val pref = Dedup.ngramContainmentPairsPrefix(corpus, t)
+        .collect().map(r => (r.getLong(0), r.getLong(1),
+          math.round(r.getDouble(2) * 1e9))).toSet
+      assert(pref == plain, s"threshold $t: pruning changed the pair set")
+      assert(plain.nonEmpty || t > 0.7, s"threshold $t suspiciously empty")
+    }
+  }
+
   test("prefix-filtered n-gram jaccard equals the plain inverted-index form") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))
