@@ -594,15 +594,25 @@ object ScaleProbe {
     time("dedup_containment_prefix") {
       graft.dedup.Dedup.ngramContainmentPairsPrefix(docs, threshold = 0.6).count()
     }
-    // edit-distance join over the DISTINCT 24-char content-prefix
-    // vocabulary (the fuzzy-VALUE-matching form the query uses — raw
-    // per-doc prefixes collide massively, which is exact dedup's job,
-    // not Ed-Join's): candidate volume rides on char-q-gram rarity
-    // prefixes while salting grows the distinct vocabulary ~M-fold —
-    // the adversarial case for rarity ordering (gram df grows with M)
+    // edit-distance join over a DISTINCT 24-char window vocabulary
+    // drawn from the BASE corpus at M-fold density (per-replica window
+    // offsets (rep*13)%176 — all 64 offsets distinct): the vocabulary
+    // grows ~M-fold in NATURAL text (4.6k -> 36k -> 266k strings), so
+    // char-q-gram df rides real language statistics. The word-salted
+    // `docs` frame is wrong for a CHARACTER-level operator: replicas
+    // disjoint in tokens share ~every 2-gram at identical positions,
+    // which grows candidates M-squared by construction — a workload
+    // artifact (fuzzy-VALUE matching runs on distinct vocabularies,
+    // and real vocabulary growth brings new grams with it)
     time("dedup_editdist") {
-      val vocab = docs.select(substring(col("content"), 1, 24).as("str"))
+      val vocab = graft.Tables.textCorpus(spark, sfDir)
+        .select(col("content"),
+          explode(sequence(lit(0), lit(m - 1))).as("rep"))
+        .select(expr(
+          "substring(content, cast(rep * 13 % 176 + 1 as int), 24)").as("str"))
+        .filter(length(col("str")) === 24)
         .distinct().select(col("str").as("id"), col("str"))
+        .repartition(cpus)
       graft.dedup.EditJoin.editDistancePairs(vocab, k = 2).count()
     }
     // bootstrap CI: one B-way explode + B-row aggregate; must be ~linear

@@ -167,6 +167,53 @@ object DedupQueries {
       |WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2
       |ORDER BY src, dst""".stripMargin
 
+  // ---- contrastive triplet mining: (anchor, positive, hard-negative)
+  //      training rows for embedding models — positives = exact-Jaccard
+  //      near-dup directions, hard negatives = the anchor's top-3
+  //      NON-duplicate cosine neighbors from a k=10 exact kNN
+  //      (knnJoinBlocked/IVF is the corpus-scale kNN swap-in; the mine
+  //      itself only touches output-sized frames). ----
+  def mineTriplets(s: SparkSession, dir: String): DataFrame = {
+    val pairs = Dedup.ngramJaccard(docs(s, dir), threshold = 0.5).select("a", "b")
+    val knn = Ann.knnJoin(Tables.vectors(s, dir), k = 10)
+    graft.operators.Triplets.mine(pairs, knn, nNeg = 3)
+      .withColumn("neg_cos", round(col("neg_cos"), 6))
+      .orderBy("anchor", "positive", "negative")
+  }
+
+  val mineTripletsSql: String =
+    s"""WITH $shingleCte,
+       |f AS (SELECT id, unnest(sh) AS s FROM sh),
+       |sizes AS (SELECT id, len(sh) AS l FROM sh),
+       |co AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+       |       FROM f x JOIN f y ON x.s = y.s AND x.id < y.id
+       |       GROUP BY x.id, y.id),
+       |jp AS (SELECT co.a, co.b
+       |       FROM co JOIN sizes sa ON co.a = sa.id JOIN sizes sb ON co.b = sb.id
+       |       WHERE CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) >= 0.5),
+       |anch AS (SELECT a AS anchor, b AS positive FROM jp
+       |         UNION ALL SELECT b, a FROM jp),
+       |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+       |knn AS (SELECT qid, neighbor, sc FROM (
+       |    SELECT x.id AS qid, y.id AS neighbor,
+       |           list_cosine_similarity(x.v, y.v) AS sc,
+       |           row_number() OVER (PARTITION BY x.id
+       |             ORDER BY list_cosine_similarity(x.v, y.v) DESC, y.id) AS rn
+       |    FROM e x JOIN e y ON x.id <> y.id)
+       |  WHERE rn <= 10),
+       |negs AS (SELECT qid, neighbor, sc,
+       |           row_number() OVER (PARTITION BY qid
+       |             ORDER BY sc DESC, neighbor) AS nrn
+       |         FROM knn k
+       |         WHERE NOT EXISTS (SELECT 1 FROM anch
+       |                           WHERE anch.anchor = k.qid
+       |                             AND anch.positive = k.neighbor))
+       |SELECT anch.anchor, anch.positive, negs.neighbor AS negative,
+       |       round(negs.sc, 6) AS neg_cos
+       |FROM anch JOIN negs ON anch.anchor = negs.qid
+       |WHERE negs.nrn <= 3
+       |ORDER BY anchor, positive, negative""".stripMargin
+
   // ---- threshold sweep: the tuning report for picking a near-dup cutoff —
   //      pair counts and affected-document counts at every candidate
   //      threshold from ONE candidate-generation pass (the expensive
@@ -1305,6 +1352,7 @@ object DedupQueries {
     "q_dedup_containment" -> (dedupContainment _),
     "q_dedup_containment_prefix" -> (dedupContainmentPrefix _),
     "q_dedup_editdist" -> (dedupEditdist _),
+    "q_mine_triplets" -> (mineTriplets _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> (dedupSimhash64 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
@@ -1343,6 +1391,7 @@ object DedupQueries {
     "q_dedup_containment" -> dedupContainmentSql,
     "q_dedup_containment_prefix" -> dedupContainmentSql,
     "q_dedup_editdist" -> dedupEditdistSql,
+    "q_mine_triplets" -> mineTripletsSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
