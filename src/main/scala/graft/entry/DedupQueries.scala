@@ -214,6 +214,57 @@ object DedupQueries {
        |WHERE negs.nrn <= 3
        |ORDER BY anchor, positive, negative""".stripMargin
 
+  // ---- mutual-kNN graph: the standard sparsifier turning a noisy kNN
+  //      graph into semantic-cluster structure (one-sided edges into
+  //      hubs are what chain unrelated clusters; mutuality is the
+  //      cheapest robust filter) — edges, then connected components as
+  //      the corpus's semantic clustering. ----
+  private def mutualEdges(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.mutualKnn(Ann.knnJoin(Tables.vectors(s, dir), k = 3))
+
+  def knnMutual(s: SparkSession, dir: String): DataFrame =
+    mutualEdges(s, dir)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy("a", "b")
+
+  private val knnMutualCte =
+    """e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |knn AS (SELECT qid, neighbor, sc FROM (
+      |    SELECT x.id AS qid, y.id AS neighbor,
+      |           list_cosine_similarity(x.v, y.v) AS sc,
+      |           row_number() OVER (PARTITION BY x.id
+      |             ORDER BY list_cosine_similarity(x.v, y.v) DESC, y.id) AS rn
+      |    FROM e x JOIN e y ON x.id <> y.id)
+      |  WHERE rn <= 3),
+      |m AS (SELECT x.qid AS a, x.neighbor AS b, x.sc
+      |      FROM knn x JOIN knn y
+      |        ON x.qid = y.neighbor AND x.neighbor = y.qid
+      |      WHERE x.qid < x.neighbor)""".stripMargin
+
+  val knnMutualSql: String =
+    s"""WITH $knnMutualCte
+       |SELECT a, b, round(sc, 6) AS score FROM m ORDER BY a, b""".stripMargin
+
+  def knnMutualClusters(s: SparkSession, dir: String): DataFrame =
+    Dedup.duplicateClusters(mutualEdges(s, dir).select("a", "b"))
+      .groupBy("comp").agg(count(lit(1)).as("n_members"),
+        sum("id").as("member_checksum"))
+      .select(col("comp").as("keep_id"), col("n_members"), col("member_checksum"))
+      .orderBy("keep_id")
+
+  val knnMutualClustersSql: String =
+    s"""WITH RECURSIVE $knnMutualCte,
+       |edges AS (SELECT a, b FROM m UNION SELECT b AS a, a AS b FROM m),
+       |reach(src, t) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.t = e2.a),
+       |comp AS (SELECT src AS id, least(src, min(t)) AS comp
+       |         FROM reach GROUP BY src)
+       |SELECT comp AS keep_id, count(*) AS n_members,
+       |       CAST(sum(id) AS BIGINT) AS member_checksum
+       |FROM comp GROUP BY 1 ORDER BY keep_id""".stripMargin
+
   // ---- threshold sweep: the tuning report for picking a near-dup cutoff —
   //      pair counts and affected-document counts at every candidate
   //      threshold from ONE candidate-generation pass (the expensive
@@ -1353,6 +1404,8 @@ object DedupQueries {
     "q_dedup_containment_prefix" -> (dedupContainmentPrefix _),
     "q_dedup_editdist" -> (dedupEditdist _),
     "q_mine_triplets" -> (mineTriplets _),
+    "q_knn_mutual" -> (knnMutual _),
+    "q_knn_mutual_clusters" -> (knnMutualClusters _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> (dedupSimhash64 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
@@ -1392,6 +1445,8 @@ object DedupQueries {
     "q_dedup_containment_prefix" -> dedupContainmentSql,
     "q_dedup_editdist" -> dedupEditdistSql,
     "q_mine_triplets" -> mineTripletsSql,
+    "q_knn_mutual" -> knnMutualSql,
+    "q_knn_mutual_clusters" -> knnMutualClustersSql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,

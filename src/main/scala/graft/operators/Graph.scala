@@ -32,6 +32,28 @@ import org.apache.spark.sql.functions._
   */
 object Graph {
 
+  /** Mutual-kNN graph: keep a directed kNN edge only when its REVERSE
+    * edge also exists — the standard sparsifier that turns a noisy kNN
+    * graph into semantic-cluster structure (one-sided edges into hub
+    * vectors are what chain unrelated clusters together; mutuality is
+    * the cheapest robust filter). Input is any ANN-family kNN frame
+    * (qid, neighbor, rank, score): exact [[graft.ann.Ann.knnJoin]] for
+    * oracle replay, `knnJoinBlocked`/NN-descent at corpus scale — the
+    * mutuality check itself is ONE self-join on the output-sized edge
+    * list, keyed both sides. Output: (a, b, score) with a < b, one row
+    * per mutual pair (cosine is symmetric, and both directions compute
+    * the identical dot-product sum, so either side's score is THE
+    * score).
+    */
+  def mutualKnn(knn: DataFrame): DataFrame = {
+    val e = knn.select(col("qid"), col("neighbor"), col("score")).localCheckpoint()
+    e.as("x").join(e.as("y"),
+        col("x.qid") === col("y.neighbor") && col("x.neighbor") === col("y.qid") &&
+          col("x.qid") < col("x.neighbor"))
+      .select(col("x.qid").as("a"), col("x.neighbor").as("b"),
+        col("x.score").as("score"))
+  }
+
   /** Symmetrize an undirected pair list (a,b) into a directed distinct
     * edge list with per-source degree attached.
     */

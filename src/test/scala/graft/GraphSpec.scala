@@ -15,6 +15,19 @@ class GraphSpec extends SparkSpec {
       .map(r => r.getAs[Long]("id") ->
         (r.getAs[Long]("deg"), r.getAs[Long]("rank_micro"))).toMap
 
+  test("mutualKnn keeps exactly the reciprocated edges, canonicalized a<b") {
+    // 1<->2 mutual; 3->1 one-sided (1's list is full of 2); 3<->4 mutual
+    val knn = Seq(
+      (1L, 2L, 1, 0.9), (2L, 1L, 1, 0.9),
+      (3L, 1L, 1, 0.4),
+      (3L, 4L, 2, 0.8), (4L, 3L, 1, 0.8),
+      (4L, 2L, 2, 0.3))
+      .toDF("qid", "neighbor", "rank", "score")
+    val got = Graph.mutualKnn(knn).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(got == Set((1L, 2L, 0.9), (3L, 4L, 0.8)))
+  }
+
   test("path graph 1-2-3: two hand-computed iterations") {
     // symmetrized degs: 1->1, 2->2, 3->1
     // iter1: r2 = 150000 + 85*(1e6+1e6)/100 = 1850000
