@@ -977,7 +977,465 @@ object OlapQueries {
       |                    AND o_orderdate >= TIMESTAMP '2000-01-01 00:00:00')
       |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
 
+  /** Q7-style bilateral trade volume: lineitem reaches TWO nation
+    * dimensions at once (supplier's and customer's), the join shape
+    * that punishes engines which can't reuse a broadcast — both nation
+    * legs broadcast here. Direction pairs kept separately, grouped by
+    * ship year.
+    */
+  def q7Volume(s: SparkSession, dir: String): DataFrame = {
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val n2 = t(s, dir, "nation").select(col("n_nationkey").as("ck"), col("n_name").as("cust_nation"))
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .join(broadcast(n2), col("c_nationkey") === col("ck"))
+      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
+      .agg(sum(dec(col("l_extendedprice"), 2) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2))).as("rev"))
+      .select(col("supp_nation"), col("cust_nation"), col("l_year"),
+        col("rev").cast("double").as("revenue"))
+      .orderBy("supp_nation", "cust_nation", "l_year")
+  }
+
+  val q7VolumeSql: String =
+    """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      |       CAST(year(l_shipdate) AS INTEGER) AS l_year,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      |FROM lineitem, orders, supplier, customer, nation n1, nation n2
+      |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
+      |  AND o_custkey = c_custkey
+      |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
+      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
+      |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
+
+  /** Q8-style national market share: one nation's revenue fraction per
+    * order year within a region's customer base for one part type —
+    * the conditional-numerator / total-denominator ratio over a
+    * 6-table star. Both sums decimal-exact; ONE double division at the
+    * end (identical sequencing in the oracle).
+    */
+  def q8Share(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").filter(col("p_type") === "ECONOMY")
+      .select("p_partkey")
+    val n1 = t(s, dir, "nation").select(col("n_nationkey").as("sk"), col("n_name").as("supp_nation"))
+    val custRegion = t(s, dir, "customer")
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .join(broadcast(t(s, dir, "region")
+          .filter(col("r_name") === "ASIA")),
+        col("n_regionkey") === col("r_regionkey"))
+      .select("c_custkey")
+    t(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .join(custRegion, col("o_custkey") === col("c_custkey"), "left_semi")
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(n1), col("s_nationkey") === col("sk"))
+      .select(year(col("o_orderdate")).as("o_year"),
+        (dec(col("l_extendedprice"), 2) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2))).as("vol"),
+        col("supp_nation"))
+      .groupBy("o_year")
+      .agg(
+        sum(when(col("supp_nation") === "NATION_3", col("vol"))
+          .otherwise(lit(0).cast("decimal(18,2)"))).as("nat"),
+        sum(col("vol")).as("tot"))
+      .select(col("o_year"),
+        round(col("nat").cast("double") / col("tot").cast("double"), 6).as("mkt_share"))
+      .orderBy("o_year")
+  }
+
+  val q8ShareSql: String =
+    """SELECT o_year,
+      |       round(CAST(nat AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS mkt_share
+      |FROM (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |    sum(CASE WHEN n1.n_name = 'NATION_3'
+      |        THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |        ELSE CAST(0 AS DECIMAL(18,2)) END) AS nat,
+      |    sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS tot
+      |  FROM lineitem
+      |  JOIN part ON l_partkey = p_partkey AND p_type = 'ECONOMY'
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN supplier ON l_suppkey = s_suppkey
+      |  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+      |  WHERE o_custkey IN (
+      |    SELECT c_custkey FROM customer
+      |    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+      |    JOIN region ON n2.n_regionkey = r_regionkey AND r_name = 'ASIA')
+      |  GROUP BY 1)
+      |ORDER BY o_year""".stripMargin
+
+  /** Q9-style profit by supplier nation and year. The schema has no
+    * partsupp, so supply cost is adapted to half the part's retail
+    * price — the PLAN shape (part-name LIKE filter, fact joined to two
+    * dims + orders, two-column group) is Q9's; the cost constant is not.
+    * All arithmetic decimal-exact until the final double cast.
+    */
+  def q9Profit(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part").filter(col("p_name").like("%red%"))
+    t(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .groupBy(col("n_name").as("nation"), year(col("l_shipdate")).as("o_year"))
+      .agg(sum(dec(col("l_extendedprice"), 2) *
+          (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2)) -
+          dec(col("p_retailprice"), 2) * dec(col("l_quantity"), 2) *
+            lit(0.5).cast("decimal(18,2)")).as("p"))
+      .select(col("nation"), col("o_year"), col("p").cast("double").as("profit"))
+      .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  val q9ProfitSql: String =
+    """SELECT n_name AS nation, CAST(year(l_shipdate) AS INTEGER) AS o_year,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
+      |       - CAST(p_retailprice AS DECIMAL(18,2)) * CAST(l_quantity AS DECIMAL(18,2)) * CAST(0.5 AS DECIMAL(18,2))) AS DOUBLE) AS profit
+      |FROM lineitem, part, supplier, nation
+      |WHERE l_partkey = p_partkey AND l_suppkey = s_suppkey
+      |  AND s_nationkey = n_nationkey AND p_name LIKE '%red%'
+      |GROUP BY 1, 2 ORDER BY nation, o_year DESC""".stripMargin
+
+  /** Q10-style returned-revenue ranking: top-20 customers by revenue on
+    * returned lines for one order quarter — date-pruned orders scan,
+    * returnflag-pruned lineitem scan, broadcast customer/nation dims,
+    * bounded TakeOrderedAndProject tail.
+    */
+  def q10Returns(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .join(t(s, dir, "orders")
+          .filter(col("o_orderdate") >= lit("1996-01-01").cast("timestamp") &&
+            col("o_orderdate") < lit("1996-04-01").cast("timestamp")),
+        col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
+      .join(broadcast(t(s, dir, "nation")), col("c_nationkey") === col("n_nationkey"))
+      .groupBy(col("c_custkey"), col("c_name"), col("c_acctbal"), col("n_name"))
+      .agg(sum(dec(col("l_extendedprice"), 2) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2))).as("rev"))
+      .select(col("c_custkey"), col("c_name"),
+        col("rev").cast("double").as("revenue"),
+        round(col("c_acctbal"), 2).as("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey").asc)
+      .limit(20)
+  }
+
+  val q10ReturnsSql: String =
+    """SELECT c_custkey, c_name,
+      |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      |  round(c_acctbal, 2) AS c_acctbal, n_name
+      |FROM customer, orders, lineitem, nation
+      |WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+      |GROUP BY c_custkey, c_name, c_acctbal, n_name
+      |ORDER BY revenue DESC, c_custkey LIMIT 20""".stripMargin
+
+  /** Q12-style conditional priority counts: lineitem→orders join with
+    * CASE-aggregated high/low priority tallies per line status (the
+    * schema has no l_shipmode; l_linestatus stands in — the join +
+    * dual conditional-count shape is Q12's).
+    */
+  def q12Priority(s: SparkSession, dir: String): DataFrame = {
+    t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(t(s, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy("l_linestatus")
+      .agg(
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1L)
+          .otherwise(0L)).as("high_line_count"),
+        sum(when(col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 0L)
+          .otherwise(1L)).as("low_line_count"))
+      .orderBy("l_linestatus")
+  }
+
+  val q12PrioritySql: String =
+    """SELECT l_linestatus,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+      |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+      |FROM lineitem, orders
+      |WHERE l_orderkey = o_orderkey
+      |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+      |GROUP BY l_linestatus ORDER BY l_linestatus""".stripMargin
+
+  /** Q13-style customer order-count distribution: LEFT join keeps
+    * zero-order customers, count(o_orderkey) counts only matches (the
+    * count(col)-vs-count(*) subtlety Q13 exists to test), then the
+    * histogram of counts.
+    */
+  def q13Distribution(s: SparkSession, dir: String): DataFrame = {
+    val ord = t(s, dir, "orders")
+      .filter(col("o_orderpriority") =!= "4-NOT SPECIFIED")
+      .select("o_orderkey", "o_custkey")
+    t(s, dir, "customer")
+      .join(ord, col("c_custkey") === col("o_custkey"), "left_outer")
+      .groupBy("c_custkey")
+      .agg(count(col("o_orderkey")).as("c_count"))
+      .groupBy("c_count")
+      .agg(count(lit(1)).as("custdist"))
+      .orderBy(col("custdist").desc, col("c_count").desc)
+  }
+
+  val q13DistributionSql: String =
+    """SELECT c_count, count(*) AS custdist FROM (
+      |  SELECT c_custkey, count(o_orderkey) AS c_count
+      |  FROM customer LEFT OUTER JOIN orders
+      |    ON c_custkey = o_custkey AND o_orderpriority <> '4-NOT SPECIFIED'
+      |  GROUP BY c_custkey)
+      |GROUP BY c_count ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+  /** Q2-style min-cost supplier: per-part minimum price from a keyed
+    * aggregate joined back against the detail rows (the decorrelated
+    * form of Q2's correlated scalar subquery — Catalyst plans the SQL
+    * form the same way). No partsupp in the schema: the per-(part,
+    * supplier) minimum l_extendedprice stands in for ps_supplycost.
+    * Ties keep every witnessing supplier, exactly like Q2.
+    */
+  def q2Mincost(s: SparkSession, dir: String): DataFrame = {
+    val parts = t(s, dir, "part")
+      .filter(col("p_type") === "SMALL" && col("p_size") <= 10)
+      .select("p_partkey", "p_brand", "p_size")
+    val offers = t(s, dir, "lineitem")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .groupBy(col("p_partkey"), col("p_brand"), col("p_size"), col("l_suppkey"))
+      .agg(min(dec(col("l_extendedprice"), 2)).as("offer"))
+    val best = offers.groupBy(col("p_partkey").as("bk"))
+      .agg(min(col("offer")).as("best"))
+    offers.join(best, col("p_partkey") === col("bk") && col("offer") === col("best"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select(col("p_partkey"), col("p_brand"), col("p_size"),
+        col("s_name"), col("n_name"), col("offer").cast("double").as("min_price"))
+      .orderBy(col("min_price").asc, col("p_partkey").asc, col("s_name").asc)
+      .limit(25)
+  }
+
+  val q2MincostSql: String =
+    """WITH offers AS (
+      |  SELECT p_partkey, p_brand, p_size, l_suppkey,
+      |         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS offer
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_type = 'SMALL' AND p_size <= 10
+      |  GROUP BY 1, 2, 3, 4)
+      |SELECT o.p_partkey, o.p_brand, o.p_size, s_name, n_name,
+      |       CAST(o.offer AS DOUBLE) AS min_price
+      |FROM offers o, supplier, nation
+      |WHERE o.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+      |  AND o.offer = (SELECT min(offer) FROM offers i
+      |                 WHERE i.p_partkey = o.p_partkey)
+      |ORDER BY min_price, o.p_partkey, s_name LIMIT 25""".stripMargin
+
+  /** Q15-style top supplier: quarterly revenue per supplier, then keep
+    * the row(s) equal to the scalar maximum — a 1-row aggregate
+    * broadcast back against its own input (the view + scalar-subquery
+    * shape; ties all survive, as Q15 specifies).
+    */
+  def q15TopSupplier(s: SparkSession, dir: String): DataFrame = {
+    val rev = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1996-04-01").cast("timestamp"))
+      .groupBy(col("l_suppkey"))
+      .agg(sum(dec(col("l_extendedprice"), 2) *
+        (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2))).as("total"))
+    val top = rev.agg(max(col("total")).as("mx"))
+    rev.crossJoin(broadcast(top))
+      .filter(col("total") === col("mx"))
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_suppkey"), col("s_name"),
+        col("total").cast("double").as("total_revenue"))
+      .orderBy("s_suppkey")
+  }
+
+  val q15TopSupplierSql: String =
+    """WITH rev AS (
+      |  SELECT l_suppkey,
+      |         sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS total
+      |  FROM lineitem
+      |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+      |  GROUP BY l_suppkey)
+      |SELECT s_suppkey, s_name, CAST(total AS DOUBLE) AS total_revenue
+      |FROM supplier, rev
+      |WHERE s_suppkey = l_suppkey AND total = (SELECT max(total) FROM rev)
+      |ORDER BY s_suppkey""".stripMargin
+
+  /** Q16-style supplier diversity per part attribute set: DISTINCT
+    * supplier counts per (brand, type, size) with a NOT-IN supplier
+    * exclusion (negative-balance suppliers stand in for the complaints
+    * filter); supplier-part pairs come from lineitem in lieu of
+    * partsupp. Anti-join + distinct-agg shape.
+    */
+  def q16SuppCount(s: SparkSession, dir: String): DataFrame = {
+    val excluded = t(s, dir, "supplier")
+      .filter(col("s_acctbal") < 0).select(col("s_suppkey").as("xk"))
+    val parts = t(s, dir, "part")
+      .filter(col("p_brand") =!= "Brand#1" && col("p_size").isin(1, 4, 7, 10, 13, 16))
+      .select("p_partkey", "p_brand", "p_type", "p_size")
+    t(s, dir, "lineitem").select("l_partkey", "l_suppkey")
+      .join(broadcast(parts), col("l_partkey") === col("p_partkey"))
+      .join(broadcast(excluded), col("l_suppkey") === col("xk"), "left_anti")
+      .groupBy("p_brand", "p_type", "p_size")
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc,
+        col("p_brand"), col("p_type"), col("p_size"))
+  }
+
+  val q16SuppCountSql: String =
+    """SELECT p_brand, p_type, p_size,
+      |       count(DISTINCT l_suppkey) AS supplier_cnt
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |WHERE p_brand <> 'Brand#1' AND p_size IN (1, 4, 7, 10, 13, 16)
+      |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+      |GROUP BY p_brand, p_type, p_size
+      |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size""".stripMargin
+
+  /** Q17-style small-quantity revenue: lines under a fifth of their
+    * part's average quantity, for one brand. The correlated per-part
+    * average decorrelates to a keyed aggregate joined back; the
+    * threshold compare stays integer-exact by cross-multiplying
+    * (5 * qty * n < sum) instead of dividing.
+    */
+  def q17SmallQty(s: SparkSession, dir: String): DataFrame = {
+    val brand = t(s, dir, "part").filter(col("p_brand") === "Brand#2")
+      .select("p_partkey")
+    val li = t(s, dir, "lineitem")
+      .join(broadcast(brand), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), dec(col("l_quantity"), 2).as("q"),
+        dec(col("l_extendedprice"), 2).as("ep"))
+    val avgq = li.groupBy(col("l_partkey").as("ak"))
+      .agg(sum(col("q")).as("sq"), count(lit(1)).cast("decimal(10,0)").as("n"))
+    li.join(avgq, col("l_partkey") === col("ak"))
+      .filter(col("q") * lit(5).cast("decimal(18,2)") * col("n") < col("sq"))
+      .agg(sum(col("ep")).as("t"), count(lit(1)).as("n_lines"))
+      .select(col("t").cast("double").as("total_price"), col("n_lines"))
+  }
+
+  val q17SmallQtySql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, CAST(l_quantity AS DECIMAL(18,2)) AS q,
+      |         CAST(l_extendedprice AS DECIMAL(18,2)) AS ep
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_brand = 'Brand#2'),
+      |a AS (SELECT l_partkey AS ak, sum(q) AS sq,
+      |             CAST(count(*) AS DECIMAL(10,0)) AS n
+      |      FROM li GROUP BY 1)
+      |SELECT CAST(sum(ep) AS DOUBLE) AS total_price, count(*) AS n_lines
+      |FROM li JOIN a ON l_partkey = ak
+      |WHERE q * CAST(5 AS DECIMAL(18,2)) * n < sq""".stripMargin
+
+  /** Q20-style excess-share suppliers: suppliers who shipped more than a
+    * quarter of some red part's total 1996 volume — a keyed share
+    * aggregate driving a SEMI join into supplier (Q20's nested
+    * IN-subquery chain, decorrelated). Share compare cross-multiplied,
+    * never divided.
+    */
+  def q20Excess(s: SparkSession, dir: String): DataFrame = {
+    val red = t(s, dir, "part").filter(col("p_name").like("%red%"))
+      .select("p_partkey")
+    val li96 = t(s, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+        col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+      .join(broadcast(red), col("l_partkey") === col("p_partkey"))
+      .select(col("l_partkey"), col("l_suppkey"), dec(col("l_quantity"), 2).as("q"))
+    val perSupp = li96.groupBy("l_partkey", "l_suppkey")
+      .agg(sum(col("q")).as("sq"))
+    val perPart = li96.groupBy(col("l_partkey").as("tk"))
+      .agg(sum(col("q")).as("tq"))
+    val heavy = perSupp.join(perPart, col("l_partkey") === col("tk"))
+      .filter(col("sq") * lit(4).cast("decimal(18,2)") > col("tq"))
+      .select(col("l_suppkey")).distinct()
+    t(s, dir, "supplier")
+      .join(heavy, col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .join(broadcast(t(s, dir, "nation")), col("s_nationkey") === col("n_nationkey"))
+      .select("s_name", "n_name")
+      .orderBy("s_name")
+  }
+
+  val q20ExcessSql: String =
+    """WITH li AS (
+      |  SELECT l_partkey, l_suppkey, CAST(l_quantity AS DECIMAL(18,2)) AS q
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  WHERE p_name LIKE '%red%'
+      |    AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      |    AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'),
+      |ps AS (SELECT l_partkey, l_suppkey, sum(q) AS sq FROM li GROUP BY 1, 2),
+      |pt AS (SELECT l_partkey AS tk, sum(q) AS tq FROM li GROUP BY 1)
+      |SELECT s_name, n_name
+      |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+      |WHERE s_suppkey IN (
+      |  SELECT l_suppkey FROM ps JOIN pt ON l_partkey = tk
+      |  WHERE sq * CAST(4 AS DECIMAL(18,2)) > tq)
+      |ORDER BY s_name""".stripMargin
+
+  /** Q21-style sole-returner census: suppliers with a returned line on a
+    * finished multi-supplier order where NO other supplier returned —
+    * Q21's signature EXISTS (semi) + NOT EXISTS (anti) self-join pair
+    * on the lineitem fact, counted per supplier, top 20.
+    */
+  def q21Waiting(s: SparkSession, dir: String): DataFrame = {
+    val fOrders = t(s, dir, "orders").filter(col("o_orderstatus") === "F")
+      .select("o_orderkey")
+    val l1 = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_suppkey"))
+      .join(fOrders, col("l_orderkey") === col("o_orderkey"), "left_semi")
+    val others = t(s, dir, "lineitem")
+      .select(col("l_orderkey").as("k2"), col("l_suppkey").as("s2"))
+    val otherReturns = t(s, dir, "lineitem").filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey").as("k3"), col("l_suppkey").as("s3"))
+    l1
+      .join(others, col("l_orderkey") === col("k2") && col("l_suppkey") =!= col("s2"),
+        "left_semi")
+      .join(otherReturns,
+        col("l_orderkey") === col("k3") && col("l_suppkey") =!= col("s3"),
+        "left_anti")
+      .select("l_orderkey", "l_suppkey").distinct()
+      .join(broadcast(t(s, dir, "supplier")), col("l_suppkey") === col("s_suppkey"))
+      .groupBy("s_name")
+      .agg(count(lit(1)).as("numwait"))
+      .orderBy(col("numwait").desc, col("s_name").asc)
+      .limit(20)
+  }
+
+  val q21WaitingSql: String =
+    """SELECT s_name, count(*) AS numwait FROM (
+      |  SELECT DISTINCT l1.l_orderkey, l1.l_suppkey
+      |  FROM lineitem l1
+      |  JOIN orders ON l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+      |  WHERE l1.l_returnflag = 'R'
+      |    AND EXISTS (SELECT 1 FROM lineitem l2
+      |                WHERE l2.l_orderkey = l1.l_orderkey
+      |                  AND l2.l_suppkey <> l1.l_suppkey)
+      |    AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                    WHERE l3.l_orderkey = l1.l_orderkey
+      |                      AND l3.l_suppkey <> l1.l_suppkey
+      |                      AND l3.l_returnflag = 'R')) w
+      |JOIN supplier ON w.l_suppkey = s_suppkey
+      |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q2_mincost" -> (q2Mincost _),
+    "q15_topsupplier" -> (q15TopSupplier _),
+    "q16_suppcount" -> (q16SuppCount _),
+    "q17_smallqty" -> (q17SmallQty _),
+    "q20_excess" -> (q20Excess _),
+    "q21_waiting" -> (q21Waiting _),
+    "q7_volume" -> (q7Volume _),
+    "q8_share" -> (q8Share _),
+    "q9_profit" -> (q9Profit _),
+    "q10_returns" -> (q10Returns _),
+    "q12_priority" -> (q12Priority _),
+    "q13_distribution" -> (q13Distribution _),
     "q4_priority" -> (q4Priority _),
     "q14_promo" -> (q14Promo _),
     "q18_large" -> (q18Large _),
@@ -1009,6 +1467,18 @@ object OlapQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q2_mincost" -> q2MincostSql,
+    "q15_topsupplier" -> q15TopSupplierSql,
+    "q16_suppcount" -> q16SuppCountSql,
+    "q17_smallqty" -> q17SmallQtySql,
+    "q20_excess" -> q20ExcessSql,
+    "q21_waiting" -> q21WaitingSql,
+    "q7_volume" -> q7VolumeSql,
+    "q8_share" -> q8ShareSql,
+    "q9_profit" -> q9ProfitSql,
+    "q10_returns" -> q10ReturnsSql,
+    "q12_priority" -> q12PrioritySql,
+    "q13_distribution" -> q13DistributionSql,
     "q4_priority" -> q4PrioritySql,
     "q14_promo" -> q14PromoSql,
     "q18_large" -> q18LargeSql,
