@@ -87,7 +87,18 @@ object PlanDump {
     "q_drift_semantic" -> "semantic drift: two dim-keyed combiner aggs -> d-row join -> broadcast summary",
     "q_profile_merge" -> "mergeable profile: two 1-row aggs -> |cols|-row merge agg (metadata-sized)",
     "q_trend_ols" -> "grouped OLS: one keyed sufficient-statistics agg -> closed-form projection",
-    "q_chunk_embed_pool" -> "chunk-embed-pool: chunk explode -> per-partition batch embed -> (doc,dim) agg")
+    "q_chunk_embed_pool" -> "chunk-embed-pool: chunk explode -> per-partition batch embed -> (doc,dim) agg",
+    "q_dedup_containment_prefix" -> "one-sided prefix containment: rarity-prefix probe join vs RAW (un-windowed) indexed shingles",
+    "q_dedup_editdist" -> "Ed-Join: positional char-q-gram prefix candidates + levenshtein verify, light leg broadcast",
+    "q_mine_triplets" -> "triplet mining: output-sized pair/kNN frames, anti-join + per-anchor bounded window",
+    "q_knn_mutual_clusters" -> "mutual-kNN clustering: reciprocity self-join -> components over output-sized edges",
+    "q2_mincost" -> "TPC-H Q2 shape: per-part min agg joined back (decorrelated scalar subquery)",
+    "q7_volume" -> "TPC-H Q7 shape: fact reaching TWO broadcast nation dims through supplier and customer",
+    "q8_share" -> "TPC-H Q8 shape: 6-table star + LeftSemi region gate + conditional-ratio agg",
+    "q13_distribution" -> "TPC-H Q13 shape: LEFT join count(col) histogram (null-preserving count)",
+    "q15_topsupplier" -> "TPC-H Q15 shape: 1-row max broadcast back against its own aggregate input",
+    "q17_smallqty" -> "TPC-H Q17 shape: per-part avg decorrelated to agg + join-back, cross-multiplied compare",
+    "q21_waiting" -> "TPC-H Q21 shape: LeftSemi (other supplier exists) + LeftAnti (no other returner) on the fact")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

@@ -1423,7 +1423,60 @@ object OlapQueries {
       |JOIN supplier ON w.l_suppkey = s_suppkey
       |GROUP BY s_name ORDER BY numwait DESC, s_name LIMIT 20""".stripMargin
 
+  /** Two-phase salted aggregation, oracle-proven exact: the hot-GROUP-BY-
+    * key remedy AQE cannot apply (AQE splits skewed shuffle partitions
+    * for JOINS; a single hot grouping key's partials still converge on
+    * one reducer). Phase 1 aggregates on (key, salt), phase 2 merges the
+    * per-salt partials — exact for any algebraic aggregate. The oracle
+    * is the PLAIN single-phase GROUP BY: hash equality proves salting
+    * changes nothing. Decimal sum keeps the proof order-independent.
+    */
+  def skewSaltedAgg(s: SparkSession, dir: String): DataFrame = {
+    val ev = t(s, dir, "events")
+      .select(col("event_type"), col("value").cast("decimal(18,6)").as("v"),
+        col("event_id"))
+    graft.functions.SkewTools.saltedAgg(
+        ev, Seq("event_type"), Map("v" -> "sum", "event_id" -> "count"), salts = 16)
+      .select(col("event_type"), col("v").cast("double").as("sum_value"),
+        col("event_id").as("n_events"))
+      .orderBy("event_type")
+  }
+
+  val skewSaltedAggSql: String =
+    """SELECT event_type,
+      |       CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+      |       count(event_id) AS n_events
+      |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+
+  /** Salted fact-dim equi-join, oracle-proven equal to the plain inner
+    * join: fact rows take a per-row salt, the dimension replicates
+    * across all salt values, the join key becomes (key, salt) — a hot
+    * fact key spreads over `salts` reducers instead of one. For the
+    * middle regime where the dim is too big to broadcast and the skew
+    * hides inside one pre-shuffle partition.
+    */
+  def skewSaltedJoin(s: SparkSession, dir: String): DataFrame = {
+    val fact = t(s, dir, "lineitem")
+      .select(col("l_partkey").as("k"), dec(col("l_extendedprice"), 2).as("ep"))
+    val dim = t(s, dir, "part").select(col("p_partkey").as("k"), col("p_brand"))
+    graft.functions.SkewTools.saltedJoin(fact, dim, "k", salts = 16)
+      .groupBy("p_brand")
+      .agg(sum(col("ep")).as("t"), count(lit(1)).as("n_lines"))
+      .select(col("p_brand"), col("t").cast("double").as("total_price"),
+        col("n_lines"))
+      .orderBy("p_brand")
+  }
+
+  val skewSaltedJoinSql: String =
+    """SELECT p_brand,
+      |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS total_price,
+      |       count(*) AS n_lines
+      |FROM lineitem JOIN part ON l_partkey = p_partkey
+      |GROUP BY p_brand ORDER BY p_brand""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_skew_salted_agg" -> (skewSaltedAgg _),
+    "q_skew_salted_join" -> (skewSaltedJoin _),
     "q2_mincost" -> (q2Mincost _),
     "q15_topsupplier" -> (q15TopSupplier _),
     "q16_suppcount" -> (q16SuppCount _),
@@ -1467,6 +1520,8 @@ object OlapQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_skew_salted_agg" -> skewSaltedAggSql,
+    "q_skew_salted_join" -> skewSaltedJoinSql,
     "q2_mincost" -> q2MincostSql,
     "q15_topsupplier" -> q15TopSupplierSql,
     "q16_suppcount" -> q16SuppCountSql,
