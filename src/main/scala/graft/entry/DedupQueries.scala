@@ -628,6 +628,44 @@ object DedupQueries {
       |  FROM rr) WHERE rn <= 5
       |ORDER BY query_idx, round(score, 6) DESC, id""".stripMargin
 
+  // ---- ANN: sign-bit binary codes + Hamming shortlist + exact re-rank
+  //      (the 8-bytes-per-word linear-scan member of the quantized
+  //      family; smooth recall decay vs SignLsh's bucket cliffs). ----
+  def annHamming(s: SparkSession, dir: String): DataFrame = {
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    graft.ann.Hamming.searchRerank(Tables.vectors(s, dir), qs, dim = 64,
+        k = 5, oversample = 4)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("query_idx"), col("score").desc, col("id"))
+  }
+
+  val annHammingSql: String =
+    """WITH u AS (SELECT vec_id, unnest(embedding) AS v,
+      |                  generate_subscripts(embedding, 1) AS i FROM embeddings),
+      |c AS (SELECT vec_id AS id,
+      |        bit_or(CASE WHEN v > 0 AND i <= 32 THEN (1::BIGINT << (i-1)) ELSE 0::BIGINT END) AS lo,
+      |        bit_or(CASE WHEN v > 0 AND i > 32 THEN (1::BIGINT << (i-33)) ELSE 0::BIGINT END) AS hi
+      |      FROM u GROUP BY 1),
+      |e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT CAST(vec_id AS INTEGER) AS qid, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id IN (0,1,2)),
+      |qc AS (SELECT CAST(id AS INTEGER) AS qid, lo AS qlo, hi AS qhi
+      |       FROM c WHERE id IN (0,1,2)),
+      |h AS (SELECT qc.qid AS query_idx, c.id,
+      |        bit_count(xor(c.lo, qc.qlo)) + bit_count(xor(c.hi, qc.qhi)) AS ham
+      |      FROM c CROSS JOIN qc),
+      |shortlist AS (SELECT query_idx, id FROM (
+      |    SELECT query_idx, id,
+      |           row_number() OVER (PARTITION BY query_idx ORDER BY ham ASC, id ASC) AS rn
+      |    FROM h) WHERE rn <= 20),
+      |rr AS (SELECT s.query_idx, s.id, list_cosine_similarity(e.v, q.qv) AS score
+      |       FROM shortlist s JOIN e ON s.id = e.id JOIN q ON q.qid = s.query_idx)
+      |SELECT query_idx, id, round(score, 6) AS score FROM (
+      |  SELECT query_idx, id, score,
+      |         row_number() OVER (PARTITION BY query_idx ORDER BY score DESC, id) AS rn
+      |  FROM rr) WHERE rn <= 5
+      |ORDER BY query_idx, round(score, 6) DESC, id""".stripMargin
+
   // ---- ANN: exact brute-force top-k ----
   def annBrute(s: SparkSession, dir: String): DataFrame = {
     val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2, 3, 4))
@@ -1413,6 +1451,7 @@ object DedupQueries {
     "q_random_negatives" -> (randomNegatives _),
     "q_dedup_semantic" -> (dedupSemantic _),
     "q_ann_rp" -> (annRp _),
+    "q_ann_hamming" -> (annHamming _),
     "q_ann_brute" -> (annBrute _),
     "q_ann_ivf" -> (annIvf _),
     "q_ann_pq" -> (annPq _),
@@ -1454,6 +1493,7 @@ object DedupQueries {
     "q_random_negatives" -> randomNegativesSql,
     "q_dedup_semantic" -> dedupSemanticSql,
     "q_ann_rp" -> annRpSql,
+    "q_ann_hamming" -> annHammingSql,
     "q_ann_brute" -> annBruteSql,
     "q_ann_ivf" -> annIvfSql,
     "q_ann_pq" -> annPqSql,

@@ -994,8 +994,8 @@ object OlapQueries {
       .join(broadcast(t(s, dir, "customer")), col("o_custkey") === col("c_custkey"))
       .join(broadcast(n1), col("s_nationkey") === col("sk"))
       .join(broadcast(n2), col("c_nationkey") === col("ck"))
-      .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-        (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+      .filter((col("supp_nation") === "NATION_18" && col("cust_nation") === "NATION_19") ||
+        (col("supp_nation") === "NATION_19" && col("cust_nation") === "NATION_18"))
       .groupBy(col("supp_nation"), col("cust_nation"), year(col("l_shipdate")).as("l_year"))
       .agg(sum(dec(col("l_extendedprice"), 2) *
         (lit(1).cast("decimal(18,2)") - dec(col("l_discount"), 2))).as("rev"))
@@ -1012,8 +1012,8 @@ object OlapQueries {
       |WHERE l_orderkey = o_orderkey AND l_suppkey = s_suppkey
       |  AND o_custkey = c_custkey
       |  AND s_nationkey = n1.n_nationkey AND c_nationkey = n2.n_nationkey
-      |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-      |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      |  AND ((n1.n_name = 'NATION_18' AND n2.n_name = 'NATION_19')
+      |    OR (n1.n_name = 'NATION_19' AND n2.n_name = 'NATION_18'))
       |  AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
       |  AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00'
       |GROUP BY 1, 2, 3 ORDER BY 1, 2, 3""".stripMargin
