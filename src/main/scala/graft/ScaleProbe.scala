@@ -604,16 +604,25 @@ object ScaleProbe {
     // which grows candidates M-squared by construction — a workload
     // artifact (fuzzy-VALUE matching runs on distinct vocabularies,
     // and real vocabulary growth brings new grams with it)
+    def editVocab: DataFrame = graft.Tables.textCorpus(spark, sfDir)
+      .select(col("content"),
+        explode(sequence(lit(0), lit(m - 1))).as("rep"))
+      .select(expr(
+        "substring(content, cast(rep * 13 % 176 + 1 as int), 24)").as("str"))
+      .filter(length(col("str")) === 24)
+      .distinct().select(col("str").as("id"), col("str"))
+      .repartition(cpus)
+    // q=2 saturates its ~26^2 gram-type space as the vocabulary grows
+    // (prefix buckets then multiply quadratically) — measured super-linear
+    // by design; the row documents WHY q must grow with vocabulary size
     time("dedup_editdist") {
-      val vocab = graft.Tables.textCorpus(spark, sfDir)
-        .select(col("content"),
-          explode(sequence(lit(0), lit(m - 1))).as("rep"))
-        .select(expr(
-          "substring(content, cast(rep * 13 % 176 + 1 as int), 24)").as("str"))
-        .filter(length(col("str")) === 24)
-        .distinct().select(col("str").as("id"), col("str"))
-        .repartition(cpus)
-      graft.dedup.EditJoin.editDistancePairs(vocab, k = 2).count()
+      graft.dedup.EditJoin.editDistancePairs(editVocab, k = 2).count()
+    }
+    // q=3: 27x the type space — the knob that keeps prefix buckets sparse
+    // at corpus-scale vocabularies (prefix lengthens to k*q+1 = 7, a fair
+    // trade: candidates shrink multiplicatively, prefixes grow additively)
+    time("dedup_editdist_q3") {
+      graft.dedup.EditJoin.editDistancePairs(editVocab, k = 2, q = 3).count()
     }
     // bootstrap CI: one B-way explode + B-row aggregate; must be ~linear
     // in rows x B with no driver growth

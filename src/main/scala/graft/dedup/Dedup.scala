@@ -583,8 +583,17 @@ object Dedup {
     val dfs = sh.groupBy("h").agg(count(lit(1)).as("df"))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("h").asc, col("sh").asc)
+    // per-doc prefix length varies with |Sa|, and a length-DEPENDENT
+    // row_number cutoff cannot use WindowGroupLimit — the whole corpus's
+    // shingle frame would go through a real per-partition sort. A
+    // CONSTANT cap of (1-t)·maxLen + 1 (one 1-row aggregate, baked as a
+    // literal) dominates every per-doc prefix, turns the window into a
+    // bounded per-id heap, and the exact per-doc cutoff filters on top.
+    val maxLen = sets.agg(max(col("len")).cast("long")).head().getLong(0)
+    val cap = math.floor((1 - threshold) * maxLen).toInt + 2
     val pref = sh.join(dfs, "h")
       .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= lit(cap))
       .filter(col("rnk") <=
         col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
       .select("id", "h", "len")

@@ -265,6 +265,52 @@ object DedupQueries {
        |       CAST(sum(id) AS BIGINT) AS member_checksum
        |FROM comp GROUP BY 1 ORDER BY keep_id""".stripMargin
 
+  // ---- cluster purity: the mutual-kNN clustering evaluated against the
+  //      embeddings' planted labels — per-cluster majority label, member
+  //      count, and integer micro purity (majority/members). The eval
+  //      closing the clustering loop: q_knn_mutual_clusters builds the
+  //      clusters, this grades them. ----
+  def clusterPurity(s: SparkSession, dir: String): DataFrame = {
+    val comps = Dedup.duplicateClusters(mutualEdges(s, dir).select("a", "b"))
+    val labeled = comps.join(
+      t(s, dir, "embeddings").select(col("vec_id").as("id"), col("label")), "id")
+    val counts = labeled.groupBy("comp", "label").agg(count(lit(1)).as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("comp").orderBy(col("n").desc, col("label").asc)
+    counts
+      .withColumn("members", sum(col("n")).over(
+        org.apache.spark.sql.expressions.Window.partitionBy("comp")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("comp").as("cluster"), col("members").as("n_members"),
+        col("label").as("majority_label"), col("n").as("majority_n"),
+        expr("n * 1000000L div members").as("purity_micro"))
+      .orderBy("cluster")
+  }
+
+  val clusterPuritySql: String =
+    s"""WITH RECURSIVE $knnMutualCte,
+       |edges AS (SELECT a, b FROM m UNION SELECT b AS a, a AS b FROM m),
+       |reach(src, t) AS (
+       |  SELECT a, b FROM edges
+       |  UNION
+       |  SELECT r.src, e2.b FROM reach r JOIN edges e2 ON r.t = e2.a),
+       |comp AS (SELECT src AS id, least(src, min(t)) AS comp
+       |         FROM reach GROUP BY src),
+       |cnt AS (SELECT comp.comp, emb.label, count(*) AS n
+       |        FROM comp JOIN embeddings emb ON comp.id = emb.vec_id
+       |        GROUP BY 1, 2),
+       |tot AS (SELECT comp, CAST(sum(n) AS BIGINT) AS members FROM cnt GROUP BY 1),
+       |top AS (SELECT comp, label, n FROM (
+       |    SELECT comp, label, n,
+       |           row_number() OVER (PARTITION BY comp ORDER BY n DESC, label ASC) AS rn
+       |    FROM cnt) WHERE rn = 1)
+       |SELECT top.comp AS cluster, tot.members AS n_members,
+       |       top.label AS majority_label, top.n AS majority_n,
+       |       CAST(top.n * 1000000 // tot.members AS BIGINT) AS purity_micro
+       |FROM top JOIN tot ON top.comp = tot.comp
+       |ORDER BY cluster""".stripMargin
+
   // ---- threshold sweep: the tuning report for picking a near-dup cutoff —
   //      pair counts and affected-document counts at every candidate
   //      threshold from ONE candidate-generation pass (the expensive
@@ -1444,6 +1490,7 @@ object DedupQueries {
     "q_mine_triplets" -> (mineTriplets _),
     "q_knn_mutual" -> (knnMutual _),
     "q_knn_mutual_clusters" -> (knnMutualClusters _),
+    "q_cluster_purity" -> (clusterPurity _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> (dedupSimhash64 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
@@ -1486,6 +1533,7 @@ object DedupQueries {
     "q_mine_triplets" -> mineTripletsSql,
     "q_knn_mutual" -> knnMutualSql,
     "q_knn_mutual_clusters" -> knnMutualClustersSql,
+    "q_cluster_purity" -> clusterPuritySql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
