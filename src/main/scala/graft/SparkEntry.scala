@@ -34,7 +34,8 @@ object SparkEntry {
       graft.entry.TermQueries.queries ++
       graft.entry.QualityQueries.queries ++
       graft.entry.EvalQueries.queries ++
-      graft.entry.OlapQueries.queries
+      graft.entry.OlapQueries.queries ++
+      graft.entry.OpsQueries.queries
 
   def oracleSql: Map[String, String] =
     searchOracles ++
@@ -44,7 +45,8 @@ object SparkEntry {
       graft.entry.TermQueries.oracles ++
       graft.entry.QualityQueries.oracles ++
       graft.entry.EvalQueries.oracles ++
-      graft.entry.OlapQueries.oracles
+      graft.entry.OlapQueries.oracles ++
+      graft.entry.OpsQueries.oracles
 
   private def searchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.3 semantic_search: exact cosine top-k, multi-query ----

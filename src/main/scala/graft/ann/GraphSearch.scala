@@ -1,0 +1,102 @@
+package graft.ann
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Graph-guided ANN serving: greedy beam search over a precomputed kNN
+  * graph — the HNSW/DiskANN-family query shape (Malkov & Yashunin 2018,
+  * arXiv:1603.09320; Subramanya et al. 2019 DiskANN), expressed as a fixed
+  * number of join rounds instead of a pointer-chasing in-memory walk.
+  *
+  * Serving state is two tables the engine already maintains:
+  *   - the adjacency list (qid -> its k graph neighbors), built offline by
+  *     [[Ann.knnJoin]] / [[NnDescent]] and stored id-hash-bucketed like the
+  *     documents table, so a frontier probe is a bucket-pruned point
+  *     lookup, never an adjacency scan;
+  *   - the vectors table (id, embedding, norm) for exact re-scoring.
+  *
+  * Query shape per hop: the frontier (Q queries x B beam rows — KB-sized,
+  * always the broadcast side) joins the adjacency table to collect
+  * neighbor ids, unions the current beam, dedupes, exact-scores against
+  * the query vectors, and keeps the top B per query. After H hops the top
+  * k of the final beam is the answer. Total work is O(Q * B * k * H)
+  * adjacency rows + point vector fetches — independent of corpus size,
+  * which is the entire point: at 100 TB the scan-everything brute path is
+  * off the table, and this path touches a few hundred bucket-pruned rows
+  * per query.
+  *
+  * Determinism: scores recompute identically on both engines (double
+  * cosine); beam membership ties break on id, so the search replays
+  * exactly in the SQL oracle with the hops unrolled as CTEs.
+  */
+object GraphSearch {
+
+  /** Beam search over `graph` (qid, neighbor) for each query vector.
+    *
+    * @param graph   adjacency pairs (qid, neighbor) — k rows per id
+    * @param vectors (id, embedding, norm)
+    * @param queries (query_idx, query vector) pairs
+    * @param entries number of deterministic entry points (smallest ids;
+    *                a production index stores per-cluster medoids instead —
+    *                same contract, one row per cluster)
+    * @param beam    beam width B
+    * @param hops    number of expansion rounds H
+    * @param k       results per query (k <= beam)
+    */
+  def beamSearch(
+      graph: DataFrame,
+      vectors: DataFrame,
+      queries: Seq[(Int, Seq[Float])],
+      entries: Int,
+      beam: Int,
+      hops: Int,
+      k: Int): DataFrame = {
+    require(k <= beam, s"k=$k must be <= beam=$beam")
+    val spark = vectors.sparkSession
+    import spark.implicits._
+
+    val qdf = broadcast(
+      queries.toDF("query_idx", "qv")
+        .withColumn("qv", col("qv").cast("array<double>"))
+        .withColumn("qn", VectorFunctions.l2Norm(col("qv"))))
+
+    // Deterministic entry points: the E smallest ids (TakeOrdered — no
+    // corpus sort). A persisted index would store cluster medoids here.
+    val entryIds = vectors.select("id").orderBy("id").limit(entries)
+
+    val byQuery = Window.partitionBy("query_idx")
+      .orderBy(col("score").desc, col("id").asc)
+
+    // Exact-score a (query_idx, id) candidate set and keep the top B.
+    // The candidate set is always O(Q * B * k) rows — the broadcast side
+    // of the point-fetch join against the corpus-sized vectors table.
+    def rescore(cands: DataFrame): DataFrame =
+      broadcast(cands).join(vectors, "id")
+        .join(qdf, "query_idx")
+        .withColumn("score",
+          VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
+        .withColumn("rn", row_number().over(byQuery))
+        .filter(col("rn") <= beam)
+        .select("query_idx", "id", "score")
+
+    var frontier = rescore(
+      qdf.select("query_idx").crossJoin(entryIds))
+
+    for (_ <- 1 to hops) {
+      // neighbors of the beam; the frontier is Q*B rows — broadcast side
+      val expanded = broadcast(frontier.select(col("query_idx"), col("id").as("qid")))
+        .join(graph, "qid")
+        .select(col("query_idx"), col("neighbor").as("id"))
+        .union(frontier.select("query_idx", "id"))
+        .distinct()
+      frontier = rescore(expanded)
+    }
+
+    frontier
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= k)
+      .select("query_idx", "id", "score")
+  }
+}

@@ -1,0 +1,198 @@
+package graft.entry
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+import graft.ann.{Ann, GraphSearch}
+import graft.ingest.Sanitize
+import graft.operators.{Compaction, CorpusDiff, ZOrder}
+import graft.functions.TextFunctions
+
+/** Table-maintenance / layout / serving-infrastructure operators — the
+  * round-7 ops tail: snapshot diff, small-file compaction planning,
+  * Z-order layout, graph-guided ANN serving, and the extended
+  * (Luhn-validated card + IPv4) sanitize chain. Each is oracle-replayed
+  * end to end; scale adjudications live on the operator objects.
+  */
+object OpsQueries {
+
+  // ---- corpus snapshot diff ----
+  // Two snapshots derived deterministically from the documents table by
+  // the oracle-replayable stableHash32(id): ~5% of ids exist only in the
+  // old snapshot (removed), ~5% only in the new (added), ~5% have revised
+  // content (changed); the rest are unchanged.
+  def snapshotDiff(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.textCorpus(s, dir)
+      .withColumn("h", pmod(TextFunctions.stableHash32(col("id").cast("string")), lit(20)))
+    val oldSnap = d.filter(col("h") =!= 0).select(col("id"), col("content"))
+    val newSnap = d.filter(col("h") =!= 1).select(
+      col("id"),
+      when(col("h") === 2, concat(col("content"), lit(" [rev2]")))
+        .otherwise(col("content")).as("content"))
+    CorpusDiff.summary(oldSnap, newSnap).orderBy("status")
+  }
+
+  val snapshotDiffSql: String =
+    """WITH d AS (SELECT doc_id AS id, text AS content,
+      |                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 20 AS h
+      |           FROM documents),
+      |o AS (SELECT id, md5(content) AS dg FROM d WHERE h <> 0),
+      |n AS (SELECT id, md5(CASE WHEN h = 2 THEN content || ' [rev2]' ELSE content END) AS dg
+      |      FROM d WHERE h <> 1),
+      |j AS (SELECT coalesce(o.id, n.id) AS id,
+      |             CASE WHEN o.id IS NULL THEN 'added'
+      |                  WHEN n.id IS NULL THEN 'removed'
+      |                  WHEN o.dg <> n.dg THEN 'changed'
+      |                  ELSE 'unchanged' END AS status
+      |      FROM o FULL OUTER JOIN n ON o.id = n.id)
+      |SELECT status, count(*) AS n, CAST(sum(id) AS BIGINT) AS id_checksum
+      |FROM j GROUP BY 1 ORDER BY status""".stripMargin
+
+  // ---- small-file compaction planning ----
+  // The file inventory is derived from the corpus (64 hash-bucket "files"
+  // with their byte totals) so the planner's input is reproducible; the
+  // plan slices the id-ordered inventory into ~16 KiB merge groups.
+  def compactionPlan(s: SparkSession, dir: String): DataFrame = {
+    val files = Tables.textCorpus(s, dir)
+      .groupBy(pmod(TextFunctions.stableHash32(col("id").cast("string")), lit(64)).as("file_id"))
+      .agg(sum(length(col("content"))).as("bytes"))
+    Compaction.plan(files, target = 16384L, span = 16L).orderBy("merge_group")
+  }
+
+  val compactionPlanSql: String =
+    """WITH f AS (SELECT CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 64 AS file_id,
+      |                  CAST(sum(length(text)) AS BIGINT) AS bytes
+      |           FROM documents GROUP BY 1),
+      |w AS (SELECT file_id, bytes,
+      |             coalesce(CAST(sum(bytes) OVER (ORDER BY file_id
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS bef
+      |      FROM f)
+      |SELECT bef // 16384 AS merge_group, count(*) AS n_files,
+      |       CAST(sum(bytes) AS BIGINT) AS total_bytes,
+      |       min(file_id) AS first_file, max(file_id) AS last_file
+      |FROM w GROUP BY 1 ORDER BY merge_group""".stripMargin
+
+  // ---- Z-order layout report ----
+  // events laid out on the Morton curve of (user bucket, minute bucket);
+  // the report shows each z-range's bounding box in both dimensions — the
+  // property parquet min-max skipping prunes on.
+  def zorderLayout(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events").select(
+      pmod(col("user_id"), lit(1024)).as("x"),
+      pmod(expr("timestampdiff(MINUTE, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)"), lit(1024)).as("y"))
+    ZOrder.boxReport(ev, col("x"), col("y"), bits = 10, buckets = 64)
+      .orderBy("z_bucket")
+  }
+
+  val zorderLayoutSql: String =
+    """WITH e AS (SELECT user_id % 1024 AS x, (epoch_ms(ts) // 60000) % 1024 AS y FROM events),
+      |z AS (SELECT x, y,
+      |             CAST(list_sum(list_transform(range(0, 10), i ->
+      |               (((x >> i) & 1) << (2*i)) + (((y >> i) & 1) << (2*i+1)))) AS BIGINT) AS zv
+      |      FROM e)
+      |SELECT zv // 16384 AS z_bucket, count(*) AS n,
+      |       min(x) AS x_min, max(x) AS x_max, min(y) AS y_min, max(y) AS y_max
+      |FROM z GROUP BY 1 ORDER BY z_bucket""".stripMargin
+
+  // ---- graph-guided ANN (beam search over the kNN graph) ----
+  def annGraphBeam(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    // offline index build (exact 8-NN graph); localCheckpoint = the
+    // persisted adjacency table the two search hops probe
+    val graph = Ann.knnJoin(vecs, 8).select(col("qid"), col("neighbor")).localCheckpoint()
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    GraphSearch.beamSearch(graph, vecs, qs, entries = 4, beam = 8, hops = 2, k = 5)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("query_idx"), col("score").desc, col("id"))
+  }
+
+  val annGraphBeamSql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |g AS (SELECT qid, neighbor FROM (
+      |        SELECT a.id AS qid, b.id AS neighbor,
+      |               row_number() OVER (PARTITION BY a.id
+      |                 ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.id) AS rn
+      |        FROM e a JOIN e b ON a.id <> b.id) WHERE rn <= 8),
+      |q AS (SELECT CAST(vec_id AS INTEGER) AS query_idx, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id IN (0,1,2)),
+      |f0 AS (SELECT query_idx, id FROM (
+      |         SELECT q.query_idx, e.id,
+      |                row_number() OVER (PARTITION BY q.query_idx
+      |                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.id) AS rn
+      |         FROM q CROSS JOIN e
+      |         WHERE e.id IN (SELECT id FROM e ORDER BY id LIMIT 4)) WHERE rn <= 8),
+      |u1 AS (SELECT f.query_idx, g.neighbor AS id FROM f0 f JOIN g ON g.qid = f.id
+      |       UNION SELECT query_idx, id FROM f0),
+      |f1 AS (SELECT query_idx, id FROM (
+      |         SELECT u.query_idx, u.id,
+      |                row_number() OVER (PARTITION BY u.query_idx
+      |                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, u.id) AS rn
+      |         FROM u1 u JOIN e ON e.id = u.id JOIN q ON q.query_idx = u.query_idx) WHERE rn <= 8),
+      |u2 AS (SELECT f.query_idx, g.neighbor AS id FROM f1 f JOIN g ON g.qid = f.id
+      |       UNION SELECT query_idx, id FROM f1),
+      |f2 AS (SELECT query_idx, id, sc FROM (
+      |         SELECT u.query_idx, u.id, list_cosine_similarity(e.v, q.qv) AS sc,
+      |                row_number() OVER (PARTITION BY u.query_idx
+      |                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, u.id) AS rn
+      |         FROM u2 u JOIN e ON e.id = u.id JOIN q ON q.query_idx = u.query_idx) WHERE rn <= 8)
+      |SELECT query_idx, id, round(sc, 6) AS score FROM (
+      |  SELECT query_idx, id, sc,
+      |         row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+      |  FROM f2) WHERE rn <= 5
+      |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
+
+  // ---- extended sanitize: Luhn-validated cards + IPv4 ----
+  // Adversarial rows are synthesized from the id (16-digit dashed card
+  // candidate — Luhn-valid for ~10% of ids — plus an IPv4 and an email),
+  // so the oracle can CONSTRUCT the expected redaction independently
+  // instead of replaying the engine's regexes.
+  def sanitizeExtended(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.textCorpus(s, dir).select(col("id"))
+      .withColumn("raw",
+        lpad(((col("id").cast("long") * 7919L + 123456789L) % 1000000000000L).cast("string"), 16, "0"))
+      .withColumn("cc", concat_ws("-",
+        substring(col("raw"), 1, 4), substring(col("raw"), 5, 4),
+        substring(col("raw"), 9, 4), substring(col("raw"), 13, 4)))
+      .withColumn("ip", concat(lit("10."), pmod(col("id"), lit(256)), lit("."),
+        pmod(expr("id DIV 256"), lit(256)), lit("."), pmod(col("id"), lit(200)) + 1))
+      .withColumn("text2", concat(lit("contact bob@example.com at "), col("ip"),
+        lit(" card "), col("cc")))
+    d.select(col("id"),
+        Sanitize.luhnValid(col("raw")).as("cc_valid"),
+        Sanitize.sanitizeTextExtended(col("text2")).as("redacted"))
+      .orderBy("id")
+  }
+
+  val sanitizeExtendedSql: String =
+    """WITH d AS (SELECT doc_id AS id,
+      |                  lpad(CAST((doc_id * 7919 + 123456789) % 1000000000000 AS VARCHAR), 16, '0') AS raw
+      |           FROM documents),
+      |c AS (SELECT id, raw,
+      |             substr(raw,1,4) || '-' || substr(raw,5,4) || '-' || substr(raw,9,4) || '-' || substr(raw,13,4) AS cc,
+      |             '10.' || (id % 256) || '.' || ((id // 256) % 256) || '.' || (id % 200 + 1) AS ip,
+      |             CAST(list_sum(list_transform(range(1, 17), i ->
+      |               CASE WHEN i % 2 = 0 THEN
+      |                 CASE WHEN 2 * CAST(substr(reverse(raw), CAST(i AS INT), 1) AS INT) > 9
+      |                      THEN 2 * CAST(substr(reverse(raw), CAST(i AS INT), 1) AS INT) - 9
+      |                      ELSE 2 * CAST(substr(reverse(raw), CAST(i AS INT), 1) AS INT) END
+      |               ELSE CAST(substr(reverse(raw), CAST(i AS INT), 1) AS INT) END)) AS BIGINT) AS luhn_sum
+      |      FROM d)
+      |SELECT id, luhn_sum % 10 = 0 AS cc_valid,
+      |       'contact [REDACTED_EMAIL] at [REDACTED_IP] card ' ||
+      |         CASE WHEN luhn_sum % 10 = 0 THEN '[REDACTED_CC]' ELSE cc END AS redacted
+      |FROM c ORDER BY id""".stripMargin
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_snapshot_diff" -> (snapshotDiff _),
+    "q_compaction_plan" -> (compactionPlan _),
+    "q_zorder_layout" -> (zorderLayout _),
+    "q_ann_graph_beam" -> (annGraphBeam _),
+    "q_sanitize_extended" -> (sanitizeExtended _))
+
+  def oracles: Map[String, String] = Map(
+    "q_snapshot_diff" -> snapshotDiffSql,
+    "q_compaction_plan" -> compactionPlanSql,
+    "q_zorder_layout" -> zorderLayoutSql,
+    "q_ann_graph_beam" -> annGraphBeamSql,
+    "q_sanitize_extended" -> sanitizeExtendedSql)
+}

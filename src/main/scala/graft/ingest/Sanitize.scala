@@ -63,6 +63,61 @@ object Sanitize {
         SsnRegex, RedactedSsn),
       PhoneRegex, RedactedPhone)
 
+  // ---- extended entity pass (opt-in; beyond the reference's documented
+  // slice, for pipelines with stricter PII posture) ----
+
+  /** IPv4 literals, octet-range-exact (0-255 each) — RE2-safe. */
+  val Ipv4Regex: String =
+    """\b(?:(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\.){3}(?:25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)\b"""
+
+  /** Payment-card candidates: 13-19 digits with optional single space/dash
+    * separators. Candidates only — a match redacts iff it passes the Luhn
+    * check ([[luhnValid]]), so order numbers and timestamps survive.
+    */
+  val CcCandidateRegex: String = """\b\d(?:[ -]?\d){12,18}\b"""
+
+  val RedactedIp = "[REDACTED_IP]"
+  val RedactedCc = "[REDACTED_CC]"
+
+  /** Redact IPv4 literals. */
+  def redactIps(c: Column): Column =
+    regexp_replace(c, Ipv4Regex, RedactedIp)
+
+  /** Luhn check over a digits-only string column (ISO/IEC 7812): from the
+    * rightmost digit, double every second one (subtracting 9 on overflow);
+    * valid iff the sum is a multiple of 10 and the length is a plausible
+    * PAN length (13-19). Pure higher-order-function arithmetic — stays in
+    * codegen, and the DuckDB oracle replays the same fold.
+    */
+  def luhnValid(digits: Column): Column = {
+    val chars = reverse(filter(split(digits, ""), ch => ch.between("0", "9")))
+    val idx = sequence(lit(1), size(chars))
+    val contrib = zip_with(chars, idx, (ch, i) => {
+      val v = ascii(ch) - lit(48)
+      when(i % 2 === 0, when(v * 2 > 9, v * 2 - 9).otherwise(v * 2)).otherwise(v)
+    })
+    size(chars).between(13, 19) &&
+      aggregate(contrib, lit(0), (acc, x) => acc + x) % 10 === 0
+  }
+
+  /** Redact Luhn-valid payment-card numbers. regexp_replace cannot
+    * conditionally validate, so: extract candidates, Luhn-filter, fold the
+    * survivors through replace(). Candidate lists are per-row tiny; the
+    * whole pass is one codegen'd projection, no UDF.
+    */
+  def redactCreditCards(c: Column): Column = {
+    val cands = regexp_extract_all(c, lit(CcCandidateRegex), lit(0))
+    val valid = filter(cands, m => luhnValid(regexp_replace(m, "[^0-9]", "")))
+    aggregate(valid, c, (acc, m) => replace(acc, m, lit(RedactedCc)))
+  }
+
+  /** Extended sanitize chain: payment cards, then IPs, then the standard
+    * always-on pass. Cards redact FIRST — a spaced PAN's digit groups must
+    * not be chewed into a phone-shaped fragment by the entity pass.
+    */
+  def sanitizeTextExtended(c: Column): Column =
+    sanitizeText(redactIps(redactCreditCards(c)))
+
   /** Sanitize a text column — the engine's ALWAYS-ON default, matching the
     * reference's main path where every content/metadata/query/result string
     * passes the PII sanitizer (vector_api.py:284-301, :368-386): entity

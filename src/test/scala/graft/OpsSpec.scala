@@ -1,0 +1,134 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.ingest.Sanitize
+import graft.operators.{Compaction, CorpusDiff, ZOrder}
+import graft.ann.{Ann, GraphSearch}
+import graft.functions.VectorFunctions
+
+/** Round-7 ops tail: snapshot diff, compaction planning, Z-order layout,
+  * graph-beam ANN, Luhn/IP redaction.
+  */
+class OpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  // ---- Sanitize: Luhn + IPv4 ----
+
+  test("luhnValid accepts known-good PANs and rejects off-by-one") {
+    val df = Seq(
+      ("4111111111111111", true),   // classic Visa test number
+      ("4111111111111112", false),  // check digit off by one
+      ("79927398713", false),       // Luhn-valid but too short (11 digits)
+      ("5500005555555559", true)    // MC test number
+    ).toDF("digits", "expected")
+    val got = df.select(col("expected"), Sanitize.luhnValid(col("digits")).as("got"))
+      .collect()
+    got.foreach(r => assert(r.getBoolean(0) == r.getBoolean(1), r.toString))
+  }
+
+  test("redactCreditCards redacts only Luhn-valid candidates; IP pass redacts IPv4") {
+    val df = Seq(
+      ("pay 4111-1111-1111-1111 now", "pay [REDACTED_CC] now"),
+      ("pay 4111-1111-1111-1112 now", "pay 4111-1111-1111-1112 now"), // invalid survives
+      ("order 1234567 is fine", "order 1234567 is fine")              // too short, not a candidate
+    ).toDF("in", "expected")
+    df.select(col("expected"), Sanitize.redactCreditCards(col("in")).as("got"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+
+    val ips = Seq(
+      ("from 192.168.1.254 ok", "from [REDACTED_IP] ok"),
+      ("v1.2.3.4000 is a version", "v1.2.3.4000 is a version"), // octet out of range
+      ("pi is 3.14159", "pi is 3.14159")
+    ).toDF("in", "expected")
+    ips.select(col("expected"), Sanitize.redactIps(col("in")).as("got"))
+      .collect().foreach(r => assert(r.getString(0) == r.getString(1), r.toString))
+  }
+
+  test("sanitizeTextExtended composes cards, ips, and the standard chain") {
+    val got = Seq("mail a@b.co ip 10.0.0.1 card 4111 1111 1111 1111 path /etc/passwd/x")
+      .toDF("c").select(Sanitize.sanitizeTextExtended(col("c"))).head().getString(0)
+    assert(got == "mail [REDACTED_EMAIL] ip [REDACTED_IP] card [REDACTED_CC] path [REDACTED_PATH]")
+  }
+
+  // ---- CorpusDiff ----
+
+  test("snapshot diff classifies added/removed/changed/unchanged") {
+    val oldSnap = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("id", "content")
+    val newSnap = Seq((2L, "b"), (3L, "c2"), (4L, "d")).toDF("id", "content")
+    val m = CorpusDiff.diff(oldSnap, newSnap).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(m == Map(1L -> "removed", 2L -> "unchanged", 3L -> "changed", 4L -> "added"))
+    val s = CorpusDiff.summary(oldSnap, newSnap).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    assert(s("changed") == ((1L, 3L)) && s("added") == ((1L, 4L)))
+  }
+
+  // ---- Compaction ----
+
+  test("compaction plan equals the single-window prefix-sum definition") {
+    // 10 files of varying size; target 100 → groups by exclusive prefix sum
+    val files = (0L until 10L).map(i => (i, 30L + 7L * i)).toDF("file_id", "bytes")
+    // small span forces multi-bucket composition (4 driver buckets)
+    val got = Compaction.plan(files, target = 100L, span = 3L)
+      .orderBy("merge_group").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // naive reference
+    var acc = 0L
+    val groups = (0L until 10L).map { i =>
+      val b = 30L + 7L * i; val g = acc / 100L; acc += b; (g, i, b)
+    }
+    val want = groups.groupBy(_._1).toSeq.sortBy(_._1).map { case (g, rows) =>
+      (g, rows.size.toLong, rows.map(_._3).sum, rows.map(_._2).min, rows.map(_._2).max)
+    }
+    assert(got.toSeq == want)
+    // groups are contiguous in file order
+    got.sliding(2).foreach { case Array(a, b) => assert(b._4 == a._5 + 1); case _ => () }
+  }
+
+  // ---- ZOrder ----
+
+  test("zValue interleaves bits (x even positions, y odd)") {
+    val df = Seq((3L, 1L), (0L, 0L), (1023L, 0L), (0L, 1023L)).toDF("x", "y")
+    val got = df.select(ZOrder.zValue(col("x"), col("y"), 10)).as[Long].collect()
+    // x=0b11,y=0b01 -> 1<<0 | 1<<2 | 1<<1 = 7
+    assert(got(0) == 7L)
+    assert(got(1) == 0L)
+    // x all-ones -> even bits set: sum of 4^i for i<10
+    assert(got(2) == (0 until 10).map(i => 1L << (2 * i)).sum)
+    assert(got(3) == (0 until 10).map(i => 1L << (2 * i + 1)).sum)
+  }
+
+  test("z-order buckets bound both dimensions (vs one-dim sort bounding only one)") {
+    val pts = for { x <- 0L until 32L; y <- 0L until 32L } yield (x, y)
+    val df = pts.toDF("x", "y")
+    val rep = ZOrder.boxReport(df, col("x"), col("y"), bits = 5, buckets = 16).collect()
+    // 16 buckets over a 32x32 grid: each z-range is an 8x8 tile
+    assert(rep.length == 16)
+    rep.foreach { r =>
+      assert(r.getLong(3) - r.getLong(2) <= 7, s"x box too wide: $r")
+      assert(r.getLong(5) - r.getLong(4) <= 7, s"y box too wide: $r")
+    }
+  }
+
+  // ---- GraphSearch ----
+
+  test("beam search over an exact kNN graph finds the brute-force top-1") {
+    // 40 deterministic pseudo-random 8-dim vectors (seeded => the kNN
+    // graph is random-geometric: small diameter, no 1-D chain worst case)
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(i * 1000 + 7)
+      (0 until 8).map(_ => (r.nextDouble() * 2 - 1).toFloat)
+    }
+    val vecs = (0 until 40).map(i => (i.toLong, vec(i))).toDF("id", "embedding")
+      .withColumn("norm", VectorFunctions.l2Norm(col("embedding")))
+    val graph = Ann.knnJoin(vecs, 8).select(col("qid"), col("neighbor")).localCheckpoint()
+    val queries = Seq(7, 23).map(i => (i, vec(i)))
+    val got = GraphSearch.beamSearch(graph, vecs, queries,
+      entries = 4, beam = 10, hops = 4, k = 3).collect()
+    // a query that IS a corpus vector must find itself at rank 1
+    queries.foreach { case (qi, _) =>
+      val top = got.filter(_.getInt(0) == qi).maxBy(_.getDouble(2))
+      assert(top.getLong(1) == qi.toLong, s"query $qi top hit was $top")
+    }
+  }
+}
