@@ -632,5 +632,62 @@ object ScaleProbe {
           "id", "v", b = 32)
         .collect()(0).getLong(2)
     }
+    // snapshot diff: ONE full-outer join on 16-byte digests — linear in
+    // the union of the snapshots (bucket-aligned zero-shuffle on the real
+    // id-bucketed tables; the probe pays the generic shuffle form)
+    time("snapshot_diff") {
+      val d = docs.withColumn("h",
+        pmod(graft.functions.TextFunctions.stableHash32(col("id")), lit(20)))
+      val oldS = d.filter(col("h") =!= 0).select("id", "content")
+      val newS = d.filter(col("h") =!= 1).select(col("id"),
+        when(col("h") === 2, concat(col("content"), lit(" v2")))
+          .otherwise(col("content")).as("content"))
+      graft.operators.CorpusDiff.diff(oldS, newS).count()
+    }
+    // compaction planning: inventory grows M-fold (64*M files); the plan
+    // is metadata-sized work — one aggregate over the corpus to build the
+    // inventory dominates, the planner itself is file-count-bounded
+    time("compaction_plan") {
+      val files = docs.groupBy(
+          pmod(graft.functions.TextFunctions.stableHash32(col("id")), lit(64 * m))
+            .as("file_id"))
+        .agg(sum(length(col("content"))).as("bytes"))
+      graft.operators.Compaction.plan(files, target = 16384L, span = 16L).count()
+    }
+    // z-order: a per-row codegen'd bit fold + one keyed aggregate — must
+    // stay linear-flat like filter_c4
+    time("zorder_report") {
+      val ev = events.select(
+        pmod(col("user_id"), lit(1024)).as("x"),
+        pmod(expr("tsu DIV 60000000"), lit(1024)).as("y"))
+      graft.operators.ZOrder.boxReport(ev, col("x"), col("y"), bits = 10, buckets = 64)
+        .count()
+    }
+    // extended sanitize (Luhn cards + IPv4 + standard chain): one
+    // projection pass, no shuffle — linear-flat
+    time("sanitize_extended") {
+      docs.select(graft.ingest.Sanitize.sanitizeTextExtended(col("content")).as("c"))
+        .agg(count(lit(1)), sum(length(col("c")))).collect()(0).getLong(0)
+    }
+    // graph-beam ANN serving: the adjacency table grows M-fold (synthetic
+    // hash-derived 8-NN graph — the probe times SEARCH, not the offline
+    // build), but per-query work is O(entries + hops * beam * k) point
+    // probes — the curve that must stay ~flat for serving at 100 TB
+    time("ann_graph_beam") {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      val dense = vecs
+        .withColumn("id", row_number().over(w).cast("long") - 1)
+        .repartition(cpus).localCheckpoint()
+      val n = dense.count()
+      val graph = dense.select(col("id").as("qid"),
+          explode(sequence(lit(1), lit(8))).as("j"))
+        .select(col("qid"),
+          pmod(col("qid") * 2654435761L + col("j") * 40503L, lit(n)).as("neighbor"))
+        .filter(col("neighbor") =!= col("qid"))
+        .repartition(cpus).localCheckpoint()
+      val qs = Tables.queryVectors(spark, sfDir, Seq(0, 1, 2))
+      graft.ann.GraphSearch.beamSearch(graph, dense, qs,
+        entries = 4, beam = 8, hops = 3, k = 5).count()
+    }
   }
 }
