@@ -5,7 +5,7 @@ import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.ann.{Ann, IvfIndex, LshMeta, PqIndex, SignLshIndex}
+import graft.ann.{Ann, GraphIndex, IvfIndex, LshMeta, PqIndex, SignLshIndex}
 import graft.catalog.Catalog
 import graft.model.CollectionEntry
 import graft.search.LexIndex
@@ -54,7 +54,8 @@ object Indexes {
       ivfClusters: Option[Seq[Long]],
       pqClusters: Option[Seq[Long]],
       lsh: Option[(LshMeta, Seq[(Int, String)])],
-      minhash: Option[(graft.dedup.MinHashMeta, Seq[Int])] = None)
+      minhash: Option[(graft.dedup.MinHashMeta, Seq[Int])] = None,
+      graph: Option[GraphIndex.GraphMeta] = None)
 
   private def exists(p: String) = Files.exists(Paths.get(p))
 
@@ -89,7 +90,12 @@ object Indexes {
       if (exists(graft.dedup.MinHashIndex.indexPath(catalog, entry)))
         graft.dedup.MinHashIndex.loadMeta(spark, catalog, entry)
       else None
-    if (!hasLex && !hasIvf && !hasPq && lshMeta.isEmpty && mhMeta.isEmpty) return None
+    val graphMeta =
+      if (exists(GraphIndex.indexPath(catalog, entry)))
+        GraphIndex.loadMeta(spark, catalog, entry)
+      else None
+    if (!hasLex && !hasIvf && !hasPq && lshMeta.isEmpty && mhMeta.isEmpty &&
+      graphMeta.isEmpty) return None
 
     // localCheckpoint severs lineage from the table path: the snapshots
     // stay valid (and Δ-sized) after the rewrite swaps the table dirs.
@@ -132,7 +138,7 @@ object Indexes {
         .select("pbucket").distinct().collect().map(_.getInt(0)).toSeq
       (m, parts)
     }
-    Some(Pending(ids, lexBuckets, ivfClusters, pqClusters, lsh, minhash))
+    Some(Pending(ids, lexBuckets, ivfClusters, pqClusters, lsh, minhash, graphMeta))
   }
 
   /** Phase 2 (call AFTER the documents-table rewrite): rewrite each
@@ -201,6 +207,23 @@ object Indexes {
           affectedDirs = parts.map(b => s"pbucket=$b"))
       }
     }
+    p.graph.foreach { gm =>
+      // graph edges are not row-local (a node's list depends on other
+      // rows), so the graph maintains itself with its Δ×corpus algebra
+      // instead of the partition-rebuild pattern above: changed ids that
+      // no longer exist were deleted; the rest are the upserted batch
+      // (content-addressed ids — an "update" is always old-id-gone +
+      // new-id-fresh). delete FIRST: its affected recomputes see the
+      // post-write corpus, and upsert dedupes any already-admitted edge.
+      val current = catalog.readDocuments(entry).select("id")
+      val changed = p.ids.select("id")
+      val goneIds = changed.join(current, Seq("id"), "left_anti")
+        .collect().map(_.getString(0)).toSeq
+      val presentIds = changed.join(current, Seq("id"), "left_semi")
+        .collect().map(_.getString(0)).toSeq
+      GraphIndex.delete(spark, catalog, entry, goneIds, gm.k, gm.buckets)
+      GraphIndex.upsert(spark, catalog, entry, presentIds, gm.k, gm.buckets)
+    }
   }
 
   private def replacePartitions(
@@ -246,6 +269,10 @@ object Indexes {
       graft.dedup.MinHashIndex.loadMeta(spark, catalog, entry).foreach { m =>
         graft.dedup.MinHashIndex.build(spark, catalog, entry,
           bands = m.bands, shingleN = m.shingleN)
+      }
+    if (exists(GraphIndex.indexPath(catalog, entry)))
+      GraphIndex.loadMeta(spark, catalog, entry).foreach { gm =>
+        GraphIndex.build(spark, catalog, entry, gm.k, gm.buckets)
       }
   }
 }

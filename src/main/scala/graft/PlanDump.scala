@@ -103,7 +103,11 @@ object PlanDump {
     "q_snapshot_diff" -> "snapshot diff: full-outer join on 16-byte digests, keyed status rollup",
     "q_compaction_plan" -> "compaction plan: file-inventory agg -> bucketed prefix sum (window partitioned by coarse bucket)",
     "q_zorder_layout" -> "z-order: per-row codegen'd bit fold + ONE keyed aggregate",
-    "q_sanitize_extended" -> "extended sanitize: single projection pass, Luhn fold inside codegen")
+    "q_sanitize_extended" -> "extended sanitize: single projection pass, Luhn fold inside codegen",
+    "q_events_overlap" -> "interval-overlap join: bucket explode + keyed equi-join, NO inequality theta-join",
+    "q_corpus_kl" -> "per-slice KL: keyed aggs + ONE token-keyed join, micro-nat integer sum",
+    "q_lexical_boolean" -> "boolean retrieval: term-pruned postings, AND = keyed count, NOT = left-anti",
+    "q_feature_binning" -> "equal-frequency binning: value-count prefix sum (partitioned window) + broadcast bin map")
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")

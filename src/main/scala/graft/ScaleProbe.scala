@@ -669,6 +669,15 @@ object ScaleProbe {
       docs.select(graft.ingest.Sanitize.sanitizeTextExtended(col("content")).as("c"))
         .agg(count(lit(1)), sum(length(col("c")))).collect()(0).getLong(0)
     }
+    // per-slice KL divergence: tokenize/explode -> three keyed aggs + one
+    // token-keyed join (salting grows the vocabulary M-fold) — ~linear
+    time("corpus_kl") {
+      val d = docs.select(
+        pmod(graft.functions.TextFunctions.stableHash32(col("id")), lit(20))
+          .cast("string").as("slice"),
+        graft.functions.TextFunctions.tokens(col("content")).as("tokens"))
+      graft.operators.Divergence.klBySlice(d, "slice").count()
+    }
     // graph-beam ANN serving: the adjacency table grows M-fold (synthetic
     // hash-derived 8-NN graph — the probe times SEARCH, not the offline
     // build), but per-query work is O(entries + hops * beam * k) point

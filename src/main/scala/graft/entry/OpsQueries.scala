@@ -182,17 +182,150 @@ object OpsQueries {
       |         CASE WHEN luhn_sum % 10 = 0 THEN '[REDACTED_CC]' ELSE cc END AS redacted
       |FROM c ORDER BY id""".stripMargin
 
+  // ---- interval-overlap join: cross-user session co-presence ----
+  // Sessions (30-min gap) self-joined on time overlap across DIFFERENT
+  // users via the bucketed decomposition (no theta-join); top-20 user
+  // pairs by total overlapped milliseconds.
+  def eventsOverlap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val byUser = Window.partitionBy("user_id").orderBy(col("ts_ms"), col("event_id"))
+    val ev = Tables.t(s, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        expr("timestampdiff(MILLISECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)").as("ts_ms"))
+      .withColumn("prev_ms", lag(col("ts_ms"), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_ms").isNull || col("ts_ms") - col("prev_ms") > 30L * 60 * 1000, 1L)
+          .otherwise(0L))
+      .withColumn("session_idx",
+        sum(col("new_sess")).over(byUser.rowsBetween(Window.unboundedPreceding, 0)))
+    val sess = ev.groupBy("user_id", "session_idx")
+      .agg(min("ts_ms").as("start_ms"), max("ts_ms").as("end_ms"))
+      .localCheckpoint() // both sides of the self-join read it
+    val l = sess.select(col("user_id").as("ua"), col("start_ms").as("sa"), col("end_ms").as("ea"))
+    val r = sess.select(col("user_id").as("ub"), col("start_ms").as("sb"), col("end_ms").as("eb"))
+    graft.operators.IntervalJoin.overlap(l, r, "sa", "ea", "sb", "eb", width = 3600000L)
+      .filter(col("ua") < col("ub"))
+      .groupBy("ua", "ub")
+      .agg(count(lit(1)).as("n_overlaps"),
+        sum(col("overlap_end") - col("overlap_start")).as("overlap_ms"))
+      .orderBy(col("overlap_ms").desc, col("ua"), col("ub"))
+      .limit(20)
+  }
+
+  val eventsOverlapSql: String =
+    """WITH ev AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |                   lag(epoch_ms(ts)) OVER (PARTITION BY user_id
+      |                     ORDER BY epoch_ms(ts), event_id) AS prev_ms
+      |            FROM events),
+      |sflag AS (SELECT user_id, event_id, ts_ms,
+      |                 CASE WHEN prev_ms IS NULL OR ts_ms - prev_ms > 1800000
+      |                      THEN 1 ELSE 0 END AS new_sess
+      |          FROM ev),
+      |sidx AS (SELECT user_id, ts_ms,
+      |                sum(new_sess) OVER (PARTITION BY user_id ORDER BY ts_ms, event_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+      |         FROM sflag),
+      |sess AS (SELECT user_id, session_idx,
+      |                min(ts_ms) AS start_ms, max(ts_ms) AS end_ms
+      |         FROM sidx GROUP BY 1, 2),
+      |p AS (SELECT a.user_id AS ua, b.user_id AS ub,
+      |             greatest(a.start_ms, b.start_ms) AS o_start,
+      |             least(a.end_ms, b.end_ms) AS o_end
+      |      FROM sess a JOIN sess b
+      |        ON a.start_ms <= b.end_ms AND b.start_ms <= a.end_ms
+      |       AND a.user_id < b.user_id)
+      |SELECT ua, ub, count(*) AS n_overlaps,
+      |       CAST(sum(o_end - o_start) AS BIGINT) AS overlap_ms
+      |FROM p GROUP BY 1, 2
+      |ORDER BY overlap_ms DESC, ua, ub LIMIT 20""".stripMargin
+
+  // ---- per-source KL divergence: the domain-shift report ----
+  def corpusKl(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select(col("source"),
+      TextFunctions.tokens(col("text")).as("tokens"))
+    graft.operators.Divergence.klBySlice(d, "source")
+      .withColumnRenamed("slice", "source")
+  }
+
+  val corpusKlSql: String =
+    """WITH d AS (SELECT source AS slice,
+      |                  regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks
+      |           FROM documents),
+      |tok AS (SELECT slice, unnest(toks) AS t FROM d),
+      |st AS (SELECT slice, t, count(*) AS c_st FROM tok GROUP BY 1, 2),
+      |ct AS (SELECT t, count(*) AS c_t FROM tok GROUP BY 1),
+      |tot AS (SELECT CAST(sum(c_t) AS BIGINT) AS n, count(*) AS v FROM ct),
+      |ns AS (SELECT slice, CAST(sum(c_st) AS BIGINT) AS n_s FROM st GROUP BY 1),
+      |terms AS (SELECT st.slice, ns.n_s,
+      |            floor(1000000.0
+      |              * (CAST(st.c_st + 1 AS DOUBLE) / CAST(ns.n_s + tot.v AS DOUBLE))
+      |              * ln((CAST(st.c_st + 1 AS DOUBLE) / CAST(ns.n_s + tot.v AS DOUBLE))
+      |                / (CAST(ct.c_t + 1 AS DOUBLE) / CAST(tot.n + tot.v AS DOUBLE)))) AS term_micro
+      |          FROM st JOIN ct USING (t) JOIN ns ON st.slice = ns.slice CROSS JOIN tot)
+      |SELECT slice AS source, max(n_s) AS n_tokens, count(*) AS support,
+      |       CAST(sum(term_micro) AS BIGINT) AS kl_micro
+      |FROM terms GROUP BY slice ORDER BY source""".stripMargin
+
+  // ---- boolean retrieval (AND / NOT over the posting table) ----
+  def lexicalBoolean(s: SparkSession, dir: String): DataFrame = {
+    val postings = graft.ingest.Ingest.postings(Tables.textCorpus(s, dir))
+    graft.search.Lexical.searchBoolean(postings,
+      must = Seq("spark", "join"), mustNot = Seq("stream"), k = 20)
+  }
+
+  val lexicalBooleanSql: String =
+    """WITH d AS (SELECT doc_id AS id,
+      |                  regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks
+      |           FROM documents),
+      |m AS (SELECT id,
+      |             len(list_filter(toks, x -> x = 'spark')) AS f0,
+      |             len(list_filter(toks, x -> x = 'join')) AS f1,
+      |             len(list_filter(toks, x -> x = 'stream')) AS f2
+      |      FROM d)
+      |SELECT id, CAST(f0 + f1 AS DOUBLE) AS score FROM m
+      |WHERE f0 > 0 AND f1 > 0 AND f2 = 0
+      |ORDER BY score DESC, id LIMIT 20""".stripMargin
+
+  // ---- equal-frequency feature binning (document-length deciles) ----
+  def featureBinning(s: SparkSession, dir: String): DataFrame = {
+    val vals = Tables.t(s, dir, "documents")
+      .select(length(col("text")).cast("long").as("value"))
+    graft.operators.Binning.report(vals, nBins = 10)
+  }
+
+  val featureBinningSql: String =
+    """WITH v AS (SELECT CAST(length(text) AS BIGINT) AS value FROM documents),
+      |c AS (SELECT value, count(*) AS cnt FROM v GROUP BY 1),
+      |w AS (SELECT value,
+      |             coalesce(CAST(sum(cnt) OVER (ORDER BY value
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
+      |      FROM c),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS n FROM v),
+      |b AS (SELECT v.value, (w.below * 10) // t.n AS bin
+      |      FROM v JOIN w ON v.value = w.value CROSS JOIN t)
+      |SELECT bin, count(*) AS n, min(value) AS v_min, max(value) AS v_max,
+      |       (CAST(sum(value) AS BIGINT) * 1000000) // count(*) AS v_mean_micro
+      |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_compaction_plan" -> (compactionPlan _),
     "q_zorder_layout" -> (zorderLayout _),
     "q_ann_graph_beam" -> (annGraphBeam _),
-    "q_sanitize_extended" -> (sanitizeExtended _))
+    "q_sanitize_extended" -> (sanitizeExtended _),
+    "q_events_overlap" -> (eventsOverlap _),
+    "q_corpus_kl" -> (corpusKl _),
+    "q_lexical_boolean" -> (lexicalBoolean _),
+    "q_feature_binning" -> (featureBinning _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_compaction_plan" -> compactionPlanSql,
     "q_zorder_layout" -> zorderLayoutSql,
     "q_ann_graph_beam" -> annGraphBeamSql,
-    "q_sanitize_extended" -> sanitizeExtendedSql)
+    "q_sanitize_extended" -> sanitizeExtendedSql,
+    "q_events_overlap" -> eventsOverlapSql,
+    "q_corpus_kl" -> corpusKlSql,
+    "q_lexical_boolean" -> lexicalBooleanSql,
+    "q_feature_binning" -> featureBinningSql)
 }

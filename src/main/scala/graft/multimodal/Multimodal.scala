@@ -133,11 +133,100 @@ object Multimodal {
     * non-PCM/compressed or truncated payloads (caller falls back to the
     * stub, governed like the image path).
     */
+  /** Audio SPI readers, resolved ONCE. `AudioSystem.getAudioInputStream`
+    * re-runs the synchronized ServiceLoader provider scan on EVERY call —
+    * under 32 concurrent decode tasks that global lock made parallel
+    * decode ~3x SLOWER than single-threaded (the audio sibling of the
+    * ImageIO file-cache contention fixed earlier). Same public SPI, same
+    * readers, looked up one time.
+    */
+  private lazy val audioReaders: Seq[javax.sound.sampled.spi.AudioFileReader] = {
+    import scala.jdk.CollectionConverters._
+    java.util.ServiceLoader
+      .load(classOf[javax.sound.sampled.spi.AudioFileReader])
+      .iterator().asScala.toSeq
+  }
+
+  private def audioStreamOf(data: Array[Byte]): javax.sound.sampled.AudioInputStream = {
+    audioReaders.foreach { r =>
+      try return r.getAudioInputStream(new ByteArrayInputStream(data))
+      catch { case _: javax.sound.sampled.UnsupportedAudioFileException => () }
+    }
+    throw new javax.sound.sampled.UnsupportedAudioFileException("no reader")
+  }
+
+  /** Direct RIFF/WAV chunk walk for the canonical case (PCM 16-bit
+    * little-endian — what the WAVE spec's RIFF container always is; the
+    * big-endian sibling is the separate RIFX form, which routes to the
+    * javax.sound fallback below). Measured: javax.sound's decode path
+    * serializes under concurrency (parallel decode over 32 tasks was ~2x
+    * SLOWER than one task, cached readers or not), while this parse is a
+    * plain header walk — embarrassingly parallel like the AVI walker.
+    * Returns (sampleRate, channels, pcmOffset, pcmLen) or None.
+    */
+  private def wavPcm16(d: Array[Byte]): Option[(Int, Int, Int, Int)] = {
+    def le16(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+    var pos = 12
+    var fmt: Option[(Int, Int)] = None // (sampleRate, channels)
+    while (pos + 8 <= d.length) {
+      val size = le32(pos + 4)
+      if (size < 0 || pos + 8 + size > d.length) return None
+      val isFmt = d(pos) == 'f' && d(pos + 1) == 'm' && d(pos + 2) == 't' && d(pos + 3) == ' '
+      val isData = d(pos) == 'd' && d(pos + 1) == 'a' && d(pos + 2) == 't' && d(pos + 3) == 'a'
+      if (isFmt) {
+        if (size < 16) return None
+        val codec = le16(pos + 8)
+        val channels = le16(pos + 10)
+        val bits = le16(pos + 22)
+        if (codec != 1 || bits != 16 || channels < 1) return None // non-PCM16: fallback
+        fmt = Some((le32(pos + 12), channels))
+      } else if (isData) {
+        return fmt.map { case (rate, ch) => (rate, ch, pos + 8, size) }
+      }
+      pos += 8 + size + (size & 1) // chunks are even-byte padded
+    }
+    None
+  }
+
   private def decodeAudio(id: Long, modality: String, data: Array[Byte],
       md: MessageDigest): Option[Decoded] =
+    wavPcm16(data) match {
+      case Some((rate, channels, off, len)) =>
+        val frameSize = channels * 2
+        val frames = len / frameSize
+        if (frames == 0) return None
+        val sums = new Array[Long](AudioWindows)
+        val counts = new Array[Long](AudioWindows)
+        var i = 0
+        while (i < frames) {
+          val o = off + i * frameSize // first channel only, little-endian
+          val s = ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
+          val w = (i.toLong * AudioWindows / frames).toInt
+          sums(w) += s.toLong * s.toLong
+          counts(w) += 1
+          i += 1
+        }
+        val fp = md.digest(data).map("%02x".format(_)).mkString
+        md.reset()
+        Some(Decoded(
+          id = id,
+          modality = modality,
+          byte_len = data.length.toLong,
+          width = rate,
+          height = channels,
+          n_frames = frames,
+          fingerprint = fp,
+          features = Array.tabulate(AudioWindows)(w =>
+            if (counts(w) == 0) 0.0f
+            else (math.sqrt(sums(w).toDouble / counts(w)) / 32768.0).toFloat)))
+      case None => decodeAudioJavax(id, modality, data, md)
+    }
+
+  private def decodeAudioJavax(id: Long, modality: String, data: Array[Byte],
+      md: MessageDigest): Option[Decoded] =
     try {
-      val in = javax.sound.sampled.AudioSystem.getAudioInputStream(
-        new ByteArrayInputStream(data))
+      val in = audioStreamOf(data)
       try {
         val fmt = in.getFormat
         if (fmt.getEncoding != javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED ||

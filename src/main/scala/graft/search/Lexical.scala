@@ -245,6 +245,42 @@ object Lexical {
       searchIndexed(postings, Seq(0 -> ""), k).limit(0))
   }
 
+  /** Boolean retrieval over the postings table: documents containing ALL
+    * `must` terms and NONE of the `mustNot` terms, scored by the must
+    * terms' summed tf. Completes the lexical family next to TF/BM25/
+    * phrase.
+    *
+    * Scale shape: term-pruned postings reads only (the term filter pushes
+    * into the parquet scan of a persisted LexIndex; never touches
+    * content). AND = one keyed agg counting distinct matched terms ==
+    * |must| (no m-way self-join); NOT = one left-anti join against the
+    * mustNot postings slice. Both frames are posting-list-sized.
+    */
+  def searchBoolean(
+      postings: DataFrame,
+      must: Seq[String],
+      mustNot: Seq[String],
+      k: Int): DataFrame = {
+    require(must.nonEmpty, "boolean retrieval needs at least one must term")
+    val mustT = must.map(_.toLowerCase).distinct
+    val notT = mustNot.map(_.toLowerCase).distinct
+    val hits = postings
+      .filter(col("term").isin(mustT: _*))
+      .groupBy("id")
+      .agg(count(lit(1)).as("n_terms"), // postings are (id, term)-unique
+        sum(col("tf")).cast("double").as("score"))
+      .filter(col("n_terms") === mustT.size)
+    val excluded =
+      if (notT.isEmpty) hits
+      else hits.join(
+        postings.filter(col("term").isin(notT: _*)).select("id").distinct(),
+        Seq("id"), "left_anti")
+    excluded
+      .select(col("id"), col("score"))
+      .orderBy(col("score").desc, col("id").asc)
+      .limit(k)
+  }
+
   /** Phrase tokenization: [[tokenizeQuery]]'s regex WITHOUT the dedup —
     * a phrase is an ordered sequence, repeats included.
     */

@@ -110,6 +110,83 @@ class OpsSpec extends SparkSpec {
     }
   }
 
+  // ---- IntervalJoin ----
+
+  test("bucketed overlap join equals the naive theta-join, each pair once") {
+    // intervals crossing bucket boundaries, nested, disjoint, and touching
+    val l = Seq((1L, 0L, 250L), (2L, 300L, 310L), (3L, 500L, 900L))
+      .toDF("lid", "s", "e")
+    val r = Seq((10L, 240L, 305L), (11L, 600L, 650L), (12L, 901L, 950L),
+      (13L, 0L, 1000L)).toDF("rid", "s2", "e2")
+    val got = graft.operators.IntervalJoin
+      .overlap(l, r, "s", "e", "s2", "e2", width = 100L)
+      .select("lid", "rid").collect().map(x => (x.getLong(0), x.getLong(1))).sorted
+    val lv = Seq((1L, 0L, 250L), (2L, 300L, 310L), (3L, 500L, 900L))
+    val rv = Seq((10L, 240L, 305L), (11L, 600L, 650L), (12L, 901L, 950L), (13L, 0L, 1000L))
+    val want = (for {
+      (li, ls, le) <- lv; (ri, rs, re) <- rv
+      if ls <= re && rs <= le
+    } yield (li, ri)).sorted
+    assert(got.toSeq == want)
+    // no duplicates even for the many-bucket-spanning (13) interval
+    assert(got.length == got.distinct.length)
+  }
+
+  // ---- Divergence ----
+
+  test("KL by slice: identical slice scores 0, shifted slice scores higher") {
+    val docs = Seq(
+      ("bal", Seq("a", "b", "a", "b")), // mirrors the corpus mix
+      ("bal", Seq("a", "b")),
+      ("skew", Seq("a", "a", "a", "a")), // all mass on one token
+      ("skew", Seq("a", "a"))
+    ).toDF("src", "tokens")
+    val got = graft.operators.Divergence.klBySlice(docs, "src").collect()
+      .map(r => r.getString(0) -> r.getLong(3)).toMap
+    assert(got("skew") > got("bal"), got.toString)
+    // support column counts distinct observed tokens
+    val sup = graft.operators.Divergence.klBySlice(docs, "src").collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(sup == Map("bal" -> 2L, "skew" -> 1L))
+  }
+
+  // ---- boolean retrieval ----
+
+  test("searchBoolean: AND requires every term, NOT excludes, tf-sum scores") {
+    val docs = Seq(
+      (1L, "spark join spark"), // both, tf 3
+      (2L, "spark join stream"), // excluded by NOT
+      (3L, "spark alone here"), // missing 'join'
+      (4L, "join spark"), // both, tf 2
+      (5L, "nothing relevant")
+    ).toDF("id", "content")
+    val postings = graft.ingest.Ingest.postings(docs)
+    val got = graft.search.Lexical
+      .searchBoolean(postings, Seq("spark", "join"), Seq("stream"), 10)
+      .collect().map(r => (r.getLong(0), r.getDouble(1)))
+    assert(got.toSeq == Seq((1L, 3.0), (4L, 2.0)))
+  }
+
+  // ---- Binning ----
+
+  test("equal-frequency binning: uniform values split into equal bins; ties stay together") {
+    val vals = (0L until 100L).map(v => Tuple1(v)).toDF("value")
+    val rep = graft.operators.Binning.report(vals, nBins = 10).collect()
+    assert(rep.length == 10)
+    rep.foreach(r => assert(r.getLong(1) == 10L, r.toString))
+    // bin bounds tile the range contiguously
+    assert(rep.map(r => (r.getLong(2), r.getLong(3))).toSeq ==
+      (0 until 10).map(i => (i * 10L, i * 10L + 9L)))
+    // mean of bin 0 = 4.5 -> 4500000 micro
+    assert(rep.head.getLong(4) == 4500000L)
+
+    // a tie group spanning a cut keeps its whole group in one bin
+    val tied = (Seq.fill(15)(1L) ++ Seq.fill(5)(2L)).map(Tuple1(_)).toDF("value")
+    val binsOfOne = graft.operators.Binning.equalFrequency(tied, nBins = 2)
+      .filter(col("value") === 1L).select("bin").distinct().as[Long].collect()
+    assert(binsOfOne.toSeq == Seq(0L))
+  }
+
   // ---- GraphSearch ----
 
   test("beam search over an exact kNN graph finds the brute-force top-1") {
