@@ -307,6 +307,88 @@ object OpsQueries {
       |       (CAST(sum(value) AS BIGINT) * 1000000) // count(*) AS v_mean_micro
       |FROM b GROUP BY 1 ORDER BY bin""".stripMargin
 
+  // ---- facet-capped semantic top-k: serving-side diversity by hard
+  //      per-facet quota (at most C hits per label facet), the cheap
+  //      production sibling of MMR — two bounded windows, no pair scoring
+  def searchFacetCap(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables.vectors(s, dir)
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    val hits = graft.search.Semantic.search(docs, qs, 50, payload = Seq("label"))
+    val perFacet = Window.partitionBy("query_idx", "label")
+      .orderBy(col("score").desc, col("id").asc)
+    val overall = Window.partitionBy("query_idx")
+      .orderBy(col("score").desc, col("id").asc)
+    hits
+      .withColumn("frn", row_number().over(perFacet)).filter(col("frn") <= 2)
+      .withColumn("rn", row_number().over(overall)).filter(col("rn") <= 10)
+      .select(col("query_idx"), col("id"), col("label"),
+        round(col("score"), 6).as("score"))
+      .orderBy(col("query_idx"), round(col("score"), 6).desc, col("id"))
+  }
+
+  val searchFacetCapSql: String =
+    """WITH q AS (SELECT CAST(vec_id AS INTEGER) AS query_idx, CAST(embedding AS DOUBLE[]) AS qv
+      |           FROM embeddings WHERE vec_id IN (0,1,2)),
+      |s AS (SELECT q.query_idx, e.vec_id AS id, e.label,
+      |             list_cosine_similarity(CAST(e.embedding AS DOUBLE[]), q.qv) AS sc
+      |      FROM q CROSS JOIN embeddings e),
+      |shortlist AS (SELECT query_idx, id, label, sc FROM (
+      |    SELECT query_idx, id, label, sc,
+      |           row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+      |    FROM s) WHERE rn <= 50),
+      |capped AS (SELECT query_idx, id, label, sc FROM (
+      |    SELECT query_idx, id, label, sc,
+      |           row_number() OVER (PARTITION BY query_idx, label ORDER BY sc DESC, id) AS frn
+      |    FROM shortlist) WHERE frn <= 2)
+      |SELECT query_idx, id, label, round(sc, 6) AS score FROM (
+      |  SELECT query_idx, id, label, sc,
+      |         row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+      |  FROM capped) WHERE rn <= 10
+      |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
+
+  // ---- join-skew diagnostics: the report that tells an operator owner
+  //      WHICH keys need salting before the 100 TB run — per-key-decile
+  //      mass distribution + exact integer Gini-style concentration and
+  //      the top hot keys
+  def skewReport(s: SparkSession, dir: String): DataFrame = {
+    val keyed = Tables.t(s, dir, "lineitem")
+      .groupBy(col("l_orderkey").as("key")).agg(count(lit(1)).as("n"))
+    val binned = graft.operators.Binning.report(
+      keyed.select(col("n").as("value")), nBins = 10)
+    binned.select(lit("decile").as("kind"), col("bin").cast("long").as("k"),
+      col("n"), col("v_min"), col("v_max"), col("v_mean_micro"))
+      .unionByName(
+        keyed.orderBy(col("n").desc, col("key").asc).limit(5)
+          .select(lit("hot").as("kind"), col("key").cast("long").as("k"),
+            lit(1L).as("n"), col("n").as("v_min"), col("n").as("v_max"),
+            (col("n") * 1000000L).as("v_mean_micro")))
+      .orderBy("kind", "k")
+  }
+
+  val skewReportSql: String =
+    """WITH keyed AS (SELECT l_orderkey AS key, count(*) AS n FROM lineitem GROUP BY 1),
+      |v AS (SELECT n AS value FROM keyed),
+      |c AS (SELECT value, count(*) AS cnt FROM v GROUP BY 1),
+      |w AS (SELECT value,
+      |             coalesce(CAST(sum(cnt) OVER (ORDER BY value
+      |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS BIGINT), 0) AS below
+      |      FROM c),
+      |t AS (SELECT CAST(count(*) AS BIGINT) AS total FROM v),
+      |b AS (SELECT v.value, (w.below * 10) // t.total AS bin
+      |      FROM v JOIN w ON v.value = w.value CROSS JOIN t),
+      |deciles AS (
+      |  SELECT 'decile' AS kind, bin AS k, count(*) AS n,
+      |         min(value) AS v_min, max(value) AS v_max,
+      |         (CAST(sum(value) AS BIGINT) * 1000000) // count(*) AS v_mean_micro
+      |  FROM b GROUP BY bin),
+      |hot AS (
+      |  SELECT 'hot' AS kind, key AS k, CAST(1 AS BIGINT) AS n,
+      |         keyed.n AS v_min, keyed.n AS v_max, keyed.n * 1000000 AS v_mean_micro
+      |  FROM keyed ORDER BY keyed.n DESC, key LIMIT 5)
+      |SELECT * FROM deciles UNION ALL SELECT * FROM hot
+      |ORDER BY kind, k""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_compaction_plan" -> (compactionPlan _),
@@ -316,7 +398,9 @@ object OpsQueries {
     "q_events_overlap" -> (eventsOverlap _),
     "q_corpus_kl" -> (corpusKl _),
     "q_lexical_boolean" -> (lexicalBoolean _),
-    "q_feature_binning" -> (featureBinning _))
+    "q_feature_binning" -> (featureBinning _),
+    "q_search_facet_cap" -> (searchFacetCap _),
+    "q_skew_report" -> (skewReport _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -327,5 +411,7 @@ object OpsQueries {
     "q_events_overlap" -> eventsOverlapSql,
     "q_corpus_kl" -> corpusKlSql,
     "q_lexical_boolean" -> lexicalBooleanSql,
-    "q_feature_binning" -> featureBinningSql)
+    "q_feature_binning" -> featureBinningSql,
+    "q_search_facet_cap" -> searchFacetCapSql,
+    "q_skew_report" -> skewReportSql)
 }
