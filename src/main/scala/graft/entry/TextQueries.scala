@@ -265,11 +265,14 @@ object TextQueries {
         col("pass_bullet") && col("pass_ellipsis") && col("pass_alpha") &&
         col("n_req_stops") >= 1)
       .select("id")
-    val kept = base.join(gated, "id")
+    // materialize once: the gopher gate + tokenization feed FOUR consumers
+    // (langid, the src0 LM train slice, scoring, the fill's token counts) —
+    // without the checkpoint the gate re-executes per consumer
+    val kept = base.join(gated, "id").localCheckpoint()
     val langs = graft.functions.LangId.classify(kept.select(col("id"), col("text")))
       .select(col("id"), col("predicted"))
     val toks = kept.select(col("id"), col("source"),
-      TextFunctions.tokens(col("text")).as("toks"))
+      TextFunctions.tokens(col("text")).as("toks")).localCheckpoint()
     val lm = graft.dedup.Perplexity.trainKn(
       toks.filter(col("source") === "src0").select("id", "toks"))
     val scored = graft.dedup.Perplexity.scoreKn(toks.select("id", "toks"), lm)
