@@ -389,6 +389,75 @@ object OpsQueries {
       |SELECT * FROM deciles UNION ALL SELECT * FROM hot
       |ORDER BY kind, k""".stripMargin
 
+  // ---- sequence-pattern matching (lightweight MATCH_RECOGNIZE) ----
+  // conversions per user = non-overlapping matches of "view, then
+  // anything but purchase, then purchase" over the time-ordered event
+  // code string
+  def eventsPattern(s: SparkSession, dir: String): DataFrame = {
+    val ev = Tables.t(s, dir, "events").select(
+      col("user_id"), col("event_id"),
+      expr("timestampdiff(MILLISECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)").as("ts_ms"),
+      expr("""CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+             |     WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+             |     ELSE 'e' END""".stripMargin).as("code"))
+    graft.operators.Sequences.patternCounts(
+        graft.operators.Sequences.encode(ev, "user_id", "ts_ms", "event_id", col("code")),
+        "v[^p]*p")
+      .select(col("key").as("user_id"),
+        length(col("seq")).cast("long").as("n_events"),
+        col("matches").as("conversions"))
+      .orderBy("user_id")
+  }
+
+  val eventsPatternSql: String =
+    """WITH e AS (SELECT user_id, event_id, epoch_ms(ts) AS ts_ms,
+      |                  CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+      |                       WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+      |                       ELSE 'e' END AS code
+      |           FROM events),
+      |s AS (SELECT user_id, string_agg(code, '' ORDER BY ts_ms, event_id) AS seq
+      |      FROM e GROUP BY 1)
+      |SELECT user_id, CAST(length(seq) AS BIGINT) AS n_events,
+      |       CAST(len(regexp_extract_all(seq, 'v[^p]*p')) AS BIGINT) AS conversions
+      |FROM s ORDER BY user_id""".stripMargin
+
+  // ---- data-contract checks (the Deequ-style promotion gate) ----
+  def dataContract(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents")
+    graft.operators.Contracts.report(d, Seq(
+      graft.operators.Contracts.Complete("text", 1000000L),
+      graft.operators.Contracts.Complete("lang", 1000000L),
+      graft.operators.Contracts.Unique("doc_id", 1000000L),
+      graft.operators.Contracts.Unique("text", 900000L),
+      graft.operators.Contracts.Satisfies("len_min_20",
+        length(col("text")) >= 20, 900000L)))
+  }
+
+  val dataContractSql: String =
+    """WITH m AS (SELECT CAST(count(*) AS BIGINT) AS n,
+      |    CAST(sum(CASE WHEN text IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_text,
+      |    CAST(sum(CASE WHEN lang IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS c_lang,
+      |    CAST(count(DISTINCT doc_id) AS BIGINT) AS u_id,
+      |    CAST(count(DISTINCT text) AS BIGINT) AS u_text,
+      |    CAST(sum(CASE WHEN length(text) >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS c_len
+      |  FROM documents)
+      |SELECT * FROM (
+      |  SELECT 'complete(text)' AS "check", c_text * 1000000 // n AS metric_ppm,
+      |         CAST(1000000 AS BIGINT) AS min_ppm, c_text * 1000000 // n >= 1000000 AS pass FROM m
+      |  UNION ALL
+      |  SELECT 'complete(lang)', c_lang * 1000000 // n,
+      |         CAST(1000000 AS BIGINT), c_lang * 1000000 // n >= 1000000 FROM m
+      |  UNION ALL
+      |  SELECT 'unique(doc_id)', u_id * 1000000 // n,
+      |         CAST(1000000 AS BIGINT), u_id * 1000000 // n >= 1000000 FROM m
+      |  UNION ALL
+      |  SELECT 'unique(text)', u_text * 1000000 // n,
+      |         CAST(900000 AS BIGINT), u_text * 1000000 // n >= 900000 FROM m
+      |  UNION ALL
+      |  SELECT 'satisfies(len_min_20)', c_len * 1000000 // n,
+      |         CAST(900000 AS BIGINT), c_len * 1000000 // n >= 900000 FROM m)
+      |ORDER BY "check"""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_compaction_plan" -> (compactionPlan _),
@@ -400,7 +469,9 @@ object OpsQueries {
     "q_lexical_boolean" -> (lexicalBoolean _),
     "q_feature_binning" -> (featureBinning _),
     "q_search_facet_cap" -> (searchFacetCap _),
-    "q_skew_report" -> (skewReport _))
+    "q_skew_report" -> (skewReport _),
+    "q_events_pattern" -> (eventsPattern _),
+    "q_data_contract" -> (dataContract _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -413,5 +484,7 @@ object OpsQueries {
     "q_lexical_boolean" -> lexicalBooleanSql,
     "q_feature_binning" -> featureBinningSql,
     "q_search_facet_cap" -> searchFacetCapSql,
-    "q_skew_report" -> skewReportSql)
+    "q_skew_report" -> skewReportSql,
+    "q_events_pattern" -> eventsPatternSql,
+    "q_data_contract" -> dataContractSql)
 }

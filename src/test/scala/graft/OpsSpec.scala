@@ -187,6 +187,45 @@ class OpsSpec extends SparkSpec {
     assert(binsOfOne.toSeq == Seq(0L))
   }
 
+  // ---- Sequences ----
+
+  test("sequence pattern: ordered encode + non-overlapping match count") {
+    val ev = Seq(
+      (1L, 1L, 10L, "v"), (1L, 2L, 20L, "c"), (1L, 3L, 30L, "p"), // v c p -> 1
+      (1L, 4L, 40L, "v"), (1L, 5L, 50L, "p"), // v p -> second match
+      (2L, 6L, 10L, "p"), (2L, 7L, 20L, "v"), // p then v: no match
+      (3L, 8L, 20L, "v"), (3L, 9L, 10L, "c") // ordering: c before v by ts
+    ).toDF("user", "eid", "ts", "code")
+    val got = graft.operators.Sequences.patternCounts(
+      graft.operators.Sequences.encode(ev, "user", "ts", "eid", col("code")),
+      "v[^p]*p")
+      .collect().map(r => r.getLong(0) -> (r.getString(1), r.getLong(2))).toMap
+    assert(got(1L) == (("vcpvp", 2L)))
+    assert(got(2L) == (("pv", 0L)))
+    assert(got(3L) == (("cv", 0L))) // time order, not insert order
+  }
+
+  // ---- Contracts ----
+
+  test("data contract: completeness, uniqueness, predicate checks in exact ppm") {
+    val df = Seq(
+      (1L, Some("a"), 25L), (2L, Some("b"), 10L),
+      (3L, None, 30L), (4L, Some("a"), 40L)
+    ).toDF("id", "name", "len")
+    import graft.operators.Contracts._
+    val got = report(df, Seq(
+      Complete("name", 1000000L),
+      Unique("id", 1000000L),
+      Unique("name", 1000000L),
+      Satisfies("len_min_20", col("len") >= 20, 700000L)))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(3))).toMap
+    assert(got("complete(name)") == ((750000L, false)))
+    assert(got("unique(id)") == ((1000000L, true)))
+    // 2 distinct non-null names over 4 rows
+    assert(got("unique(name)") == ((500000L, false)))
+    assert(got("satisfies(len_min_20)") == ((750000L, true)))
+  }
+
   // ---- GraphSearch ----
 
   test("beam search over an exact kNN graph finds the brute-force top-1") {
