@@ -458,6 +458,55 @@ object OpsQueries {
       |         CAST(900000 AS BIGINT), c_len * 1000000 // n >= 900000 FROM m)
       |ORDER BY "check"""".stripMargin
 
+  // ---- incremental curation: gate ONLY the snapshot delta ----
+  // The daily-ingest shape: diff yesterday's corpus against today's, run
+  // the quality gate over ADDED + CHANGED docs only (unchanged docs keep
+  // their verdicts; removed docs just leave) — curation cost tracks the
+  // DELTA, not the corpus.
+  def pipelineIncremental(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.textCorpus(s, dir)
+      .withColumn("h", pmod(TextFunctions.stableHash32(col("id").cast("string")), lit(20)))
+    val oldSnap = d.filter(col("h") =!= 0).select(col("id"), col("content"))
+    val newSnap = d.filter(col("h") =!= 1).select(
+      col("id"),
+      when(col("h") === 2, concat(col("content"), lit(" [rev2]")))
+        .otherwise(col("content")).as("content")).localCheckpoint()
+    val delta = graft.operators.CorpusDiff.diff(oldSnap, newSnap)
+      .filter(col("status").isin("added", "changed"))
+    val gated = newSnap.join(delta, "id")
+      .withColumn("tokens", size(TextFunctions.tokens(col("content"))).cast("long"))
+      .withColumn("kept", col("tokens") >= 20)
+    gated.groupBy("status")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("kept"), 1L).otherwise(0L)).as("kept_docs"),
+        sum(when(col("kept"), col("tokens")).otherwise(0L)).as("kept_tokens"),
+        sum(col("id").cast("long")).as("id_checksum"))
+      .orderBy("status")
+  }
+
+  val pipelineIncrementalSql: String =
+    """WITH d AS (SELECT doc_id AS id, text AS content,
+      |                  CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,8)) AS BIGINT) % 20 AS h
+      |           FROM documents),
+      |o AS (SELECT id, content FROM d WHERE h <> 0),
+      |nn AS (SELECT id, CASE WHEN h = 2 THEN content || ' [rev2]' ELSE content END AS content
+      |       FROM d WHERE h <> 1),
+      |delta AS (SELECT coalesce(o.id, nn.id) AS id,
+      |                 CASE WHEN o.id IS NULL THEN 'added'
+      |                      WHEN nn.id IS NULL THEN 'removed'
+      |                      WHEN md5(o.content) <> md5(nn.content) THEN 'changed'
+      |                      ELSE 'unchanged' END AS status
+      |          FROM o FULL OUTER JOIN nn ON o.id = nn.id),
+      |g AS (SELECT delta.status, nn.id,
+      |             CAST(len(regexp_extract_all(lower(nn.content), '[a-z0-9_]{2,}')) AS BIGINT) AS tokens
+      |      FROM delta JOIN nn ON delta.id = nn.id
+      |      WHERE delta.status IN ('added', 'changed'))
+      |SELECT status, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN tokens >= 20 THEN 1 ELSE 0 END) AS BIGINT) AS kept_docs,
+      |       CAST(sum(CASE WHEN tokens >= 20 THEN tokens ELSE 0 END) AS BIGINT) AS kept_tokens,
+      |       CAST(sum(id) AS BIGINT) AS id_checksum
+      |FROM g GROUP BY status ORDER BY status""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_compaction_plan" -> (compactionPlan _),
@@ -471,7 +520,8 @@ object OpsQueries {
     "q_search_facet_cap" -> (searchFacetCap _),
     "q_skew_report" -> (skewReport _),
     "q_events_pattern" -> (eventsPattern _),
-    "q_data_contract" -> (dataContract _))
+    "q_data_contract" -> (dataContract _),
+    "q_pipeline_incremental" -> (pipelineIncremental _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -486,5 +536,6 @@ object OpsQueries {
     "q_search_facet_cap" -> searchFacetCapSql,
     "q_skew_report" -> skewReportSql,
     "q_events_pattern" -> eventsPatternSql,
-    "q_data_contract" -> dataContractSql)
+    "q_data_contract" -> dataContractSql,
+    "q_pipeline_incremental" -> pipelineIncrementalSql)
 }
