@@ -53,18 +53,52 @@ object GraphSearch {
       beam: Int,
       hops: Int,
       k: Int): DataFrame = {
-    require(k <= beam, s"k=$k must be <= beam=$beam")
     val spark = vectors.sparkSession
     import spark.implicits._
-
-    val qdf = broadcast(
-      queries.toDF("query_idx", "qv")
-        .withColumn("qv", col("qv").cast("array<double>"))
-        .withColumn("qn", VectorFunctions.l2Norm(col("qv"))))
-
+    val qdf = queryFrame(spark, queries)
     // Deterministic entry points: the E smallest ids (TakeOrdered — no
     // corpus sort). A persisted index would store cluster medoids here.
     val entryIds = vectors.select("id").orderBy("id").limit(entries)
+    beamSearchFrom(graph, vectors, qdf,
+      qdf.select("query_idx").crossJoin(entryIds), beam, hops, k)
+  }
+
+  /** Beam search from CALLER-SUPPLIED per-query entry points
+    * (query_idx, id) — the IVF-coarse composition: route the query to its
+    * nprobe nearest cluster representatives first, then walk the graph
+    * from there (a two-layer HNSW's shape with the IVF quantizer as the
+    * upper layer).
+    */
+  def beamSearchWithEntries(
+      graph: DataFrame,
+      vectors: DataFrame,
+      queries: Seq[(Int, Seq[Float])],
+      entryPoints: DataFrame, // (query_idx, id)
+      beam: Int,
+      hops: Int,
+      k: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    beamSearchFrom(graph, vectors, queryFrame(spark, queries), entryPoints, beam, hops, k)
+  }
+
+  private def queryFrame(
+      spark: SparkSession, queries: Seq[(Int, Seq[Float])]): DataFrame = {
+    import spark.implicits._
+    broadcast(
+      queries.toDF("query_idx", "qv")
+        .withColumn("qv", col("qv").cast("array<double>"))
+        .withColumn("qn", VectorFunctions.l2Norm(col("qv"))))
+  }
+
+  private def beamSearchFrom(
+      graph: DataFrame,
+      vectors: DataFrame,
+      qdf: DataFrame,
+      entryPoints: DataFrame,
+      beam: Int,
+      hops: Int,
+      k: Int): DataFrame = {
+    require(k <= beam, s"k=$k must be <= beam=$beam")
 
     val byQuery = Window.partitionBy("query_idx")
       .orderBy(col("score").desc, col("id").asc)
@@ -81,8 +115,7 @@ object GraphSearch {
         .filter(col("rn") <= beam)
         .select("query_idx", "id", "score")
 
-    var frontier = rescore(
-      qdf.select("query_idx").crossJoin(entryIds))
+    var frontier = rescore(entryPoints.select("query_idx", "id"))
 
     for (_ <- 1 to hops) {
       // neighbors of the beam; the frontier is Q*B rows — broadcast side

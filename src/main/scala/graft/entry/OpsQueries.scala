@@ -141,6 +141,68 @@ object OpsQueries {
       |  FROM f2) WHERE rn <= 5
       |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
 
+  // ---- IVF-routed graph beam: the two-layer serving composition ----
+  // Coarse layer = the IVF deterministic representatives (min-id member
+  // per label); each query enters the graph at its 3 nearest reps and
+  // walks from there — a two-layer HNSW shape with the quantizer on top.
+  def annGraphIvf(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val graph = Ann.knnJoin(vecs, 8).select(col("qid"), col("neighbor")).localCheckpoint()
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    import s.implicits._
+    val qframe = qs.toDF("query_idx", "qv")
+      .withColumn("qv", col("qv").cast("array<double>"))
+      .withColumn("qn", graft.functions.VectorFunctions.l2Norm(col("qv")))
+    val reps = vecs.groupBy("label").agg(min("id").as("id"))
+      .join(vecs.select("id", "embedding", "norm"), "id")
+    val byQ = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_idx").orderBy(col("sc").desc, col("id").asc)
+    val entries = qframe.crossJoin(broadcast(reps))
+      .withColumn("sc", graft.functions.VectorFunctions.dot(col("qv"), col("embedding"))
+        / (col("qn") * col("norm")))
+      .withColumn("rn", row_number().over(byQ)).filter(col("rn") <= 3)
+      .select("query_idx", "id")
+    GraphSearch.beamSearchWithEntries(graph, vecs, qs, entries, beam = 8, hops = 2, k = 5)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("query_idx"), col("score").desc, col("id"))
+  }
+
+  val annGraphIvfSql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |g AS (SELECT qid, neighbor FROM (
+      |        SELECT a.id AS qid, b.id AS neighbor,
+      |               row_number() OVER (PARTITION BY a.id
+      |                 ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.id) AS rn
+      |        FROM e a JOIN e b ON a.id <> b.id) WHERE rn <= 8),
+      |q AS (SELECT CAST(vec_id AS INTEGER) AS query_idx, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id IN (0,1,2)),
+      |reps AS (SELECT min(vec_id) AS id FROM embeddings GROUP BY label),
+      |f0 AS (SELECT query_idx, id FROM (
+      |         SELECT q.query_idx, e.id,
+      |                row_number() OVER (PARTITION BY q.query_idx
+      |                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.id) AS rn
+      |         FROM q CROSS JOIN e
+      |         WHERE e.id IN (SELECT id FROM reps)) WHERE rn <= 3),
+      |u1 AS (SELECT f.query_idx, g.neighbor AS id FROM f0 f JOIN g ON g.qid = f.id
+      |       UNION SELECT query_idx, id FROM f0),
+      |f1 AS (SELECT query_idx, id FROM (
+      |         SELECT u.query_idx, u.id,
+      |                row_number() OVER (PARTITION BY u.query_idx
+      |                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, u.id) AS rn
+      |         FROM u1 u JOIN e ON e.id = u.id JOIN q ON q.query_idx = u.query_idx) WHERE rn <= 8),
+      |u2 AS (SELECT f.query_idx, g.neighbor AS id FROM f1 f JOIN g ON g.qid = f.id
+      |       UNION SELECT query_idx, id FROM f1),
+      |f2 AS (SELECT query_idx, id, sc FROM (
+      |         SELECT u.query_idx, u.id, list_cosine_similarity(e.v, q.qv) AS sc,
+      |                row_number() OVER (PARTITION BY u.query_idx
+      |                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, u.id) AS rn
+      |         FROM u2 u JOIN e ON e.id = u.id JOIN q ON q.query_idx = u.query_idx) WHERE rn <= 8)
+      |SELECT query_idx, id, round(sc, 6) AS score FROM (
+      |  SELECT query_idx, id, sc,
+      |         row_number() OVER (PARTITION BY query_idx ORDER BY sc DESC, id) AS rn
+      |  FROM f2) WHERE rn <= 5
+      |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
+
   // ---- extended sanitize: Luhn-validated cards + IPv4 ----
   // Adversarial rows are synthesized from the id (16-digit dashed card
   // candidate — Luhn-valid for ~10% of ids — plus an IPv4 and an email),
@@ -521,7 +583,8 @@ object OpsQueries {
     "q_skew_report" -> (skewReport _),
     "q_events_pattern" -> (eventsPattern _),
     "q_data_contract" -> (dataContract _),
-    "q_pipeline_incremental" -> (pipelineIncremental _))
+    "q_pipeline_incremental" -> (pipelineIncremental _),
+    "q_ann_graph_ivf" -> (annGraphIvf _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -537,5 +600,6 @@ object OpsQueries {
     "q_skew_report" -> skewReportSql,
     "q_events_pattern" -> eventsPatternSql,
     "q_data_contract" -> dataContractSql,
-    "q_pipeline_incremental" -> pipelineIncrementalSql)
+    "q_pipeline_incremental" -> pipelineIncrementalSql,
+    "q_ann_graph_ivf" -> annGraphIvfSql)
 }
