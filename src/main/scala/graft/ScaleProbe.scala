@@ -678,6 +678,50 @@ object ScaleProbe {
         graft.functions.TextFunctions.tokens(col("content")).as("tokens"))
       graft.operators.Divergence.klBySlice(d, "slice").count()
     }
+    // sequence patterns: ONE keyed aggregate + per-row regex; salted
+    // events = M x the users at constant per-user length — linear
+    time("events_pattern") {
+      val ev = events.select(col("user_id"), col("event_id"), col("tsu"),
+        expr("""CASE event_type WHEN 'view' THEN 'v' WHEN 'click' THEN 'c'
+               |     WHEN 'purchase' THEN 'p' WHEN 'signup' THEN 's'
+               |     ELSE 'e' END""".stripMargin).as("code"))
+      graft.operators.Sequences.patternCounts(
+          graft.operators.Sequences.encode(ev, "user_id", "tsu", "event_id", col("code")),
+          "v[^p]*p")
+        .agg(count(lit(1)), sum(col("matches"))).collect()(0).getLong(0)
+    }
+    // data contracts: every check a conditional count in ONE aggregate
+    // pass (+ the distinct) — must be linear-flat
+    time("data_contract") {
+      graft.operators.Contracts.report(docs, Seq(
+        graft.operators.Contracts.Complete("content", 1000000L),
+        graft.operators.Contracts.Unique("id", 1000000L),
+        graft.operators.Contracts.Satisfies("len_min_20",
+          length(col("content")) >= 20, 900000L))).count()
+    }
+    // equal-frequency binning: work lives in the DISTINCT-VALUE table
+    // (lengths — grows far slower than the corpus) — expect sub-linear
+    time("feature_binning") {
+      graft.operators.Binning.report(
+        docs.select(length(col("content")).cast("long").as("value")), nBins = 10).count()
+    }
+    // incremental curation: diff + gate over the ~15% delta — cost tracks
+    // the DELTA slice plus one digest diff, not a full-corpus gate
+    time("pipeline_incremental") {
+      val d = docs.withColumn("h",
+        pmod(graft.functions.TextFunctions.stableHash32(col("id")), lit(20)))
+      val oldS = d.filter(col("h") =!= 0).select("id", "content")
+      val newS = d.filter(col("h") =!= 1).select(col("id"),
+        when(col("h") === 2, concat(col("content"), lit(" v2")))
+          .otherwise(col("content")).as("content")).localCheckpoint()
+      val delta = graft.operators.CorpusDiff.diff(oldS, newS)
+        .filter(col("status").isin("added", "changed"))
+      newS.join(delta, "id")
+        .withColumn("tokens",
+          size(graft.functions.TextFunctions.tokens(col("content"))).cast("long"))
+        .filter(col("tokens") >= 20)
+        .agg(count(lit(1)), sum("tokens")).collect()(0).getLong(0)
+    }
     // graph-beam ANN serving: the adjacency table grows M-fold (synthetic
     // hash-derived 8-NN graph — the probe times SEARCH, not the offline
     // build), but per-query work is O(entries + hops * beam * k) point
