@@ -23,9 +23,18 @@ object Tables {
     * partitioning-invariant by contract (the ScaleProbe invariant), and
     * filter/column pushdown still reaches the scan below the exchange.
     */
-  def spread(df: DataFrame): DataFrame = {
+  def spread(df: DataFrame): DataFrame =
+    spreadBy(df, col("doc_id"))
+
+  /** Keyed variant: hash-repartition by `key` instead of round-robin —
+    * round-robin repartition LOCALLY SORTS every row first (Spark's
+    * retry-determinism guard, sortBeforeRepartition), which on a fat text
+    * column costs a visible constant per query; a deterministic hash key
+    * needs no sort.
+    */
+  def spreadBy(df: DataFrame, key: org.apache.spark.sql.Column): DataFrame = {
     val target = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions >= target) df else df.repartition(target)
+    if (df.rdd.getNumPartitions >= target) df else df.repartition(target, key)
   }
 
   /** Raw single-file read — the serving paths (semantic top-k is a plan
