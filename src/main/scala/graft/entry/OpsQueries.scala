@@ -203,6 +203,76 @@ object OpsQueries {
       |  FROM f2) WHERE rn <= 5
       |ORDER BY query_idx, round(sc, 6) DESC, id""".stripMargin
 
+  // ---- graph-beam recall: grade the graph route against exact truth ----
+  // The eval that closes the graph-index loop (build -> serve -> grade),
+  // the way q_ann_recall grades the IVF route.
+  def annGraphRecall(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val graph = Ann.knnJoin(vecs, 8).select(col("qid"), col("neighbor")).localCheckpoint()
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    val truth = Ann.bruteTopK(vecs, qs, 5).select("query_idx", "id")
+    val approx = GraphSearch.beamSearch(graph, vecs, qs,
+      entries = 4, beam = 8, hops = 2, k = 5).select("query_idx", "id")
+    val hits = truth.join(approx, Seq("query_idx", "id"))
+      .groupBy("query_idx").agg(count(lit(1)).as("n_hits"))
+    truth.groupBy("query_idx").agg(count(lit(1)).as("k_eff"))
+      .join(hits, Seq("query_idx"), "left")
+      .select(col("query_idx"),
+        coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+        round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+          col("k_eff").cast("double"), 6).as("recall"))
+      .orderBy("query_idx")
+  }
+
+  val annGraphRecallSql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |g AS (SELECT qid, neighbor FROM (
+      |        SELECT a.id AS qid, b.id AS neighbor,
+      |               row_number() OVER (PARTITION BY a.id
+      |                 ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.id) AS rn
+      |        FROM e a JOIN e b ON a.id <> b.id) WHERE rn <= 8),
+      |q AS (SELECT CAST(vec_id AS INTEGER) AS query_idx, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id IN (0,1,2)),
+      |truth AS (SELECT query_idx, id FROM (
+      |            SELECT q.query_idx, e.id,
+      |                   row_number() OVER (PARTITION BY q.query_idx
+      |                     ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.id) AS rn
+      |            FROM q CROSS JOIN e) WHERE rn <= 5),
+      |f0 AS (SELECT query_idx, id FROM (
+      |         SELECT q.query_idx, e.id,
+      |                row_number() OVER (PARTITION BY q.query_idx
+      |                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.id) AS rn
+      |         FROM q CROSS JOIN e
+      |         WHERE e.id IN (SELECT id FROM e ORDER BY id LIMIT 4)) WHERE rn <= 8),
+      |u1 AS (SELECT f.query_idx, g.neighbor AS id FROM f0 f JOIN g ON g.qid = f.id
+      |       UNION SELECT query_idx, id FROM f0),
+      |f1 AS (SELECT query_idx, id FROM (
+      |         SELECT u.query_idx, u.id,
+      |                row_number() OVER (PARTITION BY u.query_idx
+      |                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, u.id) AS rn
+      |         FROM u1 u JOIN e ON e.id = u.id JOIN q ON q.query_idx = u.query_idx) WHERE rn <= 8),
+      |u2 AS (SELECT f.query_idx, g.neighbor AS id FROM f1 f JOIN g ON g.qid = f.id
+      |       UNION SELECT query_idx, id FROM f1),
+      |f2 AS (SELECT query_idx, id FROM (
+      |         SELECT u.query_idx, u.id,
+      |                row_number() OVER (PARTITION BY u.query_idx
+      |                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, u.id) AS rn
+      |         FROM u2 u JOIN e ON e.id = u.id JOIN q ON q.query_idx = u.query_idx) WHERE rn <= 8),
+      |approx AS (SELECT query_idx, id FROM (
+      |             SELECT f.query_idx, f.id,
+      |                    row_number() OVER (PARTITION BY f.query_idx
+      |                      ORDER BY list_cosine_similarity(e.v, q.qv) DESC, f.id) AS rn
+      |             FROM f2 f JOIN e ON e.id = f.id JOIN q ON q.query_idx = f.query_idx)
+      |           WHERE rn <= 5),
+      |hits AS (SELECT t.query_idx, count(*) AS n_hits
+      |         FROM truth t JOIN approx a ON t.query_idx = a.query_idx AND t.id = a.id
+      |         GROUP BY 1),
+      |ke AS (SELECT query_idx, count(*) AS k_eff FROM truth GROUP BY 1)
+      |SELECT ke.query_idx, coalesce(hits.n_hits, 0) AS n_hits,
+      |       round(CAST(coalesce(hits.n_hits, 0) AS DOUBLE) / k_eff, 6) AS recall
+      |FROM ke LEFT JOIN hits ON ke.query_idx = hits.query_idx
+      |ORDER BY ke.query_idx""".stripMargin
+
   // ---- extended sanitize: Luhn-validated cards + IPv4 ----
   // Adversarial rows are synthesized from the id (16-digit dashed card
   // candidate — Luhn-valid for ~10% of ids — plus an IPv4 and an email),
@@ -584,7 +654,8 @@ object OpsQueries {
     "q_events_pattern" -> (eventsPattern _),
     "q_data_contract" -> (dataContract _),
     "q_pipeline_incremental" -> (pipelineIncremental _),
-    "q_ann_graph_ivf" -> (annGraphIvf _))
+    "q_ann_graph_ivf" -> (annGraphIvf _),
+    "q_ann_graph_recall" -> (annGraphRecall _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -601,5 +672,6 @@ object OpsQueries {
     "q_events_pattern" -> eventsPatternSql,
     "q_data_contract" -> dataContractSql,
     "q_pipeline_incremental" -> pipelineIncrementalSql,
-    "q_ann_graph_ivf" -> annGraphIvfSql)
+    "q_ann_graph_ivf" -> annGraphIvfSql,
+    "q_ann_graph_recall" -> annGraphRecallSql)
 }
