@@ -172,9 +172,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Expand"), "grouping sets must go through Expand")
     // one partial+final aggregate pair -> exactly one hash-partitioned
     // exchange below the final sort; a union-of-scans formulation would
-    // show one per grouping set
+    // show one per grouping set. The doc_id-keyed exchange is the read
+    // spread (Tables.spread), not aggregation — excluded.
     val exchanges = p.linesIterator.count(l =>
-      l.contains("Exchange hashpartitioning"))
+      l.contains("Exchange hashpartitioning") && !l.contains("doc_id"))
     assert(exchanges == 1, s"expected 1 aggregate exchange, saw $exchanges in\n$p")
     assert(p.linesIterator.count(_.contains("Scan parquet")) == 1,
       "rollup must read the corpus once")
