@@ -211,17 +211,35 @@ object Indexes {
       // graph edges are not row-local (a node's list depends on other
       // rows), so the graph maintains itself with its Δ×corpus algebra
       // instead of the partition-rebuild pattern above: changed ids that
-      // no longer exist were deleted; the rest are the upserted batch
-      // (content-addressed ids — an "update" is always old-id-gone +
-      // new-id-fresh). delete FIRST: its affected recomputes see the
-      // post-write corpus, and upsert dedupes any already-admitted edge.
+      // no longer exist were deleted; the rest are the upserted batch.
+      // delete FIRST: its affected recomputes see the post-write corpus,
+      // and upsert dedupes any already-admitted edge.
       val current = catalog.readDocuments(entry).select("id")
       val changed = p.ids.select("id")
       val goneIds = changed.join(current, Seq("id"), "left_anti")
         .collect().map(_.getString(0)).toSeq
       val presentIds = changed.join(current, Seq("id"), "left_semi")
         .collect().map(_.getString(0)).toSeq
-      GraphIndex.delete(spark, catalog, entry, goneIds, gm.k, gm.buckets)
+      // Content-addressed ids USUALLY make an update old-id-gone +
+      // new-id-fresh, but addDocuments accepts caller-PINNED embeddings
+      // (Embed.withEmbeddings fills only nulls): re-upserting identical
+      // content with a different embedding keeps the id, and upsert alone
+      // would leave other nodes' stale edges scoring the OLD vector.
+      // Any present id already in the graph therefore goes through delete
+      // first — its in-edges recompute against the post-write corpus
+      // (which holds the new vector), restoring the row-identical-to-
+      // rebuild invariant; for an unchanged re-upsert the recompute is
+      // redundant but exact, and the cost stays batch-bounded.
+      val preExisting =
+        if (presentIds.isEmpty) Seq.empty[String]
+        else {
+          import spark.implicits._
+          GraphIndex.load(spark, catalog, entry).select("qid").distinct()
+            .join(org.apache.spark.sql.functions.broadcast(presentIds.toDF("qid")),
+              Seq("qid"), "left_semi")
+            .as[String].collect().toSeq
+        }
+      GraphIndex.delete(spark, catalog, entry, goneIds ++ preExisting, gm.k, gm.buckets)
       GraphIndex.upsert(spark, catalog, entry, presentIds, gm.k, gm.buckets)
     }
   }

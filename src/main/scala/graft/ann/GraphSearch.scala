@@ -81,6 +81,33 @@ object GraphSearch {
     beamSearchFrom(graph, vectors, queryFrame(spark, queries), entryPoints, beam, hops, k)
   }
 
+  /** Route each query to its top-`entries` candidates among
+    * `entryCandidates` (an (id) frame — typically the persisted medoid
+    * table): exact cosine over candidate-count rows per query. The
+    * candidate set is a small constant (cluster count), so this is a
+    * broadcast × broadcast product — driver/exchange cost independent of
+    * the corpus. Returns (query_idx, id) for [[beamSearchWithEntries]].
+    */
+  def routeEntries(
+      vectors: DataFrame,
+      entryCandidates: DataFrame,
+      queries: Seq[(Int, Seq[Float])],
+      entries: Int): DataFrame = {
+    val spark = vectors.sparkSession
+    val qdf = queryFrame(spark, queries)
+    val cands = broadcast(
+      vectors.join(broadcast(entryCandidates), Seq("id"), "left_semi")
+        .select(col("id"), col("embedding"), col("norm")))
+    val byQ = Window.partitionBy("query_idx")
+      .orderBy(col("sc").desc, col("id").asc)
+    qdf.crossJoin(cands)
+      .withColumn("sc",
+        VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= entries)
+      .select("query_idx", "id")
+  }
+
   private def queryFrame(
       spark: SparkSession, queries: Seq[(Int, Seq[Float])]): DataFrame = {
     import spark.implicits._

@@ -97,6 +97,10 @@ object NnDescent {
     * converges fully in 2 rounds (measured, NnDescentSpec).
     */
   def build(vectors: DataFrame, k: Int, rounds: Int, rho: Int = 1): DataFrame = {
+    // rounds = 0 would return the rho*k-wide random init with fabricated
+    // rank/score columns — inconsistent with the documented top-k
+    // (src, dst, rank, score) contract, and dead for every real caller
+    require(rounds >= 1, s"NN-descent needs at least one refine round; got $rounds")
     val kb = k * rho
     var g = randomInit(vectors, kb).localCheckpoint()
     var last: DataFrame = null
@@ -104,7 +108,6 @@ object NnDescent {
       last = refine(vectors, g, kb).localCheckpoint()
       g = last.select("src", "dst")
     }
-    if (last == null) g.withColumn("rank", lit(1)).withColumn("score", lit(0.0))
-    else last.filter(col("rank") <= k)
+    last.filter(col("rank") <= k)
   }
 }

@@ -905,8 +905,8 @@ object OlapQueries {
       |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 50 AND l_quantity BETWEEN 20 AND 50)""".stripMargin
 
   /** TPC-H Q11 shape — global-aggregate scalar threshold: parts whose
-    * revenue exceeds 0.1% of total corpus revenue. The 1-row total
-    * broadcasts into the filter (`val * 1000 > tot` keeps the comparison
+    * revenue exceeds 1/1500 (~0.067%) of total corpus revenue. The 1-row
+    * total broadcasts into the filter (`val * 1500 > tot` keeps the comparison
     * decimal-exact — no division, no float), so the plan is two keyed
     * aggregates + a broadcast nested loop over ONE row, never a second
     * corpus pass.

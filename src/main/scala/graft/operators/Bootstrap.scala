@@ -66,8 +66,14 @@ object Bootstrap {
     val point = rows.agg(
         sum(col(valueCol).cast("long")).as("sv"), count(lit(1)).as("n"))
       .select(expr("(sv * 1000000L) div n").as("p"), col("n")).head()
+    require(!point.isNullAt(0) && point.getLong(1) > 0,
+      s"meanCi needs at least one non-null '$valueCol' row; got an empty input")
+    // a replica whose Poisson weights all drew 0 (possible only for tiny
+    // n; P ≈ (1/e)^n) has no resample mean — fall back to the point
+    // estimate rather than NPE inside getLong
     val means = replicaMeans(rows, idCol, valueCol, b)
-      .collect().map(_.getLong(1)).sorted
+      .collect().map(r => if (r.isNullAt(1)) point.getLong(0) else r.getLong(1))
+      .sorted
     val drop = math.round(alpha * b).toInt
     val schema = org.apache.spark.sql.types.StructType(Seq(
       org.apache.spark.sql.types.StructField("b", org.apache.spark.sql.types.LongType),
