@@ -10,9 +10,12 @@ import scala.collection.mutable.ArrayBuffer
   * (pyproject.toml:8, vector_api.py:34). No external parser ships in this
   * environment, so both extractors are deliberately scoped:
   *
-  *  - EPUB is a ZIP of XHTML (the format IS the spec): entries are read in
-  *    archive order (authoring tools write spine order), each content
-  *    document stripped with the same HTML-to-text rules as the HTML loader.
+  *  - EPUB is a ZIP of XHTML (the format IS the spec): content documents
+  *    are read in the OPF `<spine>`'s reading order (container.xml →
+  *    package document → manifest-resolved itemrefs), falling back to
+  *    archive order when the manifest chain is absent; each content
+  *    document is stripped with the same HTML-to-text rules as the HTML
+  *    loader.
   *  - PDF extraction follows the cross-reference structure (classic `xref`
   *    tables AND PDF 1.5+ cross-reference streams with PNG predictors,
   *    /Prev chains, and /Type/ObjStm object streams) from /Root through the
@@ -22,8 +25,9 @@ import scala.collection.mutable.ArrayBuffer
   *    CMaps (bfchar/bfrange incl. array form, codespacerange-derived code
   *    width, /Resources inheritance down the page tree) — the path
   *    post-2005 subset-font PDFs need; a Type0 font WITHOUT /ToUnicode
-  *    (raw CID against an external CMap resource) degrades to byte
-  *    decoding. When the xref is damaged extraction falls back to a linear
+  *    under the predefined Identity-H/V encoding is honored as CID = code
+  *    (2-byte codes, §9.7.5.2), and only the external-CMap-resource case
+  *    degrades to byte decoding. When the xref is damaged extraction falls back to a linear
   *    scan of every `stream…endstream` blob (font-blind — resources can't
   *    be resolved without an xref). Encrypted documents openable WITHOUT a
   *    password (the common owner-password-only files) decrypt through
@@ -51,23 +55,41 @@ object DocParse {
 
   private val EpubContentExt = Set("xhtml", "html", "htm")
 
-  /** Concatenated text of the EPUB's content documents, in archive order. */
+  /** Concatenated text of the EPUB's content documents, in the
+    * publication's READING order: META-INF/container.xml names the OPF
+    * package document, whose `<spine>` itemrefs order the manifest's
+    * content documents (OCF 3.3 §3.5.2.1 / Packages 3.3 §5.4 — the same
+    * order ebooklib hands the reference). Archive order is only the
+    * FALLBACK (no container/OPF/spine, or a spine whose hrefs resolve to
+    * nothing — non-standard authoring tools): most tools write entries in
+    * spine order, but nothing in the spec requires it, and a re-zipped
+    * EPUB silently reorders. Spine-less content documents (nav.xhtml,
+    * covers) are appended after the spine in archive order so no text is
+    * lost relative to the archive-order fallback.
+    */
   def epubToText(bytes: Array[Byte]): Option[String] = {
     val zin = new ZipInputStream(new ByteArrayInputStream(bytes))
-    val parts = ArrayBuffer.empty[String]
+    // archive-ordered (name, bytes) of content docs + the two manifest files
+    val content = ArrayBuffer.empty[(String, Array[Byte])]
+    var container: Option[String] = None
+    val opfs = scala.collection.mutable.Map.empty[String, String]
     try {
       var e = zin.getNextEntry
       while (e != null) {
-        val name = e.getName.toLowerCase
-        val ext = name.substring(name.lastIndexOf('.') + 1)
-        if (!e.isDirectory && EpubContentExt(ext)) {
+        val name = e.getName
+        val lower = name.toLowerCase
+        val ext = lower.substring(lower.lastIndexOf('.') + 1)
+        if (!e.isDirectory && (EpubContentExt(ext) || ext == "opf" ||
+            name == "META-INF/container.xml")) {
           val entryBytes = readBounded(zin, MaxInflatedBytes) match {
             case Some(b) => b
             case None => return None // zip-bomb entry: governed failure
           }
-          val html = new String(entryBytes, StandardCharsets.UTF_8)
-          val text = stripMarkup(html)
-          if (text.nonEmpty) parts += text
+          if (name == "META-INF/container.xml")
+            container = Some(new String(entryBytes, StandardCharsets.UTF_8))
+          else if (ext == "opf")
+            opfs(name) = new String(entryBytes, StandardCharsets.UTF_8)
+          else content += name -> entryBytes
         }
         zin.closeEntry()
         e = zin.getNextEntry
@@ -75,7 +97,73 @@ object DocParse {
     } catch {
       case _: Exception => return None // not a zip / truncated archive
     } finally zin.close()
+    val byName = content.toMap
+    val ordered: Seq[(String, Array[Byte])] = epubSpineOrder(container, opfs.toMap) match {
+      case Some(paths) =>
+        val inSpine = paths.flatMap(p => byName.get(p).map(p -> _))
+        if (inSpine.isEmpty) content.toSeq
+        else {
+          val seen = inSpine.map(_._1).toSet
+          inSpine ++ content.filterNot(c => seen(c._1))
+        }
+      case None => content.toSeq
+    }
+    val parts = ordered.flatMap { case (_, b) =>
+      val text = stripMarkup(new String(b, StandardCharsets.UTF_8))
+      if (text.nonEmpty) Some(text) else None
+    }
     if (parts.isEmpty) None else Some(parts.mkString("\n\n"))
+  }
+
+  private val RootfileRe = "(?s)<rootfile\\b[^>]*>".r
+  private val ItemRe = "(?s)<item\\b[^>]*>".r
+  private val ItemrefRe = "(?s)<itemref\\b[^>]*>".r
+
+  private def xmlAttr(tag: String, attr: String): Option[String] =
+    ("""(?s)\b""" + attr + """\s*=\s*["']([^"']*)["']""").r
+      .findFirstMatchIn(tag).map(_.group(1))
+
+  /** Resolve the spine's reading order to archive entry paths: container
+    * → OPF full-path → manifest (id → href) → spine idrefs, hrefs made
+    * OPF-relative with `.`/`..` folded and %XX minimally decoded. None
+    * when any link in that chain is absent — the caller's archive-order
+    * fallback.
+    */
+  private[ingest] def epubSpineOrder(
+      container: Option[String], opfs: Map[String, String]): Option[Seq[String]] = for {
+    c <- container
+    opfPath <- RootfileRe.findAllMatchIn(c).map(_.matched)
+      .flatMap(xmlAttr(_, "full-path")).find(p => opfs.contains(p))
+    opf = opfs(opfPath)
+    manifest = ItemRe.findAllMatchIn(opf).map(_.matched)
+      .flatMap(t => for (i <- xmlAttr(t, "id"); h <- xmlAttr(t, "href")) yield i -> h)
+      .toMap
+    idrefs = ItemrefRe.findAllMatchIn(opf).map(_.matched)
+      .flatMap(xmlAttr(_, "idref")).toSeq
+    if idrefs.nonEmpty
+  } yield {
+    val opfDir = opfPath.lastIndexOf('/') match {
+      case -1 => ""
+      case i => opfPath.substring(0, i + 1)
+    }
+    idrefs.flatMap(manifest.get).map { href =>
+      val noFrag = href.takeWhile(_ != '#')
+      val decoded = try {
+        java.net.URLDecoder.decode(noFrag, "UTF-8")
+      } catch { case _: Exception => noFrag }
+      normalizeZipPath(opfDir + decoded)
+    }
+  }
+
+  /** Fold `.`/`..` segments the way zip readers resolve them. */
+  private def normalizeZipPath(p: String): String = {
+    val out = ArrayBuffer.empty[String]
+    p.split('/').foreach {
+      case "" | "." => ()
+      case ".." => if (out.nonEmpty) out.remove(out.size - 1)
+      case s => out += s
+    }
+    out.mkString("/")
   }
 
   /** Driver/executor-side mirror of TextFunctions.htmlToText's rules:
@@ -650,9 +738,14 @@ object DocParse {
     * codespacerange; 2 for the ubiquitous Identity-H layout) and the
     * code → Unicode-string map (multi-char targets carry ligatures).
     * Codes with no mapping are dropped — emitting the raw CID would
-    * inject glyph-index garbage into the text.
+    * inject glyph-index garbage into the text — EXCEPT under
+    * `identity = true`, the Type0-with-predefined-Identity-encoding
+    * decoder (no /ToUnicode at all): there the spec's CID = code mapping
+    * (PDF 32000 §9.7.5.2) is honored by emitting the 2-byte code as its
+    * character (CID 0 = .notdef and C0 controls stay dropped).
     */
-  private[ingest] final case class ToUnicodeCMap(codeBytes: Int, map: Map[Int, String]) {
+  private[ingest] final case class ToUnicodeCMap(
+      codeBytes: Int, map: Map[Int, String], identity: Boolean = false) {
     def decode(bytes: Array[Byte]): String = {
       val sb = new StringBuilder
       var i = 0
@@ -660,7 +753,12 @@ object DocParse {
         var code = 0
         var j = 0
         while (j < codeBytes) { code = (code << 8) | (bytes(i + j) & 0xff); j += 1 }
-        map.get(code).foreach(sb ++= _)
+        map.get(code) match {
+          case Some(dst) => sb ++= dst
+          case None if identity && code >= 32 && code != 0xffff =>
+            sb += code.toChar
+          case None => ()
+        }
         i += codeBytes
       }
       sb.toString
@@ -793,14 +891,25 @@ object DocParse {
           val name = m.group(1)
           val fontRef = m.group(2).toInt
           val cmap = cmapCache.getOrElseUpdate(fontRef,
-            for {
-              (fd, _) <- objects(fontRef)
-              tuRef <- refAfter(fd, "/ToUnicode")
-              (td, payloadOpt) <- objects(tuRef)
-              payload <- payloadOpt
-              data <- decodeStream(td, payload)
-              cm <- parseToUnicode(new String(data, StandardCharsets.ISO_8859_1))
-            } yield cm)
+            objects(fontRef).map(_._1).flatMap { fd =>
+              val viaToUnicode = for {
+                tuRef <- refAfter(fd, "/ToUnicode")
+                (td, payloadOpt) <- objects(tuRef)
+                payload <- payloadOpt
+                data <- decodeStream(td, payload)
+                cm <- parseToUnicode(new String(data, StandardCharsets.ISO_8859_1))
+              } yield cm
+              // Type0 under the predefined Identity-H/V encoding with no
+              // /ToUnicode: honor CID = code (2-byte codes) instead of
+              // degrading to Latin-1 byte pairs. Other predefined CMaps
+              // (external CMap resources) still fall through to bytes.
+              viaToUnicode.orElse {
+                if (fd.contains("/Type0") &&
+                    (fd.contains("/Identity-H") || fd.contains("/Identity-V")))
+                  Some(ToUnicodeCMap(2, Map.empty, identity = true))
+                else None
+              }
+            })
           cmap.map(name -> _)
         }.toMap
     }

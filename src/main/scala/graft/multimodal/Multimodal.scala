@@ -119,7 +119,7 @@ object Multimodal {
 
   private def isWav(d: Array[Byte]): Boolean =
     d.length > 12 && d(0) == 'R'.toByte && d(1) == 'I'.toByte &&
-      d(2) == 'F'.toByte && d(3) == 'F'.toByte &&
+      d(2) == 'F'.toByte && (d(3) == 'F'.toByte || d(3) == 'X'.toByte) &&
       d(8) == 'W'.toByte && d(9) == 'A'.toByte &&
       d(10) == 'V'.toByte && d(11) == 'E'.toByte
 
@@ -155,34 +155,63 @@ object Multimodal {
     throw new javax.sound.sampled.UnsupportedAudioFileException("no reader")
   }
 
-  /** Direct RIFF/WAV chunk walk for the canonical case (PCM 16-bit
-    * little-endian — what the WAVE spec's RIFF container always is; the
-    * big-endian sibling is the separate RIFX form, which routes to the
-    * javax.sound fallback below). Measured: javax.sound's decode path
-    * serializes under concurrency (parallel decode over 32 tasks was ~2x
-    * SLOWER than one task, cached readers or not), while this parse is a
-    * plain header walk — embarrassingly parallel like the AVI walker.
-    * Returns (sampleRate, channels, pcmOffset, pcmLen) or None.
+  /** Parsed WAV layout: PCM payload position + the sample format needed
+    * to read it. `floatPcm` = IEEE-float samples (format tag 3);
+    * `bigEndian` = the RIFX container (every header field and sample
+    * byte-swapped relative to RIFF).
     */
-  private def wavPcm16(d: Array[Byte]): Option[(Int, Int, Int, Int)] = {
-    def le16(o: Int): Int = (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
-    def le32(o: Int): Int = le16(o) | (le16(o + 2) << 16)
+  private final case class WavFmt(
+      rate: Int, channels: Int, off: Int, len: Int,
+      bits: Int, floatPcm: Boolean, bigEndian: Boolean)
+
+  /** Direct RIFF/RIFX WAV chunk walk. Covers the linear-PCM family for
+    * real: integer 8 (unsigned)/16/24/32-bit and IEEE-float 32/64-bit
+    * samples, WAVE_FORMAT_EXTENSIBLE's SubFormat tag (RIFF only — an
+    * extensible RIFX is not a thing real writers emit), and the RIFX
+    * big-endian container. Compressed codecs (MP3-in-WAV, ADPCM, μ-law)
+    * route to the javax.sound fallback below. Measured: javax.sound's
+    * decode path serializes under concurrency (parallel decode over 32
+    * tasks was ~2x SLOWER than one task, cached readers or not), while
+    * this parse is a plain header walk — embarrassingly parallel like
+    * the AVI walker.
+    */
+  private def wavPcm(d: Array[Byte]): Option[WavFmt] = {
+    if (d.length < 12) return None
+    val isRiff = d(0) == 'R' && d(1) == 'I' && d(2) == 'F' && d(3) == 'F'
+    val isRifx = d(0) == 'R' && d(1) == 'I' && d(2) == 'F' && d(3) == 'X'
+    if ((!isRiff && !isRifx) ||
+        !(d(8) == 'W' && d(9) == 'A' && d(10) == 'V' && d(11) == 'E')) return None
+    val be = isRifx
+    def u16(o: Int): Int =
+      if (be) ((d(o) & 0xff) << 8) | (d(o + 1) & 0xff)
+      else (d(o) & 0xff) | ((d(o + 1) & 0xff) << 8)
+    def u32(o: Int): Int =
+      if (be) (u16(o) << 16) | u16(o + 2) else u16(o) | (u16(o + 2) << 16)
     var pos = 12
-    var fmt: Option[(Int, Int)] = None // (sampleRate, channels)
+    var fmt: Option[(Int, Int, Int, Boolean)] = None // (rate, ch, bits, float)
     while (pos + 8 <= d.length) {
-      val size = le32(pos + 4)
+      val size = u32(pos + 4)
       if (size < 0 || pos + 8 + size > d.length) return None
       val isFmt = d(pos) == 'f' && d(pos + 1) == 'm' && d(pos + 2) == 't' && d(pos + 3) == ' '
       val isData = d(pos) == 'd' && d(pos + 1) == 'a' && d(pos + 2) == 't' && d(pos + 3) == 'a'
       if (isFmt) {
         if (size < 16) return None
-        val codec = le16(pos + 8)
-        val channels = le16(pos + 10)
-        val bits = le16(pos + 22)
-        if (codec != 1 || bits != 16 || channels < 1) return None // non-PCM16: fallback
-        fmt = Some((le32(pos + 12), channels))
+        var codec = u16(pos + 8)
+        val channels = u16(pos + 10)
+        val rate = u32(pos + 12)
+        val bits = u16(pos + 22)
+        // EXTENSIBLE: the real format tag is the SubFormat GUID's first
+        // 16 bits (little-endian GUID data1), 24 bytes into the extension
+        if (codec == 0xfffe && size >= 40 && !be) codec = u16(pos + 8 + 24)
+        val intOk = codec == 1 &&
+          (bits == 8 || bits == 16 || bits == 24 || bits == 32)
+        val floatOk = codec == 3 && (bits == 32 || bits == 64)
+        if ((!intOk && !floatOk) || channels < 1) return None // fallback
+        fmt = Some((rate, channels, bits, floatOk))
       } else if (isData) {
-        return fmt.map { case (rate, ch) => (rate, ch, pos + 8, size) }
+        return fmt.map { case (rate, ch, bits, fl) =>
+          WavFmt(rate, ch, pos + 8, size, bits, fl, be)
+        }
       }
       pos += 8 + size + (size & 1) // chunks are even-byte padded
     }
@@ -191,21 +220,70 @@ object Multimodal {
 
   private def decodeAudio(id: Long, modality: String, data: Array[Byte],
       md: MessageDigest): Option[Decoded] =
-    wavPcm16(data) match {
-      case Some((rate, channels, off, len)) =>
-        val frameSize = channels * 2
-        val frames = len / frameSize
+    wavPcm(data) match {
+      case Some(w) =>
+        val bytesPer = w.bits / 8
+        val frameSize = w.channels * bytesPer
+        val frames = w.len / frameSize
         if (frames == 0) return None
-        val sums = new Array[Long](AudioWindows)
         val counts = new Array[Long](AudioWindows)
-        var i = 0
-        while (i < frames) {
-          val o = off + i * frameSize // first channel only, little-endian
-          val s = ((data(o + 1) << 8) | (data(o) & 0xff)).toShort
-          val w = (i.toLong * AudioWindows / frames).toInt
-          sums(w) += s.toLong * s.toLong
-          counts(w) += 1
-          i += 1
+        val features = new Array[Float](AudioWindows)
+        def word(o: Int, n: Int): Long = { // n-byte word in container order
+          var v = 0L
+          var j = 0
+          while (j < n) {
+            v = (v << 8) | (data(o + (if (w.bigEndian) j else n - 1 - j)) & 0xff)
+            j += 1
+          }
+          v
+        }
+        if (w.bits == 16 && !w.floatPcm) {
+          // the canonical path keeps its exact integer-sum arithmetic
+          // (bit-stable vs the closed-form square-wave oracle)
+          val sums = new Array[Long](AudioWindows)
+          var i = 0
+          while (i < frames) {
+            val s = word(w.off + i * frameSize, 2).toShort
+            val win = (i.toLong * AudioWindows / frames).toInt
+            sums(win) += s.toLong * s.toLong
+            counts(win) += 1
+            i += 1
+          }
+          var k = 0
+          while (k < AudioWindows) {
+            features(k) =
+              if (counts(k) == 0) 0.0f
+              else (math.sqrt(sums(k).toDouble / counts(k)) / 32768.0).toFloat
+            k += 1
+          }
+        } else {
+          // wider/float samples: RMS over values normalized to [-1, 1)
+          val sums = new Array[Double](AudioWindows)
+          var i = 0
+          while (i < frames) {
+            val o = w.off + i * frameSize // first channel only
+            val v: Double =
+              if (w.floatPcm && w.bits == 32)
+                java.lang.Float.intBitsToFloat(word(o, 4).toInt).toDouble
+              else if (w.floatPcm)
+                java.lang.Double.longBitsToDouble(word(o, 8))
+              else w.bits match {
+                case 8 => ((data(o) & 0xff) - 128) / 128.0 // 8-bit is UNSIGNED
+                case 24 => ((word(o, 3).toInt << 8) >> 8) / 8388608.0
+                case _ => word(o, 4).toInt / 2147483648.0
+              }
+            val win = (i.toLong * AudioWindows / frames).toInt
+            sums(win) += v * v
+            counts(win) += 1
+            i += 1
+          }
+          var k = 0
+          while (k < AudioWindows) {
+            features(k) =
+              if (counts(k) == 0) 0.0f
+              else math.sqrt(sums(k) / counts(k)).toFloat
+            k += 1
+          }
         }
         val fp = md.digest(data).map("%02x".format(_)).mkString
         md.reset()
@@ -213,13 +291,11 @@ object Multimodal {
           id = id,
           modality = modality,
           byte_len = data.length.toLong,
-          width = rate,
-          height = channels,
+          width = w.rate,
+          height = w.channels,
           n_frames = frames,
           fingerprint = fp,
-          features = Array.tabulate(AudioWindows)(w =>
-            if (counts(w) == 0) 0.0f
-            else (math.sqrt(sums(w).toDouble / counts(w)) / 32768.0).toFloat)))
+          features = features))
       case None => decodeAudioJavax(id, modality, data, md)
     }
 
@@ -288,6 +364,51 @@ object Multimodal {
       i += 1
     }
     out.array()
+  }
+
+  /** [[squareWav]] generalized across the linear-PCM family: the same
+    * alternating ±`amplitude` square wave as integer 8/16/24/32-bit or
+    * IEEE-float 32/64-bit samples, RIFF or RIFX (big-endian) container.
+    * `amplitude` is in SAMPLE units for the integer widths (8-bit squares
+    * around the unsigned midpoint 128) and in normalized [0, 1) units for
+    * float — so every format's RMS windows recover it exactly.
+    */
+  def squareWavFmt(n: Int, rate: Int, amplitude: Double, bits: Int,
+      floatPcm: Boolean, bigEndian: Boolean = false): Array[Byte] = {
+    require(n >= 1 && rate >= 1, s"bad wav params n=$n rate=$rate")
+    val bytesPer = bits / 8
+    val dataLen = n * bytesPer
+    val buf = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(if (bigEndian) java.nio.ByteOrder.BIG_ENDIAN
+             else java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put((if (bigEndian) "RIFX" else "RIFF").getBytes("US-ASCII"))
+      .putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(if (floatPcm) 3 else 1).putShort(1) // codec, mono
+      .putInt(rate).putInt(rate * bytesPer)
+      .putShort(bytesPer.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    var i = 0
+    while (i < n) {
+      val pos = i % 2 == 0
+      if (floatPcm && bits == 32) buf.putFloat((if (pos) amplitude else -amplitude).toFloat)
+      else if (floatPcm) buf.putDouble(if (pos) amplitude else -amplitude)
+      else {
+        val a = math.round(amplitude).toInt
+        bits match {
+          case 8 => buf.put((128 + (if (pos) a else -a)).toByte)
+          case 16 => buf.putShort((if (pos) a else -a).toShort)
+          case 24 =>
+            val v = if (pos) a else -a
+            if (bigEndian) { buf.put((v >> 16).toByte).put((v >> 8).toByte).put(v.toByte) }
+            else { buf.put(v.toByte).put((v >> 8).toByte).put((v >> 16).toByte) }
+          case _ => buf.putInt(if (pos) a else -a)
+        }
+      }
+      i += 1
+    }
+    buf.array()
   }
 
   private def isAvi(d: Array[Byte]): Boolean =

@@ -120,7 +120,7 @@ class DocParseSpec extends SparkSpec {
     * not text.
     */
   private def pdfCidBytes(content: String, toUnicode: String,
-      resourcesOnPages: Boolean): Array[Byte] = {
+      resourcesOnPages: Boolean, withToUnicode: Boolean = true): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     val offsets = scala.collection.mutable.Map.empty[Int, Int]
@@ -136,7 +136,8 @@ class DocParseSpec extends SparkSpec {
     val c = content.getBytes(StandardCharsets.ISO_8859_1)
     w(s"4 0 obj << /Length ${c.length} >> stream\n"); out.write(c); w("\nendstream endobj\n")
     obj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " +
-      "/Encoding /Identity-H /ToUnicode 6 0 R >>")
+      "/Encoding /Identity-H " +
+      (if (withToUnicode) "/ToUnicode 6 0 R " else "") + ">>")
     offsets(6) = out.size()
     val tz = deflate(toUnicode.getBytes(StandardCharsets.ISO_8859_1))
     w(s"6 0 obj << /Length ${tz.length} /Filter /FlateDecode >> stream\n")
@@ -187,6 +188,46 @@ class DocParseSpec extends SparkSpec {
           .getBytes(StandardCharsets.UTF_8))
       z.closeEntry()
     }
+    z.close()
+    bos.toByteArray
+  }
+
+  /** An EPUB whose ARCHIVE order deliberately disagrees with the OPF
+    * spine's reading order: chapB is written first in the zip, but the
+    * spine says A then B. nav.xhtml is in the manifest but NOT the spine.
+    */
+  private def epubSpineFixture(): Array[Byte] = {
+    val bos = new ByteArrayOutputStream()
+    val z = new ZipOutputStream(bos)
+    def entry(name: String, body: String): Unit = {
+      z.putNextEntry(new ZipEntry(name))
+      z.write(body.getBytes(StandardCharsets.UTF_8))
+      z.closeEntry()
+    }
+    entry("mimetype", "application/epub+zip")
+    entry("META-INF/container.xml",
+      """<?xml version="1.0"?>
+        |<container version="1.0" xmlns="urn:oasis:names:tc:opendocument:xmlns:container">
+        |  <rootfiles>
+        |    <rootfile full-path="OEBPS/content.opf" media-type="application/oebps-package+xml"/>
+        |  </rootfiles>
+        |</container>""".stripMargin)
+    entry("OEBPS/chapB.xhtml", "<html><body><p>SECOND in spine.</p></body></html>")
+    entry("OEBPS/nav.xhtml", "<html><body><p>nav landmarks text</p></body></html>")
+    entry("OEBPS/chapA.xhtml", "<html><body><p>FIRST in spine.</p></body></html>")
+    entry("OEBPS/content.opf",
+      """<?xml version="1.0"?>
+        |<package xmlns="http://www.idpf.org/2007/opf" version="3.0" unique-identifier="uid">
+        |  <manifest>
+        |    <item id="nav" href="nav.xhtml" media-type="application/xhtml+xml" properties="nav"/>
+        |    <item href="chapA.xhtml" id="a" media-type="application/xhtml+xml"/>
+        |    <item id="b" href="chapB.xhtml" media-type="application/xhtml+xml"/>
+        |  </manifest>
+        |  <spine>
+        |    <itemref idref="a"/>
+        |    <itemref idref="b"/>
+        |  </spine>
+        |</package>""".stripMargin)
     z.close()
     bos.toByteArray
   }
@@ -303,6 +344,25 @@ class DocParseSpec extends SparkSpec {
     assert(!got.contains("color:red"), "style subtree must be stripped")
     assert(got.indexOf("First") < got.indexOf("Second"))
     assert(DocParse.epubToText("junk".getBytes).isEmpty)
+  }
+
+  test("epub: OPF spine order wins over archive order; spine-less docs append") {
+    val got = DocParse.epubToText(epubSpineFixture()).get
+    assert(got.contains("FIRST in spine.") && got.contains("SECOND in spine."))
+    assert(got.indexOf("FIRST in spine.") < got.indexOf("SECOND in spine."),
+      s"spine order must override archive order; got:\n$got")
+    // nav.xhtml is manifest-only: its text survives, after the spine docs
+    assert(got.indexOf("SECOND in spine.") < got.indexOf("nav landmarks text"))
+  }
+
+  test("pdf: Type0 Identity-H without /ToUnicode honors CID = code") {
+    // 2-byte codes decode as their own code points (<0000> = .notdef
+    // drops); the old behavior was Latin-1 byte pairs — "Hi" would have
+    // come out as " H i"
+    val content = "BT /F1 12 Tf <00480069002000430049004400210000> Tj ET"
+    val got = DocParse.pdfToText(
+      pdfCidBytes(content, cidCMap, resourcesOnPages = false, withToUnicode = false))
+    assert(got.contains("Hi CID!"), s"got $got")
   }
 
   /** Minimal DOCX: zip with word/document.xml in WordprocessingML. */

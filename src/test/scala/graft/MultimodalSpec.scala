@@ -114,6 +114,27 @@ class MultimodalSpec extends SparkSpec {
       s"square-wave RMS must equal the amplitude exactly: $f")
   }
 
+  test("WAV decode covers the PCM family: 8/24/32-bit, float32/64, RIFX") {
+    // each fixture's square-wave RMS must recover its amplitude exactly
+    // in that format's normalized units
+    val cases: Seq[(String, Array[Byte], Double)] = Seq(
+      ("pcm8", Multimodal.squareWavFmt(400, 8000, 100, 8, floatPcm = false), 100 / 128.0),
+      ("pcm24", Multimodal.squareWavFmt(400, 8000, 1234567, 24, floatPcm = false), 1234567 / 8388608.0),
+      ("pcm32", Multimodal.squareWavFmt(400, 8000, 123456789, 32, floatPcm = false), 123456789 / 2147483648.0),
+      ("f32", Multimodal.squareWavFmt(400, 8000, 0.25, 32, floatPcm = true), 0.25),
+      ("f64", Multimodal.squareWavFmt(400, 8000, 0.375, 64, floatPcm = true), 0.375),
+      ("rifx16", Multimodal.squareWavFmt(400, 8000, 12345, 16, floatPcm = false, bigEndian = true), 12345 / 32768.0),
+      ("rifx24", Multimodal.squareWavFmt(400, 8000, 7654321, 24, floatPcm = false, bigEndian = true), 7654321 / 8388608.0))
+    cases.zipWithIndex.foreach { case ((name, bytes, expect), i) =>
+      val out = Multimodal.decode(mediaDF((100L + i, "audio", bytes))).collect().head
+      assert(out.getAs[Int]("width") == 8000, s"$name rate")
+      assert(out.getAs[Int]("n_frames") == 400, s"$name frames")
+      val f = out.getSeq[Float](out.fieldIndex("features"))
+      assert(f.forall(v => math.abs(v - expect) < 1e-6),
+        s"$name RMS must recover amplitude $expect: $f")
+    }
+  }
+
   test("truncated WAV falls back to the stub instead of failing the batch") {
     val broken = Multimodal.squareWav(100, 8000, 5).take(30) // RIFF magic intact
     val out = Multimodal.decode(mediaDF((8L, "audio", broken))).collect().head
