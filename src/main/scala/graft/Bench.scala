@@ -85,6 +85,20 @@ object Bench {
     val total = ok.map(_._2).sum
     errors.foreach { case (k, e) => System.err.println(s"[bench] FAILED $k: $e") }
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","errors":$errJson,"n_ok":${ok.size},"n_err":${errors.size}}""")
+    // full per-query timing artifact, slowest first — the driver's BENCH
+    // tail truncates alphabetically and loses the head, so round-over-
+    // round comparison needs this committed file (SPARK_GRAFT_TIMINGS_OUT
+    // overrides; empty disables)
+    val timingsOut = sys.env.getOrElse("SPARK_GRAFT_TIMINGS_OUT", "/root/repo/BENCH_timings.json")
+    if (timingsOut.nonEmpty) try {
+      val body = ok.sortBy(-_._2)
+        .map { case (k, v) => f"  ${q(k)}: $v%.3f" }
+        .mkString("{\n", ",\n", ",\n") +
+        s"""  "_total_sec": $total,\n  "_sf": ${q(sfDir)},\n""" +
+        s"""  "_n_ok": ${ok.size},\n  "_errors": $errJson\n}\n"""
+      java.nio.file.Files.write(java.nio.file.Paths.get(timingsOut),
+        body.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case e: Exception => System.err.println(s"[bench] timings write failed: $e") }
     spark.stop()
   }
 }

@@ -414,6 +414,50 @@ object QualityQueries {
        |        / 1000000.0 / CAST(count(*) AS DOUBLE), 6) AS mean_novelty
        |FROM sel GROUP BY lang ORDER BY lang""".stripMargin
 
+  // ---- curation pipeline v9 — the skew-AWARE rollup: the q_skew_report
+  //      diagnosis wired into a pipeline. Quality gate (token-count
+  //      bounds) → per-language rollup, where languages holding >30% of
+  //      the gated corpus (the report's hot-key rule; 'en' on this
+  //      corpus) route through SkewTools.saltedAgg's two-phase
+  //      (key, salt) aggregation and every other language takes the
+  //      plain keyed agg — the salted plan engages ONLY on diagnosed-hot
+  //      keys. Salting is oracle-PROVEN exact (q_skew_salted_agg), so
+  //      the oracle is the plain GROUP BY: identical rows no matter
+  //      which branch a key took. The diagnosis pass is one cheap keyed
+  //      count + a driver-side threshold on its (|langs|-row) result. ----
+  def pipelineCurate9(s: SparkSession, dir: String): DataFrame = {
+    val gated = t(s, dir, "documents")
+      .select(col("lang"), col("n_chars"),
+        size(TextFunctions.tokens(col("text"))).cast("long").as("n_tok"))
+      .filter(col("n_tok").between(20, 2000))
+      .localCheckpoint() // diagnosis + both rollup branches read it
+    val counts = gated.groupBy("lang").agg(count(lit(1)).as("cnt"))
+      .collect().map(r => r.getString(0) -> r.getLong(1))
+    val total = counts.map(_._2).sum
+    val hot = counts.collect { case (k, n) if n * 10L > total * 3L => k }.toSeq
+    val aggs = Map("n_tok" -> "sum", "n_chars" -> "sum", "one" -> "count")
+    val withOne = gated.withColumn("one", lit(1L))
+    val hotAgg = graft.functions.SkewTools.saltedAgg(
+      withOne.filter(col("lang").isin(hot: _*)), Seq("lang"), aggs, salts = 16)
+    val coldAgg = withOne.filter(!col("lang").isin(hot: _*))
+      .groupBy("lang")
+      .agg(sum(col("n_tok")).as("n_tok"), sum(col("n_chars")).as("n_chars"),
+        count(col("one")).as("one"))
+    hotAgg.unionByName(coldAgg)
+      .select(col("lang"), col("one").as("n_docs"), col("n_tok").as("sum_tokens"),
+        expr("(n_chars * 1000000L) div one").as("mean_chars_micro"))
+      .orderBy("lang")
+  }
+
+  val pipelineCurate9Sql: String =
+    s"""WITH d AS (SELECT lang, n_chars, CAST(len($toksD) AS BIGINT) AS n_tok
+       |           FROM documents),
+       |g AS (SELECT * FROM d WHERE n_tok BETWEEN 20 AND 2000)
+       |SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+       |       CAST(sum(n_tok) AS BIGINT) AS sum_tokens,
+       |       (CAST(sum(n_chars) AS BIGINT) * 1000000) // count(*) AS mean_chars_micro
+       |FROM g GROUP BY lang ORDER BY lang""".stripMargin
+
   // ---- per-dimension embedding statistics (operators.Profile
   //      .embeddingStats — integer-exact micro quantization, shared
   //      floor-division form; see the operator scaladoc). ----
@@ -723,6 +767,7 @@ object QualityQueries {
     "q_embed_pca" -> (embedPca _),
     "q_ann_dim_sweep" -> (annDimSweep _),
     "q_pipeline_curate8" -> (pipelineCurate8 _),
+    "q_pipeline_curate9" -> (pipelineCurate9 _),
     "q_dedup_across" -> (dedupAcross _),
     "q_ann_recall" -> (annRecall _),
     "q_ann_ndcg" -> (annNdcg _),
@@ -740,6 +785,7 @@ object QualityQueries {
     "q_embed_pca" -> embedPcaSql,
     "q_ann_dim_sweep" -> annDimSweepSql,
     "q_pipeline_curate8" -> pipelineCurate8Sql,
+    "q_pipeline_curate9" -> pipelineCurate9Sql,
     "q_dedup_across" -> dedupAcrossSql,
     "q_ann_recall" -> annRecallSql,
     "q_ann_ndcg" -> annNdcgSql,
