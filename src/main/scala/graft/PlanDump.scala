@@ -99,7 +99,8 @@ object PlanDump {
     "q15_topsupplier" -> "TPC-H Q15 shape: 1-row max broadcast back against its own aggregate input",
     "q17_smallqty" -> "TPC-H Q17 shape: per-part avg decorrelated to agg + join-back, cross-multiplied compare",
     "q21_waiting" -> "TPC-H Q21 shape: LeftSemi (other supplier exists) + LeftAnti (no other returner) on the fact",
-    "q_ann_graph_beam" -> "graph-beam ANN: broadcast frontier probes + point vector fetches, corpus-size-independent per hop",
+    "q_ann_graph_beam" -> "graph-beam ANN: medoid-routed entries + broadcast frontier probes + point vector fetches, corpus-size-independent per hop",
+    "q_pipeline_curate9" -> "skew-aware rollup: diagnosed-hot keys through two-phase salted agg, cold keys plain — one union",
     "q_snapshot_diff" -> "snapshot diff: full-outer join on 16-byte digests, keyed status rollup",
     "q_compaction_plan" -> "compaction plan: file-inventory agg -> bucketed prefix sum (window partitioned by coarse bucket)",
     "q_zorder_layout" -> "z-order: per-row codegen'd bit fold + ONE keyed aggregate",

@@ -490,9 +490,12 @@ object ScaleProbe {
     }
     // near-dup graph PageRank: replicas share no shingles, so the edge
     // list (and the graph) grows exactly M-fold; 5 iterations of keyed
-    // join+agg must track the edge count, not the corpus pair space
+    // join+agg must track the edge count, not the corpus pair space.
+    // r8: pair generation rides the PPJoin prefix route, as the query
+    // does — r7 measured the PLAIN route's pair gen at ~95% of the 64×
+    // wall (149 s); the rank rounds themselves are edge-proportional
     time("graph_pagerank") {
-      val pairs = graft.dedup.Dedup.ngramJaccard(docs, threshold = 0.3)
+      val pairs = graft.dedup.Dedup.ngramJaccardPrefix(docs, threshold = 0.3)
         .select("a", "b")
       graft.operators.Graph.pageRank(pairs, iters = 5)
         .agg(count(lit(1)), sum(col("rank_micro"))).collect()(0).getLong(0)
@@ -548,9 +551,10 @@ object ScaleProbe {
         .agg(count(lit(1))).collect()(0).getLong(0)
     }
     // triangle census: degree-ordered wedges keep the join O(m^1.5);
-    // replicas share no shingles so the edge list grows exactly M-fold
+    // replicas share no shingles so the edge list grows exactly M-fold.
+    // r8: prefix-route pair generation, as in graph_pagerank
     time("graph_triangles") {
-      val pairs = graft.dedup.Dedup.ngramJaccard(docs, threshold = 0.3)
+      val pairs = graft.dedup.Dedup.ngramJaccardPrefix(docs, threshold = 0.3)
         .select("a", "b")
       graft.operators.Graph.triangles(pairs)
         .agg(count(lit(1)), sum(col("tri"))).collect()(0).getLong(0)

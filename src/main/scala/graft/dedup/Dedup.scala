@@ -675,8 +675,16 @@ object Dedup {
     val dfs = dfFrameHinted(sh.groupBy("h").agg(count(lit(1)).as("df")))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("h").asc, col("sh").asc)
+    // constant rank cap (the ngramContainmentPairsPrefix trick): the
+    // per-doc prefix cutoff is length-DEPENDENT, which WindowGroupLimit
+    // cannot see, so without a literal bound the rank window full-sorts
+    // the corpus's shingle frame. (1-t)·maxLen + 2 dominates every
+    // per-doc prefix; the exact cutoff still filters on top.
+    val maxLen = sets.agg(max(col("len")).cast("long")).head().getLong(0)
+    val cap = math.floor((1 - threshold) * maxLen).toInt + 2
     val pref = sh.join(dfs, "h")
       .withColumn("rnk", row_number().over(rankW))
+      .filter(col("rnk") <= lit(cap))
       .filter(col("rnk") <=
         col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
       .select("id", "h", "len", "rnk")

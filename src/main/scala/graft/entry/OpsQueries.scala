@@ -622,6 +622,85 @@ object OpsQueries {
       |SELECT * FROM deciles UNION ALL SELECT * FROM hot
       |ORDER BY kind, k""".stripMargin
 
+  // ---- pseudo-relevance-feedback query expansion (RM3-style, integer-
+  //      exact term selection): base BM25 top-10 → expansion terms by
+  //      (feedback tf DESC, corpus df ASC, term) → expanded BM25. The
+  //      oracle replays BOTH serves with ORDERED sums (sum(... ORDER BY
+  //      term ordinal) = the engine's left-to-right term fold) and the
+  //      integer candidate ranking. ----
+  def searchExpanded(s: SparkSession, dir: String): DataFrame =
+    graft.search.Expansion.expandedBm25(
+      Tables.textCorpus(s, dir), 0, "spark join", 10)
+      .withColumn("score", round(col("score"), 6))
+      .orderBy(col("score").desc, col("id"))
+
+  val searchExpandedSql: String =
+    """WITH d AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks
+      |           FROM documents),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(len(toks)) AS avgdl FROM d),
+      |q0(ord, term) AS (VALUES (0, 'spark'), (1, 'join')),
+      |tf0 AS (SELECT d.id, len(d.toks) AS dl, q.ord, q.term,
+      |               len(list_filter(d.toks, x -> x = q.term)) AS tf
+      |        FROM d CROSS JOIN q0 q),
+      |df0 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf0 WHERE tf > 0 GROUP BY term),
+      |s0 AS (SELECT t.id,
+      |         sum(ln(1 + (st.n - df0.df + 0.5)/(df0.df + 0.5))
+      |             * (t.tf*2.2)/(t.tf + 1.2*(0.25 + 0.75*t.dl/st.avgdl))
+      |             ORDER BY t.ord) AS score
+      |       FROM tf0 t JOIN df0 USING (term) CROSS JOIN st
+      |       WHERE t.tf > 0 GROUP BY t.id),
+      |fb AS (SELECT id FROM s0 ORDER BY score DESC, id LIMIT 10),
+      |cand AS (SELECT term, CAST(count(*) AS BIGINT) AS fbtf
+      |         FROM (SELECT unnest(toks) AS term FROM d JOIN fb USING (id))
+      |         WHERE term NOT IN ('spark', 'join') GROUP BY term),
+      |dfc AS (SELECT u.term, CAST(count(*) AS BIGINT) AS df
+      |        FROM (SELECT unnest(list_distinct(toks)) AS term FROM d) u
+      |        JOIN cand ON u.term = cand.term GROUP BY u.term),
+      |exp AS (SELECT term, rn FROM (
+      |          SELECT c.term, row_number() OVER (ORDER BY c.fbtf DESC, dfc.df ASC, c.term ASC) AS rn
+      |          FROM cand c JOIN dfc USING (term)) WHERE rn <= 5),
+      |qf AS (SELECT ord, term FROM q0 UNION ALL SELECT rn + 1 AS ord, term FROM exp),
+      |tff AS (SELECT d.id, len(d.toks) AS dl, q.ord, q.term,
+      |               len(list_filter(d.toks, x -> x = q.term)) AS tf
+      |        FROM d CROSS JOIN qf q),
+      |dff AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tff WHERE tf > 0 GROUP BY term),
+      |sf AS (SELECT t.id,
+      |         sum(ln(1 + (st.n - dff.df + 0.5)/(dff.df + 0.5))
+      |             * (t.tf*2.2)/(t.tf + 1.2*(0.25 + 0.75*t.dl/st.avgdl))
+      |             ORDER BY t.ord) AS score
+      |       FROM tff t JOIN dff USING (term) CROSS JOIN st
+      |       WHERE t.tf > 0 GROUP BY t.id),
+      |res AS (SELECT id, score FROM sf ORDER BY score DESC, id LIMIT 10)
+      |SELECT CAST(0 AS INTEGER) AS query_idx, id, round(score, 6) AS score
+      |FROM res ORDER BY round(score, 6) DESC, id""".stripMargin
+
+  // ---- k-anonymity / l-diversity privacy audit: per candidate k, the
+  //      violating QI classes, rows needing suppression (exact ppm) and
+  //      the attribute-disclosure floor (classes with ONE sensitive
+  //      value). QI = (lang, n_chars-century band), sensitive = source;
+  //      one combiner-collapsed class aggregate × 4 broadcast k values ----
+  def privacyKanon(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Privacy.kAnonymityReport(
+      Tables.t(s, dir, "documents")
+        .select(col("lang"), expr("n_chars div 100").as("size_band"), col("source")),
+      qiCols = Seq("lang", "size_band"), sensitiveCol = "source",
+      ks = Seq(2, 5, 10, 20))
+
+  val privacyKanonSql: String =
+    """WITH c AS (SELECT lang, n_chars // 100 AS size_band,
+      |                  CAST(count(*) AS BIGINT) AS sz,
+      |                  count(DISTINCT source) AS ndiv
+      |           FROM documents GROUP BY 1, 2),
+      |t AS (SELECT CAST(sum(sz) AS BIGINT) AS total FROM c),
+      |k(k) AS (VALUES (2), (5), (10), (20))
+      |SELECT k, CAST(count(*) AS BIGINT) AS n_classes,
+      |       CAST(sum(CASE WHEN sz < k THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+      |       CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) AS rows_at_risk,
+      |       CAST(sum(CASE WHEN ndiv = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_lowdiv_classes,
+      |       (CAST(sum(CASE WHEN sz < k THEN sz ELSE 0 END) AS BIGINT) * 1000000)
+      |         // (SELECT total FROM t) AS suppressed_ppm
+      |FROM c CROSS JOIN k GROUP BY k ORDER BY k""".stripMargin
+
   // ---- sequence-pattern matching (lightweight MATCH_RECOGNIZE) ----
   // conversions per user = non-overlapping matches of "view, then
   // anything but purchase, then purchase" over the time-ordered event
@@ -756,7 +835,9 @@ object OpsQueries {
     "q_data_contract" -> (dataContract _),
     "q_pipeline_incremental" -> (pipelineIncremental _),
     "q_ann_graph_ivf" -> (annGraphIvf _),
-    "q_ann_graph_recall" -> (annGraphRecall _))
+    "q_ann_graph_recall" -> (annGraphRecall _),
+    "q_privacy_kanon" -> (privacyKanon _),
+    "q_search_expanded" -> (searchExpanded _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -774,5 +855,7 @@ object OpsQueries {
     "q_data_contract" -> dataContractSql,
     "q_pipeline_incremental" -> pipelineIncrementalSql,
     "q_ann_graph_ivf" -> annGraphIvfSql,
-    "q_ann_graph_recall" -> annGraphRecallSql)
+    "q_ann_graph_recall" -> annGraphRecallSql,
+    "q_privacy_kanon" -> privacyKanonSql,
+    "q_search_expanded" -> searchExpandedSql)
 }
