@@ -561,6 +561,85 @@ object TextQueries {
       |  CAST(0 AS BIGINT) AS f_spread
       |FROM documents ORDER BY id""".stripMargin
 
+  /** REAL G.711 (μ-law / A-law) decode roundtrip: per-doc companded
+    * square waves — codeword segment/mantissa from doc arithmetic, law by
+    * parity — go through the direct RIFF walk + ITU-T expand tables; the
+    * recovered RMS must equal the codeword's linear decode, which the
+    * oracle computes from the SAME public segment arithmetic without
+    * seeing any bytes. A fallback to the stub or a wrong table cell
+    * breaks the hash.
+    */
+  def mmDecodeG711(s: SparkSession, dir: String): DataFrame = {
+    val wav = udf((id: Long) => {
+      val exp = (id % 8).toInt
+      val mant = ((id * 3) % 16).toInt
+      if (id % 2 == 0)
+        Multimodal.g711Wav((200 + id % 100).toInt, 8000, law = 7,
+          codeword = ~((exp << 4) | mant) & 0xff) // positive μ-law code
+      else
+        Multimodal.g711Wav((200 + id % 100).toInt, 8000, law = 6,
+          codeword = ((exp << 4) | mant) ^ 0x55) // A-law code, sign bit 0
+    })
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), lit("audio").as("modality"),
+        wav(col("doc_id").cast("long")).as("data"))
+    Multimodal.decode(media)
+      .select(col("id"), col("width").as("sample_rate"),
+        col("height").as("channels"), col("n_frames"),
+        round(element_at(col("features"), 1) * 32768).cast("long").as("rms_amp"),
+        round((array_max(col("features")) - array_min(col("features")))
+          * 1e6).cast("long").as("f_spread"))
+      .orderBy("id")
+  }
+
+  val mmDecodeG711Sql: String =
+    """WITH p AS (SELECT doc_id, CAST(doc_id % 8 AS INTEGER) AS seg,
+      |                  CAST((doc_id * 3) % 16 AS INTEGER) AS mant
+      |           FROM documents)
+      |SELECT doc_id AS id, 8000 AS sample_rate, 1 AS channels,
+      |  CAST(200 + doc_id % 100 AS INTEGER) AS n_frames,
+      |  CAST(CASE WHEN doc_id % 2 = 0
+      |    THEN ((mant * 8 + 132) * (1 << seg)) - 132
+      |    ELSE CASE WHEN seg = 0 THEN mant * 16 + 8
+      |              WHEN seg = 1 THEN mant * 16 + 264
+      |              ELSE (mant * 16 + 264) * (1 << (seg - 1)) END
+      |    END AS BIGINT) AS rms_amp,
+      |  CAST(0 AS BIGINT) AS f_spread
+      |FROM p ORDER BY id""".stripMargin
+
+  /** REAL IMA ADPCM decode roundtrip: all-zero-nibble blocks hold their
+    * header predictor (step index pinned at 0 makes every delta 0), so
+    * ±predictor blocks decode to a block-granular square wave whose RMS
+    * and frame count the oracle replays from block geometry alone —
+    * while the decoder still walks real headers, nibbles, and block
+    * bounds.
+    */
+  def mmDecodeAdpcm(s: SparkSession, dir: String): DataFrame = {
+    val wav = udf((id: Long) => {
+      val p = (500 + id % 30000).toInt
+      val blocks = (2 + id % 4).toInt
+      Multimodal.imaAdpcmWav(8000, 32,
+        Seq.tabulate(blocks)(b => if (b % 2 == 0) p else -p))
+    })
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), lit("audio").as("modality"),
+        wav(col("doc_id").cast("long")).as("data"))
+    Multimodal.decode(media)
+      .select(col("id"), col("width").as("sample_rate"),
+        col("height").as("channels"), col("n_frames"),
+        round(element_at(col("features"), 1) * 32768).cast("long").as("rms_amp"),
+        round((array_max(col("features")) - array_min(col("features")))
+          * 1e6).cast("long").as("f_spread"))
+      .orderBy("id")
+  }
+
+  val mmDecodeAdpcmSql: String =
+    """SELECT doc_id AS id, 8000 AS sample_rate, 1 AS channels,
+      |  CAST((2 + doc_id % 4) * 57 AS INTEGER) AS n_frames,
+      |  CAST(500 + doc_id % 30000 AS BIGINT) AS rms_amp,
+      |  CAST(0 AS BIGINT) AS f_spread
+      |FROM documents ORDER BY id""".stripMargin
+
   /** REAL video-container decode roundtrip: deterministic AVIs (1..5
     * solid frames each, dims/colors from per-doc arithmetic) go through
     * the pure-JVM RIFF walker + per-frame ImageIO decode — recovered
@@ -2043,6 +2122,8 @@ object TextQueries {
     "q_mm_decode_image" -> (mmDecodeImage _),
     "q_mm_resize_real" -> (mmResizeReal _),
     "q_mm_decode_audio" -> (mmDecodeAudio _),
+    "q_mm_decode_g711" -> (mmDecodeG711 _),
+    "q_mm_decode_adpcm" -> (mmDecodeAdpcm _),
     "q_mm_decode_video" -> (mmDecodeVideo _),
     "q_mm_frames" -> (mmFrames _),
     "q_mm_resize" -> (mmResize _)
@@ -2093,6 +2174,8 @@ object TextQueries {
     "q_mm_decode_image" -> mmDecodeImageSql,
     "q_mm_resize_real" -> mmResizeRealSql,
     "q_mm_decode_audio" -> mmDecodeAudioSql,
+    "q_mm_decode_g711" -> mmDecodeG711Sql,
+    "q_mm_decode_adpcm" -> mmDecodeAdpcmSql,
     "q_mm_decode_video" -> mmDecodeVideoSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_resize" -> mmResizeSql

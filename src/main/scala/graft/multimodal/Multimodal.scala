@@ -162,7 +162,47 @@ object Multimodal {
     */
   private final case class WavFmt(
       rate: Int, channels: Int, off: Int, len: Int,
-      bits: Int, floatPcm: Boolean, bigEndian: Boolean)
+      bits: Int, floatPcm: Boolean, bigEndian: Boolean,
+      codec: Int = 1, blockAlign: Int = 0, samplesPerBlock: Int = 0)
+
+  /** ITU-T G.711 expand tables, built from the canonical segment
+    * arithmetic (the public-domain Sun g711.c form of the spec): 8-bit
+    * companded code → 16-bit linear sample. Both laws negate exactly
+    * under their sign bit, so a ±codeword square wave decodes to a
+    * ±value square wave and the exact integer-sum RMS path applies.
+    */
+  private[graft] lazy val UlawTable: Array[Short] = Array.tabulate(256) { b =>
+    val u = ~b & 0xff
+    val t0 = (((u & 0x0f) << 3) + 0x84) << ((u & 0x70) >> 4)
+    (if ((u & 0x80) != 0) 0x84 - t0 else t0 - 0x84).toShort
+  }
+
+  private[graft] lazy val AlawTable: Array[Short] = Array.tabulate(256) { b =>
+    val a = b ^ 0x55
+    val seg = (a & 0x70) >> 4
+    val q = (a & 0x0f) << 4
+    val t0 = seg match {
+      case 0 => q + 8
+      case 1 => q + 0x108
+      case _ => (q + 0x108) << (seg - 1)
+    }
+    (if ((a & 0x80) != 0) t0 else -t0).toShort
+  }
+
+  /** IMA/DVI ADPCM step-size and index-adaptation tables (the public IMA
+    * Digital Audio Pack recommendation; also Microsoft's WAV format 0x11
+    * spec). 89 steps, 3-bit magnitude + sign nibbles.
+    */
+  private val AdpcmSteps: Array[Int] = Array(
+    7, 8, 9, 10, 11, 12, 13, 14, 16, 17, 19, 21, 23, 25, 28, 31, 34, 37,
+    41, 45, 50, 55, 60, 66, 73, 80, 88, 97, 107, 118, 130, 143, 157, 173,
+    190, 209, 230, 253, 279, 307, 337, 371, 408, 449, 494, 544, 598, 658,
+    724, 796, 876, 963, 1060, 1166, 1282, 1411, 1552, 1707, 1878, 2066,
+    2272, 2499, 2749, 3024, 3327, 3660, 4026, 4428, 4871, 5358, 5894,
+    6484, 7132, 7845, 8630, 9493, 10442, 11487, 12635, 13899, 15289,
+    16818, 18500, 20350, 22385, 24623, 27086, 29794, 32767)
+
+  private val AdpcmIndexAdj: Array[Int] = Array(-1, -1, -1, -1, 2, 4, 6, 8)
 
   /** Direct RIFF/RIFX WAV chunk walk. Covers the linear-PCM family for
     * real: integer 8 (unsigned)/16/24/32-bit and IEEE-float 32/64-bit
@@ -188,7 +228,7 @@ object Multimodal {
     def u32(o: Int): Int =
       if (be) (u16(o) << 16) | u16(o + 2) else u16(o) | (u16(o + 2) << 16)
     var pos = 12
-    var fmt: Option[(Int, Int, Int, Boolean)] = None // (rate, ch, bits, float)
+    var fmt: Option[WavFmt] = None // off/len filled at the data chunk
     while (pos + 8 <= d.length) {
       val size = u32(pos + 4)
       if (size < 0 || pos + 8 + size > d.length) return None
@@ -199,6 +239,7 @@ object Multimodal {
         var codec = u16(pos + 8)
         val channels = u16(pos + 10)
         val rate = u32(pos + 12)
+        val blockAlign = u16(pos + 20)
         val bits = u16(pos + 22)
         // EXTENSIBLE: the real format tag is the SubFormat GUID's first
         // 16 bits (little-endian GUID data1), 24 bytes into the extension
@@ -206,12 +247,25 @@ object Multimodal {
         val intOk = codec == 1 &&
           (bits == 8 || bits == 16 || bits == 24 || bits == 32)
         val floatOk = codec == 3 && (bits == 32 || bits == 64)
-        if ((!intOk && !floatOk) || channels < 1) return None // fallback
-        fmt = Some((rate, channels, bits, floatOk))
+        // compressed family (RIFF only — no big-endian writers exist):
+        // G.711 A-law (6) / μ-law (7) are byte-per-sample; IMA ADPCM
+        // (0x11) is 4-bit nibbles in self-delimiting blocks
+        val g711Ok = (codec == 6 || codec == 7) && bits == 8 && !be
+        val adpcmOk = codec == 0x11 && bits == 4 && !be &&
+          blockAlign >= 4 * channels + channels
+        if ((!intOk && !floatOk && !g711Ok && !adpcmOk) || channels < 1)
+          return None // fallback
+        // wSamplesPerBlock from the ADPCM extension when present, else
+        // derived from the block geometry (header sample + 2 nibbles/byte)
+        val spb =
+          if (!adpcmOk) 0
+          else if (size >= 20) u16(pos + 8 + 18)
+          else (blockAlign - 4 * channels) * 2 / channels + 1
+        if (adpcmOk && spb < 1) return None
+        fmt = Some(WavFmt(rate, channels, 0, 0, bits, floatOk, be,
+          codec, blockAlign, spb))
       } else if (isData) {
-        return fmt.map { case (rate, ch, bits, fl) =>
-          WavFmt(rate, ch, pos + 8, size, bits, fl, be)
-        }
+        return fmt.map(_.copy(off = pos + 8, len = size))
       }
       pos += 8 + size + (size & 1) // chunks are even-byte padded
     }
@@ -221,6 +275,10 @@ object Multimodal {
   private def decodeAudio(id: Long, modality: String, data: Array[Byte],
       md: MessageDigest): Option[Decoded] =
     wavPcm(data) match {
+      case Some(w) if w.codec == 6 || w.codec == 7 =>
+        decodeG711(id, modality, data, md, w)
+      case Some(w) if w.codec == 0x11 =>
+        decodeAdpcm(id, modality, data, md, w)
       case Some(w) =>
         val bytesPer = w.bits / 8
         val frameSize = w.channels * bytesPer
@@ -298,6 +356,118 @@ object Multimodal {
           features = features))
       case None => decodeAudioJavax(id, modality, data, md)
     }
+
+  /** G.711 μ-law / A-law WAV decode: one companded byte per sample per
+    * channel expands through the [[UlawTable]]/[[AlawTable]] to 16-bit
+    * linear, reusing the PCM16 path's exact integer-sum RMS arithmetic
+    * (both laws negate exactly under their sign bit, so companded square
+    * waves stay closed-form). First channel only, like every path here.
+    */
+  private def decodeG711(id: Long, modality: String, data: Array[Byte],
+      md: MessageDigest, w: WavFmt): Option[Decoded] = {
+    val table = if (w.codec == 7) UlawTable else AlawTable
+    val frames = w.len / w.channels
+    if (frames == 0) return None
+    val sums = new Array[Long](AudioWindows)
+    val counts = new Array[Long](AudioWindows)
+    var i = 0
+    while (i < frames) {
+      val s = table(data(w.off + i * w.channels) & 0xff)
+      val win = (i.toLong * AudioWindows / frames).toInt
+      sums(win) += s.toLong * s.toLong
+      counts(win) += 1
+      i += 1
+    }
+    val fp = md.digest(data).map("%02x".format(_)).mkString
+    md.reset()
+    Some(Decoded(
+      id = id, modality = modality, byte_len = data.length.toLong,
+      width = w.rate, height = w.channels, n_frames = frames,
+      fingerprint = fp,
+      features = Array.tabulate(AudioWindows)(k =>
+        if (counts(k) == 0) 0.0f
+        else (math.sqrt(sums(k).toDouble / counts(k)) / 32768.0).toFloat)))
+  }
+
+  /** IMA/DVI ADPCM (WAV format tag 0x11) decode: self-delimiting blocks
+    * of `blockAlign` bytes, each opening with a 4-byte per-channel header
+    * (little-endian int16 predictor = the block's first sample, step
+    * index, reserved byte) followed by 4-bit nibbles — low nibble first,
+    * interleaved across channels in 4-byte groups. The step/index
+    * adaptation is the public IMA recommendation's shift-add form.
+    * First channel only; a trailing partial block yields the samples its
+    * bytes actually hold (capped at wSamplesPerBlock).
+    */
+  private def decodeAdpcm(id: Long, modality: String, data: Array[Byte],
+      md: MessageDigest, w: WavFmt): Option[Decoded] = {
+    val ch = w.channels
+    val headerLen = 4 * ch
+    def blockSamples(blockBytes: Int): Int =
+      if (blockBytes < headerLen) 0
+      else math.min(w.samplesPerBlock, (blockBytes - headerLen) * 2 / ch + 1)
+    val fullBlocks = w.len / w.blockAlign
+    val remBytes = w.len % w.blockAlign
+    val framesL = fullBlocks.toLong * blockSamples(w.blockAlign) +
+      blockSamples(remBytes)
+    if (framesL == 0 || framesL > Int.MaxValue) return None
+    val frames = framesL.toInt
+    val sums = new Array[Long](AudioWindows)
+    val counts = new Array[Long](AudioWindows)
+    var emitted = 0L
+    def emit(s: Int): Unit = {
+      val win = (emitted * AudioWindows / frames).toInt
+      sums(win) += s.toLong * s.toLong
+      counts(win) += 1
+      emitted += 1
+    }
+    var block = 0
+    val nBlocks = fullBlocks + (if (remBytes >= headerLen) 1 else 0)
+    while (block < nBlocks) {
+      val base = w.off + block * w.blockAlign
+      val blockBytes = if (block < fullBlocks) w.blockAlign else remBytes
+      val want = blockSamples(blockBytes)
+      // channel-0 header: predictor is the first output sample
+      var pred: Int = ((data(base) & 0xff) | (data(base + 1) << 8)).toShort.toInt
+      var idx = math.max(0, math.min(88, data(base + 2) & 0xff))
+      emit(pred)
+      var got = 1
+      // nibble stream: 4-byte channel groups; channel 0 owns bytes whose
+      // group ordinal is a multiple of ch
+      var dataPos = 0 // channel-0 data byte ordinal
+      while (got < want) {
+        val group = dataPos / 4
+        val o = base + headerLen + (group * ch) * 4 + (dataPos % 4)
+        val byte = data(o) & 0xff
+        var half = 0
+        while (half < 2 && got < want) {
+          val nib = if (half == 0) byte & 0x0f else (byte >> 4) & 0x0f
+          val step = AdpcmSteps(idx)
+          var diff = step >> 3
+          if ((nib & 1) != 0) diff += step >> 2
+          if ((nib & 2) != 0) diff += step >> 1
+          if ((nib & 4) != 0) diff += step
+          pred = if ((nib & 8) != 0) pred - diff else pred + diff
+          if (pred > 32767) pred = 32767
+          if (pred < -32768) pred = -32768
+          idx = math.max(0, math.min(88, idx + AdpcmIndexAdj(nib & 7)))
+          emit(pred)
+          got += 1
+          half += 1
+        }
+        dataPos += 1
+      }
+      block += 1
+    }
+    val fp = md.digest(data).map("%02x".format(_)).mkString
+    md.reset()
+    Some(Decoded(
+      id = id, modality = modality, byte_len = data.length.toLong,
+      width = w.rate, height = w.channels, n_frames = frames,
+      fingerprint = fp,
+      features = Array.tabulate(AudioWindows)(k =>
+        if (counts(k) == 0) 0.0f
+        else (math.sqrt(sums(k).toDouble / counts(k)) / 32768.0).toFloat)))
+  }
 
   private def decodeAudioJavax(id: Long, modality: String, data: Array[Byte],
       md: MessageDigest): Option[Decoded] =
@@ -409,6 +579,65 @@ object Multimodal {
       i += 1
     }
     buf.array()
+  }
+
+  /** [[squareWav]] in G.711 companded form: mono, `law` = 6 (A-law) or
+    * 7 (μ-law), samples alternating `codeword` / `codeword ^ 0x80`. Both
+    * laws negate exactly under their sign bit, so the decoded stream is
+    * a ±decode(codeword) square wave and every RMS window recovers
+    * |decode(codeword)| exactly — the closed-form encode half of the
+    * G.711 decode roundtrip oracle.
+    */
+  def g711Wav(n: Int, rate: Int, law: Int, codeword: Int): Array[Byte] = {
+    require(n >= 1 && rate >= 1 && (law == 6 || law == 7) &&
+      codeword >= 0 && codeword <= 255,
+      s"bad g711 params n=$n rate=$rate law=$law code=$codeword")
+    val out = java.nio.ByteBuffer.allocate(44 + n)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(36 + n)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(law.toShort).putShort(1) // companded, mono
+      .putInt(rate).putInt(rate).putShort(1).putShort(8)
+      .put("data".getBytes("US-ASCII")).putInt(n)
+    var i = 0
+    while (i < n) {
+      out.put((if (i % 2 == 0) codeword else codeword ^ 0x80).toByte)
+      i += 1
+    }
+    out.array()
+  }
+
+  /** Deterministic IMA ADPCM WAV: mono, one block per entry of
+    * `predictors`, every data nibble ZERO. With initial step index 0
+    * (step 7) a zero nibble adds step>>3 = 0 and the index stays pinned
+    * at 0, so an all-zero block holds its header predictor for all
+    * `samplesPerBlock` samples — each block is a flat line at
+    * predictors(b), and RMS windows aligned to blocks recover |pred|
+    * exactly. Exercises the real header walk, nibble loop, and block
+    * geometry with a closed-form oracle.
+    */
+  def imaAdpcmWav(rate: Int, blockAlign: Int, predictors: Seq[Int]): Array[Byte] = {
+    require(rate >= 1 && blockAlign >= 8 && predictors.nonEmpty &&
+      predictors.forall(p => p >= -32768 && p <= 32767),
+      s"bad adpcm params rate=$rate align=$blockAlign preds=${predictors.take(3)}")
+    val spb = (blockAlign - 4) * 2 + 1
+    val dataLen = predictors.size * blockAlign
+    val out = java.nio.ByteBuffer.allocate(44 + 4 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    out.put("RIFF".getBytes("US-ASCII")).putInt(40 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1) // IMA ADPCM, mono
+      .putInt(rate).putInt(rate * blockAlign / spb)
+      .putShort(blockAlign.toShort).putShort(4)
+      .putShort(2).putShort(spb.toShort) // cbSize, wSamplesPerBlock
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    predictors.foreach { p =>
+      out.putShort(p.toShort).put(0.toByte).put(0.toByte) // header, idx 0
+      out.put(new Array[Byte](blockAlign - 4)) // zero nibbles
+    }
+    out.array()
   }
 
   private def isAvi(d: Array[Byte]): Boolean =

@@ -190,4 +190,104 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Int]("height") == (32 + (len * 7) % 448))
     assert(out.getAs[Int]("n_frames") == (1 + len % 16))
   }
+
+  /** Decode a G.711 WAV through the JDK's OWN converter — an independent
+    * implementation of the same ITU-T tables — and return the linear
+    * samples, as the oracle for the expand tables.
+    */
+  private def javaxG711(wav: Array[Byte]): Array[Short] = {
+    import javax.sound.sampled.{AudioFormat, AudioSystem}
+    val src = AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(wav))
+    val pcm = AudioSystem.getAudioInputStream(
+      new AudioFormat(AudioFormat.Encoding.PCM_SIGNED,
+        src.getFormat.getSampleRate, 16, 1,
+        2, src.getFormat.getSampleRate, false), src)
+    val bytes = pcm.readAllBytes()
+    Array.tabulate(bytes.length / 2)(i =>
+      (((bytes(2 * i + 1) & 0xff) << 8) | (bytes(2 * i) & 0xff)).toShort)
+  }
+
+  test("G.711 expand tables match the JDK's converter on all 256 codes") {
+    // one WAV per law whose data is every codeword 0..255 in order
+    for (law <- Seq(6, 7)) {
+      val table = if (law == 7) Multimodal.UlawTable else Multimodal.AlawTable
+      val buf = java.nio.ByteBuffer.allocate(44 + 256)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      buf.put("RIFF".getBytes("US-ASCII")).putInt(36 + 256)
+        .put("WAVE".getBytes("US-ASCII"))
+        .put("fmt ".getBytes("US-ASCII")).putInt(16)
+        .putShort(law.toShort).putShort(1)
+        .putInt(8000).putInt(8000).putShort(1).putShort(8)
+        .put("data".getBytes("US-ASCII")).putInt(256)
+      (0 until 256).foreach(b => buf.put(b.toByte))
+      val expect = javaxG711(buf.array())
+      assert(expect.length == 256, s"law $law: converter frame count")
+      val diffs = (0 until 256).filter(b => table(b) != expect(b))
+        .map(b => s"$b: got ${table(b)} want ${expect(b)}")
+      assert(diffs.isEmpty, s"law $law mismatches: ${diffs.take(5)}")
+    }
+  }
+
+  test("G.711 WAV decode: companded square wave recovers its decode exactly") {
+    for ((law, code) <- Seq((7, 0x23), (6, 0x6a))) {
+      val table = if (law == 7) Multimodal.UlawTable else Multimodal.AlawTable
+      val amp = math.abs(table(code).toInt)
+      val bytes = Multimodal.g711Wav(n = 480, rate = 8000, law = law, codeword = code)
+      val out = Multimodal.decode(mediaDF((40L + law, "audio", bytes))).collect().head
+      assert(out.getAs[Int]("width") == 8000 && out.getAs[Int]("height") == 1)
+      assert(out.getAs[Int]("n_frames") == 480)
+      val f = out.getSeq[Float](out.fieldIndex("features"))
+      assert(f.forall(v => math.round(v * 32768.0) == amp.toLong),
+        s"law $law code $code: RMS must equal |decode| = $amp exactly: $f")
+    }
+  }
+
+  test("IMA ADPCM decode: hand-computed nibble sequence") {
+    // mono, blockAlign 8 -> 9 samples/block; header predictor 100, step
+    // index 8 (step 16); nibbles [3, 15, 0, 8, 0, 0, 0, 0].
+    // Hand-decoded per the IMA shift-add rule:
+    //  3 (bits 0,1):   diff 2+4+8 = 14  -> 114, idx 8-1 = 7  (step 14)
+    //  15 (0,1,2,sign): diff 1+3+7+14=25 ->  89, idx 7+8 = 15 (step 31)
+    //  0:              diff 3           ->  92, idx 14       (step 28)
+    //  8 (sign):       diff 3           ->  89, idx 13       (step 25)
+    //  0,0,0,0:        +3 +2 +2 +2      -> 92, 94, 96, 98
+    val samples = Seq(100, 114, 89, 92, 89, 92, 94, 96, 98)
+    val buf = java.nio.ByteBuffer.allocate(48 + 8)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    buf.put("RIFF".getBytes("US-ASCII")).putInt(40 + 8)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(20)
+      .putShort(0x11).putShort(1).putInt(8000).putInt(8000 * 8 / 9)
+      .putShort(8).putShort(4).putShort(2).putShort(9)
+      .put("data".getBytes("US-ASCII")).putInt(8)
+      .putShort(100).put(8.toByte).put(0.toByte) // header: pred 100, idx 8
+      .put(0xf3.toByte).put(0x80.toByte) // nibbles 3,15 then 0,8 (low first)
+      .put(0.toByte).put(0.toByte)
+    val out = Multimodal.decode(mediaDF((60L, "audio", buf.array()))).collect().head
+    assert(out.getAs[Int]("n_frames") == 9)
+    val f = out.getSeq[Float](out.fieldIndex("features"))
+    // replay the window assignment: win = i*8/9, exact integer sums
+    val sums = new Array[Long](8)
+    val counts = new Array[Long](8)
+    samples.zipWithIndex.foreach { case (s, i) =>
+      val w = i * 8 / 9
+      sums(w) += s.toLong * s; counts(w) += 1
+    }
+    val expect = (0 until 8).map(w =>
+      if (counts(w) == 0) 0.0f
+      else (math.sqrt(sums(w).toDouble / counts(w)) / 32768.0).toFloat)
+    assert(f == expect, s"got $f want $expect")
+  }
+
+  test("IMA ADPCM decode: all-zero blocks hold their predictors; stereo rejected to stub") {
+    val bytes = Multimodal.imaAdpcmWav(rate = 8000, blockAlign = 32,
+      predictors = Seq(1000, -1000, 1000, -1000))
+    val out = Multimodal.decode(mediaDF((61L, "audio", bytes))).collect().head
+    assert(out.getAs[Int]("width") == 8000 && out.getAs[Int]("height") == 1)
+    assert(out.getAs[Int]("n_frames") == 4 * 57) // (32-4)*2+1 per block
+    val f = out.getSeq[Float](out.fieldIndex("features"))
+    assert(f.forall(v => math.round(v * 32768.0) == 1000L),
+      s"flat-block RMS must equal |pred|: $f")
+  }
 }
