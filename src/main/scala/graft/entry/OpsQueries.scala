@@ -674,6 +674,36 @@ object OpsQueries {
       |SELECT CAST(0 AS INTEGER) AS query_idx, id, round(score, 6) AS score
       |FROM res ORDER BY round(score, 6) DESC, id""".stripMargin
 
+  // ---- SymSpell spelling correction: deletion-neighborhood blocking
+  //      over the corpus vocabulary + exact banded Levenshtein verify;
+  //      the oracle brute-forces levenshtein() over the SAME vocabulary
+  //      (document frequency, tokenizer-deduped) — the blocking must
+  //      lose no candidate and the (dist, freq DESC, term) rank must
+  //      agree term for term. ----
+  def searchSpell(s: SparkSession, dir: String): DataFrame =
+    graft.search.Spell.corrections(
+      Tables.textCorpus(s, dir),
+      terms = Seq("sparc", "qery", "windoe", "custmer"),
+      maxDist = 2, topK = 3)
+      .orderBy("term", "rank")
+
+  val searchSpellSql: String =
+    """WITH v AS (SELECT term AS suggestion, CAST(count(*) AS BIGINT) AS freq
+      |           FROM (SELECT unnest(list_distinct(
+      |                   regexp_extract_all(lower(text), '[a-z0-9_]{2,}'))) AS term
+      |                 FROM documents)
+      |           GROUP BY 1),
+      |q(term) AS (VALUES ('sparc'), ('qery'), ('windoe'), ('custmer')),
+      |c AS (SELECT q.term, v.suggestion,
+      |             levenshtein(q.term, v.suggestion) AS dist, v.freq
+      |      FROM q CROSS JOIN v
+      |      WHERE levenshtein(q.term, v.suggestion) <= 2),
+      |r AS (SELECT *, CAST(row_number() OVER (PARTITION BY term
+      |               ORDER BY dist, freq DESC, suggestion) AS INTEGER) AS rank
+      |      FROM c)
+      |SELECT term, rank, suggestion, CAST(dist AS INTEGER) AS dist, freq
+      |FROM r WHERE rank <= 3 ORDER BY term, rank""".stripMargin
+
   // ---- k-anonymity / l-diversity privacy audit: per candidate k, the
   //      violating QI classes, rows needing suppression (exact ppm) and
   //      the attribute-disclosure floor (classes with ONE sensitive
@@ -837,7 +867,8 @@ object OpsQueries {
     "q_ann_graph_ivf" -> (annGraphIvf _),
     "q_ann_graph_recall" -> (annGraphRecall _),
     "q_privacy_kanon" -> (privacyKanon _),
-    "q_search_expanded" -> (searchExpanded _))
+    "q_search_expanded" -> (searchExpanded _),
+    "q_search_spell" -> (searchSpell _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -857,5 +888,6 @@ object OpsQueries {
     "q_ann_graph_ivf" -> annGraphIvfSql,
     "q_ann_graph_recall" -> annGraphRecallSql,
     "q_privacy_kanon" -> privacyKanonSql,
-    "q_search_expanded" -> searchExpandedSql)
+    "q_search_expanded" -> searchExpandedSql,
+    "q_search_spell" -> searchSpellSql)
 }

@@ -528,6 +528,50 @@ object TextQueries {
       |  CAST(0 AS BIGINT) AS f_spread
       |FROM m ORDER BY id""".stripMargin
 
+  /** REAL GIF/BMP decode roundtrip (the remaining JDK-native image
+    * containers past PNG/JPEG): solid fills alternate GIF/BMP by parity,
+    * every 7th doc an ANIMATED GIF whose real frame count the decoder
+    * must recover from the reader's own image index (`ImageIO.read`
+    * alone only ever sees frame 1). Fill luma and dims replay from doc
+    * arithmetic — GIF's palette and BMP's raw RGB are both byte-exact on
+    * solid fills.
+    */
+  def mmDecodeFormats(s: SparkSession, dir: String): DataFrame = {
+    val img = udf((id: Long) => {
+      val w = (8 + id % 24).toInt
+      val h = (6 + (id * 5) % 18).toInt
+      val r = (id % 256).toInt
+      val g = ((id * 7) % 256).toInt
+      val b = ((id * 13) % 256).toInt
+      if (id % 7 == 0)
+        Multimodal.animatedGif(w, h,
+          Seq.fill((1 + id % 4).toInt)((r, g, b)))
+      else if (id % 2 == 0) Multimodal.solidImage(w, h, r, g, b, "gif")
+      else Multimodal.solidImage(w, h, r, g, b, "bmp")
+    })
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), lit("image").as("modality"),
+        img(col("doc_id").cast("long")).as("data"))
+    Multimodal.decode(media)
+      .select(col("id"), col("width"), col("height"), col("n_frames"),
+        round(element_at(col("features"), 1) * 255).cast("long").as("luma"),
+        round((array_max(col("features")) - array_min(col("features")))
+          * 1e6).cast("long").as("f_spread"))
+      .orderBy("id")
+  }
+
+  val mmDecodeFormatsSql: String =
+    """WITH m AS (SELECT doc_id AS id,
+      |  8 + doc_id % 24 AS w, 6 + (doc_id*5) % 18 AS h,
+      |  doc_id % 256 AS r, (doc_id*7) % 256 AS g, (doc_id*13) % 256 AS b,
+      |  CASE WHEN doc_id % 7 = 0 THEN 1 + doc_id % 4 ELSE 1 END AS nf
+      |  FROM documents)
+      |SELECT id, CAST(w AS INTEGER) AS width, CAST(h AS INTEGER) AS height,
+      |  CAST(nf AS INTEGER) AS n_frames,
+      |  CAST((299*r + 587*g + 114*b) // 1000 AS BIGINT) AS luma,
+      |  CAST(0 AS BIGINT) AS f_spread
+      |FROM m ORDER BY id""".stripMargin
+
   /** REAL audio decode roundtrip: deterministic mono PCM WAVs
     * (square-wave samples, dims/rate/amplitude from per-doc arithmetic)
     * are encoded, then decoded by `javax.sound.sampled` through
@@ -2124,6 +2168,7 @@ object TextQueries {
     "q_mm_decode_audio" -> (mmDecodeAudio _),
     "q_mm_decode_g711" -> (mmDecodeG711 _),
     "q_mm_decode_adpcm" -> (mmDecodeAdpcm _),
+    "q_mm_decode_formats" -> (mmDecodeFormats _),
     "q_mm_decode_video" -> (mmDecodeVideo _),
     "q_mm_frames" -> (mmFrames _),
     "q_mm_resize" -> (mmResize _)
@@ -2176,6 +2221,7 @@ object TextQueries {
     "q_mm_decode_audio" -> mmDecodeAudioSql,
     "q_mm_decode_g711" -> mmDecodeG711Sql,
     "q_mm_decode_adpcm" -> mmDecodeAdpcmSql,
+    "q_mm_decode_formats" -> mmDecodeFormatsSql,
     "q_mm_decode_video" -> mmDecodeVideoSql,
     "q_mm_frames" -> mmFramesSql,
     "q_mm_resize" -> mmResizeSql

@@ -54,6 +54,30 @@ object Multimodal {
   private def isJpeg(d: Array[Byte]): Boolean =
     d.length > 3 && d(0) == 0xff.toByte && d(1) == 0xd8.toByte &&
       d(2) == 0xff.toByte
+  private def isGif(d: Array[Byte]): Boolean =
+    d.length > 6 && d(0) == 'G'.toByte && d(1) == 'I'.toByte &&
+      d(2) == 'F'.toByte && d(3) == '8'.toByte
+  private def isBmp(d: Array[Byte]): Boolean =
+    d.length > 14 && d(0) == 'B'.toByte && d(1) == 'M'.toByte
+
+  private def isImage(d: Array[Byte]): Boolean =
+    isPng(d) || isJpeg(d) || isGif(d) || isBmp(d)
+
+  /** Real frame count of an (possibly animated) GIF via the JDK reader's
+    * own index — `ImageIO.read` only ever surfaces the first frame.
+    */
+  private def gifFrameCount(data: Array[Byte]): Int = {
+    val iis = ImageIO.createImageInputStream(new ByteArrayInputStream(data))
+    try {
+      val readers = ImageIO.getImageReaders(iis)
+      if (!readers.hasNext) 1
+      else {
+        val r = readers.next()
+        try { r.setInput(iis); math.max(1, r.getNumImages(true)) }
+        finally r.dispose()
+      }
+    } finally iis.close()
+  }
 
   /** Real image decode via `javax.imageio`. Features = mean luma per cell
     * of a [[LumaGridRows]]x[[LumaGridCols]] grid, integer-accumulated
@@ -727,9 +751,10 @@ object Multimodal {
     */
   private def decodeOne(id: Long, modality: String, data: Array[Byte],
       md: MessageDigest): Decoded = {
-    if (isPng(data) || isJpeg(data)) {
+    if (isImage(data)) {
       decodeImage(id, modality, data, md) match {
-        case Some(d) => return d
+        case Some(d) =>
+          return if (isGif(data)) d.copy(n_frames = gifFrameCount(data)) else d
         case None => // unparseable image payload: fall through to the stub
       }
     }
@@ -800,10 +825,59 @@ object Multimodal {
     out.toByteArray
   }
 
+  /** [[solidPng]] in the other two JDK-native container formats: GIF's
+    * palette holds a solid fill exactly (one palette entry), and BMP is
+    * uncompressed RGB — both roundtrip the fill byte-exact, so the same
+    * closed-form luma oracle applies.
+    */
+  def solidImage(w: Int, h: Int, r: Int, g: Int, b: Int,
+      format: String): Array[Byte] = {
+    require(w >= 1 && h >= 1, s"bad dims ${w}x$h")
+    require(format == "gif" || format == "bmp" || format == "png",
+      s"unsupported format $format")
+    disableImageIoFileCache()
+    val im = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+    im.setRGB(0, 0, w, h, Array.fill(w * h)(rgb), 0, w)
+    val out = new java.io.ByteArrayOutputStream()
+    ImageIO.write(im, format, out)
+    out.toByteArray
+  }
+
+  /** Multi-frame GIF via the JDK writer's sequence API — the encode half
+    * of the animated-frame-count roundtrip (frames are solid fills; only
+    * the COUNT and first-frame pixels are graded, matching what
+    * `ImageIO.read` + [[gifFrameCount]] can recover).
+    */
+  def animatedGif(w: Int, h: Int, fills: Seq[(Int, Int, Int)]): Array[Byte] = {
+    require(w >= 1 && h >= 1 && fills.nonEmpty, s"bad gif ${w}x$h/${fills.size}")
+    disableImageIoFileCache()
+    val writer = ImageIO.getImageWritersByFormatName("gif").next()
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = ImageIO.createImageOutputStream(bos)
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      fills.foreach { case (r, g, b) =>
+        val im = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val rgb = ((r & 0xff) << 16) | ((g & 0xff) << 8) | (b & 0xff)
+        im.setRGB(0, 0, w, h, Array.fill(w * h)(rgb), 0, w)
+        writer.writeToSequence(new javax.imageio.IIOImage(im, null, null), null)
+      }
+      writer.endWriteSequence()
+    } finally {
+      writer.dispose()
+      ios.close()
+    }
+    bos.toByteArray
+  }
+
   /** Batched decode over (id: long, modality: string, data: binary) —
-    * real PNG/JPEG decode, stub for other payloads (see [[decodeOne]]).
-    * One digest instance per partition — the once-per-partition init
-    * pattern for heavyweight native decoders.
+    * real PNG/JPEG/GIF/BMP decode, stub for other payloads (see
+    * [[decodeOne]]). One digest instance per partition — the
+    * once-per-partition init pattern for heavyweight native decoders.
     */
   def decode(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
@@ -846,7 +920,7 @@ object Multimodal {
     ds.map { case (id, _, data) =>
       disableImageIoFileCache()
       val img =
-        if (isPng(data) || isJpeg(data))
+        if (isImage(data))
           try Option(ImageIO.read(new ByteArrayInputStream(data)))
           catch { case _: Exception => None }
         else None

@@ -191,6 +191,28 @@ class MultimodalSpec extends SparkSpec {
     assert(out.getAs[Int]("n_frames") == (1 + len % 16))
   }
 
+  test("GIF and BMP decode: exact dims and solid-fill luma; animated GIF frame count") {
+    for (fmt <- Seq("gif", "bmp")) {
+      val bytes = Multimodal.solidImage(10, 6, 30, 60, 90, fmt)
+      val out = Multimodal.decode(mediaDF((70L, "image", bytes))).collect().head
+      assert(out.getAs[Int]("width") == 10 && out.getAs[Int]("height") == 6, fmt)
+      assert(out.getAs[Int]("n_frames") == 1, fmt)
+      val luma = (299 * 30 + 587 * 60 + 114 * 90) / 1000
+      val f = out.getSeq[Float](out.fieldIndex("features"))
+      assert(f.forall(v => math.abs(v - luma / 255.0) < 1e-6),
+        s"$fmt solid luma $luma: $f")
+    }
+    val anim = Multimodal.animatedGif(8, 8,
+      Seq((200, 10, 10), (10, 200, 10), (10, 10, 200)))
+    val out = Multimodal.decode(mediaDF((71L, "image", anim))).collect().head
+    assert(out.getAs[Int]("n_frames") == 3, "animated GIF frame count")
+    assert(out.getAs[Int]("width") == 8)
+    // first-frame luma: GIF palette of a solid fill is exact
+    val luma = (299 * 200 + 587 * 10 + 114 * 10) / 1000
+    val f = out.getSeq[Float](out.fieldIndex("features"))
+    assert(f.forall(v => math.abs(v - luma / 255.0) < 1e-6), s"first frame: $f")
+  }
+
   /** Decode a G.711 WAV through the JDK's OWN converter — an independent
     * implementation of the same ITU-T tables — and return the linear
     * samples, as the oracle for the expand tables.
