@@ -1474,7 +1474,45 @@ object OlapQueries {
       |FROM lineitem JOIN part ON l_partkey = p_partkey
       |GROUP BY p_brand ORDER BY p_brand""".stripMargin
 
+  /** SCD2 dimension history from the event change log (operators.Scd2):
+    * per user, consecutive runs of the same event_type collapse into
+    * versioned validity intervals [valid_from, valid_to) with an open
+    * current interval — the warehouse dimension-maintenance step whose
+    * output the as-of family consumes for point-in-time enrichment.
+    * Micros epoch on both sides; -1 encodes the open interval.
+    */
+  def eventsScd2(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochOf("MICROSECOND", "ts").as("tsu"))
+    graft.operators.Scd2
+      .fromChangeLog(e, "user_id", Seq("event_type"), "tsu", Seq("event_id"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from").as("valid_from_us"),
+        coalesce(col("valid_to"), lit(-1L)).as("valid_to_us"),
+        col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  val eventsScd2Sql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+      |           FROM events WHERE user_id % 10 = 0),
+      |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |                     THEN 1 ELSE 0 END AS chg
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      |v AS (SELECT user_id, event_type, tsu,
+      |             CAST(row_number() OVER w2 AS INTEGER) AS version,
+      |             lead(tsu) OVER w2 AS vto
+      |      FROM c WHERE chg = 1
+      |      WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id))
+      |SELECT user_id, version, event_type,
+      |       tsu AS valid_from_us, COALESCE(vto, -1) AS valid_to_us,
+      |       (vto IS NULL) AS is_current
+      |FROM v ORDER BY user_id, version""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_events_scd2" -> (eventsScd2 _),
     "q_skew_salted_agg" -> (skewSaltedAgg _),
     "q_skew_salted_join" -> (skewSaltedJoin _),
     "q2_mincost" -> (q2Mincost _),
@@ -1520,6 +1558,7 @@ object OlapQueries {
   )
 
   def oracles: Map[String, String] = Map(
+    "q_events_scd2" -> eventsScd2Sql,
     "q_skew_salted_agg" -> skewSaltedAggSql,
     "q_skew_salted_join" -> skewSaltedJoinSql,
     "q2_mincost" -> q2MincostSql,
