@@ -1511,8 +1511,57 @@ object OlapQueries {
       |       (vto IS NULL) AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
 
+  /** Point-in-time enrichment (the leakage-free feature join): each
+    * purchase event picks up the SCD2 dimension version that was valid
+    * AT ITS INSTANT — Scd2.fromChangeLog builds the history, then the
+    * backward as-of join (greatest valid_from <= event ts, version
+    * tie-break) resolves the interval without a range predicate, because
+    * SCD2 intervals tile time from the key's first change on. THE
+    * pattern that keeps future metadata out of training examples.
+    */
+  def eventsPit(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochOf("MICROSECOND", "ts").as("tsu"))
+    val hist = graft.operators.Scd2
+      .fromChangeLog(e, "user_id", Seq("event_type"), "tsu", Seq("event_id"))
+      .withColumnRenamed("event_type", "dim_type")
+      .withColumnRenamed("valid_from", "vfrom")
+    val probes = e.filter(col("event_type") === "purchase")
+      .select(col("user_id"), col("event_id"), col("tsu"))
+    graft.operators.AsOfJoin.asof(
+      probes, hist,
+      keys = Seq("user_id"), leftTs = "tsu", rightTs = "vfrom",
+      leftCols = Seq("event_id", "tsu"),
+      rightCols = Seq("version", "dim_type"),
+      rightTieBreak = Seq("version"))
+      .select(col("user_id"), col("event_id"), col("tsu"),
+        col("version"), col("dim_type"))
+      .orderBy("user_id", "event_id")
+  }
+
+  val eventsPitSql: String =
+    """WITH e AS (SELECT user_id, event_id, event_type, epoch_us(ts) AS tsu
+      |           FROM events WHERE user_id % 10 = 0),
+      |c AS (SELECT *, CASE WHEN lag(event_type) OVER w IS DISTINCT FROM event_type
+      |                     THEN 1 ELSE 0 END AS chg
+      |      FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      |v AS (SELECT user_id, event_type AS dim_type, tsu,
+      |             CAST(row_number() OVER w2 AS INTEGER) AS version
+      |      FROM c WHERE chg = 1
+      |      WINDOW w2 AS (PARTITION BY user_id ORDER BY tsu, event_id)),
+      |p AS (SELECT user_id, event_id, tsu FROM e WHERE event_type = 'purchase'),
+      |m AS (SELECT p.user_id, p.event_id, p.tsu, v.version, v.dim_type,
+      |             row_number() OVER (PARTITION BY p.event_id
+      |               ORDER BY v.tsu DESC, v.version DESC) AS rn
+      |      FROM p JOIN v ON p.user_id = v.user_id AND v.tsu <= p.tsu)
+      |SELECT user_id, event_id, tsu, version, dim_type
+      |FROM m WHERE rn = 1 ORDER BY user_id, event_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_scd2" -> (eventsScd2 _),
+    "q_events_pit" -> (eventsPit _),
     "q_skew_salted_agg" -> (skewSaltedAgg _),
     "q_skew_salted_join" -> (skewSaltedJoin _),
     "q2_mincost" -> (q2Mincost _),
@@ -1559,6 +1608,7 @@ object OlapQueries {
 
   def oracles: Map[String, String] = Map(
     "q_events_scd2" -> eventsScd2Sql,
+    "q_events_pit" -> eventsPitSql,
     "q_skew_salted_agg" -> skewSaltedAggSql,
     "q_skew_salted_join" -> skewSaltedJoinSql,
     "q2_mincost" -> q2MincostSql,
