@@ -674,6 +674,75 @@ object OpsQueries {
       |SELECT CAST(0 AS INTEGER) AS query_idx, id, round(score, 6) AS score
       |FROM res ORDER BY round(score, 6) DESC, id""".stripMargin
 
+  // ---- length-bucketed inference batching (padding-waste minimizer):
+  //      token-length-DESC batches of 16; the oracle replays the global
+  //      rank as one window (the engine computes the identical rank via
+  //      the histogram-offset + keyed-window decomposition). ----
+  def packBatches(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.textCorpus(s, dir)
+      .select(col("id"),
+        size(TextFunctions.tokens(col("content"))).as("n_tok"))
+    val assigned = graft.operators.Batching.byLength(d, "id", "n_tok", batchSize = 16)
+    graft.operators.Batching.paddingReport(assigned)
+  }
+
+  val packBatchesSql: String =
+    """WITH d AS (SELECT doc_id AS id,
+      |  CAST(len(regexp_extract_all(lower(text), '[a-z0-9_]{2,}')) AS BIGINT) AS len
+      |  FROM documents),
+      |r AS (SELECT id, len,
+      |             row_number() OVER (ORDER BY len DESC, id) - 1 AS rank FROM d),
+      |b AS (SELECT *, rank // 16 AS batch FROM r)
+      |SELECT batch, CAST(count(*) AS BIGINT) AS n_docs,
+      |       max(len) AS max_len, CAST(sum(len) AS BIGINT) AS sum_len,
+      |       CAST(count(*) * max(len) - sum(len) AS BIGINT) AS pad_waste
+      |FROM b GROUP BY batch ORDER BY batch""".stripMargin
+
+  // ---- greedy k-center coreset selection (Gonzalez farthest-point):
+  //      5 diversity-maximizing representatives over the embeddings;
+  //      the oracle replays every round as a chained argmax with the
+  //      same running-min cosine distances. ----
+  def mineKcenter(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Coreset.kCenter(
+      Tables.t(s, dir, "embeddings"), "vec_id", "embedding", k = 5)
+      .withColumn("sel_dist", round(col("sel_dist"), 6))
+      .orderBy("rank")
+
+  val mineKcenterSql: String =
+    """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v
+      |           FROM embeddings),
+      |s1 AS (SELECT id, v FROM e ORDER BY id LIMIT 1),
+      |d1 AS (SELECT e.id, e.v, 1 - list_cosine_similarity(e.v, s1.v) AS md
+      |       FROM e CROSS JOIN s1),
+      |s2 AS (SELECT id, v, md FROM d1 WHERE id NOT IN (SELECT id FROM s1)
+      |       ORDER BY md DESC, id LIMIT 1),
+      |d2 AS (SELECT d1.id, d1.v,
+      |              LEAST(d1.md, 1 - list_cosine_similarity(d1.v, s2.v)) AS md
+      |       FROM d1 CROSS JOIN s2),
+      |s3 AS (SELECT id, v, md FROM d2 WHERE id NOT IN
+      |         (SELECT id FROM s1 UNION ALL SELECT id FROM s2)
+      |       ORDER BY md DESC, id LIMIT 1),
+      |d3 AS (SELECT d2.id, d2.v,
+      |              LEAST(d2.md, 1 - list_cosine_similarity(d2.v, s3.v)) AS md
+      |       FROM d2 CROSS JOIN s3),
+      |s4 AS (SELECT id, v, md FROM d3 WHERE id NOT IN
+      |         (SELECT id FROM s1 UNION ALL SELECT id FROM s2
+      |          UNION ALL SELECT id FROM s3)
+      |       ORDER BY md DESC, id LIMIT 1),
+      |d4 AS (SELECT d3.id, d3.v,
+      |              LEAST(d3.md, 1 - list_cosine_similarity(d3.v, s4.v)) AS md
+      |       FROM d3 CROSS JOIN s4),
+      |s5 AS (SELECT id, v, md FROM d4 WHERE id NOT IN
+      |         (SELECT id FROM s1 UNION ALL SELECT id FROM s2
+      |          UNION ALL SELECT id FROM s3 UNION ALL SELECT id FROM s4)
+      |       ORDER BY md DESC, id LIMIT 1)
+      |SELECT CAST(1 AS INTEGER) AS rank, id, -1.0 AS sel_dist FROM s1
+      |UNION ALL SELECT 2, id, round(md, 6) FROM s2
+      |UNION ALL SELECT 3, id, round(md, 6) FROM s3
+      |UNION ALL SELECT 4, id, round(md, 6) FROM s4
+      |UNION ALL SELECT 5, id, round(md, 6) FROM s5
+      |ORDER BY rank""".stripMargin
+
   // ---- SymSpell spelling correction: deletion-neighborhood blocking
   //      over the corpus vocabulary + exact banded Levenshtein verify;
   //      the oracle brute-forces levenshtein() over the SAME vocabulary
@@ -868,7 +937,9 @@ object OpsQueries {
     "q_ann_graph_recall" -> (annGraphRecall _),
     "q_privacy_kanon" -> (privacyKanon _),
     "q_search_expanded" -> (searchExpanded _),
-    "q_search_spell" -> (searchSpell _))
+    "q_search_spell" -> (searchSpell _),
+    "q_mine_kcenter" -> (mineKcenter _),
+    "q_pack_batches" -> (packBatches _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -889,5 +960,7 @@ object OpsQueries {
     "q_ann_graph_recall" -> annGraphRecallSql,
     "q_privacy_kanon" -> privacyKanonSql,
     "q_search_expanded" -> searchExpandedSql,
-    "q_search_spell" -> searchSpellSql)
+    "q_search_spell" -> searchSpellSql,
+    "q_mine_kcenter" -> mineKcenterSql,
+    "q_pack_batches" -> packBatchesSql)
 }
