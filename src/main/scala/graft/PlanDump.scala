@@ -101,6 +101,13 @@ object PlanDump {
     "q21_waiting" -> "TPC-H Q21 shape: LeftSemi (other supplier exists) + LeftAnti (no other returner) on the fact",
     "q_ann_graph_beam" -> "graph-beam ANN: medoid-routed entries + broadcast frontier probes + point vector fetches, corpus-size-independent per hop",
     "q_pipeline_curate9" -> "skew-aware rollup: diagnosed-hot keys through two-phase salted agg, cold keys plain — one union",
+    "q_privacy_kanon" -> "k-anonymity audit: ONE combiner-collapsed QI-class agg x broadcast k values, no second corpus pass",
+    "q_search_expanded" -> "PRF expansion: two bounded BM25 serves around R-doc candidate mining + broadcast-probed df scan",
+    "q_search_spell" -> "SymSpell: vocab-sized delete expansion join vs broadcast query variants, banded levenshtein verify",
+    "q_mine_kcenter" -> "k-center: k narrow running-min distance maps + 1-row argmax each — no joins, no pair space",
+    "q_pack_batches" -> "length batching: histogram agg -> driver offsets -> keyed in-length window (no global sort)",
+    "q_events_scd2" -> "SCD2 build: two key-partitioned windows sharing one exchange",
+    "q_events_pit" -> "point-in-time: SCD2 build + backward as-of union window (no range join)",
     "q_snapshot_diff" -> "snapshot diff: full-outer join on 16-byte digests, keyed status rollup",
     "q_compaction_plan" -> "compaction plan: file-inventory agg -> bucketed prefix sum (window partitioned by coarse bucket)",
     "q_zorder_layout" -> "z-order: per-row codegen'd bit fold + ONE keyed aggregate",

@@ -746,5 +746,42 @@ object ScaleProbe {
       graft.ann.GraphSearch.beamSearch(graph, dense, qs,
         entries = 4, beam = 8, hops = 3, k = 5).count()
     }
+    // greedy k-center: k passes, each ONE narrow distance map folded into
+    // a running min + a 1-row argmax — must be linear in corpus x k with
+    // no pair term (replica vectors are copies; distances repeat, ids
+    // break ties, the traversal stays deterministic)
+    time("coreset_kcenter") {
+      graft.operators.Coreset.kCenter(
+        vecs.select(xxhash64(col("id")).as("vid"), col("embedding")),
+        "vid", "embedding", k = 8).count()
+    }
+    // SymSpell corrections: the vocabulary (and its delete expansion)
+    // grows M-fold under replica salting while the query side stays
+    // constant — cost must track |vocab| x L^2, never the corpus text
+    time("search_spell") {
+      graft.search.Spell.corrections(docs,
+        terms = Seq("sparcx0", "qeryx0", "windoex0"),
+        maxDist = 2, topK = 3).count()
+    }
+    // length-bucketed batching: one histogram aggregate (bounded by max
+    // token count, constant across multipliers) + one keyed window
+    time("pack_batches") {
+      graft.operators.Batching.paddingReport(
+        graft.operators.Batching.byLength(
+          docs.select(col("id"),
+            size(graft.functions.TextFunctions.tokens(col("content")))
+              .as("n_tok"))
+            .select(xxhash64(col("id")).as("id"), col("n_tok")),
+          "id", "n_tok", batchSize = 64)).count()
+    }
+    // SCD2 history build: two key-partitioned windows over one exchange;
+    // replica users are disjoint so per-key run lengths are constant and
+    // output grows exactly M-fold
+    time("events_scd2") {
+      graft.operators.Scd2.fromChangeLog(
+        events.select(col("user_id"), col("event_id"), col("event_type"),
+          col("tsu")),
+        "user_id", Seq("event_type"), "tsu", Seq("event_id")).count()
+    }
   }
 }

@@ -674,6 +674,80 @@ object OpsQueries {
       |SELECT CAST(0 AS INTEGER) AS query_idx, id, round(score, 6) AS score
       |FROM res ORDER BY round(score, 6) DESC, id""".stripMargin
 
+  // ---- oracle-replayable HyperLogLog: per-language distinct-token
+  //      sketch. q_profile_hll_regs replays EVERY register (md5-derived
+  //      60-bit hash, exact bin-length ranks); q_profile_hll replays the
+  //      estimates with the harmonic denominator kept as an exact
+  //      integer, next to the true distinct count. ----
+  private def hllTokens(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("lang"),
+        explode(TextFunctions.distinctTokens(col("text"))).as("term"))
+
+  def profileHllRegs(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Hll.registers(hllTokens(s, dir), Seq("lang"), "term")
+      .orderBy("lang", "reg_idx")
+
+  val profileHllRegsSql: String =
+    """WITH tk AS (SELECT DISTINCT lang, unnest(list_distinct(
+      |             regexp_extract_all(lower(text), '[a-z0-9_]{2,}'))) AS term
+      |           FROM documents),
+      |h AS (SELECT lang, CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+      |      FROM tk),
+      |r AS (SELECT lang, h >> 51 AS reg_idx,
+      |             CASE WHEN (h & ((1::BIGINT << 51) - 1)) = 0 THEN 52
+      |                  ELSE 52 - length(bin(h & ((1::BIGINT << 51) - 1)))
+      |             END AS rho
+      |      FROM h)
+      |SELECT lang, reg_idx, CAST(max(rho) AS INTEGER) AS reg
+      |FROM r GROUP BY lang, reg_idx ORDER BY lang, reg_idx""".stripMargin
+
+  def profileHll(s: SparkSession, dir: String): DataFrame = {
+    val toks = hllTokens(s, dir)
+    val est = graft.operators.Hll.estimate(
+      graft.operators.Hll.registers(toks, Seq("lang"), "term"), Seq("lang"))
+    val exact = toks.groupBy("lang")
+      .agg(countDistinct(col("term")).as("exact"))
+    est.join(exact, "lang")
+      .withColumn("err_ppm",
+        round(abs(col("est") - col("exact")) / col("exact") * 1e6).cast("long"))
+      .select("lang", "n_set", "s_int", "est", "exact", "err_ppm")
+      .orderBy("lang")
+  }
+
+  val profileHllSql: String =
+    """WITH tk AS (SELECT DISTINCT lang, unnest(list_distinct(
+      |             regexp_extract_all(lower(text), '[a-z0-9_]{2,}'))) AS term
+      |           FROM documents),
+      |h AS (SELECT lang, term,
+      |             CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+      |      FROM tk),
+      |r AS (SELECT lang, h >> 51 AS reg_idx,
+      |             CASE WHEN (h & ((1::BIGINT << 51) - 1)) = 0 THEN 52
+      |                  ELSE 52 - length(bin(h & ((1::BIGINT << 51) - 1)))
+      |             END AS rho
+      |      FROM h),
+      |g AS (SELECT lang, reg_idx, max(rho) AS reg FROM r GROUP BY 1, 2),
+      |e AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_set,
+      |             CAST(sum(1::BIGINT << (52 - reg)) AS BIGINT)
+      |               + (512 - count(*)) * (1::BIGINT << 52) AS s_int
+      |      FROM g GROUP BY 1),
+      |f AS (SELECT lang, n_set, s_int,
+      |             (0.7213 / (1 + 1.079 / 512)) * 512 * 512 * (1::BIGINT << 52)
+      |               / s_int AS raw
+      |      FROM e),
+      |x AS (SELECT lang, CAST(count(DISTINCT term) AS BIGINT) AS exact
+      |      FROM tk GROUP BY 1)
+      |SELECT f.lang, n_set, s_int,
+      |       round(CASE WHEN raw <= 2.5 * 512 AND n_set < 512
+      |                  THEN 512 * ln(512.0 / (512 - n_set))
+      |                  ELSE raw END, 3) AS est,
+      |       exact,
+      |       CAST(round(abs(round(CASE WHEN raw <= 2.5 * 512 AND n_set < 512
+      |                  THEN 512 * ln(512.0 / (512 - n_set))
+      |                  ELSE raw END, 3) - exact) / exact * 1e6) AS BIGINT) AS err_ppm
+      |FROM f JOIN x ON f.lang = x.lang ORDER BY f.lang""".stripMargin
+
   // ---- length-bucketed inference batching (padding-waste minimizer):
   //      token-length-DESC batches of 16; the oracle replays the global
   //      rank as one window (the engine computes the identical rank via
@@ -939,7 +1013,9 @@ object OpsQueries {
     "q_search_expanded" -> (searchExpanded _),
     "q_search_spell" -> (searchSpell _),
     "q_mine_kcenter" -> (mineKcenter _),
-    "q_pack_batches" -> (packBatches _))
+    "q_pack_batches" -> (packBatches _),
+    "q_profile_hll_regs" -> (profileHllRegs _),
+    "q_profile_hll" -> (profileHll _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -962,5 +1038,7 @@ object OpsQueries {
     "q_search_expanded" -> searchExpandedSql,
     "q_search_spell" -> searchSpellSql,
     "q_mine_kcenter" -> mineKcenterSql,
-    "q_pack_batches" -> packBatchesSql)
+    "q_pack_batches" -> packBatchesSql,
+    "q_profile_hll_regs" -> profileHllRegsSql,
+    "q_profile_hll" -> profileHllSql)
 }
