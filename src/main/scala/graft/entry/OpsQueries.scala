@@ -748,6 +748,71 @@ object OpsQueries {
       |                  ELSE raw END, 3) - exact) / exact * 1e6) AS BIGINT) AS err_ppm
       |FROM f JOIN x ON f.lang = x.lang ORDER BY f.lang""".stripMargin
 
+  // ---- oracle-replayable Count-Min sketch over corpus term
+  //      frequencies: q_profile_cms_cells replays every non-zero cell;
+  //      q_profile_cms probes known terms and grades the (never-under)
+  //      estimates against exact counts. ----
+  private val CmsW = 1024
+  private val CmsD = 4
+
+  private def cmsTerms(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(explode(TextFunctions.tokens(col("text"))).as("term"))
+
+  def profileCmsCells(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Cms.sketch(cmsTerms(s, dir), "term", CmsW, CmsD)
+      .orderBy("row", "bucket")
+
+  val profileCmsCellsSql: String =
+    """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]{2,}')) AS term
+      |           FROM documents),
+      |c AS (SELECT r.row,
+      |             CAST('0x' || substr(md5(concat(CAST(r.row AS VARCHAR), ':', term)), 1, 15)
+      |                  AS BIGINT) % 1024 AS bucket
+      |      FROM tk CROSS JOIN (VALUES (0), (1), (2), (3)) r(row))
+      |SELECT CAST(row AS INTEGER) AS row, bucket, CAST(count(*) AS BIGINT) AS cnt
+      |FROM c GROUP BY row, bucket ORDER BY row, bucket""".stripMargin
+
+  def profileCms(s: SparkSession, dir: String): DataFrame = {
+    val terms = cmsTerms(s, dir)
+    val probes = Seq("spark", "query", "window", "customer", "zzz_absent")
+    val est = graft.operators.Cms.estimate(
+      graft.operators.Cms.sketch(terms, "term", CmsW, CmsD),
+      probes, CmsW, CmsD)
+    val exact = terms.filter(col("term").isin(probes: _*))
+      .groupBy(col("term").as("key"))
+      .agg(count(lit(1)).as("exact"))
+    est.join(exact, Seq("key"), "left")
+      .select(col("key"), col("est"),
+        coalesce(col("exact"), lit(0L)).as("exact"),
+        (col("est") - coalesce(col("exact"), lit(0L))).as("overcount"))
+      .orderBy("key")
+  }
+
+  val profileCmsSql: String =
+    """WITH tk AS (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9_]{2,}')) AS term
+      |           FROM documents),
+      |c AS (SELECT r.row,
+      |             CAST('0x' || substr(md5(concat(CAST(r.row AS VARCHAR), ':', term)), 1, 15)
+      |                  AS BIGINT) % 1024 AS bucket,
+      |             CAST(count(*) AS BIGINT) AS cnt
+      |      FROM tk CROSS JOIN (VALUES (0), (1), (2), (3)) r(row)
+      |      GROUP BY 1, 2),
+      |q(key) AS (VALUES ('spark'), ('query'), ('window'), ('customer'), ('zzz_absent')),
+      |pr AS (SELECT q.key, r.row,
+      |              CAST('0x' || substr(md5(concat(CAST(r.row AS VARCHAR), ':', q.key)), 1, 15)
+      |                   AS BIGINT) % 1024 AS bucket
+      |       FROM q CROSS JOIN (VALUES (0), (1), (2), (3)) r(row)),
+      |e AS (SELECT pr.key, min(COALESCE(c.cnt, 0)) AS est
+      |      FROM pr LEFT JOIN c ON pr.row = c.row AND pr.bucket = c.bucket
+      |      GROUP BY pr.key),
+      |x AS (SELECT term AS key, CAST(count(*) AS BIGINT) AS exact
+      |      FROM tk WHERE term IN ('spark', 'query', 'window', 'customer')
+      |      GROUP BY 1)
+      |SELECT e.key, e.est, COALESCE(x.exact, 0) AS exact,
+      |       e.est - COALESCE(x.exact, 0) AS overcount
+      |FROM e LEFT JOIN x ON e.key = x.key ORDER BY e.key""".stripMargin
+
   // ---- length-bucketed inference batching (padding-waste minimizer):
   //      token-length-DESC batches of 16; the oracle replays the global
   //      rank as one window (the engine computes the identical rank via
@@ -1015,7 +1080,9 @@ object OpsQueries {
     "q_mine_kcenter" -> (mineKcenter _),
     "q_pack_batches" -> (packBatches _),
     "q_profile_hll_regs" -> (profileHllRegs _),
-    "q_profile_hll" -> (profileHll _))
+    "q_profile_hll" -> (profileHll _),
+    "q_profile_cms_cells" -> (profileCmsCells _),
+    "q_profile_cms" -> (profileCms _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -1040,5 +1107,7 @@ object OpsQueries {
     "q_mine_kcenter" -> mineKcenterSql,
     "q_pack_batches" -> packBatchesSql,
     "q_profile_hll_regs" -> profileHllRegsSql,
-    "q_profile_hll" -> profileHllSql)
+    "q_profile_hll" -> profileHllSql,
+    "q_profile_cms_cells" -> profileCmsCellsSql,
+    "q_profile_cms" -> profileCmsSql)
 }
