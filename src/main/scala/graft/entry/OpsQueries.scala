@@ -748,6 +748,72 @@ object OpsQueries {
       |                  ELSE raw END, 3) - exact) / exact * 1e6) AS BIGINT) AS err_ppm
       |FROM f JOIN x ON f.lang = x.lang ORDER BY f.lang""".stripMargin
 
+  // ---- bottom-k corpus-similarity sketch: pairwise source-vocabulary
+  //      Jaccard from 128-hash signatures, graded against the exact
+  //      pairwise Jaccard — estimates AND signatures are deterministic
+  //      integer arithmetic, so the oracle replays both in ppm. ----
+  def dedupSourceSim(s: SparkSession, dir: String): DataFrame = {
+    val k = 128
+    val toks = Tables.t(s, dir, "documents")
+      .select(col("source"),
+        explode(TextFunctions.distinctTokens(col("text"))).as("term"))
+    val est = graft.operators.BottomK.jaccardEstimates(
+      graft.operators.BottomK.signatures(toks, "source", "term", k), k)
+    val sets = toks.distinct()
+    val sizes = sets.groupBy(col("source")).agg(count(lit(1)).as("n"))
+    val inter = sets.toDF("grp_a", "term")
+      .join(sets.toDF("grp_b", "term"), "term")
+      .filter(col("grp_a") < col("grp_b"))
+      .groupBy("grp_a", "grp_b").agg(count(lit(1)).as("x"))
+    est
+      .join(sizes.toDF("grp_a", "na"), "grp_a")
+      .join(sizes.toDF("grp_b", "nb"), "grp_b")
+      .join(inter, Seq("grp_a", "grp_b"), "left")
+      .withColumn("x", coalesce(col("x"), lit(0L)))
+      .withColumn("exact_ppm",
+        expr("x * 1000000 div (na + nb - x)"))
+      .select("grp_a", "grp_b", "k_used", "inter", "est_ppm", "exact_ppm")
+      .orderBy("grp_a", "grp_b")
+  }
+
+  val dedupSourceSimSql: String =
+    """WITH tk AS (SELECT DISTINCT source, unnest(list_distinct(
+      |             regexp_extract_all(lower(text), '[a-z0-9_]{2,}'))) AS term
+      |           FROM documents),
+      |h AS (SELECT source, term,
+      |             CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+      |      FROM tk),
+      |sig AS (SELECT source, h FROM (
+      |          SELECT source, h, row_number() OVER (PARTITION BY source ORDER BY h) AS rn
+      |          FROM h) WHERE rn <= 128),
+      |pr AS (SELECT a.source AS grp_a, b.source AS grp_b
+      |       FROM (SELECT DISTINCT source FROM sig) a
+      |       CROSS JOIN (SELECT DISTINCT source FROM sig) b
+      |       WHERE a.source < b.source),
+      |u AS (SELECT pr.grp_a, pr.grp_b, sig.h,
+      |             max(CASE WHEN sig.source = pr.grp_a THEN 1 ELSE 0 END) AS in_a,
+      |             max(CASE WHEN sig.source = pr.grp_b THEN 1 ELSE 0 END) AS in_b
+      |      FROM pr JOIN sig ON sig.source = pr.grp_a OR sig.source = pr.grp_b
+      |      GROUP BY pr.grp_a, pr.grp_b, sig.h),
+      |uk AS (SELECT * FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY grp_a, grp_b ORDER BY h) AS rn
+      |         FROM u) WHERE rn <= 128),
+      |e AS (SELECT grp_a, grp_b, CAST(count(*) AS BIGINT) AS k_used,
+      |             CAST(sum(CASE WHEN in_a = 1 AND in_b = 1 THEN 1 ELSE 0 END) AS BIGINT) AS inter
+      |      FROM uk GROUP BY 1, 2),
+      |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+      |ix AS (SELECT a.source AS grp_a, b.source AS grp_b, CAST(count(*) AS BIGINT) AS x
+      |       FROM tk a JOIN tk b ON a.term = b.term AND a.source < b.source
+      |       GROUP BY 1, 2)
+      |SELECT e.grp_a, e.grp_b, e.k_used, e.inter,
+      |       e.inter * 1000000 // e.k_used AS est_ppm,
+      |       COALESCE(ix.x, 0) * 1000000 // (sa.n + sb.n - COALESCE(ix.x, 0)) AS exact_ppm
+      |FROM e
+      |JOIN sz sa ON sa.source = e.grp_a
+      |JOIN sz sb ON sb.source = e.grp_b
+      |LEFT JOIN ix ON ix.grp_a = e.grp_a AND ix.grp_b = e.grp_b
+      |ORDER BY e.grp_a, e.grp_b""".stripMargin
+
   // ---- oracle-replayable Count-Min sketch over corpus term
   //      frequencies: q_profile_cms_cells replays every non-zero cell;
   //      q_profile_cms probes known terms and grades the (never-under)
@@ -1082,7 +1148,8 @@ object OpsQueries {
     "q_profile_hll_regs" -> (profileHllRegs _),
     "q_profile_hll" -> (profileHll _),
     "q_profile_cms_cells" -> (profileCmsCells _),
-    "q_profile_cms" -> (profileCms _))
+    "q_profile_cms" -> (profileCms _),
+    "q_dedup_source_sim" -> (dedupSourceSim _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -1109,5 +1176,6 @@ object OpsQueries {
     "q_profile_hll_regs" -> profileHllRegsSql,
     "q_profile_hll" -> profileHllSql,
     "q_profile_cms_cells" -> profileCmsCellsSql,
-    "q_profile_cms" -> profileCmsSql)
+    "q_profile_cms" -> profileCmsSql,
+    "q_dedup_source_sim" -> dedupSourceSimSql)
 }
