@@ -774,6 +774,32 @@ object ScaleProbe {
             .select(xxhash64(col("id")).as("id"), col("n_tok")),
           "id", "n_tok", batchSize = 64)).count()
     }
+    // mergeable-sketch family: all three are one narrow map + one
+    // combiner-collapsed aggregate whose OUTPUT is sketch-sized (m
+    // registers / d·w cells / groups·k signatures) regardless of corpus —
+    // the flat curves are the whole point of sketching at 100 TB
+    time("sketch_hll") {
+      graft.operators.Hll.estimate(
+        graft.operators.Hll.registers(
+          docs.select(explode(graft.functions.TextFunctions
+            .distinctTokens(col("content"))).as("term")),
+          Seq.empty, "term"), Seq.empty).count()
+    }
+    time("sketch_cms") {
+      graft.operators.Cms.sketch(
+        docs.select(explode(graft.functions.TextFunctions
+          .tokens(col("content"))).as("term")),
+        "term", width = 1024, depth = 4).count()
+    }
+    time("sketch_bottomk") {
+      val toks = docs
+        .withColumn("src", substring(col("id"), 1, 2))
+        .select(col("src"), explode(graft.functions.TextFunctions
+          .distinctTokens(col("content"))).as("term"))
+      graft.operators.BottomK.jaccardEstimates(
+        graft.operators.BottomK.signatures(toks, "src", "term", 128), 128)
+        .count()
+    }
     // SCD2 history build: two key-partitioned windows over one exchange;
     // replica users are disjoint so per-key run lengths are constant and
     // output grows exactly M-fold

@@ -748,6 +748,49 @@ object OpsQueries {
       |                  ELSE raw END, 3) - exact) / exact * 1e6) AS BIGINT) AS err_ppm
       |FROM f JOIN x ON f.lang = x.lang ORDER BY f.lang""".stripMargin
 
+  // ---- incremental sketch maintenance: the stored sketch of the old
+  //      corpus merged with the delta's sketch must equal a full
+  //      rebuild — and the ORACLE builds its registers from the whole
+  //      corpus in one pass, so the merge path is graded against an
+  //      independent engine, not against our own rebuild. ----
+  def pipelineSketchIncr(s: SparkSession, dir: String): DataFrame = {
+    val toks = Tables.t(s, dir, "documents")
+      .select(col("lang"), col("doc_id"),
+        explode(TextFunctions.distinctTokens(col("text"))).as("term"))
+    val old = graft.operators.Hll.registers(
+      toks.filter(col("doc_id") % 2 === 0), Seq("lang"), "term")
+    val delta = graft.operators.Hll.registers(
+      toks.filter(col("doc_id") % 2 === 1), Seq("lang"), "term")
+    graft.operators.Hll.estimate(
+      graft.operators.Hll.merge(old, delta, Seq("lang")), Seq("lang"))
+      .orderBy("lang")
+  }
+
+  val pipelineSketchIncrSql: String =
+    """WITH tk AS (SELECT DISTINCT lang, unnest(list_distinct(
+      |             regexp_extract_all(lower(text), '[a-z0-9_]{2,}'))) AS term
+      |           FROM documents),
+      |h AS (SELECT lang, CAST('0x' || substr(md5(term), 1, 15) AS BIGINT) AS h
+      |      FROM tk),
+      |r AS (SELECT lang, h >> 51 AS reg_idx,
+      |             CASE WHEN (h & ((1::BIGINT << 51) - 1)) = 0 THEN 52
+      |                  ELSE 52 - length(bin(h & ((1::BIGINT << 51) - 1)))
+      |             END AS rho
+      |      FROM h),
+      |g AS (SELECT lang, reg_idx, max(rho) AS reg FROM r GROUP BY 1, 2),
+      |e AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_set,
+      |             CAST(sum(1::BIGINT << (52 - reg)) AS BIGINT)
+      |               + (512 - count(*)) * (1::BIGINT << 52) AS s_int
+      |      FROM g GROUP BY 1)
+      |SELECT lang, n_set, s_int,
+      |       round(CASE WHEN (0.7213 / (1 + 1.079 / 512)) * 512 * 512
+      |                       * (1::BIGINT << 52) / s_int <= 2.5 * 512
+      |                       AND n_set < 512
+      |                  THEN 512 * ln(512.0 / (512 - n_set))
+      |                  ELSE (0.7213 / (1 + 1.079 / 512)) * 512 * 512
+      |                       * (1::BIGINT << 52) / s_int END, 3) AS est
+      |FROM e ORDER BY lang""".stripMargin
+
   // ---- bottom-k corpus-similarity sketch: pairwise source-vocabulary
   //      Jaccard from 128-hash signatures, graded against the exact
   //      pairwise Jaccard — estimates AND signatures are deterministic
@@ -1149,7 +1192,8 @@ object OpsQueries {
     "q_profile_hll" -> (profileHll _),
     "q_profile_cms_cells" -> (profileCmsCells _),
     "q_profile_cms" -> (profileCms _),
-    "q_dedup_source_sim" -> (dedupSourceSim _))
+    "q_dedup_source_sim" -> (dedupSourceSim _),
+    "q_pipeline_sketch_incr" -> (pipelineSketchIncr _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -1177,5 +1221,6 @@ object OpsQueries {
     "q_profile_hll" -> profileHllSql,
     "q_profile_cms_cells" -> profileCmsCellsSql,
     "q_profile_cms" -> profileCmsSql,
-    "q_dedup_source_sim" -> dedupSourceSimSql)
+    "q_dedup_source_sim" -> dedupSourceSimSql,
+    "q_pipeline_sketch_incr" -> pipelineSketchIncrSql)
 }
