@@ -1021,6 +1021,46 @@ object OpsQueries {
       |SELECT term, rank, suggestion, CAST(dist AS INTEGER) AS dist, freq
       |FROM r WHERE rank <= 3 ORDER BY term, rank""".stripMargin
 
+  // ---- learning-to-rank feature extraction: the BM25 top-10 turned
+  //      into a LETOR training table (one row per candidate, one column
+  //      per ranking signal); the oracle replays the serve AND every
+  //      feature cell. ----
+  def searchLtr(s: SparkSession, dir: String): DataFrame =
+    graft.search.LtrFeatures.features(
+      Tables.textCorpus(s, dir), 0, "spark join", 10)
+      .withColumn("bm25", round(col("bm25"), 6))
+      .orderBy(col("bm25").desc, col("id"))
+
+  val searchLtrSql: String =
+    """WITH d AS (SELECT doc_id AS id, regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks
+      |           FROM documents),
+      |st AS (SELECT CAST(count(*) AS BIGINT) AS n, avg(len(toks)) AS avgdl FROM d),
+      |q0(ord, term) AS (VALUES (0, 'spark'), (1, 'join')),
+      |tf0 AS (SELECT d.id, len(d.toks) AS dl, q.ord, q.term,
+      |               len(list_filter(d.toks, x -> x = q.term)) AS tf
+      |        FROM d CROSS JOIN q0 q),
+      |df0 AS (SELECT term, CAST(count(*) AS BIGINT) AS df FROM tf0 WHERE tf > 0 GROUP BY term),
+      |s0 AS (SELECT t.id,
+      |         sum(ln(1 + (st.n - df0.df + 0.5)/(df0.df + 0.5))
+      |             * (t.tf*2.2)/(t.tf + 1.2*(0.25 + 0.75*t.dl/st.avgdl))
+      |             ORDER BY t.ord) AS score
+      |       FROM tf0 t JOIN df0 USING (term) CROSS JOIN st
+      |       WHERE t.tf > 0 GROUP BY t.id),
+      |top AS (SELECT id, score FROM s0 ORDER BY score DESC, id LIMIT 10),
+      |f AS (SELECT t.id,
+      |        CAST(sum(CASE WHEN t.tf > 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_match,
+      |        CAST(sum(t.tf) AS BIGINT) AS tf_sum,
+      |        CAST(min(t.dl) AS BIGINT) AS dl,
+      |        CAST(min(CASE WHEN t.tf > 0 THEN df0.df END) AS BIGINT) AS df_min
+      |      FROM tf0 t JOIN df0 USING (term)
+      |      WHERE t.id IN (SELECT id FROM top)
+      |      GROUP BY t.id)
+      |SELECT CAST(0 AS INTEGER) AS query_idx, top.id,
+      |       round(top.score, 6) AS bm25,
+      |       f.n_match, f.tf_sum, f.dl, COALESCE(f.df_min, 0) AS df_min
+      |FROM top JOIN f ON top.id = f.id
+      |ORDER BY round(top.score, 6) DESC, top.id""".stripMargin
+
   // ---- k-anonymity / l-diversity privacy audit: per candidate k, the
   //      violating QI classes, rows needing suppression (exact ppm) and
   //      the attribute-disclosure floor (classes with ONE sensitive
@@ -1193,7 +1233,8 @@ object OpsQueries {
     "q_profile_cms_cells" -> (profileCmsCells _),
     "q_profile_cms" -> (profileCms _),
     "q_dedup_source_sim" -> (dedupSourceSim _),
-    "q_pipeline_sketch_incr" -> (pipelineSketchIncr _))
+    "q_pipeline_sketch_incr" -> (pipelineSketchIncr _),
+    "q_search_ltr" -> (searchLtr _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -1222,5 +1263,6 @@ object OpsQueries {
     "q_profile_cms_cells" -> profileCmsCellsSql,
     "q_profile_cms" -> profileCmsSql,
     "q_dedup_source_sim" -> dedupSourceSimSql,
-    "q_pipeline_sketch_incr" -> pipelineSketchIncrSql)
+    "q_pipeline_sketch_incr" -> pipelineSketchIncrSql,
+    "q_search_ltr" -> searchLtrSql)
 }
