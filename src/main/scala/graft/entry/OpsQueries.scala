@@ -1021,6 +1021,37 @@ object OpsQueries {
       |SELECT term, rank, suggestion, CAST(dist AS INTEGER) AS dist, freq
       |FROM r WHERE rank <= 3 ORDER BY term, rank""".stripMargin
 
+  // ---- market-basket association rules over the event stream: items
+  //      are the props payload's k, baskets are users; top 50 rules by
+  //      lift, every cell exact integer ppm. ----
+  def eventsAssoc(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Association.pairRules(
+      Tables.t(s, dir, "events")
+        .select(col("user_id"),
+          get_json_object(col("props"), "$.k").cast("int").as("item")),
+      "user_id", "item", minPairCount = 2)
+      .orderBy(col("lift_ppm").desc, col("a"), col("b"))
+      .limit(50)
+
+  val eventsAssocSql: String =
+    """WITH b AS (SELECT DISTINCT user_id AS basket,
+      |                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+      |           FROM events),
+      |n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM b),
+      |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS ic FROM b GROUP BY 1),
+      |p AS (SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS pair_n
+      |      FROM b x JOIN b y ON x.basket = y.basket AND x.item < y.item
+      |      GROUP BY 1, 2 HAVING count(*) >= 2)
+      |SELECT p.a, p.b, p.pair_n,
+      |       p.pair_n * 1000000 // n.n AS support_ppm,
+      |       p.pair_n * 1000000 // ca.ic AS conf_ab_ppm,
+      |       p.pair_n * 1000000 // cb.ic AS conf_ba_ppm,
+      |       p.pair_n * n.n * 1000000 // (ca.ic * cb.ic) AS lift_ppm
+      |FROM p CROSS JOIN n
+      |JOIN ic ca ON ca.item = p.a
+      |JOIN ic cb ON cb.item = p.b
+      |ORDER BY lift_ppm DESC, p.a, p.b LIMIT 50""".stripMargin
+
   // ---- learning-to-rank feature extraction: the BM25 top-10 turned
   //      into a LETOR training table (one row per candidate, one column
   //      per ranking signal); the oracle replays the serve AND every
@@ -1234,7 +1265,8 @@ object OpsQueries {
     "q_profile_cms" -> (profileCms _),
     "q_dedup_source_sim" -> (dedupSourceSim _),
     "q_pipeline_sketch_incr" -> (pipelineSketchIncr _),
-    "q_search_ltr" -> (searchLtr _))
+    "q_search_ltr" -> (searchLtr _),
+    "q_events_assoc" -> (eventsAssoc _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -1264,5 +1296,6 @@ object OpsQueries {
     "q_profile_cms" -> profileCmsSql,
     "q_dedup_source_sim" -> dedupSourceSimSql,
     "q_pipeline_sketch_incr" -> pipelineSketchIncrSql,
-    "q_search_ltr" -> searchLtrSql)
+    "q_search_ltr" -> searchLtrSql,
+    "q_events_assoc" -> eventsAssocSql)
 }
