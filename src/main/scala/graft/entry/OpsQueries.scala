@@ -1021,6 +1021,36 @@ object OpsQueries {
       |SELECT term, rank, suggestion, CAST(dist AS INTEGER) AS dist, freq
       |FROM r WHERE rank <= 3 ORDER BY term, rank""".stripMargin
 
+  // ---- robust outlier report: per event_type, median/MAD modified
+  //      z-score flags (k = 3.5) over the value column; medians and
+  //      flag counts replay via quantile_cont. ----
+  def evalOutliers(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Anomaly.madOutliers(
+      Tables.t(s, dir, "events"), "event_type", "value")
+      .select(col("group"), col("n"),
+        round(col("med"), 6).as("med"), round(col("mad"), 6).as("mad"),
+        col("n_outliers"), col("outlier_ppm"))
+      .orderBy("group")
+
+  val evalOutliersSql: String =
+    """WITH m AS (SELECT event_type AS grp,
+      |                  quantile_cont(value, 0.5) AS med
+      |           FROM events GROUP BY 1),
+      |d AS (SELECT e.event_type AS grp, e.value, m.med
+      |      FROM events e JOIN m ON e.event_type = m.grp),
+      |md AS (SELECT grp, quantile_cont(abs(value - med), 0.5) AS mad
+      |       FROM d GROUP BY 1)
+      |SELECT d.grp AS "group", CAST(count(*) AS BIGINT) AS n,
+      |       round(any_value(d.med), 6) AS med,
+      |       round(any_value(md.mad), 6) AS mad,
+      |       CAST(sum(CASE WHEN abs(d.value - d.med) > 3.5 * 1.4826 * md.mad
+      |                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+      |       CAST(sum(CASE WHEN abs(d.value - d.med) > 3.5 * 1.4826 * md.mad
+      |                     THEN 1 ELSE 0 END) AS BIGINT) * 1000000 // count(*)
+      |         AS outlier_ppm
+      |FROM d JOIN md ON d.grp = md.grp
+      |GROUP BY d.grp ORDER BY d.grp""".stripMargin
+
   // ---- market-basket association rules over the event stream: items
   //      are the props payload's k, baskets are users; top 50 rules by
   //      lift, every cell exact integer ppm. ----
@@ -1266,7 +1296,8 @@ object OpsQueries {
     "q_dedup_source_sim" -> (dedupSourceSim _),
     "q_pipeline_sketch_incr" -> (pipelineSketchIncr _),
     "q_search_ltr" -> (searchLtr _),
-    "q_events_assoc" -> (eventsAssoc _))
+    "q_events_assoc" -> (eventsAssoc _),
+    "q_eval_outliers" -> (evalOutliers _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -1297,5 +1328,6 @@ object OpsQueries {
     "q_dedup_source_sim" -> dedupSourceSimSql,
     "q_pipeline_sketch_incr" -> pipelineSketchIncrSql,
     "q_search_ltr" -> searchLtrSql,
-    "q_events_assoc" -> eventsAssocSql)
+    "q_events_assoc" -> eventsAssocSql,
+    "q_eval_outliers" -> evalOutliersSql)
 }

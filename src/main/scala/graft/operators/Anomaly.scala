@@ -63,4 +63,42 @@ object Anomaly {
         floor(col("dev").cast("double") / sqrt(col("var_num").cast("double"))
           * lit(1000)).cast("long").as("z_milli"))
   }
+
+  /** Robust per-group outlier report via the median/MAD modified z-score
+    * (Iglewicz & Hoaglin 1993): a value is an outlier when
+    * |x − median| > k · 1.4826 · MAD — immune to the outliers themselves
+    * in a way mean/stddev z-scores are not (each extreme value drags the
+    * mean toward itself). Output: (group, n, med, mad, n_outliers,
+    * outlier_ppm).
+    *
+    * Scale shape: three keyed aggregates (median, MAD, the flag count)
+    * with the group-count-sized median/MAD frames broadcast back. Exact
+    * `percentile` sorts per group — fine to ~10^8 rows/group, same
+    * adjudication as [[Profile.percentiles]]; swap its approx form in
+    * for monster groups.
+    */
+  def madOutliers(
+      df: DataFrame,
+      groupCol: String,
+      valueCol: String,
+      k: Double = 3.5): DataFrame = {
+    require(k > 0, s"need k > 0, got $k")
+    val v = col(valueCol).cast("double")
+    val med = df.groupBy(col(groupCol).as("group"))
+      .agg(percentile(v, lit(0.5)).as("med"))
+    val withMed = df.select(col(groupCol).as("group"), v.as("__v"))
+      .join(broadcast(med), "group")
+    val mad = withMed.groupBy("group")
+      .agg(percentile(abs(col("__v") - col("med")), lit(0.5)).as("mad"))
+    withMed.join(broadcast(mad), "group")
+      .withColumn("__out",
+        (abs(col("__v") - col("med")) >
+          lit(k) * lit(1.4826) * col("mad")).cast("long"))
+      .groupBy("group")
+      .agg(count(lit(1)).as("n"),
+        first(col("med")).as("med"),
+        first(col("mad")).as("mad"),
+        sum(col("__out")).as("n_outliers"))
+      .withColumn("outlier_ppm", expr("n_outliers * 1000000 div n"))
+  }
 }
