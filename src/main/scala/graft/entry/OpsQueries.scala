@@ -1021,6 +1021,43 @@ object OpsQueries {
       |SELECT term, rank, suggestion, CAST(dist AS INTEGER) AS dist, freq
       |FROM r WHERE rank <= 3 ORDER BY term, rank""".stripMargin
 
+  // ---- entity resolution: Ed-Join fuzzy pairs (k<=2) clustered by
+  //      large-star/small-star components, canonical = cluster-min name;
+  //      the oracle recomputes the same clusters by brute-force
+  //      levenshtein + RECURSIVE transitive closure — the iterative star
+  //      algorithm graded against an independent closure. ----
+  def erClusters(s: SparkSession, dir: String): DataFrame = {
+    val names = Tables.t(s, dir, "part")
+      .select(col("p_name").as("str")).distinct()
+      .select(col("str").as("id"), col("str"))
+    val pairs = graft.dedup.EditJoin.editDistancePairs(names, k = 2)
+      .select(col("src").as("a"), col("dst").as("b"))
+    val comps = graft.operators.Graph.connectedComponentsLss(pairs)
+    names.select(col("id"))
+      .join(comps, Seq("id"), "left")
+      .select(col("id").as("name"),
+        coalesce(col("comp"), col("id")).as("canonical"))
+      .groupBy("canonical")
+      .agg(count(lit(1)).as("n_members"), max(col("name")).as("max_name"))
+      .filter(col("n_members") >= 2)
+      .orderBy("canonical")
+  }
+
+  val erClustersSql: String =
+    """WITH RECURSIVE n AS (SELECT DISTINCT p_name AS name FROM part),
+      |e AS (SELECT a.name AS a, b.name AS b FROM n a, n b
+      |      WHERE a.name < b.name AND levenshtein(a.name, b.name) <= 2),
+      |sym AS (SELECT a, b FROM e UNION SELECT b AS a, a AS b FROM e),
+      |reach(node, r) AS (
+      |  SELECT name, name FROM n
+      |  UNION
+      |  SELECT sym.b, reach.r FROM reach JOIN sym ON sym.a = reach.node),
+      |lab AS (SELECT node AS name, min(r) AS canonical FROM reach GROUP BY node)
+      |SELECT canonical, CAST(count(*) AS BIGINT) AS n_members,
+      |       max(name) AS max_name
+      |FROM lab GROUP BY canonical HAVING count(*) >= 2
+      |ORDER BY canonical""".stripMargin
+
   // ---- robust outlier report: per event_type, median/MAD modified
   //      z-score flags (k = 3.5) over the value column; medians and
   //      flag counts replay via quantile_cont. ----
@@ -1297,7 +1334,8 @@ object OpsQueries {
     "q_pipeline_sketch_incr" -> (pipelineSketchIncr _),
     "q_search_ltr" -> (searchLtr _),
     "q_events_assoc" -> (eventsAssoc _),
-    "q_eval_outliers" -> (evalOutliers _))
+    "q_eval_outliers" -> (evalOutliers _),
+    "q_er_clusters" -> (erClusters _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -1329,5 +1367,6 @@ object OpsQueries {
     "q_pipeline_sketch_incr" -> pipelineSketchIncrSql,
     "q_search_ltr" -> searchLtrSql,
     "q_events_assoc" -> eventsAssocSql,
-    "q_eval_outliers" -> evalOutliersSql)
+    "q_eval_outliers" -> evalOutliersSql,
+    "q_er_clusters" -> erClustersSql)
 }
