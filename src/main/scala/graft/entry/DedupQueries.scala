@@ -245,6 +245,39 @@ object DedupQueries {
     s"""WITH $knnMutualCte
        |SELECT a, b, round(sc, 6) AS score FROM m ORDER BY a, b""".stripMargin
 
+  /** Label-propagation communities over the mutual-kNN graph (2
+    * deterministic synchronous rounds, most-frequent-neighbor-label with
+    * min-label ties) — the community structure WITHIN the connected
+    * components q_knn_mutual_clusters reports. The oracle replays both
+    * rounds as chained vote/argmax CTEs.
+    */
+  def graphLpa(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Graph.labelPropagation(
+      mutualEdges(s, dir).select("a", "b"), rounds = 2)
+      .groupBy("lbl").agg(count(lit(1)).as("n_members"),
+        sum("id").as("member_checksum"))
+      .select(col("lbl").as("community"), col("n_members"),
+        col("member_checksum"))
+      .orderBy("community")
+
+  val graphLpaSql: String =
+    s"""WITH $knnMutualCte,
+       |edges AS (SELECT a AS u, b AS v FROM m UNION SELECT b AS u, a AS v FROM m),
+       |l0 AS (SELECT DISTINCT u AS id, u AS lbl FROM edges),
+       |r1 AS (SELECT u AS id, lbl FROM (
+       |         SELECT c.*, row_number() OVER (PARTITION BY u ORDER BY n DESC, lbl) AS rn
+       |         FROM (SELECT e.u, l.lbl, count(*) AS n
+       |               FROM edges e JOIN l0 l ON l.id = e.v GROUP BY 1, 2) c)
+       |       WHERE rn = 1),
+       |r2 AS (SELECT u AS id, lbl FROM (
+       |         SELECT c.*, row_number() OVER (PARTITION BY u ORDER BY n DESC, lbl) AS rn
+       |         FROM (SELECT e.u, l.lbl, count(*) AS n
+       |               FROM edges e JOIN r1 l ON l.id = e.v GROUP BY 1, 2) c)
+       |       WHERE rn = 1)
+       |SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_members,
+       |       CAST(sum(id) AS BIGINT) AS member_checksum
+       |FROM r2 GROUP BY 1 ORDER BY community""".stripMargin
+
   def knnMutualClusters(s: SparkSession, dir: String): DataFrame =
     Dedup.duplicateClusters(mutualEdges(s, dir).select("a", "b"))
       .groupBy("comp").agg(count(lit(1)).as("n_members"),
@@ -1490,6 +1523,7 @@ object DedupQueries {
     "q_mine_triplets" -> (mineTriplets _),
     "q_knn_mutual" -> (knnMutual _),
     "q_knn_mutual_clusters" -> (knnMutualClusters _),
+    "q_graph_lpa" -> (graphLpa _),
     "q_cluster_purity" -> (clusterPurity _),
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> (dedupSimhash64 _),
@@ -1533,6 +1567,7 @@ object DedupQueries {
     "q_mine_triplets" -> mineTripletsSql,
     "q_knn_mutual" -> knnMutualSql,
     "q_knn_mutual_clusters" -> knnMutualClustersSql,
+    "q_graph_lpa" -> graphLpaSql,
     "q_cluster_purity" -> clusterPuritySql,
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,

@@ -146,6 +146,44 @@ object Graph {
       .select(col("id"), coalesce(col("comp"), col("id")).as("comp"))
   }
 
+  /** Deterministic synchronous label propagation (Raghavan–Albert–Kumara
+    * 2007, with a bit-reproducible tie rule): init label(v) = v, then
+    * each round every node takes its neighbors' most frequent CURRENT
+    * label, ties to the smallest label. Communities, where
+    * [[connectedComponentsLss]] gives components — on a dense near-dup
+    * or mutual-kNN graph, LPA splits a connected blob into its tight
+    * cores. Fixed round count: a bounded pipeline stage (vanilla LPA's
+    * open-ended fixpoint can oscillate under synchronous update; bounded
+    * rounds + the deterministic tie rule keep it replayable).
+    *
+    * Scale shape: each round is ONE keyed join (edge × current label) +
+    * one (node, label) count aggregate + one per-node argmax window over
+    * that node's distinct neighbor LABELS (≤ degree rows); labels
+    * localCheckpoint per round (the pageRank precedent).
+    */
+  def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
+    require(rounds >= 1 && rounds <= 20, s"rounds 1..20, got $rounds")
+    val sym = pairs.select(col("a").as("u"), col("b").as("v"))
+      .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
+      .distinct().localCheckpoint()
+    var labels = sym.select(col("u").as("id")).distinct()
+      .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy("u").orderBy(col("n").desc, col("lbl").asc)
+    var r = 0
+    while (r < rounds) {
+      labels = sym
+        .join(labels.withColumnRenamed("id", "v"), "v")
+        .groupBy("u", "lbl").agg(count(lit(1)).as("n"))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("u").as("id"), col("lbl"))
+        .localCheckpoint()
+      r += 1
+    }
+    labels
+  }
+
   /** Per-node triangle count + local clustering coefficient over the
     * undirected pair graph — the companion structure signal to
     * [[pageRank]]: in a near-dup graph, high clustering (your neighbors
