@@ -1021,6 +1021,69 @@ object OpsQueries {
       |SELECT term, rank, suggestion, CAST(dist AS INTEGER) AS dist, freq
       |FROM r WHERE rank <= 3 ORDER BY term, rank""".stripMargin
 
+  // ---- RAG answer attribution (provenance): synthesized answers whose
+  //      sentence s is the first 8 tokens of doc answer_id+s, contexts =
+  //      docs answer_id..answer_id+2 — the engine must attribute each
+  //      sentence by max 3-gram containment, and the oracle replays the
+  //      whole n-gram argmax from the same token arithmetic. ----
+  def ragAttribution(s: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text"))
+    val base = docs.filter(col("doc_id") % 50 === 0)
+      .select(col("doc_id").as("answer_id"))
+    val sentences = base
+      .select(col("answer_id"), explode(array(lit(0), lit(1))).as("sent_idx"))
+      .join(docs, col("doc_id") === col("answer_id") + col("sent_idx"))
+      .select(col("answer_id"), col("sent_idx"),
+        TextFunctions.tokens(col("text")).as("__t"))
+      .select(col("answer_id"), col("sent_idx"),
+        expr("concat_ws(' ', slice(__t, 1, 8))").as("text"))
+    val contexts = base
+      .select(col("answer_id"),
+        explode(array(lit(0), lit(1), lit(2))).as("off"))
+      .join(docs, col("doc_id") === col("answer_id") + col("off"))
+      .select(col("answer_id"), col("doc_id"), col("text").as("content"))
+    graft.search.Attribution.attribute(sentences, contexts)
+      .orderBy("answer_id", "sent_idx")
+  }
+
+  val ragAttributionSql: String =
+    """WITH d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks
+      |           FROM documents),
+      |a AS (SELECT doc_id AS answer_id FROM d WHERE doc_id % 50 = 0),
+      |sent AS (SELECT a.answer_id, s.i AS sent_idx, d2.toks[1:8] AS st
+      |         FROM a CROSS JOIN (VALUES (0), (1)) s(i)
+      |         JOIN d d2 ON d2.doc_id = a.answer_id + s.i),
+      |sg AS (SELECT answer_id, sent_idx,
+      |              list_distinct([array_to_string(st[i:i+2], ' ')
+      |                             for i in range(1, greatest(len(st) - 1, 1))]) AS gs
+      |       FROM sent),
+      |ctx AS (SELECT a.answer_id, d2.doc_id,
+      |               list_distinct([array_to_string(d2.toks[i:i+2], ' ')
+      |                              for i in range(1, greatest(len(d2.toks) - 1, 1))]) AS gs
+      |        FROM a CROSS JOIN (VALUES (0), (1), (2)) o(i)
+      |        JOIN d d2 ON d2.doc_id = a.answer_id + o.i),
+      |se AS (SELECT answer_id, sent_idx, len(gs) AS n_grams, unnest(gs) AS g FROM sg),
+      |ce AS (SELECT answer_id, doc_id, unnest(gs) AS g FROM ctx),
+      |m AS (SELECT se.answer_id, se.sent_idx, se.n_grams, ce.doc_id,
+      |             CAST(count(*) AS BIGINT) AS n_match
+      |      FROM se JOIN ce ON se.answer_id = ce.answer_id AND se.g = ce.g
+      |      GROUP BY 1, 2, 3, 4),
+      |best AS (SELECT * FROM (
+      |           SELECT m.*, row_number() OVER (PARTITION BY answer_id, sent_idx
+      |                    ORDER BY n_match DESC, doc_id) AS rn FROM m)
+      |         WHERE rn = 1)
+      |SELECT sg.answer_id, sg.sent_idx,
+      |       COALESCE(best.doc_id, -1) AS doc_id,
+      |       COALESCE(best.n_match, 0) AS n_match,
+      |       CAST(len(sg.gs) AS BIGINT) AS n_grams,
+      |       CASE WHEN len(sg.gs) = 0 THEN 0
+      |            ELSE COALESCE(best.n_match, 0) * 1000000 // len(sg.gs) END
+      |         AS coverage_ppm
+      |FROM sg LEFT JOIN best
+      |  ON sg.answer_id = best.answer_id AND sg.sent_idx = best.sent_idx
+      |ORDER BY sg.answer_id, sg.sent_idx""".stripMargin
+
   // ---- entity resolution: Ed-Join fuzzy pairs (k<=2) clustered by
   //      large-star/small-star components, canonical = cluster-min name;
   //      the oracle recomputes the same clusters by brute-force
@@ -1335,7 +1398,8 @@ object OpsQueries {
     "q_search_ltr" -> (searchLtr _),
     "q_events_assoc" -> (eventsAssoc _),
     "q_eval_outliers" -> (evalOutliers _),
-    "q_er_clusters" -> (erClusters _))
+    "q_er_clusters" -> (erClusters _),
+    "q_rag_attribution" -> (ragAttribution _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -1368,5 +1432,6 @@ object OpsQueries {
     "q_search_ltr" -> searchLtrSql,
     "q_events_assoc" -> eventsAssocSql,
     "q_eval_outliers" -> evalOutliersSql,
-    "q_er_clusters" -> erClustersSql)
+    "q_er_clusters" -> erClustersSql,
+    "q_rag_attribution" -> ragAttributionSql)
 }
