@@ -1021,6 +1021,40 @@ object OpsQueries {
       |SELECT term, rank, suggestion, CAST(dist AS INTEGER) AS dist, freq
       |FROM r WHERE rank <= 3 ORDER BY term, rank""".stripMargin
 
+  // ---- seasonal-naive predictability (MASE frame): hourly event counts
+  //      per type, season = 24h; exact integer error sums and ppm ratio.
+  //      Decides which series carry real seasonality vs drift. ----
+  def eventsSeasonal(s: SparkSession, dir: String): DataFrame = {
+    val hourly = Tables.t(s, dir, "events")
+      .select(col("event_type"),
+        expr("timestampdiff(HOUR, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+          .as("hour"))
+      .groupBy("event_type", "hour").agg(count(lit(1)).as("n"))
+    graft.operators.Anomaly.seasonalNaive(
+      hourly, "event_type", "hour", "n", season = 24)
+      .orderBy("series")
+  }
+
+  val eventsSeasonalSql: String =
+    """WITH h AS (SELECT event_type, epoch_us(ts) // 3600000000 AS hour,
+      |                  CAST(count(*) AS BIGINT) AS n
+      |           FROM events GROUP BY 1, 2),
+      |l AS (SELECT event_type, n,
+      |             abs(n - lag(n, 24) OVER w) AS s,
+      |             abs(n - lag(n, 1) OVER w) AS d
+      |      FROM h WINDOW w AS (PARTITION BY event_type ORDER BY hour)),
+      |e AS (SELECT event_type AS series, CAST(count(*) AS BIGINT) AS n_periods,
+      |             CAST(count(s) AS BIGINT) AS n_seasonal,
+      |             CAST(COALESCE(sum(s), 0) AS BIGINT) AS sum_abs_seasonal,
+      |             CAST(count(d) AS BIGINT) AS n_naive,
+      |             CAST(COALESCE(sum(d), 0) AS BIGINT) AS sum_abs_naive
+      |      FROM l GROUP BY 1)
+      |SELECT *,
+      |       CASE WHEN sum_abs_naive = 0 OR n_seasonal = 0 THEN -1
+      |            ELSE sum_abs_seasonal * n_naive * 1000000
+      |                 // (sum_abs_naive * n_seasonal) END AS mase_ppm
+      |FROM e ORDER BY series""".stripMargin
+
   // ---- RAG answer attribution (provenance): synthesized answers whose
   //      sentence s is the first 8 tokens of doc answer_id+s, contexts =
   //      docs answer_id..answer_id+2 — the engine must attribute each
@@ -1399,7 +1433,8 @@ object OpsQueries {
     "q_events_assoc" -> (eventsAssoc _),
     "q_eval_outliers" -> (evalOutliers _),
     "q_er_clusters" -> (erClusters _),
-    "q_rag_attribution" -> (ragAttribution _))
+    "q_rag_attribution" -> (ragAttribution _),
+    "q_events_seasonal" -> (eventsSeasonal _))
 
   def oracles: Map[String, String] = Map(
     "q_snapshot_diff" -> snapshotDiffSql,
@@ -1433,5 +1468,6 @@ object OpsQueries {
     "q_events_assoc" -> eventsAssocSql,
     "q_eval_outliers" -> evalOutliersSql,
     "q_er_clusters" -> erClustersSql,
-    "q_rag_attribution" -> ragAttributionSql)
+    "q_rag_attribution" -> ragAttributionSql,
+    "q_events_seasonal" -> eventsSeasonalSql)
 }

@@ -64,6 +64,47 @@ object Anomaly {
           * lit(1000)).cast("long").as("z_milli"))
   }
 
+  /** Seasonal-naive predictability report (Hyndman & Koehler 2006's MASE
+    * frame): per series, the mean absolute error of the seasonal-naive
+    * forecast ŷ(t) = y(t−season) against the one-step-naive baseline
+    * ŷ(t) = y(t−1), as the exact integer ratio
+    * mase_ppm = (Σ|seasonal err| · n₁ · 10⁶) div (Σ|naive err| · nₛ).
+    * mase < 1e6 ⇒ the seasonality is real signal; ≫ 1e6 ⇒ the series
+    * drifts faster than its season repeats. The triage that decides
+    * which series deserve a real forecasting model — and which metrics'
+    * "anomalies" are just un-modeled seasonality.
+    *
+    * Input: one value per (series, period) — pre-aggregate first (e.g.
+    * hourly counts). Scale shape: two lag windows partitioned by series
+    * over one exchange + one keyed aggregate; missing periods are NOT
+    * filled (lags are row-wise over observed periods, the standard
+    * discrete-index MASE).
+    */
+  def seasonalNaive(
+      df: DataFrame,
+      seriesCol: String,
+      periodCol: String,
+      valueCol: String,
+      season: Int): DataFrame = {
+    require(season >= 2, s"season >= 2, got $season")
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(seriesCol).orderBy(periodCol)
+    val v = col(valueCol).cast("long")
+    df
+      .withColumn("__s", abs(v - lag(v, season).over(w)))
+      .withColumn("__n", abs(v - lag(v, 1).over(w)))
+      .groupBy(col(seriesCol).as("series"))
+      .agg(count(lit(1)).as("n_periods"),
+        count(col("__s")).as("n_seasonal"),
+        coalesce(sum(col("__s")), lit(0L)).as("sum_abs_seasonal"),
+        count(col("__n")).as("n_naive"),
+        coalesce(sum(col("__n")), lit(0L)).as("sum_abs_naive"))
+      .withColumn("mase_ppm",
+        when(col("sum_abs_naive") === 0 || col("n_seasonal") === 0, lit(-1L))
+          .otherwise(expr(
+            "sum_abs_seasonal * n_naive * 1000000 div (sum_abs_naive * n_seasonal)")))
+  }
+
   /** Robust per-group outlier report via the median/MAD modified z-score
     * (Iglewicz & Hoaglin 1993): a value is an outlier when
     * |x − median| > k · 1.4826 · MAD — immune to the outliers themselves
