@@ -663,6 +663,39 @@ object Dedup {
     * finds every true candidate, and a hash COLLISION can only add a
     * false candidate that the exact-Jaccard verify discards.
     */
+  /** Diagnosed route chooser between [[ngramJaccard]] (cheapest
+    * constants, but its inverted candidate join carries a Σ df² term one
+    * stop-shingle spike blows up unboundedly) and [[ngramJaccardPrefix]]
+    * (PPJoin — no d² term, ~2× the constants at mild skew, measured at
+    * sf0.1). The decision statistic IS the plain route's risk term: the
+    * expected candidate fan-out per document, Σ df·(df−1)/2 ÷ n_docs,
+    * from one aggregate-sized pass over the shingle df frame. Mild
+    * corpora (fan-out ≤ `maxCandidatesPerDoc`) take the plain route;
+    * df-spiky corpora take the prefix route. Both routes are proven
+    * result-identical (DedupSpec), so consumers only ever see the cost
+    * difference — the same diagnosed-routing pattern as the skew-aware
+    * curation rollup (SkewTools). Diagnosis cost: one extra
+    * shingle+count pass (the chosen route rebuilds its own shingles).
+    */
+  def ngramJaccardAdaptive(
+      docs: DataFrame,
+      threshold: Double,
+      shingleN: Int = 3,
+      maxCandidatesPerDoc: Long = 1024L): DataFrame = {
+    require(maxCandidatesPerDoc >= 1, s"bad cap $maxCandidatesPerDoc")
+    val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    try {
+      val nDocs = math.max(sets.count(), 1L)
+      val cand = sets.select(explode(col("shs")).as("sh"))
+        .groupBy("sh").agg(count(lit(1)).as("df"))
+        .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
+        .head().getLong(0)
+      if (cand / nDocs <= maxCandidatesPerDoc)
+        ngramJaccard(docs, threshold, shingleN)
+      else ngramJaccardPrefix(docs, threshold, shingleN)
+    } finally sets.unpersist()
+  }
+
   def ngramJaccardPrefix(
       docs: DataFrame,
       threshold: Double,

@@ -174,7 +174,7 @@ object DedupQueries {
   //      (knnJoinBlocked/IVF is the corpus-scale kNN swap-in; the mine
   //      itself only touches output-sized frames). ----
   def mineTriplets(s: SparkSession, dir: String): DataFrame = {
-    val pairs = Dedup.ngramJaccardPrefix(docs(s, dir), threshold = 0.5).select("a", "b")
+    val pairs = Dedup.ngramJaccardAdaptive(docs(s, dir), threshold = 0.5).select("a", "b")
     val knn = Ann.knnJoin(Tables.vectors(s, dir), k = 10)
     graft.operators.Triplets.mine(pairs, knn, nNeg = 3)
       .withColumn("neg_cos", round(col("neg_cos"), 6))
@@ -352,7 +352,7 @@ object DedupQueries {
   def dedupSweep(s: SparkSession, dir: String): DataFrame = {
     val spark = s
     import spark.implicits._
-    val pairs = Dedup.ngramJaccardPrefix(docs(s, dir), threshold = 0.3)
+    val pairs = Dedup.ngramJaccardAdaptive(docs(s, dir), threshold = 0.3)
     val tDf = Seq(0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9).toDF("threshold")
     val hit = pairs.crossJoin(broadcast(tDf))
       .filter(col("jaccard") >= col("threshold"))
@@ -1237,7 +1237,7 @@ object DedupQueries {
   //      as unrolled CTEs. ----
   def graphPagerank(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.pageRank(
-      Dedup.ngramJaccardPrefix(docs(s, dir), threshold = 0.3).select("a", "b"),
+      Dedup.ngramJaccardAdaptive(docs(s, dir), threshold = 0.3).select("a", "b"),
       iters = 5)
       .orderBy(desc("rank_micro"), col("id"))
 
@@ -1273,7 +1273,7 @@ object DedupQueries {
   //      rounds with the seed-conditional restart vector. ----
   def graphPpr(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.pageRankPersonalized(
-      Dedup.ngramJaccardPrefix(docs(s, dir), threshold = 0.3).select("a", "b"),
+      Dedup.ngramJaccardAdaptive(docs(s, dir), threshold = 0.3).select("a", "b"),
       isSeed = id => id % 10 === 0, iters = 5)
       .orderBy(desc("rank_micro"), col("id"))
 
@@ -1318,7 +1318,7 @@ object DedupQueries {
   //      closing-edge probe, and the integer cc arithmetic. ----
   def graphTriangles(s: SparkSession, dir: String): DataFrame =
     graft.operators.Graph.triangles(
-      Dedup.ngramJaccardPrefix(docs(s, dir), threshold = 0.3).select("a", "b"))
+      Dedup.ngramJaccardAdaptive(docs(s, dir), threshold = 0.3).select("a", "b"))
       .orderBy("id")
 
   val graphTrianglesSql: String =

@@ -208,6 +208,20 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("adaptive jaccard routing: both route choices return the identical pairs") {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("content"))
+    val plain = Dedup.ngramJaccard(docs, 0.5)
+    // cap high -> diagnosis picks the plain route; cap 1 -> prefix route;
+    // either way the result must be the plain form's exact pair set
+    for (cap <- Seq(Long.MaxValue, 1L)) {
+      val got = Dedup.ngramJaccardAdaptive(docs, 0.5, maxCandidatesPerDoc = cap)
+      assert(got.exceptAll(plain).count() == 0 &&
+        plain.exceptAll(got).count() == 0, s"mismatch at cap=$cap")
+      spark.catalog.clearCache()
+    }
+  }
+
   test("simhash blocking is lossless for hamming <= blocks-1") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))
