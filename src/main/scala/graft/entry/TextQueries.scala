@@ -546,6 +546,7 @@ object TextQueries {
       if (id % 7 == 0)
         Multimodal.animatedGif(w, h,
           Seq.fill((1 + id % 4).toInt)((r, g, b)))
+      else if (id % 3 == 0) Multimodal.solidImage(w, h, r, g, b, "tiff")
       else if (id % 2 == 0) Multimodal.solidImage(w, h, r, g, b, "gif")
       else Multimodal.solidImage(w, h, r, g, b, "bmp")
     })

@@ -59,9 +59,13 @@ object Multimodal {
       d(2) == 'F'.toByte && d(3) == '8'.toByte
   private def isBmp(d: Array[Byte]): Boolean =
     d.length > 14 && d(0) == 'B'.toByte && d(1) == 'M'.toByte
+  private def isTiff(d: Array[Byte]): Boolean =
+    d.length > 8 &&
+      ((d(0) == 'I'.toByte && d(1) == 'I'.toByte && d(2) == 0x2a && d(3) == 0) ||
+        (d(0) == 'M'.toByte && d(1) == 'M'.toByte && d(2) == 0 && d(3) == 0x2a))
 
   private def isImage(d: Array[Byte]): Boolean =
-    isPng(d) || isJpeg(d) || isGif(d) || isBmp(d)
+    isPng(d) || isJpeg(d) || isGif(d) || isBmp(d) || isTiff(d)
 
   /** Real frame count of an (possibly animated) GIF via the JDK reader's
     * own index — `ImageIO.read` only ever surfaces the first frame.
@@ -825,16 +829,17 @@ object Multimodal {
     out.toByteArray
   }
 
-  /** [[solidPng]] in the other two JDK-native container formats: GIF's
-    * palette holds a solid fill exactly (one palette entry), and BMP is
-    * uncompressed RGB — both roundtrip the fill byte-exact, so the same
-    * closed-form luma oracle applies.
+  /** [[solidPng]] in the other JDK-native container formats: GIF's
+    * palette holds a solid fill exactly (one palette entry), BMP is
+    * uncompressed RGB, and the JDK's TIFF plugin (baseline, since 9)
+    * writes lossless RGB — all roundtrip the fill byte-exact, so the
+    * same closed-form luma oracle applies.
     */
   def solidImage(w: Int, h: Int, r: Int, g: Int, b: Int,
       format: String): Array[Byte] = {
     require(w >= 1 && h >= 1, s"bad dims ${w}x$h")
-    require(format == "gif" || format == "bmp" || format == "png",
-      s"unsupported format $format")
+    require(format == "gif" || format == "bmp" || format == "png" ||
+      format == "tiff", s"unsupported format $format")
     disableImageIoFileCache()
     val im = new java.awt.image.BufferedImage(
       w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)

@@ -192,7 +192,7 @@ class MultimodalSpec extends SparkSpec {
   }
 
   test("GIF and BMP decode: exact dims and solid-fill luma; animated GIF frame count") {
-    for (fmt <- Seq("gif", "bmp")) {
+    for (fmt <- Seq("gif", "bmp", "tiff")) {
       val bytes = Multimodal.solidImage(10, 6, 30, 60, 90, fmt)
       val out = Multimodal.decode(mediaDF((70L, "image", bytes))).collect().head
       assert(out.getAs[Int]("width") == 10 && out.getAs[Int]("height") == 6, fmt)
