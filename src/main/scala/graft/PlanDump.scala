@@ -108,6 +108,16 @@ object PlanDump {
     "q_pack_batches" -> "length batching: histogram agg -> driver offsets -> keyed in-length window (no global sort)",
     "q_events_scd2" -> "SCD2 build: two key-partitioned windows sharing one exchange",
     "q_events_pit" -> "point-in-time: SCD2 build + backward as-of union window (no range join)",
+    "q_profile_hll" -> "HLL: narrow hash map + (group, register) max agg — output 512 registers regardless of corpus",
+    "q_profile_cms" -> "CMS: d-way explode + combiner-collapsed cell counts; probes broadcast",
+    "q_dedup_source_sim" -> "bottom-k: distinct + WindowGroupLimit signatures; estimation reads groups x k rows only",
+    "q_events_assoc" -> "association rules: basket-keyed self-join (fan-out sum basket^2, capped), exact ppm",
+    "q_eval_outliers" -> "MAD outliers: three keyed aggs, group-sized median/MAD frames broadcast back",
+    "q_er_clusters" -> "ER: Ed-Join prefix candidates + banded verify -> star components",
+    "q_graph_lpa" -> "LPA: per round one keyed join + vote agg + per-node argmax over <= degree rows",
+    "q_rag_attribution" -> "attribution: (answer, gram)-keyed match join, argmax bounded by shortlist",
+    "q_events_seasonal" -> "seasonal MASE: two lag windows over one series-keyed exchange + one agg",
+    "q_search_ltr" -> "LTR features: serve top-k + one-pass stats agg + shortlist-only assembly",
     "q_snapshot_diff" -> "snapshot diff: full-outer join on 16-byte digests, keyed status rollup",
     "q_compaction_plan" -> "compaction plan: file-inventory agg -> bucketed prefix sum (window partitioned by coarse bucket)",
     "q_zorder_layout" -> "z-order: per-row codegen'd bit fold + ONE keyed aggregate",

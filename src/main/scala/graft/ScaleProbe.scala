@@ -491,11 +491,13 @@ object ScaleProbe {
     // near-dup graph PageRank: replicas share no shingles, so the edge
     // list (and the graph) grows exactly M-fold; 5 iterations of keyed
     // join+agg must track the edge count, not the corpus pair space.
-    // r8: pair generation rides the PPJoin prefix route, as the query
-    // does — r7 measured the PLAIN route's pair gen at ~95% of the 64×
-    // wall (149 s); the rank rounds themselves are edge-proportional
+    // late-r8: the ADAPTIVE route, as the query runs it — on this
+    // replica corpus the per-doc candidate fan-out stays ~261 at every
+    // multiplier (replicas share no shingles), so the diagnosis picks
+    // the plain route; a df-spiky corpus would flip it to the prefix
+    // route whose 64x fresh-JVM curve is measured at 117.5 s
     time("graph_pagerank") {
-      val pairs = graft.dedup.Dedup.ngramJaccardPrefix(docs, threshold = 0.3)
+      val pairs = graft.dedup.Dedup.ngramJaccardAdaptive(docs, threshold = 0.3)
         .select("a", "b")
       graft.operators.Graph.pageRank(pairs, iters = 5)
         .agg(count(lit(1)), sum(col("rank_micro"))).collect()(0).getLong(0)
@@ -552,9 +554,9 @@ object ScaleProbe {
     }
     // triangle census: degree-ordered wedges keep the join O(m^1.5);
     // replicas share no shingles so the edge list grows exactly M-fold.
-    // r8: prefix-route pair generation, as in graph_pagerank
+    // late-r8: adaptive pair generation, as in graph_pagerank
     time("graph_triangles") {
-      val pairs = graft.dedup.Dedup.ngramJaccardPrefix(docs, threshold = 0.3)
+      val pairs = graft.dedup.Dedup.ngramJaccardAdaptive(docs, threshold = 0.3)
         .select("a", "b")
       graft.operators.Graph.triangles(pairs)
         .agg(count(lit(1)), sum(col("tri"))).collect()(0).getLong(0)
