@@ -35,7 +35,8 @@ object SparkEntry {
       graft.entry.QualityQueries.queries ++
       graft.entry.EvalQueries.queries ++
       graft.entry.OlapQueries.queries ++
-      graft.entry.OpsQueries.queries
+      graft.entry.OpsQueries.queries ++
+      graft.entry.WebQueries.queries
 
   def oracleSql: Map[String, String] =
     searchOracles ++
@@ -46,7 +47,8 @@ object SparkEntry {
       graft.entry.QualityQueries.oracles ++
       graft.entry.EvalQueries.oracles ++
       graft.entry.OlapQueries.oracles ++
-      graft.entry.OpsQueries.oracles
+      graft.entry.OpsQueries.oracles ++
+      graft.entry.WebQueries.oracles
 
   private def searchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.3 semantic_search: exact cosine top-k, multi-query ----

@@ -61,6 +61,63 @@ object Dedup {
       .select(col("id"), sort_array(shingles(col("toks"), n)).as("shs"))
       .withColumn("len", size(col("shs")))
 
+  /** CJK codepoint class (kana + Han incl. ext A) as a Java-regex body.
+    * Explicit \\uXXXX ranges — NOT \\p{script=...} — so the DuckDB oracle's
+    * RE2 \\x{...} form denotes bit-identical codepoint sets regardless of
+    * either engine's Unicode table version.
+    */
+  private[dedup] val CjkClass = "\\u3040-\\u30ff\\u3400-\\u4dbf\\u4e00-\\u9fff"
+
+  /** Script-routed shingle sets for MULTILINGUAL corpora: (id, shs, len).
+    *
+    * The §2-parity tokenizer is the reference's own `[a-z0-9_]{2,}` casefold
+    * (epistemic_graph.py:55) — correct for parity, but a no-space-script
+    * document (CJK han/kana) tokenizes to an EMPTY set, so near-dup
+    * detection silently no-ops on the majority of a real multilingual web
+    * corpus. This mode routes per DOCUMENT:
+    *   - char mode (≥30% CJK among non-space chars): overlapping character
+    *     `charN`-grams over the lowercased text stripped to [a-z0-9]+CJK —
+    *     the standard shingle unit where whitespace carries no word
+    *     boundary (integer 10·cjk ≥ 3·nonspace comparison: no float fuzz,
+    *     oracle-exact);
+    *   - word mode otherwise: `[\p{L}0-9_]{2,}` word tokens (the \p{L}
+    *     class covers accented Latin/Greek/Cyrillic/Arabic/Hebrew words the
+    *     ASCII canon drops) joined into `wordN`-gram shingles.
+    * Routing is a per-row `when()` — one scan, no shuffle, same downstream
+    * contract as [[shingleSets]], so every pair generator (plain inverted
+    * index, PPJoin prefix, adaptive) composes unchanged via
+    * [[ngramJaccardFromSets]].
+    */
+  def shingleSetsMultiscript(
+      docs: DataFrame, wordN: Int = 3, charN: Int = 3): DataFrame = {
+    val lowered = lower(col("content"))
+    val cjkChars = length(regexp_replace(lowered, s"[^$CjkClass]", ""))
+    val nonSpace = length(regexp_replace(lowered, "\\s", ""))
+    val charSrc = regexp_replace(lowered, s"[^a-z0-9$CjkClass]", "")
+    // native CharNgrams, NOT a transform() lambda: the HOF form would
+    // re-run the regexp_replace normalization once per n-gram (the
+    // documented TextExpressions projection-collapse trap)
+    val charSh = graft.functions.TextExpressions.charNgrams(charSrc, charN)
+    val wordToks = regexp_extract_all(lowered, lit("[\\p{L}0-9_]{2,}"), lit(0))
+    val wordSh = graft.functions.TextFunctions.shingles(wordToks, wordN)
+    docs
+      .select(col("id"),
+        sort_array(array_distinct(
+          when(cjkChars * 10 >= nonSpace * 3, charSh).otherwise(wordSh))).as("shs"))
+      .withColumn("len", size(col("shs")))
+  }
+
+  /** Exact Jaccard near-dup pairs over the script-routed shingle sets —
+    * [[ngramJaccard]]'s multilingual sibling. Same inverted-index pair
+    * generation ([[ngramJaccardFromSets]]); only the shingle unit routes.
+    */
+  def multiscriptNearDups(
+      docs: DataFrame, threshold: Double,
+      wordN: Int = 3, charN: Int = 3): DataFrame =
+    ngramJaccardFromSets(
+      shingleSetsMultiscript(docs, wordN, charN).persist(StorageLevel.MEMORY_ONLY),
+      threshold)
+
   /** Deterministic MinHash permutation constants (fixed, engine-versioned). */
   val MinHashSeeds: Seq[(Long, Long)] = {
     val p = MinHashP
@@ -480,8 +537,20 @@ object Dedup {
       docs: DataFrame,
       threshold: Double,
       shingleN: Int = 3,
+      maxShingleDf: Int = Int.MaxValue): DataFrame =
+    ngramJaccardFromSets(
+      shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY),
+      threshold, maxShingleDf)
+
+  /** [[ngramJaccard]] over an ALREADY-PERSISTED shingle frame — the reuse
+    * seam for [[ngramJaccardAdaptive]], whose diagnosis pass has the frame
+    * cached already; re-shingling the corpus in the chosen route would
+    * triple the dominant scan at 100 TB. Caller owns the persist.
+    */
+  private[dedup] def ngramJaccardFromSets(
+      sets: DataFrame,
+      threshold: Double,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
-    val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
     val sh = sets.select(col("id"), explode(col("shs")).as("sh"))
     val sizes = sets.select(col("id"), col("len")) // set cardinality, no shuffle
     // Skew guard for the inverted join: a shingle shared by d documents
@@ -586,9 +655,22 @@ object Dedup {
     */
   private val DfBroadcastMaxEntries = 4L << 20
 
-  private def dfFrameHinted(dfs: DataFrame): DataFrame = {
+  /** Broadcast-hint an already-counted df frame: callers that produced the
+    * frame in their own diagnosis pass (the adaptive router) pass the known
+    * entry count so the gate costs ZERO extra jobs here.
+    */
+  private def dfFrameHintedKnown(dfs: DataFrame, entries: Long): DataFrame =
+    if (entries <= DfBroadcastMaxEntries) broadcast(dfs) else dfs
+
+  /** Persist + count + broadcast-hint a freshly built df frame. Returns the
+    * hinted frame AND the persisted handle — the caller unpersists it once
+    * the candidate set is materialized (the df frame feeds candidate
+    * generation only, never verification, so holding it past the
+    * localCheckpoint of the candidates would leak a session-lived cache).
+    */
+  private def dfFrameOwned(dfs: DataFrame): (DataFrame, DataFrame) = {
     val d = dfs.persist(StorageLevel.MEMORY_ONLY)
-    if (d.count() <= DfBroadcastMaxEntries) broadcast(d) else d
+    (if (d.count() <= DfBroadcastMaxEntries) broadcast(d) else d, d)
   }
 
   def ngramContainmentPairsPrefix(
@@ -600,7 +682,7 @@ object Dedup {
     val sh = sets
       .select(col("id"), explode(col("shs")).as("sh"), col("len"))
       .withColumn("h", xxhash64(col("sh")))
-    val dfs = dfFrameHinted(sh.groupBy("h").agg(count(lit(1)).as("df")))
+    val (dfs, dfOwned) = dfFrameOwned(sh.groupBy("h").agg(count(lit(1)).as("df")))
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("h").asc, col("sh").asc)
     // per-doc prefix length varies with |Sa|, and a length-DEPENDENT
@@ -617,11 +699,15 @@ object Dedup {
       .filter(col("rnk") <=
         col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
       .select("id", "h", "len")
+    // candidates are output-sized; materializing them here lets the df
+    // frame (candidate-generation-only) unpersist deterministically
     val cands = pref.as("x").join(sh.select("id", "h", "len").as("y"),
         col("x.h") === col("y.h") && col("x.id") =!= col("y.id") &&
           col("y.len") >= lit(threshold) * col("x.len") - lit(1e-9))
       .select(col("x.id").as("src"), col("y.id").as("dst"))
       .distinct()
+      .localCheckpoint()
+    dfOwned.unpersist()
     cands
       .join(sets.select(col("id").as("src"), col("shs").as("sha"),
         col("len").as("src_len")), "src")
@@ -674,8 +760,13 @@ object Dedup {
     * df-spiky corpora take the prefix route. Both routes are proven
     * result-identical (DedupSpec), so consumers only ever see the cost
     * difference — the same diagnosed-routing pattern as the skew-aware
-    * curation rollup (SkewTools). Diagnosis cost: one extra
-    * shingle+count pass (the chosen route rebuilds its own shingles).
+    * curation rollup (SkewTools). Diagnosis cost: ONE extra aggregate —
+    * the shingle frame is persisted once and THREADED into the chosen
+    * route, and the df frame it aggregates (keyed by the same xxhash64
+    * the prefix route joins on) is passed through with its known entry
+    * count so the prefix route neither re-shingles nor recounts. The
+    * result is materialized (output-sized) before both frames unpersist,
+    * so the diagnosis leaves no session-lived cache behind.
     */
   def ngramJaccardAdaptive(
       docs: DataFrame,
@@ -684,28 +775,64 @@ object Dedup {
       maxCandidatesPerDoc: Long = 1024L): DataFrame = {
     require(maxCandidatesPerDoc >= 1, s"bad cap $maxCandidatesPerDoc")
     val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    // df keyed by xxhash64(sh), exactly the prefix route's join key: the
+    // risk statistic is insensitive to the astronomically-rare hash
+    // collision (it would only merge two df cells), and keying by the
+    // 8-byte hash instead of the ~25-byte shingle string is the same
+    // 3x-shuffle-volume win the prefix route measures.
+    val dfFrame = sets
+      .select(explode(col("shs")).as("sh"))
+      .select(xxhash64(col("sh")).as("h"))
+      .groupBy("h").agg(count(lit(1)).as("df"))
+      .persist(StorageLevel.MEMORY_ONLY)
     try {
       val nDocs = math.max(sets.count(), 1L)
-      val cand = sets.select(explode(col("shs")).as("sh"))
-        .groupBy("sh").agg(count(lit(1)).as("df"))
-        .agg(coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)))
-        .head().getLong(0)
-      if (cand / nDocs <= maxCandidatesPerDoc)
-        ngramJaccard(docs, threshold, shingleN)
-      else ngramJaccardPrefix(docs, threshold, shingleN)
-    } finally sets.unpersist()
+      val stats = dfFrame.agg(
+        coalesce(sum(expr("df * (df - 1) div 2")), lit(0L)).as("cand"),
+        count(lit(1)).as("entries")).head()
+      val (cand, entries) = (stats.getLong(0), stats.getLong(1))
+      val pairs =
+        if (cand / nDocs <= maxCandidatesPerDoc)
+          ngramJaccardFromSets(sets, threshold)
+        else
+          ngramJaccardPrefixFromSets(sets, threshold, Some((dfFrame, entries)))
+      // near-dup pairs are output-sized; materializing them inside the
+      // try lets BOTH diagnosis frames unpersist deterministically
+      pairs.localCheckpoint()
+    } finally {
+      dfFrame.unpersist()
+      sets.unpersist()
+    }
   }
 
   def ngramJaccardPrefix(
       docs: DataFrame,
       threshold: Double,
-      shingleN: Int = 3): DataFrame = {
+      shingleN: Int = 3): DataFrame =
+    ngramJaccardPrefixFromSets(
+      shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY),
+      threshold)
+
+  /** [[ngramJaccardPrefix]] over an already-persisted shingle frame, with
+    * an optional pre-aggregated (df frame, entry count) from the caller's
+    * diagnosis pass — [[ngramJaccardAdaptive]]'s reuse seam. When absent,
+    * the df frame is built, gate-counted, and unpersisted here once the
+    * candidate set is materialized.
+    */
+  private[dedup] def ngramJaccardPrefixFromSets(
+      sets: DataFrame,
+      threshold: Double,
+      knownDf: Option[(DataFrame, Long)] = None): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold out of (0,1]")
-    val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
     val sh = sets
       .select(col("id"), explode(col("shs")).as("sh"), col("len"))
       .withColumn("h", xxhash64(col("sh")))
-    val dfs = dfFrameHinted(sh.groupBy("h").agg(count(lit(1)).as("df")))
+    val (dfs, dfOwned) = knownDf match {
+      case Some((d, entries)) => (dfFrameHintedKnown(d, entries), None)
+      case None =>
+        val (hinted, owned) = dfFrameOwned(sh.groupBy("h").agg(count(lit(1)).as("df")))
+        (hinted, Some(owned))
+    }
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("h").asc, col("sh").asc)
     // constant rank cap (the ngramContainmentPairsPrefix trick): the
@@ -731,6 +858,8 @@ object Dedup {
     // it cuts candidates by multiples before the expensive distinct.
     val alpha = ceil((lit(threshold) / (lit(1.0) + lit(threshold))) *
       (col("x.len") + col("y.len")) - lit(1e-9))
+    // candidates are output-sized; materializing them here lets the df
+    // frame (candidate-generation-only) unpersist deterministically
     val cands = pref.as("x").join(pref.as("y"),
         col("x.h") === col("y.h") && col("x.id") < col("y.id") &&
           col("x.len") * lit(threshold) <= col("y.len") &&
@@ -739,6 +868,8 @@ object Dedup {
             lit(1) >= alpha)
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
+      .localCheckpoint()
+    dfOwned.foreach(_.unpersist())
     verifyJaccard(cands, sets, threshold)
   }
 

@@ -1192,6 +1192,89 @@ object DedupQueries {
       .withColumn("jaccard", round(col("jaccard"), 6))
       .orderBy("a", "b")
 
+  // ---- script-aware near-dup detection on a mixed-script corpus: the
+  //      §2-parity ASCII tokenizer provably MISSES the planted CJK pair
+  //      (its shingle sets are empty there — ascii_found = 0), while the
+  //      script-routed mode (char trigrams for no-space scripts, \p{L}
+  //      word 3-grams elsewhere) finds both pairs. The corpus is an
+  //      inline literal so engine and oracle see identical bytes. ----
+  private val multiscriptCorpus: Seq[(Long, String)] = Seq(
+    1L -> "Apache Spark is a distributed engine for large scale data processing.",
+    2L -> "Apache Spark is a distributed engine for large scale data analytics.",
+    3L -> "分布式数据处理引擎用于大规模数据分析与机器学习任务的高效执行",
+    4L -> "分布式数据处理引擎用于大规模数据分析和机器学习任务的高效执行",
+    5L -> "これはテストのための日本語の文章ですトークン化の確認用",
+    6L -> "今天天气很好我们一起去公园散步吧",
+    7L -> "Completely different English text about storage systems and columnar file formats.")
+
+  def dedupMultiscript(s: SparkSession, dir: String): DataFrame = {
+    val spark = s
+    import spark.implicits._
+    val corpus = multiscriptCorpus.toDF("id", "content")
+    val multi = Dedup.multiscriptNearDups(corpus, threshold = 0.5)
+    val ascii = Dedup.ngramJaccard(corpus, threshold = 0.5)
+      .select(col("a"), col("b"), lit(1).as("ascii_found"))
+    multi
+      .join(ascii, Seq("a", "b"), "left")
+      .select(col("a"), col("b"), round(col("jaccard"), 6).as("jaccard"),
+        coalesce(col("ascii_found"), lit(0)).as("ascii_found"))
+      .orderBy("a", "b")
+  }
+
+  val dedupMultiscriptSql: String = {
+    val values = multiscriptCorpus
+      .map { case (id, c) => s"(CAST($id AS BIGINT), '$c')" }
+      .mkString(",\n|    ")
+    // RE2 spells the engine's \uXXXX codepoint ranges as \x{...}; the
+    // sets are identical by construction (explicit ranges, no script
+    // property tables). regexp_replace needs the 'g' flag — DuckDB
+    // replaces only the first match by default, Spark replaces all.
+    val cjk = """\x{3040}-\x{30ff}\x{3400}-\x{4dbf}\x{4e00}-\x{9fff}"""
+    s"""WITH corpus(id, content) AS (VALUES
+       |    $values),
+       |feat AS (SELECT id,
+       |    len(regexp_replace(lower(content), '[^$cjk]', '', 'g')) AS cjk,
+       |    len(regexp_replace(lower(content), '\\s', '', 'g')) AS ns,
+       |    regexp_replace(lower(content), '[^a-z0-9$cjk]', '', 'g') AS cs,
+       |    regexp_extract_all(lower(content), '[\\p{L}0-9_]{2,}') AS w
+       |  FROM corpus),
+       |sh AS (SELECT id, list_distinct(
+       |    CASE WHEN cjk * 10 >= ns * 3
+       |      THEN list_transform(range(greatest(len(cs) - 2, 0)),
+       |             i -> substr(cs, CAST(i + 1 AS INTEGER), 3))
+       |      ELSE list_transform(range(greatest(len(w) - 2, 0)),
+       |             i -> w[i+1] || ' ' || w[i+2] || ' ' || w[i+3])
+       |    END) AS shs FROM feat),
+       |f AS (SELECT id, unnest(shs) AS s FROM sh),
+       |sizes AS (SELECT id, len(shs) AS l FROM sh),
+       |co AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+       |       FROM f x JOIN f y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2),
+       |mj AS (SELECT co.a, co.b,
+       |         CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) AS j
+       |       FROM co JOIN sizes sa ON co.a = sa.id
+       |            JOIN sizes sb ON co.b = sb.id
+       |       WHERE CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) >= 0.5),
+       |aw AS (SELECT id, list_distinct(
+       |         list_transform(range(greatest(len(w2) - 2, 0)),
+       |           i -> w2[i+1] || ' ' || w2[i+2] || ' ' || w2[i+3])) AS shs
+       |       FROM (SELECT id,
+       |               regexp_extract_all(lower(content), '[a-z0-9_]{2,}') AS w2
+       |             FROM corpus)),
+       |af AS (SELECT id, unnest(shs) AS s FROM aw),
+       |asz AS (SELECT id, len(shs) AS l FROM aw),
+       |aco AS (SELECT x.id AS a, y.id AS b, count(*) AS inter
+       |        FROM af x JOIN af y ON x.s = y.s AND x.id < y.id GROUP BY 1, 2),
+       |aj AS (SELECT aco.a, aco.b
+       |       FROM aco JOIN asz sa ON aco.a = sa.id
+       |            JOIN asz sb ON aco.b = sb.id
+       |       WHERE CAST(inter AS DOUBLE) / (sa.l + sb.l - inter) >= 0.5)
+       |SELECT mj.a, mj.b, round(mj.j, 6) AS jaccard,
+       |       CAST(CASE WHEN aj.a IS NULL THEN 0 ELSE 1 END AS INTEGER)
+       |         AS ascii_found
+       |FROM mj LEFT JOIN aj ON mj.a = aj.a AND mj.b = aj.b
+       |ORDER BY mj.a, mj.b""".stripMargin
+  }
+
   // ---- duplicated-span removal (ExactSubstr keep-first, Lee et al. 2022)
   //      at 5-token span granularity: later occurrences of any repeated
   //      span are cut, the first survives; oracle replays the keep-first
@@ -1505,6 +1588,7 @@ object DedupQueries {
     "q_ann_sq" -> (annSq _),
     "q_search_mmr" -> (searchMmr _),
     "q_dedup_ngram_prefix" -> (dedupNgramPrefix _),
+    "q_dedup_multiscript" -> (dedupMultiscript _),
     "q_ann_knn_join" -> (annKnnJoin _),
     "q_ann_knn_blocked" -> (annKnnBlocked _),
     "q_ann_nndescent" -> (annNnDescent _),
@@ -1549,6 +1633,7 @@ object DedupQueries {
     "q_ann_sq" -> annSqSql,
     "q_search_mmr" -> searchMmrSql,
     "q_dedup_ngram_prefix" -> jaccardInvertedSqlD(0.5),
+    "q_dedup_multiscript" -> dedupMultiscriptSql,
     "q_ann_knn_join" -> annKnnJoinSql,
     "q_ann_knn_blocked" -> annKnnBlockedSql,
     "q_ann_nndescent" -> annNnDescentSql,

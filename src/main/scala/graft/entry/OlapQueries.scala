@@ -1511,6 +1511,36 @@ object OlapQueries {
       |       (vto IS NULL) AS is_current
       |FROM v ORDER BY user_id, version""".stripMargin
 
+  /** Incremental SCD2 maintenance proven merge==rebuild: the engine
+    * builds the history from the log's FIRST HALF (global median-ts
+    * split — strictly append-only per key by construction), folds the
+    * second half in with Scd2.applyDelta (touches only delta keys'
+    * current rows), and must land bit-identical to the oracle, which
+    * REBUILDS over the whole log and never sees the split. The same
+    * stance as q_pipeline_sketch_incr, for the 100 TB dimension table.
+    */
+  def eventsScd2Incr(s: SparkSession, dir: String): DataFrame = {
+    val e = t(s, dir, "events")
+      .filter(col("user_id") % 10 === 0)
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        epochOf("MICROSECOND", "ts").as("tsu"))
+    val cut = e.agg(expr("percentile(tsu, 0.5)")).head().getDouble(0)
+    val hist = graft.operators.Scd2.fromChangeLog(
+      e.filter(col("tsu") <= cut), "user_id", Seq("event_type"), "tsu",
+      Seq("event_id"))
+    graft.operators.Scd2.applyDelta(
+      hist, e.filter(col("tsu") > cut), "user_id", Seq("event_type"),
+      "tsu", Seq("event_id"))
+      .select(col("user_id"), col("version"), col("event_type"),
+        col("valid_from").as("valid_from_us"),
+        coalesce(col("valid_to"), lit(-1L)).as("valid_to_us"),
+        col("is_current"))
+      .orderBy("user_id", "version")
+  }
+
+  /** The oracle IS the full rebuild — merge==rebuild by construction. */
+  val eventsScd2IncrSql: String = eventsScd2Sql
+
   /** Point-in-time enrichment (the leakage-free feature join): each
     * purchase event picks up the SCD2 dimension version that was valid
     * AT ITS INSTANT — Scd2.fromChangeLog builds the history, then the
@@ -1561,6 +1591,7 @@ object OlapQueries {
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_events_scd2" -> (eventsScd2 _),
+    "q_events_scd2_incr" -> (eventsScd2Incr _),
     "q_events_pit" -> (eventsPit _),
     "q_skew_salted_agg" -> (skewSaltedAgg _),
     "q_skew_salted_join" -> (skewSaltedJoin _),
@@ -1608,6 +1639,7 @@ object OlapQueries {
 
   def oracles: Map[String, String] = Map(
     "q_events_scd2" -> eventsScd2Sql,
+    "q_events_scd2_incr" -> eventsScd2IncrSql,
     "q_events_pit" -> eventsPitSql,
     "q_skew_salted_agg" -> skewSaltedAggSql,
     "q_skew_salted_join" -> skewSaltedJoinSql,

@@ -1198,9 +1198,11 @@ object OpsQueries {
       .limit(50)
 
   val eventsAssocSql: String =
-    """WITH b AS (SELECT DISTINCT user_id AS basket,
-      |                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
-      |           FROM events),
+    """WITH b0 AS (SELECT DISTINCT user_id AS basket,
+      |                   CAST(json_extract_string(props, '$.k') AS INTEGER) AS item
+      |            FROM events),
+      |b AS (SELECT * FROM b0 WHERE basket IN
+      |        (SELECT basket FROM b0 GROUP BY basket HAVING count(*) <= 256)),
       |n AS (SELECT CAST(count(DISTINCT basket) AS BIGINT) AS n FROM b),
       |ic AS (SELECT item, CAST(count(*) AS BIGINT) AS ic FROM b GROUP BY 1),
       |p AS (SELECT x.item AS a, y.item AS b, CAST(count(*) AS BIGINT) AS pair_n

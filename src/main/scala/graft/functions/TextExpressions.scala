@@ -60,6 +60,42 @@ object TextExpressions {
 
   def charTrigrams(c: Column): Column = column(CharTrigrams(expression(c)))
 
+  /** [[CharTrigrams]] generalized to width `n` — overlapping character
+    * n-grams, `len-n+1` substrings, empty below `n` chars. Same native
+    * rationale: the child (in multiscript shingling, a regexp_replace
+    * normalization) evaluates exactly once per row.
+    */
+  case class CharNgrams(child: Expression, n: Int) extends UnaryExpression {
+    require(n >= 1, s"n >= 1, got $n")
+    override def dataType: DataType = ArrayType(StringType, containsNull = false)
+    override protected def withNewChildInternal(newChild: Expression): CharNgrams =
+      copy(child = newChild)
+
+    override def nullSafeEval(input: Any): Any = {
+      val s = input.asInstanceOf[UTF8String]
+      val m = math.max(s.numChars() - n + 1, 0)
+      val out = new Array[Any](m)
+      var i = 0
+      while (i < m) { out(i) = s.substring(i, i + n); i += 1 }
+      new GenericArrayData(out)
+    }
+
+    override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+      nullSafeCodeGen(ctx, ev, a => {
+        val (m, arr, i) = (ctx.freshName("m"), ctx.freshName("arr"), ctx.freshName("i"))
+        s"""
+        |int $m = Math.max($a.numChars() - $n + 1, 0);
+        |UTF8String[] $arr = new UTF8String[$m];
+        |for (int $i = 0; $i < $m; $i++) {
+        |  $arr[$i] = $a.substring($i, $i + $n);
+        |}
+        |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($arr);
+        """.stripMargin
+      })
+  }
+
+  def charNgrams(c: Column, n: Int): Column = column(CharNgrams(expression(c), n))
+
   /** DISTINCT word n-gram shingles of a token array — `join(" ")` of each
     * length-`n` window, first-occurrence order (the `array_distinct`
     * contract), empty below `n` tokens.

@@ -876,6 +876,19 @@ object DocParse {
 
   private val FontEntryRe = """/([A-Za-z0-9.+_-]+)\s+(\d+)\s+\d+\s+R""".r
 
+  /** The Type0 font's descendant CIDFont dictionary: /DescendantFonts is
+    * a one-element array holding either an inline ref or a ref to an
+    * array holding the ref (both legal forms).
+    */
+  private def descendantFont(objects: Objects, fd: String): Option[String] = {
+    val inArray = arrayAfter(fd, "/DescendantFonts")
+      .flatMap(a => RefRe.findFirstMatchIn(a).map(_.group(1).toInt))
+    inArray.orElse(refAfter(fd, "/DescendantFonts").flatMap { n =>
+      // ref to the array object: resolve, then take its first ref
+      objects(n).map(_._1).flatMap(a => RefRe.findFirstMatchIn(a).map(_.group(1).toInt))
+    }).flatMap(objects(_)).map(_._1)
+  }
+
   /** Resolve a page's font resources to their /ToUnicode CMaps: resource
     * name (the `/F1` of `Tf`) → parsed CMap, for fonts that carry one.
     * `resources` is the page's own /Resources or the nearest inherited
@@ -901,13 +914,23 @@ object DocParse {
               } yield cm
               // Type0 under the predefined Identity-H/V encoding with no
               // /ToUnicode: honor CID = code (2-byte codes) instead of
-              // degrading to Latin-1 byte pairs. Other predefined CMaps
+              // degrading to Latin-1 byte pairs — EXCEPT when the
+              // descendant CIDFont carries an embedded font program
+              // (/FontFile*): a subset-embedded CIDFontType2's CIDs are
+              // glyph indices of the subset, not codepoints, so emitting
+              // them injects mojibake into downstream dedup/tokenization.
+              // There the codes are still consumed 2 bytes at a time but
+              // dropped (lossy, predictable). Other predefined CMaps
               // (external CMap resources) still fall through to bytes.
               viaToUnicode.orElse {
                 if (fd.contains("/Type0") &&
-                    (fd.contains("/Identity-H") || fd.contains("/Identity-V")))
-                  Some(ToUnicodeCMap(2, Map.empty, identity = true))
-                else None
+                    (fd.contains("/Identity-H") || fd.contains("/Identity-V"))) {
+                  val embeddedSubset = descendantFont(objects, fd).exists { dd =>
+                    dictValue(objects, dd, "/FontDescriptor")
+                      .exists(_.contains("/FontFile"))
+                  }
+                  Some(ToUnicodeCMap(2, Map.empty, identity = !embeddedSubset))
+                } else None
               }
             })
           cmap.map(name -> _)

@@ -758,7 +758,14 @@ object Multimodal {
     if (isImage(data)) {
       decodeImage(id, modality, data, md) match {
         case Some(d) =>
-          return if (isGif(data)) d.copy(n_frames = gifFrameCount(data)) else d
+          // a GIF whose FIRST frame decodes can still have truncated later
+          // frames — getNumImages(true) walks them all and throws; governed
+          // degradation keeps the decoded first frame with n_frames = 1
+          // rather than failing the whole batch
+          return if (isGif(data))
+            d.copy(n_frames =
+              try gifFrameCount(data) catch { case _: Exception => d.n_frames })
+          else d
         case None => // unparseable image payload: fall through to the stub
       }
     }

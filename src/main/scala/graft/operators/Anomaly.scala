@@ -100,9 +100,12 @@ object Anomaly {
         count(col("__n")).as("n_naive"),
         coalesce(sum(col("__n")), lit(0L)).as("sum_abs_naive"))
       .withColumn("mase_ppm",
+        // decimal(38,0) route: the 3-factor numerator overflows Long once
+        // Σ|err|·n passes ~9.2e12; div on decimals is still exact-integer
         when(col("sum_abs_naive") === 0 || col("n_seasonal") === 0, lit(-1L))
           .otherwise(expr(
-            "sum_abs_seasonal * n_naive * 1000000 div (sum_abs_naive * n_seasonal)")))
+            "(cast(sum_abs_seasonal as decimal(38,0)) * n_naive * 1000000)" +
+              " div (cast(sum_abs_naive as decimal(38,0)) * n_seasonal)")))
   }
 
   /** Robust per-group outlier report via the median/MAD modified z-score

@@ -53,6 +53,10 @@ object Association {
       .filter(col("a") < col("b"))
       .groupBy("a", "b").agg(count(lit(1)).as("pair_n"))
       .filter(col("pair_n") >= minPairCount)
+    // the three-factor lift numerator (pair_n · N · 1e6) overflows Long
+    // past ~9.2e12·N⁻¹ pair counts (e.g. 1e8 baskets × 1e5-count pair);
+    // route it through decimal(38,0) — still exact integers, so the
+    // oracle replay property is unchanged at any corpus scale
     pairs
       .join(ic.toDF("a", "ca"), "a")
       .join(ic.toDF("b", "cb"), "b")
@@ -60,6 +64,7 @@ object Association {
         expr(s"pair_n * 1000000 div ${n}L").as("support_ppm"),
         expr("pair_n * 1000000 div ca").as("conf_ab_ppm"),
         expr("pair_n * 1000000 div cb").as("conf_ba_ppm"),
-        expr(s"pair_n * ${n}L * 1000000 div (ca * cb)").as("lift_ppm"))
+        expr(s"(cast(pair_n as decimal(38,0)) * ${n}L * 1000000) div " +
+          "(cast(ca as decimal(38,0)) * cb)").as("lift_ppm"))
   }
 }

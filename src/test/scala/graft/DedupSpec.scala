@@ -222,6 +222,40 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("multiscript near-dups find the planted CJK pair the ASCII canon provably misses") {
+    import spark.implicits._
+    val corpus = Seq(
+      1L -> "Apache Spark is a distributed engine for large scale data processing.",
+      2L -> "Apache Spark is a distributed engine for large scale data analytics.",
+      3L -> "分布式数据处理引擎用于大规模数据分析与机器学习任务的高效执行",
+      4L -> "分布式数据处理引擎用于大规模数据分析和机器学习任务的高效执行",
+      5L -> "これはテストのための日本語の文章ですトークン化の確認用",
+      6L -> "今天天气很好我们一起去公园散步吧",
+      7L -> "Completely different English text about storage systems and columnar file formats.")
+      .toDF("id", "content")
+    val multi = Dedup.multiscriptNearDups(corpus, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(multi == Set((1L, 2L), (3L, 4L)), s"got $multi")
+    // negative assertion: the reference-parity ASCII tokenizer yields
+    // EMPTY shingle sets on the CJK docs, so it cannot see pair (3,4)
+    val ascii = Dedup.ngramJaccard(corpus, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(ascii == Set((1L, 2L)), s"ascii route got $ascii")
+    val cjkSets = Dedup.shingleSets(corpus.filter(col("id").isin(3L, 4L, 5L, 6L)))
+      .select("len").collect().map(_.getInt(0))
+    assert(cjkSets.forall(_ == 0), "ASCII canon must produce empty CJK shingle sets")
+    // accented-Latin word mode: \p{L} tokens keep the accents the ASCII
+    // canon splits on, so the near-dup pair is found
+    val latin = Seq(
+      10L -> "le café était très agréable près de la rivière au printemps dernier",
+      11L -> "le café était très agréable près de la rivière au printemps passé",
+      12L -> "texte totalement différent sur la programmation des systèmes distribués")
+      .toDF("id", "content")
+    val latinPairs = Dedup.multiscriptNearDups(latin, 0.5)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(latinPairs == Set((10L, 11L)), s"got $latinPairs")
+  }
+
   test("simhash blocking is lossless for hamming <= blocks-1") {
     val docs = Tables.t(spark, dir, "documents")
       .select(col("doc_id").as("id"), col("text").as("content"))

@@ -120,7 +120,8 @@ class DocParseSpec extends SparkSpec {
     * not text.
     */
   private def pdfCidBytes(content: String, toUnicode: String,
-      resourcesOnPages: Boolean, withToUnicode: Boolean = true): Array[Byte] = {
+      resourcesOnPages: Boolean, withToUnicode: Boolean = true,
+      embeddedSubset: Boolean = false): Array[Byte] = {
     val out = new ByteArrayOutputStream()
     def w(s: String): Unit = out.write(s.getBytes(StandardCharsets.ISO_8859_1))
     val offsets = scala.collection.mutable.Map.empty[Int, Int]
@@ -137,15 +138,25 @@ class DocParseSpec extends SparkSpec {
     w(s"4 0 obj << /Length ${c.length} >> stream\n"); out.write(c); w("\nendstream endobj\n")
     obj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Fake-Identity-H " +
       "/Encoding /Identity-H " +
+      (if (embeddedSubset) "/DescendantFonts [7 0 R] " else "") +
       (if (withToUnicode) "/ToUnicode 6 0 R " else "") + ">>")
     offsets(6) = out.size()
     val tz = deflate(toUnicode.getBytes(StandardCharsets.ISO_8859_1))
     w(s"6 0 obj << /Length ${tz.length} /Filter /FlateDecode >> stream\n")
     out.write(tz); w("\nendstream endobj\n")
+    val last = if (embeddedSubset) {
+      // subset-embedded CIDFontType2: the FontDescriptor carries a
+      // /FontFile2 ref (the glyph program itself never resolves — the
+      // gate only needs the descriptor to claim embedding)
+      obj(7, "<< /Type /Font /Subtype /CIDFontType2 " +
+        "/CIDSystemInfo << /Registry (Adobe) /Ordering (Identity) /Supplement 0 >> " +
+        "/FontDescriptor << /Type /FontDescriptor /FontFile2 8 0 R >> >>")
+      7
+    } else 6
     val xrefOff = out.size()
-    w("xref\n0 7\n0000000000 65535 f \n")
-    (1 to 6).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
-    w("trailer << /Size 7 /Root 1 0 R >>\n")
+    w(s"xref\n0 ${last + 1}\n0000000000 65535 f \n")
+    (1 to last).foreach(n => w(f"${offsets(n)}%010d 00000 n \n"))
+    w(s"trailer << /Size ${last + 1} /Root 1 0 R >>\n")
     w(s"startxref\n$xrefOff\n%%EOF\n")
     out.toByteArray
   }
@@ -363,6 +374,18 @@ class DocParseSpec extends SparkSpec {
     val got = DocParse.pdfToText(
       pdfCidBytes(content, cidCMap, resourcesOnPages = false, withToUnicode = false))
     assert(got.contains("Hi CID!"), s"got $got")
+  }
+
+  test("pdf: subset-embedded Identity-H without /ToUnicode drops codes, no mojibake") {
+    // the descendant CIDFontType2 carries /FontFile2: its CIDs are glyph
+    // indices of the subset, so emitting code-as-char would inject
+    // garbage — the codes must be consumed (2 bytes each) and dropped
+    val content = "BT /F1 12 Tf <00480069002000430049004400210000> Tj ET"
+    val got = DocParse.pdfToText(pdfCidBytes(
+      content, cidCMap, resourcesOnPages = false,
+      withToUnicode = false, embeddedSubset = true))
+    assert(!got.contains("Hi CID!"), s"glyph indices leaked as text: $got")
+    assert(!got.contains("Hi"), s"got $got")
   }
 
   /** Minimal DOCX: zip with word/document.xml in WordprocessingML. */

@@ -213,6 +213,20 @@ class MultimodalSpec extends SparkSpec {
     assert(f.forall(v => math.abs(v - luma / 255.0) < 1e-6), s"first frame: $f")
   }
 
+  test("truncated animated GIF degrades governed: decode survives, frames bounded") {
+    // first frame decodes; the full-frame walk sees a stream that ends
+    // mid-frame. Whether the JDK counts the complete frames (observed: 2)
+    // or throws (the IIOException case the try/catch guards), the decode
+    // must NOT fail the batch and must keep the real first-frame dims.
+    val anim = Multimodal.animatedGif(8, 8,
+      Seq((200, 10, 10), (10, 200, 10), (10, 10, 200)))
+    val cut = anim.take(anim.length - 30) // clip inside the last frames
+    val out = Multimodal.decode(mediaDF((72L, "image", cut))).collect().head
+    assert(out.getAs[Int]("width") == 8 && out.getAs[Int]("height") == 8)
+    val nf = out.getAs[Int]("n_frames")
+    assert(nf >= 1 && nf < 3, s"truncated 3-frame GIF reported $nf frames")
+  }
+
   /** Decode a G.711 WAV through the JDK's OWN converter — an independent
     * implementation of the same ITU-T tables — and return the linear
     * samples, as the oracle for the expand tables.

@@ -55,6 +55,39 @@ class Scd2Spec extends SparkSpec {
     assert(at(2L, 30L).contains("bronze"))
   }
 
+  test("applyDelta equals a full rebuild (append, no-op change, new key, untouched key)") {
+    // base: keys 1-3; delta: key 1 appends a real change then a no-op,
+    // key 2's delta is a PURE no-op (attrs equal its current version),
+    // key 4 is brand new, key 3 is untouched by the delta
+    val base = Seq(
+      (1L, 10L, Some("gold")), (1L, 30L, Some("silver")),
+      (2L, 10L, None), (2L, 25L, Some("bronze")),
+      (3L, 5L, Some("iron")))
+      .toDF("k", "ts", "tier")
+    val delta = Seq(
+      (1L, 50L, Some("gold")), (1L, 60L, Some("gold")),
+      (2L, 40L, Some("bronze")),
+      (4L, 7L, None), (4L, 9L, Some("new")))
+      .toDF("k", "ts", "tier")
+    val incr = Scd2.applyDelta(
+      Scd2.fromChangeLog(base, "k", Seq("tier"), "ts"),
+      delta, "k", Seq("tier"), "ts")
+    val full = Scd2.fromChangeLog(base.unionByName(delta), "k", Seq("tier"), "ts")
+    assert(incr.exceptAll(full).count() == 0 && full.exceptAll(incr).count() == 0,
+      s"incr:\n${incr.orderBy("k", "version").collect().mkString("\n")}\n" +
+        s"full:\n${full.orderBy("k", "version").collect().mkString("\n")}")
+    // delta-equal-ts tie ordering also matches the rebuild
+    val deltaTie = Seq((1L, 50L, Some("a")), (1L, 50L, Some("b")))
+      .toDF("k", "ts", "tier").withColumn("eid", col("tier"))
+    val base2 = base.withColumn("eid", col("tier"))
+    val incr2 = Scd2.applyDelta(
+      Scd2.fromChangeLog(base2, "k", Seq("tier"), "ts", Seq("eid")),
+      deltaTie, "k", Seq("tier"), "ts", Seq("eid"))
+    val full2 = Scd2.fromChangeLog(base2.unionByName(deltaTie),
+      "k", Seq("tier"), "ts", Seq("eid"))
+    assert(incr2.exceptAll(full2).count() == 0 && full2.exceptAll(incr2).count() == 0)
+  }
+
   test("guards") {
     intercept[IllegalArgumentException] {
       Scd2.fromChangeLog(log, "k", Seq.empty, "ts")
