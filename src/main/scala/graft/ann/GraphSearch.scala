@@ -108,6 +108,72 @@ object GraphSearch {
       .select("query_idx", "id")
   }
 
+  /** Filtered ANN on the graph route: beam-walk UNFILTERED, answer from
+    * the visited set ∩ predicate.
+    *
+    * Filtering the traversal itself would disconnect the graph exactly
+    * when the predicate is selective (a matching island may only be
+    * reachable through non-matching nodes), and post-filtering the final
+    * k-row beam loses recall whenever selectivity < k/beam (the
+    * MongoDB-backend oversampling workaround the reference inherits —
+    * mongodb.py:277's numCandidates = max(10·k, 100) constant). Instead,
+    * the walk keeps its exact unfiltered frontier (connectivity intact)
+    * while EVERY node it ever visits — entries, expansions, rejected
+    * beam overflow — stays a candidate; the answer is the exact-scored
+    * top-k among visited ∧ pred. The visited set is O(Q·B·k·hops) rows
+    * (a built-in oversample of hops·beam/k ≥ the mongo constant at the
+    * defaults), so the final filtered rescore is a broadcast-sized join,
+    * and the predicate reaches the vectors scan as an ordinary pushed
+    * filter. Recall is graded against exact FILTERED truth in
+    * `q_ann_graph_filtered` on selective and non-selective predicates.
+    */
+  def beamSearchFiltered(
+      graph: DataFrame,
+      vectors: DataFrame,
+      queries: Seq[(Int, Seq[Float])],
+      entries: Int,
+      beam: Int,
+      hops: Int,
+      k: Int,
+      pred: Column): DataFrame = {
+    val spark = vectors.sparkSession
+    val qdf = queryFrame(spark, queries)
+    val entryIds = vectors.select("id").orderBy("id").limit(entries)
+    val entryPoints = qdf.select("query_idx").crossJoin(entryIds)
+
+    val byQuery = Window.partitionBy("query_idx")
+      .orderBy(col("score").desc, col("id").asc)
+    def rescore(cands: DataFrame, keep: Int): DataFrame =
+      broadcast(cands).join(vectors, "id")
+        .join(qdf, "query_idx")
+        .withColumn("score",
+          VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
+        .withColumn("rn", row_number().over(byQuery))
+        .filter(col("rn") <= keep)
+        .select("query_idx", "id", "score")
+
+    var frontier = rescore(entryPoints, beam)
+    var visited = entryPoints.select("query_idx", "id")
+    for (_ <- 1 to hops) {
+      val expanded = broadcast(frontier.select(col("query_idx"), col("id").as("qid")))
+        .join(graph, "qid")
+        .select(col("query_idx"), col("neighbor").as("id"))
+        .union(frontier.select("query_idx", "id"))
+        .distinct()
+      visited = visited.union(expanded).distinct()
+      frontier = rescore(expanded, beam)
+    }
+    // final answer: exact top-k among ALL visited nodes matching pred —
+    // the predicate prunes the vectors side of the rescore join
+    broadcast(visited).join(vectors.filter(pred), "id")
+      .join(qdf, "query_idx")
+      .withColumn("score",
+        VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
+      .withColumn("rn", row_number().over(byQuery))
+      .filter(col("rn") <= k)
+      .select("query_idx", "id", "score")
+  }
+
   private def queryFrame(
       spark: SparkSession, queries: Seq[(Int, Seq[Float])]): DataFrame = {
     import spark.implicits._
