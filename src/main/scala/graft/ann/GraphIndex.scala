@@ -208,6 +208,46 @@ object GraphIndex {
     }
   }
 
+  /** Filtered beam search over the persisted graph: top-k among the
+    * walk's visited set that satisfies `pred` (see
+    * [[GraphSearch.beamSearchFiltered]] for why the WALK stays
+    * unfiltered). The beam is floored so the visited-candidate budget —
+    * roughly entries + hops × beam × (degree + 1) nodes — stays at or
+    * above the reference's post-filter oversample
+    * `numCandidates = max(10·k, 100)`
+    * (vector_mcp/vectordb/mongodb.py:277): a caller asking for a small
+    * beam with a selective predicate would otherwise answer top-k from a
+    * candidate pool smaller than the reference guarantees. Degree comes
+    * from the persisted meta sidecar — index state, never re-derived.
+    */
+  def searchFiltered(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      queries: Seq[(Int, Seq[Float])],
+      pred: org.apache.spark.sql.Column,
+      entries: Int = 4,
+      beam: Int = 8,
+      hops: Int = 3,
+      k: Int = 5): DataFrame = {
+    val graph = load(spark, catalog, entry).select("qid", "neighbor")
+    val vecs = vectorsOf(catalog, entry)
+    val degree = loadMeta(spark, catalog, entry).map(_.k).getOrElse(8)
+    val minCandidates = math.max(10 * k, 100)
+    val effBeam = math.max(beam,
+      math.ceil(minCandidates.toDouble / (math.max(hops, 1) * (degree + 1))).toInt)
+    loadMedoids(spark, catalog, entry) match {
+      case Some(med) =>
+        val entryPoints = GraphSearch.routeEntries(
+          vecs, med.select("id"), queries, entries)
+        GraphSearch.beamSearchFilteredWithEntries(
+          graph, vecs, queries, entryPoints, effBeam, hops, k, pred)
+      case None =>
+        GraphSearch.beamSearchFiltered(
+          graph, vecs, queries, entries, effBeam, hops, k, pred)
+    }
+  }
+
   /** Exact incremental maintenance after a batch of `batchIds` was
     * UPSERTED into the documents table (new or replaced vectors; replaced
     * ids must have gone through [[delete]] first if their vectors changed

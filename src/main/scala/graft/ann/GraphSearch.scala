@@ -139,8 +139,38 @@ object GraphSearch {
     val spark = vectors.sparkSession
     val qdf = queryFrame(spark, queries)
     val entryIds = vectors.select("id").orderBy("id").limit(entries)
-    val entryPoints = qdf.select("query_idx").crossJoin(entryIds)
+    beamSearchFilteredFrom(graph, vectors, qdf,
+      qdf.select("query_idx").crossJoin(entryIds), beam, hops, k, pred)
+  }
 
+  /** [[beamSearchFiltered]] from CALLER-SUPPLIED per-query entry points
+    * (query_idx, id) — the medoid/IVF routing composition, filtered. The
+    * walk itself stays unfiltered (see [[beamSearchFiltered]]); only the
+    * final visited-set rescore applies `pred`.
+    */
+  def beamSearchFilteredWithEntries(
+      graph: DataFrame,
+      vectors: DataFrame,
+      queries: Seq[(Int, Seq[Float])],
+      entryPoints: DataFrame, // (query_idx, id)
+      beam: Int,
+      hops: Int,
+      k: Int,
+      pred: Column): DataFrame = {
+    val spark = vectors.sparkSession
+    beamSearchFilteredFrom(graph, vectors, queryFrame(spark, queries),
+      entryPoints, beam, hops, k, pred)
+  }
+
+  private def beamSearchFilteredFrom(
+      graph: DataFrame,
+      vectors: DataFrame,
+      qdf: DataFrame,
+      entryPoints: DataFrame,
+      beam: Int,
+      hops: Int,
+      k: Int,
+      pred: Column): DataFrame = {
     val byQuery = Window.partitionBy("query_idx")
       .orderBy(col("score").desc, col("id").asc)
     def rescore(cands: DataFrame, keep: Int): DataFrame =
@@ -152,7 +182,7 @@ object GraphSearch {
         .filter(col("rn") <= keep)
         .select("query_idx", "id", "score")
 
-    var frontier = rescore(entryPoints, beam)
+    var frontier = rescore(entryPoints.select("query_idx", "id"), beam)
     var visited = entryPoints.select("query_idx", "id")
     for (_ <- 1 to hops) {
       val expanded = broadcast(frontier.select(col("query_idx"), col("id").as("qid")))

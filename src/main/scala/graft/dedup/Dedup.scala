@@ -113,10 +113,13 @@ object Dedup {
     */
   def multiscriptNearDups(
       docs: DataFrame, threshold: Double,
-      wordN: Int = 3, charN: Int = 3): DataFrame =
-    ngramJaccardFromSets(
-      shingleSetsMultiscript(docs, wordN, charN).persist(StorageLevel.MEMORY_ONLY),
-      threshold)
+      wordN: Int = 3, charN: Int = 3): DataFrame = {
+    val sets = shingleSetsMultiscript(docs, wordN, charN).persist(StorageLevel.MEMORY_ONLY)
+    // pairs are output-sized; materializing them inside the try lets the
+    // shingle frame unpersist deterministically (the adaptive-route pattern)
+    try ngramJaccardFromSets(sets, threshold).localCheckpoint()
+    finally sets.unpersist()
+  }
 
   /** Deterministic MinHash permutation constants (fixed, engine-versioned). */
   val MinHashSeeds: Seq[(Long, Long)] = {
@@ -158,6 +161,21 @@ object Dedup {
       bands: Int = 16,
       maxBucketSize: Int = 1000): DataFrame = {
     val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    // verified pairs are output-sized; materialize before the shingle
+    // frame unpersists (the adaptive-route cleanup pattern)
+    try minHashNearDupsFromSets(sets, threshold, bands, maxBucketSize).localCheckpoint()
+    finally sets.unpersist()
+  }
+
+  /** [[minHashNearDups]] over an ALREADY-PERSISTED shingle frame — the
+    * un-checkpointed dataflow (plan-inspectable; PlanSpec audits the
+    * candidate joins here). Caller owns the persist lifetime.
+    */
+  private[graft] def minHashNearDupsFromSets(
+      sets: DataFrame,
+      threshold: Double,
+      bands: Int = 16,
+      maxBucketSize: Int = 1000): DataFrame = {
     val sigs = minHashSignatures(sets.select(col("id"), explode(col("shs")).as("sh")))
     val rowsPerBand = MinHashSeeds.size / bands
     val bandKeys = (0 until bands).map { b =>
@@ -194,6 +212,7 @@ object Dedup {
       maxBucketSize: Int = 1000): DataFrame = {
     val setsL = shingleSets(left, shingleN).persist(StorageLevel.MEMORY_ONLY)
     val setsR = shingleSets(right, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    try {
     val rowsPerBand = MinHashSeeds.size / bands
     def bandedOf(sets: DataFrame): DataFrame = {
       val sigs = minHashSignatures(sets.select(col("id"), explode(col("shs")).as("sh")))
@@ -221,6 +240,10 @@ object Dedup {
         col("inter").cast("double") / (col("la") + col("lb") - col("inter")).cast("double"))
       .filter(col("jaccard") >= threshold)
       .select("a", "b", "jaccard")
+      // cross-matches are output-sized; materialize before both shingle
+      // frames unpersist (the adaptive-route cleanup pattern)
+      .localCheckpoint()
+    } finally { setsL.unpersist(); setsR.unpersist() }
   }
 
   /** Distinct candidate pairs (a < b) from rows sharing a (block, key)
@@ -349,21 +372,26 @@ object Dedup {
     // the upstream plan (possibly an expensive parsed/filtered corpus)
     // executes exactly once. A caller-supplied sizeHint skips even that.
     val fp64 = simHashFingerprints64(docs).persist(StorageLevel.MEMORY_ONLY)
-    val n = sizeHint.getOrElse(fp64.count())
-    if (n > max32BitDocs) {
-      log.info(s"simHashNearDups: $n docs > max32BitDocs=$max32BitDocs, routing to 64-bit fingerprint")
-      simHash64NearDupsFromFingerprints(fp64, maxHamming, blocks = 4)
-    } else {
-      log.info(s"simHashNearDups: $n docs <= max32BitDocs=$max32BitDocs, 32-bit fingerprint")
-      simHashNearDups32FromFingerprints(
-        fp64.select(col("id"), col("fp_hi").as("fp")), maxHamming, blocks)
-    }
+    try {
+      val n = sizeHint.getOrElse(fp64.count())
+      val pairs = if (n > max32BitDocs) {
+        log.info(s"simHashNearDups: $n docs > max32BitDocs=$max32BitDocs, routing to 64-bit fingerprint")
+        simHash64NearDupsFromFingerprints(fp64, maxHamming, blocks = 4)
+      } else {
+        log.info(s"simHashNearDups: $n docs <= max32BitDocs=$max32BitDocs, 32-bit fingerprint")
+        simHashNearDups32FromFingerprints(
+          fp64.select(col("id"), col("fp_hi").as("fp")), maxHamming, blocks)
+      }
+      // candidate pairs are output-sized; materialize before the
+      // fingerprint frame unpersists (the adaptive-route cleanup pattern)
+      pairs.localCheckpoint()
+    } finally fp64.unpersist()
   }
 
   /** 32-bit candidate generation over a precomputed (id, fp) frame (cached
     * by [[simHashNearDups]]; re-references below are cache reads).
     */
-  private def simHashNearDups32FromFingerprints(
+  private[graft] def simHashNearDups32FromFingerprints(
       fp: DataFrame,
       maxHamming: Int,
       blocks: Int): DataFrame = {
@@ -443,15 +471,16 @@ object Dedup {
   def simHash64NearDups(
       docs: DataFrame,
       maxHamming: Int = 3,
-      blocks: Int = 4): DataFrame =
-    simHash64NearDupsFromFingerprints(
-      simHashFingerprints64(docs).persist(StorageLevel.MEMORY_ONLY),
-      maxHamming, blocks)
+      blocks: Int = 4): DataFrame = {
+    val fp = simHashFingerprints64(docs).persist(StorageLevel.MEMORY_ONLY)
+    try simHash64NearDupsFromFingerprints(fp, maxHamming, blocks).localCheckpoint()
+    finally fp.unpersist()
+  }
 
   /** 64-bit candidate generation over a precomputed (id, fp_hi, fp_lo)
     * frame (cached by the caller; re-references below are cache reads).
     */
-  private def simHash64NearDupsFromFingerprints(
+  private[graft] def simHash64NearDupsFromFingerprints(
       fp: DataFrame,
       maxHamming: Int,
       blocks: Int): DataFrame = {
@@ -537,17 +566,18 @@ object Dedup {
       docs: DataFrame,
       threshold: Double,
       shingleN: Int = 3,
-      maxShingleDf: Int = Int.MaxValue): DataFrame =
-    ngramJaccardFromSets(
-      shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY),
-      threshold, maxShingleDf)
+      maxShingleDf: Int = Int.MaxValue): DataFrame = {
+    val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    try ngramJaccardFromSets(sets, threshold, maxShingleDf).localCheckpoint()
+    finally sets.unpersist()
+  }
 
   /** [[ngramJaccard]] over an ALREADY-PERSISTED shingle frame — the reuse
     * seam for [[ngramJaccardAdaptive]], whose diagnosis pass has the frame
     * cached already; re-shingling the corpus in the chosen route would
     * triple the dominant scan at 100 TB. Caller owns the persist.
     */
-  private[dedup] def ngramJaccardFromSets(
+  private[graft] def ngramJaccardFromSets(
       sets: DataFrame,
       threshold: Double,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
@@ -595,27 +625,32 @@ object Dedup {
       shingleN: Int = 3,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
-    val sh = sets.select(col("id"), explode(col("shs")).as("sh"))
-    val sizes = sets.select(col("id"), col("len"))
-    val joinSh =
-      if (maxShingleDf == Int.MaxValue) sh
-      else sh.join(
-        sh.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("sh"),
-        Seq("sh"), "left_semi")
-    val co = joinSh.as("x").join(joinSh.as("y"),
-        col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
-      .groupBy(col("x.id").as("a"), col("y.id").as("b"))
-      .agg(count(lit(1)).as("inter"))
-      .join(sizes.select(col("id").as("a"), col("len").as("la")), "a")
-      .join(sizes.select(col("id").as("b"), col("len").as("lb")), "b")
-    co.select(col("a").as("src"), col("b").as("dst"), col("inter"), col("la").as("src_len"))
-      .unionByName(
-        co.select(col("b").as("src"), col("a").as("dst"), col("inter"), col("lb").as("src_len")))
-      .withColumn("containment",
-        col("inter").cast("double") / col("src_len").cast("double"))
-      .filter(col("containment") >= threshold)
-      .select("src", "dst", "containment")
+    try {
+      val sh = sets.select(col("id"), explode(col("shs")).as("sh"))
+      val sizes = sets.select(col("id"), col("len"))
+      val joinSh =
+        if (maxShingleDf == Int.MaxValue) sh
+        else sh.join(
+          sh.groupBy("sh").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxShingleDf).select("sh"),
+          Seq("sh"), "left_semi")
+      val co = joinSh.as("x").join(joinSh.as("y"),
+          col("x.sh") === col("y.sh") && col("x.id") < col("y.id"))
+        .groupBy(col("x.id").as("a"), col("y.id").as("b"))
+        .agg(count(lit(1)).as("inter"))
+        .join(sizes.select(col("id").as("a"), col("len").as("la")), "a")
+        .join(sizes.select(col("id").as("b"), col("len").as("lb")), "b")
+      co.select(col("a").as("src"), col("b").as("dst"), col("inter"), col("la").as("src_len"))
+        .unionByName(
+          co.select(col("b").as("src"), col("a").as("dst"), col("inter"), col("lb").as("src_len")))
+        .withColumn("containment",
+          col("inter").cast("double") / col("src_len").cast("double"))
+        .filter(col("containment") >= threshold)
+        .select("src", "dst", "containment")
+        // directed pairs are output-sized; materialize before the shingle
+        // frame unpersists (the adaptive-route cleanup pattern)
+        .localCheckpoint()
+    } finally sets.unpersist()
   }
 
   /** [[ngramContainmentPairs]] with one-sided prefix + size filtering —
@@ -679,6 +714,7 @@ object Dedup {
       shingleN: Int = 3): DataFrame = {
     require(threshold > 0 && threshold <= 1, s"threshold $threshold out of (0,1]")
     val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    try {
     val sh = sets
       .select(col("id"), explode(col("shs")).as("sh"), col("len"))
       .withColumn("h", xxhash64(col("sh")))
@@ -718,6 +754,10 @@ object Dedup {
         col("inter").cast("double") / col("src_len").cast("double"))
       .filter(col("containment") >= threshold)
       .select("src", "dst", "containment")
+      // verified pairs are output-sized; materialize before the shingle
+      // frame unpersists (the adaptive-route cleanup pattern)
+      .localCheckpoint()
+    } finally sets.unpersist()
   }
 
   /** Exact n-gram Jaccard with PPJoin-style prefix + size filtering —
@@ -808,10 +848,11 @@ object Dedup {
   def ngramJaccardPrefix(
       docs: DataFrame,
       threshold: Double,
-      shingleN: Int = 3): DataFrame =
-    ngramJaccardPrefixFromSets(
-      shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY),
-      threshold)
+      shingleN: Int = 3): DataFrame = {
+    val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
+    try ngramJaccardPrefixFromSets(sets, threshold).localCheckpoint()
+    finally sets.unpersist()
+  }
 
   /** [[ngramJaccardPrefix]] over an already-persisted shingle frame, with
     * an optional pre-aggregated (df frame, entry count) from the caller's
@@ -1020,23 +1061,28 @@ object Dedup {
       shingleN: Int = 5,
       maxShingleDf: Int = Int.MaxValue): DataFrame = {
     val setsT = shingleSets(train, shingleN).persist(StorageLevel.MEMORY_ONLY)
-    val shT = setsT.select(col("id"), explode(col("shs")).as("sh"))
-    val shE = shingleRows(eval, shingleN)
-    val sizesT = setsT.select(col("id"), col("len")) // set cardinality, no shuffle
-    val joinE =
-      if (maxShingleDf == Int.MaxValue) shE
-      else shE.join(
-        shE.groupBy("sh").agg(count(lit(1)).as("df"))
-          .filter(col("df") <= maxShingleDf).select("sh"),
-        Seq("sh"), "left_semi")
-    val co = shT.as("x").join(joinE.as("y"), col("x.sh") === col("y.sh"))
-      .groupBy(col("x.id").as("train_id"), col("y.id").as("eval_id"))
-      .agg(count(lit(1)).as("inter"))
-    co.join(sizesT.select(col("id").as("train_id"), col("len")), "train_id")
-      .withColumn("containment",
-        col("inter").cast("double") / col("len").cast("double"))
-      .filter(col("containment") >= threshold)
-      .select("train_id", "eval_id", "containment")
+    try {
+      val shT = setsT.select(col("id"), explode(col("shs")).as("sh"))
+      val shE = shingleRows(eval, shingleN)
+      val sizesT = setsT.select(col("id"), col("len")) // set cardinality, no shuffle
+      val joinE =
+        if (maxShingleDf == Int.MaxValue) shE
+        else shE.join(
+          shE.groupBy("sh").agg(count(lit(1)).as("df"))
+            .filter(col("df") <= maxShingleDf).select("sh"),
+          Seq("sh"), "left_semi")
+      val co = shT.as("x").join(joinE.as("y"), col("x.sh") === col("y.sh"))
+        .groupBy(col("x.id").as("train_id"), col("y.id").as("eval_id"))
+        .agg(count(lit(1)).as("inter"))
+      co.join(sizesT.select(col("id").as("train_id"), col("len")), "train_id")
+        .withColumn("containment",
+          col("inter").cast("double") / col("len").cast("double"))
+        .filter(col("containment") >= threshold)
+        .select("train_id", "eval_id", "containment")
+        // flagged pairs are output-sized; materialize before the train
+        // shingle frame unpersists (the adaptive-route cleanup pattern)
+        .localCheckpoint()
+    } finally setsT.unpersist()
   }
 
   /** Per-document NOVELTY against a reference corpus: the fraction of a
@@ -1063,14 +1109,19 @@ object Dedup {
     val docSh = shingleSets(docs, shingleN)
       .select(col("id"), explode(col("shs")).as("sh"))
       .persist(StorageLevel.MEMORY_ONLY)
-    val tot = docSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
-    val seen = docSh.join(refSh, Seq("sh"), "left_semi")
-      .groupBy("id").agg(count(lit(1)).as("n_seen"))
-    tot.join(seen, Seq("id"), "left")
-      .withColumn("n_novel", col("n_shingles") - coalesce(col("n_seen"), lit(0L)))
-      .withColumn("novelty",
-        col("n_novel").cast("double") / col("n_shingles").cast("double"))
-      .select("id", "n_shingles", "n_novel", "novelty")
+    try {
+      val tot = docSh.groupBy("id").agg(count(lit(1)).as("n_shingles"))
+      val seen = docSh.join(refSh, Seq("sh"), "left_semi")
+        .groupBy("id").agg(count(lit(1)).as("n_seen"))
+      tot.join(seen, Seq("id"), "left")
+        .withColumn("n_novel", col("n_shingles") - coalesce(col("n_seen"), lit(0L)))
+        .withColumn("novelty",
+          col("n_novel").cast("double") / col("n_shingles").cast("double"))
+        .select("id", "n_shingles", "n_novel", "novelty")
+        // one narrow row per doc; materialize before the shingle rows
+        // unpersist (the adaptive-route cleanup pattern)
+        .localCheckpoint()
+    } finally docSh.unpersist()
   }
 
   /** Embedding near-duplicates: pairs with cosine >= threshold.
@@ -1189,20 +1240,25 @@ object Dedup {
     val assigned = graft.ann.Ann.assign(vectors, centroids)
       .select(col("id"), col("embedding"), col("norm"), col("cluster_id"))
       .persist(StorageLevel.MEMORY_ONLY)
-    val a = assigned.select(col("cluster_id"), col("id").as("a"),
-      col("embedding").as("ea"), col("norm").as("na"))
-    val b = assigned.select(col("cluster_id"), col("id").as("b"),
-      col("embedding").as("eb"), col("norm").as("nb"))
-    val pairs = a.join(b, Seq("cluster_id")).filter(col("a") < col("b"))
-      .withColumn("cosine",
-        VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
-      .filter(col("cosine") >= threshold)
-      .select("a", "b")
-    val comps = duplicateClusters(pairs)
-    assigned.select("id", "cluster_id")
-      .join(comps, Seq("id"), "left")
-      .withColumn("comp", coalesce(col("comp"), col("id")))
-      .withColumn("keep", col("comp") === col("id"))
-      .select("id", "cluster_id", "comp", "keep")
+    try {
+      val a = assigned.select(col("cluster_id"), col("id").as("a"),
+        col("embedding").as("ea"), col("norm").as("na"))
+      val b = assigned.select(col("cluster_id"), col("id").as("b"),
+        col("embedding").as("eb"), col("norm").as("nb"))
+      val pairs = a.join(b, Seq("cluster_id")).filter(col("a") < col("b"))
+        .withColumn("cosine",
+          VectorFunctions.dot(col("ea"), col("eb")) / (col("na") * col("nb")))
+        .filter(col("cosine") >= threshold)
+        .select("a", "b")
+      val comps = duplicateClusters(pairs)
+      assigned.select("id", "cluster_id")
+        .join(comps, Seq("id"), "left")
+        .withColumn("comp", coalesce(col("comp"), col("id")))
+        .withColumn("keep", col("comp") === col("id"))
+        .select("id", "cluster_id", "comp", "keep")
+        // one narrow row per id; materialize before the assignment map
+        // unpersists (the adaptive-route cleanup pattern)
+        .localCheckpoint()
+    } finally assigned.unpersist()
   }
 }

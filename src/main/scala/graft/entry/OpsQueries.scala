@@ -374,6 +374,107 @@ object OpsQueries {
       |  FROM ke LEFT JOIN hm ON ke.query_idx = hm.query_idx)
       |ORDER BY route, query_idx""".stripMargin
 
+  // ---- filtered graph ANN: answer from visited-set ∩ predicate ----
+  // Grades GraphSearch.beamSearchFilteredWithEntries (the route
+  // GraphIndex.searchFiltered serves) against exact FILTERED truth on a
+  // selective (~1%: id % 97 = 0, 6/500 rows at sf0.01) and a
+  // non-selective (50%: id % 2 = 0) predicate. The walk is UNFILTERED —
+  // identical to q_ann_graph_beam's medoid route — so the oracle shares
+  // that replay and only the final rescore differs: top-k among
+  // (entries ∪ hop1-candidates ∪ hop2-candidates) ∧ pred. Recall vs the
+  // filtered brute scan is the graded artifact, per predicate per query.
+  def annGraphFiltered(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val graph = Ann.knnJoin(vecs, 8).select(col("qid"), col("neighbor")).localCheckpoint()
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    val medoidEntries = GraphSearch.routeEntries(
+      vecs, labelMedoids(vecs).localCheckpoint(), qs, entries = 4).localCheckpoint()
+    val preds = Seq(
+      "sel_1pct" -> (pmod(col("id"), lit(97)) === 0),
+      "half" -> (pmod(col("id"), lit(2)) === 0))
+    preds.map { case (name, pred) =>
+      val truth = Ann.bruteTopK(vecs.filter(pred), qs, 5).select("query_idx", "id")
+      val approx = GraphSearch.beamSearchFilteredWithEntries(
+        graph, vecs, qs, medoidEntries, beam = 8, hops = 2, k = 5, pred)
+      val hits = truth.join(approx.select("query_idx", "id"), Seq("query_idx", "id"))
+        .groupBy("query_idx").agg(count(lit(1)).as("n_hits"))
+      truth.groupBy("query_idx").agg(count(lit(1)).as("k_eff"))
+        .join(hits, Seq("query_idx"), "left")
+        .select(lit(name).as("pred"), col("query_idx"), col("k_eff"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("k_eff").cast("double"), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("pred", "query_idx")
+  }
+
+  val annGraphFilteredSql: String =
+    s"""WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |$medoidCtes,
+      |g AS (SELECT qid, neighbor FROM (
+      |        SELECT a.id AS qid, b.id AS neighbor,
+      |               row_number() OVER (PARTITION BY a.id
+      |                 ORDER BY list_cosine_similarity(a.v, b.v) DESC, b.id) AS rn
+      |        FROM e a JOIN e b ON a.id <> b.id) WHERE rn <= 8),
+      |q AS (SELECT CAST(vec_id AS INTEGER) AS query_idx, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id IN (0,1,2)),
+      |f0 AS (SELECT query_idx, id FROM (
+      |         SELECT q.query_idx, e.id,
+      |                row_number() OVER (PARTITION BY q.query_idx
+      |                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.id) AS rn
+      |         FROM q CROSS JOIN e
+      |         WHERE e.id IN (SELECT id FROM med)) WHERE rn <= 4),
+      |u1 AS (SELECT f.query_idx, g.neighbor AS id FROM f0 f JOIN g ON g.qid = f.id
+      |       UNION SELECT query_idx, id FROM f0),
+      |f1 AS (SELECT query_idx, id FROM (
+      |         SELECT u.query_idx, u.id,
+      |                row_number() OVER (PARTITION BY u.query_idx
+      |                  ORDER BY list_cosine_similarity(e.v, q.qv) DESC, u.id) AS rn
+      |         FROM u1 u JOIN e ON e.id = u.id JOIN q ON q.query_idx = u.query_idx) WHERE rn <= 8),
+      |u2 AS (SELECT f.query_idx, g.neighbor AS id FROM f1 f JOIN g ON g.qid = f.id
+      |       UNION SELECT query_idx, id FROM f1),
+      |vis AS (SELECT query_idx, id FROM u1 UNION SELECT query_idx, id FROM u2),
+      |truth_s AS (SELECT query_idx, id FROM (
+      |              SELECT q.query_idx, e.id,
+      |                     row_number() OVER (PARTITION BY q.query_idx
+      |                       ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.id) AS rn
+      |              FROM q CROSS JOIN e WHERE e.id % 97 = 0) WHERE rn <= 5),
+      |truth_h AS (SELECT query_idx, id FROM (
+      |              SELECT q.query_idx, e.id,
+      |                     row_number() OVER (PARTITION BY q.query_idx
+      |                       ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.id) AS rn
+      |              FROM q CROSS JOIN e WHERE e.id % 2 = 0) WHERE rn <= 5),
+      |ans_s AS (SELECT query_idx, id FROM (
+      |            SELECT v.query_idx, v.id,
+      |                   row_number() OVER (PARTITION BY v.query_idx
+      |                     ORDER BY list_cosine_similarity(e.v, q.qv) DESC, v.id) AS rn
+      |            FROM vis v JOIN e ON e.id = v.id JOIN q ON q.query_idx = v.query_idx
+      |            WHERE e.id % 97 = 0) WHERE rn <= 5),
+      |ans_h AS (SELECT query_idx, id FROM (
+      |            SELECT v.query_idx, v.id,
+      |                   row_number() OVER (PARTITION BY v.query_idx
+      |                     ORDER BY list_cosine_similarity(e.v, q.qv) DESC, v.id) AS rn
+      |            FROM vis v JOIN e ON e.id = v.id JOIN q ON q.query_idx = v.query_idx
+      |            WHERE e.id % 2 = 0) WHERE rn <= 5),
+      |ke_s AS (SELECT query_idx, count(*) AS k_eff FROM truth_s GROUP BY 1),
+      |ke_h AS (SELECT query_idx, count(*) AS k_eff FROM truth_h GROUP BY 1),
+      |h_s AS (SELECT t.query_idx, count(*) AS n_hits
+      |        FROM truth_s t JOIN ans_s a ON t.query_idx = a.query_idx AND t.id = a.id
+      |        GROUP BY 1),
+      |h_h AS (SELECT t.query_idx, count(*) AS n_hits
+      |        FROM truth_h t JOIN ans_h a ON t.query_idx = a.query_idx AND t.id = a.id
+      |        GROUP BY 1)
+      |SELECT pred, query_idx, k_eff, n_hits, recall FROM (
+      |  SELECT 'sel_1pct' AS pred, k.query_idx, CAST(k.k_eff AS BIGINT) AS k_eff,
+      |         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |         round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / k.k_eff, 6) AS recall
+      |  FROM ke_s k LEFT JOIN h_s h ON k.query_idx = h.query_idx
+      |  UNION ALL
+      |  SELECT 'half' AS pred, k.query_idx, CAST(k.k_eff AS BIGINT) AS k_eff,
+      |         CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |         round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / k.k_eff, 6) AS recall
+      |  FROM ke_h k LEFT JOIN h_h h ON k.query_idx = h.query_idx)
+      |ORDER BY pred, query_idx""".stripMargin
+
   // ---- extended sanitize: Luhn-validated cards + IPv4 ----
   // Adversarial rows are synthesized from the id (16-digit dashed card
   // candidate — Luhn-valid for ~10% of ids — plus an IPv4 and an email),
@@ -1420,6 +1521,7 @@ object OpsQueries {
     "q_pipeline_incremental" -> (pipelineIncremental _),
     "q_ann_graph_ivf" -> (annGraphIvf _),
     "q_ann_graph_recall" -> (annGraphRecall _),
+    "q_ann_graph_filtered" -> (annGraphFiltered _),
     "q_privacy_kanon" -> (privacyKanon _),
     "q_search_expanded" -> (searchExpanded _),
     "q_search_spell" -> (searchSpell _),
@@ -1455,6 +1557,7 @@ object OpsQueries {
     "q_pipeline_incremental" -> pipelineIncrementalSql,
     "q_ann_graph_ivf" -> annGraphIvfSql,
     "q_ann_graph_recall" -> annGraphRecallSql,
+    "q_ann_graph_filtered" -> annGraphFilteredSql,
     "q_privacy_kanon" -> privacyKanonSql,
     "q_search_expanded" -> searchExpandedSql,
     "q_search_spell" -> searchSpellSql,

@@ -358,4 +358,43 @@ class DedupSpec extends SparkSpec {
     assert(noHint.value == withHint.value + n,
       s"hint=${withHint.value} nohint=${noHint.value}")
   }
+
+  test("no dedup route leaves a session-lived MEMORY_ONLY cache behind") {
+    import spark.implicits._
+    val docs = (0 until 40)
+      .map(i => (s"d$i", s"shared prefix words here plus unique token u$i and filler f${i % 5}"))
+      .toDF("id", "content").localCheckpoint()
+    val other = (0 until 20)
+      .map(i => (s"e$i", s"shared prefix words here plus unique token u${i * 2} extra"))
+      .toDF("id", "content").localCheckpoint()
+    val vecs = Tables.vectors(spark, dir)
+    val cents = graft.ann.Ann.representativeCentroids(vecs, "label").localCheckpoint()
+    // every route's internal MEMORY_ONLY diagnosis frame (shingles,
+    // fingerprints, assignments) must be released once the output-sized
+    // result is materialized — only localCheckpoint RDDs (DISK-backed,
+    // owned by the returned frames) may remain
+    def memOnly(): Seq[String] =
+      spark.sparkContext.getPersistentRDDs.values
+        .filter(_.getStorageLevel == org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+        .map(_.toString).toSeq
+    val routes: Seq[(String, () => Unit)] = Seq(
+      "ngramJaccard" -> (() => Dedup.ngramJaccard(docs, 0.5).count()),
+      "ngramJaccardPrefix" -> (() => Dedup.ngramJaccardPrefix(docs, 0.5).count()),
+      "ngramJaccardAdaptive" -> (() => Dedup.ngramJaccardAdaptive(docs, 0.5).count()),
+      "ngramContainmentPairs" -> (() => Dedup.ngramContainmentPairs(docs, 0.5).count()),
+      "ngramContainmentPairsPrefix" -> (() => Dedup.ngramContainmentPairsPrefix(docs, 0.5).count()),
+      "multiscriptNearDups" -> (() => Dedup.multiscriptNearDups(docs, 0.5).count()),
+      "minHashNearDups" -> (() => Dedup.minHashNearDups(docs, 0.5).count()),
+      "minHashNearDupsAcross" -> (() => Dedup.minHashNearDupsAcross(docs, other, 0.5).count()),
+      "simHashNearDups" -> (() => Dedup.simHashNearDups(docs).count()),
+      "simHash64NearDups" -> (() => Dedup.simHash64NearDups(docs).count()),
+      "containment" -> (() => Dedup.containment(docs, other, 0.5).count()),
+      "noveltyScore" -> (() => Dedup.noveltyScore(docs, other).count()),
+      "semDeDup" -> (() => Dedup.semDeDup(vecs, cents, 0.95).count()))
+    routes.foreach { case (name, run) =>
+      run()
+      val leaked = memOnly()
+      assert(leaked.isEmpty, s"$name left MEMORY_ONLY caches: ${leaked.mkString("; ")}")
+    }
+  }
 }

@@ -168,6 +168,38 @@ class GraphIndexSpec extends SparkSpec {
     assert(dirs.length > 1)
   }
 
+  test("searchFiltered serves visited ∩ pred from persisted state with the oversample floor") {
+    val api = newApi()
+    api.createCollection("g6", documents = Some(docsDf(0 until 40)))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "g6"))
+    GraphIndex.build(spark, api.catalog, entry, K)
+
+    val emb = new DeterministicHashEmbedder(32)
+    val qs = Seq(0 -> emb.embedQuery("document number 7").toSeq)
+    // ids are uuid strings here — a content-independent selective pred
+    val pred = substring(col("id"), 1, 1).isin("0", "1", "2", "3")
+
+    // a caller-requested beam of 2 is floored to the reference's
+    // post-filter oversample (max(10k,100) candidates): with hops=3 and
+    // degree K=4 the walk must run at beam ceil(100/(3*5)) = 7
+    val viaIndex = GraphIndex.searchFiltered(spark, api.catalog, entry, qs, pred,
+      entries = 4, beam = 2, hops = 3, k = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    val vecs = api.catalog.readDocuments(entry).select("id", "embedding", "norm")
+    val entryPoints = graft.ann.GraphSearch.routeEntries(
+      vecs, GraphIndex.loadMedoids(spark, api.catalog, entry).get.select("id"),
+      qs, entries = 4)
+    val flooredBeam = math.ceil(100.0 / (3 * (K + 1))).toInt
+    val fresh = graft.ann.GraphSearch.beamSearchFilteredWithEntries(
+      graft.ann.Ann.knnJoin(vecs, K).select("qid", "neighbor"),
+      vecs, qs, entryPoints, beam = flooredBeam, hops = 3, k = 5, pred = pred)
+      .collect().map(r => (r.getInt(0), r.getString(1))).sorted.toSeq
+    assert(viaIndex == fresh)
+    // every served row satisfies the predicate
+    assert(viaIndex.forall { case (_, id) => "0123".contains(id.head) })
+    assert(viaIndex.nonEmpty)
+  }
+
   test("deleting a medoid repairs the entry-point table from stored centroids") {
     val api = newApi()
     api.createCollection("g5", documents = Some(docsDf(0 until 30)))

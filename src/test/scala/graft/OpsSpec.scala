@@ -247,4 +247,47 @@ class OpsSpec extends SparkSpec {
       assert(top.getLong(1) == qi.toLong, s"query $qi top hit was $top")
     }
   }
+
+  test("filtered beam search answers top-k among visited ∩ predicate") {
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(i * 1000 + 7)
+      (0 until 8).map(_ => (r.nextDouble() * 2 - 1).toFloat)
+    }
+    val vecs = (0 until 40).map(i => (i.toLong, vec(i))).toDF("id", "embedding")
+      .withColumn("norm", VectorFunctions.l2Norm(col("embedding")))
+      .localCheckpoint()
+    val graph = Ann.knnJoin(vecs, 8).select(col("qid"), col("neighbor")).localCheckpoint()
+    val queries = Seq(7 -> vec(7), 23 -> vec(23))
+
+    // pred ≡ true: the filtered route must equal the plain walk exactly —
+    // the final frontier's top-k dominates every node that ever fell out
+    // of the beam (k <= beam), so widening the answer set to `visited`
+    // changes nothing when the predicate passes everyone
+    val plain = GraphSearch.beamSearch(graph, vecs, queries,
+      entries = 4, beam = 10, hops = 4, k = 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val allPass = GraphSearch.beamSearchFiltered(graph, vecs, queries,
+      entries = 4, beam = 10, hops = 4, k = 3, pred = lit(true))
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(allPass == plain)
+
+    // selective predicate (4/40 ids): with a beam wide enough to visit the
+    // whole (connected) graph, the answer IS the exact filtered top-k —
+    // and the walk itself stayed unfiltered, so reachability never
+    // depended on the predicate
+    val pred = pmod(col("id"), lit(13)) === 0
+    val truth = Ann.bruteTopK(vecs.filter(pred), queries, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val got = GraphSearch.beamSearchFiltered(graph, vecs, queries,
+      entries = 4, beam = 40, hops = 6, k = 3, pred = pred)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    assert(got.map(t => (t._1, t._2)).sorted.toSeq == truth)
+    // every answer row satisfies the predicate
+    assert(got.forall(_._2 % 13 == 0))
+    // narrow walk: answers still only from pred rows, at most k per query
+    val narrow = GraphSearch.beamSearchFiltered(graph, vecs, queries,
+      entries = 2, beam = 3, hops = 1, k = 3, pred = pred).collect()
+    assert(narrow.forall(_.getLong(1) % 13 == 0))
+    assert(narrow.groupBy(_.getInt(0)).values.forall(_.length <= 3))
+  }
 }

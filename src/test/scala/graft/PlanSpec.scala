@@ -90,21 +90,32 @@ class PlanSpec extends SparkSpec {
   }
 
   test("dedup pipelines never materialize an all-pairs product") {
+    // the public routes eagerly checkpoint (so their persisted diagnosis
+    // frames can unpersist deterministically), which collapses their
+    // executed plan to an RDD scan — audit the un-checkpointed FromSets/
+    // FromFingerprints dataflows the routes delegate to instead
     import spark.implicits._
     val docs = (0 until 60)
       .map(i => (s"d$i", s"shared prefix words here plus unique token u$i and filler f${i % 7}"))
       .toDF("id", "content")
-    for (df <- Seq(
-        graft.dedup.Dedup.minHashNearDups(docs, threshold = 0.6),
-        graft.dedup.Dedup.ngramJaccard(docs, threshold = 0.5),
-        graft.dedup.Dedup.simHashNearDups(docs))) {
-      df.collect() // finalize the adaptive plan before inspecting it
-      val p = df.queryExecution.executedPlan.toString
-      assert(!p.contains("CartesianProduct"),
-        "candidate generation must stay keyed (bucket/shingle/block joins)")
-      assert(!p.contains("BroadcastNestedLoopJoin"),
-        "no non-equi join anywhere in the dedup dataflow")
-    }
+    val sets = graft.dedup.Dedup.shingleSets(docs, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    val fp = graft.dedup.Dedup.simHashFingerprints64(docs)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      for (df <- Seq(
+          graft.dedup.Dedup.minHashNearDupsFromSets(sets, threshold = 0.6),
+          graft.dedup.Dedup.ngramJaccardFromSets(sets, threshold = 0.5),
+          graft.dedup.Dedup.simHashNearDups32FromFingerprints(
+            fp.select(col("id"), col("fp_hi").as("fp")), maxHamming = 3, blocks = 4))) {
+        df.collect() // finalize the adaptive plan before inspecting it
+        val p = df.queryExecution.executedPlan.toString
+        assert(!p.contains("CartesianProduct"),
+          "candidate generation must stay keyed (bucket/shingle/block joins)")
+        assert(!p.contains("BroadcastNestedLoopJoin"),
+          "no non-equi join anywhere in the dedup dataflow")
+      }
+    } finally { sets.unpersist(); fp.unpersist() }
   }
 
   test("blocked kNN self-joins on cluster_id; only the K-centroid broadcast is unkeyed") {
@@ -186,15 +197,19 @@ class PlanSpec extends SparkSpec {
     val docs = (0 until 60)
       .map(i => (s"d$i", s"shared prefix words here plus unique token u$i and filler f${i % 7}"))
       .toDF("id", "content")
-    val df = graft.dedup.Dedup.minHashNearDups(docs, threshold = 0.6)
-    df.collect()
-    val p = df.queryExecution.executedPlan.toString
-    // the verify joins fetch shingle SETS per candidate id: above the
-    // candidate-pair aggregate there must be no Generate (explode) —
-    // i.e. nothing multiplies candidate rows back out by shingle count
-    val aboveCands = p.split("HashAggregate").head
-    assert(!aboveCands.contains("Generate"),
-      "verification must join per-pair shingle sets, not re-exploded rows")
+    val sets = graft.dedup.Dedup.shingleSets(docs, 3)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_ONLY)
+    try {
+      val df = graft.dedup.Dedup.minHashNearDupsFromSets(sets, threshold = 0.6)
+      df.collect()
+      val p = df.queryExecution.executedPlan.toString
+      // the verify joins fetch shingle SETS per candidate id: above the
+      // candidate-pair aggregate there must be no Generate (explode) —
+      // i.e. nothing multiplies candidate rows back out by shingle count
+      val aboveCands = p.split("HashAggregate").head
+      assert(!aboveCands.contains("Generate"),
+        "verification must join per-pair shingle sets, not re-exploded rows")
+    } finally sets.unpersist()
   }
 
   test("no entry query plans an unpartitioned window (global single-task sort)") {
