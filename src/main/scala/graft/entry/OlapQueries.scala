@@ -1524,7 +1524,17 @@ object OlapQueries {
       .filter(col("user_id") % 10 === 0)
       .select(col("user_id"), col("event_id"), col("event_type"),
         epochOf("MICROSECOND", "ts").as("tsu"))
-    val cut = e.agg(expr("percentile(tsu, 0.5)")).head().getDouble(0)
+    // an empty slice yields a NULL percentile — short-circuit to the empty
+    // history instead of throwing (the oracle's rebuild is empty too)
+    val cutRow = e.agg(expr("percentile(tsu, 0.5)")).head()
+    if (cutRow.isNullAt(0))
+      return graft.operators.Scd2
+        .fromChangeLog(e, "user_id", Seq("event_type"), "tsu", Seq("event_id"))
+        .select(col("user_id"), col("version"), col("event_type"),
+          col("valid_from").as("valid_from_us"),
+          coalesce(col("valid_to"), lit(-1L)).as("valid_to_us"),
+          col("is_current"))
+    val cut = cutRow.getDouble(0)
     val hist = graft.operators.Scd2.fromChangeLog(
       e.filter(col("tsu") <= cut), "user_id", Seq("event_type"), "tsu",
       Seq("event_id"))

@@ -1,0 +1,99 @@
+package graft.streaming
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.operators.{Cms, Hll}
+
+/** Continuous corpus profiling: persisted HLL register and CMS cell
+  * tables maintained per micro-batch — the auditable-sketch analog of the
+  * Bloom existence fold ([[graft.ingest.BloomGate.noteInserted]]). The
+  * reference has no streaming surface at all (SURVEY §1.3); this is the
+  * 100 TB-pipeline extension that keeps "how many distinct documents have
+  * we ever ingested / what are the heavy-hitter tokens" queryable without
+  * ever rescanning the corpus.
+  *
+  * Why a per-batch fold is EXACT, not approximate-on-approximate: both
+  * sketches are commutative monoids over their register/cell tables —
+  * HLL merges by union+max ([[Hll.merge]]), CMS by union+sum
+  * ([[Cms.merge]]) — so folding batch registers into the stored table
+  * yields a table bit-identical to the batch sketch computed over the
+  * union of every batch (StreamingSpec asserts register equality). The
+  * estimate read off the stored table is therefore exactly the estimate a
+  * full recompute would produce.
+  *
+  * Scale shape per fold: one batch-sized register build (narrow map +
+  * combiner-collapsed aggregate), one merge against a SKETCH-BOUNDED
+  * stored table (≤ 2^p rows per group for HLL, ≤ width·depth cells for
+  * CMS), one sketch-bounded rewrite. Stream length never appears in the
+  * cost — the stored table cannot grow past the sketch bound. Writes go
+  * to a `.delta` staging dir then swap in (the PartitionedTable
+  * discipline: never read and overwrite one path in a single job).
+  */
+object SketchMaintenance {
+
+  /** The stored register/cell table, or None before the first fold. */
+  def load(spark: SparkSession, path: String): Option[DataFrame] =
+    if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path)) else None
+
+  /** Fold one micro-batch into the persisted HLL register table at
+    * `path` (created on first fold). groupCols/valueCol/p must be stable
+    * across folds — they are sketch identity, like BloomGate's meta.
+    */
+  def foldHll(
+      path: String,
+      batch: DataFrame,
+      groupCols: Seq[String],
+      valueCol: String,
+      p: Int = Hll.DefaultP): Unit = {
+    val regs = Hll.registers(batch, groupCols, valueCol, p)
+    val merged = load(batch.sparkSession, path)
+      .map(prev => Hll.merge(prev, regs, groupCols))
+      .getOrElse(regs)
+    writeSwap(merged, path)
+  }
+
+  /** Fold one micro-batch into the persisted CMS cell table at `path`
+    * (created on first fold). width/depth are sketch identity.
+    */
+  def foldCms(
+      path: String,
+      batch: DataFrame,
+      valueCol: String,
+      width: Int,
+      depth: Int,
+      weightCol: Option[String] = None): Unit = {
+    val cells = Cms.sketch(batch, valueCol, width, depth, weightCol)
+    val merged = load(batch.sparkSession, path)
+      .map(prev => Cms.merge(prev, cells))
+      .getOrElse(cells)
+    writeSwap(merged, path)
+  }
+
+  /** Distinct-count estimates off the stored HLL table — serving reads
+    * the sketch-bounded parquet, never the corpus.
+    */
+  def hllEstimate(
+      spark: SparkSession, path: String,
+      groupCols: Seq[String], p: Int = Hll.DefaultP): Option[DataFrame] =
+    load(spark, path).map(Hll.estimate(_, groupCols, p))
+
+  /** Point estimates for `keys` off the stored CMS table. */
+  def cmsEstimate(
+      spark: SparkSession, path: String,
+      keys: Seq[String], width: Int, depth: Int): Option[DataFrame] =
+    load(spark, path).map(Cms.estimate(_, keys, width, depth))
+
+  /** Stage-then-swap rewrite: the merged frame READS the live table, so
+    * it must fully materialize (the staging write) before the live dir is
+    * replaced. Sketch-bounded rows → one output file.
+    */
+  private def writeSwap(df: DataFrame, path: String): Unit = {
+    val staging = path + ".delta"
+    df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
+    val live = Paths.get(path)
+    graft.catalog.PartitionedTable.deleteDir(live)
+    Files.move(Paths.get(staging), live, StandardCopyOption.ATOMIC_MOVE)
+  }
+}

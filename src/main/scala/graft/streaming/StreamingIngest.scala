@@ -84,6 +84,19 @@ object StreamingIngest {
     */
   final case class C4Gate(minLineWords: Int = 5, minSentences: Int = 3)
 
+  /** Continuous-profiling sidecars maintained per compaction batch (see
+    * [[SketchMaintenance]]): an HLL register table over the landed ids
+    * (distinct-documents-ever-ingested, exact-merge across batches) and a
+    * CMS cell table over the landed tokens (heavy-hitter vocabulary).
+    * Parameters are sketch identity — fixed for the sidecar's lifetime.
+    */
+  final case class ProfileSketches(
+      hllPath: String,
+      cmsPath: String,
+      p: Int = graft.operators.Hll.DefaultP,
+      width: Int = 1024,
+      depth: Int = 4)
+
   def compact(
       spark: SparkSession,
       catalog: Catalog,
@@ -94,7 +107,8 @@ object StreamingIngest {
       nearDupJaccard: Option[Double] = None,
       qualityGate: Option[QualityGate] = None,
       langAllow: Option[Set[String]] = None,
-      c4Gate: Option[C4Gate] = None): Long = {
+      c4Gate: Option[C4Gate] = None,
+      profile: Option[ProfileSketches] = None): Long = {
     val staged = spark.read.parquet(stagingPath)
     val w = Window.partitionBy("id").orderBy(col("ingest_ts").desc)
     val latest = staged
@@ -185,6 +199,16 @@ object StreamingIngest {
       // bloom existence sketch is a derived index like the rest: fold the
       // micro-batch's ids in so batch-API inserts keep their O(batch) check
       graft.ingest.BloomGate.noteInserted(catalog, entry, embedded)
+      // continuous profiling: fold the batch's HLL registers / CMS cells
+      // into the persisted sketch tables — exact merges, so the stored
+      // sketch equals a full-corpus recompute (SketchMaintenance scaladoc)
+      profile.foreach { pr =>
+        SketchMaintenance.foldHll(pr.hllPath, embedded.select("id"), Seq(), "id", pr.p)
+        SketchMaintenance.foldCms(pr.cmsPath,
+          embedded.select(explode(
+            graft.functions.TextFunctions.tokens(col("content"))).as("tok")),
+          "tok", pr.width, pr.depth)
+      }
       merged
     } finally { embedded.unpersist(); all.unpersist() }
   }

@@ -333,4 +333,81 @@ class StreamingSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
     assert(rows.toSeq == Seq((1L, "campA", 600000L)))
   }
+
+  test("continuous profiling: per-batch sketch folds equal the one-shot batch sketch") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.SketchMaintenance
+    import graft.operators.{Cms, Hll}
+    val dir = Files.createTempDirectory("graft-sketch").toString
+    val hllPath = s"$dir/hll.regs"
+    val cmsPath = s"$dir/cms.cells"
+    val all = (0 until 300)
+      .map(i => (s"doc${i % 240}", s"tok${i % 13} tok${i % 7} filler"))
+      .toDF("id", "content")
+    def toks(df: org.apache.spark.sql.DataFrame) = df.select(
+      explode(graft.functions.TextFunctions.tokens(col("content"))).as("tok"))
+    // three disjoint micro-batches folded in sequence
+    (0 until 3).foreach { b =>
+      val batch = all.filter(abs(xxhash64(col("id"), col("content"))) % 3 === b)
+      SketchMaintenance.foldHll(hllPath, batch.select("id"), Seq(), "id")
+      SketchMaintenance.foldCms(cmsPath, toks(batch), "tok", width = 256, depth = 4)
+    }
+    // stored register table == the batch sketch over the union — exact,
+    // register for register / cell for cell
+    def hllRows(df: org.apache.spark.sql.DataFrame) =
+      df.select("reg_idx", "reg").collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    val stored = hllRows(spark.read.parquet(hllPath))
+    val oneShot = hllRows(Hll.registers(all.select("id"), Seq(), "id"))
+    assert(stored == oneShot && stored.nonEmpty)
+    def cmsRows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2))).sorted.toSeq
+    val storedCms = cmsRows(spark.read.parquet(cmsPath))
+    val oneShotCms = cmsRows(Cms.sketch(toks(all), "tok", 256, 4))
+    assert(storedCms == oneShotCms && storedCms.nonEmpty)
+    // estimates read off the stored tables match a full recompute
+    val est = SketchMaintenance.hllEstimate(spark, hllPath, Seq()).get
+      .select("est").head().getDouble(0)
+    val direct = Hll.estimate(Hll.registers(all.select("id"), Seq(), "id"), Seq())
+      .select("est").head().getDouble(0)
+    assert(est == direct)
+    val cEst = SketchMaintenance.cmsEstimate(spark, cmsPath, Seq("filler"), 256, 4).get
+      .head().getLong(1)
+    assert(cEst >= 300L) // every row contributes one 'filler' token
+  }
+
+  test("compaction with profile sidecars folds HLL/CMS continuously") {
+    import spark.implicits._
+    import graft.ingest.DeterministicHashEmbedder
+    import graft.streaming.SketchMaintenance
+    val wh = Files.createTempDirectory("graft-wh").toString
+    val staging1 = Files.createTempDirectory("graft-st1").toString
+    val staging2 = Files.createTempDirectory("graft-st2").toString
+    val embedder = new DeterministicHashEmbedder(16)
+    val api = new Api(spark, wh, embedder)
+    api.createCollection("profiled")
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "profiled"))
+    def stage(path: String, contents: Seq[String]): Unit =
+      contents.toDF("content")
+        .withColumn("id", graft.ingest.Ingest.contentId(org.apache.spark.sql.functions.col("content")))
+        .withColumn("ingest_ts", org.apache.spark.sql.functions.current_timestamp())
+        .write.mode("overwrite").parquet(path)
+    stage(staging1, Seq("alpha about spark", "beta about joins"))
+    stage(staging2, Seq("gamma about vectors", "delta about state"))
+    val prof = StreamingIngest.ProfileSketches(
+      s"$wh/profiled.hll", s"$wh/profiled.cms", width = 256, depth = 4)
+    assert(StreamingIngest.compact(spark, api.catalog, entry, staging1, embedder,
+      profile = Some(prof)) == 2)
+    assert(StreamingIngest.compact(spark, api.catalog, entry, staging2, embedder,
+      profile = Some(prof)) == 2)
+    // 4 distinct ids ever landed; at n << m the HLL estimate is the exact
+    // linear-counting answer
+    val est = SketchMaintenance.hllEstimate(spark, prof.hllPath, Seq()).get
+      .select("est").head().getDouble(0)
+    assert(math.round(est) == 4L, s"est=$est")
+    // the token CMS saw both batches: 'about' occurs once per document
+    val aboutEst = SketchMaintenance.cmsEstimate(
+      spark, prof.cmsPath, Seq("about"), 256, 4).get.head().getLong(1)
+    assert(aboutEst == 4L, s"about=$aboutEst")
+  }
 }
