@@ -129,6 +129,135 @@ object PlanDump {
     "q_events_pattern" -> "sequence patterns: ONE keyed aggregate + per-row regex, no self-joins",
     "q_ann_graph_ivf" -> "two-layer serving: IVF reps route the query into the graph beam")
 
+  /** The remainder of the registered surface, in name order — every query in
+    * `SparkEntry.queries` gets a plan heading (enforced below), so the
+    * no-cartesian / no-unpartitioned-window review surface covers the whole
+    * engine, not a curated subset.
+    */
+  private val Extended = Seq(
+    "q10_returns" -> "TPC-H Q10: R-flag pushed to the fact scan, broadcast customer/nation dims, top-20 revenue heap",
+    "q12_priority" -> "TPC-H Q12: shipmode + date range all in PushedFilters, 2-key conditional agg",
+    "q14_promo" -> "TPC-H Q14: month-pruned fact x broadcast part, single conditional-ratio aggregate",
+    "q16_suppcount" -> "TPC-H Q16: LeftAnti complaint suppliers, distinct-supplier count per (brand, type, size)",
+    "q20_excess" -> "TPC-H Q20: half-of-shipped threshold agg joined back, LeftSemi chain up to suppliers",
+    "q3_revenue" -> "TPC-H Q3: segment-filtered broadcast dims + top-10 revenue heap",
+    "q6_forecast" -> "TPC-H Q6: every predicate in PushedFilters, ONE 1-row aggregate — no join, no second exchange",
+    "q9_profit" -> "TPC-H Q9: part-name gate pruned at the scan, 2-dim broadcast star, (nation, year) keyed agg",
+    "q_ann_brute" -> "brute-force cosine baseline: ONE narrow score projection + TakeOrderedAndProject heap, zero shuffle",
+    "q_ann_graph_filtered" -> "filtered graph ANN: unfiltered medoid beam, visited-set AND predicate rescore (oversample floor max(10k,100)), recall vs exact filtered truth",
+    "q_ann_graph_recall" -> "graph-beam recall report: beam leg vs checkpointed exact-truth leg, hit join on (query,id)",
+    "q_ann_hamming" -> "Hamming shortlist: 64-bit sign-LSH xor+popcount prefilter, exact cosine re-rank of survivors only",
+    "q_ann_ivf_filtered" -> "filtered IVF ANN: predicate pushed under the cluster-pruned top-k (pushdown) vs oversampled post-filter — recall graded vs exact filtered truth",
+    "q_ann_knn_join" -> "kNN self-join: cluster-blocked candidate pairs + per-src bounded window — no all-pairs product",
+    "q_ann_rp" -> "random-projection LSH: per-row bit-fold bucket key, bucket-keyed candidate join + exact re-rank",
+    "q_ann_sq" -> "SQ8 scalar quantization: int8-code ADC scan (no embedding read) + exact re-rank of the shortlist",
+    "q_bpe_segment" -> "BPE segmentation: broadcast merge ranks, per-row fold — zero shuffle",
+    "q_bpe_train" -> "BPE training: per-round pair-count keyed agg + broadcast merge application; state stays vocab-sized",
+    "q_chunk_overlap" -> "overlapping chunker: per-doc window slices exploded, output chunk-sized",
+    "q_classifier_pr" -> "PR curve: distinct-margin agg + bucket-sliced prefix sums, window PARTITIONED by bucket (no global sort)",
+    "q_cluster_balance" -> "cluster balance: narrow centroid-argmin projection + ONE keyed count agg",
+    "q_cluster_purity" -> "cluster purity: (cluster,label) keyed counts -> per-cluster argmax window over label-sized groups",
+    "q_collection_list" -> "catalog listing: tenant-prefix filter over the metadata table — catalog-sized, no corpus touch",
+    "q_collocations_pmi" -> "PMI collocations: bigram/unigram keyed aggs + broadcast totals, micro-nat integer log-ratios",
+    "q_corpus_histogram" -> "equi-width histogram: 1-row min/max broadcast + bin-keyed counts, both passes combiner-collapsed",
+    "q_corpus_profile" -> "corpus profile: ONE combiner-collapsed aggregate over pruned columns",
+    "q_data_contract" -> "data contract: every Deequ-style check as a conditional count in ONE aggregate — single corpus pass",
+    "q_decontaminate" -> "decontamination: eval-slice 3-gram frame probes train shingles at containment >= 0.05; leak rows output-sized",
+    "q_dedup_clusters" -> "near-dup components: MinHash pair gen + star rounds, edge set output-sized",
+    "q_dedup_embedding" -> "embedding near-dup: cluster-keyed cosine pairs over threshold — never all-pairs",
+    "q_dedup_exact" -> "exact dedup: sha256-keyed agg, ONE exchange, min-id winners",
+    "q_dedup_minhash_sig" -> "MinHash signatures: native per-row expression — signature column out, zero shuffle",
+    "q_dedup_multiscript" -> "script-aware near-dup: per-row CJK char-ngram / Latin word-gram routing (native CharNgrams), banded LSH bucket join",
+    "q_dedup_ngram" -> "n-gram Jaccard: inverted-index candidate join + sorted-merge verify; diagnosis frames released try/finally",
+    "q_dedup_paragraph" -> "paragraph dedup: paragraph explode -> hash-keyed first-occurrence, docs rebuilt by position",
+    "q_dedup_simhash" -> "SimHash-32: per-row fingerprint expression + banded Hamming candidate join",
+    "q_dedup_simhash64" -> "SimHash-64: the same banded plan at 64-bit fingerprint precision",
+    "q_dedup_spans" -> "ExactSubstr span removal (keep-first): 5-gram occurrence index, later spans cut, first survives",
+    "q_dedup_stats" -> "dup-health histogram: cluster-size keyed counts, size-1 filled from the 1-row corpus total",
+    "q_dedup_sweep" -> "threshold sweep: ONE persisted pair frame scored once, cutoffs applied as a broadcast grid",
+    "q_delete_docs" -> "delete_documents: broadcast id-set LEFT ANTI — one corpus pass",
+    "q_domain_cap" -> "per-source token cap: source-keyed running-sum window in (hash, doc) order, one exchange",
+    "q_dsir_select" -> "DSIR: hashed n-gram bucket importance weights, per-row micro-nat score + Gumbel top-k heap",
+    "q_embed_deterministic" -> "deterministic embedder: per-partition batch embed, narrow map — no shuffle",
+    "q_embed_validate" -> "embedding validation: dim/finite/norm checks in ONE projection + rollup agg",
+    "q_events_asof_chunked" -> "skew-bounded as-of: 1-hour chunk-local windows + carry summaries — same oracle as the global as-of",
+    "q_events_asof_forward" -> "forward as-of: earliest-following match via ordered window, one keyed shuffle",
+    "q_events_asof_nearest" -> "nearest as-of: backward+forward union window, (|dt|, direction) argmin — no theta-join",
+    "q_events_funnel" -> "funnel: TWO backward as-of joins + gap filters, hourly conversion counts",
+    "q_events_rolling" -> "rolling 1-hour features: RANGE frame over ONE user-keyed exchange",
+    "q_events_scd2_incr" -> "incremental SCD2: delta keys isolated by semi/anti join, windows over delta-sized slices; merge==rebuild oracle",
+    "q_filter_gopher" -> "Gopher gates: ONE native per-row stats pass, gates as projections — no shuffle",
+    "q_get_by_ids" -> "get_documents_by_ids: IN-list pushed into the parquet scan (PushedFilters)",
+    "q_hard_negatives" -> "hard negatives: kNN shortlist anti-joined vs positives, per-anchor bounded window",
+    "q_hybrid_rrf_indexed" -> "hybrid RRF with the lexical leg served from the persisted posting table (GIN analog)",
+    "q_id_derivation" -> "uuid5(sha256) id derivation: narrow per-row expression, zero shuffle",
+    "q_ingest_dedup" -> "ingest last-wins dedup: id-keyed window on arrival order, one exchange",
+    "q_knn_mutual" -> "mutual kNN: bounded kNN legs + reciprocity self-join on (src, dst)",
+    "q_lexical_bm25" -> "BM25: token-keyed postings + 1-row corpus stats broadcast, per-query bounded top-k",
+    "q_lexical_bm25_multi" -> "multi-query BM25: ONE shared stats/posting pass for all queries",
+    "q_lexical_indexed" -> "index-backed lexical search: persisted posting table probe — content never rescanned",
+    "q_lexical_tf" -> "TF-sum scoring: token match join + query-keyed agg, bounded top-k",
+    "q_lsh_planner" -> "LSH planner: analytic (bands, rows) S-curve on a literal grid — metadata-sized, no corpus touch",
+    "q_mixture_temperature" -> "temperature mixture: source-count agg + 1-row total broadcast, integer micro-weight split",
+    "q_mm_decode" -> "multimodal decode: opaque binary -> typed metadata in a per-partition narrow map",
+    "q_mm_decode_adpcm" -> "IMA ADPCM decode: per-row predictor replay, narrow — output metadata-sized",
+    "q_mm_decode_audio" -> "WAV PCM decode: header + frame stats per row, narrow",
+    "q_mm_decode_flac" -> "FLAC decode: pure-JVM lossless decompress (Rice + LPC) in a per-partition narrow map",
+    "q_mm_decode_formats" -> "format router: magic-byte dispatch to the right pure-JVM decoder in one pass",
+    "q_mm_decode_g711" -> "G.711 mu/A-law decode: table-driven expansion per row, narrow",
+    "q_mm_decode_image" -> "image decode (PNG/JPEG/GIF/BMP/TIFF): pure-JVM per-partition map, no shuffle",
+    "q_mm_decode_video" -> "MJPEG-AVI probe: container parse + frame index per row, narrow",
+    "q_mm_frames" -> "frame sampling: per-row frame-index slice, output frames-sized",
+    "q_mm_resize" -> "resize plumbing: deterministic box filter over decoded pixels, per-partition batches",
+    "q_mm_resize_real" -> "real-fixture resize: box-filter means with an exact integer oracle",
+    "q_mm_similarity" -> "media similarity: decode -> per-partition feature extraction -> exact cosine top-k, narrow until the heap",
+    "q_mm_similarity_real" -> "real-fixture media similarity: the same plan over decoded pixels",
+    "q_name_validation" -> "collection-name guard: regex validation projection — catalog-sized",
+    "q_pack_manifest" -> "packing manifest: window->doc slice join frame, output window-sized",
+    "q_pii_scan" -> "PII scan: native redaction expression per row + ppm rollup",
+    "q_pipeline_curate3" -> "curation v3: quality -> per-lang token-budget fill -> shard layout, ONE composed plan",
+    "q_pipeline_curate5" -> "curation v5: train classifier on the trusted slice -> gate at p>=0.5 -> per-lang fill, composed",
+    "q_pipeline_curate6" -> "curation v6: paragraph dedup feeds the quality scorer over CLEANED text, composed",
+    "q_pipeline_incremental" -> "incremental curation: snapshot diff -> gate ADDED+CHANGED only — cost tracks the delta",
+    "q_pipeline_sketch_incr" -> "incremental sketches: stored registers merged with the delta == full rebuild, graded by an independent oracle",
+    "q_profile_cms_cells" -> "raw CMS cells: d-way explode, combiner-collapsed counts — auditable cell dump",
+    "q_profile_hll_regs" -> "raw HLL registers: (group, register) max agg — 512 rows regardless of corpus",
+    "q_random_negatives" -> "random negatives: seeded-hash picks anti-joined vs positives",
+    "q_retriever_chunks" -> "retriever chunking: 512-token windows per doc, explode output-sized",
+    "q_sample_fixed" -> "fixed-size sample: hash order + TakeOrderedAndProject heap",
+    "q_sample_fixed_group" -> "per-group fixed sample: group-keyed bounded window (WindowGroupLimit)",
+    "q_sample_stratified" -> "stratified sample: per-language hash-gate rates in one narrow filter pass",
+    "q_sample_weighted_group" -> "per-group weighted sample: Gumbel keys + per-group bounded window",
+    "q_sanitize_paths" -> "path sanitization: codegen'd regex chain in a single projection",
+    "q_sanitize_pii" -> "PII sanitization: one projection pass, Luhn fold inside codegen",
+    "q_search_facet_cap" -> "facet caps: per-facet rank window over the serve shortlist only",
+    "q_search_mmr" -> "MMR re-rank: greedy over the k-sized shortlist (k^2 bounded) — corpus untouched",
+    "q_semantic_threshold" -> "thresholded semantic search: 1-sim <= t filter under the bounded top-k",
+    "q_skew_report" -> "skew diagnosis: key-count agg + heavy-hitter heap, report-sized output",
+    "q_skew_salted_agg" -> "salted aggregation: diagnosed-hot keys through two-phase salt, cold keys plain, one union",
+    "q_skew_salted_join" -> "salted join: hot keys replicated against the salted build side, cold keys plain equi-join",
+    "q_split_leakage" -> "split leakage: train/test shingle probe join, leak rows output-sized",
+    "q_terms_topk" -> "top-k terms: token-keyed agg + heap",
+    "q_terms_zipf" -> "Zipf fit: rank from bucket-partitioned prefix sums + closed-form OLS on log-log sufficient stats",
+    "q_text_boilerplate_strip" -> "boilerplate strip: corpus-frequent 3-gram spans cut via df-frame probe, docs rebuilt",
+    "q_text_diversity" -> "lexical diversity: per-doc distinct/total token aggs, one exchange",
+    "q_text_fingerprint" -> "rolling polynomial fingerprint: order-sensitive per-row fold, narrow",
+    "q_text_langid" -> "language ID: native trigram profile scores vs broadcast profiles, per-row argmax",
+    "q_text_normalize" -> "normalization: control-char/whitespace canon in a single narrow projection",
+    "q_text_normalize_nfc" -> "NFC normalization: per-row canonical composition, zero shuffle",
+    "q_text_percentiles" -> "length percentiles: exact percentile agg over one exchange",
+    "q_text_perplexity" -> "CCNet bigram LM: reference-slice model frame joined onto doc bigrams, micro-nat integer sums",
+    "q_text_quality" -> "quality scoring: length/punct/stopword ratios in ONE native stats pass",
+    "q_text_readability" -> "readability: syllable-estimate expression + per-doc agg, narrow",
+    "q_text_repetition" -> "repetition gates: dup-line/paragraph + top-ngram shares per row, keyed only by doc",
+    "q_text_tokens" -> "token counting: whitespace + BPE-ish regex in a narrow projection",
+    "q_unigram_segment" -> "Unigram-LM Viterbi: broadcast piece costs, per-row DP — no shuffle",
+    "q_upsert_merge" -> "upsert MERGE: id-keyed full-outer with last-wins resolution",
+    "q_vocab_coverage" -> "vocab coverage: count-of-counts agg + block-exact cumulative mass — no full sort",
+    "q_web_hosts" -> "per-host rollup: ONE combiner-collapsed keyed agg, host-count-sized output",
+    "q_web_urlnorm" -> "URL canonicalization: codegen'd string builtins only — zero shuffle, zero UDF",
+    "q_wordpiece_segment" -> "WordPiece: greedy longest-match vs broadcast vocab, narrow per-row")
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val outPath = if (args.length > 1) args(1) else "PLANS.md"
@@ -140,8 +269,14 @@ object PlanDump {
       .config("spark.sql.icu.caseMappings.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("ERROR")
+    val all = Headliners ++ Extended
+    val covered = all.map(_._1).toSet
+    val registered = SparkEntry.queries.keySet
+    require(covered == registered,
+      s"PLANS coverage drift — missing: ${(registered -- covered).toSeq.sorted.mkString(",")}; " +
+        s"stale: ${(covered -- registered).toSeq.sorted.mkString(",")}")
     val sb = new StringBuilder
-    sb.append("# PLANS — formatted physical plans of the headline queries\n\n")
+    sb.append("# PLANS — formatted physical plans of the FULL query surface\n\n")
     sb.append(s"Generated by `graft.PlanDump` on `$sfDir`. What to look for:\n")
     sb.append("`TakeOrderedAndProject` (bounded top-k), `BroadcastHashJoin`\n")
     sb.append("(small side broadcast), `PushedFilters`/`ReadSchema` (scan\n")
@@ -152,8 +287,13 @@ object PlanDump {
     sb.append("single narrow projection — the `nearestcentroidindex(...)`\n")
     sb.append("native expression loops over the baked K-centroid matrix per\n")
     sb.append("row (no vector-x-centroid join exists anywhere in the plan);\n")
-    sb.append("the serving joins are keyed (see PlanSpec's all-pairs guards).\n")
-    for ((name, caption) <- Headliners) {
+    sb.append("the serving joins are keyed (see PlanSpec's all-pairs guards).\n\n")
+    sb.append("Scale caveat (adaptive dedup route): its pair set goes through\n")
+    sb.append("`localCheckpoint()` — deterministic and lineage-free in local\n")
+    sb.append("mode, but NOT executor-loss-tolerant on a real cluster; at\n")
+    sb.append("100 TB the pair set should flow through a reliable checkpoint\n")
+    sb.append("dir or a table write before the component rounds consume it.\n")
+    for ((name, caption) <- all) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name — $caption\n\n```text\n")
       sb.append(df.queryExecution.explainString(ExplainMode.fromString("formatted")).trim)

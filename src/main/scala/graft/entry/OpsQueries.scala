@@ -475,6 +475,139 @@ object OpsQueries {
       |  FROM ke_h k LEFT JOIN h_h h ON k.query_idx = h.query_idx)
       |ORDER BY pred, query_idx""".stripMargin
 
+  // ---- filtered IVF ANN: predicate pushdown vs post-filter oversample ----
+  // The reference's TWO filtered-search strategies on the IVF route,
+  // graded against exact FILTERED truth like q_ann_graph_filtered:
+  // (a) PUSHDOWN — the metadata predicate filters the probed clusters
+  // BEFORE the top-k heap (the WHERE-under-ORDER-BY shape of
+  // /root/reference/vector_mcp/vectordb/postgres.py:329-338; exact within
+  // the probe set, recall loss only from nprobe), and (b) POST-FILTER —
+  // an unfiltered oversampled serve (numCandidates = max(10·k, 100),
+  // /root/reference/vector_mcp/vectordb/mongodb.py:277) filtered after
+  // the fact (index-agnostic; loses recall when the predicate is
+  // selective and the oversample window fills with non-qualifying rows).
+  // Output: recall@k per (predicate, route, query), both replayed 1:1.
+  def annIvfFiltered(s: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val vecs = Tables.vectors(s, dir)
+    val centroids = Ann.representativeCentroids(vecs, "label").localCheckpoint()
+    val assigned = Ann.assign(vecs, centroids).localCheckpoint()
+    val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    val k = 5
+    val numCandidates = math.max(10 * k, 100)
+    val preds = Seq(
+      "sel_1pct" -> (pmod(col("id"), lit(97)) === 0),
+      "half" -> (pmod(col("id"), lit(2)) === 0))
+    preds.map { case (name, pred) =>
+      val truth = Ann.bruteTopK(vecs.filter(pred), qs, k)
+        .select("query_idx", "id").localCheckpoint()
+      val pre = Ann.ivfTopK(assigned.filter(pred), centroids, qs, k, nprobe = 3)
+        .select(col("query_idx"), col("id"), lit("pushdown").as("route"))
+      val w = Window.partitionBy("query_idx")
+        .orderBy(col("score").desc, col("id"))
+      val post = Ann.ivfTopK(assigned, centroids, qs, numCandidates, nprobe = 3)
+        .filter(pred)
+        .withColumn("rn", row_number().over(w)).filter(col("rn") <= k)
+        .select(col("query_idx"), col("id"), lit("postfilter").as("route"))
+      val approx = pre.unionByName(post)
+      val hits = truth.join(approx, Seq("query_idx", "id"))
+        .groupBy("route", "query_idx").agg(count(lit(1)).as("n_hits"))
+      val keff = truth.groupBy("query_idx").agg(count(lit(1)).as("k_eff"))
+      Seq("pushdown", "postfilter").map(rt =>
+          keff.select(lit(name).as("pred"), lit(rt).as("route"),
+            col("query_idx"), col("k_eff")))
+        .reduce(_ unionByName _)
+        .join(hits, Seq("route", "query_idx"), "left")
+        .select(col("pred"), col("route"), col("query_idx"), col("k_eff"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          round(coalesce(col("n_hits"), lit(0L)).cast("double") /
+            col("k_eff").cast("double"), 6).as("recall"))
+    }.reduce(_ unionByName _).orderBy("pred", "route", "query_idx")
+  }
+
+  val annIvfFilteredSql: String =
+    """WITH e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (
+      |  SELECT label AS centroid_id, v AS c FROM (
+      |    SELECT label, v, row_number() OVER (PARTITION BY label ORDER BY id) AS rn FROM e)
+      |  WHERE rn = 1),
+      |assign AS (
+      |  SELECT id, v, centroid_id AS cluster_id FROM (
+      |    SELECT e.id, e.v, cent.centroid_id,
+      |           row_number() OVER (PARTITION BY e.id
+      |             ORDER BY 1.0 - list_cosine_similarity(e.v, cent.c), cent.centroid_id) AS rn
+      |    FROM e CROSS JOIN cent)
+      |  WHERE rn = 1),
+      |q AS (SELECT CAST(vec_id AS INTEGER) AS query_idx, CAST(embedding AS DOUBLE[]) AS qv
+      |      FROM embeddings WHERE vec_id IN (0,1,2)),
+      |probes AS (
+      |  SELECT query_idx, centroid_id FROM (
+      |    SELECT q.query_idx, cent.centroid_id,
+      |           row_number() OVER (PARTITION BY q.query_idx
+      |             ORDER BY 1.0 - list_cosine_similarity(q.qv, cent.c), cent.centroid_id) AS rn
+      |    FROM q CROSS JOIN cent)
+      |  WHERE rn <= 3),
+      |scored AS (
+      |  SELECT q.query_idx, a.id, list_cosine_similarity(a.v, q.qv) AS sc
+      |  FROM q JOIN probes p ON p.query_idx = q.query_idx
+      |  JOIN assign a ON a.cluster_id = p.centroid_id),
+      |pre_s AS (SELECT query_idx, id FROM (
+      |            SELECT query_idx, id, row_number() OVER (PARTITION BY query_idx
+      |              ORDER BY sc DESC, id) AS rn
+      |            FROM scored WHERE id % 97 = 0) WHERE rn <= 5),
+      |pre_h AS (SELECT query_idx, id FROM (
+      |            SELECT query_idx, id, row_number() OVER (PARTITION BY query_idx
+      |              ORDER BY sc DESC, id) AS rn
+      |            FROM scored WHERE id % 2 = 0) WHERE rn <= 5),
+      |over_c AS (SELECT query_idx, id, sc FROM (
+      |             SELECT query_idx, id, sc, row_number() OVER (PARTITION BY query_idx
+      |               ORDER BY sc DESC, id) AS rn
+      |             FROM scored) WHERE rn <= 100),
+      |post_s AS (SELECT query_idx, id FROM (
+      |             SELECT query_idx, id, row_number() OVER (PARTITION BY query_idx
+      |               ORDER BY sc DESC, id) AS rn
+      |             FROM over_c WHERE id % 97 = 0) WHERE rn <= 5),
+      |post_h AS (SELECT query_idx, id FROM (
+      |             SELECT query_idx, id, row_number() OVER (PARTITION BY query_idx
+      |               ORDER BY sc DESC, id) AS rn
+      |             FROM over_c WHERE id % 2 = 0) WHERE rn <= 5),
+      |truth_s AS (SELECT query_idx, id FROM (
+      |              SELECT q.query_idx, e.id,
+      |                     row_number() OVER (PARTITION BY q.query_idx
+      |                       ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.id) AS rn
+      |              FROM q CROSS JOIN e WHERE e.id % 97 = 0) WHERE rn <= 5),
+      |truth_h AS (SELECT query_idx, id FROM (
+      |              SELECT q.query_idx, e.id,
+      |                     row_number() OVER (PARTITION BY q.query_idx
+      |                       ORDER BY list_cosine_similarity(e.v, q.qv) DESC, e.id) AS rn
+      |              FROM q CROSS JOIN e WHERE e.id % 2 = 0) WHERE rn <= 5),
+      |legs AS (
+      |  SELECT 'sel_1pct' AS pred, 'pushdown' AS route, query_idx, id FROM pre_s
+      |  UNION ALL
+      |  SELECT 'sel_1pct', 'postfilter', query_idx, id FROM post_s
+      |  UNION ALL
+      |  SELECT 'half', 'pushdown', query_idx, id FROM pre_h
+      |  UNION ALL
+      |  SELECT 'half', 'postfilter', query_idx, id FROM post_h),
+      |truths AS (
+      |  SELECT 'sel_1pct' AS pred, query_idx, id FROM truth_s
+      |  UNION ALL
+      |  SELECT 'half', query_idx, id FROM truth_h),
+      |ke AS (SELECT pred, query_idx, CAST(count(*) AS BIGINT) AS k_eff
+      |       FROM truths GROUP BY 1, 2),
+      |routes(route) AS (VALUES ('pushdown'), ('postfilter')),
+      |h AS (SELECT l.pred, l.route, l.query_idx, CAST(count(*) AS BIGINT) AS n_hits
+      |      FROM truths t JOIN legs l
+      |        ON t.pred = l.pred AND t.query_idx = l.query_idx AND t.id = l.id
+      |      GROUP BY 1, 2, 3)
+      |SELECT ke.pred, r.route, ke.query_idx, ke.k_eff,
+      |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+      |       round(CAST(coalesce(h.n_hits, 0) AS DOUBLE) / ke.k_eff, 6) AS recall
+      |FROM ke CROSS JOIN routes r
+      |LEFT JOIN h ON h.pred = ke.pred AND h.route = r.route
+      |  AND h.query_idx = ke.query_idx
+      |ORDER BY ke.pred, r.route, ke.query_idx""".stripMargin
+
   // ---- extended sanitize: Luhn-validated cards + IPv4 ----
   // Adversarial rows are synthesized from the id (16-digit dashed card
   // candidate — Luhn-valid for ~10% of ids — plus an IPv4 and an email),
@@ -1522,6 +1655,7 @@ object OpsQueries {
     "q_ann_graph_ivf" -> (annGraphIvf _),
     "q_ann_graph_recall" -> (annGraphRecall _),
     "q_ann_graph_filtered" -> (annGraphFiltered _),
+    "q_ann_ivf_filtered" -> (annIvfFiltered _),
     "q_privacy_kanon" -> (privacyKanon _),
     "q_search_expanded" -> (searchExpanded _),
     "q_search_spell" -> (searchSpell _),
@@ -1558,6 +1692,7 @@ object OpsQueries {
     "q_ann_graph_ivf" -> annGraphIvfSql,
     "q_ann_graph_recall" -> annGraphRecallSql,
     "q_ann_graph_filtered" -> annGraphFilteredSql,
+    "q_ann_ivf_filtered" -> annIvfFilteredSql,
     "q_privacy_kanon" -> privacyKanonSql,
     "q_search_expanded" -> searchExpandedSql,
     "q_search_spell" -> searchSpellSql,

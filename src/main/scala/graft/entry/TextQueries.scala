@@ -606,6 +606,39 @@ object TextQueries {
       |  CAST(0 AS BIGINT) AS f_spread
       |FROM documents ORDER BY id""".stripMargin
 
+  /** REAL FLAC decode roundtrip: the same per-doc square waves as
+    * [[mmDecodeAudio]], but compressed through [[Multimodal.squareFlac]]
+    * into genuine FLAC streams (CONSTANT/FIXED/LPC subframes, Rice
+    * residuals, CRC-8/16 verified; every third doc stereo through both
+    * decorrelation modes). FLAC is lossless, so the SAME closed-form
+    * oracle holds: recovered RMS == amplitude, bit-for-bit — a stub,
+    * a wrong predictor, or a broken Rice reader all break the hash.
+    */
+  def mmDecodeFlac(s: SparkSession, dir: String): DataFrame = {
+    val flac = udf((id: Long) => Multimodal.squareFlac(
+      (400 + id % 600).toInt, (8000 + (id % 4) * 4000).toInt,
+      (1000 + id % 20000).toInt, stereo = id % 3 == 0))
+    val media = t(s, dir, "documents")
+      .select(col("doc_id").as("id"), lit("audio").as("modality"),
+        flac(col("doc_id").cast("long")).as("data"))
+    Multimodal.decode(media)
+      .select(col("id"), col("width").as("sample_rate"),
+        col("height").as("channels"), col("n_frames"),
+        round(element_at(col("features"), 1) * 32768).cast("long").as("rms_amp"),
+        round((array_max(col("features")) - array_min(col("features")))
+          * 1e6).cast("long").as("f_spread"))
+      .orderBy("id")
+  }
+
+  val mmDecodeFlacSql: String =
+    """SELECT doc_id AS id,
+      |  CAST(8000 + (doc_id % 4) * 4000 AS INTEGER) AS sample_rate,
+      |  CAST(CASE WHEN doc_id % 3 = 0 THEN 2 ELSE 1 END AS INTEGER) AS channels,
+      |  CAST(400 + doc_id % 600 AS INTEGER) AS n_frames,
+      |  CAST(1000 + doc_id % 20000 AS BIGINT) AS rms_amp,
+      |  CAST(0 AS BIGINT) AS f_spread
+      |FROM documents ORDER BY id""".stripMargin
+
   /** REAL G.711 (μ-law / A-law) decode roundtrip: per-doc companded
     * square waves — codeword segment/mantissa from doc arithmetic, law by
     * parity — go through the direct RIFF walk + ITU-T expand tables; the
@@ -2167,6 +2200,7 @@ object TextQueries {
     "q_mm_decode_image" -> (mmDecodeImage _),
     "q_mm_resize_real" -> (mmResizeReal _),
     "q_mm_decode_audio" -> (mmDecodeAudio _),
+    "q_mm_decode_flac" -> (mmDecodeFlac _),
     "q_mm_decode_g711" -> (mmDecodeG711 _),
     "q_mm_decode_adpcm" -> (mmDecodeAdpcm _),
     "q_mm_decode_formats" -> (mmDecodeFormats _),
@@ -2220,6 +2254,7 @@ object TextQueries {
     "q_mm_decode_image" -> mmDecodeImageSql,
     "q_mm_resize_real" -> mmResizeRealSql,
     "q_mm_decode_audio" -> mmDecodeAudioSql,
+    "q_mm_decode_flac" -> mmDecodeFlacSql,
     "q_mm_decode_g711" -> mmDecodeG711Sql,
     "q_mm_decode_adpcm" -> mmDecodeAdpcmSql,
     "q_mm_decode_formats" -> mmDecodeFormatsSql,

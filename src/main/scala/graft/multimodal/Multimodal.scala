@@ -385,6 +385,63 @@ object Multimodal {
       case None => decodeAudioJavax(id, modality, data, md)
     }
 
+  /** Real FLAC decode through [[Flac.decode]] — the one LOSSLESS
+    * compressed-audio codec a pure JVM can replay exactly, so the decoded
+    * samples feed the SAME integer-sum RMS arithmetic as the PCM16 WAV
+    * path (first channel only, like every path here) and the same
+    * closed-form oracles hold. Structural or CRC defects return None
+    * (governed stub fallback), never garbage features.
+    */
+  private def decodeFlac(id: Long, modality: String, data: Array[Byte],
+      md: MessageDigest): Option[Decoded] =
+    Flac.decode(data).flatMap { fa =>
+      val ch0 = fa.samples(0)
+      val frames = ch0.length
+      if (frames == 0 || fa.bitsPerSample < 4 || fa.bitsPerSample > 32) None
+      else {
+        val sums = new Array[Long](AudioWindows)
+        val counts = new Array[Long](AudioWindows)
+        var i = 0
+        while (i < frames) {
+          val s = ch0(i).toLong
+          val win = (i.toLong * AudioWindows / frames).toInt
+          sums(win) += s * s
+          counts(win) += 1
+          i += 1
+        }
+        val scale = (1L << (fa.bitsPerSample - 1)).toDouble
+        val features = Array.tabulate(AudioWindows)(k =>
+          if (counts(k) == 0) 0.0f
+          else (math.sqrt(sums(k).toDouble / counts(k)) / scale).toFloat)
+        val fp = md.digest(data).map("%02x".format(_)).mkString
+        md.reset()
+        Some(Decoded(
+          id = id,
+          modality = modality,
+          byte_len = data.length.toLong,
+          width = fa.sampleRate,
+          height = fa.channels,
+          n_frames = frames,
+          fingerprint = fp,
+          features = features))
+      }
+    }
+
+  /** The FLAC sibling of [[squareWav]]: the same alternating ±`amplitude`
+    * 16-bit square wave as a REAL compressed FLAC stream (CONSTANT /
+    * FIXED / LPC subframes, Rice residuals, both stereo decorrelations on
+    * the stereo variant where right == left). Lossless, so every WAV
+    * oracle identity carries over unchanged.
+    */
+  def squareFlac(n: Int, rate: Int, amplitude: Int,
+      stereo: Boolean = false): Array[Byte] = {
+    require(n >= 1 && rate >= 1 && amplitude >= 0 && amplitude <= 32767,
+      s"bad flac params n=$n rate=$rate amp=$amplitude")
+    val left = Array.tabulate(n)(i => if (i % 2 == 0) amplitude else -amplitude)
+    val chans = if (stereo) Array(left, left.clone()) else Array(left)
+    Flac.encode16(chans, rate, blockSize = 256)
+  }
+
   /** G.711 μ-law / A-law WAV decode: one companded byte per sample per
     * channel expands through the [[UlawTable]]/[[AlawTable]] to 16-bit
     * linear, reusing the PCM16 path's exact integer-sum RMS arithmetic
@@ -773,6 +830,12 @@ object Multimodal {
       decodeAudio(id, modality, data, md) match {
         case Some(d) => return d
         case None => // non-PCM/truncated wav: fall through to the stub
+      }
+    }
+    if (Flac.isFlac(data)) {
+      decodeFlac(id, modality, data, md) match {
+        case Some(d) => return d
+        case None => // corrupt/unsupported flac: fall through to the stub
       }
     }
     if (isAvi(data)) {

@@ -4,7 +4,7 @@ import java.io.ByteArrayOutputStream
 import javax.imageio.ImageIO
 import java.awt.image.BufferedImage
 import org.apache.spark.sql.functions._
-import graft.multimodal.Multimodal
+import graft.multimodal.{Flac, Multimodal}
 
 /** Real image decode over real PNG/JPEG bytes (javax.imageio), plus the
   * governed fallbacks: truncated images and non-image payloads take the
@@ -314,6 +314,74 @@ class MultimodalSpec extends SparkSpec {
       if (counts(w) == 0) 0.0f
       else (math.sqrt(sums(w).toDouble / counts(w)) / 32768.0).toFloat)
     assert(f == expect, s"got $f want $expect")
+  }
+
+  test("FLAC mono roundtrip: FIXED + LPC + Rice decode sample-exact") {
+    // deterministic pseudo-noise: exercises rice params > 0, both subframe
+    // flavors (even blocks FIXED, odd blocks LPC), and a short last frame
+    val n = 1200
+    val samples = Array.tabulate(n) { i =>
+      val h = (i * 2654435761L + 123456789L) & 0xffffffffL
+      ((h % 20001L) - 10000L).toInt
+    }
+    val bytes = Flac.encode16(Array(samples), rate = 22050, blockSize = 256)
+    val fa = Flac.decode(bytes).get
+    assert(fa.sampleRate == 22050 && fa.channels == 1 && fa.bitsPerSample == 16)
+    assert(fa.samples(0).toSeq == samples.toSeq, "lossless roundtrip broken")
+  }
+
+  test("FLAC stereo roundtrip: left/side AND mid/side decorrelation exact") {
+    val n = 700
+    val left = Array.tabulate(n)(i => (math.sin(i * 0.1) * 9000).toInt)
+    val right = Array.tabulate(n)(i => (math.cos(i * 0.07) * 7000).toInt)
+    // blockSize 256 -> 3 frames: frame 0 left/side, frame 1 mid/side
+    val bytes = Flac.encode16(Array(left, right), rate = 44100, blockSize = 256)
+    val fa = Flac.decode(bytes).get
+    assert(fa.channels == 2)
+    assert(fa.samples(0).toSeq == left.toSeq, "left channel broken")
+    assert(fa.samples(1).toSeq == right.toSeq, "right channel broken")
+  }
+
+  test("FLAC roundtrip: CONSTANT subframes and wasted bits") {
+    // all-even samples -> 1 wasted bit; a flat prefix -> CONSTANT subframe
+    val samples = Array.fill(300)(4096) ++ Array.tabulate(300)(i =>
+      if (i % 2 == 0) 2048 else -2048)
+    val bytes = Flac.encode16(Array(samples), rate = 8000, blockSize = 256)
+    val fa = Flac.decode(bytes).get
+    assert(fa.samples(0).toSeq == samples.toSeq)
+  }
+
+  test("FLAC square wave through decode(): same features as the WAV twin") {
+    val (nS, rate, amp) = (800, 16000, 12345)
+    val flacBytes = Multimodal.squareFlac(nS, rate, amp)
+    val wavBytes = Multimodal.squareWav(nS, rate, amp)
+    val rows = Multimodal.decode(mediaDF(
+      (70L, "audio", flacBytes), (71L, "audio", wavBytes)))
+      .collect().sortBy(_.getAs[Long]("id"))
+    val Array(f, w) = rows
+    assert(f.getAs[Int]("width") == rate && f.getAs[Int]("height") == 1)
+    assert(f.getAs[Int]("n_frames") == nS)
+    assert(f.getSeq[Float](f.fieldIndex("features")) ==
+      w.getSeq[Float](w.fieldIndex("features")),
+      "lossless decode must reproduce the PCM features bit-for-bit")
+    // stereo variant: 2 channels, same first-channel RMS
+    val st = Multimodal.decode(mediaDF(
+      (72L, "audio", Multimodal.squareFlac(nS, rate, amp, stereo = true))))
+      .collect().head
+    assert(st.getAs[Int]("height") == 2 && st.getAs[Int]("n_frames") == nS)
+    assert(st.getSeq[Float](st.fieldIndex("features")) ==
+      w.getSeq[Float](w.fieldIndex("features")))
+  }
+
+  test("FLAC corruption degrades governed: CRC mismatch falls to the stub") {
+    val bytes = Multimodal.squareFlac(400, 8000, 1000)
+    assert(Flac.decode(bytes).isDefined)
+    val corrupt = bytes.clone()
+    corrupt(bytes.length / 2) = (corrupt(bytes.length / 2) ^ 0x40).toByte
+    assert(Flac.decode(corrupt).isEmpty, "CRC must catch a flipped bit")
+    val out = Multimodal.decode(mediaDF((73L, "audio", corrupt))).collect().head
+    // stub shape, not garbage samples
+    assert(out.getAs[Int]("width") == (32 + corrupt.length % 608))
   }
 
   test("IMA ADPCM decode: all-zero blocks hold their predictors; stereo rejected to stub") {

@@ -290,4 +290,44 @@ class OpsSpec extends SparkSpec {
     assert(narrow.forall(_.getLong(1) % 13 == 0))
     assert(narrow.groupBy(_.getInt(0)).values.forall(_.length <= 3))
   }
+
+  test("filtered IVF: pushdown is exact within probed clusters; post-filter oversample bounded") {
+    def vec(i: Int): Seq[Float] = {
+      val r = new scala.util.Random(i * 1000 + 7)
+      (0 until 8).map(_ => (r.nextDouble() * 2 - 1).toFloat)
+    }
+    val vecs = (0 until 40).map(i => (i.toLong, vec(i), i % 4)).toDF("id", "embedding", "label")
+      .withColumn("norm", VectorFunctions.l2Norm(col("embedding")))
+      .localCheckpoint()
+    val cents = Ann.representativeCentroids(vecs, "label").localCheckpoint()
+    val assigned = Ann.assign(vecs, cents).localCheckpoint()
+    val queries = Seq(7 -> vec(7), 23 -> vec(23))
+    val pred = pmod(col("id"), lit(13)) === 0 // 4/40 qualify
+
+    // pushdown with EVERY cluster probed == exact filtered top-k: the
+    // predicate sits under the bounded heap, never changes probe routing
+    val truth = Ann.bruteTopK(vecs.filter(pred), queries, 3)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    val push = Ann.ivfTopK(assigned.filter(pred), cents, queries, 3, nprobe = 4)
+      .collect().map(r => (r.getInt(0), r.getLong(1))).sorted.toSeq
+    assert(push == truth, s"pushdown with all clusters probed must be exact: $push vs $truth")
+
+    // post-filter with oversample >= corpus and all clusters probed is
+    // exact too; with a k-sized (no-oversample) serve on a selective
+    // predicate it may return FEWER than k — the recall loss the
+    // oversample floor exists to prevent (never non-qualifying rows)
+    val post = Ann.ivfTopK(assigned, cents, queries, 40, nprobe = 4)
+      .filter(pred)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+    val postTop3 = post.groupBy(_._1).values.flatMap(
+        _.sortBy(t => (-t._3, t._2)).take(3).map(t => (t._1, t._2)))
+      .toSeq.sorted
+    assert(postTop3 == truth,
+      s"oversampled post-filter must recover the exact filtered set: $postTop3 vs $truth")
+    assert(post.forall(_._2 % 13 == 0))
+    val starved = Ann.ivfTopK(assigned, cents, queries, 3, nprobe = 4)
+      .filter(pred).collect()
+    assert(starved.forall(_.getLong(1) % 13 == 0))
+    assert(starved.groupBy(_.getInt(0)).values.forall(_.length <= 3))
+  }
 }
