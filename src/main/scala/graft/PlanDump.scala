@@ -154,6 +154,8 @@ object PlanDump {
     "q_bpe_segment" -> "BPE segmentation: broadcast merge ranks, per-row fold — zero shuffle",
     "q_bpe_train" -> "BPE training: per-round pair-count keyed agg + broadcast merge application; state stays vocab-sized",
     "q_chunk_overlap" -> "overlapping chunker: per-doc window slices exploded, output chunk-sized",
+    "q_chat_budget" -> "chat budget trim: conversation-keyed reverse running sum + user-alignment cut — two windows, one exchange",
+    "q_chat_validate" -> "chat structural audit: from_json parse + per-conversation role-array HOFs, conversation-keyed agg only",
     "q_classifier_pr" -> "PR curve: distinct-margin agg + bucket-sliced prefix sums, window PARTITIONED by bucket (no global sort)",
     "q_cluster_balance" -> "cluster balance: narrow centroid-argmin projection + ONE keyed count agg",
     "q_cluster_purity" -> "cluster purity: (cluster,label) keyed counts -> per-cluster argmax window over label-sized groups",
@@ -163,6 +165,7 @@ object PlanDump {
     "q_corpus_profile" -> "corpus profile: ONE combiner-collapsed aggregate over pruned columns",
     "q_data_contract" -> "data contract: every Deequ-style check as a conditional count in ONE aggregate — single corpus pass",
     "q_decontaminate" -> "decontamination: eval-slice 3-gram frame probes train shingles at containment >= 0.05; leak rows output-sized",
+    "q_decontaminate_semantic" -> "semantic decontamination: bipartite cluster-blocked eval x train cosine, per-eval bounded argmax — output eval-sized",
     "q_dedup_clusters" -> "near-dup components: MinHash pair gen + star rounds, edge set output-sized",
     "q_dedup_embedding" -> "embedding near-dup: cluster-keyed cosine pairs over threshold — never all-pairs",
     "q_dedup_exact" -> "exact dedup: sha256-keyed agg, ONE exchange, min-id winners",

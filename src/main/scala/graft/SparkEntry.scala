@@ -36,7 +36,8 @@ object SparkEntry {
       graft.entry.EvalQueries.queries ++
       graft.entry.OlapQueries.queries ++
       graft.entry.OpsQueries.queries ++
-      graft.entry.WebQueries.queries
+      graft.entry.WebQueries.queries ++
+      graft.entry.ChatQueries.queries
 
   def oracleSql: Map[String, String] =
     searchOracles ++
@@ -48,7 +49,8 @@ object SparkEntry {
       graft.entry.EvalQueries.oracles ++
       graft.entry.OlapQueries.oracles ++
       graft.entry.OpsQueries.oracles ++
-      graft.entry.WebQueries.oracles
+      graft.entry.WebQueries.oracles ++
+      graft.entry.ChatQueries.oracles
 
   private def searchQueries: Map[String, (SparkSession, String) => DataFrame] = Map(
     // ---- §2.3 semantic_search: exact cosine top-k, multi-query ----

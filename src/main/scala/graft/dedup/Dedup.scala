@@ -1261,4 +1261,61 @@ object Dedup {
         .localCheckpoint()
     } finally assigned.unpersist()
   }
+
+  /** Cross-set SEMANTIC decontamination — the embedding sibling of the
+    * n-gram containment gate (q_decontaminate): every eval vector is
+    * checked against the TRAIN set for cosine >= threshold within its
+    * centroid cell, i.e. the [[semDeDup]] blocking applied BIPARTITE, so
+    * candidates are cluster-local eval x train, never the full cross
+    * product. Paraphrased or re-embedded benchmark leakage that n-gram
+    * containment misses (reworded questions, translated answers) shows
+    * up here; Voronoi-boundary recall loss is the same documented
+    * SemDeDup trade, and within the cell the check is exact.
+    *
+    * Output: one row per EVAL id — (eval_id, n_hits, top_train_id,
+    * top_cosine, contaminated); rows with no hit carry (0, -1, 0.0,
+    * false), so the frame is a complete per-eval audit, not a hit list.
+    *
+    * Scale shape: two broadcast-map assignments + ONE cluster-keyed
+    * bipartite join bounded by cluster size x eval density, a per-eval
+    * bounded argmax window, and a LEFT join back to the eval ids —
+    * output eval-sized at any corpus scale.
+    */
+  def semanticContamination(
+      train: DataFrame, // (id, embedding, norm)
+      evalSet: DataFrame, // (id, embedding, norm)
+      centroids: DataFrame, // (centroid_id, centroid, centroid_norm)
+      threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1, s"threshold in (0,1], got $threshold")
+    val at = graft.ann.Ann.assign(train, centroids)
+      .select(col("id").cast("long").as("train_id"), col("embedding").as("et"),
+        col("norm").as("nt"), col("cluster_id"))
+    val ae = graft.ann.Ann.assign(evalSet, centroids)
+      .select(col("id").cast("long").as("eval_id"), col("embedding").as("ee"),
+        col("norm").as("ne"), col("cluster_id"))
+      .persist(StorageLevel.MEMORY_ONLY)
+    try {
+      val hits = ae.join(at, Seq("cluster_id"))
+        .withColumn("cosine",
+          VectorFunctions.dot(col("ee"), col("et")) / (col("ne") * col("nt")))
+        .filter(col("cosine") >= threshold)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("eval_id").orderBy(col("cosine").desc, col("train_id"))
+      val perEval = hits
+        .withColumn("n_hits", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("eval_id")))
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("eval_id"), col("n_hits"),
+          col("train_id").as("top_train_id"), col("cosine").as("top_cosine"))
+      ae.select("eval_id")
+        .join(perEval, Seq("eval_id"), "left")
+        .select(col("eval_id"),
+          coalesce(col("n_hits"), lit(0L)).as("n_hits"),
+          coalesce(col("top_train_id"), lit(-1L)).as("top_train_id"),
+          coalesce(col("top_cosine"), lit(0.0)).as("top_cosine"),
+          (coalesce(col("n_hits"), lit(0L)) > 0).as("contaminated"))
+        .localCheckpoint() // eval-sized; release the assignment map
+    } finally ae.unpersist()
+  }
 }

@@ -599,6 +599,63 @@ object DedupQueries {
       .withColumn("cosine", round(col("cosine"), 6))
       .orderBy("a", "b")
 
+  // ---- cross-set SEMANTIC decontamination: planted leaks flagged ----
+  // eval = the id%10=0 slice PLUS planted leaks (train vectors with
+  // id%25=0 re-keyed +100000, embeddings byte-identical — the "eval item
+  // leaked into train" shape n-gram containment can't see once text is
+  // re-embedded). Threshold 0.99 inside the label-blocked cells flags
+  // EXACTLY the plants: the corpus's max unrelated same-cell cosine is
+  // ~0.41, so every eval row is a positive OR negative assertion and the
+  // oracle replays assignment, bipartite cosine, count, and argmax 1:1.
+  def decontaminateSemantic(s: SparkSession, dir: String): DataFrame = {
+    val vecs = Tables.vectors(s, dir)
+    val train = vecs.filter(col("id") % 10 =!= 0)
+    val evalSet = vecs.filter(col("id") % 10 === 0)
+      .unionByName(train.filter(col("id") % 25 === 0)
+        .withColumn("id", col("id") + 100000))
+    val cents = Ann.representativeCentroids(vecs, "label")
+    Dedup.semanticContamination(train, evalSet, cents, threshold = 0.99)
+      .withColumn("top_cosine", round(col("top_cosine"), 6))
+      .orderBy("eval_id")
+  }
+
+  val decontaminateSemanticSql: String =
+    """WITH e AS (SELECT vec_id AS id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |cent AS (
+      |  SELECT label AS centroid_id, v AS c FROM (
+      |    SELECT label, v, row_number() OVER (PARTITION BY label ORDER BY id) AS rn FROM e)
+      |  WHERE rn = 1),
+      |tr AS (SELECT id, v FROM e WHERE id % 10 <> 0),
+      |ev AS (SELECT id, v FROM e WHERE id % 10 = 0
+      |       UNION ALL
+      |       SELECT id + 100000, v FROM e WHERE id % 10 <> 0 AND id % 25 = 0),
+      |atr AS (SELECT id, v, centroid_id AS cl FROM (
+      |    SELECT t.id, t.v, cent.centroid_id,
+      |           row_number() OVER (PARTITION BY t.id
+      |             ORDER BY 1.0 - list_cosine_similarity(t.v, cent.c), cent.centroid_id) AS rn
+      |    FROM tr t CROSS JOIN cent) WHERE rn = 1),
+      |aev AS (SELECT id, v, centroid_id AS cl FROM (
+      |    SELECT t.id, t.v, cent.centroid_id,
+      |           row_number() OVER (PARTITION BY t.id
+      |             ORDER BY 1.0 - list_cosine_similarity(t.v, cent.c), cent.centroid_id) AS rn
+      |    FROM ev t CROSS JOIN cent) WHERE rn = 1),
+      |h AS (SELECT aev.id AS eval_id, atr.id AS train_id,
+      |             list_cosine_similarity(aev.v, atr.v) AS c
+      |      FROM aev JOIN atr ON aev.cl = atr.cl
+      |      WHERE list_cosine_similarity(aev.v, atr.v) >= 0.99),
+      |p AS (SELECT eval_id, CAST(count(*) AS BIGINT) AS n_hits FROM h GROUP BY 1),
+      |b AS (SELECT eval_id, train_id, c FROM (
+      |        SELECT h.*, row_number() OVER (PARTITION BY eval_id
+      |          ORDER BY c DESC, train_id) AS rn FROM h) WHERE rn = 1)
+      |SELECT aev.id AS eval_id,
+      |       CAST(coalesce(p.n_hits, 0) AS BIGINT) AS n_hits,
+      |       CAST(coalesce(b.train_id, -1) AS BIGINT) AS top_train_id,
+      |       round(coalesce(b.c, 0.0), 6) AS top_cosine,
+      |       coalesce(p.n_hits, 0) > 0 AS contaminated
+      |FROM aev LEFT JOIN p ON p.eval_id = aev.id
+      |LEFT JOIN b ON b.eval_id = aev.id
+      |ORDER BY eval_id""".stripMargin
+
   val dedupEmbeddingSql: String =
     """WITH e AS (SELECT vec_id AS id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
       |SELECT a.id AS a, b.id AS b,
@@ -1612,6 +1669,7 @@ object DedupQueries {
     "q_dedup_simhash" -> (dedupSimhash _),
     "q_dedup_simhash64" -> (dedupSimhash64 _),
     "q_dedup_embedding" -> (dedupEmbedding _),
+    "q_decontaminate_semantic" -> (decontaminateSemantic _),
     "q_hard_negatives" -> (hardNegatives _),
     "q_random_negatives" -> (randomNegatives _),
     "q_dedup_semantic" -> (dedupSemantic _),
@@ -1657,6 +1715,7 @@ object DedupQueries {
     "q_dedup_simhash" -> dedupSimhashSql,
     "q_dedup_simhash64" -> dedupSimhash64Sql,
     "q_dedup_embedding" -> dedupEmbeddingSql,
+    "q_decontaminate_semantic" -> decontaminateSemanticSql,
     "q_hard_negatives" -> hardNegativesSql,
     "q_random_negatives" -> randomNegativesSql,
     "q_dedup_semantic" -> dedupSemanticSql,

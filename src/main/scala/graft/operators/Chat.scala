@@ -1,0 +1,106 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{ArrayType, StringType, StructField, StructType}
+
+/** SFT / chat-transcript curation — the conversation-shaped side of the
+  * training-data pipeline (instruction-tuning corpora are message ARRAYS,
+  * not flat documents; the reference stores such payloads as opaque
+  * documents and this engine must curate them at corpus scale):
+  *
+  *  - [[parseConversations]]: JSON `[{"role","content"},…]` → one row per
+  *    turn, schema-checked by `from_json` (malformed arrays become null →
+  *    zero turns, a governed drop the audit query surfaces as n_turns=0).
+  *  - [[alternationReport]]: the structural validity audit every SFT
+  *    pipeline runs before tokenization — optional leading system turn,
+  *    then strict user/assistant alternation, user first, assistant last.
+  *  - [[contextBudgetTrim]]: fit each conversation to a token budget by
+  *    keeping the longest SUFFIX of content turns (recency wins — the
+  *    standard SFT truncation), always charging/keeping the system turn,
+  *    then advancing the start to the first kept USER turn so no
+  *    response is left without its prompt.
+  *
+  * Scale shape: everything is conversation-keyed — one exchange per
+  * operator; per-key state is a conversation's turn list (bounded by
+  * context length, thousands of tokens, never corpus-sized), so the
+  * plans survive any corpus multiplier. No UDFs: parsing is `from_json`,
+  * the audits are array HOFs, the trim is two windows.
+  */
+object Chat {
+
+  val turnSchema: ArrayType = ArrayType(StructType(Seq(
+    StructField("role", StringType), StructField("content", StringType))))
+
+  /** One row per turn: (conv_id, turn_idx, role, content). */
+  def parseConversations(df: DataFrame, idCol: String, jsonCol: String): DataFrame =
+    df.select(col(idCol).as("conv_id"),
+        posexplode(from_json(col(jsonCol), turnSchema)))
+      .select(col("conv_id"), col("pos").as("turn_idx"),
+        col("col.role").as("role"), col("col.content").as("content"))
+
+  /** Per-conversation structural audit over (conv_id, turn_idx, role):
+    * (conv_id, n_turns, has_system, starts_user, alternates,
+    * ends_assistant, valid). `alternates` is vacuously true for empty
+    * content; `valid` additionally demands a user start and an assistant
+    * end, so an empty or system-only conversation audits invalid.
+    */
+  def alternationReport(turns: DataFrame): DataFrame = {
+    val byConv = turns
+      .groupBy("conv_id")
+      .agg(sort_array(collect_list(struct(col("turn_idx"), col("role"))))
+        .as("ts"))
+      .select(col("conv_id"), expr("transform(ts, t -> t.role)").as("roles"))
+    byConv.select(
+      col("conv_id"),
+      size(col("roles")).as("n_turns"),
+      expr("size(roles) > 0 AND roles[0] = 'system'").as("has_system"),
+      expr("""CASE WHEN size(roles) > 0 AND roles[0] = 'system'
+             |     THEN slice(roles, 2, size(roles) - 1)
+             |     ELSE roles END""".stripMargin).as("cr"))
+      .select(
+        col("conv_id"), col("n_turns"), col("has_system"),
+        expr("size(cr) > 0 AND cr[0] = 'user'").as("starts_user"),
+        // sequence(1, 0) DESCENDS in Spark — branch the empty case
+        expr("""size(cr) = 0 OR forall(sequence(1, size(cr)),
+               |  i -> cr[i - 1] IN ('user', 'assistant') AND
+               |       (i = 1 OR cr[i - 1] <> cr[i - 2]))""".stripMargin)
+          .as("alternates"),
+        expr("size(cr) > 0 AND element_at(cr, -1) = 'assistant'")
+          .as("ends_assistant"))
+      .withColumn("valid",
+        col("starts_user") && col("alternates") && col("ends_assistant"))
+  }
+
+  /** Budget-fit over (conv_id, turn_idx, role, <tokensCol>): returns the
+    * KEPT turns. System turns are always kept and charged first; content
+    * turns keep the longest suffix whose running total (plus system)
+    * stays within `budget`; the start then advances to the first kept
+    * USER turn (a conversation whose kept suffix holds no user turn
+    * keeps only its system turn).
+    */
+  def contextBudgetTrim(
+      turns: DataFrame, budget: Long, tokensCol: String): DataFrame = {
+    require(budget >= 1, s"budget >= 1, got $budget")
+    val cols = Seq("conv_id", "turn_idx", "role", tokensCol).map(col)
+    val sys = turns.filter(col("role") === "system")
+    val content = turns.filter(col("role") =!= "system")
+    val sysTok = sys.groupBy("conv_id")
+      .agg(sum(col(tokensCol)).as("__sys_tok"))
+    val wDesc = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy(col("turn_idx").desc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wConv = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
+    val suffix = content
+      .join(sysTok, Seq("conv_id"), "left")
+      .na.fill(0L, Seq("__sys_tok"))
+      .withColumn("__rev_sum", sum(col(tokensCol)).over(wDesc))
+      .filter(col("__rev_sum") + col("__sys_tok") <= budget)
+    val kept = suffix
+      .withColumn("__first_user",
+        min(when(col("role") === "user", col("turn_idx"))).over(wConv))
+      .filter(col("turn_idx") >= col("__first_user"))
+      .select(cols: _*)
+    sys.select(cols: _*).unionByName(kept)
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.Chat
+
+/** Edge cases for the SFT chat-curation family that the synthesized
+  * oracle corpus doesn't reach: malformed JSON, system-less
+  * conversations, budget suffixes with no user turn.
+  */
+class ChatSpec extends SparkSpec {
+
+  import spark.implicits._
+
+  test("parseConversations: valid arrays explode in order; malformed JSON yields zero turns") {
+    val df = Seq(
+      (1L, """[{"role":"system","content":"s"},{"role":"user","content":"hi"},{"role":"assistant","content":"yo"}]"""),
+      (2L, """not json at all"""),
+      (3L, """[]""")).toDF("id", "msgs")
+    val turns = Chat.parseConversations(df, "id", "msgs").collect()
+    assert(turns.count(_.getLong(0) == 1L) == 3)
+    assert(turns.filter(_.getLong(0) == 1L).map(r =>
+      (r.getInt(1), r.getString(2))).sorted.toSeq ==
+      Seq((0, "system"), (1, "user"), (2, "assistant")))
+    assert(!turns.exists(_.getLong(0) == 2L), "malformed JSON must drop governed")
+    assert(!turns.exists(_.getLong(0) == 3L))
+  }
+
+  test("alternationReport: system optional, double-user invalid, assistant-end required") {
+    val turns = Seq(
+      // valid WITHOUT system
+      (1L, 0, "user"), (1L, 1, "assistant"),
+      // valid WITH system
+      (2L, 0, "system"), (2L, 1, "user"), (2L, 2, "assistant"),
+      // double user -> alternation broken
+      (3L, 0, "user"), (3L, 1, "user"), (3L, 2, "assistant"),
+      // assistant first -> starts_user false
+      (4L, 0, "assistant"), (4L, 1, "user"),
+      // trailing user -> ends_assistant false
+      (5L, 0, "user"), (5L, 1, "assistant"), (5L, 2, "user"),
+      // system mid-stream -> role outside {user, assistant} breaks alternates
+      (6L, 0, "user"), (6L, 1, "system"), (6L, 2, "assistant"))
+      .toDF("conv_id", "turn_idx", "role")
+    val r = Chat.alternationReport(turns).collect()
+      .map(x => x.getLong(0) -> (x.getBoolean(2), x.getBoolean(3),
+        x.getBoolean(4), x.getBoolean(5), x.getBoolean(6))).toMap
+    // (has_system, starts_user, alternates, ends_assistant, valid)
+    assert(r(1L) == ((false, true, true, true, true)))
+    assert(r(2L) == ((true, true, true, true, true)))
+    assert(r(3L) == ((false, true, false, true, false)))
+    assert(r(4L) == ((false, false, true, false, false)))
+    assert(r(5L) == ((false, true, true, false, false)))
+    assert(r(6L) == ((false, true, false, true, false)))
+  }
+
+  test("contextBudgetTrim: suffix fit, user alignment, system always kept") {
+    val turns = Seq(
+      (1L, 0, "system", 3L),
+      (1L, 1, "user", 10L), (1L, 2, "assistant", 10L),
+      (1L, 3, "user", 10L), (1L, 4, "assistant", 10L))
+      .toDF("conv_id", "turn_idx", "role", "tokens")
+    // budget 25: system(3) + suffix 4,3 (20) fits; adding turn 2 busts ->
+    // suffix {3,4}, already user-aligned
+    val kept = Chat.contextBudgetTrim(turns, 25L, "tokens")
+      .collect().map(r => (r.getInt(1), r.getString(2))).sorted.toSeq
+    assert(kept == Seq((0, "system"), (3, "user"), (4, "assistant")))
+    // budget 33: suffix {2,3,4} starts with assistant -> advance to 3
+    val kept2 = Chat.contextBudgetTrim(turns, 33L, "tokens")
+      .collect().map(r => r.getInt(1)).sorted.toSeq
+    assert(kept2 == Seq(0, 3, 4))
+    // budget 14: only turn 4 (assistant) fits -> no user -> system only
+    val kept3 = Chat.contextBudgetTrim(turns, 14L, "tokens")
+      .collect().map(r => r.getInt(1)).toSeq
+    assert(kept3 == Seq(0))
+    // no system turn at all: pure suffix semantics
+    val noSys = Seq((7L, 0, "user", 5L), (7L, 1, "assistant", 5L))
+      .toDF("conv_id", "turn_idx", "role", "tokens")
+    val kept4 = Chat.contextBudgetTrim(noSys, 10L, "tokens")
+      .collect().map(r => r.getInt(1)).sorted.toSeq
+    assert(kept4 == Seq(0, 1))
+  }
+}

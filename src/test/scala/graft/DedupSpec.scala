@@ -332,6 +332,35 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("semanticContamination flags planted leaks, clears clean eval rows") {
+    import spark.implicits._
+    def v(xs: Double*) = xs.map(_.toFloat)
+    val train = Seq(
+      (1L, v(1, 0, 0)), (2L, v(0.8, 0.6, 0)), (10L, v(0, 1, 0)))
+      .toDF("id", "embedding")
+      .select(col("id"), col("embedding"),
+        graft.functions.VectorFunctions.l2Norm(col("embedding")).as("norm"))
+    // eval: 100 is a LEAK (identical to train 1), 101 is near-identical
+    // to train 10, 102 is clean (same cluster as 1, cosine ~0.7)
+    val evalSet = Seq(
+      (100L, v(1, 0, 0)), (101L, v(0.01, 0.999, 0)), (102L, v(0.7, 0.6, 0.4)))
+      .toDF("id", "embedding")
+      .select(col("id"), col("embedding"),
+        graft.functions.VectorFunctions.l2Norm(col("embedding")).as("norm"))
+    val cents = Seq((1L, v(1, 0, 0)), (2L, v(0, 1, 0)))
+      .toDF("centroid_id", "centroid")
+      .select(col("centroid_id"), col("centroid"),
+        graft.functions.VectorFunctions.l2Norm(col("centroid")).as("centroid_norm"))
+    val out = Dedup.semanticContamination(train, evalSet, cents, threshold = 0.99)
+      .orderBy("eval_id").collect()
+    assert(out.length == 3, "one audit row per EVAL id, hits or not")
+    val byId = out.map(r => r.getLong(0) ->
+      (r.getLong(1), r.getLong(2), r.getBoolean(4))).toMap
+    assert(byId(100L) == ((1L, 1L, true)), s"leak must hit its source: ${byId(100L)}")
+    assert(byId(101L)._3 && byId(101L)._2 == 10L)
+    assert(byId(102L) == ((0L, -1L, false)), "clean eval row must audit clean")
+  }
+
   test("embeddingNearDups sizeHint skips the routing pass over the source") {
     import org.apache.spark.sql.functions._
     val n = 40
