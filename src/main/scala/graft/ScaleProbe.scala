@@ -975,5 +975,100 @@ object ScaleProbe {
     time("dedup_multiscript") {
       graft.dedup.Dedup.multiscriptNearDups(msDocs, threshold = 0.5).count()
     }
+    // filtered graph-ANN serving: the SAME synthetic M-fold graph as
+    // ann_graph_beam (built untimed here so the row isolates SERVING),
+    // walked unfiltered, answered from visited ∧ predicate — per-query
+    // work stays O(entries + hops·beam·k) point probes, so the curve
+    // must stay as flat as the unfiltered row
+    lazy val beamGraph = {
+      val w = org.apache.spark.sql.expressions.Window.orderBy("id")
+      val dense = vecs
+        .withColumn("id", row_number().over(w).cast("long") - 1)
+        .repartition(cpus).localCheckpoint()
+      val n = dense.count()
+      val graph = dense.select(col("id").as("qid"),
+          explode(sequence(lit(1), lit(8))).as("j"))
+        .select(col("qid"),
+          pmod(col("qid") * 2654435761L + col("j") * 40503L, lit(n)).as("neighbor"))
+        .filter(col("neighbor") =!= col("qid"))
+        .repartition(cpus).localCheckpoint()
+      (dense, graph)
+    }
+    if (only.forall(_.contains("ann_graph_filtered"))) {
+      beamGraph._1.count(); beamGraph._2.count()
+    }
+    time("ann_graph_filtered") {
+      graft.ann.GraphSearch.beamSearchFiltered(beamGraph._2, beamGraph._1,
+        Tables.queryVectors(spark, sfDir, Seq(0, 1, 2)),
+        entries = 4, beam = 8, hops = 3, k = 5,
+        pred = pmod(col("id"), lit(2)) === 0).count()
+    }
+    // filtered IVF: cluster count ∝ corpus (the knn_blocked recipe), so
+    // both routes scan per-probe cluster slices of CONSTANT size — the
+    // pushdown row filters under the bounded heap, the postfilter row
+    // oversamples max(10k,100) unfiltered then filters
+    lazy val ivfParts = {
+      val train = Tables.vectors(spark, sfDir).select("id", "embedding", "norm")
+      val cents = graft.ann.Ann.kmeansCentroids(train, 16 * m, 2).localCheckpoint()
+      val assigned = graft.ann.Ann.assign(vecs, cents)
+        .repartition(cpus).localCheckpoint()
+      (cents, assigned)
+    }
+    if (only.forall(o => o.contains("ann_ivf_pushdown") || o.contains("ann_ivf_postfilter"))) {
+      ivfParts._1.count(); ivfParts._2.count()
+    }
+    time("ann_ivf_pushdown") {
+      graft.ann.Ann.ivfTopK(
+        ivfParts._2.filter(pmod(xxhash64(col("id")), lit(2)) === 0),
+        ivfParts._1, Tables.queryVectors(spark, sfDir, Seq(0, 1, 2)),
+        k = 10, nprobe = 3).count()
+    }
+    time("ann_ivf_postfilter") {
+      graft.ann.Ann.ivfTopK(ivfParts._2, ivfParts._1,
+          Tables.queryVectors(spark, sfDir, Seq(0, 1, 2)), k = 100, nprobe = 3)
+        .filter(pmod(xxhash64(col("id")), lit(2)) === 0).count()
+    }
+    // cross-set semantic decontamination: the benchmark (eval) side is
+    // FIXED-SIZE while train grows M-fold; K ∝ corpus keeps per-cluster
+    // candidates constant, so cost tracks the train assignment scan and
+    // output stays eval-sized
+    time("semantic_contamination") {
+      val base = Tables.vectors(spark, sfDir).select("id", "embedding", "norm")
+      val cents = graft.ann.Ann.kmeansCentroids(base, 16 * m, 2)
+      val evalSet = base.filter(
+        graft.functions.TextFunctions.stableHash32(col("id").cast("string")) % 20 === 0)
+      graft.dedup.Dedup.semanticContamination(
+          // salted ids are strings; the operator keys train ids as longs
+          vecs.select(xxhash64(col("id")).as("id"), col("embedding"), col("norm")),
+          evalSet, cents, threshold = 0.9)
+        .agg(count(lit(1)), sum(col("n_hits"))).collect()(0).getLong(0)
+    }
+    // SFT budget trim: M x the conversations at CONSTANT turn count —
+    // two conversation-keyed windows, per-key state bounded by context
+    // length forever
+    time("chat_budget") {
+      val turns = docs
+        .select(col("id").as("conv_id"),
+          explode(sequence(lit(0), lit(7))).as("i"))
+        .select(col("conv_id"), col("i").as("turn_idx"),
+          when(col("i") === 0, lit("system"))
+            .when(pmod(col("i"), lit(2)) === 1, lit("user"))
+            .otherwise(lit("assistant")).as("role"),
+          (lit(5) + pmod(col("i") * 7, lit(9))).cast("long").as("tokens"))
+      graft.operators.Chat.contextBudgetTrim(turns, budget = 40L, "tokens")
+        .agg(count(lit(1)), sum(col("tokens"))).collect()(0).getLong(0)
+    }
+    // FLAC decode: encode+decode are per-row narrow work (no shuffle
+    // anywhere) — the curve must be a clean linear scan like filter_c4
+    time("flac_decode") {
+      val mk = udf((id: Long) => graft.multimodal.Multimodal.squareFlac(
+        (400 + id % 600).toInt, 16000, (1000 + id % 20000).toInt))
+      val media = docs
+        .select(pmod(xxhash64(col("id")), lit(1000000L)).as("id"),
+          lit("audio").as("modality"))
+        .withColumn("data", mk(col("id")))
+      graft.multimodal.Multimodal.decode(media)
+        .agg(count(lit(1)), sum(col("n_frames"))).collect()(0).getLong(0)
+    }
   }
 }

@@ -84,6 +84,16 @@ object StreamingIngest {
     */
   final case class C4Gate(minLineWords: Int = 5, minSentences: Int = 3)
 
+  /** Chat-structure compaction gate ([[graft.operators.Chat]]): contents
+    * are JSON message transcripts, and conversations failing the
+    * structural audit — unparseable JSON (zero turns), broken
+    * user/assistant alternation, missing user start or assistant end,
+    * optionally a missing system turn — never land. Runs FIRST (before
+    * sanitize/dedup/embed): a malformed transcript must never cost a
+    * model call, the same pre-embed stance as every other gate.
+    */
+  final case class ChatGate(requireSystem: Boolean = false)
+
   /** Continuous-profiling sidecars maintained per compaction batch (see
     * [[SketchMaintenance]]): an HLL register table over the landed ids
     * (distinct-documents-ever-ingested, exact-merge across batches) and a
@@ -108,13 +118,26 @@ object StreamingIngest {
       qualityGate: Option[QualityGate] = None,
       langAllow: Option[Set[String]] = None,
       c4Gate: Option[C4Gate] = None,
-      profile: Option[ProfileSketches] = None): Long = {
+      profile: Option[ProfileSketches] = None,
+      chatGate: Option[ChatGate] = None): Long = {
     val staged = spark.read.parquet(stagingPath)
     val w = Window.partitionBy("id").orderBy(col("ingest_ts").desc)
-    val latest = staged
+    val latest0 = staged
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .select(col("content"))
+    // chat-structure gate runs FIRST: the content IS the transcript, and
+    // an unparseable one produces zero turns -> no audit row -> the semi
+    // join drops it governed (the from_json null case)
+    val latest = chatGate.fold(latest0) { g =>
+      val withId = latest0.select(col("content").as("cid"), col("content"))
+      val valid = graft.operators.Chat.alternationReport(
+          graft.operators.Chat.parseConversations(withId, "cid", "content"))
+        .filter(col("valid") &&
+          (if (g.requireSystem) col("has_system") else lit(true)))
+        .select(col("conv_id").as("cid"))
+      withId.join(valid, Seq("cid"), "left_semi").select(col("content"))
+    }
     // C4 gate runs FIRST — it rewrites content (kept lines only), and
     // everything downstream (content-addressed ids, sanitize, dedup and
     // quality gates, the embed pass) must see the stored text, not the

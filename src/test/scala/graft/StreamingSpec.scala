@@ -160,6 +160,46 @@ class StreamingSpec extends SparkSpec {
     assert(!texts.exists(_.contains("Die Kinder")))
   }
 
+  test("gated compaction drops structurally invalid chat transcripts") {
+    import spark.implicits._
+    import graft.ingest.DeterministicHashEmbedder
+    val wh = Files.createTempDirectory("graft-wh-sgate5").toString
+    val embedder = new DeterministicHashEmbedder(16)
+    val api = new Api(spark, wh, embedder)
+    api.createCollection("sgate5",
+      documents = Some(Seq(("seed transcript placeholder with enough words",
+        Map.empty[String, String])).toDF("content", "metadata")))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "sgate5"))
+    val staging = Files.createTempDirectory("graft-staging-sgate5").toString
+    def stage(contents: Seq[String]): Unit =
+      contents.map((_, java.sql.Timestamp.valueOf("2026-01-01 00:00:00")))
+        .toDF("content", "ingest_ts")
+        .withColumn("id", graft.ingest.Ingest.contentId(
+          org.apache.spark.sql.functions.col("content")))
+        .write.mode("overwrite").parquet(staging)
+    stage(Seq(
+      // valid: system -> user -> assistant
+      """[{"role":"system","content":"rules"},{"role":"user","content":"the valid question"},{"role":"assistant","content":"the valid answer"}]""",
+      // invalid: double user turn
+      """[{"role":"user","content":"first broken"},{"role":"user","content":"second broken"},{"role":"assistant","content":"late answer"}]""",
+      // invalid: unparseable JSON
+      """this is not a transcript at all"""))
+    val merged = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      chatGate = Some(StreamingIngest.ChatGate()))
+    assert(merged == 1, "only the structurally valid transcript lands")
+    val texts = api.catalog.readDocuments(entry).collect()
+      .map(_.getAs[String]("content")).toSet
+    assert(texts.exists(_.contains("the valid answer")))
+    assert(!texts.exists(_.contains("second broken")))
+    assert(!texts.exists(_.contains("not a transcript")))
+    // requireSystem drops the otherwise-valid system-less transcript
+    stage(Seq(
+      """[{"role":"user","content":"fine question"},{"role":"assistant","content":"fine answer"}]"""))
+    val merged2 = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      chatGate = Some(StreamingIngest.ChatGate(requireSystem = true)))
+    assert(merged2 == 0, "requireSystem must drop the system-less transcript")
+  }
+
   test("streaming windowed counts with watermark emit correct aggregates") {
     implicit val sqlCtx = spark.sqlContext
     import spark.implicits._
