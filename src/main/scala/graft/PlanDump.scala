@@ -223,6 +223,8 @@ object PlanDump {
     "q_pipeline_curate6" -> "curation v6: paragraph dedup feeds the quality scorer over CLEANED text, composed",
     "q_pipeline_incremental" -> "incremental curation: snapshot diff -> gate ADDED+CHANGED only — cost tracks the delta",
     "q_pipeline_sketch_incr" -> "incremental sketches: stored registers merged with the delta == full rebuild, graded by an independent oracle",
+    "q_pref_bias" -> "DPO length-bias audit: narrow token-count projection + ONE source-keyed combiner-collapsed agg",
+    "q_pref_dups" -> "duplicate-response audit: sha256-keyed agg, output dup-group-sized",
     "q_profile_cms_cells" -> "raw CMS cells: d-way explode, combiner-collapsed counts — auditable cell dump",
     "q_profile_hll_regs" -> "raw HLL registers: (group, register) max agg — 512 rows regardless of corpus",
     "q_random_negatives" -> "random negatives: seeded-hash picks anti-joined vs positives",

@@ -120,11 +120,76 @@ object ChatQueries {
       |                  FROM kept GROUP BY doc_id) k ON k.doc_id = d.doc_id
       |ORDER BY conv_id""".stripMargin
 
+  // ---- preference-pair (DPO/RLHF) audits over synthesized pairs ----
+  // chosen = tokens 9..9+lenc-1 (lenc = 6 + 3*doc_id mod 9), rejected =
+  // tokens 24..24+lenr-1 (lenr = 5 + 7*doc_id mod 7) — a known positive
+  // length bias; docs with doc_id % 41 = 0 get one shared canonical
+  // chosen string (the planted duplicate-response group). Both slices
+  // clamp on short docs, and both engines replay the clamping.
+  private def prefPairs(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id").as("pair_id"),
+        concat(lit("s"), col("doc_id") % 5).as("source"),
+        TextFunctions.tokens(col("text")).as("toks"), col("doc_id"))
+      .withColumn("lenc", lit(6) + pmod(col("doc_id") * 3, lit(9)))
+      .withColumn("lenr", lit(5) + pmod(col("doc_id") * 7, lit(7)))
+      .select(col("pair_id"), col("source"),
+        when(col("doc_id") % 41 === 0,
+          lit("the canonical duplicated response"))
+          .otherwise(expr("concat_ws(' ', slice(toks, 9, lenc))")).as("chosen"),
+        expr("concat_ws(' ', slice(toks, 24, lenr))").as("rejected"))
+
+  private val prefCte: String =
+    """d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks
+      |      FROM documents),
+      |p AS (SELECT doc_id AS pair_id, 's' || (doc_id % 5) AS source,
+      |             CASE WHEN doc_id % 41 = 0
+      |                  THEN 'the canonical duplicated response'
+      |                  -- array_to_string([]) is NULL in DuckDB, '' in Spark's
+      |                  -- concat_ws: coalesce both sides to the Spark semantics
+      |                  ELSE coalesce(array_to_string(toks[9 : 8 + 6 + (doc_id * 3) % 9], ' '), '')
+      |             END AS chosen,
+      |             coalesce(array_to_string(toks[24 : 23 + 5 + (doc_id * 7) % 7], ' '), '') AS rejected
+      |      FROM d)""".stripMargin
+
+  def prefBias(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.lengthBiasReport(
+      prefPairs(s, dir), "source", "chosen", "rejected").orderBy("source")
+
+  val prefBiasSql: String =
+    s"""WITH $prefCte,
+      |l AS (SELECT source, chosen, rejected,
+      |             len(regexp_extract_all(chosen, '[a-z0-9_]{2,}')) AS lc,
+      |             len(regexp_extract_all(rejected, '[a-z0-9_]{2,}')) AS lr
+      |      FROM p)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(CASE WHEN lc > lr THEN 1 ELSE 0 END) AS BIGINT)
+      |         * 1000000 // count(*) AS chosen_longer_ppm,
+      |       CAST(sum(lc - lr) AS BIGINT) AS len_delta_sum,
+      |       CAST(sum(CASE WHEN chosen = rejected THEN 1 ELSE 0 END) AS BIGINT)
+      |         * 1000000 // count(*) AS identical_ppm
+      |FROM l GROUP BY source ORDER BY source""".stripMargin
+
+  def prefDups(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.duplicateResponses(
+      prefPairs(s, dir), "pair_id", "chosen").orderBy("resp_sha")
+
+  val prefDupsSql: String =
+    s"""WITH $prefCte
+      |SELECT sha256(chosen) AS resp_sha, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(min(pair_id) AS BIGINT) AS first_pair_id
+      |FROM p GROUP BY 1 HAVING count(*) >= 2
+      |ORDER BY resp_sha""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chat_validate" -> (chatValidate _),
-    "q_chat_budget" -> (chatBudget _))
+    "q_chat_budget" -> (chatBudget _),
+    "q_pref_bias" -> (prefBias _),
+    "q_pref_dups" -> (prefDups _))
 
   def oracles: Map[String, String] = Map(
     "q_chat_validate" -> chatValidateSql,
-    "q_chat_budget" -> chatBudgetSql)
+    "q_chat_budget" -> chatBudgetSql,
+    "q_pref_bias" -> prefBiasSql,
+    "q_pref_dups" -> prefDupsSql)
 }
