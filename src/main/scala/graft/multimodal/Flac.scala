@@ -226,6 +226,7 @@ object Flac {
     val wantCrc8 = r.readBits(8).toInt
     require(crc8(r.d, start, r.byte - 1) == wantCrc8, "frame header CRC-8 mismatch")
 
+    require(chAsg <= 10, s"reserved channel assignment $chAsg") // 11-15 reserved
     val nCh = if (chAsg <= 7) chAsg + 1 else 2
     require(nCh == si.channels, s"frame channels $nCh != STREAMINFO ${si.channels}")
     val chans = new Array[Array[Int]](nCh)

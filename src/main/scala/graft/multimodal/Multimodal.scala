@@ -399,20 +399,30 @@ object Multimodal {
       val frames = ch0.length
       if (frames == 0 || fa.bitsPerSample < 4 || fa.bitsPerSample > 32) None
       else {
-        val sums = new Array[Long](AudioWindows)
+        // <=16-bit keeps the WAV path's exact integer sums (bit-stable vs
+        // the closed-form oracles); wider samples switch to Double sums —
+        // a Long s*s accumulator overflows at 24/32-bit amplitudes (the
+        // same split the RIFF decoder makes)
         val counts = new Array[Long](AudioWindows)
+        val sums = new Array[Long](AudioWindows)
+        val dsums = new Array[Double](AudioWindows)
+        val wide = fa.bitsPerSample > 16
         var i = 0
         while (i < frames) {
-          val s = ch0(i).toLong
+          val s = ch0(i).toDouble
           val win = (i.toLong * AudioWindows / frames).toInt
-          sums(win) += s * s
+          if (wide) dsums(win) += s * s
+          else sums(win) += ch0(i).toLong * ch0(i)
           counts(win) += 1
           i += 1
         }
         val scale = (1L << (fa.bitsPerSample - 1)).toDouble
         val features = Array.tabulate(AudioWindows)(k =>
           if (counts(k) == 0) 0.0f
-          else (math.sqrt(sums(k).toDouble / counts(k)) / scale).toFloat)
+          else {
+            val total = if (wide) dsums(k) else sums(k).toDouble
+            (math.sqrt(total / counts(k)) / scale).toFloat
+          })
         val fp = md.digest(data).map("%02x".format(_)).mkString
         md.reset()
         Some(Decoded(

@@ -130,7 +130,11 @@ object StreamingIngest {
     // an unparseable one produces zero turns -> no audit row -> the semi
     // join drops it governed (the from_json null case)
     val latest = chatGate.fold(latest0) { g =>
-      val withId = latest0.select(col("content").as("cid"), col("content"))
+      // distinct first: two staged docs with IDENTICAL valid transcripts
+      // would otherwise share one conv_id and double every turn, failing
+      // the alternation audit for both (prepare() collapses duplicate
+      // contents to one id anyway, so nothing is lost)
+      val withId = latest0.distinct().select(col("content").as("cid"), col("content"))
       val valid = graft.operators.Chat.alternationReport(
           graft.operators.Chat.parseConversations(withId, "cid", "content"))
         .filter(col("valid") &&

@@ -198,6 +198,18 @@ class StreamingSpec extends SparkSpec {
     val merged2 = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
       chatGate = Some(StreamingIngest.ChatGate(requireSystem = true)))
     assert(merged2 == 0, "requireSystem must drop the system-less transcript")
+    // two staged docs with IDENTICAL valid transcripts: the gate must not
+    // double the turns under one conv_id and reject both — one copy lands
+    Seq(
+      ("""[{"role":"user","content":"twin question"},{"role":"assistant","content":"twin answer"}]""",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:00"), "idA"),
+      ("""[{"role":"user","content":"twin question"},{"role":"assistant","content":"twin answer"}]""",
+        java.sql.Timestamp.valueOf("2026-01-01 00:00:01"), "idB"))
+      .toDF("content", "ingest_ts", "id")
+      .write.mode("overwrite").parquet(staging)
+    val merged3 = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      chatGate = Some(StreamingIngest.ChatGate()))
+    assert(merged3 == 1, s"identical valid twins must land once, got $merged3")
   }
 
   test("streaming windowed counts with watermark emit correct aggregates") {
