@@ -271,6 +271,9 @@ object Flac {
   }
 
   private def decodeSubframe(r: Reader, blockSize: Int, bps: Int): Array[Int] = {
+    // a 32-bit stream's decorrelated side channel needs 33 bits, beyond
+    // the Int sample representation — degrade governed, never wrap
+    require(bps <= 32, s"side channels beyond 32 bits unsupported ($bps)")
     require(r.readBit() == 0, "subframe pad bit set")
     val stype = r.readBits(6).toInt
     val wasted =
@@ -447,7 +450,10 @@ object Flac {
       return
     }
     val order = 2
-    if (n <= order) { // too short to predict: VERBATIM
+    // eb > 26 would need >31-bit raw escapes (order-2 residuals carry
+    // eb+2 bits) and can overflow the Int residual representation the
+    // spec expects encoders to avoid — store wide samples VERBATIM
+    if (n <= order || eb > 26) { // too short/wide to predict: VERBATIM
       w.writeBits(1, 6)
       writeWasted()
       var i = 0
@@ -506,23 +512,35 @@ object Flac {
     }
   }
 
-  /** Encode 16-bit PCM as a real FLAC stream. `channels` is 1 or 2 (both
-    * channels interleaved NOT — pass per-channel arrays); stereo uses
-    * left/side for even frames and mid/side for odd ones so both
-    * decorrelation paths see coverage.
-    */
+  /** Encode 16-bit PCM as a real FLAC stream (see [[encode]]). */
   def encode16(
       chans: Array[Array[Int]], rate: Int, blockSize: Int = 512,
-      lpcBlocks: Boolean = true): Array[Byte] = {
+      lpcBlocks: Boolean = true): Array[Byte] =
+    encode(chans, rate, blockSize, bps = 16, lpcBlocks)
+
+  private val SampleSizeCode =
+    Map(8 -> 1, 12 -> 2, 16 -> 4, 20 -> 5, 24 -> 6, 32 -> 7)
+
+  /** Encode integer PCM at `bps` in {8,12,16,20,24,32} as a real FLAC
+    * stream. `chans` is 1 or 2 per-channel arrays; stereo uses left/side
+    * for even frames and mid/side for odd ones so both decorrelation
+    * paths see coverage.
+    */
+  def encode(
+      chans: Array[Array[Int]], rate: Int, blockSize: Int,
+      bps: Int, lpcBlocks: Boolean = true): Array[Byte] = {
     val nCh = chans.length
     require(nCh == 1 || nCh == 2, s"1 or 2 channels, got $nCh")
     require(chans.forall(_.length == chans(0).length), "ragged channels")
     require(rate >= 1 && rate < (1 << 20), s"bad rate $rate")
     require(blockSize >= 8 && blockSize <= 65535, s"bad block size $blockSize")
+    require(SampleSizeCode.contains(bps), s"bps $bps not codable in a frame header")
     val total = chans(0).length
     require(total >= 1, "empty stream")
+    val lo = if (bps == 32) Int.MinValue else -(1 << (bps - 1))
+    val hi = if (bps == 32) Int.MaxValue else (1 << (bps - 1)) - 1
     chans.foreach(_.foreach(v =>
-      require(v >= -32768 && v <= 32767, s"sample $v out of 16-bit range")))
+      require(v >= lo && v <= hi, s"sample $v out of $bps-bit range")))
     val w = new Writer
     w.writeBits(0x664c6143L, 32) // "fLaC"
     // STREAMINFO, last-metadata-block
@@ -533,7 +551,7 @@ object Flac {
     w.writeBits(0, 24); w.writeBits(0, 24) // frame sizes unknown
     w.writeBits(rate.toLong, 20)
     w.writeBits((nCh - 1).toLong, 3)
-    w.writeBits(15, 5) // bps-1 = 15
+    w.writeBits((bps - 1).toLong, 5)
     w.writeBits(total.toLong, 36)
     var i = 0
     while (i < 16) { w.writeBits(0, 8); i += 1 } // MD5 unset
@@ -547,9 +565,14 @@ object Flac {
       w.writeBits(0, 1) // fixed blocksize strategy
       w.writeBits(7, 4) // block size: 16-bit follows
       w.writeBits(0, 4) // sample rate: from STREAMINFO
-      val chAsg = if (nCh == 1) 0 else if (frameNo % 2 == 0) 8 else 10
+      // 32-bit stereo would need a 33-bit side channel (beyond the Int
+      // sample representation) — encode it as independent channels
+      val chAsg =
+        if (nCh == 1) 0
+        else if (bps > 24) 1
+        else if (frameNo % 2 == 0) 8 else 10
       w.writeBits(chAsg.toLong, 4)
-      w.writeBits(4, 3) // sample size: 16-bit
+      w.writeBits(SampleSizeCode(bps).toLong, 3)
       w.writeBits(0, 1) // reserved
       // coded frame number (extended UTF-8); fixtures stay under 2^31
       writeCodedNumber(w, frameNo)
@@ -558,19 +581,22 @@ object Flac {
       val asLpc = lpcBlocks && frameNo % 2 == 1
       if (nCh == 1) {
         writeSubframe(w, java.util.Arrays.copyOfRange(chans(0), off, off + n),
-          16, asLpc)
+          bps, asLpc)
       } else {
         val l = java.util.Arrays.copyOfRange(chans(0), off, off + n)
         val r = java.util.Arrays.copyOfRange(chans(1), off, off + n)
-        if (chAsg == 8) { // left/side: store left, side = left - right
+        if (chAsg == 1) { // independent (the 32-bit stereo form)
+          writeSubframe(w, l, bps, asLpc)
+          writeSubframe(w, r, bps, asLpc)
+        } else if (chAsg == 8) { // left/side: store left, side = left - right
           val side = Array.tabulate(n)(j => l(j) - r(j))
-          writeSubframe(w, l, 16, asLpc)
-          writeSubframe(w, side, 17, asLpc)
+          writeSubframe(w, l, bps, asLpc)
+          writeSubframe(w, side, bps + 1, asLpc)
         } else { // mid/side: mid = (l+r)>>1, side = l-r
           val mid = Array.tabulate(n)(j => (l(j) + r(j)) >> 1)
           val side = Array.tabulate(n)(j => l(j) - r(j))
-          writeSubframe(w, mid, 16, asLpc)
-          writeSubframe(w, side, 17, asLpc)
+          writeSubframe(w, mid, bps, asLpc)
+          writeSubframe(w, side, bps + 1, asLpc)
         }
       }
       w.align()

@@ -114,26 +114,28 @@ object GraftProperties extends Properties("graft") {
   // sizes, rates, mono/stereo (both decorrelations), fixed-vs-LPC blocks.
   // One property pins the whole bit-level format (Rice coding, escapes,
   // wasted bits, CRCs, short last frames, n < order verbatim edges).
-  property("FLAC encode/decode is lossless on arbitrary 16-bit PCM") =
+  property("FLAC encode/decode is lossless on arbitrary PCM at every bit depth") =
     forAll(
       Gen.chooseNum(1, 700),
       Gen.chooseNum(8, 300),
       Gen.chooseNum(1, 96000),
       Gen.oneOf(1, 2),
-      Gen.long) { (n, blockSize, rate, nCh, seed) =>
+      Gen.oneOf(8, 12, 16, 20, 24, 32),
+      Gen.long) { (n, blockSize, rate, nCh, bps, seed) =>
       val rnd = new scala.util.Random(seed)
+      val full = if (bps == 32) Int.MaxValue else (1 << (bps - 1)) - 1
       val chans = Array.fill(nCh)(Array.fill(n)(
         // mix flat runs (constant subframes), small residuals (rice), and
-        // full-range jumps (escape / wide rice params)
+        // full-range jumps (escape / wide rice / the >26-bit verbatim path)
         rnd.nextInt(4) match {
           case 0 => 0
-          case 1 => rnd.nextInt(65536) - 32768
+          case 1 => (rnd.nextLong() % (full.toLong + 1)).toInt
           case _ => rnd.nextInt(256) - 128
         }))
-      val bytes = graft.multimodal.Flac.encode16(chans, rate, blockSize)
+      val bytes = graft.multimodal.Flac.encode(chans, rate, blockSize, bps)
       graft.multimodal.Flac.decode(bytes).exists { fa =>
         fa.sampleRate == rate && fa.channels == nCh &&
-          fa.bitsPerSample == 16 &&
+          fa.bitsPerSample == bps &&
           fa.samples.zip(chans).forall { case (got, want) =>
             got.toSeq == want.toSeq
           }

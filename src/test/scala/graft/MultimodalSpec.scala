@@ -373,6 +373,22 @@ class MultimodalSpec extends SparkSpec {
       w.getSeq[Float](w.fieldIndex("features")))
   }
 
+  test("FLAC 24-bit decode: the wide (Double-sum) RMS path matches the 24-bit WAV twin") {
+    val n = 600
+    val amp = 1234567 // > 16-bit range: exercises the overflow-safe path
+    val samples = Array.tabulate(n)(i => if (i % 2 == 0) amp else -amp)
+    val flacBytes = Flac.encode(Array(samples), 8000, 256, bps = 24)
+    val wavBytes = Multimodal.squareWavFmt(n, 8000, amp, 24, floatPcm = false)
+    val rows = Multimodal.decode(mediaDF(
+      (80L, "audio", flacBytes), (81L, "audio", wavBytes)))
+      .collect().sortBy(_.getAs[Long]("id"))
+    val Array(f, w2) = rows
+    assert(f.getAs[Int]("n_frames") == n && f.getAs[Int]("height") == 1)
+    assert(f.getSeq[Float](f.fieldIndex("features")) ==
+      w2.getSeq[Float](w2.fieldIndex("features")),
+      "24-bit FLAC must reproduce the 24-bit PCM features exactly")
+  }
+
   test("FLAC corruption degrades governed: CRC mismatch falls to the stub") {
     val bytes = Multimodal.squareFlac(400, 8000, 1000)
     assert(Flac.decode(bytes).isDefined)
