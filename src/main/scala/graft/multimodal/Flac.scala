@@ -404,7 +404,9 @@ object Flac {
     */
   private def bestRice(res: Array[Long], rawBits: Int): Int = {
     var best = -1
-    var bestCost = res.length.toLong * (5 + rawBits) // escape cost
+    // escape cost: the 5-bit width field is paid ONCE per partition, not
+    // per residual (the 4-bit parameter field cancels between branches)
+    var bestCost = 5L + res.length.toLong * rawBits
     var k = 0
     while (k <= 14) {
       var cost = 0L
@@ -533,7 +535,9 @@ object Flac {
     require(nCh == 1 || nCh == 2, s"1 or 2 channels, got $nCh")
     require(chans.forall(_.length == chans(0).length), "ragged channels")
     require(rate >= 1 && rate < (1 << 20), s"bad rate $rate")
-    require(blockSize >= 8 && blockSize <= 65535, s"bad block size $blockSize")
+    // RFC 9639 §5: the minimum conformant block size is 16 — smaller
+    // blocks roundtrip here but external decoders may reject them
+    require(blockSize >= 16 && blockSize <= 65535, s"bad block size $blockSize")
     require(SampleSizeCode.contains(bps), s"bps $bps not codable in a frame header")
     val total = chans(0).length
     require(total >= 1, "empty stream")

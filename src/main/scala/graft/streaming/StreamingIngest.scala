@@ -120,6 +120,12 @@ object StreamingIngest {
       c4Gate: Option[C4Gate] = None,
       profile: Option[ProfileSketches] = None,
       chatGate: Option[ChatGate] = None): Long = {
+    // the two structural gates are mutually exclusive: ChatGate validates
+    // the content AS a JSON transcript, C4Gate REWRITES the content as
+    // prose lines — running both would line-mangle the JSON the chat gate
+    // just validated (and ids are content-addressed on what lands)
+    require(chatGate.isEmpty || c4Gate.isEmpty,
+      "chatGate and c4Gate are mutually exclusive: C4 line-rewriting would mangle a validated JSON transcript")
     val staged = spark.read.parquet(stagingPath)
     val w = Window.partitionBy("id").orderBy(col("ingest_ts").desc)
     val latest0 = staged
@@ -142,7 +148,8 @@ object StreamingIngest {
         .select(col("conv_id").as("cid"))
       withId.join(valid, Seq("cid"), "left_semi").select(col("content"))
     }
-    // C4 gate runs FIRST — it rewrites content (kept lines only), and
+    // C4 gate runs FIRST when configured (it excludes ChatGate, above) —
+    // it rewrites content (kept lines only), and
     // everything downstream (content-addressed ids, sanitize, dedup and
     // quality gates, the embed pass) must see the stored text, not the
     // raw crawl. The raw content doubles as the row id here: c4Rules

@@ -117,7 +117,7 @@ object GraftProperties extends Properties("graft") {
   property("FLAC encode/decode is lossless on arbitrary PCM at every bit depth") =
     forAll(
       Gen.chooseNum(1, 700),
-      Gen.chooseNum(8, 300),
+      Gen.chooseNum(16, 300), // RFC 9639 minimum conformant block size
       Gen.chooseNum(1, 96000),
       Gen.oneOf(1, 2),
       Gen.oneOf(8, 12, 16, 20, 24, 32),

@@ -210,6 +210,14 @@ class StreamingSpec extends SparkSpec {
     val merged3 = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
       chatGate = Some(StreamingIngest.ChatGate()))
     assert(merged3 == 1, s"identical valid twins must land once, got $merged3")
+    // the structural gates are mutually exclusive: C4's line rewrite
+    // would mangle the JSON the chat gate just validated
+    val ex = intercept[IllegalArgumentException] {
+      StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+        chatGate = Some(StreamingIngest.ChatGate()),
+        c4Gate = Some(StreamingIngest.C4Gate()))
+    }
+    assert(ex.getMessage.contains("mutually exclusive"))
   }
 
   test("streaming windowed counts with watermark emit correct aggregates") {
