@@ -293,11 +293,13 @@ object PlanDump {
     sb.append("native expression loops over the baked K-centroid matrix per\n")
     sb.append("row (no vector-x-centroid join exists anywhere in the plan);\n")
     sb.append("the serving joins are keyed (see PlanSpec's all-pairs guards).\n\n")
-    sb.append("Scale caveat (adaptive dedup route): its pair set goes through\n")
-    sb.append("`localCheckpoint()` — deterministic and lineage-free in local\n")
-    sb.append("mode, but NOT executor-loss-tolerant on a real cluster; at\n")
-    sb.append("100 TB the pair set should flow through a reliable checkpoint\n")
-    sb.append("dir or a table write before the component rounds consume it.\n")
+    sb.append("Scale note (adaptive dedup route): its pair set materializes\n")
+    sb.append("through a configurable `Dedup.PairSink` — `Local`\n")
+    sb.append("(localCheckpoint, the zero-config single-JVM default used\n")
+    sb.append("here), `Reliable` (sparkContext checkpoint dir — the\n")
+    sb.append("executor-loss-tolerant 100 TB default), or `Table(path)`\n")
+    sb.append("(parquet write + read-back, a resumable pipeline artifact).\n")
+    sb.append("All three sinks return the identical frame (DedupSpec).\n")
     for ((name, caption) <- all) {
       val df = SparkEntry.queries(name)(spark, sfDir)
       sb.append(s"\n## $name — $caption\n\n```text\n")

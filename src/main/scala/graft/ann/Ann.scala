@@ -254,4 +254,81 @@ object Ann {
         .select("query_idx", "id", "score")
         .limit(0))
   }
+
+  /** Batched IVF search — [[ivfTopK]] at serving-batch Q.
+    *
+    * [[ivfTopK]] plans ONE scan per query (driver-side probe selection,
+    * Q unioned plans): the right shape at interactive Q <= a few dozen,
+    * and unplannable at batched-serving Q (10^4 queries = 10^4 unioned
+    * scans — the driver, not the cluster, becomes the bottleneck). This
+    * route keeps the whole batch in ONE plan of three joins:
+    *
+    *   1. route: queries x centroids (centroid table broadcast — it is
+    *      cluster-count-sized, never query- or corpus-sized), rank per
+    *      query by (distance asc, centroid_id-as-string asc) — the same
+    *      order the driver loop sorts by — keep nprobe;
+    *   2. probe: the (query_idx, cluster_id) pairs join `assigned` on
+    *      cluster_id, so only probed cluster slices are scanned
+    *      (partition-pruned when `assigned` is stored partitioned by
+    *      cluster_id);
+    *   3. rescore + per-query top-k via the two-level row_number (local
+    *      pre-top-k bounds the window shuffle to ~partitions*k rows per
+    *      query).
+    *
+    * The query-derived frames follow the same size gate as
+    * [[GraphSearch]]: broadcast while Q*nprobe (and the probed candidate
+    * bound) fits `broadcastRowLimit`, shuffle-hash hints above it.
+    * Scoring reuses the identical double arithmetic (sequential-fold dot,
+    * same operand grouping), so the result frame is bit-identical to the
+    * per-query loop's — AnnServeSpec asserts equality on both gate paths.
+    */
+  def ivfTopKBatch(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: Seq[(Int, Seq[Float])],
+      k: Int,
+      nprobe: Int,
+      broadcastRowLimit: Long = GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
+    val spark = assigned.sparkSession
+    import spark.implicits._
+    if (queries.isEmpty)
+      return assigned.withColumn("score", lit(0.0))
+        .withColumn("query_idx", lit(0)).select("query_idx", "id", "score").limit(0)
+    val underLimit = queries.size.toLong * nprobe * k <= broadcastRowLimit
+    val mark: DataFrame => DataFrame =
+      if (underLimit) broadcast else _.hint("shuffle_hash")
+    val qdf = mark(
+      queries.toDF("query_idx", "qv")
+        .withColumn("qv", col("qv").cast("array<double>"))
+        .withColumn("qn", VectorFunctions.l2Norm(col("qv"))))
+    // 1. probe selection: same distance, same (d, id-as-string) order as
+    // the driver loop in ivfTopK
+    val byQd = Window.partitionBy("query_idx")
+      .orderBy(col("d").asc, col("centroid_id").cast("string").asc)
+    val probes = qdf
+      .crossJoin(broadcast(
+        centroids.select("centroid_id", "centroid", "centroid_norm")))
+      .withColumn("d",
+        lit(1.0) - VectorFunctions.dot(col("centroid"), col("qv")) /
+          (col("centroid_norm") * col("qn")))
+      .withColumn("rn", row_number().over(byQd))
+      .filter(col("rn") <= nprobe)
+      .select(col("query_idx"), col("centroid_id").as("cluster_id"))
+    // 2+3. probed slices, exact rescore, bounded two-level top-k
+    val scored = mark(probes)
+      .join(assigned, "cluster_id")
+      .join(qdf, "query_idx")
+      .withColumn("score",
+        VectorFunctions.dot(col("embedding"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("pid", spark_partition_id())
+      .select("query_idx", "pid", "id", "score")
+    val localW = Window.partitionBy("query_idx", "pid")
+      .orderBy(col("score").desc, col("id").asc)
+    val globalW = Window.partitionBy("query_idx")
+      .orderBy(col("score").desc, col("id").asc)
+    scored
+      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
+      .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
+      .select("query_idx", "id", "score")
+  }
 }

@@ -17,21 +17,52 @@ import graft.functions.VectorFunctions
   *     lookup, never an adjacency scan;
   *   - the vectors table (id, embedding, norm) for exact re-scoring.
   *
-  * Query shape per hop: the frontier (Q queries x B beam rows — KB-sized,
-  * always the broadcast side) joins the adjacency table to collect
-  * neighbor ids, unions the current beam, dedupes, exact-scores against
-  * the query vectors, and keeps the top B per query. After H hops the top
-  * k of the final beam is the answer. Total work is O(Q * B * k * H)
-  * adjacency rows + point vector fetches — independent of corpus size,
-  * which is the entire point: at 100 TB the scan-everything brute path is
-  * off the table, and this path touches a few hundred bucket-pruned rows
-  * per query.
+  * Query shape per hop: the frontier (Q queries x B beam rows) joins the
+  * adjacency table to collect neighbor ids, unions the current beam,
+  * dedupes, exact-scores against the query vectors, and keeps the top B
+  * per query. After H hops the top k of the final beam is the answer.
+  * Total work is O(Q * B * k * H) adjacency rows + point vector fetches —
+  * independent of corpus size, which is the entire point: at 100 TB the
+  * scan-everything brute path is off the table, and this path touches a
+  * few hundred bucket-pruned rows per query.
+  *
+  * JOIN-SIDE SIZING — the Q axis: every query-derived frame (the query
+  * vectors, the frontier, the visited set) is KB-sized at interactive Q
+  * and belongs on the broadcast side of its join against the corpus-sized
+  * vectors/adjacency tables. But the frames grow linearly in Q, and at
+  * batched-serving Q (10^4-10^5 queries) a forced broadcast of the
+  * O(Q*B*k*H) visited set is a driver/executor OOM. All entry points
+  * therefore take a `broadcastRowLimit`: when the analytic candidate
+  * bound Q*B*max(H,1)*k fits, the plan broadcasts exactly as before; when
+  * it overflows, NO frame is broadcast — the query-derived side carries a
+  * shuffle-hash hint instead, so every rescore/expand join becomes a
+  * hash join partitioned on its key (id / query_idx), the plan a 1000-
+  * executor cluster wants at high Q. Both paths compute the identical
+  * frame (AnnServeSpec asserts equality; QSweep measures the crossover).
   *
   * Determinism: scores recompute identically on both engines (double
   * cosine); beam membership ties break on id, so the search replays
   * exactly in the SQL oracle with the hops unrolled as CTEs.
   */
 object GraphSearch {
+
+  /** Default cap on the analytic query-side candidate bound
+    * (Q*beam*max(hops,1)*k) before serving abandons forced broadcasts
+    * for shuffle-hash joins. 500k candidate rows of (query_idx, id,
+    * score) is ~10-15 MB serialized — the order of Spark's default
+    * autoBroadcastJoinThreshold.
+    */
+  val DefaultBroadcastRowLimit: Long = 500000L
+
+  /** Candidate-frame bound that drives the broadcast/shuffle decision. */
+  private def candidateBound(q: Int, beam: Int, hops: Int, k: Int): Long =
+    q.toLong * beam * math.max(hops, 1) * k
+
+  /** Mark a query-derived frame for its join against a corpus-sized
+    * table: broadcast under the limit, shuffle-hash build side above it.
+    */
+  private def mkMark(underLimit: Boolean): DataFrame => DataFrame =
+    if (underLimit) broadcast else _.hint("shuffle_hash")
 
   /** Beam search over `graph` (qid, neighbor) for each query vector.
     *
@@ -44,6 +75,9 @@ object GraphSearch {
     * @param beam    beam width B
     * @param hops    number of expansion rounds H
     * @param k       results per query (k <= beam)
+    * @param broadcastRowLimit candidate-bound gate (see scaladoc above);
+    *                pass 0 to force the shuffle path, Long.MaxValue to
+    *                force broadcasts
     */
   def beamSearch(
       graph: DataFrame,
@@ -52,15 +86,17 @@ object GraphSearch {
       entries: Int,
       beam: Int,
       hops: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): DataFrame = {
     val spark = vectors.sparkSession
     import spark.implicits._
-    val qdf = queryFrame(spark, queries)
+    val mark = mkMark(candidateBound(queries.size, beam, hops, k) <= broadcastRowLimit)
+    val qdf = queryFrame(spark, queries, mark)
     // Deterministic entry points: the E smallest ids (TakeOrdered — no
     // corpus sort). A persisted index would store cluster medoids here.
     val entryIds = vectors.select("id").orderBy("id").limit(entries)
     beamSearchFrom(graph, vectors, qdf,
-      qdf.select("query_idx").crossJoin(entryIds), beam, hops, k)
+      qdf.select("query_idx").crossJoin(entryIds), beam, hops, k, mark)
   }
 
   /** Beam search from CALLER-SUPPLIED per-query entry points
@@ -76,25 +112,30 @@ object GraphSearch {
       entryPoints: DataFrame, // (query_idx, id)
       beam: Int,
       hops: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): DataFrame = {
     val spark = vectors.sparkSession
-    beamSearchFrom(graph, vectors, queryFrame(spark, queries), entryPoints, beam, hops, k)
+    val mark = mkMark(candidateBound(queries.size, beam, hops, k) <= broadcastRowLimit)
+    beamSearchFrom(graph, vectors, queryFrame(spark, queries, mark),
+      entryPoints, beam, hops, k, mark)
   }
 
   /** Route each query to its top-`entries` candidates among
     * `entryCandidates` (an (id) frame — typically the persisted medoid
     * table): exact cosine over candidate-count rows per query. The
-    * candidate set is a small constant (cluster count), so this is a
-    * broadcast × broadcast product — driver/exchange cost independent of
-    * the corpus. Returns (query_idx, id) for [[beamSearchWithEntries]].
+    * candidate set is a small constant (cluster count), so it is ALWAYS
+    * broadcast; the query frame follows the Q gate. Returns
+    * (query_idx, id) for [[beamSearchWithEntries]].
     */
   def routeEntries(
       vectors: DataFrame,
       entryCandidates: DataFrame,
       queries: Seq[(Int, Seq[Float])],
-      entries: Int): DataFrame = {
+      entries: Int,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): DataFrame = {
     val spark = vectors.sparkSession
-    val qdf = queryFrame(spark, queries)
+    val mark = mkMark(queries.size.toLong * entries <= broadcastRowLimit)
+    val qdf = queryFrame(spark, queries, mark)
     val cands = broadcast(
       vectors.join(broadcast(entryCandidates), Seq("id"), "left_semi")
         .select(col("id"), col("embedding"), col("norm")))
@@ -122,9 +163,10 @@ object GraphSearch {
     * beam overflow — stays a candidate; the answer is the exact-scored
     * top-k among visited ∧ pred. The visited set is O(Q·B·k·hops) rows
     * (a built-in oversample of hops·beam/k ≥ the mongo constant at the
-    * defaults), so the final filtered rescore is a broadcast-sized join,
-    * and the predicate reaches the vectors scan as an ordinary pushed
-    * filter. Recall is graded against exact FILTERED truth in
+    * defaults), so the final filtered rescore is a candidate-bounded join
+    * (broadcast under the Q gate, shuffle-hash above it), and the
+    * predicate reaches the vectors scan as an ordinary pushed filter.
+    * Recall is graded against exact FILTERED truth in
     * `q_ann_graph_filtered` on selective and non-selective predicates.
     */
   def beamSearchFiltered(
@@ -135,12 +177,14 @@ object GraphSearch {
       beam: Int,
       hops: Int,
       k: Int,
-      pred: Column): DataFrame = {
+      pred: Column,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): DataFrame = {
     val spark = vectors.sparkSession
-    val qdf = queryFrame(spark, queries)
+    val mark = mkMark(candidateBound(queries.size, beam, hops, k) <= broadcastRowLimit)
+    val qdf = queryFrame(spark, queries, mark)
     val entryIds = vectors.select("id").orderBy("id").limit(entries)
     beamSearchFilteredFrom(graph, vectors, qdf,
-      qdf.select("query_idx").crossJoin(entryIds), beam, hops, k, pred)
+      qdf.select("query_idx").crossJoin(entryIds), beam, hops, k, pred, mark)
   }
 
   /** [[beamSearchFiltered]] from CALLER-SUPPLIED per-query entry points
@@ -156,10 +200,12 @@ object GraphSearch {
       beam: Int,
       hops: Int,
       k: Int,
-      pred: Column): DataFrame = {
+      pred: Column,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): DataFrame = {
     val spark = vectors.sparkSession
-    beamSearchFilteredFrom(graph, vectors, queryFrame(spark, queries),
-      entryPoints, beam, hops, k, pred)
+    val mark = mkMark(candidateBound(queries.size, beam, hops, k) <= broadcastRowLimit)
+    beamSearchFilteredFrom(graph, vectors, queryFrame(spark, queries, mark),
+      entryPoints, beam, hops, k, pred, mark)
   }
 
   private def beamSearchFilteredFrom(
@@ -170,11 +216,12 @@ object GraphSearch {
       beam: Int,
       hops: Int,
       k: Int,
-      pred: Column): DataFrame = {
+      pred: Column,
+      mark: DataFrame => DataFrame): DataFrame = {
     val byQuery = Window.partitionBy("query_idx")
       .orderBy(col("score").desc, col("id").asc)
     def rescore(cands: DataFrame, keep: Int): DataFrame =
-      broadcast(cands).join(vectors, "id")
+      mark(cands).join(vectors, "id")
         .join(qdf, "query_idx")
         .withColumn("score",
           VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
@@ -185,7 +232,7 @@ object GraphSearch {
     var frontier = rescore(entryPoints.select("query_idx", "id"), beam)
     var visited = entryPoints.select("query_idx", "id")
     for (_ <- 1 to hops) {
-      val expanded = broadcast(frontier.select(col("query_idx"), col("id").as("qid")))
+      val expanded = mark(frontier.select(col("query_idx"), col("id").as("qid")))
         .join(graph, "qid")
         .select(col("query_idx"), col("neighbor").as("id"))
         .union(frontier.select("query_idx", "id"))
@@ -195,7 +242,7 @@ object GraphSearch {
     }
     // final answer: exact top-k among ALL visited nodes matching pred —
     // the predicate prunes the vectors side of the rescore join
-    broadcast(visited).join(vectors.filter(pred), "id")
+    mark(visited).join(vectors.filter(pred), "id")
       .join(qdf, "query_idx")
       .withColumn("score",
         VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
@@ -205,9 +252,10 @@ object GraphSearch {
   }
 
   private def queryFrame(
-      spark: SparkSession, queries: Seq[(Int, Seq[Float])]): DataFrame = {
+      spark: SparkSession, queries: Seq[(Int, Seq[Float])],
+      mark: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._
-    broadcast(
+    mark(
       queries.toDF("query_idx", "qv")
         .withColumn("qv", col("qv").cast("array<double>"))
         .withColumn("qn", VectorFunctions.l2Norm(col("qv"))))
@@ -220,17 +268,18 @@ object GraphSearch {
       entryPoints: DataFrame,
       beam: Int,
       hops: Int,
-      k: Int): DataFrame = {
+      k: Int,
+      mark: DataFrame => DataFrame): DataFrame = {
     require(k <= beam, s"k=$k must be <= beam=$beam")
 
     val byQuery = Window.partitionBy("query_idx")
       .orderBy(col("score").desc, col("id").asc)
 
     // Exact-score a (query_idx, id) candidate set and keep the top B.
-    // The candidate set is always O(Q * B * k) rows — the broadcast side
-    // of the point-fetch join against the corpus-sized vectors table.
+    // The candidate set is always O(Q * B * k) rows — the query side of
+    // the point-fetch join against the corpus-sized vectors table.
     def rescore(cands: DataFrame): DataFrame =
-      broadcast(cands).join(vectors, "id")
+      mark(cands).join(vectors, "id")
         .join(qdf, "query_idx")
         .withColumn("score",
           VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
@@ -241,8 +290,8 @@ object GraphSearch {
     var frontier = rescore(entryPoints.select("query_idx", "id"))
 
     for (_ <- 1 to hops) {
-      // neighbors of the beam; the frontier is Q*B rows — broadcast side
-      val expanded = broadcast(frontier.select(col("query_idx"), col("id").as("qid")))
+      // neighbors of the beam; the frontier is Q*B rows — query side
+      val expanded = mark(frontier.select(col("query_idx"), col("id").as("qid")))
         .join(graph, "qid")
         .select(col("query_idx"), col("neighbor").as("id"))
         .union(frontier.select("query_idx", "id"))

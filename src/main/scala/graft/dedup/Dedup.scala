@@ -22,6 +22,42 @@ object Dedup {
 
   private val log = org.slf4j.LoggerFactory.getLogger(getClass)
 
+  /** Materialization sink for the adaptive route's output-sized pair
+    * frame. The routes persist corpus-derived diagnosis frames and must
+    * fully materialize the (much smaller) pair result before releasing
+    * them — HOW it materializes is a deployment choice:
+    *
+    *  - [[PairSink.Local]] (default): `localCheckpoint()` — zero-config
+    *    and lineage-free, but blocks live in executor storage, so it is
+    *    NOT executor-loss-tolerant on a real cluster.
+    *  - [[PairSink.Reliable]]: `checkpoint()` to the session's reliable
+    *    checkpoint dir (`sparkContext.setCheckpointDir` — HDFS/S3 in
+    *    production). Survives executor loss; the 100 TB default.
+    *  - [[PairSink.Table]]: explicit parquet write + read-back — the
+    *    pair set becomes a queryable artifact of the pipeline run
+    *    (resumable downstream, inspectable, retained on your terms).
+    *
+    * All three return the identical frame (DedupSpec proves it); only
+    * durability and lifecycle differ.
+    */
+  sealed trait PairSink
+  object PairSink {
+    case object Local extends PairSink
+    case object Reliable extends PairSink
+    final case class Table(path: String) extends PairSink
+  }
+
+  private[dedup] def materialize(df: DataFrame, sink: PairSink): DataFrame = sink match {
+    case PairSink.Local => df.localCheckpoint()
+    case PairSink.Reliable =>
+      require(df.sparkSession.sparkContext.getCheckpointDir.isDefined,
+        "PairSink.Reliable needs sparkContext.setCheckpointDir(...) first")
+      df.checkpoint()
+    case PairSink.Table(path) =>
+      df.write.mode(org.apache.spark.sql.SaveMode.Overwrite).parquet(path)
+      df.sparkSession.read.parquet(path)
+  }
+
   /** Exact dedup by content digest: one row per distinct content with the
     * surviving (minimum) id and the duplicate count.
     */
@@ -812,7 +848,8 @@ object Dedup {
       docs: DataFrame,
       threshold: Double,
       shingleN: Int = 3,
-      maxCandidatesPerDoc: Long = 1024L): DataFrame = {
+      maxCandidatesPerDoc: Long = 1024L,
+      pairSink: PairSink = PairSink.Local): DataFrame = {
     require(maxCandidatesPerDoc >= 1, s"bad cap $maxCandidatesPerDoc")
     val sets = shingleSets(docs, shingleN).persist(StorageLevel.MEMORY_ONLY)
     // df keyed by xxhash64(sh), exactly the prefix route's join key: the
@@ -837,8 +874,10 @@ object Dedup {
         else
           ngramJaccardPrefixFromSets(sets, threshold, Some((dfFrame, entries)))
       // near-dup pairs are output-sized; materializing them inside the
-      // try lets BOTH diagnosis frames unpersist deterministically
-      pairs.localCheckpoint()
+      // try (through the configured sink — localCheckpoint by default,
+      // reliable checkpoint / table write on a real cluster) lets BOTH
+      // diagnosis frames unpersist deterministically
+      materialize(pairs, pairSink)
     } finally {
       dfFrame.unpersist()
       sets.unpersist()

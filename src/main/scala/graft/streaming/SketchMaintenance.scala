@@ -33,9 +33,19 @@ import graft.operators.{Cms, Hll}
   */
 object SketchMaintenance {
 
-  /** The stored register/cell table, or None before the first fold. */
-  def load(spark: SparkSession, path: String): Option[DataFrame] =
-    if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path)) else None
+  /** The stored register/cell table, or None before the first fold.
+    * Recovers from a [[writeSwap]] torn between its two renames: if the
+    * live dir is missing but the `.bak` (the previous committed sketch)
+    * survives, the backup is renamed back into place — the fold that
+    * crashed simply re-runs against the pre-crash state.
+    */
+  def load(spark: SparkSession, path: String): Option[DataFrame] = {
+    val live = Paths.get(path)
+    val bak = Paths.get(path + ".bak")
+    if (!Files.exists(live) && Files.exists(bak))
+      Files.move(bak, live, StandardCopyOption.ATOMIC_MOVE)
+    if (Files.exists(live)) Some(spark.read.parquet(path)) else None
+  }
 
   /** Fold one micro-batch into the persisted HLL register table at
     * `path` (created on first fold). groupCols/valueCol/p must be stable
@@ -88,12 +98,24 @@ object SketchMaintenance {
   /** Stage-then-swap rewrite: the merged frame READS the live table, so
     * it must fully materialize (the staging write) before the live dir is
     * replaced. Sketch-bounded rows → one output file.
+    *
+    * Crash safety: the live dir is RENAMED to `.bak` (not deleted) before
+    * staging moves in, so every crash point leaves a loadable sketch —
+    * before the bak-rename: live intact; between the renames: `.bak`
+    * intact ([[load]] restores it); after the staging move: the new live
+    * is committed and the stale `.bak` is garbage the next swap clears.
+    * Runs under the warehouse write lock, so there is no concurrent
+    * reader mid-swap to race the renames.
     */
   private def writeSwap(df: DataFrame, path: String): Unit = {
     val staging = path + ".delta"
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
     val live = Paths.get(path)
-    graft.catalog.PartitionedTable.deleteDir(live)
+    val bak = Paths.get(path + ".bak")
+    graft.catalog.PartitionedTable.deleteDir(bak) // stale from a past crash
+    if (Files.exists(live))
+      Files.move(live, bak, StandardCopyOption.ATOMIC_MOVE)
     Files.move(Paths.get(staging), live, StandardCopyOption.ATOMIC_MOVE)
+    graft.catalog.PartitionedTable.deleteDir(bak)
   }
 }

@@ -222,6 +222,27 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("adaptive jaccard pair sinks: reliable checkpoint and table write equal localCheckpoint") {
+    val docs = Tables.t(spark, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("content"))
+    val viaLocal = Dedup.ngramJaccardAdaptive(docs, 0.5)
+    val ckptDir = java.nio.file.Files.createTempDirectory("graft-ckpt").toString
+    val hadCkpt = spark.sparkContext.getCheckpointDir
+    spark.sparkContext.setCheckpointDir(ckptDir)
+    try {
+      val viaReliable = Dedup.ngramJaccardAdaptive(docs, 0.5,
+        pairSink = Dedup.PairSink.Reliable)
+      val tbl = java.nio.file.Files.createTempDirectory("graft-pairs").toString + "/pairs"
+      val viaTable = Dedup.ngramJaccardAdaptive(docs, 0.5,
+        pairSink = Dedup.PairSink.Table(tbl))
+      for ((name, got) <- Seq("reliable" -> viaReliable, "table" -> viaTable))
+        assert(got.exceptAll(viaLocal).count() == 0 &&
+          viaLocal.exceptAll(got).count() == 0, s"sink $name diverged")
+      // the table sink leaves a queryable artifact behind
+      assert(spark.read.parquet(tbl).count() == viaLocal.count())
+    } finally hadCkpt.foreach(spark.sparkContext.setCheckpointDir)
+  }
+
   test("multiscript near-dups find the planted CJK pair the ASCII canon provably misses") {
     import spark.implicits._
     val corpus = Seq(

@@ -503,6 +503,39 @@ class StreamingSpec extends SparkSpec {
     assert(cEst >= 300L) // every row contributes one 'filler' token
   }
 
+  test("sketch writeSwap survives a crash between its two renames") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import graft.streaming.SketchMaintenance
+    val dir = Files.createTempDirectory("graft-sketch-crash").toString
+    val hllPath = s"$dir/hll.regs"
+    val b1 = (0 until 100).map(i => s"doc$i").toDF("id")
+    val b2 = (100 until 150).map(i => s"doc$i").toDF("id")
+    SketchMaintenance.foldHll(hllPath, b1, Seq(), "id")
+    val committed = spark.read.parquet(hllPath)
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    // simulate the torn swap: live renamed to .bak, staging move never
+    // happened (the exact window the old delete-then-move scheme lost)
+    java.nio.file.Files.move(
+      java.nio.file.Paths.get(hllPath),
+      java.nio.file.Paths.get(hllPath + ".bak"),
+      java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(hllPath)))
+    // load() restores the backup — nothing lost
+    val recovered = SketchMaintenance.load(spark, hllPath).get
+      .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
+    assert(recovered == committed)
+    // and the interrupted fold re-runs cleanly on the recovered state
+    SketchMaintenance.foldHll(hllPath, b2, Seq(), "id")
+    val est = SketchMaintenance.hllEstimate(spark, hllPath, Seq()).get
+      .select("est").head().getDouble(0)
+    val direct = graft.operators.Hll.estimate(
+      graft.operators.Hll.registers(b1.unionAll(b2), Seq(), "id"), Seq())
+      .select("est").head().getDouble(0)
+    assert(est == direct)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(hllPath + ".bak")))
+  }
+
   test("compaction with profile sidecars folds HLL/CMS continuously") {
     import spark.implicits._
     import graft.ingest.DeterministicHashEmbedder
