@@ -118,6 +118,10 @@ object PlanDump {
     "q_rag_attribution" -> "attribution: (answer, gram)-keyed match join, argmax bounded by shortlist",
     "q_events_seasonal" -> "seasonal MASE: two lag windows over one series-keyed exchange + one agg",
     "q_search_ltr" -> "LTR features: serve top-k + one-pass stats agg + shortlist-only assembly",
+    "q_pref_build" -> "DPO pair construction: prompt-keyed window (best) + prompt-keyed self-join bounded by K responses/prompt, content-identical pairs dropped via sha",
+    "q_pipeline_pref" -> "producer->audit composition: buildPairs (all ordered, prompt-keyed K^2) into the length-bias combiner-collapsed agg; identical_ppm 0 by construction",
+    "q_chat_tools" -> "tool-role audit: JSON roundtrip + conversation-keyed agg, role-grammar HOF (tool only after assistant) — per-key state bounded by context length",
+    "q_search_maxsim" -> "late-interaction maxsim: chunk-vector scan x broadcast query tokens, TWO combiner-collapsed keyed aggs (max per token-doc, sum per doc), bounded top-k window; serving path joins candidates on doc_id (bucket-pruned chunk fetch)",
     "q_snapshot_diff" -> "snapshot diff: full-outer join on 16-byte digests, keyed status rollup",
     "q_compaction_plan" -> "compaction plan: file-inventory agg -> bucketed prefix sum (window partitioned by coarse bucket)",
     "q_zorder_layout" -> "z-order: per-row codegen'd bit fold + ONE keyed aggregate",

@@ -1058,6 +1058,59 @@ object ScaleProbe {
       graft.operators.Chat.contextBudgetTrim(turns, budget = 40L, "tokens")
         .agg(count(lit(1)), sum(col("tokens"))).collect()(0).getLong(0)
     }
+    // DPO pair construction: M x the prompts at CONSTANT K=4 responses —
+    // one prompt-keyed window + one prompt-keyed self-join, per-key work
+    // bounded by K^2 forever
+    time("pref_build") {
+      val responses = docs
+        .select(col("id").as("prompt_id"),
+          explode(sequence(lit(1), lit(4))).as("k"), col("content"))
+        .select(col("prompt_id"), col("k").as("resp_id"),
+          substring(col("content"), col("k") * 7, lit(40)).as("resp"),
+          pmod(xxhash64(col("prompt_id"), col("k")), lit(10)).as("sc"))
+      graft.operators.Preference.buildPairs(
+          responses, "prompt_id", "resp_id", "resp", "sc", bestVsRest = false)
+        .count()
+    }
+    // late-interaction maxsim: the chunk-vector table grows M-fold. The
+    // full-scan route (exact truth) must be linear in chunk rows; the
+    // candidate-pruned route aggregates only the FIXED shortlist's chunk
+    // rows — its residual growth is the unbucketed probe table's join
+    // scan (production stores chunks id-bucketed, making the fetch a
+    // bucket-pruned point lookup)
+    lazy val maxsimChunks = {
+      val chunks = graft.retriever.Retriever.chunk(
+        docs.select(col("id").as("doc_id"), col("content")), maxTokens = 20)
+      chunks.select(col("doc_id"),
+          expr("""transform(sequence(0, 7),
+                 |  d -> cast(pmod(xxhash64(concat(content, d)), 100) as double))"""
+            .stripMargin).as("vec"))
+        .repartition(cpus).localCheckpoint()
+    }
+    lazy val maxsimToks = {
+      val spark = docs.sparkSession
+      import spark.implicits._
+      Seq((0, 0, "data"), (0, 1, "analysis"), (0, 2, "system"),
+          (1, 0, "market"), (1, 1, "music"), (1, 2, "research"))
+        .toDF("query_idx", "tok_idx", "tok")
+        .select(col("query_idx"), col("tok_idx"),
+          expr("""transform(sequence(0, 7),
+                 |  d -> cast(pmod(xxhash64(concat(tok, d)), 100) as double))"""
+            .stripMargin).as("vec"))
+    }
+    if (only.forall(o => o.contains("search_maxsim") || o.contains("search_maxsim_pruned")))
+      maxsimChunks.count() // untimed prep (chunking is ingest cost)
+    time("search_maxsim") {
+      graft.search.MaxSim.topK(maxsimChunks, maxsimToks, k = 10).count()
+    }
+    time("search_maxsim_pruned") {
+      val cand = maxsimChunks.select("doc_id").distinct()
+        .filter(pmod(xxhash64(col("doc_id")), lit(64L * m)) === 0)
+        .crossJoin(maxsimToks.select("query_idx").distinct())
+        .select("query_idx", "doc_id")
+      graft.search.MaxSim.topK(maxsimChunks, maxsimToks, k = 10,
+        candidates = Some(cand)).count()
+    }
     // FLAC decode: encode+decode are per-row narrow work (no shuffle
     // anywhere) — the curve must be a clean linear scan like filter_c4
     time("flac_decode") {

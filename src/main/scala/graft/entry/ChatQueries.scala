@@ -120,6 +120,53 @@ object ChatQueries {
       |                  FROM kept GROUP BY doc_id) k ON k.doc_id = d.doc_id
       |ORDER BY conv_id""".stripMargin
 
+  // ---- tool-role transcripts: planted orphan/misplaced tool turns ----
+  // Roles per doc: system, then user, assistant, tool, assistant, user,
+  // assistant — a valid tool-call exchange. Planted defects: docs with
+  // doc_id % 11 = 0 have the first assistant replaced by 'tool' (a tool
+  // result directly after user — grammar break), docs with doc_id % 7
+  // = 0 append a trailing 'tool' turn (conversation ends on a tool
+  // result). The oracle predicts every audit flag from the planting
+  // arithmetic alone — any drift in the role grammar shows as a hash
+  // mismatch.
+  private def toolConvJson(s: SparkSession, dir: String): DataFrame = {
+    val d = Tables.t(s, dir, "documents").select(col("doc_id"))
+    val baseRoles = Seq("user", "assistant", "tool", "assistant", "user", "assistant")
+    val content = d
+      .select(col("doc_id"), explode(sequence(lit(1), lit(7))).as("i"))
+      .filter(col("i") <= 6 || col("doc_id") % 7 === 0)
+      .withColumn("role",
+        when(col("i") === 7, lit("tool"))
+          .when(col("i") === 2 && col("doc_id") % 11 === 0, lit("tool"))
+          .otherwise(element_at(typedLit(baseRoles), col("i").cast("int"))))
+      .withColumn("content", concat(lit("turn "), col("i")))
+      .select(col("doc_id"), col("i"), col("role"), col("content"))
+    val sys = d.select(col("doc_id"), lit(0).as("i"),
+      lit("system").as("role"), lit("tool guidelines apply").as("content"))
+    content.unionByName(sys)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("i"), col("role"), col("content"))))
+        .as("ts"))
+      .select(col("doc_id"),
+        to_json(expr("transform(ts, t -> struct(t.role AS role, t.content AS content))"))
+          .as("msgs"))
+  }
+
+  def chatTools(s: SparkSession, dir: String): DataFrame =
+    Chat.alternationReport(
+        Chat.parseConversations(toolConvJson(s, dir), "doc_id", "msgs"))
+      .orderBy("conv_id")
+
+  val chatToolsSql: String =
+    """SELECT doc_id AS conv_id,
+      |       CAST(7 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS INTEGER) AS n_turns,
+      |       TRUE AS has_system,
+      |       TRUE AS starts_user,
+      |       doc_id % 11 <> 0 AS alternates,
+      |       doc_id % 7 <> 0 AS ends_assistant,
+      |       doc_id % 11 <> 0 AND doc_id % 7 <> 0 AS valid
+      |FROM documents ORDER BY conv_id""".stripMargin
+
   // ---- preference-pair (DPO/RLHF) audits over synthesized pairs ----
   // chosen = tokens 9..9+lenc-1 (lenc = 6 + 3*doc_id mod 9), rejected =
   // tokens 24..24+lenr-1 (lenr = 5 + 7*doc_id mod 7) — a known positive
@@ -181,15 +228,98 @@ object ChatQueries {
       |FROM p GROUP BY 1 HAVING count(*) >= 2
       |ORDER BY resp_sha""".stripMargin
 
+  // ---- preference-pair CONSTRUCTION (the audits' producer side) ----
+  // K=4 ranked responses per prompt: response k = a token slice whose
+  // length varies with (doc_id, k), score = (doc_id + 7k) mod 10 (ties
+  // happen and must never pair); docs with doc_id % 41 = 0 share ONE
+  // canonical text between k=1,2 — whichever scores lower can never be
+  // paired against the other (content-identical pair, dropped).
+  private def prefResponses(s: SparkSession, dir: String): DataFrame =
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), TextFunctions.tokens(col("text")).as("toks"))
+      .select(col("doc_id"), col("toks"),
+        explode(sequence(lit(1), lit(4))).as("k"))
+      .withColumn("lenk", lit(4) + pmod(col("doc_id") * col("k"), lit(6)))
+      .select(col("doc_id").as("prompt_id"), col("k").as("resp_id"),
+        when(col("doc_id") % 41 === 0 && col("k") <= 2,
+          lit("the canonical duplicated response"))
+          .otherwise(expr("concat_ws(' ', slice(toks, 5 * k, lenk))")).as("resp"),
+        pmod(col("doc_id") + lit(7) * col("k"), lit(10)).cast("long").as("sc"))
+
+  private val prefRespCte: String =
+    """d AS (SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks
+      |      FROM documents),
+      |r AS (SELECT doc_id AS prompt_id, CAST(g.k AS INTEGER) AS resp_id,
+      |             CASE WHEN doc_id % 41 = 0 AND g.k <= 2
+      |                  THEN 'the canonical duplicated response'
+      |                  ELSE coalesce(array_to_string(
+      |                         toks[5 * g.k : 5 * g.k - 1 + 4 + (doc_id * g.k) % 6], ' '), '')
+      |             END AS resp,
+      |             CAST((doc_id + 7 * g.k) % 10 AS BIGINT) AS sc
+      |      FROM d CROSS JOIN generate_series(1, 4) g(k))""".stripMargin
+
+  def prefBuild(s: SparkSession, dir: String): DataFrame =
+    graft.operators.Preference.buildPairs(
+        prefResponses(s, dir), "prompt_id", "resp_id", "resp", "sc")
+      .select("prompt_id", "chosen_id", "rejected_id", "margin")
+      .orderBy("prompt_id", "rejected_id")
+
+  val prefBuildSql: String =
+    s"""WITH $prefRespCte,
+      |best AS (SELECT * FROM (
+      |           SELECT r.*, row_number() OVER (PARTITION BY prompt_id
+      |                         ORDER BY sc DESC, resp_id ASC) AS rn FROM r)
+      |         WHERE rn = 1)
+      |SELECT b.prompt_id, b.resp_id AS chosen_id, r.resp_id AS rejected_id,
+      |       CAST(b.sc - r.sc AS BIGINT) AS margin
+      |FROM best b JOIN r ON r.prompt_id = b.prompt_id
+      |WHERE b.sc > r.sc AND sha256(b.resp) <> sha256(r.resp)
+      |ORDER BY b.prompt_id, rejected_id""".stripMargin
+
+  // ---- producer -> audit composition: build all-ordered pairs, then
+  // run the length-bias audit on what was built (identical_ppm must be 0
+  // by construction — buildPairs drops content-identical pairs) ----
+  def pipelinePref(s: SparkSession, dir: String): DataFrame = {
+    val pairs = graft.operators.Preference.buildPairs(
+        prefResponses(s, dir), "prompt_id", "resp_id", "resp", "sc",
+        bestVsRest = false)
+      .withColumn("source", concat(lit("s"), col("prompt_id") % 5))
+    graft.operators.Preference.lengthBiasReport(
+      pairs, "source", "chosen", "rejected").orderBy("source")
+  }
+
+  val pipelinePrefSql: String =
+    s"""WITH $prefRespCte,
+      |p AS (SELECT a.prompt_id, a.resp AS chosen, b.resp AS rejected
+      |      FROM r a JOIN r b ON a.prompt_id = b.prompt_id
+      |      WHERE a.sc > b.sc AND sha256(a.resp) <> sha256(b.resp)),
+      |l AS (SELECT 's' || (prompt_id % 5) AS source, chosen, rejected,
+      |             len(regexp_extract_all(chosen, '[a-z0-9_]{2,}')) AS lc,
+      |             len(regexp_extract_all(rejected, '[a-z0-9_]{2,}')) AS lr
+      |      FROM p)
+      |SELECT source, CAST(count(*) AS BIGINT) AS n_pairs,
+      |       CAST(sum(CASE WHEN lc > lr THEN 1 ELSE 0 END) AS BIGINT)
+      |         * 1000000 // count(*) AS chosen_longer_ppm,
+      |       CAST(sum(lc - lr) AS BIGINT) AS len_delta_sum,
+      |       CAST(sum(CASE WHEN chosen = rejected THEN 1 ELSE 0 END) AS BIGINT)
+      |         * 1000000 // count(*) AS identical_ppm
+      |FROM l GROUP BY source ORDER BY source""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_chat_validate" -> (chatValidate _),
     "q_chat_budget" -> (chatBudget _),
+    "q_chat_tools" -> (chatTools _),
     "q_pref_bias" -> (prefBias _),
-    "q_pref_dups" -> (prefDups _))
+    "q_pref_dups" -> (prefDups _),
+    "q_pref_build" -> (prefBuild _),
+    "q_pipeline_pref" -> (pipelinePref _))
 
   def oracles: Map[String, String] = Map(
     "q_chat_validate" -> chatValidateSql,
     "q_chat_budget" -> chatBudgetSql,
+    "q_chat_tools" -> chatToolsSql,
     "q_pref_bias" -> prefBiasSql,
-    "q_pref_dups" -> prefDupsSql)
+    "q_pref_dups" -> prefDupsSql,
+    "q_pref_build" -> prefBuildSql,
+    "q_pipeline_pref" -> pipelinePrefSql)
 }

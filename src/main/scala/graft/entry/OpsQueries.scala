@@ -1637,7 +1637,74 @@ object OpsQueries {
       |       CAST(sum(id) AS BIGINT) AS id_checksum
       |FROM g GROUP BY status ORDER BY status""".stripMargin
 
+  // ---- late-interaction maxsim retrieval (search.MaxSim) ----
+  // Chunk-level vector table = the q_chunk_embed_pool layout WITHOUT the
+  // pooling (20-token chunks, deterministic dim-8 embeddings in integer
+  // cent units); two 3-token queries score sum-over-tokens of
+  // max-over-chunks dot product — all integer arithmetic, so the two
+  // keyed aggregates + bounded top-k replay hash-identically in DuckDB.
+  def searchMaxsim(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val embedder = new graft.ingest.DeterministicHashEmbedder(8)
+    def cents = expr(
+      "transform(embedding, v -> cast(round(cast(v as double) * 100, 0) as double))")
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("content"))
+    val chunks = graft.retriever.Retriever.chunk(docs, maxTokens = 20)
+      .select(col("doc_id"), col("content"),
+        lit(null).cast("array<float>").as("embedding"))
+    val chunkVecs = graft.ingest.Embed.withEmbeddings(chunks, embedder)
+      .select(col("doc_id"), cents.as("vec"))
+    val qtoks = Seq((0, 0, "data"), (0, 1, "analysis"), (0, 2, "system"),
+        (1, 0, "market"), (1, 1, "music"), (1, 2, "research"))
+      .toDF("query_idx", "tok_idx", "content")
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    val queryToks = graft.ingest.Embed.withEmbeddings(qtoks, embedder)
+      .select(col("query_idx"), col("tok_idx"), cents.as("vec"))
+    graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10)
+      .withColumn("score", col("score").cast("long"))
+      .orderBy("query_idx", "doc_id")
+  }
+
+  val searchMaxsimSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      |           FROM documents),
+      |n AS (SELECT doc_id, words,
+      |             greatest(CAST(ceil(len(words) / 20.0) AS INTEGER), 1) AS n_chunks
+      |      FROM w),
+      |c AS (SELECT doc_id,
+      |             array_to_string(words[i*20+1 : i*20+20], ' ') AS chunk
+      |      FROM n, (SELECT unnest(range(100)) AS i) ix
+      |      WHERE ix.i < n.n_chunks),
+      |ck AS (SELECT doc_id, chunk FROM c WHERE length(chunk) > 0),
+      |i AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS dim),
+      |cv AS (SELECT doc_id, chunk, dim,
+      |         ('0x' || substr(sha256(chunk || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 AS cent
+      |       FROM ck CROSS JOIN i),
+      |qt AS (SELECT * FROM (VALUES (0, 0, 'data'), (0, 1, 'analysis'),
+      |                             (0, 2, 'system'), (1, 0, 'market'),
+      |                             (1, 1, 'music'), (1, 2, 'research'))
+      |                  v(query_idx, tok_idx, tok)),
+      |qv AS (SELECT query_idx, tok_idx, dim,
+      |         ('0x' || substr(sha256(tok || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 AS cent
+      |       FROM qt CROSS JOIN i),
+      |dp AS (SELECT qv.query_idx, qv.tok_idx, cv.doc_id, cv.chunk,
+      |              sum(qv.cent * cv.cent) AS dotp
+      |       FROM cv JOIN qv USING (dim)
+      |       GROUP BY 1, 2, 3, 4),
+      |best AS (SELECT query_idx, tok_idx, doc_id, max(dotp) AS best
+      |         FROM dp GROUP BY 1, 2, 3),
+      |sc AS (SELECT query_idx, doc_id, CAST(sum(best) AS BIGINT) AS score
+      |       FROM best GROUP BY 1, 2),
+      |rk AS (SELECT query_idx, doc_id, score,
+      |              row_number() OVER (PARTITION BY query_idx
+      |                                 ORDER BY score DESC, doc_id ASC) AS rn
+      |       FROM sc)
+      |SELECT query_idx, doc_id, score FROM rk WHERE rn <= 10
+      |ORDER BY query_idx, doc_id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_search_maxsim" -> (searchMaxsim _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_compaction_plan" -> (compactionPlan _),
     "q_zorder_layout" -> (zorderLayout _),
@@ -1675,6 +1742,7 @@ object OpsQueries {
     "q_events_seasonal" -> (eventsSeasonal _))
 
   def oracles: Map[String, String] = Map(
+    "q_search_maxsim" -> searchMaxsimSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_compaction_plan" -> compactionPlanSql,
     "q_zorder_layout" -> zorderLayoutSql,

@@ -44,6 +44,15 @@ object Chat {
     * ends_assistant, valid). `alternates` is vacuously true for empty
     * content; `valid` additionally demands a user start and an assistant
     * end, so an empty or system-only conversation audits invalid.
+    *
+    * Role grammar (after the optional leading system turn): `user` may
+    * open the conversation or follow an assistant turn; `assistant`
+    * follows a user or a TOOL turn; `tool` (a function/tool result) is
+    * valid ONLY directly after the assistant turn that called it — never
+    * first, never after user, never after another tool. On corpora
+    * without tool turns this reduces exactly to strict user/assistant
+    * alternation (the pre-tool semantics). Any unknown role fails the
+    * audit.
     */
   def alternationReport(turns: DataFrame): DataFrame = {
     val byConv = turns
@@ -63,8 +72,12 @@ object Chat {
         expr("size(cr) > 0 AND cr[0] = 'user'").as("starts_user"),
         // sequence(1, 0) DESCENDS in Spark — branch the empty case
         expr("""size(cr) = 0 OR forall(sequence(1, size(cr)),
-               |  i -> cr[i - 1] IN ('user', 'assistant') AND
-               |       (i = 1 OR cr[i - 1] <> cr[i - 2]))""".stripMargin)
+               |  i -> cr[i - 1] IN ('user', 'assistant', 'tool') AND
+               |       (CASE WHEN i = 1 THEN cr[0] <> 'tool'
+               |             WHEN cr[i - 1] = 'user' THEN cr[i - 2] = 'assistant'
+               |             WHEN cr[i - 1] = 'assistant'
+               |               THEN cr[i - 2] IN ('user', 'tool')
+               |             ELSE cr[i - 2] = 'assistant' END))""".stripMargin)
           .as("alternates"),
         expr("size(cr) > 0 AND element_at(cr, -1) = 'assistant'")
           .as("ends_assistant"))
@@ -78,6 +91,15 @@ object Chat {
     * stays within `budget`; the start then advances to the first kept
     * USER turn (a conversation whose kept suffix holds no user turn
     * keeps only its system turn).
+    *
+    * Tool turns: a kept `tool` result must have its calling assistant
+    * turn kept too — a trim that cut the assistant call but kept the
+    * tool result would train on an orphan answer-to-nothing. Each tool
+    * turn's anchor is the nearest PRECEDING assistant turn; tool rows
+    * whose anchor falls before the kept region (or that have no anchor)
+    * drop even when the budget would admit them. Their tokens still
+    * charge the suffix sum — the budget models the pre-cleanup cut, and
+    * under-filling by an orphan's tokens is the conservative side.
     */
   def contextBudgetTrim(
       turns: DataFrame, budget: Long, tokensCol: String): DataFrame = {
@@ -90,8 +112,15 @@ object Chat {
     val wDesc = org.apache.spark.sql.expressions.Window
       .partitionBy("conv_id").orderBy(col("turn_idx").desc)
       .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val wPrev = org.apache.spark.sql.expressions.Window
+      .partitionBy("conv_id").orderBy(col("turn_idx").asc)
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, -1)
     val wConv = org.apache.spark.sql.expressions.Window.partitionBy("conv_id")
     val suffix = content
+      // anchor BEFORE the suffix cut: the calling assistant is a property
+      // of the full conversation, not of what survives the budget
+      .withColumn("__anchor",
+        max(when(col("role") === "assistant", col("turn_idx"))).over(wPrev))
       .join(sysTok, Seq("conv_id"), "left")
       .na.fill(0L, Seq("__sys_tok"))
       .withColumn("__rev_sum", sum(col(tokensCol)).over(wDesc))
@@ -100,6 +129,10 @@ object Chat {
       .withColumn("__first_user",
         min(when(col("role") === "user", col("turn_idx"))).over(wConv))
       .filter(col("turn_idx") >= col("__first_user"))
+      // the kept region is the contiguous [first_user, end] slice, so a
+      // tool anchor is kept iff it is >= first_user
+      .filter(col("role") =!= "tool" ||
+        (col("__anchor").isNotNull && col("__anchor") >= col("__first_user")))
       .select(cols: _*)
     sys.select(cols: _*).unionByName(kept)
   }

@@ -78,4 +78,76 @@ class ChatSpec extends SparkSpec {
       .collect().map(r => r.getInt(1)).sorted.toSeq
     assert(kept4 == Seq(0, 1))
   }
+
+  test("alternationReport: tool turns valid only directly after assistant") {
+    val turns = Seq(
+      // valid tool-call exchange: u a t a
+      (1L, 0, "user"), (1L, 1, "assistant"), (1L, 2, "tool"), (1L, 3, "assistant"),
+      // tool directly after user -> invalid
+      (2L, 0, "user"), (2L, 1, "tool"), (2L, 2, "assistant"),
+      // tool after tool -> invalid
+      (3L, 0, "user"), (3L, 1, "assistant"), (3L, 2, "tool"), (3L, 3, "tool"),
+      (3L, 4, "assistant"),
+      // tool-first -> invalid even before starts_user
+      (4L, 0, "tool"), (4L, 1, "assistant"),
+      // trailing tool -> ends_assistant false
+      (5L, 0, "user"), (5L, 1, "assistant"), (5L, 2, "tool"),
+      // two sequential tool-call rounds: u a t a t a
+      (6L, 0, "user"), (6L, 1, "assistant"), (6L, 2, "tool"),
+      (6L, 3, "assistant"), (6L, 4, "tool"), (6L, 5, "assistant"))
+      .toDF("conv_id", "turn_idx", "role")
+    val r = Chat.alternationReport(turns).collect()
+      .map(x => x.getLong(0) -> (x.getBoolean(3), x.getBoolean(4),
+        x.getBoolean(5), x.getBoolean(6))).toMap
+    // (starts_user, alternates, ends_assistant, valid)
+    assert(r(1L) == ((true, true, true, true)))
+    assert(r(2L) == ((true, false, true, false)))
+    assert(r(3L) == ((true, false, true, false)))
+    assert(r(4L) == ((false, false, true, false)))
+    assert(r(5L) == ((true, true, false, false)))
+    assert(r(6L) == ((true, true, true, true)))
+  }
+
+  test("contextBudgetTrim: never keeps a tool result whose assistant call was cut") {
+    // a well-formed tool exchange: the tool result rides with its kept
+    // anchor when the budget admits the full conversation, and drops with
+    // the region when the suffix cut lands past it
+    val turns = Seq(
+      (1L, 0, "system", 2L),
+      (1L, 1, "user", 10L), (1L, 2, "assistant", 4L),
+      (1L, 3, "tool", 3L), (1L, 4, "assistant", 4L),
+      (1L, 5, "user", 5L), (1L, 6, "assistant", 5L))
+      .toDF("conv_id", "turn_idx", "role", "tokens")
+    val keptAll = Chat.contextBudgetTrim(turns, 100L, "tokens")
+      .collect().map(r => r.getInt(1)).sorted.toSeq
+    assert(keptAll == Seq(0, 1, 2, 3, 4, 5, 6))
+    // budget 30: reverse sums 5,10,14,17,21 (+2 system) — turn 1 busts;
+    // first kept user = 5 -> region {5,6}; the tool drops with the region
+    val kept = Chat.contextBudgetTrim(turns, 30L, "tokens")
+      .collect().map(r => r.getInt(1)).sorted.toSeq
+    assert(kept == Seq(0, 5, 6))
+    // the orphan case (reachable on malformed role orders the trim must
+    // survive — it runs before/independently of the audit): the kept
+    // region {2,3,4} holds a tool at 3 whose anchor assistant is 1 — CUT
+    // — so the tool drops while its neighbors keep
+    val t4 = Seq(
+      (4L, 0, "user", 5L), (4L, 1, "assistant", 30L),
+      (4L, 2, "user", 3L), (4L, 3, "tool", 2L), (4L, 4, "assistant", 3L))
+      .toDF("conv_id", "turn_idx", "role", "tokens")
+    val k4 = Chat.contextBudgetTrim(t4, 10L, "tokens")
+      .collect().map(r => r.getInt(1)).sorted.toSeq
+    assert(k4 == Seq(2, 4))
+    // in a GRAMMAR-VALID conversation the user-alignment cut already
+    // implies the anchor is kept (tool directly follows its assistant,
+    // and first_user is a user turn), so the guard never fires: same
+    // region arithmetic with the valid order keeps the whole exchange
+    val t5 = Seq(
+      (5L, 0, "user", 30L), (5L, 1, "assistant", 5L),
+      (5L, 2, "user", 3L), (5L, 3, "assistant", 2L), (5L, 4, "tool", 2L),
+      (5L, 5, "assistant", 3L))
+      .toDF("conv_id", "turn_idx", "role", "tokens")
+    val k5 = Chat.contextBudgetTrim(t5, 15L, "tokens")
+      .collect().map(r => r.getInt(1)).sorted.toSeq
+    assert(k5 == Seq(2, 3, 4, 5))
+  }
 }

@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.search.MaxSim
+
+/** Late-interaction maxsim retrieval: hand-computed scoring contract,
+  * repeated-token semantics, and the ANN-shortlist serving path's
+  * equivalence to the full scan restricted to the shortlist.
+  */
+class MaxSimSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def vecs(rows: Seq[(Long, Seq[Double])]): DataFrame =
+    rows.toDF("doc_id", "vec")
+
+  private def toks(rows: Seq[(Int, Int, Seq[Double])]): DataFrame =
+    rows.toDF("query_idx", "tok_idx", "vec")
+
+  test("score = sum over query tokens of the best chunk dot product") {
+    val chunks = vecs(Seq(
+      1L -> Seq(1.0, 0.0), 1L -> Seq(0.0, 1.0), // doc 1: two chunks
+      2L -> Seq(2.0, 2.0))) // doc 2: one chunk
+    val q = toks(Seq((0, 0, Seq(1.0, 0.0)), (0, 1, Seq(0.0, 3.0))))
+    val got = MaxSim.topK(chunks, q, k = 10).collect()
+      .map(r => (r.getLong(1), r.getDouble(2))).sortBy(_._1).toSeq
+    // doc1: max(1,0) + max(0,3) = 4 ; doc2: 2 + 6 = 8
+    assert(got == Seq(1L -> 4.0, 2L -> 8.0))
+  }
+
+  test("a repeated query token scores twice — tok_idx keeps both rows") {
+    val chunks = vecs(Seq(1L -> Seq(1.0, 1.0)))
+    val q = toks(Seq((0, 0, Seq(1.0, 0.0)), (0, 1, Seq(1.0, 0.0))))
+    val got = MaxSim.topK(chunks, q, k = 1).head()
+    assert(got.getDouble(2) == 2.0)
+  }
+
+  test("candidate-pruned serving equals the full scan restricted to the shortlist") {
+    val chunks = vecs((1L to 40L).flatMap { d =>
+      (0 until 3).map(c => d -> Seq((d % 7).toDouble, c.toDouble, (d % 5).toDouble))
+    })
+    val q = toks(Seq(
+      (0, 0, Seq(1.0, 2.0, 0.0)), (0, 1, Seq(0.0, 1.0, 3.0)),
+      (1, 0, Seq(2.0, 0.0, 1.0))))
+    // shortlist: query 0 -> docs 1..20, query 1 -> even docs
+    val cand = ((1L to 20L).map(0 -> _) ++ (1L to 40L).filter(_ % 2 == 0).map(1 -> _))
+      .toDF("query_idx", "doc_id")
+    val full = MaxSim.topK(chunks, q, k = 1000)
+      .join(cand, Seq("query_idx", "doc_id"), "left_semi")
+      .select("query_idx", "doc_id", "score")
+    val pruned = MaxSim.topK(chunks, q, k = 1000, candidates = Some(cand))
+    assert(pruned.exceptAll(full).count() == 0 &&
+      full.exceptAll(pruned).count() == 0)
+    // and the pruned top-k never scores a non-candidate
+    val top = MaxSim.topK(chunks, q, k = 5, candidates = Some(cand)).collect()
+    assert(top.forall(r => r.getInt(0) != 1 || r.getLong(1) % 2 == 0))
+  }
+}

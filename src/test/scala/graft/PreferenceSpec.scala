@@ -36,4 +36,31 @@ class PreferenceSpec extends SparkSpec {
     val none = Preference.duplicateResponses(pairs, "pair_id", "chosen", minPairs = 4L)
     assert(none.count() == 0)
   }
+
+  test("buildPairs: best-vs-rest, deterministic tie-break, no tie pairs, content-dedup") {
+    val responses = Seq(
+      // prompt 1: scores 9 (id 2), 9 (id 3 — tie, loses on id), 5, 5
+      (1L, 2, "nine a", 9L), (1L, 3, "nine b", 9L),
+      (1L, 1, "five a", 5L), (1L, 4, "five b", 5L),
+      // prompt 2: the best and one loser share IDENTICAL text
+      (2L, 1, "same words", 7L), (2L, 2, "same words", 3L),
+      (2L, 3, "other words", 1L))
+      .toDF("prompt_id", "resp_id", "resp", "sc")
+    val got = Preference.buildPairs(responses, "prompt_id", "resp_id", "resp", "sc")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getLong(5)))
+      .sortBy(x => (x._1, x._3)).toSeq
+    // prompt 1: chosen = id 2 (tie-break), pairs vs 1 and 4 only (the 9-9
+    // tie never pairs); prompt 2: the identical-text pair (1,2) drops,
+    // only (1,3) survives
+    assert(got == Seq((1L, 2, 1, 4L), (1L, 2, 4, 4L), (2L, 1, 3, 6L)))
+    val all = Preference.buildPairs(responses, "prompt_id", "resp_id", "resp", "sc",
+        bestVsRest = false)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getInt(2)))
+      .sortBy(x => (x._1, x._2, x._3)).toSeq
+    // all ordered pairs with positive margin minus the content-identical
+    // (2: 1>2) pair; 9-9 and 5-5 ties never pair
+    assert(all == Seq(
+      (1L, 2, 1), (1L, 2, 4), (1L, 3, 1), (1L, 3, 4),
+      (2L, 1, 3), (2L, 2, 3)))
+  }
 }

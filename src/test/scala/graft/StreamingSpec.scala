@@ -210,6 +210,18 @@ class StreamingSpec extends SparkSpec {
     val merged3 = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
       chatGate = Some(StreamingIngest.ChatGate()))
     assert(merged3 == 1, s"identical valid twins must land once, got $merged3")
+    // tool-role grammar flows through the gate: a tool result directly
+    // after its assistant call lands; one directly after user drops
+    stage(Seq(
+      """[{"role":"user","content":"call the weather tool"},{"role":"assistant","content":"calling"},{"role":"tool","content":"72F sunny"},{"role":"assistant","content":"it is sunny"}]""",
+      """[{"role":"user","content":"broken tool placement"},{"role":"tool","content":"orphan result"},{"role":"assistant","content":"answer"}]"""))
+    val merged4 = StreamingIngest.compact(spark, api.catalog, entry, staging, embedder,
+      chatGate = Some(StreamingIngest.ChatGate()))
+    assert(merged4 == 1, s"only the well-placed tool transcript lands, got $merged4")
+    val texts4 = api.catalog.readDocuments(entry).collect()
+      .map(_.getAs[String]("content")).toSet
+    assert(texts4.exists(_.contains("it is sunny")))
+    assert(!texts4.exists(_.contains("orphan result")))
     // the structural gates are mutually exclusive: C4's line rewrite
     // would mangle the JSON the chat gate just validated
     val ex = intercept[IllegalArgumentException] {
