@@ -294,13 +294,9 @@ object Ann {
     if (queries.isEmpty)
       return assigned.withColumn("score", lit(0.0))
         .withColumn("query_idx", lit(0)).select("query_idx", "id", "score").limit(0)
-    val underLimit = queries.size.toLong * nprobe * k <= broadcastRowLimit
-    val mark: DataFrame => DataFrame =
-      if (underLimit) broadcast else _.hint("shuffle_hash")
-    val qdf = mark(
-      queries.toDF("query_idx", "qv")
-        .withColumn("qv", col("qv").cast("array<double>"))
-        .withColumn("qn", VectorFunctions.l2Norm(col("qv"))))
+    val mark = GraphSearch.mkMark(
+      queries.size.toLong * nprobe * k <= broadcastRowLimit)
+    val qdf = GraphSearch.queryFrame(spark, queries, mark)
     // 1. probe selection: same distance, same (d, id-as-string) order as
     // the driver loop in ivfTopK
     val byQd = Window.partitionBy("query_idx")

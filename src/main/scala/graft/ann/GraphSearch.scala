@@ -60,8 +60,11 @@ object GraphSearch {
 
   /** Mark a query-derived frame for its join against a corpus-sized
     * table: broadcast under the limit, shuffle-hash build side above it.
+    * Shared by every serving route (Ann.ivfTopKBatch, MaxSim) so the
+    * gate semantics — and the AnnServeSpec parity contract — stay one
+    * definition.
     */
-  private def mkMark(underLimit: Boolean): DataFrame => DataFrame =
+  private[graft] def mkMark(underLimit: Boolean): DataFrame => DataFrame =
     if (underLimit) broadcast else _.hint("shuffle_hash")
 
   /** Beam search over `graph` (qid, neighbor) for each query vector.
@@ -251,7 +254,7 @@ object GraphSearch {
       .select("query_idx", "id", "score")
   }
 
-  private def queryFrame(
+  private[ann] def queryFrame(
       spark: SparkSession, queries: Seq[(Int, Seq[Float])],
       mark: DataFrame => DataFrame): DataFrame = {
     import spark.implicits._

@@ -1643,28 +1643,35 @@ object OpsQueries {
   // cent units); two 3-token queries score sum-over-tokens of
   // max-over-chunks dot product — all integer arithmetic, so the two
   // keyed aggregates + bounded top-k replay hash-identically in DuckDB.
-  def searchMaxsim(s: SparkSession, dir: String): DataFrame = {
-    import s.implicits._
+  private def maxsimCents = expr(
+    "transform(embedding, v -> cast(round(cast(v as double) * 100, 0) as double))")
+
+  private def maxsimChunkVecs(s: SparkSession, dir: String): DataFrame = {
     val embedder = new graft.ingest.DeterministicHashEmbedder(8)
-    def cents = expr(
-      "transform(embedding, v -> cast(round(cast(v as double) * 100, 0) as double))")
     val docs = Tables.t(s, dir, "documents")
       .select(col("doc_id"), col("text").as("content"))
     val chunks = graft.retriever.Retriever.chunk(docs, maxTokens = 20)
       .select(col("doc_id"), col("content"),
         lit(null).cast("array<float>").as("embedding"))
-    val chunkVecs = graft.ingest.Embed.withEmbeddings(chunks, embedder)
-      .select(col("doc_id"), cents.as("vec"))
+    graft.ingest.Embed.withEmbeddings(chunks, embedder)
+      .select(col("doc_id"), maxsimCents.as("vec"))
+  }
+
+  private def maxsimQueryToks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val embedder = new graft.ingest.DeterministicHashEmbedder(8)
     val qtoks = Seq((0, 0, "data"), (0, 1, "analysis"), (0, 2, "system"),
         (1, 0, "market"), (1, 1, "music"), (1, 2, "research"))
       .toDF("query_idx", "tok_idx", "content")
       .withColumn("embedding", lit(null).cast("array<float>"))
-    val queryToks = graft.ingest.Embed.withEmbeddings(qtoks, embedder)
-      .select(col("query_idx"), col("tok_idx"), cents.as("vec"))
-    graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10)
+    graft.ingest.Embed.withEmbeddings(qtoks, embedder)
+      .select(col("query_idx"), col("tok_idx"), maxsimCents.as("vec"))
+  }
+
+  def searchMaxsim(s: SparkSession, dir: String): DataFrame =
+    graft.search.MaxSim.topK(maxsimChunkVecs(s, dir), maxsimQueryToks(s, dir), k = 10)
       .withColumn("score", col("score").cast("long"))
       .orderBy("query_idx", "doc_id")
-  }
 
   val searchMaxsimSql: String =
     """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
@@ -1703,8 +1710,109 @@ object OpsQueries {
       |SELECT query_idx, doc_id, score FROM rk WHERE rn <= 10
       |ORDER BY query_idx, doc_id""".stripMargin
 
+  // ---- pruned maxsim serving, graded against its own exact truth ----
+  // Candidate generation is the CHUNK route (the ColBERT/XTR serving
+  // shape): for each query token, the top-T=25 documents by best chunk
+  // dot product; a document is a candidate if ANY token shortlists it.
+  // In production that per-token shortlist comes from the chunk-level
+  // ANN index (sign-LSH/IVF over chunk vectors) — here the rule itself
+  // is graded exactly: n_hits = |pruned top-10 ∩ exact top-10| per
+  // query, everything replayed 1:1 in DuckDB (q_ann_recall convention).
+  def searchMaxsimPruned(s: SparkSession, dir: String): DataFrame = {
+    val chunkVecs = maxsimChunkVecs(s, dir).localCheckpoint()
+    val queryToks = maxsimQueryToks(s, dir).localCheckpoint()
+    // ONE chunk x token scan feeds both the candidate rule and the exact
+    // truth: per-(query, token, doc) best chunk dot, materialized once.
+    // truth = sum-over-tokens top-10 of this frame — exactly
+    // MaxSim.topK's internal decomposition (pinned by MaxSimSpec and the
+    // q_search_maxsim oracle), so no second corpus scan is paid here.
+    val best = chunkVecs.crossJoin(broadcast(queryToks
+        .select(col("query_idx"), col("tok_idx"), col("vec").as("qv"))))
+      .withColumn("dp", graft.functions.VectorFunctions.dot(col("vec"), col("qv")))
+      .groupBy("query_idx", "tok_idx", "doc_id")
+      .agg(max(col("dp")).as("best"))
+      .localCheckpoint()
+    val byTok = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_idx", "tok_idx")
+      .orderBy(col("best").desc, col("doc_id").asc)
+    val cand = best
+      .withColumn("rn", row_number().over(byTok))
+      .filter(col("rn") <= 25)
+      .select("query_idx", "doc_id").distinct()
+      .localCheckpoint()
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("query_idx")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    val truth = best.groupBy("query_idx", "doc_id")
+      .agg(sum(col("best")).as("score"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= 10)
+      .select("query_idx", "doc_id")
+    // the pruned leg exercises the OPERATOR's shortlist path end to end
+    val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
+      candidates = Some(cand))
+    val nCand = cand.groupBy("query_idx").agg(count(lit(1)).as("n_candidates"))
+    val hits = pruned.select("query_idx", "doc_id")
+      .join(truth, Seq("query_idx", "doc_id"), "left_semi")
+      .groupBy("query_idx").agg(count(lit(1)).as("n_hits"))
+    nCand.join(hits, Seq("query_idx"), "left")
+      .na.fill(0L, Seq("n_hits"))
+      .orderBy("query_idx")
+  }
+
+  val searchMaxsimPrunedSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      |           FROM documents),
+      |n AS (SELECT doc_id, words,
+      |             greatest(CAST(ceil(len(words) / 20.0) AS INTEGER), 1) AS n_chunks
+      |      FROM w),
+      |c AS (SELECT doc_id,
+      |             array_to_string(words[i*20+1 : i*20+20], ' ') AS chunk
+      |      FROM n, (SELECT unnest(range(100)) AS i) ix
+      |      WHERE ix.i < n.n_chunks),
+      |ck AS (SELECT doc_id, chunk FROM c WHERE length(chunk) > 0),
+      |i AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS dim),
+      |cv AS (SELECT doc_id, chunk, dim,
+      |         ('0x' || substr(sha256(chunk || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 AS cent
+      |       FROM ck CROSS JOIN i),
+      |qt AS (SELECT * FROM (VALUES (0, 0, 'data'), (0, 1, 'analysis'),
+      |                             (0, 2, 'system'), (1, 0, 'market'),
+      |                             (1, 1, 'music'), (1, 2, 'research'))
+      |                  v(query_idx, tok_idx, tok)),
+      |qv AS (SELECT query_idx, tok_idx, dim,
+      |         ('0x' || substr(sha256(tok || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 AS cent
+      |       FROM qt CROSS JOIN i),
+      |dp AS (SELECT qv.query_idx, qv.tok_idx, cv.doc_id, cv.chunk,
+      |              sum(qv.cent * cv.cent) AS dotp
+      |       FROM cv JOIN qv USING (dim)
+      |       GROUP BY 1, 2, 3, 4),
+      |best AS (SELECT query_idx, tok_idx, doc_id, max(dotp) AS best
+      |         FROM dp GROUP BY 1, 2, 3),
+      |cand AS (SELECT DISTINCT query_idx, doc_id FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY query_idx, tok_idx
+      |                       ORDER BY best DESC, doc_id ASC) AS rn FROM best)
+      |         WHERE rn <= 25),
+      |sc AS (SELECT query_idx, doc_id, sum(best) AS score
+      |       FROM best GROUP BY 1, 2),
+      |truth AS (SELECT query_idx, doc_id FROM (
+      |            SELECT *, row_number() OVER (PARTITION BY query_idx
+      |                        ORDER BY score DESC, doc_id ASC) AS rn FROM sc)
+      |          WHERE rn <= 10),
+      |pruned AS (SELECT query_idx, doc_id FROM (
+      |             SELECT sc.*, row_number() OVER (PARTITION BY sc.query_idx
+      |                           ORDER BY sc.score DESC, sc.doc_id ASC) AS rn
+      |             FROM sc JOIN cand USING (query_idx, doc_id))
+      |           WHERE rn <= 10)
+      |SELECT c2.query_idx, CAST(c2.n_candidates AS BIGINT) AS n_candidates,
+      |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+      |FROM (SELECT query_idx, count(*) AS n_candidates FROM cand GROUP BY 1) c2
+      |LEFT JOIN (SELECT p.query_idx, count(*) AS n_hits
+      |           FROM pruned p JOIN truth t USING (query_idx, doc_id)
+      |           GROUP BY 1) h ON h.query_idx = c2.query_idx
+      |ORDER BY c2.query_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_maxsim" -> (searchMaxsim _),
+    "q_search_maxsim_pruned" -> (searchMaxsimPruned _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_compaction_plan" -> (compactionPlan _),
     "q_zorder_layout" -> (zorderLayout _),
@@ -1743,6 +1851,7 @@ object OpsQueries {
 
   def oracles: Map[String, String] = Map(
     "q_search_maxsim" -> searchMaxsimSql,
+    "q_search_maxsim_pruned" -> searchMaxsimPrunedSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_compaction_plan" -> compactionPlanSql,
     "q_zorder_layout" -> zorderLayoutSql,

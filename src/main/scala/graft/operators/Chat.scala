@@ -130,8 +130,10 @@ object Chat {
         min(when(col("role") === "user", col("turn_idx"))).over(wConv))
       .filter(col("turn_idx") >= col("__first_user"))
       // the kept region is the contiguous [first_user, end] slice, so a
-      // tool anchor is kept iff it is >= first_user
-      .filter(col("role") =!= "tool" ||
+      // tool anchor is kept iff it is >= first_user; null-safe equality so
+      // a null-role turn (role key absent in the JSON) is NOT treated as
+      // a tool row — the orphan rule applies to actual tool results only
+      .filter(!(col("role") <=> "tool") ||
         (col("__anchor").isNotNull && col("__anchor") >= col("__first_user")))
       .select(cols: _*)
     sys.select(cols: _*).unionByName(kept)

@@ -44,25 +44,39 @@ object MaxSim {
     * @param candidates  optional (query_idx, doc_id) shortlist — the
     *                    ANN-pruned serving path; when absent, every
     *                    query scores every document (exact truth)
+    * @param broadcastRowLimit the [[graft.ann.GraphSearch]] size gate
+    *                    applied to the query-token frame: when its
+    *                    statically-known row bound (local/limited plans
+    *                    report one via `maxRows`) fits, it broadcasts;
+    *                    when it overflows — or is unknowable, the safe
+    *                    assumption for a corpus-derived token frame —
+    *                    the join takes the shuffle-hash path instead.
+    *                    Results are identical either way (MaxSimSpec).
     * @return (query_idx, doc_id, score) — score desc, doc_id asc
     */
   def topK(
       chunkVecs: DataFrame,
       queryTokens: DataFrame,
       k: Int,
-      candidates: Option[DataFrame] = None): DataFrame = {
+      candidates: Option[DataFrame] = None,
+      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
     val chunks = chunkVecs.select(col("doc_id"), col("vec").as("cv"))
     val toks = queryTokens.select(
       col("query_idx"), col("tok_idx").as("__tok"), col("vec").as("qv"))
+    val underLimit = queryTokens.queryExecution.optimizedPlan.maxRows
+      .exists(_ <= broadcastRowLimit)
     val paired = candidates match {
       case Some(cand) =>
         // shortlist path: chunk fetch keyed on doc_id (bucket-pruned on
         // an id-partitioned chunk table), tokens keyed on query_idx
         cand.select("query_idx", "doc_id")
           .join(chunks, "doc_id")
-          .join(broadcast(toks), "query_idx")
+          .join(graft.ann.GraphSearch.mkMark(underLimit)(toks), "query_idx")
       case None =>
-        chunks.crossJoin(broadcast(toks))
+        // the exact-truth scan is inherently chunks x tokens; a keyed
+        // hint has no meaning on a cross join, so past the gate the
+        // planner's partitioned cartesian takes over unforced
+        chunks.crossJoin(if (underLimit) broadcast(toks) else toks)
     }
     val perTok = paired
       .withColumn("dp", VectorFunctions.dot(col("cv"), col("qv")))

@@ -33,6 +33,16 @@ import graft.operators.{Cms, Hll}
   */
 object SketchMaintenance {
 
+  /** JVM-wide monitor serializing the swap renames against [[load]]'s
+    * recovery rename: a reader (hllEstimate from a monitoring thread)
+    * must never observe writeSwap's mid-swap live-missing window and
+    * "recover" the backup while the staging move is about to land.
+    * Cross-JVM exclusion is the warehouse write lock's job (compaction
+    * holds it around the folds); this monitor covers lock-free readers
+    * in the same JVM.
+    */
+  private val swapLock = new Object
+
   /** The stored register/cell table, or None before the first fold.
     * Recovers from a [[writeSwap]] torn between its two renames: if the
     * live dir is missing but the `.bak` (the previous committed sketch)
@@ -40,11 +50,13 @@ object SketchMaintenance {
     * crashed simply re-runs against the pre-crash state.
     */
   def load(spark: SparkSession, path: String): Option[DataFrame] = {
-    val live = Paths.get(path)
-    val bak = Paths.get(path + ".bak")
-    if (!Files.exists(live) && Files.exists(bak))
-      Files.move(bak, live, StandardCopyOption.ATOMIC_MOVE)
-    if (Files.exists(live)) Some(spark.read.parquet(path)) else None
+    swapLock.synchronized {
+      val live = Paths.get(path)
+      val bak = Paths.get(path + ".bak")
+      if (!Files.exists(live) && Files.exists(bak))
+        Files.move(bak, live, StandardCopyOption.ATOMIC_MOVE)
+    }
+    if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path)) else None
   }
 
   /** Fold one micro-batch into the persisted HLL register table at
@@ -104,18 +116,21 @@ object SketchMaintenance {
     * before the bak-rename: live intact; between the renames: `.bak`
     * intact ([[load]] restores it); after the staging move: the new live
     * is committed and the stale `.bak` is garbage the next swap clears.
-    * Runs under the warehouse write lock, so there is no concurrent
-    * reader mid-swap to race the renames.
+    * The renames run under [[swapLock]] so a same-JVM reader can never
+    * observe (and "recover") the mid-swap window; cross-process writers
+    * are excluded by the warehouse write lock around the folds.
     */
   private def writeSwap(df: DataFrame, path: String): Unit = {
     val staging = path + ".delta"
     df.coalesce(1).write.mode(SaveMode.Overwrite).parquet(staging)
-    val live = Paths.get(path)
-    val bak = Paths.get(path + ".bak")
-    graft.catalog.PartitionedTable.deleteDir(bak) // stale from a past crash
-    if (Files.exists(live))
-      Files.move(live, bak, StandardCopyOption.ATOMIC_MOVE)
-    Files.move(Paths.get(staging), live, StandardCopyOption.ATOMIC_MOVE)
-    graft.catalog.PartitionedTable.deleteDir(bak)
+    swapLock.synchronized {
+      val live = Paths.get(path)
+      val bak = Paths.get(path + ".bak")
+      graft.catalog.PartitionedTable.deleteDir(bak) // stale from a past crash
+      if (Files.exists(live))
+        Files.move(live, bak, StandardCopyOption.ATOMIC_MOVE)
+      Files.move(Paths.get(staging), live, StandardCopyOption.ATOMIC_MOVE)
+      graft.catalog.PartitionedTable.deleteDir(bak)
+    }
   }
 }

@@ -240,7 +240,7 @@ class DedupSpec extends SparkSpec {
           viaLocal.exceptAll(got).count() == 0, s"sink $name diverged")
       // the table sink leaves a queryable artifact behind
       assert(spark.read.parquet(tbl).count() == viaLocal.count())
-    } finally hadCkpt.foreach(spark.sparkContext.setCheckpointDir)
+    } finally spark.sparkContext.setCheckpointDir(hadCkpt.orNull) // restores None too
   }
 
   test("multiscript near-dups find the planted CJK pair the ASCII canon provably misses") {

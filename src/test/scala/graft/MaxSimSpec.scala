@@ -55,4 +55,21 @@ class MaxSimSpec extends SparkSpec {
     val top = MaxSim.topK(chunks, q, k = 5, candidates = Some(cand)).collect()
     assert(top.forall(r => r.getInt(0) != 1 || r.getLong(1) % 2 == 0))
   }
+
+  test("token-frame size gate: shuffle path equals broadcast path") {
+    val chunks = vecs((1L to 30L).flatMap { d =>
+      (0 until 2).map(c => d -> Seq((d % 5).toDouble, c.toDouble))
+    })
+    val q = toks(Seq((0, 0, Seq(1.0, 2.0)), (1, 0, Seq(2.0, 1.0))))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getLong(1), r.getDouble(2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+    val full = rows(MaxSim.topK(chunks, q, k = 8))
+    assert(full.nonEmpty && full == rows(
+      MaxSim.topK(chunks, q, k = 8, broadcastRowLimit = 0L)))
+    val cand = Seq((0, 3L), (0, 7L), (1, 4L), (1, 9L)).toDF("query_idx", "doc_id")
+    val p = rows(MaxSim.topK(chunks, q, k = 8, candidates = Some(cand)))
+    assert(p.nonEmpty && p == rows(MaxSim.topK(chunks, q, k = 8,
+      candidates = Some(cand), broadcastRowLimit = 0L)))
+  }
 }
