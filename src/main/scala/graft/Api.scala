@@ -181,7 +181,7 @@ final class Api(
         oldRows = replaced, newRows = embedded)
       // bucket-level MERGE: only the batch's id buckets are rewritten
       Ingest.mergeUpsert(spark, catalog, entry, embedded, Some(buckets))
-      Indexes.applyPending(spark, catalog, entry, pending, embedded)
+      Indexes.applyPending(spark, catalog, entry, pending, embedded, embedder)
       // bloom sidecar maintenance is O(batch) like the other indexes
       ingest.BloomGate.noteInserted(catalog, entry, embedded)
       added
@@ -243,7 +243,7 @@ final class Api(
     // bucket-level delete: touched buckets computed driver-side from ids
     Ingest.mergeDelete(spark, catalog, entry, ids)
     Indexes.applyPending(spark, catalog, entry, pending,
-      catalog.readDocuments(entry).limit(0))
+      catalog.readDocuments(entry).limit(0), embedder)
   }
 
   def getDocumentsByIds(name: String, ids: Seq[String]): DataFrame = {
@@ -266,6 +266,46 @@ final class Api(
     val res = Semantic.search(docs(name), qs, k, distanceThreshold,
       payload = Seq("content", "metadata"))
     serialize(res)
+  }
+
+  /** Build (or rebuild) the persistent chunk-vector index — the
+    * late-interaction serving state ([[graft.search.ChunkIndex]]):
+    * per-chunk normalized embeddings, id-bucket-partitioned like the
+    * documents table, maintained incrementally by every subsequent
+    * write. Returns the chunk-row count.
+    */
+  def buildChunkIndex(name: String,
+      maxTokens: Int = graft.search.ChunkIndex.DefaultMaxTokens): Long =
+    writeLock.synchronized {
+      val entry = catalog.getCollection(physical(validCollection(name)))
+      graft.search.ChunkIndex.build(spark, catalog, entry, embedder, maxTokens)
+        .count()
+    }
+
+  /** Late-interaction (maxsim) search from the persisted chunk index:
+    * the query's tokens each embed once, every token matches its best
+    * chunk per document, and a document's score is the SUM of those best
+    * cosines — multi-topic documents score on all topics where the
+    * single-vector routes average them away. Serving uses the per-token
+    * top-T shortlist rule graded in `q_search_maxsim_pruned`.
+    */
+  def maxsimSearch(
+      name: String, question: String, nResults: Int = 10,
+      perTokenT: Int = 25): SearchResponse = {
+    val k = validLimit(nResults)
+    val entry = catalog.getCollection(physical(validCollection(name)))
+    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(
+        graft.search.ChunkIndex.indexPath(catalog, entry))))
+      throw new GraftException(ErrorCodes.AnnIndexNotFound)
+    val q = Sanitize.sanitizeString(validQuestions(Seq(question)).head)
+    val res = graft.search.ChunkIndex.search(spark, catalog, entry, embedder,
+      Seq(0 -> q), k, perTokenT)
+    val payload = res.alias("f")
+      .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
+      .select(col("f.id"), col("d.content"), col("d.metadata"),
+        col("f.score"))
+      .orderBy(col("f.score").desc, col("f.id").asc)
+    serialize(payload)
   }
 
   /** Diversity-aware semantic search: exact top-(k·oversample) shortlist,

@@ -55,7 +55,8 @@ object Indexes {
       pqClusters: Option[Seq[Long]],
       lsh: Option[(LshMeta, Seq[(Int, String)])],
       minhash: Option[(graft.dedup.MinHashMeta, Seq[Int])] = None,
-      graph: Option[GraphIndex.GraphMeta] = None)
+      graph: Option[GraphIndex.GraphMeta] = None,
+      chunk: Option[(graft.search.ChunkIndex.ChunkMeta, Seq[Int])] = None)
 
   private def exists(p: String) = Files.exists(Paths.get(p))
 
@@ -94,8 +95,12 @@ object Indexes {
       if (exists(GraphIndex.indexPath(catalog, entry)))
         GraphIndex.loadMeta(spark, catalog, entry)
       else None
+    val chunkMeta =
+      if (exists(graft.search.ChunkIndex.indexPath(catalog, entry)))
+        graft.search.ChunkIndex.loadMeta(spark, catalog, entry)
+      else None
     if (!hasLex && !hasIvf && !hasPq && lshMeta.isEmpty && mhMeta.isEmpty &&
-      graphMeta.isEmpty) return None
+      graphMeta.isEmpty && chunkMeta.isEmpty) return None
 
     // localCheckpoint severs lineage from the table path: the snapshots
     // stay valid (and Δ-sized) after the rewrite swaps the table dirs.
@@ -138,19 +143,31 @@ object Indexes {
         .select("pbucket").distinct().collect().map(_.getInt(0)).toSeq
       (m, parts)
     }
-    Some(Pending(ids, lexBuckets, ivfClusters, pqClusters, lsh, minhash, graphMeta))
+    // chunk rows share the documents table's id-bucket layout, so the
+    // affected partition set is exactly the changed ids' buckets — no
+    // chunking or embedding happens at stage time
+    val chunk = chunkMeta.map { m =>
+      (m, ids.select(graft.ingest.Ingest.idBucket(col("id")).as("bucket"))
+        .distinct().collect().map(_.getInt(0)).toSeq)
+    }
+    Some(Pending(ids, lexBuckets, ivfClusters, pqClusters, lsh, minhash,
+      graphMeta, chunk))
   }
 
   /** Phase 2 (call AFTER the documents-table rewrite): rewrite each
     * index's affected partitions. `newRows` is the same incoming batch
-    * passed to [[stage]] (still cached by the caller).
+    * passed to [[stage]] (still cached by the caller). `embedder` is the
+    * collection's embedder — the chunk-vector index embeds the fresh
+    * batch's chunks here (the late-interaction write-time cost; every
+    * other index derives its rows without a model call).
     */
   def applyPending(
       spark: SparkSession,
       catalog: Catalog,
       entry: CollectionEntry,
       pending: Option[Pending],
-      newRows: DataFrame): Unit = pending.foreach { p =>
+      newRows: DataFrame,
+      embedder: graft.ingest.Embedder): Unit = pending.foreach { p =>
     val fresh = newRows.select(DeltaCols.map(col): _*)
     p.lexBuckets.foreach { buckets =>
       val idx = LexIndex.load(spark, catalog, entry)
@@ -205,6 +222,18 @@ object Indexes {
         replacePartitions(idx, graft.dedup.MinHashIndex.indexPath(catalog, entry),
           Seq("pbucket"), sortCol = Some("key"),
           affectedDirs = parts.map(b => s"pbucket=$b"))
+      }
+    }
+    p.chunk.foreach { case (m, buckets) =>
+      if (buckets.nonEmpty) {
+        val idx = graft.search.ChunkIndex.load(spark, catalog, entry)
+          .filter(col("bucket").isin(buckets: _*))
+          .join(broadcast(p.ids), Seq("id"), "left_anti")
+          .unionByName(graft.search.ChunkIndex.indexRows(
+            fresh.select("id", "content"), embedder, m.maxTokens))
+        replacePartitions(idx, graft.search.ChunkIndex.indexPath(catalog, entry),
+          Seq("bucket"), sortCol = Some("id"),
+          affectedDirs = buckets.map(b => s"bucket=$b"))
       }
     }
     p.graph.foreach { gm =>
@@ -262,9 +291,15 @@ object Indexes {
       spark: SparkSession,
       catalog: Catalog,
       entry: CollectionEntry,
-      dim: Int): Unit = {
+      dim: Int,
+      embedder: Option[graft.ingest.Embedder] = None): Unit = {
     if (exists(LexIndex.indexPath(catalog, entry)))
       LexIndex.build(spark, catalog, entry)
+    if (exists(graft.search.ChunkIndex.indexPath(catalog, entry)))
+      for {
+        e <- embedder
+        m <- graft.search.ChunkIndex.loadMeta(spark, catalog, entry)
+      } graft.search.ChunkIndex.build(spark, catalog, entry, e, m.maxTokens)
     if (exists(IvfIndex.centroidsPath(catalog, entry)) &&
         exists(IvfIndex.indexPath(catalog, entry)))
       IvfIndex.reassign(spark, catalog, entry)

@@ -105,7 +105,8 @@ class McpSurface(
     * first-class:
     *   - semanticMode: exact (brute top-k) | approx (IVF partition-pruned,
     *     numCandidates = max(10k,100)) | lsh (sign-LSH probe-pruned) |
-    *     pq (IVF-PQ: probe-pruned ADC over codes, exact re-rank)
+    *     pq (IVF-PQ: probe-pruned ADC over codes, exact re-rank) |
+    *     maxsim (late-interaction over the persisted chunk index)
     *   - lexicalMode: scan (TF over content) | indexed (TF from postings) |
     *     bm25 (BM25 scan) | bm25_indexed (BM25 from postings) |
     *     phrase (adjacency + order + snippet; lexical_search action only —
@@ -129,7 +130,8 @@ class McpSurface(
       Set("semantic_search", "lexical_search", "search"),
       ErrorCodes.SearchActionInvalid) match {
       case "semantic_search" =>
-        resolveAction(semanticMode, Set("exact", "approx", "lsh", "pq", "diverse"),
+        resolveAction(semanticMode,
+          Set("exact", "approx", "lsh", "pq", "diverse", "maxsim"),
           ErrorCodes.SearchActionInvalid) match {
           case "exact" =>
             api.semanticSearch(collectionName, Seq(question), numberResults)
@@ -141,6 +143,8 @@ class McpSurface(
             api.semanticSearchPq(collectionName, Seq(question), numberResults)
           case "diverse" => // MMR re-ranked serving (Api.semanticSearchDiverse)
             api.semanticSearchDiverse(collectionName, question, numberResults)
+          case "maxsim" => // late-interaction serving (Api.maxsimSearch)
+            api.maxsimSearch(collectionName, question, numberResults)
         }
       case "lexical_search" =>
         resolveAction(lexicalMode,

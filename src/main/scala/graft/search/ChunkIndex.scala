@@ -1,0 +1,174 @@
+package graft.search
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.catalog.Catalog
+import graft.functions.{TextFunctions, VectorFunctions}
+import graft.ingest.{Embed, Embedder, Ingest}
+import graft.model.CollectionEntry
+
+/** Persistent chunk-vector index — the late-interaction ([[MaxSim]])
+  * serving state, maintained on the write path like every other derived
+  * index ([[graft.Indexes]] scaladoc; reference parity: the backends
+  * index within upsert, postgres.py:189-196).
+  *
+  * One row per (document, chunk): the document's token-window chunks
+  * (the [[graft.retriever.Retriever.chunk]] rule, `maxTokens` from the
+  * persisted meta) embedded through the collection's embedder and
+  * L2-NORMALIZED at index time, so serving's dot products ARE cosine
+  * and no norm column travels through the scoring joins. Rows live
+  * PARTITIONED BY the same id-hash bucket as the documents table
+  * (`Ingest.idBucket`), which makes the shortlist rescore a
+  * bucket-pruned point fetch and lets the write path rewrite exactly
+  * the batch's buckets — O(Δ × bucket) maintenance at any corpus size.
+  *
+  * Write-time cost is the late-interaction trade stated plainly: every
+  * upserted document embeds ALL its chunks (ColBERT-family indexes
+  * embed every token); the embed call is per-partition batched like the
+  * document-level pass and paid once per write, never at query time.
+  *
+  * Serving ([[search]]): query tokens embed driver-side (one batch
+  * call), the per-token top-T candidate rule (the `q_search_maxsim_pruned`
+  * grading surface) shortlists documents, and the final score is the
+  * exact maxsim over the shortlist — identical rows to
+  * [[MaxSim.topK]](candidates) by construction (ChunkIndexSpec pins it).
+  */
+object ChunkIndex {
+
+  val DefaultMaxTokens = 64
+
+  def indexPath(catalog: Catalog, entry: CollectionEntry): String =
+    catalog.tablePath(entry) + ".chunkvecs"
+
+  def metaPath(catalog: Catalog, entry: CollectionEntry): String =
+    catalog.tablePath(entry) + ".chunkvecs.meta"
+
+  final case class ChunkMeta(maxTokens: Int)
+
+  def loadMeta(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): Option[ChunkMeta] =
+    if (!Files.exists(Paths.get(metaPath(catalog, entry)))) None
+    else spark.read.parquet(metaPath(catalog, entry)).collect().headOption
+      .map(r => ChunkMeta(r.getAs[Int]("max_tokens")))
+
+  /** Index rows for a document batch (id, content):
+    * (id, chunk_idx, vec normalized ARRAY<FLOAT>, bucket).
+    */
+  def indexRows(rows: DataFrame, embedder: Embedder, maxTokens: Int): DataFrame = {
+    val chunked = rows
+      .withColumn("__words", split(col("content"), "\\s+"))
+      .withColumn("__chunks",
+        transform(sequence(lit(0),
+          greatest(ceil(size(col("__words")).cast("double") / maxTokens).cast("int"),
+            lit(1)) - 1),
+          i => concat_ws(" ", slice(col("__words"), i * maxTokens + 1, lit(maxTokens)))))
+      .select(col("id"), posexplode(col("__chunks")).as(Seq("chunk_idx", "content")))
+      .filter(length(col("content")) > 0)
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    Embed.withEmbeddings(chunked, embedder)
+      .withColumn("__n", VectorFunctions.l2Norm(col("embedding")))
+      .select(col("id"), col("chunk_idx"),
+        // zero vectors stay zero instead of dividing to NaN
+        when(col("__n") > 0,
+          expr("transform(embedding, v -> cast(v / __n as float))"))
+          .otherwise(col("embedding")).as("vec"),
+        Ingest.idBucket(col("id")).as("bucket"))
+  }
+
+  /** Build (or rebuild) from the collection's documents table; persists
+    * the meta sidecar so incremental maintenance and rebuilds keep the
+    * same chunking.
+    */
+  def build(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      embedder: Embedder,
+      maxTokens: Int = DefaultMaxTokens): DataFrame = {
+    val docs = catalog.readDocuments(entry).select(col("id"), col("content"))
+    indexRows(docs, embedder, maxTokens)
+      .repartition(col("bucket"))
+      .sortWithinPartitions("id", "chunk_idx")
+      .write.partitionBy("bucket")
+      .mode(SaveMode.Overwrite)
+      .parquet(indexPath(catalog, entry))
+    import spark.implicits._
+    Seq(maxTokens).toDF("max_tokens").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(metaPath(catalog, entry))
+    load(spark, catalog, entry)
+  }
+
+  private val IndexSchema: org.apache.spark.sql.types.StructType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(
+      StructField("id", StringType),
+      StructField("chunk_idx", IntegerType),
+      StructField("vec", ArrayType(FloatType)),
+      StructField("bucket", IntegerType)))
+  }
+
+  def load(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): DataFrame =
+    spark.read.schema(IndexSchema).parquet(indexPath(catalog, entry))
+
+  /** Maxsim serving from the persisted index.
+    *
+    * @param queries    (query_idx, query text); each query's tokens come
+    *                   from the canonical tokenizer, capped at
+    *                   `maxQueryTokens` (first occurrences win)
+    * @param k          documents per query
+    * @param perTokenT  shortlist width per query token (the
+    *                   `q_search_maxsim_pruned`-graded candidate rule)
+    * @return (query_idx, id, score) — maxsim over normalized vectors
+    *         (sum of per-token best cosines), score desc, id asc
+    */
+  def search(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      embedder: Embedder,
+      queries: Seq[(Int, String)],
+      k: Int,
+      perTokenT: Int = 25,
+      maxQueryTokens: Int = 16): DataFrame = {
+    import spark.implicits._
+    val toks: Seq[(Int, Int, Array[Float])] = queries.flatMap { case (qIdx, text) =>
+      val ts = TextFunctions.TokenPattern.r.findAllIn(text.toLowerCase)
+        .toSeq.take(maxQueryTokens)
+      if (ts.isEmpty) Seq.empty
+      else embedder.embedBatch(ts).zipWithIndex.map { case (v, i) =>
+        val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+        (qIdx, i, if (n > 0) v.map(x => (x / n).toFloat) else v)
+      }
+    }
+    val chunkVecs = load(spark, catalog, entry)
+      .select(col("id").as("doc_id"), col("vec"))
+    if (toks.isEmpty)
+      return chunkVecs.select(lit(0).as("query_idx"), col("doc_id").as("id"),
+        lit(0.0).as("score")).limit(0)
+    val qdf = toks.toDF("query_idx", "tok_idx", "vec")
+    // ONE chunk scan feeds the candidate rule and the shortlist rescore
+    val best = chunkVecs
+      .crossJoin(broadcast(qdf.select(col("query_idx"), col("tok_idx"),
+        col("vec").as("qv"))))
+      .withColumn("dp", VectorFunctions.dot(col("vec"), col("qv")))
+      .groupBy("query_idx", "tok_idx", "doc_id")
+      .agg(max(col("dp")).as("best"))
+      .localCheckpoint()
+    val byTok = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_idx", "tok_idx")
+      .orderBy(col("best").desc, col("doc_id").asc)
+    val cand = best
+      .withColumn("rn", row_number().over(byTok))
+      .filter(col("rn") <= perTokenT)
+      .select("query_idx", "doc_id").distinct()
+    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("query_idx")
+      .orderBy(col("score").desc, col("doc_id").asc)
+    best.join(cand, Seq("query_idx", "doc_id"), "left_semi")
+      .groupBy("query_idx", "doc_id")
+      .agg(sum(col("best")).as("score"))
+      .withColumn("rn", row_number().over(byQ))
+      .filter(col("rn") <= k)
+      .select(col("query_idx"), col("doc_id").as("id"), col("score"))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.ingest.DeterministicHashEmbedder
+import graft.model.GraftException
+import graft.search.{ChunkIndex, MaxSim}
+
+/** Persistent chunk-vector (late-interaction) index: write-path
+  * incremental maintenance row-identical to a full rebuild, delete
+  * hygiene, and maxsim serving from persisted state equal to the
+  * operator over freshly-derived chunk vectors.
+  */
+class ChunkIndexSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val MaxTok = 6
+
+  private def newApi(): Api = {
+    val wh = Files.createTempDirectory("graft-wh-chunk").toString
+    new Api(spark, wh, new DeterministicHashEmbedder(16))
+  }
+
+  private def docsDf(is: Seq[Int]): DataFrame =
+    is.map(i => s"document number $i talks about topic t${i % 5} " +
+        s"and later about other topic u${i % 3} with trailing words w$i")
+      .toDF("content")
+
+  private def rows(df: DataFrame): Seq[(String, Int, Seq[Float])] =
+    df.select("id", "chunk_idx", "vec").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getSeq[Float](2)))
+      .sortBy(x => (x._1, x._2)).toSeq
+
+  test("write-path upsert and delete keep the chunk index rebuild-identical") {
+    val api = newApi()
+    api.createCollection("c1", documents = Some(docsDf(0 until 20)))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "c1"))
+    val emb = new DeterministicHashEmbedder(16)
+    ChunkIndex.build(spark, api.catalog, entry, emb, MaxTok)
+    // build == indexRows over the table (the definitional identity)
+    def rebuilt() = rows(ChunkIndex.indexRows(
+      api.catalog.readDocuments(entry).select("id", "content"), emb, MaxTok))
+    assert(rows(ChunkIndex.load(spark, api.catalog, entry)) == rebuilt())
+    // upsert: only the batch's buckets rewrite, result == rebuild
+    assert(api.addDocuments("c1", docsDf(20 until 26)) == 6)
+    val afterUpsert = rows(ChunkIndex.load(spark, api.catalog, entry))
+    assert(afterUpsert == rebuilt())
+    assert(afterUpsert.map(_._1).distinct.size == 26)
+    // multi-chunk docs really exist (maxTokens 6 splits every doc)
+    assert(afterUpsert.groupBy(_._1).values.exists(_.size > 1))
+    // delete: the doc's chunk rows disappear, still rebuild-identical
+    val victim = afterUpsert.head._1
+    api.deleteDocuments("c1", Seq(victim))
+    val afterDelete = rows(ChunkIndex.load(spark, api.catalog, entry))
+    assert(afterDelete == rebuilt())
+    assert(!afterDelete.exists(_._1 == victim))
+  }
+
+  test("maxsim serving from persisted state equals the operator at full candidate width") {
+    val api = newApi()
+    api.createCollection("c2", documents = Some(docsDf(0 until 30)))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "c2"))
+    val emb = new DeterministicHashEmbedder(16)
+    ChunkIndex.build(spark, api.catalog, entry, emb, MaxTok)
+    // T wide enough to shortlist everything -> search == exact maxsim
+    val served = ChunkIndex.search(spark, api.catalog, entry, emb,
+        Seq(0 -> "topic words document"), k = 8, perTokenT = 1000)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    val toks = Seq("topic", "words", "document")
+    val qdf = emb.embedBatch(toks).zipWithIndex.map { case (v, i) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      (0, i, v.map(x => (x / n).toFloat).toSeq)
+    }.toDF("query_idx", "tok_idx", "vec")
+    val chunkVecs = ChunkIndex.load(spark, api.catalog, entry)
+      .select(col("id").as("doc_id"), col("vec"))
+    val exact = MaxSim.topK(chunkVecs, qdf, k = 8)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(served.nonEmpty && served.sortBy(_._2) == exact.sortBy(_._2))
+    // scores descend and respect k
+    assert(served.size <= 8)
+    assert(served.map(_._3).sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true })
+  }
+
+  test("Api.maxsimSearch: governed without an index, serves with one") {
+    val api = newApi()
+    api.createCollection("c3", documents = Some(docsDf(0 until 12)))
+    val ex = intercept[GraftException] {
+      api.maxsimSearch("c3", "topic words", nResults = 5)
+    }
+    assert(ex.code == graft.model.ErrorCodes.AnnIndexNotFound)
+    assert(api.buildChunkIndex("c3", MaxTok) > 12) // multi-chunk corpus
+    val res = api.maxsimSearch("c3", "topic words", nResults = 5)
+    assert(res.results.size == 5)
+    assert(res.results.forall(_.content.nonEmpty))
+    assert(res.results.map(_.score).sliding(2).forall {
+      case Seq(a, b) => a >= b; case _ => true })
+  }
+}

@@ -278,6 +278,14 @@ class SurfaceSpec extends SparkSpec {
       semanticMode = "lsh")) == ids(semExact))
     assert(ids(mcp.vectorSearch("semantic_search", "mv", "alpha beta",
       semanticMode = "pq")) == ids(semExact))
+    // late-interaction mode routes through the persisted chunk index
+    // (legitimately different scoring — per-token best chunks — so only
+    // the result shape and row count are pinned here; scoring equality
+    // lives in ChunkIndexSpec)
+    api.buildChunkIndex("mv", maxTokens = 2)
+    val maxsim = mcp.vectorSearch("semantic_search", "mv", "alpha beta",
+      semanticMode = "maxsim")
+    assert(ids(maxsim).size == 4)
     val lexScan = mcp.vectorSearch("lexical_search", "mv", "beta")
     assert(ids(mcp.vectorSearch("lexical_search", "mv", "beta",
       lexicalMode = "indexed")) == ids(lexScan))
