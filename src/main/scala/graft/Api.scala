@@ -395,6 +395,15 @@ final class Api(
       qs: Seq[(Int, Seq[Float])],
       k: Int): DataFrame = {
     val numCandidates = math.max(10 * k, 100)
+    // past the batch threshold the per-query loop below would plan Q
+    // unioned scans (driver-bound — the QSweep cliff); the batched route
+    // serves the whole batch in ONE adaptive-nprobe plan with identical
+    // scores/tie-breaks (AnnServeSpec parity)
+    if (qs.size > Api.BatchedServeThreshold)
+      return graft.ann.Ann.ivfTopKBatchAdaptive(
+        graft.ann.IvfIndex.loadIndex(spark, catalog, entry),
+        graft.ann.IvfIndex.loadCentroids(spark, catalog, entry),
+        qs, k, numCandidates)
     val assigned = graft.ann.IvfIndex.loadIndex(spark, catalog, entry)
     val clusterSizes = assigned.groupBy("cluster_id").count()
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
@@ -843,4 +852,14 @@ final class Api(
     }
     SearchResponse(rows.toSeq)
   }
+}
+
+object Api {
+  /** Question-batch size past which IVF-approx serving switches from the
+    * per-query planned loop (fastest at interactive Q) to the one-plan
+    * batched adaptive route ([[graft.ann.Ann.ivfTopKBatchAdaptive]]) —
+    * the QSweep-measured crossover is driver planning time, not executor
+    * work, so the threshold is deliberately small.
+    */
+  val BatchedServeThreshold = 32
 }

@@ -327,4 +327,66 @@ object Ann {
       .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
       .select("query_idx", "id", "score")
   }
+
+  /** Batched ADAPTIVE-nprobe IVF search — the one-plan form of the
+    * governed serving loop (Api.approxHits): each query probes ranked
+    * clusters (distance asc, cluster_id asc — the driver loop's numeric
+    * tuple order) until the candidate pool reaches
+    * `numCandidates = max(10k, 100)`, i.e. a cluster is probed iff the
+    * cumulative size of strictly-closer clusters is still short of the
+    * target ([[IvfIndex.adaptiveProbes]]'s takeWhile, as a cumulative
+    * window over the broadcast centroid x size table). Scoring and
+    * tie-breaks are bit-identical to the loop (AnnServeSpec); Q enters
+    * only through frame sizes, never plan count — the route
+    * [[Api.semanticSearchApprox]] switches to past its batch threshold.
+    */
+  def ivfTopKBatchAdaptive(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: Seq[(Int, Seq[Float])],
+      k: Int,
+      numCandidates: Long,
+      broadcastRowLimit: Long = GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
+    val spark = assigned.sparkSession
+    if (queries.isEmpty)
+      return assigned.withColumn("score", lit(0.0))
+        .withColumn("query_idx", lit(0)).select("query_idx", "id", "score").limit(0)
+    val mark = GraphSearch.mkMark(
+      queries.size.toLong * k * 10 <= broadcastRowLimit)
+    val qdf = GraphSearch.queryFrame(spark, queries, mark)
+    // cluster sizes ride the (cluster-count-sized) centroid broadcast;
+    // empty clusters count 0, exactly like the loop's getOrElse(0)
+    val sizes = assigned.groupBy(col("cluster_id").as("centroid_id"))
+      .agg(count(lit(1)).as("__csize"))
+    val cents = broadcast(
+      centroids.select("centroid_id", "centroid", "centroid_norm")
+        .join(sizes, Seq("centroid_id"), "left")
+        .na.fill(0L, Seq("__csize")))
+    val byQd = Window.partitionBy("query_idx")
+      .orderBy(col("d").asc, col("centroid_id").asc)
+    val probes = qdf.crossJoin(cents)
+      .withColumn("d",
+        lit(1.0) - VectorFunctions.dot(col("centroid"), col("qv")) /
+          (col("centroid_norm") * col("qn")))
+      .withColumn("__pool",
+        coalesce(sum(col("__csize")).over(
+          byQd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__pool") < numCandidates)
+      .select(col("query_idx"), col("centroid_id").as("cluster_id"))
+    val scored = mark(probes)
+      .join(assigned, "cluster_id")
+      .join(qdf, "query_idx")
+      .withColumn("score",
+        VectorFunctions.dot(col("embedding"), col("qv")) / (col("norm") * col("qn")))
+      .withColumn("pid", spark_partition_id())
+      .select("query_idx", "pid", "id", "score")
+    val localW = Window.partitionBy("query_idx", "pid")
+      .orderBy(col("score").desc, col("id").asc)
+    val globalW = Window.partitionBy("query_idx")
+      .orderBy(col("score").desc, col("id").asc)
+    scored
+      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
+      .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
+      .select("query_idx", "id", "score")
+  }
 }

@@ -99,6 +99,40 @@ class AnnServeSpec extends SparkSpec {
     assert(batchS == loop)
   }
 
+  test("adaptive batched IVF equals the adaptive per-query loop on both gate paths") {
+    val cents = Ann.kmeansCentroids(vectors, 8, 2).localCheckpoint()
+    val assigned = Ann.assign(vectors, cents).localCheckpoint()
+    val numCandidates = 60L // prunes: ~3 of 8 clusters per query
+    val sizes = assigned.groupBy("cluster_id").count()
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val centroidRows = cents
+      .select("centroid_id", "centroid", "centroid_norm").collect()
+    // the governed loop's exact per-query algebra (Api.approxHits)
+    val loop = queries.map { case (qIdx, qVec) =>
+      val qNorm = math.sqrt(qVec.map(v => v.toDouble * v.toDouble).sum)
+      val ranked = centroidRows.map { r =>
+        val c = r.getSeq[Float](1)
+        val dot = c.zip(qVec).map { case (x, y) => x.toDouble * y.toDouble }.sum
+        (1.0 - dot / (r.getDouble(2) * qNorm), r.getLong(0))
+      }.sorted.toSeq
+      val probes = graft.ann.IvfIndex.adaptiveProbes(ranked, sizes, numCandidates)
+      assigned
+        .filter(col("cluster_id").isin(probes: _*))
+        .withColumn("score",
+          graft.search.Semantic.scoreAgainst(col("embedding"), col("norm"), qVec))
+        .withColumn("query_idx", lit(qIdx))
+        .select("query_idx", "id", "score")
+        .orderBy(col("score").desc, col("id").asc)
+        .limit(5)
+    }.reduce(_ unionAll _)
+    val want = collected(loop)
+    assert(want.nonEmpty)
+    assert(collected(Ann.ivfTopKBatchAdaptive(assigned, cents, queries,
+      k = 5, numCandidates, broadcastRowLimit = Long.MaxValue)) == want)
+    assert(collected(Ann.ivfTopKBatchAdaptive(assigned, cents, queries,
+      k = 5, numCandidates, broadcastRowLimit = 0L)) == want)
+  }
+
   test("batched IVF: empty query batch keeps the result schema") {
     val cents = Ann.kmeansCentroids(vectors, 4, 1)
     val assigned = Ann.assign(vectors, cents)

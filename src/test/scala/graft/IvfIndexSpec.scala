@@ -71,6 +71,18 @@ class IvfIndexSpec extends SparkSpec {
     val overlap = approx.results.map(_.id).toSet
       .intersect(exact.results.map(_.id).toSet).size
     assert(overlap >= 3, s"approx should mostly agree with exact, got $overlap/5")
+    // past the batch threshold the SAME questions route through the
+    // one-plan adaptive batch (Ann.ivfTopKBatchAdaptive) — per-query
+    // results must be unchanged. 40 questions > BatchedServeThreshold;
+    // question 7 repeats the loop-served question above.
+    val qs = (0 until 40).map(i => s"record $i text")
+    assert(qs.size > Api.BatchedServeThreshold)
+    val batched = api.semanticSearchApprox("approx", qs, 5)
+    assert(batched.results.size == 40 * 5)
+    val single = api.semanticSearchApprox("approx", Seq("record 7 text"), 5)
+    // serialize flattens query-major: question 7's block sits at [35, 40)
+    assert(batched.results.slice(35, 40).map(r => (r.id, r.score)) ==
+      single.results.map(r => (r.id, r.score)))
   }
 
   test("adaptive probe selection stops once cluster sizes cover numCandidates (strict subset)") {
