@@ -195,16 +195,19 @@ object GraphIndex {
       entries: Int = 4,
       beam: Int = 8,
       hops: Int = 3,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      broadcastRowLimit: Long = GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
     val graph = load(spark, catalog, entry).select("qid", "neighbor")
     val vecs = vectorsOf(catalog, entry)
     loadMedoids(spark, catalog, entry) match {
       case Some(med) =>
         val entryPoints = GraphSearch.routeEntries(
-          vecs, med.select("id"), queries, entries)
-        GraphSearch.beamSearchWithEntries(graph, vecs, queries, entryPoints, beam, hops, k)
+          vecs, med.select("id"), queries, entries, broadcastRowLimit)
+        GraphSearch.beamSearchWithEntries(graph, vecs, queries, entryPoints,
+          beam, hops, k, broadcastRowLimit)
       case None =>
-        GraphSearch.beamSearch(graph, vecs, queries, entries, beam, hops, k)
+        GraphSearch.beamSearch(graph, vecs, queries, entries, beam, hops, k,
+          broadcastRowLimit)
     }
   }
 
@@ -229,7 +232,8 @@ object GraphIndex {
       entries: Int = 4,
       beam: Int = 8,
       hops: Int = 3,
-      k: Int = 5): DataFrame = {
+      k: Int = 5,
+      broadcastRowLimit: Long = GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
     val graph = load(spark, catalog, entry).select("qid", "neighbor")
     val vecs = vectorsOf(catalog, entry)
     val degree = loadMeta(spark, catalog, entry).map(_.k).getOrElse(8)
@@ -239,12 +243,14 @@ object GraphIndex {
     loadMedoids(spark, catalog, entry) match {
       case Some(med) =>
         val entryPoints = GraphSearch.routeEntries(
-          vecs, med.select("id"), queries, entries)
+          vecs, med.select("id"), queries, entries, broadcastRowLimit)
         GraphSearch.beamSearchFilteredWithEntries(
-          graph, vecs, queries, entryPoints, effBeam, hops, k, pred)
+          graph, vecs, queries, entryPoints, effBeam, hops, k, pred,
+          broadcastRowLimit)
       case None =>
         GraphSearch.beamSearchFiltered(
-          graph, vecs, queries, entries, effBeam, hops, k, pred)
+          graph, vecs, queries, entries, effBeam, hops, k, pred,
+          broadcastRowLimit)
     }
   }
 
