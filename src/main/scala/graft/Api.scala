@@ -291,15 +291,21 @@ final class Api(
     */
   def maxsimSearch(
       name: String, question: String, nResults: Int = 10,
-      perTokenT: Int = 25): SearchResponse = {
+      perTokenT: Int = 25, maxQueryTokens: Int = 16): SearchResponse = {
     val k = validLimit(nResults)
+    // validate the REQUEST before touching storage (the sibling routes'
+    // precedence: an invalid question must never report an index error)
+    require(perTokenT >= 1 && perTokenT <= 10000,
+      s"perTokenT $perTokenT out of range")
+    require(maxQueryTokens >= 1 && maxQueryTokens <= 256,
+      s"maxQueryTokens $maxQueryTokens out of range")
+    val q = Sanitize.sanitizeString(validQuestions(Seq(question)).head)
     val entry = catalog.getCollection(physical(validCollection(name)))
     if (!java.nio.file.Files.exists(java.nio.file.Paths.get(
         graft.search.ChunkIndex.indexPath(catalog, entry))))
       throw new GraftException(ErrorCodes.AnnIndexNotFound)
-    val q = Sanitize.sanitizeString(validQuestions(Seq(question)).head)
     val res = graft.search.ChunkIndex.search(spark, catalog, entry, embedder,
-      Seq(0 -> q), k, perTokenT)
+      Seq(0 -> q), k, perTokenT, maxQueryTokens)
     val payload = res.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.id"), col("d.content"), col("d.metadata"),
@@ -619,7 +625,9 @@ final class Api(
       "signlsh" -> ifExists(graft.ann.SignLshIndex.indexPath(catalog, entry),
         Seq("table", "key"), None),
       "minhash" -> ifExists(graft.dedup.MinHashIndex.indexPath(catalog, entry),
-        Seq("pbucket"), Some("key")))
+        Seq("pbucket"), Some("key")),
+      "chunkvecs" -> ifExists(graft.search.ChunkIndex.indexPath(catalog, entry),
+        Seq("bucket"), Some("id")))
   }
 
   /** Build the bloom existence-prefilter sidecar: one corpus pass for the
@@ -826,7 +834,9 @@ final class Api(
       "ivf" -> graft.ann.IvfIndex.indexPath(catalog, entry),
       "pq" -> graft.ann.PqIndex.indexPath(catalog, entry),
       "lsh" -> graft.ann.SignLshIndex.indexPath(catalog, entry),
-      "minhash" -> graft.dedup.MinHashIndex.indexPath(catalog, entry))
+      "minhash" -> graft.dedup.MinHashIndex.indexPath(catalog, entry),
+      "graph" -> graft.ann.GraphIndex.indexPath(catalog, entry),
+      "chunkvecs" -> graft.search.ChunkIndex.indexPath(catalog, entry))
       .flatMap { case (k, p) => countIf(p).map(k -> _) }.toMap
     Map(
       "collection" -> name,

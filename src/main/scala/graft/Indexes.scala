@@ -295,11 +295,17 @@ object Indexes {
       embedder: Option[graft.ingest.Embedder] = None): Unit = {
     if (exists(LexIndex.indexPath(catalog, entry)))
       LexIndex.build(spark, catalog, entry)
-    if (exists(graft.search.ChunkIndex.indexPath(catalog, entry)))
+    if (exists(graft.search.ChunkIndex.indexPath(catalog, entry))) {
+      // a silent skip would leave maxsim serving stale rows while every
+      // sibling index rebuilt — the exact failure this file's contract
+      // forbids; a chunk-indexed collection REQUIRES the embedder here
+      require(embedder.isDefined,
+        "refreshDerived on a chunk-indexed collection needs its embedder (the chunk index embeds at rebuild)")
       for {
         e <- embedder
         m <- graft.search.ChunkIndex.loadMeta(spark, catalog, entry)
       } graft.search.ChunkIndex.build(spark, catalog, entry, e, m.maxTokens)
+    }
     if (exists(IvfIndex.centroidsPath(catalog, entry)) &&
         exists(IvfIndex.indexPath(catalog, entry)))
       IvfIndex.reassign(spark, catalog, entry)

@@ -351,8 +351,12 @@ object Ann {
     if (queries.isEmpty)
       return assigned.withColumn("score", lit(0.0))
         .withColumn("query_idx", lit(0)).select("query_idx", "id", "score").limit(0)
+    // probe frame bound: in the worst case (1-row clusters) a query
+    // probes ~numCandidates clusters, so the gate sizes on Q * the
+    // ACTUAL candidate target — not a hardcoded 10k assumption
     val mark = GraphSearch.mkMark(
-      queries.size.toLong * k * 10 <= broadcastRowLimit)
+      queries.size.toLong * math.max(numCandidates, k.toLong)
+        <= broadcastRowLimit)
     val qdf = GraphSearch.queryFrame(spark, queries, mark)
     // cluster sizes ride the (cluster-count-sized) centroid broadcast;
     // empty clusters count 0, exactly like the loop's getOrElse(0)

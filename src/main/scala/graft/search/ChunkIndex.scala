@@ -119,6 +119,12 @@ object ChunkIndex {
     * @param k          documents per query
     * @param perTokenT  shortlist width per query token (the
     *                   `q_search_maxsim_pruned`-graded candidate rule)
+    * @param maxQueryTokens serving guard on the per-query token count:
+    *                   tokens past the cap are DROPPED before embedding
+    *                   (their topics contribute nothing to the score), so
+    *                   callers with genuinely long queries must raise it
+    *                   — the cap bounds embed cost and the candidate
+    *                   frame, it is not part of maxsim semantics
     * @return (query_idx, id, score) — maxsim over normalized vectors
     *         (sum of per-token best cosines), score desc, id asc
     */

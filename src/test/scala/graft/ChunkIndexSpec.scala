@@ -90,6 +90,15 @@ class ChunkIndexSpec extends SparkSpec {
       api.maxsimSearch("c3", "topic words", nResults = 5)
     }
     assert(ex.code == graft.model.ErrorCodes.AnnIndexNotFound)
+    // request validation precedes index state: an invalid question on an
+    // UNINDEXED collection reports the question error, never the index
+    val exQ = intercept[GraftException] {
+      api.maxsimSearch("c3", "", nResults = 5)
+    }
+    assert(exQ.code == graft.model.ErrorCodes.SearchQuestionInvalid)
+    intercept[IllegalArgumentException] {
+      api.maxsimSearch("c3", "topic", nResults = 5, perTokenT = 0)
+    }
     assert(api.buildChunkIndex("c3", MaxTok) > 12) // multi-chunk corpus
     val res = api.maxsimSearch("c3", "topic words", nResults = 5)
     assert(res.results.size == 5)
