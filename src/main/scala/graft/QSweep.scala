@@ -105,6 +105,13 @@ object QSweep {
       timed("serve_graph_filtered_shuffle", qn, warm)(gsf(0L).count())
       timed("serve_ivf_batch_bcast", qn, warm)(ivf(Long.MaxValue).count())
       timed("serve_ivf_batch_shuffle", qn, warm)(ivf(0L).count())
+      // the governed route's plan (Api.semanticSearchApprox past the
+      // batch threshold): adaptive probe widths, numCandidates = 100
+      def ivfAdaptive(limit: Long) = graft.ann.Ann.ivfTopKBatchAdaptive(
+        assigned, cents, qs, k = 10, numCandidates = 100L,
+        broadcastRowLimit = limit)
+      timed("serve_ivf_adaptive_bcast", qn, warm)(ivfAdaptive(Long.MaxValue).count())
+      timed("serve_ivf_adaptive_shuffle", qn, warm)(ivfAdaptive(0L).count())
       if (qn <= 100)
         timed("serve_ivf_loop", qn, warm)(
           graft.ann.Ann.ivfTopK(assigned, cents, qs, k = 10, nprobe = 3).count())
