@@ -56,6 +56,31 @@ class MaxSimSpec extends SparkSpec {
     assert(top.forall(r => r.getInt(0) != 1 || r.getLong(1) % 2 == 0))
   }
 
+  test("topK equals the brute-force maxsim definition over randomized fixtures") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val dim = 3
+      def vec() = Seq.fill(dim)((rnd.nextInt(7) - 3).toDouble)
+      val nDocs = 1 + rnd.nextInt(8)
+      val chunks: Seq[(Long, Seq[Double])] = (1L to nDocs).flatMap { d =>
+        Seq.fill(1 + rnd.nextInt(3))(d -> vec())
+      }
+      val toksS: Seq[(Int, Int, Seq[Double])] = (0 until 1 + rnd.nextInt(3)).flatMap { q =>
+        (0 until 1 + rnd.nextInt(3)).map(t => (q, t, vec()))
+      }
+      val got = MaxSim.topK(vecs(chunks), toks(toksS), k = nDocs).collect()
+        .map(r => (r.getInt(0), r.getLong(1)) -> r.getDouble(2)).toMap
+      val want = (for {
+        q <- toksS.map(_._1).distinct
+        d <- 1L to nDocs
+      } yield (q, d) -> toksS.filter(_._1 == q).map { case (_, _, qv) =>
+        chunks.filter(_._1 == d)
+          .map(c => c._2.zip(qv).map { case (a, b) => a * b }.sum).max
+      }.sum).toMap
+      assert(got == want, s"seed=$seed")
+    }
+  }
+
   test("token-frame size gate: shuffle path equals broadcast path") {
     val chunks = vecs((1L to 30L).flatMap { d =>
       (0 until 2).map(c => d -> Seq((d % 5).toDouble, c.toDouble))

@@ -582,4 +582,36 @@ class StreamingSpec extends SparkSpec {
       spark, prof.cmsPath, Seq("about"), 256, 4).get.head().getLong(1)
     assert(aboutEst == 4L, s"about=$aboutEst")
   }
+
+  test("compaction maintains the chunk-vector index like every other derived index") {
+    import spark.implicits._
+    import graft.ingest.DeterministicHashEmbedder
+    val wh = Files.createTempDirectory("graft-wh-chunkc").toString
+    val staging = Files.createTempDirectory("graft-st-chunkc").toString
+    val embedder = new DeterministicHashEmbedder(16)
+    val api = new Api(spark, wh, embedder)
+    api.createCollection("chunked", documents = Some(
+      (0 until 8).map(i => s"seed document $i with plenty of words " +
+        s"so chunking at four tokens splits it into several pieces")
+        .toDF("content")))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "chunked"))
+    api.buildChunkIndex("chunked", maxTokens = 4)
+    (10 until 14).map(i => s"streamed document $i arrives later with more words than four")
+      .toDF("content")
+      .withColumn("id", graft.ingest.Ingest.contentId(org.apache.spark.sql.functions.col("content")))
+      .withColumn("ingest_ts", org.apache.spark.sql.functions.current_timestamp())
+      .write.mode("overwrite").parquet(staging)
+    assert(StreamingIngest.compact(spark, api.catalog, entry, staging, embedder) == 4)
+    // the streamed batch's chunks landed AND the whole index equals a
+    // from-scratch rebuild — one maintenance path for batch and stream
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("id", "chunk_idx", "vec").collect()
+        .map(r => (r.getString(0), r.getInt(1), r.getSeq[Float](2)))
+        .sortBy(x => (x._1, x._2)).toSeq
+    val got = rows(graft.search.ChunkIndex.load(spark, api.catalog, entry))
+    val rebuilt = rows(graft.search.ChunkIndex.indexRows(
+      api.catalog.readDocuments(entry).select("id", "content"), embedder, 4))
+    assert(got == rebuilt)
+    assert(got.map(_._1).distinct.size == 12)
+  }
 }
