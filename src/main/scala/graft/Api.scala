@@ -246,6 +246,45 @@ final class Api(
       catalog.readDocuments(entry).limit(0), embedder)
   }
 
+  /** Predicate-scoped deletion — the retention/TTL/compliance sweep
+    * (delete everything matching `pred` over the document columns:
+    * content, metadata map, id). The predicate resolves to ids with ONE
+    * pruned corpus scan, then deletion rides the existing id path, so
+    * every derived index maintains itself exactly as for
+    * [[deleteDocuments]] and the per-sweep cost is scan + O(matched ×
+    * bucket). `confirm` gates it like collection deletion (reference
+    * stance: destructive ops are opt-in twice); returns the number of
+    * documents removed. Batches of `maxBatch` keep each id list driver-
+    * bounded — a sweep matching millions of rows walks the batches, it
+    * never collects them at once.
+    */
+  def deleteDocumentsWhere(
+      name: String,
+      pred: org.apache.spark.sql.Column,
+      confirm: Boolean = false,
+      maxBatch: Int = Limits.MaxDocuments): Long = {
+    if (!confirm) throw new GraftException(ErrorCodes.DeleteConfirmationRequired)
+    require(maxBatch >= 1 && maxBatch <= Limits.MaxDocuments,
+      s"maxBatch $maxBatch out of range")
+    val entry = catalog.getCollection(physical(validCollection(name)))
+    var removed = 0L
+    var more = true
+    while (more) {
+      // re-resolve per batch: each mergeDelete changes the table, and the
+      // predicate must see the current state (ids are stable under it)
+      val ids = catalog.readDocuments(entry).filter(pred)
+        .select("id").limit(maxBatch)
+        .collect().map(_.getString(0)).toSeq
+      if (ids.isEmpty) more = false
+      else {
+        deleteDocuments(name, ids)
+        removed += ids.size
+        more = ids.size == maxBatch
+      }
+    }
+    removed
+  }
+
   def getDocumentsByIds(name: String, ids: Seq[String]): DataFrame = {
     val entry = catalog.getCollection(physical(name))
     // bucket-pruned point lookup; missing-ids semantics live in getByIds

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import graft.ingest.{DeterministicHashEmbedder, Ingest, Sanitize}
 import graft.model.{ErrorCodes, GraftException}
 
@@ -390,6 +391,35 @@ class ApiSpec extends SparkSpec {
       == ErrorCodes.DocumentIdsRequired)
     assert(intercept[GraftException](api.deleteDocuments("docs", Seq.empty)).code
       == ErrorCodes.DocumentIdsRequired)
+  }
+
+  test("deleteDocumentsWhere: confirm gate, batched sweep, index maintenance") {
+    val api = newApi()
+    import spark.implicits._
+    val docs = (0 until 30).map(i =>
+      if (i % 3 == 0) s"expired record $i with retired words"
+      else s"kept record $i with living words").toDF("content")
+    api.createCollection("ttl", documents = Some(docs))
+    api.buildLexicalIndex("ttl")
+    // destructive op is opt-in twice, like collection deletion
+    assert(intercept[GraftException](
+      api.deleteDocumentsWhere("ttl", col("content").contains("expired"))).code
+      == ErrorCodes.DeleteConfirmationRequired)
+    // maxBatch 4 forces multiple resolve+delete rounds over the 10 matches
+    val removed = api.deleteDocumentsWhere("ttl",
+      col("content").contains("expired"), confirm = true, maxBatch = 4)
+    assert(removed == 10)
+    val remaining = api.catalog.readDocuments(
+      api.catalog.getCollection(api.catalog.physicalName("default", "ttl")))
+    assert(remaining.count() == 20)
+    assert(remaining.filter(col("content").contains("expired")).count() == 0)
+    // derived indexes maintained through every batch: the dropped-content
+    // term is gone from the postings-served search too
+    assert(api.lexicalSearchIndexed("ttl", Seq("retired"), 5).results.isEmpty)
+    assert(api.lexicalSearchIndexed("ttl", Seq("living"), 5).results.nonEmpty)
+    // a sweep matching nothing is a no-op, not an error
+    assert(api.deleteDocumentsWhere("ttl",
+      col("content").contains("expired"), confirm = true) == 0L)
   }
 
   test("collection_not_found and collection_exists and dimension mismatch") {
