@@ -1058,6 +1058,22 @@ object ScaleProbe {
       graft.operators.Chat.contextBudgetTrim(turns, budget = 40L, "tokens")
         .agg(count(lit(1)), sum(col("tokens"))).collect()(0).getLong(0)
     }
+    // SFT structural audit incl. the JSON roundtrip: M x the
+    // conversations at constant turn count — from_json is per-row narrow
+    // work, the audit one conversation-keyed agg; must be ~linear
+    time("chat_validate") {
+      val spark = docs.sparkSession
+      val msgs = docs
+        .select(col("id").as("conv_id"),
+          expr("""to_json(transform(sequence(0, 7), i -> struct(
+                 |  CASE WHEN i = 0 THEN 'system'
+                 |       WHEN i % 2 = 1 THEN 'user' ELSE 'assistant' END AS role,
+                 |  concat('turn ', i) AS content)))""".stripMargin).as("msgs"))
+      graft.operators.Chat.alternationReport(
+          graft.operators.Chat.parseConversations(msgs, "conv_id", "msgs"))
+        .agg(count(lit(1)), sum(when(col("valid"), 1L).otherwise(0L)))
+        .collect()(0).getLong(0)
+    }
     // DPO pair construction: M x the prompts at CONSTANT K=4 responses —
     // one prompt-keyed window + one prompt-keyed self-join, per-key work
     // bounded by K^2 forever
