@@ -248,21 +248,26 @@ final class Api(
 
   /** Predicate-scoped deletion — the retention/TTL/compliance sweep
     * (delete everything matching `pred` over the document columns:
-    * content, metadata map, id). The predicate resolves to ids with ONE
-    * pruned corpus scan, then deletion rides the existing id path, so
-    * every derived index maintains itself exactly as for
-    * [[deleteDocuments]] and the per-sweep cost is scan + O(matched ×
-    * bucket). `confirm` gates it like collection deletion (reference
-    * stance: destructive ops are opt-in twice); returns the number of
-    * documents removed. Batches of `maxBatch` keep each id list driver-
-    * bounded — a sweep matching millions of rows walks the batches, it
-    * never collects them at once.
+    * content, metadata map, id). Each round resolves up to `maxBatch`
+    * matching ids (driver-bounded — a sweep matching millions of rows
+    * walks the batches, it never collects them at once) with a fresh
+    * corpus scan against the post-delete table, then deletion rides the
+    * existing id path so every derived index maintains itself exactly
+    * as for [[deleteDocuments]]. Cost is honest about the shape:
+    * ceil(matched / maxBatch) corpus scans plus O(matched × bucket)
+    * rewrite work — re-resolving per batch is what makes a crash
+    * restartable (rerun the sweep; already-deleted rows no longer
+    * match) at the price of the repeated scan. The WHOLE sweep holds
+    * the warehouse write lock (the monitor is reentrant into the inner
+    * id-deletes), so a concurrent upsert can never flip a row's
+    * predicate match between its resolution and its deletion. `confirm`
+    * gates it like collection deletion; returns the number removed.
     */
   def deleteDocumentsWhere(
       name: String,
       pred: org.apache.spark.sql.Column,
       confirm: Boolean = false,
-      maxBatch: Int = Limits.MaxDocuments): Long = {
+      maxBatch: Int = Limits.MaxDocuments): Long = writeLock.synchronized {
     if (!confirm) throw new GraftException(ErrorCodes.DeleteConfirmationRequired)
     require(maxBatch >= 1 && maxBatch <= Limits.MaxDocuments,
       s"maxBatch $maxBatch out of range")
@@ -270,8 +275,6 @@ final class Api(
     var removed = 0L
     var more = true
     while (more) {
-      // re-resolve per batch: each mergeDelete changes the table, and the
-      // predicate must see the current state (ids are stable under it)
       val ids = catalog.readDocuments(entry).filter(pred)
         .select("id").limit(maxBatch)
         .collect().map(_.getString(0)).toSeq

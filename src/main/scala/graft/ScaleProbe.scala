@@ -1062,7 +1062,6 @@ object ScaleProbe {
     // conversations at constant turn count — from_json is per-row narrow
     // work, the audit one conversation-keyed agg; must be ~linear
     time("chat_validate") {
-      val spark = docs.sparkSession
       val msgs = docs
         .select(col("id").as("conv_id"),
           expr("""to_json(transform(sequence(0, 7), i -> struct(
