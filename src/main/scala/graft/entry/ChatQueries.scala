@@ -167,6 +167,85 @@ object ChatQueries {
       |       doc_id % 11 <> 0 AND doc_id % 7 <> 0 AS valid
       |FROM documents ORDER BY conv_id""".stripMargin
 
+  // ---- budget trim over the TOOL fixture: grades the orphan rule ----
+  // Same planted roles as q_chat_tools; token costs 3 + (doc_id+i) mod 5
+  // per content turn, system costs 2, budget 18 — the suffix cut lands
+  // at different turns per doc. The %11 docs' misplaced tools (no
+  // preceding assistant) must DROP even when the budget admits them;
+  // the oracle replays suffix sums, the user-aligned start, and the
+  // anchor rule (nearest preceding assistant kept) in SQL windows.
+  def chatBudgetTools(s: SparkSession, dir: String): DataFrame = {
+    val baseRoles = Seq("user", "assistant", "tool", "assistant", "user", "assistant")
+    val content = Tables.t(s, dir, "documents")
+      .select(col("doc_id").as("conv_id"),
+        explode(sequence(lit(1), lit(7))).as("i"))
+      .filter(col("i") <= 6 || col("conv_id") % 7 === 0)
+      .withColumn("role",
+        when(col("i") === 7, lit("tool"))
+          .when(col("i") === 2 && col("conv_id") % 11 === 0, lit("tool"))
+          .otherwise(element_at(typedLit(baseRoles), col("i").cast("int"))))
+      .select(col("conv_id"), col("i").as("turn_idx"), col("role"),
+        (lit(3) + pmod(col("conv_id") + col("i"), lit(5))).cast("long").as("tokens"))
+    val sys = Tables.t(s, dir, "documents")
+      .select(col("doc_id").as("conv_id"), lit(0).as("turn_idx"),
+        lit("system").as("role"), lit(2L).as("tokens"))
+    val turns = content.unionByName(sys)
+    // two budget legs: 18 cuts mid-conversation (suffix + user-alignment
+    // graded); 40 keeps whole conversations, where the %11 docs' ANCHORLESS
+    // tools sit INSIDE the kept region and only the orphan rule drops them
+    val kept = Seq(18L, 40L).map { b =>
+      Chat.contextBudgetTrim(turns, b, "tokens").withColumn("budget", lit(b))
+    }.reduce(_ unionByName _)
+    kept.groupBy("conv_id", "budget")
+      .agg(
+        sum(when(col("role") =!= "system", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool_kept"),
+        sum(col("tokens")).as("kept_tokens"),
+        coalesce(min(when(col("role") =!= "system", col("turn_idx"))),
+          lit(-1)).cast("long").as("first_kept_idx"))
+      .orderBy("conv_id", "budget")
+  }
+
+  val chatBudgetToolsSql: String =
+    """WITH t AS (SELECT doc_id AS conv_id, CAST(g.i AS INTEGER) AS i,
+      |             CASE WHEN g.i = 7 THEN 'tool'
+      |                  WHEN g.i = 2 AND doc_id % 11 = 0 THEN 'tool'
+      |                  WHEN g.i = 1 THEN 'user' WHEN g.i = 2 THEN 'assistant'
+      |                  WHEN g.i = 3 THEN 'tool' WHEN g.i = 4 THEN 'assistant'
+      |                  WHEN g.i = 5 THEN 'user' ELSE 'assistant' END AS role,
+      |             3 + (doc_id + g.i) % 5 AS len
+      |      FROM documents CROSS JOIN generate_series(1, 7) g(i)
+      |      WHERE g.i <= 6 OR doc_id % 7 = 0),
+      |a AS (SELECT *, max(CASE WHEN role = 'assistant' THEN i END)
+      |               OVER (PARTITION BY conv_id ORDER BY i
+      |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+      |               AS anchor,
+      |             sum(len) OVER (PARTITION BY conv_id ORDER BY i DESC) AS rev_sum
+      |      FROM t),
+      |b AS (SELECT CAST(unnest([18, 40]) AS BIGINT) AS budget),
+      |sfx AS (SELECT a.*, b.budget FROM a CROSS JOIN b
+      |        WHERE rev_sum + 2 <= b.budget),
+      |fu AS (SELECT conv_id, budget,
+      |              min(CASE WHEN role = 'user' THEN i END) AS u0
+      |       FROM sfx GROUP BY conv_id, budget),
+      |kept AS (SELECT sfx.* FROM sfx
+      |         JOIN fu ON fu.conv_id = sfx.conv_id AND fu.budget = sfx.budget
+      |         WHERE sfx.i >= fu.u0
+      |           AND (sfx.role <> 'tool'
+      |                OR (sfx.anchor IS NOT NULL AND sfx.anchor >= fu.u0)))
+      |SELECT d.doc_id AS conv_id, bb.budget,
+      |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(coalesce(k.n_tool, 0) AS BIGINT) AS n_tool_kept,
+      |       CAST(coalesce(k.kept_len, 0) + 2 AS BIGINT) AS kept_tokens,
+      |       CAST(coalesce(k.first_i, -1) AS BIGINT) AS first_kept_idx
+      |FROM documents d CROSS JOIN b bb
+      |LEFT JOIN (SELECT conv_id, budget, count(*) AS n_kept,
+      |                  sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
+      |                  sum(len) AS kept_len, min(i) AS first_i
+      |           FROM kept GROUP BY conv_id, budget) k
+      |  ON k.conv_id = d.doc_id AND k.budget = bb.budget
+      |ORDER BY conv_id, bb.budget""".stripMargin
+
   // ---- preference-pair (DPO/RLHF) audits over synthesized pairs ----
   // chosen = tokens 9..9+lenc-1 (lenc = 6 + 3*doc_id mod 9), rejected =
   // tokens 24..24+lenr-1 (lenr = 5 + 7*doc_id mod 7) — a known positive
@@ -309,6 +388,7 @@ object ChatQueries {
     "q_chat_validate" -> (chatValidate _),
     "q_chat_budget" -> (chatBudget _),
     "q_chat_tools" -> (chatTools _),
+    "q_chat_budget_tools" -> (chatBudgetTools _),
     "q_pref_bias" -> (prefBias _),
     "q_pref_dups" -> (prefDups _),
     "q_pref_build" -> (prefBuild _),
@@ -318,6 +398,7 @@ object ChatQueries {
     "q_chat_validate" -> chatValidateSql,
     "q_chat_budget" -> chatBudgetSql,
     "q_chat_tools" -> chatToolsSql,
+    "q_chat_budget_tools" -> chatBudgetToolsSql,
     "q_pref_bias" -> prefBiasSql,
     "q_pref_dups" -> prefDupsSql,
     "q_pref_build" -> prefBuildSql,
