@@ -96,9 +96,17 @@ object Indexes {
         GraphIndex.loadMeta(spark, catalog, entry)
       else None
     val chunkMeta =
-      if (exists(graft.search.ChunkIndex.indexPath(catalog, entry)))
-        graft.search.ChunkIndex.loadMeta(spark, catalog, entry)
-      else None
+      if (exists(graft.search.ChunkIndex.indexPath(catalog, entry))) {
+        val m = graft.search.ChunkIndex.loadMeta(spark, catalog, entry)
+        // a chunk index without its meta sidecar cannot be maintained at
+        // the indexed chunking — skipping silently would leave maxsim
+        // serving stale rows after this write, so fail the write loudly
+        // (buildChunkIndex repairs; build writes meta before index data,
+        // so only pre-fix crash debris can reach this state)
+        require(m.isDefined,
+          "chunk index exists without its meta sidecar — rebuild via buildChunkIndex before writing")
+        m
+      } else None
     if (!hasLex && !hasIvf && !hasPq && lshMeta.isEmpty && mhMeta.isEmpty &&
       graphMeta.isEmpty && chunkMeta.isEmpty) return None
 

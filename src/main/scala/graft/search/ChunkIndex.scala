@@ -87,15 +87,20 @@ object ChunkIndex {
       embedder: Embedder,
       maxTokens: Int = DefaultMaxTokens): DataFrame = {
     val docs = catalog.readDocuments(entry).select(col("id"), col("content"))
+    // meta sidecar FIRST: a crash between the two writes must leave
+    // meta-without-index (harmless — no index, nothing serves or
+    // maintains) rather than index-without-meta, which Indexes.stage
+    // treats as a hard error precisely because silently skipping
+    // maintenance would serve stale maxsim rows
+    import spark.implicits._
+    Seq(maxTokens).toDF("max_tokens").coalesce(1)
+      .write.mode(SaveMode.Overwrite).parquet(metaPath(catalog, entry))
     indexRows(docs, embedder, maxTokens)
       .repartition(col("bucket"))
       .sortWithinPartitions("id", "chunk_idx")
       .write.partitionBy("bucket")
       .mode(SaveMode.Overwrite)
       .parquet(indexPath(catalog, entry))
-    import spark.implicits._
-    Seq(maxTokens).toDF("max_tokens").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(metaPath(catalog, entry))
     load(spark, catalog, entry)
   }
 
@@ -136,7 +141,54 @@ object ChunkIndex {
       queries: Seq[(Int, String)],
       k: Int,
       perTokenT: Int = 25,
-      maxQueryTokens: Int = 16): DataFrame = {
+      maxQueryTokens: Int = 16,
+      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
+    val (qdf, chunkVecs) = embedQueryTokens(
+      spark, catalog, entry, embedder, queries, maxQueryTokens)
+    if (qdf.isEmpty)
+      return chunkVecs.select(lit(0).as("query_idx"), col("doc_id").as("id"),
+        lit(0.0).as("score")).limit(0)
+    val q = qdf.get
+    // candidate rule: one chunk scan, per-(query, token) top-T docs by
+    // best chunk dot. The query-token frame follows the serving size gate
+    // (broadcast while the driver-known row bound fits, shuffle-hash past
+    // it — GraphSearch.mkMark semantics, result-identical either way).
+    val underLimit = q.queryExecution.optimizedPlan.maxRows
+      .exists(_ <= broadcastRowLimit)
+    val qv = q.select(col("query_idx"), col("tok_idx"), col("vec").as("qv"))
+    val byTok = org.apache.spark.sql.expressions.Window
+      .partitionBy("query_idx", "tok_idx")
+      .orderBy(col("best").desc, col("doc_id").asc)
+    val cand = chunkVecs
+      .crossJoin(if (underLimit) broadcast(qv) else qv)
+      .withColumn("dp", VectorFunctions.dot(col("vec"), col("qv")))
+      .groupBy("query_idx", "tok_idx", "doc_id")
+      .agg(max(col("dp")).as("best"))
+      .withColumn("rn", row_number().over(byTok))
+      .filter(col("rn") <= perTokenT)
+      .select("query_idx", "doc_id").distinct()
+    // rescore = the operator's shortlist path: the candidate docs' chunk
+    // rows re-join the (tiny) token frame — shortlist-bounded work, and
+    // NOTHING is pinned in executor storage (no checkpoint/persist): a
+    // lost executor recomputes its slice, and serving leaves
+    // getPersistentRDDs untouched (ChunkIndexSpec pins both).
+    MaxSim.topK(chunkVecs, q, k, candidates = Some(cand), broadcastRowLimit)
+      .select(col("query_idx"), col("doc_id").as("id"), col("score"))
+  }
+
+  /** Driver-side query-token embedding shared by the serving routes:
+    * tokens from the canonical tokenizer, capped at `maxQueryTokens`
+    * (first occurrences win), embedded in one batch call and
+    * L2-normalized to match the index rows. Returns (token frame —
+    * None when no query yields a token, chunk-vector frame).
+    */
+  private def embedQueryTokens(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      embedder: Embedder,
+      queries: Seq[(Int, String)],
+      maxQueryTokens: Int): (Option[DataFrame], DataFrame) = {
     import spark.implicits._
     val toks: Seq[(Int, Int, Array[Float])] = queries.flatMap { case (qIdx, text) =>
       val ts = TextFunctions.TokenPattern.r.findAllIn(text.toLowerCase)
@@ -149,32 +201,7 @@ object ChunkIndex {
     }
     val chunkVecs = load(spark, catalog, entry)
       .select(col("id").as("doc_id"), col("vec"))
-    if (toks.isEmpty)
-      return chunkVecs.select(lit(0).as("query_idx"), col("doc_id").as("id"),
-        lit(0.0).as("score")).limit(0)
-    val qdf = toks.toDF("query_idx", "tok_idx", "vec")
-    // ONE chunk scan feeds the candidate rule and the shortlist rescore
-    val best = chunkVecs
-      .crossJoin(broadcast(qdf.select(col("query_idx"), col("tok_idx"),
-        col("vec").as("qv"))))
-      .withColumn("dp", VectorFunctions.dot(col("vec"), col("qv")))
-      .groupBy("query_idx", "tok_idx", "doc_id")
-      .agg(max(col("dp")).as("best"))
-      .localCheckpoint()
-    val byTok = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_idx", "tok_idx")
-      .orderBy(col("best").desc, col("doc_id").asc)
-    val cand = best
-      .withColumn("rn", row_number().over(byTok))
-      .filter(col("rn") <= perTokenT)
-      .select("query_idx", "doc_id").distinct()
-    val byQ = org.apache.spark.sql.expressions.Window.partitionBy("query_idx")
-      .orderBy(col("score").desc, col("doc_id").asc)
-    best.join(cand, Seq("query_idx", "doc_id"), "left_semi")
-      .groupBy("query_idx", "doc_id")
-      .agg(sum(col("best")).as("score"))
-      .withColumn("rn", row_number().over(byQ))
-      .filter(col("rn") <= k)
-      .select(col("query_idx"), col("doc_id").as("id"), col("score"))
+    (if (toks.isEmpty) None else Some(toks.toDF("query_idx", "tok_idx", "vec")),
+      chunkVecs)
   }
 }

@@ -86,7 +86,15 @@ object MaxSim {
       .orderBy(col("score").desc, col("doc_id").asc)
     perTok
       .groupBy("query_idx", "doc_id")
-      .agg(sum(col("best")).as("score"))
+      // tok_idx-ordered fold, not sum(): double addition is order-
+      // sensitive at the ULP, and aggregation row order varies with the
+      // plan shape (full scan vs shortlist join) — folding in token order
+      // makes the score bit-reproducible on every serving path. The list
+      // is query-token-bounded (<= maxQueryTokens rows per doc), so the
+      // partial aggregate stays as combiner-friendly as the plain sum.
+      .agg(aggregate(
+        sort_array(collect_list(struct(col("__tok"), col("best")))),
+        lit(0.0), (acc, x) => acc + x.getField("best")).as("score"))
       .withColumn("rn", row_number().over(byQuery))
       .filter(col("rn") <= k)
       .select("query_idx", "doc_id", "score")

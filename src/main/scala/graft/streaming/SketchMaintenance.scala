@@ -46,18 +46,22 @@ object SketchMaintenance {
   /** The stored register/cell table, or None before the first fold.
     * Recovers from a [[writeSwap]] torn between its two renames: if the
     * live dir is missing but the `.bak` (the previous committed sketch)
-    * survives, the backup is renamed back into place — the fold that
-    * crashed simply re-runs against the pre-crash state.
+    * survives, the backup is READ IN PLACE — never renamed back. A
+    * rename-based recovery raced cross-process writers: a reader in
+    * another JVM (outside [[swapLock]]) restoring `.bak` during a live
+    * writer's mid-swap window would make the writer's staging→live
+    * ATOMIC_MOVE fail with FileAlreadyExists. Reading in place keeps
+    * load() mutation-free, so only [[writeSwap]] ever renames; the next
+    * successful fold lands a fresh live dir and clears the backup (the
+    * crashed fold simply re-runs against the pre-crash state it read).
     */
-  def load(spark: SparkSession, path: String): Option[DataFrame] = {
+  def load(spark: SparkSession, path: String): Option[DataFrame] =
     swapLock.synchronized {
-      val live = Paths.get(path)
-      val bak = Paths.get(path + ".bak")
-      if (!Files.exists(live) && Files.exists(bak))
-        Files.move(bak, live, StandardCopyOption.ATOMIC_MOVE)
+      if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path))
+      else if (Files.exists(Paths.get(path + ".bak")))
+        Some(spark.read.parquet(path + ".bak"))
+      else None
     }
-    if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path)) else None
-  }
 
   /** Fold one micro-batch into the persisted HLL register table at
     * `path` (created on first fold). groupCols/valueCol/p must be stable
@@ -114,8 +118,11 @@ object SketchMaintenance {
     * Crash safety: the live dir is RENAMED to `.bak` (not deleted) before
     * staging moves in, so every crash point leaves a loadable sketch —
     * before the bak-rename: live intact; between the renames: `.bak`
-    * intact ([[load]] restores it); after the staging move: the new live
-    * is committed and the stale `.bak` is garbage the next swap clears.
+    * intact ([[load]] reads it in place); after the staging move: the new
+    * live is committed and the stale `.bak` is garbage the next swap
+    * clears. When this fold RAN against a `.bak`-recovered state, the
+    * staging write above already materialized everything read from it,
+    * so the delete below cannot orphan data.
     * The renames run under [[swapLock]] so a same-JVM reader can never
     * observe (and "recover") the mid-swap window; cross-process writers
     * are excluded by the warehouse write lock around the folds.

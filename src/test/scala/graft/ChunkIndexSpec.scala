@@ -83,6 +83,38 @@ class ChunkIndexSpec extends SparkSpec {
       case Seq(a, b) => a >= b; case _ => true })
   }
 
+  test("serving pins nothing: getPersistentRDDs unchanged by a maxsim serve") {
+    val api = newApi()
+    api.createCollection("c5", documents = Some(docsDf(0 until 25)))
+    api.buildChunkIndex("c5", MaxTok)
+    val before = spark.sparkContext.getPersistentRDDs.keySet
+    val res = api.maxsimSearch("c5", "topic words document", nResults = 5)
+    assert(res.results.nonEmpty)
+    // the serve recomputes its shortlist rescore from the candidate join —
+    // no checkpoint/persist survives (or is even created): executor-loss
+    // tolerant and storage-free at any corpus size
+    assert(spark.sparkContext.getPersistentRDDs.keySet == before)
+  }
+
+  test("a chunk index without its meta sidecar fails the write loudly") {
+    val api = newApi()
+    api.createCollection("c6", documents = Some(docsDf(0 until 10)))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "c6"))
+    api.buildChunkIndex("c6", MaxTok)
+    // meta is written BEFORE the index data, so only external damage can
+    // produce index-without-meta — and then maintenance must refuse to
+    // write (a silent skip would serve stale maxsim rows forever)
+    graft.catalog.PartitionedTable.deleteDir(
+      java.nio.file.Paths.get(ChunkIndex.metaPath(api.catalog, entry)))
+    val ex = intercept[IllegalArgumentException] {
+      api.addDocuments("c6", docsDf(10 until 12))
+    }
+    assert(ex.getMessage.contains("meta sidecar"))
+    // rebuild repairs: meta restored, writes flow again
+    api.buildChunkIndex("c6", MaxTok)
+    assert(api.addDocuments("c6", docsDf(10 until 12)) == 2)
+  }
+
   test("Api.maxsimSearch: governed without an index, serves with one") {
     val api = newApi()
     api.createCollection("c3", documents = Some(docsDf(0 until 12)))

@@ -533,10 +533,13 @@ class StreamingSpec extends SparkSpec {
       java.nio.file.Paths.get(hllPath + ".bak"),
       java.nio.file.StandardCopyOption.ATOMIC_MOVE)
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(hllPath)))
-    // load() restores the backup — nothing lost
+    // load() reads the backup in place (mutation-free recovery — a
+    // rename here would race a cross-process writer's staging move)
     val recovered = SketchMaintenance.load(spark, hllPath).get
       .collect().map(r => (r.getLong(0), r.getInt(1))).sorted.toSeq
     assert(recovered == committed)
+    // mutation-free: reading did NOT restore the live dir
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(hllPath)))
     // and the interrupted fold re-runs cleanly on the recovered state
     SketchMaintenance.foldHll(hllPath, b2, Seq(), "id")
     val est = SketchMaintenance.hllEstimate(spark, hllPath, Seq()).get
