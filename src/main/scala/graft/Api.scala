@@ -328,12 +328,28 @@ final class Api(
     * the query's tokens each embed once, every token matches its best
     * chunk per document, and a document's score is the SUM of those best
     * cosines — multi-topic documents score on all topics where the
-    * single-vector routes average them away. Serving uses the per-token
-    * top-T shortlist rule graded in `q_search_maxsim_pruned`.
+    * single-vector routes average them away.
+    *
+    * Candidate generation routes on `candidateSource`:
+    *   - "ivf": per-token document shortlists from the DOC-LEVEL IVF
+    *     index ([[graft.search.ChunkIndex.searchAnn]] — corpus-pruned
+    *     probes, per-request cost decoupled from stored chunk rows; the
+    *     100 TB serving shape). Governed `ann_index_not_found` when no
+    *     IVF index is built.
+    *   - "chunk": the per-token top-T rule over the chunk table itself
+    *     (exact per-token bests, but candidate generation scans every
+    *     chunk row — fine at modest corpora, linear at scale).
+    *   - "auto" (default): "ivf" whenever the collection has an IVF
+    *     index, else "chunk" — build the doc-level index and maxsim
+    *     serving prunes from then on.
+    * Both routes rescore their shortlist with the identical exact maxsim;
+    * recall of each candidate rule is graded in `q_search_maxsim_pruned`
+    * (chunk) and `q_search_maxsim_ann` (ivf).
     */
   def maxsimSearch(
       name: String, question: String, nResults: Int = 10,
-      perTokenT: Int = 25, maxQueryTokens: Int = 16): SearchResponse = {
+      perTokenT: Int = 25, maxQueryTokens: Int = 16,
+      candidateSource: String = "auto"): SearchResponse = {
     val k = validLimit(nResults)
     // validate the REQUEST before touching storage (the sibling routes'
     // precedence: an invalid question must never report an index error)
@@ -341,13 +357,27 @@ final class Api(
       s"perTokenT $perTokenT out of range")
     require(maxQueryTokens >= 1 && maxQueryTokens <= 256,
       s"maxQueryTokens $maxQueryTokens out of range")
+    require(Set("auto", "chunk", "ivf").contains(candidateSource),
+      s"candidateSource '$candidateSource' not in {auto, chunk, ivf}")
     val q = Sanitize.sanitizeString(validQuestions(Seq(question)).head)
     val entry = catalog.getCollection(physical(validCollection(name)))
-    if (!java.nio.file.Files.exists(java.nio.file.Paths.get(
-        graft.search.ChunkIndex.indexPath(catalog, entry))))
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    if (!exists(graft.search.ChunkIndex.indexPath(catalog, entry)))
       throw new GraftException(ErrorCodes.AnnIndexNotFound)
-    val res = graft.search.ChunkIndex.search(spark, catalog, entry, embedder,
-      Seq(0 -> q), k, perTokenT, maxQueryTokens)
+    val hasIvf = exists(graft.ann.IvfIndex.indexPath(catalog, entry)) &&
+      exists(graft.ann.IvfIndex.centroidsPath(catalog, entry))
+    val useIvf = candidateSource match {
+      case "ivf" =>
+        if (!hasIvf) throw new GraftException(ErrorCodes.AnnIndexNotFound)
+        true
+      case "chunk" => false
+      case _ => hasIvf
+    }
+    val res =
+      if (useIvf) graft.search.ChunkIndex.searchAnn(spark, catalog, entry,
+        embedder, Seq(0 -> q), k, perTokenT, maxQueryTokens)
+      else graft.search.ChunkIndex.search(spark, catalog, entry, embedder,
+        Seq(0 -> q), k, perTokenT, maxQueryTokens)
     val payload = res.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.id"), col("d.content"), col("d.metadata"),

@@ -1810,9 +1810,263 @@ object OpsQueries {
       |           GROUP BY 1) h ON h.query_idx = c2.query_idx
       |ORDER BY c2.query_idx""".stripMargin
 
+  // ---- ANN-pruned maxsim serving, graded against exact maxsim truth ----
+  // The ChunkIndex.searchAnn composition end to end. Fixture geometry:
+  // the plain hash embedder makes every string's vector independent, so
+  // chunks of one document share NOTHING — a regime where no doc-level
+  // structure exists and any doc-level index is uninformative by
+  // construction. Real embedders are the opposite: a document's chunks
+  // share its dominant direction. The ANN fixture models that explicitly
+  // — chunk vec = chunk cents + 16 × the document's own cents (integer,
+  // so maxsim still replays hash-identically) — then the doc-level
+  // vector is the MEAN of the document's chunk vectors (the
+  // `q_chunk_embed_pool` pooling), quantized into an 16-cluster IVF
+  // (representative min-id centroids per doc_id%16 — deterministic, fully
+  // replayable). Serving: per-TOKEN candidate shortlists from the
+  // batched adaptive-probe route (pool rule: probe clusters in distance
+  // order until cumulative size of strictly-closer clusters reaches
+  // numCandidates), union per query, exact maxsim rescore on the
+  // shortlist. Graded at TWO widths (top-2 and top-10 docs per token):
+  // n_candidates = |shortlist|, n_hits = |pruned top-10 ∩ exact top-10|.
+  // Candidate generation cost is probed-clusters-sized — never
+  // chunk-table-linear (the q_search_maxsim_pruned route's limitation
+  // this route exists to remove).
+  // centered cents (hash%100 - 50): vectors span the full sphere instead
+  // of the positive orthant, so between-document cosine differences are
+  // O(1) and the doc component genuinely dominates ranking (uncentered
+  // cents squeeze all cosines into ~[0.85, 0.95], where even the 1/16
+  // chunk residual reshuffles the top ranks)
+  private def maxsimCentsCentered = expr(
+    "transform(embedding, v -> cast(round(cast(v as double) * 100, 0) - 50 as double))")
+
+  private def maxsimAnnChunkVecs(s: SparkSession, dir: String): DataFrame = {
+    val embedder = new graft.ingest.DeterministicHashEmbedder(8)
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("content"))
+    val chunks = graft.retriever.Retriever.chunk(docs, maxTokens = 20)
+      .select(col("doc_id"), col("content"),
+        lit(null).cast("array<float>").as("embedding"))
+    val cc = graft.ingest.Embed.withEmbeddings(chunks, embedder)
+      .select(col("doc_id"), maxsimCentsCentered.as("vec"))
+    val docCents = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("doc_id").cast("string").as("content"))
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    val dv = graft.ingest.Embed.withEmbeddings(docCents, embedder)
+      .select(col("doc_id"), maxsimCentsCentered.as("dvec"))
+    cc.join(dv, "doc_id")
+      .select(col("doc_id"),
+        zip_with(col("vec"), col("dvec"), (c, d) => c + d * lit(16)).as("vec"))
+  }
+
+  private def maxsimAnnQueryToks(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val embedder = new graft.ingest.DeterministicHashEmbedder(8)
+    val qtoks = Seq((0, 0, "data"), (0, 1, "analysis"), (0, 2, "system"),
+        (1, 0, "market"), (1, 1, "music"), (1, 2, "research"))
+      .toDF("query_idx", "tok_idx", "content")
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    graft.ingest.Embed.withEmbeddings(qtoks, embedder)
+      .select(col("query_idx"), col("tok_idx"), maxsimCentsCentered.as("vec"))
+  }
+
+  private def maxsimDocVecs(rawChunkVecs: DataFrame): DataFrame = {
+    // pooled doc vector = per-dim SUM of the doc's RAW chunk vectors:
+    // same direction as the mean (cosine is scale-invariant) but INTEGER
+    // — dots and squared norms stay exact in any summation order, so the
+    // candidate leg replays bit-identically in SQL (sums <= ~34k per dim
+    // are float-exact, squared sums < 2^53)
+    rawChunkVecs
+      .select(col("doc_id").as("id"), posexplode(col("vec")).as(Seq("dim", "v")))
+      .groupBy("id", "dim").agg(sum(col("v")).as("m"))
+      .groupBy("id")
+      .agg(transform(array_sort(collect_list(struct(col("dim"), col("m")))),
+        x => x.getField("m").cast("float")).as("embedding"))
+      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+  }
+
+  def searchMaxsimAnn(s: SparkSession, dir: String): DataFrame = {
+    // cosine space throughout — the REAL serving geometry (ChunkIndex
+    // L2-normalizes at index time, so served maxsim sums cosines and the
+    // IVF candidate rule ranks by the same measure; raw integer dots
+    // would decouple the two through document-norm variation). Per-vector
+    // norms are sqrt of integer sums — correctly-rounded and therefore
+    // bit-identical across engines; outputs stay counts-only.
+    def normalized(df: DataFrame): DataFrame = df
+      .withColumn("__n", graft.functions.VectorFunctions.l2Norm(col("vec")))
+      .withColumn("vec", expr("transform(vec, x -> x / __n)"))
+      .drop("__n")
+    val raw = maxsimAnnChunkVecs(s, dir).localCheckpoint()
+    val rawToks = maxsimAnnQueryToks(s, dir).localCheckpoint()
+    val chunkVecs = normalized(raw).localCheckpoint()
+    val queryToks = normalized(rawToks).localCheckpoint()
+    val docVecs = maxsimDocVecs(raw).localCheckpoint()
+    val cents = graft.ann.Ann.representativeCentroids(
+      docVecs.withColumn("label", pmod(col("id"), lit(16L))), "label")
+      .localCheckpoint()
+    val assigned = graft.ann.Ann.assign(docVecs, cents).localCheckpoint()
+    val truth = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10)
+      .select("query_idx", "doc_id").localCheckpoint()
+    // token batch for the doc-level ANN: key = query_idx*3 + tok_idx
+    // (the fixture has exactly 3 tokens per query); RAW integer cents —
+    // cosine is scale-invariant and integer dots replay exactly
+    val toks = rawToks.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
+    def annLeg(t: Int): DataFrame = {
+      val tokBatch = toks.toIndexedSeq.map { case (qi, ti, v) =>
+        (qi * 3 + ti, v.map(_.toFloat)) }
+      val perTok = graft.ann.Ann.ivfTopKBatchAdaptive(
+        assigned, cents, tokBatch, t,
+        numCandidates = math.max(10L * t, 100L))
+      val cand = perTok
+        .select(floor(col("query_idx") / 3).cast("int").as("query_idx"),
+          col("id").cast("long").as("doc_id")).distinct()
+      val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
+        candidates = Some(cand))
+      val nCand = cand.groupBy("query_idx").agg(count(lit(1)).as("n_candidates"))
+      val hits = pruned.select("query_idx", "doc_id")
+        .join(truth, Seq("query_idx", "doc_id"), "left_semi")
+        .groupBy("query_idx").agg(count(lit(1)).as("n_hits"))
+      nCand.join(hits, Seq("query_idx"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .withColumn("t_width", lit(t.toLong))
+    }
+    annLeg(5).unionByName(annLeg(25))
+      .select("t_width", "query_idx", "n_candidates", "n_hits")
+      .orderBy("t_width", "query_idx")
+  }
+
+  val searchMaxsimAnnSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      |           FROM documents),
+      |n AS (SELECT doc_id, words,
+      |             greatest(CAST(ceil(len(words) / 20.0) AS INTEGER), 1) AS n_chunks
+      |      FROM w),
+      |c AS (SELECT doc_id,
+      |             array_to_string(words[i*20+1 : i*20+20], ' ') AS chunk
+      |      FROM n, (SELECT unnest(range(100)) AS i) ix
+      |      WHERE ix.i < n.n_chunks),
+      |ck AS (SELECT doc_id, chunk FROM c WHERE length(chunk) > 0),
+      |i AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS dim),
+      |dc AS (SELECT doc_id, dim,
+      |         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50 AS dcent
+      |       FROM documents CROSS JOIN i),
+      |cv AS (SELECT ck.doc_id, ck.chunk, i.dim,
+      |         ('0x' || substr(sha256(ck.chunk || CAST(i.dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50
+      |           + 16 * dc.dcent AS cent
+      |       FROM ck CROSS JOIN i
+      |       JOIN dc ON dc.doc_id = ck.doc_id AND dc.dim = i.dim),
+      |qt AS (SELECT * FROM (VALUES (0, 0, 'data'), (0, 1, 'analysis'),
+      |                             (0, 2, 'system'), (1, 0, 'market'),
+      |                             (1, 1, 'music'), (1, 2, 'research'))
+      |                  v(query_idx, tok_idx, tok)),
+      |qv AS (SELECT query_idx, tok_idx, dim,
+      |         ('0x' || substr(sha256(tok || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50 AS cent
+      |       FROM qt CROSS JOIN i),
+      |cn AS (SELECT doc_id, chunk, sqrt(sum(CAST(cent * cent AS DOUBLE))) AS nrm
+      |       FROM cv GROUP BY 1, 2),
+      |nv AS (SELECT cv.doc_id, cv.chunk, cv.dim, cv.cent / cn.nrm AS x
+      |       FROM cv JOIN cn ON cn.doc_id = cv.doc_id AND cn.chunk = cv.chunk),
+      |qn AS (SELECT query_idx, tok_idx, sqrt(sum(CAST(cent * cent AS DOUBLE))) AS nrm
+      |       FROM qv GROUP BY 1, 2),
+      |nq AS (SELECT qv.query_idx, qv.tok_idx, qv.dim, qv.cent / qn.nrm AS x
+      |       FROM qv JOIN qn ON qn.query_idx = qv.query_idx
+      |                      AND qn.tok_idx = qv.tok_idx),
+      |dp AS (SELECT nq.query_idx, nq.tok_idx, nv.doc_id, nv.chunk,
+      |              sum(nq.x * nv.x) AS dotp
+      |       FROM nv JOIN nq USING (dim)
+      |       GROUP BY 1, 2, 3, 4),
+      |best AS (SELECT query_idx, tok_idx, doc_id, max(dotp) AS best
+      |         FROM dp GROUP BY 1, 2, 3),
+      |sc AS (SELECT query_idx, doc_id, sum(best) AS score
+      |       FROM best GROUP BY 1, 2),
+      |truth AS (SELECT query_idx, doc_id FROM (
+      |            SELECT *, row_number() OVER (PARTITION BY query_idx
+      |                        ORDER BY score DESC, doc_id ASC) AS rn FROM sc)
+      |          WHERE rn <= 10),
+      |dv AS (SELECT doc_id AS id, dim, CAST(sum(cent) AS DOUBLE) AS m
+      |       FROM cv GROUP BY 1, 2),
+      |dn AS (SELECT id, sqrt(sum(m * m)) AS nrm FROM dv GROUP BY 1),
+      |crep AS (SELECT id % 16 AS centroid_id, id FROM (
+      |           SELECT id, row_number() OVER (PARTITION BY id % 16
+      |                           ORDER BY id) AS rn
+      |           FROM (SELECT DISTINCT id FROM dv))
+      |         WHERE rn = 1),
+      |cvd AS (SELECT crep.centroid_id, dv.dim, dv.m
+      |        FROM crep JOIN dv ON dv.id = crep.id),
+      |cn2 AS (SELECT centroid_id, sqrt(sum(m * m)) AS nrm FROM cvd GROUP BY 1),
+      |adot AS (SELECT dv.id, cvd.centroid_id, sum(dv.m * cvd.m) AS dt
+      |         FROM dv JOIN cvd USING (dim) GROUP BY 1, 2),
+      |assign AS (SELECT id, cluster_id FROM (
+      |             SELECT a.id, a.centroid_id AS cluster_id,
+      |                    row_number() OVER (PARTITION BY a.id
+      |                      ORDER BY 1.0 - a.dt / (dnn.nrm * c2.nrm),
+      |                               a.centroid_id) AS rn
+      |             FROM adot a
+      |             JOIN dn dnn ON dnn.id = a.id
+      |             JOIN cn2 c2 ON c2.centroid_id = a.centroid_id)
+      |           WHERE rn = 1),
+      |csize AS (SELECT cluster_id, count(*) AS csize FROM assign GROUP BY 1),
+      |qk AS (SELECT query_idx * 3 + tok_idx AS tok_key, query_idx, dim,
+      |              CAST(cent AS DOUBLE) AS qc
+      |       FROM qv),
+      |qn2 AS (SELECT tok_key, sqrt(sum(qc * qc)) AS nrm FROM qk GROUP BY 1),
+      |qdot AS (SELECT qk.tok_key, cvd.centroid_id, sum(qk.qc * cvd.m) AS dt
+      |         FROM qk JOIN cvd USING (dim) GROUP BY 1, 2),
+      |pr AS (SELECT q.tok_key, q.centroid_id,
+      |              1.0 - q.dt / (c2.nrm * qn2.nrm) AS d,
+      |              coalesce(s.csize, 0) AS csize
+      |       FROM qdot q
+      |       JOIN cn2 c2 ON c2.centroid_id = q.centroid_id
+      |       JOIN qn2 ON qn2.tok_key = q.tok_key
+      |       LEFT JOIN csize s ON s.cluster_id = q.centroid_id),
+      |pool AS (SELECT tok_key, centroid_id,
+      |                coalesce(sum(csize) OVER (PARTITION BY tok_key
+      |                  ORDER BY d, centroid_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |                  0) AS pool
+      |         FROM pr),
+      |widths AS (SELECT CAST(unnest([5, 25]) AS BIGINT) AS t_width),
+      |probes AS (SELECT w.t_width, p.tok_key, p.centroid_id
+      |           FROM widths w JOIN pool p
+      |             ON p.pool < greatest(10 * w.t_width, 100)),
+      |sdot AS (SELECT qk.tok_key, min(qk.query_idx) AS query_idx, dv.id,
+      |                sum(qk.qc * dv.m) AS dt
+      |         FROM qk JOIN dv USING (dim) GROUP BY qk.tok_key, dv.id),
+      |sct AS (SELECT p.t_width, sd.tok_key, sd.query_idx, sd.id,
+      |               row_number() OVER (PARTITION BY p.t_width, sd.tok_key
+      |                 ORDER BY sd.dt / (dnn.nrm * qn2.nrm) DESC,
+      |                          sd.id ASC) AS rn
+      |        FROM sdot sd
+      |        JOIN assign a ON a.id = sd.id
+      |        JOIN probes p ON p.tok_key = sd.tok_key
+      |                     AND p.centroid_id = a.cluster_id
+      |        JOIN dn dnn ON dnn.id = sd.id
+      |        JOIN qn2 ON qn2.tok_key = sd.tok_key),
+      |cand AS (SELECT DISTINCT s.t_width, s.query_idx, s.id AS doc_id
+      |         FROM sct s WHERE s.rn <= s.t_width),
+      |pruned AS (SELECT t_width, query_idx, doc_id FROM (
+      |             SELECT c.t_width, s.query_idx, s.doc_id,
+      |                    row_number() OVER (PARTITION BY c.t_width, s.query_idx
+      |                      ORDER BY s.score DESC, s.doc_id ASC) AS rn
+      |             FROM sc s JOIN cand c
+      |               ON s.query_idx = c.query_idx AND s.doc_id = c.doc_id)
+      |           WHERE rn <= 10),
+      |nc AS (SELECT t_width, query_idx, CAST(count(*) AS BIGINT) AS n_candidates
+      |       FROM cand GROUP BY 1, 2),
+      |h AS (SELECT p.t_width, p.query_idx, CAST(count(*) AS BIGINT) AS n_hits
+      |      FROM pruned p JOIN truth t
+      |        ON t.query_idx = p.query_idx AND t.doc_id = p.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT nc.t_width, nc.query_idx, nc.n_candidates,
+      |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+      |FROM nc LEFT JOIN h
+      |  ON h.t_width = nc.t_width AND h.query_idx = nc.query_idx
+      |ORDER BY nc.t_width, nc.query_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_maxsim" -> (searchMaxsim _),
     "q_search_maxsim_pruned" -> (searchMaxsimPruned _),
+    "q_search_maxsim_ann" -> (searchMaxsimAnn _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_compaction_plan" -> (compactionPlan _),
     "q_zorder_layout" -> (zorderLayout _),
@@ -1852,6 +2106,7 @@ object OpsQueries {
   def oracles: Map[String, String] = Map(
     "q_search_maxsim" -> searchMaxsimSql,
     "q_search_maxsim_pruned" -> searchMaxsimPrunedSql,
+    "q_search_maxsim_ann" -> searchMaxsimAnnSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_compaction_plan" -> compactionPlanSql,
     "q_zorder_layout" -> zorderLayoutSql,

@@ -143,12 +143,11 @@ object ChunkIndex {
       perTokenT: Int = 25,
       maxQueryTokens: Int = 16,
       broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
-    val (qdf, chunkVecs) = embedQueryTokens(
+    import spark.implicits._
+    val (toks, chunkVecs) = embedQueryTokens(
       spark, catalog, entry, embedder, queries, maxQueryTokens)
-    if (qdf.isEmpty)
-      return chunkVecs.select(lit(0).as("query_idx"), col("doc_id").as("id"),
-        lit(0.0).as("score")).limit(0)
-    val q = qdf.get
+    if (toks.isEmpty) return emptyResult(chunkVecs)
+    val q = toks.toDF("query_idx", "tok_idx", "vec")
     // candidate rule: one chunk scan, per-(query, token) top-T docs by
     // best chunk dot. The query-token frame follows the serving size gate
     // (broadcast while the driver-known row bound fits, shuffle-hash past
@@ -176,11 +175,67 @@ object ChunkIndex {
       .select(col("query_idx"), col("doc_id").as("id"), col("score"))
   }
 
+  /** ANN-pruned maxsim serving — the 100 TB candidate route. Per-token
+    * document candidates come from the DOC-LEVEL IVF index (corpus-pruned
+    * probes: [[graft.ann.Ann.ivfTopKBatchAdaptive]] with the query's
+    * TOKEN vectors as the batch — one plan for all tokens), so candidate
+    * generation never scans the chunk table; the exact maxsim rescore
+    * then touches only the shortlisted documents' chunk rows (the
+    * doc_id-keyed, bucket-prunable [[MaxSim.topK]] shortlist join). Per-
+    * request cost is probed-clusters + shortlist-bounded — decoupled from
+    * stored chunk rows (ChunkIndexProbe measures exactly that), where
+    * [[search]]'s chunk-route candidate rule is chunk-table-linear by
+    * construction. Recall vs the exact-scan truth is graded end-to-end in
+    * `q_search_maxsim_ann` at two shortlist widths.
+    *
+    * @param perTokenT per-token candidate width: top-T documents per query
+    *                  token by DOC-LEVEL cosine (union over tokens forms
+    *                  the query's shortlist)
+    */
+  def searchAnn(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      embedder: Embedder,
+      queries: Seq[(Int, String)],
+      k: Int,
+      perTokenT: Int = 25,
+      maxQueryTokens: Int = 16,
+      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
+    import spark.implicits._
+    val (toks, chunkVecs) = embedQueryTokens(
+      spark, catalog, entry, embedder, queries, maxQueryTokens)
+    if (toks.isEmpty) return emptyResult(chunkVecs)
+    val qdf = toks.toDF("query_idx", "tok_idx", "vec")
+    // each token is its own ANN query; the composite key maps shortlists
+    // back to their query driver-side (token count per request is bounded
+    // by queries * maxQueryTokens, so the key map is tiny and broadcast)
+    val tokBatch = toks.zipWithIndex.map { case ((_, _, v), key) => key -> v.toSeq }
+    val perTok = graft.ann.Ann.ivfTopKBatchAdaptive(
+      graft.ann.IvfIndex.loadIndex(spark, catalog, entry),
+      graft.ann.IvfIndex.loadCentroids(spark, catalog, entry),
+      tokBatch, perTokenT,
+      numCandidates = math.max(10L * perTokenT, 100L), broadcastRowLimit)
+    val keyToQuery = toks.zipWithIndex
+      .map { case ((qIdx, _, _), key) => (key, qIdx) }
+      .toDF("tok_key", "query_idx")
+    val cand = perTok.withColumnRenamed("query_idx", "tok_key")
+      .join(broadcast(keyToQuery), "tok_key")
+      .select(col("query_idx"), col("id").as("doc_id")).distinct()
+    MaxSim.topK(chunkVecs, qdf, k, candidates = Some(cand), broadcastRowLimit)
+      .select(col("query_idx"), col("doc_id").as("id"), col("score"))
+  }
+
+  private def emptyResult(chunkVecs: DataFrame): DataFrame =
+    chunkVecs.select(lit(0).as("query_idx"), col("doc_id").as("id"),
+      lit(0.0).as("score")).limit(0)
+
   /** Driver-side query-token embedding shared by the serving routes:
     * tokens from the canonical tokenizer, capped at `maxQueryTokens`
     * (first occurrences win), embedded in one batch call and
-    * L2-normalized to match the index rows. Returns (token frame —
-    * None when no query yields a token, chunk-vector frame).
+    * L2-normalized to match the index rows. Returns ((query_idx, tok_idx,
+    * vec) triples — empty when no query yields a token, chunk-vector
+    * frame).
     */
   private def embedQueryTokens(
       spark: SparkSession,
@@ -188,8 +243,7 @@ object ChunkIndex {
       entry: CollectionEntry,
       embedder: Embedder,
       queries: Seq[(Int, String)],
-      maxQueryTokens: Int): (Option[DataFrame], DataFrame) = {
-    import spark.implicits._
+      maxQueryTokens: Int): (Seq[(Int, Int, Array[Float])], DataFrame) = {
     val toks: Seq[(Int, Int, Array[Float])] = queries.flatMap { case (qIdx, text) =>
       val ts = TextFunctions.TokenPattern.r.findAllIn(text.toLowerCase)
         .toSeq.take(maxQueryTokens)
@@ -201,7 +255,6 @@ object ChunkIndex {
     }
     val chunkVecs = load(spark, catalog, entry)
       .select(col("id").as("doc_id"), col("vec"))
-    (if (toks.isEmpty) None else Some(toks.toDF("query_idx", "tok_idx", "vec")),
-      chunkVecs)
+    (toks, chunkVecs)
   }
 }

@@ -83,6 +83,49 @@ class ChunkIndexSpec extends SparkSpec {
       case Seq(a, b) => a >= b; case _ => true })
   }
 
+  test("ANN-pruned serving: full width == exact maxsim; Api routes on candidateSource") {
+    val api = newApi()
+    api.createCollection("c7", documents = Some(docsDf(0 until 30)))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "c7"))
+    val emb = new DeterministicHashEmbedder(16)
+    ChunkIndex.build(spark, api.catalog, entry, emb, MaxTok)
+    // candidateSource="ivf" without a doc-level IVF index is governed
+    val exI = intercept[GraftException] {
+      api.maxsimSearch("c7", "topic words", nResults = 5, candidateSource = "ivf")
+    }
+    assert(exI.code == graft.model.ErrorCodes.AnnIndexNotFound)
+    // auto without an IVF index == the chunk route
+    val viaAuto = api.maxsimSearch("c7", "topic words document", nResults = 6)
+    val viaChunk = api.maxsimSearch("c7", "topic words document", nResults = 6,
+      candidateSource = "chunk")
+    assert(viaAuto.results == viaChunk.results)
+    intercept[IllegalArgumentException] {
+      api.maxsimSearch("c7", "topic", nResults = 5, candidateSource = "nope")
+    }
+    // build the doc-level IVF: auto now routes through the ANN candidates
+    api.buildAnnIndex("c7", nClusters = 4)
+    // at full shortlist width the ANN route's union covers every probed
+    // doc and numCandidates covers every cluster -> exact maxsim rows
+    val served = ChunkIndex.searchAnn(spark, api.catalog, entry, emb,
+        Seq(0 -> "topic words document"), k = 6, perTokenT = 1000)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    val toks = Seq("topic", "words", "document")
+    val qdf = emb.embedBatch(toks).zipWithIndex.map { case (v, i) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      (0, i, v.map(x => (x / n).toFloat).toSeq)
+    }.toDF("query_idx", "tok_idx", "vec")
+    val exact = MaxSim.topK(
+        ChunkIndex.load(spark, api.catalog, entry)
+          .select(col("id").as("doc_id"), col("vec")), qdf, k = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(served.nonEmpty && served.sortBy(_._2) == exact.sortBy(_._2))
+    // the governed auto route serves end to end through the ANN leg
+    val viaIvf = api.maxsimSearch("c7", "topic words document", nResults = 6,
+      candidateSource = "ivf")
+    val autoNow = api.maxsimSearch("c7", "topic words document", nResults = 6)
+    assert(viaIvf.results == autoNow.results && viaIvf.results.nonEmpty)
+  }
+
   test("serving pins nothing: getPersistentRDDs unchanged by a maxsim serve") {
     val api = newApi()
     api.createCollection("c5", documents = Some(docsDf(0 until 25)))
