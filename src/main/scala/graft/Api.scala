@@ -361,23 +361,7 @@ final class Api(
       s"candidateSource '$candidateSource' not in {auto, chunk, ivf}")
     val q = Sanitize.sanitizeString(validQuestions(Seq(question)).head)
     val entry = catalog.getCollection(physical(validCollection(name)))
-    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
-    if (!exists(graft.search.ChunkIndex.indexPath(catalog, entry)))
-      throw new GraftException(ErrorCodes.AnnIndexNotFound)
-    val hasIvf = exists(graft.ann.IvfIndex.indexPath(catalog, entry)) &&
-      exists(graft.ann.IvfIndex.centroidsPath(catalog, entry))
-    val useIvf = candidateSource match {
-      case "ivf" =>
-        if (!hasIvf) throw new GraftException(ErrorCodes.AnnIndexNotFound)
-        true
-      case "chunk" => false
-      case _ => hasIvf
-    }
-    val res =
-      if (useIvf) graft.search.ChunkIndex.searchAnn(spark, catalog, entry,
-        embedder, Seq(0 -> q), k, perTokenT, maxQueryTokens)
-      else graft.search.ChunkIndex.search(spark, catalog, entry, embedder,
-        Seq(0 -> q), k, perTokenT, maxQueryTokens)
+    val res = maxsimHits(entry, q, k, perTokenT, maxQueryTokens, candidateSource)
     val payload = res.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.id"), col("d.content"), col("d.metadata"),
@@ -779,6 +763,39 @@ final class Api(
       index, qs, k, meta.dim, meta.bits, meta.tables, meta.seed, multiProbe = multiProbe)
   }
 
+  /** Maxsim hits (query_idx, id, score) for a sanitized question — the
+    * serving core shared by [[maxsimSearch]] and the maxsim-leg hybrid
+    * ([[searchIndexed]] semanticMode="maxsim"). Candidate routing follows
+    * [[maxsimSearch]]'s `candidateSource` semantics: auto prefers the
+    * doc-level-IVF-pruned route whenever that index exists; a missing
+    * chunk index (or forcing "ivf" without one) is governed
+    * `ann_index_not_found`.
+    */
+  private def maxsimHits(
+      entry: graft.model.CollectionEntry,
+      q: String,
+      k: Int,
+      perTokenT: Int = 25,
+      maxQueryTokens: Int = 16,
+      candidateSource: String = "auto"): DataFrame = {
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    if (!exists(graft.search.ChunkIndex.indexPath(catalog, entry)))
+      throw new GraftException(ErrorCodes.AnnIndexNotFound)
+    val hasIvf = exists(graft.ann.IvfIndex.indexPath(catalog, entry)) &&
+      exists(graft.ann.IvfIndex.centroidsPath(catalog, entry))
+    val useIvf = candidateSource match {
+      case "ivf" =>
+        if (!hasIvf) throw new GraftException(ErrorCodes.AnnIndexNotFound)
+        true
+      case "chunk" => false
+      case _ => hasIvf
+    }
+    if (useIvf) graft.search.ChunkIndex.searchAnn(spark, catalog, entry,
+      embedder, Seq(0 -> q), k, perTokenT, maxQueryTokens)
+    else graft.search.ChunkIndex.search(spark, catalog, entry, embedder,
+      Seq(0 -> q), k, perTokenT, maxQueryTokens)
+  }
+
   /** IVF-PQ hits (query_idx, id, score) for prepared query vectors. */
   private def pqHits(
       entry: graft.model.CollectionEntry,
@@ -842,10 +859,11 @@ final class Api(
 
   /** Index-served hybrid RRF: the 100 TB serving shape — both fusion
     * inputs come from persistent indexes (semantic via IVF / sign-LSH /
-    * IVF-PQ, lexical via the bucket-pruned posting index), so the corpus
-    * content is never scanned; only the fused top-k joins back for its
-    * payload. Fusion math and validation are identical to [[search]];
-    * an unknown mode is governed like an unknown action.
+    * IVF-PQ / maxsim-over-the-chunk-index, lexical via the bucket-pruned
+    * posting index), so the corpus content is never scanned; only the
+    * fused top-k joins back for its payload. Fusion math and validation
+    * are identical to [[search]]; an unknown mode is governed like an
+    * unknown action.
     */
   def searchIndexed(
       name: String, question: String, numberResults: Int = 10,
@@ -864,6 +882,10 @@ final class Api(
       case "approx" => approxHits(entry, qs, limit)
       case "lsh" => lshHits(entry, qs, limit)
       case "pq" => pqHits(entry, qs, limit)
+      // late-interaction leg: maxsim ranks fuse with the lexical ranks
+      // through the identical RRF math (RRF consumes ranks only,
+      // vector_api.py:556-564 semantics unchanged)
+      case "maxsim" => maxsimHits(entry, safeQ, limit)
       case _ => throw new GraftException(ErrorCodes.SearchActionInvalid)
     })
     val lex = invoke(lexicalMode match {

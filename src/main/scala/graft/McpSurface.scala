@@ -163,8 +163,11 @@ class McpSurface(
         }
       case "search" =>
         // normalize the modes exactly like the single-sided actions do —
-        // "Exact"/" scan " must behave identically on every action
-        val sem = resolveAction(semanticMode, Set("exact", "approx", "lsh", "pq"),
+        // "Exact"/" scan " must behave identically on every action.
+        // maxsim fuses as a semantic leg: RRF consumes ranks only, so the
+        // late-interaction ranks drop into the reference fusion unchanged
+        val sem = resolveAction(semanticMode,
+          Set("exact", "approx", "lsh", "pq", "maxsim"),
           ErrorCodes.SearchActionInvalid)
         val lex = resolveAction(lexicalMode,
           Set("scan", "indexed", "bm25", "bm25_indexed"),

@@ -2063,10 +2063,86 @@ object OpsQueries {
       |  ON h.t_width = nc.t_width AND h.query_idx = nc.query_idx
       |ORDER BY nc.t_width, nc.query_idx""".stripMargin
 
+  // ---- maxsim as a hybrid RRF leg (Api.searchIndexed semanticMode=
+  //      "maxsim", McpSurface hybrid `search`): the late-interaction
+  //      ranks fuse with the TF lexical ranks through the reference's
+  //      RRF math unchanged — RRF consumes ranks only, so the maxsim
+  //      scorer needs no rescaling to join the fusion. Maxsim leg =
+  //      q_search_maxsim's integer cent-unit scorer (query 0: "data
+  //      analysis system"); lexical leg = TF over the same words;
+  //      weights 0.6/0.4, rrf_k 60, k 10 — both legs and the fused
+  //      arithmetic replay 1:1 in DuckDB. ----
+  def hybridMaxsim(s: SparkSession, dir: String): DataFrame = {
+    val qtoks = maxsimQueryToks(s, dir).filter(col("query_idx") === 0)
+    val sem = graft.search.MaxSim.topK(maxsimChunkVecs(s, dir), qtoks, k = 10)
+      .select(col("query_idx"), col("doc_id").as("id"), col("score"))
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id").as("id"), col("text").as("content"))
+    val lex = graft.search.Lexical.search(docs, Seq((0, "data analysis system")), 10)
+    graft.search.Hybrid.rrf(sem, lex, 0.6, 0.4, 60, 10)
+      .withColumn("score", round(col("score"), 9))
+      .orderBy(col("score").desc, col("id").asc)
+  }
+
+  val hybridMaxsimSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      |           FROM documents),
+      |n AS (SELECT doc_id, words,
+      |             greatest(CAST(ceil(len(words) / 20.0) AS INTEGER), 1) AS n_chunks
+      |      FROM w),
+      |c AS (SELECT doc_id,
+      |             array_to_string(words[i*20+1 : i*20+20], ' ') AS chunk
+      |      FROM n, (SELECT unnest(range(100)) AS i) ix
+      |      WHERE ix.i < n.n_chunks),
+      |ck AS (SELECT doc_id, chunk FROM c WHERE length(chunk) > 0),
+      |i AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS dim),
+      |cv AS (SELECT doc_id, chunk, dim,
+      |         ('0x' || substr(sha256(chunk || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 AS cent
+      |       FROM ck CROSS JOIN i),
+      |qt AS (SELECT * FROM (VALUES (0, 'data'), (1, 'analysis'), (2, 'system'))
+      |                  v(tok_idx, tok)),
+      |qv AS (SELECT tok_idx, dim,
+      |         ('0x' || substr(sha256(tok || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 AS cent
+      |       FROM qt CROSS JOIN i),
+      |dp AS (SELECT qv.tok_idx, cv.doc_id, cv.chunk,
+      |              sum(qv.cent * cv.cent) AS dotp
+      |       FROM cv JOIN qv USING (dim)
+      |       GROUP BY 1, 2, 3),
+      |best AS (SELECT tok_idx, doc_id, max(dotp) AS best
+      |         FROM dp GROUP BY 1, 2),
+      |sc AS (SELECT doc_id, sum(best) AS score FROM best GROUP BY 1),
+      |sem AS (SELECT doc_id AS id, rnk FROM (
+      |          SELECT doc_id, row_number() OVER (ORDER BY score DESC, doc_id ASC) AS rnk
+      |          FROM sc)
+      |        WHERE rnk <= 10),
+      |tk AS (SELECT doc_id AS id,
+      |              regexp_extract_all(lower(text), '[a-z0-9_]{2,}') AS toks
+      |       FROM documents),
+      |lexs AS (SELECT id,
+      |                CAST(len(list_filter(toks, x -> x = 'data'))
+      |                   + len(list_filter(toks, x -> x = 'analysis'))
+      |                   + len(list_filter(toks, x -> x = 'system')) AS DOUBLE) AS score
+      |         FROM tk),
+      |lex AS (SELECT id, rnk FROM (
+      |          SELECT id, row_number() OVER (ORDER BY score DESC, id ASC) AS rnk
+      |          FROM lexs WHERE score > 0)
+      |        WHERE rnk <= 10),
+      |u AS (SELECT id, 0.6/(60.0 + rnk) AS contrib FROM sem
+      |      UNION ALL
+      |      SELECT id, 0.4/(60.0 + rnk) FROM lex),
+      |fz AS (SELECT CAST(0 AS INTEGER) AS query_idx, id, sum(contrib) AS score
+      |       FROM u GROUP BY id),
+      |t AS (SELECT query_idx, id, score,
+      |             row_number() OVER (ORDER BY score DESC, id ASC) AS rn
+      |      FROM fz)
+      |SELECT query_idx, id, round(score, 9) AS score FROM t WHERE rn <= 10
+      |ORDER BY round(score, 9) DESC, id""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_maxsim" -> (searchMaxsim _),
     "q_search_maxsim_pruned" -> (searchMaxsimPruned _),
     "q_search_maxsim_ann" -> (searchMaxsimAnn _),
+    "q_hybrid_maxsim" -> (hybridMaxsim _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_compaction_plan" -> (compactionPlan _),
     "q_zorder_layout" -> (zorderLayout _),
@@ -2107,6 +2183,7 @@ object OpsQueries {
     "q_search_maxsim" -> searchMaxsimSql,
     "q_search_maxsim_pruned" -> searchMaxsimPrunedSql,
     "q_search_maxsim_ann" -> searchMaxsimAnnSql,
+    "q_hybrid_maxsim" -> hybridMaxsimSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_compaction_plan" -> compactionPlanSql,
     "q_zorder_layout" -> zorderLayoutSql,

@@ -307,6 +307,14 @@ class SurfaceSpec extends SparkSpec {
       semanticMode = "approx", lexicalMode = "bm25_indexed")).toSet ==
       ids(hybridScan).toSet,
       "bm25-fused hybrid reranks but serves the same documents here")
+    // maxsim as a hybrid leg: late-interaction ranks fuse with the
+    // lexical ranks through the same RRF math (rank-only fusion, so the
+    // different scorer needs no rescaling); serves the result shape and
+    // the same documents on this total-recall corpus
+    assert(ids(mcp.vectorSearch("search", "mv", "alpha beta",
+      semanticMode = "maxsim", lexicalMode = "indexed")).toSet ==
+      ids(hybridScan).toSet,
+      "maxsim-fused hybrid reranks but serves the same documents here")
     // mode spellings normalize on EVERY action — the hybrid must accept
     // the same "Exact"/" scan " forms the single-sided actions do
     assert(ids(mcp.vectorSearch("search", "mv", "alpha beta",
