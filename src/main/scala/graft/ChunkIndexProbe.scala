@@ -47,12 +47,23 @@ object ChunkIndexProbe {
       api.addDocuments("c", batch)
       val up = (System.nanoTime() - t0) / 1e9
       val t1 = System.nanoTime()
-      val res = api.maxsimSearch("c", "w17base w40base w63base", nResults = 10)
+      val res = api.maxsimSearch("c", "w17base w40base w63base", nResults = 10,
+        candidateSource = "chunk")
       val serve = (System.nanoTime() - t1) / 1e9
       require(res.results.nonEmpty)
+      // the ANN candidate route: doc-level IVF shortlists feed the
+      // bucket-prunable rescore — serve cost must DECOUPLE from stored
+      // chunk rows (probes + shortlist work only)
+      api.buildAnnIndex("c", nClusters = 64)
+      val t2 = System.nanoTime()
+      val resAnn = api.maxsimSearch("c", "w17base w40base w63base",
+        nResults = 10, candidateSource = "ivf")
+      val serveAnn = (System.nanoTime() - t2) / 1e9
+      require(resAnn.results.nonEmpty)
       if (!warm) {
         println(f"""{"op":"chunk_upsert","corpus":$n,"batch":200,"sec":$up%.3f}""")
         println(f"""{"op":"chunk_serve","corpus":$n,"batch":0,"sec":$serve%.3f}""")
+        println(f"""{"op":"chunk_serve_ann","corpus":$n,"batch":0,"sec":$serveAnn%.3f}""")
       }
       spark.catalog.clearCache(); System.gc()
     }

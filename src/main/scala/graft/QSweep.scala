@@ -66,7 +66,22 @@ object QSweep {
       base.select("id", "embedding", "norm"), 64, 2).localCheckpoint()
     val assigned = graft.ann.Ann.assign(vecs, cents)
       .repartition(cpus.toInt).localCheckpoint()
-    graph.count(); cents.count(); assigned.count() // untimed prep
+    // late-interaction maxsim serving state: 4 chunk rows per document
+    // (the replicated vectors grouped by id/4 — 4k docs x 4 chunks), a
+    // doc-level vector per document (its first chunk) and its IVF
+    // assignment for the ANN candidate route
+    val chunkVecs = vecs
+      .select(floor(col("id") / 4).cast("long").as("doc_id"),
+        col("embedding").as("vec"))
+      .repartition(cpus.toInt).localCheckpoint()
+    val docVecs = vecs.filter(pmod(col("id"), lit(4)) === 0)
+      .select(floor(col("id") / 4).cast("long").as("id"),
+        col("embedding"), col("norm"))
+      .repartition(cpus.toInt).localCheckpoint()
+    val assignedDocs = graft.ann.Ann.assign(docVecs, cents)
+      .repartition(cpus.toInt).localCheckpoint()
+    graph.count(); cents.count(); assigned.count()
+    chunkVecs.count(); assignedDocs.count() // untimed prep
 
     // deterministic synthetic query batch: corpus vectors, perturbed so
     // routing is non-degenerate; driver-side Seq like the serving API
@@ -115,6 +130,31 @@ object QSweep {
       if (qn <= 100)
         timed("serve_ivf_loop", qn, warm)(
           graft.ann.Ann.ivfTopK(assigned, cents, qs, k = 10, nprobe = 3).count())
+      // maxsim serving, both candidate routes at both gate legs. Each
+      // query carries 4 tokens (perturbed corpus vectors, like qs).
+      import spark.implicits._
+      val tokSeq: Seq[(Int, Int, Array[Float])] = queryBatch(qn * 4)
+        .map { case (key, v) => (key / 4, key % 4, v.toArray) }
+      val qToks = tokSeq.toDF("query_idx", "tok_idx", "vec")
+      def maxsimScan(limit: Long) = graft.search.ChunkIndex.searchFrames(
+        chunkVecs, qToks, k = 10, perTokenT = 25, broadcastRowLimit = limit)
+      def maxsimAnn(limit: Long) = {
+        val cand = graft.search.ChunkIndex.annCandidates(
+          spark, assignedDocs, cents, tokSeq, perTokenT = 25,
+          broadcastRowLimit = limit)
+        graft.search.MaxSim.topK(chunkVecs, qToks, k = 10,
+          candidates = Some(cand), broadcastRowLimit = limit)
+      }
+      // the scan route's candidate frame is chunks x tokens — at Q=10k
+      // (40k token rows x 16k chunk rows = 640M scored pairs) it IS the
+      // demonstrated non-starter; measured through Q=1k, excluded above
+      // like serve_ivf_loop (same class of evidence, opposite axis)
+      if (qn <= 1000) {
+        timed("serve_maxsim_scan_bcast", qn, warm)(maxsimScan(Long.MaxValue).count())
+        timed("serve_maxsim_scan_shuffle", qn, warm)(maxsimScan(0L).count())
+      }
+      timed("serve_maxsim_ann_bcast", qn, warm)(maxsimAnn(Long.MaxValue).count())
+      timed("serve_maxsim_ann_shuffle", qn, warm)(maxsimAnn(0L).count())
     }
 
     // nothing inside runAll persists or checkpoints, so no per-Q cache

@@ -1126,6 +1126,41 @@ object ScaleProbe {
       graft.search.MaxSim.topK(maxsimChunks, maxsimToks, k = 10,
         candidates = Some(cand)).count()
     }
+    // predicate-sweep deletion, both resolution modes over a REAL
+    // warehouse (matched count ∝ M, fixed maxBatch so the round count
+    // grows with M): re-resolve pays rounds × corpus-scan-with-predicate
+    // (O(M²/maxBatch) resolution work), resolve-once pays ONE corpus scan
+    // + sink-sized drains (O(M)). The id-batch delete work (bucket
+    // rewrites) is identical in both modes — the delta between the two
+    // rows IS the resolution strategy's cost.
+    val sweepGate = only.forall(o =>
+      o.contains("delete_sweep_rescan") || o.contains("delete_sweep_once"))
+    lazy val sweepApis: Map[String, Api] = Seq("rescan", "once").map { tag =>
+      val wh = java.nio.file.Files.createTempDirectory(s"graft-sweep-$tag").toString
+      val emb = new graft.ingest.DeterministicHashEmbedder(16)
+      val api = new Api(spark, wh, emb)
+      api.createCollection("c")
+      val entry = api.catalog.getCollection(api.catalog.physicalName("default", "c"))
+      // bulk load through the internal merge — probe PREP, not the
+      // governed batch path (whose 1000-doc bound would make M-fold
+      // prep a 320-round loop at 64x)
+      val embedded = graft.ingest.Ingest.withNorm(
+        graft.ingest.Embed.withEmbeddings(
+          graft.ingest.Ingest.prepare(docs.select("content")), emb))
+      graft.ingest.Ingest.mergeUpsert(spark, api.catalog, entry, embedded)
+      tag -> api
+    }.toMap
+    if (sweepGate) { sweepApis; () } // untimed prep (ingest is write cost)
+    // ~19% of content-derived uuid ids (first hex nibble in {0,1,2})
+    val sweepPred = substring(col("id"), 1, 1).isin("0", "1", "2")
+    time("delete_sweep_rescan") {
+      sweepApis("rescan").deleteDocumentsWhere("c", sweepPred,
+        confirm = true, maxBatch = 1000)
+    }
+    time("delete_sweep_once") {
+      sweepApis("once").deleteDocumentsWhere("c", sweepPred,
+        confirm = true, maxBatch = 1000, resolveOnce = true)
+    }
     // FLAC decode: encode+decode are per-row narrow work (no shuffle
     // anywhere) — the curve must be a clean linear scan like filter_c4
     time("flac_decode") {

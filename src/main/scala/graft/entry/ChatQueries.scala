@@ -246,6 +246,163 @@ object ChatQueries {
       |  ON k.conv_id = d.doc_id AND k.budget = bb.budget
       |ORDER BY conv_id, bb.budget""".stripMargin
 
+  // ---- id-matched tool anchoring: parallel calls + interleaved results ----
+  // Content turns i=1..9 per doc: user, assistant calls [c{d}_1, c{d}_2],
+  // tool c{d}_1, tool c{d}_2 (a PARALLEL-results run — valid only under
+  // the id grammar), assistant (answer), user, assistant calls [c{d}_3],
+  // tool c{d}_3, assistant. Plants:
+  //   d%5  = 0: turn 4's call_id -> 'cX' (unknown id)        -> unanchored
+  //   d%9  = 0: turn 8's call_id -> c{d}_1 (an EARLIER call;
+  //             the nearest assistant doesn't carry it)      -> unanchored
+  //   d%13 = 0: turn 6 (user) -> tool with c{d}_2 (its
+  //             nearest assistant issued no calls)           -> unanchored
+  //   d%17 = 0: turn 1 (user) -> tool 'cZ' (tool-first)      -> grammar break
+  // Every audit flag and every trim anchor is a pure function of doc_id,
+  // so the oracle predicts both queries from the planting arithmetic.
+  private def toolIdTurns(s: SparkSession, dir: String): DataFrame = {
+    val cid = (n: Int) => concat(lit("c"), col("doc_id"), lit(s"_$n"))
+    Tables.t(s, dir, "documents")
+      .select(col("doc_id"), explode(sequence(lit(1), lit(9))).as("i"))
+      .withColumn("role",
+        when(col("i") === 1,
+          when(col("doc_id") % 17 === 0, lit("tool")).otherwise(lit("user")))
+          .when(col("i").isin(2, 5, 7, 9), lit("assistant"))
+          .when(col("i") === 6,
+            when(col("doc_id") % 13 === 0, lit("tool")).otherwise(lit("user")))
+          .otherwise(lit("tool")))
+      .withColumn("call_id",
+        when(col("i") === 3, cid(1))
+          .when(col("i") === 4,
+            when(col("doc_id") % 5 === 0, lit("cX")).otherwise(cid(2)))
+          .when(col("i") === 8,
+            when(col("doc_id") % 9 === 0, cid(1)).otherwise(cid(3)))
+          .when(col("i") === 6 && col("doc_id") % 13 === 0, cid(2))
+          .when(col("i") === 1 && col("doc_id") % 17 === 0, lit("cZ"))
+          .otherwise(lit(null).cast("string")))
+      .withColumn("calls",
+        when(col("i") === 2, array(cid(1), cid(2)))
+          .when(col("i") === 7, array(cid(3)))
+          .otherwise(lit(null).cast("array<string>")))
+      .withColumn("content", concat(lit("turn "), col("i")))
+      .select(col("doc_id"), col("i"), col("role"), col("content"),
+        col("call_id"), col("calls"))
+  }
+
+  private def toolIdConvJson(s: SparkSession, dir: String): DataFrame = {
+    val content = toolIdTurns(s, dir)
+    val sys = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), lit(0).as("i"), lit("system").as("role"),
+        lit("tool guidelines apply").as("content"),
+        lit(null).cast("string").as("call_id"),
+        lit(null).cast("array<string>").as("calls"))
+    content.unionByName(sys)
+      .groupBy("doc_id")
+      .agg(sort_array(collect_list(struct(col("i"), col("role"), col("content"),
+        col("call_id"), col("calls")))).as("ts"))
+      .select(col("doc_id"),
+        to_json(expr("""transform(ts, t -> struct(
+               |  t.role AS role, t.content AS content,
+               |  t.call_id AS tool_call_id, t.calls AS tool_calls))""".stripMargin))
+          .as("msgs"))
+  }
+
+  def chatToolsIds(s: SparkSession, dir: String): DataFrame =
+    Chat.alternationReportIds(
+        Chat.parseConversationsTools(toolIdConvJson(s, dir), "doc_id", "msgs"))
+      .orderBy("conv_id")
+
+  val chatToolsIdsSql: String =
+    """SELECT doc_id AS conv_id,
+      |       CAST(10 AS INTEGER) AS n_turns,
+      |       TRUE AS has_system,
+      |       doc_id % 17 <> 0 AS starts_user,
+      |       doc_id % 17 <> 0 AS alternates,
+      |       TRUE AS ends_assistant,
+      |       doc_id % 5 <> 0 AND doc_id % 9 <> 0 AND doc_id % 13 <> 0
+      |         AND doc_id % 17 <> 0 AS tools_anchored,
+      |       doc_id % 5 <> 0 AND doc_id % 9 <> 0 AND doc_id % 13 <> 0
+      |         AND doc_id % 17 <> 0 AS valid
+      |FROM documents ORDER BY conv_id""".stripMargin
+
+  // ---- id-anchored budget trim over the same fixture: grades the two
+  //      cases the positional heuristic gets wrong — a tool result whose
+  //      TRUE calling turn survives the cut is KEPT even with a later
+  //      assistant in between (d%9 docs at the full budget), and one
+  //      whose calling turn was trimmed DROPS even though a later
+  //      assistant survived (the same docs at the tight budget). Token
+  //      costs 3 + (doc_id+i) mod 5, system 2, budgets {25, 50}. ----
+  def chatBudgetToolsIds(s: SparkSession, dir: String): DataFrame = {
+    val content = toolIdTurns(s, dir)
+      .select(col("doc_id").as("conv_id"), col("i").as("turn_idx"),
+        col("role"), col("call_id"), col("calls"),
+        (lit(3) + pmod(col("doc_id") + col("i"), lit(5))).cast("long").as("tokens"))
+    val sys = Tables.t(s, dir, "documents")
+      .select(col("doc_id").as("conv_id"), lit(0).as("turn_idx"),
+        lit("system").as("role"), lit(null).cast("string").as("call_id"),
+        lit(null).cast("array<string>").as("calls"), lit(2L).as("tokens"))
+    val turns = content.unionByName(sys)
+    val kept = Seq(25L, 50L).map { b =>
+      Chat.contextBudgetTrimIds(turns, b, "tokens").withColumn("budget", lit(b))
+    }.reduce(_ unionByName _)
+    kept.groupBy("conv_id", "budget")
+      .agg(
+        sum(when(col("role") =!= "system", 1L).otherwise(0L)).as("n_kept"),
+        sum(when(col("role") === "tool", 1L).otherwise(0L)).as("n_tool_kept"),
+        sum(col("tokens")).as("kept_tokens"),
+        coalesce(min(when(col("role") =!= "system", col("turn_idx"))),
+          lit(-1)).cast("long").as("first_kept_idx"))
+      .orderBy("conv_id", "budget")
+  }
+
+  val chatBudgetToolsIdsSql: String =
+    """WITH t AS (SELECT doc_id AS conv_id, CAST(g.i AS INTEGER) AS i,
+      |             CASE WHEN g.i = 1 THEN
+      |                    CASE WHEN doc_id % 17 = 0 THEN 'tool' ELSE 'user' END
+      |                  WHEN g.i IN (2, 5, 7, 9) THEN 'assistant'
+      |                  WHEN g.i = 6 THEN
+      |                    CASE WHEN doc_id % 13 = 0 THEN 'tool' ELSE 'user' END
+      |                  ELSE 'tool' END AS role,
+      |             3 + (doc_id + g.i) % 5 AS len,
+      |             -- each tool turn's ID-CARRIER anchor (the trim rule
+      |             -- anchors to the assistant carrying the call id, not
+      |             -- the run head): 3 -> 2; 4 -> 2 unless the %5
+      |             -- unknown-id plant; 8 -> 7, or 2 for the %9
+      |             -- earlier-call plant; 6 (%13 plant) -> 2 (c2's
+      |             -- carrier); 1 (%17 plant) never anchors
+      |             CASE WHEN g.i = 3 THEN 2
+      |                  WHEN g.i = 4 AND doc_id % 5 <> 0 THEN 2
+      |                  WHEN g.i = 8 THEN
+      |                    CASE WHEN doc_id % 9 = 0 THEN 2 ELSE 7 END
+      |                  WHEN g.i = 6 AND doc_id % 13 = 0 THEN 2
+      |                  ELSE NULL END AS anchor
+      |      FROM documents CROSS JOIN generate_series(1, 9) g(i)),
+      |rv AS (SELECT *, sum(len) OVER (PARTITION BY conv_id ORDER BY i DESC)
+      |                 AS rev_sum
+      |       FROM t),
+      |b AS (SELECT CAST(unnest([25, 50]) AS BIGINT) AS budget),
+      |sfx AS (SELECT rv.*, b.budget FROM rv CROSS JOIN b
+      |        WHERE rev_sum + 2 <= b.budget),
+      |fu AS (SELECT conv_id, budget,
+      |              min(CASE WHEN role = 'user' THEN i END) AS u0
+      |       FROM sfx GROUP BY conv_id, budget),
+      |kept AS (SELECT sfx.* FROM sfx
+      |         JOIN fu ON fu.conv_id = sfx.conv_id AND fu.budget = sfx.budget
+      |         WHERE sfx.i >= fu.u0
+      |           AND (sfx.role <> 'tool'
+      |                OR (sfx.anchor IS NOT NULL AND sfx.anchor >= fu.u0)))
+      |SELECT d.doc_id AS conv_id, bb.budget,
+      |       CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+      |       CAST(coalesce(k.n_tool, 0) AS BIGINT) AS n_tool_kept,
+      |       CAST(coalesce(k.kept_len, 0) + 2 AS BIGINT) AS kept_tokens,
+      |       CAST(coalesce(k.first_i, -1) AS BIGINT) AS first_kept_idx
+      |FROM documents d CROSS JOIN b bb
+      |LEFT JOIN (SELECT conv_id, budget, count(*) AS n_kept,
+      |                  sum(CASE WHEN role = 'tool' THEN 1 ELSE 0 END) AS n_tool,
+      |                  sum(len) AS kept_len, min(i) AS first_i
+      |           FROM kept GROUP BY conv_id, budget) k
+      |  ON k.conv_id = d.doc_id AND k.budget = bb.budget
+      |ORDER BY conv_id, bb.budget""".stripMargin
+
   // ---- preference-pair (DPO/RLHF) audits over synthesized pairs ----
   // chosen = tokens 9..9+lenc-1 (lenc = 6 + 3*doc_id mod 9), rejected =
   // tokens 24..24+lenr-1 (lenr = 5 + 7*doc_id mod 7) — a known positive
@@ -389,6 +546,8 @@ object ChatQueries {
     "q_chat_budget" -> (chatBudget _),
     "q_chat_tools" -> (chatTools _),
     "q_chat_budget_tools" -> (chatBudgetTools _),
+    "q_chat_tools_ids" -> (chatToolsIds _),
+    "q_chat_budget_tools_ids" -> (chatBudgetToolsIds _),
     "q_pref_bias" -> (prefBias _),
     "q_pref_dups" -> (prefDups _),
     "q_pref_build" -> (prefBuild _),
@@ -399,6 +558,8 @@ object ChatQueries {
     "q_chat_budget" -> chatBudgetSql,
     "q_chat_tools" -> chatToolsSql,
     "q_chat_budget_tools" -> chatBudgetToolsSql,
+    "q_chat_tools_ids" -> chatToolsIdsSql,
+    "q_chat_budget_tools_ids" -> chatBudgetToolsIdsSql,
     "q_pref_bias" -> prefBiasSql,
     "q_pref_dups" -> prefDupsSql,
     "q_pref_build" -> prefBuildSql,

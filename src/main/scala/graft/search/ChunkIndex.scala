@@ -29,11 +29,18 @@ import graft.model.CollectionEntry
   * embed every token); the embed call is per-partition batched like the
   * document-level pass and paid once per write, never at query time.
   *
-  * Serving ([[search]]): query tokens embed driver-side (one batch
-  * call), the per-token top-T candidate rule (the `q_search_maxsim_pruned`
-  * grading surface) shortlists documents, and the final score is the
-  * exact maxsim over the shortlist — identical rows to
-  * [[MaxSim.topK]](candidates) by construction (ChunkIndexSpec pins it).
+  * Serving: query tokens embed driver-side (one batch call), a
+  * candidate rule shortlists documents, and the final score is the exact
+  * maxsim over the shortlist ([[MaxSim.topK]](candidates) — literally:
+  * both routes call it). Candidate routes:
+  *   - [[search]] (chunk route): per-token top-T over the chunk table
+  *     (the `q_search_maxsim_pruned` grading surface) — candidate
+  *     generation is chunk-table-linear, fine at modest corpora;
+  *   - [[searchAnn]] (ANN route): per-token shortlists from the
+  *     DOC-LEVEL IVF index (the `q_search_maxsim_ann` grading surface) —
+  *     probe-pruned candidate generation, per-request cost decoupled
+  *     from stored chunk rows (ChunkIndexProbe's chunk_serve_ann row);
+  *     the default whenever the collection has an IVF index.
   */
 object ChunkIndex {
 
@@ -148,13 +155,29 @@ object ChunkIndex {
       spark, catalog, entry, embedder, queries, maxQueryTokens)
     if (toks.isEmpty) return emptyResult(chunkVecs)
     val q = toks.toDF("query_idx", "tok_idx", "vec")
-    // candidate rule: one chunk scan, per-(query, token) top-T docs by
-    // best chunk dot. The query-token frame follows the serving size gate
-    // (broadcast while the driver-known row bound fits, shuffle-hash past
-    // it — GraphSearch.mkMark semantics, result-identical either way).
-    val underLimit = q.queryExecution.optimizedPlan.maxRows
+    searchFrames(chunkVecs, q, k, perTokenT, broadcastRowLimit)
+      .select(col("query_idx"), col("doc_id").as("id"), col("score"))
+  }
+
+  /** Frame-level chunk-route serving core (the QSweep-measured unit):
+    * candidate rule — one chunk scan, per-(query, token) top-T docs by
+    * best chunk dot — then the exact maxsim rescore over the shortlist
+    * join. The query-token frame follows the serving size gate
+    * (broadcast while the driver-known row bound fits, shuffle-hash past
+    * it — GraphSearch.mkMark semantics, result-identical either way).
+    * NOTHING is pinned in executor storage (no checkpoint/persist): a
+    * lost executor recomputes its slice, and serving leaves
+    * getPersistentRDDs untouched (ChunkIndexSpec pins both).
+    */
+  def searchFrames(
+      chunkVecs: DataFrame,
+      queryTokens: DataFrame,
+      k: Int,
+      perTokenT: Int,
+      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
+    val underLimit = queryTokens.queryExecution.optimizedPlan.maxRows
       .exists(_ <= broadcastRowLimit)
-    val qv = q.select(col("query_idx"), col("tok_idx"), col("vec").as("qv"))
+    val qv = queryTokens.select(col("query_idx"), col("tok_idx"), col("vec").as("qv"))
     val byTok = org.apache.spark.sql.expressions.Window
       .partitionBy("query_idx", "tok_idx")
       .orderBy(col("best").desc, col("doc_id").asc)
@@ -166,13 +189,8 @@ object ChunkIndex {
       .withColumn("rn", row_number().over(byTok))
       .filter(col("rn") <= perTokenT)
       .select("query_idx", "doc_id").distinct()
-    // rescore = the operator's shortlist path: the candidate docs' chunk
-    // rows re-join the (tiny) token frame — shortlist-bounded work, and
-    // NOTHING is pinned in executor storage (no checkpoint/persist): a
-    // lost executor recomputes its slice, and serving leaves
-    // getPersistentRDDs untouched (ChunkIndexSpec pins both).
-    MaxSim.topK(chunkVecs, q, k, candidates = Some(cand), broadcastRowLimit)
-      .select(col("query_idx"), col("doc_id").as("id"), col("score"))
+    MaxSim.topK(chunkVecs, queryTokens, k, candidates = Some(cand),
+      broadcastRowLimit)
   }
 
   /** ANN-pruned maxsim serving — the 100 TB candidate route. Per-token
@@ -207,23 +225,40 @@ object ChunkIndex {
       spark, catalog, entry, embedder, queries, maxQueryTokens)
     if (toks.isEmpty) return emptyResult(chunkVecs)
     val qdf = toks.toDF("query_idx", "tok_idx", "vec")
-    // each token is its own ANN query; the composite key maps shortlists
-    // back to their query driver-side (token count per request is bounded
-    // by queries * maxQueryTokens, so the key map is tiny and broadcast)
-    val tokBatch = toks.zipWithIndex.map { case ((_, _, v), key) => key -> v.toSeq }
-    val perTok = graft.ann.Ann.ivfTopKBatchAdaptive(
+    val cand = annCandidates(spark,
       graft.ann.IvfIndex.loadIndex(spark, catalog, entry),
       graft.ann.IvfIndex.loadCentroids(spark, catalog, entry),
-      tokBatch, perTokenT,
+      toks, perTokenT, broadcastRowLimit)
+    MaxSim.topK(chunkVecs, qdf, k, candidates = Some(cand), broadcastRowLimit)
+      .select(col("query_idx"), col("doc_id").as("id"), col("score"))
+  }
+
+  /** Per-query document shortlists from a doc-level IVF index — the ANN
+    * candidate generator behind [[searchAnn]] (and the QSweep-measured
+    * unit): each token is its own ANN query in ONE batched adaptive-probe
+    * plan; the composite key maps per-token shortlists back to their
+    * query driver-side (token count per request is bounded by
+    * queries × maxQueryTokens, so the key map is tiny and broadcast).
+    * Returns (query_idx, doc_id) distinct.
+    */
+  def annCandidates(
+      spark: SparkSession,
+      assigned: DataFrame,
+      centroids: DataFrame,
+      toks: Seq[(Int, Int, Array[Float])],
+      perTokenT: Int,
+      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
+    import spark.implicits._
+    val tokBatch = toks.zipWithIndex.map { case ((_, _, v), key) => key -> v.toSeq }
+    val perTok = graft.ann.Ann.ivfTopKBatchAdaptive(
+      assigned, centroids, tokBatch, perTokenT,
       numCandidates = math.max(10L * perTokenT, 100L), broadcastRowLimit)
     val keyToQuery = toks.zipWithIndex
       .map { case ((qIdx, _, _), key) => (key, qIdx) }
       .toDF("tok_key", "query_idx")
-    val cand = perTok.withColumnRenamed("query_idx", "tok_key")
+    perTok.withColumnRenamed("query_idx", "tok_key")
       .join(broadcast(keyToQuery), "tok_key")
       .select(col("query_idx"), col("id").as("doc_id")).distinct()
-    MaxSim.topK(chunkVecs, qdf, k, candidates = Some(cand), broadcastRowLimit)
-      .select(col("query_idx"), col("doc_id").as("id"), col("score"))
   }
 
   private def emptyResult(chunkVecs: DataFrame): DataFrame =

@@ -422,6 +422,59 @@ class ApiSpec extends SparkSpec {
       col("content").contains("expired"), confirm = true) == 0L)
   }
 
+  test("deleteDocumentsWhere resolveOnce: one scan, identical end state, resumable") {
+    val api = newApi()
+    import spark.implicits._
+    def mkDocs = (0 until 30).map(i =>
+      if (i % 3 == 0) s"expired record $i with retired words"
+      else s"kept record $i with living words").toDF("content")
+    // two identical collections: one swept re-resolving, one resolve-once
+    api.createCollection("ttlA", documents = Some(mkDocs))
+    api.createCollection("ttlB", documents = Some(mkDocs))
+    api.buildLexicalIndex("ttlB")
+    val predicate = col("content").contains("expired")
+    assert(api.deleteDocumentsWhere("ttlA", predicate, confirm = true,
+      maxBatch = 4) == 10L)
+    // maxBatch 4 forces multiple drain rounds from the sink
+    assert(api.deleteDocumentsWhere("ttlB", predicate, confirm = true,
+      maxBatch = 4, resolveOnce = true) == 10L)
+    def rows(name: String) = api.catalog.readDocuments(
+        api.catalog.getCollection(api.catalog.physicalName("default", name)))
+      .select("id", "content").collect().map(r => (r.getString(0), r.getString(1)))
+      .sortBy(_._1).toSeq
+    assert(rows("ttlB") == rows("ttlA") && rows("ttlB").size == 20)
+    // indexes maintained through the sink-drained batches too
+    assert(api.lexicalSearchIndexed("ttlB", Seq("retired"), 5).results.isEmpty)
+    assert(api.lexicalSearchIndexed("ttlB", Seq("living"), 5).results.nonEmpty)
+    // both sidecars are gone after a completed drain
+    val entryB = api.catalog.getCollection(api.catalog.physicalName("default", "ttlB"))
+    val leftovers = java.nio.file.Files.list(
+        java.nio.file.Paths.get(api.catalog.tablePath(entryB)).getParent)
+      .toArray.map(_.toString).filter(_.contains(".sweep"))
+    assert(leftovers.isEmpty, s"sweep sidecars left behind: ${leftovers.toSeq}")
+    // crash-resume: a pre-existing sink for the SAME predicate is drained
+    // (not re-scanned), and ids already deleted re-drain as no-ops
+    api.createCollection("ttlC", documents = Some(mkDocs))
+    val entryC = api.catalog.getCollection(api.catalog.physicalName("default", "ttlC"))
+    val predKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(predicate.toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val sink = api.catalog.tablePath(entryC) + s".sweep-$predKey"
+    val matched = api.catalog.readDocuments(entryC).filter(predicate).select("id")
+      .withColumn("__key", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lpad(
+          Ingest.idBucket(col("id")).cast("string"), 3, "0"),
+        org.apache.spark.sql.functions.lit("|"), col("id")))
+    matched.write.parquet(sink) // the "crashed" sweep's completed scan
+    val firstTwo = matched.select("id").limit(2).collect().map(_.getString(0)).toSeq
+    api.deleteDocuments("ttlC", firstTwo) // progress the crash made
+    val resumed = api.deleteDocumentsWhere("ttlC", predicate, confirm = true,
+      maxBatch = 3, resolveOnce = true)
+    assert(resumed == 10L) // drains the full sink; 2 re-deletes are no-ops
+    val remC = api.catalog.readDocuments(entryC)
+    assert(remC.count() == 20 && remC.filter(predicate).count() == 0)
+  }
+
   test("collection_not_found and collection_exists and dimension mismatch") {
     val api = newApi()
     assert(intercept[GraftException](api.addDocuments("missing_coll",

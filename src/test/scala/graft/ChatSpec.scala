@@ -150,4 +150,75 @@ class ChatSpec extends SparkSpec {
       .collect().map(r => r.getInt(1)).sorted.toSeq
     assert(k5 == Seq(2, 3, 4, 5))
   }
+
+  test("alternationReportIds: parallel runs valid by id; wrong/unknown ids fail") {
+    import spark.implicits._
+    def turns(rows: Seq[(Long, Int, String, String, Seq[String])]) =
+      rows.toDF("conv_id", "turn_idx", "role", "call_id", "calls")
+        .withColumn("call_id",
+          org.apache.spark.sql.functions.when(col("call_id") === "", null)
+            .otherwise(col("call_id")))
+        .withColumn("calls",
+          org.apache.spark.sql.functions.when(
+            org.apache.spark.sql.functions.size(col("calls")) === 0, null)
+            .otherwise(col("calls")))
+        .withColumn("content", org.apache.spark.sql.functions.lit("x"))
+    // conv 1: parallel calls — assistant issues [a, b]; two results in a
+    // RUN (tool after tool), both id-anchored -> valid under the id
+    // grammar (the positional grammar would reject the run)
+    // conv 2: second result names an id the run-head assistant never
+    // issued -> tools_anchored false
+    // conv 3: a result with a null call_id anchors positionally (legacy)
+    val t = turns(Seq(
+      (1L, 0, "user", "", Nil), (1L, 1, "assistant", "", Seq("a", "b")),
+      (1L, 2, "tool", "a", Nil), (1L, 3, "tool", "b", Nil),
+      (1L, 4, "assistant", "", Nil),
+      (2L, 0, "user", "", Nil), (2L, 1, "assistant", "", Seq("a")),
+      (2L, 2, "tool", "a", Nil), (2L, 3, "tool", "zz", Nil),
+      (2L, 4, "assistant", "", Nil),
+      (3L, 0, "user", "", Nil), (3L, 1, "assistant", "", Nil),
+      (3L, 2, "tool", "", Nil), (3L, 3, "assistant", "", Nil)))
+    val rep = Chat.alternationReportIds(t)
+      .collect().map(r => r.getAs[Long]("conv_id") ->
+        (r.getAs[Boolean]("alternates"), r.getAs[Boolean]("tools_anchored"),
+          r.getAs[Boolean]("valid"))).toMap
+    assert(rep(1L) == ((true, true, true)))
+    assert(rep(2L) == ((true, false, false)))
+    assert(rep(3L) == ((true, true, true)))
+  }
+
+  test("contextBudgetTrimIds: anchor follows the call id, not position") {
+    import spark.implicits._
+    // interleaved: assistant 1 issues [a]; assistant 3 issues [b]; the
+    // result for a arrives LAST (turn 4). Positionally its anchor would
+    // be assistant 3; by id it is assistant 1.
+    def mk(conv: Long) = Seq(
+      (conv, 0, "user", null.asInstanceOf[String], null.asInstanceOf[Seq[String]], 10L),
+      (conv, 1, "assistant", null.asInstanceOf[String], Seq("a"), 2L),
+      (conv, 2, "user", null.asInstanceOf[String], null.asInstanceOf[Seq[String]], 3L),
+      (conv, 3, "assistant", null.asInstanceOf[String], Seq("b"), 2L),
+      (conv, 4, "tool", "a", null.asInstanceOf[Seq[String]], 2L),
+      (conv, 5, "assistant", null.asInstanceOf[String], null.asInstanceOf[Seq[String]], 2L))
+    val t = mk(1L).toDF("conv_id", "turn_idx", "role", "call_id", "calls", "tokens")
+    // budget 12: reverse sums 2,4,6,9,11(,21) — turn 0 busts; first kept
+    // user = 2. Tool 4's ID anchor (assistant 1) was CUT -> it drops,
+    // though its positional anchor (assistant 3) survives.
+    val tight = Chat.contextBudgetTrimIds(t, 12L, "tokens")
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(tight == Seq(2, 3, 5))
+    // budget 25 keeps everything: first user = 0, id anchor 1 >= 0 -> kept
+    val wide = Chat.contextBudgetTrimIds(t, 25L, "tokens")
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(wide == Seq(0, 1, 2, 3, 4, 5))
+    // an id with NO carrier anywhere always drops
+    val orphan = Seq(
+      (9L, 0, "user", null.asInstanceOf[String], null.asInstanceOf[Seq[String]], 2L),
+      (9L, 1, "assistant", null.asInstanceOf[String], Seq("a"), 2L),
+      (9L, 2, "tool", "nope", null.asInstanceOf[Seq[String]], 2L),
+      (9L, 3, "assistant", null.asInstanceOf[String], null.asInstanceOf[Seq[String]], 2L))
+      .toDF("conv_id", "turn_idx", "role", "call_id", "calls", "tokens")
+    val k = Chat.contextBudgetTrimIds(orphan, 20L, "tokens")
+      .collect().map(_.getInt(1)).sorted.toSeq
+    assert(k == Seq(0, 1, 3))
+  }
 }
