@@ -314,6 +314,17 @@ final class Api(
         .take(6).map("%02x".format(_)).mkString
       val sink = catalog.tablePath(entry) + s".sweep-$predKey"
       val cursorPath = Paths.get(sink + ".cursor")
+      // trust the sink only when its write JOB committed (_SUCCESS): a
+      // crash mid-scan leaves a partial dir that a bare existence check
+      // would drain as if complete — silently skipping matched rows. A
+      // torn sink (and any cursor pointing into it) is debris: clear it
+      // and rescan — already-deleted rows no longer match, so the
+      // restarted sweep converges to the same end state.
+      if (Files.exists(Paths.get(sink)) &&
+          !Files.exists(Paths.get(sink, "_SUCCESS"))) {
+        graft.catalog.PartitionedTable.deleteDir(Paths.get(sink))
+        Files.deleteIfExists(cursorPath)
+      }
       if (!Files.exists(Paths.get(sink)))
         // drain key is BUCKET-major: consecutive batches then cluster
         // into few id buckets, so each batch's delete rewrites ~its

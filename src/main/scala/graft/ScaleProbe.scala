@@ -1133,9 +1133,7 @@ object ScaleProbe {
     // + sink-sized drains (O(M)). The id-batch delete work (bucket
     // rewrites) is identical in both modes — the delta between the two
     // rows IS the resolution strategy's cost.
-    val sweepGate = only.forall(o =>
-      o.contains("delete_sweep_rescan") || o.contains("delete_sweep_once"))
-    lazy val sweepApis: Map[String, Api] = Seq("rescan", "once").map { tag =>
+    def mkSweepApi(tag: String): Api = {
       val wh = java.nio.file.Files.createTempDirectory(s"graft-sweep-$tag").toString
       val emb = new graft.ingest.DeterministicHashEmbedder(16)
       val api = new Api(spark, wh, emb)
@@ -1148,17 +1146,21 @@ object ScaleProbe {
         graft.ingest.Embed.withEmbeddings(
           graft.ingest.Ingest.prepare(docs.select("content")), emb))
       graft.ingest.Ingest.mergeUpsert(spark, api.catalog, entry, embedded)
-      tag -> api
-    }.toMap
-    if (sweepGate) { sweepApis; () } // untimed prep (ingest is write cost)
+      api
+    }
+    // one lazily-built warehouse PER op: a single-op run pays one prep
+    lazy val sweepRescan = mkSweepApi("rescan")
+    lazy val sweepOnce = mkSweepApi("once")
+    if (only.forall(_.contains("delete_sweep_rescan"))) { sweepRescan; () }
+    if (only.forall(_.contains("delete_sweep_once"))) { sweepOnce; () }
     // ~19% of content-derived uuid ids (first hex nibble in {0,1,2})
     val sweepPred = substring(col("id"), 1, 1).isin("0", "1", "2")
     time("delete_sweep_rescan") {
-      sweepApis("rescan").deleteDocumentsWhere("c", sweepPred,
+      sweepRescan.deleteDocumentsWhere("c", sweepPred,
         confirm = true, maxBatch = 1000)
     }
     time("delete_sweep_once") {
-      sweepApis("once").deleteDocumentsWhere("c", sweepPred,
+      sweepOnce.deleteDocumentsWhere("c", sweepPred,
         confirm = true, maxBatch = 1000, resolveOnce = true)
     }
     // FLAC decode: encode+decode are per-row narrow work (no shuffle

@@ -1888,9 +1888,17 @@ object OpsQueries {
     // cosine space throughout — the REAL serving geometry (ChunkIndex
     // L2-normalizes at index time, so served maxsim sums cosines and the
     // IVF candidate rule ranks by the same measure; raw integer dots
-    // would decouple the two through document-norm variation). Per-vector
-    // norms are sqrt of integer sums — correctly-rounded and therefore
-    // bit-identical across engines; outputs stay counts-only.
+    // would decouple the two through document-norm variation). Exactness
+    // budget, stated honestly: norms are sqrt of integer sums (correctly
+    // rounded -> bit-identical across engines) and the ANN candidate leg
+    // is all-integer-derived (bit-identical ranks); the maxsim legs' dot
+    // products and per-doc sums fold normalized DOUBLES, whose
+    // accumulation order differs between engines — a rank boundary flips
+    // only if two DISTINCT documents score within ~1 ULP, which the 16x
+    // doc-component separation makes vanishing (exact ties from
+    // duplicate text produce identical doubles in both engines and break
+    // on doc_id). Outputs stay counts-only — the q_ann_recall-accepted
+    // risk class.
     def normalized(df: DataFrame): DataFrame = df
       .withColumn("__n", graft.functions.VectorFunctions.l2Norm(col("vec")))
       .withColumn("vec", expr("transform(vec, x -> x / __n)"))

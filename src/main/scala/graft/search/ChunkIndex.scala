@@ -94,11 +94,16 @@ object ChunkIndex {
       embedder: Embedder,
       maxTokens: Int = DefaultMaxTokens): DataFrame = {
     val docs = catalog.readDocuments(entry).select(col("id"), col("content"))
-    // meta sidecar FIRST: a crash between the two writes must leave
-    // meta-without-index (harmless — no index, nothing serves or
-    // maintains) rather than index-without-meta, which Indexes.stage
-    // treats as a hard error precisely because silently skipping
-    // maintenance would serve stale maxsim rows
+    // crash ordering: drop any OLD index first, then meta, then the new
+    // index. Every crash window is then harmless-or-loud — no-index
+    // states don't serve or maintain, index-without-meta fails
+    // Indexes.stage's hard require — and the silent failure mode is
+    // unreachable: new-meta + OLD-index (a rebuild with different
+    // maxTokens crashing between the writes would maintain a 64-token
+    // index at 32-token chunking forever) cannot occur because the old
+    // index is already gone when the new meta lands.
+    graft.catalog.PartitionedTable.deleteDir(
+      Paths.get(indexPath(catalog, entry)))
     import spark.implicits._
     Seq(maxTokens).toDF("max_tokens").coalesce(1)
       .write.mode(SaveMode.Overwrite).parquet(metaPath(catalog, entry))

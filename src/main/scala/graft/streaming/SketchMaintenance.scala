@@ -133,11 +133,20 @@ object SketchMaintenance {
     swapLock.synchronized {
       val live = Paths.get(path)
       val bak = Paths.get(path + ".bak")
-      graft.catalog.PartitionedTable.deleteDir(bak) // stale from a past crash
-      if (Files.exists(live))
+      if (Files.exists(live)) {
+        graft.catalog.PartitionedTable.deleteDir(bak) // stale from a past crash
         Files.move(live, bak, StandardCopyOption.ATOMIC_MOVE)
-      Files.move(Paths.get(staging), live, StandardCopyOption.ATOMIC_MOVE)
-      graft.catalog.PartitionedTable.deleteDir(bak)
+        Files.move(Paths.get(staging), live, StandardCopyOption.ATOMIC_MOVE)
+        graft.catalog.PartitionedTable.deleteDir(bak)
+      } else {
+        // live missing = this fold ran against a .bak-recovered state:
+        // the backup is the ONLY committed sketch and must survive until
+        // the new live lands — land staging FIRST, then clear it.
+        // (Deleting .bak first would open a crash window with NO loadable
+        // sketch at all, breaking the every-crash-point invariant above.)
+        Files.move(Paths.get(staging), live, StandardCopyOption.ATOMIC_MOVE)
+        graft.catalog.PartitionedTable.deleteDir(bak)
+      }
     }
   }
 }

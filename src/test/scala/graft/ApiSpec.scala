@@ -473,6 +473,17 @@ class ApiSpec extends SparkSpec {
     assert(resumed == 10L) // drains the full sink; 2 re-deletes are no-ops
     val remC = api.catalog.readDocuments(entryC)
     assert(remC.count() == 20 && remC.filter(predicate).count() == 0)
+    // a TORN sink (dir without the write job's _SUCCESS — a crash mid
+    // initial scan) must be rescanned, never drained as if complete
+    api.createCollection("ttlD", documents = Some(mkDocs))
+    val entryD = api.catalog.getCollection(api.catalog.physicalName("default", "ttlD"))
+    val tornSink = java.nio.file.Paths.get(
+      api.catalog.tablePath(entryD) + s".sweep-$predKey")
+    java.nio.file.Files.createDirectories(tornSink) // partial dir, no _SUCCESS
+    assert(api.deleteDocumentsWhere("ttlD", predicate, confirm = true,
+      maxBatch = 4, resolveOnce = true) == 10L)
+    val remD = api.catalog.readDocuments(entryD)
+    assert(remD.count() == 20 && remD.filter(predicate).count() == 0)
   }
 
   test("collection_not_found and collection_exists and dimension mismatch") {
