@@ -401,6 +401,26 @@ final class Api(
         .count()
     }
 
+  /** Build (or rebuild) the chunk-level IVF candidate index — the PLAID
+    * serving shape ([[graft.search.ChunkIvfIndex]]): the persisted chunk
+    * vectors assigned to the collection's IVF centroids and stored
+    * partitioned by cluster, so maxsim candidate generation probes
+    * clusters of CHUNK vectors (multi-topic documents surface through
+    * whichever chunk matches a token — the recall the pooled doc-level
+    * route loses). Requires both the chunk index and the doc-level IVF
+    * index (one quantizer per collection); governed `ann_index_not_found`
+    * otherwise. Maintained incrementally by every write; rebuilding the
+    * IVF centroids re-assigns it. Returns the indexed chunk-row count.
+    */
+  def buildChunkIvfIndex(name: String): Long = writeLock.synchronized {
+    val entry = catalog.getCollection(physical(validCollection(name)))
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    if (!exists(graft.search.ChunkIndex.indexPath(catalog, entry)) ||
+        !exists(graft.ann.IvfIndex.centroidsPath(catalog, entry)))
+      throw new GraftException(ErrorCodes.AnnIndexNotFound)
+    graft.search.ChunkIvfIndex.build(spark, catalog, entry).count()
+  }
+
   /** Late-interaction (maxsim) search from the persisted chunk index:
     * the query's tokens each embed once, every token matches its best
     * chunk per document, and a document's score is the SUM of those best
@@ -408,20 +428,23 @@ final class Api(
     * single-vector routes average them away.
     *
     * Candidate generation routes on `candidateSource`:
+    *   - "chunkivf": per-token shortlists from the CHUNK-LEVEL IVF index
+    *     ([[graft.search.ChunkIndex.searchChunkIvf]] — the PLAID shape:
+    *     candidates probe clusters of the scored vectors themselves, so
+    *     multi-topic documents surface through whichever chunk matches).
     *   - "ivf": per-token document shortlists from the DOC-LEVEL IVF
     *     index ([[graft.search.ChunkIndex.searchAnn]] — corpus-pruned
-    *     probes, per-request cost decoupled from stored chunk rows; the
-    *     100 TB serving shape). Governed `ann_index_not_found` when no
-    *     IVF index is built.
+    *     probes, per-request cost decoupled from stored chunk rows).
     *   - "chunk": the per-token top-T rule over the chunk table itself
     *     (exact per-token bests, but candidate generation scans every
     *     chunk row — fine at modest corpora, linear at scale).
-    *   - "auto" (default): "ivf" whenever the collection has an IVF
-    *     index, else "chunk" — build the doc-level index and maxsim
-    *     serving prunes from then on.
-    * Both routes rescore their shortlist with the identical exact maxsim;
+    *   - "auto" (default): best built pruned route wins —
+    *     chunkivf > ivf > chunk.
+    * Forcing an unbuilt index route is governed `ann_index_not_found`.
+    * Every route rescores its shortlist with the identical exact maxsim;
     * recall of each candidate rule is graded in `q_search_maxsim_pruned`
-    * (chunk) and `q_search_maxsim_ann` (ivf).
+    * (chunk), `q_search_maxsim_ann` (ivf), and `q_search_maxsim_civf`
+    * (chunkivf).
     */
   def maxsimSearch(
       name: String, question: String, nResults: Int = 10,
@@ -434,8 +457,8 @@ final class Api(
       s"perTokenT $perTokenT out of range")
     require(maxQueryTokens >= 1 && maxQueryTokens <= 256,
       s"maxQueryTokens $maxQueryTokens out of range")
-    require(Set("auto", "chunk", "ivf").contains(candidateSource),
-      s"candidateSource '$candidateSource' not in {auto, chunk, ivf}")
+    require(Set("auto", "chunk", "ivf", "chunkivf").contains(candidateSource),
+      s"candidateSource '$candidateSource' not in {auto, chunk, ivf, chunkivf}")
     val q = Sanitize.sanitizeString(validQuestions(Seq(question)).head)
     val entry = catalog.getCollection(physical(validCollection(name)))
     val res = maxsimHits(entry, q, k, perTokenT, maxQueryTokens, candidateSource)
@@ -493,6 +516,10 @@ final class Api(
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(
         graft.ann.PqIndex.indexPath(catalog, entry))))
       graft.ann.PqIndex.reencode(spark, catalog, entry)
+    // the chunk-level IVF keys its partitions on the same centroids: a
+    // rebuilt quantizer must re-assign it for the same reason as PQ
+    if (graft.search.ChunkIvfIndex.exists(catalog, entry))
+      graft.search.ChunkIvfIndex.build(spark, catalog, entry)
     built
   }
 
@@ -760,7 +787,9 @@ final class Api(
       "minhash" -> ifExists(graft.dedup.MinHashIndex.indexPath(catalog, entry),
         Seq("pbucket"), Some("key")),
       "chunkvecs" -> ifExists(graft.search.ChunkIndex.indexPath(catalog, entry),
-        Seq("bucket"), Some("id")))
+        Seq("bucket"), Some("id")),
+      "chunkivf" -> ifExists(graft.search.ChunkIvfIndex.indexPath(catalog, entry),
+        Seq("cluster_id"), Some("id")))
   }
 
   /** Build the bloom existence-prefilter sidecar: one corpus pass for the
@@ -860,17 +889,29 @@ final class Api(
       throw new GraftException(ErrorCodes.AnnIndexNotFound)
     val hasIvf = exists(graft.ann.IvfIndex.indexPath(catalog, entry)) &&
       exists(graft.ann.IvfIndex.centroidsPath(catalog, entry))
-    val useIvf = candidateSource match {
+    val hasChunkIvf = graft.search.ChunkIvfIndex.exists(catalog, entry) &&
+      exists(graft.ann.IvfIndex.centroidsPath(catalog, entry))
+    // auto preference: chunk-level IVF (best pruned recall — candidates
+    // from the scored vectors themselves) > doc-level IVF > chunk scan
+    val route = candidateSource match {
+      case "chunkivf" =>
+        if (!hasChunkIvf) throw new GraftException(ErrorCodes.AnnIndexNotFound)
+        "chunkivf"
       case "ivf" =>
         if (!hasIvf) throw new GraftException(ErrorCodes.AnnIndexNotFound)
-        true
-      case "chunk" => false
-      case _ => hasIvf
+        "ivf"
+      case "chunk" => "chunk"
+      case _ =>
+        if (hasChunkIvf) "chunkivf" else if (hasIvf) "ivf" else "chunk"
     }
-    if (useIvf) graft.search.ChunkIndex.searchAnn(spark, catalog, entry,
-      embedder, Seq(0 -> q), k, perTokenT, maxQueryTokens)
-    else graft.search.ChunkIndex.search(spark, catalog, entry, embedder,
-      Seq(0 -> q), k, perTokenT, maxQueryTokens)
+    route match {
+      case "chunkivf" => graft.search.ChunkIndex.searchChunkIvf(spark,
+        catalog, entry, embedder, Seq(0 -> q), k, perTokenT, maxQueryTokens)
+      case "ivf" => graft.search.ChunkIndex.searchAnn(spark, catalog, entry,
+        embedder, Seq(0 -> q), k, perTokenT, maxQueryTokens)
+      case _ => graft.search.ChunkIndex.search(spark, catalog, entry,
+        embedder, Seq(0 -> q), k, perTokenT, maxQueryTokens)
+    }
   }
 
   /** IVF-PQ hits (query_idx, id, score) for prepared query vectors. */
@@ -1007,7 +1048,8 @@ final class Api(
       "lsh" -> graft.ann.SignLshIndex.indexPath(catalog, entry),
       "minhash" -> graft.dedup.MinHashIndex.indexPath(catalog, entry),
       "graph" -> graft.ann.GraphIndex.indexPath(catalog, entry),
-      "chunkvecs" -> graft.search.ChunkIndex.indexPath(catalog, entry))
+      "chunkvecs" -> graft.search.ChunkIndex.indexPath(catalog, entry),
+      "chunkivf" -> graft.search.ChunkIvfIndex.indexPath(catalog, entry))
       .flatMap { case (k, p) => countIf(p).map(k -> _) }.toMap
     Map(
       "collection" -> name,

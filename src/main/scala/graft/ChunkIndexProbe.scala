@@ -60,10 +60,19 @@ object ChunkIndexProbe {
         nResults = 10, candidateSource = "ivf")
       val serveAnn = (System.nanoTime() - t2) / 1e9
       require(resAnn.results.nonEmpty)
+      // chunk-level IVF (PLAID) route: probe-pruned like the doc-level
+      // route, candidates from the scored vectors themselves
+      api.buildChunkIvfIndex("c")
+      val t3 = System.nanoTime()
+      val resCivf = api.maxsimSearch("c", "w17base w40base w63base",
+        nResults = 10, candidateSource = "chunkivf")
+      val serveCivf = (System.nanoTime() - t3) / 1e9
+      require(resCivf.results.nonEmpty)
       if (!warm) {
         println(f"""{"op":"chunk_upsert","corpus":$n,"batch":200,"sec":$up%.3f}""")
         println(f"""{"op":"chunk_serve","corpus":$n,"batch":0,"sec":$serve%.3f}""")
         println(f"""{"op":"chunk_serve_ann","corpus":$n,"batch":0,"sec":$serveAnn%.3f}""")
+        println(f"""{"op":"chunk_serve_civf","corpus":$n,"batch":0,"sec":$serveCivf%.3f}""")
       }
       spark.catalog.clearCache(); System.gc()
     }

@@ -56,7 +56,8 @@ object Indexes {
       lsh: Option[(LshMeta, Seq[(Int, String)])],
       minhash: Option[(graft.dedup.MinHashMeta, Seq[Int])] = None,
       graph: Option[GraphIndex.GraphMeta] = None,
-      chunk: Option[(graft.search.ChunkIndex.ChunkMeta, Seq[Int])] = None)
+      chunk: Option[(graft.search.ChunkIndex.ChunkMeta, Seq[Int])] = None,
+      chunkIvf: Option[Seq[Long]] = None)
 
   private def exists(p: String) = Files.exists(Paths.get(p))
 
@@ -158,8 +159,28 @@ object Indexes {
       (m, ids.select(graft.ingest.Ingest.idBucket(col("id")).as("bucket"))
         .distinct().collect().map(_.getInt(0)).toSeq)
     }
+    // chunk-level IVF: the affected clusters of the OLD versions are the
+    // changed ids' stored chunk rows re-assigned under the CURRENT
+    // centroids (bucket-pruned chunk-index read — never a full scan);
+    // the new batch's clusters are computed in applyPending where the
+    // fresh chunk rows are embedded once for both chunk indexes
+    val chunkIvf =
+      if (!graft.search.ChunkIvfIndex.exists(catalog, entry)) None
+      else {
+        require(chunk.isDefined,
+          "chunk-level IVF exists without the chunk index — rebuild via buildChunkIvfIndex before writing")
+        chunk.map { case (_, buckets) =>
+          if (buckets.isEmpty) Seq.empty[Long]
+          else graft.search.ChunkIvfIndex.indexRows(
+              graft.search.ChunkIndex.load(spark, catalog, entry)
+                .filter(col("bucket").isin(buckets: _*))
+                .join(ids, Seq("id"), "left_semi"),
+              IvfIndex.loadCentroids(spark, catalog, entry))
+            .select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq
+        }
+      }
     Some(Pending(ids, lexBuckets, ivfClusters, pqClusters, lsh, minhash,
-      graphMeta, chunk))
+      graphMeta, chunk, chunkIvf))
   }
 
   /** Phase 2 (call AFTER the documents-table rewrite): rewrite each
@@ -232,18 +253,50 @@ object Indexes {
           affectedDirs = parts.map(b => s"pbucket=$b"))
       }
     }
-    p.chunk.foreach { case (m, buckets) =>
-      if (buckets.nonEmpty) {
-        val idx = graft.search.ChunkIndex.load(spark, catalog, entry)
-          .filter(col("bucket").isin(buckets: _*))
-          .join(broadcast(p.ids), Seq("id"), "left_anti")
-          .unionByName(graft.search.ChunkIndex.indexRows(
-            fresh.select("id", "content"), embedder, m.maxTokens))
-        replacePartitions(idx, graft.search.ChunkIndex.indexPath(catalog, entry),
-          Seq("bucket"), sortCol = Some("id"),
-          affectedDirs = buckets.map(b => s"bucket=$b"))
+    // the fresh batch's chunk rows are embedded ONCE (the write-time
+    // model cost) and shared by the chunk index and the chunk-level IVF
+    val freshChunks = p.chunk
+      .filter(_ => p.chunk.exists(_._2.nonEmpty) || p.chunkIvf.isDefined)
+      .map { case (m, _) =>
+        graft.search.ChunkIndex.indexRows(
+          fresh.select("id", "content"), embedder, m.maxTokens).cache()
       }
-    }
+    try {
+      p.chunk.foreach { case (_, buckets) =>
+        if (buckets.nonEmpty) {
+          val idx = graft.search.ChunkIndex.load(spark, catalog, entry)
+            .filter(col("bucket").isin(buckets: _*))
+            .join(broadcast(p.ids), Seq("id"), "left_anti")
+            .unionByName(freshChunks.get)
+          replacePartitions(idx, graft.search.ChunkIndex.indexPath(catalog, entry),
+            Seq("bucket"), sortCol = Some("id"),
+            affectedDirs = buckets.map(b => s"bucket=$b"))
+        }
+      }
+      p.chunkIvf.foreach { oldClusters =>
+        val cents = IvfIndex.loadCentroids(spark, catalog, entry)
+        val freshRows = graft.search.ChunkIvfIndex
+          .indexRows(freshChunks.get, cents).cache()
+        try {
+          val newClusters = freshRows.select("cluster_id").distinct()
+            .collect().map(_.getLong(0)).toSeq
+          val affected = (oldClusters ++ newClusters).distinct
+          if (affected.nonEmpty) {
+            val idx = graft.search.ChunkIvfIndex.load(spark, catalog, entry)
+              .filter(col("cluster_id").isin(affected: _*))
+              .withColumn("__doc", graft.search.ChunkIvfIndex.docIdOf(col("id")))
+              .join(broadcast(p.ids.withColumnRenamed("id", "__doc")),
+                Seq("__doc"), "left_anti")
+              .drop("__doc")
+              .unionByName(freshRows)
+            replacePartitions(idx,
+              graft.search.ChunkIvfIndex.indexPath(catalog, entry),
+              Seq("cluster_id"), sortCol = Some("id"),
+              affectedDirs = affected.map(c => s"cluster_id=$c"))
+          }
+        } finally freshRows.unpersist()
+      }
+    } finally freshChunks.foreach(_.unpersist())
     p.graph.foreach { gm =>
       // graph edges are not row-local (a node's list depends on other
       // rows), so the graph maintains itself with its Δ×corpus algebra
@@ -313,6 +366,8 @@ object Indexes {
         e <- embedder
         m <- graft.search.ChunkIndex.loadMeta(spark, catalog, entry)
       } graft.search.ChunkIndex.build(spark, catalog, entry, e, m.maxTokens)
+      if (graft.search.ChunkIvfIndex.exists(catalog, entry))
+        graft.search.ChunkIvfIndex.build(spark, catalog, entry)
     }
     if (exists(IvfIndex.centroidsPath(catalog, entry)) &&
         exists(IvfIndex.indexPath(catalog, entry)))

@@ -80,8 +80,16 @@ object QSweep {
       .repartition(cpus.toInt).localCheckpoint()
     val assignedDocs = graft.ann.Ann.assign(docVecs, cents)
       .repartition(cpus.toInt).localCheckpoint()
+    // chunk-level IVF layout for the PLAID candidate route: every chunk
+    // row keyed doc#ordinal, assigned to the same centroids
+    val assignedChunkRows = graft.ann.Ann.assign(
+      vecs.select(
+        concat_ws("#", floor(col("id") / 4).cast("long"), pmod(col("id"), lit(4))).as("id"),
+        col("embedding"), col("norm")), cents)
+      .repartition(cpus.toInt).localCheckpoint()
     graph.count(); cents.count(); assigned.count()
-    chunkVecs.count(); assignedDocs.count() // untimed prep
+    chunkVecs.count(); assignedDocs.count()
+    assignedChunkRows.count() // untimed prep
 
     // deterministic synthetic query batch: corpus vectors, perturbed so
     // routing is non-degenerate; driver-side Seq like the serving API
@@ -155,6 +163,16 @@ object QSweep {
       }
       timed("serve_maxsim_ann_bcast", qn, warm)(maxsimAnn(Long.MaxValue).count())
       timed("serve_maxsim_ann_shuffle", qn, warm)(maxsimAnn(0L).count())
+      def maxsimCivf(limit: Long) = {
+        val cand = graft.search.ChunkIndex.chunkIvfCandidates(
+            spark, assignedChunkRows, cents, tokSeq, perTokenT = 25,
+            broadcastRowLimit = limit)
+          .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
+        graft.search.MaxSim.topK(chunkVecs, qToks, k = 10,
+          candidates = Some(cand), broadcastRowLimit = limit)
+      }
+      timed("serve_maxsim_civf_bcast", qn, warm)(maxsimCivf(Long.MaxValue).count())
+      timed("serve_maxsim_civf_shuffle", qn, warm)(maxsimCivf(0L).count())
     }
 
     // nothing inside runAll persists or checkpoints, so no per-Q cache

@@ -393,4 +393,65 @@ object Ann {
       .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
       .select("query_idx", "id", "score")
   }
+
+  /** GROUPED batched adaptive IVF — [[ivfTopKBatchAdaptive]] where rows
+    * belong to groups (`groupIdOf(id)`) and each query's top-k is over
+    * GROUPS ranked by their best probed row. The late-interaction
+    * chunk-level candidate route needs this: ranking raw chunk rows lets
+    * one strong document's chunks crowd the per-token shortlist
+    * (measured: 75 chunk slots -> only ~28 distinct docs on the civf
+    * fixture), where ranking documents by their best probed chunk fills
+    * every slot with a distinct candidate — the q_search_maxsim_pruned
+    * rule, probe-pruned. The group-max aggregate combiner-collapses
+    * map-side; the final window sees at most the probed group count per
+    * query. Group ids rank as STRINGS (tie-break parity with the row-key
+    * form).
+    */
+  def ivfGroupTopKBatchAdaptive(
+      assigned: DataFrame,
+      centroids: DataFrame,
+      queries: Seq[(Int, Seq[Float])],
+      k: Int,
+      numCandidates: Long,
+      broadcastRowLimit: Long = GraphSearch.DefaultBroadcastRowLimit,
+      groupIdOf: org.apache.spark.sql.Column => org.apache.spark.sql.Column =
+        identity): DataFrame = {
+    val spark = assigned.sparkSession
+    if (queries.isEmpty)
+      return assigned.withColumn("score", lit(0.0))
+        .withColumn("query_idx", lit(0)).select("query_idx", "id", "score").limit(0)
+    val mark = GraphSearch.mkMark(
+      queries.size.toLong * math.max(numCandidates, k.toLong)
+        <= broadcastRowLimit)
+    val qdf = GraphSearch.queryFrame(spark, queries, mark)
+    val sizes = assigned.groupBy(col("cluster_id").as("centroid_id"))
+      .agg(count(lit(1)).as("__csize"))
+    val cents = broadcast(
+      centroids.select("centroid_id", "centroid", "centroid_norm")
+        .join(sizes, Seq("centroid_id"), "left")
+        .na.fill(0L, Seq("__csize")))
+    val byQd = Window.partitionBy("query_idx")
+      .orderBy(col("d").asc, col("centroid_id").asc)
+    val probes = qdf.crossJoin(cents)
+      .withColumn("d",
+        lit(1.0) - VectorFunctions.dot(col("centroid"), col("qv")) /
+          (col("centroid_norm") * col("qn")))
+      .withColumn("__pool",
+        coalesce(sum(col("__csize")).over(
+          byQd.rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .filter(col("__pool") < numCandidates)
+      .select(col("query_idx"), col("centroid_id").as("cluster_id"))
+    val byGroupBest = mark(probes)
+      .join(assigned, "cluster_id")
+      .join(qdf, "query_idx")
+      .withColumn("score",
+        VectorFunctions.dot(col("embedding"), col("qv")) / (col("norm") * col("qn")))
+      .groupBy(col("query_idx"), groupIdOf(col("id")).as("id"))
+      .agg(max(col("score")).as("score"))
+    val globalW = Window.partitionBy("query_idx")
+      .orderBy(col("score").desc, col("id").asc)
+    byGroupBest
+      .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
+      .select("query_idx", "id", "score")
+  }
 }

@@ -3,6 +3,7 @@ package graft.catalog
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import java.security.MessageDigest
 import java.util.Comparator
+import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
 import graft.model.{CollectionEntry, ErrorCodes, GraftException, Schemas}
 
@@ -41,17 +42,24 @@ final class Catalog(spark: SparkSession, val warehouseDir: String) {
     * path, and a surviving index would silently serve the previous
     * incarnation's data.
     */
-  private def derivedPaths(entry: CollectionEntry): Seq[Path] =
-    Seq(".delta", ".ivf", ".ivf.centroids", ".ivf.delta",
-        ".postings", ".postings.delta", ".pq", ".pq.codebooks", ".pq.meta",
-        ".pq.delta", ".signlsh", ".signlsh.meta", ".signlsh.delta",
-        ".minhash", ".minhash.meta", ".minhash.delta", ".staging",
-        ".bloom", ".bloom.meta")
-      .map(sfx => Paths.get(tablePath(entry) + sfx))
-
   private def deleteTableAndDerived(entry: CollectionEntry): Unit = {
-    deleteDir(Paths.get(tablePath(entry)))
-    derivedPaths(entry).foreach(deleteDir)
+    val table = Paths.get(tablePath(entry))
+    deleteDir(table)
+    // every derived artifact is a SIBLING named "<table>.<suffix>" —
+    // delete by prefix instead of an enumerated suffix list, which
+    // silently leaked newer sidecars (the chunk index survived a
+    // collection delete and would have been resurrected STALE by a
+    // same-name re-create; predicate-sweep sinks carry a hash in the
+    // name and can never be enumerated)
+    val parent = table.getParent
+    val prefix = table.getFileName.toString + "."
+    if (parent != null && Files.exists(parent)) {
+      val stream = Files.list(parent)
+      try stream.iterator().asScala
+        .filter(_.getFileName.toString.startsWith(prefix))
+        .foreach(deleteDir)
+      finally stream.close()
+    }
   }
 
   /** Tenant-scoped physical collection name (vector_api.py:216-223). */

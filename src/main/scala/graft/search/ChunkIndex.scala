@@ -32,15 +32,20 @@ import graft.model.CollectionEntry
   * Serving: query tokens embed driver-side (one batch call), a
   * candidate rule shortlists documents, and the final score is the exact
   * maxsim over the shortlist ([[MaxSim.topK]](candidates) — literally:
-  * both routes call it). Candidate routes:
+  * every route calls it). Candidate routes, worst to best at scale:
   *   - [[search]] (chunk route): per-token top-T over the chunk table
   *     (the `q_search_maxsim_pruned` grading surface) — candidate
   *     generation is chunk-table-linear, fine at modest corpora;
-  *   - [[searchAnn]] (ANN route): per-token shortlists from the
-  *     DOC-LEVEL IVF index (the `q_search_maxsim_ann` grading surface) —
-  *     probe-pruned candidate generation, per-request cost decoupled
-  *     from stored chunk rows (ChunkIndexProbe's chunk_serve_ann row);
-  *     the default whenever the collection has an IVF index.
+  *   - [[searchAnn]] (doc-level ANN route): per-token shortlists from
+  *     the DOC-LEVEL IVF index (`q_search_maxsim_ann`) — probe-pruned,
+  *     per-request cost decoupled from stored chunk rows
+  *     (ChunkIndexProbe's chunk_serve_ann row), but the pooled doc
+  *     vector averages a multi-topic document's directions away;
+  *   - [[searchChunkIvf]] (chunk-level ANN route, the PLAID shape):
+  *     per-token DOC shortlists ranked by best probed CHUNK from the
+  *     [[ChunkIvfIndex]] (`q_search_maxsim_civf`) — probe-pruned AND
+  *     candidates come from the scored vectors themselves, so the only
+  *     recall loss is quantization; `candidateSource` auto prefers it.
   */
 object ChunkIndex {
 
@@ -238,13 +243,15 @@ object ChunkIndex {
       .select(col("query_idx"), col("doc_id").as("id"), col("score"))
   }
 
-  /** Per-query document shortlists from a doc-level IVF index — the ANN
-    * candidate generator behind [[searchAnn]] (and the QSweep-measured
-    * unit): each token is its own ANN query in ONE batched adaptive-probe
-    * plan; the composite key maps per-token shortlists back to their
-    * query driver-side (token count per request is bounded by
-    * queries × maxQueryTokens, so the key map is tiny and broadcast).
-    * Returns (query_idx, doc_id) distinct.
+  /** Per-query document shortlists from an IVF index — the ANN candidate
+    * generator behind [[searchAnn]] and [[searchChunkIvf]] (and the
+    * QSweep-measured unit): each token is its own ANN query in ONE
+    * batched adaptive-probe plan; the composite key maps per-token
+    * shortlists back to their query driver-side (token count per request
+    * is bounded by queries × maxQueryTokens, so the key map is tiny and
+    * broadcast). `docIdOf` maps an index row's id to its document —
+    * identity for the doc-level index, the key split for the chunk-level
+    * one. Returns (query_idx, doc_id) distinct.
     */
   def annCandidates(
       spark: SparkSession,
@@ -258,12 +265,79 @@ object ChunkIndex {
     val perTok = graft.ann.Ann.ivfTopKBatchAdaptive(
       assigned, centroids, tokBatch, perTokenT,
       numCandidates = math.max(10L * perTokenT, 100L), broadcastRowLimit)
+    tokShortlistsToDocs(spark, perTok, toks)
+  }
+
+  /** Per-query document shortlists from the CHUNK-LEVEL IVF index — the
+    * PLAID candidate generator behind [[searchChunkIvf]]: per token, the
+    * top-T DOCUMENTS ranked by their best probed chunk
+    * ([[graft.ann.Ann.ivfGroupTopKBatchAdaptive]] grouped on the row
+    * key's doc id — ranking raw chunk rows would let one strong
+    * document's chunks crowd the shortlist), then the per-query union.
+    * Returns (query_idx, doc_id) distinct.
+    */
+  def chunkIvfCandidates(
+      spark: SparkSession,
+      assignedChunks: DataFrame,
+      centroids: DataFrame,
+      toks: Seq[(Int, Int, Array[Float])],
+      perTokenT: Int,
+      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
+    val tokBatch = toks.zipWithIndex.map { case ((_, _, v), key) => key -> v.toSeq }
+    val perTok = graft.ann.Ann.ivfGroupTopKBatchAdaptive(
+      assignedChunks, centroids, tokBatch, perTokenT,
+      numCandidates = math.max(10L * perTokenT, 100L), broadcastRowLimit,
+      groupIdOf = ChunkIvfIndex.docIdOf)
+    tokShortlistsToDocs(spark, perTok, toks)
+  }
+
+  /** Map per-token shortlists (query_idx = composite token key) back to
+    * their queries and union per query. The key map is bounded by
+    * queries × maxQueryTokens — tiny and broadcast.
+    */
+  private def tokShortlistsToDocs(
+      spark: SparkSession,
+      perTok: DataFrame,
+      toks: Seq[(Int, Int, Array[Float])]): DataFrame = {
+    import spark.implicits._
     val keyToQuery = toks.zipWithIndex
       .map { case ((qIdx, _, _), key) => (key, qIdx) }
       .toDF("tok_key", "query_idx")
     perTok.withColumnRenamed("query_idx", "tok_key")
       .join(broadcast(keyToQuery), "tok_key")
       .select(col("query_idx"), col("id").as("doc_id")).distinct()
+  }
+
+  /** Chunk-level-IVF maxsim serving — the PLAID candidate route
+    * ([[ChunkIvfIndex]]): per-token shortlists probe the CHUNK vectors'
+    * clusters, so candidates come from the same vectors the rescore
+    * sums — multi-topic documents (whose pooled doc vector averages
+    * their directions away, hiding them from the doc-level route)
+    * surface through whichever chunk matches the token. Per-token top-T
+    * CHUNK rows map to their documents and union per query; the exact
+    * maxsim rescore is the same shortlist join as every other route.
+    */
+  def searchChunkIvf(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      embedder: Embedder,
+      queries: Seq[(Int, String)],
+      k: Int,
+      perTokenT: Int = 25,
+      maxQueryTokens: Int = 16,
+      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
+    import spark.implicits._
+    val (toks, chunkVecs) = embedQueryTokens(
+      spark, catalog, entry, embedder, queries, maxQueryTokens)
+    if (toks.isEmpty) return emptyResult(chunkVecs)
+    val qdf = toks.toDF("query_idx", "tok_idx", "vec")
+    val cand = chunkIvfCandidates(spark,
+      ChunkIvfIndex.load(spark, catalog, entry),
+      graft.ann.IvfIndex.loadCentroids(spark, catalog, entry),
+      toks, perTokenT, broadcastRowLimit)
+    MaxSim.topK(chunkVecs, qdf, k, candidates = Some(cand), broadcastRowLimit)
+      .select(col("query_idx"), col("doc_id").as("id"), col("score"))
   }
 
   private def emptyResult(chunkVecs: DataFrame): DataFrame =

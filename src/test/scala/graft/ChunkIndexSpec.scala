@@ -126,6 +126,86 @@ class ChunkIndexSpec extends SparkSpec {
     assert(viaIvf.results == autoNow.results && viaIvf.results.nonEmpty)
   }
 
+  test("chunk-level IVF: governed builds, rebuild-identical maintenance, exact at full width, auto routing") {
+    val api = newApi()
+    api.createCollection("c8", documents = Some(docsDf(0 until 30)))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "c8"))
+    val emb = new DeterministicHashEmbedder(16)
+    // both prerequisites are governed, in either missing order
+    assert(intercept[GraftException](api.buildChunkIvfIndex("c8")).code
+      == graft.model.ErrorCodes.AnnIndexNotFound)
+    api.buildChunkIndex("c8", MaxTok)
+    assert(intercept[GraftException](api.buildChunkIvfIndex("c8")).code
+      == graft.model.ErrorCodes.AnnIndexNotFound)
+    api.buildAnnIndex("c8", nClusters = 4)
+    assert(api.buildChunkIvfIndex("c8") > 30) // multi-chunk corpus
+    import graft.search.ChunkIvfIndex
+    def rowsIvf(df: DataFrame): Seq[(String, Long, Seq[Float])] =
+      df.select("id", "cluster_id", "embedding").collect()
+        .map(r => (r.getString(0), r.getLong(1), r.getSeq[Float](2)))
+        .sortBy(_._1).toSeq
+    def rebuilt() = rowsIvf(ChunkIvfIndex.indexRows(
+      ChunkIndex.load(spark, api.catalog, entry),
+      graft.ann.IvfIndex.loadCentroids(spark, api.catalog, entry)))
+    assert(rowsIvf(ChunkIvfIndex.load(spark, api.catalog, entry)) == rebuilt())
+    // upsert: only the touched clusters rewrite, result == rebuild
+    api.addDocuments("c8", docsDf(30 until 36))
+    val afterUpsert = rowsIvf(ChunkIvfIndex.load(spark, api.catalog, entry))
+    assert(afterUpsert == rebuilt())
+    assert(afterUpsert.map(_._1.split("#")(0)).distinct.size == 36)
+    // delete: the doc's chunk rows leave every cluster, still rebuild-identical
+    val victim = afterUpsert.head._1.split("#")(0)
+    api.deleteDocuments("c8", Seq(victim))
+    val afterDelete = rowsIvf(ChunkIvfIndex.load(spark, api.catalog, entry))
+    assert(afterDelete == rebuilt())
+    assert(!afterDelete.exists(_._1.startsWith(victim + "#")))
+    // serving at full width probes everything -> exact maxsim rows
+    val served = ChunkIndex.searchChunkIvf(spark, api.catalog, entry, emb,
+        Seq(0 -> "topic words document"), k = 6, perTokenT = 10000)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    val toks = Seq("topic", "words", "document")
+    val qdf = emb.embedBatch(toks).zipWithIndex.map { case (v, i) =>
+      val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+      (0, i, v.map(x => (x / n).toFloat).toSeq)
+    }.toDF("query_idx", "tok_idx", "vec")
+    val exact = MaxSim.topK(
+        ChunkIndex.load(spark, api.catalog, entry)
+          .select(col("id").as("doc_id"), col("vec")), qdf, k = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(served.nonEmpty && served.sortBy(_._2) == exact.sortBy(_._2))
+    // auto routing now prefers the chunk-level index
+    val auto = api.maxsimSearch("c8", "topic words document", nResults = 6)
+    val forced = api.maxsimSearch("c8", "topic words document", nResults = 6,
+      candidateSource = "chunkivf")
+    assert(auto.results == forced.results && auto.results.nonEmpty)
+    // rebuilding the quantizer re-assigns the chunk-level index too
+    api.buildAnnIndex("c8", nClusters = 2)
+    assert(rowsIvf(ChunkIvfIndex.load(spark, api.catalog, entry)) == rebuilt())
+  }
+
+  test("collection delete takes EVERY sidecar: a same-name re-create cannot resurrect a stale chunk index") {
+    val api = newApi()
+    api.createCollection("c9", documents = Some(docsDf(0 until 12)))
+    api.buildChunkIndex("c9", MaxTok)
+    api.buildAnnIndex("c9", nClusters = 2)
+    api.buildChunkIvfIndex("c9")
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "c9"))
+    val table = java.nio.file.Paths.get(api.catalog.tablePath(entry))
+    api.deleteCollection("c9", confirm = true)
+    // nothing with the table's prefix survives (enumerated suffix lists
+    // leaked the chunk index before — the recreate would have served the
+    // previous incarnation's rows)
+    val leftovers = java.nio.file.Files.list(table.getParent)
+      .toArray.map(_.toString)
+      .filter(_.contains(table.getFileName.toString))
+    assert(leftovers.isEmpty, s"sidecars survived the delete: ${leftovers.toSeq}")
+    api.createCollection("c9", documents = Some(docsDf(20 until 25)))
+    val ex = intercept[GraftException] {
+      api.maxsimSearch("c9", "topic words", nResults = 3)
+    }
+    assert(ex.code == graft.model.ErrorCodes.AnnIndexNotFound)
+  }
+
   test("serving pins nothing: getPersistentRDDs unchanged by a maxsim serve") {
     val api = newApi()
     api.createCollection("c5", documents = Some(docsDf(0 until 25)))
