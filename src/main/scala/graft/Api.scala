@@ -397,8 +397,21 @@ final class Api(
       maxTokens: Int = graft.search.ChunkIndex.DefaultMaxTokens): Long =
     writeLock.synchronized {
       val entry = catalog.getCollection(physical(validCollection(name)))
-      graft.search.ChunkIndex.build(spark, catalog, entry, embedder, maxTokens)
+      val n = graft.search.ChunkIndex.build(spark, catalog, entry, embedder, maxTokens)
         .count()
+      // the chunk-level IVF derives FROM these rows: a re-chunk must
+      // re-derive it (auto routing prefers it, and maintenance computes
+      // old clusters from the NEW chunk rows — a stale sidecar would
+      // desync permanently, the same hazard buildAnnIndex closes for PQ)
+      if (graft.search.ChunkIvfIndex.exists(catalog, entry)) {
+        if (java.nio.file.Files.exists(java.nio.file.Paths.get(
+            graft.ann.IvfIndex.centroidsPath(catalog, entry))))
+          graft.search.ChunkIvfIndex.build(spark, catalog, entry)
+        else // orphaned sidecar (quantizer gone): unusable, drop it
+          graft.catalog.PartitionedTable.deleteDir(java.nio.file.Paths.get(
+            graft.search.ChunkIvfIndex.indexPath(catalog, entry)))
+      }
+      n
     }
 
   /** Build (or rebuild) the chunk-level IVF candidate index — the PLAID

@@ -256,7 +256,7 @@ object Indexes {
     // the fresh batch's chunk rows are embedded ONCE (the write-time
     // model cost) and shared by the chunk index and the chunk-level IVF
     val freshChunks = p.chunk
-      .filter(_ => p.chunk.exists(_._2.nonEmpty) || p.chunkIvf.isDefined)
+      .filter { case (_, buckets) => buckets.nonEmpty || p.chunkIvf.isDefined }
       .map { case (m, _) =>
         graft.search.ChunkIndex.indexRows(
           fresh.select("id", "content"), embedder, m.maxTokens).cache()

@@ -45,8 +45,16 @@ object ChunkIvfIndex {
   def indexPath(catalog: Catalog, entry: CollectionEntry): String =
     catalog.tablePath(entry) + ".chunkvecs.ivf"
 
+  /** A usable index = the dir AND its write job's _SUCCESS marker: a
+    * crash mid-build (including the re-assign inside
+    * [[graft.Api.buildAnnIndex]], where the NEW centroids are already
+    * persisted) must read as index-absent — auto routing then falls back
+    * to the doc-level/chunk routes and maintenance skips — never as a
+    * partial or wrong-quantizer index served silently.
+    */
   def exists(catalog: Catalog, entry: CollectionEntry): Boolean =
-    Files.exists(Paths.get(indexPath(catalog, entry)))
+    Files.exists(Paths.get(indexPath(catalog, entry))) &&
+      Files.exists(Paths.get(indexPath(catalog, entry), "_SUCCESS"))
 
   /** Index rows for chunk-index rows (id, chunk_idx, vec):
     * (id = doc#chunk, doc-recoverable, embedding, norm, cluster_id).
@@ -63,6 +71,11 @@ object ChunkIvfIndex {
     * collection's IVF centroids (both must exist — governed at the Api).
     */
   def build(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): DataFrame = {
+    // drop the old index first: every crash window then reads as
+    // index-absent (exists() also demands _SUCCESS), never as a stale
+    // index keyed to the previous quantizer or chunking
+    graft.catalog.PartitionedTable.deleteDir(
+      Paths.get(indexPath(catalog, entry)))
     val rows = indexRows(
       ChunkIndex.load(spark, catalog, entry),
       graft.ann.IvfIndex.loadCentroids(spark, catalog, entry))

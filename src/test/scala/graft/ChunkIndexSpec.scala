@@ -181,6 +181,12 @@ class ChunkIndexSpec extends SparkSpec {
     // rebuilding the quantizer re-assigns the chunk-level index too
     api.buildAnnIndex("c8", nClusters = 2)
     assert(rowsIvf(ChunkIvfIndex.load(spark, api.catalog, entry)) == rebuilt())
+    // RE-CHUNKING re-derives it too: the sidecar is a function of the
+    // chunk rows, and a stale one would desync maintenance permanently
+    api.buildChunkIndex("c8", MaxTok + 2)
+    assert(rowsIvf(ChunkIvfIndex.load(spark, api.catalog, entry)) == rebuilt())
+    assert(api.maxsimSearch("c8", "topic words", nResults = 3,
+      candidateSource = "chunkivf").results.nonEmpty)
   }
 
   test("collection delete takes EVERY sidecar: a same-name re-create cannot resurrect a stale chunk index") {
