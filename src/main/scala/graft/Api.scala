@@ -266,19 +266,31 @@ final class Api(
     *     restartable for free (rerun; deleted rows no longer match).
     *     Right for small sweeps and cheap predicates.
     *   - resolve-once (`resolveOnce = true`): ONE corpus scan writes the
-    *     matched ids to a predicate-keyed parquet sink beside the table;
-    *     batches then drain the sink in id order past a persisted cursor
-    *     (`id > cursor`, pushed into the sink scan) — per-batch cost is
-    *     one matched-count-sized top-N, the corpus is never rescanned
-    *     and the predicate never re-evaluated. Crash-restartable:
-    *     rerunning the same sweep finds the sink (keyed by the
-    *     predicate's expression hash) and resumes past the cursor; a
-    *     crash between delete and cursor advance re-drains that batch,
-    *     and re-deleting an already-drained id is an idempotent no-op.
-    *     Both sidecars are removed when the drain completes. Right for
-    *     large sweeps and expensive predicates (10M matches at
-    *     maxBatch=1000 = one predicate scan + 10k sink top-Ns, vs 10k
-    *     full corpus scans each re-evaluating the predicate).
+    *     matched ids to a predicate-keyed parquet sink beside the table,
+    *     PARTITIONED BY the id bucket and sorted by the BUCKET-major key
+    *     `__key = lpad(bucket)|id`; batches then drain the sink in __key
+    *     order past a persisted cursor — each batch reads ONE bucket
+    *     partition (partition-pruned `pbucket = b`, `__key > cursor`
+    *     pushed into that partition's sorted scan), so per-batch sink
+    *     I/O is O(sink/buckets), flat in the total match count, and the
+    *     corpus is never rescanned. Bucket-major draining also clusters
+    *     each batch's DELETE into one id bucket instead of rewriting all
+    *     256 (id-order draining measured 1.8× the whole sweep's cost).
+    *     Each drained batch is RE-VERIFIED against the live table before
+    *     deleting (a bucket-pruned point lookup re-applying `pred`):
+    *     within one invocation the write lock makes this a no-op check,
+    *     but a crash-RESUMED sweep drains a sink scanned before the
+    *     crash, and without the re-check an id upserted meanwhile with
+    *     content that no longer matches would be deleted from the stale
+    *     snapshot. Crash-restartable: rerunning the same sweep finds the
+    *     sink (keyed by the predicate's expression hash) and resumes
+    *     past the cursor; a crash between delete and cursor advance
+    *     re-drains that batch, and a re-drained id either no longer
+    *     exists (fails the re-check) or still matches (idempotent
+    *     re-delete). Both sidecars are removed when the drain completes.
+    *     Right for large sweeps and expensive predicates. Returns the
+    *     number of ids this invocation actually deleted (a resumed sweep
+    *     does not re-count the crashed run's progress).
     */
   def deleteDocumentsWhere(
       name: String,
@@ -330,33 +342,68 @@ final class Api(
         // into few id buckets, so each batch's delete rewrites ~its
         // share of buckets instead of ALL of them (id-ordered draining
         // spread every 1000-id batch across all 256 buckets — measured
-        // 1.8x the whole sweep's cost at 64x corpus)
+        // 1.8x the whole sweep's cost at 64x corpus). The sink lands
+        // PARTITIONED BY that bucket and sorted by __key within each
+        // partition, so every drain batch below partition-prunes to one
+        // bucket dir instead of top-N-scanning the whole sink
+        // (ceil(M/maxBatch) whole-sink scans were O(M²/maxBatch) sink
+        // I/O at 10M matches)
         catalog.readDocuments(entry).filter(pred).select("id").distinct()
+          .withColumn("pbucket", Ingest.idBucket(col("id")))
           .withColumn("__key", concat(
-            lpad(Ingest.idBucket(col("id")).cast("string"), 3, "0"),
+            lpad(col("pbucket").cast("string"), 3, "0"),
             lit("|"), col("id")))
-          .write.parquet(sink)
+          .repartition(col("pbucket"))
+          .sortWithinPartitions("__key")
+          .write.partitionBy("pbucket").parquet(sink)
       var cursor: Option[String] =
         if (Files.exists(cursorPath)) Some(Files.readString(cursorPath)) else None
-      var more = true
-      while (more) {
-        val batch = cursor.foldLeft(spark.read.parquet(sink))(
-            (df, c) => df.filter(col("__key") > c))
-          .orderBy("__key").limit(maxBatch)
-          .select("id", "__key").collect()
-        if (batch.isEmpty) more = false
-        else {
-          deleteDocuments(name, batch.map(_.getString(0)).toSeq)
-          // cursor advances AFTER the delete: a crash between the two
-          // re-drains this batch on resume, and re-deleting absent ids
-          // is a no-op
-          val tmp = Paths.get(sink + ".cursor.tmp")
-          Files.writeString(tmp, batch.last.getString(1))
-          Files.move(tmp, cursorPath,
-            java.nio.file.StandardCopyOption.REPLACE_EXISTING,
-            java.nio.file.StandardCopyOption.ATOMIC_MOVE)
-          cursor = Some(batch.last.getString(1))
-          removed += batch.length
+      // driver-side partition listing: the bucket dirs in drain order
+      // (bucket count is fixed at 256 — never match-count-sized)
+      val sinkBuckets = Files.list(Paths.get(sink)).toArray
+        .map(_.toString.split('/').last)
+        .collect { case s if s.startsWith("pbucket=") =>
+          s.stripPrefix("pbucket=").toInt }
+        .sorted.toSeq
+      if (sinkBuckets.nonEmpty) {
+        val sinkDf = spark.read.parquet(sink)
+        // resume inside (or after) the cursor's bucket; earlier buckets
+        // are fully drained — their partitions are never re-read
+        var bi = cursor match {
+          case Some(c) =>
+            val cb = c.take(3).toInt
+            val i = sinkBuckets.indexWhere(_ >= cb)
+            if (i < 0) sinkBuckets.size else i
+          case None => 0
+        }
+        while (bi < sinkBuckets.size) {
+          val batch = cursor.foldLeft(
+              sinkDf.filter(col("pbucket") === sinkBuckets(bi)))(
+              (df, c) => df.filter(col("__key") > c))
+            .orderBy("__key").limit(maxBatch)
+            .select("id", "__key").collect()
+          if (batch.isEmpty) bi += 1
+          else {
+            val ids = batch.map(_.getString(0)).toSeq
+            // re-verify before deleting: only ids whose CURRENT row still
+            // matches the predicate (bucket-pruned point lookup). A
+            // resumed sweep's sink is a pre-crash snapshot — an id
+            // upserted since with non-matching content must survive.
+            val still = catalog.readDocumentsForIds(entry, ids)
+              .filter(col("id").isin(ids: _*)).filter(pred)
+              .select("id").collect().map(_.getString(0)).toSeq
+            if (still.nonEmpty) deleteDocuments(name, still)
+            // cursor advances AFTER the delete: a crash between the two
+            // re-drains this batch on resume, and the re-check makes the
+            // re-drain idempotent
+            val tmp = Paths.get(sink + ".cursor.tmp")
+            Files.writeString(tmp, batch.last.getString(1))
+            Files.move(tmp, cursorPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING,
+              java.nio.file.StandardCopyOption.ATOMIC_MOVE)
+            cursor = Some(batch.last.getString(1))
+            removed += still.size
+          }
         }
       }
       Files.deleteIfExists(cursorPath)
@@ -397,13 +444,19 @@ final class Api(
       maxTokens: Int = graft.search.ChunkIndex.DefaultMaxTokens): Long =
     writeLock.synchronized {
       val entry = catalog.getCollection(physical(validCollection(name)))
-      val n = graft.search.ChunkIndex.build(spark, catalog, entry, embedder, maxTokens)
-        .count()
       // the chunk-level IVF derives FROM these rows: a re-chunk must
       // re-derive it (auto routing prefers it, and maintenance computes
       // old clusters from the NEW chunk rows — a stale sidecar would
-      // desync permanently, the same hazard buildAnnIndex closes for PQ)
-      if (graft.search.ChunkIvfIndex.exists(catalog, entry)) {
+      // desync permanently, the same hazard buildAnnIndex closes for PQ).
+      // Invalidate it BEFORE the parent rewrite: a crash anywhere between
+      // the new chunk index landing and the sidecar rebuild below then
+      // reads as index-absent (exists() demands _SUCCESS), never as a
+      // committed index keyed to the previous chunking
+      val hadChunkIvf = graft.search.ChunkIvfIndex.exists(catalog, entry)
+      if (hadChunkIvf) graft.search.ChunkIvfIndex.invalidate(catalog, entry)
+      val n = graft.search.ChunkIndex.build(spark, catalog, entry, embedder, maxTokens)
+        .count()
+      if (hadChunkIvf) {
         if (java.nio.file.Files.exists(java.nio.file.Paths.get(
             graft.ann.IvfIndex.centroidsPath(catalog, entry))))
           graft.search.ChunkIvfIndex.build(spark, catalog, entry)
@@ -518,6 +571,13 @@ final class Api(
       name: String, nClusters: Int, kmeansIters: Int = 0,
       trainFraction: Double = 1.0): DataFrame = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
+    // the chunk-level IVF keys its partitions on the centroids this build
+    // replaces: invalidate it BEFORE the new quantizer lands, so a crash
+    // between the centroid rewrite and the re-assign below reads as
+    // index-absent instead of serving (and maintaining — Indexes.stage
+    // computes clusters under CURRENT centroids) a wrong-quantizer index
+    val hadChunkIvf = graft.search.ChunkIvfIndex.exists(catalog, entry)
+    if (hadChunkIvf) graft.search.ChunkIvfIndex.invalidate(catalog, entry)
     val built = graft.ann.IvfIndex.build(
       spark, catalog, entry, nClusters, kmeansIters, trainFraction)
     // the PQ codes are physically partitioned (and, for residual indexes,
@@ -529,9 +589,9 @@ final class Api(
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(
         graft.ann.PqIndex.indexPath(catalog, entry))))
       graft.ann.PqIndex.reencode(spark, catalog, entry)
-    // the chunk-level IVF keys its partitions on the same centroids: a
-    // rebuilt quantizer must re-assign it for the same reason as PQ
-    if (graft.search.ChunkIvfIndex.exists(catalog, entry))
+    // a rebuilt quantizer must re-assign the chunk-level IVF for the same
+    // reason as PQ
+    if (hadChunkIvf)
       graft.search.ChunkIvfIndex.build(spark, catalog, entry)
     built
   }

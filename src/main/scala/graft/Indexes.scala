@@ -362,11 +362,16 @@ object Indexes {
       // forbids; a chunk-indexed collection REQUIRES the embedder here
       require(embedder.isDefined,
         "refreshDerived on a chunk-indexed collection needs its embedder (the chunk index embeds at rebuild)")
+      // invalidate the derived chunk-level IVF BEFORE the parent rewrite
+      // (Api.buildChunkIndex's crash ordering): a crash between the two
+      // rebuilds must read as index-absent, never as a stale sidecar
+      val hadChunkIvf = graft.search.ChunkIvfIndex.exists(catalog, entry)
+      if (hadChunkIvf) graft.search.ChunkIvfIndex.invalidate(catalog, entry)
       for {
         e <- embedder
         m <- graft.search.ChunkIndex.loadMeta(spark, catalog, entry)
       } graft.search.ChunkIndex.build(spark, catalog, entry, e, m.maxTokens)
-      if (graft.search.ChunkIvfIndex.exists(catalog, entry))
+      if (hadChunkIvf)
         graft.search.ChunkIvfIndex.build(spark, catalog, entry)
     }
     if (exists(IvfIndex.centroidsPath(catalog, entry)) &&

@@ -56,6 +56,18 @@ object ChunkIvfIndex {
     Files.exists(Paths.get(indexPath(catalog, entry))) &&
       Files.exists(Paths.get(indexPath(catalog, entry), "_SUCCESS"))
 
+  /** Invalidate the persisted index AHEAD of a parent-artifact rewrite
+    * (chunk index re-chunk, IVF quantizer rebuild). [[exists]] demands the
+    * `_SUCCESS` marker, so dropping just the marker makes every crash
+    * window between the parent's commit and this index's rebuild read as
+    * index-absent — auto routing falls back, maintenance skips — instead
+    * of silently serving (and desyncing) an index keyed to the OLD
+    * chunking/quantizer. The caller rebuilds via [[build]] afterwards,
+    * which drops and rewrites the whole dir anyway.
+    */
+  def invalidate(catalog: Catalog, entry: CollectionEntry): Unit =
+    Files.deleteIfExists(Paths.get(indexPath(catalog, entry), "_SUCCESS"))
+
   /** Index rows for chunk-index rows (id, chunk_idx, vec):
     * (id = doc#chunk, doc-recoverable, embedding, norm, cluster_id).
     */

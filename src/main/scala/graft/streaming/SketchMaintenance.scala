@@ -63,6 +63,41 @@ object SketchMaintenance {
       else None
     }
 
+  /** Run `use` over the loaded sketch, retrying ONCE against the live
+    * path when a `.bak`-recovered read fails mid-scan with missing files.
+    * [[swapLock]] covers same-JVM readers, but a reader in ANOTHER
+    * process that found live missing and began scanning `.bak` can have
+    * those parquet files deleted under it by the live writer's
+    * [[writeSwap]] (which clears `.bak` right after landing the new
+    * live). That deletion ORDER is the retry's correctness: `.bak` only
+    * disappears after the new live dir is committed, so re-reading live
+    * always finds a complete sketch. A missing-file failure off a LIVE
+    * read is not retried — live is only replaced atomically, so that is
+    * a real error, not the swap race.
+    */
+  private def withLoaded[T](spark: SparkSession, path: String)(
+      use: Option[DataFrame] => T): T = {
+    val fromBak = swapLock.synchronized {
+      !Files.exists(Paths.get(path)) && Files.exists(Paths.get(path + ".bak"))
+    }
+    try use(load(spark, path))
+    catch {
+      case e: Throwable if fromBak && isMissingFile(e) =>
+        use(swapLock.synchronized {
+          if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path))
+          else None
+        })
+    }
+  }
+
+  private def isMissingFile(e: Throwable): Boolean =
+    Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists { t =>
+      t.isInstanceOf[java.io.FileNotFoundException] ||
+        Option(t.getMessage).exists(m =>
+          m.contains("FileNotFoundException") || m.contains("does not exist") ||
+            m.contains("PATH_NOT_FOUND"))
+    }
+
   /** Fold one micro-batch into the persisted HLL register table at
     * `path` (created on first fold). groupCols/valueCol/p must be stable
     * across folds — they are sketch identity, like BloomGate's meta.
@@ -72,13 +107,12 @@ object SketchMaintenance {
       batch: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      p: Int = Hll.DefaultP): Unit = {
-    val regs = Hll.registers(batch, groupCols, valueCol, p)
-    val merged = load(batch.sparkSession, path)
-      .map(prev => Hll.merge(prev, regs, groupCols))
-      .getOrElse(regs)
-    writeSwap(merged, path)
-  }
+      p: Int = Hll.DefaultP): Unit =
+    withLoaded(batch.sparkSession, path) { prev =>
+      val regs = Hll.registers(batch, groupCols, valueCol, p)
+      val merged = prev.map(Hll.merge(_, regs, groupCols)).getOrElse(regs)
+      writeSwap(merged, path)
+    }
 
   /** Fold one micro-batch into the persisted CMS cell table at `path`
     * (created on first fold). width/depth are sketch identity.
@@ -89,27 +123,44 @@ object SketchMaintenance {
       valueCol: String,
       width: Int,
       depth: Int,
-      weightCol: Option[String] = None): Unit = {
-    val cells = Cms.sketch(batch, valueCol, width, depth, weightCol)
-    val merged = load(batch.sparkSession, path)
-      .map(prev => Cms.merge(prev, cells))
-      .getOrElse(cells)
-    writeSwap(merged, path)
-  }
+      weightCol: Option[String] = None): Unit =
+    withLoaded(batch.sparkSession, path) { prev =>
+      val cells = Cms.sketch(batch, valueCol, width, depth, weightCol)
+      val merged = prev.map(Cms.merge(_, cells)).getOrElse(cells)
+      writeSwap(merged, path)
+    }
 
   /** Distinct-count estimates off the stored HLL table — serving reads
-    * the sketch-bounded parquet, never the corpus.
+    * the sketch-bounded parquet, never the corpus. The returned frame is
+    * MATERIALIZED (estimate-sized: one row per group) so a lock-free
+    * reader in another process can never have the sketch files swapped
+    * out from under a still-lazy plan after this call returns.
     */
   def hllEstimate(
       spark: SparkSession, path: String,
       groupCols: Seq[String], p: Int = Hll.DefaultP): Option[DataFrame] =
-    load(spark, path).map(Hll.estimate(_, groupCols, p))
+    withLoaded(spark, path)(_.map(t =>
+      materialized(spark, Hll.estimate(t, groupCols, p))))
 
-  /** Point estimates for `keys` off the stored CMS table. */
+  /** Point estimates for `keys` off the stored CMS table — materialized
+    * like [[hllEstimate]] (keys-sized output).
+    */
   def cmsEstimate(
       spark: SparkSession, path: String,
       keys: Seq[String], width: Int, depth: Int): Option[DataFrame] =
-    load(spark, path).map(Cms.estimate(_, keys, width, depth))
+    withLoaded(spark, path)(_.map(t =>
+      materialized(spark, Cms.estimate(t, keys, width, depth))))
+
+  /** Pin an estimate frame's ROWS driver-side (bounded by group/key
+    * count, never sketch or corpus size) so the caller's frame no longer
+    * depends on the swap-managed files. A plain collect+recreate — no
+    * executor storage is pinned.
+    */
+  private def materialized(spark: SparkSession, df: DataFrame): DataFrame = {
+    val rows = df.collect().toSeq
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(rows, 1), df.schema)
+  }
 
   /** Stage-then-swap rewrite: the merged frame READS the live table, so
     * it must fully materialize (the staging write) before the live dir is

@@ -189,6 +189,44 @@ class ChunkIndexSpec extends SparkSpec {
       candidateSource = "chunkivf").results.nonEmpty)
   }
 
+  test("a crash between a parent rebuild and the chunk-IVF re-derive reads as index-absent") {
+    val api = newApi()
+    api.createCollection("c10", documents = Some(docsDf(0 until 24)))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "c10"))
+    val emb = new DeterministicHashEmbedder(16)
+    api.buildChunkIndex("c10", MaxTok)
+    api.buildAnnIndex("c10", nClusters = 4)
+    api.buildChunkIvfIndex("c10")
+    import graft.search.ChunkIvfIndex
+    // simulate the crash window: buildChunkIndex/buildAnnIndex invalidate
+    // the sidecar FIRST, then rewrite the parent, then re-derive — a crash
+    // right after the parent rewrite leaves exactly this state
+    ChunkIvfIndex.invalidate(api.catalog, entry)
+    ChunkIndex.build(spark, api.catalog, entry, emb, MaxTok + 2)
+    assert(!ChunkIvfIndex.exists(api.catalog, entry))
+    // serving: auto falls back to the doc-level IVF route (never the torn
+    // sidecar); forcing chunkivf is governed
+    val auto = api.maxsimSearch("c10", "topic words document", nResults = 5)
+    val ivf = api.maxsimSearch("c10", "topic words document", nResults = 5,
+      candidateSource = "ivf")
+    assert(auto.results == ivf.results && auto.results.nonEmpty)
+    assert(intercept[GraftException](api.maxsimSearch("c10", "topic words",
+      nResults = 3, candidateSource = "chunkivf")).code
+      == graft.model.ErrorCodes.AnnIndexNotFound)
+    // maintenance skips the absent index instead of desyncing it
+    api.addDocuments("c10", docsDf(24 until 27))
+    assert(!ChunkIvfIndex.exists(api.catalog, entry))
+    // explicit rebuild repairs, and the result is rebuild-identical
+    api.buildChunkIvfIndex("c10")
+    def rowsIvf(df: DataFrame): Seq[(String, Long)] =
+      df.select("id", "cluster_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rowsIvf(ChunkIvfIndex.load(spark, api.catalog, entry)) ==
+      rowsIvf(ChunkIvfIndex.indexRows(
+        ChunkIndex.load(spark, api.catalog, entry),
+        graft.ann.IvfIndex.loadCentroids(spark, api.catalog, entry))))
+  }
+
   test("collection delete takes EVERY sidecar: a same-name re-create cannot resurrect a stale chunk index") {
     val api = newApi()
     api.createCollection("c9", documents = Some(docsDf(0 until 12)))

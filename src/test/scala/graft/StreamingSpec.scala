@@ -551,6 +551,25 @@ class StreamingSpec extends SparkSpec {
     assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(hllPath + ".bak")))
   }
 
+  test("sketch estimates are materialized: a swap deleting the files cannot fail a returned frame") {
+    import spark.implicits._
+    import graft.streaming.SketchMaintenance
+    val dir = Files.createTempDirectory("graft-sketch-mat").toString
+    val hllPath = s"$dir/hll.regs"
+    val batch = (0 until 80).map(i => s"doc$i").toDF("id")
+    SketchMaintenance.foldHll(hllPath, batch, Seq(), "id")
+    val est = SketchMaintenance.hllEstimate(spark, hllPath, Seq()).get
+    // a cross-process writer's swap can delete the dir a lock-free reader
+    // loaded from (the .bak window) AFTER the estimate call returned —
+    // the returned frame must not depend on those files anymore
+    graft.catalog.PartitionedTable.deleteDir(java.nio.file.Paths.get(hllPath))
+    val e = est.select("est").head().getDouble(0)
+    val direct = graft.operators.Hll.estimate(
+      graft.operators.Hll.registers(batch, Seq(), "id"), Seq())
+      .select("est").head().getDouble(0)
+    assert(e == direct)
+  }
+
   test("compaction with profile sidecars folds HLL/CMS continuously") {
     import spark.implicits._
     import graft.ingest.DeterministicHashEmbedder
