@@ -461,16 +461,18 @@ class ApiSpec extends SparkSpec {
       .take(6).map("%02x".format(_)).mkString
     val sink = api.catalog.tablePath(entryC) + s".sweep-$predKey"
     val matched = api.catalog.readDocuments(entryC).filter(predicate).select("id")
+      .withColumn("pbucket", Ingest.idBucket(col("id")))
       .withColumn("__key", org.apache.spark.sql.functions.concat(
-        org.apache.spark.sql.functions.lpad(
-          Ingest.idBucket(col("id")).cast("string"), 3, "0"),
+        org.apache.spark.sql.functions.lpad(col("pbucket").cast("string"), 3, "0"),
         org.apache.spark.sql.functions.lit("|"), col("id")))
-    matched.write.parquet(sink) // the "crashed" sweep's completed scan
+    matched.write.partitionBy("pbucket").parquet(sink) // the "crashed" sweep's scan
     val firstTwo = matched.select("id").limit(2).collect().map(_.getString(0)).toSeq
     api.deleteDocuments("ttlC", firstTwo) // progress the crash made
     val resumed = api.deleteDocumentsWhere("ttlC", predicate, confirm = true,
       maxBatch = 3, resolveOnce = true)
-    assert(resumed == 10L) // drains the full sink; 2 re-deletes are no-ops
+    // drains the full sink; the 2 already-deleted ids fail the live
+    // re-check, so only the 8 still-matching rows count as removed
+    assert(resumed == 8L)
     val remC = api.catalog.readDocuments(entryC)
     assert(remC.count() == 20 && remC.filter(predicate).count() == 0)
     // a TORN sink (dir without the write job's _SUCCESS — a crash mid
@@ -484,6 +486,41 @@ class ApiSpec extends SparkSpec {
       maxBatch = 4, resolveOnce = true) == 10L)
     val remD = api.catalog.readDocuments(entryD)
     assert(remD.count() == 20 && remD.filter(predicate).count() == 0)
+  }
+
+  test("resolveOnce resume re-verifies against the LIVE rows: a row re-tagged since the scan survives") {
+    val api = newApi()
+    import spark.implicits._
+    // metadata predicate: content-addressed ids mean a row's CONTENT can
+    // never change under its id, but its METADATA can — the one mutation
+    // that makes a crashed sweep's sink a stale snapshot
+    val docs = (0 until 12).map(i =>
+      (s"record $i body", Map("tier" -> (if (i % 2 == 0) "old" else "new"))))
+      .toDF("content", "metadata")
+    api.createCollection("ttlE", documents = Some(docs))
+    val predicate = col("metadata")("tier") === "old"
+    val entryE = api.catalog.getCollection(api.catalog.physicalName("default", "ttlE"))
+    val predKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(predicate.toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val sink = api.catalog.tablePath(entryE) + s".sweep-$predKey"
+    api.catalog.readDocuments(entryE).filter(predicate).select("id")
+      .withColumn("pbucket", Ingest.idBucket(col("id")))
+      .withColumn("__key", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lpad(col("pbucket").cast("string"), 3, "0"),
+        org.apache.spark.sql.functions.lit("|"), col("id")))
+      .write.partitionBy("pbucket").parquet(sink) // crashed sweep's scan
+    // between crash and resume, one matched row is re-tagged tier=new —
+    // its id is IN the sink, but its live row no longer matches
+    api.addDocuments("ttlE",
+      Seq(("record 0 body", Map("tier" -> "new"))).toDF("content", "metadata"))
+    val resumed = api.deleteDocumentsWhere("ttlE", predicate, confirm = true,
+      maxBatch = 4, resolveOnce = true)
+    assert(resumed == 5L) // 6 sink ids, 1 re-tagged and spared
+    val rem = api.catalog.readDocuments(entryE)
+    assert(rem.count() == 7) // 6 tier=new originals + the re-tagged row
+    assert(rem.filter(col("content") === "record 0 body").count() == 1)
+    assert(rem.filter(predicate).count() == 0)
   }
 
   test("collection_not_found and collection_exists and dimension mismatch") {
