@@ -457,8 +457,7 @@ final class Api(
       val n = graft.search.ChunkIndex.build(spark, catalog, entry, embedder, maxTokens)
         .count()
       if (hadChunkIvf) {
-        if (java.nio.file.Files.exists(java.nio.file.Paths.get(
-            graft.ann.IvfIndex.centroidsPath(catalog, entry))))
+        if (graft.search.ChunkIvfIndex.quantizerExists(catalog, entry))
           graft.search.ChunkIvfIndex.build(spark, catalog, entry)
         else // orphaned sidecar (quantizer gone): unusable, drop it
           graft.catalog.PartitionedTable.deleteDir(java.nio.file.Paths.get(
@@ -469,22 +468,47 @@ final class Api(
 
   /** Build (or rebuild) the chunk-level IVF candidate index — the PLAID
     * serving shape ([[graft.search.ChunkIvfIndex]]): the persisted chunk
-    * vectors assigned to the collection's IVF centroids and stored
-    * partitioned by cluster, so maxsim candidate generation probes
-    * clusters of CHUNK vectors (multi-topic documents surface through
-    * whichever chunk matches a token — the recall the pooled doc-level
-    * route loses). Requires both the chunk index and the doc-level IVF
-    * index (one quantizer per collection); governed `ann_index_not_found`
-    * otherwise. Maintained incrementally by every write; rebuilding the
-    * IVF centroids re-assigns it. Returns the indexed chunk-row count.
+    * vectors assigned to a quantizer and stored partitioned by cluster,
+    * so maxsim candidate generation probes clusters of CHUNK vectors
+    * (multi-topic documents surface through whichever chunk matches a
+    * token — the recall the pooled doc-level route loses).
+    *
+    * `trainOn` picks the quantizer:
+    *   - "doc" (default): align to the collection's doc-level IVF
+    *     centroids (requires that index; one quantizer for the whole
+    *     collection — rebuilding it re-assigns this index too). Drops
+    *     any previous chunk-trained sidecar.
+    *   - "chunks": train `nClusters` centroids on the CHUNK vectors
+    *     themselves (PLAID's recipe, arXiv:2205.09707) with
+    *     deterministic decimal-exact k-means (`kmeansIters` Lloyd
+    *     rounds, optional `trainFraction` hash sample) into the index's
+    *     own sidecar; independent of the doc-level quantizer from then
+    *     on (a doc-IVF rebuild leaves it untouched), frozen across
+    *     writes like every production IVF.
+    *
+    * Requires the chunk index (and, for "doc", the doc-level IVF);
+    * governed `ann_index_not_found` otherwise. Maintained incrementally
+    * by every write. Returns the indexed chunk-row count.
     */
-  def buildChunkIvfIndex(name: String): Long = writeLock.synchronized {
+  def buildChunkIvfIndex(
+      name: String,
+      trainOn: String = "doc",
+      nClusters: Int = 64,
+      kmeansIters: Int = 2,
+      trainFraction: Double = 1.0): Long = writeLock.synchronized {
+    require(Set("doc", "chunks").contains(trainOn),
+      s"trainOn '$trainOn' not in {doc, chunks}")
     val entry = catalog.getCollection(physical(validCollection(name)))
     def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
-    if (!exists(graft.search.ChunkIndex.indexPath(catalog, entry)) ||
-        !exists(graft.ann.IvfIndex.centroidsPath(catalog, entry)))
+    if (!exists(graft.search.ChunkIndex.indexPath(catalog, entry)))
       throw new GraftException(ErrorCodes.AnnIndexNotFound)
-    graft.search.ChunkIvfIndex.build(spark, catalog, entry).count()
+    if (trainOn == "doc") {
+      if (!exists(graft.ann.IvfIndex.centroidsPath(catalog, entry)))
+        throw new GraftException(ErrorCodes.AnnIndexNotFound)
+      graft.search.ChunkIvfIndex.buildDocAligned(spark, catalog, entry).count()
+    } else
+      graft.search.ChunkIvfIndex.buildChunkTrained(
+        spark, catalog, entry, nClusters, kmeansIters, trainFraction).count()
   }
 
   /** Late-interaction (maxsim) search from the persisted chunk index:
@@ -571,12 +595,15 @@ final class Api(
       name: String, nClusters: Int, kmeansIters: Int = 0,
       trainFraction: Double = 1.0): DataFrame = writeLock.synchronized {
     val entry = catalog.getCollection(physical(name))
-    // the chunk-level IVF keys its partitions on the centroids this build
-    // replaces: invalidate it BEFORE the new quantizer lands, so a crash
-    // between the centroid rewrite and the re-assign below reads as
-    // index-absent instead of serving (and maintaining — Indexes.stage
-    // computes clusters under CURRENT centroids) a wrong-quantizer index
-    val hadChunkIvf = graft.search.ChunkIvfIndex.exists(catalog, entry)
+    // a DOC-ALIGNED chunk-level IVF keys its partitions on the centroids
+    // this build replaces: invalidate it BEFORE the new quantizer lands,
+    // so a crash between the centroid rewrite and the re-assign below
+    // reads as index-absent instead of serving (and maintaining —
+    // Indexes.stage computes clusters under CURRENT centroids) a
+    // wrong-quantizer index. A CHUNK-TRAINED index owns its quantizer
+    // and is untouched by a doc-IVF rebuild.
+    val hadChunkIvf = graft.search.ChunkIvfIndex.exists(catalog, entry) &&
+      !graft.search.ChunkIvfIndex.hasOwnCentroids(catalog, entry)
     if (hadChunkIvf) graft.search.ChunkIvfIndex.invalidate(catalog, entry)
     val built = graft.ann.IvfIndex.build(
       spark, catalog, entry, nClusters, kmeansIters, trainFraction)
@@ -589,8 +616,8 @@ final class Api(
     if (java.nio.file.Files.exists(java.nio.file.Paths.get(
         graft.ann.PqIndex.indexPath(catalog, entry))))
       graft.ann.PqIndex.reencode(spark, catalog, entry)
-    // a rebuilt quantizer must re-assign the chunk-level IVF for the same
-    // reason as PQ
+    // a rebuilt quantizer must re-assign a doc-aligned chunk-level IVF
+    // for the same reason as PQ
     if (hadChunkIvf)
       graft.search.ChunkIvfIndex.build(spark, catalog, entry)
     built
@@ -963,7 +990,7 @@ final class Api(
     val hasIvf = exists(graft.ann.IvfIndex.indexPath(catalog, entry)) &&
       exists(graft.ann.IvfIndex.centroidsPath(catalog, entry))
     val hasChunkIvf = graft.search.ChunkIvfIndex.exists(catalog, entry) &&
-      exists(graft.ann.IvfIndex.centroidsPath(catalog, entry))
+      graft.search.ChunkIvfIndex.quantizerExists(catalog, entry)
     // auto preference: chunk-level IVF (best pruned recall — candidates
     // from the scored vectors themselves) > doc-level IVF > chunk scan
     val route = candidateSource match {

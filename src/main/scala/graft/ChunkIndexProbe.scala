@@ -68,11 +68,28 @@ object ChunkIndexProbe {
         nResults = 10, candidateSource = "chunkivf")
       val serveCivf = (System.nanoTime() - t3) / 1e9
       require(resCivf.results.nonEmpty)
+      // chunk-TRAINED quantizer (PLAID's recipe): same serving machinery,
+      // centroids k-means-fitted to the chunk vectors — serve cost must
+      // stay in the probe-pruned family; upsert re-measured so the
+      // frozen-own-quantizer maintenance is priced too
+      api.buildChunkIvfIndex("c", trainOn = "chunks", nClusters = 64,
+        kmeansIters = 1)
+      val t4 = System.nanoTime()
+      val resCt = api.maxsimSearch("c", "w17base w40base w63base",
+        nResults = 10, candidateSource = "chunkivf")
+      val serveCt = (System.nanoTime() - t4) / 1e9
+      require(resCt.results.nonEmpty)
+      val batch2 = (200 until 400).map(doc(_, "fresh")).toDF("content")
+      val t5 = System.nanoTime()
+      api.addDocuments("c", batch2)
+      val upCt = (System.nanoTime() - t5) / 1e9
       if (!warm) {
         println(f"""{"op":"chunk_upsert","corpus":$n,"batch":200,"sec":$up%.3f}""")
         println(f"""{"op":"chunk_serve","corpus":$n,"batch":0,"sec":$serve%.3f}""")
         println(f"""{"op":"chunk_serve_ann","corpus":$n,"batch":0,"sec":$serveAnn%.3f}""")
         println(f"""{"op":"chunk_serve_civf","corpus":$n,"batch":0,"sec":$serveCivf%.3f}""")
+        println(f"""{"op":"chunk_serve_civf_trained","corpus":$n,"batch":0,"sec":$serveCt%.3f}""")
+        println(f"""{"op":"chunk_upsert_civf_trained","corpus":$n,"batch":200,"sec":$upCt%.3f}""")
       }
       spark.catalog.clearCache(); System.gc()
     }

@@ -160,10 +160,11 @@ object Indexes {
         .distinct().collect().map(_.getInt(0)).toSeq)
     }
     // chunk-level IVF: the affected clusters of the OLD versions are the
-    // changed ids' stored chunk rows re-assigned under the CURRENT
-    // centroids (bucket-pruned chunk-index read — never a full scan);
-    // the new batch's clusters are computed in applyPending where the
-    // fresh chunk rows are embedded once for both chunk indexes
+    // changed ids' stored chunk rows re-assigned under the index's
+    // CURRENT quantizer (own chunk-trained sidecar when present, doc
+    // centroids otherwise; bucket-pruned chunk-index read — never a full
+    // scan); the new batch's clusters are computed in applyPending where
+    // the fresh chunk rows are embedded once for both chunk indexes
     val chunkIvf =
       if (!graft.search.ChunkIvfIndex.exists(catalog, entry)) None
       else {
@@ -175,7 +176,7 @@ object Indexes {
               graft.search.ChunkIndex.load(spark, catalog, entry)
                 .filter(col("bucket").isin(buckets: _*))
                 .join(ids, Seq("id"), "left_semi"),
-              IvfIndex.loadCentroids(spark, catalog, entry))
+              graft.search.ChunkIvfIndex.quantizer(spark, catalog, entry))
             .select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq
         }
       }
@@ -274,7 +275,7 @@ object Indexes {
         }
       }
       p.chunkIvf.foreach { oldClusters =>
-        val cents = IvfIndex.loadCentroids(spark, catalog, entry)
+        val cents = graft.search.ChunkIvfIndex.quantizer(spark, catalog, entry)
         val freshRows = graft.search.ChunkIvfIndex
           .indexRows(freshChunks.get, cents).cache()
         try {

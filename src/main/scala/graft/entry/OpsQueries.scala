@@ -2168,32 +2168,88 @@ object OpsQueries {
   //      bit-identical ranks — and recall should beat the doc-level
   //      route's: candidates come from the scored vectors themselves, so
   //      the only loss is IVF quantization. ----
+  /** MULTI-TOPIC correlated chunk vectors for the chunk-quantizer grading:
+    * each document carries TWO topic directions (the chunk text's hash
+    * parity picks one), chunk vec = chunk cents + 16 × the topic's cents.
+    * The pooled doc vector (per-dim sum of the doc's chunks) AVERAGES the
+    * two directions away — the precise multi-topic failure mode maxsim
+    * exists to score and the chunk-trained PLAID quantizer
+    * (arXiv:2205.09707 trains on the token embeddings themselves) exists
+    * to candidate-generate for. Everything integer-derived, replayable.
+    */
+  private def maxsimCivfChunkVecsKeyed(s: SparkSession, dir: String): DataFrame = {
+    val embedder = new graft.ingest.DeterministicHashEmbedder(8)
+    val docs = Tables.t(s, dir, "documents")
+      .select(col("doc_id"), col("text").as("content"))
+    val chunks = graft.retriever.Retriever.chunk(docs, maxTokens = 20)
+      .select(col("doc_id"), col("content"),
+        lit(null).cast("array<float>").as("embedding"))
+    // the doc's two topics come from a GLOBAL pool of 32 shared topic
+    // directions (hash of doc id + the chunk text's hash parity), so the
+    // chunk-vector space has real cluster structure — the structure a
+    // chunk-trained quantizer recovers and doc pooling averages away
+    val cc = graft.ingest.Embed.withEmbeddings(chunks, embedder)
+      .select(col("doc_id"),
+        concat(col("doc_id").cast("string"), lit("#"), col("content")).as("ckey"),
+        concat(lit("gtopic"),
+          pmod(expr("cast(conv(substring(sha2(concat(cast(doc_id as string), 'x', " +
+              "cast(cast(conv(substring(sha2(content, 256), 1, 15), 16, 10) as bigint) % 2 as string)), " +
+              "256), 1, 15), 16, 10) as bigint)"),
+            lit(32L)).cast("string")).as("topic"),
+        maxsimCentsCentered.as("vec"))
+    val topics = cc.select(col("topic").as("content")).distinct()
+      .withColumn("embedding", lit(null).cast("array<float>"))
+    val tv = graft.ingest.Embed.withEmbeddings(topics, embedder)
+      .select(col("content").as("topic"), maxsimCentsCentered.as("tvec"))
+    cc.join(tv, "topic")
+      .select(col("doc_id"), col("ckey"),
+        zip_with(col("vec"), col("tvec"), (c, t) => c + t * lit(16)).as("vec"))
+  }
+
   def searchMaxsimCivf(s: SparkSession, dir: String): DataFrame = {
     def normalized(df: DataFrame): DataFrame = df
       .withColumn("__n", graft.functions.VectorFunctions.l2Norm(col("vec")))
       .withColumn("vec", expr("transform(vec, x -> x / __n)"))
       .drop("__n")
-    val rawKeyed = maxsimAnnChunkVecsKeyed(s, dir).localCheckpoint()
+    val rawKeyed = maxsimCivfChunkVecsKeyed(s, dir).localCheckpoint()
     val raw = rawKeyed.select("doc_id", "vec")
     val rawToks = maxsimAnnQueryToks(s, dir).localCheckpoint()
     val chunkVecs = normalized(raw).localCheckpoint()
     val queryToks = normalized(rawToks).localCheckpoint()
     val docVecs = maxsimDocVecs(raw).localCheckpoint()
-    val cents = graft.ann.Ann.representativeCentroids(
+    // doc-trained quantizer: representative min-id POOLED DOC vector per
+    // id%16 (the one-quantizer-per-collection default)
+    val centsDoc = graft.ann.Ann.representativeCentroids(
       docVecs.withColumn("label", pmod(col("id"), lit(16L))), "label")
       .localCheckpoint()
-    val chunkAssigned = graft.ann.Ann.assign(
-      rawKeyed.select(col("ckey").as("id"),
-          expr("transform(vec, v -> cast(v as float))").as("embedding"))
-        .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding"))),
-      cents).localCheckpoint()
+    // chunk-trained quantizer (PLAID, arXiv:2205.09707): centroids drawn
+    // from the CHUNK vectors the index stores — representative min-ckey
+    // chunk per doc_id%16, the same group count as the doc leg so the
+    // graded difference isolates the TRAINING SPACE (pooled doc vs chunk)
+    val chunkAsVecs = rawKeyed.select(col("ckey").as("id"),
+        expr("transform(vec, v -> cast(v as float))").as("embedding"),
+        col("doc_id"))
+      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+      .localCheckpoint()
+    // chunk-trained quantizer: centroids SAMPLED from the chunk vectors
+    // themselves (representative min-ckey chunk per hash(ckey)%64 — the
+    // k-means-init step of the production buildChunkTrained, enough to
+    // land centroids ON the chunk space's topic structure), fully
+    // integer-derived and bit-replayable
+    val centsChunk = graft.ann.Ann.representativeCentroids(
+      chunkAsVecs.withColumn("label",
+        pmod(expr("cast(conv(substring(sha2(id, 256), 1, 15), 16, 10) as bigint)"),
+          lit(64L))), "label")
+      .localCheckpoint()
     val truth = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10)
       .select("query_idx", "doc_id").localCheckpoint()
     val toks = rawToks.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).map(_.toFloat).toArray))
-    def leg(t: Int): DataFrame = {
+    def leg(qz: String, cents: DataFrame, t: Int): DataFrame = {
+      val assigned = graft.ann.Ann.assign(
+        chunkAsVecs.select("id", "embedding", "norm"), cents)
       val cand = graft.search.ChunkIndex.chunkIvfCandidates(
-          s, chunkAssigned, cents, toks.toIndexedSeq, t)
+          s, assigned, cents, toks.toIndexedSeq, t)
         .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
         .distinct()
       val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
@@ -2205,10 +2261,12 @@ object OpsQueries {
       nCand.join(hits, Seq("query_idx"), "left")
         .na.fill(0L, Seq("n_hits"))
         .withColumn("t_width", lit(t.toLong))
+        .withColumn("quantizer", lit(qz))
     }
-    leg(5).unionByName(leg(25))
-      .select("t_width", "query_idx", "n_candidates", "n_hits")
-      .orderBy("t_width", "query_idx")
+    leg("chunk", centsChunk, 5).unionByName(leg("chunk", centsChunk, 25))
+      .unionByName(leg("doc", centsDoc, 5)).unionByName(leg("doc", centsDoc, 25))
+      .select("quantizer", "t_width", "query_idx", "n_candidates", "n_hits")
+      .orderBy("quantizer", "t_width", "query_idx")
   }
 
   val searchMaxsimCivfSql: String =
@@ -2223,14 +2281,15 @@ object OpsQueries {
       |      WHERE ix.i < n.n_chunks),
       |ck AS (SELECT doc_id, chunk FROM c WHERE length(chunk) > 0),
       |i AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS dim),
-      |dc AS (SELECT doc_id, dim,
-      |         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50 AS dcent
-      |       FROM documents CROSS JOIN i),
-      |cv AS (SELECT ck.doc_id, ck.chunk, i.dim,
-      |         ('0x' || substr(sha256(ck.chunk || CAST(i.dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50
-      |           + 16 * dc.dcent AS cent
-      |       FROM ck CROSS JOIN i
-      |       JOIN dc ON dc.doc_id = ck.doc_id AND dc.dim = i.dim),
+      |tk AS (SELECT doc_id, chunk,
+      |         'gtopic' || CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'x' ||
+      |             CAST(('0x' || substr(sha256(chunk), 1, 15))::BIGINT % 2 AS VARCHAR)),
+      |             1, 15))::BIGINT % 32 AS VARCHAR) AS topic
+      |       FROM ck),
+      |cv AS (SELECT tk.doc_id, tk.chunk, i.dim,
+      |         ('0x' || substr(sha256(tk.chunk || CAST(i.dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50
+      |           + 16 * (('0x' || substr(sha256(tk.topic || CAST(i.dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50) AS cent
+      |       FROM tk CROSS JOIN i),
       |qt AS (SELECT * FROM (VALUES (0, 0, 'data'), (0, 1, 'analysis'),
       |                             (0, 2, 'system'), (1, 0, 'market'),
       |                             (1, 1, 'music'), (1, 2, 'research'))
@@ -2266,43 +2325,60 @@ object OpsQueries {
       |                           ORDER BY id) AS rn
       |           FROM (SELECT DISTINCT id FROM dv))
       |         WHERE rn = 1),
-      |cvd AS (SELECT crep.centroid_id, dv.dim, dv.m
-      |        FROM crep JOIN dv ON dv.id = crep.id),
-      |cn2 AS (SELECT centroid_id, sqrt(sum(m * m)) AS nrm FROM cvd GROUP BY 1),
-      |cadot AS (SELECT cv.doc_id, cv.chunk, cvd.centroid_id,
+      |clab AS (SELECT doc_id, chunk,
+      |                CAST(doc_id AS VARCHAR) || '#' || chunk AS ckey,
+      |                ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#' || chunk),
+      |                  1, 15))::BIGINT % 64 AS lbl
+      |         FROM ck),
+      |crep2 AS (SELECT lbl AS centroid_id, doc_id, chunk FROM (
+      |            SELECT *, row_number() OVER (PARTITION BY lbl
+      |                            ORDER BY ckey) AS rn
+      |            FROM clab)
+      |          WHERE rn = 1),
+      |cvd AS (SELECT 'doc' AS qz, crep.centroid_id, dv.dim, dv.m
+      |        FROM crep JOIN dv ON dv.id = crep.id
+      |        UNION ALL
+      |        SELECT 'chunk' AS qz, crep2.centroid_id, cv.dim,
+      |               CAST(cv.cent AS DOUBLE) AS m
+      |        FROM crep2 JOIN cv ON cv.doc_id = crep2.doc_id
+      |                          AND cv.chunk = crep2.chunk),
+      |cn2 AS (SELECT qz, centroid_id, sqrt(sum(m * m)) AS nrm
+      |        FROM cvd GROUP BY 1, 2),
+      |cadot AS (SELECT cvd.qz, cv.doc_id, cv.chunk, cvd.centroid_id,
       |                 sum(CAST(cv.cent AS DOUBLE) * cvd.m) AS dt
-      |          FROM cv JOIN cvd USING (dim) GROUP BY 1, 2, 3),
-      |cassign AS (SELECT doc_id, chunk, cluster_id FROM (
-      |              SELECT a.doc_id, a.chunk, a.centroid_id AS cluster_id,
-      |                     row_number() OVER (PARTITION BY a.doc_id, a.chunk
+      |          FROM cv JOIN cvd USING (dim) GROUP BY 1, 2, 3, 4),
+      |cassign AS (SELECT qz, doc_id, chunk, cluster_id FROM (
+      |              SELECT a.qz, a.doc_id, a.chunk, a.centroid_id AS cluster_id,
+      |                     row_number() OVER (PARTITION BY a.qz, a.doc_id, a.chunk
       |                       ORDER BY 1.0 - a.dt / (cnx.nrm * c2.nrm),
       |                                a.centroid_id) AS rn
       |              FROM cadot a
       |              JOIN cn cnx ON cnx.doc_id = a.doc_id AND cnx.chunk = a.chunk
-      |              JOIN cn2 c2 ON c2.centroid_id = a.centroid_id)
+      |              JOIN cn2 c2 ON c2.qz = a.qz AND c2.centroid_id = a.centroid_id)
       |            WHERE rn = 1),
-      |ccsize AS (SELECT cluster_id, count(*) AS csize FROM cassign GROUP BY 1),
+      |ccsize AS (SELECT qz, cluster_id, count(*) AS csize
+      |           FROM cassign GROUP BY 1, 2),
       |qk AS (SELECT query_idx * 3 + tok_idx AS tok_key, query_idx, dim,
       |              CAST(cent AS DOUBLE) AS qc
       |       FROM qv),
       |qn2 AS (SELECT tok_key, sqrt(sum(qc * qc)) AS nrm FROM qk GROUP BY 1),
-      |qdot AS (SELECT qk.tok_key, cvd.centroid_id, sum(qk.qc * cvd.m) AS dt
-      |         FROM qk JOIN cvd USING (dim) GROUP BY 1, 2),
-      |pr AS (SELECT q.tok_key, q.centroid_id,
+      |qdot AS (SELECT cvd.qz, qk.tok_key, cvd.centroid_id, sum(qk.qc * cvd.m) AS dt
+      |         FROM qk JOIN cvd USING (dim) GROUP BY 1, 2, 3),
+      |pr AS (SELECT q.qz, q.tok_key, q.centroid_id,
       |              1.0 - q.dt / (c2.nrm * qn2.nrm) AS d,
       |              coalesce(s.csize, 0) AS csize
       |       FROM qdot q
-      |       JOIN cn2 c2 ON c2.centroid_id = q.centroid_id
+      |       JOIN cn2 c2 ON c2.qz = q.qz AND c2.centroid_id = q.centroid_id
       |       JOIN qn2 ON qn2.tok_key = q.tok_key
-      |       LEFT JOIN ccsize s ON s.cluster_id = q.centroid_id),
-      |pool AS (SELECT tok_key, centroid_id,
-      |                coalesce(sum(csize) OVER (PARTITION BY tok_key
+      |       LEFT JOIN ccsize s ON s.qz = q.qz AND s.cluster_id = q.centroid_id),
+      |pool AS (SELECT qz, tok_key, centroid_id,
+      |                coalesce(sum(csize) OVER (PARTITION BY qz, tok_key
       |                  ORDER BY d, centroid_id
       |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
       |                  0) AS pool
       |         FROM pr),
       |widths AS (SELECT CAST(unnest([5, 25]) AS BIGINT) AS t_width),
-      |probes AS (SELECT w.t_width, p.tok_key, p.centroid_id
+      |probes AS (SELECT p.qz, w.t_width, p.tok_key, p.centroid_id
       |           FROM widths w JOIN pool p
       |             ON p.pool < greatest(10 * w.t_width, 100)),
       |csdot AS (SELECT qk.tok_key, min(qk.query_idx) AS query_idx,
@@ -2310,38 +2386,38 @@ object OpsQueries {
       |                 sum(qk.qc * CAST(cv.cent AS DOUBLE)) AS dt
       |          FROM qk JOIN cv USING (dim)
       |          GROUP BY qk.tok_key, cv.doc_id, cv.chunk),
-      |sbest AS (SELECT p.t_width, sd.tok_key, sd.query_idx, sd.doc_id,
+      |sbest AS (SELECT p.qz, p.t_width, sd.tok_key, sd.query_idx, sd.doc_id,
       |                 max(sd.dt / (cnx.nrm * qn2.nrm)) AS s
       |          FROM csdot sd
       |          JOIN cassign a ON a.doc_id = sd.doc_id AND a.chunk = sd.chunk
-      |          JOIN probes p ON p.tok_key = sd.tok_key
+      |          JOIN probes p ON p.qz = a.qz AND p.tok_key = sd.tok_key
       |                       AND p.centroid_id = a.cluster_id
       |          JOIN cn cnx ON cnx.doc_id = sd.doc_id AND cnx.chunk = sd.chunk
       |          JOIN qn2 ON qn2.tok_key = sd.tok_key
-      |          GROUP BY 1, 2, 3, 4),
-      |sct AS (SELECT *, row_number() OVER (PARTITION BY t_width, tok_key
+      |          GROUP BY 1, 2, 3, 4, 5),
+      |sct AS (SELECT *, row_number() OVER (PARTITION BY qz, t_width, tok_key
       |              ORDER BY s DESC, CAST(doc_id AS VARCHAR) ASC) AS rn
       |        FROM sbest),
-      |cand AS (SELECT DISTINCT s.t_width, s.query_idx, s.doc_id
+      |cand AS (SELECT DISTINCT s.qz, s.t_width, s.query_idx, s.doc_id
       |         FROM sct s WHERE s.rn <= s.t_width),
-      |pruned AS (SELECT t_width, query_idx, doc_id FROM (
-      |             SELECT c.t_width, s.query_idx, s.doc_id,
-      |                    row_number() OVER (PARTITION BY c.t_width, s.query_idx
+      |pruned AS (SELECT qz, t_width, query_idx, doc_id FROM (
+      |             SELECT c.qz, c.t_width, s.query_idx, s.doc_id,
+      |                    row_number() OVER (PARTITION BY c.qz, c.t_width, s.query_idx
       |                      ORDER BY s.score DESC, s.doc_id ASC) AS rn
       |             FROM sc s JOIN cand c
       |               ON s.query_idx = c.query_idx AND s.doc_id = c.doc_id)
       |           WHERE rn <= 10),
-      |nc AS (SELECT t_width, query_idx, CAST(count(*) AS BIGINT) AS n_candidates
-      |       FROM cand GROUP BY 1, 2),
-      |h AS (SELECT p.t_width, p.query_idx, CAST(count(*) AS BIGINT) AS n_hits
+      |nc AS (SELECT qz, t_width, query_idx, CAST(count(*) AS BIGINT) AS n_candidates
+      |       FROM cand GROUP BY 1, 2, 3),
+      |h AS (SELECT p.qz, p.t_width, p.query_idx, CAST(count(*) AS BIGINT) AS n_hits
       |      FROM pruned p JOIN truth t
       |        ON t.query_idx = p.query_idx AND t.doc_id = p.doc_id
-      |      GROUP BY 1, 2)
-      |SELECT nc.t_width, nc.query_idx, nc.n_candidates,
+      |      GROUP BY 1, 2, 3)
+      |SELECT nc.qz AS quantizer, nc.t_width, nc.query_idx, nc.n_candidates,
       |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
       |FROM nc LEFT JOIN h
-      |  ON h.t_width = nc.t_width AND h.query_idx = nc.query_idx
-      |ORDER BY nc.t_width, nc.query_idx""".stripMargin
+      |  ON h.qz = nc.qz AND h.t_width = nc.t_width AND h.query_idx = nc.query_idx
+      |ORDER BY nc.qz, nc.t_width, nc.query_idx""".stripMargin
 
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_maxsim" -> (searchMaxsim _),

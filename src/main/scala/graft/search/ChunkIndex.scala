@@ -334,7 +334,7 @@ object ChunkIndex {
     val qdf = toks.toDF("query_idx", "tok_idx", "vec")
     val cand = chunkIvfCandidates(spark,
       ChunkIvfIndex.load(spark, catalog, entry),
-      graft.ann.IvfIndex.loadCentroids(spark, catalog, entry),
+      ChunkIvfIndex.quantizer(spark, catalog, entry),
       toks, perTokenT, broadcastRowLimit)
     MaxSim.topK(chunkVecs, qdf, k, candidates = Some(cand), broadcastRowLimit)
       .select(col("query_idx"), col("doc_id").as("id"), col("score"))

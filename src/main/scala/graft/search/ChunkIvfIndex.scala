@@ -13,11 +13,25 @@ import graft.model.CollectionEntry
   * Interaction Retrieval", arXiv:2205.09707: ColBERTv2 serving routes
   * candidate generation through an IVF over the TOKEN/chunk embeddings
   * themselves). Every chunk vector of the persisted [[ChunkIndex]] is
-  * assigned to the collection's IVF centroids (ONE quantizer for the
-  * whole collection — the same centroid table the doc-level index and PQ
-  * codes key on) and stored PARTITIONED BY cluster, so per-token
-  * candidate generation probes the nearest clusters and scans only those
-  * partitions' chunk rows.
+  * assigned to a quantizer and stored PARTITIONED BY cluster, so
+  * per-token candidate generation probes the nearest clusters and scans
+  * only those partitions' chunk rows.
+  *
+  * Two quantizer sources, chosen at build time:
+  *   - doc-aligned (default): the collection's doc-level IVF centroids
+  *     (ONE quantizer for the whole collection — the same centroid table
+  *     the doc-level index and PQ codes key on; simplest maintenance
+  *     invariant, but doc-vector centroids can quantize multi-topic
+  *     chunk vectors poorly);
+  *   - chunk-trained ([[buildChunkTrained]], `Api.buildChunkIvfIndex
+  *     (trainOn = "chunks")`): k-means over the CHUNK vectors themselves
+  *     — PLAID's actual recipe (arXiv:2205.09707 trains the IVF on the
+  *     token embeddings it serves) — persisted in this index's OWN
+  *     centroid sidecar ([[centroidsPath]]). A chunk-trained index is
+  *     independent of the doc-level quantizer: rebuilding the doc IVF
+  *     neither invalidates nor re-assigns it, and serving/maintenance
+  *     read [[quantizer]] (own sidecar when present, doc centroids
+  *     otherwise) so both layouts flow through identical machinery.
   *
   * Why this exists next to the doc-level route
   * ([[ChunkIndex.searchAnn]]): a pooled document vector AVERAGES a
@@ -44,6 +58,35 @@ object ChunkIvfIndex {
 
   def indexPath(catalog: Catalog, entry: CollectionEntry): String =
     catalog.tablePath(entry) + ".chunkvecs.ivf"
+
+  /** The OWN centroid sidecar of a chunk-trained index ([[buildChunkTrained]]);
+    * absent for doc-aligned indexes. Shares the table-path prefix, so
+    * collection deletion's prefix sweep takes it with everything else.
+    */
+  def centroidsPath(catalog: Catalog, entry: CollectionEntry): String =
+    catalog.tablePath(entry) + ".chunkvecs.ivf.centroids"
+
+  /** Chunk-trained quantizer present (dir + its write job's _SUCCESS). */
+  def hasOwnCentroids(catalog: Catalog, entry: CollectionEntry): Boolean =
+    Files.exists(Paths.get(centroidsPath(catalog, entry))) &&
+      Files.exists(Paths.get(centroidsPath(catalog, entry), "_SUCCESS"))
+
+  /** SOME quantizer is readable for this index: its own chunk-trained
+    * sidecar, or the collection's doc-level IVF centroids.
+    */
+  def quantizerExists(catalog: Catalog, entry: CollectionEntry): Boolean =
+    hasOwnCentroids(catalog, entry) ||
+      Files.exists(Paths.get(graft.ann.IvfIndex.centroidsPath(catalog, entry)))
+
+  /** The centroid table this index keys its partitions on: the own
+    * chunk-trained sidecar when present, the doc-level IVF centroids
+    * otherwise. Serving and write-path maintenance BOTH resolve through
+    * here, so the two can never disagree on the quantizer.
+    */
+  def quantizer(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): DataFrame =
+    if (hasOwnCentroids(catalog, entry))
+      spark.read.parquet(centroidsPath(catalog, entry))
+    else graft.ann.IvfIndex.loadCentroids(spark, catalog, entry)
 
   /** A usable index = the dir AND its write job's _SUCCESS marker: a
     * crash mid-build (including the re-assign inside
@@ -79,8 +122,9 @@ object ChunkIvfIndex {
         .withColumn("norm", VectorFunctions.l2Norm(col("embedding"))),
       centroids)
 
-  /** Build (or rebuild) from the persisted chunk index + the
-    * collection's IVF centroids (both must exist — governed at the Api).
+  /** Build (or rebuild) from the persisted chunk index, PRESERVING the
+    * current quantizer source ([[quantizer]]) — the re-derive entry the
+    * parent rebuilds (re-chunk, doc-quantizer rebuild) call.
     */
   def build(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): DataFrame = {
     // drop the old index first: every crash window then reads as
@@ -88,10 +132,72 @@ object ChunkIvfIndex {
     // index keyed to the previous quantizer or chunking
     graft.catalog.PartitionedTable.deleteDir(
       Paths.get(indexPath(catalog, entry)))
-    val rows = indexRows(
-      ChunkIndex.load(spark, catalog, entry),
+    writeAssigned(spark, catalog, entry, quantizer(spark, catalog, entry))
+  }
+
+  /** Build doc-ALIGNED: key the index on the collection's doc-level IVF
+    * centroids and DROP any chunk-trained sidecar (the explicit switch
+    * back from a chunk-trained layout). Crash ordering: index dir first
+    * (every window reads index-absent), then the sidecar — a crash
+    * between the two leaves an orphaned sidecar and no index, which the
+    * next build simply resolves through [[quantizer]].
+    */
+  def buildDocAligned(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): DataFrame = {
+    graft.catalog.PartitionedTable.deleteDir(
+      Paths.get(indexPath(catalog, entry)))
+    graft.catalog.PartitionedTable.deleteDir(
+      Paths.get(centroidsPath(catalog, entry)))
+    writeAssigned(spark, catalog, entry,
       graft.ann.IvfIndex.loadCentroids(spark, catalog, entry))
-    rows
+  }
+
+  /** Build with a quantizer TRAINED ON THE CHUNK VECTORS themselves —
+    * the PLAID recipe (arXiv:2205.09707): deterministic decimal-exact
+    * Lloyd ([[graft.ann.Ann.kmeansCentroids]]) over the persisted chunk
+    * rows (optionally a deterministic hash-of-key `trainFraction`
+    * sample — the 100 TB training bound; ASSIGNMENT always covers every
+    * chunk row). The centroids land in this index's own sidecar; from
+    * then on the quantizer is FROZEN across writes and doc-IVF rebuilds
+    * (what a production IVF does — retraining is an explicit rebuild
+    * through here). Crash ordering: index dir is dropped first, so every
+    * window below reads index-absent; an orphaned new-centroid sidecar
+    * (crash between the centroid and index writes) is a valid trained
+    * quantizer the next [[build]] picks up.
+    */
+  def buildChunkTrained(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      nClusters: Int,
+      kmeansIters: Int = 2,
+      trainFraction: Double = 1.0): DataFrame = {
+    require(nClusters >= 1, s"nClusters $nClusters out of range")
+    require(trainFraction > 0 && trainFraction <= 1,
+      s"trainFraction $trainFraction out of (0,1]")
+    graft.catalog.PartitionedTable.deleteDir(
+      Paths.get(indexPath(catalog, entry)))
+    val chunks = ChunkIndex.load(spark, catalog, entry).select(
+        concat(col("id"), lit("#"), col("chunk_idx")).as("id"),
+        col("vec").as("embedding"))
+      .withColumn("norm", VectorFunctions.l2Norm(col("embedding")))
+    val train =
+      if (trainFraction >= 1.0) chunks
+      else graft.operators.Sampling.sample(chunks, "id", trainFraction)
+    val cents = graft.ann.Ann.kmeansCentroids(train, nClusters, kmeansIters)
+    graft.catalog.PartitionedTable.deleteDir(
+      Paths.get(centroidsPath(catalog, entry)))
+    cents.coalesce(1).write.mode(SaveMode.Overwrite)
+      .parquet(centroidsPath(catalog, entry))
+    writeAssigned(spark, catalog, entry,
+      spark.read.parquet(centroidsPath(catalog, entry)))
+  }
+
+  private def writeAssigned(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      centroids: DataFrame): DataFrame = {
+    indexRows(ChunkIndex.load(spark, catalog, entry), centroids)
       .repartition(col("cluster_id"))
       .sortWithinPartitions("id")
       .write.partitionBy("cluster_id")

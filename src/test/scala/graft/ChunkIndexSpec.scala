@@ -189,6 +189,78 @@ class ChunkIndexSpec extends SparkSpec {
       candidateSource = "chunkivf").results.nonEmpty)
   }
 
+  test("chunk-trained quantizer: own sidecar, doc-IVF-independent, rebuild-identical maintenance") {
+    val api = newApi()
+    api.createCollection("c11", documents = Some(docsDf(0 until 30)))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "c11"))
+    val emb = new DeterministicHashEmbedder(16)
+    import graft.search.ChunkIvfIndex
+    // governed: chunk-trained still needs the chunk index...
+    assert(intercept[GraftException](
+      api.buildChunkIvfIndex("c11", trainOn = "chunks", nClusters = 4)).code
+      == graft.model.ErrorCodes.AnnIndexNotFound)
+    api.buildChunkIndex("c11", MaxTok)
+    // ...but NOT the doc-level IVF: the quantizer is its own
+    assert(api.buildChunkIvfIndex("c11", trainOn = "chunks", nClusters = 4) > 30)
+    assert(ChunkIvfIndex.hasOwnCentroids(api.catalog, entry))
+    def rowsIvf(): Seq[(String, Long)] =
+      ChunkIvfIndex.load(spark, api.catalog, entry)
+        .select("id", "cluster_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    def rebuilt(): Seq[(String, Long)] =
+      ChunkIvfIndex.indexRows(
+          ChunkIndex.load(spark, api.catalog, entry),
+          ChunkIvfIndex.quantizer(spark, api.catalog, entry))
+        .select("id", "cluster_id").collect()
+        .map(r => (r.getString(0), r.getLong(1))).sortBy(_._1).toSeq
+    assert(rowsIvf() == rebuilt())
+    // auto routing serves the chunkivf route with no doc-level IVF at all
+    val auto = api.maxsimSearch("c11", "topic words document", nResults = 6)
+    val forced = api.maxsimSearch("c11", "topic words document", nResults = 6,
+      candidateSource = "chunkivf")
+    assert(auto.results == forced.results && auto.results.nonEmpty)
+    // serving at full width == exact maxsim over the chunk rows
+    val served = ChunkIndex.searchChunkIvf(spark, api.catalog, entry, emb,
+        Seq(0 -> "topic words document"), k = 6, perTokenT = 10000)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    val qdf = emb.embedBatch(Seq("topic", "words", "document")).zipWithIndex
+      .map { case (v, i) =>
+        val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+        (0, i, v.map(x => (x / n).toFloat).toSeq)
+      }.toDF("query_idx", "tok_idx", "vec")
+    val exact = MaxSim.topK(
+        ChunkIndex.load(spark, api.catalog, entry)
+          .select(col("id").as("doc_id"), col("vec")), qdf, k = 6)
+      .collect().map(r => (r.getString(1), r.getDouble(2))).sortBy(_._1).toSeq
+    assert(served.nonEmpty && served == exact)
+    // write-path maintenance stays rebuild-identical under the frozen
+    // own quantizer
+    api.addDocuments("c11", docsDf(30 until 34))
+    assert(rowsIvf() == rebuilt())
+    val victim = rowsIvf().head._1.split("#")(0)
+    api.deleteDocuments("c11", Seq(victim))
+    assert(rowsIvf() == rebuilt())
+    // a doc-IVF (re)build leaves a chunk-trained index UNTOUCHED — its
+    // quantizer is independent, so no invalidate, no re-assign
+    val before = rowsIvf()
+    api.buildAnnIndex("c11", nClusters = 3)
+    assert(ChunkIvfIndex.exists(api.catalog, entry))
+    assert(ChunkIvfIndex.hasOwnCentroids(api.catalog, entry))
+    assert(rowsIvf() == before)
+    // a re-chunk re-derives the index under the SAME frozen quantizer
+    api.buildChunkIndex("c11", MaxTok + 2)
+    assert(ChunkIvfIndex.hasOwnCentroids(api.catalog, entry))
+    assert(rowsIvf() == rebuilt())
+    // explicit switch back to doc-aligned drops the own sidecar and keys
+    // on the doc centroids again
+    api.buildChunkIvfIndex("c11", trainOn = "doc")
+    assert(!ChunkIvfIndex.hasOwnCentroids(api.catalog, entry))
+    assert(rowsIvf() == rebuilt())
+    intercept[IllegalArgumentException] {
+      api.buildChunkIvfIndex("c11", trainOn = "tokens")
+    }
+  }
+
   test("a crash between a parent rebuild and the chunk-IVF re-derive reads as index-absent") {
     val api = newApi()
     api.createCollection("c10", documents = Some(docsDf(0 until 24)))
