@@ -543,21 +543,58 @@ final class Api(
     val k = validLimit(nResults)
     // validate the REQUEST before touching storage (the sibling routes'
     // precedence: an invalid question must never report an index error)
-    require(perTokenT >= 1 && perTokenT <= 10000,
-      s"perTokenT $perTokenT out of range")
-    require(maxQueryTokens >= 1 && maxQueryTokens <= 256,
-      s"maxQueryTokens $maxQueryTokens out of range")
-    require(Set("auto", "chunk", "ivf", "chunkivf").contains(candidateSource),
-      s"candidateSource '$candidateSource' not in {auto, chunk, ivf, chunkivf}")
+    validMaxsimParams(perTokenT, maxQueryTokens, candidateSource)
     val q = Sanitize.sanitizeString(validQuestions(Seq(question)).head)
     val entry = catalog.getCollection(physical(validCollection(name)))
-    val res = maxsimHits(entry, q, k, perTokenT, maxQueryTokens, candidateSource)
+    val res = maxsimHits(entry, Seq(0 -> q), k, perTokenT, maxQueryTokens,
+      candidateSource)
     val payload = res.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.id"), col("d.content"), col("d.metadata"),
         col("f.score"))
       .orderBy(col("f.score").desc, col("f.id").asc)
     serialize(payload)
+  }
+
+  /** Batched late-interaction (maxsim) search — [[maxsimSearch]] over a
+    * question LIST. Every candidate route's serving core is already a
+    * multi-query FRAME unit (one batched candidate plan, one exact
+    * rescore plan — [[graft.search.ChunkIndex.searchFrames]] /
+    * `searchAnn` / `searchChunkIvf` take the whole `(query_idx, text)`
+    * batch), so Q questions cost ONE plan pair at ANY Q — there is no
+    * per-question plan loop to cross over from, unlike the IVF-serving
+    * loop that needed [[Api.BatchedServeThreshold]] (QSweep's
+    * serve_maxsim_many_* rows price the loop alternative at 10-30× the
+    * drive time). Validation, candidate routing, and per-question scores
+    * are identical to the single-question route (MaxsimManySpec pins
+    * result identity); results order (query_idx, score desc, id).
+    */
+  def maxsimSearchMany(
+      name: String, questions: Seq[String], nResults: Int = 10,
+      perTokenT: Int = 25, maxQueryTokens: Int = 16,
+      candidateSource: String = "auto"): SearchResponse = {
+    val k = validLimit(nResults)
+    validMaxsimParams(perTokenT, maxQueryTokens, candidateSource)
+    val qs = validQuestions(questions).map(Sanitize.sanitizeString)
+      .zipWithIndex.map(_.swap)
+    val entry = catalog.getCollection(physical(validCollection(name)))
+    val res = maxsimHits(entry, qs, k, perTokenT, maxQueryTokens, candidateSource)
+    val payload = res.alias("f")
+      .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
+      .select(col("f.query_idx"), col("f.id"), col("d.content"),
+        col("d.metadata"), col("f.score"))
+      .orderBy(col("f.query_idx"), col("f.score").desc, col("f.id").asc)
+    serialize(payload)
+  }
+
+  private def validMaxsimParams(
+      perTokenT: Int, maxQueryTokens: Int, candidateSource: String): Unit = {
+    require(perTokenT >= 1 && perTokenT <= 10000,
+      s"perTokenT $perTokenT out of range")
+    require(maxQueryTokens >= 1 && maxQueryTokens <= 256,
+      s"maxQueryTokens $maxQueryTokens out of range")
+    require(Set("auto", "chunk", "ivf", "chunkivf").contains(candidateSource),
+      s"candidateSource '$candidateSource' not in {auto, chunk, ivf, chunkivf}")
   }
 
   /** Diversity-aware semantic search: exact top-(k·oversample) shortlist,
@@ -969,17 +1006,18 @@ final class Api(
       index, qs, k, meta.dim, meta.bits, meta.tables, meta.seed, multiProbe = multiProbe)
   }
 
-  /** Maxsim hits (query_idx, id, score) for a sanitized question — the
-    * serving core shared by [[maxsimSearch]] and the maxsim-leg hybrid
-    * ([[searchIndexed]] semanticMode="maxsim"). Candidate routing follows
-    * [[maxsimSearch]]'s `candidateSource` semantics: auto prefers the
-    * doc-level-IVF-pruned route whenever that index exists; a missing
-    * chunk index (or forcing "ivf" without one) is governed
-    * `ann_index_not_found`.
+  /** Maxsim hits (query_idx, id, score) for sanitized (query_idx, text)
+    * pairs — the serving core shared by [[maxsimSearch]],
+    * [[maxsimSearchMany]], and the maxsim-leg hybrid ([[searchIndexed]]
+    * semanticMode="maxsim"). The WHOLE batch serves in one plan pair on
+    * every route. Candidate routing follows [[maxsimSearch]]'s
+    * `candidateSource` semantics: auto prefers the best pruned route
+    * whose index exists; a missing chunk index (or forcing an unbuilt
+    * route) is governed `ann_index_not_found`.
     */
   private def maxsimHits(
       entry: graft.model.CollectionEntry,
-      q: String,
+      qs: Seq[(Int, String)],
       k: Int,
       perTokenT: Int = 25,
       maxQueryTokens: Int = 16,
@@ -1006,11 +1044,11 @@ final class Api(
     }
     route match {
       case "chunkivf" => graft.search.ChunkIndex.searchChunkIvf(spark,
-        catalog, entry, embedder, Seq(0 -> q), k, perTokenT, maxQueryTokens)
+        catalog, entry, embedder, qs, k, perTokenT, maxQueryTokens)
       case "ivf" => graft.search.ChunkIndex.searchAnn(spark, catalog, entry,
-        embedder, Seq(0 -> q), k, perTokenT, maxQueryTokens)
+        embedder, qs, k, perTokenT, maxQueryTokens)
       case _ => graft.search.ChunkIndex.search(spark, catalog, entry,
-        embedder, Seq(0 -> q), k, perTokenT, maxQueryTokens)
+        embedder, qs, k, perTokenT, maxQueryTokens)
     }
   }
 
@@ -1103,7 +1141,7 @@ final class Api(
       // late-interaction leg: maxsim ranks fuse with the lexical ranks
       // through the identical RRF math (RRF consumes ranks only,
       // vector_api.py:556-564 semantics unchanged)
-      case "maxsim" => maxsimHits(entry, safeQ, limit)
+      case "maxsim" => maxsimHits(entry, Seq(0 -> safeQ), limit)
       case _ => throw new GraftException(ErrorCodes.SearchActionInvalid)
     })
     val lex = invoke(lexicalMode match {

@@ -188,6 +188,62 @@ class McpSurface(
       "db_type" -> backend)
   }
 
+  /** Batched [[vectorSearch]] — the same action/mode contract over a
+    * question LIST, served through each route's batched unit: ONE plan
+    * for the whole batch (semantic exact/approx/lsh/pq batch natively,
+    * maxsim through `Api.maxsimSearchMany`'s one-plan frame unit, hybrid
+    * through `Api.searchMany`'s fused plan). Engine extension — the
+    * reference's tools are single-question — so validation, mode
+    * routing, and error codes are byte-identical to the per-question
+    * tool; a caller looping questions gets the same results, this just
+    * removes the per-question plan loop (the QSweep-measured driver
+    * cliff). Modes without a defined batch semantics (diverse re-rank,
+    * phrase) stay single-question and are governed here like an unknown
+    * mode.
+    */
+  def vectorSearchMany(
+      action: String,
+      collectionName: String,
+      questions: Seq[String],
+      numberResults: Int = 10,
+      semanticWeight: Double = 0.5,
+      lexicalWeight: Double = 0.5,
+      rrfK: Int = 60,
+      dbType: String = null,
+      semanticMode: String = "exact",
+      lexicalMode: String = "scan"): Map[String, Any] = {
+    val backend = BackendPolicy.resolve(dbType)
+    val res = resolveAction(action,
+      Set("semantic_search", "lexical_search", "search"),
+      ErrorCodes.SearchActionInvalid) match {
+      case "semantic_search" =>
+        resolveAction(semanticMode, Set("exact", "approx", "lsh", "pq", "maxsim"),
+          ErrorCodes.SearchActionInvalid) match {
+          case "exact" => api.semanticSearch(collectionName, questions, numberResults)
+          case "approx" => api.semanticSearchApprox(collectionName, questions, numberResults)
+          case "lsh" => api.semanticSearchLsh(collectionName, questions, numberResults)
+          case "pq" => api.semanticSearchPq(collectionName, questions, numberResults)
+          case "maxsim" => api.maxsimSearchMany(collectionName, questions, numberResults)
+        }
+      case "lexical_search" =>
+        resolveAction(lexicalMode, Set("scan", "indexed", "bm25", "bm25_indexed"),
+          ErrorCodes.SearchActionInvalid) match {
+          case "scan" => api.lexicalSearch(collectionName, questions, numberResults)
+          case "indexed" => api.lexicalSearchIndexed(collectionName, questions, numberResults)
+          case "bm25" => api.lexicalSearchBm25(collectionName, questions, numberResults)
+          case "bm25_indexed" =>
+            api.lexicalSearchBm25Indexed(collectionName, questions, numberResults)
+        }
+      case "search" =>
+        api.searchMany(collectionName, questions, numberResults,
+          semanticWeight, lexicalWeight, rrfK)
+    }
+    Map("results" -> res.results.map(h => Map(
+      "id" -> h.id, "content" -> h.content,
+      "metadata" -> h.metadata, "score" -> h.score)),
+      "db_type" -> backend)
+  }
+
   /** Verbose mode (reference README.md:67-82): seven per-operation tools,
     * one per action, dispatching to the SAME handlers as the two condensed
     * action-routed tools — identical validation, responses, and error

@@ -173,6 +173,41 @@ object QSweep {
       }
       timed("serve_maxsim_civf_bcast", qn, warm)(maxsimCivf(Long.MaxValue).count())
       timed("serve_maxsim_civf_shuffle", qn, warm)(maxsimCivf(0L).count())
+      // the per-question plan LOOP that Api.maxsimSearchMany exists to
+      // remove: Q independent candidate+rescore plan pairs — driver
+      // planning linear in Q, the serve_ivf_loop cliff on the maxsim
+      // axis. Measured at Q <= 100 only, same evidence class.
+      if (qn <= 100)
+        timed("serve_maxsim_civf_loop", qn, warm) {
+          (0 until qn).map { qi =>
+            val sub = tokSeq.filter(_._1 == qi)
+            val subDf = sub.toDF("query_idx", "tok_idx", "vec")
+            val cand = graft.search.ChunkIndex.chunkIvfCandidates(
+                spark, assignedChunkRows, cents, sub, perTokenT = 25)
+              .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
+            graft.search.MaxSim.topK(chunkVecs, subDf, k = 10,
+              candidates = Some(cand)).count()
+          }.sum
+        }
+      // hybrid-maxsim composition (Api.searchIndexed semanticMode=
+      // "maxsim" / the q_hybrid_maxsim fusion): the maxsim leg serves
+      // through the chunk-level-IVF route exactly as above, then RRF
+      // fuses with a second rank leg and takes the bounded top-k. The
+      // lexical leg here is a driver-synthesized Q x 10 rank frame
+      // (constant cost — its own Q-scaling is the lexical index's
+      // evidence), so the row prices the FUSION overhead on top of the
+      // measured maxsim leg: rank windows + fuse join + top-k.
+      def hybridMaxsim(limit: Long) = {
+        val sem = maxsimCivf(limit)
+          .select(col("query_idx"), col("doc_id").cast("string").as("id"),
+            col("score"))
+        val lex = (0 until qn).flatMap(qi => (0 until 10).map(r =>
+            (qi, ((qi.toLong * 37 + r * 101) % n).toString, 10.0 - r)))
+          .toDF("query_idx", "id", "score")
+        graft.search.Hybrid.rrf(sem, lex, 0.6, 0.4, 60, 10)
+      }
+      timed("serve_hybrid_maxsim_bcast", qn, warm)(hybridMaxsim(Long.MaxValue).count())
+      timed("serve_hybrid_maxsim_shuffle", qn, warm)(hybridMaxsim(0L).count())
     }
 
     // nothing inside runAll persists or checkpoints, so no per-Q cache

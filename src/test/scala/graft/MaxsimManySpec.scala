@@ -1,0 +1,89 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.DataFrame
+import graft.ingest.DeterministicHashEmbedder
+import graft.model.{ErrorCodes, GraftException}
+
+/** Batched maxsim serving (`Api.maxsimSearchMany`, MCP
+  * `vectorSearchMany` semanticMode="maxsim"): Q questions through ONE
+  * candidate + rescore plan pair must return exactly the per-question
+  * loop's results, per question, on every candidate route.
+  */
+class MaxsimManySpec extends SparkSpec {
+  import spark.implicits._
+
+  private def newApi(): Api = {
+    val wh = Files.createTempDirectory("graft-wh-msm").toString
+    new Api(spark, wh, new DeterministicHashEmbedder(16))
+  }
+
+  private def docsDf(is: Seq[Int]): DataFrame =
+    is.map(i => s"document number $i covers topic t${i % 7} " +
+        s"then topic u${i % 4} and trailing words w$i extra$i")
+      .toDF("content")
+
+  private val questions =
+    Seq("topic words document", "trailing extra words", "document covers")
+
+  test("maxsimSearchMany == per-question loop on every candidate route") {
+    val api = newApi()
+    api.createCollection("m1", documents = Some(docsDf(0 until 40)))
+    api.buildChunkIndex("m1", maxTokens = 6)
+    api.buildAnnIndex("m1", nClusters = 4)
+    api.buildChunkIvfIndex("m1")
+    for (src <- Seq("chunk", "ivf", "chunkivf", "auto")) {
+      val loop = questions.flatMap(q =>
+        api.maxsimSearch("m1", q, nResults = 5, candidateSource = src).results)
+      val many = api.maxsimSearchMany("m1", questions, nResults = 5,
+        candidateSource = src).results
+      assert(many.nonEmpty && many == loop, s"route $src diverged")
+    }
+    // chunk-trained quantizer serves the batch identically too
+    api.buildChunkIvfIndex("m1", trainOn = "chunks", nClusters = 8)
+    val loopCt = questions.flatMap(q =>
+      api.maxsimSearch("m1", q, nResults = 5, candidateSource = "chunkivf").results)
+    val manyCt = api.maxsimSearchMany("m1", questions, nResults = 5,
+      candidateSource = "chunkivf").results
+    assert(manyCt.nonEmpty && manyCt == loopCt)
+  }
+
+  test("maxsimSearchMany validation and governance match the single-question route") {
+    val api = newApi()
+    api.createCollection("m2", documents = Some(docsDf(0 until 10)))
+    // request validation precedes index state
+    assert(intercept[GraftException](
+      api.maxsimSearchMany("m2", Seq.empty)).code
+      == ErrorCodes.SearchQuestionInvalid)
+    assert(intercept[GraftException](
+      api.maxsimSearchMany("m2", Seq("ok", ""))).code
+      == ErrorCodes.SearchQuestionInvalid)
+    intercept[IllegalArgumentException] {
+      api.maxsimSearchMany("m2", Seq("ok"), candidateSource = "graph")
+    }
+    // governed without an index, like the single-question route
+    assert(intercept[GraftException](
+      api.maxsimSearchMany("m2", Seq("topic words"))).code
+      == ErrorCodes.AnnIndexNotFound)
+  }
+
+  test("MCP vectorSearchMany routes the maxsim mode to the batched serve") {
+    val api = newApi()
+    api.createCollection("m3", documents = Some(docsDf(0 until 25)))
+    api.buildChunkIndex("m3", maxTokens = 6)
+    val surface = new McpSurface(api)
+    val viaMcp = surface.vectorSearchMany("semantic_search", "m3",
+      questions, numberResults = 4, semanticMode = "maxsim")
+    val direct = api.maxsimSearchMany("m3", questions, nResults = 4)
+    val mcpRows = viaMcp("results").asInstanceOf[Seq[Map[String, Any]]]
+    assert(mcpRows.map(m => (m("id"), m("score"))) ==
+      direct.results.map(h => (h.id, h.score)))
+    // unknown mode is governed like an unknown action
+    assert(intercept[GraftException](
+      surface.vectorSearchMany("semantic_search", "m3", questions,
+        semanticMode = "diverse")).code == ErrorCodes.SearchActionInvalid)
+    // the hybrid action routes to the fused batch plan
+    val fused = surface.vectorSearchMany("search", "m3", questions.take(2))
+    assert(fused("results").asInstanceOf[Seq[Map[String, Any]]].nonEmpty)
+  }
+}
