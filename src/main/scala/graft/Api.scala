@@ -539,7 +539,8 @@ final class Api(
   def maxsimSearch(
       name: String, question: String, nResults: Int = 10,
       perTokenT: Int = 25, maxQueryTokens: Int = 16,
-      candidateSource: String = "auto"): SearchResponse = {
+      candidateSource: String = "auto",
+      where: Option[org.apache.spark.sql.Column] = None): SearchResponse = {
     val k = validLimit(nResults)
     // validate the REQUEST before touching storage (the sibling routes'
     // precedence: an invalid question must never report an index error)
@@ -547,7 +548,7 @@ final class Api(
     val q = Sanitize.sanitizeString(validQuestions(Seq(question)).head)
     val entry = catalog.getCollection(physical(validCollection(name)))
     val res = maxsimHits(entry, Seq(0 -> q), k, perTokenT, maxQueryTokens,
-      candidateSource)
+      candidateSource, where)
     val payload = res.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.id"), col("d.content"), col("d.metadata"),
@@ -572,13 +573,15 @@ final class Api(
   def maxsimSearchMany(
       name: String, questions: Seq[String], nResults: Int = 10,
       perTokenT: Int = 25, maxQueryTokens: Int = 16,
-      candidateSource: String = "auto"): SearchResponse = {
+      candidateSource: String = "auto",
+      where: Option[org.apache.spark.sql.Column] = None): SearchResponse = {
     val k = validLimit(nResults)
     validMaxsimParams(perTokenT, maxQueryTokens, candidateSource)
     val qs = validQuestions(questions).map(Sanitize.sanitizeString)
       .zipWithIndex.map(_.swap)
     val entry = catalog.getCollection(physical(validCollection(name)))
-    val res = maxsimHits(entry, qs, k, perTokenT, maxQueryTokens, candidateSource)
+    val res = maxsimHits(entry, qs, k, perTokenT, maxQueryTokens,
+      candidateSource, where)
     val payload = res.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.query_idx"), col("f.id"), col("d.content"),
@@ -1015,13 +1018,24 @@ final class Api(
     * whose index exists; a missing chunk index (or forcing an unbuilt
     * route) is governed `ann_index_not_found`.
     */
+  /** `where` (metadata-filtered maxsim): the predicate — over the document
+    * columns (id, content, metadata) — restricts SERVING to the matching
+    * sub-corpus. It is pushed as an ordinary filter into the documents
+    * scan (one id-projection pass), and the allowed-id set then restricts
+    * each route BEFORE its shortlist ranks: per-token top-T and the
+    * adaptive probe pool fill from the sub-corpus, so filtered top-k
+    * fills k instead of post-filtering an unfiltered shortlist under-full
+    * (the q_ann_ivf_filtered pushdown-vs-postfilter lesson, graded for
+    * this route in `q_search_maxsim_filtered`).
+    */
   private def maxsimHits(
       entry: graft.model.CollectionEntry,
       qs: Seq[(Int, String)],
       k: Int,
       perTokenT: Int = 25,
       maxQueryTokens: Int = 16,
-      candidateSource: String = "auto"): DataFrame = {
+      candidateSource: String = "auto",
+      where: Option[org.apache.spark.sql.Column] = None): DataFrame = {
     def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
     if (!exists(graft.search.ChunkIndex.indexPath(catalog, entry)))
       throw new GraftException(ErrorCodes.AnnIndexNotFound)
@@ -1042,13 +1056,19 @@ final class Api(
       case _ =>
         if (hasChunkIvf) "chunkivf" else if (hasIvf) "ivf" else "chunk"
     }
+    val allowed = where.map(p => catalog.readDocuments(entry).filter(p)
+      .select(col("id").as("doc_id")))
+    val limit = graft.ann.GraphSearch.DefaultBroadcastRowLimit
     route match {
       case "chunkivf" => graft.search.ChunkIndex.searchChunkIvf(spark,
-        catalog, entry, embedder, qs, k, perTokenT, maxQueryTokens)
+        catalog, entry, embedder, qs, k, perTokenT, maxQueryTokens, limit,
+        allowedDocs = allowed)
       case "ivf" => graft.search.ChunkIndex.searchAnn(spark, catalog, entry,
-        embedder, qs, k, perTokenT, maxQueryTokens)
+        embedder, qs, k, perTokenT, maxQueryTokens, limit,
+        allowedDocs = allowed)
       case _ => graft.search.ChunkIndex.search(spark, catalog, entry,
-        embedder, qs, k, perTokenT, maxQueryTokens)
+        embedder, qs, k, perTokenT, maxQueryTokens, limit,
+        allowedDocs = allowed)
     }
   }
 

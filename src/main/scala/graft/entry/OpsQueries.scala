@@ -2419,11 +2419,206 @@ object OpsQueries {
       |  ON h.qz = nc.qz AND h.t_width = nc.t_width AND h.query_idx = nc.query_idx
       |ORDER BY nc.qz, nc.t_width, nc.query_idx""".stripMargin
 
+
+  // ---- metadata-FILTERED maxsim serving through the chunk-level IVF ----
+  // Governed tenant/date-slice retrieval must FILL top-k from the
+  // sub-corpus: the allowed-id set restricts the INDEX rows before the
+  // per-token rank and the adaptive probe pool (the exact serving shape
+  // of Api.maxsimSearch(where = ...) on the chunkivf route), so every
+  // candidate is a qualifying document — post-filtering an unfiltered
+  // shortlist under-fills k instead (the q_ann_ivf_filtered lesson).
+  // Planted predicate doc_id % 3 = 0 (~1/3 of the corpus); graded vs the
+  // FILTERED exact maxsim truth at the same two widths as the
+  // unfiltered routes. Same correlated fixture as q_search_maxsim_ann;
+  // every candidate-leg quantity integer-derived, fully replayed.
+  def searchMaxsimFiltered(s: SparkSession, dir: String): DataFrame = {
+    def normalized(df: DataFrame): DataFrame = df
+      .withColumn("__n", graft.functions.VectorFunctions.l2Norm(col("vec")))
+      .withColumn("vec", expr("transform(vec, x -> x / __n)"))
+      .drop("__n")
+    val rawKeyed = maxsimAnnChunkVecsKeyed(s, dir).localCheckpoint()
+    val raw = rawKeyed.select("doc_id", "vec")
+    val rawToks = maxsimAnnQueryToks(s, dir).localCheckpoint()
+    val chunkVecs = normalized(raw).localCheckpoint()
+    val queryToks = normalized(rawToks).localCheckpoint()
+    val docVecs = maxsimDocVecs(raw).localCheckpoint()
+    val cents = graft.ann.Ann.representativeCentroids(
+      docVecs.withColumn("label", pmod(col("id"), lit(16L))), "label")
+      .localCheckpoint()
+    val chunkAssigned = graft.ann.Ann.assign(
+      rawKeyed.select(col("ckey").as("id"),
+          expr("transform(vec, v -> cast(v as float))").as("embedding"))
+        .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding"))),
+      cents).localCheckpoint()
+    // the serving route's pushdown: index rows restricted to allowed docs
+    // BEFORE ranking (ChunkIndex.searchChunkIvf allowedDocs semantics)
+    val assignedIn = chunkAssigned.filter(
+      pmod(substring_index(col("id"), "#", 1).cast("long"), lit(3L)) === 0)
+    val truth = graft.search.MaxSim.topK(
+        chunkVecs.filter(pmod(col("doc_id"), lit(3L)) === 0), queryToks, k = 10)
+      .select("query_idx", "doc_id").localCheckpoint()
+    val toks = rawToks.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).map(_.toFloat).toArray))
+    def leg(t: Int): DataFrame = {
+      val cand = graft.search.ChunkIndex.chunkIvfCandidates(
+          s, assignedIn, cents, toks.toIndexedSeq, t)
+        .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
+        .distinct()
+      val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
+        candidates = Some(cand))
+      val nCand = cand.groupBy("query_idx").agg(count(lit(1)).as("n_candidates"))
+      val hits = pruned.select("query_idx", "doc_id")
+        .join(truth, Seq("query_idx", "doc_id"), "left_semi")
+        .groupBy("query_idx").agg(count(lit(1)).as("n_hits"))
+      nCand.join(hits, Seq("query_idx"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .withColumn("t_width", lit(t.toLong))
+    }
+    leg(5).unionByName(leg(25))
+      .select("t_width", "query_idx", "n_candidates", "n_hits")
+      .orderBy("t_width", "query_idx")
+  }
+
+  val searchMaxsimFilteredSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      |           FROM documents),
+      |n AS (SELECT doc_id, words,
+      |             greatest(CAST(ceil(len(words) / 20.0) AS INTEGER), 1) AS n_chunks
+      |      FROM w),
+      |c AS (SELECT doc_id,
+      |             array_to_string(words[i*20+1 : i*20+20], ' ') AS chunk
+      |      FROM n, (SELECT unnest(range(100)) AS i) ix
+      |      WHERE ix.i < n.n_chunks),
+      |ck AS (SELECT doc_id, chunk FROM c WHERE length(chunk) > 0),
+      |i AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS dim),
+      |dc AS (SELECT doc_id, dim,
+      |         ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50 AS dcent
+      |       FROM documents CROSS JOIN i),
+      |cv AS (SELECT ck.doc_id, ck.chunk, i.dim,
+      |         ('0x' || substr(sha256(ck.chunk || CAST(i.dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50
+      |           + 16 * dc.dcent AS cent
+      |       FROM ck CROSS JOIN i
+      |       JOIN dc ON dc.doc_id = ck.doc_id AND dc.dim = i.dim),
+      |qt AS (SELECT * FROM (VALUES (0, 0, 'data'), (0, 1, 'analysis'),
+      |                             (0, 2, 'system'), (1, 0, 'market'),
+      |                             (1, 1, 'music'), (1, 2, 'research'))
+      |                  v(query_idx, tok_idx, tok)),
+      |qv AS (SELECT query_idx, tok_idx, dim,
+      |         ('0x' || substr(sha256(tok || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50 AS cent
+      |       FROM qt CROSS JOIN i),
+      |cn AS (SELECT doc_id, chunk, sqrt(sum(CAST(cent * cent AS DOUBLE))) AS nrm
+      |       FROM cv GROUP BY 1, 2),
+      |nv AS (SELECT cv.doc_id, cv.chunk, cv.dim, cv.cent / cn.nrm AS x
+      |       FROM cv JOIN cn ON cn.doc_id = cv.doc_id AND cn.chunk = cv.chunk),
+      |qn AS (SELECT query_idx, tok_idx, sqrt(sum(CAST(cent * cent AS DOUBLE))) AS nrm
+      |       FROM qv GROUP BY 1, 2),
+      |nq AS (SELECT qv.query_idx, qv.tok_idx, qv.dim, qv.cent / qn.nrm AS x
+      |       FROM qv JOIN qn ON qn.query_idx = qv.query_idx
+      |                      AND qn.tok_idx = qv.tok_idx),
+      |dp AS (SELECT nq.query_idx, nq.tok_idx, nv.doc_id, nv.chunk,
+      |              sum(nq.x * nv.x) AS dotp
+      |       FROM nv JOIN nq USING (dim)
+      |       GROUP BY 1, 2, 3, 4),
+      |best AS (SELECT query_idx, tok_idx, doc_id, max(dotp) AS best
+      |         FROM dp GROUP BY 1, 2, 3),
+      |sc AS (SELECT query_idx, doc_id, sum(best) AS score
+      |       FROM best GROUP BY 1, 2),
+      |truth AS (SELECT query_idx, doc_id FROM (
+      |            SELECT *, row_number() OVER (PARTITION BY query_idx
+      |                        ORDER BY score DESC, doc_id ASC) AS rn FROM sc WHERE doc_id % 3 = 0)
+      |          WHERE rn <= 10),
+      |dv AS (SELECT doc_id AS id, dim, CAST(sum(cent) AS DOUBLE) AS m
+      |       FROM cv GROUP BY 1, 2),
+      |crep AS (SELECT id % 16 AS centroid_id, id FROM (
+      |           SELECT id, row_number() OVER (PARTITION BY id % 16
+      |                           ORDER BY id) AS rn
+      |           FROM (SELECT DISTINCT id FROM dv))
+      |         WHERE rn = 1),
+      |cvd AS (SELECT crep.centroid_id, dv.dim, dv.m
+      |        FROM crep JOIN dv ON dv.id = crep.id),
+      |cn2 AS (SELECT centroid_id, sqrt(sum(m * m)) AS nrm FROM cvd GROUP BY 1),
+      |cadot AS (SELECT cv.doc_id, cv.chunk, cvd.centroid_id,
+      |                 sum(CAST(cv.cent AS DOUBLE) * cvd.m) AS dt
+      |          FROM cv JOIN cvd USING (dim) GROUP BY 1, 2, 3),
+      |cassign AS (SELECT doc_id, chunk, cluster_id FROM (
+      |              SELECT a.doc_id, a.chunk, a.centroid_id AS cluster_id,
+      |                     row_number() OVER (PARTITION BY a.doc_id, a.chunk
+      |                       ORDER BY 1.0 - a.dt / (cnx.nrm * c2.nrm),
+      |                                a.centroid_id) AS rn
+      |              FROM cadot a
+      |              JOIN cn cnx ON cnx.doc_id = a.doc_id AND cnx.chunk = a.chunk
+      |              JOIN cn2 c2 ON c2.centroid_id = a.centroid_id)
+      |            WHERE rn = 1),
+      |ccsize AS (SELECT cluster_id, count(*) AS csize FROM cassign
+      |           WHERE doc_id % 3 = 0 GROUP BY 1),
+      |qk AS (SELECT query_idx * 3 + tok_idx AS tok_key, query_idx, dim,
+      |              CAST(cent AS DOUBLE) AS qc
+      |       FROM qv),
+      |qn2 AS (SELECT tok_key, sqrt(sum(qc * qc)) AS nrm FROM qk GROUP BY 1),
+      |qdot AS (SELECT qk.tok_key, cvd.centroid_id, sum(qk.qc * cvd.m) AS dt
+      |         FROM qk JOIN cvd USING (dim) GROUP BY 1, 2),
+      |pr AS (SELECT q.tok_key, q.centroid_id,
+      |              1.0 - q.dt / (c2.nrm * qn2.nrm) AS d,
+      |              coalesce(s.csize, 0) AS csize
+      |       FROM qdot q
+      |       JOIN cn2 c2 ON c2.centroid_id = q.centroid_id
+      |       JOIN qn2 ON qn2.tok_key = q.tok_key
+      |       LEFT JOIN ccsize s ON s.cluster_id = q.centroid_id),
+      |pool AS (SELECT tok_key, centroid_id,
+      |                coalesce(sum(csize) OVER (PARTITION BY tok_key
+      |                  ORDER BY d, centroid_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |                  0) AS pool
+      |         FROM pr),
+      |widths AS (SELECT CAST(unnest([5, 25]) AS BIGINT) AS t_width),
+      |probes AS (SELECT w.t_width, p.tok_key, p.centroid_id
+      |           FROM widths w JOIN pool p
+      |             ON p.pool < greatest(10 * w.t_width, 100)),
+      |csdot AS (SELECT qk.tok_key, min(qk.query_idx) AS query_idx,
+      |                 cv.doc_id, cv.chunk,
+      |                 sum(qk.qc * CAST(cv.cent AS DOUBLE)) AS dt
+      |          FROM qk JOIN cv USING (dim)
+      |          GROUP BY qk.tok_key, cv.doc_id, cv.chunk),
+      |sbest AS (SELECT p.t_width, sd.tok_key, sd.query_idx, sd.doc_id,
+      |                 max(sd.dt / (cnx.nrm * qn2.nrm)) AS s
+      |          FROM csdot sd
+      |          JOIN cassign a ON a.doc_id = sd.doc_id AND a.chunk = sd.chunk
+      |                        AND a.doc_id % 3 = 0
+      |          JOIN probes p ON p.tok_key = sd.tok_key
+      |                       AND p.centroid_id = a.cluster_id
+      |          JOIN cn cnx ON cnx.doc_id = sd.doc_id AND cnx.chunk = sd.chunk
+      |          JOIN qn2 ON qn2.tok_key = sd.tok_key
+      |          GROUP BY 1, 2, 3, 4),
+      |sct AS (SELECT *, row_number() OVER (PARTITION BY t_width, tok_key
+      |              ORDER BY s DESC, CAST(doc_id AS VARCHAR) ASC) AS rn
+      |        FROM sbest),
+      |cand AS (SELECT DISTINCT s.t_width, s.query_idx, s.doc_id
+      |         FROM sct s WHERE s.rn <= s.t_width),
+      |pruned AS (SELECT t_width, query_idx, doc_id FROM (
+      |             SELECT c.t_width, s.query_idx, s.doc_id,
+      |                    row_number() OVER (PARTITION BY c.t_width, s.query_idx
+      |                      ORDER BY s.score DESC, s.doc_id ASC) AS rn
+      |             FROM sc s JOIN cand c
+      |               ON s.query_idx = c.query_idx AND s.doc_id = c.doc_id)
+      |           WHERE rn <= 10),
+      |nc AS (SELECT t_width, query_idx, CAST(count(*) AS BIGINT) AS n_candidates
+      |       FROM cand GROUP BY 1, 2),
+      |h AS (SELECT p.t_width, p.query_idx, CAST(count(*) AS BIGINT) AS n_hits
+      |      FROM pruned p JOIN truth t
+      |        ON t.query_idx = p.query_idx AND t.doc_id = p.doc_id
+      |      GROUP BY 1, 2)
+      |SELECT nc.t_width, nc.query_idx, nc.n_candidates,
+      |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+      |FROM nc LEFT JOIN h
+      |  ON h.t_width = nc.t_width AND h.query_idx = nc.query_idx
+      |ORDER BY nc.t_width, nc.query_idx""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_maxsim" -> (searchMaxsim _),
     "q_search_maxsim_pruned" -> (searchMaxsimPruned _),
     "q_search_maxsim_ann" -> (searchMaxsimAnn _),
     "q_search_maxsim_civf" -> (searchMaxsimCivf _),
+    "q_search_maxsim_filtered" -> (searchMaxsimFiltered _),
     "q_hybrid_maxsim" -> (hybridMaxsim _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_compaction_plan" -> (compactionPlan _),
@@ -2466,6 +2661,7 @@ object OpsQueries {
     "q_search_maxsim_pruned" -> searchMaxsimPrunedSql,
     "q_search_maxsim_ann" -> searchMaxsimAnnSql,
     "q_search_maxsim_civf" -> searchMaxsimCivfSql,
+    "q_search_maxsim_filtered" -> searchMaxsimFilteredSql,
     "q_hybrid_maxsim" -> hybridMaxsimSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_compaction_plan" -> compactionPlanSql,

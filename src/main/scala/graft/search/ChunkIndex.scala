@@ -159,13 +159,19 @@ object ChunkIndex {
       k: Int,
       perTokenT: Int = 25,
       maxQueryTokens: Int = 16,
-      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
+      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit,
+      allowedDocs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val (toks, chunkVecs) = embedQueryTokens(
       spark, catalog, entry, embedder, queries, maxQueryTokens)
     if (toks.isEmpty) return emptyResult(chunkVecs)
     val q = toks.toDF("query_idx", "tok_idx", "vec")
-    searchFrames(chunkVecs, q, k, perTokenT, broadcastRowLimit)
+    // filtered serving: restrict the chunk frame BEFORE the per-token
+    // top-T, so the shortlist (and so top-k) FILLS from the sub-corpus
+    // instead of post-filtering an unfiltered shortlist under-full
+    val vecsIn = allowedDocs.fold(chunkVecs)(a =>
+      chunkVecs.join(a.select("doc_id"), Seq("doc_id"), "left_semi"))
+    searchFrames(vecsIn, q, k, perTokenT, broadcastRowLimit)
       .select(col("query_idx"), col("doc_id").as("id"), col("score"))
   }
 
@@ -229,14 +235,22 @@ object ChunkIndex {
       k: Int,
       perTokenT: Int = 25,
       maxQueryTokens: Int = 16,
-      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
+      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit,
+      allowedDocs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val (toks, chunkVecs) = embedQueryTokens(
       spark, catalog, entry, embedder, queries, maxQueryTokens)
     if (toks.isEmpty) return emptyResult(chunkVecs)
     val qdf = toks.toDF("query_idx", "tok_idx", "vec")
-    val cand = annCandidates(spark,
-      graft.ann.IvfIndex.loadIndex(spark, catalog, entry),
+    // filtered serving restricts the INDEX rows before candidate
+    // ranking (the q_ann_ivf_filtered pushdown shape): per-token top-T
+    // and the adaptive probe pool both see the sub-corpus, so the
+    // shortlist fills with qualifying documents; the rescore then only
+    // touches their chunk rows through the candidate join
+    val assigned = graft.ann.IvfIndex.loadIndex(spark, catalog, entry)
+    val assignedIn = allowedDocs.fold(assigned)(a =>
+      assigned.join(a.select(col("doc_id").as("id")), Seq("id"), "left_semi"))
+    val cand = annCandidates(spark, assignedIn,
       graft.ann.IvfIndex.loadCentroids(spark, catalog, entry),
       toks, perTokenT, broadcastRowLimit)
     MaxSim.topK(chunkVecs, qdf, k, candidates = Some(cand), broadcastRowLimit)
@@ -326,14 +340,22 @@ object ChunkIndex {
       k: Int,
       perTokenT: Int = 25,
       maxQueryTokens: Int = 16,
-      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
+      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit,
+      allowedDocs: Option[DataFrame] = None): DataFrame = {
     import spark.implicits._
     val (toks, chunkVecs) = embedQueryTokens(
       spark, catalog, entry, embedder, queries, maxQueryTokens)
     if (toks.isEmpty) return emptyResult(chunkVecs)
     val qdf = toks.toDF("query_idx", "tok_idx", "vec")
-    val cand = chunkIvfCandidates(spark,
-      ChunkIvfIndex.load(spark, catalog, entry),
+    // filtered serving: restrict the chunk-IVF rows (keyed doc#chunk —
+    // the doc id recovers by key split) before candidate ranking, so
+    // per-token top-T docs and the probe pool fill from the sub-corpus
+    val idx = ChunkIvfIndex.load(spark, catalog, entry)
+    val idxIn = allowedDocs.fold(idx)(a =>
+      idx.withColumn("__doc", ChunkIvfIndex.docIdOf(col("id")))
+        .join(a.select(col("doc_id").as("__doc")), Seq("__doc"), "left_semi")
+        .drop("__doc"))
+    val cand = chunkIvfCandidates(spark, idxIn,
       ChunkIvfIndex.quantizer(spark, catalog, entry),
       toks, perTokenT, broadcastRowLimit)
     MaxSim.topK(chunkVecs, qdf, k, candidates = Some(cand), broadcastRowLimit)

@@ -2,6 +2,7 @@ package graft
 
 import java.nio.file.Files
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions.col
 import graft.ingest.DeterministicHashEmbedder
 import graft.model.{ErrorCodes, GraftException}
 
@@ -65,6 +66,53 @@ class MaxsimManySpec extends SparkSpec {
     assert(intercept[GraftException](
       api.maxsimSearchMany("m2", Seq("topic words"))).code
       == ErrorCodes.AnnIndexNotFound)
+  }
+
+  test("metadata-filtered maxsim: fills k from the sub-corpus, identical across routes at full width") {
+    val api = newApi()
+    val docs = (0 until 36).map(i =>
+      (s"document number $i covers topic t${i % 7} and words w$i",
+        Map("tier" -> (if (i % 3 == 0) "gold" else "base"))))
+      .toDF("content", "metadata")
+    api.createCollection("mf", documents = Some(docs))
+    api.buildChunkIndex("mf", maxTokens = 6)
+    api.buildAnnIndex("mf", nClusters = 4)
+    api.buildChunkIvfIndex("mf")
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "mf"))
+    val goldIds = api.catalog.readDocuments(entry)
+      .filter(col("metadata")("tier") === "gold")
+      .select("id").collect().map(_.getString(0)).toSet
+    assert(goldIds.size == 12)
+    val where = Some(col("metadata")("tier") === "gold")
+    for (src <- Seq("chunk", "ivf", "chunkivf")) {
+      // k = 8 of 12 qualifying docs: an unfiltered top-8 post-filtered
+      // would under-fill; the pushdown must return 8 gold docs
+      val res = api.maxsimSearch("mf", "topic words document", nResults = 8,
+        perTokenT = 10000, candidateSource = src, where = where)
+      assert(res.results.size == 8, s"route $src under-filled")
+      assert(res.results.forall(h => goldIds.contains(h.id)), s"route $src leaked")
+    }
+    // at full candidate width every route equals exact maxsim over the
+    // SUB-corpus chunk rows
+    val exactIds = {
+      val emb = new DeterministicHashEmbedder(16)
+      val qdf = emb.embedBatch(Seq("topic", "words", "document")).zipWithIndex
+        .map { case (v, i) =>
+          val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+          (0, i, v.map(x => (x / n).toFloat).toSeq)
+        }.toDF("query_idx", "tok_idx", "vec")
+      graft.search.MaxSim.topK(
+          graft.search.ChunkIndex.load(spark, api.catalog, entry)
+            .filter(col("id").isin(goldIds.toSeq: _*))
+            .select(col("id").as("doc_id"), col("vec")), qdf, k = 8)
+        .collect().map(_.getString(1)).toSeq
+    }
+    val served = api.maxsimSearch("mf", "topic words document", nResults = 8,
+      perTokenT = 10000, candidateSource = "chunkivf", where = where)
+    assert(served.results.map(_.id) == exactIds)
+    // the batched route filters identically
+    val many = api.maxsimSearchMany("mf", questions, nResults = 4, where = where)
+    assert(many.results.nonEmpty && many.results.forall(h => goldIds.contains(h.id)))
   }
 
   test("MCP vectorSearchMany routes the maxsim mode to the batched serve") {
