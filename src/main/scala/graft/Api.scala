@@ -1182,6 +1182,52 @@ final class Api(
     serialize(payload)
   }
 
+  /** Index-health / drift probe ([[graft.ann.IndexHealth]]): recompute
+    * the named index's quantization stats (mean residual to the frozen
+    * centroids, assignment entropy) and compare against the baseline
+    * persisted at (re)build time. `rebuild_recommended = true` when the
+    * mean residual grew, or the entropy fell, by more than
+    * `IndexHealth.DriftRatioPercent` — the silent recall decay a
+    * continuously-ingesting corpus inflicts on a frozen quantizer, made
+    * measurable BEFORE users notice worse retrieval. Point-in-time read:
+    * one index scan + cluster-sized aggregate, no corpus access.
+    * `index` ∈ {"ivf", "chunkivf"}; governed `ann_index_not_found` when
+    * the index (or its baseline sidecar) is missing.
+    */
+  def indexHealth(name: String, index: String = "ivf"): Map[String, Any] = {
+    // request validation precedes the firewall (sibling-route precedence)
+    require(Set("ivf", "chunkivf").contains(index),
+      s"index '$index' not in {ivf, chunkivf}")
+    indexHealthInner(name, index)
+  }
+
+  private def indexHealthInner(name: String, index: String): Map[String, Any] = invoke {
+    val entry = catalog.getCollection(physical(validCollection(name)))
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    import graft.ann.IndexHealth
+    val (basePath, current) = index match {
+      case "ivf" =>
+        if (!exists(graft.ann.IvfIndex.indexPath(catalog, entry)) ||
+            !exists(graft.ann.IvfIndex.centroidsPath(catalog, entry)))
+          throw new GraftException(ErrorCodes.AnnIndexNotFound)
+        (IndexHealth.ivfBaselinePath(catalog, entry),
+          IndexHealth.statsRow(
+            graft.ann.IvfIndex.loadIndex(spark, catalog, entry),
+            graft.ann.IvfIndex.loadCentroids(spark, catalog, entry)))
+      case _ =>
+        if (!graft.search.ChunkIvfIndex.exists(catalog, entry) ||
+            !graft.search.ChunkIvfIndex.quantizerExists(catalog, entry))
+          throw new GraftException(ErrorCodes.AnnIndexNotFound)
+        (IndexHealth.chunkIvfBaselinePath(catalog, entry),
+          IndexHealth.statsRow(
+            graft.search.ChunkIvfIndex.load(spark, catalog, entry),
+            graft.search.ChunkIvfIndex.quantizer(spark, catalog, entry)))
+    }
+    val baseline = IndexHealth.readStatsRow(spark, basePath)
+      .getOrElse(throw new GraftException(ErrorCodes.AnnIndexNotFound))
+    IndexHealth.compare(baseline, current) + ("index" -> index)
+  }
+
   /** Collection statistics — the observability half of the doctor surface
     * (model.BackendPolicy.backendStatus is the availability half): document
     * count, frozen dimension, and which persistent derived indexes exist

@@ -1014,7 +1014,8 @@ object ScaleProbe {
         .repartition(cpus).localCheckpoint()
       (cents, assigned)
     }
-    if (only.forall(o => o.contains("ann_ivf_pushdown") || o.contains("ann_ivf_postfilter"))) {
+    if (only.forall(o => o.contains("ann_ivf_pushdown") ||
+        o.contains("ann_ivf_postfilter") || o.contains("index_health"))) {
       ivfParts._1.count(); ivfParts._2.count()
     }
     time("ann_ivf_pushdown") {
@@ -1027,6 +1028,13 @@ object ScaleProbe {
       graft.ann.Ann.ivfTopK(ivfParts._2, ivfParts._1,
           Tables.queryVectors(spark, sfDir, Seq(0, 1, 2)), k = 100, nprobe = 3)
         .filter(pmod(xxhash64(col("id")), lit(2)) === 0).count()
+    }
+    // index-health drift probe: one column-pruned index scan into a
+    // cluster-keyed aggregate (map-side combine), then cluster-sized
+    // work only — the curve must track the plain scan, K ∝ corpus
+    time("index_health") {
+      graft.ann.IndexHealth.stats(ivfParts._2, ivfParts._1)
+        .collect().headOption.map(_.getAs[Long]("n")).getOrElse(0L)
     }
     // cross-set semantic decontamination: the benchmark (eval) side is
     // FIXED-SIZE while train grows M-fold; K ∝ corpus keeps per-cluster

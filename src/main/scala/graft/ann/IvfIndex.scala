@@ -86,6 +86,11 @@ object IvfIndex {
       .partitionBy("cluster_id")
       .mode(SaveMode.Overwrite)
       .parquet(indexPath(catalog, entry))
+    // every full (re)assign re-baselines the health sidecar: the probe's
+    // "build-time distribution" is exactly this moment's corpus
+    IndexHealth.writeBaseline(loadIndex(spark, catalog, entry),
+      loadCentroids(spark, catalog, entry),
+      IndexHealth.ivfBaselinePath(catalog, entry))
     loadCentroids(spark, catalog, entry)
   }
 

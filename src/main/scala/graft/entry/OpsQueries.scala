@@ -2613,12 +2613,139 @@ object OpsQueries {
       |  ON h.t_width = nc.t_width AND h.query_idx = nc.query_idx
       |ORDER BY nc.t_width, nc.query_idx""".stripMargin
 
+
+  // ---- index-health drift probe (ann.IndexHealth): frozen-quantizer
+  //      recall decay made measurable. Fixture: 8-dim integer vectors
+  //      clustered around 16 label directions (the proven correlated
+  //      recipe); the REF slice is the build-time corpus the centroids
+  //      (representative min-id per label) were trained on, the CUR
+  //      slice re-points every odd vec_id at a DIFFERENT direction set
+  //      — the planted drift. The probe's stats (per-row residual
+  //      nano-floored before the exact long aggregate, entropy from
+  //      exact cluster counts) and the integer-arithmetic flag rule
+  //      (100·cur > 125·ref residual, 100·cur < 75·ref entropy) replay
+  //      bit-identically, so the oracle PREDICTS the rebuild flag from
+  //      the planting arithmetic. ----
+  def indexDrift(s: SparkSession, dir: String): DataFrame = {
+    val ids = Tables.t(s, dir, "embeddings")
+      .select(col("vec_id"), pmod(col("vec_id"), lit(16L)).as("label"))
+    def cent(salt: String, key: org.apache.spark.sql.Column, d: Int) =
+      conv(substring(sha2(concat(lit(salt), key.cast("string"),
+        lit("_"), lit(d.toString)), 256), 1, 15), 16, 10).cast("long") % 100 - 50
+    def dirArr(salt: String) = array((0 until 8).map(d =>
+      cent(salt, col("label"), d) * 16): _*)
+    val noiseArr = array((0 until 8).map(d => cent("n", col("vec_id"), d)): _*)
+    def asVec(dirs: org.apache.spark.sql.Column) =
+      zip_with(dirs, noiseArr, (a, b) => (a + b).cast("float"))
+    val refRows = ids.select(col("vec_id").as("id"), col("label"),
+        asVec(dirArr("lbl")).as("embedding"))
+      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+      .localCheckpoint()
+    val curRows = ids.select(col("vec_id").as("id"),
+        when(pmod(col("vec_id"), lit(2L)) === 0, asVec(dirArr("lbl")))
+          .otherwise(asVec(dirArr("wlbl"))).as("embedding"))
+      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+      .localCheckpoint()
+    val cents = graft.ann.Ann.representativeCentroids(refRows, "label")
+      .localCheckpoint()
+    val sRef = graft.ann.IndexHealth.stats(
+        graft.ann.Ann.assign(refRows.drop("label"), cents), cents)
+      .select(col("n").as("n_ref"), col("mean_res_nano").as("res_ref_nano"),
+        col("entropy_nano").as("ent_ref_nano"))
+    val sCur = graft.ann.IndexHealth.stats(
+        graft.ann.Ann.assign(curRows, cents), cents)
+      .select(col("n").as("n_cur"), col("mean_res_nano").as("res_cur_nano"),
+        col("entropy_nano").as("ent_cur_nano"))
+    sRef.crossJoin(sCur)
+      .withColumn("residual_drift",
+        (lit(100L) * col("res_cur_nano") > lit(125L) * col("res_ref_nano"))
+          .cast("long"))
+      .withColumn("entropy_collapse",
+        (lit(100L) * col("ent_cur_nano") < lit(75L) * col("ent_ref_nano"))
+          .cast("long"))
+      .withColumn("rebuild_recommended",
+        greatest(col("residual_drift"), col("entropy_collapse")))
+  }
+
+  val indexDriftSql: String =
+    """WITH ids AS (SELECT vec_id, vec_id % 16 AS label FROM embeddings),
+      |i AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS dim),
+      |lv AS (SELECT l.label, i.dim,
+      |         (('0x' || substr(sha256('lbl' || CAST(l.label AS VARCHAR) || '_' || CAST(i.dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50) * 16 AS c
+      |       FROM (SELECT DISTINCT label FROM ids) l CROSS JOIN i),
+      |wv AS (SELECT l.label, i.dim,
+      |         (('0x' || substr(sha256('wlbl' || CAST(l.label AS VARCHAR) || '_' || CAST(i.dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50) * 16 AS c
+      |       FROM (SELECT DISTINCT label FROM ids) l CROSS JOIN i),
+      |nv AS (SELECT ids.vec_id, i.dim,
+      |         ('0x' || substr(sha256('n' || CAST(ids.vec_id AS VARCHAR) || '_' || CAST(i.dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50 AS c
+      |       FROM ids CROSS JOIN i),
+      |refv AS (SELECT ids.vec_id, ids.label, nv.dim, lv.c + nv.c AS x
+      |         FROM ids
+      |         JOIN nv ON nv.vec_id = ids.vec_id
+      |         JOIN lv ON lv.label = ids.label AND lv.dim = nv.dim),
+      |curv AS (SELECT ids.vec_id, ids.label, nv.dim,
+      |                CASE WHEN ids.vec_id % 2 = 0 THEN lv.c ELSE wv.c END + nv.c AS x
+      |         FROM ids
+      |         JOIN nv ON nv.vec_id = ids.vec_id
+      |         JOIN lv ON lv.label = ids.label AND lv.dim = nv.dim
+      |         JOIN wv ON wv.label = ids.label AND wv.dim = nv.dim),
+      |crep AS (SELECT label, min(vec_id) AS mid FROM ids GROUP BY 1),
+      |cvd AS (SELECT r.label AS centroid_id, r.dim, CAST(r.x AS DOUBLE) AS c
+      |        FROM refv r JOIN crep ON crep.mid = r.vec_id),
+      |cn AS (SELECT centroid_id, sqrt(sum(c * c)) AS nrm FROM cvd GROUP BY 1),
+      |rn AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * x)) AS nrm FROM refv GROUP BY 1),
+      |un AS (SELECT vec_id, sqrt(sum(CAST(x AS DOUBLE) * x)) AS nrm FROM curv GROUP BY 1),
+      |radot AS (SELECT r.vec_id, cvd.centroid_id, sum(CAST(r.x AS DOUBLE) * cvd.c) AS dt
+      |          FROM refv r JOIN cvd USING (dim) GROUP BY 1, 2),
+      |cadot AS (SELECT r.vec_id, cvd.centroid_id, sum(CAST(r.x AS DOUBLE) * cvd.c) AS dt
+      |          FROM curv r JOIN cvd USING (dim) GROUP BY 1, 2),
+      |rassign AS (SELECT vec_id, cluster_id, res_nano FROM (
+      |              SELECT a.vec_id, a.centroid_id AS cluster_id,
+      |                     CAST(floor((1.0 - a.dt / (rn.nrm * cn.nrm)) * 1e9) AS BIGINT) AS res_nano,
+      |                     row_number() OVER (PARTITION BY a.vec_id
+      |                       ORDER BY 1.0 - a.dt / (rn.nrm * cn.nrm), a.centroid_id) AS rk
+      |              FROM radot a
+      |              JOIN rn ON rn.vec_id = a.vec_id
+      |              JOIN cn ON cn.centroid_id = a.centroid_id)
+      |            WHERE rk = 1),
+      |cassign AS (SELECT vec_id, cluster_id, res_nano FROM (
+      |              SELECT a.vec_id, a.centroid_id AS cluster_id,
+      |                     CAST(floor((1.0 - a.dt / (un.nrm * cn.nrm)) * 1e9) AS BIGINT) AS res_nano,
+      |                     row_number() OVER (PARTITION BY a.vec_id
+      |                       ORDER BY 1.0 - a.dt / (un.nrm * cn.nrm), a.centroid_id) AS rk
+      |              FROM cadot a
+      |              JOIN un ON un.vec_id = a.vec_id
+      |              JOIN cn ON cn.centroid_id = a.centroid_id)
+      |            WHERE rk = 1),
+      |rpc AS (SELECT cluster_id, count(*) AS nc, CAST(sum(res_nano) AS BIGINT) AS sr
+      |        FROM rassign GROUP BY 1),
+      |cpc AS (SELECT cluster_id, count(*) AS nc, CAST(sum(res_nano) AS BIGINT) AS sr
+      |        FROM cassign GROUP BY 1),
+      |rtot AS (SELECT CAST(sum(nc) AS BIGINT) AS n, CAST(sum(sr) AS BIGINT) AS s FROM rpc),
+      |ctot AS (SELECT CAST(sum(nc) AS BIGINT) AS n, CAST(sum(sr) AS BIGINT) AS s FROM cpc),
+      |rstat AS (SELECT rtot.n AS n_ref, rtot.s // rtot.n AS res_ref_nano,
+      |                 CAST(sum(CAST(floor(-(CAST(rpc.nc AS DOUBLE) / CAST(rtot.n AS DOUBLE)) *
+      |                   ln(CAST(rpc.nc AS DOUBLE) / CAST(rtot.n AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS ent_ref_nano
+      |          FROM rpc CROSS JOIN rtot GROUP BY 1, 2),
+      |cstat AS (SELECT ctot.n AS n_cur, ctot.s // ctot.n AS res_cur_nano,
+      |                 CAST(sum(CAST(floor(-(CAST(cpc.nc AS DOUBLE) / CAST(ctot.n AS DOUBLE)) *
+      |                   ln(CAST(cpc.nc AS DOUBLE) / CAST(ctot.n AS DOUBLE)) * 1e9) AS BIGINT)) AS BIGINT) AS ent_cur_nano
+      |          FROM cpc CROSS JOIN ctot GROUP BY 1, 2)
+      |SELECT r.n_ref, CAST(r.res_ref_nano AS BIGINT) AS res_ref_nano, r.ent_ref_nano,
+      |       c.n_cur, CAST(c.res_cur_nano AS BIGINT) AS res_cur_nano, c.ent_cur_nano,
+      |       CAST(CASE WHEN 100 * c.res_cur_nano > 125 * r.res_ref_nano THEN 1 ELSE 0 END AS BIGINT) AS residual_drift,
+      |       CAST(CASE WHEN 100 * c.ent_cur_nano < 75 * r.ent_ref_nano THEN 1 ELSE 0 END AS BIGINT) AS entropy_collapse,
+      |       CAST(CASE WHEN 100 * c.res_cur_nano > 125 * r.res_ref_nano
+      |                   OR 100 * c.ent_cur_nano < 75 * r.ent_ref_nano THEN 1 ELSE 0 END AS BIGINT) AS rebuild_recommended
+      |FROM rstat r CROSS JOIN cstat c""".stripMargin
+
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_search_maxsim" -> (searchMaxsim _),
     "q_search_maxsim_pruned" -> (searchMaxsimPruned _),
     "q_search_maxsim_ann" -> (searchMaxsimAnn _),
     "q_search_maxsim_civf" -> (searchMaxsimCivf _),
     "q_search_maxsim_filtered" -> (searchMaxsimFiltered _),
+    "q_index_drift" -> (indexDrift _),
     "q_hybrid_maxsim" -> (hybridMaxsim _),
     "q_snapshot_diff" -> (snapshotDiff _),
     "q_compaction_plan" -> (compactionPlan _),
@@ -2662,6 +2789,7 @@ object OpsQueries {
     "q_search_maxsim_ann" -> searchMaxsimAnnSql,
     "q_search_maxsim_civf" -> searchMaxsimCivfSql,
     "q_search_maxsim_filtered" -> searchMaxsimFilteredSql,
+    "q_index_drift" -> indexDriftSql,
     "q_hybrid_maxsim" -> hybridMaxsimSql,
     "q_snapshot_diff" -> snapshotDiffSql,
     "q_compaction_plan" -> compactionPlanSql,

@@ -203,6 +203,9 @@ object ChunkIvfIndex {
       .write.partitionBy("cluster_id")
       .mode(SaveMode.Overwrite)
       .parquet(indexPath(catalog, entry))
+    // every full (re)build re-baselines the drift probe's sidecar
+    graft.ann.IndexHealth.writeBaseline(load(spark, catalog, entry), centroids,
+      graft.ann.IndexHealth.chunkIvfBaselinePath(catalog, entry))
     load(spark, catalog, entry)
   }
 
