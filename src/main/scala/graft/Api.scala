@@ -1228,6 +1228,55 @@ final class Api(
     IndexHealth.compare(baseline, current) + ("index" -> index)
   }
 
+  /** Batched index-served hybrid RRF — [[searchIndexed]] over a question
+    * LIST: each leg serves the WHOLE batch from its persistent index in
+    * one plan (the semantic approx/lsh/pq/maxsim units and the
+    * bucket-pruned lexical postings all take query batches natively),
+    * and fusion runs once — [[graft.search.Hybrid.rrf]] is already
+    * query_idx-keyed with a per-query limit. Q questions therefore cost
+    * one plan pair + one fusion instead of the 2Q single-question plans
+    * a caller loop pays (the QSweep-measured driver cliff). Validation,
+    * mode routing, fusion math, and per-question results are identical
+    * to the per-question route (MaxsimManySpec pins the identity).
+    */
+  def searchIndexedMany(
+      name: String, questions: Seq[String], numberResults: Int = 10,
+      semanticWeight: Double = 0.5, lexicalWeight: Double = 0.5,
+      rrfK: Int = 60,
+      semanticMode: String = "approx",
+      lexicalMode: String = "bm25_indexed"): SearchResponse = {
+    val limit = validLimit(numberResults)
+    validWeightsAndK(semanticWeight, lexicalWeight, rrfK)
+    val qs = validQuestions(questions).map(Sanitize.sanitizeString)
+      .zipWithIndex.map(_.swap)
+    val entry = catalog.getCollection(physical(name))
+    val qvecs = qs.map { case (i, q) => i -> embedder.embedQuery(q).toSeq }
+    val sem = invoke(semanticMode match {
+      case "exact" => Semantic.search(docs(name), qvecs, limit)
+      case "approx" => approxHits(entry, qvecs, limit)
+      case "lsh" => lshHits(entry, qvecs, limit)
+      case "pq" => pqHits(entry, qvecs, limit)
+      case "maxsim" => maxsimHits(entry, qs, limit)
+      case _ => throw new GraftException(ErrorCodes.SearchActionInvalid)
+    })
+    val lex = invoke(lexicalMode match {
+      case "scan" => Lexical.search(docs(name), qs, limit)
+      case "bm25" => Lexical.searchBm25Many(docs(name), qs, limit)
+      case "indexed" => graft.search.LexIndex.searchTf(
+        graft.search.LexIndex.load(spark, catalog, entry), qs, limit)
+      case "bm25_indexed" => graft.search.LexIndex.searchBm25(
+        graft.search.LexIndex.load(spark, catalog, entry), qs, limit)
+      case _ => throw new GraftException(ErrorCodes.SearchActionInvalid)
+    })
+    val fused = Hybrid.rrf(sem, lex, semanticWeight, lexicalWeight, rrfK, limit)
+    val payload = fused.alias("f")
+      .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
+      .select(col("f.query_idx"), col("f.id"), col("d.content"),
+        col("d.metadata"), col("f.score"))
+      .orderBy(col("f.query_idx"), col("f.score").desc, col("f.id").asc)
+    serialize(payload)
+  }
+
   /** Collection statistics — the observability half of the doctor surface
     * (model.BackendPolicy.backendStatus is the availability half): document
     * count, frozen dimension, and which persistent derived indexes exist

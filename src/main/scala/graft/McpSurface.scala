@@ -192,7 +192,9 @@ class McpSurface(
     * question LIST, served through each route's batched unit: ONE plan
     * for the whole batch (semantic exact/approx/lsh/pq batch natively,
     * maxsim through `Api.maxsimSearchMany`'s one-plan frame unit, hybrid
-    * through `Api.searchMany`'s fused plan). Engine extension — the
+    * through `Api.searchMany`'s fused scan plan or
+    * `Api.searchIndexedMany`'s index-served batched fusion). Engine
+    * extension — the
     * reference's tools are single-question — so validation, mode
     * routing, and error codes are byte-identical to the per-question
     * tool; a caller looping questions gets the same results, this just
@@ -235,8 +237,21 @@ class McpSurface(
             api.lexicalSearchBm25Indexed(collectionName, questions, numberResults)
         }
       case "search" =>
-        api.searchMany(collectionName, questions, numberResults,
-          semanticWeight, lexicalWeight, rrfK)
+        // mode normalization identical to the per-question tool: the scan
+        // hybrid for the reference-default (exact, scan) pair, the
+        // index-served batched fusion for any index-backed mode
+        val sem = resolveAction(semanticMode,
+          Set("exact", "approx", "lsh", "pq", "maxsim"),
+          ErrorCodes.SearchActionInvalid)
+        val lex = resolveAction(lexicalMode,
+          Set("scan", "indexed", "bm25", "bm25_indexed"),
+          ErrorCodes.SearchActionInvalid)
+        if (sem == "exact" && lex == "scan")
+          api.searchMany(collectionName, questions, numberResults,
+            semanticWeight, lexicalWeight, rrfK)
+        else
+          api.searchIndexedMany(collectionName, questions, numberResults,
+            semanticWeight, lexicalWeight, rrfK, sem, lex)
     }
     Map("results" -> res.results.map(h => Map(
       "id" -> h.id, "content" -> h.content,

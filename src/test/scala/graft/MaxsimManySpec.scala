@@ -115,6 +115,40 @@ class MaxsimManySpec extends SparkSpec {
     assert(many.results.nonEmpty && many.results.forall(h => goldIds.contains(h.id)))
   }
 
+  test("searchIndexedMany == per-question searchIndexed loop across the mode matrix") {
+    val api = newApi()
+    api.createCollection("m4", documents = Some(docsDf(0 until 30)))
+    api.buildChunkIndex("m4", maxTokens = 6)
+    api.buildAnnIndex("m4", nClusters = 4)
+    api.buildLexicalIndex("m4")
+    api.buildLshIndex("m4")
+    api.buildPqIndex("m4")
+    val modes = Seq(
+      ("approx", "bm25_indexed"), ("maxsim", "indexed"),
+      ("lsh", "bm25_indexed"), ("pq", "indexed"), ("exact", "bm25"))
+    for ((sm, lm) <- modes) {
+      val loop = questions.flatMap(q => api.searchIndexed("m4", q,
+        numberResults = 4, semanticMode = sm, lexicalMode = lm).results)
+      val many = api.searchIndexedMany("m4", questions, numberResults = 4,
+        semanticMode = sm, lexicalMode = lm).results
+      assert(many.nonEmpty && many == loop, s"modes ($sm, $lm) diverged")
+    }
+    // unknown modes governed like the per-question route
+    assert(intercept[GraftException](api.searchIndexedMany("m4", questions,
+      semanticMode = "graph")).code == ErrorCodes.SearchActionInvalid)
+    assert(intercept[GraftException](api.searchIndexedMany("m4", questions,
+      lexicalMode = "phrase")).code == ErrorCodes.SearchActionInvalid)
+    // MCP batched search action routes index-backed modes through it
+    val surface = new McpSurface(api)
+    val viaMcp = surface.vectorSearchMany("search", "m4", questions,
+      numberResults = 4, semanticMode = "maxsim", lexicalMode = "bm25_indexed")
+    val direct = api.searchIndexedMany("m4", questions, numberResults = 4,
+      semanticMode = "maxsim", lexicalMode = "bm25_indexed")
+    assert(viaMcp("results").asInstanceOf[Seq[Map[String, Any]]]
+      .map(m => (m("id"), m("score"))) ==
+      direct.results.map(h => (h.id, h.score)))
+  }
+
   test("MCP vectorSearchMany routes the maxsim mode to the batched serve") {
     val api = newApi()
     api.createCollection("m3", documents = Some(docsDf(0 until 25)))
