@@ -484,7 +484,8 @@ final class Api(
     *     rounds, optional `trainFraction` hash sample) into the index's
     *     own sidecar; independent of the doc-level quantizer from then
     *     on (a doc-IVF rebuild leaves it untouched), frozen across
-    *     writes like every production IVF.
+    *     writes like every production IVF. `nClusters = 0` auto-sizes
+    *     to ~sqrt(chunk rows), floor 16 — the standard IVF sizing.
     *
     * Requires the chunk index (and, for "doc", the doc-level IVF);
     * governed `ann_index_not_found` otherwise. Maintained incrementally

@@ -171,7 +171,7 @@ object ChunkIvfIndex {
       nClusters: Int,
       kmeansIters: Int = 2,
       trainFraction: Double = 1.0): DataFrame = {
-    require(nClusters >= 1, s"nClusters $nClusters out of range")
+    require(nClusters >= 0, s"nClusters $nClusters out of range")
     require(trainFraction > 0 && trainFraction <= 1,
       s"trainFraction $trainFraction out of (0,1]")
     graft.catalog.PartitionedTable.deleteDir(
@@ -180,10 +180,16 @@ object ChunkIvfIndex {
         concat(col("id"), lit("#"), col("chunk_idx")).as("id"),
         col("vec").as("embedding"))
       .withColumn("norm", VectorFunctions.l2Norm(col("embedding")))
+    // nClusters = 0 sizes the quantizer to the corpus: ~sqrt(N) partitions
+    // (the standard IVF sizing guidance, and the shape PLAID's ColBERTv2
+    // index uses) with a floor of 16 — a parquet-metadata count, no scan
+    val k =
+      if (nClusters > 0) nClusters
+      else math.max(16, math.ceil(math.sqrt(chunks.count().toDouble)).toInt)
     val train =
       if (trainFraction >= 1.0) chunks
       else graft.operators.Sampling.sample(chunks, "id", trainFraction)
-    val cents = graft.ann.Ann.kmeansCentroids(train, nClusters, kmeansIters)
+    val cents = graft.ann.Ann.kmeansCentroids(train, k, kmeansIters)
     graft.catalog.PartitionedTable.deleteDir(
       Paths.get(centroidsPath(catalog, entry)))
     cents.coalesce(1).write.mode(SaveMode.Overwrite)

@@ -259,6 +259,11 @@ class ChunkIndexSpec extends SparkSpec {
     intercept[IllegalArgumentException] {
       api.buildChunkIvfIndex("c11", trainOn = "tokens")
     }
+    // nClusters = 0 auto-sizes the quantizer: ~sqrt(chunk rows), floor 16
+    api.buildChunkIvfIndex("c11", trainOn = "chunks", nClusters = 0)
+    val nChunks = ChunkIndex.load(spark, api.catalog, entry).count()
+    val expectedK = math.max(16, math.ceil(math.sqrt(nChunks.toDouble)).toInt)
+    assert(ChunkIvfIndex.quantizer(spark, api.catalog, entry).count() == expectedK)
   }
 
   test("a crash between a parent rebuild and the chunk-IVF re-derive reads as index-absent") {
