@@ -360,11 +360,15 @@ final class Api(
         if (Files.exists(cursorPath)) Some(Files.readString(cursorPath)) else None
       // driver-side partition listing: the bucket dirs in drain order
       // (bucket count is fixed at 256 — never match-count-sized)
-      val sinkBuckets = Files.list(Paths.get(sink)).toArray
-        .map(_.toString.split('/').last)
-        .collect { case s if s.startsWith("pbucket=") =>
-          s.stripPrefix("pbucket=").toInt }
-        .sorted.toSeq
+      val sinkBuckets = {
+        val stream = Files.list(Paths.get(sink))
+        try stream.toArray
+          .map(_.toString.split('/').last)
+          .collect { case s if s.startsWith("pbucket=") =>
+            s.stripPrefix("pbucket=").toInt }
+          .sorted.toSeq
+        finally stream.close()
+      }
       if (sinkBuckets.nonEmpty) {
         val sinkDf = spark.read.parquet(sink)
         // resume inside (or after) the cursor's bucket; earlier buckets

@@ -46,9 +46,22 @@ object PartitionedTable {
   }
 
   def deleteDir(p: Path): Unit =
-    if (Files.exists(p))
-      Files.walk(p).sorted(Comparator.reverseOrder[Path]())
+    if (Files.exists(p)) {
+      val stream = Files.walk(p)
+      try stream.sorted(Comparator.reverseOrder[Path]())
         .forEach(f => Files.delete(f))
+      finally stream.close()
+    }
+
+  /** Children of `dir`, with the listing stream CLOSED (an unclosed
+    * Files.list leaks a file handle per call — a long-lived driver JVM
+    * running periodic maintenance would bleed descriptors).
+    */
+  private def listAll(dir: Path): Seq[Path] = {
+    val stream = Files.list(dir)
+    try stream.toArray.toSeq.map(_.asInstanceOf[Path])
+    finally stream.close()
+  }
 
   /** Bin-pack fragmented partitions. Every incremental write leaves at
     * least one new file in each touched partition dir, so a frequently-
@@ -75,13 +88,12 @@ object PartitionedTable {
       if (level == partCols.size) Seq(dir)
       else {
         val prefix = partCols(level) + "="
-        val kids = Files.list(dir).toArray.toSeq.map(_.asInstanceOf[Path])
+        val kids = listAll(dir)
           .filter(p => Files.isDirectory(p) && p.getFileName.toString.startsWith(prefix))
         kids.flatMap(partDirs(_, level + 1))
       }
     val fragmented = partDirs(base, 0).filter { d =>
-      Files.list(d).toArray.toSeq.map(_.asInstanceOf[Path])
-        .count(_.getFileName.toString.endsWith(".parquet")) > maxFiles
+      listAll(d).count(_.getFileName.toString.endsWith(".parquet")) > maxFiles
     }
     if (fragmented.isEmpty) return Seq.empty
     val rels = fragmented.map(d => base.relativize(d).toString)
