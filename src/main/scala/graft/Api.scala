@@ -337,6 +337,22 @@ final class Api(
         graft.catalog.PartitionedTable.deleteDir(Paths.get(sink))
         Files.deleteIfExists(cursorPath)
       }
+      // a committed sink in the PRE-PARTITIONED layout (top-level parquet
+      // files instead of pbucket= dirs — a sweep that crashed under the
+      // old binary) cannot be drained by the partition-pruned loop below;
+      // silently skipping it would delete the sink with its matches never
+      // deleted. Treat it as debris and rescan: already-deleted rows no
+      // longer match, so the restarted sweep converges correctly.
+      if (Files.exists(Paths.get(sink))) {
+        val stream = Files.list(Paths.get(sink))
+        val legacy =
+          try stream.toArray.exists(_.toString.endsWith(".parquet"))
+          finally stream.close()
+        if (legacy) {
+          graft.catalog.PartitionedTable.deleteDir(Paths.get(sink))
+          Files.deleteIfExists(cursorPath)
+        }
+      }
       if (!Files.exists(Paths.get(sink)))
         // drain key is BUCKET-major: consecutive batches then cluster
         // into few id buckets, so each batch's delete rewrites ~its
@@ -590,7 +606,12 @@ final class Api(
     val payload = res.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.query_idx"), col("f.id"), col("d.content"),
-        col("d.metadata"), col("f.score"))
+        // per-question counts can differ (sparse matches, the non-finite
+        // filter), so the flat response carries each hit's question in
+        // the metadata (the phraseSearch snippet precedent) — callers
+        // attribute by key, never by stride
+        Api.withQueryIdx(col("d.metadata"), col("f.query_idx")).as("metadata"),
+        col("f.score"))
       .orderBy(col("f.query_idx"), col("f.score").desc, col("f.id").asc)
     serialize(payload)
   }
@@ -1157,7 +1178,8 @@ final class Api(
     validWeightsAndK(semanticWeight, lexicalWeight, rrfK)
     val safeQ = Sanitize.sanitizeString(question)
     val entry = catalog.getCollection(physical(name))
-    val qs = Seq(0 -> embedder.embedQuery(safeQ).toSeq)
+    // lazy: the maxsim leg embeds per token itself — see searchIndexedMany
+    lazy val qs = Seq(0 -> embedder.embedQuery(safeQ).toSeq)
     val sem = invoke(semanticMode match {
       case "exact" => Semantic.search(docs(name), qs, limit)
       case "approx" => approxHits(entry, qs, limit)
@@ -1255,7 +1277,10 @@ final class Api(
     val qs = validQuestions(questions).map(Sanitize.sanitizeString)
       .zipWithIndex.map(_.swap)
     val entry = catalog.getCollection(physical(name))
-    val qvecs = qs.map { case (i, q) => i -> embedder.embedQuery(q).toSeq }
+    // lazy: the maxsim leg tokenizes and embeds its own way — eager
+    // per-question embedQuery calls would be Q wasted model invocations
+    // on that route
+    lazy val qvecs = qs.map { case (i, q) => i -> embedder.embedQuery(q).toSeq }
     val sem = invoke(semanticMode match {
       case "exact" => Semantic.search(docs(name), qvecs, limit)
       case "approx" => approxHits(entry, qvecs, limit)
@@ -1277,7 +1302,9 @@ final class Api(
     val payload = fused.alias("f")
       .join(docs(name).alias("d"), col("f.id") === col("d.id"), "left")
       .select(col("f.query_idx"), col("f.id"), col("d.content"),
-        col("d.metadata"), col("f.score"))
+        // question attribution rides the metadata like maxsimSearchMany
+        Api.withQueryIdx(col("d.metadata"), col("f.query_idx")).as("metadata"),
+        col("f.score"))
       .orderBy(col("f.query_idx"), col("f.score").desc, col("f.id").asc)
     serialize(payload)
   }
@@ -1336,6 +1363,21 @@ final class Api(
 }
 
 object Api {
+  /** Attach the hit's question index to its metadata map under
+    * "query_idx" — the batched engine-extension routes' attribution key
+    * (per-question hit counts vary, so a flat response cannot be sliced
+    * by stride).
+    */
+  private[graft] def withQueryIdx(
+      metadata: org.apache.spark.sql.Column,
+      queryIdx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.map_concat(
+      org.apache.spark.sql.functions.coalesce(metadata,
+        org.apache.spark.sql.functions.map().cast("map<string,string>")),
+      org.apache.spark.sql.functions.map(
+        org.apache.spark.sql.functions.lit("query_idx"),
+        queryIdx.cast("string")))
+
   /** Question-batch size past which IVF-approx serving switches from the
     * per-query planned loop (fastest at interactive Q) to the one-plan
     * batched adaptive route ([[graft.ann.Ann.ivfTopKBatchAdaptive]]) —

@@ -44,6 +44,14 @@ object IndexHealth {
   /** Flag when mean residual grew, or entropy fell, by more than 25%. */
   val DriftRatioPercent = 25
 
+  /** Absolute floor (nano cosine-distance units = 1e-5) under which a
+    * current mean residual never flags: a PERFECT baseline (every row on
+    * its centroid — nClusters >= rows — floors to 0 or −1 nano) would
+    * otherwise make ANY later residual an "infinite" relative drift, and
+    * residuals this small cannot decay recall.
+    */
+  val MinResidualNano = 10000L
+
   def ivfBaselinePath(catalog: Catalog, entry: CollectionEntry): String =
     catalog.tablePath(entry) + ".ivf.health"
 
@@ -90,7 +98,11 @@ object IndexHealth {
       current: (Long, Long, Long)): Map[String, Any] = {
     val (nRef, resRef, entRef) = baseline
     val (nCur, resCur, entCur) = current
-    val residualDrift = 100L * resCur > (100L + DriftRatioPercent) * resRef
+    // max(resRef, 0): on-centroid rows floor to −1 nano, and a negative
+    // baseline would flag any positive residual; the absolute floor keeps
+    // a perfect baseline (resRef = 0) from flagging negligible residuals
+    val residualDrift = resCur > MinResidualNano &&
+      100L * resCur > (100L + DriftRatioPercent) * math.max(resRef, 0L)
     val entropyCollapse = 100L * entCur < (100L - DriftRatioPercent) * entRef
     Map(
       "n_baseline" -> nRef, "n_current" -> nCur,

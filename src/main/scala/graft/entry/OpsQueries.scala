@@ -2657,8 +2657,13 @@ object OpsQueries {
       .select(col("n").as("n_cur"), col("mean_res_nano").as("res_cur_nano"),
         col("entropy_nano").as("ent_cur_nano"))
     sRef.crossJoin(sCur)
+      // the production flag rule (IndexHealth.compare) verbatim, incl.
+      // the degenerate-baseline guards: max(ref, 0) against on-centroid
+      // rows flooring to -1 nano, and the absolute MinResidualNano floor
       .withColumn("residual_drift",
-        (lit(100L) * col("res_cur_nano") > lit(125L) * col("res_ref_nano"))
+        (col("res_cur_nano") > lit(graft.ann.IndexHealth.MinResidualNano) &&
+          lit(100L) * col("res_cur_nano") >
+            lit(125L) * greatest(col("res_ref_nano"), lit(0L)))
           .cast("long"))
       .withColumn("entropy_collapse",
         (lit(100L) * col("ent_cur_nano") < lit(75L) * col("ent_ref_nano"))
@@ -2733,9 +2738,12 @@ object OpsQueries {
       |          FROM cpc CROSS JOIN ctot GROUP BY 1, 2)
       |SELECT r.n_ref, CAST(r.res_ref_nano AS BIGINT) AS res_ref_nano, r.ent_ref_nano,
       |       c.n_cur, CAST(c.res_cur_nano AS BIGINT) AS res_cur_nano, c.ent_cur_nano,
-      |       CAST(CASE WHEN 100 * c.res_cur_nano > 125 * r.res_ref_nano THEN 1 ELSE 0 END AS BIGINT) AS residual_drift,
+      |       CAST(CASE WHEN c.res_cur_nano > 10000
+      |                  AND 100 * c.res_cur_nano > 125 * greatest(r.res_ref_nano, 0)
+      |                 THEN 1 ELSE 0 END AS BIGINT) AS residual_drift,
       |       CAST(CASE WHEN 100 * c.ent_cur_nano < 75 * r.ent_ref_nano THEN 1 ELSE 0 END AS BIGINT) AS entropy_collapse,
-      |       CAST(CASE WHEN 100 * c.res_cur_nano > 125 * r.res_ref_nano
+      |       CAST(CASE WHEN (c.res_cur_nano > 10000
+      |                       AND 100 * c.res_cur_nano > 125 * greatest(r.res_ref_nano, 0))
       |                   OR 100 * c.ent_cur_nano < 75 * r.ent_ref_nano THEN 1 ELSE 0 END AS BIGINT) AS rebuild_recommended
       |FROM rstat r CROSS JOIN cstat c""".stripMargin
 

@@ -63,32 +63,23 @@ object SketchMaintenance {
       else None
     }
 
-  /** Run `use` over the loaded sketch, retrying ONCE against the live
-    * path when a `.bak`-recovered read fails mid-scan with missing files.
-    * [[swapLock]] covers same-JVM readers, but a reader in ANOTHER
-    * process that found live missing and began scanning `.bak` can have
-    * those parquet files deleted under it by the live writer's
-    * [[writeSwap]] (which clears `.bak` right after landing the new
-    * live). That deletion ORDER is the retry's correctness: `.bak` only
-    * disappears after the new live dir is committed, so re-reading live
-    * always finds a complete sketch. A missing-file failure off a LIVE
-    * read is not retried — live is only replaced atomically, so that is
-    * a real error, not the swap race.
+  /** Run `use` over the loaded sketch, retrying ONCE on a missing-file
+    * failure. [[swapLock]] covers same-JVM readers, but a reader in
+    * ANOTHER process can lose its files mid-scan to the live writer's
+    * [[writeSwap]] in two shapes: a live scan whose dir is renamed to
+    * `.bak` between listing and read, or a `.bak`-recovered scan whose
+    * backup is cleared right after the new live lands. In BOTH shapes a
+    * complete sketch exists at every instant (the swap commits the new
+    * live before anything readable disappears), so one re-load observes
+    * a committed state and succeeds. A retry against genuinely missing
+    * data re-fails with the same error — one extra attempt, no masking.
     */
   private def withLoaded[T](spark: SparkSession, path: String)(
-      use: Option[DataFrame] => T): T = {
-    val fromBak = swapLock.synchronized {
-      !Files.exists(Paths.get(path)) && Files.exists(Paths.get(path + ".bak"))
-    }
+      use: Option[DataFrame] => T): T =
     try use(load(spark, path))
     catch {
-      case e: Throwable if fromBak && isMissingFile(e) =>
-        use(swapLock.synchronized {
-          if (Files.exists(Paths.get(path))) Some(spark.read.parquet(path))
-          else None
-        })
+      case e: Throwable if isMissingFile(e) => use(load(spark, path))
     }
-  }
 
   private def isMissingFile(e: Throwable): Boolean =
     Iterator.iterate(e)(_.getCause).takeWhile(_ != null).take(16).exists { t =>

@@ -488,6 +488,39 @@ class ApiSpec extends SparkSpec {
     assert(remD.count() == 20 && remD.filter(predicate).count() == 0)
   }
 
+  test("resolveOnce resume of a PRE-partitioned-layout sink rescans instead of silently completing") {
+    val api = newApi()
+    import spark.implicits._
+    def mkDocs = (0 until 30).map(i =>
+      if (i % 3 == 0) s"expired record $i with retired words"
+      else s"kept record $i with living words").toDF("content")
+    api.createCollection("ttlF", documents = Some(mkDocs))
+    val predicate = col("content").contains("expired")
+    val entryF = api.catalog.getCollection(api.catalog.physicalName("default", "ttlF"))
+    val predKey = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(predicate.toString.getBytes("UTF-8"))
+      .take(6).map("%02x".format(_)).mkString
+    val sink = api.catalog.tablePath(entryF) + s".sweep-$predKey"
+    // the r12 sink layout: flat parquet files, no pbucket= partition dirs
+    val matched = api.catalog.readDocuments(entryF).filter(predicate).select("id")
+      .withColumn("__key", org.apache.spark.sql.functions.concat(
+        org.apache.spark.sql.functions.lpad(
+          Ingest.idBucket(col("id")).cast("string"), 3, "0"),
+        org.apache.spark.sql.functions.lit("|"), col("id")))
+    matched.write.parquet(sink)
+    val firstTwo = matched.select("id").limit(2).collect().map(_.getString(0)).toSeq
+    api.deleteDocuments("ttlF", firstTwo) // the crashed sweep's progress
+    // the partition-pruned drain cannot read a flat sink — it must be
+    // treated as debris and rescanned, NEVER drained-as-empty (which
+    // would delete the sink with 8 matches still stored)
+    val resumed = api.deleteDocumentsWhere("ttlF", predicate, confirm = true,
+      maxBatch = 4, resolveOnce = true)
+    assert(resumed == 8L)
+    val rem = api.catalog.readDocuments(entryF)
+    assert(rem.count() == 20 && rem.filter(predicate).count() == 0)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(sink)))
+  }
+
   test("resolveOnce resume re-verifies against the LIVE rows: a row re-tagged since the scan survives") {
     val api = newApi()
     import spark.implicits._

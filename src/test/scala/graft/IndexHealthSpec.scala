@@ -61,6 +61,19 @@ class IndexHealthSpec extends SparkSpec {
     assert(h("rebuild_recommended") == false && h("index") == "chunkivf")
   }
 
+  test("a perfect baseline (every row its own centroid) never flags negligible residuals") {
+    val api = newApi()
+    api.createCollection("h4", documents = Some(pinned("a", 0, 0 until 6)))
+    // nClusters = docs: every row sits ON its centroid, so the baseline
+    // mean residual floors to 0 or -1 nano. Without the MinResidualNano
+    // guard, ANY later residual (even one from FP noise) would read as
+    // infinite relative drift and flag spuriously.
+    api.buildAnnIndex("h4", nClusters = 6)
+    api.addDocuments("h4", pinned("a", 0, Seq(7))) // i%7=0: same direction as doc 0
+    val h = api.indexHealth("h4")
+    assert(h("rebuild_recommended") == false, s"degenerate baseline flagged: $h")
+  }
+
   test("governed errors: missing index or baseline, invalid index name") {
     val api = newApi()
     api.createCollection("h3", documents = Some(pinned("a", 0, 0 until 8)))

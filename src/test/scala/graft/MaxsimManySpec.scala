@@ -27,6 +27,16 @@ class MaxsimManySpec extends SparkSpec {
   private val questions =
     Seq("topic words document", "trailing extra words", "document covers")
 
+  /** Per-question slices of a batched response, attributed by the
+    * `query_idx` metadata key (per-question counts can vary, so stride
+    * slicing is wrong by design) and stripped of it for comparison with
+    * the single-question route's hits.
+    */
+  private def byQuestion(res: Seq[HitRow]): Map[Int, Seq[HitRow]] =
+    res.groupBy(_.metadata("query_idx").toInt)
+      .view.mapValues(_.map(h => h.copy(metadata = h.metadata - "query_idx")))
+      .toMap
+
   test("maxsimSearchMany == per-question loop on every candidate route") {
     val api = newApi()
     api.createCollection("m1", documents = Some(docsDf(0 until 40)))
@@ -34,19 +44,29 @@ class MaxsimManySpec extends SparkSpec {
     api.buildAnnIndex("m1", nClusters = 4)
     api.buildChunkIvfIndex("m1")
     for (src <- Seq("chunk", "ivf", "chunkivf", "auto")) {
-      val loop = questions.flatMap(q =>
+      val perQ = questions.map(q =>
         api.maxsimSearch("m1", q, nResults = 5, candidateSource = src).results)
       val many = api.maxsimSearchMany("m1", questions, nResults = 5,
         candidateSource = src).results
-      assert(many.nonEmpty && many == loop, s"route $src diverged")
+      assert(many.nonEmpty)
+      // results arrive in question order...
+      assert(many.map(_.metadata("query_idx").toInt) ==
+        many.map(_.metadata("query_idx").toInt).sorted)
+      // ...and each question's slice equals its single-question serve
+      val grouped = byQuestion(many)
+      perQ.zipWithIndex.foreach { case (exp, qi) =>
+        assert(grouped.getOrElse(qi, Nil) == exp, s"route $src q$qi diverged")
+      }
     }
     // chunk-trained quantizer serves the batch identically too
     api.buildChunkIvfIndex("m1", trainOn = "chunks", nClusters = 8)
-    val loopCt = questions.flatMap(q =>
+    val perQCt = questions.map(q =>
       api.maxsimSearch("m1", q, nResults = 5, candidateSource = "chunkivf").results)
-    val manyCt = api.maxsimSearchMany("m1", questions, nResults = 5,
-      candidateSource = "chunkivf").results
-    assert(manyCt.nonEmpty && manyCt == loopCt)
+    val manyCt = byQuestion(api.maxsimSearchMany("m1", questions, nResults = 5,
+      candidateSource = "chunkivf").results)
+    perQCt.zipWithIndex.foreach { case (exp, qi) =>
+      assert(manyCt.getOrElse(qi, Nil) == exp)
+    }
   }
 
   test("maxsimSearchMany validation and governance match the single-question route") {
@@ -127,11 +147,13 @@ class MaxsimManySpec extends SparkSpec {
       ("approx", "bm25_indexed"), ("maxsim", "indexed"),
       ("lsh", "bm25_indexed"), ("pq", "indexed"), ("exact", "bm25"))
     for ((sm, lm) <- modes) {
-      val loop = questions.flatMap(q => api.searchIndexed("m4", q,
+      val perQ = questions.map(q => api.searchIndexed("m4", q,
         numberResults = 4, semanticMode = sm, lexicalMode = lm).results)
-      val many = api.searchIndexedMany("m4", questions, numberResults = 4,
-        semanticMode = sm, lexicalMode = lm).results
-      assert(many.nonEmpty && many == loop, s"modes ($sm, $lm) diverged")
+      val many = byQuestion(api.searchIndexedMany("m4", questions,
+        numberResults = 4, semanticMode = sm, lexicalMode = lm).results)
+      perQ.zipWithIndex.foreach { case (exp, qi) =>
+        assert(many.getOrElse(qi, Nil) == exp, s"modes ($sm, $lm) q$qi diverged")
+      }
     }
     // unknown modes governed like the per-question route
     assert(intercept[GraftException](api.searchIndexedMany("m4", questions,
