@@ -2245,9 +2245,17 @@ object OpsQueries {
       .select("query_idx", "doc_id").localCheckpoint()
     val toks = rawToks.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).map(_.toFloat).toArray))
-    def leg(qz: String, cents: DataFrame, t: Int): DataFrame = {
-      val assigned = graft.ann.Ann.assign(
-        chunkAsVecs.select("id", "embedding", "norm"), cents)
+    // ONE chunk assignment per quantizer, shared by both width legs
+    // (assignment is the fixture's expensive pass — re-deriving it per
+    // leg doubled this query's bench cost)
+    val assignedByQz = Seq(
+      "chunk" -> (centsChunk, graft.ann.Ann.assign(
+        chunkAsVecs.select("id", "embedding", "norm"), centsChunk)
+        .localCheckpoint()),
+      "doc" -> (centsDoc, graft.ann.Ann.assign(
+        chunkAsVecs.select("id", "embedding", "norm"), centsDoc)
+        .localCheckpoint()))
+    def leg(qz: String, cents: DataFrame, assigned: DataFrame, t: Int): DataFrame = {
       val cand = graft.search.ChunkIndex.chunkIvfCandidates(
           s, assigned, cents, toks.toIndexedSeq, t)
         .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
@@ -2263,8 +2271,9 @@ object OpsQueries {
         .withColumn("t_width", lit(t.toLong))
         .withColumn("quantizer", lit(qz))
     }
-    leg("chunk", centsChunk, 5).unionByName(leg("chunk", centsChunk, 25))
-      .unionByName(leg("doc", centsDoc, 5)).unionByName(leg("doc", centsDoc, 25))
+    assignedByQz.flatMap { case (qz, (cents, assigned)) =>
+        Seq(5, 25).map(t => leg(qz, cents, assigned, t)) }
+      .reduce(_ unionByName _)
       .select("quantizer", "t_width", "query_idx", "n_candidates", "n_hits")
       .orderBy("quantizer", "t_width", "query_idx")
   }
@@ -2451,9 +2460,11 @@ object OpsQueries {
         .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding"))),
       cents).localCheckpoint()
     // the serving route's pushdown: index rows restricted to allowed docs
-    // BEFORE ranking (ChunkIndex.searchChunkIvf allowedDocs semantics)
+    // BEFORE ranking (ChunkIndex.searchChunkIvf allowedDocs semantics);
+    // checkpointed once and shared by both width legs
     val assignedIn = chunkAssigned.filter(
       pmod(substring_index(col("id"), "#", 1).cast("long"), lit(3L)) === 0)
+      .localCheckpoint()
     val truth = graft.search.MaxSim.topK(
         chunkVecs.filter(pmod(col("doc_id"), lit(3L)) === 0), queryToks, k = 10)
       .select("query_idx", "doc_id").localCheckpoint()
