@@ -368,10 +368,14 @@ object ChunkIndex {
 
   /** Driver-side query-token embedding shared by the serving routes:
     * tokens from the canonical tokenizer, capped at `maxQueryTokens`
-    * (first occurrences win), embedded in one batch call and
-    * L2-normalized to match the index rows. Returns ((query_idx, tok_idx,
-    * vec) triples — empty when no query yields a token, chunk-vector
-    * frame).
+    * (first occurrences win), embedded in ONE batch call FOR THE WHOLE
+    * QUERY BATCH and L2-normalized to match the index rows. One model
+    * call per request, not per question — a per-query embed loop would
+    * be the batched routes' driver cliff at serving-batch Q (the same
+    * class as the per-query plan loop QSweep prices), and embedBatch
+    * embeds each text independently, so results are identical. Returns
+    * ((query_idx, tok_idx, vec) triples — empty when no query yields a
+    * token, chunk-vector frame).
     */
   private def embedQueryTokens(
       spark: SparkSession,
@@ -380,15 +384,20 @@ object ChunkIndex {
       embedder: Embedder,
       queries: Seq[(Int, String)],
       maxQueryTokens: Int): (Seq[(Int, Int, Array[Float])], DataFrame) = {
-    val toks: Seq[(Int, Int, Array[Float])] = queries.flatMap { case (qIdx, text) =>
-      val ts = TextFunctions.TokenPattern.r.findAllIn(text.toLowerCase)
+    val perQuery: Seq[(Int, Seq[String])] = queries.map { case (qIdx, text) =>
+      qIdx -> TextFunctions.TokenPattern.r.findAllIn(text.toLowerCase)
         .toSeq.take(maxQueryTokens)
-      if (ts.isEmpty) Seq.empty
-      else embedder.embedBatch(ts).zipWithIndex.map { case (v, i) =>
+    }
+    val flat = perQuery.flatMap(_._2)
+    val embedded =
+      if (flat.isEmpty) Seq.empty[Array[Float]] else embedder.embedBatch(flat)
+    val keys = perQuery.flatMap { case (qIdx, ts) =>
+      ts.indices.map(i => (qIdx, i)) }
+    val toks: Seq[(Int, Int, Array[Float])] =
+      keys.zip(embedded).map { case ((qIdx, i), v) =>
         val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
         (qIdx, i, if (n > 0) v.map(x => (x / n).toFloat) else v)
       }
-    }
     val chunkVecs = load(spark, catalog, entry)
       .select(col("id").as("doc_id"), col("vec"))
     (toks, chunkVecs)
