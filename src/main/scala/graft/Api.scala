@@ -788,8 +788,10 @@ final class Api(
     val payload = hits.alias("h")
       .join(d.alias("d"), col("h.id") === col("d.id"))
       .select(col("h.id").as("id"), col("d.content").as("content"),
-        map_concat(
-          coalesce(col("d.metadata"), map().cast("map<string,string>")),
+        // snippet/phrase_tf are reserved response keys: stored metadata
+        // carrying either would throw under the default map-key dedup
+        // policy (withReservedMeta strips them first)
+        Api.withReservedMeta(col("d.metadata"),
           map(lit("snippet"), col("h.snippet"),
             lit("phrase_tf"), col("h.phrase_tf").cast("string"))).as("metadata"),
         col("h.phrase_tf").cast("double").as("score"))
@@ -1363,17 +1365,36 @@ final class Api(
 }
 
 object Api {
+  /** Attach response-reserved key/value pairs to a stored metadata map.
+    * The reserved keys are STRIPPED from the stored side first: Spark's
+    * default `spark.sql.mapKeyDedupPolicy=EXCEPTION` makes a plain
+    * `map_concat` THROW at serialize time whenever a document's own
+    * metadata already carries one of the keys — and even under LAST_WIN
+    * a user-supplied value would corrupt the response attribution. The
+    * engine owns these keys in responses ("query_idx", "snippet",
+    * "phrase_tf" — documented reserved); stored values never shadow them.
+    */
+  private[graft] def withReservedMeta(
+      metadata: org.apache.spark.sql.Column,
+      reserved: org.apache.spark.sql.Column): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    map_concat(
+      map_filter(
+        coalesce(metadata, map().cast("map<string,string>")),
+        (k, _) => !array_contains(map_keys(reserved), k)),
+      reserved)
+  }
+
   /** Attach the hit's question index to its metadata map under
     * "query_idx" — the batched engine-extension routes' attribution key
     * (per-question hit counts vary, so a flat response cannot be sliced
-    * by stride).
+    * by stride). "query_idx" is a reserved response key
+    * ([[withReservedMeta]]): a stored value under it never survives.
     */
   private[graft] def withQueryIdx(
       metadata: org.apache.spark.sql.Column,
       queryIdx: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    org.apache.spark.sql.functions.map_concat(
-      org.apache.spark.sql.functions.coalesce(metadata,
-        org.apache.spark.sql.functions.map().cast("map<string,string>")),
+    withReservedMeta(metadata,
       org.apache.spark.sql.functions.map(
         org.apache.spark.sql.functions.lit("query_idx"),
         queryIdx.cast("string")))

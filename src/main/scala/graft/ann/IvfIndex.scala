@@ -77,6 +77,12 @@ object IvfIndex {
   def reassign(spark: SparkSession, catalog: Catalog, entry: CollectionEntry): DataFrame = {
     val docs = catalog.readDocuments(entry)
       .select(col("id"), col("embedding"), col("norm"))
+    // invalidate-first for the health sidecar: a crash between the index
+    // write and the re-baseline below must read as baseline-missing
+    // (governed ann_index_not_found), never as a fresh index silently
+    // compared against the PREVIOUS build's distribution
+    graft.catalog.PartitionedTable.deleteDir(java.nio.file.Paths.get(
+      IndexHealth.ivfBaselinePath(catalog, entry)))
     Ann.assign(docs, loadCentroids(spark, catalog, entry))
       // one writer per cluster partition: without this, every input task
       // writes a file into every cluster dir it touches (tasks x clusters

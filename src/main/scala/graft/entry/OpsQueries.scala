@@ -1664,8 +1664,13 @@ object OpsQueries {
         (1, 0, "market"), (1, 1, "music"), (1, 2, "research"))
       .toDF("query_idx", "tok_idx", "content")
       .withColumn("embedding", lit(null).cast("array<float>"))
-    graft.ingest.Embed.withEmbeddings(qtoks, embedder)
-      .select(col("query_idx"), col("tok_idx"), maxsimCents.as("vec"))
+    // broadcast-hinted at the source: the embed pass goes through an
+    // ExistingRDD (no static row bound), so MaxSim.topK's maxRows size
+    // gate can't see that this frame is queries × tokens = 6 rows — the
+    // hint makes the exact-scan join a BroadcastNestedLoopJoin instead
+    // of a left×right-partitioned CartesianProduct
+    broadcast(graft.ingest.Embed.withEmbeddings(qtoks, embedder)
+      .select(col("query_idx"), col("tok_idx"), maxsimCents.as("vec")))
   }
 
   def searchMaxsim(s: SparkSession, dir: String): DataFrame =

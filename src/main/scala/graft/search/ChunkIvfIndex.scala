@@ -203,6 +203,13 @@ object ChunkIvfIndex {
       catalog: Catalog,
       entry: CollectionEntry,
       centroids: DataFrame): DataFrame = {
+    // invalidate-first: drop the PREVIOUS build's health baseline before
+    // the index lands, so a crash between the index write and the fresh
+    // baseline below reads as baseline-missing (governed
+    // ann_index_not_found from Api.indexHealth) — never as a valid new
+    // index silently compared against the prior build's distribution
+    graft.catalog.PartitionedTable.deleteDir(Paths.get(
+      graft.ann.IndexHealth.chunkIvfBaselinePath(catalog, entry)))
     indexRows(ChunkIndex.load(spark, catalog, entry), centroids)
       .repartition(col("cluster_id"))
       .sortWithinPartitions("id")

@@ -63,16 +63,29 @@ object SketchMaintenance {
       else None
     }
 
-  /** Run `use` over the loaded sketch, retrying ONCE on a missing-file
-    * failure. [[swapLock]] covers same-JVM readers, but a reader in
-    * ANOTHER process can lose its files mid-scan to the live writer's
-    * [[writeSwap]] in two shapes: a live scan whose dir is renamed to
-    * `.bak` between listing and read, or a `.bak`-recovered scan whose
-    * backup is cleared right after the new live lands. In BOTH shapes a
-    * complete sketch exists at every instant (the swap commits the new
-    * live before anything readable disappears), so one re-load observes
-    * a committed state and succeeds. A retry against genuinely missing
-    * data re-fails with the same error — one extra attempt, no masking.
+  /** Run the READ-ONLY `use` over the loaded sketch, retrying ONCE on a
+    * missing-file failure. [[swapLock]] covers same-JVM readers, but a
+    * reader in ANOTHER process can lose its files mid-scan to the live
+    * writer's [[writeSwap]] in two shapes: a live scan whose dir is
+    * renamed to `.bak` between listing and read, or a `.bak`-recovered
+    * scan whose backup is cleared right after the new live lands. In BOTH
+    * shapes a complete sketch exists at every instant (the swap commits
+    * the new live before anything readable disappears), so one re-load
+    * observes a committed state and succeeds. A retry against genuinely
+    * missing data re-fails with the same error — one extra attempt, no
+    * masking.
+    *
+    * The FOLD WRITERS deliberately do not route through here: folds are
+    * single-writer (the warehouse write lock serializes them across
+    * processes, [[swapLock]] within one), so their loads can never lose a
+    * race — and a retry around a load+merge+swap closure is actively
+    * dangerous: if a failure classified as missing-file ever escaped
+    * AFTER writeSwap committed the merged table (e.g. in the post-commit
+    * cleanup renames), the re-run would merge the batch into the
+    * already-merged sketch a second time. HLL would shrug (register max
+    * is idempotent) but CMS cells are ADDITIVE — counts would double.
+    * Read-only estimates have no such hazard: re-running them is a pure
+    * re-read.
     */
   private def withLoaded[T](spark: SparkSession, path: String)(
       use: Option[DataFrame] => T): T =
@@ -98,12 +111,15 @@ object SketchMaintenance {
       batch: DataFrame,
       groupCols: Seq[String],
       valueCol: String,
-      p: Int = Hll.DefaultP): Unit =
-    withLoaded(batch.sparkSession, path) { prev =>
-      val regs = Hll.registers(batch, groupCols, valueCol, p)
-      val merged = prev.map(Hll.merge(_, regs, groupCols)).getOrElse(regs)
-      writeSwap(merged, path)
-    }
+      p: Int = Hll.DefaultP): Unit = {
+    // unretried by design: see withLoaded — a re-run after a post-commit
+    // failure would re-merge the batch (harmless for HLL's max-merge,
+    // but the writers share one discipline with the additive CMS fold)
+    val prev = load(batch.sparkSession, path)
+    val regs = Hll.registers(batch, groupCols, valueCol, p)
+    val merged = prev.map(Hll.merge(_, regs, groupCols)).getOrElse(regs)
+    writeSwap(merged, path)
+  }
 
   /** Fold one micro-batch into the persisted CMS cell table at `path`
     * (created on first fold). width/depth are sketch identity.
@@ -114,12 +130,14 @@ object SketchMaintenance {
       valueCol: String,
       width: Int,
       depth: Int,
-      weightCol: Option[String] = None): Unit =
-    withLoaded(batch.sparkSession, path) { prev =>
-      val cells = Cms.sketch(batch, valueCol, width, depth, weightCol)
-      val merged = prev.map(Cms.merge(_, cells)).getOrElse(cells)
-      writeSwap(merged, path)
-    }
+      weightCol: Option[String] = None): Unit = {
+    // unretried by design: CMS cells are additive — a retry that re-ran
+    // the merge after a committed swap would double every count
+    val prev = load(batch.sparkSession, path)
+    val cells = Cms.sketch(batch, valueCol, width, depth, weightCol)
+    val merged = prev.map(Cms.merge(_, cells)).getOrElse(cells)
+    writeSwap(merged, path)
+  }
 
   /** Distinct-count estimates off the stored HLL table — serving reads
     * the sketch-bounded parquet, never the corpus. The returned frame is

@@ -190,4 +190,33 @@ class MaxsimManySpec extends SparkSpec {
     val fused = surface.vectorSearchMany("search", "m3", questions.take(2))
     assert(fused("results").asInstanceOf[Seq[Map[String, Any]]].nonEmpty)
   }
+
+  test("reserved response keys: stored metadata carrying them neither throws nor shadows") {
+    val api = newApi()
+    // documents whose OWN metadata already uses the engine's reserved
+    // response keys — under the default mapKeyDedupPolicy=EXCEPTION a
+    // plain map_concat would throw at serialize time, and under LAST_WIN
+    // the stored value could corrupt attribution
+    val docs = (0 until 12).map(i =>
+        (s"document number $i covers topic t${i % 5} alpha beta words w$i",
+          Map("query_idx" -> "999", "snippet" -> "user-owned", "keep" -> s"v$i")))
+      .toDF("content", "metadata")
+    api.createCollection("mr", documents = Some(docs))
+    api.buildChunkIndex("mr", maxTokens = 6)
+    val many = api.maxsimSearchMany("mr", questions, nResults = 4)
+    assert(many.results.nonEmpty)
+    // the engine's attribution wins; a non-reserved stored key survives
+    assert(many.results.forall(h => h.metadata("query_idx").toInt < questions.size))
+    assert(many.results.forall(h => h.metadata("keep").startsWith("v")))
+    // the phrase route's snippet/phrase_tf keys are reserved the same way
+    val ph = api.phraseSearch("mr", "alpha beta", nResults = 3)
+    assert(ph.results.nonEmpty)
+    assert(ph.results.forall(h => h.metadata("snippet").contains("alpha beta")))
+    // the batched hybrid serializes through the same guarded concat
+    api.buildLexicalIndex("mr")
+    val hyb = api.searchIndexedMany("mr", questions, numberResults = 3,
+      semanticMode = "exact")
+    assert(hyb.results.nonEmpty &&
+      hyb.results.forall(h => h.metadata("query_idx").toInt < questions.size))
+  }
 }
