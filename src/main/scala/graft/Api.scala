@@ -474,6 +474,10 @@ final class Api(
       // committed index keyed to the previous chunking
       val hadChunkIvf = graft.search.ChunkIvfIndex.exists(catalog, entry)
       if (hadChunkIvf) graft.search.ChunkIvfIndex.invalidate(catalog, entry)
+      // the residual-PQ codes derive from the same chunk rows: identical
+      // invalidate-first ordering, re-encode after the re-chunk lands
+      val hadCpq = graft.search.ChunkPqIndex.usable(catalog, entry)
+      if (hadCpq) graft.search.ChunkPqIndex.invalidate(catalog, entry)
       val n = graft.search.ChunkIndex.build(spark, catalog, entry, embedder, maxTokens)
         .count()
       if (hadChunkIvf) {
@@ -482,6 +486,13 @@ final class Api(
         else // orphaned sidecar (quantizer gone): unusable, drop it
           graft.catalog.PartitionedTable.deleteDir(java.nio.file.Paths.get(
             graft.search.ChunkIvfIndex.indexPath(catalog, entry)))
+      }
+      if (hadCpq) {
+        if (graft.search.ChunkIvfIndex.quantizerExists(catalog, entry))
+          graft.search.ChunkPqIndex.reencode(spark, catalog, entry)
+        else
+          graft.catalog.PartitionedTable.deleteDir(java.nio.file.Paths.get(
+            graft.search.ChunkPqIndex.codesPath(catalog, entry)))
       }
       n
     }
@@ -523,13 +534,48 @@ final class Api(
     def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
     if (!exists(graft.search.ChunkIndex.indexPath(catalog, entry)))
       throw new GraftException(ErrorCodes.AnnIndexNotFound)
-    if (trainOn == "doc") {
-      if (!exists(graft.ann.IvfIndex.centroidsPath(catalog, entry)))
-        throw new GraftException(ErrorCodes.AnnIndexNotFound)
-      graft.search.ChunkIvfIndex.buildDocAligned(spark, catalog, entry).count()
-    } else
-      graft.search.ChunkIvfIndex.buildChunkTrained(
-        spark, catalog, entry, nClusters, kmeansIters, trainFraction).count()
+    // residual-PQ codes key their partitions AND values on the quantizer
+    // this build may replace: invalidate BEFORE the rewrite so every
+    // crash window reads codes-absent, then re-encode under the new
+    // quantizer (frozen codebooks — the PqIndex/buildAnnIndex precedent)
+    val hadCpq = graft.search.ChunkPqIndex.usable(catalog, entry)
+    if (hadCpq) graft.search.ChunkPqIndex.invalidate(catalog, entry)
+    val n =
+      if (trainOn == "doc") {
+        if (!exists(graft.ann.IvfIndex.centroidsPath(catalog, entry)))
+          throw new GraftException(ErrorCodes.AnnIndexNotFound)
+        graft.search.ChunkIvfIndex.buildDocAligned(spark, catalog, entry).count()
+      } else
+        graft.search.ChunkIvfIndex.buildChunkTrained(
+          spark, catalog, entry, nClusters, kmeansIters, trainFraction).count()
+    if (hadCpq) graft.search.ChunkPqIndex.reencode(spark, catalog, entry)
+    n
+  }
+
+  /** Build (or rebuild) the residual-PQ chunk-code index — PLAID's
+    * compressed storage recipe ([[graft.search.ChunkPqIndex]]): every
+    * chunk vector stored as its IVF cluster plus m low-bit residual
+    * codes, so maxsim candidate generation reads codes instead of float
+    * vectors (the order-of-magnitude candidate-scan I/O cut at
+    * token-level granularity). Requires the chunk index and a chunk
+    * quantizer (the chunk-IVF's own chunk-trained sidecar when present,
+    * the doc-level IVF centroids otherwise); governed
+    * `ann_index_not_found` without them. Codebooks are frozen at build
+    * time; writes maintain the affected clusters incrementally;
+    * quantizer rebuilds re-encode. Returns the coded chunk-row count.
+    */
+  def buildChunkPqIndex(
+      name: String,
+      m: Int = 8,
+      k: Int = 16,
+      iters: Int = 2,
+      trainFraction: Double = 1.0): Long = writeLock.synchronized {
+    val entry = catalog.getCollection(physical(validCollection(name)))
+    def exists(p: String) = java.nio.file.Files.exists(java.nio.file.Paths.get(p))
+    if (!exists(graft.search.ChunkIndex.indexPath(catalog, entry)) ||
+        !graft.search.ChunkIvfIndex.quantizerExists(catalog, entry))
+      throw new GraftException(ErrorCodes.AnnIndexNotFound)
+    graft.search.ChunkPqIndex.build(spark, catalog, entry, m, k, iters, trainFraction)
   }
 
   /** Late-interaction (maxsim) search from the persisted chunk index:
@@ -539,6 +585,11 @@ final class Api(
     * single-vector routes average them away.
     *
     * Candidate generation routes on `candidateSource`:
+    *   - "cpq": per-token shortlists decoded from the RESIDUAL-PQ chunk
+    *     codes ([[graft.search.ChunkIndex.searchCpq]] — the PLAID
+    *     storage shape: the candidate scan reads m small ints per chunk
+    *     instead of the float vector; probes the same clusters as
+    *     "chunkivf", exact rescore identical).
     *   - "chunkivf": per-token shortlists from the CHUNK-LEVEL IVF index
     *     ([[graft.search.ChunkIndex.searchChunkIvf]] — the PLAID shape:
     *     candidates probe clusters of the scored vectors themselves, so
@@ -622,8 +673,8 @@ final class Api(
       s"perTokenT $perTokenT out of range")
     require(maxQueryTokens >= 1 && maxQueryTokens <= 256,
       s"maxQueryTokens $maxQueryTokens out of range")
-    require(Set("auto", "chunk", "ivf", "chunkivf").contains(candidateSource),
-      s"candidateSource '$candidateSource' not in {auto, chunk, ivf, chunkivf}")
+    require(Set("auto", "chunk", "ivf", "chunkivf", "cpq").contains(candidateSource),
+      s"candidateSource '$candidateSource' not in {auto, chunk, ivf, chunkivf, cpq}")
   }
 
   /** Diversity-aware semantic search: exact top-(k·oversample) shortlist,
@@ -671,6 +722,12 @@ final class Api(
     val hadChunkIvf = graft.search.ChunkIvfIndex.exists(catalog, entry) &&
       !graft.search.ChunkIvfIndex.hasOwnCentroids(catalog, entry)
     if (hadChunkIvf) graft.search.ChunkIvfIndex.invalidate(catalog, entry)
+    // residual-PQ chunk codes keyed to the DOC centroids (no own
+    // chunk-trained sidecar) desync the same way: invalidate before the
+    // quantizer rewrite, re-encode after
+    val hadCpq = graft.search.ChunkPqIndex.usable(catalog, entry) &&
+      !graft.search.ChunkIvfIndex.hasOwnCentroids(catalog, entry)
+    if (hadCpq) graft.search.ChunkPqIndex.invalidate(catalog, entry)
     val built = graft.ann.IvfIndex.build(
       spark, catalog, entry, nClusters, kmeansIters, trainFraction)
     // the PQ codes are physically partitioned (and, for residual indexes,
@@ -686,6 +743,8 @@ final class Api(
     // for the same reason as PQ
     if (hadChunkIvf)
       graft.search.ChunkIvfIndex.build(spark, catalog, entry)
+    if (hadCpq)
+      graft.search.ChunkPqIndex.reencode(spark, catalog, entry)
     built
   }
 
@@ -957,6 +1016,8 @@ final class Api(
       "chunkvecs" -> ifExists(graft.search.ChunkIndex.indexPath(catalog, entry),
         Seq("bucket"), Some("id")),
       "chunkivf" -> ifExists(graft.search.ChunkIvfIndex.indexPath(catalog, entry),
+        Seq("cluster_id"), Some("id")),
+      "chunkpq" -> ifExists(graft.search.ChunkPqIndex.codesPath(catalog, entry),
         Seq("cluster_id"), Some("id")))
   }
 
@@ -1071,9 +1132,16 @@ final class Api(
       exists(graft.ann.IvfIndex.centroidsPath(catalog, entry))
     val hasChunkIvf = graft.search.ChunkIvfIndex.exists(catalog, entry) &&
       graft.search.ChunkIvfIndex.quantizerExists(catalog, entry)
-    // auto preference: chunk-level IVF (best pruned recall — candidates
-    // from the scored vectors themselves) > doc-level IVF > chunk scan
+    val hasCpq = graft.search.ChunkPqIndex.usable(catalog, entry)
+    // auto preference: residual-PQ codes (built explicitly = opted into
+    // the compressed serving shape; probes the same clusters as chunkivf
+    // at ~1/10 the candidate-scan I/O) > chunk-level IVF (best pruned
+    // recall — candidates from the scored vectors themselves) >
+    // doc-level IVF > chunk scan
     val route = candidateSource match {
+      case "cpq" =>
+        if (!hasCpq) throw new GraftException(ErrorCodes.AnnIndexNotFound)
+        "cpq"
       case "chunkivf" =>
         if (!hasChunkIvf) throw new GraftException(ErrorCodes.AnnIndexNotFound)
         "chunkivf"
@@ -1082,12 +1150,16 @@ final class Api(
         "ivf"
       case "chunk" => "chunk"
       case _ =>
-        if (hasChunkIvf) "chunkivf" else if (hasIvf) "ivf" else "chunk"
+        if (hasCpq) "cpq"
+        else if (hasChunkIvf) "chunkivf" else if (hasIvf) "ivf" else "chunk"
     }
     val allowed = where.map(p => catalog.readDocuments(entry).filter(p)
       .select(col("id").as("doc_id")))
     val limit = graft.ann.GraphSearch.DefaultBroadcastRowLimit
     route match {
+      case "cpq" => graft.search.ChunkIndex.searchCpq(spark,
+        catalog, entry, embedder, qs, k, perTokenT, maxQueryTokens, limit,
+        allowedDocs = allowed)
       case "chunkivf" => graft.search.ChunkIndex.searchChunkIvf(spark,
         catalog, entry, embedder, qs, k, perTokenT, maxQueryTokens, limit,
         allowedDocs = allowed)
@@ -1336,7 +1408,8 @@ final class Api(
       "minhash" -> graft.dedup.MinHashIndex.indexPath(catalog, entry),
       "graph" -> graft.ann.GraphIndex.indexPath(catalog, entry),
       "chunkvecs" -> graft.search.ChunkIndex.indexPath(catalog, entry),
-      "chunkivf" -> graft.search.ChunkIvfIndex.indexPath(catalog, entry))
+      "chunkivf" -> graft.search.ChunkIvfIndex.indexPath(catalog, entry),
+      "chunkpq" -> graft.search.ChunkPqIndex.codesPath(catalog, entry))
       .flatMap { case (k, p) => countIf(p).map(k -> _) }.toMap
     Map(
       "collection" -> name,

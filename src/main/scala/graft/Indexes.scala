@@ -57,7 +57,8 @@ object Indexes {
       minhash: Option[(graft.dedup.MinHashMeta, Seq[Int])] = None,
       graph: Option[GraphIndex.GraphMeta] = None,
       chunk: Option[(graft.search.ChunkIndex.ChunkMeta, Seq[Int])] = None,
-      chunkIvf: Option[Seq[Long]] = None)
+      chunkIvf: Option[Seq[Long]] = None,
+      chunkPq: Option[Seq[Long]] = None)
 
   private def exists(p: String) = Files.exists(Paths.get(p))
 
@@ -165,11 +166,18 @@ object Indexes {
     // centroids otherwise; bucket-pruned chunk-index read — never a full
     // scan); the new batch's clusters are computed in applyPending where
     // the fresh chunk rows are embedded once for both chunk indexes
-    val chunkIvf =
-      if (!graft.search.ChunkIvfIndex.exists(catalog, entry)) None
+    val hasChunkIvf = graft.search.ChunkIvfIndex.exists(catalog, entry)
+    val hasChunkPq = graft.search.ChunkPqIndex.usable(catalog, entry)
+    // the chunk-level IVF and the residual-PQ codes partition on the SAME
+    // quantizer (ChunkIvfIndex.quantizer resolves one table for both), so
+    // the affected-cluster set is computed once and shared: the changed
+    // ids' stored chunk rows re-assigned under the current centroids
+    // (bucket-pruned chunk-index read — never a full scan)
+    val chunkClusterSet =
+      if (!hasChunkIvf && !hasChunkPq) None
       else {
         require(chunk.isDefined,
-          "chunk-level IVF exists without the chunk index — rebuild via buildChunkIvfIndex before writing")
+          "chunk-level IVF / chunk-PQ codes exist without the chunk index — rebuild before writing")
         chunk.map { case (_, buckets) =>
           if (buckets.isEmpty) Seq.empty[Long]
           else graft.search.ChunkIvfIndex.indexRows(
@@ -180,8 +188,10 @@ object Indexes {
             .select("cluster_id").distinct().collect().map(_.getLong(0)).toSeq
         }
       }
+    val chunkIvf = if (hasChunkIvf) chunkClusterSet else None
+    val chunkPq = if (hasChunkPq) chunkClusterSet else None
     Some(Pending(ids, lexBuckets, ivfClusters, pqClusters, lsh, minhash,
-      graphMeta, chunk, chunkIvf))
+      graphMeta, chunk, chunkIvf, chunkPq))
   }
 
   /** Phase 2 (call AFTER the documents-table rewrite): rewrite each
@@ -257,7 +267,8 @@ object Indexes {
     // the fresh batch's chunk rows are embedded ONCE (the write-time
     // model cost) and shared by the chunk index and the chunk-level IVF
     val freshChunks = p.chunk
-      .filter { case (_, buckets) => buckets.nonEmpty || p.chunkIvf.isDefined }
+      .filter { case (_, buckets) =>
+        buckets.nonEmpty || p.chunkIvf.isDefined || p.chunkPq.isDefined }
       .map { case (m, _) =>
         graft.search.ChunkIndex.indexRows(
           fresh.select("id", "content"), embedder, m.maxTokens).cache()
@@ -296,6 +307,32 @@ object Indexes {
               affectedDirs = affected.map(c => s"cluster_id=$c"))
           }
         } finally freshRows.unpersist()
+      }
+      p.chunkPq.foreach { oldClusters =>
+        graft.search.ChunkPqIndex.loadCodebooks(spark, catalog, entry).foreach { cb =>
+          // fresh codes under the FROZEN codebooks and current quantizer
+          // (the PqIndex maintenance discipline at chunk granularity)
+          val freshCodes = graft.search.ChunkPqIndex.encodeChunkRows(
+            spark, catalog, entry, freshChunks.get, cb).cache()
+          try {
+            val newClusters = freshCodes.select("cluster_id").distinct()
+              .collect().map(_.getLong(0)).toSeq
+            val affected = (oldClusters ++ newClusters).distinct
+            if (affected.nonEmpty) {
+              val idx = graft.search.ChunkPqIndex.load(spark, catalog, entry)
+                .filter(col("cluster_id").isin(affected: _*))
+                .withColumn("__doc", graft.search.ChunkIvfIndex.docIdOf(col("id")))
+                .join(broadcast(p.ids.withColumnRenamed("id", "__doc")),
+                  Seq("__doc"), "left_anti")
+                .drop("__doc")
+                .unionByName(freshCodes)
+              replacePartitions(idx,
+                graft.search.ChunkPqIndex.codesPath(catalog, entry),
+                Seq("cluster_id"), sortCol = Some("id"),
+                affectedDirs = affected.map(c => s"cluster_id=$c"))
+            }
+          } finally freshCodes.unpersist()
+        }
       }
     } finally freshChunks.foreach(_.unpersist())
     p.graph.foreach { gm =>
@@ -368,12 +405,16 @@ object Indexes {
       // rebuilds must read as index-absent, never as a stale sidecar
       val hadChunkIvf = graft.search.ChunkIvfIndex.exists(catalog, entry)
       if (hadChunkIvf) graft.search.ChunkIvfIndex.invalidate(catalog, entry)
+      val hadChunkPq = graft.search.ChunkPqIndex.usable(catalog, entry)
+      if (hadChunkPq) graft.search.ChunkPqIndex.invalidate(catalog, entry)
       for {
         e <- embedder
         m <- graft.search.ChunkIndex.loadMeta(spark, catalog, entry)
       } graft.search.ChunkIndex.build(spark, catalog, entry, e, m.maxTokens)
       if (hadChunkIvf)
         graft.search.ChunkIvfIndex.build(spark, catalog, entry)
+      if (hadChunkPq)
+        graft.search.ChunkPqIndex.reencode(spark, catalog, entry)
     }
     if (exists(IvfIndex.centroidsPath(catalog, entry)) &&
         exists(IvfIndex.indexPath(catalog, entry)))

@@ -305,6 +305,76 @@ object ChunkIndex {
     tokShortlistsToDocs(spark, perTok, toks)
   }
 
+  /** Per-query document shortlists from the RESIDUAL-PQ codes — the
+    * PLAID-compressed candidate generator behind [[searchCpq]]: per
+    * token, the top-T DOCUMENTS ranked by their best probed chunk's
+    * APPROXIMATE ADC score decoded from codes alone
+    * ([[ChunkPqIndex.adcGroupTopK]] — the candidate scan never reads a
+    * float vector), then the per-query union. Probe pruning is identical
+    * to the raw chunk-IVF route (same quantizer, same adaptive window).
+    * Returns (query_idx, doc_id) distinct.
+    */
+  def cpqCandidates(
+      spark: SparkSession,
+      codes: DataFrame,
+      centroids: DataFrame,
+      cb: graft.ann.Pq.Codebooks,
+      toks: Seq[(Int, Int, Array[Float])],
+      perTokenT: Int,
+      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit): DataFrame = {
+    val tokBatch = toks.zipWithIndex.map { case ((_, _, v), key) => key -> v.toSeq }
+    val perTok = ChunkPqIndex.adcGroupTopK(
+      codes, centroids, cb, tokBatch, perTokenT,
+      numCandidates = math.max(10L * perTokenT, 100L), broadcastRowLimit,
+      groupIdOf = ChunkIvfIndex.docIdOf)
+    tokShortlistsToDocs(spark, perTok, toks)
+  }
+
+  /** Residual-PQ maxsim serving — the PLAID storage shape
+    * ([[ChunkPqIndex]]): candidate generation probes the same clusters
+    * as the chunk-IVF route but READS ONLY CODES (m small ints per
+    * chunk instead of the full float vector — the order-of-magnitude
+    * candidate-scan I/O cut that makes token-level indexes storable at
+    * 100 TB), scoring each probed chunk with the code-decoded
+    * approximate dot; the exact maxsim rescore over the shortlist is
+    * the route's only embedding read (raw chunk rows, bucket-pruned),
+    * identical to every sibling route.
+    */
+  def searchCpq(
+      spark: SparkSession,
+      catalog: Catalog,
+      entry: CollectionEntry,
+      embedder: Embedder,
+      queries: Seq[(Int, String)],
+      k: Int,
+      perTokenT: Int = 25,
+      maxQueryTokens: Int = 16,
+      broadcastRowLimit: Long = graft.ann.GraphSearch.DefaultBroadcastRowLimit,
+      allowedDocs: Option[DataFrame] = None): DataFrame = {
+    import spark.implicits._
+    val (toks, chunkVecs) = embedQueryTokens(
+      spark, catalog, entry, embedder, queries, maxQueryTokens)
+    if (toks.isEmpty) return emptyResult(chunkVecs)
+    val qdf = toks.toDF("query_idx", "tok_idx", "vec")
+    val cb = ChunkPqIndex.loadCodebooks(spark, catalog, entry)
+      .getOrElse(throw new graft.model.GraftException(
+        graft.model.ErrorCodes.AnnIndexNotFound))
+    // filtered serving: restrict the coded rows before candidate ranking
+    // (key split recovers the doc id), so per-token top-T docs and the
+    // probe pool fill from the sub-corpus — the same pushdown shape as
+    // the chunk-IVF route
+    val codes = ChunkPqIndex.load(spark, catalog, entry)
+    val codesIn = allowedDocs.fold(codes)(a =>
+      codes.withColumn("__doc", ChunkIvfIndex.docIdOf(col("id")))
+        .join(a.select(col("doc_id").as("__doc")), Seq("__doc"), "left_semi")
+        .drop("__doc"))
+    val cand = cpqCandidates(spark, codesIn,
+      ChunkIvfIndex.quantizer(spark, catalog, entry), cb,
+      toks, perTokenT, broadcastRowLimit)
+    MaxSim.topK(chunkVecs, qdf, k, candidates = Some(cand), broadcastRowLimit)
+      .select(col("query_idx"), col("doc_id").as("id"), col("score"))
+  }
+
   /** Map per-token shortlists (query_idx = composite token key) back to
     * their queries and union per query. The key map is bounded by
     * queries × maxQueryTokens — tiny and broadcast.

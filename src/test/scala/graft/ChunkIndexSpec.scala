@@ -266,6 +266,125 @@ class ChunkIndexSpec extends SparkSpec {
     assert(ChunkIvfIndex.quantizer(spark, api.catalog, entry).count() == expectedK)
   }
 
+  test("residual-PQ chunk codes: governed builds, rebuild-identical maintenance, exact at full width, auto routing") {
+    val api = newApi()
+    api.createCollection("c12", documents = Some(docsDf(0 until 30)))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "c12"))
+    val emb = new DeterministicHashEmbedder(16)
+    import graft.search.ChunkPqIndex
+    // both prerequisites are governed, in either missing order
+    assert(intercept[GraftException](api.buildChunkPqIndex("c12")).code
+      == graft.model.ErrorCodes.AnnIndexNotFound)
+    api.buildChunkIndex("c12", MaxTok)
+    assert(intercept[GraftException](api.buildChunkPqIndex("c12")).code
+      == graft.model.ErrorCodes.AnnIndexNotFound)
+    api.buildAnnIndex("c12", nClusters = 4)
+    assert(api.buildChunkPqIndex("c12", m = 4, k = 8) > 30)
+    assert(ChunkPqIndex.usable(api.catalog, entry))
+    def rowsPq(df: DataFrame): Seq[(String, Seq[Int], Long)] =
+      df.select("id", "codes", "cluster_id").collect()
+        .map(r => (r.getString(0), r.getSeq[Int](1), r.getLong(2)))
+        .sortBy(_._1).toSeq
+    def rebuilt(): Seq[(String, Seq[Int], Long)] = rowsPq(
+      ChunkPqIndex.encodeChunkRows(spark, api.catalog, entry,
+        ChunkIndex.load(spark, api.catalog, entry),
+        ChunkPqIndex.loadCodebooks(spark, api.catalog, entry).get))
+    assert(rowsPq(ChunkPqIndex.load(spark, api.catalog, entry)) == rebuilt())
+    // every chunk row carries m=4 codes
+    assert(rowsPq(ChunkPqIndex.load(spark, api.catalog, entry))
+      .forall(_._2.size == 4))
+    // upsert: only the touched clusters re-encode, result == rebuild
+    api.addDocuments("c12", docsDf(30 until 36))
+    val afterUpsert = rowsPq(ChunkPqIndex.load(spark, api.catalog, entry))
+    assert(afterUpsert == rebuilt())
+    assert(afterUpsert.map(_._1.split("#")(0)).distinct.size == 36)
+    // delete: the doc's coded rows leave every cluster, still identical
+    val victim = afterUpsert.head._1.split("#")(0)
+    api.deleteDocuments("c12", Seq(victim))
+    val afterDelete = rowsPq(ChunkPqIndex.load(spark, api.catalog, entry))
+    assert(afterDelete == rebuilt())
+    assert(!afterDelete.exists(_._1.startsWith(victim + "#")))
+    // serving at full width probes everything and shortlists every doc ->
+    // the exact maxsim rows (the ADC approximation only ORDERS candidates;
+    // at full width the shortlist is the corpus and rescore is exact)
+    val served = ChunkIndex.searchCpq(spark, api.catalog, entry, emb,
+        Seq(0 -> "topic words document"), k = 6, perTokenT = 10000)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    val qdf = emb.embedBatch(Seq("topic", "words", "document")).zipWithIndex
+      .map { case (v, i) =>
+        val n = math.sqrt(v.map(x => x.toDouble * x.toDouble).sum)
+        (0, i, v.map(x => (x / n).toFloat).toSeq)
+      }.toDF("query_idx", "tok_idx", "vec")
+    val exact = MaxSim.topK(
+        ChunkIndex.load(spark, api.catalog, entry)
+          .select(col("id").as("doc_id"), col("vec")), qdf, k = 6)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getDouble(2))).toSeq
+    assert(served.nonEmpty && served.sortBy(_._2) == exact.sortBy(_._2))
+    // auto routing now prefers the compressed route
+    val auto = api.maxsimSearch("c12", "topic words document", nResults = 6)
+    val forced = api.maxsimSearch("c12", "topic words document", nResults = 6,
+      candidateSource = "cpq")
+    assert(auto.results == forced.results && auto.results.nonEmpty)
+    // rebuilding the doc-level quantizer re-encodes the codes (frozen
+    // codebooks, new residual basis)
+    api.buildAnnIndex("c12", nClusters = 2)
+    assert(rowsPq(ChunkPqIndex.load(spark, api.catalog, entry)) == rebuilt())
+    // re-chunking re-derives them too
+    api.buildChunkIndex("c12", MaxTok + 2)
+    assert(rowsPq(ChunkPqIndex.load(spark, api.catalog, entry)) == rebuilt())
+    // a chunk-quantizer retrain re-encodes under the NEW quantizer
+    api.buildChunkIvfIndex("c12", trainOn = "chunks", nClusters = 8)
+    assert(rowsPq(ChunkPqIndex.load(spark, api.catalog, entry)) == rebuilt())
+    // ...and a doc-IVF rebuild now leaves the chunk-trained-keyed codes
+    // untouched (their quantizer is the own sidecar)
+    val before = rowsPq(ChunkPqIndex.load(spark, api.catalog, entry))
+    api.buildAnnIndex("c12", nClusters = 3)
+    assert(rowsPq(ChunkPqIndex.load(spark, api.catalog, entry)) == before)
+    // batched serving equals the per-question loop on the cpq route
+    val qs = Seq("topic words document", "trailing words")
+    val perQ = qs.map(q => api.maxsimSearch("c12", q, nResults = 4,
+      candidateSource = "cpq").results)
+    val many = api.maxsimSearchMany("c12", qs, nResults = 4,
+      candidateSource = "cpq").results
+    val grouped = many.groupBy(_.metadata("query_idx").toInt)
+      .view.mapValues(_.map(h => h.copy(metadata = h.metadata - "query_idx"))).toMap
+    perQ.zipWithIndex.foreach { case (exp, qi) =>
+      assert(grouped.getOrElse(qi, Nil) == exp)
+    }
+  }
+
+  test("a crash between a parent rebuild and the chunk-PQ re-encode reads as codes-absent") {
+    val api = newApi()
+    api.createCollection("c13", documents = Some(docsDf(0 until 24)))
+    val entry = api.catalog.getCollection(api.catalog.physicalName("default", "c13"))
+    val emb = new DeterministicHashEmbedder(16)
+    api.buildChunkIndex("c13", MaxTok)
+    api.buildAnnIndex("c13", nClusters = 4)
+    api.buildChunkPqIndex("c13")
+    import graft.search.ChunkPqIndex
+    // the crash window: parents invalidate the codes FIRST, rewrite, then
+    // re-encode — a crash right after the parent rewrite leaves this state
+    ChunkPqIndex.invalidate(api.catalog, entry)
+    ChunkIndex.build(spark, api.catalog, entry, emb, MaxTok + 2)
+    assert(!ChunkPqIndex.usable(api.catalog, entry))
+    // auto falls back (never serves torn codes); forcing cpq is governed
+    val auto = api.maxsimSearch("c13", "topic words document", nResults = 5)
+    val ivf = api.maxsimSearch("c13", "topic words document", nResults = 5,
+      candidateSource = "ivf")
+    assert(auto.results == ivf.results && auto.results.nonEmpty)
+    assert(intercept[GraftException](api.maxsimSearch("c13", "topic words",
+      nResults = 3, candidateSource = "cpq")).code
+      == graft.model.ErrorCodes.AnnIndexNotFound)
+    // maintenance skips the absent codes instead of desyncing them
+    api.addDocuments("c13", docsDf(24 until 27))
+    assert(!ChunkPqIndex.usable(api.catalog, entry))
+    // explicit rebuild repairs
+    assert(api.buildChunkPqIndex("c13") > 24)
+    assert(ChunkPqIndex.usable(api.catalog, entry))
+    assert(api.maxsimSearch("c13", "topic words", nResults = 3,
+      candidateSource = "cpq").results.nonEmpty)
+  }
+
   test("a crash between a parent rebuild and the chunk-IVF re-derive reads as index-absent") {
     val api = newApi()
     api.createCollection("c10", documents = Some(docsDf(0 until 24)))
