@@ -2434,6 +2434,288 @@ object OpsQueries {
       |ORDER BY nc.qz, nc.t_width, nc.query_idx""".stripMargin
 
 
+  // ---- residual-PQ chunk-code candidates (the PLAID compression,
+  //      ChunkPqIndex), graded vs exact maxsim truth NEXT TO the raw
+  //      chunk-IVF route at the same two widths. Same multi-topic
+  //      fixture and chunk-sampled-64 quantizer as q_search_maxsim_civf's
+  //      chunk leg; the 'adc' leg encodes every chunk's RESIDUAL
+  //      (chunk − assigned centroid) into m=2 subspaces × k=8 codewords
+  //      (codebooks = the first 8 residual vectors by chunk key — the
+  //      deterministic Pq.train init, iters=0 — so training replays
+  //      bit-exactly in SQL) and ranks candidates by the code-DECODED
+  //      approximate dot ⟨q,centroid⟩ + Σ_j ⟨q_j, cw_j[code_j]⟩, while
+  //      the 'raw' leg ranks the same probed clusters by the true chunk
+  //      cosine. Candidate sets then rescore exactly and grade against
+  //      the exact truth: the adc leg's n_hits sitting at/near the raw
+  //      leg's shows the compression costs little recall while its scan
+  //      reads codes instead of float vectors. Every candidate-leg
+  //      quantity is integer-derived — bit-identical ranks. ----
+  def searchMaxsimCpq(s: SparkSession, dir: String): DataFrame = {
+    def normalized(df: DataFrame): DataFrame = df
+      .withColumn("__n", graft.functions.VectorFunctions.l2Norm(col("vec")))
+      .withColumn("vec", expr("transform(vec, x -> x / __n)"))
+      .drop("__n")
+    val rawKeyed = maxsimCivfChunkVecsKeyed(s, dir).localCheckpoint()
+    val raw = rawKeyed.select("doc_id", "vec")
+    val rawToks = maxsimAnnQueryToks(s, dir).localCheckpoint()
+    val chunkVecs = normalized(raw).localCheckpoint()
+    val queryToks = normalized(rawToks).localCheckpoint()
+    // candidate-leg chunk vectors NORMALIZED then milli-QUANTIZED
+    // (floor(v/‖v‖·1000)): PLAID encodes normalized token embeddings —
+    // an unnormalized fixture would penalize the ADC leg for norm
+    // variance, not quantization — and flooring to integer milli units
+    // keeps every candidate-leg quantity integer-derived (the oracle
+    // replay discipline: int dots exact in any order) while preserving
+    // the cosine geometry to 1e-3
+    val chunkAsVecs = rawKeyed
+      .withColumn("__n", graft.functions.VectorFunctions.l2Norm(col("vec")))
+      .select(col("ckey").as("id"),
+        expr("transform(vec, v -> cast(floor(v / __n * 1000.0) as float))")
+          .as("embedding"))
+      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
+      .localCheckpoint()
+    val centsChunk = graft.ann.Ann.representativeCentroids(
+      chunkAsVecs.withColumn("label",
+        pmod(expr("cast(conv(substring(sha2(id, 256), 1, 15), 16, 10) as bigint)"),
+          lit(64L))), "label")
+      .localCheckpoint()
+    val truth = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10)
+      .select("query_idx", "doc_id").localCheckpoint()
+    val toks = rawToks.collect()
+      .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).map(_.toFloat).toArray))
+    val assigned = graft.ann.Ann.assign(
+      chunkAsVecs.select("id", "embedding", "norm"), centsChunk).localCheckpoint()
+    val residuals = graft.ann.Pq.residualOf(assigned,
+        centsChunk.select(col("centroid_id").as("cluster_id"), col("centroid")))
+      .localCheckpoint()
+    // iters=0: codebooks ARE the deterministic init (first 32 residual
+    // vectors by chunk key, sliced per subspace) — the SQL-replayable
+    // training floor; production builds run Lloyd rounds on top
+    val cb = graft.ann.Pq.train(residuals.select("id", "embedding"),
+      dim = 8, m = 4, k = 32, iters = 0)
+    val codes = graft.ann.Pq.encode(residuals.select("id", "embedding"), 8, cb)
+      .join(residuals.select(col("id"), col("cluster_id")), "id")
+      .localCheckpoint()
+    def leg(name: String, t: Int): DataFrame = {
+      val candRaw = name match {
+        case "raw" => graft.search.ChunkIndex.chunkIvfCandidates(
+          s, assigned, centsChunk, toks.toIndexedSeq, t)
+        case _ => graft.search.ChunkIndex.cpqCandidates(
+          s, codes, centsChunk, cb, toks.toIndexedSeq, t)
+      }
+      val cand = candRaw
+        .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
+        .distinct()
+      val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
+        candidates = Some(cand))
+      val nCand = cand.groupBy("query_idx").agg(count(lit(1)).as("n_candidates"))
+      val hits = pruned.select("query_idx", "doc_id")
+        .join(truth, Seq("query_idx", "doc_id"), "left_semi")
+        .groupBy("query_idx").agg(count(lit(1)).as("n_hits"))
+      nCand.join(hits, Seq("query_idx"), "left")
+        .na.fill(0L, Seq("n_hits"))
+        .withColumn("t_width", lit(t.toLong))
+        .withColumn("leg", lit(name))
+    }
+    Seq("raw", "adc").flatMap(l => Seq(5, 25).map(t => leg(l, t)))
+      .reduce(_ unionByName _)
+      .select("leg", "t_width", "query_idx", "n_candidates", "n_hits")
+      .orderBy("leg", "t_width", "query_idx")
+  }
+
+  val searchMaxsimCpqSql: String =
+    """WITH w AS (SELECT doc_id, regexp_split_to_array(text, '\s+') AS words
+      |           FROM documents),
+      |n AS (SELECT doc_id, words,
+      |             greatest(CAST(ceil(len(words) / 20.0) AS INTEGER), 1) AS n_chunks
+      |      FROM w),
+      |c AS (SELECT doc_id,
+      |             array_to_string(words[i*20+1 : i*20+20], ' ') AS chunk
+      |      FROM n, (SELECT unnest(range(100)) AS i) ix
+      |      WHERE ix.i < n.n_chunks),
+      |ck AS (SELECT doc_id, chunk FROM c WHERE length(chunk) > 0),
+      |i AS (SELECT CAST(unnest(range(8)) AS INTEGER) AS dim),
+      |tk AS (SELECT doc_id, chunk,
+      |         'gtopic' || CAST(('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || 'x' ||
+      |             CAST(('0x' || substr(sha256(chunk), 1, 15))::BIGINT % 2 AS VARCHAR)),
+      |             1, 15))::BIGINT % 32 AS VARCHAR) AS topic
+      |       FROM ck),
+      |cv AS (SELECT tk.doc_id, tk.chunk, i.dim,
+      |         ('0x' || substr(sha256(tk.chunk || CAST(i.dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50
+      |           + 16 * (('0x' || substr(sha256(tk.topic || CAST(i.dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50) AS cent
+      |       FROM tk CROSS JOIN i),
+      |qt AS (SELECT * FROM (VALUES (0, 0, 'data'), (0, 1, 'analysis'),
+      |                             (0, 2, 'system'), (1, 0, 'market'),
+      |                             (1, 1, 'music'), (1, 2, 'research'))
+      |                  v(query_idx, tok_idx, tok)),
+      |qv AS (SELECT query_idx, tok_idx, dim,
+      |         ('0x' || substr(sha256(tok || CAST(dim AS VARCHAR)), 1, 15))::BIGINT % 100 - 50 AS cent
+      |       FROM qt CROSS JOIN i),
+      |cn AS (SELECT doc_id, chunk, sqrt(sum(CAST(cent * cent AS DOUBLE))) AS nrm
+      |       FROM cv GROUP BY 1, 2),
+      |nv AS (SELECT cv.doc_id, cv.chunk, cv.dim, cv.cent / cn.nrm AS x
+      |       FROM cv JOIN cn ON cn.doc_id = cv.doc_id AND cn.chunk = cv.chunk),
+      |qn AS (SELECT query_idx, tok_idx, sqrt(sum(CAST(cent * cent AS DOUBLE))) AS nrm
+      |       FROM qv GROUP BY 1, 2),
+      |nq AS (SELECT qv.query_idx, qv.tok_idx, qv.dim, qv.cent / qn.nrm AS x
+      |       FROM qv JOIN qn ON qn.query_idx = qv.query_idx
+      |                      AND qn.tok_idx = qv.tok_idx),
+      |dp AS (SELECT nq.query_idx, nq.tok_idx, nv.doc_id, nv.chunk,
+      |              sum(nq.x * nv.x) AS dotp
+      |       FROM nv JOIN nq USING (dim)
+      |       GROUP BY 1, 2, 3, 4),
+      |best AS (SELECT query_idx, tok_idx, doc_id, max(dotp) AS best
+      |         FROM dp GROUP BY 1, 2, 3),
+      |sc AS (SELECT query_idx, doc_id, sum(best) AS score
+      |       FROM best GROUP BY 1, 2),
+      |truth AS (SELECT query_idx, doc_id FROM (
+      |            SELECT *, row_number() OVER (PARTITION BY query_idx
+      |                        ORDER BY score DESC, doc_id ASC) AS rn FROM sc)
+      |          WHERE rn <= 10),
+      |qcv AS (SELECT cv.doc_id, cv.chunk, cv.dim,
+      |               floor(cv.cent / cn.nrm * 1000) AS qc2
+      |        FROM cv JOIN cn ON cn.doc_id = cv.doc_id
+      |                       AND cn.chunk = cv.chunk),
+      |cnq AS (SELECT doc_id, chunk, sqrt(sum(qc2 * qc2)) AS nrm
+      |        FROM qcv GROUP BY 1, 2),
+      |clab AS (SELECT doc_id, chunk,
+      |                CAST(doc_id AS VARCHAR) || '#' || chunk AS ckey,
+      |                ('0x' || substr(sha256(CAST(doc_id AS VARCHAR) || '#' || chunk),
+      |                  1, 15))::BIGINT % 64 AS lbl
+      |         FROM ck),
+      |crep AS (SELECT lbl AS centroid_id, doc_id, chunk FROM (
+      |           SELECT *, row_number() OVER (PARTITION BY lbl
+      |                           ORDER BY ckey) AS rn
+      |           FROM clab)
+      |         WHERE rn = 1),
+      |cvd AS (SELECT crep.centroid_id, q.dim, q.qc2 AS m
+      |        FROM crep JOIN qcv q ON q.doc_id = crep.doc_id
+      |                            AND q.chunk = crep.chunk),
+      |cn2 AS (SELECT centroid_id, sqrt(sum(m * m)) AS nrm
+      |        FROM cvd GROUP BY 1),
+      |cadot AS (SELECT q.doc_id, q.chunk, cvd.centroid_id,
+      |                 sum(q.qc2 * cvd.m) AS dt
+      |          FROM qcv q JOIN cvd USING (dim) GROUP BY 1, 2, 3),
+      |cassign AS (SELECT doc_id, chunk, cluster_id FROM (
+      |              SELECT a.doc_id, a.chunk, a.centroid_id AS cluster_id,
+      |                     row_number() OVER (PARTITION BY a.doc_id, a.chunk
+      |                       ORDER BY 1.0 - a.dt / (cnx.nrm * c2.nrm),
+      |                                a.centroid_id) AS rn
+      |              FROM cadot a
+      |              JOIN cnq cnx ON cnx.doc_id = a.doc_id AND cnx.chunk = a.chunk
+      |              JOIN cn2 c2 ON c2.centroid_id = a.centroid_id)
+      |            WHERE rn = 1),
+      |ccsize AS (SELECT cluster_id, count(*) AS csize
+      |           FROM cassign GROUP BY 1),
+      |qk AS (SELECT query_idx * 3 + tok_idx AS tok_key, query_idx, dim,
+      |              CAST(cent AS DOUBLE) AS qc
+      |       FROM qv),
+      |qn2 AS (SELECT tok_key, sqrt(sum(qc * qc)) AS nrm FROM qk GROUP BY 1),
+      |qdot AS (SELECT qk.tok_key, cvd.centroid_id, sum(qk.qc * cvd.m) AS dt
+      |         FROM qk JOIN cvd USING (dim) GROUP BY 1, 2),
+      |pr AS (SELECT q.tok_key, q.centroid_id,
+      |              1.0 - q.dt / (c2.nrm * qn2.nrm) AS d,
+      |              coalesce(s.csize, 0) AS csize
+      |       FROM qdot q
+      |       JOIN cn2 c2 ON c2.centroid_id = q.centroid_id
+      |       JOIN qn2 ON qn2.tok_key = q.tok_key
+      |       LEFT JOIN ccsize s ON s.cluster_id = q.centroid_id),
+      |pool AS (SELECT tok_key, centroid_id,
+      |                coalesce(sum(csize) OVER (PARTITION BY tok_key
+      |                  ORDER BY d, centroid_id
+      |                  ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+      |                  0) AS pool
+      |         FROM pr),
+      |widths AS (SELECT CAST(unnest([5, 25]) AS BIGINT) AS t_width),
+      |probes AS (SELECT w.t_width, p.tok_key, p.centroid_id
+      |           FROM widths w JOIN pool p
+      |             ON p.pool < greatest(10 * w.t_width, 100)),
+      |csdot AS (SELECT qk.tok_key, min(qk.query_idx) AS query_idx,
+      |                 q.doc_id, q.chunk,
+      |                 sum(qk.qc * q.qc2) AS dt
+      |          FROM qk JOIN qcv q USING (dim)
+      |          GROUP BY qk.tok_key, q.doc_id, q.chunk),
+      |sbraw AS (SELECT p.t_width, sd.tok_key, sd.query_idx, sd.doc_id,
+      |                 max(sd.dt / (cnx.nrm * qn2.nrm)) AS s
+      |          FROM csdot sd
+      |          JOIN cassign a ON a.doc_id = sd.doc_id AND a.chunk = sd.chunk
+      |          JOIN probes p ON p.tok_key = sd.tok_key
+      |                       AND p.centroid_id = a.cluster_id
+      |          JOIN cnq cnx ON cnx.doc_id = sd.doc_id AND cnx.chunk = sd.chunk
+      |          JOIN qn2 ON qn2.tok_key = sd.tok_key
+      |          GROUP BY 1, 2, 3, 4),
+      |sctraw AS (SELECT *, row_number() OVER (PARTITION BY t_width, tok_key
+      |                 ORDER BY s DESC, CAST(doc_id AS VARCHAR) ASC) AS rn
+      |           FROM sbraw),
+      |candraw AS (SELECT DISTINCT 'raw' AS leg, s.t_width, s.query_idx, s.doc_id
+      |            FROM sctraw s WHERE s.rn <= s.t_width),
+      |res AS (SELECT cl.ckey, q.doc_id, q.chunk, q.dim, a.cluster_id,
+      |               q.qc2 - cvd.m AS r
+      |        FROM qcv q
+      |        JOIN clab cl ON cl.doc_id = q.doc_id AND cl.chunk = q.chunk
+      |        JOIN cassign a ON a.doc_id = q.doc_id AND a.chunk = q.chunk
+      |        JOIN cvd ON cvd.centroid_id = a.cluster_id AND cvd.dim = q.dim),
+      |cwd AS (SELECT sd.code, r.dim, r.r AS wv
+      |        FROM (SELECT ckey, CAST(row_number() OVER (ORDER BY ckey) - 1
+      |                       AS INTEGER) AS code
+      |              FROM (SELECT DISTINCT ckey FROM res)
+      |              QUALIFY row_number() OVER (ORDER BY ckey) <= 32) sd
+      |        JOIN res r ON r.ckey = sd.ckey),
+      |enc AS (SELECT doc_id, chunk, j, code FROM (
+      |          SELECT doc_id, chunk, j, code,
+      |                 row_number() OVER (PARTITION BY doc_id, chunk, j
+      |                   ORDER BY d, code) AS rn
+      |          FROM (SELECT r.doc_id, r.chunk, r.dim // 2 AS j, w.code,
+      |                       sum((r.r - w.wv) * (r.r - w.wv)) AS d
+      |                FROM res r JOIN cwd w ON w.dim = r.dim
+      |                GROUP BY 1, 2, 3, 4))
+      |        WHERE rn = 1),
+      |tdot AS (SELECT qk.tok_key, w.dim // 2 AS j, w.code,
+      |                sum(qk.qc * w.wv) AS dt
+      |         FROM qk JOIN cwd w USING (dim)
+      |         GROUP BY 1, 2, 3),
+      |approx AS (SELECT qk2.tok_key, min(qk2.query_idx) AS query_idx,
+      |                  e.doc_id, e.chunk, a.cluster_id,
+      |                  min(qd.dt) + sum(td.dt) AS s
+      |           FROM enc e
+      |           JOIN cassign a ON a.doc_id = e.doc_id AND a.chunk = e.chunk
+      |           JOIN (SELECT DISTINCT tok_key, query_idx FROM qk) qk2 ON true
+      |           JOIN qdot qd ON qd.tok_key = qk2.tok_key
+      |                       AND qd.centroid_id = a.cluster_id
+      |           JOIN tdot td ON td.tok_key = qk2.tok_key
+      |                       AND td.j = e.j AND td.code = e.code
+      |           GROUP BY qk2.tok_key, e.doc_id, e.chunk, a.cluster_id),
+      |sbadc AS (SELECT p.t_width, ax.tok_key, ax.query_idx, ax.doc_id,
+      |                 max(ax.s) AS s
+      |          FROM approx ax
+      |          JOIN probes p ON p.tok_key = ax.tok_key
+      |                       AND p.centroid_id = ax.cluster_id
+      |          GROUP BY 1, 2, 3, 4),
+      |sctadc AS (SELECT *, row_number() OVER (PARTITION BY t_width, tok_key
+      |                 ORDER BY s DESC, CAST(doc_id AS VARCHAR) ASC) AS rn
+      |           FROM sbadc),
+      |candadc AS (SELECT DISTINCT 'adc' AS leg, s.t_width, s.query_idx, s.doc_id
+      |            FROM sctadc s WHERE s.rn <= s.t_width),
+      |cand AS (SELECT * FROM candraw UNION ALL SELECT * FROM candadc),
+      |pruned AS (SELECT leg, t_width, query_idx, doc_id FROM (
+      |             SELECT c.leg, c.t_width, s.query_idx, s.doc_id,
+      |                    row_number() OVER (PARTITION BY c.leg, c.t_width, s.query_idx
+      |                      ORDER BY s.score DESC, s.doc_id ASC) AS rn
+      |             FROM sc s JOIN cand c
+      |               ON s.query_idx = c.query_idx AND s.doc_id = c.doc_id)
+      |           WHERE rn <= 10),
+      |nc AS (SELECT leg, t_width, query_idx, CAST(count(*) AS BIGINT) AS n_candidates
+      |       FROM cand GROUP BY 1, 2, 3),
+      |h AS (SELECT p.leg, p.t_width, p.query_idx, CAST(count(*) AS BIGINT) AS n_hits
+      |      FROM pruned p JOIN truth t
+      |        ON t.query_idx = p.query_idx AND t.doc_id = p.doc_id
+      |      GROUP BY 1, 2, 3)
+      |SELECT nc.leg, nc.t_width, nc.query_idx, nc.n_candidates,
+      |       CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits
+      |FROM nc LEFT JOIN h
+      |  ON h.leg = nc.leg AND h.t_width = nc.t_width AND h.query_idx = nc.query_idx
+      |ORDER BY nc.leg, nc.t_width, nc.query_idx""".stripMargin
+
   // ---- metadata-FILTERED maxsim serving through the chunk-level IVF ----
   // Governed tenant/date-slice retrieval must FILL top-k from the
   // sub-corpus: the allowed-id set restricts the INDEX rows before the
@@ -2768,6 +3050,7 @@ object OpsQueries {
     "q_search_maxsim_pruned" -> (searchMaxsimPruned _),
     "q_search_maxsim_ann" -> (searchMaxsimAnn _),
     "q_search_maxsim_civf" -> (searchMaxsimCivf _),
+    "q_search_maxsim_cpq" -> (searchMaxsimCpq _),
     "q_search_maxsim_filtered" -> (searchMaxsimFiltered _),
     "q_index_drift" -> (indexDrift _),
     "q_hybrid_maxsim" -> (hybridMaxsim _),
@@ -2812,6 +3095,7 @@ object OpsQueries {
     "q_search_maxsim_pruned" -> searchMaxsimPrunedSql,
     "q_search_maxsim_ann" -> searchMaxsimAnnSql,
     "q_search_maxsim_civf" -> searchMaxsimCivfSql,
+    "q_search_maxsim_cpq" -> searchMaxsimCpqSql,
     "q_search_maxsim_filtered" -> searchMaxsimFilteredSql,
     "q_index_drift" -> indexDriftSql,
     "q_hybrid_maxsim" -> hybridMaxsimSql,
