@@ -1939,9 +1939,10 @@ object OpsQueries {
       val perTok = graft.ann.Ann.ivfTopKBatchAdaptive(
         assigned, cents, tokBatch, t,
         numCandidates = math.max(10L * t, 100L))
+      // shortlist materialized once — see the q_search_maxsim_civf leg
       val cand = perTok
         .select(floor(col("query_idx") / 3).cast("int").as("query_idx"),
-          col("id").cast("long").as("doc_id")).distinct()
+          col("id").cast("long").as("doc_id")).distinct().localCheckpoint()
       val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
         candidates = Some(cand))
       val nCand = cand.groupBy("query_idx").agg(count(lit(1)).as("n_candidates"))
@@ -2261,10 +2262,14 @@ object OpsQueries {
         chunkAsVecs.select("id", "embedding", "norm"), centsDoc)
         .localCheckpoint()))
     def leg(qz: String, cents: DataFrame, assigned: DataFrame, t: Int): DataFrame = {
+      // materialize the shortlist ONCE: it is output-bounded (≤ queries ×
+      // tokens × T docs) and feeds THREE consumers (the rescore join, the
+      // n_candidates count, and the rescore's own broadcast build) — left
+      // lazy, the whole adaptive-probe pipeline re-executes per consumer
       val cand = graft.search.ChunkIndex.chunkIvfCandidates(
           s, assigned, cents, toks.toIndexedSeq, t)
         .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
-        .distinct()
+        .distinct().localCheckpoint()
       val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
         candidates = Some(cand))
       val nCand = cand.groupBy("query_idx").agg(count(lit(1)).as("n_candidates"))
@@ -2503,9 +2508,10 @@ object OpsQueries {
         case _ => graft.search.ChunkIndex.cpqCandidates(
           s, codes, centsChunk, cb, toks.toIndexedSeq, t)
       }
+      // shortlist materialized once — see the q_search_maxsim_civf leg
       val cand = candRaw
         .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
-        .distinct()
+        .distinct().localCheckpoint()
       val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
         candidates = Some(cand))
       val nCand = cand.groupBy("query_idx").agg(count(lit(1)).as("n_candidates"))
@@ -2758,10 +2764,11 @@ object OpsQueries {
     val toks = rawToks.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).map(_.toFloat).toArray))
     def leg(t: Int): DataFrame = {
+      // shortlist materialized once — see the q_search_maxsim_civf leg
       val cand = graft.search.ChunkIndex.chunkIvfCandidates(
           s, assignedIn, cents, toks.toIndexedSeq, t)
         .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
-        .distinct()
+        .distinct().localCheckpoint()
       val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
         candidates = Some(cand))
       val nCand = cand.groupBy("query_idx").agg(count(lit(1)).as("n_candidates"))
