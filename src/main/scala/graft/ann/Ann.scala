@@ -87,9 +87,9 @@ object Ann {
   /** Offline kNN self-join: every vector's top-k neighbors (excluding
     * itself) — the workhorse of embedding-dedup and clustering pipelines.
     *
-    * v0 (exact): blocked self-join + two-level row_number top-k. The
-    * local/global window pair bounds the second shuffle to ~partitions*k
-    * rows per query vector. 100 TB path: restrict the self-join to IVF
+    * v0 (exact): blocked self-join + group-limited row_number top-k
+    * (InferWindowGroupLimit prunes to k rows per qid per map partition
+    * before the one exchange). 100 TB path: restrict the self-join to IVF
     * cluster neighborhoods (join on cluster_id from [[assign]]) — same
     * shape, pruned pairs.
     */
@@ -109,18 +109,18 @@ object Ann {
     val scored = a.join(b, col("qid") =!= col("id"))
       .withColumn("score",
         VectorFunctions.dot(col("qv"), col("embedding")) / (col("qn") * col("norm")))
-      .withColumn("pid", spark_partition_id())
-      // project BEFORE the windows: the local window's exchange otherwise
-      // carries both embedding arrays through the n*n-row shuffle (~50x
-      // the bytes of (qid, id, score) at dim 64 — measured 6.9 -> ~3 s on
-      // the triplet-mining bench entry at sf0.1)
-      .select("qid", "pid", "id", "score")
-    val localW = Window.partitionBy("qid", "pid")
-      .orderBy(col("score").desc, col("id").asc)
+      // project BEFORE the window: the exchange otherwise carries both
+      // embedding arrays (~50x the bytes of (qid, id, score) at dim 64 —
+      // measured 6.9 -> ~3 s on the triplet-mining bench entry at sf0.1)
+      .select("qid", "id", "score")
+    // ONE window, top-k pruned map-side: the rn <= k filter on a
+    // row_number window triggers InferWindowGroupLimit (SPARK-37099), so
+    // each map partition emits at most k rows per qid BEFORE the
+    // exchange — the same bound the old manual (qid, pid) local window
+    // enforced, without that window's extra n*n-row exchange + sort.
     val globalW = Window.partitionBy("qid")
       .orderBy(col("score").desc, col("id").asc)
     scored
-      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
       .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
       .select(col("qid"), col("id").as("neighbor"), col("rn").as("rank"), col("score"))
   }
@@ -316,14 +316,11 @@ object Ann {
       .join(qdf, "query_idx")
       .withColumn("score",
         VectorFunctions.dot(col("embedding"), col("qv")) / (col("norm") * col("qn")))
-      .withColumn("pid", spark_partition_id())
-      .select("query_idx", "pid", "id", "score")
-    val localW = Window.partitionBy("query_idx", "pid")
-      .orderBy(col("score").desc, col("id").asc)
+      .select("query_idx", "id", "score")
+    // one window, map-side group-limit pruned (see knnJoin)
     val globalW = Window.partitionBy("query_idx")
       .orderBy(col("score").desc, col("id").asc)
     scored
-      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
       .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
       .select("query_idx", "id", "score")
   }
@@ -382,14 +379,11 @@ object Ann {
       .join(qdf, "query_idx")
       .withColumn("score",
         VectorFunctions.dot(col("embedding"), col("qv")) / (col("norm") * col("qn")))
-      .withColumn("pid", spark_partition_id())
-      .select("query_idx", "pid", "id", "score")
-    val localW = Window.partitionBy("query_idx", "pid")
-      .orderBy(col("score").desc, col("id").asc)
+      .select("query_idx", "id", "score")
+    // one window, map-side group-limit pruned (see knnJoin)
     val globalW = Window.partitionBy("query_idx")
       .orderBy(col("score").desc, col("id").asc)
     scored
-      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
       .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
       .select("query_idx", "id", "score")
   }

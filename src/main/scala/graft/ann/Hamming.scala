@@ -59,17 +59,13 @@ object Hamming {
       .select(col("query_idx"), col("query_vec"),
         word("query_vec", 0, 32).as("q_lo"),
         word("query_vec", 32, dim).as("q_hi"))
-    val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_idx", "pid").orderBy(col("ham").asc, col("id").asc)
+    // one window, map-side group-limit pruned (see Ann.knnJoin)
     val globalW = org.apache.spark.sql.expressions.Window
       .partitionBy("query_idx").orderBy(col("ham").asc, col("id").asc)
     val shortlist = c.join(broadcast(qDf))
       .withColumn("ham",
         bit_count(col("code_lo").bitwiseXOR(col("q_lo"))) +
           bit_count(col("code_hi").bitwiseXOR(col("q_hi"))))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrn", row_number().over(localW))
-      .filter(col("lrn") <= k * oversample)
       .withColumn("rn", row_number().over(globalW))
       .filter(col("rn") <= k * oversample)
       .select("query_idx", "id", "query_vec")

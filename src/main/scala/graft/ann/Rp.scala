@@ -83,10 +83,11 @@ object Rp {
     val projected = project(vectors, seed, targetDim, dim)
     val qDf = queries.toDF("query_idx", "query_vec")
       .withColumn("q_projected", projectCol(col("query_vec"), seed, targetDim, dim))
-    // two-level top-k (the Semantic.searchMany shape): per-partition
-    // bounded heads first, so no per-query window ever holds the corpus
-    val localW = org.apache.spark.sql.expressions.Window
-      .partitionBy("query_idx", "pid").orderBy(col("psc").desc, col("id"))
+    // ONE window, pruned map-side: rn <= k*oversample on a row_number
+    // window triggers InferWindowGroupLimit (SPARK-37099) — each map
+    // partition emits at most that many rows per query BEFORE the
+    // exchange, so no per-query window ever holds the corpus and the old
+    // manual (query_idx, pid) pre-window's extra exchange + sort is gone
     val globalW = org.apache.spark.sql.expressions.Window
       .partitionBy("query_idx").orderBy(col("psc").desc, col("id"))
     val shortlist = projected
@@ -96,9 +97,6 @@ object Rp {
           lit(0.0), (acc, x) => acc + x) /
           (col("pnorm") *
             sqrt(aggregate(col("q_projected"), lit(0.0), (acc, x) => acc + x * x))))
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrn", row_number().over(localW))
-      .filter(col("lrn") <= k * oversample)
       .withColumn("rn", row_number().over(globalW))
       .filter(col("rn") <= k * oversample)
       .select("query_idx", "id", "query_vec")

@@ -43,13 +43,11 @@ object Mining {
   }
 
   private def topK(scored: DataFrame, k: Int): DataFrame = {
-    val localW = Window.partitionBy("anchor_id", "pid")
-      .orderBy(col("score").desc, col("id").asc)
+    // one window, map-side group-limit pruned (see Ann.knnJoin)
     val globalW = Window.partitionBy("anchor_id")
       .orderBy(col("score").desc, col("id").asc)
     scored
-      .withColumn("pid", spark_partition_id())
-      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
+      .select("anchor_id", "id", "score")
       .withColumn("rank", row_number().over(globalW)).filter(col("rank") <= k)
       .select(col("anchor_id"), col("id").as("negative"), col("rank"),
         col("score"))

@@ -94,13 +94,13 @@ object Semantic {
       .join(broadcast(queriesDf))
       .withColumn("score",
         cosinePrenormed(col("embedding"), col("query_vec"), col("norm"), l2Norm(col("query_vec"))))
-      .withColumn("pid", spark_partition_id())
-    val localW = Window.partitionBy("query_idx", "pid")
-      .orderBy(col("score").desc, col("id").asc)
+      .select("query_idx", "id", "score")
+    // one window, map-side group-limit pruned (see Ann.knnJoin): the
+    // rn <= k filter triggers InferWindowGroupLimit, so each map
+    // partition emits at most k rows per query before the exchange
     val globalW = Window.partitionBy("query_idx")
       .orderBy(col("score").desc, col("id").asc)
     joined
-      .withColumn("lrn", row_number().over(localW)).filter(col("lrn") <= k)
       .withColumn("rn", row_number().over(globalW)).filter(col("rn") <= k)
       .select("query_idx", "id", "score")
   }
