@@ -211,6 +211,45 @@ object GraphSearch {
       entryPoints, beam, hops, k, pred, mark)
   }
 
+  /** [[visitedFrom]] with the public entry-point signature — the walk of
+    * [[beamSearchFilteredWithEntries]] WITHOUT its final rescore, for
+    * callers grading several predicates against one unfiltered walk.
+    */
+  def visitedWithEntries(
+      graph: DataFrame,
+      vectors: DataFrame,
+      queries: Seq[(Int, Seq[Float])],
+      entryPoints: DataFrame, // (query_idx, id)
+      beam: Int,
+      hops: Int,
+      k: Int,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): DataFrame = {
+    val spark = vectors.sparkSession
+    val mark = mkMark(candidateBound(queries.size, beam, hops, k) <= broadcastRowLimit)
+    visitedFrom(graph, vectors, queryFrame(spark, queries, mark),
+      entryPoints, beam, hops, mark)
+  }
+
+  /** [[filteredRescore]] with the public entry-point signature: top-k
+    * among a materialized visited set ∧ `pred` —
+    * `beamSearchFilteredWithEntries(...) ==
+    *  filteredRescoreTopK(visitedWithEntries(...), ...)`.
+    */
+  def filteredRescoreTopK(
+      visited: DataFrame, // (query_idx, id)
+      vectors: DataFrame,
+      queries: Seq[(Int, Seq[Float])],
+      k: Int,
+      pred: Column,
+      beam: Int,
+      hops: Int,
+      broadcastRowLimit: Long = DefaultBroadcastRowLimit): DataFrame = {
+    val spark = vectors.sparkSession
+    val mark = mkMark(candidateBound(queries.size, beam, hops, k) <= broadcastRowLimit)
+    filteredRescore(visited, vectors, queryFrame(spark, queries, mark),
+      k, pred, mark)
+  }
+
   private def beamSearchFilteredFrom(
       graph: DataFrame,
       vectors: DataFrame,
@@ -220,6 +259,24 @@ object GraphSearch {
       hops: Int,
       k: Int,
       pred: Column,
+      mark: DataFrame => DataFrame): DataFrame =
+    filteredRescore(
+      visitedFrom(graph, vectors, qdf, entryPoints, beam, hops, mark),
+      vectors, qdf, k, pred, mark)
+
+  /** The walk's VISITED set (query_idx, id) — entries plus every node any
+    * hop ever expanded to. Candidate-bounded: O(Q·B·k·hops) rows. Exposed
+    * so a caller grading SEVERAL predicates against the same unfiltered
+    * walk (q_ann_graph_filtered's shape) can materialize the walk once
+    * and pay only the per-predicate final rescore.
+    */
+  private[graft] def visitedFrom(
+      graph: DataFrame,
+      vectors: DataFrame,
+      qdf: DataFrame,
+      entryPoints: DataFrame,
+      beam: Int,
+      hops: Int,
       mark: DataFrame => DataFrame): DataFrame = {
     val byQuery = Window.partitionBy("query_idx")
       .orderBy(col("score").desc, col("id").asc)
@@ -235,16 +292,35 @@ object GraphSearch {
     var frontier = rescore(entryPoints.select("query_idx", "id"), beam)
     var visited = entryPoints.select("query_idx", "id")
     for (_ <- 1 to hops) {
+      // materialize the hop's expansion ONCE: it feeds BOTH the visited
+      // union and the next frontier's rescore — left lazy, each hop's
+      // whole walk-so-far re-executes per consumer (2^hops subtree
+      // growth). The frame is candidate-bounded (Q·B·k rows), the same
+      // size class the serving answer itself has.
       val expanded = mark(frontier.select(col("query_idx"), col("id").as("qid")))
         .join(graph, "qid")
         .select(col("query_idx"), col("neighbor").as("id"))
         .union(frontier.select("query_idx", "id"))
         .distinct()
-      visited = visited.union(expanded).distinct()
+        .localCheckpoint()
+      visited = visited.union(expanded)
       frontier = rescore(expanded, beam)
     }
-    // final answer: exact top-k among ALL visited nodes matching pred —
-    // the predicate prunes the vectors side of the rescore join
+    visited.distinct()
+  }
+
+  /** Exact top-k among `visited` ∧ `pred` — [[beamSearchFiltered]]'s final
+    * stage; the predicate prunes the vectors side of the rescore join.
+    */
+  private[graft] def filteredRescore(
+      visited: DataFrame, // (query_idx, id)
+      vectors: DataFrame,
+      qdf: DataFrame,
+      k: Int,
+      pred: Column,
+      mark: DataFrame => DataFrame): DataFrame = {
+    val byQuery = Window.partitionBy("query_idx")
+      .orderBy(col("score").desc, col("id").asc)
     mark(visited).join(vectors.filter(pred), "id")
       .join(qdf, "query_idx")
       .withColumn("score",

@@ -392,10 +392,15 @@ object OpsQueries {
     val preds = Seq(
       "sel_1pct" -> (pmod(col("id"), lit(97)) === 0),
       "half" -> (pmod(col("id"), lit(2)) === 0))
+    // the walk is UNFILTERED and therefore identical for every predicate:
+    // materialize its visited set ONCE and pay only the final
+    // visited ∧ pred rescore per predicate (was: one full walk per pred)
+    val visited = GraphSearch.visitedWithEntries(
+      graph, vecs, qs, medoidEntries, beam = 8, hops = 2, k = 5).localCheckpoint()
     preds.map { case (name, pred) =>
       val truth = Ann.bruteTopK(vecs.filter(pred), qs, 5).select("query_idx", "id")
-      val approx = GraphSearch.beamSearchFilteredWithEntries(
-        graph, vecs, qs, medoidEntries, beam = 8, hops = 2, k = 5, pred)
+      val approx = GraphSearch.filteredRescoreTopK(
+        visited, vecs, qs, k = 5, pred, beam = 8, hops = 2)
       val hits = truth.join(approx.select("query_idx", "id"), Seq("query_idx", "id"))
         .groupBy("query_idx").agg(count(lit(1)).as("n_hits"))
       truth.groupBy("query_idx").agg(count(lit(1)).as("k_eff"))
