@@ -257,7 +257,12 @@ object Dedup {
       }
       sigs.select(col("id"), posexplode(array(bandKeys: _*)).as(Seq("band", "bucket")))
     }
-    def eligible(banded: DataFrame): DataFrame = {
+    def eligible(banded0: DataFrame): DataFrame = {
+      // one materialization per side: the banded frame feeds the
+      // stop-bucket count AND the probe — left lazy, each side's whole
+      // signature computation re-executes per consumer (the bucketPairs
+      // lesson; the frame is the side's LSH index table, linear-sized)
+      val banded = banded0.localCheckpoint()
       val oversized = banded.groupBy("band", "bucket").agg(count(lit(1)).as("__n"))
         .filter(col("__n") > maxBucketSize)
         .select("band", "bucket")
@@ -305,6 +310,15 @@ object Dedup {
       s"bucketPairs needs ($blockCol, $keyCol) in ${banded.columns.mkString(",")}")
     val keyCols = Seq(col(blockCol), col(keyCol))
     val keyNames = Seq(blockCol, keyCol)
+    // Materialize the banded frame ONCE: it feeds the stop-bucket count
+    // AND the self-join's two legs, and its upstream is typically the
+    // whole signature computation (MinHash: 32 permutation mins over
+    // every (doc, shingle) row) — left lazy, that computation re-executes
+    // per consumer (measured 3x on q_dedup_minhash: three ~32-task
+    // signature stages per run). The frame is the LSH index table itself
+    // (docs x bands narrow rows — the thing a production index PERSISTS),
+    // so one eager materialization is the at-scale shape too.
+    val bandedM = banded.localCheckpoint()
     // Stop buckets are excluded BEFORE the window: the window's
     // partitionBy ships every row of a bucket to one task, so a 100M-row
     // stop bucket would be a single-task straggler exactly on the skewed
@@ -313,11 +327,11 @@ object Dedup {
     // shuffle) and only oversized keys — a tiny set by construction —
     // broadcast back as an anti-join. On corpora with no stop buckets the
     // blacklist is empty and the anti-join is a no-op probe.
-    val oversized = banded.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
+    val oversized = bandedM.groupBy(keyCols: _*).agg(count(lit(1)).as("__n"))
       .filter(col("__n") > maxBucketSize)
       .select(keyCols: _*)
     val sizeW = org.apache.spark.sql.expressions.Window.partitionBy(keyCols: _*)
-    val eligible = banded
+    val eligible = bandedM
       .join(broadcast(oversized), keyNames, "left_anti")
       .withColumn("bsz", count(lit(1)).over(sizeW))
       .filter(col("bsz") >= 2)
