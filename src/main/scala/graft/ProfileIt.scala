@@ -53,10 +53,13 @@ object ProfileIt {
         tasks.addAndGet(s.stageInfo.numTasks)
         taskTimeMs.addAndGet(s.stageInfo.taskMetrics.executorRunTime)
         if (traceJobs && s.stageInfo.taskMetrics.executorRunTime >= 100) {
-          val site = s.stageInfo.details.linesIterator
-            .find(l => l.contains("graft.") && !l.contains("ProfileIt"))
-            .getOrElse(s.stageInfo.name).trim.replaceAll("^at ", "").take(90)
-          println(f"    stage ${s.stageInfo.stageId}%4d run=${s.stageInfo.taskMetrics.executorRunTime}%6dms tasks=${s.stageInfo.numTasks}%3d  $site")
+          val frames = s.stageInfo.details.linesIterator
+            .filter(l => l.contains("graft.") && !l.contains("ProfileIt"))
+            .take(4).map(_.trim.replaceAll("^at ", "").take(80)).mkString(" | ")
+          val scopes = s.stageInfo.rddInfos.sortBy(_.id)
+            .flatMap(r => r.scope.map(_.name)).distinct.mkString(">")
+          val site = if (frames.nonEmpty) frames else scopes
+          println(f"    stage ${s.stageInfo.stageId}%4d run=${s.stageInfo.taskMetrics.executorRunTime}%6dms tasks=${s.stageInfo.numTasks}%3d  ${site.take(160)}")
         }
       }
     })

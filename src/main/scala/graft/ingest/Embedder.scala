@@ -32,16 +32,31 @@ trait Embedder extends Serializable {
   * reproducible in any oracle.
   */
 final class DeterministicHashEmbedder(val dimension: Int = 768) extends Embedder {
-  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] =
+  override def embedBatch(texts: Seq[String]): Seq[Array[Float]] = {
+    // One digest instance per batch (digest() resets it), the text's UTF-8
+    // bytes encoded once per TEXT instead of once per (text, dimension),
+    // and the "first 15 hex chars as a long" read as what it is — the top
+    // 60 bits of the big-endian first 8 digest bytes (an unsigned >>> 4)
+    // — instead of 8 String.formats + parseLong per component. The old
+    // form cost ~10 us per (text, dim): at 30k chunks x 8 dims per maxsim
+    // fixture it was the dominant stage of every maxsim harness query.
+    // Bit-identical output (EmbedderSpec pins vectors; oracle replays
+    // sha256 per component).
+    val md = MessageDigest.getInstance("SHA-256")
     texts.map { t =>
+      val tBytes = t.getBytes("UTF-8")
       Array.tabulate(dimension) { i =>
-        val d = MessageDigest.getInstance("SHA-256")
-          .digest((t + i.toString).getBytes("UTF-8"))
-        val v = java.lang.Long.parseLong(
-          d.take(8).map("%02x".format(_)).mkString.take(15), 16)
+        md.update(tBytes)
+        md.update(String.valueOf(i).getBytes("UTF-8"))
+        val d = md.digest()
+        val v = ((d(0) & 0xffL) << 56 | (d(1) & 0xffL) << 48 |
+          (d(2) & 0xffL) << 40 | (d(3) & 0xffL) << 32 |
+          (d(4) & 0xffL) << 24 | (d(5) & 0xffL) << 16 |
+          (d(6) & 0xffL) << 8 | (d(7) & 0xffL)) >>> 4
         ((v % 100).toFloat) / 100.0f
       }
     }
+  }
 }
 
 object Embed {
