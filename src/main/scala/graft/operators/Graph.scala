@@ -27,10 +27,22 @@ import org.apache.spark.sql.functions._
   * node ids, so AQE handles hub skew with split partitions. The edge +
   * degree frame is localCheckpointed ONCE and reused by every round;
   * ranks are checkpointed per round so round N's plan does not replay
-  * rounds 1..N-1 (the duplicateClusters precedent). Driver state: nothing
-  * but the loop counter — no collect anywhere.
+  * rounds 1..N-1 (the duplicateClusters precedent), and the rank side of
+  * each round's join carries a size-GATED broadcast hint (the checkpointed
+  * frame has no stats, so the planner would otherwise sort-merge-exchange
+  * BOTH sides every round). Driver state: nothing but the loop counter
+  * and one node count — no data collect anywhere.
   */
 object Graph {
+
+  /** Per-round broadcast gate for the rank/label frame in the iterative
+    * operators: one (long, long) row per NODE, so 2M rows is ~32 MB of
+    * payload (a ~150 MB hash relation) — comfortably broadcastable, far
+    * past every bench fixture. Above the gate the round join falls back
+    * to the sort-merge exchanges it always had; the gate costs ONE count
+    * of the checkpointed node list per operator call.
+    */
+  val RankBroadcastMaxRows = 2000000L
 
   /** Mutual-kNN graph: keep a directed kNN edge only when its REVERSE
     * edge also exists — the standard sparsifier that turns a noisy kNN
@@ -163,17 +175,27 @@ object Graph {
     */
   def labelPropagation(pairs: DataFrame, rounds: Int): DataFrame = {
     require(rounds >= 1 && rounds <= 20, s"rounds 1..20, got $rounds")
+    // The checkpointed label frame has no stats, so the planner would
+    // sort-merge every round: exchange + sort BOTH the edge frame and the
+    // node-sized label frame. The size-GATED broadcast hint on the label
+    // side drops each round to edge-scan + broadcast join + the two
+    // fundamental shuffles (the (u,lbl) count and the argmax window's
+    // re-key): 4 Exchange + 2 Sort per round down to 2 Exchange. Past the
+    // gate (node count > RankBroadcastMaxRows) the hint is withheld and
+    // the round keeps the exchanges it always had; nothing regresses.
     val sym = pairs.select(col("a").as("u"), col("b").as("v"))
       .unionByName(pairs.select(col("b").as("u"), col("a").as("v")))
       .distinct().localCheckpoint()
     var labels = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (labels.count() <= RankBroadcastMaxRows) broadcast _ else identity
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("u").orderBy(col("n").desc, col("lbl").asc)
     var r = 0
     while (r < rounds) {
       labels = sym
-        .join(labels.withColumnRenamed("id", "v"), "v")
+        .join(hint(labels.withColumnRenamed("id", "v")), "v")
         .groupBy("u", "lbl").agg(count(lit(1)).as("n"))
         .withColumn("rn", row_number().over(w))
         .filter(col("rn") === 1)
@@ -264,6 +286,8 @@ object Graph {
       isSeed: org.apache.spark.sql.Column => org.apache.spark.sql.Column,
       iters: Int = 5): DataFrame = {
     require(iters >= 1, "pageRankPersonalized needs at least one iteration")
+    // same round shape as [[pageRank]] — see the gated-broadcast notes
+    // there; the gate count rides the existing seed-count aggregate
     val edges = symmetrizeWithDegree(pairs).localCheckpoint()
     val nodes = edges.select(col("a").as("id"), col("deg")).distinct()
       .localCheckpoint()
@@ -271,35 +295,49 @@ object Graph {
       sum(when(isSeed(col("id")), 1L).otherwise(0L)).as("ns")).head()
     val (n, ns) = (cnt.getLong(0), cnt.getLong(1))
     require(ns > 0, "personalization needs at least one seed in the graph")
+    val hint: DataFrame => DataFrame =
+      if (n <= RankBroadcastMaxRows) broadcast _ else identity
     val restart = (150000L * n) / ns
     def restartOf(id: org.apache.spark.sql.Column) =
       when(isSeed(id), lit(restart)).otherwise(lit(0L))
     var ranks = nodes.select(col("id"), restartOf(col("id")).as("rank_micro"))
     for (_ <- 1 to iters) {
+      val r = hint(ranks)
       ranks = edges
-        .join(ranks, edges("a") === ranks("id"))
+        .join(r, edges("a") === r("id"))
         .select(col("b").as("id"), expr("rank_micro div deg").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
         .select(col("id"),
           (restartOf(col("id")) + expr("(85L * s) div 100L")).as("rank_micro"))
         .localCheckpoint()
     }
-    nodes.join(ranks, "id")
+    nodes.join(hint(ranks), "id")
       .select(col("id"), col("deg"), col("rank_micro"))
   }
 
   def pageRank(pairs: DataFrame, iters: Int = 5): DataFrame = {
     require(iters >= 1, "pageRank needs at least one iteration")
+    // The checkpointed rank frame has no stats, so the planner would
+    // sort-merge every round: exchange + sort BOTH the edge frame and the
+    // node-sized rank frame. The size-GATED broadcast hint on the rank
+    // side drops each round to edge-scan + broadcast join + the round's
+    // one fundamental shuffle (the contribution aggregate): 3 Exchange +
+    // 2 Sort per round down to 1 Exchange. Past the gate (node count >
+    // RankBroadcastMaxRows) the hint is withheld and the round keeps the
+    // exchanges it always had; nothing regresses.
     val edges = symmetrizeWithDegree(pairs).localCheckpoint()
     val nodes = edges.select(col("a").as("id"), col("deg")).distinct()
       .localCheckpoint()
+    val hint: DataFrame => DataFrame =
+      if (nodes.count() <= RankBroadcastMaxRows) broadcast _ else identity
     var ranks = nodes.select(col("id"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
       // one keyed join + one keyed agg per round — no re-join against the
       // node list: in the symmetrized graph every node has >= 1 in-edge,
       // so the contribution aggregate already covers the full node set
+      val r = hint(ranks)
       ranks = edges
-        .join(ranks, edges("a") === ranks("id"))
+        .join(r, edges("a") === r("id"))
         .select(col("b").as("id"),
           expr("rank_micro div deg").as("c"))
         .groupBy("id").agg(sum("c").as("s"))
@@ -307,7 +345,7 @@ object Graph {
           expr("150000L + (85L * s) div 100L").as("rank_micro"))
         .localCheckpoint()
     }
-    nodes.join(ranks, "id")
+    nodes.join(hint(ranks), "id")
       .select(col("id"), col("deg"), col("rank_micro"))
   }
 }
