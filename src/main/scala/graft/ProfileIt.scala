@@ -86,7 +86,10 @@ object ProfileIt {
         (dt, jobs.get, stages.get, tasks.get, taskTimeMs.get / 1e3)
       }
       val best = measured.minBy(_._1)
-      println(f"$name%-28s ${best._1}%8.3f ${best._2}%5d ${best._3}%7d ${best._4}%6d ${best._5}%10.2f")
+      // session-accumulation diagnostic: persistent RDDs (localCheckpoint
+      // blocks live here until the ContextCleaner reaps them)
+      val rdds = spark.sparkContext.getPersistentRDDs.size
+      println(f"$name%-28s ${best._1}%8.3f ${best._2}%5d ${best._3}%7d ${best._4}%6d ${best._5}%10.2f  rdds=$rdds%4d")
     }
     spark.stop()
   }

@@ -2198,7 +2198,11 @@ object OpsQueries {
     // the doc's two topics come from a GLOBAL pool of 32 shared topic
     // directions (hash of doc id + the chunk text's hash parity), so the
     // chunk-vector space has real cluster structure — the structure a
-    // chunk-trained quantizer recovers and doc pooling averages away
+    // chunk-trained quantizer recovers and doc pooling averages away.
+    // Materialized ONCE: cc feeds both the topic-vocabulary distinct and
+    // the topic join below — left lazy, the corpus-sized chunk-embedding
+    // mapPartitions pass executes twice (measured ~25 s executor time per
+    // pass at sf0.1)
     val cc = graft.ingest.Embed.withEmbeddings(chunks, embedder)
       .select(col("doc_id"),
         concat(col("doc_id").cast("string"), lit("#"), col("content")).as("ckey"),
@@ -2208,6 +2212,7 @@ object OpsQueries {
               "256), 1, 15), 16, 10) as bigint)"),
             lit(32L)).cast("string")).as("topic"),
         maxsimCentsCentered.as("vec"))
+      .localCheckpoint()
     val topics = cc.select(col("topic").as("content")).distinct()
       .withColumn("embedding", lit(null).cast("array<float>"))
     val tv = graft.ingest.Embed.withEmbeddings(topics, embedder)
