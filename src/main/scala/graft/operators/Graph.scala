@@ -67,9 +67,12 @@ object Graph {
   }
 
   /** Symmetrize an undirected pair list (a,b) into a directed distinct
-    * edge list with per-source degree attached.
+    * edge list with per-source degree attached. Also returns the node
+    * frame (id, deg) — the degree aggregate IS the distinct node list
+    * (every node of a symmetrized edge appears as a source), so callers
+    * that need it skip a second edge-sized distinct.
     */
-  private def symmetrizeWithDegree(pairs: DataFrame): DataFrame = {
+  private def symmetrizeWithDegree(pairs: DataFrame): (DataFrame, DataFrame) = {
     // pairs is usually a whole candidate-generation pipeline: materialize
     // it once (output-sized) before the union reads it twice, and the
     // symmetrized set once before the degree join reads THAT twice
@@ -78,7 +81,8 @@ object Graph {
       .unionByName(p0.select(col("b").as("a"), col("a").as("b")))
       .distinct().localCheckpoint()
     val deg = edges.groupBy(col("a")).agg(count(lit(1)).as("deg"))
-    edges.join(deg, "a")
+      .localCheckpoint()
+    (edges.join(deg, "a"), deg.select(col("a").as("id"), col("deg")))
   }
 
   /** Connected components by alternating large-star / small-star rounds
@@ -288,9 +292,8 @@ object Graph {
     require(iters >= 1, "pageRankPersonalized needs at least one iteration")
     // same round shape as [[pageRank]] — see the gated-broadcast notes
     // there; the gate count rides the existing seed-count aggregate
-    val edges = symmetrizeWithDegree(pairs).localCheckpoint()
-    val nodes = edges.select(col("a").as("id"), col("deg")).distinct()
-      .localCheckpoint()
+    val (edgesRaw, nodes) = symmetrizeWithDegree(pairs)
+    val edges = edgesRaw.localCheckpoint()
     val cnt = nodes.agg(count(lit(1)).as("n"),
       sum(when(isSeed(col("id")), 1L).otherwise(0L)).as("ns")).head()
     val (n, ns) = (cnt.getLong(0), cnt.getLong(1))
@@ -325,9 +328,8 @@ object Graph {
     // 2 Sort per round down to 1 Exchange. Past the gate (node count >
     // RankBroadcastMaxRows) the hint is withheld and the round keeps the
     // exchanges it always had; nothing regresses.
-    val edges = symmetrizeWithDegree(pairs).localCheckpoint()
-    val nodes = edges.select(col("a").as("id"), col("deg")).distinct()
-      .localCheckpoint()
+    val (edgesRaw, nodes) = symmetrizeWithDegree(pairs)
+    val edges = edgesRaw.localCheckpoint()
     val hint: DataFrame => DataFrame =
       if (nodes.count() <= RankBroadcastMaxRows) broadcast _ else identity
     var ranks = nodes.select(col("id"), lit(1000000L).as("rank_micro"))
