@@ -936,12 +936,20 @@ object Dedup {
     // per-doc prefix; the exact cutoff still filters on top.
     val maxLen = sets.agg(max(col("len")).cast("long")).head().getLong(0)
     val cap = math.floor((1 - threshold) * maxLen).toInt + 2
+    // prefix frame materialized ONCE: it feeds BOTH sides of the
+    // candidate self-join below, and the group-limited rank window
+    // otherwise re-executes per join side (the exchange below it is
+    // reused, but the WindowGroupLimit + Window + filters run again on
+    // each consumer — measured as the two largest stages of
+    // q_dedup_ngram_prefix, ~15 s of ~34 s executor time per run). The
+    // frame is prefix-BOUNDED: <= cap rows per doc of (id, h, len, rnk).
     val pref = sh.join(dfs, "h")
       .withColumn("rnk", row_number().over(rankW))
       .filter(col("rnk") <= lit(cap))
       .filter(col("rnk") <=
         col("len") - ceil(lit(threshold) * col("len") - lit(1e-9)) + 1)
       .select("id", "h", "len", "rnk")
+      .localCheckpoint()
     // Positional filter (PPJoin proper, Xiao et al. WWW'08): J >= t is
     // |x∩y| >= alpha with alpha = ceil(t/(1+t) * (|x|+|y|)); a pair's
     // FIRST shared shingle in the global order (ranks i, j) bounds the
