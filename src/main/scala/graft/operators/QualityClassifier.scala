@@ -97,12 +97,21 @@ object QualityClassifier {
             round((col("pv") - col("label").cast("double")) * 1e6 /
               size(col("buckets")).cast("double"), 0).cast("long"))
             .otherwise(lit(0L)))
-      val agg = perDoc.select(
-        explode(col("buckets")).as("bucket"), col("c_micro"), col("d_micro"))
-      val grad = agg.groupBy("bucket").agg(sum("c_micro").as("g"))
+      // ONE pass per iteration: the bias gradient rides the same exploded
+      // aggregation under the synthetic bucket -1 (its row carries the
+      // per-DOC d_micro exactly once), instead of a second full scan +
+      // margin fold over feats just for sum(d_micro) — exact long sums
+      // either way, so the trained model is bit-identical
+      val agg = perDoc.select(explode(concat(
+          transform(col("buckets"), b =>
+            struct(b.cast("long").as("bucket"), col("c_micro").as("v"))),
+          array(struct(lit(-1L).as("bucket"), col("d_micro").as("v")))))
+          .as("e"))
+        .select(col("e.bucket").as("bucket"), col("e.v").as("v"))
+      val sums = agg.groupBy("bucket").agg(sum("v").as("g"))
         .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-      val gBias = perDoc.agg(coalesce(sum("d_micro"), lit(0L)))
-        .collect()(0).getLong(0)
+      val grad = sums - (-1L)
+      val gBias = sums.getOrElse(-1L, 0L)
       model = Model(
         model.wMicro.zipWithIndex.map { case (v, b) =>
           v - roundHalfUp(eta * grad.getOrElse(b.toLong, 0L).toDouble / n.toDouble)
