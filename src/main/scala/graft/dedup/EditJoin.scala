@@ -72,10 +72,16 @@ object EditJoin {
     val rankW = org.apache.spark.sql.expressions.Window
       .partitionBy("id").orderBy(col("df").asc, col("h").asc, col("g").asc,
         col("pos").asc)
+    // prefix frame materialized ONCE: it feeds BOTH sides of the
+    // candidate self-join, and left lazy each side re-runs the gram
+    // posexplode AND the rank window (traced as three Generate stages
+    // per execution — dfs pass + one per join side). The frame is
+    // prefix-BOUNDED: <= k*q + 1 rows per string.
     val pref = grams.join(dfs, "h")
       .withColumn("rnk", row_number().over(rankW))
       .filter(col("rnk") <= lit(k * q + 1))
       .select("id", "str", "len", "pos", "h")
+      .localCheckpoint()
     // materialize the OUTPUT-SIZED candidate set before verification:
     // without the barrier Catalyst pushes the levenshtein predicate
     // through the distinct INTO the join condition, evaluating the DP on
