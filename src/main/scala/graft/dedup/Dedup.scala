@@ -971,6 +971,10 @@ object Dedup {
       .select(col("x.id").as("a"), col("y.id").as("b"))
       .distinct()
       .localCheckpoint()
+    // cands is materialized (eager checkpoint): the prefix frame's
+    // checkpoint blocks — candidate-generation-only, like the df frame —
+    // can be released NOW rather than lingering until ContextCleaner GC
+    graft.Checkpoints.free(pref)
     dfOwned.foreach(_.unpersist())
     verifyJaccard(cands, sets, threshold)
   }

@@ -96,6 +96,9 @@ object EditJoin {
         col("y.id").as("dst"), col("y.str").as("dst_str"))
       .distinct()
       .localCheckpoint()
+    // cands is materialized (eager checkpoint): the prefix frame's blocks
+    // are candidate-generation-only — release them deterministically
+    graft.Checkpoints.free(pref)
     // threshold (early-abandon) levenshtein: O(k·len) band instead of the
     // full len² DP; returns -1 above k, which the filter excludes
     val heavyPairs = cands

@@ -2217,9 +2217,16 @@ object OpsQueries {
       .withColumn("embedding", lit(null).cast("array<float>"))
     val tv = graft.ingest.Embed.withEmbeddings(topics, embedder)
       .select(col("content").as("topic"), maxsimCentsCentered.as("tvec"))
-    cc.join(tv, "topic")
+    // checkpoint the (bounded, chunk-count-sized) result HERE so cc's
+    // blocks — needed only for this join — release deterministically
+    // instead of lingering until ContextCleaner GC; both callers
+    // previously re-checkpointed the returned frame anyway
+    val out = cc.join(tv, "topic")
       .select(col("doc_id"), col("ckey"),
         zip_with(col("vec"), col("tvec"), (c, t) => c + t * lit(16)).as("vec"))
+      .localCheckpoint()
+    graft.Checkpoints.free(cc)
+    out
   }
 
   def searchMaxsimCivf(s: SparkSession, dir: String): DataFrame = {
@@ -2227,7 +2234,7 @@ object OpsQueries {
       .withColumn("__n", graft.functions.VectorFunctions.l2Norm(col("vec")))
       .withColumn("vec", expr("transform(vec, x -> x / __n)"))
       .drop("__n")
-    val rawKeyed = maxsimCivfChunkVecsKeyed(s, dir).localCheckpoint()
+    val rawKeyed = maxsimCivfChunkVecsKeyed(s, dir)
     val raw = rawKeyed.select("doc_id", "vec")
     val rawToks = maxsimAnnQueryToks(s, dir).localCheckpoint()
     val chunkVecs = normalized(raw).localCheckpoint()
@@ -2470,7 +2477,7 @@ object OpsQueries {
       .withColumn("__n", graft.functions.VectorFunctions.l2Norm(col("vec")))
       .withColumn("vec", expr("transform(vec, x -> x / __n)"))
       .drop("__n")
-    val rawKeyed = maxsimCivfChunkVecsKeyed(s, dir).localCheckpoint()
+    val rawKeyed = maxsimCivfChunkVecsKeyed(s, dir)
     val raw = rawKeyed.select("doc_id", "vec")
     val rawToks = maxsimAnnQueryToks(s, dir).localCheckpoint()
     val chunkVecs = normalized(raw).localCheckpoint()

@@ -36,13 +36,23 @@ import org.apache.spark.sql.functions._
 object Graph {
 
   /** Per-round broadcast gate for the rank/label frame in the iterative
-    * operators: one (long, long) row per NODE, so 2M rows is ~32 MB of
-    * payload (a ~150 MB hash relation) — comfortably broadcastable, far
-    * past every bench fixture. Above the gate the round join falls back
-    * to the sort-merge exchanges it always had; the gate costs ONE count
-    * of the checkpointed node list per operator call.
+    * operators: one (long, long) row per NODE, so the 2M-row default is
+    * ~32 MB of payload (a ~150 MB hash relation) — comfortably
+    * broadcastable on the bench box, far past every bench fixture. Above
+    * the gate the round join falls back to the sort-merge exchanges it
+    * always had; the gate costs ONE count of the checkpointed node list
+    * per operator call.
+    *
+    * Tunable (`graft.graph.rankBroadcastMaxRows`) because the hint
+    * BYPASSES `spark.sql.autoBroadcastJoinThreshold`: a small-memory
+    * deployment that lowers the Spark threshold must be able to lower
+    * this gate too rather than OOM on a forced ~150 MB hash relation.
     */
-  val RankBroadcastMaxRows = 2000000L
+  val RankBroadcastMaxRowsDefault = 2000000L
+  def rankBroadcastMaxRows(df: DataFrame): Long =
+    df.sparkSession.conf
+      .getOption("graft.graph.rankBroadcastMaxRows")
+      .map(_.toLong).getOrElse(RankBroadcastMaxRowsDefault)
 
   /** Mutual-kNN graph: keep a directed kNN edge only when its REVERSE
     * edge also exists — the standard sparsifier that turns a noisy kNN
@@ -193,7 +203,7 @@ object Graph {
     var labels = sym.select(col("u").as("id")).distinct()
       .select(col("id"), col("id").as("lbl")).localCheckpoint()
     val hint: DataFrame => DataFrame =
-      if (labels.count() <= RankBroadcastMaxRows) broadcast _ else identity
+      if (labels.count() <= rankBroadcastMaxRows(labels)) broadcast _ else identity
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy("u").orderBy(col("n").desc, col("lbl").asc)
     var r = 0
@@ -299,7 +309,7 @@ object Graph {
     val (n, ns) = (cnt.getLong(0), cnt.getLong(1))
     require(ns > 0, "personalization needs at least one seed in the graph")
     val hint: DataFrame => DataFrame =
-      if (n <= RankBroadcastMaxRows) broadcast _ else identity
+      if (n <= rankBroadcastMaxRows(edges)) broadcast _ else identity
     val restart = (150000L * n) / ns
     def restartOf(id: org.apache.spark.sql.Column) =
       when(isSeed(id), lit(restart)).otherwise(lit(0L))
@@ -331,7 +341,7 @@ object Graph {
     val (edgesRaw, nodes) = symmetrizeWithDegree(pairs)
     val edges = edgesRaw.localCheckpoint()
     val hint: DataFrame => DataFrame =
-      if (nodes.count() <= RankBroadcastMaxRows) broadcast _ else identity
+      if (nodes.count() <= rankBroadcastMaxRows(nodes)) broadcast _ else identity
     var ranks = nodes.select(col("id"), lit(1000000L).as("rank_micro"))
     for (_ <- 1 to iters) {
       // one keyed join + one keyed agg per round — no re-join against the

@@ -102,8 +102,12 @@ object QualityClassifier {
       // per-DOC d_micro exactly once), instead of a second full scan +
       // margin fold over feats just for sum(d_micro) — exact long sums
       // either way, so the trained model is bit-identical
+      // coalesce: a NULL buckets array (null toks) must still contribute
+      // its bias row — concat(null, array(...)) is null and explode would
+      // silently drop the doc's d_micro from the gradient
       val agg = perDoc.select(explode(concat(
-          transform(col("buckets"), b =>
+          transform(coalesce(col("buckets"),
+            array().cast("array<bigint>")), b =>
             struct(b.cast("long").as("bucket"), col("c_micro").as("v"))),
           array(struct(lit(-1L).as("bucket"), col("d_micro").as("v")))))
           .as("e"))
