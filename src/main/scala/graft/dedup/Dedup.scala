@@ -343,6 +343,27 @@ object Dedup {
       .distinct()
   }
 
+  /** Re-spread an under-partitioned frame whose DOWNSTREAM per-row cost
+    * is heavy (verify intersections, edit-distance DP): a checkpointed or
+    * AQE-coalesced candidate frame often sits at 1-2 partitions because
+    * coalescing targets bytes, serializing the verify stage onto one
+    * core. Keyed (deterministic) exchange, no-op when already wide.
+    */
+  private[dedup] def spreadByKeys(df: DataFrame, keys: org.apache.spark.sql.Column*): DataFrame = {
+    val target = df.sparkSession.sparkContext.defaultParallelism
+    df.queryExecution.logical match {
+      // ONLY for checkpointed frames: their partition count is a plain
+      // RDD property. Asking a LAZY adaptive plan for partitions
+      // (df.rdd.getNumPartitions) EXECUTES its whole stage DAG as a
+      // throwaway run — measured +30-50% on the minhash-route queries —
+      // and un-checkpointed candidates keep AQE's own sizing anyway.
+      case lr: org.apache.spark.sql.execution.LogicalRDD
+          if lr.rdd.getNumPartitions < target =>
+        df.repartition(target, keys: _*)
+      case _ => df
+    }
+  }
+
   /** Exact Jaccard for candidate pairs: two keyed joins fetch each side's
     * shingle SET ([[shingleSets]] sorted arrays), then a native merge-count
     * ([[VectorExpressions.SortedIntersectCount]]) computes the overlap
@@ -357,7 +378,13 @@ object Dedup {
     * shuffle-hash otherwise, output-proportional either way.
     */
   private[dedup] def verifyJaccard(cands: DataFrame, sets: DataFrame, threshold: Double): DataFrame =
-    cands
+    // spread the candidate frame first: it usually arrives as a
+    // checkpointed/AQE-coalesced frame of 1-2 partitions (coalescing
+    // targets BYTES, and a pair row is ~16 bytes), but each row costs an
+    // O(|shs|) intersect below — traced as ONE ~4-5 s task out of a
+    // 6.5 s q_dedup_ngram_prefix run. One output-sized keyed exchange
+    // buys a verify stage that scales with the session's cores.
+    spreadByKeys(cands, col("a"), col("b"))
       .join(sets.select(col("id").as("a"), col("shs").as("sha"), col("len").as("la")), "a")
       .join(sets.select(col("id").as("b"), col("shs").as("shb"), col("len").as("lb")), "b")
       .withColumn("inter",
@@ -794,7 +821,9 @@ object Dedup {
       .distinct()
       .localCheckpoint()
     dfOwned.unpersist()
-    cands
+    // spreadByKeys: the verifyJaccard rationale — don't verify a
+    // byte-coalesced candidate frame on one core
+    spreadByKeys(cands, col("src"), col("dst"))
       .join(sets.select(col("id").as("src"), col("shs").as("sha"),
         col("len").as("src_len")), "src")
       .join(sets.select(col("id").as("dst"), col("shs").as("shb")), "dst")

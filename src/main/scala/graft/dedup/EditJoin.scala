@@ -100,8 +100,11 @@ object EditJoin {
     // are candidate-generation-only — release them deterministically
     graft.Checkpoints.free(pref)
     // threshold (early-abandon) levenshtein: O(k·len) band instead of the
-    // full len² DP; returns -1 above k, which the filter excludes
-    val heavyPairs = cands
+    // full len² DP; returns -1 above k, which the filter excludes.
+    // spread first: the checkpointed candidate frame is byte-coalesced to
+    // 1-2 partitions while each row costs an O(k·len) DP (the
+    // Dedup.verifyJaccard rationale)
+    val heavyPairs = Dedup.spreadByKeys(cands, col("src"), col("dst"))
       .withColumn("dist", levenshtein(col("src_str"), col("dst_str"), k).cast("long"))
       .filter(col("dist") >= 0 && col("dist") <= lit(k))
       .select("src", "dst", "dist")

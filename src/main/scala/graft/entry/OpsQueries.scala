@@ -1729,8 +1729,10 @@ object OpsQueries {
   // is graded exactly: n_hits = |pruned top-10 ∩ exact top-10| per
   // query, everything replayed 1:1 in DuckDB (q_ann_recall convention).
   def searchMaxsimPruned(s: SparkSession, dir: String): DataFrame = {
-    val chunkVecs = maxsimChunkVecs(s, dir).localCheckpoint()
-    val queryToks = maxsimQueryToks(s, dir).localCheckpoint()
+    // the two root frames are independent — overlap their barrier jobs
+    val (chunkVecs, queryToks) = graft.Checkpoints.join2(
+      () => maxsimChunkVecs(s, dir).localCheckpoint(),
+      () => maxsimQueryToks(s, dir).localCheckpoint())
     // ONE chunk x token scan feeds both the candidate rule and the exact
     // truth: per-(query, token, doc) best chunk dot, materialized once.
     // truth = sum-over-tokens top-10 of this frame — exactly
@@ -1922,32 +1924,45 @@ object OpsQueries {
       .withColumn("__n", graft.functions.VectorFunctions.l2Norm(col("vec")))
       .withColumn("vec", expr("transform(vec, x -> x / __n)"))
       .drop("__n")
-    val raw = maxsimAnnChunkVecs(s, dir).localCheckpoint()
-    val rawToks = maxsimAnnQueryToks(s, dir).localCheckpoint()
-    val chunkVecs = normalized(raw).localCheckpoint()
-    val queryToks = normalized(rawToks).localCheckpoint()
-    val docVecs = maxsimDocVecs(raw).localCheckpoint()
-    val cents = graft.ann.Ann.representativeCentroids(
-      docVecs.withColumn("label", pmod(col("id"), lit(16L))), "label")
-      .localCheckpoint()
-    val assigned = graft.ann.Ann.assign(docVecs, cents).localCheckpoint()
-    val truth = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10)
-      .select("query_idx", "doc_id").localCheckpoint()
+    // Concurrent fixture waves — the searchMaxsimCivf rationale (guide
+    // §2.6): independent legs materialize as overlapping jobs.
+    val (raw, rawToks) = graft.Checkpoints.join2(
+      () => maxsimAnnChunkVecs(s, dir).localCheckpoint(),
+      () => maxsimAnnQueryToks(s, dir).localCheckpoint())
+    val w1 = graft.Checkpoints.parCheckpoint(Seq(
+      normalized(raw), normalized(rawToks), maxsimDocVecs(raw)))
+    val (chunkVecs, queryToks, docVecs) = (w1(0), w1(1), w1(2))
+    // quantizer chain ∥ exact truth — pairwise independent branches
+    val (centsAssigned, truth) = graft.Checkpoints.join2(
+      () => {
+        val cents = graft.ann.Ann.representativeCentroids(
+          docVecs.withColumn("label", pmod(col("id"), lit(16L))), "label")
+          .localCheckpoint()
+        (cents, graft.ann.Ann.assign(docVecs, cents).localCheckpoint())
+      },
+      () => {
+        val t = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10)
+          .select("query_idx", "doc_id").localCheckpoint()
+        t
+      })
+    val (cents, assigned) = centsAssigned
     // token batch for the doc-level ANN: key = query_idx*3 + tok_idx
     // (the fixture has exactly 3 tokens per query); RAW integer cents —
     // cosine is scale-invariant and integer dots replay exactly
     val toks = rawToks.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2)))
-    def annLeg(t: Int): DataFrame = {
+    // the two width shortlists, concurrently (each output-bounded,
+    // three consumers — see the q_search_maxsim_civf leg)
+    val candByT = graft.Checkpoints.parallel(Seq(5, 25).map(t => () => {
       val tokBatch = toks.toIndexedSeq.map { case (qi, ti, v) =>
         (qi * 3 + ti, v.map(_.toFloat)) }
-      val perTok = graft.ann.Ann.ivfTopKBatchAdaptive(
-        assigned, cents, tokBatch, t,
-        numCandidates = math.max(10L * t, 100L))
-      // shortlist materialized once — see the q_search_maxsim_civf leg
-      val cand = perTok
+      graft.ann.Ann.ivfTopKBatchAdaptive(
+          assigned, cents, tokBatch, t,
+          numCandidates = math.max(10L * t, 100L))
         .select(floor(col("query_idx") / 3).cast("int").as("query_idx"),
           col("id").cast("long").as("doc_id")).distinct().localCheckpoint()
+    }))
+    def annLeg(t: Int, cand: DataFrame): DataFrame = {
       val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
         candidates = Some(cand))
       val nCand = cand.groupBy("query_idx").agg(count(lit(1)).as("n_candidates"))
@@ -1958,7 +1973,7 @@ object OpsQueries {
         .na.fill(0L, Seq("n_hits"))
         .withColumn("t_width", lit(t.toLong))
     }
-    annLeg(5).unionByName(annLeg(25))
+    annLeg(5, candByT(0)).unionByName(annLeg(25, candByT(1)))
       .select("t_width", "query_idx", "n_candidates", "n_hits")
       .orderBy("t_width", "query_idx")
   }
@@ -2237,56 +2252,68 @@ object OpsQueries {
     val rawKeyed = maxsimCivfChunkVecsKeyed(s, dir)
     val raw = rawKeyed.select("doc_id", "vec")
     val rawToks = maxsimAnnQueryToks(s, dir).localCheckpoint()
-    val chunkVecs = normalized(raw).localCheckpoint()
-    val queryToks = normalized(rawToks).localCheckpoint()
-    val docVecs = maxsimDocVecs(raw).localCheckpoint()
-    // doc-trained quantizer: representative min-id POOLED DOC vector per
-    // id%16 (the one-quantizer-per-collection default)
-    val centsDoc = graft.ann.Ann.representativeCentroids(
-      docVecs.withColumn("label", pmod(col("id"), lit(16L))), "label")
-      .localCheckpoint()
-    // chunk-trained quantizer (PLAID, arXiv:2205.09707): centroids drawn
-    // from the CHUNK vectors the index stores — representative min-ckey
-    // chunk per doc_id%16, the same group count as the doc leg so the
-    // graded difference isolates the TRAINING SPACE (pooled doc vs chunk)
-    val chunkAsVecs = rawKeyed.select(col("ckey").as("id"),
-        expr("transform(vec, v -> cast(v as float))").as("embedding"),
-        col("doc_id"))
-      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
-      .localCheckpoint()
-    // chunk-trained quantizer: centroids SAMPLED from the chunk vectors
-    // themselves (representative min-ckey chunk per hash(ckey)%64 — the
-    // k-means-init step of the production buildChunkTrained, enough to
-    // land centroids ON the chunk space's topic structure), fully
-    // integer-derived and bit-replayable
-    val centsChunk = graft.ann.Ann.representativeCentroids(
-      chunkAsVecs.withColumn("label",
-        pmod(expr("cast(conv(substring(sha2(id, 256), 1, 15), 16, 10) as bigint)"),
-          lit(64L))), "label")
-      .localCheckpoint()
-    val truth = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10)
-      .select("query_idx", "doc_id").localCheckpoint()
+    // The harness is a DAG of independent fixture legs joined only at the
+    // end; eager checkpoints built one at a time serialized ~100 barrier
+    // jobs (driver-latency-bound: ~17 s executor time across 32 cores vs
+    // ~6 s wall). Materialize each dependency WAVE concurrently instead
+    // (guide §2.6) — identical frames, overlapping jobs.
+    // Wave 1: the four root frames (all depend only on rawKeyed/rawToks).
+    val w1 = graft.Checkpoints.parCheckpoint(Seq(
+      normalized(raw),
+      normalized(rawToks),
+      maxsimDocVecs(raw),
+      // chunk-trained quantizer input (PLAID, arXiv:2205.09707): the
+      // CHUNK vectors the index stores, keyed by ckey
+      rawKeyed.select(col("ckey").as("id"),
+          expr("transform(vec, v -> cast(v as float))").as("embedding"),
+          col("doc_id"))
+        .withColumn("norm",
+          graft.functions.VectorFunctions.l2Norm(col("embedding")))))
+    val (chunkVecs, queryToks, docVecs, chunkAsVecs) = (w1(0), w1(1), w1(2), w1(3))
+    // Wave 2: both quantizers + the exact truth — pairwise independent.
+    // doc-trained: representative min-id POOLED DOC vector per id%16 (the
+    // one-quantizer-per-collection default); chunk-trained: centroids
+    // SAMPLED from the chunk vectors themselves (representative min-ckey
+    // chunk per hash(ckey)%64 — the k-means-init step of the production
+    // buildChunkTrained), fully integer-derived and bit-replayable; the
+    // graded difference isolates the TRAINING SPACE (pooled doc vs chunk).
+    val w2 = graft.Checkpoints.parCheckpoint(Seq(
+      graft.ann.Ann.representativeCentroids(
+        docVecs.withColumn("label", pmod(col("id"), lit(16L))), "label"),
+      graft.ann.Ann.representativeCentroids(
+        chunkAsVecs.withColumn("label",
+          pmod(expr("cast(conv(substring(sha2(id, 256), 1, 15), 16, 10) as bigint)"),
+            lit(64L))), "label"),
+      graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10)
+        .select("query_idx", "doc_id")))
+    val (centsDoc, centsChunk, truth) = (w2(0), w2(1), w2(2))
     val toks = rawToks.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).map(_.toFloat).toArray))
-    // ONE chunk assignment per quantizer, shared by both width legs
-    // (assignment is the fixture's expensive pass — re-deriving it per
-    // leg doubled this query's bench cost)
+    // Wave 3: ONE chunk assignment per quantizer, shared by both width
+    // legs (assignment is the fixture's expensive pass — re-deriving it
+    // per leg doubled this query's bench cost). Ann.assign collects its
+    // centroid frame at construction, so each runs fully inside a thunk.
+    val assigned3 = graft.Checkpoints.parallel(Seq(centsChunk, centsDoc).map(c =>
+      () => graft.ann.Ann.assign(
+        chunkAsVecs.select("id", "embedding", "norm"), c).localCheckpoint()))
     val assignedByQz = Seq(
-      "chunk" -> (centsChunk, graft.ann.Ann.assign(
-        chunkAsVecs.select("id", "embedding", "norm"), centsChunk)
-        .localCheckpoint()),
-      "doc" -> (centsDoc, graft.ann.Ann.assign(
-        chunkAsVecs.select("id", "embedding", "norm"), centsDoc)
-        .localCheckpoint()))
-    def leg(qz: String, cents: DataFrame, assigned: DataFrame, t: Int): DataFrame = {
-      // materialize the shortlist ONCE: it is output-bounded (≤ queries ×
-      // tokens × T docs) and feeds THREE consumers (the rescore join, the
-      // n_candidates count, and the rescore's own broadcast build) — left
-      // lazy, the whole adaptive-probe pipeline re-executes per consumer
-      val cand = graft.search.ChunkIndex.chunkIvfCandidates(
-          s, assigned, cents, toks.toIndexedSeq, t)
-        .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
-        .distinct().localCheckpoint()
+      "chunk" -> (centsChunk, assigned3(0)),
+      "doc" -> (centsDoc, assigned3(1)))
+    // Wave 4: the four graded shortlists — the candidate frame is
+    // output-bounded (≤ queries × tokens × T docs) and feeds THREE
+    // consumers (the rescore join, the n_candidates count, and the
+    // rescore's own broadcast build) — left lazy, the whole
+    // adaptive-probe pipeline re-executes per consumer.
+    val legSpecs = assignedByQz.flatMap { case (qz, (cents, assigned)) =>
+      Seq(5, 25).map(t => (qz, cents, assigned, t)) }
+    val candByLeg = graft.Checkpoints.parallel(legSpecs.map {
+      case (_, cents, assigned, t) => () =>
+        graft.search.ChunkIndex.chunkIvfCandidates(
+            s, assigned, cents, toks.toIndexedSeq, t)
+          .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
+          .distinct().localCheckpoint()
+    })
+    def leg(qz: String, cand: DataFrame, t: Int): DataFrame = {
       val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
         candidates = Some(cand))
       val nCand = cand.groupBy("query_idx").agg(count(lit(1)).as("n_candidates"))
@@ -2298,8 +2325,7 @@ object OpsQueries {
         .withColumn("t_width", lit(t.toLong))
         .withColumn("quantizer", lit(qz))
     }
-    assignedByQz.flatMap { case (qz, (cents, assigned)) =>
-        Seq(5, 25).map(t => leg(qz, cents, assigned, t)) }
+    legSpecs.zip(candByLeg).map { case ((qz, _, _, t), cand) => leg(qz, cand, t) }
       .reduce(_ unionByName _)
       .select("quantizer", "t_width", "query_idx", "n_candidates", "n_hits")
       .orderBy("quantizer", "t_width", "query_idx")
@@ -2480,55 +2506,74 @@ object OpsQueries {
     val rawKeyed = maxsimCivfChunkVecsKeyed(s, dir)
     val raw = rawKeyed.select("doc_id", "vec")
     val rawToks = maxsimAnnQueryToks(s, dir).localCheckpoint()
-    val chunkVecs = normalized(raw).localCheckpoint()
-    val queryToks = normalized(rawToks).localCheckpoint()
-    // candidate-leg chunk vectors NORMALIZED then milli-QUANTIZED
-    // (floor(v/‖v‖·1000)): PLAID encodes normalized token embeddings —
-    // an unnormalized fixture would penalize the ADC leg for norm
-    // variance, not quantization — and flooring to integer milli units
-    // keeps every candidate-leg quantity integer-derived (the oracle
-    // replay discipline: int dots exact in any order) while preserving
-    // the cosine geometry to 1e-3
-    val chunkAsVecs = rawKeyed
-      .withColumn("__n", graft.functions.VectorFunctions.l2Norm(col("vec")))
-      .select(col("ckey").as("id"),
-        expr("transform(vec, v -> cast(floor(v / __n * 1000.0) as float))")
-          .as("embedding"))
-      .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding")))
-      .localCheckpoint()
+    // Concurrent fixture waves — the searchMaxsimCivf rationale (guide
+    // §2.6): the harness DAG's independent legs materialize as
+    // overlapping jobs instead of one barrier job at a time.
+    // Wave 1: the three root frames. candidate-leg chunk vectors
+    // NORMALIZED then milli-QUANTIZED (floor(v/‖v‖·1000)): PLAID encodes
+    // normalized token embeddings — an unnormalized fixture would
+    // penalize the ADC leg for norm variance, not quantization — and
+    // flooring to integer milli units keeps every candidate-leg quantity
+    // integer-derived (the oracle replay discipline: int dots exact in
+    // any order) while preserving the cosine geometry to 1e-3
+    val w1 = graft.Checkpoints.parCheckpoint(Seq(
+      normalized(raw),
+      normalized(rawToks),
+      rawKeyed
+        .withColumn("__n", graft.functions.VectorFunctions.l2Norm(col("vec")))
+        .select(col("ckey").as("id"),
+          expr("transform(vec, v -> cast(floor(v / __n * 1000.0) as float))")
+            .as("embedding"))
+        .withColumn("norm",
+          graft.functions.VectorFunctions.l2Norm(col("embedding")))))
+    val (chunkVecs, queryToks, chunkAsVecs) = (w1(0), w1(1), w1(2))
     val centsChunk = graft.ann.Ann.representativeCentroids(
       chunkAsVecs.withColumn("label",
         pmod(expr("cast(conv(substring(sha2(id, 256), 1, 15), 16, 10) as bigint)"),
           lit(64L))), "label")
       .localCheckpoint()
-    val truth = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10)
-      .select("query_idx", "doc_id").localCheckpoint()
     val toks = rawToks.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).map(_.toFloat).toArray))
-    val assigned = graft.ann.Ann.assign(
-      chunkAsVecs.select("id", "embedding", "norm"), centsChunk).localCheckpoint()
-    val residuals = graft.ann.Pq.residualOf(assigned,
-        centsChunk.select(col("centroid_id").as("cluster_id"), col("centroid")))
-      .localCheckpoint()
+    // Exact truth ∥ the PQ build chain (assign → residuals → train →
+    // encode) — the two branches never read each other's frames.
     // iters=0: codebooks ARE the deterministic init (first 32 residual
     // vectors by chunk key, sliced per subspace) — the SQL-replayable
     // training floor; production builds run Lloyd rounds on top
-    val cb = graft.ann.Pq.train(residuals.select("id", "embedding"),
-      dim = 8, m = 4, k = 32, iters = 0)
-    val codes = graft.ann.Pq.encode(residuals.select("id", "embedding"), 8, cb)
-      .join(residuals.select(col("id"), col("cluster_id")), "id")
-      .localCheckpoint()
-    def leg(name: String, t: Int): DataFrame = {
-      val candRaw = name match {
+    val (truth, pqChain) = graft.Checkpoints.join2(
+      () => {
+        val t = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10)
+          .select("query_idx", "doc_id").localCheckpoint()
+        t
+      },
+      () => {
+        val assigned = graft.ann.Ann.assign(
+          chunkAsVecs.select("id", "embedding", "norm"), centsChunk)
+          .localCheckpoint()
+        val residuals = graft.ann.Pq.residualOf(assigned,
+            centsChunk.select(col("centroid_id").as("cluster_id"), col("centroid")))
+          .localCheckpoint()
+        val cb = graft.ann.Pq.train(residuals.select("id", "embedding"),
+          dim = 8, m = 4, k = 32, iters = 0)
+        val codes = graft.ann.Pq.encode(residuals.select("id", "embedding"), 8, cb)
+          .join(residuals.select(col("id"), col("cluster_id")), "id")
+          .localCheckpoint()
+        (assigned, cb, codes)
+      })
+    val (assigned, cb, codes) = pqChain
+    // The four graded shortlists, concurrently (each is output-bounded
+    // and feeds three consumers — see the q_search_maxsim_civf leg)
+    val legSpecs = Seq("raw", "adc").flatMap(l => Seq(5, 25).map(t => (l, t)))
+    val candByLeg = graft.Checkpoints.parallel(legSpecs.map { case (name, t) =>
+      () => (name match {
         case "raw" => graft.search.ChunkIndex.chunkIvfCandidates(
           s, assigned, centsChunk, toks.toIndexedSeq, t)
         case _ => graft.search.ChunkIndex.cpqCandidates(
           s, codes, centsChunk, cb, toks.toIndexedSeq, t)
-      }
-      // shortlist materialized once — see the q_search_maxsim_civf leg
-      val cand = candRaw
+      })
         .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
         .distinct().localCheckpoint()
+    })
+    def leg(name: String, cand: DataFrame, t: Int): DataFrame = {
       val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
         candidates = Some(cand))
       val nCand = cand.groupBy("query_idx").agg(count(lit(1)).as("n_candidates"))
@@ -2540,7 +2585,7 @@ object OpsQueries {
         .withColumn("t_width", lit(t.toLong))
         .withColumn("leg", lit(name))
     }
-    Seq("raw", "adc").flatMap(l => Seq(5, 25).map(t => leg(l, t)))
+    legSpecs.zip(candByLeg).map { case ((name, t), cand) => leg(name, cand, t) }
       .reduce(_ unionByName _)
       .select("leg", "t_width", "query_idx", "n_candidates", "n_hits")
       .orderBy("leg", "t_width", "query_idx")
@@ -2755,37 +2800,53 @@ object OpsQueries {
       .withColumn("__n", graft.functions.VectorFunctions.l2Norm(col("vec")))
       .withColumn("vec", expr("transform(vec, x -> x / __n)"))
       .drop("__n")
-    val rawKeyed = maxsimAnnChunkVecsKeyed(s, dir).localCheckpoint()
+    // Concurrent fixture waves — the searchMaxsimCivf rationale (guide
+    // §2.6): independent legs materialize as overlapping jobs.
+    val (rawKeyed, rawToks) = graft.Checkpoints.join2(
+      () => maxsimAnnChunkVecsKeyed(s, dir).localCheckpoint(),
+      () => maxsimAnnQueryToks(s, dir).localCheckpoint())
     val raw = rawKeyed.select("doc_id", "vec")
-    val rawToks = maxsimAnnQueryToks(s, dir).localCheckpoint()
-    val chunkVecs = normalized(raw).localCheckpoint()
-    val queryToks = normalized(rawToks).localCheckpoint()
-    val docVecs = maxsimDocVecs(raw).localCheckpoint()
-    val cents = graft.ann.Ann.representativeCentroids(
-      docVecs.withColumn("label", pmod(col("id"), lit(16L))), "label")
-      .localCheckpoint()
-    val chunkAssigned = graft.ann.Ann.assign(
-      rawKeyed.select(col("ckey").as("id"),
-          expr("transform(vec, v -> cast(v as float))").as("embedding"))
-        .withColumn("norm", graft.functions.VectorFunctions.l2Norm(col("embedding"))),
-      cents).localCheckpoint()
-    // the serving route's pushdown: index rows restricted to allowed docs
-    // BEFORE ranking (ChunkIndex.searchChunkIvf allowedDocs semantics);
-    // checkpointed once and shared by both width legs
-    val assignedIn = chunkAssigned.filter(
-      pmod(substring_index(col("id"), "#", 1).cast("long"), lit(3L)) === 0)
-      .localCheckpoint()
-    val truth = graft.search.MaxSim.topK(
-        chunkVecs.filter(pmod(col("doc_id"), lit(3L)) === 0), queryToks, k = 10)
-      .select("query_idx", "doc_id").localCheckpoint()
+    val w1 = graft.Checkpoints.parCheckpoint(Seq(
+      normalized(raw), normalized(rawToks), maxsimDocVecs(raw)))
+    val (chunkVecs, queryToks, docVecs) = (w1(0), w1(1), w1(2))
+    // quantize-assign-filter chain ∥ the filtered exact truth
+    val (centsAssignedIn, truth) = graft.Checkpoints.join2(
+      () => {
+        val cents = graft.ann.Ann.representativeCentroids(
+          docVecs.withColumn("label", pmod(col("id"), lit(16L))), "label")
+          .localCheckpoint()
+        val chunkAssigned = graft.ann.Ann.assign(
+          rawKeyed.select(col("ckey").as("id"),
+              expr("transform(vec, v -> cast(v as float))").as("embedding"))
+            .withColumn("norm",
+              graft.functions.VectorFunctions.l2Norm(col("embedding"))),
+          cents).localCheckpoint()
+        // the serving route's pushdown: index rows restricted to allowed
+        // docs BEFORE ranking (ChunkIndex.searchChunkIvf allowedDocs
+        // semantics); checkpointed once and shared by both width legs
+        val assignedIn = chunkAssigned.filter(
+          pmod(substring_index(col("id"), "#", 1).cast("long"), lit(3L)) === 0)
+          .localCheckpoint()
+        graft.Checkpoints.free(chunkAssigned)
+        (cents, assignedIn)
+      },
+      () => {
+        val t = graft.search.MaxSim.topK(
+            chunkVecs.filter(pmod(col("doc_id"), lit(3L)) === 0), queryToks, k = 10)
+          .select("query_idx", "doc_id").localCheckpoint()
+        t
+      })
+    val (cents, assignedIn) = centsAssignedIn
     val toks = rawToks.collect()
       .map(r => (r.getInt(0), r.getInt(1), r.getSeq[Double](2).map(_.toFloat).toArray))
-    def leg(t: Int): DataFrame = {
-      // shortlist materialized once — see the q_search_maxsim_civf leg
-      val cand = graft.search.ChunkIndex.chunkIvfCandidates(
+    // the two width shortlists, concurrently (each output-bounded,
+    // three consumers — see the q_search_maxsim_civf leg)
+    val candByT = graft.Checkpoints.parallel(Seq(5, 25).map(t => () =>
+      graft.search.ChunkIndex.chunkIvfCandidates(
           s, assignedIn, cents, toks.toIndexedSeq, t)
         .select(col("query_idx"), col("doc_id").cast("long").as("doc_id"))
-        .distinct().localCheckpoint()
+        .distinct().localCheckpoint()))
+    def leg(t: Int, cand: DataFrame): DataFrame = {
       val pruned = graft.search.MaxSim.topK(chunkVecs, queryToks, k = 10,
         candidates = Some(cand))
       val nCand = cand.groupBy("query_idx").agg(count(lit(1)).as("n_candidates"))
@@ -2796,7 +2857,7 @@ object OpsQueries {
         .na.fill(0L, Seq("n_hits"))
         .withColumn("t_width", lit(t.toLong))
     }
-    leg(5).unionByName(leg(25))
+    leg(5, candByT(0)).unionByName(leg(25, candByT(1)))
       .select("t_width", "query_idx", "n_candidates", "n_hits")
       .orderBy("t_width", "query_idx")
   }
