@@ -123,16 +123,18 @@ object OpsQueries {
 
   def annGraphBeam(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.vectors(s, dir)
-    // offline index build (exact 8-NN graph); localCheckpoint = the
-    // persisted adjacency table the two search hops probe
-    val graph = Ann.knnJoin(vecs, 8).select(col("qid"), col("neighbor")).localCheckpoint()
     val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
+    // offline index build (exact 8-NN graph; localCheckpoint = the
+    // persisted adjacency table the two search hops probe) ∥ the medoid
+    // table — independent fixture legs, overlapped (guide §2.6)
+    val (graph, medoids) = graft.Checkpoints.join2(
+      () => Ann.knnJoin(vecs, 8).select(col("qid"), col("neighbor")).localCheckpoint(),
+      () => labelMedoids(vecs).localCheckpoint())
     // entry points = the persisted medoid table's stand-in (the
     // q_lexical_indexed pattern): each query routes to its 4 nearest
     // cluster medoids and walks from there — GraphIndex.search's exact
     // serving shape, proven on real persisted sidecars by GraphIndexSpec
-    val entryPoints = GraphSearch.routeEntries(
-      vecs, labelMedoids(vecs).localCheckpoint(), qs, entries = 4)
+    val entryPoints = GraphSearch.routeEntries(vecs, medoids, qs, entries = 4)
     GraphSearch.beamSearchWithEntries(graph, vecs, qs, entryPoints, beam = 8, hops = 2, k = 5)
       .withColumn("score", round(col("score"), 6))
       .orderBy(col("query_idx"), col("score").desc, col("id"))
@@ -266,11 +268,15 @@ object OpsQueries {
   //     that does not start at the answer.
   def annGraphRecall(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.vectors(s, dir)
-    val graph = Ann.knnJoin(vecs, 8).select(col("qid"), col("neighbor")).localCheckpoint()
     val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
-    val truth = Ann.bruteTopK(vecs, qs, 5).select("query_idx", "id").localCheckpoint()
-    val medoidEntries = GraphSearch.routeEntries(
-      vecs, labelMedoids(vecs).localCheckpoint(), qs, entries = 4)
+    // graph build ∥ exact truth ∥ medoid table — three independent
+    // fixture legs, overlapped (guide §2.6)
+    val w = graft.Checkpoints.parCheckpoint(Seq(
+      Ann.knnJoin(vecs, 8).select(col("qid"), col("neighbor")),
+      Ann.bruteTopK(vecs, qs, 5).select("query_idx", "id"),
+      labelMedoids(vecs)))
+    val (graph, truth, medoids) = (w(0), w(1), w(2))
+    val medoidEntries = GraphSearch.routeEntries(vecs, medoids, qs, entries = 4)
     val routes = Seq(
       "entry_at_query" -> GraphSearch.beamSearch(
         graph, vecs, qs, entries = 4, beam = 8, hops = 2, k = 5),
@@ -385,10 +391,13 @@ object OpsQueries {
   // filtered brute scan is the graded artifact, per predicate per query.
   def annGraphFiltered(s: SparkSession, dir: String): DataFrame = {
     val vecs = Tables.vectors(s, dir)
-    val graph = Ann.knnJoin(vecs, 8).select(col("qid"), col("neighbor")).localCheckpoint()
     val qs = Tables.queryVectors(s, dir, Seq(0, 1, 2))
-    val medoidEntries = GraphSearch.routeEntries(
-      vecs, labelMedoids(vecs).localCheckpoint(), qs, entries = 4).localCheckpoint()
+    // graph build ∥ the medoid-entry chain — independent fixture legs,
+    // overlapped (guide §2.6)
+    val (graph, medoidEntries) = graft.Checkpoints.join2(
+      () => Ann.knnJoin(vecs, 8).select(col("qid"), col("neighbor")).localCheckpoint(),
+      () => GraphSearch.routeEntries(
+        vecs, labelMedoids(vecs).localCheckpoint(), qs, entries = 4).localCheckpoint())
     val preds = Seq(
       "sel_1pct" -> (pmod(col("id"), lit(97)) === 0),
       "half" -> (pmod(col("id"), lit(2)) === 0))
